@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>) — brute-force
+cosine top-k baseline + LSH(SRP)-bucketed approximate variant
+(SURVEY.md SS7.8).
+
+Scale notes (100 TB):
+  - brute-force: the query side is broadcast (queries << corpus); the corpus
+    is scanned once, no shuffle of the corpus, top-k via window per query
+    (AQE picks the aggregation). Dot products run in JVM codegen via
+    zip_with/aggregate — no Python on the hot path.
+  - SRP-LSH: each vector maps to a small bucket code (sign bits of dot
+    products with fixed hyperplanes); candidate search joins on the bucket
+    code so the pair space shrinks ~2^n_planes-fold. Hyperplanes are a
+    deterministic seeded numpy matrix inlined as literals (no SparkContext
+    broadcast needed at this size; at larger plane counts use a broadcast
+    join against a tiny planes table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise-ordered dot product (left-to-right accumulation — same
+    order as the oracle's list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector against the whole corpus.
+
+    Ranking key is (round(cos,6) DESC, corpus id ASC) — fully deterministic
+    and engine-independent, so ties at the k boundary resolve identically
+    in the oracle.
+    """
+    queries = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv"))
+    scored = corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def srp_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket code: integer whose bit p = sign(vec . plane_p)."""
+    code = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        code = code + bit
+    return code
+
+
+def ann_topk_srp(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine but only within the query's SRP
+    bucket. Recall < 1.0 by design; bucket join keeps the pair space small."""
+    planes = srp_planes(dim, n_planes, seed)
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", srp_bucket(F.col("v"), planes))
+    queries = base.filter(query_pred).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = base.join(F.broadcast(queries), on="bucket").filter(
+        F.col("id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP bucketing (approximate:
+    only same-bucket pairs are compared)."""
+    planes = srp_planes(dim, n_planes, seed)
+    base = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")).withColumn(
+        "bucket", srp_bucket(F.col("v"), planes)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

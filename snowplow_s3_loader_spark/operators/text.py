@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md SS7.8).
+
+All hot-path math is built-in column expressions (JVM-side, codegen) — no
+Python UDFs. Token model: whitespace-separated, identical to the DuckDB
+oracle's string_split_regex(text, ' +') so results hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword sets for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny + deterministic; the same inline lists are
+# embedded in the DuckDB oracle.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "les", "et", "est", "une"),
+    "zh": ("de", "shi", "le"),
+}
+
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens ('' never appears: split on runs of spaces)."""
+    return F.split(F.trim(text), " +")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def punct_count(text: Column) -> Column:
+    """Characters outside [a-zA-Z0-9 ] — formula shared with the oracle
+    (length minus cleaned length) to avoid regexp-count semantic drift."""
+    return F.length(text) - F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+
+
+def punct_ratio(text: Column) -> Column:
+    return punct_count(text).cast("double") / F.length(text)
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = QUALITY_STOPWORDS) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0,1]:
+    0.4*min(1, n_tokens/50) + 0.3*(1-punct_ratio) + 0.3*stopword_presence."""
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), token_count(text).cast("double") / 50.0)
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+        + F.lit(0.3) * stopword_ratio(text)
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def predicted_lang(text: Column) -> Column:
+    """Language-ID heuristic: most stopword hits wins; ties -> 'unknown' if
+    zero hits, else lexicographically-smallest language code (deterministic,
+    mirrored in the oracle CASE chain)."""
+    hits = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*hits.values())
+    pred = F.lit("unknown")
+    # later (lexicographically larger) langs only win with strictly more hits,
+    # so fold from largest to smallest code with >= on the way down
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-collapsed,
+    lowercased text (a cheap rolling-hash stand-in; identical in DuckDB)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), " +", " ")).cast("binary"))
+
+
+def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_m"),
+        F.round(avg_token_length(t), 6).alias("avg_token_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        predicted_lang(t).alias("pred_lang"),
+        fingerprint(t).alias("fp"),
+    )

@@ -1,0 +1,386 @@
+"""DuckDB oracle SQL — one entry per queries.py entry (q28_ann_srp excluded:
+approximate-by-design, rows-only check).
+
+Type-parity rules applied everywhere (Spark is the reference type):
+  - DuckDB sum(INT) is HUGEINT -> CAST AS BIGINT
+  - year()/month()/length()/len()/strlen()/row_number() are BIGINT -> CAST AS
+    INTEGER where Spark yields int
+  - float aggregates rounded identically on both sides
+  - decimal literals written ::DOUBLE so DuckDB doesn't do DECIMAL math
+"""
+
+from __future__ import annotations
+
+_STOP_EN = "('the','a','and','of','to','in','is')"
+_TOKS = "string_split_regex(trim(text), ' +')"
+_PUNCT = "CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)"
+_FP = "md5(lower(regexp_replace(trim(text), ' +', ' ', 'g')))"
+
+_SDJ_VALID_FILTER = "event_id % 10 NOT IN (0, 5)"
+_SDJ_VALID_LINE = (
+    "'{\"schema\": \"iglu:com.acme/' || event_type || '/jsonschema/1-0-' || "
+    "CAST(event_id % 3 AS VARCHAR) || '\", \"data\": ' || props || '}'"
+)
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q01_scan_filter_project"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+ORACLES["q02_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q03_broadcast_join"] = """
+SELECT r_name, n_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY r_name, n_name
+"""
+
+ORACLES["q04_shipping_priority"] = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+ORACLES["q05_semi_join"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+ORDER BY c_custkey
+"""
+
+ORACLES["q06_anti_join"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+ORDER BY c_custkey
+"""
+
+ORACLES["q07_window_topn_per_customer"] = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+ORACLES["q08_running_revenue"] = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) OVER (
+    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0::DOUBLE
+    AS running_revenue
+FROM lineitem
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+ORACLES["q09_rollup_revenue"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+ORACLES["q10_count_distinct"] = """
+SELECT count(DISTINCT l_orderkey) AS distinct_orders, count(*) AS total_rows FROM lineitem
+"""
+
+ORACLES["q11_set_ops"] = """
+WITH urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     ff AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'union' AS op, o_orderkey FROM (SELECT o_orderkey FROM urgent UNION SELECT o_orderkey FROM ff)
+UNION ALL
+SELECT 'intersect' AS op, o_orderkey FROM (SELECT o_orderkey FROM urgent INTERSECT SELECT o_orderkey FROM ff)
+UNION ALL
+SELECT 'except' AS op, o_orderkey FROM (SELECT o_orderkey FROM urgent EXCEPT SELECT o_orderkey FROM ff)
+ORDER BY op, o_orderkey
+"""
+
+ORACLES["q12_scalar_functions"] = """
+SELECT o_orderkey,
+  upper(substr(o_orderpriority, 3, 6)) AS pri_word,
+  o_orderstatus || '-' || o_orderpriority AS tag,
+  CAST(year(o_orderdate) AS INTEGER) AS yr,
+  CAST(month(o_orderdate) AS INTEGER) AS mo,
+  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+  round(o_totalprice * 0.2::DOUBLE, 2) AS price_fifth,
+  round(abs(o_totalprice - 100000.0::DOUBLE), 2) AS price_dev,
+  CAST(length(o_orderpriority) AS INTEGER) AS pri_len,
+  replace(o_orderpriority, '-', '_') AS pri_sub,
+  (o_orderpriority LIKE '1-%') AS is_urgent
+FROM orders
+ORDER BY o_orderkey
+"""
+
+ORACLES["q13_topk_recent_events"] = """
+SELECT event_type, event_id, ts, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT event_type, event_id, ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id) AS rn
+  FROM events
+)
+WHERE rn <= 10
+ORDER BY event_type, rn
+"""
+
+ORACLES["q14_dedup_events"] = """
+WITH first AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT event_type, count(*) AS n_unique_pairs, round(sum(value), 2) AS total_value
+FROM first GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["q15_sdj_parse"] = f"""
+SELECT 'com.acme' AS vendor, event_type AS name, CAST(event_id % 3 AS INTEGER) AS addition,
+       count(*) AS n
+FROM events
+WHERE {_SDJ_VALID_FILTER}
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+ORACLES["q16_bad_row_classify"] = """
+SELECT CASE WHEN event_id % 10 = 5 THEN 'Can''t parse JSON holding self-describing event'
+            ELSE 'Can''t extract schema from self-describing event: INVALID_DATA_PAYLOAD'
+       END AS bad_message,
+       count(*) AS n
+FROM events
+WHERE event_id % 10 IN (0, 5)
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["q17_size_violation_trim"] = """
+SELECT doc_id,
+  CASE WHEN strlen(text) >= 300 THEN 'SizeViolation' ELSE 'GenericError' END AS kind,
+  CASE WHEN strlen(text) >= 300 THEN substr(text, 1, 30) ELSE text END AS payload_out
+FROM documents
+ORDER BY doc_id
+"""
+
+ORACLES["q18_enriched_parse"] = """
+SELECT CAST(ts AS DATE) AS day,
+  min(date_trunc('second', ts)) AS min_ts,
+  max(date_trunc('second', ts)) AS max_ts,
+  count(*) AS n
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["q19_partition_paths"] = f"""
+SELECT 'com.acme.' || event_type || '/model=1/date=' || strftime(ts, '%Y-%m-%d') AS path,
+       count(*) AS n
+FROM events
+WHERE {_SDJ_VALID_FILTER}
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["q20_batch_group_bytes"] = f"""
+SELECT 'iglu:com.acme/' || event_type || '/jsonschema/1-0-' || CAST(event_id % 3 AS VARCHAR)
+         AS schema_uri,
+       count(*) AS n,
+       CAST(sum(strlen({_SDJ_VALID_LINE})) AS BIGINT) AS total_bytes
+FROM events
+WHERE {_SDJ_VALID_FILTER}
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["q21_latency_metric"] = """
+SELECT date_trunc('hour', ts) AS hour, min(ts) AS min_ts,
+  date_diff('microsecond', min(ts), TIMESTAMP '2024-02-01 00:00:00') // 1000000 AS latency_sec,
+  count(*) AS n
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+# Loader roundtrip: files written+read by Spark must reproduce exactly the
+# per-partition counts derivable from the raw events.
+ORACLES["q22_loader_roundtrip"] = ORACLES["q19_partition_paths"]
+
+ORACLES["q23_dedup_exact"] = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique_texts,
+       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+FROM documents
+"""
+
+ORACLES["q24_token_jaccard"] = f"""
+WITH d AS (
+  SELECT doc_id AS id, lang AS blk, list_distinct({_TOKS}) AS toks
+  FROM documents WHERE doc_id % 10 = 0
+),
+sz AS (SELECT id, len(toks) AS sz FROM d),
+p AS (SELECT id, blk, unnest(toks) AS tok FROM d),
+c AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM p a JOIN p b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM c JOIN sz sa ON sa.id = c.id_a JOIN sz sb ON sb.id = c.id_b
+WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+ORACLES["q25_minhash_lsh"] = f"""
+WITH d AS (
+  SELECT doc_id AS id, list_distinct({_TOKS}) AS toks
+  FROM documents WHERE doc_id % 10 = 0
+),
+t AS (SELECT id, unnest(toks) AS tok FROM d),
+s AS (SELECT id, tok, unnest(range(16)) AS seed FROM t),
+h AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM s GROUP BY id, seed
+),
+b AS (
+  SELECT id, seed // 4 AS band_id, string_agg(mh, '|' ORDER BY seed) AS band_hash
+  FROM h GROUP BY id, seed // 4
+)
+SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+FROM b a JOIN b b2 ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash AND a.id < b2.id
+ORDER BY id_a, id_b
+"""
+
+ORACLES["q26_simhash"] = f"""
+WITH d AS (
+  SELECT doc_id AS id, list_distinct({_TOKS}) AS toks
+  FROM documents WHERE doc_id % 10 = 0
+),
+t AS (SELECT id, unnest(toks) AS tok FROM d),
+hh AS (SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+bits AS (SELECT id, h, unnest(range(60)) AS bit FROM hh),
+v AS (
+  SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY id, bit
+)
+SELECT id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM v GROUP BY id ORDER BY id
+"""
+
+ORACLES["q27_ann_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+s AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    round(list_dot_product(qv, v)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM q JOIN e ON e.vec_id != q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+ORACLES["q29_lang_id"] = f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+h AS (
+  SELECT lang,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+    len(list_filter(toks, x -> x IN {_STOP_EN})) AS h_en,
+    len(list_filter(toks, x -> x IN ('el','la','los','y','es'))) AS h_es,
+    len(list_filter(toks, x -> x IN ('le','les','et','est','une'))) AS h_fr,
+    len(list_filter(toks, x -> x IN ('de','shi','le'))) AS h_zh
+  FROM t
+),
+p AS (
+  SELECT lang,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'unknown'
+         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+         ELSE 'zh'
+    END AS pred_lang
+  FROM h
+)
+SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["q30_text_quality"] = f"""
+WITH b AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
+    AS avg_token_len,
+  round({_PUNCT} / length(text), 6) AS punct_ratio,
+  round(CAST(len(list_filter(toks, x -> x IN {_STOP_EN})) AS DOUBLE) / len(toks), 6)
+    AS stopword_ratio,
+  round(0.4::DOUBLE * least(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 50.0::DOUBLE)
+        + 0.3::DOUBLE * (1.0::DOUBLE - {_PUNCT} / length(text))
+        + 0.3::DOUBLE * (CAST(len(list_filter(toks, x -> x IN {_STOP_EN})) AS DOUBLE) / len(toks)),
+        6) AS quality
+FROM b ORDER BY doc_id
+"""
+
+ORACLES["q31_token_corpus_stats"] = f"""
+WITH tok AS (SELECT lang, doc_id, unnest({_TOKS}) AS tok FROM documents)
+SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS total_tokens,
+       count(DISTINCT tok) AS distinct_tokens
+FROM tok GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["q32_fingerprint"] = f"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT {_FP}) AS n_unique_fp,
+       min({_FP}) AS min_fp
+FROM documents GROUP BY source ORDER BY source
+"""
+
+ORACLES["q33_multimodal_features"] = """
+SELECT doc_id AS media_id, 'text/plain' AS mime,
+  CAST(strlen(text) AS INTEGER) AS n_bytes,
+  CAST((strlen(text) + 255) // 256 AS INTEGER) AS n_chunks,
+  md5(text) AS digest
+FROM documents ORDER BY media_id
+"""
+
+ORACLES["q34_frame_sample"] = """
+WITH m AS (SELECT doc_id AS media_id, strlen(text) AS nb FROM documents),
+c AS (SELECT media_id, nb, unnest(range((nb + 255) // 256)) AS chunk_idx FROM m)
+SELECT media_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(least(256, nb - chunk_idx * 256) AS INTEGER) AS chunk_bytes
+FROM c WHERE chunk_idx % 4 = 0
+ORDER BY media_id, chunk_idx
+"""

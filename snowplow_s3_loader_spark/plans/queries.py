@@ -1,0 +1,558 @@
+"""The declared query contract, Spark side (SURVEY.md SS2.4 + training-data
+extensions SS7.8). Every query is deterministic — explicit ORDER BY, rounded
+float aggregates, unique-key tie-breaks — so the DuckDB oracle hash-matches.
+
+Scale discipline applied throughout: filters before joins, broadcast hints on
+dimension sides, single-shuffle aggregations, window partitioning on the
+natural key; no collect()-driven logic except the loader roundtrip's driver
+coordination (which mirrors the reference's per-batch flush, O6/O10).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.functions.paths import partition_path
+from snowplow_s3_loader_spark.operators import dedup, multimodal, similarity, text
+from snowplow_s3_loader_spark.operators.parse import PURPOSE_ENRICHED, PURPOSE_SDJ, classify
+from snowplow_s3_loader_spark.plans import synthesize
+from snowplow_s3_loader_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# relational core (Q1-Q13 of SURVEY.md SS2.4)
+# --------------------------------------------------------------------------
+
+
+def q01_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + pushed filter + pruned projection (SS2.4 Q1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q02_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: partial+final hash agg (SS2.4 Q2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q03_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation x region on regionkey; region is tiny -> broadcast (SS2.4 Q3)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "inner"
+        )
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q04_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 variant: 3-way join + agg + deterministic top-10 (SS2.4 Q4)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "revenue")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITH at least one order > 100k (left semi, SS2.4 Q5)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100_000)
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITHOUT any 'P'-status order (left anti, SS2.4 Q5)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q07_window_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice: ranking window (SS2.4 Q6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rn",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q08_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per supplier by shipdate: analytic window (SS2.4 Q7).
+
+    Accumulation order is pinned by the unique (shipdate, orderkey,
+    linenumber) ordering, so the float prefix-sums agree with the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer-cents accumulation: float prefix sums are not associative and
+    # engines disagree on window-sum evaluation order (segment trees), so sum
+    # exact cents and divide once at the end
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            (F.sum(rev_cents).over(w) / F.lit(100.0)).alias("running_revenue"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+def q09_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup over (returnflag, linestatus) (SS2.4 Q8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n"))
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+def q10_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (SS2.4 Q9)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_orderkey").alias("distinct_orders"),
+        F.count("*").alias("total_rows"),
+    )
+
+
+def q11_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except over order-key sets (SS2.4 Q10)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    fulfilled = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    tagged = (
+        urgent.union(fulfilled).distinct().select(F.lit("union").alias("op"), "o_orderkey")
+        .union(
+            urgent.intersect(fulfilled).select(F.lit("intersect").alias("op"), "o_orderkey")
+        )
+        .union(urgent.subtract(fulfilled).select(F.lit("except").alias("op"), "o_orderkey"))
+    )
+    return tagged.orderBy("op", "o_orderkey")
+
+
+def q12_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar battery (SS2.4 Q11)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.upper(F.substring("o_orderpriority", 3, 6)).alias("pri_word"),
+            F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias("tag"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since"
+            ),
+            # x0.2 (not x0.1): cents x 2 never ends in 5 at the 3rd decimal,
+            # so the 2-decimal round never sits on a .xx5 boundary where
+            # Spark (shortest-repr HALF_UP) and DuckDB (binary) disagree
+            F.round(F.col("o_totalprice") * 0.2, 2).alias("price_fifth"),
+            F.round(F.abs(F.col("o_totalprice") - 100_000.0), 2).alias("price_dev"),
+            F.length("o_orderpriority").alias("pri_len"),
+            F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("pri_sub"),
+            F.col("o_orderpriority").like("1-%").alias("is_urgent"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q13_topk_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most recent events per type (SS2.4 Q12)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("event_type", "event_id", "ts", "rn")
+        .orderBy("event_type", "rn")
+    )
+
+
+def q14_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first-per-key dedup + per-type aggregate (SS2.4 Q13)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = dedup.exact_dedup(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return (
+        first.groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_pairs"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# loader-path queries (SS2.4 Q14-Q20): reference parse semantics over
+# synthesized SDJ / enriched lines
+# --------------------------------------------------------------------------
+
+
+def q15_sdj_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDJ classify (O3): iglu key extraction + grouping (SS2.4 Q14)."""
+    lines = synthesize.sdj_lines(load_table(spark, sf_dir, "events"))
+    classified = classify(lines, PURPOSE_SDJ)
+    return (
+        classified.filter(F.col("bad_message").isNull())
+        .groupBy(
+            F.col("schema_key.vendor").alias("vendor"),
+            F.col("schema_key.name").alias("name"),
+            F.col("schema_key.addition").alias("addition"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("vendor", "name", "addition")
+    )
+
+
+def q16_bad_row_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-row routing: failure-message histogram (SS2.4 Q16 / O3)."""
+    lines = synthesize.sdj_lines(load_table(spark, sf_dir, "events"))
+    classified = classify(lines, PURPOSE_SDJ)
+    return (
+        classified.filter(F.col("bad_message").isNotNull())
+        .groupBy("bad_message")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bad_message")
+    )
+
+
+def q17_size_violation_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-cap rule of BadRowsSerializer.scala:24-44: rows >= max become
+    SizeViolation with payload trimmed to max/10 chars (SS2.4 Q16)."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_size = 300
+    oversize = F.octet_length("text") >= max_size
+    return docs.select(
+        "doc_id",
+        F.when(oversize, F.lit("SizeViolation")).otherwise(F.lit("GenericError")).alias("kind"),
+        F.when(oversize, F.substring("text", 1, max_size // 10)).otherwise(F.col("text")).alias(
+            "payload_out"
+        ),
+    ).orderBy("doc_id")
+
+
+def q18_enriched_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enriched classify (O2): TSV idx-3 timestamp, min/max per day (SS2.4 Q15)."""
+    lines = synthesize.enriched_lines(load_table(spark, sf_dir, "events"))
+    classified = classify(lines, PURPOSE_ENRICHED)
+    return (
+        classified.groupBy(F.to_date("collector_tstamp").alias("day"))
+        .agg(
+            F.min(F.col("collector_tstamp").cast("timestamp_ntz")).alias("min_ts"),
+            F.max(F.col("collector_tstamp").cast("timestamp_ntz")).alias("max_ts"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("day")
+    )
+
+
+def q19_partition_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-path templating per event (O8) vectorized (SS2.4 Q17)."""
+    lines = synthesize.sdj_lines(load_table(spark, sf_dir, "events"))
+    classified = classify(lines, PURPOSE_SDJ).filter(F.col("bad_message").isNull())
+    path = partition_path(
+        "{vendor}.{schema}/model={model}/date={yyyy}-{MM}-{dd}",
+        F.col("schema_key"),
+        F.col("ts"),
+    )
+    return (
+        classified.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy("path")
+    )
+
+
+def q20_batch_group_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grouping by schema key + byte accounting (O5/O6 size check,
+    Processing.scala:249) (SS2.4 Q18)."""
+    lines = synthesize.sdj_lines(load_table(spark, sf_dir, "events"))
+    classified = classify(lines, PURPOSE_SDJ).filter(F.col("bad_message").isNull())
+    return (
+        classified.groupBy(F.col("schema_uri"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("value")).alias("total_bytes"),
+        )
+        .orderBy("schema_uri")
+    )
+
+
+def q21_latency_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e2e-latency metric semantics (O11): earliest event per hour vs a fixed
+    'now' (SS2.4 Q19)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour"))
+        .agg(F.min("ts").alias("min_ts"), F.count("*").alias("n"))
+        .select(
+            "hour",
+            "min_ts",
+            F.expr(
+                "timestampdiff(SECOND, min_ts, TIMESTAMP_NTZ '2024-02-01 00:00:00')"
+            ).alias("latency_sec"),
+            "n",
+        )
+        .orderBy("hour")
+    )
+
+
+def q22_loader_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end loader slice (O5-O10, SS2.4 Q20): classify -> partitioned
+    gzip text files on disk -> re-read -> counts per partition path.
+
+    Single partitioned write job (no per-partition driver loop), gzip codec
+    on the text sink exactly as the production pipeline writes.
+    """
+    lines = synthesize.sdj_lines(load_table(spark, sf_dir, "events"))
+    classified = classify(lines, PURPOSE_SDJ).filter(F.col("bad_message").isNull())
+    path = partition_path(
+        "{vendor}.{schema}/model={model}/date={yyyy}-{MM}-{dd}",
+        F.col("schema_key"),
+        F.col("ts"),
+    )
+    staged = classified.select(
+        F.col("value"), F.regexp_replace(path, "/", "~").alias("pp")
+    )
+    out_dir = tempfile.mkdtemp(prefix="snowplow_q22_")
+    (
+        staged.repartition("pp")
+        .write.partitionBy("pp")
+        .option("compression", "gzip")
+        .mode("overwrite")
+        .text(out_dir)
+    )
+    back = spark.read.option("basePath", out_dir).text(out_dir)
+    return (
+        back.groupBy(F.regexp_replace(F.col("pp"), "~", "/").alias("path"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("path")
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline extensions (SURVEY.md SS7.8)
+# --------------------------------------------------------------------------
+
+
+def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (digest) dedup summary over documents."""
+    return dedup.exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q24_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, lang-blocked, 10% sample."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup.token_jaccard_pairs(docs, "doc_id", "text", ["lang"], threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (16 hashes, 4 bands), 10% sample."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    bands = dedup.minhash_bands(docs, "doc_id", "text", n_hashes=16, band_size=4)
+    return dedup.lsh_candidate_pairs(bands).orderBy("id_a", "id_b")
+
+
+def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints, 10% sample."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup.simhash60(docs, "doc_id", "text").orderBy("id")
+
+
+def q27_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for sampled query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, F.col("vec_id") % 100 == 0, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q28_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-5 (scale path; approximate by
+    design -> rows-only correctness check, no SQL oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_srp(emb, F.col("vec_id") % 100 == 0, k=5, n_planes=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID confusion counts vs the labeled lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.predicted_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def q30_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (token stats, punct, stopwords, score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(t).alias("n_tokens"),
+        F.round(text.avg_token_length(t), 6).alias("avg_token_len"),
+        F.round(text.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(text.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(text.quality_score(t), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q31_token_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language: one exploded aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("total_tokens"),
+            F.count_distinct("tok").alias("distinct_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q32_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (normalized md5) stats per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text.fingerprint(F.col("text"))
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique_fp"),
+            F.min("fp").alias("min_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary feature extraction via mapInPandas (Arrow batches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media(docs, "doc_id", "text", "text/plain")
+    return multimodal.extract_features(media).orderBy("media_id")
+
+
+def q34_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk/frame sampling plumbing over binary payloads (JVM-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media(docs, "doc_id", "text", "text/plain")
+    sampled = multimodal.frame_sample(media, every_n_chunks=4)
+    return sampled.select(
+        "media_id", "chunk_idx", F.octet_length("chunk").alias("chunk_bytes")
+    ).orderBy("media_id", "chunk_idx")
+
+
+QUERIES = {
+    fn.__name__: fn
+    for fn in [
+        q01_scan_filter_project,
+        q02_pricing_summary,
+        q03_broadcast_join,
+        q04_shipping_priority,
+        q05_semi_join,
+        q06_anti_join,
+        q07_window_topn_per_customer,
+        q08_running_revenue,
+        q09_rollup_revenue,
+        q10_count_distinct,
+        q11_set_ops,
+        q12_scalar_functions,
+        q13_topk_recent_events,
+        q14_dedup_events,
+        q15_sdj_parse,
+        q16_bad_row_classify,
+        q17_size_violation_trim,
+        q18_enriched_parse,
+        q19_partition_paths,
+        q20_batch_group_bytes,
+        q21_latency_metric,
+        q22_loader_roundtrip,
+        q23_dedup_exact,
+        q24_token_jaccard,
+        q25_minhash_lsh,
+        q26_simhash,
+        q27_ann_topk,
+        q28_ann_srp,
+        q29_lang_id,
+        q30_text_quality,
+        q31_token_corpus_stats,
+        q32_fingerprint,
+        q33_multimodal_features,
+        q34_frame_sample,
+    ]
+}

@@ -1,0 +1,70 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The reference sizes its parallelism from CPU cores (Environment.scala:100-117:
+cpuParallelism = ceil(cores x factor)); in Spark that is executor/task
+parallelism plus shuffle partition count. We enable AQE so the runtime
+re-plans shuffles (partition coalescing, skew-join splitting) — at 100 TB the
+static shuffle-partition number is always wrong in one direction or the other.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "snowplow-s3-loader-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Settings rationale:
+      - AQE + skew join + partition coalescing: runtime re-planning so the
+        same query code works at sf0.001 and at 100 TB.
+      - UTC session timezone: the reference's path templating and timestamp
+        handling are UTC-fixed (DynamicPath.scala:80-83); also keeps
+        timestamp semantics aligned with the DuckDB oracle.
+      - nanosAsLong: driver-generated events.parquet stores TIMESTAMP(NANOS)
+        which Spark's vectorized reader refuses by default.
+      - Arrow: all pandas_udf/applyInPandas paths batch via Arrow.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    builder = builder.config(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions if shuffle_partitions is not None else int(cpus)),
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally-created session.
+
+    The correctness driver hands us its own SparkSession; these are the
+    settings we can still fix up after the fact (all runtime SQL confs).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

@@ -1,0 +1,55 @@
+"""Loaders for the synthetic test tables (/root/testdata/sf*/ — TESTDATA.md).
+
+Normalization notes:
+  - events.ts is written as parquet INT64 TIMESTAMP(NANOS,false); Spark reads
+    it only with spark.sql.legacy.parquet.nanosAsLong=true, yielding a long of
+    nanoseconds. We truncate ns -> us and cast to TIMESTAMP_NTZ, which is
+    exactly what DuckDB reports for the same column (naive micros), so
+    oracle hash-matching stays stable.
+  - all other timestamp columns arrive as TIMESTAMP_NTZ already (parquet
+    micros, isAdjustedToUTC=false).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table, normalizing driver-specific physical types."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The ns->NTZ cast below goes through TIMESTAMP_LTZ; session tz must be
+    # UTC for the wall-clock to equal the stored (naive, UTC-meaning) value.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, not `/`: ns-since-epoch exceeds 2^53, double math
+        # would be off by ±1us
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every synthetic table as a temp view; returns the frames."""
+    out = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,48 @@
+"""Bad-row envelope + size cap tests (BadRowsSerializer.scala:24-44,
+FIXTURES.md F4)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.badrows import build_bad_rows, PROCESSOR_NAME
+from snowplow_s3_loader_spark.operators.parse import PURPOSE_SDJ, classify
+
+TS = "2023-12-25 15:30:45"
+
+
+def _bad_df(spark, lines):
+    df = classify(spark.createDataFrame([(l,) for l in lines], "value string"), PURPOSE_SDJ)
+    return df
+
+
+def test_generic_error_envelope(spark):
+    line = '{"data": {"field": "value"}}'
+    out = build_bad_rows(_bad_df(spark, [line]), F.lit(TS).cast("timestamp")).collect()
+    assert len(out) == 1
+    env = json.loads(out[0]["bad_row_json"])
+    assert env["kind"] == "GenericError"
+    assert env["processor"]["name"] == PROCESSOR_NAME
+    assert "Can't extract schema" in env["failure"]["messages"][0]
+    assert base64.b64decode(env["payload"]).decode() == line
+
+
+def test_size_violation_trim(spark):
+    line = json.dumps({"data": {"blob": "x" * 500}})  # serialized bad row > 100 B
+    out = build_bad_rows(
+        _bad_df(spark, [line]), F.lit(TS).cast("timestamp"), max_record_size=100
+    ).collect()
+    env = json.loads(out[0]["bad_row_json"])
+    assert env["kind"] == "SizeViolation"
+    assert env["failure"]["maximumAllowedSizeBytes"] == 100
+    # payload trimmed to maxSize/10 chars (BadRowsSerializer.scala:33)
+    assert len(env["payload"]) == 10
+
+
+def test_good_rows_not_emitted(spark):
+    line = '{"schema": "iglu:com.example/e/jsonschema/1-0-0", "data": {}}'
+    out = build_bad_rows(_bad_df(spark, [line]), F.lit(TS).cast("timestamp")).collect()
+    assert out == []
