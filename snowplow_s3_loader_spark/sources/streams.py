@@ -1,0 +1,64 @@
+"""Structured Streaming sources behind the loader's source abstraction
+(reference: common-streams Kinesis factory, AwsApp.scala:19-23).
+
+All sources normalize to a DataFrame with a binary `payload` column — the
+reference's record unit (ByteBuffer, SURVEY.md SS1.1) — before the
+decompression/classify stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.config import InputConfig
+
+
+def file_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Line-file source: each line is one record (README.md:11-12 'new lines
+    are used to separate records'). Test/local stand-in for Kinesis, same
+    downstream contract."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(path)
+    return df.select(F.col("value").cast("binary").alias("payload"))
+
+
+def kinesis_stream(spark: SparkSession, cfg: InputConfig) -> DataFrame:
+    """Kinesis source via the spark-kinesis connector (option surface mirrors
+    config.aws.reference.hocon:7-64). Raises a clear error when the connector
+    jar isn't on the classpath — OSS PySpark doesn't bundle one."""
+    reader = (
+        spark.readStream.format("kinesis")
+        .option("streamName", cfg.stream_name or "")
+        .option("initialPosition", cfg.initial_position)
+        .option("consumerName", cfg.app_name)
+    )
+    if cfg.region:
+        reader = reader.option("region", cfg.region)
+    if cfg.max_records:
+        reader = reader.option("maxFetchRate", str(cfg.max_records))
+    try:
+        df = reader.load()
+    except Exception as e:  # connector jar missing
+        raise NotImplementedError(
+            "kinesis source requires a spark-kinesis connector jar on the "
+            "classpath (e.g. spark-sql-kinesis); use the file source locally"
+        ) from e
+    return df.select(F.col("data").alias("payload"))
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Synthetic load source for soak testing the pipeline."""
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    line = F.concat(
+        F.lit('{"schema": "iglu:com.example/rate/jsonschema/1-0-0", "data": {"n": '),
+        F.col("value").cast("string"),
+        F.lit("}}"),
+    )
+    return df.select(line.cast("binary").alias("payload"))
