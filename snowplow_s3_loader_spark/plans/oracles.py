@@ -376,6 +376,69 @@ SELECT doc_id AS media_id, 'text/plain' AS mime,
 FROM documents ORDER BY media_id
 """
 
+ORACLES["q35_cube_revenue"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+ORACLES["q36_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+# q37_approx_distinct: HLL sketch — approximate by design, rows-only check
+
+ORACLES["q38_sessionization"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('microsecond', prev_ts, ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM g
+),
+r AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM r GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+ORACLES["q39_range_join"] = """
+SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["q40_asof_join"] = """
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+     signups AS (SELECT * FROM events WHERE event_type = 'signup')
+SELECT c.event_id, s.event_id AS signup_event_id,
+       date_diff('microsecond', s.ts, c.ts) // 1000000 AS gap_sec
+FROM clicks c ASOF LEFT JOIN signups s ON c.user_id = s.user_id AND c.ts >= s.ts
+ORDER BY c.event_id
+"""
+
 ORACLES["q34_frame_sample"] = """
 WITH m AS (SELECT doc_id AS media_id, strlen(text) AS nb FROM documents),
 c AS (SELECT media_id, nb, unnest(range((nb + 255) // 256)) AS chunk_idx FROM m)

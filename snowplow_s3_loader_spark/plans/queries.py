@@ -517,6 +517,125 @@ def q34_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "chunk_idx")
 
 
+# --------------------------------------------------------------------------
+# extended relational surface: multi-dim aggs, sessionization, range/as-of
+# joins (SS2.3 rows the reference lacks entirely, exposed engine-side)
+# --------------------------------------------------------------------------
+
+
+def q35_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approx distinct (engine-only: approximate by design ->
+    rows-only check; exact twin is q10)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count("*").alias("total_rows"),
+    )
+
+
+def q38_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window functions —
+    the batch twin of streaming session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_break = F.col("prev_ts").isNull() | (
+        F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1_800_000_000
+    )
+    with_sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("is_new", gap_break.cast("int"))
+        .withColumn("session_id", F.sum("is_new").over(wrun))
+    )
+    return (
+        with_sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q39_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join: lineitems shipped within 90 days of order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] >= orders["o_orderdate"])
+        & (li["l_shipdate"] < orders["o_orderdate"] + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q40_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (composition, no built-in Spark operator): each 'click'
+    event matched to the latest 'signup' of the same user at-or-before its
+    timestamp. Union + last(ignorenulls) over one event-time ordering — a
+    single shuffle on user_id, no range explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "signup")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        # signups sort before clicks at identical ts so equality matches
+        F.when(F.col("event_type") == "signup", 0).otherwise(1).alias("kind_order"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind_order", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_state = F.last(
+        F.when(F.col("kind_order") == 0, F.struct("ts", "event_id")), ignorenulls=True
+    ).over(w)
+    clicks = (
+        tagged.withColumn("signup", signup_state)
+        .filter(F.col("kind_order") == 1)
+        .select(
+            F.col("event_id"),
+            F.col("signup.event_id").alias("signup_event_id"),
+            F.expr(
+                "CASE WHEN signup.ts IS NOT NULL THEN timestampdiff(SECOND, signup.ts, ts) END"
+            ).alias("gap_sec"),
+        )
+    )
+    return clicks.orderBy("event_id")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -554,5 +673,11 @@ QUERIES = {
         q32_fingerprint,
         q33_multimodal_features,
         q34_frame_sample,
+        q35_cube_revenue,
+        q36_grouping_sets,
+        q37_approx_distinct,
+        q38_sessionization,
+        q39_range_join,
+        q40_asof_join,
     ]
 }

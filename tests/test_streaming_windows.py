@@ -1,0 +1,128 @@
+"""Streaming operator surface beyond the loader (SURVEY.md SS2.3 rows:
+watermark/late data, tumbling + session windows, streaming dedup). The
+reference has none of these (processing-time batching only); the engine
+exposes the stock Structured Streaming operators — verified here end-to-end
+with file-stream input and availableNow triggers."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_events(dirpath, rows):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    lines = [f"{ts},{user},{val}" for ts, user, val in rows]
+    (dirpath / "part1.csv").write_text("\n".join(lines) + "\n")
+
+
+def _stream(spark, dirpath):
+    return (
+        spark.readStream.schema("ts timestamp, user_id int, val int")
+        .option("header", False)
+        .csv(str(dirpath))
+    )
+
+
+def _run(df, tmp_path, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_window_with_watermark(spark, tmp_path):
+    _write_events(
+        tmp_path / "in",
+        [
+            ("2024-01-01 10:00:10", 1, 5),
+            ("2024-01-01 10:00:50", 1, 7),
+            ("2024-01-01 10:01:10", 2, 1),
+            ("2024-01-01 09:00:00", 3, 9),  # very late event, before watermark
+        ],
+    )
+    agg = (
+        _stream(spark, tmp_path / "in")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.sum("val").alias("total"))
+        .select(F.col("w.start").alias("start"), "total")
+    )
+    _run(agg, tmp_path, "tumbling", "complete")
+    rows = {
+        r["start"]: r["total"]
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    # complete mode: all window state emits regardless of watermark (append
+    # would hold unclosed windows past the single availableNow batch)
+    assert rows[datetime(2024, 1, 1, 10, 0)] == 12
+    assert rows[datetime(2024, 1, 1, 10, 1)] == 1
+    assert rows[datetime(2024, 1, 1, 9, 0)] == 9
+
+
+def test_session_window_stream(spark, tmp_path):
+    _write_events(
+        tmp_path / "in2",
+        [
+            ("2024-01-01 10:00:00", 1, 1),
+            ("2024-01-01 10:03:00", 1, 1),  # within 5-min gap: same session
+            ("2024-01-01 10:20:00", 1, 1),  # new session
+            ("2024-01-01 10:00:00", 2, 1),
+        ],
+    )
+    agg = (
+        _stream(spark, tmp_path / "in2")
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "5 minutes").alias("sw"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("sw.start").alias("start"), "n")
+    )
+    _run(agg, tmp_path, "sessions", "complete")
+    got = {
+        (r["user_id"], r["start"]): r["n"]
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got[(1, datetime(2024, 1, 1, 10, 0))] == 2
+    assert got[(1, datetime(2024, 1, 1, 10, 20))] == 1
+    assert got[(2, datetime(2024, 1, 1, 10, 0))] == 1
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    _write_events(
+        tmp_path / "in3",
+        [
+            ("2024-01-01 10:00:00", 1, 42),
+            ("2024-01-01 10:00:00", 1, 42),  # exact duplicate record
+            ("2024-01-01 10:05:00", 2, 7),
+        ],
+    )
+    dedup = (
+        _stream(spark, tmp_path / "in3")
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicates(["user_id", "ts"])
+    )
+    _run(dedup, tmp_path, "deduped", "append")
+    assert spark.sql("SELECT count(*) AS n FROM deduped").first()["n"] == 2
+
+
+def test_engine_sql_facade(spark, sf_dir):
+    from snowplow_s3_loader_spark.engine import Engine
+
+    eng = Engine.at(spark, sf_dir)
+    out = eng.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).collect()
+    assert [r["l_returnflag"] for r in out] == ["A", "N", "R"]
+    assert eng.table("events").count() > 0
+    lines = spark.createDataFrame(
+        [('{"schema": "iglu:com.example/e/jsonschema/1-0-0", "data": {}}',)], "value string"
+    )
+    assert eng.classify_sdj(lines).first()["schema_key"]["vendor"] == "com.example"
