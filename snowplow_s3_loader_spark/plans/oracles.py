@@ -439,6 +439,63 @@ FROM clicks c ASOF LEFT JOIN signups s ON c.user_id = s.user_id AND c.ts >= s.ts
 ORDER BY c.event_id
 """
 
+ORACLES["q41_brand_revenue"] = """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+HAVING count(*) > 50
+ORDER BY p_brand
+"""
+
+ORACLES["q42_supplier_rank"] = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, revenue,
+       CAST(dense_rank() OVER (ORDER BY revenue DESC, s_suppkey) AS INTEGER) AS rnk,
+       CAST(ntile(4) OVER (ORDER BY revenue DESC, s_suppkey) AS INTEGER) AS quartile
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY rnk, s_suppkey
+"""
+
+ORACLES["q43_scalar_subquery"] = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+ORDER BY o_orderkey
+"""
+
+ORACLES["q44_not_exists"] = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate >= TIMESTAMP '2001-01-01'
+)
+ORDER BY s_suppkey
+"""
+
+ORACLES["q45_full_outer_join"] = """
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+  ON c.c_nationkey = s.s_nationkey
+ORDER BY nationkey
+"""
+
+ORACLES["q46_json_extract"] = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 ORACLES["q34_frame_sample"] = """
 WITH m AS (SELECT doc_id AS media_id, strlen(text) AS nb FROM documents),
 c AS (SELECT media_id, nb, unnest(range((nb + 255) // 256)) AS chunk_idx FROM m)

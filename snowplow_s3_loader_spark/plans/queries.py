@@ -636,6 +636,111 @@ def q40_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.orderBy("event_id")
 
 
+def q41_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part (dim) broadcast-joined to lineitem + HAVING-style post-filter."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n"))
+        .filter(F.col("n") > 50)
+        .orderBy("p_brand")
+    )
+
+
+def q42_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + ntile over per-supplier revenue."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    joined = rev.join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+    w = Window.orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    return (
+        joined.select(
+            "s_suppkey",
+            "s_name",
+            "revenue",
+            F.dense_rank().over(w).alias("rnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("rnk", "s_suppkey")
+    )
+
+
+def q43_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above the global average (scalar subquery)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM sq_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM sq_orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+def q44_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with no shipments after 2001-01-01 (NOT EXISTS anti form)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("ne_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ne_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM ne_supplier s
+        WHERE NOT EXISTS (
+          SELECT 1 FROM ne_lineitem l
+          WHERE l.l_suppkey = s.s_suppkey
+            AND l.l_shipdate >= TIMESTAMP_NTZ '2001-01-01 00:00:00'
+        )
+        ORDER BY s_suppkey
+        """
+    )
+
+
+def q45_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(sup, cust["c_nationkey"] == sup["s_nationkey"], "full_outer")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q46_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction over the events props column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -679,5 +784,11 @@ QUERIES = {
         q38_sessionization,
         q39_range_join,
         q40_asof_join,
+        q41_brand_revenue,
+        q42_supplier_rank,
+        q43_scalar_subquery,
+        q44_not_exists,
+        q45_full_outer_join,
+        q46_json_extract,
     ]
 }

@@ -1,0 +1,80 @@
+"""Custom keyed stateful streaming operators via applyInPandasWithState
+(SURVEY.md SS2.3 'Streaming: stateful ops' — absent in the reference, which
+only carries a batch accumulator; exposed engine-side for users who need
+keyed state beyond built-in windows).
+
+Pattern: GroupStateTimeout-driven per-key accumulators over Arrow batches.
+State stays bounded: one row per live key, evicted on processing-time
+timeout — the property that lets this run unbounded at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+RUNNING_COUNT_SCHEMA = StructType(
+    [
+        StructField("user_id", IntegerType()),
+        StructField("n_events", LongType()),
+        StructField("total_val", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", LongType())]
+)
+
+
+def running_user_counts(
+    events: DataFrame, timeout_ms: int | None = None
+) -> DataFrame:
+    """Per-user running (count, sum) across micro-batches.
+
+    Input columns: user_id int, val int. Emits the updated running totals
+    for every user seen in the batch.
+
+    timeout_ms: processing-time state eviction for always-on deployments
+    (bounds state at scale). Leave None for availableNow/backfill runs —
+    ProcessingTimeTimeout makes Trigger.AvailableNow schedule empty batches
+    indefinitely to fire timeouts, so the query never terminates.
+    """
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["val"].sum())
+        state.update((n, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_val": [total]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=RUNNING_COUNT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

@@ -29,8 +29,22 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table, normalizing driver-specific physical types."""
+# tables whose derived queries do heavy per-row compute (JSON parse, regex,
+# line synthesis) before any shuffle
+_CPU_DENSE_TABLES = {"events"}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = True
+) -> DataFrame:
+    """Read one synthetic table, normalizing driver-specific physical types.
+
+    Parallelism floor: the driver-generated files are single-row-group
+    parquet, so a raw scan is ONE task and every narrow stage after it runs
+    single-threaded. When the scan has fewer splits than the cluster's
+    default parallelism, repartition up to it — a cheap local shuffle here,
+    and a no-op condition on a real multi-file 100 TB layout (splits >>
+    cores). Filters/pruning still push to the scan through the exchange."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The ns->NTZ cast below goes through TIMESTAMP_LTZ; session tz must be
     # UTC for the wall-clock to equal the stored (naive, UTC-meaning) value.
@@ -42,6 +56,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    # CPU-dense sources only: the shuffle is cheaper than single-threaded
+    # JSON/regex parsing, but pure overhead for light scans/aggs where the
+    # first real shuffle already spreads the work.
+    if parallelize and name in _CPU_DENSE_TABLES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

@@ -1,0 +1,46 @@
+"""Custom keyed stateful operator (applyInPandasWithState): running per-user
+totals carried across micro-batches with bounded, timeout-evicted state."""
+
+from __future__ import annotations
+
+
+def _write(dirpath, name, rows):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    (dirpath / name).write_text("\n".join(f"{u},{v}" for u, v in rows) + "\n")
+
+
+def _run_collect(spark, in_dir, ckpt):
+    from snowplow_s3_loader_spark.streaming.stateful import running_user_counts
+
+    src = spark.readStream.schema("user_id int, val int").csv(str(in_dir))
+    collected: list = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    q = (
+        running_user_counts(src)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per user wins (update mode)
+    return {r["user_id"]: (r["n_events"], r["total_val"]) for r in collected}
+
+
+def test_running_user_counts_across_batches(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    _write(in_dir, "b1.csv", [(1, 10), (1, 5), (2, 3)])
+    got = _run_collect(spark, in_dir, ckpt)
+    assert got == {1: (2, 15), 2: (1, 3)}
+
+    # restart over the same checkpoint with a new file: keyed state persists
+    _write(in_dir, "b2.csv", [(1, 100), (3, 1)])
+    got2 = _run_collect(spark, in_dir, ckpt)
+    assert got2[1] == (3, 115)  # accumulated across the restart
+    assert got2[3] == (1, 1)
+    assert 2 not in got2  # user 2 not in the new batch -> no re-emission
