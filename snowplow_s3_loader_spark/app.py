@@ -36,6 +36,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"config error: {e}", file=sys.stderr)
         return 2
 
+    # Sentry crash reporting (reference LoaderApp.scala:33-39), import-gated:
+    # enabled only when the sdk is installed and SENTRY_DSN is set
+    try:
+        import os
+
+        import sentry_sdk  # type: ignore
+
+        if os.environ.get("SENTRY_DSN"):
+            sentry_sdk.init(dsn=os.environ["SENTRY_DSN"])
+    except ImportError:
+        pass
+
     spark = get_spark(app_name=cfg.input.app_name)
     pipeline = LoaderPipeline(spark, cfg)
     pipeline.health.unhealthy_latency_seconds = (
@@ -45,7 +57,13 @@ def main(argv: list[str] | None = None) -> int:
     state = MetricsState()
     spark.streams.addListener(LoaderQueryListener(state))
 
-    probe = HealthProbe(pipeline.health, cfg.monitoring.health_probe.port)
+    def _snapshot():
+        state.absorb_actions(pipeline.actions)
+        return state.snapshot()
+
+    probe = HealthProbe(
+        pipeline.health, cfg.monitoring.health_probe.port, metrics_snapshot=_snapshot
+    )
     probe.start()
 
     stop = threading.Event()

@@ -185,6 +185,41 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash60_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Vectorized SimHash — the 100 TB path. Bit-identical to simhash60()
+    (same md5-60 token hashes, same vote rule) but computed per Arrow batch
+    in numpy instead of exploding tokens x 60 bits through a shuffle:
+    zero shuffles, one pass, ~60x less intermediate data."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("id", LongType()), StructField("simhash", LongType())]
+    )
+
+    def _batch(pdfs):
+        bits = np.arange(60, dtype=np.uint64)
+        for pdf in pdfs:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = set(str(text).strip().split())
+                votes = np.zeros(60, dtype=np.int64)
+                for tok in toks:
+                    h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                    tok_bits = (np.uint64(h) >> bits) & np.uint64(1)
+                    votes += np.where(tok_bits.astype(bool), 1, -1)
+                fp = int(((votes > 0).astype(np.uint64) << bits).sum())
+                ids.append(int(doc_id))
+                hashes.append(fp)
+            yield pd.DataFrame({"id": ids, "simhash": hashes})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(_batch, schema=out_schema)
+
+
 def hamming60(a: Column, b: Column) -> Column:
     """Hamming distance between two 60-bit simhashes: popcount of xor."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -36,21 +36,41 @@ class AppHealth:
 
 
 class HealthProbe:
-    """Tiny HTTP health endpoint (reference healthProbe.port 8000)."""
+    """Tiny HTTP server: `/` or `/health` -> liveness (reference
+    healthProbe.port 8000); `/metrics` -> Prometheus text exposition
+    (reference wires a prometheus registry, core reference.conf:36)."""
 
-    def __init__(self, health: AppHealth, port: int = 8000, require_progress: bool = False):
+    def __init__(
+        self,
+        health: AppHealth,
+        port: int = 8000,
+        require_progress: bool = False,
+        metrics_snapshot=None,
+    ):
         self.health = health
         self.port = port
         self.require_progress = require_progress
+        self.metrics_snapshot = metrics_snapshot  # () -> dict[str, number]
         self._server: http.server.HTTPServer | None = None
         self._thread: threading.Thread | None = None
 
     def start(self) -> int:
         health = self.health
         require_progress = self.require_progress
+        snapshot = self.metrics_snapshot
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802
+                if self.path.rstrip("/") == "/metrics":
+                    body = "".join(
+                        f"# TYPE snowplow_loader_{k} gauge\nsnowplow_loader_{k} {v}\n"
+                        for k, v in (snapshot() if snapshot else {}).items()
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; version=0.0.4")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 ok = health.is_healthy(require_progress)
                 self.send_response(200 if ok else 503)
                 self.end_headers()

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the pure algorithmic kernel:
+dynamic-path templating, iglu parsing, size-cap rule, envelope framing.
+No SparkSession — these run in milliseconds."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from snowplow_s3_loader_spark.dynamic_path import (
+    get_filename,
+    get_full_path,
+    get_partition,
+    normalize_path,
+)
+from snowplow_s3_loader_spark.igluschema import SchemaKey
+from snowplow_s3_loader_spark.operators.decompression import (
+    DecompressionLimits,
+    decompress_record,
+    make_envelope,
+)
+
+ident = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_-", min_size=1, max_size=20)
+times = st.datetimes(
+    min_value=datetime(2000, 1, 1), max_value=datetime(2099, 12, 31)
+).map(lambda d: d.replace(tzinfo=timezone.utc))
+
+
+@st.composite
+def schema_keys(draw):
+    return SchemaKey(
+        vendor=draw(ident),
+        name=draw(ident),
+        format=draw(ident),
+        model=draw(st.integers(1, 99)),
+        revision=draw(st.integers(0, 99)),
+        addition=draw(st.integers(0, 99)),
+    )
+
+
+@given(schema_keys())
+def test_iglu_uri_roundtrip(key):
+    assert SchemaKey.parse(key.to_uri()) == key
+
+
+@given(st.text(max_size=50))
+def test_iglu_parse_never_raises(s):
+    SchemaKey.parse(s)  # malformed input -> None, never an exception
+
+
+@given(schema_keys(), times)
+def test_full_path_no_double_slashes_and_gz_suffix(key, now):
+    p = get_full_path("s3://bucket/out/", "pfx-", "{vendor}/{model}/{yyyy}", now, key, "u")
+    assert "//" not in p.replace("s3://", "")
+    assert p.endswith(".gz")
+    assert f"/{key.vendor}/{key.model}/" in p
+
+
+@given(times)
+def test_filename_sortable_by_time(now):
+    # lexicographic order of filenames == chronological order (fixed-width)
+    f = get_filename(None, now, "u")
+    assert len(f.split("-u.gz")[0]) == 17  # yyyy-MM-dd-HHmmss
+
+
+@given(st.text(min_size=1, max_size=30))
+def test_normalize_idempotent(s):
+    assert normalize_path(normalize_path(s)) == normalize_path(s)
+
+
+@given(schema_keys(), times, st.sampled_from(["", "{vendor}", "a/{schema}/b", "{yyyy}/{MM}"]))
+def test_partition_deterministic(key, now, template):
+    assert get_partition(template, key, now) == get_partition(template, key, now)
+
+
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=10))
+@settings(max_examples=50)
+def test_envelope_roundtrip(records):
+    env = make_envelope(records, "gzip")
+    out, err = decompress_record(env, DecompressionLimits())
+    assert err is None
+    assert out == records
+
+
+@given(st.binary(min_size=2, max_size=100))
+@settings(max_examples=50)
+def test_corrupt_envelope_never_raises(noise):
+    import gzip
+
+    out, err = decompress_record(gzip.compress(noise), DecompressionLimits())
+    # either parses to records or reports an error — never throws
+    assert (err is None) or (out == [])
+
+
+@given(st.binary(min_size=0, max_size=100))
+def test_plain_record_passthrough(payload):
+    from snowplow_s3_loader_spark.operators.decompression import GZIP_MAGIC, ZSTD_MAGIC
+
+    if payload[:2] != GZIP_MAGIC and payload[:4] != ZSTD_MAGIC:
+        out, err = decompress_record(payload, DecompressionLimits())
+        assert err is None and out == [payload]
