@@ -10,6 +10,7 @@ coordination (which mirrors the reference's per-batch flush, O6/O10).
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -380,7 +381,10 @@ def q22_loader_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = classified.select(
         F.col("value"), F.regexp_replace(path, "/", "~").alias("pp")
     )
-    out_dir = tempfile.mkdtemp(prefix="snowplow_q22_")
+    # fixed per-sf dir + overwrite: repeated driver runs don't accumulate
+    # temp dirs; files must outlive this call (the read-back is lazy)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = os.path.join(tempfile.gettempdir(), f"snowplow_q22_{sf_tag}")
     (
         staged.repartition("pp")
         .write.partitionBy("pp")
