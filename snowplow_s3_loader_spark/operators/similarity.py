@@ -125,6 +125,80 @@ def ann_topk_srp(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-style bucketing without iterative training: the centroid set is
+    the first `n_centroids` vectors by id (deterministic seed points — at
+    scale swap in a proper sampled k-means from MLlib, same downstream
+    contract). Returns (assignments(id, v, centroid_id), centroids).
+
+    The assignment is a broadcast of K centroids against one corpus scan —
+    no shuffle; the resulting centroid_id column is the partition key for
+    search.
+    """
+    base = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    centroids = (
+        base.orderBy("id").limit(n_centroids)
+        .select(F.col("id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    scored = base.join(F.broadcast(centroids)).select(
+        "id", "v", "centroid_id", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    assignments = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "centroid_id")
+    )
+    return assignments, centroids
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose centroid is among the
+    query's `n_probe` nearest centroids. Pair space shrinks ~K/n_probe-fold;
+    recall grows with n_probe (n_probe=K degenerates to brute force)."""
+    assignments, centroids = ivf_assign(emb, n_centroids, id_col, vec_col)
+    query_ids = emb.filter(query_pred).select(F.col(id_col).alias("id"))
+    queries = assignments.join(F.broadcast(query_ids), on="id").select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # probe lists: each query's n_probe closest centroids
+    qc = queries.join(F.broadcast(centroids)).select(
+        "query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = assignments.join(F.broadcast(probes), on="centroid_id").filter(
+        F.col("id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

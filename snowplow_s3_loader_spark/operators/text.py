@@ -87,6 +87,20 @@ def predicted_lang(text: Column) -> Column:
     return F.when(best > 0, pred).otherwise(F.lit("unknown"))
 
 
+BPE_ISH_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def subword_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization: letter runs, digit runs, and single
+    punctuation marks as separate tokens (the pre-tokenization step of
+    BPE-family tokenizers). regexp_extract_all keeps it JVM-side."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_REGEX), 0)
+
+
+def subword_count(text: Column) -> Column:
+    return F.size(subword_tokens(text))
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-collapsed,
     lowercased text (a cheap rolling-hash stand-in; identical in DuckDB)."""

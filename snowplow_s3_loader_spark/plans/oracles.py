@@ -496,6 +496,16 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+ORACLES["q47_subword_tokens"] = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER)
+    AS n_subwords,
+  CAST(len(string_split_regex(trim(text), ' +')) AS INTEGER) AS n_whitespace_tokens
+FROM documents ORDER BY doc_id
+"""
+
+# q48_ann_ivf: approximate (IVF probes) — rows-only check like q28
+
 ORACLES["q34_frame_sample"] = """
 WITH m AS (SELECT doc_id AS media_id, strlen(text) AS nb FROM documents),
 c AS (SELECT media_id, nb, unnest(range((nb + 255) // 256)) AS chunk_idx FROM m)

@@ -745,6 +745,25 @@ def q46_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting per document (whitespace twin: q30)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.subword_count(F.col("text")).alias("n_subwords"),
+        text.token_count(F.col("text")).alias("n_whitespace_tokens"),
+    ).orderBy("doc_id")
+
+
+def q48_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (scale path; approximate by design ->
+    rows-only check, like q28)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_ivf(
+        emb, F.col("vec_id") % 100 == 0, k=5, n_centroids=8, n_probe=2
+    ).orderBy("query_id", "rank")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -794,5 +813,7 @@ QUERIES = {
         q44_not_exists,
         q45_full_outer_join,
         q46_json_extract,
+        q47_subword_tokens,
+        q48_ann_ivf,
     ]
 }

@@ -1,0 +1,102 @@
+"""Physical-plan quality gates: these assert the *plan shape*, not results —
+pushdown reaching the scan, broadcasts on dimension sides, partial
+aggregation, bucketed joins running shuffle-free, salted joins preserving
+semantics. A regression here means a scale regression even while results
+stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators.joins import bucketize, salted_join
+from snowplow_s3_loader_spark.plans import queries as Q
+from snowplow_s3_loader_spark.tables import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(Q.q01_scan_filter_project(spark, sf_dir))
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to exactly the needed columns at the scan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_shipdate" in read and "l_discount" not in read and "l_returnflag" not in read
+
+
+def test_q03_q04_broadcast_joins(spark, sf_dir):
+    assert "BroadcastHashJoin" in plan_of(Q.q03_broadcast_join(spark, sf_dir))
+    p4 = plan_of(Q.q04_shipping_priority(spark, sf_dir))
+    # both dim sides broadcast (tree lines; details repeat the node name)
+    assert p4.count("BroadcastHashJoin Inner") == 2
+    assert "SortMergeJoin" not in p4
+
+
+def test_q02_partial_final_aggregation(spark, sf_dir):
+    plan = plan_of(Q.q02_pricing_summary(spark, sf_dir))
+    # partial (map-side) + final hash aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Functions [8]" in plan or "sum" in plan
+
+
+def test_q05_semi_q06_anti_plan(spark, sf_dir):
+    assert "LeftSemi" in plan_of(Q.q05_semi_join(spark, sf_dir))
+    assert "LeftAnti" in plan_of(Q.q06_anti_join(spark, sf_dir))
+
+
+def test_q04_top10_uses_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(Q.q04_shipping_priority(spark, sf_dir))
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    import shutil
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_cust", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    bucketize(cust.select("c_custkey", "c_name"), "b_cust", ["c_custkey"], 8)
+    bucketize(
+        orders.select("o_custkey", "o_totalprice"), "b_orders", ["o_custkey"], 8
+    )
+    # disable broadcast so the join strategy is decided by co-location
+    # (at real scale both sides are too big to broadcast anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bc = spark.table("b_cust")
+        bo = spark.table("b_orders")
+        joined = bc.join(bo, bc["c_custkey"] == bo["o_custkey"])
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located buckets: zero shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_preserves_semantics(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = (
+        orders.join(cust, on="o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        salted_join(orders, cust, on="o_custkey", n_salts=8)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    a = {(r["o_custkey"], r["n"]) for r in plain.collect()}
+    b = {(r["o_custkey"], r["n"]) for r in salted.collect()}
+    assert a == b
