@@ -506,6 +506,14 @@ FROM documents ORDER BY doc_id
 
 # q48_ann_ivf: approximate (IVF probes) — rows-only check like q28
 
+ORACLES["q49_grouped_percentiles"] = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 ORACLES["q34_frame_sample"] = """
 WITH m AS (SELECT doc_id AS media_id, strlen(text) AS nb FROM documents),
 c AS (SELECT media_id, nb, unnest(range((nb + 255) // 256)) AS chunk_idx FROM m)

@@ -764,6 +764,31 @@ def q48_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q49_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation via applyInPandas (Arrow batch per group):
+    linear-interpolation percentiles, matching DuckDB quantile_cont."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def _pct(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["value"]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "p50": [round(float(vals.quantile(0.5, interpolation="linear")), 6)],
+                "p95": [round(float(vals.quantile(0.95, interpolation="linear")), 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(_pct, schema="event_type string, p50 double, p95 double, n long")
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -815,5 +840,6 @@ QUERIES = {
         q46_json_extract,
         q47_subword_tokens,
         q48_ann_ivf,
+        q49_grouped_percentiles,
     ]
 }
