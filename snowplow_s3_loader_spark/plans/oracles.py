@@ -514,6 +514,34 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+ORACLES["q50_embedding_near_dup"] = """
+WITH e AS (SELECT label, vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+  round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+    AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.id < b.id
+WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+ORACLES["q51_null_handling"] = """
+WITH s AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 != 0 THEN value END AS v,
+         nullif(event_type, 'error') AS et_nn
+  FROM events
+)
+SELECT event_type,
+  count(*) AS n_rows,
+  count(v) AS n_nonnull,
+  round(sum(coalesce(v, 0.0)), 2) AS sum_coalesced,
+  count(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 END) AS n_null_safe_null,
+  count(et_nn) AS n_not_error
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
 ORACLES["q34_frame_sample"] = """
 WITH m AS (SELECT doc_id AS media_id, strlen(text) AS nb FROM documents),
 c AS (SELECT media_id, nb, unnest(range((nb + 255) // 256)) AS chunk_idx FROM m)

@@ -789,6 +789,55 @@ def q49_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs, blocked by label (the
+    exact twin of the SRP-bucketed variant): pair space limited to
+    same-label blocks, verifiable in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "label",
+        F.col("vec_id").alias("id"),
+        similarity.as_double(F.col("embedding")).alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, on="label")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(similarity.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q51_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: coalesce, nullif, null-safe equality,
+    count(col) vs count(*), conditional aggregation over injected NULLs."""
+    ev = load_table(spark, sf_dir, "events")
+    val_or_null = F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    return (
+        ev.select(
+            "event_type",
+            val_or_null.alias("v"),
+            F.nullif(F.col("event_type"), F.lit("error")).alias("et_nn"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("v").alias("n_nonnull"),
+            F.round(F.sum(F.coalesce(F.col("v"), F.lit(0.0))), 2).alias("sum_coalesced"),
+            F.count(F.when(F.col("v").eqNullSafe(F.lit(None).cast("double")), 1)).alias(
+                "n_null_safe_null"
+            ),
+            F.count("et_nn").alias("n_not_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -841,5 +890,7 @@ QUERIES = {
         q47_subword_tokens,
         q48_ann_ivf,
         q49_grouped_percentiles,
+        q50_embedding_near_dup,
+        q51_null_handling,
     ]
 }

@@ -248,6 +248,34 @@ def test_oversize_payload_dropped(spark, tmp_path):
     assert envelope["kind"] == "LoaderParsingError"
 
 
+# ---- zstd gate ---------------------------------------------------------------
+
+
+def test_zstd_unavailable_yields_bad_row(spark, tmp_path):
+    """zstandard isn't in this image: a zstd-magic payload must surface as a
+    LoaderParsingError-style bad row with the gate message, not crash."""
+    from snowplow_s3_loader_spark.operators.decompression import (
+        MSG_ZSTD_UNAVAILABLE,
+        ZSTD_MAGIC,
+    )
+
+    try:
+        import zstandard  # noqa: F401
+
+        pytest.skip("zstandard installed; gate not reachable")
+    except ImportError:
+        pass
+
+    cfg = _cfg(tmp_path)
+    p = _pipeline(spark, cfg)
+    p.run_batch(_payload_df(spark, [ZSTD_MAGIC + b"garbage"]))
+    assert _read_gz_files(cfg.good.path) == {}
+    bad_files = glob.glob(os.path.join(cfg.bad.path, "*.jsonl"))
+    envelope = json.loads(open(bad_files[0]).read().strip())
+    assert envelope["kind"] == "LoaderParsingError"
+    assert MSG_ZSTD_UNAVAILABLE in envelope["failure"]["messages"][0]
+
+
 # ---- health ------------------------------------------------------------------
 
 
