@@ -38,8 +38,10 @@ def main() -> None:
         sf_num = None
 
     timings: dict[str, float] = {}
-    # one warmup pass on a cheap query to absorb JVM/codegen startup
-    QUERIES["q03_broadcast_join"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # warmup: q03 absorbs JVM/codegen startup, q49 spins up the Python/Arrow
+    # worker pool (first pandas_udf pays ~5s once per session)
+    for warm in ("q03_broadcast_join", "q49_grouped_percentiles"):
+        QUERIES[warm](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     for name, fn in sorted(QUERIES.items()):
         t0 = time.perf_counter()

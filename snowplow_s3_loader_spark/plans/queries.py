@@ -794,22 +794,8 @@ def q50_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact twin of the SRP-bucketed variant): pair space limited to
     same-label blocks, verifiable in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "label",
-        F.col("vec_id").alias("id"),
-        similarity.as_double(F.col("embedding")).alias("v"),
-    )
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(b, on="label")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(similarity.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.3)
-        .orderBy("id_a", "id_b")
+    return similarity.blocked_near_dup_pairs(emb, "label", threshold=0.3).orderBy(
+        "id_a", "id_b"
     )
 
 
