@@ -542,6 +542,31 @@ SELECT event_type,
 FROM s GROUP BY event_type ORDER BY event_type
 """
 
+ORACLES["q52_array_functions"] = """
+WITH g AS (SELECT event_type, list_sort(list(event_id)) AS ids FROM events GROUP BY event_type)
+SELECT event_type,
+  array_to_string(ids[1:5], ',') AS first5_ids,
+  CAST(len(ids) AS INTEGER) AS n_ids,
+  ids[1] AS min_id,
+  ids[-1] AS max_id
+FROM g ORDER BY event_type
+"""
+
+ORACLES["q53_window_analytics"] = """
+SELECT user_id, event_id,
+  lag(event_id, 1, -1) OVER w AS prev_id,
+  lead(event_id, 2, -1) OVER w AS next2_id,
+  first_value(event_id) OVER w AS first_id,
+  last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM events
+WHERE user_id % 10 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
 ORACLES["q34_frame_sample"] = """
 WITH m AS (SELECT doc_id AS media_id, strlen(text) AS nb FROM documents),
 c AS (SELECT media_id, nb, unnest(range((nb + 255) // 256)) AS chunk_idx FROM m)

@@ -824,6 +824,44 @@ def q51_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery: collect_list + sort + slice + join, array
+    stats over grouped ids, filtered counts."""
+    ev = load_table(spark, sf_dir, "events")
+    ids_sorted = F.sort_array(F.collect_list("event_id"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.array_join(F.slice(ids_sorted, 1, 5), ",").alias("first5_ids"),
+            F.size(ids_sorted).alias("n_ids"),
+            F.element_at(ids_sorted, 1).alias("min_id"),
+            F.element_at(ids_sorted, -1).alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q53_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytic battery: lag/lead with defaults, first/last value,
+    percent_rank, cume_dist over per-user event sequences (sampled users)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lag("event_id", 1, -1).over(w).alias("prev_id"),
+            F.lead("event_id", 2, -1).over(w).alias("next2_id"),
+            F.first("event_id").over(w).alias("first_id"),
+            F.last("event_id").over(wfull).alias("last_id"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -878,5 +916,7 @@ QUERIES = {
         q49_grouped_percentiles,
         q50_embedding_near_dup,
         q51_null_handling,
+        q52_array_functions,
+        q53_window_analytics,
     ]
 }

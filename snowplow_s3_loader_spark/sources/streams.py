@@ -25,6 +25,21 @@ def file_stream(spark: SparkSession, path: str, max_files_per_trigger: int | Non
     return df.select(F.col("value").cast("binary").alias("payload"))
 
 
+def binary_file_stream(spark: SparkSession, path: str, glob: str = "*.bin") -> DataFrame:
+    """Whole-file binary source: one file = one source record (the envelope
+    case — a single Kinesis record holding a zstd/gzip envelope maps to one
+    .bin file here; the decompression stage then expands it, O1)."""
+    df = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return df.select(F.col("content").alias("payload"))
+
+
 def kinesis_stream(spark: SparkSession, cfg: InputConfig) -> DataFrame:
     """Kinesis source via the spark-kinesis connector (option surface mirrors
     config.aws.reference.hocon:7-64). Raises a clear error when the connector

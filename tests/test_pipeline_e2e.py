@@ -248,6 +248,36 @@ def test_oversize_payload_dropped(spark, tmp_path):
     assert envelope["kind"] == "LoaderParsingError"
 
 
+# ---- streaming envelope ingestion (binaryFile source) ------------------------
+
+
+def test_streaming_envelope_binary_source(spark, tmp_path):
+    """e5 in streaming mode: gzip envelopes as whole binary files through the
+    real writeStream pipeline."""
+    from snowplow_s3_loader_spark.sources.streams import binary_file_stream
+
+    cfg = _cfg(tmp_path)
+    p = _pipeline(spark, cfg)
+    in_dir = tmp_path / "bin_in"
+    in_dir.mkdir()
+    recs = [_enriched(app="s1").encode(), _enriched(app="s2").encode()]
+    (in_dir / "env1.bin").write_bytes(make_envelope(recs, "gzip"))
+
+    q = (
+        binary_file_stream(spark, str(in_dir))
+        .writeStream.foreachBatch(p.load_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bin"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    files = _read_gz_files(cfg.good.path)
+    all_lines = sorted(l for c in files.values() for l in c.splitlines())
+    assert all_lines == sorted(r.decode() for r in recs)
+    assert p.actions.of_kind("AddedCountMetric")[0].detail == (2,)
+
+
 # ---- zstd gate ---------------------------------------------------------------
 
 
