@@ -22,6 +22,50 @@ from pyspark.sql.types import (
     StructType,
 )
 
+def streaming_first_seen(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Streaming exact-dedup across ALL history (not just a watermark window
+    like dropDuplicates): emits only the first-ever row per key, keyed
+    ValueState via the transformWithStateInPandas API (Spark 4).
+
+    Needs the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) — keys at 100 TB scale
+    live off-heap with incremental checkpointing, not in executor memory.
+    Also needs `protobuf` (the transformWithState Python protocol dep; not
+    in this image, so the test is importorskip-gated). The
+    applyInPandasWithState operator below has no extra deps.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = events.schema
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "seen boolean")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._seen.exists():
+                return
+            first = None
+            for pdf in rows:
+                if len(pdf) and first is None:
+                    first = pdf.iloc[[0]]
+            if first is not None:
+                self._seen.update((True,))
+                yield first
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(*key_cols).transformWithStateInPandas(
+        FirstSeen(), outputStructType=out_schema, outputMode="Append", timeMode="None"
+    )
+
+
 RUNNING_COUNT_SCHEMA = StructType(
     [
         StructField("user_id", IntegerType()),
