@@ -33,6 +33,11 @@ TABLES = (
 # line synthesis) before any shuffle
 _CPU_DENSE_TABLES = {"events"}
 
+# per-session DataFrame cache: repeated queries against the same (sf_dir,
+# table) reuse one logical plan, and the events repartition+persist is paid
+# once per session instead of once per query
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = True
@@ -45,6 +50,9 @@ def load_table(
     default parallelism, repartition up to it — a cheap local shuffle here,
     and a no-op condition on a real multi-file 100 TB layout (splits >>
     cores). Filters/pruning still push to the scan through the exchange."""
+    key = (id(spark), sf_dir.rstrip("/"), name) if parallelize else None
+    if key is not None and key in _df_cache:
+        return _df_cache[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The ns->NTZ cast below goes through TIMESTAMP_LTZ; session tz must be
     # UTC for the wall-clock to equal the stored (naive, UTC-meaning) value.
@@ -60,7 +68,9 @@ def load_table(
     # JSON/regex parsing, but pure overhead for light scans/aggs where the
     # first real shuffle already spreads the work.
     if parallelize and name in _CPU_DENSE_TABLES:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        df = df.repartition(spark.sparkContext.defaultParallelism).persist()
+    if key is not None:
+        _df_cache[key] = df
     return df
 
 
