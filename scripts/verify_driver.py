@@ -1,0 +1,120 @@
+"""Cold driver-contract verification (the verify skill's gate #1).
+
+Mimics the grading driver: plain SparkSession (NO engine conf), entry()
+smoke, then every queries() entry vs its oracle_sql() in DuckDB at sf0.01 —
+rows + schema(column names) + order-insensitive value hash.
+
+Usage: python scripts/verify_driver.py [sf_dir] [query_prefix ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import math
+import sys
+import time
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return repr(float(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    spec = importlib.util.spec_from_file_location("entry_mod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+
+    res = mod.entry(spark)
+    n = len(res.collect())
+    print(f"entry() smoke: {n} rows", flush=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and not any(name.startswith(p) for p in ONLY):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
+        if name not in osql:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)", flush=True)
+            continue
+        try:
+            cur = con.execute(osql[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: oracle error {str(e)[:200]}", flush=True)
+            continue
+        rows_ok = len(srows) == len(orows)
+        schema_ok = sorted(scols) == sorted(ocols)
+        hash_ok = schema_ok and value_hash(scols, srows) == value_hash(ocols, orows)
+        if rows_ok and schema_ok and hash_ok:
+            print(f"ok   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)", flush=True)
+        else:
+            failures.append(name)
+            print(
+                f"FAIL {name}: rows {len(srows)}/{len(orows)} schema_ok={schema_ok} "
+                f"hash_ok={hash_ok} spark_cols={sorted(scols)} oracle_cols={sorted(ocols)}",
+                flush=True,
+            )
+    print(f"\n{'ALL GREEN' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

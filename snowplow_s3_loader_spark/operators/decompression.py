@@ -17,14 +17,15 @@ is dropped and surfaced as a failure.
 
 Spark-side: this is the one genuinely imperative per-record step, so it runs
 as mapInPandas over the binary column (Arrow batches, not row-at-a-time).
-zstd is gated behind an import-try (lib not in the base image); gzip uses
-zlib streaming decompression.
+zstd decodes through pyarrow's bundled codec (streaming, no frame-content-size
+required); gzip uses zlib streaming decompression. Both are capped at a
+multiple of maxBytesInBatch so a decompression bomb cannot OOM a worker.
 """
 
 from __future__ import annotations
 
-import gzip as _gzip
 import struct
+import zlib
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -40,7 +41,12 @@ MAX_BYTES_SINGLE_PAYLOAD = 10_000_000
 
 MSG_CANT_DECOMPRESS = "Cannot decompress record"
 MSG_OVERSIZE = "Decompressed payload exceeds maxBytesSinglePayload"
-MSG_ZSTD_UNAVAILABLE = "zstd decompression unavailable (zstandard not installed)"
+MSG_ZSTD_UNAVAILABLE = "zstd decompression unavailable (no zstd codec in pyarrow)"
+MSG_STREAM_CAP = "decompressed stream exceeds decompression cap"
+
+# Bomb guard: refuse to expand any single envelope past this multiple of the
+# batch budget (the envelope parser then enforces the exact budgets).
+_DECOMPRESS_CAP_MULTIPLIER = 4
 
 DECOMPRESSED_SCHEMA = StructType(
     [
@@ -56,12 +62,53 @@ class DecompressionLimits:
     max_bytes_single_payload: int = MAX_BYTES_SINGLE_PAYLOAD
 
 
-def _zstd_decompress(payload: bytes) -> bytes:
+def _zstd_decompress(payload: bytes, cap: int) -> bytes:
+    """Streaming zstd decode via pyarrow's bundled codec.
+
+    `pa.CompressedInputStream` does NOT need the frame-content-size header, so
+    it handles frames from both one-shot and streaming zstd writers (the
+    reference accepts either — zstd-jni streams, ProcessingSpec.scala:163-256).
+    Reads are capped at `cap` bytes to bound decompression bombs.
+    """
     try:
-        import zstandard
-    except ImportError as e:
+        import pyarrow as pa
+
+        if not pa.Codec.is_available("zstd"):
+            raise NotImplementedError(MSG_ZSTD_UNAVAILABLE)
+    except ImportError as e:  # pragma: no cover - pyarrow is a hard dep of pyspark
         raise NotImplementedError(MSG_ZSTD_UNAVAILABLE) from e
-    return zstandard.ZstdDecompressor().decompress(payload, max_output_size=MAX_BYTES_IN_BATCH * 4)
+    stream = pa.CompressedInputStream(pa.BufferReader(payload), "zstd")
+    out = stream.read(cap + 1)
+    if len(out) > cap:
+        raise ValueError(MSG_STREAM_CAP)
+    return out
+
+
+def _gzip_decompress(payload: bytes, cap: int) -> bytes:
+    """Capped multi-member gzip decode (zlib streaming, wbits=47 accepts gzip
+    headers). Unlike `gzip.decompress`, never materializes more than `cap`+1
+    bytes, so a gzip bomb cannot OOM a worker."""
+    chunks: list[bytes] = []
+    total = 0
+    data = payload
+    while True:
+        d = zlib.decompressobj(wbits=47)
+        chunk = d.decompress(data, cap + 1 - total)
+        chunks.append(chunk)
+        total += len(chunk)
+        if total > cap:
+            raise ValueError(MSG_STREAM_CAP)
+        while d.unconsumed_tail and not d.eof:
+            chunk = d.decompress(d.unconsumed_tail, cap + 1 - total)
+            chunks.append(chunk)
+            total += len(chunk)
+            if total > cap:
+                raise ValueError(MSG_STREAM_CAP)
+        if not d.eof:
+            raise ValueError("truncated gzip stream")
+        data = d.unused_data
+        if not data:
+            return b"".join(chunks)
 
 
 def _parse_envelope(stream: bytes, limits: DecompressionLimits) -> list[bytes]:
@@ -91,11 +138,12 @@ def _parse_envelope(stream: bytes, limits: DecompressionLimits) -> list[bytes]:
 
 def decompress_record(payload: bytes, limits: DecompressionLimits) -> tuple[list[bytes], str | None]:
     """One source record -> (records, error). Plain records pass through."""
+    cap = limits.max_bytes_in_batch * _DECOMPRESS_CAP_MULTIPLIER
     try:
         if payload[:4] == ZSTD_MAGIC:
-            return _parse_envelope(_zstd_decompress(payload), limits), None
+            return _parse_envelope(_zstd_decompress(payload, cap), limits), None
         if payload[:2] == GZIP_MAGIC:
-            return _parse_envelope(_gzip.decompress(payload), limits), None
+            return _parse_envelope(_gzip_decompress(payload, cap), limits), None
         return [payload], None
     except NotImplementedError as e:
         return [], str(e)
@@ -138,11 +186,23 @@ def make_envelope(records: list[bytes], codec: str = "gzip") -> bytes:
     ProcessingSpec.scala:273-285 framing)."""
     body = b"\x01\x01" + b"".join(struct.pack(">I", len(r)) + r for r in records)
     if codec == "gzip":
+        import gzip as _gzip
+
         return _gzip.compress(body, compresslevel=6)
     if codec == "zstd":
-        import zstandard
+        # One-shot frame: carries the frame-content-size header.
+        import pyarrow as pa
 
-        return zstandard.ZstdCompressor(level=3).compress(body)
+        return pa.Codec("zstd").compress(body, asbytes=True)
+    if codec == "zstd-stream":
+        # Streaming frame: NO frame-content-size header (what a zstd-jni
+        # OutputStream writer produces) — exercises the size-unaware decode.
+        import pyarrow as pa
+
+        sink = pa.BufferOutputStream()
+        with pa.CompressedOutputStream(sink, "zstd") as f:
+            f.write(body)
+        return sink.getvalue().to_pybytes()
     if codec == "plain":
         return body
     raise ValueError(f"unknown codec {codec!r}")

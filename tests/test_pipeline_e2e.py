@@ -278,23 +278,30 @@ def test_streaming_envelope_binary_source(spark, tmp_path):
     assert p.actions.of_kind("AddedCountMetric")[0].detail == (2,)
 
 
-# ---- zstd gate ---------------------------------------------------------------
+# ---- e5/e6 zstd: envelope expansion + corruption -----------------------------
 
 
-def test_zstd_unavailable_yields_bad_row(spark, tmp_path):
-    """zstandard isn't in this image: a zstd-magic payload must surface as a
-    LoaderParsingError-style bad row with the gate message, not crash."""
-    from snowplow_s3_loader_spark.operators.decompression import (
-        MSG_ZSTD_UNAVAILABLE,
-        ZSTD_MAGIC,
-    )
+@pytest.mark.parametrize("codec", ["zstd", "zstd-stream"])
+def test_e5_zstd_envelope_expands(spark, tmp_path, codec):
+    """zstd envelope roundtrip matches the gzip golden (ProcessingSpec e5,
+    ProcessingSpec.scala:163-256). Covers both one-shot frames (content-size
+    header present) and streaming frames (header absent, zstd-jni style)."""
+    cfg = _cfg(tmp_path)
+    p = _pipeline(spark, cfg)
+    recs = [_enriched().encode(), _enriched(collector="2023-12-25 15:30:41").encode()]
+    p.run_batch(_payload_df(spark, [make_envelope(recs, codec)]))
 
-    try:
-        import zstandard  # noqa: F401
+    files = _read_gz_files(cfg.good.path)
+    assert len(files) == 1
+    content = next(iter(files.values()))
+    assert sorted(content.splitlines()) == sorted(r.decode() for r in recs)
+    assert p.actions.of_kind("AddedCountMetric")[0].detail == (2,)
 
-        pytest.skip("zstandard installed; gate not reachable")
-    except ImportError:
-        pass
+
+def test_e6_corrupt_zstd_bad_row(spark, tmp_path):
+    """A zstd-magic payload with garbage body surfaces as a
+    LoaderParsingError-style bad row, not a crash."""
+    from snowplow_s3_loader_spark.operators.decompression import ZSTD_MAGIC
 
     cfg = _cfg(tmp_path)
     p = _pipeline(spark, cfg)
@@ -303,7 +310,7 @@ def test_zstd_unavailable_yields_bad_row(spark, tmp_path):
     bad_files = glob.glob(os.path.join(cfg.bad.path, "*.jsonl"))
     envelope = json.loads(open(bad_files[0]).read().strip())
     assert envelope["kind"] == "LoaderParsingError"
-    assert MSG_ZSTD_UNAVAILABLE in envelope["failure"]["messages"][0]
+    assert "Cannot decompress record" in envelope["failure"]["messages"][0]
 
 
 # ---- health ------------------------------------------------------------------

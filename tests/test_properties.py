@@ -75,13 +75,35 @@ def test_partition_deterministic(key, now, template):
     assert get_partition(template, key, now) == get_partition(template, key, now)
 
 
-@given(st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=10))
+@given(
+    st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=10),
+    st.sampled_from(["gzip", "zstd", "zstd-stream"]),
+)
 @settings(max_examples=50)
-def test_envelope_roundtrip(records):
-    env = make_envelope(records, "gzip")
+def test_envelope_roundtrip(records, codec):
+    env = make_envelope(records, codec)
     out, err = decompress_record(env, DecompressionLimits())
     assert err is None
     assert out == records
+
+
+def test_decompression_bomb_capped():
+    """A tiny compressed payload expanding past 4x maxBytesInBatch is refused
+    with an error, without materializing the full expansion."""
+    import gzip
+
+    from snowplow_s3_loader_spark.operators.decompression import MSG_STREAM_CAP
+
+    limits = DecompressionLimits(max_bytes_in_batch=1000, max_bytes_single_payload=10_000_000)
+    bomb = gzip.compress(b"\x00" * 1_000_000)  # ~1 KB compressed, 1 MB expanded
+    out, err = decompress_record(bomb, limits)
+    assert out == [] and MSG_STREAM_CAP in err
+
+    import pyarrow as pa
+
+    zbomb = pa.Codec("zstd").compress(b"\x00" * 1_000_000, asbytes=True)
+    out, err = decompress_record(zbomb, limits)
+    assert out == [] and MSG_STREAM_CAP in err
 
 
 @given(st.binary(min_size=2, max_size=100))
