@@ -52,8 +52,12 @@ def main() -> None:
     for path in sorted(glob.glob(f"{work}/out/**/*.gz", recursive=True)):
         with gzip.open(path, "rt") as f:
             print("blob", os.path.relpath(path, work), "->", f.read().strip())
-    for path in glob.glob(f"{work}/bad/*.jsonl"):
-        print("bad row kind:", json.loads(open(path).read())["kind"])
+    for path in glob.glob(f"{work}/bad/part-*"):
+        if path.endswith(".crc"):
+            continue
+        for line in open(path):
+            if line.strip():
+                print("bad row schema:", json.loads(line)["schema"])
 
     # ---- 2. the query surface -------------------------------------------
     eng = Engine.at(spark, SF_DIR)

@@ -1,10 +1,21 @@
 """Bad-row envelope construction + size cap — O12 of the reference
 (Processing.scala:189-204, 315-331; BadRowsSerializer.scala:24-44).
 
-Column-expression implementation: build the GenericError JSON with to_json,
+Envelopes follow the public Snowplow badrows self-describing-JSON contract
+(the `compactByteArray` output of com.snowplowanalytics.snowplow.badrows):
+
+    {"schema": "iglu:com.snowplowanalytics.snowplow.badrows/<type>/jsonschema/<ver>",
+     "data": {"processor": {"artifact": ..., "version": ...},
+              "failure": {...}, "payload": ...}}
+
+so downstream bad-row consumers / recovery tooling can parse the dead-letter
+output exactly as they parse the reference's.
+
+Column-expression implementation: build the envelope struct with to_json,
 then apply the size-violation rule — a serialized bad row whose byte length
-is >= maxRecordSize is replaced by a SizeViolation wrapper whose payload is
-trimmed to maxRecordSize/10 characters (BadRowsSerializer.scala:33).
+is >= maxRecordSize is replaced by a SizeViolation wrapper (with the original
+size recorded in actualSizeBytes) whose payload is trimmed to
+maxRecordSize/10 characters (BadRowsSerializer.scala:24-44).
 """
 
 from __future__ import annotations
@@ -15,36 +26,70 @@ from pyspark.sql import functions as F
 PROCESSOR_NAME = "snowplow-s3-loader-spark"
 PROCESSOR_VERSION = "0.1.0"
 
+# Public iglu-central schema URIs emitted by the badrows library.
+SCHEMA_GENERIC_ERROR = "iglu:com.snowplowanalytics.snowplow.badrows/generic_error/jsonschema/1-0-0"
+SCHEMA_LOADER_PARSING_ERROR = (
+    "iglu:com.snowplowanalytics.snowplow.badrows/loader_parsing_error/jsonschema/2-0-0"
+)
+SCHEMA_SIZE_VIOLATION = "iglu:com.snowplowanalytics.snowplow.badrows/size_violation/jsonschema/1-0-0"
+
+# Failure.SizeViolation expectation string (BadRowsSerializer.scala:37).
+SIZE_VIOLATION_EXPECTATION = "Bad row exceeds allowed max size"
+
 
 def _processor() -> Column:
+    # badrows Processor(artifact, version)
     return F.struct(
-        F.lit(PROCESSOR_NAME).alias("name"),
+        F.lit(PROCESSOR_NAME).alias("artifact"),
         F.lit(PROCESSOR_VERSION).alias("version"),
     )
 
 
+def _iso_instant(timestamp: Column) -> Column:
+    """Instant.toString-style rendering (circe encodes Instant as ISO-8601 Z).
+
+    date_format renders in the session timezone — the same zone the naive
+    timestamp literal was parsed in — so the wall time round-trips regardless
+    of session tz."""
+    return F.date_format(timestamp, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
 def generic_error(value: Column, message: Column, timestamp: Column) -> Column:
-    """BadRow.GenericError struct: processor, failure{timestamp, messages},
-    base64 raw payload (Processing.scala:189-204)."""
+    """BadRow.GenericError: processor, Failure.GenericFailure{timestamp,
+    errors}, base64 raw payload (Processing.scala:189-204, which base64-encodes
+    the buffer into Payload.RawPayload)."""
     return F.struct(
-        F.lit("GenericError").alias("kind"),
-        _processor().alias("processor"),
+        F.lit(SCHEMA_GENERIC_ERROR).alias("schema"),
         F.struct(
-            timestamp.alias("timestamp"),
-            F.array(message).alias("messages"),
-        ).alias("failure"),
-        F.base64(value.cast("binary")).alias("payload"),
+            _processor().alias("processor"),
+            F.struct(
+                _iso_instant(timestamp).alias("timestamp"),
+                F.array(message).alias("errors"),
+            ).alias("failure"),
+            F.base64(value.cast("binary")).alias("payload"),
+        ).alias("data"),
     )
 
 
 def loader_parsing_error(value: Column, message: Column, timestamp: Column) -> Column:
-    """BadRow.LoaderParsingError — decompression failures
-    (Processing.scala:156-165)."""
+    """BadRow.LoaderParsingError — decompression failures wrapped as
+    ParsingError.RowDecodingError(UnhandledRowDecodingError(msg)) over the raw
+    (NOT base64) payload (Processing.scala:156-165)."""
     return F.struct(
-        F.lit("LoaderParsingError").alias("kind"),
-        _processor().alias("processor"),
-        F.struct(timestamp.alias("timestamp"), F.array(message).alias("messages")).alias("failure"),
-        F.base64(value.cast("binary")).alias("payload"),
+        F.lit(SCHEMA_LOADER_PARSING_ERROR).alias("schema"),
+        F.struct(
+            _processor().alias("processor"),
+            F.struct(
+                F.lit("RowDecodingError").alias("type"),
+                F.array(
+                    F.struct(
+                        F.lit("UnhandledRowDecodingError").alias("type"),
+                        message.alias("message"),
+                    )
+                ).alias("errors"),
+            ).alias("failure"),
+            value.cast("string").alias("payload"),
+        ).alias("data"),
     )
 
 
@@ -52,21 +97,25 @@ def serialize_with_max_size(bad_row: Column, timestamp: Column, max_record_size:
     """Serialized bad row, size-capped (BadRowsSerializer.scala:24-44).
 
     If the JSON serialization is >= max_record_size bytes, emit a
-    SizeViolation envelope instead, with the original serialization trimmed
-    to max_record_size/10 characters.
+    SizeViolation envelope instead, recording the original byte size in
+    actualSizeBytes, with the original serialization trimmed to
+    max_record_size/10 characters.
     """
     serialized = F.to_json(bad_row)
     trimmed = F.substring(serialized, 1, max_record_size // 10)
     size_violation = F.to_json(
         F.struct(
-            F.lit("SizeViolation").alias("kind"),
-            _processor().alias("processor"),
+            F.lit(SCHEMA_SIZE_VIOLATION).alias("schema"),
             F.struct(
-                timestamp.alias("timestamp"),
-                F.lit(max_record_size).alias("maximumAllowedSizeBytes"),
-                F.lit("Event failed due to its size").alias("expectation"),
-            ).alias("failure"),
-            trimmed.alias("payload"),
+                _processor().alias("processor"),
+                F.struct(
+                    _iso_instant(timestamp).alias("timestamp"),
+                    F.lit(max_record_size).alias("maximumAllowedSizeBytes"),
+                    F.octet_length(serialized).alias("actualSizeBytes"),
+                    F.lit(SIZE_VIOLATION_EXPECTATION).alias("expectation"),
+                ).alias("failure"),
+                trimmed.alias("payload"),
+            ).alias("data"),
         )
     )
     return F.when(

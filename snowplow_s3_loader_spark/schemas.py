@@ -35,24 +35,36 @@ SCHEMA_KEY_TYPE = StructType(
 
 PROCESSOR_TYPE = StructType(
     [
-        StructField("name", StringType()),
+        StructField("artifact", StringType()),
         StructField("version", StringType()),
     ]
 )
 
+# Failure.GenericFailure of the badrows library (generic_error/1-0-0).
 FAILURE_TYPE = StructType(
     [
         StructField("timestamp", TimestampType()),
-        StructField("messages", ArrayType(StringType())),
+        StructField("errors", ArrayType(StringType())),
     ]
 )
 
+# Self-describing badrows envelope: {"schema": "iglu:...badrows/<type>/...",
+# "data": {processor, failure, payload}} — see badrows.py for the per-type
+# failure shapes (generic_error, loader_parsing_error, size_violation).
 BAD_ROW_TYPE = StructType(
     [
-        StructField("kind", StringType()),  # GenericError | LoaderParsingError | SizeViolation
-        StructField("processor", PROCESSOR_TYPE),
-        StructField("failure", FAILURE_TYPE),
-        StructField("payload", StringType()),  # base64 raw bytes (Processing.scala:198)
+        StructField("schema", StringType()),
+        StructField(
+            "data",
+            StructType(
+                [
+                    StructField("processor", PROCESSOR_TYPE),
+                    StructField("failure", FAILURE_TYPE),
+                    # base64 raw bytes for generic_error (Processing.scala:198)
+                    StructField("payload", StringType()),
+                ]
+            ),
+        ),
     ]
 )
 

@@ -154,13 +154,13 @@ class LoaderPipeline:
                     cfg.bad.max_record_size,
                 ).alias("row")
             )
-            bad_payloads = [
-                r["row"].encode() for r in parse_bad.union(decomp_bad).collect()
-            ]
-            if bad_payloads:
-                self.bad_sink.send(bad_payloads)
-                for p in bad_payloads:
-                    self.actions.record("SentToBad", len(p))
+            # Distributed emission (Processing.scala:315-331 parallel sink
+            # pipe): rows leave from the executors; only (count, bytes) come
+            # back to the driver — a poison batch where bad ≈ all rows never
+            # materializes driver-side.
+            n_bad, bad_bytes = self.bad_sink.send_df(parse_bad.union(decomp_bad))
+            if n_bad:
+                self.actions.record("SentToBad", n_bad, bad_bytes)
                 self.health.bad_sink_ok = True
 
             # 4) checkpoint marker: foreachBatch returning = offsets commit

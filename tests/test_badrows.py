@@ -20,26 +20,40 @@ def _bad_df(spark, lines):
 
 
 def test_generic_error_envelope(spark):
+    from snowplow_s3_loader_spark.badrows import SCHEMA_GENERIC_ERROR
+
     line = '{"data": {"field": "value"}}'
     out = build_bad_rows(_bad_df(spark, [line]), F.lit(TS).cast("timestamp")).collect()
     assert len(out) == 1
     env = json.loads(out[0]["bad_row_json"])
-    assert env["kind"] == "GenericError"
-    assert env["processor"]["name"] == PROCESSOR_NAME
-    assert "Can't extract schema" in env["failure"]["messages"][0]
-    assert base64.b64decode(env["payload"]).decode() == line
+    assert env["schema"] == SCHEMA_GENERIC_ERROR
+    data = env["data"]
+    assert data["processor"]["artifact"] == PROCESSOR_NAME
+    assert "Can't extract schema" in data["failure"]["errors"][0]
+    assert data["failure"]["timestamp"] == "2023-12-25T15:30:45Z"
+    assert base64.b64decode(data["payload"]).decode() == line
 
 
 def test_size_violation_trim(spark):
+    from snowplow_s3_loader_spark.badrows import (
+        SCHEMA_SIZE_VIOLATION,
+        SIZE_VIOLATION_EXPECTATION,
+    )
+
     line = json.dumps({"data": {"blob": "x" * 500}})  # serialized bad row > 100 B
     out = build_bad_rows(
         _bad_df(spark, [line]), F.lit(TS).cast("timestamp"), max_record_size=100
     ).collect()
     env = json.loads(out[0]["bad_row_json"])
-    assert env["kind"] == "SizeViolation"
-    assert env["failure"]["maximumAllowedSizeBytes"] == 100
+    assert env["schema"] == SCHEMA_SIZE_VIOLATION
+    data = env["data"]
+    assert data["failure"]["maximumAllowedSizeBytes"] == 100
+    # actualSizeBytes records the untrimmed serialization size
+    # (BadRowsSerializer.scala:30-37)
+    assert data["failure"]["actualSizeBytes"] > 100
+    assert data["failure"]["expectation"] == SIZE_VIOLATION_EXPECTATION
     # payload trimmed to maxSize/10 chars (BadRowsSerializer.scala:33)
-    assert len(env["payload"]) == 10
+    assert len(data["payload"]) == 10
 
 
 def test_good_rows_not_emitted(spark):

@@ -2,8 +2,8 @@
 (ProcessingSpec.scala:48-58) against the action-log harness
 (MockEnvironment pattern): e1 enriched happy path, e2 SDJ grouping + bad
 rows, e3 maxBytes rollover, e4 flush semantics, e5/e7 compressed envelopes,
-e6 corrupt envelope, e8 mixed batch. zstd cases run gzip-shaped (zstandard
-not in the image; the zstd branch is import-gated)."""
+e6 corrupt envelope, e8 mixed batch. zstd decodes for real through pyarrow's
+bundled codec."""
 
 from __future__ import annotations
 
@@ -43,6 +43,19 @@ def _pipeline(spark, cfg):
     return LoaderPipeline(
         spark, cfg, now_fn=lambda: NOW, deterministic_uuids=True
     )
+
+
+def _read_bad_envelopes(bad_dir):
+    """Parse every bad-row line the distributed text sink wrote (part files,
+    any name; skips _SUCCESS/.crc markers)."""
+    rows = []
+    for path in sorted(glob.glob(os.path.join(bad_dir, "**", "*"), recursive=True)):
+        base = os.path.basename(path)
+        if not os.path.isfile(path) or base.startswith(("_", ".")) or base.endswith(".crc"):
+            continue
+        with open(path) as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    return rows
 
 
 def _lines_df(spark, lines):
@@ -123,11 +136,11 @@ def test_e2_sdj_grouping_and_bad_rows(spark, tmp_path):
     # SDJ purpose has no collector_tstamp -> no e2e latency metric action
     assert kinds.index("SentToBad") > kinds.index("AddedCountMetric")
     assert kinds[-1] == "Checkpointed"
-    bad_files = glob.glob(os.path.join(cfg.bad.path, "*.jsonl"))
-    assert len(bad_files) == 1
-    envelope = json.loads(open(bad_files[0]).read().strip())
-    assert envelope["kind"] == "GenericError"
-    assert "Can't extract schema" in envelope["failure"]["messages"][0]
+    envelopes = _read_bad_envelopes(cfg.bad.path)
+    assert len(envelopes) == 1
+    envelope = envelopes[0]
+    assert "badrows/generic_error/" in envelope["schema"]
+    assert "Can't extract schema" in envelope["data"]["failure"]["errors"][0]
 
 
 # ---- e3: maxBytes rollover ---------------------------------------------------
@@ -187,10 +200,11 @@ def test_e6_corrupt_envelope_bad_row(spark, tmp_path):
 
     assert _read_gz_files(cfg.good.path) == {}  # zero events
     assert p.actions.of_kind("AddedCountMetric")[0].detail == (0,)
-    bad_files = glob.glob(os.path.join(cfg.bad.path, "*.jsonl"))
-    envelope = json.loads(open(bad_files[0]).read().strip())
-    assert envelope["kind"] == "LoaderParsingError"
-    assert "Cannot decompress record" in envelope["failure"]["messages"][0]
+    (envelope,) = _read_bad_envelopes(cfg.bad.path)
+    assert "badrows/loader_parsing_error/" in envelope["schema"]
+    failure = envelope["data"]["failure"]
+    assert failure["type"] == "RowDecodingError"
+    assert "Cannot decompress record" in failure["errors"][0]["message"]
     assert p.actions.kinds()[-1] == "Checkpointed"
 
 
@@ -243,9 +257,8 @@ def test_oversize_payload_dropped(spark, tmp_path):
     big = make_envelope([b"x" * 100], "gzip")
     p.run_batch(_payload_df(spark, [big]))
     assert _read_gz_files(cfg.good.path) == {}
-    bad_files = glob.glob(os.path.join(cfg.bad.path, "*.jsonl"))
-    envelope = json.loads(open(bad_files[0]).read().strip())
-    assert envelope["kind"] == "LoaderParsingError"
+    (envelope,) = _read_bad_envelopes(cfg.bad.path)
+    assert "badrows/loader_parsing_error/" in envelope["schema"]
 
 
 # ---- streaming envelope ingestion (binaryFile source) ------------------------
@@ -307,10 +320,9 @@ def test_e6_corrupt_zstd_bad_row(spark, tmp_path):
     p = _pipeline(spark, cfg)
     p.run_batch(_payload_df(spark, [ZSTD_MAGIC + b"garbage"]))
     assert _read_gz_files(cfg.good.path) == {}
-    bad_files = glob.glob(os.path.join(cfg.bad.path, "*.jsonl"))
-    envelope = json.loads(open(bad_files[0]).read().strip())
-    assert envelope["kind"] == "LoaderParsingError"
-    assert "Cannot decompress record" in envelope["failure"]["messages"][0]
+    (envelope,) = _read_bad_envelopes(cfg.bad.path)
+    assert "badrows/loader_parsing_error/" in envelope["schema"]
+    assert "Cannot decompress record" in envelope["data"]["failure"]["errors"][0]["message"]
 
 
 # ---- health ------------------------------------------------------------------
