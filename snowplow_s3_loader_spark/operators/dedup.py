@@ -104,6 +104,30 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+def _prefix_postings(base: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin prefix filter (Xiao et al., WWW'08): order each doc's tokens by
+    ascending global document frequency (rarest first, token as tiebreak) and
+    keep only the first |x| - ceil(t*|x|) + 1 as postings.
+
+    Lossless for Jaccard >= t: any qualifying pair has overlap
+    o >= t/(1+t)*(|x|+|y|) >= ceil(t*|x|), so it must share a token within
+    that prefix. Frequent tokens (stopwords shared by millions of docs) sort
+    LAST and fall outside every non-trivial prefix — the posting-list blowup
+    a plain inverted-index join hits at corpus scale never materializes.
+
+    base: (id, blk, toks sorted-distinct). Returns (id, blk, tok) postings.
+    """
+    postings = base.select("id", "blk", F.size("toks").alias("sz"), F.explode("toks").alias("tok"))
+    tok_df = postings.groupBy("tok").agg(F.count("*").alias("tok_freq"))
+    w = Window.partitionBy("blk", "id").orderBy("tok_freq", "tok")
+    return (
+        postings.join(tok_df, "tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "blk", "tok")
+    )
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -113,32 +137,46 @@ def token_jaccard_pairs(
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
 
-    Inverted-index formulation: pairs materialize only through shared
-    (block, token) postings — the classic set-similarity join; no cross
-    product. Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+    Candidate generation goes through PREFIX postings only (see
+    _prefix_postings) — the set-similarity join never builds the quadratic
+    pair space of a frequent token. Candidates are then length-filtered
+    (t*|x| <= |y| — a necessary condition for J >= t) and verified exactly
+    with array_intersect over the full token arrays.
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     base = df.select(
         F.col(id_col).alias("id"),
         F.struct(*[F.col(c) for c in block_cols]).alias("blk"),
-        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+        F.array_sort(F.array_distinct(tokens(F.col(text_col)))).alias("toks"),
     )
-    sizes = base.select("id", "blk", F.size("toks").alias("sz"))
-    postings = base.select("id", "blk", F.explode("toks").alias("tok"))
-    common = (
-        postings.alias("a")
-        .join(postings.alias("b"), on=["blk", "tok"])
+    prefixes = _prefix_postings(base, threshold)
+    candidates = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), on=["blk", "tok"])
         .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "blk")
+        .distinct()
+    )
+    docs_a = base.select(
+        F.col("id").alias("id_a"), F.col("blk"), F.col("toks").alias("toks_a")
+    )
+    docs_b = base.select(
+        F.col("id").alias("id_b"), F.col("blk"), F.col("toks").alias("toks_b")
     )
     out = (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        candidates.join(docs_a, ["id_a", "blk"])
+        .join(docs_b, ["id_b", "blk"])
+        # length filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|)
+        .where(
+            F.least(F.size("toks_a"), F.size("toks_b"))
+            >= F.lit(threshold) * F.greatest(F.size("toks_a"), F.size("toks_b"))
+        )
+        .withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("common").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                / (F.size("toks_a") + F.size("toks_b") - F.col("common")),
                 6,
             ),
         )
@@ -191,6 +229,7 @@ def simhash60_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     in numpy instead of exploding tokens x 60 bits through a shuffle:
     zero shuffles, one pass, ~60x less intermediate data."""
     import hashlib
+    import re
 
     import numpy as np
     import pandas as pd
@@ -206,7 +245,15 @@ def simhash60_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for pdf in pdfs:
             ids, hashes = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = set(str(text).strip().split())
+                if text is None:
+                    # expression path: explode(NULL array) emits no rows,
+                    # so null-text docs are absent from simhash60() output
+                    continue
+                # EXACT twin of tokens() = split(trim(text), ' +'):
+                # trim strips ASCII spaces only; split on runs of spaces only
+                # (tabs/newlines stay inside tokens); '' yields the
+                # empty-string token, not an empty set
+                toks = set(re.split(" +", str(text).strip(" ")))
                 votes = np.zeros(60, dtype=np.int64)
                 for tok in toks:
                     h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)

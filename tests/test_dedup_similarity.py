@@ -17,6 +17,61 @@ def test_simhash_fast_equals_expression(spark, sf_dir):
     assert slow == fast and len(slow) == docs.count()
 
 
+def test_simhash_fast_parity_on_awkward_text(spark):
+    """ADVICE parity gap: tabs/newlines inside tokens and empty/space-only
+    strings must fingerprint identically in both paths (tokens() splits on
+    runs of SPACES only and '' yields the empty-string token)."""
+    rows = [
+        (1, "a\tb c"),  # tab stays inside token 'a\tb'
+        (2, "line1\nline2 x"),  # newline stays inside token
+        (3, ""),  # -> [''] not []
+        (4, "   "),  # trims to '' -> ['']
+        (5, " normal  words "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    slow = {r["id"]: r["simhash"] for r in dedup.simhash60(df, "doc_id", "text").collect()}
+    fast = {r["id"]: r["simhash"] for r in dedup.simhash60_fast(df, "doc_id", "text").collect()}
+    assert slow == fast and len(slow) == 5
+
+
+def test_jaccard_prefix_filter_kills_frequent_token_blowup(spark):
+    """Skew case: one stopword present in EVERY doc. The prefix filter must
+    exclude it from every non-trivial prefix, so the candidate join never
+    builds the quadratic posting block — while pair results stay exact."""
+    # 60 docs, all contain 'the'; docs 2i/2i+1 share 3 of their 4 other tokens
+    rows = []
+    for i in range(30):
+        rows.append((2 * i, f"the u{i}a u{i}b u{i}c u{i}d"))
+        rows.append((2 * i + 1, f"the u{i}a u{i}b u{i}c u{i}e"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn("blk", F.lit(1))
+
+    base = df.select(
+        F.col("doc_id").alias("id"),
+        F.struct(F.col("blk")).alias("blk"),
+        F.array_sort(F.array_distinct(F.split(F.trim("text"), " +"))).alias("toks"),
+    )
+    prefixes = dedup._prefix_postings(base, threshold=0.5)
+    # 'the' appears in all 60 docs -> highest df -> sorts last -> outside
+    # every prefix (prefix len for |x|=5, t=0.5 is 5-3+1=3)
+    assert prefixes.filter(F.col("tok") == "the").count() == 0
+    # candidate space is bounded by rare-token postings, not 60*59/2
+    n_candidates = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), on=["blk", "tok"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    assert n_candidates == 30
+
+    pairs = dedup.token_jaccard_pairs(df, "doc_id", "text", ["blk"], threshold=0.5).collect()
+    # each (2i, 2i+1) pair: common=4 ('the'+3 shared), union=6 -> J=0.666667
+    assert len(pairs) == 30
+    assert all(r["jaccard"] == 0.666667 for r in pairs)
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2 * i, 2 * i + 1) for i in range(30)}
+
+
 def test_hamming60(spark):
     df = spark.createDataFrame([(0b1010, 0b0110)], "a long, b long")
     assert df.select(dedup.hamming60(F.col("a"), F.col("b")).alias("d")).first()["d"] == 2
