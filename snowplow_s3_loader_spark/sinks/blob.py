@@ -7,10 +7,12 @@ reference-style filenames `<prefix><yyyy-MM-dd-HHmmss>-<uuid>.gz`.
 
 Spark-first design: a single distributed write job (partitionBy on the
 resolved partition string, gzip codec on the text sink, maxRecordsPerFile
-for the byte-cap soft limit), then a driver-side rename pass to the
-reference's layout. The rename touches only file *names* (count = files per
-batch, bounded by maxBytes rolling), never data — on S3A this is a metadata
-copy per file, same cost profile as the reference's one PutObject per file.
+for the byte-cap soft limit), then an EXECUTOR-SIDE rename pass to the
+reference's layout: the driver only lists the staged files and fans the
+moves out via sc.parallelize — each task performs its own rename (on S3A a
+server-side metadata copy), mirroring the reference's parallel one-PutObject-
+per-file uploaders (Processing.scala:287-289). Only (path, bytes) metadata
+returns to the driver; nothing serializes through it.
 
 The byte cap mirrors the reference's *soft* maxBytes semantics
 (Processing.scala:249 checks after exceeding; config comment calls it a soft
@@ -54,6 +56,16 @@ class BlobWriteResult:
     files: list[WrittenFile] = field(default_factory=list)
 
 
+def _move_one(job: tuple[str, str]) -> tuple[str, int]:
+    """Executor-side rename of one staged file (local-FS stand-in for the
+    Hadoop FileSystem rename — on S3A a server-side copy). exist_ok makes the
+    mkdir race-safe across concurrent tasks."""
+    src, dst = job
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    shutil.move(src, dst)
+    return dst, os.path.getsize(dst)
+
+
 def write_batch(
     df: DataFrame,
     base_dir: str,
@@ -63,12 +75,15 @@ def write_batch(
     max_bytes: int = 67_108_864,
     now: datetime | None = None,
     deterministic_uuids: bool = False,
+    row_count: int | None = None,
+    avg_line_bytes: float | None = None,
 ) -> BlobWriteResult:
     """Write one batch: rows carry their resolved partition path in
     `partition_col` ('' for unpartitioned). Returns the written files.
 
-    Local-FS implementation of the rename pass; on S3A the same logic runs
-    against the Hadoop FileSystem API (rename = server-side copy).
+    Callers that already ran a stats job (the pipeline does) pass row_count /
+    avg_line_bytes so the byte-cap estimate costs NO extra Spark action;
+    otherwise one small agg computes them here.
     """
     now = now or datetime.now(timezone.utc)
     staging = os.path.join(base_dir, "_staging_" + uuid_mod.uuid4().hex[:8])
@@ -79,12 +94,14 @@ def write_batch(
     )
 
     # soft byte cap -> row cap from the batch's average line size estimate
-    est = staged.select(
-        F.avg(F.octet_length("value")).alias("avg_len"), F.count("*").alias("n")
-    ).first()
-    if est["n"] == 0:
+    if row_count is None or avg_line_bytes is None:
+        est = staged.select(
+            F.avg(F.octet_length("value")).alias("avg_len"), F.count("*").alias("n")
+        ).first()
+        row_count, avg_line_bytes = est["n"], est["avg_len"]
+    if not row_count:
         return BlobWriteResult()
-    avg_compressed = max(1.0, float(est["avg_len"] or 1.0) * GZIP_RATIO_ESTIMATE)
+    avg_compressed = max(1.0, float(avg_line_bytes or 1.0) * GZIP_RATIO_ESTIMATE)
     max_records_per_file = max(1, int(max_bytes / avg_compressed))
 
     (
@@ -96,7 +113,9 @@ def write_batch(
         .text(staging)
     )
 
-    result = BlobWriteResult()
+    # Build the rename job list from one staging listing (driver does names
+    # only), then execute the moves on the executors.
+    jobs: list[tuple[str, str]] = []
     for root, _dirs, files in os.walk(staging):
         gz_files = sorted(f for f in files if f.endswith(".gz"))
         if not gz_files:
@@ -108,14 +127,16 @@ def write_batch(
         if partition == "__HIVE_DEFAULT_PARTITION__":
             partition = ""
         target_dir = normalize_path(os.path.join(base_dir, partition) if partition else base_dir)
-        os.makedirs(target_dir, exist_ok=True)
         for i, fname in enumerate(gz_files):
             uid = f"{i:04d}" if deterministic_uuids else str(uuid_mod.uuid4())
-            out_name = get_filename(prefix, now, uid)
-            src = os.path.join(root, fname)
-            dst = os.path.join(target_dir, out_name)
-            shutil.move(src, dst)
-            result.files.append(WrittenFile(path=dst, n_bytes=os.path.getsize(dst)))
+            jobs.append((os.path.join(root, fname), os.path.join(target_dir, get_filename(prefix, now, uid))))
+
+    result = BlobWriteResult()
+    if jobs:
+        sc = df.sparkSession.sparkContext
+        n_slices = min(len(jobs), sc.defaultParallelism)
+        moved = sc.parallelize(jobs, n_slices).map(_move_one).collect()
+        result.files = [WrittenFile(path=p, n_bytes=b) for p, b in moved]
     shutil.rmtree(staging, ignore_errors=True)
     result.files.sort(key=lambda f: f.path)
     return result

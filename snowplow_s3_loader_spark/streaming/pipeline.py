@@ -104,9 +104,12 @@ class LoaderPipeline:
                     F.lit(now.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"),
                 )
 
+            # one stats job feeds the count metric, the latency metric AND
+            # the blob sink's byte-cap estimate (no second .first() action)
             stats = good.agg(
                 F.count("*").alias("n"),
                 F.min("collector_tstamp").alias("earliest"),
+                F.avg(F.octet_length("value")).alias("avg_len"),
             ).first()
             n_good = stats["n"]
 
@@ -120,6 +123,8 @@ class LoaderPipeline:
                     max_bytes=cfg.batching.max_bytes,
                     now=now,
                     deterministic_uuids=self.deterministic_uuids,
+                    row_count=n_good,
+                    avg_line_bytes=stats["avg_len"],
                 )
                 for wf in result.files:
                     self.actions.record("WroteFile", wf.path, wf.n_bytes)
