@@ -1,0 +1,75 @@
+"""Distributed global ranking — the scale-safe replacement for
+`Window.orderBy(...)` with no partitionBy, which funnels every row through a
+single task (Spark warns `WindowExec: No Partition Defined`).
+
+Two-phase formulation (the classic top-k/ranking pattern):
+  1. range-repartition on the order key, local row_number per partition
+     (each task sorts only its slice);
+  2. per-partition counts (P tiny rows) -> cumulative offsets on the driver
+     -> broadcast join -> global row_number = local + offset.
+
+The order key MUST be a total order (include a unique tiebreak column);
+then row_number == rank == dense_rank, and ntile derives in closed form
+from (row_number, total).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Append a 1-based global row number under a TOTAL order (pass a unique
+    tiebreak in order_cols). Returns (df_with_rn, total_rows).
+
+    No single-partition stage: the sort is range-partitioned, the offset
+    table is one tiny row per partition (collected + broadcast back).
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    )
+    # P rows only — safe to collect regardless of data scale
+    counts = sorted(
+        local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_pid"], acc))
+        acc += r["_cnt"]
+    if not offsets:
+        return df.withColumn(rn_col, F.lit(None).cast("int")), 0
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    out = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(rn_col, (F.col("_lrn") + F.col("_off")).cast("int"))
+        .drop("_pid", "_lrn", "_off")
+    )
+    return out, acc
+
+
+def ntile_from_row_number(rn: Column, total: int, k: int) -> Column:
+    """Closed-form ntile(k) from a global row number: the first `total % k`
+    buckets hold ceil(total/k) rows, the rest floor(total/k) — exactly the SQL
+    ntile contract, with no global window."""
+    q, r = divmod(total, k)
+    if q == 0:
+        # fewer rows than buckets: bucket i gets row i
+        return rn.cast("int")
+    head = r * (q + 1)
+    return (
+        F.when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(F.lit(r) + F.floor((rn - head - 1) / q) + 1)
+        .cast("int")
+    )

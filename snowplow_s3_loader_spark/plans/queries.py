@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snowplow_s3_loader_spark.functions.paths import partition_path
-from snowplow_s3_loader_spark.operators import dedup, multimodal, similarity, text
+from snowplow_s3_loader_spark.operators import dedup, multimodal, ranking, similarity, text
 from snowplow_s3_loader_spark.operators.parse import PURPOSE_ENRICHED, PURPOSE_SDJ, classify
 from snowplow_s3_loader_spark.plans import synthesize
 from snowplow_s3_loader_spark.tables import load_table
@@ -655,7 +655,13 @@ def q41_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q42_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dense_rank + ntile over per-supplier revenue."""
+    """dense_rank + ntile over per-supplier revenue.
+
+    Ranks via the two-phase global_row_number operator (range partition +
+    offset join) instead of an unpartitioned Window — no single-task sort
+    funnel at scale. The order key (revenue DESC, s_suppkey) is a total
+    order, so dense_rank == row_number, and ntile(4) derives in closed form
+    from (row_number, total)."""
     sup = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     rev = (
@@ -663,17 +669,16 @@ def q42_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
     joined = rev.join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
-    w = Window.orderBy(F.desc("revenue"), F.asc("s_suppkey"))
-    return (
-        joined.select(
-            "s_suppkey",
-            "s_name",
-            "revenue",
-            F.dense_rank().over(w).alias("rnk"),
-            F.ntile(4).over(w).alias("quartile"),
-        )
-        .orderBy("rnk", "s_suppkey")
+    ranked, total = ranking.global_row_number(
+        joined, [F.desc("revenue"), F.asc("s_suppkey")], rn_col="rnk"
     )
+    return ranked.select(
+        "s_suppkey",
+        "s_name",
+        "revenue",
+        "rnk",
+        ranking.ntile_from_row_number(F.col("rnk"), total, 4).alias("quartile"),
+    ).orderBy("rnk", "s_suppkey")
 
 
 def q43_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
