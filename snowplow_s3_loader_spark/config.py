@@ -139,8 +139,8 @@ def _duration_seconds(v: Any) -> float:
     if len(parts) == 2:
         n = float(parts[0])
         unit = parts[1].rstrip("s")
-        mult = {"millisecond": 0.001, "ms": 0.001, "second": 1, "sec": 1, "minute": 60,
-                "min": 60, "hour": 3600, "day": 86400}.get(unit)
+        mult = {"millisecond": 0.001, "milli": 0.001, "ms": 0.001, "second": 1,
+                "sec": 1, "minute": 60, "min": 60, "hour": 3600, "day": 86400}.get(unit)
         if mult:
             return n * mult
     try:
@@ -162,21 +162,36 @@ class _CI(dict):
             v = lowered.get(key.lower(), default)
         return _CI(v) if isinstance(v, dict) and not isinstance(v, _CI) else v
 
+    def __contains__(self, key) -> bool:  # env layer lowercases keys
+        return super().__contains__(key) or key.lower() in {
+            k.lower() for k in self.keys()
+        }
+
+
+def _bool(v: Any) -> bool:
+    """Parse booleans that may arrive as env-var strings ('false' is falsy)."""
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() in ("true", "1", "yes", "on")
+
 
 def from_dict(raw: dict) -> LoaderConfig:
     """Decode a raw (already merged) config mapping into LoaderConfig."""
     raw = _CI(raw)
     cfg = LoaderConfig()
     cfg.purpose = raw.get("purpose", cfg.purpose)
-    cfg.license_accept = bool(
-        str(raw.get("license", {}).get("accept", cfg.license_accept)).lower() == "true"
-    )
+    cfg.license_accept = _bool(raw.get("license", {}).get("accept", cfg.license_accept))
     inp = raw.get("input", {})
+    # reference hocon nests it: initialPosition { type = TRIM_HORIZON } —
+    # accept both the nested object and a bare string
+    init_pos = inp.get("initialPosition", cfg.input.initial_position)
+    if isinstance(init_pos, dict):
+        init_pos = init_pos.get("type", cfg.input.initial_position)
     cfg.input = InputConfig(
         kind=inp.get("kind", "kinesis" if "streamName" in inp else "file"),
         stream_name=inp.get("streamName"),
         app_name=inp.get("appName", cfg.input.app_name),
-        initial_position=inp.get("initialPosition", cfg.input.initial_position),
+        initial_position=init_pos,
         path=inp.get("path"),
         max_records=int(inp.get("retrievalMode", {}).get("maxRecords", cfg.input.max_records)),
         region=inp.get("region"),
@@ -184,7 +199,9 @@ def from_dict(raw: dict) -> LoaderConfig:
     good = raw.get("output", {}).get("good", {})
     cfg.good = GoodOutputConfig(
         path=good.get("path", ""),
-        prefix=good.get("prefix", ""),
+        # the reference names it filenamePrefix (config.aws.reference.hocon:83);
+        # accept our shorter alias too
+        prefix=good.get("filenamePrefix", good.get("prefix", "")),
         partition_format=good.get("partitionFormat"),
         compression=good.get("compressionType", "gzip"),
     )
@@ -204,7 +221,7 @@ def from_dict(raw: dict) -> LoaderConfig:
     )
     d = raw.get("decompression", {})
     cfg.decompression = DecompressionConfig(
-        enabled=bool(d.get("enabled", True)),
+        enabled=_bool(d.get("enabled", True)),
         max_bytes_in_batch=int(d.get("maxBytesInBatch", 5_242_880)),
         max_bytes_single_payload=int(d.get("maxBytesSinglePayload", 10_000_000)),
     )
@@ -228,7 +245,8 @@ def from_dict(raw: dict) -> LoaderConfig:
 
 
 def load_config(path: str) -> LoaderConfig:
-    """Load a config file (JSON always; HOCON when pyhocon is available),
+    """Load a config file (JSON or HOCON — the reference's only format,
+    Run.scala:35-65 — via the bundled minimal parser in hocon.py), then
     apply env-var overrides of the form SNOWPLOW_<SECTION>__<KEY>."""
     with open(path) as f:
         text = f.read()
@@ -236,14 +254,12 @@ def load_config(path: str) -> LoaderConfig:
     try:
         raw = json.loads(text)
     except json.JSONDecodeError:
-        try:
-            from pyhocon import ConfigFactory  # optional, not in the base image
+        from snowplow_s3_loader_spark import hocon
 
-            raw = ConfigFactory.parse_string(text).as_plain_ordered_dict()
-        except ImportError as e:
-            raise ConfigError(
-                f"config {path} is not JSON and pyhocon is unavailable"
-            ) from e
+        try:
+            raw = hocon.load(path)
+        except hocon.HoconError as e:
+            raise ConfigError(f"config {path}: {e}") from e
     env_over: dict = {}
     for k, v in os.environ.items():
         if k.startswith("SNOWPLOW_"):

@@ -35,8 +35,11 @@ _CPU_DENSE_TABLES = {"events"}
 
 # per-session DataFrame cache: repeated queries against the same (sf_dir,
 # table) reuse one logical plan, and the events repartition+persist is paid
-# once per session instead of once per query
-_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+# once per session instead of once per query. Keyed by applicationId (stable
+# per SparkSession, never reused across sessions — unlike id(spark), which
+# CPython can recycle after GC); entries from older applications are evicted
+# so persisted frames don't outlive their session.
+_df_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(
@@ -50,9 +53,12 @@ def load_table(
     default parallelism, repartition up to it — a cheap local shuffle here,
     and a no-op condition on a real multi-file 100 TB layout (splits >>
     cores). Filters/pruning still push to the scan through the exchange."""
-    key = (id(spark), sf_dir.rstrip("/"), name) if parallelize else None
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), name) if parallelize else None
     if key is not None and key in _df_cache:
         return _df_cache[key]
+    for stale in [k for k in _df_cache if k[0] != app_id]:
+        del _df_cache[stale]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The ns->NTZ cast below goes through TIMESTAMP_LTZ; session tz must be
     # UTC for the wall-clock to equal the stored (naive, UTC-meaning) value.
