@@ -40,10 +40,39 @@ def binary_file_stream(spark: SparkSession, path: str, glob: str = "*.bin") -> D
     return df.select(F.col("content").alias("payload"))
 
 
-def kinesis_stream(spark: SparkSession, cfg: InputConfig) -> DataFrame:
-    """Kinesis source via the spark-kinesis connector (option surface mirrors
-    config.aws.reference.hocon:7-64). Raises a clear error when the connector
-    jar isn't on the classpath — OSS PySpark doesn't bundle one."""
+def kinesis_stream(
+    spark: SparkSession, cfg: InputConfig, client_factory: str | None = None
+) -> DataFrame:
+    """Kinesis source (option surface mirrors config.aws.reference.hocon:7-64).
+
+    Primary path: the built-in Python data source (`kinesis_py`,
+    sources/kinesis_source.py) — a boto3 polling reader mirroring the
+    reference's single-KCL-worker consumption model, no connector jar
+    needed. `client_factory` ("module:callable") injects the wire client;
+    default is boto3 (env-gated). For massively-sharded streams prefer
+    `kinesis_connector_stream` with a JVM connector jar on the classpath."""
+    from snowplow_s3_loader_spark.sources.kinesis_source import (
+        KinesisPythonDataSource,
+    )
+
+    spark.dataSource.register(KinesisPythonDataSource)
+    reader = (
+        spark.readStream.format("kinesis_py")
+        .option("streamName", cfg.stream_name or "")
+        .option("initialPosition", cfg.initial_position)
+        .option("maxRecords", str(cfg.max_records))
+    )
+    if cfg.region:
+        reader = reader.option("region", cfg.region)
+    if client_factory:
+        reader = reader.option("clientFactory", client_factory)
+    return reader.load().select(F.col("payload"))
+
+
+def kinesis_connector_stream(spark: SparkSession, cfg: InputConfig) -> DataFrame:
+    """Kinesis via a JVM spark-kinesis connector jar (scale-out path: one
+    receiving task per shard). Raises a clear error when no jar is on the
+    classpath — OSS PySpark doesn't bundle one."""
     reader = (
         spark.readStream.format("kinesis")
         .option("streamName", cfg.stream_name or "")
@@ -58,8 +87,9 @@ def kinesis_stream(spark: SparkSession, cfg: InputConfig) -> DataFrame:
         df = reader.load()
     except Exception as e:  # connector jar missing
         raise NotImplementedError(
-            "kinesis source requires a spark-kinesis connector jar on the "
-            "classpath (e.g. spark-sql-kinesis); use the file source locally"
+            "kinesis connector source requires a spark-kinesis connector jar "
+            "on the classpath (e.g. spark-sql-kinesis); use kinesis_stream "
+            "(python polling source) or the file source instead"
         ) from e
     return df.select(F.col("data").alias("payload"))
 

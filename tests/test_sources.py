@@ -17,10 +17,21 @@ def test_file_stream_payload_contract(spark, tmp_path):
     assert df.schema["payload"].dataType.simpleString() == "binary"
 
 
-def test_kinesis_gate_raises_without_connector(spark):
+def test_kinesis_connector_gate_raises_without_jar(spark):
+    from snowplow_s3_loader_spark.sources import kinesis_connector_stream
+
     cfg = InputConfig(kind="kinesis", stream_name="s", region="us-east-1")
-    with pytest.raises(NotImplementedError, match="kinesis source requires"):
-        kinesis_stream(spark, cfg)
+    with pytest.raises(NotImplementedError, match="connector jar"):
+        kinesis_connector_stream(spark, cfg)
+
+
+def test_kinesis_python_source_loads_lazily(spark):
+    # the python data source registers and builds a streaming frame with the
+    # record schema without touching the wire (client created at stream start)
+    cfg = InputConfig(kind="kinesis", stream_name="s", region="us-east-1")
+    df = kinesis_stream(spark, cfg)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["payload"]
 
 
 def test_rate_stream_synthesizes_sdj(spark):
