@@ -159,26 +159,71 @@ def ann_topk_srp(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 7,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
+) -> DataFrame:
+    """Train IVF centroids with MLlib k-means|| (JVM, distributed init +
+    Lloyd iterations). Vectors are L2-normalized first so euclidean k-means
+    approximates spherical (cosine) clustering — the assignment metric used
+    downstream. Returns a K-row DataFrame (centroid_id int, cv
+    array<double>) small enough to broadcast.
+
+    At corpus scale, pass `sample_fraction` to train on a uniform sample
+    (centroid quality converges long before the full corpus is seen; the
+    assignment step still scans everything exactly once)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = emb.select(as_double(F.col(vec_col)).alias("v"))
+    if sample_fraction is not None and sample_fraction < 1.0:
+        base = base.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+    unit = base.select(
+        F.transform("v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))).alias("v")
+    )
+    train = unit.select(array_to_vector(F.col("v")).alias("features"))
+    # init_mode: k-means|| is the scale-correct default; "random" trades
+    # init quality for ~3 fewer scheduled jobs (worth it when K is small
+    # relative to a well-spread corpus)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, initMode=init_mode).fit(
+        train
+    )
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(
+        centers, "centroid_id int, cv array<double>"
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF-style bucketing without iterative training: the centroid set is
-    the first `n_centroids` vectors by id (deterministic seed points — at
-    scale swap in a proper sampled k-means from MLlib, same downstream
-    contract). Returns (assignments(id, v, centroid_id), centroids).
+    """IVF-style bucketing. Centroids come from `centroids` (typically
+    train_ivf_centroids' sampled k-means||) or, when None, a trivial
+    deterministic seeding (first `n_centroids` vectors by id) useful for
+    fixture-stable tests. Returns (assignments(id, v, centroid_id),
+    centroids).
 
     The assignment is a broadcast of K centroids against one corpus scan —
     no shuffle; the resulting centroid_id column is the partition key for
     search.
     """
     base = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    centroids = (
-        base.orderBy("id").limit(n_centroids)
-        .select(F.col("id").alias("centroid_id"), F.col("v").alias("cv"))
-    )
+    if centroids is None:
+        centroids = (
+            base.orderBy("id").limit(n_centroids)
+            .select(F.col("id").alias("centroid_id"), F.col("v").alias("cv"))
+        )
     scored = base.join(F.broadcast(centroids)).select(
         "id", "v", "centroid_id", cosine(F.col("v"), F.col("cv")).alias("sim")
     )
@@ -199,11 +244,25 @@ def ann_topk_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    train: bool = False,
+    sample_fraction: float | None = None,
+    seed: int = 7,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors whose centroid is among the
     query's `n_probe` nearest centroids. Pair space shrinks ~K/n_probe-fold;
-    recall grows with n_probe (n_probe=K degenerates to brute force)."""
-    assignments, centroids = ivf_assign(emb, n_centroids, id_col, vec_col)
+    recall grows with n_probe (n_probe=K degenerates to brute force).
+    `train=True` trains centroids with sampled k-means|| (the recall-correct
+    path — first-K seeding degrades on clustered corpora)."""
+    if centroids is None and train:
+        centroids = train_ivf_centroids(
+            emb, n_centroids, vec_col,
+            sample_fraction=sample_fraction, seed=seed, max_iter=max_iter,
+            init_mode=init_mode,
+        )
+    assignments, centroids = ivf_assign(emb, n_centroids, id_col, vec_col, centroids)
     query_ids = emb.filter(query_pred).select(F.col(id_col).alias("id"))
     queries = assignments.join(F.broadcast(query_ids), on="id").select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")

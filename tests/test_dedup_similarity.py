@@ -129,3 +129,32 @@ def test_srp_ann_subset_of_bucket(spark, sf_dir):
     for r in approx:
         if r["neighbor_id"] in exact:
             assert r["cos_sim"] <= 1.0
+
+
+def test_ivf_kmeans_centroids_and_recall(spark, sf_dir):
+    """train_ivf_centroids: K unit-ish centers via seeded k-means||; the
+    trained IVF beats/matches first-K seeding's contract (VERDICT r1 #10)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=4, seed=7)
+    rows = cents.collect()
+    assert len(rows) == 4
+    dim = len(rows[0]["cv"])
+    assert all(len(r["cv"]) == dim for r in rows)
+    # deterministic for a fixed seed
+    again = similarity.train_ivf_centroids(emb, n_centroids=4, seed=7).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+    res = similarity.ann_topk_ivf(
+        emb, F.col("vec_id") == 0, k=5, n_centroids=4, n_probe=2, train=True, seed=7
+    ).collect()
+    assert len(res) == 5
+    assert all(r["neighbor_id"] != 0 for r in res)
+    scores = [r["cos_sim"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    # probe-limited search still finds true near neighbors: overlap with the
+    # exact top-10 is non-empty on this clustered synthetic corpus
+    exact = {
+        r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, F.col("vec_id") == 0, k=10).collect()
+    }
+    assert exact & {r["neighbor_id"] for r in res}
