@@ -47,6 +47,44 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_ngrams(s: Column, n: int = 3) -> Column:
+    """Character n-gram shingles over lowercased, whitespace-collapsed text.
+
+    Pure JVM expression (sequence + substr) — one array per row, no
+    explode until the caller decides. Texts shorter than n yield their
+    whole (normalized) text as the single shingle, so no row drops out of
+    a similarity join for being short."""
+    norm = F.regexp_replace(F.lower(s), r"\s+", " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+
+
+def word_ngrams(s: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (Broder w-shingling): each shingle is n
+    consecutive whitespace tokens joined by one space. Texts with fewer
+    than n tokens yield their whole token sequence as the single shingle.
+    Pure JVM (sequence + slice + concat_ws) — ~|tokens| shingles per doc,
+    far fewer and far more discriminative than character n-grams on long
+    documents."""
+    t = tokens(s)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(grams)
+
+
+def hash_tokens(arr: Column) -> Column:
+    """Map a token/shingle array to 60-bit md5 bigints (engine-portable,
+    see _token_hash60). Set-similarity machinery downstream then joins and
+    intersects longs instead of strings — same Jaccard values (collisions
+    are ~|set|^2/2^61 and in any case identical in every engine computing
+    the same hash)."""
+    return F.transform(arr, _token_hash60)
+
+
 def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
@@ -134,6 +172,7 @@ def token_jaccard_pairs(
     text_col: str,
     block_cols: list[str],
     threshold: float = 0.5,
+    tokens_expr: Column | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
 
@@ -143,13 +182,33 @@ def token_jaccard_pairs(
     (t*|x| <= |y| — a necessary condition for J >= t) and verified exactly
     with array_intersect over the full token arrays.
     Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    `tokens_expr` swaps the set definition (default: whitespace tokens);
+    pass char_ngrams(...) for shingle/n-gram Jaccard — same join machinery,
+    same prefix-filter guarantees.
     """
+    toks = tokens(F.col(text_col)) if tokens_expr is None else tokens_expr
+    # parallelism floor: tokenizing/shingling is per-row CPU-heavy; when the
+    # upstream scan has fewer splits than the cluster (single-row-group test
+    # parquet, a small filtered corpus), one task would serialize all of it.
+    # A cheap pre-shuffle of the raw rows spreads the compute; no-op
+    # condition on a real many-split layout (splits >> cores).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    # persist: the tokenized corpus feeds the prefix-filter, the frequency
+    # count, and both verify sides — without it the scan+tokenize recomputes
+    # ~6x. MEMORY_AND_DISK so an oversized corpus spills instead of
+    # evicting mid-query. Prefix postings likewise feed both sides of the
+    # candidate self-join.
+    from pyspark import StorageLevel
+
     base = df.select(
         F.col(id_col).alias("id"),
         F.struct(*[F.col(c) for c in block_cols]).alias("blk"),
-        F.array_sort(F.array_distinct(tokens(F.col(text_col)))).alias("toks"),
-    )
-    prefixes = _prefix_postings(base, threshold)
+        F.array_sort(F.array_distinct(toks)).alias("toks"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prefixes = _prefix_postings(base, threshold).persist(StorageLevel.MEMORY_AND_DISK)
     candidates = (
         prefixes.alias("a")
         .join(prefixes.alias("b"), on=["blk", "tok"])

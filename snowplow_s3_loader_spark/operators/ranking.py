@@ -39,24 +39,24 @@ def global_row_number(
     local = ranged.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
     )
-    # P rows only — safe to collect regardless of data scale
-    counts = sorted(
-        local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect(),
-        key=lambda r: r["_pid"],
-    )
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r["_pid"], acc))
-        acc += r["_cnt"]
-    if not offsets:
+    # per-partition counts: P rows only (bounded by cluster partitions, not
+    # data), so the single-partition cumulative window over them is safe at
+    # any scale; one collect of the grand total remains (callers need it as
+    # a plain int for ntile's closed form)
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off"), "_cnt"
+    ).persist()
+    total_row = off_df.agg(F.sum("_cnt")).first()[0]
+    if total_row is None:
         return df.withColumn(rn_col, F.lit(None).cast("int")), 0
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
     out = (
-        local.join(F.broadcast(off_df), "_pid")
+        local.join(F.broadcast(off_df.drop("_cnt")), "_pid")
         .withColumn(rn_col, (F.col("_lrn") + F.col("_off")).cast("int"))
         .drop("_pid", "_lrn", "_off")
     )
-    return out, acc
+    return out, int(total_row)
 
 
 def ntile_from_row_number(rn: Column, total: int, k: int) -> Column:

@@ -1,0 +1,68 @@
+"""Deterministic, engine-portable sampling/splitting for training-data
+pipelines (SURVEY.md SS7.8 extension).
+
+A reproducible train/val/test assignment must not depend on row order,
+partitioning, or an engine-specific hash. We hash the stable id with md5
+and compare the leading hex digits against split thresholds — md5 of the
+decimal string is identical in every engine (same trick the MinHash
+operator uses, dedup.py), so the assignment is bit-stable across Spark,
+DuckDB, or a Python loader reading the same table.
+
+Scale: one narrow projection, no shuffle, no Python on the hot path —
+the split column is a pure JVM expression usable as a partition filter
+(`WHERE split = 'train'` prunes at scan time if written partitioned-by).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_thresholds(splits: dict[str, float], hex_chars: int = 4) -> list[tuple[str, str]]:
+    """Cumulative hex-string thresholds for named fractions.
+
+    {"train": .8, "val": .1, "test": .1} with hex_chars=4 ->
+    [("train", "cccc"), ("val", "e666"), ("test", None sentinel "ffff"+)].
+    The final split takes the remainder so fractions need not sum exactly
+    to 1 after rounding.
+    """
+    if not splits:
+        raise ValueError("at least one split required")
+    if any(f <= 0 for f in splits.values()):
+        raise ValueError("split fractions must be positive")
+    space = 16**hex_chars
+    out: list[tuple[str, str]] = []
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        bound = min(int(acc * space), space)
+        out.append((name, format(bound, f"0{hex_chars}x")))
+    out.append((names[-1], "g" * hex_chars))  # 'g' > 'f': catches everything
+    return out
+
+
+def split_column(
+    id_col: Column, splits: dict[str, float], hex_chars: int = 4
+) -> Column:
+    """Expression assigning each id to a named split."""
+    h = F.substring(F.md5(id_col.cast("string")), 1, hex_chars)
+    thresholds = split_thresholds(splits, hex_chars)
+    expr = None
+    for name, bound in thresholds[:-1]:
+        cond = h < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(thresholds[-1][0])
+    return last if expr is None else expr.otherwise(last)
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    hex_chars: int = 4,
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a reproducible split assignment column keyed on a stable id."""
+    return df.withColumn(out_col, split_column(F.col(id_col), splits, hex_chars))

@@ -1,0 +1,72 @@
+"""Time-series rollup operators: fixed-interval bucketing + gap fill
+(the hypertable `time_bucket` + `time_bucket_gapfill` pattern, expressed
+as a composition of stock DataFrame ops — SURVEY.md SS7.8 extension).
+
+Scale notes (100 TB):
+  - the rollup is ONE partial+final hash aggregation shuffled on
+    (series keys, bucket) — the same shape as any groupBy; bucket count
+    per key is bounded by the time span / interval, not row count.
+  - the gap-fill spine is generated per series key from its own min/max
+    bucket (sequence + explode): output rows ~ keys x span/interval, tiny
+    next to the input; the fill join is an Exchange on the same
+    (key, bucket) the rollup just produced, and AQE coalesces it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_UNITS = {"hour", "day", "week", "month", "minute", "second"}
+
+
+def time_bucket(ts: Column, unit: str = "hour") -> Column:
+    """Truncate a timestamp to a fixed bucket boundary."""
+    if unit not in _UNITS:
+        raise ValueError(f"unit must be one of {sorted(_UNITS)}")
+    return F.date_trunc(unit, ts)
+
+
+def bucket_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    aggs: list[Column],
+    unit: str = "hour",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Aggregate into per-(keys, bucket) rows: one shuffle, map-side
+    partials included for free."""
+    return (
+        df.withColumn(bucket_col, time_bucket(F.col(ts_col), unit))
+        .groupBy(*keys, bucket_col)
+        .agg(*aggs)
+    )
+
+
+def gap_fill(
+    rolled: DataFrame,
+    keys: list[str],
+    fill: dict[str, Column],
+    unit: str = "hour",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Left-join the rollup onto a dense per-key bucket spine so empty
+    intervals appear with `fill` values (e.g. zero counts).
+
+    The spine spans each key's own [min(bucket), max(bucket)] — series with
+    different lifetimes don't get padded to a global range.
+    """
+    span = rolled.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1")
+    )
+    spine = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_b0"), F.col("_b1"), F.expr(f"interval 1 {unit}"))
+        ).alias(bucket_col),
+    )
+    out = spine.join(rolled, on=[*keys, bucket_col], how="left")
+    for col_name, default in fill.items():
+        out = out.withColumn(col_name, F.coalesce(F.col(col_name), default))
+    return out

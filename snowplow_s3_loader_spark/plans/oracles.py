@@ -575,3 +575,89 @@ SELECT media_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
 FROM c WHERE chunk_idx % 4 = 0
 ORDER BY media_id, chunk_idx
 """
+
+ORACLES["q54_pivot"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+FROM orders GROUP BY 1 ORDER BY yr
+"""
+
+ORACLES["q55_unpivot"] = """
+WITH wide AS (
+  SELECT l_returnflag,
+    round(sum(l_quantity), 2) AS qty,
+    round(sum(l_extendedprice), 2) AS price,
+    round(sum(l_discount), 4) AS disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value FROM (
+  SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+  UNION ALL SELECT l_returnflag, 'price', price FROM wide
+  UNION ALL SELECT l_returnflag, 'disc', disc FROM wide
+) ORDER BY l_returnflag, measure
+"""
+
+# char-3-gram shingles over lowercased, whitespace-collapsed text; texts
+# shorter than 3 chars contribute their whole text as one shingle (matches
+# dedup.char_ngrams)
+_NORMT = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+_SHINGLES = (
+    f"list_distinct([CAST('0x' || substr(md5(substr({_NORMT}, x, 3)), 1, 15) AS BIGINT) "
+    f"for x in range(1, greatest(strlen({_NORMT}) - 2, 1) + 1)])"
+)
+
+ORACLES["q56_ngram_jaccard"] = f"""
+WITH d AS (
+  SELECT doc_id AS id, lang AS blk, {_SHINGLES} AS toks
+  FROM documents WHERE doc_id % 10 = 0
+),
+sz AS (SELECT id, len(toks) AS sz FROM d),
+p AS (SELECT id, blk, unnest(toks) AS tok FROM d),
+c AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM p a JOIN p b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM c JOIN sz sa ON sa.id = c.id_a JOIN sz sb ON sb.id = c.id_b
+WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+ORACLES["q57_time_bucket_gapfill"] = """
+WITH rolled AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+  FROM rolled GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM span
+)
+SELECT s.event_type, s.bucket,
+       coalesce(r.n_events, 0) AS n_events,
+       coalesce(r.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN rolled r
+  ON r.event_type = s.event_type AND r.bucket = s.bucket
+ORDER BY s.event_type, s.bucket
+"""
+
+ORACLES["q58_deterministic_split"] = """
+WITH assigned AS (
+  SELECT doc_id, text,
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
+       round(avg(strlen(text)), 4) AS avg_len
+FROM assigned GROUP BY split ORDER BY split
+"""

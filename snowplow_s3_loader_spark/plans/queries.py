@@ -869,6 +869,91 @@ def q53_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-year revenue spread across order statuses as columns.
+    Explicit value list keeps the schema static (no extra distinct scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("yr", F.year("o_orderdate"))
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .orderBy("yr")
+    )
+
+
+def q55_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-flag aggregates to long (measure, value)
+    rows via DataFrame.unpivot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 4).alias("disc"),
+    )
+    return (
+        wide.unpivot("l_returnflag", ["qty", "price", "disc"], "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+def q56_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram shingle Jaccard near-dup pairs — the n-gram
+    variant of q24, same PPJoin prefix-filtered machinery, lang-blocked,
+    10% sample. Char shingles (not word shingles) because this corpus's
+    near-dups share vocabulary without preserving word order."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup.token_jaccard_pairs(
+        docs, "doc_id", "text", ["lang"], threshold=0.6,
+        tokens_expr=dedup.char_ngrams(F.col("text"), 3),
+    ).orderBy("id_a", "id_b")
+
+
+def q57_time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: hourly buckets per event_type with dense
+    gap-filled spine (missing hours appear with zero counts)."""
+    from snowplow_s3_loader_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    rolled = timeseries.bucket_rollup(
+        ev,
+        "ts",
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+        unit="hour",
+    )
+    return timeseries.gap_fill(
+        rolled,
+        ["event_type"],
+        {"n_events": F.lit(0).cast("long"), "sum_value": F.lit(0.0)},
+        unit="hour",
+    ).orderBy("event_type", "bucket")
+
+
+def q58_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by md5-hex threshold on the
+    stable doc id — bit-identical in any engine, row-order independent."""
+    from snowplow_s3_loader_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        )
+        .orderBy("split")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -925,5 +1010,10 @@ QUERIES = {
         q51_null_handling,
         q52_array_functions,
         q53_window_analytics,
+        q54_pivot,
+        q55_unpivot,
+        q56_ngram_jaccard,
+        q57_time_bucket_gapfill,
+        q58_deterministic_split,
     ]
 }

@@ -59,10 +59,13 @@ def load_table(
         return _df_cache[key]
     for stale in [k for k in _df_cache if k[0] != app_id]:
         del _df_cache[stale]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The ns->NTZ cast below goes through TIMESTAMP_LTZ; session tz must be
-    # UTC for the wall-clock to equal the stored (naive, UTC-meaning) value.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Runtime conf injection point: queries receive the DRIVER's session
+    # (no engine conf), so everything runtime-settable is applied here —
+    # incl. the ns->NTZ path (cast goes through TIMESTAMP_LTZ; session tz
+    # must be UTC for the wall-clock to equal the stored naive value).
+    from snowplow_s3_loader_spark.session import tune_session
+
+    tune_session(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, not `/`: ns-since-epoch exceeds 2^53, double math

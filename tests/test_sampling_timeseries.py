@@ -1,0 +1,118 @@
+"""Unit tests for the deterministic-split, time-bucket/gap-fill, and
+n-gram shingle operators (SURVEY.md SS7.8 extensions, round 2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators import dedup, sampling, timeseries
+
+
+# ---- deterministic split ----
+
+
+def test_split_thresholds_hex_bounds():
+    t = sampling.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert t == [("train", "cccc"), ("val", "e666"), ("test", "gggg")]
+    assert sampling.split_thresholds({"all": 1.0}) == [("all", "gggg")]
+
+
+def test_split_thresholds_validation():
+    with pytest.raises(ValueError):
+        sampling.split_thresholds({})
+    with pytest.raises(ValueError):
+        sampling.split_thresholds({"a": 0.0, "b": 1.0})
+
+
+def test_deterministic_split_is_stable_and_order_independent(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = sampling.deterministic_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # same ids land in the same split regardless of row order / partitioning
+    s2 = sampling.deterministic_split(
+        df.orderBy(F.desc("k")).repartition(7), "k",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    a = {r["k"]: r["split"] for r in s1.collect()}
+    b = {r["k"]: r["split"] for r in s2.collect()}
+    assert a == b
+    # fractions land near the targets (md5 is uniform)
+    n = len(a)
+    counts = {name: sum(1 for v in a.values() if v == name) for name in ("train", "val", "test")}
+    assert abs(counts["train"] / n - 0.8) < 0.04
+    assert abs(counts["val"] / n - 0.1) < 0.03
+    assert abs(counts["test"] / n - 0.1) < 0.03
+
+
+# ---- time bucketing + gap fill ----
+
+
+def _events(spark):
+    rows = [
+        ("a", dt.datetime(2026, 1, 1, 0, 15), 1.0),
+        ("a", dt.datetime(2026, 1, 1, 0, 45), 2.0),
+        # hour 1 empty for a
+        ("a", dt.datetime(2026, 1, 1, 2, 5), 4.0),
+        ("b", dt.datetime(2026, 1, 1, 5, 0), 10.0),
+    ]
+    return spark.createDataFrame(rows, "et string, ts timestamp, v double")
+
+
+def test_bucket_rollup_counts(spark):
+    rolled = timeseries.bucket_rollup(
+        _events(spark), "ts", ["et"],
+        [F.count("*").alias("n"), F.sum("v").alias("s")], unit="hour",
+    )
+    got = {(r["et"], r["bucket"].hour): (r["n"], r["s"]) for r in rolled.collect()}
+    assert got == {("a", 0): (2, 3.0), ("a", 2): (1, 4.0), ("b", 5): (1, 10.0)}
+
+
+def test_gap_fill_dense_spine_per_key(spark):
+    rolled = timeseries.bucket_rollup(
+        _events(spark), "ts", ["et"], [F.count("*").alias("n")], unit="hour"
+    )
+    filled = timeseries.gap_fill(
+        rolled, ["et"], {"n": F.lit(0).cast("long")}, unit="hour"
+    ).orderBy("et", "bucket")
+    rows = [(r["et"], r["bucket"].hour, r["n"]) for r in filled.collect()]
+    # a spans hours 0..2 with the empty hour zero-filled; b spans only hour 5
+    assert rows == [("a", 0, 2), ("a", 1, 0), ("a", 2, 1), ("b", 5, 1)]
+
+
+def test_time_bucket_rejects_unknown_unit():
+    with pytest.raises(ValueError):
+        timeseries.time_bucket(F.col("x"), "fortnight")
+
+
+# ---- n-gram shingles ----
+
+
+def test_char_ngrams_normalization(spark):
+    df = spark.createDataFrame([("A  b\tC",), ("ab",), ("hello",)], "t string")
+    got = [r["g"] for r in df.select(dedup.char_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert got[0] == ["a b", " b ", "b c"]  # lowercased, whitespace collapsed
+    assert got[1] == ["ab"]  # shorter than n -> whole text
+    assert got[2] == ["hel", "ell", "llo"]
+
+
+def test_word_ngrams_shingling(spark):
+    df = spark.createDataFrame([("the quick brown fox",), ("one two",)], "t string")
+    got = [r["g"] for r in df.select(dedup.word_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert got[0] == ["the quick brown", "quick brown fox"]
+    assert got[1] == ["one two"]  # fewer than n tokens -> whole sequence
+
+
+def test_jaccard_with_custom_tokens_expr(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef", "x"), (2, "abcdeg", "x"), (3, "zzzzzz", "x")],
+        "id long, text string, blk string",
+    )
+    pairs = dedup.token_jaccard_pairs(
+        df, "id", "text", ["blk"], threshold=0.3,
+        tokens_expr=dedup.char_ngrams(F.col("text"), 3),
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    # abcdef/abcdeg share 3 of 5 distinct shingles -> J = 3/5
+    assert got == {(1, 2): 0.6}
