@@ -47,8 +47,12 @@ def main() -> None:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    _warm = spark.range(8).selectExpr(
-        "array_to_vector(array(cast(id as double), 1.0)) AS features"
+    from pyspark.sql import functions as F
+
+    _warm = spark.range(8).select(
+        array_to_vector(F.array(F.col("id").cast("double"), F.lit(1.0))).alias(
+            "features"
+        )
     )
     KMeans(k=2, maxIter=1, seed=1).fit(_warm)
 

@@ -100,3 +100,34 @@ def test_salted_join_preserves_semantics(spark, sf_dir):
     a = {(r["o_custkey"], r["n"]) for r in plain.collect()}
     b = {(r["o_custkey"], r["n"]) for r in salted.collect()}
     assert a == b
+
+
+def test_q54_pivot_partial_final_agg(spark, sf_dir):
+    plan = plan_of(Q.q54_pivot(spark, sf_dir))
+    # pivot lowers to a regular two-phase hash aggregate — no extra
+    # distinct-values scan because the value list is explicit
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q56_ngram_join_is_not_cartesian(spark, sf_dir):
+    plan = plan_of(Q.q56_ngram_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q57_gapfill_no_unpartitioned_window(spark, sf_dir):
+    plan = plan_of(Q.q57_time_bucket_gapfill(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # every Window node is keyed (no global sort funnel)
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "partitionBy" not in line or "partitionBy []" not in line
+
+
+def test_q58_split_is_single_pass(spark, sf_dir):
+    plan = plan_of(Q.q58_deterministic_split(spark, sf_dir))
+    # one scan, one partial+final agg — the split expr must not force extra
+    # exchanges beyond the groupBy
+    assert plan.count("InMemoryFileIndex") == 1  # exactly one file scan
+    assert plan.count("HashAggregate") >= 2
