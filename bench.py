@@ -42,19 +42,6 @@ def main() -> None:
     # worker pool (first pandas_udf pays ~5s once per session)
     for warm in ("q03_broadcast_join", "q49_grouped_percentiles"):
         QUERIES[warm](spark, sf_dir).write.mode("overwrite").format("noop").save()
-    # ... and a 2-cluster micro-fit absorbs MLlib's one-time class-load so
-    # q48 measures k-means steady-state, not JVM classloader time
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from pyspark.sql import functions as F
-
-    _warm = spark.range(8).select(
-        array_to_vector(F.array(F.col("id").cast("double"), F.lit(1.0))).alias(
-            "features"
-        )
-    )
-    KMeans(k=2, maxIter=1, seed=1).fit(_warm)
 
     for name, fn in sorted(QUERIES.items()):
         t0 = time.perf_counter()

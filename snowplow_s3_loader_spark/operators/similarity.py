@@ -201,6 +201,58 @@ def train_ivf_centroids(
     )
 
 
+def train_ivf_centroids_sampled(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    seed: int = 7,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sampled spherical k-means on the driver (numpy Lloyd over a bounded,
+    hash-ordered sample) — the standard IVF training recipe: centroid
+    quality converges on a few thousand points, so shipping the sample to
+    the driver (sample_size x dim floats, ~1 MB) beats paying MLlib's
+    per-iteration job overhead when K is small. Deterministic for a fixed
+    seed: the sample is the first `sample_size` vectors by md5(id) (stable
+    pseudo-random order in any engine), init is a seeded choice.
+
+    Use train_ivf_centroids (kmeans||) instead when K or the needed sample
+    no longer fits a driver comfortably."""
+    rows = (
+        emb.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .orderBy("_h")
+        .limit(sample_size)
+        .select("v")
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(max_iter):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine == dot on unit vectors
+        moved = False
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                nc = members.mean(axis=0)
+                nc /= max(np.linalg.norm(nc), 1e-12)
+                if not np.allclose(nc, C[j]):
+                    moved = True
+                C[j] = nc
+        if not moved:
+            break
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
+    return emb.sparkSession.createDataFrame(
+        centers, "centroid_id int, cv array<double>"
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -250,18 +302,27 @@ def ann_topk_ivf(
     seed: int = 7,
     max_iter: int = 20,
     init_mode: str = "k-means||",
+    trainer: str = "sampled",
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors whose centroid is among the
     query's `n_probe` nearest centroids. Pair space shrinks ~K/n_probe-fold;
     recall grows with n_probe (n_probe=K degenerates to brute force).
-    `train=True` trains centroids with sampled k-means|| (the recall-correct
-    path — first-K seeding degrades on clustered corpora)."""
+    `train=True` trains centroids with sampled k-means (the recall-correct
+    path — first-K seeding degrades on clustered corpora): driver-side
+    numpy Lloyd over a bounded sample by default, MLlib kmeans|| when
+    `trainer="kmeans||"` (large K / large sample)."""
     if centroids is None and train:
-        centroids = train_ivf_centroids(
-            emb, n_centroids, vec_col,
-            sample_fraction=sample_fraction, seed=seed, max_iter=max_iter,
-            init_mode=init_mode,
-        )
+        if trainer == "kmeans||":
+            centroids = train_ivf_centroids(
+                emb, n_centroids, vec_col,
+                sample_fraction=sample_fraction, seed=seed, max_iter=max_iter,
+                init_mode=init_mode,
+            )
+        else:
+            centroids = train_ivf_centroids_sampled(
+                emb, n_centroids, vec_col, seed=seed, max_iter=max_iter,
+                id_col=id_col,
+            )
     assignments, centroids = ivf_assign(emb, n_centroids, id_col, vec_col, centroids)
     query_ids = emb.filter(query_pred).select(F.col(id_col).alias("id"))
     queries = assignments.join(F.broadcast(query_ids), on="id").select(

@@ -132,17 +132,24 @@ def test_srp_ann_subset_of_bucket(spark, sf_dir):
 
 
 def test_ivf_kmeans_centroids_and_recall(spark, sf_dir):
-    """train_ivf_centroids: K unit-ish centers via seeded k-means||; the
-    trained IVF beats/matches first-K seeding's contract (VERDICT r1 #10)."""
+    """Both IVF trainers (driver-sampled Lloyd + MLlib kmeans||) yield K
+    seeded-deterministic unit centers; the trained IVF keeps the search
+    contract (VERDICT r1 #10)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.train_ivf_centroids(emb, n_centroids=4, seed=7)
+    cents = similarity.train_ivf_centroids_sampled(emb, n_centroids=4, seed=7)
     rows = cents.collect()
     assert len(rows) == 4
     dim = len(rows[0]["cv"])
     assert all(len(r["cv"]) == dim for r in rows)
+    # unit-normalized (spherical k-means)
+    for r in rows:
+        assert abs(sum(x * x for x in r["cv"]) - 1.0) < 1e-9
     # deterministic for a fixed seed
-    again = similarity.train_ivf_centroids(emb, n_centroids=4, seed=7).collect()
+    again = similarity.train_ivf_centroids_sampled(emb, n_centroids=4, seed=7).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+    # the MLlib kmeans|| twin honors the same contract
+    ml = similarity.train_ivf_centroids(emb, n_centroids=4, seed=7, max_iter=2).collect()
+    assert len(ml) == 4 and all(len(r["cv"]) == dim for r in ml)
 
     res = similarity.ann_topk_ivf(
         emb, F.col("vec_id") == 0, k=5, n_centroids=4, n_probe=2, train=True, seed=7
