@@ -28,13 +28,17 @@ class ConfigError(ValueError):
 class InputConfig:
     """Source config (reference config.aws.reference.hocon:7-64)."""
 
-    kind: str = "file"  # file | kinesis | rate (kinesis gated on connector jar)
+    kind: str = "file"  # file | kinesis | rate
     stream_name: str | None = None
     app_name: str = "snowplow-s3-loader-spark"
     initial_position: str = "TRIM_HORIZON"  # TRIM_HORIZON | LATEST | AT_TIMESTAMP
     path: str | None = None  # file source directory
     max_records: int = 750  # Polling retrieval maxRecords (hocon:32)
     region: str | None = None
+    # python kinesis source: "module:callable" building the wire client
+    # (None -> boto3); extra reader options passed through verbatim
+    client_factory: str | None = None
+    options: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -195,6 +199,8 @@ def from_dict(raw: dict) -> LoaderConfig:
         path=inp.get("path"),
         max_records=int(inp.get("retrievalMode", {}).get("maxRecords", cfg.input.max_records)),
         region=inp.get("region"),
+        client_factory=inp.get("clientFactory"),
+        options=dict(inp.get("options", {}) or {}),
     )
     good = raw.get("output", {}).get("good", {})
     cfg.good = GoodOutputConfig(

@@ -64,8 +64,10 @@ def kinesis_stream(
     )
     if cfg.region:
         reader = reader.option("region", cfg.region)
-    if client_factory:
-        reader = reader.option("clientFactory", client_factory)
+    if client_factory or cfg.client_factory:
+        reader = reader.option("clientFactory", client_factory or cfg.client_factory)
+    for k, v in (cfg.options or {}).items():
+        reader = reader.option(k, str(v))
     return reader.load().select(F.col("payload"))
 
 

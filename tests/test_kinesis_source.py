@@ -275,3 +275,101 @@ def test_spark_stream_end_to_end_with_checkpoint_restart(spark, tmp_path):
         q2.stop()
     all_payloads = [r["payload"] for r in rows_on_disk()]
     assert sorted(all_payloads) == ["a1", "a2", "a3", "b1"]  # a3 once, no replays
+
+
+def test_kinesis_to_loader_pipeline_end_to_end(spark, tmp_path):
+    """Reference parity end-to-end: Kinesis records -> classify -> schema-
+    partitioned gzip files + self-describing bad rows + checkpoint — the
+    reference's whole job (README.md:8-12) against the python Kinesis
+    source, wire faked."""
+    import gzip
+    import os
+
+    from snowplow_s3_loader_spark.config import from_dict
+    from snowplow_s3_loader_spark.sources.streams import kinesis_stream
+    from snowplow_s3_loader_spark.streaming.pipeline import LoaderPipeline
+
+    good_lines = [
+        '{"schema": "iglu:com.example/event1/jsonschema/1-0-0", "data": {"a": 1}}',
+        '{"schema": "iglu:com.example/event1/jsonschema/1-0-0", "data": {"a": 2}}',
+        '{"schema": "iglu:com.example/event2/jsonschema/1-0-0", "data": {}}',
+    ]
+    bad_line = '{"data": {"no": "schema"}}'
+    seed = tmp_path / "seed.json"
+    seed.write_text(
+        json.dumps(
+            {
+                "shards": {
+                    "shardId-0": {"records": [{"Data": ln} for ln in good_lines]},
+                    "shardId-1": {"records": [{"Data": bad_line}]},
+                }
+            }
+        )
+    )
+    cfg = from_dict(
+        {
+            "license": {"accept": "true"},
+            "purpose": "SELF_DESCRIBING",
+            "input": {
+                "kind": "kinesis",
+                "streamName": "snowplow-sdjs",
+                "clientFactory": FACTORY,
+                "options": {"seedFile": str(seed)},
+            },
+            "output": {
+                "good": {"path": str(tmp_path / "out")},
+                "bad": {"kind": "file", "path": str(tmp_path / "bad")},
+            },
+            "batching": {"maxBytes": 67108864, "maxDelay": "1 second"},
+        }
+    )
+    pipeline = LoaderPipeline(spark, cfg)
+    source = kinesis_stream(spark, cfg.input)
+    q = pipeline.run_stream(source, checkpoint=str(tmp_path / "ckpt"))
+
+    def gz_files():
+        out = {}
+        for root, _, names in os.walk(cfg.good.path):
+            if "_staging" in root:  # mid-write batch staging, not committed
+                continue
+            for n in names:
+                if n.endswith(".gz"):
+                    p = os.path.join(root, n)
+                    out[os.path.relpath(p, cfg.good.path)] = gzip.open(p, "rt").read()
+        return out
+
+    def bad_rows():
+        rows = []
+        for root, _, names in os.walk(cfg.bad.path):
+            for n in names:
+                p = os.path.join(root, n)
+                if os.path.isfile(p) and not n.startswith(("_", ".")) and not n.endswith(".crc"):
+                    rows += [json.loads(ln) for ln in open(p) if ln.strip()]
+        return rows
+
+    def committed():
+        # the whole reference side-effect sequence for the batch: good files
+        # renamed into place AND the bad row emitted (stop() mid-batch would
+        # interrupt the in-flight write)
+        return (
+            {os.path.dirname(k) for k in gz_files()}
+            >= {"com.example.event1", "com.example.event2"}
+            and len(bad_rows()) >= 1
+        )
+
+    try:
+        assert _run_until(q, committed), q.lastProgress
+    finally:
+        q.stop()
+
+    files = gz_files()
+    dirs = sorted({os.path.dirname(k) for k in files})
+    assert dirs == ["com.example.event1", "com.example.event2"]
+    all_content = sorted(
+        ln for c in files.values() for ln in c.splitlines()
+    )
+    assert all_content == sorted(good_lines)
+    # the schemaless record landed in the bad sink as a self-describing badrow
+    bad = bad_rows()
+    assert len(bad) == 1
+    assert "badrows/generic_error/" in bad[0]["schema"]
