@@ -661,3 +661,20 @@ SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
        round(avg(strlen(text)), 4) AS avg_len
 FROM assigned GROUP BY split ORDER BY split
 """
+
+ORACLES["q59_map_functions"] = """
+WITH b AS (
+  SELECT o_orderkey,
+         MAP {'status': o_orderstatus, 'pri': o_orderpriority} AS m
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderkey,
+  array_to_string(map_keys(m), ',') AS keys_csv,
+  array_to_string(map_values(m), '|') AS vals_csv,
+  m['status'][1] AS status_val,
+  CAST(cardinality(m) AS INTEGER) AS n_entries,
+  list_contains(map_keys(m), 'pri') AS has_pri,
+  list_contains(map_keys(m), 'clerk') AS has_clerk,
+  CAST(cardinality(map_concat(m, MAP {'extra': 'x'})) AS INTEGER) AS n_after_concat
+FROM b ORDER BY o_orderkey
+"""

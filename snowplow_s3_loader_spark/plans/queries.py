@@ -955,6 +955,29 @@ def q58_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function battery (SS2.3 array/map category): construction,
+    keys/values, lookup, cardinality, containment, concat — all pure JVM
+    expressions."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("pri"), F.col("o_orderpriority"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.array_join(F.map_values(m), "|").alias("vals_csv"),
+        F.element_at(m, "status").alias("status_val"),
+        F.size(m).alias("n_entries"),
+        F.map_contains_key(m, "pri").alias("has_pri"),
+        F.map_contains_key(m, "clerk").alias("has_clerk"),
+        F.size(
+            F.map_concat(m, F.create_map(F.lit("extra"), F.lit("x")))
+        ).alias("n_after_concat"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1016,5 +1039,6 @@ QUERIES = {
         q56_ngram_jaccard,
         q57_time_bucket_gapfill,
         q58_deterministic_split,
+        q59_map_functions,
     ]
 }

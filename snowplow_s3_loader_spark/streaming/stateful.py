@@ -122,3 +122,22 @@ def running_user_counts(
             ),
         )
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    watermark_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of operators.dedup.
+    exact_dedup: the first record per key is emitted, later duplicates are
+    dropped, and (unlike a naive dropDuplicates) the dedup STATE IS BOUNDED:
+    dropDuplicatesWithinWatermark evicts keys once the watermark passes
+    `delay`, so state size tracks the event-time window, not the full
+    stream history. At 100 TB/day this is the difference between a working
+    pipeline and an OOM — pick `delay` = the max expected duplicate skew
+    (e.g. the Kinesis producer's retry horizon)."""
+    return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
