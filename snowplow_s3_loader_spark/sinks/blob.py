@@ -56,11 +56,41 @@ class BlobWriteResult:
     files: list[WrittenFile] = field(default_factory=list)
 
 
-def _move_one(job: tuple[str, str]) -> tuple[str, int]:
-    """Executor-side rename of one staged file (local-FS stand-in for the
-    Hadoop FileSystem rename — on S3A a server-side copy). exist_ok makes the
-    mkdir race-safe across concurrent tasks."""
+def _parse_s3_uri(uri: str) -> tuple[str, str]:
+    from urllib.parse import urlparse
+
+    p = urlparse(uri)
+    return p.netloc, p.path.lstrip("/")
+
+
+def _move_one(job: tuple[str, str], s3_client: object | None = None) -> tuple[str, int]:
+    """Executor-side rename of one staged file.
+
+    Local paths: an actual filesystem move (exist_ok makes the mkdir
+    race-safe across concurrent tasks). s3://-style paths: S3 has no
+    rename, so server-side CopyObject + DeleteObject — one API call pair
+    per file from each task in parallel, exactly the reference's
+    one-PutObject-per-file uploader shape (Processing.scala:287-289).
+    `s3_client` is injectable for tests; default is boto3 (env-gated)."""
     src, dst = job
+    if dst.startswith(("s3://", "s3a://")):
+        if s3_client is None:
+            try:
+                import boto3  # optional — not in the base image
+            except ImportError as e:  # pragma: no cover - env gate
+                raise NotImplementedError(
+                    "s3 blob rename requires boto3 (or run with a local "
+                    "output path / keep part-file names)"
+                ) from e
+            s3_client = boto3.client("s3")
+        src_b, src_k = _parse_s3_uri(src)
+        dst_b, dst_k = _parse_s3_uri(dst)
+        s3_client.copy_object(
+            Bucket=dst_b, Key=dst_k, CopySource={"Bucket": src_b, "Key": src_k}
+        )
+        head = s3_client.head_object(Bucket=dst_b, Key=dst_k)
+        s3_client.delete_object(Bucket=src_b, Key=src_k)
+        return dst, int(head["ContentLength"])
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     shutil.move(src, dst)
     return dst, os.path.getsize(dst)

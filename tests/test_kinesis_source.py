@@ -373,3 +373,27 @@ def test_kinesis_to_loader_pipeline_end_to_end(spark, tmp_path):
     bad = bad_rows()
     assert len(bad) == 1
     assert "badrows/generic_error/" in bad[0]["schema"]
+
+
+def test_reader_drains_50k_records_across_shards():
+    """Mini-soak: 50k records over 4 shards drain exactly-once through the
+    budgeted poll loop at a usable rate (wire is in-memory, so this bounds
+    reader-side overhead only)."""
+    c = FakeKinesisClient("s")
+    n_shards, total = 4, 50_000
+    for i in range(total):
+        c.put(f"shardId-{i % n_shards}", b"x%d" % i)
+    r = _reader(c, maxRecords=10_000, maxPollsPerShard=100)
+    seen = []
+    off = r.initialOffset()
+    t0 = time.monotonic()
+    for _ in range(20):
+        rows, off = r.read(off)
+        rows = list(rows)
+        if not rows:
+            break
+        seen.extend(rows)
+    elapsed = time.monotonic() - t0
+    assert len(seen) == total  # exactly once, nothing lost
+    assert len({row[2] + row[4] for row in seen}) == total  # unique (seq, shard)
+    assert elapsed < 20, f"reader too slow: {elapsed:.1f}s for {total} records"
