@@ -120,3 +120,85 @@ def frame_sample(media: DataFrame, every_n_chunks: int = 4) -> DataFrame:
             ).alias("chunk"),
         )
     )
+
+
+def fake_decode_image(payload: bytes, width: int = 16, height: int = 16,
+                      channels: int = 3):
+    """Deterministic stand-in decoder (container has no PIL): expand the
+    payload into an (H, W, C) uint8 array via an md5-keyed byte stream.
+    Same output shape/dtype a real decode produces, so every downstream
+    stage (resize, channel stats, batching) runs the real array math."""
+    import numpy as np
+
+    need = width * height * channels
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        # ASCII counter key (not raw bytes): reproducible from any engine
+        # that can md5 strings (the DuckDB oracle recomputes this stream)
+        out += hashlib.md5(payload + b":%d" % counter).digest()
+        counter += 1
+    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(
+        (height, width, channels)
+    )
+
+
+def downsample_image(img, factor: int = 2):
+    """Mean-pool downsample (the resize step of a training pipeline) —
+    pure numpy, works on real or fake-decoded arrays."""
+    h, w, c = img.shape
+    h2, w2 = h // factor, w // factor
+    return (
+        img[: h2 * factor, : w2 * factor]
+        .reshape(h2, factor, w2, factor, c)
+        .mean(axis=(1, 3))
+    )
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mean_r", StringType()),
+        StructField("mean_g", StringType()),
+        StructField("mean_b", StringType()),
+        StructField("ds_height", IntegerType()),
+        StructField("ds_width", IntegerType()),
+    ]
+)
+
+
+def image_channel_stats(
+    media: DataFrame, width: int = 16, height: int = 16, factor: int = 2
+) -> DataFrame:
+    """Decode -> downsample -> per-channel stats over Arrow batches: the
+    full shape of an image training-data stage (N x H x W x C array math
+    per batch, nothing per-row in Python-object land). Uses the
+    deterministic fake decoder; swap fake_decode_image for a PIL decode and
+    nothing else changes."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            imgs = np.stack(
+                [fake_decode_image(b, width, height) for b in pdf["payload"]]
+            )  # (N, H, W, C) — one vectorized block per Arrow batch
+            ds = (
+                imgs[:, : (height // factor) * factor, : (width // factor) * factor]
+                .reshape(len(pdf), height // factor, factor, width // factor, factor, 3)
+                .mean(axis=(2, 4))
+            )
+            means = ds.mean(axis=(1, 2))  # (N, C)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mean_r": [f"{m:.4f}" for m in means[:, 0]],
+                    "mean_g": [f"{m:.4f}" for m in means[:, 1]],
+                    "mean_b": [f"{m:.4f}" for m in means[:, 2]],
+                    "ds_height": np.full(len(pdf), height // factor, dtype="int32"),
+                    "ds_width": np.full(len(pdf), width // factor, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)

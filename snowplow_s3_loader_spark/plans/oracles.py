@@ -678,3 +678,23 @@ SELECT o_orderkey,
   CAST(cardinality(map_concat(m, MAP {'extra': 'x'})) AS INTEGER) AS n_after_concat
 FROM b ORDER BY o_orderkey
 """
+
+# recompute fake_decode_image's md5-keyed pixel stream in SQL: 48 digests of
+# md5(text || ':' || i), 16 bytes each = 768 bytes = one 16x16x3 image;
+# channel = position % 3; mean-pool by 2 preserves exact channel means
+# (integer sums / 256, exact in float64 in both engines)
+ORACLES["q60_image_stats"] = """
+WITH m AS (SELECT doc_id AS media_id, text AS p FROM documents WHERE doc_id % 20 = 0),
+d AS (SELECT media_id, i, md5(p || ':' || CAST(i AS VARCHAR)) AS hx
+      FROM m, (SELECT unnest(range(48)) AS i)),
+b AS (SELECT media_id, i*16 + j AS pos,
+             CAST('0x' || substr(hx, CAST(j*2+1 AS INT), 2) AS INT) AS byte
+      FROM d, (SELECT unnest(range(16)) AS j)),
+ch AS (SELECT media_id, pos % 3 AS c, avg(byte) AS mean FROM b GROUP BY 1, 2)
+SELECT media_id,
+  printf('%.4f', max(CASE WHEN c=0 THEN mean END)) AS mean_r,
+  printf('%.4f', max(CASE WHEN c=1 THEN mean END)) AS mean_g,
+  printf('%.4f', max(CASE WHEN c=2 THEN mean END)) AS mean_b,
+  8 AS ds_height, 8 AS ds_width
+FROM ch GROUP BY media_id ORDER BY media_id
+"""

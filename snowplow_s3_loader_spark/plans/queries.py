@@ -978,6 +978,16 @@ def q59_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def q60_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode->downsample->stats pipeline over Arrow batches
+    (mapInPandas, N x H x W x C array math per batch). The deterministic
+    fake decoder is md5-stream-keyed, so the DuckDB oracle recomputes the
+    EXACT pixel stream in SQL — even the stubbed decode is hash-checked."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    media = multimodal.to_media(docs, "doc_id", "text", "image/fake")
+    return multimodal.image_channel_stats(media).orderBy("media_id")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1040,5 +1050,6 @@ QUERIES = {
         q57_time_bucket_gapfill,
         q58_deterministic_split,
         q59_map_functions,
+        q60_image_stats,
     ]
 }

@@ -116,3 +116,38 @@ def test_jaccard_with_custom_tokens_expr(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     # abcdef/abcdeg share 3 of 5 distinct shingles -> J = 3/5
     assert got == {(1, 2): 0.6}
+
+
+# ---- multimodal fake-decode pipeline ----
+
+
+def test_fake_decode_and_downsample_shapes():
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators import multimodal
+
+    img = multimodal.fake_decode_image(b"payload", 16, 16, 3)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    # deterministic
+    again = multimodal.fake_decode_image(b"payload", 16, 16, 3)
+    assert (img == again).all()
+    assert not (img == multimodal.fake_decode_image(b"other", 16, 16, 3)).all()
+    ds = multimodal.downsample_image(img, 2)
+    assert ds.shape == (8, 8, 3)
+    # mean-pool preserves the global mean
+    assert abs(ds.mean() - img.mean()) < 1e-9
+
+
+def test_image_channel_stats_batch_pipeline(spark):
+    from snowplow_s3_loader_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, b"img-a"), (2, b"img-b"), (3, b"img-a")], "media_id long, payload binary"
+    )
+    media = multimodal.to_media(df, "media_id", "payload", "image/fake")
+    got = {r["media_id"]: r for r in multimodal.image_channel_stats(media).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["ds_height"] == 8 and got[1]["ds_width"] == 8
+    # same payload -> same stats; different payload -> different
+    assert got[1]["mean_r"] == got[3]["mean_r"]
+    assert got[1]["mean_r"] != got[2]["mean_r"] or got[1]["mean_g"] != got[2]["mean_g"]
