@@ -235,18 +235,23 @@ def test_spark_stream_end_to_end_with_checkpoint_restart(spark, tmp_path):
         )
 
     def rows_on_disk():
-        return [
-            json.loads(ln)
-            for p in sorted(out_dir.glob("*.json"))
-            for ln in p.read_text().splitlines()
-            if ln.strip()
-        ]
+        rows = []
+        for p in sorted(out_dir.glob("*.json")):
+            for ln in p.read_text().splitlines():
+                if not ln.strip():
+                    continue
+                try:
+                    rows.append(json.loads(ln))
+                except json.JSONDecodeError:
+                    return rows[: len(rows)]  # partially-flushed file: retry
+        return rows
 
     q = start_query()
     try:
         assert _run_until(q, lambda: len(rows_on_disk()) >= 3), q.lastProgress
     finally:
         q.stop()
+        q.awaitTermination(30)  # full shutdown before the restart below
     got = {r["payload"] for r in rows_on_disk()}
     assert got == {"a1", "a2", "b1"}
 
@@ -273,6 +278,7 @@ def test_spark_stream_end_to_end_with_checkpoint_restart(spark, tmp_path):
         assert _run_until(q2, lambda: len(rows_on_disk()) >= 4), q2.lastProgress
     finally:
         q2.stop()
+        q2.awaitTermination(30)
     all_payloads = [r["payload"] for r in rows_on_disk()]
     assert sorted(all_payloads) == ["a1", "a2", "a3", "b1"]  # a3 once, no replays
 
