@@ -235,16 +235,18 @@ def test_spark_stream_end_to_end_with_checkpoint_restart(spark, tmp_path):
         )
 
     def rows_on_disk():
-        rows = []
-        for p in sorted(out_dir.glob("*.json")):
-            for ln in p.read_text().splitlines():
-                if not ln.strip():
-                    continue
-                try:
-                    rows.append(json.loads(ln))
-                except json.JSONDecodeError:
-                    return rows[: len(rows)]  # partially-flushed file: retry
-        return rows
+        # read through Spark: the streaming file sink's exactly-once
+        # guarantee lives in its _spark_metadata manifest — a raw glob
+        # also sees part-files of replayed-but-uncommitted batches
+        # (at-least-once on disk, exactly-once through the manifest)
+        if not out_dir.exists():
+            return []
+        try:
+            return [
+                r.asDict() for r in spark.read.json(str(out_dir)).collect()
+            ]
+        except Exception:
+            return []  # sink not initialized yet
 
     q = start_query()
     try:
