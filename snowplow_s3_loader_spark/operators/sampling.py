@@ -66,3 +66,39 @@ def deterministic_split(
 ) -> DataFrame:
     """Add a reproducible split assignment column keyed on a stable id."""
     return df.withColumn(out_col, split_column(F.col(id_col), splits, hex_chars))
+
+
+def stratified_sample_column(
+    id_col: Column, class_col: Column, fractions: dict[str, float], hex_chars: int = 4
+) -> Column:
+    """Keep-flag for a deterministic per-class sample (the reproducible twin
+    of DataFrame.sampleBy): a row survives iff the leading md5 hex of its id
+    falls under its class's threshold. Same id + class -> same decision in
+    any engine, any row order, any partitioning. Classes absent from
+    `fractions` are dropped."""
+    space = 16**hex_chars
+    h = F.substring(F.md5(id_col.cast("string")), 1, hex_chars)
+    expr = None
+    for cls, frac in fractions.items():
+        if frac >= 1.0:
+            bound = "g" * hex_chars  # 'g' > 'f': keeps every hex string
+        else:
+            bound = format(int(frac * space), f"0{hex_chars}x")
+        cond = (class_col == cls) & (h < F.lit(bound))
+        expr = cond if expr is None else (expr | cond)
+    return expr if expr is not None else F.lit(False)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    fractions: dict[str, float],
+    hex_chars: int = 4,
+) -> DataFrame:
+    """Filter to a reproducible stratified sample: per-class keep rates for
+    balancing a training mix (e.g. downsample over-represented languages).
+    One narrow filter, pushdown-friendly, no shuffle, no RNG state."""
+    return df.filter(
+        stratified_sample_column(F.col(id_col), F.col(class_col), fractions, hex_chars)
+    )

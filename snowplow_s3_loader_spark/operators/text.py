@@ -120,3 +120,35 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         predicted_lang(t).alias("pred_lang"),
         fingerprint(t).alias("fp"),
     )
+
+
+def pack_sequences(
+    df,
+    order_cols: list[str],
+    token_count_col,
+    budget: int,
+    group_cols: list[str] | None = None,
+    pack_col: str = "pack_id",
+):
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining pack
+    layout: documents are laid end-to-end in a deterministic order and the
+    token stream is cut every `budget` tokens; a document belongs to the
+    pack its START offset falls into.
+
+    pack_id = floor((cumsum(tokens) - tokens) / budget), a window cumsum —
+    one shuffle on the grouping keys, no stateful iteration. With
+    `group_cols` the stream (and the window partition) is per group, which
+    is also what bounds the window at scale: pack within shards/languages,
+    never over one global ordering.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    group_cols = group_cols or []
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start_offset = F.sum(token_count_col).over(w) - token_count_col
+    return df.withColumn(
+        pack_col, F.floor(start_offset / F.lit(budget)).cast("long")
+    ).withColumn("pack_offset", (start_offset % F.lit(budget)).cast("long"))

@@ -698,3 +698,32 @@ SELECT media_id,
   8 AS ds_height, 8 AS ds_width
 FROM ch GROUP BY media_id ORDER BY media_id
 """
+
+ORACLES["q61_stratified_sample"] = """
+WITH kept AS (
+  SELECT doc_id, lang FROM documents
+  WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+     OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'gggg')
+     OR (lang = 'fr' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+)
+SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["q62_sequence_packing"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_TOKS}) AS INTEGER) AS n_tokens FROM documents
+),
+p AS (
+  SELECT lang, n_tokens,
+    CAST((sum(n_tokens) OVER w - n_tokens) // 2048 AS BIGINT) AS pack_id,
+    CAST((sum(n_tokens) OVER w - n_tokens) % 2048 AS BIGINT) AS pack_offset
+  FROM t
+  WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT lang, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(pack_offset) AS first_offset
+FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id
+"""

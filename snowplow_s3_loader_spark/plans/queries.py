@@ -988,6 +988,45 @@ def q60_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_channel_stats(media).orderBy("media_id")
 
 
+def q61_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-mix balancing): per-lang
+    keep rates via md5-threshold — the reproducible, engine-portable twin of
+    sampleBy. Aggregated per class to show realized rates."""
+    from snowplow_s3_loader_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 1.0, "fr": 0.25}
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang")
+    )
+
+
+def q62_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (LLM pretraining pack layout):
+    per-lang token streams cut every 2048 tokens; each doc carries its
+    pack id + offset. Returns per-pack stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = text.pack_sequences(
+        with_tokens, ["doc_id"], F.col("n_tokens"), budget=2048, group_cols=["lang"]
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("pack_offset").alias("first_offset"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1051,5 +1090,7 @@ QUERIES = {
         q58_deterministic_split,
         q59_map_functions,
         q60_image_stats,
+        q61_stratified_sample,
+        q62_sequence_packing,
     ]
 }

@@ -151,3 +151,45 @@ def test_image_channel_stats_batch_pipeline(spark):
     # same payload -> same stats; different payload -> different
     assert got[1]["mean_r"] == got[3]["mean_r"]
     assert got[1]["mean_r"] != got[2]["mean_r"] or got[1]["mean_g"] != got[2]["mean_g"]
+
+
+# ---- stratified sampling + sequence packing ----
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "fr")) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sampling.stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5, "de": 1.0, "fr": 0.1}
+    )
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_en = sum(1 for _, l in rows if l == "en")
+    n_de = sum(1 for _, l in rows if l == "de")
+    n_fr = sum(1 for _, l in rows if l == "fr")
+    assert abs(got["en"] / n_en - 0.5) < 0.05
+    assert got["de"] == n_de  # fraction 1.0 keeps everything
+    assert abs(got["fr"] / n_fr - 0.1) < 0.05
+    # deterministic under reordering/repartition
+    again = sampling.stratified_sample(
+        df.orderBy(F.desc("doc_id")).repartition(5), "doc_id", "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.1},
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    from snowplow_s3_loader_spark.operators import text as text_ops
+
+    rows = [(1, "a", 1000), (2, "a", 1000), (3, "a", 500), (4, "a", 700), (5, "b", 3000)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, n int")
+    packed = text_ops.pack_sequences(df, ["doc_id"], F.col("n"), budget=2048, group_cols=["g"])
+    got = {r["doc_id"]: (r["pack_id"], r["pack_offset"]) for r in packed.collect()}
+    # stream a: offsets 0,1000,2000,2500 -> packs 0,0,0,1(offset 452)
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 1000)
+    assert got[3] == (0, 2000)  # starts inside pack 0 even though it spills
+    assert got[4] == (1, 452)  # 2500 % 2048
+    # stream b independent
+    assert got[5] == (0, 0)
