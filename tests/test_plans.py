@@ -131,3 +131,22 @@ def test_q58_split_is_single_pass(spark, sf_dir):
     # exchanges beyond the groupBy
     assert plan.count("InMemoryFileIndex") == 1  # exactly one file scan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q61_stratified_sample_filter_at_scan(spark, sf_dir):
+    plan = plan_of(Q.q61_stratified_sample(spark, sf_dir))
+    # the md5-threshold keep-flag is a plain filter over one scan: no
+    # shuffle before the aggregation, no Python
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "Filter" in plan and "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q62_packing_single_partitioned_window(spark, sf_dir):
+    plan = plan_of(Q.q62_sequence_packing(spark, sf_dir))
+    # one keyed window (per-lang cumsum), no global sort funnel
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "Arguments" in line and "windowspecdefinition" in line.lower():
+            assert "lang" in line
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
