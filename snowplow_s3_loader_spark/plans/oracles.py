@@ -727,3 +727,29 @@ SELECT lang, pack_id, count(*) AS n_docs,
        min(pack_offset) AS first_offset
 FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id
 """
+
+ORACLES["q63_regexp_functions"] = r"""
+SELECT o_orderkey,
+  regexp_extract(o_orderpriority, '^(\d+)-(\w+)$', 1) AS pri_num,
+  regexp_extract(o_orderpriority, '^(\d+)-(\w+)$', 2) AS pri_word,
+  regexp_matches(o_orderpriority, '^[12]-') AS is_high,
+  CAST(len(regexp_extract_all(o_orderpriority, '[AEIOU]')) AS INTEGER) AS n_vowels,
+  array_to_string(regexp_extract_all(o_orderpriority, '[A-Z]+'), '_') AS caps,
+  regexp_replace(o_orderpriority, '\d', '#', 'g') AS masked
+FROM orders WHERE o_orderkey % 50 = 0
+ORDER BY o_orderkey
+"""
+
+ORACLES["q64_conditional_functions"] = """
+SELECT l_orderkey, l_linenumber,
+  nullif(l_returnflag, 'N') AS flag_or_null,
+  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_filled,
+  CASE WHEN nullif(l_returnflag, 'N') IS NOT NULL THEN 'returned' ELSE 'kept' END AS nvl2_tag,
+  greatest(l_quantity, l_discount * 100) AS greatest_v,
+  least(round(l_extendedprice, 0), 10000.0::DOUBLE) AS least_v,
+  CASE WHEN l_quantity < 10 THEN 'small'
+       WHEN l_quantity < 30 THEN 'medium'
+       ELSE 'large' END AS size_band
+FROM lineitem WHERE l_orderkey % 200 = 0
+ORDER BY l_orderkey, l_linenumber
+"""

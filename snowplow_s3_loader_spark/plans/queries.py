@@ -1027,6 +1027,45 @@ def q62_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp battery: extract (by group), extract_all, rlike, count,
+    pattern replace — all JVM regexp expressions."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    pri = F.col("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        F.regexp_extract(pri, r"^(\d+)-(\w+)$", 1).alias("pri_num"),
+        F.regexp_extract(pri, r"^(\d+)-(\w+)$", 2).alias("pri_word"),
+        pri.rlike(r"^[12]-").alias("is_high"),
+        F.regexp_count(pri, F.lit(r"[AEIOU]")).cast("int").alias("n_vowels"),
+        F.array_join(F.regexp_extract_all(pri, F.lit(r"[A-Z]+"), 0), "_").alias("caps"),
+        F.regexp_replace(pri, r"\d", "#").alias("masked"),
+    ).orderBy("o_orderkey")
+
+
+def q64_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling battery: nullif, coalesce, nvl2,
+    greatest/least, CASE chains."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"),
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")
+        ).alias("flag_filled"),
+        F.nvl2(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("returned"), F.lit("kept")
+        ).alias("nvl2_tag"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("greatest_v"),
+        F.least(F.round("l_extendedprice", 0), F.lit(10_000.0)).alias("least_v"),
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("size_band"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1092,5 +1131,7 @@ QUERIES = {
         q60_image_stats,
         q61_stratified_sample,
         q62_sequence_packing,
+        q63_regexp_functions,
+        q64_conditional_functions,
     ]
 }
