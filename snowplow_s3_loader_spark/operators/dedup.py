@@ -129,11 +129,31 @@ def minhash_bands(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
-    Join is co-partitioned on (band_id, band_hash) — never all-pairs."""
+    Join is co-partitioned on (band_id, band_hash) — never all-pairs.
+
+    `max_bucket_size` caps the hot-bucket blowup: a bucket holding B docs
+    emits B^2/2 pairs, and large exact-duplicate clusters (boilerplate at
+    corpus scale) share EVERY band, going quadratic — measured 6.7M -> 674M
+    candidates on a 10x corpus of 10-clone clusters. Buckets above the cap
+    are dropped from candidate generation; their members are near-identical
+    cliques that exact dedup (one hash groupBy) already collapses upstream,
+    which is the standard LSH pipeline ordering. None = exact contract
+    (every co-bucketed pair)."""
     a = bands.alias("a")
     b = bands.alias("b")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_hash")
+        bands_capped = (
+            bands.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+        a = bands_capped.alias("a")
+        b = bands_capped.alias("b")
     return (
         a.join(b, on=["band_id", "band_hash"])
         .where(F.col("a.id") < F.col("b.id"))

@@ -165,3 +165,20 @@ def test_ivf_kmeans_centroids_and_recall(spark, sf_dir):
         for r in similarity.brute_force_topk(emb, F.col("vec_id") == 0, k=10).collect()
     }
     assert exact & {r["neighbor_id"] for r in res}
+
+
+def test_lsh_bucket_cap_kills_duplicate_cluster_blowup(spark):
+    """A large exact-duplicate cluster shares every band -> quadratic
+    candidates; max_bucket_size drops those buckets while distinct
+    near-dup pairs elsewhere survive."""
+    rows = [(i, "boilerplate header terms of service apply") for i in range(40)]
+    rows += [(100, "unique quick brown fox document one"),
+             (101, "unique quick brown fox document two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = dedup.minhash_bands(df, "doc_id", "text", n_hashes=16, band_size=4)
+    uncapped = dedup.lsh_candidate_pairs(bands).count()
+    capped = dedup.lsh_candidate_pairs(bands, max_bucket_size=10)
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert uncapped >= 40 * 39 // 2  # clone clique went quadratic
+    assert (100, 101) in capped_pairs  # real near-dup pair survives the cap
+    assert all(a >= 100 for a, _ in capped_pairs)  # clique buckets dropped
