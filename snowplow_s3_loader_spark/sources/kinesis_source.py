@@ -2,23 +2,34 @@
 jar needed) — the reference's primary input (AwsApp.scala:19-23, input
 config config.aws.reference.hocon:7-64).
 
-The reference consumes Kinesis through a single KCL worker per pod
-(common-streams kinesis factory); this reader mirrors that consumption
-model: one polling consumer (the Spark driver) walks every open shard each
-micro-batch with GetRecords, and Spark distributes the fetched records to
-executors for the parse/classify/sink stages. Offsets are per-shard
-sequence numbers checkpointed by Structured Streaming, giving the same
-resume-from-checkpoint semantics as the reference's DynamoDB lease table
-(initialPosition honored only on first run, hocon:14-22).
+Two reader modes are provided:
 
-Scale note: driver-side polling is bounded by Kinesis's own per-shard read
-cap (2 MiB/s × shards), which a single poller saturates for the shard
-counts a single reference pod handles; for massively-sharded streams the
-JVM connector-jar path in streams.py remains the scale-out route. The
-executor-side pipeline (decompress/parse/write) is unaffected — it scales
-with the cluster either way.
+* **Driver polling** (``KinesisPollingReader``, the default wire format):
+  one polling consumer (the Spark driver) walks every open shard each
+  micro-batch with GetRecords; Spark distributes the fetched records to
+  executors for the parse/classify/sink stages. Offsets are per-shard
+  sequence numbers, so recovery replay is *sequence-anchored and exact*:
+  ``readBetweenOffsets`` re-reads precisely the recorded [start, end]
+  range and fails loudly if the range can no longer be served (e.g.
+  trimmed by retention) instead of returning different rows.
 
-The wire client is injected via the `clientFactory` option (a
+* **Partition-per-shard** (``KinesisPartitionedReader``, enabled with
+  ``option("readerMode", "partitioned")``): a full
+  ``DataSourceStreamReader`` that plans one input partition per shard, so
+  *executors* poll Kinesis in parallel — the scale path for
+  massively-sharded streams (the reference scales the same way: one KCL
+  lease per shard spread over a worker fleet). Offsets are arrival-time
+  bounds: batch N reads, per shard, exactly the records with
+  ``prev_bound < ApproximateArrivalTimestamp <= bound``. Replay of a
+  committed batch is deterministic given Kinesis's per-shard monotone
+  arrival timestamps; the bound is held ``skewMarginSeconds`` (default 2)
+  behind the driver clock so records still in flight at plan time land in
+  the next batch instead of falling between bounds. Resharding needs no
+  special casing: parent and child shards are both listed and the time
+  window selects the right records from each. Delivery is at-least-once,
+  the same guarantee the reference offers (README.md:14).
+
+The wire client is injected via the ``clientFactory`` option (a
 "module:callable" path) so every code path — shard discovery, iterator
 typing, budgeted draining, resharding, throttle backoff, replay — is
 unit-tested against an in-memory fake; only the real boto3 call is
@@ -27,12 +38,16 @@ env-gated.
 
 from __future__ import annotations
 
+import datetime as dt
 import importlib
 import time
-from typing import Any, Callable, Iterator, Tuple
+from typing import Any, Callable, Iterator, Sequence, Tuple
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
@@ -57,6 +72,7 @@ SCHEMA = StructType(
 _FRESH = ""  # read from the configured initial position
 _CHILD = "\x00CHILD"  # shard discovered mid-stream (reshard child): TRIM_HORIZON
 _CLOSED = "\x00CLOSED"  # shard fully drained after a reshard
+_MARKERS = (_FRESH, _CHILD, _CLOSED)
 
 
 def _boto3_factory(options: dict) -> Any:
@@ -93,19 +109,12 @@ def _is_throttle(err: Exception) -> bool:
     )
 
 
-class KinesisPollingReader(SimpleDataSourceStreamReader):
-    """Polling reader over all shards of one stream.
-
-    Offset format: ``{"shards": {shard_id: sequence_number | "" | CLOSED}}``
-    — "" means the shard hasn't produced a record yet (start from the
-    configured initial position); CLOSED means the shard ended (reshard)
-    and its children are being read instead.
-    """
+class _Wire:
+    """Shared wire-level plumbing: client resolution, throttle retry with
+    exponential backoff (checkpointThrottledBackoffPolicy, hocon:52-55),
+    paginated shard listing."""
 
     def __init__(self, options: dict):
-        # Spark hands DataSource options over as a case-insensitive dict
-        # with lowercased keys; normalize so both direct construction and
-        # the readStream path see the same names
         options = {k.lower(): v for k, v in options.items()}
         self.stream = options.get("streamname") or ""
         if not self.stream:
@@ -120,13 +129,6 @@ class KinesisPollingReader(SimpleDataSourceStreamReader):
         self._factory_path = options.get("clientfactory")
         self._options = dict(options)
         self._client: Any = None
-        # live NextShardIterator per shard, kept across read() calls so a
-        # LATEST-positioned shard doesn't re-seek (and skip records that
-        # arrived between empty polls); purely an optimization — recovery
-        # always goes through sequence numbers
-        self._iters: dict[str, str] = {}
-
-    # -- wire helpers ------------------------------------------------------
 
     def _c(self) -> Any:
         if self._client is None:
@@ -134,8 +136,6 @@ class KinesisPollingReader(SimpleDataSourceStreamReader):
         return self._client
 
     def _call(self, fn: Callable, **kw) -> dict:
-        """Invoke a client method with throttle retry + exponential backoff
-        (checkpointThrottledBackoffPolicy, hocon:52-55)."""
         delay = self.backoff_s
         for attempt in range(self.max_retries + 1):
             try:
@@ -158,9 +158,40 @@ class KinesisPollingReader(SimpleDataSourceStreamReader):
             if not token:
                 return shards
 
-    def _iterator_for(self, shard_id: str, seq: str) -> str:
+
+class KinesisPollingReader(_Wire, SimpleDataSourceStreamReader):
+    """Driver-side polling reader over all shards of one stream.
+
+    Offset format::
+
+        {"shards": {shard_id: sequence_number | "" | CLOSED},
+         "anchors": {shard_id: first_sequence_read}}   # only when needed
+
+    ``""`` means the shard hasn't produced a record yet (start from the
+    configured initial position); CLOSED means the shard ended (reshard)
+    and its children are being read instead. ``anchors`` records, for
+    shards first read from a non-replayable position (LATEST /
+    AT_TIMESTAMP), the first sequence number the batch actually read — so
+    recovery replay can seek AT_SEQUENCE_NUMBER(anchor) instead of
+    re-seeking LATEST (which would skip the original rows).
+    """
+
+    def __init__(self, options: dict):
+        _Wire.__init__(self, options)
+        # live NextShardIterator per shard, kept across read() calls so a
+        # LATEST-positioned shard doesn't re-seek (and skip records that
+        # arrived between empty polls); purely an optimization — recovery
+        # always goes through sequence numbers
+        self._iters: dict[str, str] = {}
+
+    def _iterator_for(
+        self, shard_id: str, seq: str, anchor: str | None = None
+    ) -> str:
         kw: dict = {"StreamName": self.stream, "ShardId": shard_id}
-        if seq and seq not in (_CLOSED, _CHILD):
+        if anchor is not None:
+            kw["ShardIteratorType"] = "AT_SEQUENCE_NUMBER"
+            kw["StartingSequenceNumber"] = anchor
+        elif seq and seq not in (_CLOSED, _CHILD):
             kw["ShardIteratorType"] = "AFTER_SEQUENCE_NUMBER"
             kw["StartingSequenceNumber"] = seq
         elif seq == _CHILD:
@@ -187,12 +218,13 @@ class KinesisPollingReader(SimpleDataSourceStreamReader):
         stop_at: str | None = None,
         use_cache: bool = True,
         max_polls: int | None = None,
+        anchor: str | None = None,
     ) -> tuple[list[Tuple], str]:
         """Read up to `budget` records from one shard; returns (rows,
         final_seq). final_seq is CLOSED when the shard ended."""
         rows: list[Tuple] = []
         it = (self._iters.get(shard_id) if use_cache else None) or self._iterator_for(
-            shard_id, seq
+            shard_id, seq, anchor=anchor
         )
         last = seq
         polls = max_polls if max_polls is not None else self.max_polls_per_shard
@@ -223,7 +255,9 @@ class KinesisPollingReader(SimpleDataSourceStreamReader):
             if it is None:  # shard closed by a reshard and fully drained
                 self._iters.pop(shard_id, None)
                 return rows, _CLOSED
-            if not recs:  # caught up for this trigger
+            # caught up for this trigger: empty poll AND the wire says we
+            # are at the tip (an empty GetRecords mid-stream is legal)
+            if not recs and not resp.get("MillisBehindLatest", 0):
                 break
         return rows, last
 
@@ -236,30 +270,71 @@ class KinesisPollingReader(SimpleDataSourceStreamReader):
             offsets.setdefault(s["ShardId"], _CHILD)
         all_rows: list[Tuple] = []
         out: dict = {}
+        anchors: dict[str, str] = {}
         for shard_id, seq in offsets.items():
             if seq == _CLOSED:
                 out[shard_id] = _CLOSED
                 continue
             rows, final = self._drain_shard(shard_id, seq, self.max_records)
+            if (
+                rows
+                and seq == _FRESH
+                and self.initial_position in ("LATEST", "AT_TIMESTAMP")
+            ):
+                # first data from a non-replayable seek: anchor the range's
+                # first sequence so recovery can replay it exactly
+                anchors[shard_id] = rows[0][2]
             all_rows.extend(rows)
             out[shard_id] = final
-        return iter(all_rows), {"shards": out}
+        end: dict = {"shards": out}
+        if anchors:
+            end["anchors"] = anchors
+        return iter(all_rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         """Deterministic replay for batch recovery: re-read each shard from
-        its start sequence up to (and including) its end sequence."""
+        its start sequence up to (and including) its end sequence.
+
+        Marker semantics (the round-2 replay bug, ADVICE r2): an end offset
+        that is still a marker (FRESH/CHILD) means the batch recorded *no
+        data* for that shard — emit nothing rather than draining whatever
+        happens to be in the shard at recovery time. A shard missing from
+        `start` was first seen during the batch — its range begins at
+        TRIM_HORIZON (or the recorded anchor), never at the configured
+        initial position (a LATEST re-seek would skip the original rows).
+        """
         s_off = start.get("shards", {})
-        e_off = end.get("shards", {})
+        anchors = end.get("anchors", {})
         rows: list[Tuple] = []
-        for shard_id, end_seq in e_off.items():
-            begin = s_off.get(shard_id, _FRESH)
-            if end_seq == begin:
+        for shard_id, end_seq in end.get("shards", {}).items():
+            if end_seq in (_FRESH, _CHILD):
+                continue  # batch recorded no data for this shard
+            begin = s_off.get(shard_id, _CHILD)  # absent => discovered mid-batch
+            if begin == _CLOSED or end_seq == begin:
                 continue  # no progress recorded for this shard in the batch
+            anchor = anchors.get(shard_id) if begin == _FRESH else None
+            if begin == _FRESH and anchor is None and self.initial_position == "LATEST":
+                # anchors are recorded whenever rows flow from a LATEST
+                # seek, so a real end offset without one is a corrupted
+                # checkpoint: a LATEST re-seek would return arbitrary rows,
+                # so fail loudly instead. (TRIM_HORIZON / AT_TIMESTAMP
+                # starts re-seek deterministically and need no anchor.)
+                raise RuntimeError(
+                    f"kinesis_py replay: shard {shard_id} has end offset "
+                    f"{end_seq!r} but no replay anchor for a LATEST start"
+                )
             stop = None if end_seq == _CLOSED else end_seq
-            got, _ = self._drain_shard(
+            got, final = self._drain_shard(
                 shard_id, begin, budget=2**31, stop_at=stop,
-                use_cache=False, max_polls=10_000,
+                use_cache=False, max_polls=10_000, anchor=anchor,
             )
+            if stop is not None and final != stop:
+                # better to fail the recovery than to silently return a
+                # different row set than the original batch
+                raise RuntimeError(
+                    f"kinesis_py replay: shard {shard_id} ended at "
+                    f"{final!r}, expected {stop!r} (records trimmed?)"
+                )
             rows.extend(got)
         return iter(rows)
 
@@ -269,9 +344,151 @@ class KinesisPollingReader(SimpleDataSourceStreamReader):
         pass
 
 
+# ---------------------------------------------------------------------------
+# Partition-per-shard reader: executors poll Kinesis in parallel
+# ---------------------------------------------------------------------------
+
+
+class KinesisShardPartition(InputPartition):
+    def __init__(self, shard_id: str, start_ms: int, end_ms: int, options: dict):
+        self.shard_id = shard_id
+        self.start_ms = start_ms
+        self.end_ms = end_ms
+        self.options = options
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _ts_ms(ts: Any) -> int:
+    if isinstance(ts, dt.datetime):
+        return int(ts.timestamp() * 1000)
+    return int(float(ts) * 1000)
+
+
+# one client per (factory, stream) per executor process — partitions of many
+# micro-batches reuse the connection instead of re-dialing AWS every trigger
+_CLIENT_CACHE: dict = {}
+
+
+def _cached_client(options: dict) -> Any:
+    seed = options.get("seedfile")
+    seed_ver = None
+    if seed:  # fake-wire tests reseed the file; key on its version so a
+        # reused executor worker doesn't serve a stale in-memory fake
+        import os
+
+        try:
+            st = os.stat(seed)
+            seed_ver = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            pass
+    key = (options.get("clientfactory"), options.get("streamname"), seed, seed_ver)
+    if key not in _CLIENT_CACHE:
+        _CLIENT_CACHE[key] = _resolve_factory(options.get("clientfactory"))(options)
+    return _CLIENT_CACHE[key]
+
+
+class KinesisPartitionedReader(_Wire, DataSourceStreamReader):
+    """Scale-out reader: one input partition per shard, polled on
+    executors. See the module docstring for the offset model.
+
+    Offset format: ``{"bound_ms": int}`` — per-batch ranges are
+    ``(prev.bound_ms, this.bound_ms]`` over each shard's (monotone)
+    ApproximateArrivalTimestamp. The driver only ever calls the cheap
+    ``ListShards`` metadata API; all GetRecords traffic happens in tasks.
+    """
+
+    def __init__(self, options: dict):
+        _Wire.__init__(self, options)
+        self.skew_margin_ms = int(
+            float(self._options.get("skewmarginseconds") or 2.0) * 1000
+        )
+        if self.initial_position == "LATEST":
+            self._t0_ms = _now_ms()
+        elif self.initial_position == "AT_TIMESTAMP":
+            ts = self.at_timestamp
+            if isinstance(ts, str) and not ts.replace(".", "").isdigit():
+                ts = dt.datetime.fromisoformat(ts)
+            self._t0_ms = _ts_ms(ts) - 1  # (t0, ...] must include ts itself
+        else:  # TRIM_HORIZON
+            self._t0_ms = 0
+
+    def initialOffset(self) -> dict:
+        return {"bound_ms": self._t0_ms}
+
+    def latestOffset(self) -> dict:
+        # hold the bound skewMargin behind the driver clock so a record
+        # accepted by Kinesis around plan time cannot be stamped below a
+        # bound we already read past (server/driver clock skew)
+        return {"bound_ms": max(self._t0_ms, _now_ms() - self.skew_margin_ms)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        start_ms, end_ms = start["bound_ms"], end["bound_ms"]
+        opts = dict(self._options)
+        return [
+            KinesisShardPartition(s["ShardId"], start_ms, end_ms, opts)
+            for s in self._list_shards()
+        ]
+
+    def read(self, partition: KinesisShardPartition) -> Iterator[Tuple]:  # executor-side
+        opts = partition.options
+        start_ms, end_ms = partition.start_ms, partition.end_ms
+        if end_ms <= start_ms:
+            return
+        wire = _Wire(opts)
+        wire._client = _cached_client({k.lower(): v for k, v in opts.items()})
+        kw: dict = {"StreamName": wire.stream, "ShardId": partition.shard_id}
+        if start_ms <= 0:
+            kw["ShardIteratorType"] = "TRIM_HORIZON"
+        else:
+            kw["ShardIteratorType"] = "AT_TIMESTAMP"
+            kw["Timestamp"] = dt.datetime.fromtimestamp(
+                start_ms / 1000, tz=dt.timezone.utc
+            )
+        it = wire._call(wire._c().get_shard_iterator, **kw)["ShardIterator"]
+        # the range end is a wall-clock bound already in the past, so the
+        # drain MUST reach it; the poll cap only guards a wedged wire
+        for _ in range(10_000):
+            if it is None:
+                return  # shard closed and fully drained
+            resp = wire._call(wire._c().get_records, ShardIterator=it, Limit=10_000)
+            recs = resp.get("Records", [])
+            it = resp.get("NextShardIterator")
+            for r in recs:
+                ts = r.get("ApproximateArrivalTimestamp")
+                ms = _ts_ms(ts) if ts is not None else 0
+                if ms <= start_ms:
+                    continue  # boundary record already owned by a prior batch
+                if ms > end_ms:
+                    return  # beyond this batch's bound (per-shard monotone ts)
+                yield (
+                    bytes(r["Data"]),
+                    r.get("PartitionKey"),
+                    r["SequenceNumber"],
+                    ts,
+                    partition.shard_id,
+                )
+            if not recs and not resp.get("MillisBehindLatest", 0):
+                return  # at the tip: everything <= end_ms has been read
+        raise RuntimeError(
+            f"kinesis_py partitioned read: shard {partition.shard_id} did not "
+            f"reach bound {end_ms} within the poll cap"
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class KinesisPythonDataSource(DataSource):
     """`spark.readStream.format("kinesis_py")` — register with
-    `spark.dataSource.register(KinesisPythonDataSource)`."""
+    `spark.dataSource.register(KinesisPythonDataSource)`.
+
+    Default reader is the driver-polling one (exact sequence-anchored
+    replay); pass ``option("readerMode", "partitioned")`` for the
+    partition-per-shard executor-polling reader (scale path).
+    """
 
     @classmethod
     def name(cls) -> str:
@@ -279,6 +496,14 @@ class KinesisPythonDataSource(DataSource):
 
     def schema(self) -> StructType:
         return SCHEMA
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        opts = {k.lower(): v for k, v in dict(self.options).items()}
+        if (opts.get("readermode") or "").lower() == "partitioned":
+            return KinesisPartitionedReader(dict(self.options))
+        raise PySparkNotImplementedError(  # fall back to simpleStreamReader
+            errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+        )
 
     def simpleStreamReader(self, schema: StructType) -> KinesisPollingReader:
         return KinesisPollingReader(dict(self.options))

@@ -53,7 +53,13 @@ class FakeKinesisClient:
     def create_shard(self, shard_id: str) -> None:
         self.shards.setdefault(shard_id, {"records": [], "closed": False})
 
-    def put(self, shard_id: str, data: bytes, partition_key: str = "pk") -> str:
+    def put(
+        self,
+        shard_id: str,
+        data: bytes,
+        partition_key: str = "pk",
+        arrival: dt.datetime | None = None,
+    ) -> str:
         with self._lock:
             self.create_shard(shard_id)
             # per-shard sequence numbers: deterministic for a given shard's
@@ -67,7 +73,11 @@ class FakeKinesisClient:
                     "SequenceNumber": seq,
                     "Data": data,
                     "PartitionKey": partition_key,
-                    "ApproximateArrivalTimestamp": _EPOCH + dt.timedelta(seconds=n),
+                    "ApproximateArrivalTimestamp": (
+                        arrival
+                        if arrival is not None
+                        else _EPOCH + dt.timedelta(seconds=n)
+                    ),
                 }
             )
             return seq
@@ -98,10 +108,13 @@ class FakeKinesisClient:
             pos = 0
         elif ShardIteratorType == "LATEST":
             pos = len(recs)
-        elif ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
+        elif ShardIteratorType in ("AFTER_SEQUENCE_NUMBER", "AT_SEQUENCE_NUMBER"):
+            at = ShardIteratorType == "AT_SEQUENCE_NUMBER"
             pos = len(recs)
             for i, r in enumerate(recs):
-                if r["SequenceNumber"] > (StartingSequenceNumber or ""):
+                seq = r["SequenceNumber"]
+                start = StartingSequenceNumber or ""
+                if seq > start or (at and seq == start):
                     pos = i
                     break
         elif ShardIteratorType == "AT_TIMESTAMP":
@@ -152,7 +165,15 @@ def factory(options: dict) -> FakeKinesisClient:
         for sid, spec in seed.get("shards", {}).items():
             client.create_shard(sid)
             for rec in spec.get("records", []):
-                client.put(sid, rec["Data"].encode(), rec.get("PartitionKey", "pk"))
+                arrival = rec.get("ArrivalTimestamp")
+                if arrival is not None:
+                    arrival = dt.datetime.fromisoformat(arrival)
+                client.put(
+                    sid,
+                    rec["Data"].encode(),
+                    rec.get("PartitionKey", "pk"),
+                    arrival=arrival,
+                )
             if spec.get("closed"):
                 client.close_shard(sid)
     return client

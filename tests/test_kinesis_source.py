@@ -405,3 +405,263 @@ def test_reader_drains_50k_records_across_shards():
     assert len(seen) == total  # exactly once, nothing lost
     assert len({row[2] + row[4] for row in seen}) == total  # unique (seq, shard)
     assert elapsed < 20, f"reader too slow: {elapsed:.1f}s for {total} records"
+
+
+# ---- round-3: recovery-replay marker/anchor semantics (ADVICE r2 high) ----
+
+
+def test_replay_emits_nothing_for_marker_end_offsets():
+    """A shard whose end offset is still a marker recorded no data in the
+    batch; replay must NOT drain whatever arrived in the shard since
+    (the round-2 repro: a child shard that read 0 records replayed
+    later-arriving records as its batch contents)."""
+    c = FakeKinesisClient("s")
+    r = _reader(c)
+    start = r.initialOffset()  # no shards yet
+    c.create_shard("shardId-7")
+    rows, end = r.read(start)  # discovers the empty child: marker offset
+    assert list(rows) == []
+    assert end["shards"]["shardId-7"] == _CHILD
+    c.put("shardId-7", b"arrived-after-batch")
+    assert list(r.readBetweenOffsets(start, end)) == []
+
+
+def test_replay_of_mid_batch_shard_starts_trim_horizon_not_latest():
+    """A shard absent from `start` (first discovered during the replayed
+    batch) must replay from its beginning, not from the configured
+    initial position (LATEST would skip the original rows)."""
+    c = FakeKinesisClient("s")
+    r = _reader(c, initialPosition="LATEST")
+    start = {"shards": {}}  # shard not yet known at batch start
+    c.create_shard("shardId-3")
+    c.put("shardId-3", b"first")
+    c.put("shardId-3", b"second")
+    rows, end = r.read(start)
+    assert _payloads(list(rows)) == [b"first", b"second"]
+    # replay with a FRESH reader (no iterator cache): must see the same rows
+    r2 = _reader(c, initialPosition="LATEST")
+    replay = list(r2.readBetweenOffsets(start, end))
+    assert _payloads(replay) == [b"first", b"second"]
+
+
+def test_replay_latest_first_batch_is_anchor_seeked():
+    """LATEST first batch: the recorded anchor lets recovery re-seek the
+    exact first sequence instead of re-seeking LATEST (which would skip
+    everything)."""
+    c = FakeKinesisClient("s")
+    c.put("shardId-0", b"history")
+    r = _reader(c, initialPosition="LATEST")
+    start = r.initialOffset()
+    _, off0 = r.read(start)  # LATEST seek, skips history
+    c.put("shardId-0", b"live1")
+    c.put("shardId-0", b"live2")
+    rows, end = r.read(off0)
+    assert _payloads(list(rows)) == [b"live1", b"live2"]
+    assert end["anchors"]["shardId-0"]  # anchor recorded for the FRESH seek
+    c.put("shardId-0", b"post-batch")  # must not leak into the replay
+    r2 = _reader(c, initialPosition="LATEST")
+    replay = list(r2.readBetweenOffsets(off0, end))
+    assert _payloads(replay) == [b"live1", b"live2"]
+
+
+def test_replay_raises_when_range_cannot_be_served():
+    """If the recorded end sequence can no longer be reached (trimmed
+    records / inconsistent checkpoint), replay fails loudly instead of
+    returning a different row set."""
+    c = FakeKinesisClient("s")
+    c.put("shardId-0", b"a")
+    r = _reader(c)
+    start = r.initialOffset()
+    end = {"shards": {"shardId-0": "99999999999999999999"}}  # unreachable seq
+    with pytest.raises(RuntimeError, match="expected"):
+        list(r.readBetweenOffsets(start, end))
+
+
+def test_replay_raises_on_latest_end_without_anchor():
+    c = FakeKinesisClient("s")
+    c.put("shardId-0", b"a")
+    r = _reader(c, initialPosition="LATEST")
+    corrupted_end = {"shards": {"shardId-0": "00000000000000000001"}}  # no anchors
+    with pytest.raises(RuntimeError, match="anchor"):
+        list(r.readBetweenOffsets({"shards": {"shardId-0": ""}}, corrupted_end))
+
+
+# ---- round-3: partition-per-shard executor-polling reader ----
+
+import datetime as _dt
+
+from snowplow_s3_loader_spark.sources.kinesis_source import (
+    KinesisPartitionedReader,
+    KinesisShardPartition,
+)
+
+
+def _preader(client: FakeKinesisClient, **opts) -> KinesisPartitionedReader:
+    r = KinesisPartitionedReader({"streamName": client.stream_name, **opts})
+    r._client = client
+    return r
+
+
+def _read_partition(client: FakeKinesisClient, part: KinesisShardPartition):
+    """Drive KinesisPartitionedReader.read with the fake client injected
+    (executor-side path, minus the process boundary)."""
+    import snowplow_s3_loader_spark.sources.kinesis_source as ks
+
+    key = (None, client.stream_name, None, None)
+    ks._CLIENT_CACHE[key] = client
+    try:
+        return list(KinesisPartitionedReader({"streamName": client.stream_name}).read(part))
+    finally:
+        ks._CLIENT_CACHE.pop(key, None)
+
+
+def test_partitioned_one_partition_per_shard():
+    c = FakeKinesisClient("s")
+    for sid in ("shardId-0", "shardId-1", "shardId-2"):
+        c.create_shard(sid)
+    r = _preader(c)
+    parts = r.partitions({"bound_ms": 0}, {"bound_ms": 10_000})
+    assert sorted(p.shard_id for p in parts) == ["shardId-0", "shardId-1", "shardId-2"]
+    assert all(p.start_ms == 0 and p.end_ms == 10_000 for p in parts)
+
+
+def test_partitioned_time_range_is_half_open_and_deterministic():
+    c = FakeKinesisClient("s")
+    # fake default arrival ts = 2026-01-01 + n seconds
+    for i in range(5):
+        c.put("shardId-0", f"r{i}".encode())  # ts = +1s .. +5s
+    base = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc).timestamp() * 1000
+    part = KinesisShardPartition(
+        "shardId-0", int(base + 2000), int(base + 4000), {"streamname": "s"}
+    )
+    rows = _read_partition(c, part)
+    # (base+2s, base+4s]: r2 (ts+3) and r3 (ts+4); r1 (ts+2) is the boundary
+    # record owned by the PRIOR batch
+    assert [r[0] for r in rows] == [b"r2", b"r3"]
+    # replay after more data arrived: identical rows (determinism)
+    c.put("shardId-0", b"late")  # ts = +6s, outside the range
+    assert [r[0] for r in _read_partition(c, part)] == [b"r2", b"r3"]
+
+
+def test_partitioned_initial_offsets_by_position():
+    c = FakeKinesisClient("s")
+    c.create_shard("shardId-0")
+    assert _preader(c).initialOffset() == {"bound_ms": 0}  # TRIM_HORIZON
+    lat = _preader(c, initialPosition="LATEST").initialOffset()
+    assert lat["bound_ms"] > 0  # now
+    at = _preader(
+        c,
+        initialPosition="AT_TIMESTAMP",
+        initialTimestamp="2026-01-01T00:00:02+00:00",
+    ).initialOffset()
+    cut = _dt.datetime(2026, 1, 1, 0, 0, 2, tzinfo=_dt.timezone.utc).timestamp() * 1000
+    assert at["bound_ms"] == int(cut) - 1  # records AT the timestamp included
+
+
+def test_partitioned_latest_offset_monotone_with_skew_margin():
+    c = FakeKinesisClient("s")
+    r = _preader(c, skewMarginSeconds=2.0)
+    t0 = r.initialOffset()["bound_ms"]
+    latest = r.latestOffset()["bound_ms"]
+    assert latest >= t0
+    assert latest <= int(time.time() * 1000) - 1500  # margin applied
+
+
+def test_partitioned_closed_shard_drains_and_stops():
+    c = FakeKinesisClient("s")
+    c.put("shardId-0", b"a")
+    c.put("shardId-0", b"b")
+    c.close_shard("shardId-0")
+    base = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc).timestamp() * 1000
+    part = KinesisShardPartition(
+        "shardId-0", 0, int(base + 60_000), {"streamname": "s"}
+    )
+    assert [r[0] for r in _read_partition(c, part)] == [b"a", b"b"]
+
+
+def test_partitioned_spark_end_to_end_with_checkpoint_restart(spark, tmp_path):
+    """The scale path through the real engine: readerMode=partitioned plans
+    one task per shard; executors poll the (fake) wire; checkpoint restart
+    picks up only records that arrived after the committed bound."""
+    now = _dt.datetime.now(_dt.timezone.utc)
+    old = (now - _dt.timedelta(seconds=60)).isoformat()
+    seed = tmp_path / "seed.json"
+    seed.write_text(
+        json.dumps(
+            {
+                "shards": {
+                    "shardId-0": {
+                        "records": [
+                            {"Data": "a1", "ArrivalTimestamp": old},
+                            {"Data": "a2", "ArrivalTimestamp": old},
+                        ]
+                    },
+                    "shardId-1": {"records": [{"Data": "b1", "ArrivalTimestamp": old}]},
+                }
+            }
+        )
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = tmp_path / "out"
+    spark.dataSource.register(KinesisPythonDataSource)
+
+    def start_query():
+        df = (
+            spark.readStream.format("kinesis_py")
+            .option("streamName", "s")
+            .option("readerMode", "partitioned")
+            .option("skewMarginSeconds", "0")
+            .option("clientFactory", FACTORY)
+            .option("seedFile", str(seed))
+            .load()
+        )
+        return (
+            df.selectExpr("cast(payload as string) AS payload", "shardId")
+            .writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def rows_on_disk():
+        if not out_dir.exists():
+            return []
+        try:
+            return [r.asDict() for r in spark.read.json(str(out_dir)).collect()]
+        except Exception:
+            return []
+
+    q = start_query()
+    try:
+        assert _run_until(q, lambda: len(rows_on_disk()) >= 3), q.lastProgress
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert {r["payload"] for r in rows_on_disk()} == {"a1", "a2", "b1"}
+
+    # restart with one MORE record, stamped now: only it may appear
+    fresh = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    seed.write_text(
+        json.dumps(
+            {
+                "shards": {
+                    "shardId-0": {
+                        "records": [
+                            {"Data": "a1", "ArrivalTimestamp": old},
+                            {"Data": "a2", "ArrivalTimestamp": old},
+                            {"Data": "a3", "ArrivalTimestamp": fresh},
+                        ]
+                    },
+                    "shardId-1": {"records": [{"Data": "b1", "ArrivalTimestamp": old}]},
+                }
+            }
+        )
+    )
+    q2 = start_query()
+    try:
+        assert _run_until(q2, lambda: len(rows_on_disk()) >= 4), q2.lastProgress
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+    assert sorted(r["payload"] for r in rows_on_disk()) == ["a1", "a2", "a3", "b1"]
