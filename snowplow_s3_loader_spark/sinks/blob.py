@@ -63,17 +63,41 @@ def _parse_s3_uri(uri: str) -> tuple[str, str]:
     return p.netloc, p.path.lstrip("/")
 
 
-def _move_one(job: tuple[str, str], s3_client: object | None = None) -> tuple[str, int]:
+def _strip_file_scheme(p: str) -> str:
+    """file:///tmp/x and file:/tmp/x -> /tmp/x (Hadoop emits either form)."""
+    if p.startswith("file://"):
+        return "/" + p[len("file://") :].lstrip("/")
+    if p.startswith("file:/"):
+        return p[len("file:") :]
+    return p
+
+
+def _move_one(
+    job: tuple[str, str],
+    s3_client: object | None = None,
+    client_factory: str | None = None,
+) -> tuple[str, int]:
     """Executor-side rename of one staged file.
 
-    Local paths: an actual filesystem move (exist_ok makes the mkdir
-    race-safe across concurrent tasks). s3://-style paths: S3 has no
-    rename, so server-side CopyObject + DeleteObject — one API call pair
-    per file from each task in parallel, exactly the reference's
-    one-PutObject-per-file uploader shape (Processing.scala:287-289).
-    `s3_client` is injectable for tests; default is boto3 (env-gated)."""
+    Local paths (including file:// URIs): an actual filesystem move
+    (exist_ok makes the mkdir race-safe across concurrent tasks).
+    s3://-style paths: S3 has no rename, so server-side CopyObject +
+    DeleteObject — one API call pair per file from each task in parallel,
+    exactly the reference's one-PutObject-per-file uploader shape
+    (Processing.scala:287-289). `s3_client` is injectable for tests;
+    `client_factory` ("module:callable") travels with the serialized task
+    so the parallelized path can build a fake client executor-side;
+    default is boto3 (env-gated)."""
     src, dst = job
     if dst.startswith(("s3://", "s3a://")):
+        if s3_client is None and client_factory:
+            import importlib
+
+            # "module:callable" or "module:callable:arg"
+            mod_name, _, rest = client_factory.partition(":")
+            attr, _, arg = rest.partition(":")
+            fn = getattr(importlib.import_module(mod_name), attr)
+            s3_client = fn(arg) if arg else fn()
         if s3_client is None:
             try:
                 import boto3  # optional — not in the base image
@@ -91,9 +115,127 @@ def _move_one(job: tuple[str, str], s3_client: object | None = None) -> tuple[st
         head = s3_client.head_object(Bucket=dst_b, Key=dst_k)
         s3_client.delete_object(Bucket=src_b, Key=src_k)
         return dst, int(head["ContentLength"])
+    src, dst = _strip_file_scheme(src), _strip_file_scheme(dst)
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     shutil.move(src, dst)
     return dst, os.path.getsize(dst)
+
+
+def _list_staging(spark, staging: str) -> tuple[list[str], str]:
+    """List every .gz part file under the staging dir; returns (paths,
+    qualified_staging_prefix).
+
+    Plain local paths use os.walk; any URI (file://, hdfs://, s3a://, ...)
+    goes through the JVM Hadoop FileSystem API — the same filesystem that
+    just served the distributed write, so if the write landed, the listing
+    is available too. (Round-2 bug: os.walk on an s3:// staging dir
+    returned nothing, built zero rename jobs, and silently stranded the
+    batch in staging — S3Sink.scala:29-58 is the reference's production
+    path, so the remote listing must be first-class.)"""
+    if "://" not in staging:
+        out = []
+        for root, _dirs, files in os.walk(staging):
+            out.extend(os.path.join(root, f) for f in files if f.endswith(".gz"))
+        return out, staging
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return [], staging
+    qualified = str(fs.makeQualified(jpath).toString())
+    paths: list[str] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = str(it.next().getPath().toString())
+        if p.endswith(".gz"):
+            paths.append(p)
+    return paths, qualified
+
+
+def _cleanup_staging(spark, staging: str) -> None:
+    if "://" not in staging:
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
+def build_rename_jobs(
+    staged_files: list[str],
+    staging_prefix: str,
+    base_dir: str,
+    prefix: str = "",
+    now: datetime | None = None,
+    deterministic_uuids: bool = False,
+) -> list[tuple[str, str]]:
+    """Map staged part files to their final reference-layout names.
+
+    Pure string work (scheme-agnostic, works identically for local and
+    s3:// paths): strip the staging prefix, decode the __pp= partition
+    segment back into the template path, and number/uuid the files per
+    partition in sorted order."""
+    now = now or datetime.now(timezone.utc)
+    by_partition: dict[str, list[str]] = {}
+    for src in staged_files:
+        rel = src[len(staging_prefix) :].lstrip("/")
+        segs = rel.split("/")
+        partition = ""
+        if segs and segs[0].startswith(_PP + "="):
+            partition = unquote(segs[0][len(_PP) + 1 :]).replace(_SLASH, "/")
+        if partition == "__HIVE_DEFAULT_PARTITION__":
+            partition = ""
+        by_partition.setdefault(partition, []).append(src)
+    jobs: list[tuple[str, str]] = []
+    for partition, srcs in sorted(by_partition.items()):
+        target_dir = normalize_path(
+            base_dir + "/" + partition if partition else base_dir
+        )
+        for i, src in enumerate(sorted(srcs)):
+            uid = f"{i:04d}" if deterministic_uuids else str(uuid_mod.uuid4())
+            jobs.append((src, target_dir.rstrip("/") + "/" + get_filename(prefix, now, uid)))
+    return jobs
+
+
+def promote_staging(
+    spark,
+    staging: str,
+    base_dir: str,
+    prefix: str = "",
+    now: datetime | None = None,
+    deterministic_uuids: bool = False,
+    list_fn=None,
+    cleanup_fn=None,
+    client_factory: str | None = None,
+) -> BlobWriteResult:
+    """List the staged write, rename every part file into the reference
+    layout (executor-side moves), then drop the staging dir. `list_fn` /
+    `cleanup_fn` / `client_factory` are injection seams for store fakes."""
+    if list_fn is not None:
+        staged, qualified = list_fn(staging), staging
+    else:
+        staged, qualified = _list_staging(spark, staging)
+    jobs = build_rename_jobs(
+        staged, qualified, base_dir, prefix, now, deterministic_uuids
+    )
+    result = BlobWriteResult()
+    if jobs:
+        sc = spark.sparkContext
+        n_slices = min(len(jobs), sc.defaultParallelism)
+        factory = client_factory
+        moved = (
+            sc.parallelize(jobs, n_slices)
+            .map(lambda job: _move_one(job, client_factory=factory))
+            .collect()
+        )
+        result.files = [WrittenFile(path=p, n_bytes=b) for p, b in moved]
+    if cleanup_fn is not None:
+        cleanup_fn(staging)
+    else:
+        _cleanup_staging(spark, staging)
+    result.files.sort(key=lambda f: f.path)
+    return result
 
 
 def write_batch(
@@ -107,6 +249,9 @@ def write_batch(
     deterministic_uuids: bool = False,
     row_count: int | None = None,
     avg_line_bytes: float | None = None,
+    list_fn=None,
+    cleanup_fn=None,
+    client_factory: str | None = None,
 ) -> BlobWriteResult:
     """Write one batch: rows carry their resolved partition path in
     `partition_col` ('' for unpartitioned). Returns the written files.
@@ -116,7 +261,7 @@ def write_batch(
     otherwise one small agg computes them here.
     """
     now = now or datetime.now(timezone.utc)
-    staging = os.path.join(base_dir, "_staging_" + uuid_mod.uuid4().hex[:8])
+    staging = base_dir.rstrip("/") + "/_staging_" + uuid_mod.uuid4().hex[:8]
 
     staged = df.select(
         F.col(value_col).alias("value"),
@@ -143,30 +288,17 @@ def write_batch(
         .text(staging)
     )
 
-    # Build the rename job list from one staging listing (driver does names
-    # only), then execute the moves on the executors.
-    jobs: list[tuple[str, str]] = []
-    for root, _dirs, files in os.walk(staging):
-        gz_files = sorted(f for f in files if f.endswith(".gz"))
-        if not gz_files:
-            continue
-        rel = os.path.relpath(root, staging)
-        partition = ""
-        if rel.startswith(_PP + "="):
-            partition = unquote(rel[len(_PP) + 1 :]).replace(_SLASH, "/")
-        if partition == "__HIVE_DEFAULT_PARTITION__":
-            partition = ""
-        target_dir = normalize_path(os.path.join(base_dir, partition) if partition else base_dir)
-        for i, fname in enumerate(gz_files):
-            uid = f"{i:04d}" if deterministic_uuids else str(uuid_mod.uuid4())
-            jobs.append((os.path.join(root, fname), os.path.join(target_dir, get_filename(prefix, now, uid))))
-
-    result = BlobWriteResult()
-    if jobs:
-        sc = df.sparkSession.sparkContext
-        n_slices = min(len(jobs), sc.defaultParallelism)
-        moved = sc.parallelize(jobs, n_slices).map(_move_one).collect()
-        result.files = [WrittenFile(path=p, n_bytes=b) for p, b in moved]
-    shutil.rmtree(staging, ignore_errors=True)
-    result.files.sort(key=lambda f: f.path)
-    return result
+    # List the staging dir (scheme-aware: os.walk locally, Hadoop FS for
+    # any URI — the round-2 os.walk-only listing silently stranded s3://
+    # batches), build the rename jobs, execute the moves on the executors.
+    return promote_staging(
+        df.sparkSession,
+        staging,
+        base_dir,
+        prefix=prefix,
+        now=now,
+        deterministic_uuids=deterministic_uuids,
+        list_fn=list_fn,
+        cleanup_fn=cleanup_fn,
+        client_factory=client_factory,
+    )
