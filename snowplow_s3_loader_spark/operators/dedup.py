@@ -193,6 +193,7 @@ def token_jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     tokens_expr: Column | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
 
@@ -206,6 +207,14 @@ def token_jaccard_pairs(
     `tokens_expr` swaps the set definition (default: whitespace tokens);
     pass char_ngrams(...) for shingle/n-gram Jaccard — same join machinery,
     same prefix-filter guarantees.
+
+    With `materialize=True` (default) the result is computed eagerly
+    (localCheckpoint) and the two internal caches are unpersisted before
+    returning, so repeated calls in one session leave no cached blocks
+    behind (the round-2 leak degraded every query that followed).
+    `materialize=False` returns the lazy plan with the caches live —
+    callers that iterate the pair set must unpersist via the session
+    catalog themselves.
     """
     toks = tokens(F.col(text_col)) if tokens_expr is None else tokens_expr
     # parallelism floor: tokenizing/shingling is per-row CPU-heavy; when the
@@ -213,8 +222,11 @@ def token_jaccard_pairs(
     # parquet, a small filtered corpus), one task would serialize all of it.
     # A cheap pre-shuffle of the raw rows spreads the compute; no-op
     # condition on a real many-split layout (splits >> cores).
+    # (inputFiles() is driver metadata — cheaper than df.rdd planning.)
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    in_files = df.inputFiles()
+    n_parts = len(in_files) if in_files else df.rdd.getNumPartitions()
+    if n_parts < par:
         df = df.repartition(par)
     # persist: the tokenized corpus feeds the prefix-filter, the frequency
     # count, and both verify sides — without it the scan+tokenize recomputes
@@ -262,7 +274,29 @@ def token_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if materialize:
+        # one eager pass: the checkpoint blocks are sized to the PAIR
+        # RESULT (small — near-dup density bounded) and the big
+        # corpus/posting caches are dropped immediately — SQL-layer
+        # persist() caches are not otherwise reclaimable, which is exactly
+        # how the round-2 version leaked them for the session lifetime and
+        # smeared the whole 64-query bench. Call release_materialized(out)
+        # when done with the result to drop its checkpoint blocks too.
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+        prefixes.unpersist()
     return out
+
+
+def release_materialized(df: DataFrame) -> None:
+    """Drop the localCheckpoint blocks behind a materialized result (the
+    frame is dead afterwards — its lineage was truncated). pyspark's GC
+    never releases them (the py4j-held Dataset pins the RDD), so batteries
+    that run many operators in one session call this between queries."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # not a checkpointed frame / already released
 
 
 def _token_hash60(tok: Column) -> Column:

@@ -45,9 +45,13 @@ def global_row_number(
     # a plain int for ntile's closed form)
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # localCheckpoint, not persist(): same one-computation guarantee for the
+    # .first() below + the broadcast join, but the (tiny, P-row) blocks are
+    # GC-tracked by the ContextCleaner instead of leaking in the SQL cache
+    # for the session lifetime
     off_df = counts.select(
         "_pid", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off"), "_cnt"
-    ).persist()
+    ).localCheckpoint(eager=True)
     total_row = off_df.agg(F.sum("_cnt")).first()[0]
     if total_row is None:
         return df.withColumn(rn_col, F.lit(None).cast("int")), 0

@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # explicit (it is the default, but a deployment that flips it makes
+        # every pandas_udf query pay worker-pool spin-up per stage): reuse
+        # the Python worker processes across batches/queries
+        .config("spark.python.worker.reuse", "true")
     )
     if master is not None:
         builder = builder.master(master)

@@ -182,3 +182,26 @@ def test_lsh_bucket_cap_kills_duplicate_cluster_blowup(spark):
     assert uncapped >= 40 * 39 // 2  # clone clique went quadratic
     assert (100, 101) in capped_pairs  # real near-dup pair survives the cap
     assert all(a >= 100 for a, _ in capped_pairs)  # clique buckets dropped
+
+
+def test_token_jaccard_leaves_no_sql_cache_behind(spark):
+    """Round-2 leak regression: q24/q56 persisted the tokenized corpus +
+    postings in the SQL cache (not GC-tracked) and degraded every query
+    that followed in the session. The operator must clean up after itself."""
+    import time as _time
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = dedup.token_jaccard_pairs(
+        docs, "doc_id", "text", ["lang"], threshold=0.5
+    )
+    n = out.count()
+    assert n >= 0
+    _ = _time  # quiet lint; kept for potential polling
+    # the two MEMORY_AND_DISK operator caches must be gone; only the
+    # result's own (result-sized) checkpoint blocks may remain
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    dedup.release_materialized(out)
+    assert jsc.getPersistentRDDs().size() <= before
