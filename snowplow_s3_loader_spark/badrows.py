@@ -46,12 +46,18 @@ def _processor() -> Column:
 
 
 def _iso_instant(timestamp: Column) -> Column:
-    """Instant.toString-style rendering (circe encodes Instant as ISO-8601 Z).
+    """Instant-style rendering (circe encodes Instant as ISO-8601 UTC).
 
-    date_format renders in the session timezone — the same zone the naive
-    timestamp literal was parsed in — so the wall time round-trips regardless
-    of session tz."""
-    return F.date_format(timestamp, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    The input is an instant (TIMESTAMP_LTZ); to_utc_timestamp(ts,
+    current_timezone()) shifts it so the session-tz rendering equals the
+    UTC wall clock, making the output correct under ANY session timezone
+    (round 2 rendered session-local wall time with a literal 'Z' and
+    dropped millis — wrong instant for non-UTC sessions, and coarser than
+    the reference's circe Instant)."""
+    return F.date_format(
+        F.to_utc_timestamp(timestamp, F.current_timezone()),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+    )
 
 
 def generic_error(value: Column, message: Column, timestamp: Column) -> Column:

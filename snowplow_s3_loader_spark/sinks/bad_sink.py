@@ -161,27 +161,36 @@ class KinesisBadSink(BadSink):
         self._send_rows(self.client_factory(self.region), serialized_rows)
 
     def send_df(self, df: DataFrame, row_col: str = "row") -> tuple[int, int]:
-        # foreachPartition runs as an RDD action, where df.observe metrics
-        # never fire — counts come back through accumulators instead
-        # (at-least-once on task retry, which is fine for metrics).
-        sc = df.sparkSession.sparkContext
-        acc_rows = sc.accumulator(0)
-        acc_bytes = sc.accumulator(0)
+        # Counts come back as one (partition_id, rows, bytes) record per
+        # partition through collect(), which returns exactly ONE result per
+        # partition no matter how many task attempts ran — accumulators
+        # (round 2) double-counted on retries/speculation and over-reported
+        # the SentToBad metrics. The send itself stays at-least-once on
+        # retry, the reference's own delivery guarantee.
         sink = self
 
-        def _emit(rows) -> None:
+        def _emit(pid: int, rows):
             client = sink.client_factory(sink.region)
+            n = nb = 0
 
             def counted():
+                nonlocal n, nb
                 for r in rows:
                     data = r[0].encode()
-                    acc_rows.add(1)
-                    acc_bytes.add(len(data))
+                    n += 1
+                    nb += len(data)
                     yield data
 
             # one client per partition; rows stream through
             # iter_record_batches without full materialization
             sink._send_rows(client, counted())
+            yield (pid, n, nb)
 
-        df.select(F.col(row_col)).foreachPartition(_emit)
-        return int(acc_rows.value), int(acc_bytes.value)
+        results = (
+            df.select(F.col(row_col)).rdd.mapPartitionsWithIndex(_emit).collect()
+        )
+        by_pid = {pid: (n, nb) for pid, n, nb in results}
+        return (
+            sum(n for n, _ in by_pid.values()),
+            sum(nb for _, nb in by_pid.values()),
+        )

@@ -140,7 +140,9 @@ class LoaderPipeline:
                 self.actions.record("SetE2ELatencyMetric", max(0, latency_ms))
 
             # 3) bad rows (O12), size-capped (BadRowsSerializer.scala:24-44)
-            ts_lit = F.lit(now.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+            # a real instant literal (aware datetime): badrows renders it as
+            # ISO-8601 UTC with millis correctly under any session timezone
+            ts_lit = F.lit(now)
             parse_bad = classified.filter(
                 F.col("bad_message").isNotNull() & F.col("decompress_error").isNull()
             ).select(
@@ -186,6 +188,13 @@ class LoaderPipeline:
     def run_stream(self, source: DataFrame, checkpoint: str | None = None):
         """Streaming entry: trigger(processingTime=maxDelay) gives the
         reference's time-bound flush (O6); checkpointLocation gives O13."""
+        from snowplow_s3_loader_spark.streaming.stateful import (
+            enable_rocksdb_state_store,
+        )
+
+        # loader stages are stateless, but any stateful operator a user
+        # composes upstream of this sink gets the scale-safe store
+        enable_rocksdb_state_store(source.sparkSession)
         writer = (
             source.writeStream.foreachBatch(self.load_batch)
             .trigger(processingTime=f"{int(self.config.batching.max_delay_seconds)} seconds")

@@ -30,7 +30,7 @@ def test_generic_error_envelope(spark):
     data = env["data"]
     assert data["processor"]["artifact"] == PROCESSOR_NAME
     assert "Can't extract schema" in data["failure"]["errors"][0]
-    assert data["failure"]["timestamp"] == "2023-12-25T15:30:45Z"
+    assert data["failure"]["timestamp"] == "2023-12-25T15:30:45.000Z"
     assert base64.b64decode(data["payload"]).decode() == line
 
 
@@ -60,3 +60,24 @@ def test_good_rows_not_emitted(spark):
     line = '{"schema": "iglu:com.example/e/jsonschema/1-0-0", "data": {}}'
     out = build_bad_rows(_bad_df(spark, [line]), F.lit(TS).cast("timestamp")).collect()
     assert out == []
+
+
+def test_timestamp_is_utc_instant_under_non_utc_session(spark):
+    """ADVICE r2: the serialized failure.timestamp must name the real
+    instant in UTC (circe Instant parity) even when the session timezone
+    is not UTC."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    instant = dt.datetime(2023, 12, 25, 15, 30, 45, 123000, tzinfo=dt.timezone.utc)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        out = build_bad_rows(
+            _bad_df(spark, ['{"no":"schema"}']), F.lit(instant)
+        ).collect()
+        data = json.loads(out[0]["bad_row_json"])["data"]
+        assert data["failure"]["timestamp"] == "2023-12-25T15:30:45.123Z"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
