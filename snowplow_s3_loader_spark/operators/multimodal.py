@@ -168,21 +168,33 @@ IMAGE_STATS_SCHEMA = StructType(
 
 
 def image_channel_stats(
-    media: DataFrame, width: int = 16, height: int = 16, factor: int = 2
+    media: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    factor: int = 2,
+    decoder=None,
 ) -> DataFrame:
     """Decode -> downsample -> per-channel stats over Arrow batches: the
     full shape of an image training-data stage (N x H x W x C array math
-    per batch, nothing per-row in Python-object land). Uses the
-    deterministic fake decoder; swap fake_decode_image for a PIL decode and
-    nothing else changes."""
+    per batch, nothing per-row in Python-object land).
+
+    `decoder` is any callable (payload: bytes, width, height) -> (H, W, 3)
+    uint8 array; it ships inside the serialized UDF to the executors. The
+    default is the deterministic fake (this image has no PIL); a deployment
+    with real codecs passes e.g.
+    ``lambda b, w, h: np.asarray(PIL.Image.open(io.BytesIO(b)).resize((w, h)))``
+    and nothing else changes — schema, batching, and the Arrow plumbing are
+    decoder-independent."""
     import numpy as np
+
+    decode = decoder or fake_decode_image
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             imgs = np.stack(
-                [fake_decode_image(b, width, height) for b in pdf["payload"]]
+                [decode(b, width, height) for b in pdf["payload"]]
             )  # (N, H, W, C) — one vectorized block per Arrow batch
             ds = (
                 imgs[:, : (height // factor) * factor, : (width // factor) * factor]

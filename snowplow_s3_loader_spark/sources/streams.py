@@ -71,20 +71,32 @@ def kinesis_stream(
     return reader.load().select(F.col("payload"))
 
 
+def kinesis_connector_options(cfg: InputConfig) -> dict[str, str]:
+    """Option map for the spark-sql-kinesis JVM connector (documented
+    surface: streamName, region, initialPosition, consumerName,
+    maxFetchRate) derived from the loader config — factored out so the
+    mapping is testable without a connector jar on the classpath."""
+    opts = {
+        "streamName": cfg.stream_name or "",
+        "initialPosition": cfg.initial_position,
+        "consumerName": cfg.app_name,
+    }
+    if cfg.region:
+        opts["region"] = cfg.region
+    if cfg.max_records:
+        opts["maxFetchRate"] = str(cfg.max_records)
+    return opts
+
+
 def kinesis_connector_stream(spark: SparkSession, cfg: InputConfig) -> DataFrame:
     """Kinesis via a JVM spark-kinesis connector jar (scale-out path: one
     receiving task per shard). Raises a clear error when no jar is on the
-    classpath — OSS PySpark doesn't bundle one."""
-    reader = (
-        spark.readStream.format("kinesis")
-        .option("streamName", cfg.stream_name or "")
-        .option("initialPosition", cfg.initial_position)
-        .option("consumerName", cfg.app_name)
-    )
-    if cfg.region:
-        reader = reader.option("region", cfg.region)
-    if cfg.max_records:
-        reader = reader.option("maxFetchRate", str(cfg.max_records))
+    classpath — OSS PySpark doesn't bundle one. NOTE: the pure-Python
+    scale-out path is kinesis_stream with readerMode=partitioned
+    (sources/kinesis_source.KinesisPartitionedReader), which needs no jar."""
+    reader = spark.readStream.format("kinesis")
+    for k, v in kinesis_connector_options(cfg).items():
+        reader = reader.option(k, v)
     try:
         df = reader.load()
     except Exception as e:  # connector jar missing

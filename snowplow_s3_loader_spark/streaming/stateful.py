@@ -22,6 +22,24 @@ from pyspark.sql.types import (
     StructType,
 )
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state_store(spark) -> bool:
+    """Default the streaming state store to RocksDB (off-heap, incremental
+    checkpoints) — at 100 TB/day keyed state must not live in executor
+    heap. Conf-gated: a provider the user already pinned is respected.
+    Returns True when RocksDB is (now) the active provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    cur = spark.conf.get(key, None)
+    if cur:
+        return cur == ROCKSDB_PROVIDER
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    return True
+
+
 def streaming_first_seen(events: DataFrame, key_cols: list[str]) -> DataFrame:
     """Streaming exact-dedup across ALL history (not just a watermark window
     like dropDuplicates): emits only the first-ever row per key, keyed

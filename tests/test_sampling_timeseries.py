@@ -193,3 +193,25 @@ def test_pack_sequences_concat_and_chunk(spark):
     assert got[4] == (1, 452)  # 2500 % 2048
     # stream b independent
     assert got[5] == (0, 0)
+
+
+def test_image_channel_stats_decoder_seam(spark):
+    """VERDICT r2 item 10: a deployment swaps in a real decoder without
+    touching the operator — inject a stub and verify it is what runs."""
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators.multimodal import image_channel_stats
+
+    media = spark.createDataFrame(
+        [(1, b"\x01\x02"), (2, b"\x03\x04")], "media_id long, payload binary"
+    )
+
+    def all_gray(payload, width, height):
+        return np.full((height, width, 3), 128, dtype=np.uint8)
+
+    rows = image_channel_stats(
+        media, width=8, height=8, factor=2, decoder=all_gray
+    ).collect()
+    assert len(rows) == 2
+    assert all(r["mean_r"] == "128.0000" for r in rows)
+    assert all(r["ds_height"] == 4 and r["ds_width"] == 4 for r in rows)

