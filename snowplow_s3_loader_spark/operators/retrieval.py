@@ -1,0 +1,129 @@
+"""Corpus-statistics relevance scoring for training-data curation: TF-IDF
+term extraction and BM25 retrieval. (Beyond the reference's surface —
+SURVEY.md SS7.8 training-data extensions.)
+
+Token model is shared with operators/text.py (whitespace runs), so every
+result is reproducible in the DuckDB oracle.
+
+Scale shape: one explode + one (doc, term)-keyed aggregation builds the
+term-frequency relation; document frequency is a second aggregation over
+it keyed by term alone. Both are partial+final hash aggregations; the
+tf x df join is keyed on term and left to AQE (vocabulary size at corpus
+scale decides broadcast vs shuffle — never forced here). BM25 filters tf
+to the literal query terms BEFORE any join, so the expensive relation
+never materializes for non-query terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators.text import tokens
+
+
+def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — one row per document x distinct term."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tf_idf_top_terms(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    idf = ln((N + 1) / (df + 1)) — the smoothed form, positive for every
+    term and identical under DuckDB's ln(). Ranking is deterministic:
+    (round(score, 6) DESC, term ASC) so ties cut the same in any engine.
+    Returns (id, term, score, rank).
+    """
+    tf = term_frequencies(docs, id_col, text_col)
+    n_docs = docs.count()  # one scalar action; broadcast as a literal
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_rel, "term").select(
+        "id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "term", "score", "rank")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 (Robertson/
+    Sparck Jones; the Okapi formulation used by Lucene/Elasticsearch).
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5));
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)).
+
+    Deterministic output: (round(score, 6) DESC, id ASC), rank included.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    n_docs = docs.count()
+    avgdl = base.select(F.avg(F.size("toks"))).first()[0]
+    tf = (
+        base.select("id", F.explode("toks").alias("term"))
+        # literal IN-filter runs before the aggregation: only query terms
+        # ever reach the shuffle
+        .where(F.col("term").isin(*query_terms))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = base.select("id", F.size("toks").alias("dl"))
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(df_rel, "term")
+        .join(dl, "id")
+        .select(
+            "id",
+            "term",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("s"),
+        )
+    )
+    # FIXED-ORDER addition over the query terms (one conditional sum per
+    # term, each over at most one row): float addition is not associative,
+    # so a plain sum() would hash-diverge across engines/partitionings
+    term_sums = [
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0))
+        for t in query_terms
+    ]
+    total = term_sums[0]
+    for ts in term_sums[1:]:
+        total = total + ts
+    scored = per_term.groupBy("id").agg(F.round(total, 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    # global top-k: fine for k ~ 10s (TakeOrderedAndProject, no full sort);
+    # the rank column is attached AFTER the limit so no unpartitioned
+    # window ever sees the full corpus
+    top = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    return top.withColumn("rank", F.row_number().over(w))

@@ -152,3 +152,65 @@ def pack_sequences(
     return df.withColumn(
         pack_col, F.floor(start_offset / F.lit(budget)).cast("long")
     ).withColumn("pack_offset", (start_offset % F.lit(budget)).cast("long"))
+
+
+def bigrams(text: Column) -> Column:
+    """Adjacent word-2-grams of the whitespace token stream."""
+    toks = tokens(text)
+    return F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 use
+    duplicate-line / top-n-gram character fractions; this corpus is
+    single-line word-bag text, so the signals are computed over the token
+    stream — same intent, token granularity):
+
+      distinct_token_ratio  |distinct tokens| / |tokens|
+      top_token_frac        occurrences of the most frequent token / |tokens|
+      dup_bigram_frac       1 - |distinct 2-grams| / |2-grams|
+      keep                  the composite filter rule
+
+    Shapes: ratios are pure array expressions (JVM codegen, zero shuffle);
+    the top-token count is explode -> (doc, token) partial+final count ->
+    max per doc — ONE shuffle keyed by doc id, which also keeps per-task
+    memory flat however long single documents get (the all-array
+    formulation would be O(|doc|^2) per row).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    bg = bigrams(t)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "distinct_token_ratio"
+        ),
+        F.when(F.size(bg) > 0, F.round(1.0 - F.size(F.array_distinct(bg)) / F.size(bg), 6))
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+    )
+    top = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(t)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    out = base.join(top, "id").select(
+        "id",
+        "n_tokens",
+        "distinct_token_ratio",
+        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        "dup_bigram_frac",
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("distinct_token_ratio") >= 0.2)
+        & (F.col("top_token_frac") <= 0.2)
+        & (F.col("dup_bigram_frac") <= 0.9),
+    )

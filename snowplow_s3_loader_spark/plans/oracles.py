@@ -753,3 +753,111 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem WHERE l_orderkey % 200 = 0
 ORDER BY l_orderkey, l_linenumber
 """
+
+ORACLES["q65_dedup_clusters"] = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id AS id, lang AS blk, list_distinct({_TOKS}) AS toks
+  FROM documents WHERE doc_id % 10 = 0
+),
+sz AS (SELECT id, len(toks) AS sz FROM d),
+p AS (SELECT id, blk, unnest(toks) AS tok FROM d),
+c AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM p a JOIN p b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT c.id_a, c.id_b
+  FROM c JOIN sz sa ON sa.id = c.id_a JOIN sz sb ON sb.id = c.id_b
+  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.5
+),
+e AS (SELECT id_a AS s, id_b AS t FROM pr UNION SELECT id_b, id_a FROM pr),
+walk(v, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT w.v, e.t FROM walk w JOIN e ON w.r = e.s
+)
+SELECT v AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY v ORDER BY doc_id
+"""
+
+ORACLES["q66_repetition_quality"] = f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+base AS (
+  SELECT id, toks,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+  FROM t
+),
+b AS (
+  SELECT id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_token_ratio,
+         CASE WHEN len(bg) > 0
+              THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+              ELSE 0.0 END AS dup_bigram_frac
+  FROM base
+),
+tc AS (
+  SELECT id, tok, count(*) AS c
+  FROM (SELECT id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+),
+tm AS (SELECT id, max(c) AS top_c FROM tc GROUP BY id)
+SELECT b.id, b.n_tokens, b.distinct_token_ratio,
+       round(CAST(tm.top_c AS DOUBLE) / b.n_tokens, 6) AS top_token_frac,
+       b.dup_bigram_frac,
+       (b.distinct_token_ratio >= 0.2
+        AND round(CAST(tm.top_c AS DOUBLE) / b.n_tokens, 6) <= 0.2
+        AND b.dup_bigram_frac <= 0.9) AS keep
+FROM b JOIN tm ON b.id = tm.id
+ORDER BY b.id
+"""
+
+ORACLES["q67_tfidf_top_terms"] = f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents WHERE doc_id % 10 = 0),
+tf AS (
+  SELECT id, tok AS term, count(*) AS tf
+  FROM (SELECT id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+),
+n AS (SELECT count(*) AS n FROM t),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.id, tf.term,
+         round(tf.tf * ln((n.n + 1.0) / (dfr.df + 1.0)), 6) AS score
+  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n
+)
+SELECT id, term, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+ORDER BY id, rank
+"""
+
+ORACLES["q68_bm25_search"] = f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+n AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+tf AS (
+  SELECT id, tok AS term, count(*) AS tf
+  FROM (SELECT id, unnest(toks) AS tok FROM t)
+  WHERE tok IN ('spark', 'join', 'fast')
+  GROUP BY 1, 2
+),
+dl AS (SELECT id, len(toks) AS dl FROM t),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.id, tf.term,
+         ln(1.0 + (n.n - dfr.df + 0.5) / (dfr.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avgdl)) AS s
+  FROM tf JOIN dfr ON tf.term = dfr.term JOIN dl ON tf.id = dl.id CROSS JOIN n
+),
+sc AS (
+  SELECT id,
+         round(coalesce(sum(CASE WHEN term = 'spark' THEN s END), 0.0)
+             + coalesce(sum(CASE WHEN term = 'join' THEN s END), 0.0)
+             + coalesce(sum(CASE WHEN term = 'fast' THEN s END), 0.0), 6) AS score
+  FROM per GROUP BY id
+)
+SELECT id, score, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT id, score, row_number() OVER (ORDER BY score DESC, id ASC) AS rn FROM sc
+) WHERE rn <= 10
+ORDER BY rank
+"""

@@ -1066,6 +1066,48 @@ def q64_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
+def q65_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph -> connected components: the clustering step a
+    dedup pipeline runs after pair generation (round-3 addition). Pairs
+    are q24's exact Jaccard pairs; component id = min doc id reachable."""
+    from snowplow_s3_loader_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = dedup.token_jaccard_pairs(docs, "doc_id", "text", ["lang"], threshold=0.5)
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+def q66_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style token-repetition quality signals + composite keep rule
+    over the full documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "doc_id", "text").orderBy("id")
+
+
+def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF, 10%
+    sample (df computed within the sample)."""
+    from snowplow_s3_loader_spark.operators.retrieval import tf_idf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return tf_idf_top_terms(docs, "doc_id", "text", k=3).orderBy("id", "rank")
+
+
+def q68_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed bag-of-words query over the full
+    documents table."""
+    from snowplow_s3_loader_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", ["spark", "join", "fast"], k=10
+    ).orderBy("rank")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1133,5 +1175,9 @@ QUERIES = {
         q62_sequence_packing,
         q63_regexp_functions,
         q64_conditional_functions,
+        q65_dedup_clusters,
+        q66_repetition_quality,
+        q67_tfidf_top_terms,
+        q68_bm25_search,
     ]
 }

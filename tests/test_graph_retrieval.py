@@ -1,0 +1,118 @@
+"""Round-3 operators: connected-components dedup clustering, repetition
+quality, TF-IDF, BM25."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators.graph import (
+    connected_components,
+    dedup_keep_canonical,
+)
+from snowplow_s3_loader_spark.operators.retrieval import bm25_topk, tf_idf_top_terms
+from snowplow_s3_loader_spark.operators.text import repetition_stats
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3,7} (chain) and {5,6}
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 7), (5, 6)])
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 1), (5, 5), (6, 5)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path needs multiple propagation rounds
+    pairs = _pairs(spark, [(i, i + 1) for i in range(12)])
+    comps = connected_components(pairs).collect()
+    assert {r["component"] for r in comps} == {0}
+    assert len(comps) == 13
+
+
+def test_connected_components_empty(spark):
+    pairs = _pairs(spark, []).where(F.lit(False))
+    assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_leaves_no_persistent_blocks(spark):
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10)])
+    out = connected_components(pairs)
+    out.count()
+    # edges + intermediate label rounds are released inside the operator;
+    # only the final label frame's checkpoint may remain
+    assert jsc.getPersistentRDDs().size() <= before + 1
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (9, "c")], "doc_id long, text string"
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_canonical(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 9]  # 2,3 are non-canonical members of cluster 1
+
+
+def test_repetition_stats_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # fully repetitive
+            (2, "w x y z"),          # fully distinct
+            (3, "a b a b a b"),      # repeated bigram pattern
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert rows[1]["distinct_token_ratio"] == 0.25
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    assert rows[1]["keep"] is False
+    assert rows[2]["distinct_token_ratio"] == 1.0
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["keep"] is False  # top_token_frac 0.25 > 0.2
+    assert rows[3]["top_token_frac"] == 0.5
+    # bigrams: [a b, b a, a b, b a, a b] -> 2 distinct of 5
+    assert rows[3]["dup_bigram_frac"] == round(1 - 2 / 5, 6)
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2 common"),
+            (3, "common other common"),
+        ],
+        "doc_id long, text string",
+    )
+    top = tf_idf_top_terms(docs, "doc_id", "text", k=1).collect()
+    by_id = {r["id"]: r["term"] for r in top}
+    # 'common' appears in every doc (idf = ln(4/4) = 0); the doc-unique
+    # term must win despite lower tf
+    assert by_id == {1: "rare1", 2: "rare2", 3: "other"}
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join fast spark"),
+            (2, "spark slow table"),
+            (3, "table scan row"),
+            (4, "join fast fast"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, "doc_id", "text", ["spark", "join", "fast"], k=10).collect()
+    ids = [r["id"] for r in rows]
+    assert set(ids) == {1, 2, 4}  # doc 3 matches nothing
+    assert ids[0] in (1, 4)  # multi-term matches outrank single-term
+    assert rows[0]["rank"] == 1
+    assert all(rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1))

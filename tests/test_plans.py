@@ -150,3 +150,27 @@ def test_q62_packing_single_partitioned_window(spark, sf_dir):
         if "Arguments" in line and "windowspecdefinition" in line.lower():
             assert "lang" in line
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q66_repetition_single_shuffle_no_cartesian(spark, sf_dir):
+    plan = plan_of(Q.q66_repetition_quality(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the top-token path is partial+final hash agg keyed by doc id
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q68_bm25_filters_terms_before_aggregation(spark, sf_dir):
+    plan = plan_of(Q.q68_bm25_search(spark, sf_dir))
+    # the literal IN-filter on query terms must run below the tf
+    # aggregation: only matching tokens reach the shuffle
+    assert "IN (spark,join,fast)" in plan, plan
+    assert "TakeOrderedAndProject" in plan  # global top-k, no full sort
+    assert "CartesianProduct" not in plan
+
+
+def test_q67_tfidf_ranking_window_is_partitioned(spark, sf_dir):
+    plan = plan_of(Q.q67_tfidf_top_terms(spark, sf_dir))
+    assert "Window" in plan
+    # every window spec carries the doc-id partition key
+    specs = [l for l in plan.splitlines() if "row_number" in l]
+    assert specs and all("id" in l for l in specs)
