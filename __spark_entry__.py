@@ -34,8 +34,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per queries() key (q28_ann_srp omitted:
-    approximate by design, rows-only check)."""
+    """DuckDB-runnable ANSI SQL per queries() key. Only q37 (HLL sketch)
+    and q48 (trained k-means IVF) are rows-only — every other query,
+    including the SRP-LSH ANN (deterministic given its literal planes),
+    is hash-checked."""
     from snowplow_s3_loader_spark.plans.oracles import ORACLES
 
     return dict(ORACLES)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Weak-scaling spot checks for the scale-critical operators: run the same
+operator at 1x and 10x synthetic input and print one JSON line per case.
+Sub-linear (or ~linear) growth in wall time is the pass signal — quadratic
+blowups (pair-space explosions, unpartitioned funnels) show up immediately.
+
+Usage: python scripts/weak_scaling.py [components|jaccard|all]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from snowplow_s3_loader_spark.session import get_spark
+
+    return get_spark(app_name="weak-scaling", extra_conf={"spark.ui.enabled": "false"})
+
+
+def components_case(spark, n_clusters: int) -> dict:
+    """Chains of 4 nodes per cluster (diameter 3: several propagation
+    rounds needed), n_clusters of them."""
+    from snowplow_s3_loader_spark.operators.graph import connected_components
+
+    ids = spark.range(n_clusters * 4)
+    pairs = ids.select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).where(F.col("id") % 4 != 3)
+    t0 = time.perf_counter()
+    comps = connected_components(pairs)
+    n_nodes = comps.count()
+    n_comp = comps.select("component").distinct().count()
+    dt = time.perf_counter() - t0
+    assert n_nodes == 4 * n_clusters and n_comp == n_clusters, (n_nodes, n_comp)
+    return {"case": "components", "clusters": n_clusters, "sec": round(dt, 2)}
+
+
+def jaccard_case(spark, n_docs: int) -> dict:
+    """Realistic near-dup structure: clusters of 4 replica documents with
+    (mostly) cluster-private vocabulary plus a handful of globally shared
+    stopword-like tokens — pair count grows LINEARLY with the corpus (6
+    pairs per cluster), so wall time should too. (An all-similar corpus is
+    inherently quadratic in its OUTPUT and not a weak-scaling case.)"""
+    from snowplow_s3_loader_spark.operators.dedup import token_jaccard_pairs
+
+    cluster = F.floor(F.col("id") / 4)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit("b").alias("blk"),
+        F.concat_ws(
+            " ",
+            # 5 global high-frequency tokens: the PPJoin prefix filter must
+            # keep these out of the posting lists or the join blows up
+            *[F.lit(f"the{i}") for i in range(5)],
+            # 25 cluster-private tokens -> within-cluster J = 1.0
+            *[
+                F.concat(F.lit("w"), (cluster * 25 + i).cast("string"))
+                for i in range(25)
+            ],
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    n_pairs = token_jaccard_pairs(docs, "doc_id", "text", ["blk"], threshold=0.8).count()
+    dt = time.perf_counter() - t0
+    assert n_pairs == (n_docs // 4) * 6, n_pairs
+    return {"case": "jaccard", "docs": n_docs, "pairs": n_pairs, "sec": round(dt, 2)}
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = _spark()
+    out = []
+    if which in ("components", "all"):
+        out.append(components_case(spark, 5_000))
+        out.append(components_case(spark, 50_000))
+    if which in ("jaccard", "all"):
+        out.append(jaccard_case(spark, 5_000))
+        out.append(jaccard_case(spark, 50_000))
+    for line in out:
+        print(json.dumps(line))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

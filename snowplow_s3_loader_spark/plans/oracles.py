@@ -861,3 +861,46 @@ SELECT id, score, CAST(rn AS INTEGER) AS rank FROM (
 ) WHERE rn <= 10
 ORDER BY rank
 """
+
+
+def _srp_planes_values(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """The SAME hyperplanes the Spark operator uses (rounded to 6 decimals,
+    so the literals are exact in both engines), rendered as a SQL VALUES
+    list — SRP-LSH is deterministic given its planes, which makes the
+    'approximate' ANN oracle-checkable after all."""
+    from snowplow_s3_loader_spark.operators.similarity import srp_planes
+
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(p, ", ".join(repr(w) for w in plane))
+        for p, plane in enumerate(srp_planes(dim, n_planes, seed))
+    )
+    return rows
+
+
+ORACLES["q28_ann_srp"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl AS (SELECT * FROM (VALUES
+    {_srp_planes_values()}
+) AS t(p, plane)),
+bits AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+                  THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id
+),
+eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN bits b USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id % 100 = 0),
+s AS (
+  SELECT q.query_id, eb.vec_id AS neighbor_id,
+    round(list_dot_product(qv, v)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM q JOIN eb ON eb.bucket = q.bucket AND eb.vec_id != q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""

@@ -440,8 +440,9 @@ def q27_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q28_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed approximate top-5 (scale path; approximate by
-    design -> rows-only correctness check, no SQL oracle)."""
+    """SRP-LSH bucketed approximate top-5 (scale path). Approximate w.r.t.
+    exhaustive search but DETERMINISTIC given its hyperplanes — the oracle
+    embeds the same literal planes, so this is hash-checked after all."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_topk_srp(emb, F.col("vec_id") % 100 == 0, k=5, n_planes=8).orderBy(
         "query_id", "rank"
