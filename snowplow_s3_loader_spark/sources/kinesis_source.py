@@ -367,6 +367,9 @@ def _ts_ms(ts: Any) -> int:
     return int(float(ts) * 1000)
 
 
+# sentinel emitted by _bounded_rows when the range end is crossed
+_PAST_BOUND = object()
+
 # one client per (factory, stream) per executor process — partitions of many
 # micro-batches reuse the connection instead of re-dialing AWS every trigger
 _CLIENT_CACHE: dict = {}
@@ -433,12 +436,15 @@ class KinesisPartitionedReader(_Wire, DataSourceStreamReader):
         ]
 
     def read(self, partition: KinesisShardPartition) -> Iterator[Tuple]:  # executor-side
-        opts = partition.options
+        opts = {k.lower(): v for k, v in partition.options.items()}
         start_ms, end_ms = partition.start_ms, partition.end_ms
         if end_ms <= start_ms:
             return
         wire = _Wire(opts)
-        wire._client = _cached_client({k.lower(): v for k, v in opts.items()})
+        wire._client = _cached_client(opts)
+        if (opts.get("retrievalmode") or "polling").lower() == "fanout":
+            yield from self._read_fanout(wire, opts, partition)
+            return
         kw: dict = {"StreamName": wire.stream, "ShardId": partition.shard_id}
         if start_ms <= 0:
             kw["ShardIteratorType"] = "TRIM_HORIZON"
@@ -456,25 +462,103 @@ class KinesisPartitionedReader(_Wire, DataSourceStreamReader):
             resp = wire._call(wire._c().get_records, ShardIterator=it, Limit=10_000)
             recs = resp.get("Records", [])
             it = resp.get("NextShardIterator")
-            for r in recs:
-                ts = r.get("ApproximateArrivalTimestamp")
-                ms = _ts_ms(ts) if ts is not None else 0
-                if ms <= start_ms:
-                    continue  # boundary record already owned by a prior batch
-                if ms > end_ms:
-                    return  # beyond this batch's bound (per-shard monotone ts)
-                yield (
-                    bytes(r["Data"]),
-                    r.get("PartitionKey"),
-                    r["SequenceNumber"],
-                    ts,
-                    partition.shard_id,
-                )
+            for row in self._bounded_rows(recs, partition):
+                if row is _PAST_BOUND:
+                    return
+                yield row
             if not recs and not resp.get("MillisBehindLatest", 0):
                 return  # at the tip: everything <= end_ms has been read
         raise RuntimeError(
             f"kinesis_py partitioned read: shard {partition.shard_id} did not "
             f"reach bound {end_ms} within the poll cap"
+        )
+
+    @staticmethod
+    def _bounded_rows(recs: list, partition: KinesisShardPartition):
+        """Apply the (start_ms, end_ms] arrival-time range to a record
+        chunk; emits _PAST_BOUND once the bound is crossed (per-shard
+        monotone arrival timestamps)."""
+        for r in recs:
+            ts = r.get("ApproximateArrivalTimestamp")
+            ms = _ts_ms(ts) if ts is not None else 0
+            if ms <= partition.start_ms:
+                continue  # boundary record already owned by a prior batch
+            if ms > partition.end_ms:
+                yield _PAST_BOUND
+                return
+            yield (
+                bytes(r["Data"]),
+                r.get("PartitionKey"),
+                r["SequenceNumber"],
+                ts,
+                partition.shard_id,
+            )
+
+    def _read_fanout(
+        self, wire: _Wire, opts: dict, partition: KinesisShardPartition
+    ) -> Iterator[Tuple]:
+        """Enhanced fan-out (the reference's `retrieval: FanOut`,
+        config.aws.reference.hocon): SubscribeToShard push frames instead
+        of GetRecords polling — a dedicated 2 MB/s pipe per consumer per
+        shard, so parallel readers don't contend with other applications
+        on the shared polling quota. Same time-bounded range semantics as
+        the polling path."""
+        client = wire._c()
+        consumer_arn = opts.get("consumerarn")
+        if not consumer_arn:
+            name = opts.get("consumername") or opts.get("appname") or "spark-loader"
+            stream_arn = wire._call(
+                client.describe_stream_summary, StreamName=wire.stream
+            )["StreamDescriptionSummary"]["StreamARN"]
+            try:
+                consumer_arn = wire._call(
+                    client.register_stream_consumer,
+                    StreamARN=stream_arn,
+                    ConsumerName=name,
+                )["Consumer"]["ConsumerARN"]
+            except Exception as e:  # already registered: derive the ARN
+                if "ResourceInUse" not in type(e).__name__:
+                    raise
+                consumer_arn = f"{stream_arn}/consumer/{name}"
+        if partition.start_ms <= 0:
+            pos = {"Type": "TRIM_HORIZON"}
+        else:
+            pos = {
+                "Type": "AT_TIMESTAMP",
+                "Timestamp": dt.datetime.fromtimestamp(
+                    partition.start_ms / 1000, tz=dt.timezone.utc
+                ),
+            }
+        # a subscription lasts <= 5 min; re-subscribe from the continuation
+        # sequence until the batch bound is reached
+        for _ in range(1_000):
+            resp = wire._call(
+                client.subscribe_to_shard,
+                ConsumerARN=consumer_arn,
+                ShardId=partition.shard_id,
+                StartingPosition=pos,
+            )
+            continuation = None
+            for event in resp["EventStream"]:
+                ev = event.get("SubscribeToShardEvent")
+                if ev is None:
+                    continue
+                recs = ev.get("Records", [])
+                continuation = ev.get("ContinuationSequenceNumber")
+                for row in self._bounded_rows(recs, partition):
+                    if row is _PAST_BOUND:
+                        return
+                    yield row
+                if continuation is None:
+                    return  # shard closed and drained
+                if not recs and not ev.get("MillisBehindLatest", 0):
+                    return  # at the tip
+            if continuation is None:
+                return
+            pos = {"Type": "AT_SEQUENCE_NUMBER", "SequenceNumber": continuation}
+        raise RuntimeError(
+            f"kinesis_py fanout read: shard {partition.shard_id} did not reach "
+            f"bound {partition.end_ms} within the subscription cap"
         )
 
     def commit(self, end: dict) -> None:

@@ -18,8 +18,14 @@ read path in Spark's separate Python worker process.
 Seed file format::
 
     {"streamName": "s", "shards": {"shardId-0": {"records": [
-        {"Data": "<utf8 text>", "PartitionKey": "k"}, ...], "closed": false}},
+        {"Data": "<utf8 text>", "PartitionKey": "k",
+         "ArrivalTimestamp": "2026-01-01T00:00:05+00:00"}, ...],
+        "closed": false}},
      "throttleFirst": 0}
+
+ArrivalTimestamp is optional (defaults to a deterministic epoch+n ramp);
+the partitioned reader's time-bounded offsets need explicit values when a
+test replays across query restarts.
 """
 
 from __future__ import annotations
@@ -129,6 +135,68 @@ class FakeKinesisClient:
         else:
             raise ValueError(f"bad iterator type {ShardIteratorType}")
         return {"ShardIterator": json.dumps({"shard": ShardId, "pos": pos})}
+
+    # -- enhanced fan-out surface (SubscribeToShard push API) -------------
+
+    def describe_stream_summary(self, StreamName: str) -> dict:
+        return {
+            "StreamDescriptionSummary": {
+                "StreamARN": f"arn:aws:kinesis:local:000000000000:stream/{self.stream_name}"
+            }
+        }
+
+    def register_stream_consumer(self, StreamARN: str, ConsumerName: str) -> dict:
+        return {
+            "Consumer": {
+                "ConsumerARN": f"{StreamARN}/consumer/{ConsumerName}",
+                "ConsumerStatus": "ACTIVE",
+            }
+        }
+
+    def subscribe_to_shard(
+        self, ConsumerARN: str, ShardId: str, StartingPosition: dict
+    ) -> dict:
+        """Push-mode read: returns an EventStream-like iterable of
+        SubscribeToShardEvent chunks (<=100 records each, like the real
+        HTTP/2 event frames), ending when the shard is drained."""
+        self.get_records_calls += 1
+        if self._throttle_remaining > 0:
+            self._throttle_remaining -= 1
+            raise ProvisionedThroughputExceededException()
+        typ = StartingPosition["Type"]
+        it = self.get_shard_iterator(
+            self.stream_name,
+            ShardId,
+            typ,
+            StartingSequenceNumber=StartingPosition.get("SequenceNumber"),
+            Timestamp=StartingPosition.get("Timestamp"),
+        )["ShardIterator"]
+        pos = json.loads(it)["pos"]
+        shard = self.shards[ShardId]
+
+        def events():
+            p = pos
+            while True:
+                recs = shard["records"][p : p + 100]
+                p += len(recs)
+                exhausted = p >= len(shard["records"])
+                yield {
+                    "SubscribeToShardEvent": {
+                        "Records": [dict(r) for r in recs],
+                        # real contract: resume with AT_SEQUENCE_NUMBER at
+                        # this value (the next unread position)
+                        "ContinuationSequenceNumber": (
+                            None
+                            if (shard["closed"] and exhausted)
+                            else f"{p + 1:020d}"
+                        ),
+                        "MillisBehindLatest": 0 if exhausted else 1000,
+                    }
+                }
+                if exhausted:
+                    return
+
+        return {"EventStream": events()}
 
     def get_records(self, ShardIterator: str, Limit: int = 10_000) -> dict:
         self.get_records_calls += 1

@@ -665,3 +665,204 @@ def test_partitioned_spark_end_to_end_with_checkpoint_restart(spark, tmp_path):
         q2.stop()
         q2.awaitTermination(30)
     assert sorted(r["payload"] for r in rows_on_disk()) == ["a1", "a2", "a3", "b1"]
+
+
+def test_reader_mode_partitioned_reaches_reader_via_config(spark, tmp_path):
+    """HOCON/JSON config -> kinesis_stream: readerMode travels through the
+    options passthrough, so a config file alone selects the scale-out
+    reader."""
+    import datetime as dtm
+
+    from snowplow_s3_loader_spark.config import from_dict
+    from snowplow_s3_loader_spark.sources.streams import kinesis_stream
+
+    now = dtm.datetime.now(dtm.timezone.utc)
+    seed = tmp_path / "seed.json"
+    seed.write_text(
+        json.dumps(
+            {
+                "shards": {
+                    "shardId-0": {
+                        "records": [
+                            {
+                                "Data": "x1",
+                                "ArrivalTimestamp": (
+                                    now - dtm.timedelta(seconds=60)
+                                ).isoformat(),
+                            }
+                        ]
+                    }
+                }
+            }
+        )
+    )
+    cfg = from_dict(
+        {
+            "license": {"accept": "true"},
+            "purpose": "SELF_DESCRIBING",
+            "input": {
+                "kind": "kinesis",
+                "streamName": "s",
+                "clientFactory": FACTORY,
+                "options": {
+                    "seedFile": str(seed),
+                    "readerMode": "partitioned",
+                    "skewMarginSeconds": "0",
+                },
+            },
+            "output": {
+                "good": {"path": str(tmp_path / "out")},
+                "bad": {"kind": "file", "path": str(tmp_path / "bad")},
+            },
+        }
+    )
+    src = kinesis_stream(spark, cfg.input)
+    out = tmp_path / "sink"
+    q = (
+        src.selectExpr("cast(payload as string) AS payload")
+        .writeStream.format("json")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def rows():
+        try:
+            return spark.read.json(str(out)).collect()
+        except Exception:
+            return []
+
+    try:
+        assert _run_until(q, lambda: len(rows()) >= 1), q.lastProgress
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert {r["payload"] for r in rows()} == {"x1"}
+
+
+def test_partitioned_reader_drains_50k_records():
+    """Mini-soak for the scale path: 50k records over 4 shards drain
+    exactly-once through per-shard partition reads (driver-free wire)."""
+    import snowplow_s3_loader_spark.sources.kinesis_source as ks
+
+    c = FakeKinesisClient("s")
+    n_shards, total = 4, 50_000
+    base = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+    for i in range(total):
+        c.put(f"shardId-{i % n_shards}", b"x%d" % i)
+    end_ms = int((base + _dt.timedelta(seconds=total + 10)).timestamp() * 1000)
+    key = (None, "s", None, None)
+    ks._CLIENT_CACHE[key] = c
+    t0 = time.monotonic()
+    try:
+        seen = []
+        for s in range(n_shards):
+            part = KinesisShardPartition(f"shardId-{s}", 0, end_ms, {"streamname": "s"})
+            seen.extend(KinesisPartitionedReader({"streamName": "s"}).read(part))
+    finally:
+        ks._CLIENT_CACHE.pop(key, None)
+    elapsed = time.monotonic() - t0
+    assert len(seen) == total
+    assert len({row[2] + row[4] for row in seen}) == total  # unique (seq, shard)
+    assert elapsed < 20, f"partitioned reader too slow: {elapsed:.1f}s"
+
+
+# ---- round-3: enhanced fan-out (SubscribeToShard) retrieval mode ----
+
+
+def _read_fanout_partition(client, part):
+    import snowplow_s3_loader_spark.sources.kinesis_source as ks
+
+    key = (None, client.stream_name, None, None)
+    ks._CLIENT_CACHE[key] = client
+    try:
+        reader = KinesisPartitionedReader({"streamName": client.stream_name})
+        p2 = KinesisShardPartition(
+            part.shard_id, part.start_ms, part.end_ms,
+            {**part.options, "retrievalmode": "fanout"},
+        )
+        return list(reader.read(p2))
+    finally:
+        ks._CLIENT_CACHE.pop(key, None)
+
+
+def test_fanout_reads_time_range_like_polling():
+    """retrieval: FanOut (reference hocon) — SubscribeToShard push frames
+    produce exactly the same bounded row set as the polling path."""
+    c = FakeKinesisClient("s")
+    for i in range(250):  # crosses multiple 100-record event frames
+        c.put("shardId-0", f"r{i}".encode())
+    base = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc).timestamp() * 1000
+    part = KinesisShardPartition(
+        "shardId-0", int(base + 50_000), int(base + 200_000), {"streamname": "s"}
+    )
+    polling = _read_partition(c, part)
+    fanout = _read_fanout_partition(c, part)
+    assert [r[0] for r in fanout] == [r[0] for r in polling]
+    assert len(fanout) == 150  # (50s, 200s] of 1-per-second arrivals
+
+
+def test_fanout_closed_shard_drains():
+    c = FakeKinesisClient("s")
+    c.put("shardId-0", b"a")
+    c.put("shardId-0", b"b")
+    c.close_shard("shardId-0")
+    base = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc).timestamp() * 1000
+    part = KinesisShardPartition("shardId-0", 0, int(base + 60_000), {"streamname": "s"})
+    assert [r[0] for r in _read_fanout_partition(c, part)] == [b"a", b"b"]
+
+
+def test_fanout_spark_end_to_end(spark, tmp_path):
+    """readerMode=partitioned + retrievalMode=fanout through the real
+    streaming engine."""
+    now = _dt.datetime.now(_dt.timezone.utc)
+    old = (now - _dt.timedelta(seconds=60)).isoformat()
+    seed = tmp_path / "seed.json"
+    seed.write_text(
+        json.dumps(
+            {
+                "shards": {
+                    "shardId-0": {
+                        "records": [
+                            {"Data": "f1", "ArrivalTimestamp": old},
+                            {"Data": "f2", "ArrivalTimestamp": old},
+                        ]
+                    }
+                }
+            }
+        )
+    )
+    out_dir = tmp_path / "out"
+    spark.dataSource.register(KinesisPythonDataSource)
+    df = (
+        spark.readStream.format("kinesis_py")
+        .option("streamName", "s")
+        .option("readerMode", "partitioned")
+        .option("retrievalMode", "fanout")
+        .option("skewMarginSeconds", "0")
+        .option("clientFactory", FACTORY)
+        .option("seedFile", str(seed))
+        .load()
+    )
+    q = (
+        df.selectExpr("cast(payload as string) AS payload")
+        .writeStream.format("json")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def rows():
+        try:
+            return spark.read.json(str(out_dir)).collect()
+        except Exception:
+            return []
+
+    try:
+        assert _run_until(q, lambda: len(rows()) >= 2), q.lastProgress
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert {r["payload"] for r in rows()} == {"f1", "f2"}
