@@ -67,7 +67,8 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             except Exception as e:  # keep the bench line parseable even on breakage
-                best = -1.0
+                # a flaky later attempt must not discard a valid earlier timing
+                best = best if best is not None else -1.0
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 break
             finally:
@@ -88,6 +89,9 @@ def main() -> None:
             }
         )
     )
+    from snowplow_s3_loader_spark.tables import clear_table_cache
+
+    clear_table_cache()
     spark.stop()
 
 

@@ -76,10 +76,20 @@ def bm25_topk(
 
     Deterministic output: (round(score, 6) DESC, id ASC), rank included.
     """
+    # duplicated query terms must not double-count; order preserved for the
+    # fixed-order summation below
+    query_terms = list(dict.fromkeys(query_terms))
     base = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
     n_docs = docs.count()
+    if not query_terms or n_docs == 0:
+        # empty query or empty corpus: a well-typed empty result, not a crash
+        return base.limit(0).select(
+            "id",
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        )
     avgdl = base.select(F.avg(F.size("toks"))).first()[0]
     tf = (
         base.select("id", F.explode("toks").alias("term"))

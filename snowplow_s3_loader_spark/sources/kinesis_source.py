@@ -393,6 +393,47 @@ def _cached_client(options: dict) -> Any:
     return _CLIENT_CACHE[key]
 
 
+def _resolve_active_consumer(
+    wire: "_Wire", client: Any, stream_arn: str, name: str, opts: dict
+) -> str:
+    """Register (or adopt) an enhanced-fan-out consumer and wait until it is
+    ACTIVE.
+
+    Real-AWS contract (ADVICE r3): ``register_stream_consumer`` returns a
+    consumer in CREATING state whose real ARN carries a
+    ``:creation-timestamp`` suffix — it cannot be derived from the stream
+    ARN, and ``subscribe_to_shard`` fails until the status flips to ACTIVE.
+    So on ResourceInUse the ARN is *resolved* via
+    ``describe_stream_consumer`` (never string-built), and both paths poll
+    the describe call until ConsumerStatus == ACTIVE."""
+    try:
+        consumer = wire._call(
+            client.register_stream_consumer, StreamARN=stream_arn, ConsumerName=name
+        )["Consumer"]
+    except Exception as e:
+        if "ResourceInUse" not in type(e).__name__:
+            raise
+        consumer = None  # already registered (possibly by a peer task)
+    poll_s = float(opts.get("consumerpollseconds") or 0.5)
+    deadline = time.monotonic() + float(opts.get("consumeractivetimeoutseconds") or 60.0)
+    while True:
+        if consumer is not None and consumer.get("ConsumerStatus") == "ACTIVE":
+            return consumer["ConsumerARN"]
+        if time.monotonic() > deadline:
+            raise RuntimeError(
+                f"kinesis_py fanout: consumer {name!r} on {stream_arn} did not "
+                f"become ACTIVE (last status: "
+                f"{consumer.get('ConsumerStatus') if consumer else 'unknown'})"
+            )
+        if consumer is not None:
+            time.sleep(poll_s)
+        consumer = wire._call(
+            client.describe_stream_consumer,
+            StreamARN=stream_arn,
+            ConsumerName=name,
+        )["ConsumerDescription"]
+
+
 class KinesisPartitionedReader(_Wire, DataSourceStreamReader):
     """Scale-out reader: one input partition per shard, polled on
     executors. See the module docstring for the offset model.
@@ -454,6 +495,7 @@ class KinesisPartitionedReader(_Wire, DataSourceStreamReader):
                 start_ms / 1000, tz=dt.timezone.utc
             )
         it = wire._call(wire._c().get_shard_iterator, **kw)["ShardIterator"]
+        jitter_ms = int(float(opts.get("skewmarginseconds") or 2.0) * 1000)
         # the range end is a wall-clock bound already in the past, so the
         # drain MUST reach it; the poll cap only guards a wedged wire
         for _ in range(10_000):
@@ -462,7 +504,7 @@ class KinesisPartitionedReader(_Wire, DataSourceStreamReader):
             resp = wire._call(wire._c().get_records, ShardIterator=it, Limit=10_000)
             recs = resp.get("Records", [])
             it = resp.get("NextShardIterator")
-            for row in self._bounded_rows(recs, partition):
+            for row in self._bounded_rows(recs, partition, jitter_ms):
                 if row is _PAST_BOUND:
                     return
                 yield row
@@ -474,18 +516,32 @@ class KinesisPartitionedReader(_Wire, DataSourceStreamReader):
         )
 
     @staticmethod
-    def _bounded_rows(recs: list, partition: KinesisShardPartition):
+    def _bounded_rows(recs: list, partition: KinesisShardPartition, jitter_ms: int):
         """Apply the (start_ms, end_ms] arrival-time range to a record
-        chunk; emits _PAST_BOUND once the bound is crossed (per-shard
-        monotone arrival timestamps)."""
+        chunk — PER RECORD, not by truncation. ApproximateArrivalTimestamp
+        is approximate and not contractually monotone within a shard, so a
+        record stamped inside the range can sit *behind* one stamped past
+        it; truncating at the first out-of-range record would silently drop
+        it (data loss, ADVICE r3). Instead every record is filtered
+        individually and the scan only stops once a record exceeds
+        ``end_ms + jitter_ms`` (or the caller sees MillisBehindLatest==0).
+
+        ``skewMarginSeconds`` doubles as the jitter bound and MUST exceed
+        the worst-case arrival-timestamp disorder within a shard; records
+        stamped inside the range but materializing more than that margin
+        late are the residual (documented) loss window of time-bound
+        offsets — use the sequence-anchored polling reader when that is
+        unacceptable."""
         for r in recs:
             ts = r.get("ApproximateArrivalTimestamp")
             ms = _ts_ms(ts) if ts is not None else 0
             if ms <= partition.start_ms:
                 continue  # boundary record already owned by a prior batch
             if ms > partition.end_ms:
-                yield _PAST_BOUND
-                return
+                if ms > partition.end_ms + jitter_ms:
+                    yield _PAST_BOUND
+                    return
+                continue  # next batch's record; in-range ones may follow
             yield (
                 bytes(r["Data"]),
                 r.get("PartitionKey"),
@@ -510,16 +566,7 @@ class KinesisPartitionedReader(_Wire, DataSourceStreamReader):
             stream_arn = wire._call(
                 client.describe_stream_summary, StreamName=wire.stream
             )["StreamDescriptionSummary"]["StreamARN"]
-            try:
-                consumer_arn = wire._call(
-                    client.register_stream_consumer,
-                    StreamARN=stream_arn,
-                    ConsumerName=name,
-                )["Consumer"]["ConsumerARN"]
-            except Exception as e:  # already registered: derive the ARN
-                if "ResourceInUse" not in type(e).__name__:
-                    raise
-                consumer_arn = f"{stream_arn}/consumer/{name}"
+            consumer_arn = _resolve_active_consumer(wire, client, stream_arn, name, opts)
         if partition.start_ms <= 0:
             pos = {"Type": "TRIM_HORIZON"}
         else:
@@ -529,6 +576,7 @@ class KinesisPartitionedReader(_Wire, DataSourceStreamReader):
                     partition.start_ms / 1000, tz=dt.timezone.utc
                 ),
             }
+        jitter_ms = int(float(opts.get("skewmarginseconds") or 2.0) * 1000)
         # a subscription lasts <= 5 min; re-subscribe from the continuation
         # sequence until the batch bound is reached
         for _ in range(1_000):
@@ -545,7 +593,7 @@ class KinesisPartitionedReader(_Wire, DataSourceStreamReader):
                     continue
                 recs = ev.get("Records", [])
                 continuation = ev.get("ContinuationSequenceNumber")
-                for row in self._bounded_rows(recs, partition):
+                for row in self._bounded_rows(recs, partition, jitter_ms):
                     if row is _PAST_BOUND:
                         return
                     yield row
@@ -569,9 +617,16 @@ class KinesisPythonDataSource(DataSource):
     """`spark.readStream.format("kinesis_py")` — register with
     `spark.dataSource.register(KinesisPythonDataSource)`.
 
-    Default reader is the driver-polling one (exact sequence-anchored
-    replay); pass ``option("readerMode", "partitioned")`` for the
-    partition-per-shard executor-polling reader (scale path).
+    ``readerMode`` options:
+
+    * ``auto`` (default) — one ListShards probe at stream construction:
+      streams with more than ``partitionedShardThreshold`` (default 8)
+      shards get the partition-per-shard executor-polling reader (a single
+      driver polling loop is the ingest funnel past ~8 shards); smaller
+      streams keep the driver-polling reader, whose recovery replay is
+      sequence-anchored and exact rather than arrival-time-bounded.
+    * ``partitioned`` — always the executor-polling reader.
+    * ``polling`` (or anything else) — always the driver-polling reader.
     """
 
     @classmethod
@@ -583,11 +638,30 @@ class KinesisPythonDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         opts = {k.lower(): v for k, v in dict(self.options).items()}
-        if (opts.get("readermode") or "").lower() == "partitioned":
+        mode = (opts.get("readermode") or "auto").lower()
+        if mode == "partitioned":
+            return KinesisPartitionedReader(dict(self.options))
+        if mode == "auto" and self._auto_partitioned(opts):
             return KinesisPartitionedReader(dict(self.options))
         raise PySparkNotImplementedError(  # fall back to simpleStreamReader
             errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
         )
+
+    @staticmethod
+    def _auto_partitioned(opts: dict) -> bool:
+        """readerMode=auto (the default): count shards with one ListShards
+        call and pick the partition-per-shard reader above
+        ``partitionedShardThreshold`` (default 8) shards, where a single
+        driver polling loop becomes the ingest funnel. Below it, keep the
+        driver-polling reader whose replay is sequence-anchored and exact
+        (the partitioned reader's offsets are arrival-time bounds — see
+        the module docstring for the trade). Probe failures keep the
+        conservative default rather than failing stream construction."""
+        threshold = int(opts.get("partitionedshardthreshold") or 8)
+        try:
+            return len(_Wire(dict(opts))._list_shards()) > threshold
+        except Exception:
+            return False
 
     def simpleStreamReader(self, schema: StructType) -> KinesisPollingReader:
         return KinesisPollingReader(dict(self.options))

@@ -38,8 +38,31 @@ _CPU_DENSE_TABLES = {"events"}
 # once per session instead of once per query. Keyed by applicationId (stable
 # per SparkSession, never reused across sessions — unlike id(spark), which
 # CPython can recycle after GC); entries from older applications are evicted
-# so persisted frames don't outlive their session.
+# so persisted frames don't outlive their session. Bounded: eviction (stale
+# app, LRU overflow, clear_table_cache) UNPERSISTS the frame, so a session
+# cycling many sf_dirs cannot accumulate cached blocks.
 _df_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+# persisted entries a long-lived session may hold at once; small because only
+# CPU-dense tables persist and each is one sf_dir's events frame
+_CACHE_MAX_ENTRIES = 32
+
+
+def _evict(key: tuple[str, str, str]) -> None:
+    df = _df_cache.pop(key, None)
+    if df is not None:
+        try:
+            if df.storageLevel.useMemory or df.storageLevel.useDisk:
+                df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped: nothing to release
+
+
+def clear_table_cache() -> None:
+    """Drop every cached table frame and unpersist any cached blocks.
+    Bench isolation and tests call this between runs."""
+    for key in list(_df_cache):
+        _evict(key)
 
 
 def load_table(
@@ -58,7 +81,9 @@ def load_table(
     if key is not None and key in _df_cache:
         return _df_cache[key]
     for stale in [k for k in _df_cache if k[0] != app_id]:
-        del _df_cache[stale]
+        _evict(stale)
+    while len(_df_cache) >= _CACHE_MAX_ENTRIES:
+        _evict(next(iter(_df_cache)))  # FIFO: oldest insertion goes first
     # Runtime conf injection point: queries receive the DRIVER's session
     # (no engine conf), so everything runtime-settable is applied here —
     # incl. the ns->NTZ path (cast goes through TIMESTAMP_LTZ; session tz

@@ -42,6 +42,18 @@ class ProvisionedThroughputExceededException(Exception):
         self.response = {"Error": {"Code": "ProvisionedThroughputExceededException"}}
 
 
+class ResourceInUseException(Exception):
+    def __init__(self) -> None:
+        super().__init__("Consumer already exists")
+        self.response = {"Error": {"Code": "ResourceInUseException"}}
+
+
+class ResourceNotFoundException(Exception):
+    def __init__(self) -> None:
+        super().__init__("Consumer not found")
+        self.response = {"Error": {"Code": "ResourceNotFoundException"}}
+
+
 _EPOCH = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
 
 
@@ -49,6 +61,7 @@ class FakeKinesisClient:
     def __init__(self, stream_name: str = "stream", throttle_first: int = 0):
         self.stream_name = stream_name
         self.shards: dict[str, dict] = {}
+        self.consumers: dict[str, dict] = {}
         self._seq = 0
         self._throttle_remaining = throttle_first
         self.get_records_calls = 0
@@ -146,12 +159,46 @@ class FakeKinesisClient:
         }
 
     def register_stream_consumer(self, StreamARN: str, ConsumerName: str) -> dict:
-        return {
-            "Consumer": {
-                "ConsumerARN": f"{StreamARN}/consumer/{ConsumerName}",
-                "ConsumerStatus": "ACTIVE",
+        """Real-AWS contract: a fresh consumer starts CREATING (ACTIVE only
+        after a delay), its ARN carries a ':creation-timestamp' suffix, and
+        re-registering an existing name raises ResourceInUse."""
+        with self._lock:
+            if ConsumerName in self.consumers:
+                raise ResourceInUseException()
+            self.consumers[ConsumerName] = {
+                "ConsumerARN": f"{StreamARN}/consumer/{ConsumerName}:1735689600",
+                "ConsumerStatus": "CREATING",
+                "describes": 0,
             }
-        }
+            c = self.consumers[ConsumerName]
+            return {
+                "Consumer": {
+                    "ConsumerARN": c["ConsumerARN"],
+                    "ConsumerStatus": c["ConsumerStatus"],
+                }
+            }
+
+    def describe_stream_consumer(
+        self, StreamARN: str | None = None, ConsumerName: str | None = None,
+        ConsumerARN: str | None = None,
+    ) -> dict:
+        with self._lock:
+            if ConsumerName is None and ConsumerARN is not None:
+                ConsumerName = ConsumerARN.rsplit("/", 1)[-1].split(":")[0]
+            c = self.consumers.get(ConsumerName or "")
+            if c is None:
+                raise ResourceNotFoundException()
+            # becomes ACTIVE on the second describe: exercises the caller's
+            # status-polling loop deterministically
+            c["describes"] += 1
+            if c["describes"] >= 2:
+                c["ConsumerStatus"] = "ACTIVE"
+            return {
+                "ConsumerDescription": {
+                    "ConsumerARN": c["ConsumerARN"],
+                    "ConsumerStatus": c["ConsumerStatus"],
+                }
+            }
 
     def subscribe_to_shard(
         self, ConsumerARN: str, ShardId: str, StartingPosition: dict

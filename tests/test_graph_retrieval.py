@@ -116,3 +116,22 @@ def test_bm25_ranks_matching_docs_first(spark):
     assert ids[0] in (1, 4)  # multi-term matches outrank single-term
     assert rows[0]["rank"] == 1
     assert all(rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1))
+
+
+def test_bm25_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark join fast spark"), (2, "table scan row")],
+        "doc_id long, text string",
+    )
+    # duplicated query term must score identically to the deduped query
+    once = bm25_topk(docs, "doc_id", "text", ["spark"], k=5).collect()
+    twice = bm25_topk(docs, "doc_id", "text", ["spark", "spark"], k=5).collect()
+    assert [(r["id"], r["score"]) for r in once] == [
+        (r["id"], r["score"]) for r in twice
+    ]
+    # empty query and empty corpus: well-typed empty results, no crash
+    assert bm25_topk(docs, "doc_id", "text", [], k=5).count() == 0
+    empty = docs.limit(0)
+    assert bm25_topk(empty, "doc_id", "text", ["spark"], k=5).count() == 0
+    cols = bm25_topk(docs, "doc_id", "text", [], k=5).columns
+    assert cols == ["id", "score", "rank"]

@@ -866,3 +866,113 @@ def test_fanout_spark_end_to_end(spark, tmp_path):
         q.stop()
         q.awaitTermination(30)
     assert {r["payload"] for r in rows()} == {"f1", "f2"}
+
+
+# ---- round-4: per-record time filtering, auto readerMode, fan-out ARN ----
+
+
+def test_partitioned_out_of_order_arrival_not_dropped():
+    """ADVICE r3 (medium): ApproximateArrivalTimestamp is not contractually
+    monotone per shard — an in-range record sitting BEHIND a past-bound
+    record must still be read (per-record filtering, not truncation)."""
+    c = FakeKinesisClient("s")
+    base = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+    sec = lambda n: base + _dt.timedelta(seconds=n)  # noqa: E731
+    c.put("shardId-0", b"in1", arrival=sec(3))
+    c.put("shardId-0", b"past", arrival=sec(5))  # past end, within jitter
+    c.put("shardId-0", b"in2", arrival=sec(3.5))  # BEHIND the past-bound rec
+    c.put("shardId-0", b"way-past", arrival=sec(20))  # beyond end+jitter
+    c.put("shardId-0", b"lost", arrival=sec(3.7))  # beyond-jitter disorder
+    base_ms = int(base.timestamp() * 1000)
+    part = KinesisShardPartition(
+        "shardId-0", base_ms + 2000, base_ms + 4000,
+        {"streamname": "s", "skewmarginseconds": "2"},
+    )
+    rows = _read_partition(c, part)
+    # in1 and in2 are both in (2s, 4s]; the old truncation dropped in2.
+    # way-past (20s > 4s+2s jitter) stops the scan, so the pathological
+    # beyond-jitter record is the documented residual loss.
+    assert [r[0] for r in rows] == [b"in1", b"in2"]
+
+
+def test_partitioned_past_bound_within_jitter_goes_to_next_batch():
+    c = FakeKinesisClient("s")
+    base = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+    c.put("shardId-0", b"a", arrival=base + _dt.timedelta(seconds=3))
+    c.put("shardId-0", b"b", arrival=base + _dt.timedelta(seconds=5))
+    base_ms = int(base.timestamp() * 1000)
+    batch1 = KinesisShardPartition(
+        "shardId-0", base_ms + 2000, base_ms + 4000, {"streamname": "s"}
+    )
+    batch2 = KinesisShardPartition(
+        "shardId-0", base_ms + 4000, base_ms + 6000, {"streamname": "s"}
+    )
+    assert [r[0] for r in _read_partition(c, batch1)] == [b"a"]
+    assert [r[0] for r in _read_partition(c, batch2)] == [b"b"]  # no dup, no loss
+
+
+def _seeded_options(tmp_path, n_shards: int) -> dict:
+    seed = tmp_path / f"auto_seed_{n_shards}.json"
+    seed.write_text(
+        json.dumps(
+            {"shards": {f"shardId-{i}": {"records": []} for i in range(n_shards)}}
+        )
+    )
+    return {
+        "streamName": "s",
+        "clientFactory": FACTORY,
+        "seedFile": str(seed),
+    }
+
+
+def test_reader_mode_auto_selects_partitioned_above_shard_threshold(tmp_path):
+    from pyspark.errors import PySparkNotImplementedError
+    from snowplow_s3_loader_spark.sources.kinesis_source import (
+        KinesisPartitionedReader,
+    )
+
+    many = KinesisPythonDataSource(_seeded_options(tmp_path, 9))
+    assert isinstance(many.streamReader(None), KinesisPartitionedReader)
+
+    few = KinesisPythonDataSource(_seeded_options(tmp_path, 8))
+    with pytest.raises(PySparkNotImplementedError):
+        few.streamReader(None)  # falls back to the simple (polling) reader
+
+    low_threshold = KinesisPythonDataSource(
+        {**_seeded_options(tmp_path, 3), "partitionedShardThreshold": "2"}
+    )
+    assert isinstance(low_threshold.streamReader(None), KinesisPartitionedReader)
+
+    # explicit mode always wins over the probe
+    forced_polling = KinesisPythonDataSource(
+        {**_seeded_options(tmp_path, 9), "readerMode": "polling"}
+    )
+    with pytest.raises(PySparkNotImplementedError):
+        forced_polling.streamReader(None)
+    forced_part = KinesisPythonDataSource(
+        {**_seeded_options(tmp_path, 1), "readerMode": "partitioned"}
+    )
+    assert isinstance(forced_part.streamReader(None), KinesisPartitionedReader)
+
+
+def test_fanout_consumer_arn_resolved_and_polled_to_active():
+    """ADVICE r3: register returns CREATING and the real ARN carries a
+    ':creation-timestamp' suffix — the reader must resolve via
+    describe_stream_consumer and wait for ACTIVE, never string-build."""
+    from snowplow_s3_loader_spark.sources.kinesis_source import (
+        _Wire,
+        _resolve_active_consumer,
+    )
+
+    c = FakeKinesisClient("s")
+    wire = _Wire({"streamname": "s"})
+    wire._client = c
+    arn = "arn:aws:kinesis:local:000000000000:stream/s"
+    opts = {"consumerpollseconds": "0.01"}
+    got = _resolve_active_consumer(wire, c, arn, "app", opts)
+    assert got == f"{arn}/consumer/app:1735689600"  # suffixed, from describe
+    assert c.consumers["app"]["ConsumerStatus"] == "ACTIVE"
+
+    # second caller hits ResourceInUse and adopts the existing consumer
+    got2 = _resolve_active_consumer(wire, c, arn, "app", opts)
+    assert got2 == got
