@@ -5,16 +5,17 @@ canonical document per cluster. (Beyond the reference's surface —
 SURVEY.md SS7.8 training-data extensions; the reference loader has no
 relational layer at all, Processing.scala:69-77.)
 
-Algorithm: iterative min-label propagation. Every vertex starts labeled
-with itself; each round every vertex takes the minimum label among itself
-and its neighbors; converged when no label changes. Rounds needed equals
-the graph diameter — near-dup clusters are small and dense (diameter is
-single digits), which makes plain propagation the right trade here. For
-general billion-edge graphs with long chains, the alternating
+Algorithm: iterative min-label propagation, with an automatic fallback.
+Every vertex starts labeled with itself; each round every vertex takes
+the minimum label among itself and its neighbors; converged when no
+label changes. Rounds needed equals the graph diameter — near-dup
+clusters are small and dense (diameter is single digits), which makes
+plain propagation the right first choice. But web-scale dedup graphs DO
+contain long chains (boilerplate ladders), so when propagation hasn't
+converged after max_iter/2 rounds the loop switches to the alternating
 large-star/small-star formulation (Kiveris et al., "Connected Components
-in MapReduce and Beyond", SoCC'14) converges in O(log n) rounds with the
-same join-shape per round; the loop below is deliberately the simple
-variant with a max_iter guard.
+in MapReduce and Beyond", SoCC'14) — same keyed join+agg shape per
+round, O(log n) rounds regardless of diameter — instead of raising.
 
 Scale mechanics:
 - each iteration is one shuffle join (edges x labels) + one aggregation —
@@ -43,8 +44,10 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in `pairs`; component is
     the minimum node id reachable through the pair graph — a stable,
-    engine-portable cluster id. Raises if max_iter rounds don't converge
-    (a diameter that large means the input is not a near-dup pair set)."""
+    engine-portable cluster id. Min-label propagation for the first
+    max_iter/2 rounds (optimal for shallow near-dup clusters); graphs
+    whose diameter outlives that budget fall back to the O(log n)
+    large-star/small-star algorithm instead of failing."""
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -58,7 +61,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
-        for _ in range(max_iter):
+        for _ in range(max(1, max_iter // 2)):
             neigh = (
                 edges.join(labels, edges.d == labels.v)
                 .groupBy("s")
@@ -86,13 +89,99 @@ def connected_components(
                 return labels.select(
                     F.col("v").alias("node"), F.col("lbl").alias("component")
                 )
-        raise RuntimeError(
-            f"connected_components: no convergence in {max_iter} rounds "
-            "(graph diameter too large for min-label propagation; use a "
-            "large-star/small-star formulation)"
-        )
+        # diameter outlived the propagation budget: long-chain graph.
+        # nodes must derive from `edges` (still checkpointed), NOT from
+        # `labels`, which is released next — its lineage is truncated and
+        # a frame built on it would be unreadable.
+        nodes = edges.select(F.col("s").alias("v")).distinct()
+        release_materialized(labels)
+        return _star_components(edges, nodes)
     finally:
         release_materialized(edges)
+
+
+def _star_components(edges: DataFrame, nodes: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., SoCC'14), implemented from the paper's operator definitions:
+
+    * large-star(u): connect every strictly-larger neighbor of u to
+      ``m = min(N(u) ∪ {u})``;
+    * small-star(u): connect every neighbor ``v <= u`` (each undirected
+      edge processed once, from its larger endpoint) and u itself to m.
+
+    Both operators preserve connectivity and strictly shrink star height,
+    converging in O(log n) rounds on ANY diameter — each round is two
+    (groupBy + keyed join) pairs plus one set-difference action, the same
+    shuffle shape as one propagation round. `edges` must be the
+    symmetrized (s, d) relation; `nodes` the full vertex set (so isolated
+    vertices label themselves). Returns (node, component)."""
+    sym = edges.where(F.col("s") != F.col("d")).localCheckpoint(eager=True)
+    try:
+        for _ in range(max_rounds):
+            # -- large-star over the symmetric relation ---------------------
+            mins = (
+                sym.groupBy("s")
+                .agg(F.min("d").alias("mn"))
+                .select("s", F.least("mn", F.col("s")).alias("m"))
+            )
+            large = (
+                sym.join(mins, "s")
+                .where(F.col("d") > F.col("s"))
+                .select(F.col("d").alias("a"), F.col("m").alias("b"))
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            lsym = large.select(F.col("a").alias("s"), F.col("b").alias("d")).union(
+                large.select(F.col("b").alias("s"), F.col("a").alias("d"))
+            )
+            # -- small-star: each undirected edge from its larger endpoint --
+            directed = lsym.where(F.col("d") < F.col("s"))
+            smins = directed.groupBy("s").agg(F.min("d").alias("m"))
+            small = (
+                directed.join(smins, "s")
+                .select(F.col("d").alias("a"), F.col("m").alias("b"))
+                .union(smins.select(F.col("s").alias("a"), F.col("m").alias("b")))
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            new_sym = (
+                small.select(F.col("a").alias("s"), F.col("b").alias("d"))
+                .union(small.select(F.col("b").alias("s"), F.col("a").alias("d")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # two-way difference: one-way exceptAll is 0 for a strict
+            # subset, which is not convergence
+            changed = (
+                new_sym.exceptAll(sym).count() + sym.exceptAll(new_sym).count()
+            )
+            release_materialized(sym)
+            sym = new_sym
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: star algorithm did not converge in "
+                f"{max_rounds} rounds (malformed edge input?)"
+            )
+        # converged: disjoint stars — every edge points non-root -> root
+        star = (
+            sym.where(F.col("s") > F.col("d"))
+            .groupBy("s")
+            .agg(F.min("d").alias("root"))
+        )
+        # materialize BEFORE the finally releases sym (the result would
+        # otherwise read from truncated-lineage blocks that no longer exist)
+        return (
+            nodes.join(star, nodes.v == star.s, "left")
+            .select(
+                F.col("v").alias("node"),
+                F.coalesce("root", F.col("v")).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        release_materialized(sym)
 
 
 def dedup_keep_canonical(

@@ -135,3 +135,56 @@ def test_bm25_edge_cases(spark):
     assert bm25_topk(empty, "doc_id", "text", ["spark"], k=5).count() == 0
     cols = bm25_topk(docs, "doc_id", "text", [], k=5).columns
     assert cols == ["id", "score", "rank"]
+
+
+def test_connected_components_path_graph_falls_back_to_star(spark):
+    """VERDICT r4 item 3: a 1k-node path (diameter ~1000) overruns the
+    min-label propagation budget; the operator must switch to the
+    large-star/small-star formulation and converge, not raise."""
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1000)])
+    comps = connected_components(pairs).collect()
+    assert len(comps) == 1001
+    assert {r["component"] for r in comps} == {0}
+
+
+def test_star_components_match_union_find_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(220)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # reference union-find on the driver
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        for n in (a, b):
+            expected[n] = find(n)
+
+    from snowplow_s3_loader_spark.operators.graph import _star_components
+    from pyspark.sql import functions as SF
+
+    pairs = _pairs(spark, edges)
+    sym = (
+        pairs.select(SF.col("id_a").alias("s"), SF.col("id_b").alias("d"))
+        .union(pairs.select(SF.col("id_b").alias("s"), SF.col("id_a").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(SF.col("s").alias("v")).distinct()
+    got = {r["node"]: r["component"] for r in _star_components(sym, nodes).collect()}
+    assert got == expected
