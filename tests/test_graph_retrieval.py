@@ -188,3 +188,118 @@ def test_star_components_match_union_find_on_random_graph(spark):
     nodes = sym.select(SF.col("s").alias("v")).distinct()
     got = {r["node"]: r["component"] for r in _star_components(sym, nodes).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# incremental component maintenance (ComponentMap)
+# ---------------------------------------------------------------------------
+
+
+def _cc_batch(spark, edges):
+    return {
+        (r["node"], r["component"])
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+
+
+def test_component_map_two_batches_equal_batch_on_union(spark):
+    from snowplow_s3_loader_spark.operators.graph import ComponentMap
+
+    b1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    b2 = [(3, 10), (30, 31), (21, 21)]  # merge, new cluster, self-pair
+    m = ComponentMap()
+    m.update(_pairs(spark, b1))
+    m.update(_pairs(spark, b2))
+    got = {(r["node"], r["component"]) for r in m.components().collect()}
+    assert got == _cc_batch(spark, b1 + b2)
+    m.release()
+
+
+def test_component_map_merge_across_three_batches(spark):
+    from snowplow_s3_loader_spark.operators.graph import ComponentMap
+
+    # three disjoint clusters, then a batch that chains them all together
+    batches = [
+        [(1, 2), (5, 6)],
+        [(8, 9), (6, 7)],
+        [(2, 5), (7, 8)],  # 1..9 becomes one component rooted at 1
+    ]
+    m = ComponentMap()
+    for b in batches:
+        m.update(_pairs(spark, b))
+    got = {(r["node"], r["component"]) for r in m.components().collect()}
+    union = [e for b in batches for e in b]
+    assert got == _cc_batch(spark, union)
+    assert {c for _, c in got} == {1}
+    m.release()
+
+
+def test_component_map_replayed_batch_is_idempotent(spark):
+    from snowplow_s3_loader_spark.operators.graph import ComponentMap
+
+    b1 = [(1, 2), (4, 5)]
+    m = ComponentMap()
+    m.update(_pairs(spark, b1))
+    before = {(r["node"], r["component"]) for r in m.components().collect()}
+    m.update(_pairs(spark, b1))  # at-least-once replay
+    after = {(r["node"], r["component"]) for r in m.components().collect()}
+    assert before == after == _cc_batch(spark, b1)
+    m.release()
+
+
+def test_component_map_bounded_blocks(spark):
+    from snowplow_s3_loader_spark.operators.graph import ComponentMap
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    m = ComponentMap()
+    for i in range(4):
+        m.update(_pairs(spark, [(i * 10, i * 10 + 1), (i * 10 + 1, i * 10 + 2)]))
+    # only the CURRENT state generation may hold blocks, regardless of
+    # how many updates ran
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    m.release()
+    assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_component_map_foreach_batch_streaming(spark, tmp_path):
+    """End-to-end: pairs arriving as a file stream, folded via foreachBatch;
+    final map equals the batch operator on all pairs ever streamed."""
+    import json
+    import os
+
+    from snowplow_s3_loader_spark.operators.graph import ComponentMap
+
+    src = tmp_path / "pairs_in"
+    os.makedirs(src)
+    b1 = [(1, 2), (2, 3), (50, 51)]
+    b2 = [(3, 50), (70, 71)]
+    with open(src / "b1.json", "w") as f:
+        f.writelines(json.dumps({"id_a": a, "id_b": b}) + "\n" for a, b in b1)
+
+    m = ComponentMap()
+    stream = (
+        spark.readStream.schema("id_a long, id_b long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(m.foreach_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    with open(src / "b2.json", "w") as f:
+        f.writelines(json.dumps({"id_a": a, "id_b": b}) + "\n" for a, b in b2)
+    q2 = (
+        stream.writeStream.foreachBatch(m.foreach_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = {(r["node"], r["component"]) for r in m.components().collect()}
+    assert got == _cc_batch(spark, b1 + b2)
+    m.release()
