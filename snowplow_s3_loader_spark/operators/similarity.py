@@ -133,22 +133,55 @@ def ann_topk_srp(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine but only within the query's SRP
-    bucket. Recall < 1.0 by design; bucket join keeps the pair space small."""
-    planes = srp_planes(dim, n_planes, seed)
+    """Approximate top-k: exact cosine but only among bucket-collision
+    candidates. A single table's recall falls ~2x per extra plane (each
+    bit halves the bucket), so `n_tables` independent plane sets can be
+    unioned in the classic multi-table LSH trade: a candidate survives if
+    it collides in ANY table, recall ~ 1-(1-p)^L for per-table collision
+    probability p, candidate volume grows ~L-fold (still bucket-bounded,
+    never all-pairs). Plane sets are seeded `seed+t`, so any (n_planes,
+    n_tables, seed) choice is reproducible in an oracle.
+
+    Scale shape: one explode over table index (corpus rows ship L times —
+    the standard LSH storage trade), one (table, bucket)-keyed join with
+    broadcast queries, distinct on (query, candidate), then exact scoring.
+    """
     base = emb.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", srp_bucket(F.col("v"), planes))
-    queries = base.filter(query_pred).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
     )
-    scored = base.join(F.broadcast(queries), on="bucket").filter(
-        F.col("id") != F.col("query_id")
-    ).select(
+    bucket_cols = [
+        F.struct(
+            F.lit(t).alias("t"),
+            srp_bucket(F.col("v"), srp_planes(dim, n_planes, seed + t)).alias("b"),
+        )
+        for t in range(n_tables)
+    ]
+    hashed = base.select(
+        "id", "v", F.explode(F.array(*bucket_cols)).alias("tb")
+    ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    q_base = base.filter(query_pred).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # recompute the query buckets on the (tiny) filtered side rather than
+    # filtering `hashed`: pred resolution stays on `base`'s columns and the
+    # corpus-side explode is never re-evaluated for the broadcast
+    q_hashed = (
+        base.filter(query_pred)
+        .select(F.col("id").alias("query_id"), F.explode(F.array(*bucket_cols)).alias("tb"))
+        .select("query_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    )
+    candidates = (
+        hashed.join(F.broadcast(q_hashed), on=["t", "b"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), "v")
+        .distinct()  # a pair may collide in several tables: score once
+    )
+    scored = candidates.join(F.broadcast(q_base), "query_id").select(
         "query_id",
-        F.col("id").alias("neighbor_id"),
+        "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -293,7 +326,7 @@ def ann_topk_ivf(
     query_pred: Column,
     k: int = 5,
     n_centroids: int = 8,
-    n_probe: int = 2,
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
@@ -307,6 +340,8 @@ def ann_topk_ivf(
     """IVF approximate top-k: score only vectors whose centroid is among the
     query's `n_probe` nearest centroids. Pair space shrinks ~K/n_probe-fold;
     recall grows with n_probe (n_probe=K degenerates to brute force).
+    Default n_probe=4 comes from the measured recall table
+    (scripts/weak_scaling.py recall: 0.78@4 vs 0.49@2 at sf0.1, K=8).
     `train=True` trains centroids with sampled k-means (the recall-correct
     path — first-K seeding degrades on clustered corpora): driver-side
     numpy Lloyd over a bounded sample by default, MLlib kmeans|| when
