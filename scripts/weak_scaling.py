@@ -141,6 +141,75 @@ def recall_case(spark, sf_dir: str) -> list[dict]:
     return results
 
 
+def retrieval_case(spark, n_docs: int) -> list[dict]:
+    """BM25 + TF-IDF at 1x/10x synthetic corpora (VERDICT r3 #7).
+
+    Synthetic docs: ~60 tokens each from a zipf-ish vocabulary (shared
+    head words + per-doc tail), so tf/df shapes resemble text. Beyond
+    wall time this records two plan facts from the EXECUTED (AQE-final)
+    plan: (a) BM25's term IN-filter sits below the tf aggregation, so
+    the (doc, term) relation never materializes for non-query terms at
+    any scale; (b) which physical strategy AQE picked for the tf x df
+    join — broadcast expected while the vocabulary is small, the metric
+    to watch when it isn't."""
+    from snowplow_s3_loader_spark.operators.retrieval import (
+        bm25_topk,
+        tf_idf_top_terms,
+    )
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            # 10 corpus-wide head words (stopword-ish df ~ N)
+            *[F.lit(f"the{i}") for i in range(10)],
+            # 40 mid-frequency words cycling a 1000-word vocabulary
+            *[
+                F.concat(F.lit("w"), ((F.col("id") * 7 + i * 13) % 1000).cast("string"))
+                for i in range(40)
+            ],
+            # 10 doc-private tail words
+            *[
+                F.concat(F.lit("t"), (F.col("id") * 10 + i).cast("string"))
+                for i in range(10)
+            ],
+        ).alias("text"),
+    )
+
+    out = []
+    t0 = time.perf_counter()
+    bm = bm25_topk(docs, "doc_id", "text", ["w7", "w42", "the3"], k=10)
+    n_bm = bm.count()
+    bm_sec = round(time.perf_counter() - t0, 2)
+    executed = bm._jdf.queryExecution().executedPlan().toString()
+    assert "the3,w7,w42" in executed.replace("w7,w42,the3", "the3,w7,w42") or "IN (" in executed, (
+        "BM25 term filter missing from executed plan"
+    )
+    # the IN-filter must appear in a Filter ABOVE the explode/generate but
+    # BELOW any HashAggregate in the plan tree (string order: aggregates
+    # print above their children)
+    agg_pos = executed.find("HashAggregate")
+    filt_pos = executed.find("exists")  # IN-list compiles to: filter exists/in
+    if filt_pos == -1:
+        filt_pos = executed.find(" IN (")
+    assert agg_pos != -1 and filt_pos > agg_pos, "term filter not below aggregation"
+    out.append(
+        {"case": "bm25", "docs": n_docs, "rows": n_bm, "sec": bm_sec,
+         "df_join": "broadcast" if "BroadcastHashJoin" in executed else "sortmerge"}
+    )
+
+    t0 = time.perf_counter()
+    ti = tf_idf_top_terms(docs, "doc_id", "text", k=3)
+    n_ti = ti.count()
+    ti_sec = round(time.perf_counter() - t0, 2)
+    ti_plan = ti._jdf.queryExecution().executedPlan().toString()
+    out.append(
+        {"case": "tfidf", "docs": n_docs, "rows": n_ti, "sec": ti_sec,
+         "df_join": "broadcast" if "BroadcastHashJoin" in ti_plan else "sortmerge"}
+    )
+    return out
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -154,6 +223,9 @@ def main() -> None:
     if which in ("recall", "all"):
         out.extend(recall_case(spark, "/root/testdata/sf0.01"))
         out.extend(recall_case(spark, "/root/testdata/sf0.1"))
+    if which in ("retrieval", "all"):
+        out.extend(retrieval_case(spark, 20_000))
+        out.extend(retrieval_case(spark, 200_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()

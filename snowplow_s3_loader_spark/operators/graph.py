@@ -86,9 +86,15 @@ def connected_components(
             release_materialized(labels)
             labels = new_labels
             if changed == 0:
-                return labels.select(
+                # materialize the RENAMED result and release the internal
+                # label frame: the caller holds exactly one releasable
+                # checkpoint (release_materialized(result) frees all blocks
+                # this operator created) — both branches honor this contract
+                out = labels.select(
                     F.col("v").alias("node"), F.col("lbl").alias("component")
-                )
+                ).localCheckpoint(eager=True)
+                release_materialized(labels)
+                return out
         # diameter outlived the propagation budget: long-chain graph.
         # nodes must derive from `edges` (still checkpointed), NOT from
         # `labels`, which is released next — its lineage is truncated and
@@ -227,9 +233,8 @@ class ComponentMap:
     def update(self, new_pairs: DataFrame) -> DataFrame:
         """Fold one batch of pairs into the map; returns the new map."""
         if self.state is None:
-            self.state = connected_components(
-                new_pairs, self.id_a, self.id_b
-            ).localCheckpoint(eager=True)
+            # already eagerly checkpointed by the operator's contract
+            self.state = connected_components(new_pairs, self.id_a, self.id_b)
             return self.state
 
         state = self.state
@@ -259,6 +264,10 @@ class ComponentMap:
             )
             # merges in component space: bounded by the batch, not the corpus
             delta = connected_components(comp_edges, "comp_a", "comp_b")
+        except BaseException:
+            release_materialized(mapped)
+            raise
+        try:
             remap = delta.where(F.col("node") != F.col("component")).select(
                 F.col("node").alias("component"), F.col("component").alias("new_comp")
             )
@@ -288,6 +297,7 @@ class ComponentMap:
             new_state = relabeled.union(new_nodes).localCheckpoint(eager=True)
         finally:
             release_materialized(mapped)
+            release_materialized(delta)
         release_materialized(state)
         self.state = new_state
         return new_state

@@ -33,8 +33,15 @@ def get_spark(
       - Arrow: all pandas_udf/applyInPandas paths batch via Arrow.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Driver heap: in local mode ALL executor threads share the driver JVM,
+    # and Spark's 1g default OOMs ~32 concurrent tasks on any non-toy input
+    # (observed: 200k-doc retrieval sweep). Only effective before the JVM
+    # launches — getOrCreate on a live gateway ignores it, and a real
+    # cluster sizes executor memory in its submit config instead.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
