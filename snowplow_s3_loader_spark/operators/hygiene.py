@@ -1,0 +1,122 @@
+"""Training-data hygiene: benchmark decontamination and PII redaction.
+(Beyond the reference's surface — SURVEY.md SS7.8 training-data
+extensions; the reference loader has no relational layer at all,
+Processing.scala:69-77.)
+
+Decontamination is the standard pretraining-corpus step (flag documents
+sharing any word n-gram with an evaluation benchmark, cf. GPT-3 appendix
+C / PaLM's 13-gram rule); redaction masks obvious PII spans before
+training. Both are pure JVM column expressions over one scan — no UDFs,
+no Python in the hot path.
+
+Scale shape:
+- benchmark n-grams come from the (small) benchmark table: distinct
+  n-grams are aggregated then BROADCAST to the corpus-side semi join —
+  the corpus is never shuffled, and each corpus partition streams its
+  exploded n-grams against the in-memory hash relation;
+- corpus-side n-gram explosion is ~tokens-per-doc rows per document,
+  filtered by the join immediately — nothing materializes;
+- redaction is regexp_replace/regexp_count column expressions: one scan,
+  zero shuffles, whole-stage-codegen'd.
+
+Token model is shared with operators/text.py (whitespace runs), so every
+result is reproducible in the DuckDB oracle. Regex patterns restrict to
+the RE2-compatible subset (no backrefs/lookaround) so Spark (Java regex)
+and DuckDB (RE2) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators.text import tokens
+
+# RE2-safe PII patterns (both engines agree on these)
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+CARD_RE = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (empty when the document has
+    fewer than n tokens — guarded: sequence() would otherwise run
+    DESCENDING for negative spans and explode)."""
+    toks = tokens(text)
+    spans = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(spans, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """(id, n_shared_ngrams, contaminated) per corpus document: how many
+    of the document's distinct word n-grams appear anywhere in the
+    benchmark, and whether any do.
+
+    The benchmark n-gram set is distinct-aggregated and broadcast (eval
+    benchmarks are tiny next to a pretraining corpus); documents with no
+    overlap survive the left join with count 0 — every input row is
+    present in the output, so the operator composes with filters either
+    way (drop contaminated / route to audit).
+    """
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(bench_text), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(hits, "id", "left").select(
+        "id",
+        F.coalesce("n_shared_ngrams", F.lit(0)).cast("long").alias("n_shared_ngrams"),
+        (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_cards) found in the text."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("int"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("int"),
+        F.regexp_count(text, F.lit(CARD_RE)).cast("int"),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Text with email/IPv4/card spans replaced by typed mask tokens.
+    Order matters: cards before IPs (a dashed card is not an IP), emails
+    first (an email's domain must not be half-masked by a later rule)."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, CARD_RE, "<CARD>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def redaction_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_emails, n_ips, n_cards, redacted) per document — the audit
+    artifact a curation pipeline keeps next to the cleaned corpus."""
+    t = F.col(text_col)
+    n_emails, n_ips, n_cards = pii_counts(t)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_cards.alias("n_cards"),
+        redact_pii(t).alias("redacted"),
+    )

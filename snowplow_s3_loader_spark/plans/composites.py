@@ -309,6 +309,46 @@ def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.union(strat).orderBy("battery", "bucket")
 
 
+def q69_hygiene_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene battery: benchmark decontamination (5-gram
+    overlap vs the doc_id%37 slice as a stand-in eval set) + PII
+    redaction (synthetic email/IP/card spans appended to every 5th doc,
+    then masked), joined on doc_id."""
+    from snowplow_s3_loader_spark.operators import hygiene
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    contam = hygiene.ngram_contamination(docs, benchmark, "doc_id", "text", n=5)
+
+    pii_text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.1."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 card 4242 4242 4242 4242"),
+        ),
+    ).otherwise(F.col("text"))
+    red = hygiene.redaction_report(
+        docs.select("doc_id", pii_text.alias("text")), "doc_id", "text"
+    )
+    return (
+        contam.join(red, "id")
+        .select(
+            "id",
+            "n_shared_ngrams",
+            "contaminated",
+            "n_emails",
+            "n_ips",
+            "n_cards",
+            F.right(F.col("redacted"), F.lit(40)).alias("red_tail"),
+        )
+        .orderBy("id")
+    )
+
+
 COMPOSITES = {
     fn.__name__: fn
     for fn in [
@@ -326,6 +366,7 @@ COMPOSITES = {
         q51_null_array_battery,
         q54_pivot_unpivot,
         q58_sampling_battery,
+        q69_hygiene_battery,
     ]
 }
 
@@ -605,6 +646,59 @@ UNION ALL
 SELECT 'srp' AS method, query_id, neighbor_id, cos_sim, rank
 FROM ({ORACLES["q28_ann_srp"]})
 ORDER BY method, query_id, rank
+"""
+
+COMPOSITE_ORACLES["q69_hygiene_battery"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')) AS g
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 37 = 0
+),
+contam AS (
+  SELECT d.doc_id AS id,
+         CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_ngrams,
+         coalesce(h.n, 0) > 0 AS contaminated
+  FROM documents d
+  LEFT JOIN (
+    SELECT doc_id, count(*) AS n FROM (
+      SELECT DISTINCT doc_id, unnest(g) AS gram FROM grams
+    ) dg
+    WHERE gram IN (SELECT gram FROM bench)
+    GROUP BY doc_id
+  ) h ON h.doc_id = d.doc_id
+),
+pii AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com from 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.7 card 4242 4242 4242 4242'
+         ELSE text END AS t2
+  FROM documents
+),
+red AS (
+  SELECT id,
+    CAST(len(regexp_extract_all(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+    CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+    CAST(len(regexp_extract_all(t2, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS INTEGER) AS n_cards,
+    right(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      40) AS red_tail
+  FROM pii
+)
+SELECT contam.id, n_shared_ngrams, contaminated, n_emails, n_ips, n_cards, red_tail
+FROM contam JOIN red ON red.id = contam.id
+ORDER BY contam.id
 """
 
 # driver-facing oracles: singles that survived + composite oracles.

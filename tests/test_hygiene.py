@@ -1,0 +1,97 @@
+"""Training-data hygiene: n-gram decontamination + PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators.hygiene import (
+    ngram_contamination,
+    redact_pii,
+    redaction_report,
+    word_ngrams,
+)
+
+
+def test_word_ngrams_basic_and_short_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "")], "id long, text string"
+    )
+    got = {
+        r["id"]: r["g"]
+        for r in df.select("id", word_ngrams(F.col("text"), 3).alias("g")).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []  # shorter than n: empty, not a negative sequence
+    assert got[3] == []
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here today friends"),
+            (3, "quick brown fox jumps high above everything"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps sentence")], "bid long, text string"
+    )
+    out = {
+        r["id"]: (r["n_shared_ngrams"], r["contaminated"])
+        for r in ngram_contamination(docs, bench, "doc_id", "text", n=4).collect()
+    }
+    # doc 1 shares 'quick brown fox jumps'; doc 3 shares it too; doc 2 clean
+    assert out[1] == (1, True)
+    assert out[3] == (1, True)
+    assert out[2] == (0, False)
+    assert len(out) == 3  # every input row present
+
+
+def test_ngram_contamination_counts_distinct_grams_once(spark):
+    # a doc repeating the contaminated n-gram counts it once (distinct grams)
+    docs = spark.createDataFrame(
+        [(1, "x y z w q x y z w q")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "x y z w")], "bid long, text string")
+    row = ngram_contamination(docs, bench, "doc_id", "text", n=4).collect()[0]
+    assert row["n_shared_ngrams"] == 1 and row["contaminated"]
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c d")], "bid long, text string")
+    plan = (
+        ngram_contamination(docs, bench, "doc_id", "text", n=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "ResolvedHint (strategy=broadcast)" in plan or "broadcast" in plan.lower()
+
+
+def test_redaction_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at joe.doe+x@corp.example.org or 192.168.0.1 thanks"),
+            (2, "card 4242 4242 4242 4242 and 1234-5678-9012-3456 end"),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in redaction_report(df, "id", "text").collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_ips"] == 1
+    assert "<EMAIL>" in rows[1]["redacted"] and "<IP>" in rows[1]["redacted"]
+    assert "joe.doe" not in rows[1]["redacted"]
+    assert "192.168.0.1" not in rows[1]["redacted"]
+    assert rows[2]["n_cards"] == 2
+    assert rows[2]["redacted"].count("<CARD>") == 2
+    assert rows[3]["redacted"] == "nothing sensitive here"
+    assert rows[3]["n_emails"] == rows[3]["n_ips"] == rows[3]["n_cards"] == 0
+
+
+def test_redaction_order_card_before_ip(spark):
+    # a dashed card must become <CARD>, never a half-masked <IP>
+    df = spark.createDataFrame([(1, "pay 1111-2222-3333-4444 now")], "id long, text string")
+    red = df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"]
+    assert red == "pay <CARD> now"
