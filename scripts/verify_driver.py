@@ -4,21 +4,37 @@ Mimics the grading driver: plain SparkSession (NO engine conf), entry()
 smoke, then every queries() entry vs its oracle_sql() in DuckDB at sf0.01 —
 rows + schema(column names) + order-insensitive value hash.
 
-Usage: python scripts/verify_driver.py [sf_dir] [query_prefix ...]
+Usage: python scripts/verify_driver.py [--json PATH] [--all] [sf_dir] [query_prefix ...]
+
+--json PATH  additionally write a machine-readable artifact (one record
+             per query: rows/schema/hash match, row count, seconds, mode)
+--all        verify the FULL registry (driver-facing composites AND the
+             folded singles) instead of the 50-entry driver view
 """
 
 from __future__ import annotations
 
 import hashlib
 import importlib.util
+import json
 import math
 import sys
 import time
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2:]
+_args = sys.argv[1:]
+JSON_PATH = None
+ALL = False
+if "--json" in _args:
+    i = _args.index("--json")
+    JSON_PATH = _args[i + 1]
+    del _args[i : i + 2]
+if "--all" in _args:
+    ALL = True
+    _args.remove("--all")
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = _args[1:]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -74,9 +90,15 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
-    qs, osql = mod.queries(), mod.oracle_sql()
+    if ALL:
+        from snowplow_s3_loader_spark.plans.composites import ORACLES_ALL, QUERIES_ALL
+
+        qs, osql = dict(QUERIES_ALL), dict(ORACLES_ALL)
+    else:
+        qs, osql = mod.queries(), mod.oracle_sql()
     failures = []
-    for name, fn in qs.items():
+    records = {}
+    for name, fn in sorted(qs.items()):
         if ONLY and not any(name.startswith(p) for p in ONLY):
             continue
         t0 = time.time()
@@ -86,9 +108,14 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            records[name] = {"mode": "error", "error": f"{type(e).__name__}: {str(e)[:200]}"}
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}", flush=True)
             continue
         if name not in osql:
+            records[name] = {
+                "mode": "rows_only", "n_rows": len(srows),
+                "seconds": round(time.time() - t0, 2),
+            }
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)", flush=True)
             continue
         try:
@@ -97,11 +124,17 @@ def main():
             orows = cur.fetchall()
         except Exception as e:
             failures.append(name)
+            records[name] = {"mode": "error", "error": f"oracle: {str(e)[:200]}"}
             print(f"FAIL {name}: oracle error {str(e)[:200]}", flush=True)
             continue
         rows_ok = len(srows) == len(orows)
         schema_ok = sorted(scols) == sorted(ocols)
         hash_ok = schema_ok and value_hash(scols, srows) == value_hash(ocols, orows)
+        records[name] = {
+            "mode": "oracle", "rows_match": rows_ok, "schema_match": schema_ok,
+            "hash_match": hash_ok, "n_rows": len(srows),
+            "seconds": round(time.time() - t0, 2),
+        }
         if rows_ok and schema_ok and hash_ok:
             print(f"ok   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)", flush=True)
         else:
@@ -112,6 +145,17 @@ def main():
                 flush=True,
             )
     print(f"\n{'ALL GREEN' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    if JSON_PATH:
+        with open(JSON_PATH, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR, "registry": "all" if ALL else "driver",
+                    "n_queries": len(records),
+                    "n_failures": len(failures), "queries": records,
+                },
+                f, indent=1,
+            )
+        print(f"artifact: {JSON_PATH}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
