@@ -1,0 +1,89 @@
+"""N-gram language-model quality scoring for training-data curation —
+the CCNet-style signal: score each document's cross-entropy under a
+smoothed bigram model trained on the corpus itself; outlier-high
+perplexity marks boilerplate/garbage, outlier-low marks degenerate
+repetition. (Beyond the reference's surface — SURVEY.md SS7.8
+training-data extensions.)
+
+Model: add-k conditional bigram probabilities,
+
+    P(w2 | w1) = (c(w1 w2) + k) / (ctx(w1) + k * V)
+
+where ctx(w1) counts w1's occurrences as a bigram context (positions
+1..len-1) and V is the corpus vocabulary size. Cross-entropy is the
+mean negative log-probability over the document's bigrams (nats).
+
+Cross-engine determinism (the oracle hash-compares exact values): each
+bigram's log-probability is rounded to integer MICRO-NATS before the
+per-document sum, so the aggregation is integer — exact and
+order-independent in any engine — and only the final division is float
+(IEEE division of exact integers is correctly rounded everywhere). This
+is the same integer-accumulation rule the running-revenue query uses
+for window sums.
+
+Scale shape: the bigram and context-count relations are two partial+
+final hash aggregations over one exploded scan; both are
+vocabulary-sized, so their joins back to the per-document bigram stream
+are left to AQE (broadcast while the vocabulary fits, shuffle when it
+doesn't). No UDFs, no driver-side iteration; V and the corpus are the
+only scalars collected (one count-distinct action, like TF-IDF's N).
+
+Token model is shared with operators/text.py (whitespace runs), so the
+DuckDB oracle reproduces every count exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators.hygiene import word_ngrams
+from snowplow_s3_loader_spark.operators.text import tokens
+
+
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str, text_col: str, k: float = 0.5
+) -> DataFrame:
+    """(id, n_bigrams, sum_logp_micronats, lm_cross_entropy) per document.
+
+    `sum_logp_micronats` is the exact integer sum of per-bigram
+    round(ln(P) * 1e6); `lm_cross_entropy` = -sum / (n * 1e6) rounded to
+    6 decimals (NULL for documents with fewer than two tokens). Every
+    input row appears in the output.
+    """
+    bg = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"),
+    ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+
+    c2 = bg.groupBy("gram").agg(F.count("*").alias("c2"))
+    ctx = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.count_distinct("tok"))
+        .first()[0]
+    )
+
+    logp = F.log(
+        (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.lit(float(vocab)))
+    )
+    scored = (
+        bg.join(c2, "gram")
+        .join(ctx, "w1")
+        .select("id", F.round(logp * 1e6, 0).cast("long").alias("micro"))
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("micro").alias("sum_logp_micronats"),
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.col("sum_logp_micronats").cast("long").alias("sum_logp_micronats"),
+        F.round(
+            -F.col("sum_logp_micronats")
+            / (F.col("n_bigrams").cast("double") * 1e6),
+            6,
+        ).alias("lm_cross_entropy"),
+    )

@@ -183,8 +183,12 @@ def q27_ann_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q29_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-signal battery: language-ID prediction (q29) +
-    quality metrics (q30) + Gopher-style repetition signals (q66), one
-    row per document."""
+    quality metrics (q30) + Gopher-style repetition signals (q66) +
+    bigram-LM cross-entropy (CCNet-style perplexity filter, integer
+    micro-nat accumulation for cross-engine exactness), one row per
+    document."""
+    from snowplow_s3_loader_spark.operators.lm import bigram_lm_scores
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     base = docs.select(
@@ -197,8 +201,10 @@ def q29_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(text.quality_score(t), 6).alias("quality"),
     )
     rep = text.repetition_stats(docs, "doc_id", "text")
+    lm = bigram_lm_scores(docs, "doc_id", "text").withColumnRenamed("id", "lm_id")
     return (
         base.join(rep, base.doc_id == rep.id)
+        .join(lm, base.doc_id == lm.lm_id)
         .select(
             "doc_id",
             "lang",
@@ -212,6 +218,9 @@ def q29_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_frac",
             "dup_bigram_frac",
             "keep",
+            "n_bigrams",
+            "sum_logp_micronats",
+            "lm_cross_entropy",
         )
         .orderBy("doc_id")
     )
@@ -554,13 +563,40 @@ quality AS (
           6) AS quality
   FROM toks
 ),
-rep AS (SELECT * FROM ({ORACLES["q66_repetition_quality"]}))
+rep AS (SELECT * FROM ({ORACLES["q66_repetition_quality"]})),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM toks WHERE len(toks) >= 2
+),
+bgw AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM bg),
+c2 AS (SELECT gram, count(*) AS c2 FROM bgw GROUP BY gram),
+ctx AS (SELECT w1, count(*) AS c1 FROM bgw GROUP BY w1),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM toks)),
+lm_scored AS (
+  SELECT bgw.doc_id,
+         CAST(round(ln((c2.c2 + 0.5) / (ctx.c1 + 0.5 * (SELECT v FROM vocab))) * 1000000, 0)
+              AS BIGINT) AS micro
+  FROM bgw JOIN c2 USING (gram) JOIN ctx USING (w1)
+),
+lm AS (
+  SELECT d.doc_id,
+         CAST(coalesce(g.n, 0) AS BIGINT) AS n_bigrams,
+         CAST(g.s AS BIGINT) AS sum_logp_micronats,
+         round(-CAST(g.s AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1000000), 6) AS lm_cross_entropy
+  FROM documents d
+  LEFT JOIN (
+    SELECT doc_id, count(*) AS n, sum(micro) AS s FROM lm_scored GROUP BY doc_id
+  ) g ON g.doc_id = d.doc_id
+)
 SELECT q2.doc_id, q2.lang, p.pred_lang, rep.n_tokens, q2.avg_token_len,
        q2.punct_ratio, q2.stopword_ratio, q2.quality,
-       rep.distinct_token_ratio, rep.top_token_frac, rep.dup_bigram_frac, rep.keep
+       rep.distinct_token_ratio, rep.top_token_frac, rep.dup_bigram_frac, rep.keep,
+       lm.n_bigrams, lm.sum_logp_micronats, lm.lm_cross_entropy
 FROM quality q2
 JOIN p ON p.doc_id = q2.doc_id
 JOIN rep ON rep.id = q2.doc_id
+JOIN lm ON lm.doc_id = q2.doc_id
 ORDER BY q2.doc_id
 """
 
