@@ -279,8 +279,42 @@ def write_batch(
     avg_compressed = max(1.0, float(avg_line_bytes or 1.0) * GZIP_RATIO_ESTIMATE)
     max_records_per_file = max(1, int(max_bytes / avg_compressed))
 
+    # Hot-partition salting: repartition(pp) alone funnels EVERY row of a
+    # hot schema partition through one task, which then gzips the whole
+    # partition serially (maxRecordsPerFile splits the files, not the
+    # work). When any partition needs more than one output file, spread it
+    # over exactly that many tasks — salt modulus == needed file count, so
+    # the hot partition parallelizes with ZERO extra files, and cold
+    # partitions (salt 1) keep one file. The per-partition count job only
+    # runs when the batch is big enough that some partition COULD exceed
+    # one file.
+    shuffle_keys = [F.col(_PP)]
+    if row_count > max_records_per_file:
+        part_counts = {
+            r[_PP]: r["n"]
+            for r in staged.groupBy(_PP).agg(F.count("*").alias("n")).collect()
+        }
+        salts = {
+            pp: -(-n // max_records_per_file)  # ceil
+            for pp, n in part_counts.items()
+            if n > max_records_per_file
+        }
+        if salts:
+            modulus = F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for pp_n in salts.items() for x in pp_n]
+                    ),
+                    F.col(_PP),
+                ),
+                F.lit(1),
+            )
+            shuffle_keys.append(
+                F.pmod(F.xxhash64(F.col("value")), modulus).alias("__salt")
+            )
+
     (
-        staged.repartition(F.col(_PP))
+        staged.repartition(*shuffle_keys)
         .write.partitionBy(_PP)
         .option("compression", "gzip")
         .option("maxRecordsPerFile", max_records_per_file)

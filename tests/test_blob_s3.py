@@ -170,3 +170,51 @@ def test_promote_staging_s3_end_to_end_renames_every_file(spark, tmp_path):
     assert all(f.path.startswith("s3://bkt/out/com.example.event") for f in res.files)
     assert all(f.n_bytes > 0 for f in res.files)
     assert cleaned == ["s3://bkt/out/_staging_ab"]
+
+
+def test_write_batch_hot_partition_salted_no_fragmentation(spark, tmp_path):
+    """A partition needing k output files is spread over ~k write tasks
+    (the salted shuffle) while producing ~k files — parallelism without
+    fragmentation — and cold partitions keep exactly one file."""
+    base = str(tmp_path / "hot")
+    hot = [(f"hot-line-{i:05d}", "com.example/hot") for i in range(400)]
+    cold = [(f"cold-{i}", "com.example/cold") for i in range(3)]
+    df = spark.createDataFrame(hot + cold, "value string, pp string")
+    # avg line ~18 bytes; pick max_bytes so the hot partition needs ~4 files
+    avg = 18.0
+    from snowplow_s3_loader_spark.sinks.blob import GZIP_RATIO_ESTIMATE
+
+    per_file = 100
+    max_bytes = int(per_file * avg * GZIP_RATIO_ESTIMATE)
+    res = write_batch(df, base, "pp", max_bytes=max_bytes, deterministic_uuids=True)
+
+    by_dir: dict = {}
+    for f in res.files:
+        by_dir.setdefault(os.path.dirname(f.path), []).append(f.path)
+    hot_files = by_dir[os.path.join(base, "com.example/hot")]
+    cold_files = by_dir[os.path.join(base, "com.example/cold")]
+    assert len(cold_files) == 1
+    # ceil(400/100)=4 salt buckets; xxhash spread may tilt a bucket over
+    # the per-file cap (maxRecordsPerFile then splits it) — bounded either
+    # side, never 1 (serial) and never fragmented into tiny shards
+    assert 3 <= len(hot_files) <= 8
+    # roundtrip: every line lands exactly once
+    lines = sorted(
+        ln
+        for fs in by_dir.values()
+        for p in fs
+        for ln in gzip.open(p, "rt").read().splitlines()
+    )
+    assert lines == sorted(v for v, _ in hot + cold)
+
+
+def test_write_batch_small_batch_skips_salt_job(spark, tmp_path):
+    """Batches that cannot exceed one file per partition must not pay the
+    per-partition count job (no behavior change below the threshold)."""
+    base = str(tmp_path / "small")
+    df = spark.createDataFrame(
+        [("a", "p1"), ("b", "p1"), ("c", "p2")], "value string, pp string"
+    )
+    res = write_batch(df, base, "pp", deterministic_uuids=True)
+    dirs = {os.path.dirname(f.path) for f in res.files}
+    assert len(res.files) == 2 and len(dirs) == 2
