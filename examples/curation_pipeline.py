@@ -1,0 +1,100 @@
+"""Worked example: an end-to-end training-data curation pipeline over the
+documents corpus — the workflow this engine adds on top of the loader.
+
+Stages (each one a first-class operator elsewhere in the repo):
+  1. exact dedup (md5 digest groupBy)
+  2. near-dup pair generation (token-Jaccard, PPJoin prefix filter)
+  3. dedup clustering (connected components) -> keep one canonical doc
+  4. hygiene: benchmark decontamination + PII redaction
+  5. quality gating: Gopher-style repetition signals + bigram-LM
+     cross-entropy band
+  6. deterministic train/val/test split of the survivors
+
+Run:  PYTHONPATH=. python examples/curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators import hygiene
+from snowplow_s3_loader_spark.operators.dedup import (
+    exact_dedup,
+    release_materialized,
+    token_jaccard_pairs,
+)
+from snowplow_s3_loader_spark.operators.graph import dedup_keep_canonical
+from snowplow_s3_loader_spark.operators.lm import bigram_lm_scores
+from snowplow_s3_loader_spark.operators.sampling import deterministic_split
+from snowplow_s3_loader_spark.operators.text import repetition_stats
+from snowplow_s3_loader_spark.session import get_spark
+from snowplow_s3_loader_spark.tables import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="curation-pipeline")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1) exact dedup
+    docs = exact_dedup(docs, ["text"], ["doc_id"])
+    n1 = docs.count()
+
+    # 2+3) near-dup pairs -> clusters -> canonical member survives
+    blocked = docs.withColumn("blk", F.col("lang"))
+    pairs = token_jaccard_pairs(blocked, "doc_id", "text", ["blk"], threshold=0.8)
+    docs = dedup_keep_canonical(docs, pairs, "doc_id")
+    n2 = docs.count()
+
+    # 4) decontamination vs a benchmark slice + PII masking
+    benchmark = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    contam = hygiene.ngram_contamination(docs, benchmark, "doc_id", "text", n=5)
+    keep_ids = contam.filter(~F.col("contaminated")).select(F.col("id").alias("doc_id"))
+    docs = docs.join(keep_ids, "doc_id", "left_semi")
+    red = hygiene.redaction_report(docs, "doc_id", "text")
+    docs = docs.drop("text").join(
+        red.select(F.col("id").alias("doc_id"), F.col("redacted").alias("text")),
+        "doc_id",
+    )
+    n3 = docs.count()
+
+    # 5) quality gates: repetition + LM cross-entropy band
+    rep = repetition_stats(docs, "doc_id", "text")
+    lm = bigram_lm_scores(docs, "doc_id", "text")
+    bounds = lm.filter(F.col("lm_cross_entropy").isNotNull()).agg(
+        F.expr("percentile_approx(lm_cross_entropy, 0.05)").alias("lo"),
+        F.expr("percentile_approx(lm_cross_entropy, 0.95)").alias("hi"),
+    ).first()
+    good_ids = (
+        rep.filter(F.col("keep"))
+        .select(F.col("id").alias("doc_id"))
+        .join(
+            lm.filter(
+                F.col("lm_cross_entropy").between(bounds["lo"], bounds["hi"])
+            ).select(F.col("id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    docs = docs.join(good_ids, "doc_id", "left_semi")
+    n4 = docs.count()
+
+    # 6) deterministic split
+    split = deterministic_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+
+    release_materialized(pairs)
+    print(f"input                      : {n0}")
+    print(f"after exact dedup          : {n1}")
+    print(f"after near-dup clustering  : {n2}")
+    print(f"after decontamination      : {n3}")
+    print(f"after quality gates        : {n4}")
+    print(f"splits                     : {counts}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
