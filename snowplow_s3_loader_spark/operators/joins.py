@@ -27,15 +27,16 @@ def salted_join(
 
     Equivalent to skewed.join(other, on, how) for row content (verified by
     test); the salt columns never escape.
+
+    Delegates to operators.skew.salted_join: the salt there is
+    content-derived (xxhash64 over the row), so task retries and
+    speculative duplicates recompute identical salts — the
+    monotonically_increasing_id salt this originally used could re-salt
+    differently on recompute, which breaks exactly-once sinks downstream.
     """
-    salted_big = skewed.withColumn(
-        "__salt", (F.abs(F.hash(F.monotonically_increasing_id())) % n_salts).cast("int")
-    )
-    salted_small = other.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
-    out = salted_big.join(salted_small, on=[on, "__salt"], how=how)
-    return out.drop("__salt")
+    from snowplow_s3_loader_spark.operators.skew import salted_join as _impl
+
+    return _impl(skewed, other, [on], n_salt=n_salts, how=how)
 
 
 def bucketize(
