@@ -27,7 +27,7 @@ and DuckDB (RE2) agree.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from snowplow_s3_loader_spark.operators.text import tokens
@@ -87,6 +87,110 @@ def ngram_contamination(
         "id",
         F.coalesce("n_shared_ngrams", F.lit(0)).cast("long").alias("n_shared_ngrams"),
         (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_repeat: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring removal (the ExactSubstr dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22 — there via parallel suffix arrays; here as the
+    relational formulation a shared-nothing engine wants):
+
+    1. every k-token span (word k-gram with its start position) is
+       counted corpus-wide; spans of grams occurring >= min_repeat times
+       anywhere (across OR within documents) are duplication witnesses;
+    2. per document, overlapping witness spans merge into maximal islands
+       (gaps-and-islands: a span starts a new island iff its start
+       exceeds the running max end of all earlier spans);
+    3. tokens covered by any island are dropped and the survivors are
+       re-joined in order.
+
+    Returns (id, n_dup_spans, n_tokens_removed, cleaned_text) with every
+    input row present; cleaned_text is whitespace-normalized (token
+    re-join). Deterministic: integer positions and counts only, so the
+    DuckDB oracle hash-matches.
+
+    Scale shape: the gram count is one partial+final hash aggregation
+    (the same shuffle TF-IDF's df pays — the suffix-array work
+    re-expressed as aggregation); witness spans are a semi join of the
+    exploded grams against the (duplicated-only) gram set; the island
+    merge is a per-document window over span starts; the rebuild is one
+    id-keyed join + ordered re-assembly. Nothing is driver-side.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_repeat)
+        .select("gram")
+    )
+    witness = grams.join(dup_grams, "gram", "left_semi").select(
+        "id", "pos", (F.col("pos") + (k - 1)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        witness.withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_island",
+            (F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end"))).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    spans = islands.select(
+        F.col("id").alias("sid"), "s", "e"
+    )
+    kept = toks.join(
+        spans,
+        (F.col("id") == F.col("sid")) & F.col("pos").between(F.col("s"), F.col("e")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda st: st.tok,
+            ),
+            " ",
+        ).alias("cleaned_text")
+    )
+    span_stats = islands.groupBy("id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_tokens_removed"),
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return (
+        base.join(span_stats, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_tokens_removed", F.lit(0)).cast("long").alias("n_tokens_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
     )
 
 

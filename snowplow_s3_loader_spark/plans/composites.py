@@ -343,8 +343,12 @@ def q69_hygiene_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = hygiene.redaction_report(
         docs.select("doc_id", pii_text.alias("text")), "doc_id", "text"
     )
+    sd = hygiene.remove_repeated_spans(docs, "doc_id", "text", k=8).withColumnsRenamed(
+        {"id": "sd_id"}
+    )
     return (
         contam.join(red, "id")
+        .join(sd, contam.id == sd.sd_id)
         .select(
             "id",
             "n_shared_ngrams",
@@ -353,6 +357,9 @@ def q69_hygiene_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ips",
             "n_cards",
             F.right(F.col("redacted"), F.lit(40)).alias("red_tail"),
+            "n_dup_spans",
+            "n_tokens_removed",
+            "cleaned_text",
         )
         .orderBy("id")
     )
@@ -731,9 +738,72 @@ red AS (
         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
       40) AS red_tail
   FROM pii
+),
+gp AS (
+  SELECT doc_id,
+         u.pos AS pos, u.gram AS gram
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 6), i ->
+             struct_pack(pos := i - 1, gram := array_to_string(t[i:i+7], ' ')))) AS u
+    FROM toks WHERE len(t) >= 8
+  )
+),
+dupg AS (SELECT gram FROM gp GROUP BY gram HAVING count(*) >= 2),
+wit AS (
+  SELECT doc_id, pos, pos + 7 AS e FROM gp WHERE gram IN (SELECT gram FROM dupg)
+),
+isl AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS ni
+  FROM wit
+),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+merged AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e FROM isl2 GROUP BY doc_id, island),
+tp AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) + 1), i ->
+             struct_pack(pos := i - 1, tok := t[i]))) AS u
+    FROM toks
+  )
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m WHERE m.doc_id = tp.doc_id AND tp.pos BETWEEN m.s AND m.e
+  )
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+),
+sd AS (
+  SELECT d.doc_id,
+         CAST(coalesce(ss.n, 0) AS BIGINT) AS n_dup_spans,
+         CAST(coalesce(ss.rm, 0) AS BIGINT) AS n_tokens_removed,
+         coalesce(rebuilt.cleaned_text, '') AS cleaned_text
+  FROM documents d
+  LEFT JOIN (
+    SELECT doc_id, count(*) AS n, sum(e - s + 1) AS rm FROM merged GROUP BY doc_id
+  ) ss ON ss.doc_id = d.doc_id
+  LEFT JOIN rebuilt ON rebuilt.doc_id = d.doc_id
 )
-SELECT contam.id, n_shared_ngrams, contaminated, n_emails, n_ips, n_cards, red_tail
-FROM contam JOIN red ON red.id = contam.id
+SELECT contam.id, n_shared_ngrams, contaminated, n_emails, n_ips, n_cards, red_tail,
+       sd.n_dup_spans, sd.n_tokens_removed, sd.cleaned_text
+FROM contam
+JOIN red ON red.id = contam.id
+JOIN sd ON sd.doc_id = contam.id
 ORDER BY contam.id
 """
 

@@ -95,3 +95,74 @@ def test_redaction_order_card_before_ip(spark):
     df = spark.createDataFrame([(1, "pay 1111-2222-3333-4444 now")], "id long, text string")
     red = df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"]
     assert red == "pay <CARD> now"
+
+
+# ---------------------------------------------------------------------------
+# repeated-span removal (ExactSubstr-style dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_repeated_spans_hand_computed(spark):
+    from snowplow_s3_loader_spark.operators.hygiene import remove_repeated_spans
+
+    # 'a b c' and 'b c d' (k=3) each occur in both docs -> witness spans
+    # d1: [0,2],[1,3] merge to [0,3]; d2: [2,4],[3,5] merge to [2,5]
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "z z a b c d q")], "doc_id long, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in remove_repeated_spans(docs, "doc_id", "text", k=3).collect()
+    }
+    assert rows[1]["n_dup_spans"] == 1
+    assert rows[1]["n_tokens_removed"] == 4
+    assert rows[1]["cleaned_text"] == "e f"
+    assert rows[2]["n_dup_spans"] == 1
+    assert rows[2]["n_tokens_removed"] == 4
+    assert rows[2]["cleaned_text"] == "z z q"
+
+
+def test_remove_repeated_spans_within_doc_repeat(spark):
+    from snowplow_s3_loader_spark.operators.hygiene import remove_repeated_spans
+
+    # the same 3-gram twice INSIDE one doc also counts as duplication
+    docs = spark.createDataFrame(
+        [(1, "p q r x p q r y")], "doc_id long, text string"
+    )
+    row = remove_repeated_spans(docs, "doc_id", "text", k=3).collect()[0]
+    assert row["n_dup_spans"] == 2
+    assert row["n_tokens_removed"] == 6
+    assert row["cleaned_text"] == "x y"
+
+
+def test_remove_repeated_spans_no_dups_and_short_docs(spark):
+    from snowplow_s3_loader_spark.operators.hygiene import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "all unique words here"), (2, "hi"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in remove_repeated_spans(docs, "doc_id", "text", k=3).collect()
+    }
+    assert len(rows) == 3
+    assert rows[1]["n_dup_spans"] == 0
+    assert rows[1]["cleaned_text"] == "all unique words here"
+    assert rows[2]["cleaned_text"] == "hi"
+    assert rows[3]["cleaned_text"] == ""
+
+
+def test_remove_repeated_spans_whole_doc_removed(spark):
+    from snowplow_s3_loader_spark.operators.hygiene import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "c c c"), (2, "c c c")], "doc_id long, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in remove_repeated_spans(docs, "doc_id", "text", k=3).collect()
+    }
+    for i in (1, 2):
+        assert rows[i]["n_tokens_removed"] == 3
+        assert rows[i]["cleaned_text"] == ""
