@@ -210,6 +210,37 @@ def retrieval_case(spark, n_docs: int) -> list[dict]:
     return out
 
 
+def spans_case(spark, n_docs: int) -> dict:
+    """remove_repeated_spans at 1x/10x: clusters of 4 docs sharing one
+    8-gram run (the duplicated span) inside otherwise doc-private text —
+    span count grows linearly with docs, so wall time should too (the
+    gram-count shuffle is the scale stage)."""
+    from snowplow_s3_loader_spark.operators.hygiene import remove_repeated_spans
+
+    cluster = F.floor(F.col("id") / 4)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("u"), (F.col("id") * 20 + i).cast("string")) for i in range(6)],
+            # shared 8-token run per cluster -> one duplicated span per doc
+            *[F.concat(F.lit("s"), (cluster * 8 + i).cast("string")) for i in range(8)],
+            *[F.concat(F.lit("v"), (F.col("id") * 20 + 10 + i).cast("string")) for i in range(6)],
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    out = remove_repeated_spans(docs, "doc_id", "text", k=8)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("n_dup_spans")).alias("spans"),
+        F.sum("n_tokens_removed").alias("removed"),
+    ).first()
+    dt = time.perf_counter() - t0
+    assert agg["n"] == n_docs
+    assert agg["spans"] == n_docs and agg["removed"] == 8 * n_docs, dict(agg.asDict())
+    return {"case": "repeated_spans", "docs": n_docs, "sec": round(dt, 2)}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -226,6 +257,9 @@ def main() -> None:
     if which in ("retrieval", "all"):
         out.extend(retrieval_case(spark, 20_000))
         out.extend(retrieval_case(spark, 200_000))
+    if which in ("spans", "all"):
+        out.append(spans_case(spark, 20_000))
+        out.append(spans_case(spark, 200_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()
