@@ -5,7 +5,8 @@ Stages (each one a first-class operator elsewhere in the repo):
   1. exact dedup (md5 digest groupBy)
   2. near-dup pair generation (token-Jaccard, PPJoin prefix filter)
   3. dedup clustering (connected components) -> keep one canonical doc
-  4. hygiene: benchmark decontamination + PII redaction
+  4. hygiene: benchmark decontamination, cross-document repeated-span
+     removal (ExactSubstr-style), PII redaction
   5. quality gating: Gopher-style repetition signals + bigram-LM
      cross-entropy band
   6. deterministic train/val/test split of the survivors
@@ -59,6 +60,11 @@ def main() -> None:
         red.select(F.col("id").alias("doc_id"), F.col("redacted").alias("text")),
         "doc_id",
     )
+    spans = hygiene.remove_repeated_spans(docs, "doc_id", "text", k=8)
+    docs = docs.drop("text").join(
+        spans.select(F.col("id").alias("doc_id"), F.col("cleaned_text").alias("text")),
+        "doc_id",
+    ).filter(F.length("text") > 0)
     n3 = docs.count()
 
     # 5) quality gates: repetition + LM cross-entropy band
