@@ -102,3 +102,63 @@ def stratified_sample(
     return df.filter(
         stratified_sample_column(F.col(id_col), F.col(class_col), fractions, hex_chars)
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    alpha: float = 0.7,
+    target_frac: float = 0.3,
+    hex_chars: int = 4,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual/corpus-mix
+    rule of mBERT/XLM-R and Pile-style mixes): the sampled share of class
+    c is proportional to n_c^alpha, flattening the head and boosting the
+    tail as alpha -> 0 (alpha = 1 reproduces the natural distribution).
+
+    Per-class keep fraction:
+
+        f_c = min(1, target_frac * N * n_c^(alpha-1) / sum_k n_k^alpha)
+
+    (upsampling beyond 1x would need row replication; this clamps — the
+    realized total then lands slightly under target_frac, documented and
+    deterministic). A row survives iff its md5 hex fraction < f_c — the
+    same engine-portable threshold trick the stratified sampler uses, so
+    the selection is row-order/partitioning independent and DuckDB
+    reproduces it exactly (fractions are round(6)-pinned).
+
+    Fully relational — class counts are a partial+final aggregation, the
+    fraction relation is class-cardinality-sized and broadcast back; no
+    driver-side math, so the same code runs on 10^2 or 10^7 classes.
+    """
+    counts = df.groupBy(class_col).agg(F.count("*").alias("n_c"))
+    tot = counts.agg(
+        F.sum("n_c").alias("n_total"),
+        F.sum(F.pow(F.col("n_c").cast("double"), F.lit(alpha))).alias("z"),
+    )
+    frac = counts.crossJoin(F.broadcast(tot)).select(
+        class_col,
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.lit(target_frac)
+                * F.col("n_total").cast("double")
+                * F.pow(F.col("n_c").cast("double"), F.lit(alpha - 1.0))
+                / F.col("z"),
+                6,
+            ),
+        ).alias("keep_frac"),
+    )
+    space = float(16**hex_chars)
+    hv = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, hex_chars), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(space)
+    )
+    return (
+        df.join(F.broadcast(frac), class_col)
+        .where(hv < F.col("keep_frac"))
+        .drop("keep_frac")
+    )

@@ -298,7 +298,26 @@ def q54_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling battery: deterministic train/val/test split (q58) +
-    stratified per-language sampling (q61), tagged union."""
+    stratified per-language sampling (q61) + temperature resampling
+    (alpha=0.7 corpus-mix rebalance), tagged union."""
+    from snowplow_s3_loader_spark.operators.sampling import temperature_resample
+
+    temp = (
+        temperature_resample(
+            load_table(spark, sf_dir, "documents"), "doc_id", "lang",
+            alpha=0.7, target_frac=0.3,
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .select(
+            F.lit("temperature").alias("battery"),
+            F.col("lang").alias("bucket"),
+            F.col("n_kept").alias("n"),
+            "min_id",
+            F.lit(None).cast("long").alias("max_id"),
+            F.lit(None).cast("double").alias("avg_len"),
+        )
+    )
     split = q.q58_deterministic_split(spark, sf_dir).select(
         F.lit("split").alias("battery"),
         F.col("split").alias("bucket"),
@@ -315,7 +334,7 @@ def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("max_id"),
         F.lit(None).cast("double").alias("avg_len"),
     )
-    return split.union(strat).orderBy("battery", "bucket")
+    return split.union(strat).union(temp).orderBy("battery", "bucket")
 
 
 def q69_hygiene_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,6 +698,28 @@ UNION ALL
 SELECT 'stratified' AS battery, lang AS bucket, n_kept AS n, min_id,
        NULL::BIGINT AS max_id, NULL::DOUBLE AS avg_len
 FROM ({ORACLES["q61_stratified_sample"]})
+UNION ALL
+SELECT 'temperature' AS battery, lang AS bucket, count(*) AS n,
+       min(doc_id) AS min_id, NULL::BIGINT AS max_id, NULL::DOUBLE AS avg_len
+FROM (
+  WITH tcounts AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY lang),
+  tz AS (
+    SELECT CAST(sum(n_c) AS DOUBLE) AS n_total,
+           sum(pow(CAST(n_c AS DOUBLE), 0.7)) AS z
+    FROM tcounts
+  ),
+  tfrac AS (
+    SELECT lang,
+           least(1.0, round(0.3 * n_total * pow(CAST(n_c AS DOUBLE), -0.3) / z, 6))
+             AS keep_frac
+    FROM tcounts, tz
+  )
+  SELECT d.lang, d.doc_id
+  FROM documents d JOIN tfrac USING (lang)
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) / 65536.0
+        < keep_frac
+)
+GROUP BY lang
 ORDER BY battery, bucket
 """
 

@@ -215,3 +215,55 @@ def test_image_channel_stats_decoder_seam(spark):
     assert len(rows) == 2
     assert all(r["mean_r"] == "128.0000" for r in rows)
     assert all(r["ds_height"] == 4 and r["ds_width"] == 4 for r in rows)
+
+
+def test_temperature_resample_flattens_distribution(spark):
+    from snowplow_s3_loader_spark.operators.sampling import temperature_resample
+
+    # heavily imbalanced classes: 'big' 900 rows, 'small' 100 rows
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 900, "big").otherwise("small").alias("cls"),
+    )
+    kept = temperature_resample(df, "id", "cls", alpha=0.5, target_frac=0.4)
+    counts = {r["cls"]: r["n"] for r in kept.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    # natural shares 0.9/0.1 -> alpha=0.5 shares 0.75/0.25: the small
+    # class's sampled fraction-of-class must exceed the big class's
+    assert counts["small"] / 100 > counts["big"] / 900
+    # and the overall kept volume lands near target (md5 thresholds are
+    # uniform; clamping may pull it under)
+    assert 0.25 <= (counts["big"] + counts["small"]) / 1000 <= 0.45
+
+
+def test_temperature_resample_alpha_one_is_uniform_rate(spark):
+    from snowplow_s3_loader_spark.operators.sampling import temperature_resample
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("cls"),
+    )
+    kept = temperature_resample(df, "id", "cls", alpha=1.0, target_frac=0.5)
+    # alpha=1: every class's keep fraction IS target_frac, so the kept set
+    # is exactly {id : md5-hex-fraction(id) < 0.5} — computable by hand
+    import hashlib
+
+    expected = sorted(
+        i
+        for i in range(1000)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) / 65536.0 < 0.5
+    )
+    assert sorted(r["id"] for r in kept.collect()) == expected
+
+
+def test_temperature_resample_deterministic(spark):
+    from snowplow_s3_loader_spark.operators.sampling import temperature_resample
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("cls")
+    )
+    a = sorted(r["id"] for r in temperature_resample(df, "id", "cls").collect())
+    b = sorted(
+        r["id"]
+        for r in temperature_resample(df.repartition(13), "id", "cls").collect()
+    )
+    assert a == b  # partitioning-independent selection
