@@ -166,3 +166,67 @@ def test_remove_repeated_spans_whole_doc_removed(spark):
     for i in (1, 2):
         assert rows[i]["n_tokens_removed"] == 3
         assert rows[i]["cleaned_text"] == ""
+
+
+def test_remove_repeated_spans_matches_python_reference(spark):
+    """Differential test: a direct Python implementation of the span-dedup
+    semantics (gram counts -> witness spans -> island merge -> rebuild)
+    must agree with the distributed operator on a seeded random corpus
+    with injected shared runs."""
+    import random
+
+    from snowplow_s3_loader_spark.operators.hygiene import remove_repeated_spans
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    shared_runs = [
+        [f"r{j}_{i}" for i in range(6)] for j in range(4)
+    ]
+    docs = {}
+    for d in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if rng.random() < 0.6:
+            run = shared_runs[rng.randrange(4)]
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + run + toks[at:]
+        docs[d] = " ".join(toks)
+
+    K = 4
+
+    def reference(all_docs: dict[int, str]):
+        toks = {i: t.split() for i, t in all_docs.items()}
+        from collections import Counter
+
+        grams = Counter()
+        for ts in toks.values():
+            for p in range(len(ts) - K + 1):
+                grams[tuple(ts[p : p + K])] += 1
+        out = {}
+        for i, ts in toks.items():
+            spans = [
+                (p, p + K - 1)
+                for p in range(len(ts) - K + 1)
+                if grams[tuple(ts[p : p + K])] >= 2
+            ]
+            merged = []
+            for s, e in spans:  # already sorted by start
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            covered = {p for s, e in merged for p in range(s, e + 1)}
+            kept = [t for p, t in enumerate(ts) if p not in covered]
+            out[i] = (
+                len(merged),
+                sum(e - s + 1 for s, e in merged),
+                " ".join(kept),
+            )
+        return out
+
+    expected = reference(docs)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_dup_spans"], r["n_tokens_removed"], r["cleaned_text"])
+        for r in remove_repeated_spans(df, "doc_id", "text", k=K).collect()
+    }
+    assert got == expected
