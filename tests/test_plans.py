@@ -174,3 +174,34 @@ def test_q67_tfidf_ranking_window_is_partitioned(spark, sf_dir):
     # every window spec carries the doc-id partition key
     specs = [l for l in plan.splitlines() if "row_number" in l]
     assert specs and all("id" in l for l in specs)
+
+
+def test_q69_hygiene_battery_plan(spark, sf_dir):
+    from snowplow_s3_loader_spark.plans.composites import q69_hygiene_battery
+
+    plan = plan_of(q69_hygiene_battery(spark, sf_dir))
+    # decontamination: benchmark grams broadcast into a left-semi join;
+    # no cartesian anywhere in the battery
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    semi_lines = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi_lines, "expected LeftSemi broadcast joins (grams vs benchmark/dup sets)"
+
+
+def test_q58_sampling_battery_plan(spark, sf_dir):
+    from snowplow_s3_loader_spark.plans.composites import q58_sampling_battery
+
+    plan = plan_of(q58_sampling_battery(spark, sf_dir))
+    # the temperature keep-fraction relation (class-sized) must broadcast
+    # back to the docs side, never shuffle the corpus for it
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q29_text_signals_lm_aggregation_partial(spark, sf_dir):
+    from snowplow_s3_loader_spark.plans.composites import q29_text_signals
+
+    plan = plan_of(q29_text_signals(spark, sf_dir))
+    # the bigram/context count aggregations run partial+final
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
