@@ -44,3 +44,73 @@ class Engine:
 
     def classify_enriched(self, lines: DataFrame, value_col: str = "value") -> DataFrame:
         return classify(lines, PURPOSE_ENRICHED, value_col)
+
+    # ---- training-data curation surface (SURVEY.md SS7.8) ----
+    # thin delegations so the curation operators are discoverable from the
+    # facade; each docstring names the module with the full knob set.
+
+    def near_dup_pairs(
+        self, docs: DataFrame, id_col: str, text_col: str,
+        block_cols: list[str], threshold: float = 0.8,
+    ) -> DataFrame:
+        """Token-Jaccard near-duplicate pairs (operators.dedup)."""
+        from snowplow_s3_loader_spark.operators.dedup import token_jaccard_pairs
+
+        return token_jaccard_pairs(docs, id_col, text_col, block_cols, threshold)
+
+    def dedup_clusters(self, pairs: DataFrame) -> DataFrame:
+        """Connected components over a near-dup pair graph (operators.graph)."""
+        from snowplow_s3_loader_spark.operators.graph import connected_components
+
+        return connected_components(pairs)
+
+    def keep_canonical(self, docs: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+        """Drop every non-canonical member of each dup cluster (operators.graph)."""
+        from snowplow_s3_loader_spark.operators.graph import dedup_keep_canonical
+
+        return dedup_keep_canonical(docs, pairs, id_col)
+
+    def decontaminate(
+        self, docs: DataFrame, benchmark: DataFrame, id_col: str, text_col: str, n: int = 8
+    ) -> DataFrame:
+        """Benchmark n-gram contamination flags (operators.hygiene)."""
+        from snowplow_s3_loader_spark.operators.hygiene import ngram_contamination
+
+        return ngram_contamination(docs, benchmark, id_col, text_col, n=n)
+
+    def redact(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """PII redaction report (operators.hygiene)."""
+        from snowplow_s3_loader_spark.operators.hygiene import redaction_report
+
+        return redaction_report(docs, id_col, text_col)
+
+    def remove_repeated_spans(
+        self, docs: DataFrame, id_col: str, text_col: str, k: int = 50
+    ) -> DataFrame:
+        """ExactSubstr-style repeated-span removal (operators.hygiene)."""
+        from snowplow_s3_loader_spark.operators.hygiene import remove_repeated_spans
+
+        return remove_repeated_spans(docs, id_col, text_col, k=k)
+
+    def lm_scores(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """Bigram-LM cross-entropy quality signal (operators.lm)."""
+        from snowplow_s3_loader_spark.operators.lm import bigram_lm_scores
+
+        return bigram_lm_scores(docs, id_col, text_col)
+
+    def split(
+        self, docs: DataFrame, id_col: str, splits: dict[str, float]
+    ) -> DataFrame:
+        """Deterministic named-split assignment (operators.sampling)."""
+        from snowplow_s3_loader_spark.operators.sampling import deterministic_split
+
+        return deterministic_split(docs, id_col, splits)
+
+    def temperature_resample(
+        self, docs: DataFrame, id_col: str, class_col: str,
+        alpha: float = 0.7, target_frac: float = 0.3,
+    ) -> DataFrame:
+        """Corpus-mix rebalancing by n^alpha (operators.sampling)."""
+        from snowplow_s3_loader_spark.operators.sampling import temperature_resample
+
+        return temperature_resample(docs, id_col, class_col, alpha, target_frac)

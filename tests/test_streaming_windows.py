@@ -161,3 +161,32 @@ def test_dedup_stream_drops_duplicates_with_bounded_state(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == [1, 2, 3]
+
+
+def test_engine_curation_facade(spark, sf_dir):
+    """The facade's curation surface delegates to the real operators."""
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.engine import Engine
+
+    eng = Engine.at(spark, sf_dir)
+    docs = eng.table("documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    assert eng.decontaminate(docs, bench, "doc_id", "text", n=5).columns == [
+        "id", "n_shared_ngrams", "contaminated"
+    ]
+    assert "redacted" in eng.redact(docs, "doc_id", "text").columns
+    assert eng.remove_repeated_spans(docs, "doc_id", "text", k=8).columns == [
+        "id", "n_dup_spans", "n_tokens_removed", "cleaned_text"
+    ]
+    assert "lm_cross_entropy" in eng.lm_scores(docs, "doc_id", "text").columns
+    split = eng.split(docs, "doc_id", {"train": 0.9, "val": 0.1})
+    assert {r["split"] for r in split.select("split").distinct().collect()} <= {"train", "val"}
+    kept = eng.temperature_resample(docs, "doc_id", "lang")
+    assert 0 < kept.count() < docs.count()
+    pairs = eng.near_dup_pairs(
+        docs.withColumn("blk", F.col("lang")), "doc_id", "text", ["blk"], 0.8
+    )
+    comps = eng.dedup_clusters(pairs)
+    assert set(comps.columns) == {"node", "component"}
+    assert eng.keep_canonical(docs, pairs, "doc_id").count() <= docs.count()
