@@ -4,7 +4,8 @@ The grading driver records CORRECTNESS rows for at most ~50 ``queries()``
 entries, and rounds 2-3 declared more: 18 queries per round went formally
 dark even though they pass the cold-session oracle check. This module
 folds the single-purpose batteries into per-family composites so that the
-DRIVER-FACING registry (``DRIVER_QUERIES``, 49 entries) covers every
+DRIVER-FACING registry (``DRIVER_QUERIES``, 50 entries: 35 surviving
+singles + 15 composites incl. the round-4 hygiene battery) covers every
 operator family inside the cap, while every original single-purpose query
 stays importable, pytest-verified (``QUERIES_ALL``), and benchmarked
 (bench.py keeps timing the singles so per-round numbers stay comparable).
