@@ -303,3 +303,57 @@ def test_component_map_foreach_batch_streaming(spark, tmp_path):
     got = {(r["node"], r["component"]) for r in m.components().collect()}
     assert got == _cc_batch(spark, b1 + b2)
     m.release()
+
+
+def test_component_map_random_batches_match_union_find(spark):
+    """Differential: fold 5 random pair batches through ComponentMap and
+    compare the final map against a Python union-find over the union —
+    exercises merges, singletons, self-pairs, replays, and new-node
+    resolution paths at once (seeded, deterministic)."""
+    import random
+
+    from snowplow_s3_loader_spark.operators.graph import ComponentMap
+
+    rng = random.Random(20260813)
+    batches = []
+    for _ in range(5):
+        batch = [
+            (rng.randrange(120), rng.randrange(120)) for _ in range(rng.randint(3, 15))
+        ]
+        if rng.random() < 0.5 and batches:
+            batch.append(batches[-1][0])  # replayed pair across batches
+        batches.append(batch)
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    m = ComponentMap()
+    for batch in batches:
+        m.update(_pairs(spark, batch))
+        for a, b in batch:
+            union(a, b)
+
+    # canonicalize union-find to min-id roots
+    expected = {}
+    members: dict = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    for root, nodes in members.items():
+        lo = min(nodes)
+        for node in nodes:
+            expected[node] = lo
+
+    got = {r["node"]: r["component"] for r in m.components().collect()}
+    assert got == expected
+    m.release()
