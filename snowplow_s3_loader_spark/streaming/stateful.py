@@ -14,8 +14,11 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     IntegerType,
     LongType,
     StructField,
@@ -158,4 +161,122 @@ def dedup_stream(
     (e.g. the Kinesis producer's retry horizon)."""
     return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
         key_cols
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming near-duplicate filtering (SimHash band state)
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_VOTES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("band_id", IntegerType()),
+        StructField("dup", BooleanType()),
+    ]
+)
+_NEAR_DUP_STATE_SCHEMA = StructType(
+    [StructField("hashes", ArrayType(LongType()))]
+)
+
+_BAND_BITS = 15  # 60-bit simhash splits into four 15-bit bands
+
+
+def streaming_near_dup_votes(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    per_band_cap: int = 256,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming near-duplicate detection across micro-batches — the
+    streaming counterpart of the SimHash batch path: first-seen documents
+    win; later documents whose 60-bit SimHash lies within `max_hamming`
+    of a previously stored hash in any shared band are flagged. Band
+    groups decide independently, so a band stores a doc's hash whenever
+    that band saw no local match — including docs another band flagged.
+    The filter is therefore slightly MORE aggressive than "kept docs
+    only": chains of transitively-similar docs collapse to the first
+    seen (bounded by the Hamming triangle inequality), which is the
+    behavior dedup wants.
+
+    Mechanics: the vectorized SimHash (dedup.simhash60_fast, stateless
+    mapInPandas — streams as-is) feeds a band explode (four 15-bit
+    bands); state is keyed by (band_id, band_value) and holds the kept
+    hashes whose simhash carries that band value. A Hamming-<=h pair
+    agrees exactly on at least one band with probability growing as h
+    falls (all four bands differ only if the <=h flipped bits hit >=1
+    bit in every band), so banding prunes the comparison space the same
+    way batch LSH does — with the documented recall trade of any LSH
+    scheme. Emits one vote row per (doc, band); a document is a
+    near-duplicate iff ANY band votes dup — aggregate per micro-batch
+    with `near_dup_keep_filter` inside foreachBatch.
+
+    State bounds (the 100 TB knobs): `per_band_cap` FIFO-caps hashes per
+    band bucket (a hot bucket cannot grow without bound; oldest hashes
+    age out first), and `timeout_ms` evicts idle buckets entirely.
+    Within-batch processing order is sorted by id so replays and
+    re-partitionings decide ties identically.
+    """
+    from snowplow_s3_loader_spark.operators.dedup import simhash60_fast
+
+    hashed = simhash60_fast(docs, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band_id"),
+            F.shiftright(F.col("simhash"), b * _BAND_BITS)
+            .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+            .alias("band_val"),
+        )
+        for b in range(4)
+    ]
+    banded = hashed.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
+    ).select("id", "simhash", F.col("bv.band_id").alias("band_id"), F.col("bv.band_val").alias("band_val"))
+
+    def _vote(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (stored,) = state.get if state.exists else ([],)
+        stored = list(stored)
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values("id")  # deterministic tie-break
+        out_ids, out_bands, out_dups = [], [], []
+        for doc_id, h, band_id in zip(rows["id"], rows["simhash"], rows["band_id"]):
+            h = int(h)
+            dup = any(bin(h ^ s).count("1") <= max_hamming for s in stored)
+            if not dup:
+                stored.append(h)
+                if len(stored) > per_band_cap:
+                    stored = stored[-per_band_cap:]
+            out_ids.append(int(doc_id))
+            out_bands.append(int(band_id))
+            out_dups.append(dup)
+        state.update((stored,))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({"id": out_ids, "band_id": out_bands, "dup": out_dups})
+
+    return banded.groupBy("band_id", "band_val").applyInPandasWithState(
+        _vote,
+        outputStructType=_NEAR_DUP_VOTES_SCHEMA,
+        stateStructType=_NEAR_DUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def near_dup_keep_filter(votes_batch: DataFrame) -> DataFrame:
+    """Batch-side vote aggregation (run inside foreachBatch): (id, keep)
+    where keep = no band flagged the document."""
+    return votes_batch.groupBy("id").agg(
+        (~F.max("dup")).alias("keep")
     )

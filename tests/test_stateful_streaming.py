@@ -156,3 +156,71 @@ def test_rocksdb_state_bounded_with_timeout_eviction(spark, tmp_path):
             spark.conf.set(key, prev)
         else:
             spark.conf.unset(key)
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    """Streaming SimHash near-dup filter: a second-batch document nearly
+    identical to a first-batch document is flagged; distinct documents
+    survive; decisions persist across micro-batches via band state."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.streaming.stateful import (
+        near_dup_keep_filter,
+        streaming_near_dup_votes,
+    )
+
+    # 60 distinct tokens: one-token perturbation moves the simhash by
+    # ~1 bit (votes have wide margins); a 10-token doc would scatter it
+    base = " ".join(f"word{i}" for i in range(60))
+    near = " ".join(f"word{i}" for i in range(59)) + " zzz"   # d(base,near)=1
+    distinct = " ".join(f"other{i}" for i in range(60))        # d=36
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": base}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": distinct}) + "\n")
+
+    decisions: dict[int, bool] = {}
+
+    def sink(batch_df, batch_id):
+        for r in near_dup_keep_filter(batch_df).collect():
+            decisions[r["id"]] = r["keep"]
+
+    src = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+    votes = streaming_near_dup_votes(src, "doc_id", "text", max_hamming=3)
+
+    def run():
+        q = (
+            votes.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    assert decisions == {1: True, 2: True}  # batch 1: both novel
+
+    with open(in_dir / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": near}) + "\n")      # near-dup of 1
+        f.write(json.dumps({"doc_id": 4, "text": base}) + "\n")      # exact dup of 1
+        f.write(json.dumps({"doc_id": 5, "text": distinct + " extra tail words"}) + "\n")
+    run()
+    assert decisions[3] is False   # near-duplicate caught across batches
+    assert decisions[4] is False   # exact duplicate caught
+    assert decisions[5] is True    # still far from everything kept
+
+    # sanity: the simhash distance justifies the expectations above
+    from snowplow_s3_loader_spark.operators.dedup import hamming60, simhash60_fast
+
+    df = spark.createDataFrame(
+        [(1, base), (3, near), (2, distinct)], "doc_id long, text string"
+    )
+    sh = {r["id"]: r["simhash"] for r in simhash60_fast(df, "doc_id", "text").collect()}
+    d13 = bin(sh[1] ^ sh[3]).count("1")
+    d12 = bin(sh[1] ^ sh[2]).count("1")
+    assert d13 <= 3 < d12
