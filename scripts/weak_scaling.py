@@ -241,6 +241,48 @@ def spans_case(spark, n_docs: int) -> dict:
     return {"case": "repeated_spans", "docs": n_docs, "sec": round(dt, 2)}
 
 
+def incremental_cc_case(spark, n_clusters: int) -> dict:
+    """ComponentMap's reason to exist, measured: after seeding a map with
+    n_clusters 4-node chains, folding in a SMALL delta (100 pairs, some
+    merging adjacent clusters) must cost far less than recomputing the
+    batch operator over the full union — the delta projects into
+    component space and only affected components re-converge."""
+    from snowplow_s3_loader_spark.operators.graph import (
+        ComponentMap,
+        connected_components,
+    )
+
+    ids = spark.range(n_clusters * 4)
+    base = ids.select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).where(F.col("id") % 4 != 3)
+    delta = spark.range(100).select(
+        (F.col("id") * 8 + 3).alias("id_a"), (F.col("id") * 8 + 4).alias("id_b")
+    )
+
+    m = ComponentMap()
+    m.update(base)
+    t0 = time.perf_counter()
+    m.update(delta)
+    t_inc = time.perf_counter() - t0
+    n_inc = m.components().select("component").distinct().count()
+    m.release()
+
+    t0 = time.perf_counter()
+    full = connected_components(base.union(delta))
+    n_full = full.select("component").distinct().count()
+    t_full = time.perf_counter() - t0
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+
+    release_materialized(full)
+    assert n_inc == n_full == n_clusters - 100, (n_inc, n_full)
+    return {
+        "case": "incremental_cc", "clusters": n_clusters,
+        "delta_pairs": 100, "sec_incremental": round(t_inc, 2),
+        "sec_full_recompute": round(t_full, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -260,6 +302,8 @@ def main() -> None:
     if which in ("spans", "all"):
         out.append(spans_case(spark, 20_000))
         out.append(spans_case(spark, 200_000))
+    if which in ("incremental", "all"):
+        out.append(incremental_cc_case(spark, 50_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()
