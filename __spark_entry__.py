@@ -42,10 +42,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per queries() key. Only q37 (HLL sketch)
-    and q48 (trained k-means IVF) are rows-only — every other query,
-    including the SRP-LSH ANN (deterministic given its literal planes),
-    is hash-checked."""
+    """DuckDB-runnable ANSI SQL per queries() key — one oracle for EVERY
+    query, zero rows-only entries. q37 (HLL) and q48 (trained IVF) emit
+    deterministic invariant rows (error-bound / recall-threshold ints) the
+    oracle hash-matches; the SRP-LSH ANN is deterministic given its
+    literal planes."""
     from snowplow_s3_loader_spark.plans.composites import DRIVER_ORACLES
 
     return dict(DRIVER_ORACLES)

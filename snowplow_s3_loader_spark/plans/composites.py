@@ -850,7 +850,8 @@ ORDER BY contam.id
 """
 
 # driver-facing oracles: singles that survived + composite oracles.
-# q37 (HLL) and q48 (trained IVF) stay rows-only by design.
+# q37 (HLL) and q48 (trained IVF) are oracle-checked invariant rows
+# (error-bound / recall-threshold ints) since round 5 — zero rows-only.
 DRIVER_ORACLES = {
     **{n: sql for n, sql in ORACLES.items() if n in DRIVER_QUERIES},
     **COMPOSITE_ORACLES,

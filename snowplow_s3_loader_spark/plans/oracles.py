@@ -394,7 +394,15 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
 
-# q37_approx_distinct: HLL sketch — approximate by design, rows-only check
+# q37: HLL error-bound invariant — the sketch value itself is engine-specific,
+# but |approx-exact|/exact <= 0.05 is deterministic for a fixed input+rsd
+# (measured <= 0.0041 at all SFs), so the oracle emits exact + literal 1.
+ORACLES["q37_approx_distinct"] = """
+SELECT count(DISTINCT l_orderkey) AS exact_orders,
+       count(*) AS total_rows,
+       1 AS hll_within_error
+FROM lineitem
+"""
 
 ORACLES["q38_sessionization"] = """
 WITH g AS (
@@ -504,7 +512,16 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
-# q48_ann_ivf: approximate (IVF probes) — rows-only check like q28
+# q48: IVF recall invariant — assignments are engine-specific, but recall@5 of
+# the seeded IVF result vs the in-query brute-force top-5 is deterministic
+# (measured per-query min 0.4 at sf0.01 and sf0.1; threshold 0.2 = 2x margin),
+# so the oracle emits the query-id list with literal 1.
+ORACLES["q48_ann_ivf"] = """
+SELECT vec_id AS query_id, 1 AS recall_ok
+FROM embeddings
+WHERE vec_id % 100 = 0
+ORDER BY query_id
+"""
 
 ORACLES["q49_grouped_percentiles"] = """
 SELECT event_type,

@@ -555,12 +555,32 @@ def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approx distinct (engine-only: approximate by design ->
-    rows-only check; exact twin is q10)."""
+    """HyperLogLog approx distinct, oracle-checkable as an error-bound
+    invariant (VERDICT r4 item 1): the raw sketch value is engine-specific,
+    so the emitted row carries the EXACT distinct count plus a boolean
+    `hll_within_error` = |approx - exact| / exact <= 0.05. Spark's HLL++ is
+    deterministic for a fixed input and rsd (measured rel_err <= 0.0041 at
+    sf0.001/0.01/0.1 against a 5% bound = 2.5x the rsd), so the DuckDB
+    oracle computes the exact count and a literal 1 and the row
+    hash-matches. Exact twin is q10."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    # compute exact and approx in SEPARATE 1-row branches: mixing
+    # count_distinct with approx_count_distinct in one agg makes Catalyst
+    # rewrite to a per-key aggregate that drags the full HLL register
+    # array (410 longs) per l_orderkey group through the shuffle — 47 MiB
+    # at sf0.01, ~0.5 GB at sf0.1, unbounded at 100 TB. Split, each branch
+    # is a plain partial+final agg; the join is 1 row x 1 row.
+    exact = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.count("*").alias("total_rows"),
+    )
+    approx = li.agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"))
+    return exact.crossJoin(approx).select(
+        "exact_orders",
+        "total_rows",
+        (F.abs(F.col("approx") - F.col("exact_orders")) / F.col("exact_orders") <= F.lit(0.05))
+        .cast("int")
+        .alias("hll_within_error"),
     )
 
 
@@ -762,17 +782,42 @@ def q47_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q48_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-5 (scale path; approximate by design ->
-    rows-only check, like q28). Centroids trained with seeded sampled
-    k-means (driver-side Lloyd on a hash-ordered sample; MLlib kmeans||
-    available via trainer= for large K) — VERDICT r1 item 10. n_probe=4
-    per the measured recall table (weak_scaling.py recall: 0.78 vs 0.49
-    at n_probe=2, sf0.1) — VERDICT r3 item 6."""
+    """IVF-bucketed approximate top-5, oracle-checkable as a recall
+    invariant (VERDICT r4 item 1): raw IVF assignments are engine-specific,
+    so the query computes recall@5 of the trained-IVF result against the
+    in-query brute-force top-5 and emits one `(query_id, recall_ok)` row
+    per query with recall_ok = recall@5 >= 0.2. The whole chain is seeded
+    and deterministic (hash-ordered training sample, driver Lloyd,
+    argmin assignment); measured per-query recall min is 0.4 at sf0.01 AND
+    sf0.1 with n_probe=4 (mean 0.72/0.78), so 0.2 holds with 2x margin and
+    the DuckDB oracle emits the query-id list with literal 1. Centroids
+    trained with seeded sampled k-means — VERDICT r1 item 10; n_probe=4
+    per the measured recall table — VERDICT r3 item 6."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ann_topk_ivf(
-        emb, F.col("vec_id") % 100 == 0, k=5, n_centroids=8, n_probe=4,
-        train=True, seed=7,
-    ).orderBy("query_id", "rank")
+    pred = F.col("vec_id") % 100 == 0
+    ivf = similarity.ann_topk_ivf(
+        emb, pred, k=5, n_centroids=8, n_probe=4, train=True, seed=7,
+    )
+    exact = similarity.brute_force_topk(emb, pred, k=5)
+    hits = (
+        ivf.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    # spine comes straight from the base table (not exact.distinct()) so the
+    # brute-force branch is computed once, not re-derived for the left side
+    spine = emb.filter(pred).select(F.col("vec_id").alias("query_id"))
+    return (
+        spine.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0) >= F.lit(0.2))
+            .cast("int")
+            .alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
 
 
 def q49_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

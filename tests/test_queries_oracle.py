@@ -103,9 +103,9 @@ class TestDriverRegistry:
             assert name not in DRIVER_QUERIES
 
     def test_driver_oracles_subset(self):
-        # rows-only by design: HLL sketch + trained IVF
-        rows_only = {"q37_approx_distinct", "q48_ann_ivf"}
-        assert set(DRIVER_ORACLES) | rows_only == set(DRIVER_QUERIES) | set()
+        # round 5: q37/q48 became invariant rows — every driver query has
+        # an oracle, zero rows-only entries remain.
+        assert set(DRIVER_ORACLES) == set(DRIVER_QUERIES)
 
     def test_entrypoint_exposes_driver_registry(self):
         import importlib.util
