@@ -51,6 +51,41 @@ def test_connected_components_leaves_no_persistent_blocks(spark):
     assert jsc.getPersistentRDDs().size() <= before + 1
 
 
+def test_connected_components_never_mutates_session_conf(spark):
+    # round-5 VERDICT item 2: loop width is applied via explicit
+    # repartition of the loop frames — the session's shuffle width must
+    # be untouched during AND after the call (concurrent queries in the
+    # same session previously saw a narrowed width for the loop).
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)] + [(i, i + 1) for i in range(40, 52)])
+    out = connected_components(pairs)
+    out.count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_loop_width_clamps_and_survives_non_numeric_conf(spark):
+    from snowplow_s3_loader_spark.operators.graph import _loop_width
+
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # graph-sized, floored at 4, clamped to the session width
+    assert _loop_width(spark, 0) == min(sess, 4)
+    assert _loop_width(spark, 10_000_000) == sess
+    # non-numeric session value (e.g. 'auto') -> defaultParallelism
+    # fallback, exercised against a fake conf (setting 'auto' on vanilla
+    # Spark would break Spark's own planning, not our parse)
+    class _FakeConf:
+        def get(self, key):
+            return "auto"
+
+    class _FakeSpark:
+        conf = _FakeConf()
+        sparkContext = spark.sparkContext
+
+    assert _loop_width(_FakeSpark(), 0) == min(
+        spark.sparkContext.defaultParallelism, 4
+    )
+
+
 def test_dedup_keep_canonical(spark):
     docs = spark.createDataFrame(
         [(1, "a"), (2, "a"), (3, "b"), (9, "c")], "doc_id long, text string"
