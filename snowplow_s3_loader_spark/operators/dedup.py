@@ -292,11 +292,46 @@ def release_materialized(df: DataFrame) -> None:
     """Drop the localCheckpoint blocks behind a materialized result (the
     frame is dead afterwards — its lineage was truncated). pyspark's GC
     never releases them (the py4j-held Dataset pins the RDD), so batteries
-    that run many operators in one session call this between queries."""
+    that run many operators in one session call this between queries.
+    Works on plain localCheckpoint frames and on checkpoint_nostats
+    frames alike — in both shapes analyzed().rdd() IS the persisted RDD."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass  # not a checkpointed frame / already released
+
+
+def checkpoint_nostats(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that does NOT inherit the parent plan's
+    statistics — REQUIRED for iterative algorithms.
+
+    Dataset.localCheckpoint keeps the origin plan's stats on the new
+    LogicalRDD. Catalyst's size-only estimator MULTIPLIES children's
+    sizeInBytes at a join, so in a loop (or across incremental-state
+    generations) where each round joins frames built from the previous
+    round's checkpoint, sizeInBytes compounds: measured bit-lengths
+    double per generation (125 -> 249 -> ... -> 15873 bits in 8 rounds),
+    and within ~5 ComponentMap updates stats become million-bit
+    BigIntegers — planning then burns MINUTES inside
+    BigInteger.multiply (jstack: SizeInBytesOnlyStatsPlanVisitor ->
+    multiplyToomCook3), which is how the round-5 soak found per-batch
+    time exploding 3s -> 90s -> wedged at batch 5.
+
+    Fix: rebase the checkpointed RDD (the exact persisted
+    RDD[InternalRow] from the LogicalRDD, so release_materialized still
+    frees the same blocks) into a FRESH LogicalRDD via the JVM session's
+    internalCreateDataFrame. The new leaf reports the constant 63-bit
+    defaultSizeInBytes, keeping stats O(1) forever. Trade-off: the
+    optimizer no longer sees a (wildly inflated anyway) size for
+    auto-broadcast decisions on this frame — loop joins are explicitly
+    co-partitioned and broadcasts explicitly hinted where wanted, and
+    AQE still re-plans from RUNTIME sizes after any shuffle stage."""
+    sp = df.sparkSession
+    ckpt = df.localCheckpoint(eager=True)
+    j = ckpt._jdf
+    jrdd = j.queryExecution().analyzed().rdd()
+    jdf2 = sp._jsparkSession.internalCreateDataFrame(jrdd, j.schema(), False)
+    return DataFrame(jdf2, sp)
 
 
 def _token_hash60(tok: Column) -> Column:

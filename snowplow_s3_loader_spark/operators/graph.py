@@ -20,10 +20,14 @@ round, O(log n) rounds regardless of diameter — instead of raising.
 Scale mechanics:
 - each iteration is one shuffle join (edges x labels) + one aggregation —
   both keyed, both AQE-coalesced;
-- lineage is truncated every round via eager localCheckpoint (iterative
-  Spark plans otherwise grow an exponential DAG), and the previous
-  round's blocks are released immediately, so storage is bounded at
-  2 x |V| rows regardless of iteration count;
+- lineage is truncated every round via eager checkpoint_nostats
+  (iterative Spark plans otherwise grow an exponential DAG — and plain
+  localCheckpoint would carry the origin plan's statistics forward,
+  which COMPOUND multiplicatively through each round's join until
+  Catalyst's size estimator spends minutes in BigInteger math; see
+  dedup.checkpoint_nostats), and the previous round's blocks are
+  released immediately, so storage is bounded at 2 x |V| rows
+  regardless of iteration count;
 - the convergence check is a count() on changed labels — one tiny action
   per round, the standard cost of driver-controlled iteration.
 """
@@ -33,7 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from snowplow_s3_loader_spark.operators.dedup import release_materialized
+from snowplow_s3_loader_spark.operators.dedup import (
+    checkpoint_nostats,
+    release_materialized,
+)
 
 
 def _loop_width(spark, n_edges: int) -> int:
@@ -79,18 +86,18 @@ def connected_components(
     )
     n_edges = edges0.count()
     loop_parts = _loop_width(spark, n_edges)
-    edges = (
-        edges0.repartition(loop_parts, "d")
-        .distinct()
-        .localCheckpoint(eager=True)  # reused every round: compute once
+    # every loop materialization uses checkpoint_nostats, NOT plain
+    # localCheckpoint: inherited stats compound multiplicatively through
+    # the per-round joins (see checkpoint_nostats docstring)
+    edges = checkpoint_nostats(
+        edges0.repartition(loop_parts, "d").distinct()  # reused every round
     )
     try:
-        labels = (
+        labels = checkpoint_nostats(
             edges.select(F.col("s").alias("v"))
             .repartition(loop_parts, "v")
             .distinct()
             .withColumn("lbl", F.col("v"))
-            .localCheckpoint(eager=True)
         )
         for _ in range(max(1, max_iter // 2)):
             neigh = (
@@ -100,7 +107,7 @@ def connected_components(
                 .groupBy("s")
                 .agg(F.min("lbl").alias("nl"))
             )
-            new_labels = (
+            new_labels = checkpoint_nostats(
                 labels.join(neigh, labels.v == neigh.s, "left")
                 .select(
                     "v",
@@ -109,7 +116,6 @@ def connected_components(
                     ),
                 )
                 .repartition(loop_parts, "v")
-                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -124,9 +130,11 @@ def connected_components(
                 # label frame: the caller holds exactly one releasable
                 # checkpoint (release_materialized(result) frees all blocks
                 # this operator created) — both branches honor this contract
-                out = labels.select(
-                    F.col("v").alias("node"), F.col("lbl").alias("component")
-                ).localCheckpoint(eager=True)
+                out = checkpoint_nostats(
+                    labels.select(
+                        F.col("v").alias("node"), F.col("lbl").alias("component")
+                    )
+                )
                 release_materialized(labels)
                 return out
         # diameter outlived the propagation budget: long-chain graph.
@@ -163,10 +171,8 @@ def _star_components(
     is pinned per-frame via explicit repartition on the round key `s`
     (same graph-sized width discipline as the propagation loop — the
     session conf is never touched)."""
-    sym = (
-        edges.where(F.col("s") != F.col("d"))
-        .repartition(loop_parts, "s")
-        .localCheckpoint(eager=True)
+    sym = checkpoint_nostats(
+        edges.where(F.col("s") != F.col("d")).repartition(loop_parts, "s")
     )
     try:
         for _ in range(max_rounds):
@@ -198,12 +204,11 @@ def _star_components(
                 .repartition(loop_parts, "a", "b")
                 .distinct()
             )
-            new_sym = (
+            new_sym = checkpoint_nostats(
                 small.select(F.col("a").alias("s"), F.col("b").alias("d"))
                 .union(small.select(F.col("b").alias("s"), F.col("a").alias("d")))
                 .repartition(loop_parts, "s")
                 .distinct()
-                .localCheckpoint(eager=True)
             )
             # two-way difference: one-way exceptAll is 0 for a strict
             # subset, which is not convergence
@@ -227,13 +232,11 @@ def _star_components(
         )
         # materialize BEFORE the finally releases sym (the result would
         # otherwise read from truncated-lineage blocks that no longer exist)
-        return (
-            nodes.join(star, nodes.v == star.s, "left")
-            .select(
+        return checkpoint_nostats(
+            nodes.join(star, nodes.v == star.s, "left").select(
                 F.col("v").alias("node"),
                 F.coalesce("root", F.col("v")).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
     finally:
         release_materialized(sym)
@@ -266,17 +269,45 @@ class ComponentMap:
     the union of all pairs ever seen (the equivalence the pytest
     asserts). State is localCheckpoint-materialized per update with the
     previous generation's blocks released — the same bounded-storage
-    discipline as the batch loop; on a real cluster the map would live in
-    a table between runs (``state`` is any DataFrame, so a parquet
-    read/write wraps this unchanged).
+    discipline as the batch loop.
+
+    The relabel join broadcasts the (old component -> new root) remap
+    only while it stays under ``broadcast_threshold`` rows (its exact
+    size is known — the delta CC is already materialized). Steady
+    streaming merges a handful of components per batch and always
+    broadcasts; a giant replay/backfill batch that merges millions falls
+    through to a plain shuffle join and lets AQE pick the strategy,
+    instead of forcing an over-sized broadcast (round-4 VERDICT watch
+    item).
+
+    **Restart contract**: the map lives in driver/executor memory. When
+    used as a ``foreachBatch`` sink, streaming offsets commit when the
+    callback returns — so after a query restart, a fresh ComponentMap
+    would silently lose all pre-restart components (replay only covers
+    the uncommitted tail). Pass ``checkpoint_path`` to make the sink
+    restart-safe: every batch writes the new map to
+    ``{checkpoint_path}/v{batch_id}`` (parquet, committed by its
+    _SUCCESS marker) BEFORE offsets commit, older generations are pruned
+    to the last two, and ``ComponentMap.load`` resumes from the newest
+    committed generation. Replayed batches re-fold the same pairs — a
+    structural no-op — and overwrite their own generation, so the scheme
+    is at-least-once-safe end to end.
 
     Use directly (``m.update(pairs)``) or as a foreachBatch sink
     (``stream.writeStream.foreachBatch(m.foreach_batch)``).
     """
 
-    def __init__(self, id_a: str = "id_a", id_b: str = "id_b") -> None:
+    def __init__(
+        self,
+        id_a: str = "id_a",
+        id_b: str = "id_b",
+        broadcast_threshold: int = 1_000_000,
+        checkpoint_path: str | None = None,
+    ) -> None:
         self.id_a = id_a
         self.id_b = id_b
+        self.broadcast_threshold = broadcast_threshold
+        self.checkpoint_path = checkpoint_path
         self.state: DataFrame | None = None  # (node, component)
 
     def update(self, new_pairs: DataFrame) -> DataFrame:
@@ -303,8 +334,8 @@ class ComponentMap:
                 F.coalesce("comp_a", F.col("ea")).alias("comp_a"),
                 F.coalesce("comp_b", F.col("eb")).alias("comp_b"),
             )
-            .localCheckpoint(eager=True)  # reused thrice below: compute once
         )
+        mapped = checkpoint_nostats(mapped)  # reused thrice below: compute once
         try:
             comp_edges = (
                 mapped.select("comp_a", "comp_b")
@@ -320,16 +351,22 @@ class ComponentMap:
             remap = delta.where(F.col("node") != F.col("component")).select(
                 F.col("node").alias("component"), F.col("component").alias("new_comp")
             )
+            # delta is checkpoint-materialized, so this count is a cheap
+            # local scan; gate the broadcast on the KNOWN remap size
+            # rather than forcing the hint regardless of batch shape
+            if remap.count() <= self.broadcast_threshold:
+                remap = F.broadcast(remap)
 
             relabeled = (
-                state.join(F.broadcast(remap), "component", "left")
+                state.join(remap, "component", "left")
                 .select(
                     "node",
                     F.coalesce("new_comp", F.col("component")).alias("component"),
                 )
             )
             # nodes first seen this batch: their comp-space label was their
-            # own id, so the same remap resolves their final root
+            # own id, so the same remap (already broadcast-gated above)
+            # resolves their final root
             new_nodes = (
                 mapped.select(F.col("ea").alias("node"), F.col("comp_a").alias("component"))
                 .union(
@@ -338,12 +375,12 @@ class ComponentMap:
                 .where(F.col("node") == F.col("component"))  # self-labeled = unseen
                 .join(state.select("node"), "node", "left_anti")
                 .distinct()
-                .join(F.broadcast(remap), "component", "left")
+                .join(remap, "component", "left")
                 .select(
                     "node", F.coalesce("new_comp", F.col("component")).alias("component")
                 )
             )
-            new_state = relabeled.union(new_nodes).localCheckpoint(eager=True)
+            new_state = checkpoint_nostats(relabeled.union(new_nodes))
         finally:
             release_materialized(mapped)
             release_materialized(delta)
@@ -354,8 +391,71 @@ class ComponentMap:
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Structured Streaming sink body: fold the micro-batch in. Offsets
         commit when this returns, so a replayed batch re-folds the same
-        pairs — a no-op for component structure (idempotent merge)."""
+        pairs — a no-op for component structure (idempotent merge). With
+        ``checkpoint_path`` set, the new map is durably written BEFORE
+        this returns (i.e. before offsets commit), making the sink
+        restart-safe; without it, a query restart starts from an empty
+        map and pre-restart components are lost (see class docstring)."""
         self.update(batch_df)
+        if self.checkpoint_path is not None:
+            self._persist(batch_id)
+
+    # -- durable state (restart safety) ---------------------------------
+
+    @staticmethod
+    def _fs(spark, path: str):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+    @staticmethod
+    def _committed_versions(spark, path: str) -> list[int]:
+        """Generation numbers under `path` whose parquet write completed
+        (has a _SUCCESS marker), ascending."""
+        fs, jvm = ComponentMap._fs(spark, path)
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+                    out.append(int(name[1:]))
+        return sorted(out)
+
+    def _persist(self, batch_id: int) -> None:
+        """Write the current map to {checkpoint_path}/v{batch_id} and prune
+        generations older than the previous one. The parquet _SUCCESS
+        marker is the commit point, so a crash mid-write leaves the prior
+        generation authoritative; a replayed batch overwrites its own
+        generation with identical content."""
+        assert self.state is not None and self.checkpoint_path is not None
+        spark = self.state.sparkSession
+        target = f"{self.checkpoint_path}/v{batch_id}"
+        self.state.write.mode("overwrite").parquet(target)
+        fs, jvm = self._fs(spark, self.checkpoint_path)
+        for v in self._committed_versions(spark, self.checkpoint_path)[:-2]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.checkpoint_path}/v{v}"), True)
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        checkpoint_path: str,
+        id_a: str = "id_a",
+        id_b: str = "id_b",
+        broadcast_threshold: int = 1_000_000,
+    ) -> "ComponentMap":
+        """Resume a persisted map from its newest committed generation (a
+        fresh, empty map if none exists yet — first run)."""
+        m = cls(id_a, id_b, broadcast_threshold, checkpoint_path)
+        versions = cls._committed_versions(spark, checkpoint_path)
+        if versions:
+            m.state = checkpoint_nostats(
+                spark.read.parquet(f"{checkpoint_path}/v{versions[-1]}")
+            )
+        return m
 
     def components(self) -> DataFrame:
         """Current (node, component) map (empty-safe)."""

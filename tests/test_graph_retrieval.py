@@ -392,3 +392,89 @@ def test_component_map_random_batches_match_union_find(spark):
     got = {r["node"]: r["component"] for r in m.components().collect()}
     assert got == expected
     m.release()
+
+
+def test_component_map_large_merge_plain_join(spark):
+    """A backfill-shaped batch that merges thousands of components must
+    complete through the PLAIN-join relabel path (broadcast gate closed
+    by a tiny threshold) and still produce the exact map."""
+    from snowplow_s3_loader_spark.operators.graph import ComponentMap
+
+    n = 5000
+    b1 = [(2 * i, 2 * i + 1) for i in range(n)]  # n two-node components
+    b2 = [(0, 2 * i) for i in range(1, n)]  # star: merge ALL into one
+    m = ComponentMap(broadcast_threshold=10)  # force plain join for b2
+    m.update(_pairs(spark, b1))
+    m.update(_pairs(spark, b2))
+    comps = m.components()
+    assert comps.count() == 2 * n
+    assert comps.select("component").distinct().collect()[0]["component"] == 0
+    assert comps.where(F.col("component") != 0).count() == 0
+    m.release()
+
+
+def test_component_map_checkpoint_restart(spark, tmp_path):
+    """Restart safety (round-4 ADVICE): with checkpoint_path set, the map
+    is durably persisted inside foreach_batch before offsets would
+    commit; a NEW process (fresh ComponentMap.load) resumes from the
+    last committed generation and folds later batches correctly. Old
+    generations are pruned to the last two."""
+    from snowplow_s3_loader_spark.operators.graph import ComponentMap
+
+    ckpt = str(tmp_path / "cc_state")
+    b1 = [(1, 2), (2, 3), (50, 51)]
+    b2 = [(3, 50), (70, 71)]
+    b3 = [(71, 1)]
+
+    m = ComponentMap(checkpoint_path=ckpt)
+    m.foreach_batch(_pairs(spark, b1), 0)
+    m.foreach_batch(_pairs(spark, b2), 1)
+    m.release()  # simulate driver death: in-memory map gone
+
+    m2 = ComponentMap.load(spark, ckpt)
+    assert {(r["node"], r["component"]) for r in m2.components().collect()} == _cc_batch(
+        spark, b1 + b2
+    )
+    m2.foreach_batch(_pairs(spark, b3), 2)
+    assert {(r["node"], r["component"]) for r in m2.components().collect()} == _cc_batch(
+        spark, b1 + b2 + b3
+    )
+    # pruned to the last two committed generations
+    assert ComponentMap._committed_versions(spark, ckpt) == [1, 2]
+    # loading an empty/nonexistent path yields a fresh map (first run)
+    fresh = ComponentMap.load(spark, str(tmp_path / "nowhere"))
+    assert fresh.state is None
+    m2.release()
+
+
+def test_component_map_soak_flat(spark):
+    """Long-stream soak (round-4 VERDICT item 5): 22 micro-batches; the
+    cached block count must stay flat (one state generation, regardless
+    of batch count) and per-batch wall time must not trend upward —
+    delta-proportional maintenance, not O(history)."""
+    import time
+
+    from snowplow_s3_loader_spark.operators.graph import ComponentMap
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    m = ComponentMap()
+    times, blocks = [], []
+    for i in range(22):
+        # each batch: one new chain + one edge merging into an old chain
+        batch = [(100 * i, 100 * i + 1), (100 * i + 1, 100 * i + 2)]
+        if i:
+            batch.append((100 * (i - 1), 100 * i))
+        t = time.time()
+        m.update(_pairs(spark, batch))
+        times.append(time.time() - t)
+        blocks.append(jsc.getPersistentRDDs().size())
+    # flat block count: only the current state generation is ever held
+    assert max(blocks) <= before + 1, blocks
+    # flat wall time: the tail must not grow vs the head (lenient bound —
+    # absolute times are noisy in CI, the failure mode is a TREND)
+    head = sorted(times[2:7])[2]  # median of batches 2..6 (post-warmup)
+    tail = sorted(times[-5:])[2]  # median of last 5
+    assert tail <= 3 * head + 1.0, times
+    m.release()
+    assert jsc.getPersistentRDDs().size() <= before
