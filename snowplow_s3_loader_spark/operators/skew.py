@@ -41,8 +41,30 @@ _SALT = "__salt"
 
 def _salt_of(df: DataFrame, n_salt: int) -> Column:
     """Deterministic per-row salt in [0, n_salt): content-hashed so
-    retries/speculation reproduce it (rand() would not)."""
+    retries/speculation reproduce it (rand() would not).
+
+    Limitation (by construction): rows that are FULL duplicates hash to
+    the same salt, so a hot key whose rows are byte-identical does not
+    spread — determinism and spread are in direct tension, and this
+    helper picks determinism (exactly-once sinks). If the input has any
+    per-row discriminator (an event id, an offset, a line number), keep
+    it in the frame — it feeds the hash and restores the spread; truly
+    indistinguishable duplicate rows can only be spread by a
+    non-deterministic salt the caller must opt into explicitly."""
     return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)).cast("int")
+
+
+def _check_no_salt_column(*dfs: DataFrame) -> None:
+    """A pre-existing '__salt' column would silently collide with the
+    helper's working column (joins would key on the caller's values) —
+    fail loudly instead."""
+    for df in dfs:
+        if _SALT in df.columns:
+            raise ValueError(
+                f"input already has a {_SALT!r} column; rename it before "
+                "using the skew helpers (it would collide with the "
+                "internal salt)"
+            )
 
 
 def salted_join(
@@ -64,6 +86,7 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    _check_no_salt_column(big, small)
     on = list(on)
     big_s = big.withColumn(_SALT, _salt_of(big, n_salt))
     small_s = small.withColumn(
@@ -93,6 +116,7 @@ def salted_agg(
     bad = [f for _, (_, f) in aggs.items() if f not in combiners]
     if bad:
         raise ValueError(f"salted_agg supports {sorted(combiners)}, got {bad}")
+    _check_no_salt_column(df)
     keys = list(keys)
     partial = (
         df.withColumn(_SALT, _salt_of(df, n_salt))

@@ -105,3 +105,20 @@ def test_salted_agg_matches_plain(skewed):
 def test_salted_agg_rejects_non_algebraic(skewed):
     with pytest.raises(ValueError):
         salted_agg(skewed, ["k"], {"d": ("v", "avg")})
+
+
+def test_skew_helpers_reject_preexisting_salt_column(spark):
+    # a caller-owned '__salt' column would silently collide with the
+    # internal working column — both helpers must fail loudly
+    import pytest
+
+    from snowplow_s3_loader_spark.operators.skew import salted_agg, salted_join
+
+    big = spark.createDataFrame([(1, 0)], "k long, __salt int")
+    small = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(big, small, ["k"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(small, big, ["k"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_agg(big, ["k"], {"n": ("k", "count")})
