@@ -283,6 +283,112 @@ def incremental_cc_case(spark, n_clusters: int) -> dict:
     }
 
 
+def streaming_neardup_case(spark, n_docs: int = 1500, seed: int = 11) -> list[dict]:
+    """Recall of the streaming SimHash band filter vs the exact greedy
+    truth (round-4 VERDICT item 4): a seeded corpus with ~40% planted
+    near-duplicates (1-3 token edits of an earlier doc) streams through
+    streaming_near_dup_votes in 5 micro-batches for each (band_bits,
+    max_hamming) config; ground truth flags doc i iff its simhash is
+    within max_hamming of ANY earlier doc's (the liberal first-seen
+    semantics the filter's docstring promises). Reports recall =
+    |flagged_stream & flagged_truth| / |flagged_truth|."""
+    import random
+    import shutil
+    import tempfile
+
+    from snowplow_s3_loader_spark.operators.dedup import simhash60_fast
+    from snowplow_s3_loader_spark.streaming.stateful import (
+        near_dup_keep_filter,
+        streaming_near_dup_votes,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(5000)]
+    docs: list[tuple[int, str]] = []
+    for i in range(n_docs):
+        if i > 0 and rng.random() < 0.4:
+            base = docs[rng.randrange(len(docs))][1].split()
+            for _ in range(rng.randint(1, 3)):
+                base[rng.randrange(len(base))] = rng.choice(vocab)
+            docs.append((i, " ".join(base)))
+        else:
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(80))))
+
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    hashes = {
+        r["id"]: r["simhash"]
+        for r in simhash60_fast(batch_df, "doc_id", "text").collect()
+    }
+    ordered = [hashes[i] for i in range(n_docs)]
+
+    def truth_flagged(max_hamming: int) -> set[int]:
+        out = set()
+        for i in range(1, n_docs):
+            hi = ordered[i]
+            if any(bin(hi ^ ordered[j]).count("1") <= max_hamming for j in range(i)):
+                out.add(i)
+        return out
+
+    workdir = tempfile.mkdtemp(prefix="neardup_recall_")
+    src = os.path.join(workdir, "in")
+    os.makedirs(src)
+    per_batch = (n_docs + 4) // 5
+    for b in range(5):
+        with open(os.path.join(src, f"b{b:02d}.json"), "w") as f:
+            for i, text in docs[b * per_batch : (b + 1) * per_batch]:
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+
+    results = []
+    try:
+        for band_bits in (20, 15, 12, 10):
+            for max_hamming in (2, 3):
+                flagged: set[int] = set()
+
+                def _collect(batch, _bid, flagged=flagged):
+                    flagged.update(
+                        r["id"]
+                        for r in near_dup_keep_filter(batch).where(~F.col("keep")).collect()
+                    )
+
+                stream = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", 1)
+                    .json(src)
+                )
+                votes = streaming_near_dup_votes(
+                    stream, "doc_id", "text",
+                    max_hamming=max_hamming, band_bits=band_bits,
+                )
+                q = (
+                    votes.writeStream.outputMode("update")
+                    .foreachBatch(_collect)
+                    .option(
+                        "checkpointLocation",
+                        os.path.join(workdir, f"ckpt_{band_bits}_{max_hamming}"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(600)
+                truth = truth_flagged(max_hamming)
+                recall = len(flagged & truth) / len(truth) if truth else 1.0
+                results.append(
+                    {
+                        "case": "streaming_neardup",
+                        "band_bits": band_bits,
+                        "n_bands": 60 // band_bits,
+                        "max_hamming": max_hamming,
+                        "n_docs": n_docs,
+                        "truth_flagged": len(truth),
+                        "stream_flagged": len(flagged),
+                        "recall": round(recall, 3),
+                    }
+                )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -304,6 +410,8 @@ def main() -> None:
         out.append(spans_case(spark, 200_000))
     if which in ("incremental", "all"):
         out.append(incremental_cc_case(spark, 50_000))
+    if which in ("streaming_neardup", "all"):
+        out.extend(streaming_neardup_case(spark))
     for line in out:
         print(json.dumps(line))
     spark.stop()

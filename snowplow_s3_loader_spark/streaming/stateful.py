@@ -179,7 +179,24 @@ _NEAR_DUP_STATE_SCHEMA = StructType(
     [StructField("hashes", ArrayType(LongType()))]
 )
 
-_BAND_BITS = 15  # 60-bit simhash splits into four 15-bit bands
+# Default band width: 60-bit simhash in six 10-bit bands. Chosen from the
+# round-5 recall measurement (scripts/weak_scaling.py streaming_neardup,
+# 1500-doc seeded corpus, ~40% planted near-dups of 1-3 token edits,
+# 5 micro-batches, recall vs the exact greedy first-seen truth):
+#
+#   band_bits  bands  recall@h=2  recall@h=3
+#      20        3      0.964       0.899
+#      15        4      0.984       0.965
+#      12        5      0.979       0.976
+#      10        6      0.984       0.979
+#
+# (a Hamming-<=h pair escapes iff the flipped bits hit every band; more,
+# narrower bands shrink that probability at the price of one extra state
+# row per band). 10-bit bands buy the best measured recall at both h
+# (0.984/0.979) for 1.5x the band fan-out of the old 15-bit default;
+# narrower still (6-bit) makes the 2^band_bits bucket space so dense
+# that hot buckets blow past per_band_cap and recall degrades again.
+_BAND_BITS = 10
 
 
 def streaming_near_dup_votes(
@@ -189,6 +206,7 @@ def streaming_near_dup_votes(
     max_hamming: int = 3,
     per_band_cap: int = 256,
     timeout_ms: int | None = None,
+    band_bits: int = _BAND_BITS,
 ) -> DataFrame:
     """Streaming near-duplicate detection across micro-batches — the
     streaming counterpart of the SimHash batch path: first-seen documents
@@ -202,14 +220,16 @@ def streaming_near_dup_votes(
     behavior dedup wants.
 
     Mechanics: the vectorized SimHash (dedup.simhash60_fast, stateless
-    mapInPandas — streams as-is) feeds a band explode (four 15-bit
+    mapInPandas — streams as-is) feeds a band explode (60/band_bits
     bands); state is keyed by (band_id, band_value) and holds the kept
     hashes whose simhash carries that band value. A Hamming-<=h pair
     agrees exactly on at least one band with probability growing as h
-    falls (all four bands differ only if the <=h flipped bits hit >=1
-    bit in every band), so banding prunes the comparison space the same
-    way batch LSH does — with the documented recall trade of any LSH
-    scheme. Emits one vote row per (doc, band); a document is a
+    falls (all bands differ only if the <=h flipped bits hit >=1 bit in
+    every band), so banding prunes the comparison space the same way
+    batch LSH does — with the documented recall trade of any LSH scheme,
+    MEASURED in the table above (weak_scaling.py streaming_neardup);
+    `band_bits` trades recall against per-doc band fan-out and bucket
+    density. Emits one vote row per (doc, band); a document is a
     near-duplicate iff ANY band votes dup — aggregate per micro-batch
     with `near_dup_keep_filter` inside foreachBatch.
 
@@ -221,15 +241,18 @@ def streaming_near_dup_votes(
     """
     from snowplow_s3_loader_spark.operators.dedup import simhash60_fast
 
+    if 60 % band_bits != 0:
+        raise ValueError(f"band_bits must divide 60, got {band_bits}")
+    n_bands = 60 // band_bits
     hashed = simhash60_fast(docs, id_col, text_col)
     band_structs = [
         F.struct(
             F.lit(b).cast("int").alias("band_id"),
-            F.shiftright(F.col("simhash"), b * _BAND_BITS)
-            .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
             .alias("band_val"),
         )
-        for b in range(4)
+        for b in range(n_bands)
     ]
     banded = hashed.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
