@@ -289,6 +289,7 @@ def write_batch(
     # runs when the batch is big enough that some partition COULD exceed
     # one file.
     shuffle_keys = [F.col(_PP)]
+    n_write_tasks: int | None = None
     if row_count > max_records_per_file:
         part_counts = {
             r[_PP]: r["n"]
@@ -312,10 +313,23 @@ def write_batch(
             shuffle_keys.append(
                 F.pmod(F.xxhash64(F.col("value")), modulus).alias("__salt")
             )
+            # pin the shuffle width to the expected FILE count: a plain
+            # repartition(cols) is AQE-coalescible, and on a small batch
+            # AQE merges the salted groups back into ONE task — exactly
+            # the serial-gzip funnel the salt exists to break (caught by
+            # the round-5 task-spread plan gate). One task per expected
+            # output file is the right-sized width at any scale.
+            n_write_tasks = sum(
+                -(-n // max_records_per_file) for n in part_counts.values()
+            )
 
+    writer = (
+        staged.repartition(n_write_tasks, *shuffle_keys)
+        if n_write_tasks
+        else staged.repartition(*shuffle_keys)
+    )
     (
-        staged.repartition(*shuffle_keys)
-        .write.partitionBy(_PP)
+        writer.write.partitionBy(_PP)
         .option("compression", "gzip")
         .option("maxRecordsPerFile", max_records_per_file)
         .mode("overwrite")

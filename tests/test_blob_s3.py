@@ -208,6 +208,64 @@ def test_write_batch_hot_partition_salted_no_fragmentation(spark, tmp_path):
     assert lines == sorted(v for v, _ in hot + cold)
 
 
+def test_write_batch_salt_modulus_and_task_spread(spark, tmp_path):
+    """Plan gate for the hot-partition salted shuffle (round-4 VERDICT
+    item 6): a batch whose hot partition needs k output files must write
+    it with AT MOST k tasks (salt modulus == k — the per-(pp,salt) group
+    count bounds the writing tasks) and MORE than one (the unsalted
+    funnel would serialize the whole partition through a single task).
+    Observed through the staged part files' task ids, captured via the
+    list_fn seam before promotion renames them."""
+    base = str(tmp_path / "spread")
+    hot = [(f"hot-line-{i:05d}", "hotp") for i in range(1000)]
+    cold = [(f"cold-{i}", "coldp") for i in range(5)]
+    df = spark.createDataFrame(hot + cold, "value string, pp string")
+    avg = float(sum(len(v) for v, _ in hot + cold)) / len(hot + cold)
+    from snowplow_s3_loader_spark.sinks.blob import GZIP_RATIO_ESTIMATE
+
+    max_bytes = int(100 * max(1.0, avg * GZIP_RATIO_ESTIMATE))
+    cap = max(1, int(max_bytes / max(1.0, avg * GZIP_RATIO_ESTIMATE)))
+    k = -(-1000 // cap)  # expected salt modulus for the hot partition
+
+    captured: dict = {}
+
+    def list_local(staging):
+        paths = []
+        for root, _dirs, files in os.walk(staging):
+            paths.extend(
+                os.path.join(root, fn) for fn in files if fn.endswith(".gz")
+            )
+        captured["staged"] = sorted(paths)
+        return captured["staged"]
+
+    res = write_batch(
+        df, base, "pp", max_bytes=max_bytes, deterministic_uuids=True,
+        list_fn=list_local,
+    )
+
+    def task_id(path):  # part-00017-<uuid>...txt.gz -> 17
+        return int(os.path.basename(path).split("-")[1])
+
+    hot_staged = [p for p in captured["staged"] if "__pp=hotp" in p]
+    cold_staged = [p for p in captured["staged"] if "__pp=coldp" in p]
+    assert len(cold_staged) == 1
+    # k files expected; uneven xxhash spread may push a bucket past the
+    # per-file cap (maxRecordsPerFile splits it) — small slack, never 1
+    assert k <= len(hot_staged) <= k + 4, (k, hot_staged)
+    hot_tasks = {task_id(p) for p in hot_staged}
+    # modulus gate: at most k distinct (pp,salt) groups exist, so at most
+    # k tasks may write the hot partition; a funnel regression gives 1,
+    # an unbounded salt would exceed k
+    assert 2 <= len(hot_tasks) <= k, sorted(hot_tasks)
+    # and the promoted result still carries every line exactly once
+    lines = sorted(
+        ln
+        for f in res.files
+        for ln in gzip.open(f.path, "rt").read().splitlines()
+    )
+    assert lines == sorted(v for v, _ in hot + cold)
+
+
 def test_write_batch_small_batch_skips_salt_job(spark, tmp_path):
     """Batches that cannot exceed one file per partition must not pay the
     per-partition count job (no behavior change below the threshold)."""
