@@ -1,0 +1,158 @@
+"""Integration tests against moto's real-API AWS mocks (round-4 VERDICT
+item 8, now env-permitted: boto3 + moto are installed): the production
+boto3 code paths — the DEFAULT client factories, ListShards, the
+GetShardIterator/GetRecords read cycle, the enhanced-fan-out consumer ARN
+lifecycle (register -> CREATING -> poll describe -> ACTIVE), PutRecords
+batching, and the S3 CopyObject+DeleteObject rename — run against
+botocore's full request/response machinery instead of the in-repo fakes.
+
+moto mocks botocore IN-PROCESS, so these tests drive the driver-side
+components directly (Spark executor workers are separate processes the
+mock cannot reach); the Spark-distributed paths stay covered by the
+fake_kinesis / fake_s3 e2e tests. Partial-failure PutRecords retry also
+stays fake-based — moto never emits FailedRecordCount>0; the fakes remain
+the contract for that branch (tests/test_bad_sink.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+pytest.importorskip("boto3")
+pytest.importorskip("moto")
+
+REGION = "us-east-1"
+
+
+@pytest.fixture()
+def aws():
+    from moto import mock_aws
+
+    # moto reads creds from env like real botocore — pin fakes so the test
+    # never touches a real profile
+    env = {
+        "AWS_ACCESS_KEY_ID": "testing",
+        "AWS_SECRET_ACCESS_KEY": "testing",
+        "AWS_DEFAULT_REGION": REGION,
+    }
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        with mock_aws():
+            import boto3
+
+            yield boto3
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _stream(aws, name, shards=2):
+    c = aws.client("kinesis", region_name=REGION)
+    c.create_stream(StreamName=name, ShardCount=shards)
+    return c
+
+
+def test_polling_reader_reads_moto_stream_with_default_boto3_factory(aws):
+    """KinesisPollingReader with NO clientfactory override: the default
+    boto3 factory builds the client, ListShards discovers both shards,
+    TRIM_HORIZON reads every record, and the offset advances."""
+    from snowplow_s3_loader_spark.sources.kinesis_source import KinesisPollingReader
+
+    c = _stream(aws, "moto-in", shards=2)
+    for i in range(6):
+        c.put_record(
+            StreamName="moto-in", Data=f"rec{i}".encode(), PartitionKey=f"pk{i}"
+        )
+
+    r = KinesisPollingReader({"streamName": "moto-in", "region": REGION})
+    start = r.initialOffset()
+    assert len(start["shards"]) == 2
+    rows, end = r.read(start)
+    payloads = sorted(row[0] for row in rows)
+    assert payloads == sorted(f"rec{i}".encode() for i in range(6))
+    # caught up: a second read returns nothing and keeps the offset
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [] and end2 == end
+
+
+def test_fanout_consumer_arn_lifecycle_register_then_adopt(aws):
+    """_resolve_active_consumer against the real API shape: registration
+    returns CREATING, the describe poll flips to ACTIVE, and the returned
+    ARN is the service's (never string-built). A second resolution hits
+    ResourceInUse and must ADOPT the existing consumer via describe."""
+    from snowplow_s3_loader_spark.sources.kinesis_source import (
+        _Wire,
+        _resolve_active_consumer,
+    )
+
+    c = _stream(aws, "moto-efo", shards=1)
+    stream_arn = c.describe_stream(StreamName="moto-efo")["StreamDescription"][
+        "StreamARN"
+    ]
+    wire = _Wire({"streamName": "moto-efo", "region": REGION})
+    opts = {"consumerpollseconds": 0.05, "consumeractivetimeoutseconds": 10.0}
+
+    arn1 = _resolve_active_consumer(wire, c, stream_arn, "loader-efo", opts)
+    assert arn1.startswith("arn:aws:kinesis:") and "consumer/loader-efo" in arn1
+    desc = c.describe_stream_consumer(
+        StreamARN=stream_arn, ConsumerName="loader-efo"
+    )["ConsumerDescription"]
+    assert desc["ConsumerStatus"] == "ACTIVE" and desc["ConsumerARN"] == arn1
+
+    # already-registered path (peer task raced us): adopt, same ARN
+    arn2 = _resolve_active_consumer(wire, c, stream_arn, "loader-efo", opts)
+    assert arn2 == arn1
+
+
+def test_bad_sink_put_records_batching_against_moto(aws):
+    """KinesisBadSink.send with the DEFAULT boto3 factory: 1200 rows split
+    into three PutRecords calls (record_limit 500), every payload lands
+    exactly once, partition keys are the random per-record keys."""
+    from snowplow_s3_loader_spark.sinks.bad_sink import KinesisBadSink
+
+    c = _stream(aws, "moto-bad", shards=1)
+    rows = [f"bad-{i:04d}".encode() for i in range(1200)]
+    KinesisBadSink(stream_name="moto-bad", region=REGION).send(rows)
+
+    shard = c.list_shards(StreamName="moto-bad")["Shards"][0]["ShardId"]
+    it = c.get_shard_iterator(
+        StreamName="moto-bad", ShardId=shard, ShardIteratorType="TRIM_HORIZON"
+    )["ShardIterator"]
+    got = []
+    while it:
+        resp = c.get_records(ShardIterator=it, Limit=1000)
+        got.extend(resp["Records"])
+        if not resp["Records"]:
+            break
+        it = resp.get("NextShardIterator")
+    assert sorted(r["Data"] for r in got) == sorted(rows)
+    # random partition keys: distributed, not constant
+    assert len({r["PartitionKey"] for r in got}) > 1
+
+
+def test_s3_rename_copy_delete_against_moto(aws):
+    """_move_one's s3:// branch with the default boto3 client: server-side
+    CopyObject + DeleteObject, returns (dst, byte size), source gone."""
+    from snowplow_s3_loader_spark.sinks.blob import _move_one
+
+    s3 = aws.client("s3", region_name=REGION)
+    s3.create_bucket(Bucket="moto-blob")
+    body = b"x" * 1234
+    s3.put_object(Bucket="moto-blob", Key="stage/part-00000.txt.gz", Body=body)
+
+    dst, n = _move_one(
+        ("s3://moto-blob/stage/part-00000.txt.gz", "s3://moto-blob/final/run-0000.txt.gz")
+    )
+    assert dst == "s3://moto-blob/final/run-0000.txt.gz" and n == len(body)
+    assert (
+        s3.get_object(Bucket="moto-blob", Key="final/run-0000.txt.gz")["Body"].read()
+        == body
+    )
+    with pytest.raises(Exception):
+        s3.head_object(Bucket="moto-blob", Key="stage/part-00000.txt.gz")
