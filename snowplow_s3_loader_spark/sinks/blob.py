@@ -313,15 +313,21 @@ def write_batch(
             shuffle_keys.append(
                 F.pmod(F.xxhash64(F.col("value")), modulus).alias("__salt")
             )
-            # pin the shuffle width to the expected FILE count: a plain
+            # pin the shuffle width EXPLICITLY when salting: a plain
             # repartition(cols) is AQE-coalescible, and on a small batch
             # AQE merges the salted groups back into ONE task — exactly
             # the serial-gzip funnel the salt exists to break (caught by
-            # the round-5 task-spread plan gate). One task per expected
-            # output file is the right-sized width at any scale.
-            n_write_tasks = sum(
-                -(-n // max_records_per_file) for n in part_counts.values()
-            )
+            # the round-5 task-spread plan gate). The session width is
+            # the right pin: the salted groups hash across it (a hot
+            # partition's k groups land on <= min(k, width) tasks), and
+            # it matches the un-coalesced width the write used before —
+            # pinning to the total FILE estimate instead was measurably
+            # slower at sf0.1 (hundreds of under-filled write tasks).
+            spark = staged.sparkSession
+            try:
+                n_write_tasks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except (TypeError, ValueError):
+                n_write_tasks = spark.sparkContext.defaultParallelism
 
     writer = (
         staged.repartition(n_write_tasks, *shuffle_keys)
