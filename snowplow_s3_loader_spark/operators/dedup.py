@@ -328,10 +328,17 @@ def checkpoint_nostats(df: DataFrame) -> DataFrame:
     AQE still re-plans from RUNTIME sizes after any shuffle stage."""
     sp = df.sparkSession
     ckpt = df.localCheckpoint(eager=True)
-    j = ckpt._jdf
-    jrdd = j.queryExecution().analyzed().rdd()
-    jdf2 = sp._jsparkSession.internalCreateDataFrame(jrdd, j.schema(), False)
-    return DataFrame(jdf2, sp)
+    try:
+        j = ckpt._jdf
+        jrdd = j.queryExecution().analyzed().rdd()
+        jdf2 = sp._jsparkSession.internalCreateDataFrame(jrdd, j.schema(), False)
+        return DataFrame(jdf2, sp)
+    except Exception:
+        # internalCreateDataFrame is private[sql] (public bytecode, but an
+        # implementation detail): if a Spark build hides it, fall back to
+        # the plain checkpoint — correct, just stats-inheriting (slow only
+        # for very long iterative runs)
+        return ckpt
 
 
 def _token_hash60(tok: Column) -> Column:
