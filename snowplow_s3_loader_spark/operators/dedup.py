@@ -301,12 +301,18 @@ def release_materialized(df: DataFrame) -> None:
         pass  # not a checkpointed frame / already released
 
 
-def checkpoint_nostats(df: DataFrame) -> DataFrame:
+def checkpoint_nostats(
+    df: DataFrame,
+    n_parts: int | None = None,
+    partition_cols: list[str] | None = None,
+    trust_partitioning: bool = False,
+) -> DataFrame:
     """Eager localCheckpoint that does NOT inherit the parent plan's
-    statistics — REQUIRED for iterative algorithms.
+    statistics — REQUIRED for iterative algorithms — and (optionally)
+    ADVERTISES a hash partitioning so downstream joins co-partition.
 
-    Dataset.localCheckpoint keeps the origin plan's stats on the new
-    LogicalRDD. Catalyst's size-only estimator MULTIPLIES children's
+    Stats: Dataset.localCheckpoint keeps the origin plan's stats on the
+    new LogicalRDD. Catalyst's size-only estimator MULTIPLIES children's
     sizeInBytes at a join, so in a loop (or across incremental-state
     generations) where each round joins frames built from the previous
     round's checkpoint, sizeInBytes compounds: measured bit-lengths
@@ -315,29 +321,69 @@ def checkpoint_nostats(df: DataFrame) -> DataFrame:
     BigIntegers — planning then burns MINUTES inside
     BigInteger.multiply (jstack: SizeInBytesOnlyStatsPlanVisitor ->
     multiplyToomCook3), which is how the round-5 soak found per-batch
-    time exploding 3s -> 90s -> wedged at batch 5.
+    time exploding 3s -> 90s -> wedged at batch 5. The rebuilt leaf
+    reports the constant 63-bit defaultSizeInBytes, keeping stats O(1)
+    forever.
 
-    Fix: rebase the checkpointed RDD (the exact persisted
-    RDD[InternalRow] from the LogicalRDD, so release_materialized still
-    frees the same blocks) into a FRESH LogicalRDD via the JVM session's
-    internalCreateDataFrame. The new leaf reports the constant 63-bit
-    defaultSizeInBytes, keeping stats O(1) forever. Trade-off: the
-    optimizer no longer sees a (wildly inflated anyway) size for
-    auto-broadcast decisions on this frame — loop joins are explicitly
-    co-partitioned and broadcasts explicitly hinted where wanted, and
-    AQE still re-plans from RUNTIME sizes after any shuffle stage."""
+    Partitioning: a checkpointed LogicalRDD otherwise reports
+    UnknownPartitioning, so every later join RE-SHUFFLES the frame even
+    when the data is already laid out on the join key — O(rounds x |E|)
+    redundant shuffle in an iterative loop. With ``partition_cols``, the
+    helper repartitions to ``n_parts`` on those columns IMMEDIATELY
+    before the checkpoint (so the persisted blocks are guaranteed to
+    have exactly that layout) and rebuilds the LogicalRDD with the
+    matching HashPartitioning — joins keyed on those columns at the same
+    width then plan with ZERO Exchange. ``trust_partitioning=True``
+    skips the repartition when the caller KNOWS the input plan already
+    ends in that exact layout (e.g. a join that preserved it); a wrong
+    claim produces wrong join results, so use only with a plan-gate
+    test.
+
+    The rebuilt frame reads the SAME persisted blocks;
+    release_materialized frees them unchanged. Falls back (private-API
+    guard) to an unpartitioned rebase, then to the plain checkpoint."""
     sp = df.sparkSession
+    if partition_cols and not trust_partitioning:
+        df = df.repartition(n_parts, *partition_cols)
     ckpt = df.localCheckpoint(eager=True)
+    jvm = sp._jvm
     try:
+        j = ckpt._jdf
+        lrdd = j.queryExecution().analyzed()
+        out = lrdd.output()
+        rdd = lrdd.rdd()
+        if partition_cols:
+            attrs = {}
+            it = out.iterator()
+            while it.hasNext():
+                a = it.next()
+                attrs[a.name()] = a
+            exprs = jvm.PythonUtils.toSeq([attrs[c] for c in partition_cols])
+            part = jvm.org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+                exprs, int(n_parts)
+            )
+        else:
+            part = jvm.org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0)
+        none = jvm.scala.Option.empty()
+        newplan = jvm.org.apache.spark.sql.execution.LogicalRDD(
+            out, rdd, part, jvm.PythonUtils.toSeq([]), False, none,
+            sp._jsparkSession, none, none,
+        )
+        return DataFrame(
+            jvm.org.apache.spark.sql.classic.Dataset.ofRows(sp._jsparkSession, newplan),
+            sp,
+        )
+    except Exception:
+        pass
+    try:
+        # older private-API shape: rebase without partitioning
         j = ckpt._jdf
         jrdd = j.queryExecution().analyzed().rdd()
         jdf2 = sp._jsparkSession.internalCreateDataFrame(jrdd, j.schema(), False)
         return DataFrame(jdf2, sp)
     except Exception:
-        # internalCreateDataFrame is private[sql] (public bytecode, but an
-        # implementation detail): if a Spark build hides it, fall back to
-        # the plain checkpoint — correct, just stats-inheriting (slow only
-        # for very long iterative runs)
+        # last resort: correct, just stats-inheriting (slow only for very
+        # long iterative runs)
         return ckpt
 
 

@@ -88,25 +88,34 @@ def connected_components(
     loop_parts = _loop_width(spark, n_edges)
     # every loop materialization uses checkpoint_nostats, NOT plain
     # localCheckpoint: inherited stats compound multiplicatively through
-    # the per-round joins (see checkpoint_nostats docstring)
-    edges = checkpoint_nostats(
-        edges0.repartition(loop_parts, "d").distinct()  # reused every round
-    )
+    # the per-round joins (see checkpoint_nostats docstring). edges are
+    # checkpointed WITH an advertised hash(d) partitioning and labels
+    # with hash(v) at the same width, so the per-round join plans with
+    # zero Exchange — without the advertisement a checkpointed frame
+    # reports UnknownPartitioning and the FULL edge set re-shuffles
+    # every round (O(rounds x |E|) at corpus scale).
+    edges = checkpoint_nostats(edges0.distinct(), loop_parts, ["d"])
     try:
         labels = checkpoint_nostats(
             edges.select(F.col("s").alias("v"))
-            .repartition(loop_parts, "v")
             .distinct()
-            .withColumn("lbl", F.col("v"))
+            .withColumn("lbl", F.col("v")),
+            loop_parts,
+            ["v"],
         )
         for _ in range(max(1, max_iter // 2)):
             neigh = (
-                edges.join(labels, edges.d == labels.v)
+                edges.join(labels, edges.d == labels.v)  # co-partitioned
                 .select("s", "lbl")
                 .repartition(loop_parts, "s")
                 .groupBy("s")
                 .agg(F.min("lbl").alias("nl"))
             )
+            # labels is hash(v, loop_parts), neigh is hash(s, loop_parts)
+            # after its agg: the left join is co-partitioned too, and the
+            # projection keeps `v` intact — so the result still carries
+            # labels' layout and the checkpoint may TRUST it (gated by
+            # test_plans.py round-join test + the differential suites)
             new_labels = checkpoint_nostats(
                 labels.join(neigh, labels.v == neigh.s, "left")
                 .select(
@@ -114,8 +123,10 @@ def connected_components(
                     F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
                         "lbl"
                     ),
-                )
-                .repartition(loop_parts, "v")
+                ),
+                loop_parts,
+                ["v"],
+                trust_partitioning=True,
             )
             changed = (
                 new_labels.alias("n")
@@ -172,7 +183,7 @@ def _star_components(
     (same graph-sized width discipline as the propagation loop — the
     session conf is never touched)."""
     sym = checkpoint_nostats(
-        edges.where(F.col("s") != F.col("d")).repartition(loop_parts, "s")
+        edges.where(F.col("s") != F.col("d")), loop_parts, ["s"]
     )
     try:
         for _ in range(max_rounds):
@@ -208,7 +219,10 @@ def _star_components(
                 small.select(F.col("a").alias("s"), F.col("b").alias("d"))
                 .union(small.select(F.col("b").alias("s"), F.col("a").alias("d")))
                 .repartition(loop_parts, "s")
-                .distinct()
+                .distinct(),
+                loop_parts,
+                ["s"],
+                trust_partitioning=True,  # distinct preserved the hash(s) layout
             )
             # two-way difference: one-way exceptAll is 0 for a strict
             # subset, which is not convergence

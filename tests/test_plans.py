@@ -205,3 +205,72 @@ def test_q29_text_signals_lm_aggregation_partial(spark, sf_dir):
     # the bigram/context count aggregations run partial+final
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q37_hll_registers_never_shuffle_per_key(spark, sf_dir):
+    """Round 5: mixing count_distinct with approx_count_distinct in ONE
+    agg makes Catalyst carry the 410-long HLL register array per group
+    key through the shuffle (47 MiB at sf0.01, ~0.5 GB at sf0.1). The
+    split-branch shape must keep every approx_count_distinct inside a
+    GLOBAL (key-less) aggregate."""
+    plan = plan_of(Q.q37_approx_distinct(spark, sf_dir))
+    # two independent 1-row branches joined
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    for block in plan.split("\n\n"):
+        if "approx_count_distinct" in block and "Keys" in block:
+            keys_lines = [l for l in block.splitlines() if l.startswith("Keys")]
+            assert all("[]" in l for l in keys_lines), block
+
+
+def test_q48_recall_spine_from_base_table(spark, sf_dir):
+    """The recall invariant's spine must come from the base table (one
+    Filter->Scan), not a distinct over the brute-force branch — the
+    expensive exact top-k subtree appears exactly once."""
+    plan = plan_of(Q.q48_ann_ivf(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    # the final LeftOuter joins spine x hit counts; its LEFT child (the
+    # ':-' prefixed subtree) must be a plain Filter->Scan of the base
+    # table — NOT a re-derivation of the windowed brute-force top-k
+    lines = tree.splitlines()
+    (join_i,) = [i for i, l in enumerate(lines) if "LeftOuter" in l]
+    left_child = []
+    for l in lines[join_i + 1 :]:
+        if ":-" not in l and ":" not in l.split("+-")[0]:
+            break
+        left_child.append(l)
+        if "Scan parquet" in l:
+            break
+    left_txt = "\n".join(left_child)
+    assert "Scan parquet" in left_txt, left_txt
+    assert "Window" not in left_txt and "WindowGroupLimit" not in left_txt, left_txt
+
+
+def test_connected_components_round_join_is_co_partitioned(spark, sf_dir):
+    """The CC loop's per-round join must reuse the explicit hash
+    partitioning of the checkpointed frames: edges (on d) x labels (on v)
+    join with NO Exchange under the join — only the groupBy repartition
+    shuffles (round-5 shape)."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        release_materialized,
+    )
+
+    edges = checkpoint_nostats(
+        spark.createDataFrame([(i, i + 1) for i in range(100)], "s long, d long"),
+        4,
+        ["d"],
+    )
+    labels = checkpoint_nostats(
+        edges.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v")),
+        4,
+        ["v"],
+    )
+    try:
+        joined = edges.join(labels, edges.d == labels.v)
+        plan = plan_of(joined)
+        # both sides are pre-partitioned LogicalRDDs: the join introduces
+        # no Exchange (shuffle) at all
+        assert "Exchange" not in plan, plan
+    finally:
+        release_materialized(edges)
+        release_materialized(labels)
