@@ -317,18 +317,40 @@ class ComponentMap:
         id_b: str = "id_b",
         broadcast_threshold: int = 1_000_000,
         checkpoint_path: str | None = None,
+        state_partitions: int | None = None,
     ) -> None:
         self.id_a = id_a
         self.id_b = id_b
         self.broadcast_threshold = broadcast_threshold
         self.checkpoint_path = checkpoint_path
+        # state is kept hash-partitioned on `node` at a CONSTANT width so
+        # every per-batch lookup join co-partitions against it — the
+        # batch side repartitions to match and the (huge) state side
+        # never shuffles inside an update; the one state-sized move per
+        # generation is the new-state checkpoint itself. Resolved from
+        # the session on first update when not given.
+        self.state_partitions = state_partitions
         self.state: DataFrame | None = None  # (node, component)
+
+    def _w(self, spark) -> int:
+        if self.state_partitions is None:
+            try:
+                self.state_partitions = int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                )
+            except (TypeError, ValueError):
+                self.state_partitions = spark.sparkContext.defaultParallelism
+        return self.state_partitions
 
     def update(self, new_pairs: DataFrame) -> DataFrame:
         """Fold one batch of pairs into the map; returns the new map."""
+        w = self._w(new_pairs.sparkSession)
         if self.state is None:
-            # already eagerly checkpointed by the operator's contract
-            self.state = connected_components(new_pairs, self.id_a, self.id_b)
+            first = connected_components(new_pairs, self.id_a, self.id_b)
+            # re-materialize with the advertised node partitioning the
+            # per-batch joins rely on; one extra narrow shuffle, once
+            self.state = checkpoint_nostats(first, w, ["node"])
+            release_materialized(first)
             return self.state
 
         state = self.state
@@ -336,11 +358,17 @@ class ComponentMap:
             F.col(self.id_a).alias("ea"), F.col(self.id_b).alias("eb")
         ).distinct()
 
-        # endpoints -> current component (unseen nodes label themselves)
+        # endpoints -> current component (unseen nodes label themselves).
+        # state advertises hash(node, w); the aliases propagate the
+        # layout (alias-aware output partitioning), and the batch side is
+        # explicitly repartitioned to match before each lookup — so both
+        # joins co-partition and STATE NEVER SHUFFLES here.
         ca = state.select(F.col("node").alias("ea"), F.col("component").alias("comp_a"))
         cb = state.select(F.col("node").alias("eb"), F.col("component").alias("comp_b"))
         mapped = (
-            edges.join(ca, "ea", "left")
+            edges.repartition(w, "ea")
+            .join(ca, "ea", "left")
+            .repartition(w, "eb")
             .join(cb, "eb", "left")
             .select(
                 "ea",
@@ -394,7 +422,9 @@ class ComponentMap:
                     "node", F.coalesce("new_comp", F.col("component")).alias("component")
                 )
             )
-            new_state = checkpoint_nostats(relabeled.union(new_nodes))
+            new_state = checkpoint_nostats(
+                relabeled.union(new_nodes), w, ["node"]
+            )
         finally:
             release_materialized(mapped)
             release_materialized(delta)
@@ -467,7 +497,9 @@ class ComponentMap:
         versions = cls._committed_versions(spark, checkpoint_path)
         if versions:
             m.state = checkpoint_nostats(
-                spark.read.parquet(f"{checkpoint_path}/v{versions[-1]}")
+                spark.read.parquet(f"{checkpoint_path}/v{versions[-1]}"),
+                m._w(spark),
+                ["node"],
             )
         return m
 

@@ -274,3 +274,33 @@ def test_connected_components_round_join_is_co_partitioned(spark, sf_dir):
     finally:
         release_materialized(edges)
         release_materialized(labels)
+
+
+def test_component_map_state_never_shuffles_in_lookup(spark, sf_dir):
+    """ComponentMap keeps state hash-partitioned on `node` at a constant
+    width; the per-batch endpoint-lookup joins repartition the BATCH side
+    to match, so the (corpus-sized) state side plans with no Exchange —
+    delta-proportional per-batch cost. Mirrors update()'s join shape."""
+    from snowplow_s3_loader_spark.operators.graph import ComponentMap
+
+    m = ComponentMap()
+    m.update(spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long"))
+    state, w = m.state, m.state_partitions
+    edges = (
+        spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+        .select(F.col("id_a").alias("ea"), F.col("id_b").alias("eb"))
+        .distinct()
+    )
+    ca = state.select(F.col("node").alias("ea"), F.col("component").alias("comp_a"))
+    cb = state.select(F.col("node").alias("eb"), F.col("component").alias("comp_b"))
+    mapped = (
+        edges.repartition(w, "ea")
+        .join(ca, "ea", "left")
+        .repartition(w, "eb")
+        .join(cb, "eb", "left")
+    )
+    tree = plan_of(mapped).split("\n\n")[0]
+    # exactly the batch side's exchanges (distinct agg + two repartitions,
+    # adjacent ones collapsed): a 4th would mean state started shuffling
+    assert tree.count("Exchange") <= 3, tree
+    m.release()
