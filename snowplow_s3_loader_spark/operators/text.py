@@ -154,6 +154,60 @@ def pack_sequences(
     ).withColumn("pack_offset", (start_offset % F.lit(budget)).cast("long"))
 
 
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    window: int = 128,
+    overlap: int = 32,
+):
+    """Split each document into overlapping fixed-size token windows — the
+    SPLITTING counterpart of pack_sequences (long documents -> training-
+    sized chunks with context overlap, the standard RAG/pretraining
+    chunker). Pure JVM expressions: tokenize once, explode a sequence of
+    window starts (stride = window - overlap), slice the token array per
+    start — no Python, no shuffle beyond the explode's row growth, and
+    the ~window/stride row multiplier is the documented storage trade.
+
+    Chunk starts are 0, stride, 2*stride, ...; the last chunk starts at
+    the final stride multiple that still has unseen tokens, so every
+    token lands in >=1 chunk and short documents produce exactly one
+    chunk. Returns (id, chunk_id, start_token, n_chunk_tokens,
+    chunk_text) with chunk_id dense from 0 in document order.
+    """
+    if overlap >= window:
+        raise ValueError(f"overlap ({overlap}) must be < window ({window})")
+    stride = window - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # ceil((n - window) / stride) using integer math, floored at 0
+    last_start_idx = F.greatest(
+        F.lit(0), F.floor((n - F.lit(window) + F.lit(stride) - 1) / F.lit(stride))
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), last_start_idx)).alias("chunk_id"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_token"),
+            F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, window).alias(
+                "__chunk"
+            ),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            "start_token",
+            F.size("__chunk").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
 def bigrams(text: Column) -> Column:
     """Adjacent word-2-grams of the whitespace token stream."""
     toks = tokens(text)

@@ -186,8 +186,9 @@ def q29_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-signal battery: language-ID prediction (q29) +
     quality metrics (q30) + Gopher-style repetition signals (q66) +
     bigram-LM cross-entropy (CCNet-style perplexity filter, integer
-    micro-nat accumulation for cross-engine exactness), one row per
-    document."""
+    micro-nat accumulation for cross-engine exactness) + overlapping
+    64/16 window-chunking aggregates (q70's operator — round 5), one
+    row per document."""
     from snowplow_s3_loader_spark.operators.lm import bigram_lm_scores
 
     docs = load_table(spark, sf_dir, "documents")
@@ -203,9 +204,19 @@ def q29_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = text.repetition_stats(docs, "doc_id", "text")
     lm = bigram_lm_scores(docs, "doc_id", "text").withColumnRenamed("id", "lm_id")
+    chunks = (
+        text.chunk_documents(docs, "doc_id", "text", window=64, overlap=16)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("chunk_tokens_total"),
+        )
+        .withColumnRenamed("id", "ch_id")
+    )
     return (
         base.join(rep, base.doc_id == rep.id)
         .join(lm, base.doc_id == lm.lm_id)
+        .join(chunks, base.doc_id == chunks.ch_id)
         .select(
             "doc_id",
             "lang",
@@ -222,6 +233,8 @@ def q29_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bigrams",
             "sum_logp_micronats",
             "lm_cross_entropy",
+            "n_chunks",
+            "chunk_tokens_total",
         )
         .orderBy("doc_id")
     )
@@ -418,6 +431,7 @@ _FOLDED = {
     "q26_simhash", "q32_fingerprint",
     "q27_ann_topk", "q28_ann_srp",
     "q29_lang_id", "q30_text_quality", "q66_repetition_quality",
+    "q70_chunk_documents",
     "q31_token_corpus_stats", "q47_subword_tokens",
     "q33_multimodal_features", "q34_frame_sample",
     "q43_scalar_subquery", "q44_not_exists",
@@ -615,15 +629,30 @@ lm AS (
   LEFT JOIN (
     SELECT doc_id, count(*) AS n, sum(micro) AS s FROM lm_scored GROUP BY doc_id
   ) g ON g.doc_id = d.doc_id
+),
+ch AS (
+  -- closed form: every chunk but the last is exactly 64 tokens, the last
+  -- holds min(64, n - 48*(K-1))
+  SELECT doc_id,
+         CAST(k AS INTEGER) AS n_chunks,
+         CAST(64 * (k - 1) + least(64, n - 48 * (k - 1)) AS BIGINT)
+           AS chunk_tokens_total
+  FROM (
+    SELECT doc_id, len(toks) AS n,
+           1 + greatest(0, (len(toks) - 17) // 48) AS k
+    FROM toks
+  )
 )
 SELECT q2.doc_id, q2.lang, p.pred_lang, rep.n_tokens, q2.avg_token_len,
        q2.punct_ratio, q2.stopword_ratio, q2.quality,
        rep.distinct_token_ratio, rep.top_token_frac, rep.dup_bigram_frac, rep.keep,
-       lm.n_bigrams, lm.sum_logp_micronats, lm.lm_cross_entropy
+       lm.n_bigrams, lm.sum_logp_micronats, lm.lm_cross_entropy,
+       ch.n_chunks, ch.chunk_tokens_total
 FROM quality q2
 JOIN p ON p.doc_id = q2.doc_id
 JOIN rep ON rep.id = q2.doc_id
 JOIN lm ON lm.doc_id = q2.doc_id
+JOIN ch ON ch.doc_id = q2.doc_id
 ORDER BY q2.doc_id
 """
 

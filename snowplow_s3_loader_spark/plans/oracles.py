@@ -921,3 +921,24 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+# q70: overlapping fixed-window chunking — 64-token windows, stride 48;
+# starts 0, 48, ..., last stride multiple with unseen tokens (short docs ->
+# exactly one chunk). DuckDB '//' floors toward -inf like Spark floor(/).
+ORACLES["q70_chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + greatest(0, (len(toks) - 17) // 48))) AS chunk_id
+  FROM toks
+)
+SELECT doc_id AS id,
+       CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(chunk_id * 48 AS INTEGER) AS start_token,
+       CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
+FROM starts
+ORDER BY id, chunk_id
+"""

@@ -1156,6 +1156,17 @@ def q68_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window document chunking (the splitting
+    counterpart of q62's packing): 64-token windows with 16-token
+    overlap, one row per chunk with its start offset and text — the
+    standard long-document -> training-chunk preprocessing step."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "doc_id", "text", window=64, overlap=16).orderBy(
+        "id", "chunk_id"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1227,5 +1238,6 @@ QUERIES = {
         q66_repetition_quality,
         q67_tfidf_top_terms,
         q68_bm25_search,
+        q70_chunk_documents,
     ]
 }

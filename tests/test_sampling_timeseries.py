@@ -267,3 +267,45 @@ def test_temperature_resample_deterministic(spark):
         for r in temperature_resample(df.repartition(13), "id", "cls").collect()
     )
     assert a == b  # partitioning-independent selection
+
+
+def test_chunk_documents_edges(spark):
+    # short doc (1 chunk), exact-window doc, one-past-window (2 chunks:
+    # full + overlap-tail), and a long doc: every token covered, overlap
+    # tokens repeated across adjacent chunks, chunk_ids dense from 0
+    from snowplow_s3_loader_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                                  # 3 tokens < window
+            (2, " ".join(f"t{i}" for i in range(8))),      # == window
+            (3, " ".join(f"u{i}" for i in range(9))),      # window + 1
+            (4, " ".join(f"v{i}" for i in range(20))),     # several chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", window=8, overlap=2).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "a b c"
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 8
+    # 9 tokens, stride 6: chunks at 0 (8 toks) and 6 (3 toks)
+    assert [(r["start_token"], r["n_chunk_tokens"]) for r in by_doc[3]] == [
+        (0, 8), (6, 3),
+    ]
+    # 20 tokens, stride 6: ceil((20-8)/6)=2 extra starts -> 0,6,12; the
+    # last chunk (12..19) already covers the tail, no 4th chunk
+    assert [(r["start_token"], r["n_chunk_tokens"]) for r in by_doc[4]] == [
+        (0, 8), (6, 8), (12, 8),
+    ]
+    # overlap: chunk c's last `overlap` tokens == chunk c+1's first ones
+    # (when c+1 is full-width from the same stream)
+    c0, c1 = by_doc[4][0], by_doc[4][1]
+    assert c0["chunk_text"].split()[6:] == c1["chunk_text"].split()[:2]
+    # every token of doc 4 appears in at least one chunk
+    seen = {t for r in by_doc[4] for t in r["chunk_text"].split()}
+    assert seen == {f"v{i}" for i in range(20)}
