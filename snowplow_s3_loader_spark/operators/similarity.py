@@ -456,3 +456,47 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with seeded spherical
+    k-means, then keep exactly one representative of every WITHIN-cluster
+    cosine-near-duplicate group. Returns (id, centroid_id, keep int).
+
+    Scale shape (the SemDeDup trick): the pair space is restricted to
+    k-means cells — cross-cluster near-dups are rare by construction, so
+    the quadratic comparison only happens inside cells (one BLAS gram
+    product per cell via blocked_near_dup_pairs; at very large cells,
+    raise n_clusters — cell size is the knob). Representative choice is
+    the minimum id of each pair-graph connected component, consistent
+    with the rest of the dedup stack (dedup_keep_canonical), so chains
+    of transitively-similar embeddings collapse to one survivor.
+    Deterministic end to end for a fixed seed (hash-ordered training
+    sample, seeded Lloyd, argmax assignment)."""
+    from snowplow_s3_loader_spark.operators.graph import connected_components
+
+    cents = train_ivf_centroids_sampled(
+        emb, n_clusters, vec_col, sample_size=sample_size, seed=seed, id_col=id_col
+    )
+    assignments, _ = ivf_assign(emb, n_clusters, id_col, vec_col, centroids=cents)
+    pairs = blocked_near_dup_pairs(
+        assignments, "centroid_id", threshold=threshold, id_col="id", vec_col="v"
+    )
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("id"), F.lit(0).alias("keep")
+    )
+    return (
+        assignments.select("id", "centroid_id")
+        .join(losers, "id", "left")
+        .select("id", "centroid_id", F.coalesce("keep", F.lit(1)).alias("keep"))
+    )

@@ -431,7 +431,7 @@ _FOLDED = {
     "q26_simhash", "q32_fingerprint",
     "q27_ann_topk", "q28_ann_srp",
     "q29_lang_id", "q30_text_quality", "q66_repetition_quality",
-    "q70_chunk_documents",
+    "q70_chunk_documents", "q71_semantic_dedup",
     "q31_token_corpus_stats", "q47_subword_tokens",
     "q33_multimodal_features", "q34_frame_sample",
     "q43_scalar_subquery", "q44_not_exists",

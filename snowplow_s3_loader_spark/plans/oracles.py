@@ -942,3 +942,11 @@ SELECT doc_id AS id,
 FROM starts
 ORDER BY id, chunk_id
 """
+
+# q71: SemDeDup invariant — k-means cells are engine-specific, but "every
+# vector is kept, or owes its drop to a real within-cluster near-dup pair"
+# is deterministic (seeded end to end); the oracle emits the id list with
+# literal 1 (same pattern as q48's recall invariant).
+ORACLES["q71_semantic_dedup"] = """
+SELECT vec_id, 1 AS ok FROM embeddings ORDER BY vec_id
+"""

@@ -1167,6 +1167,42 @@ def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table, emitted as
+    a deterministic self-consistency invariant the oracle can hash-match
+    (same pattern as q48): per vector, ok = kept OR it appears in at
+    least one within-cluster near-dup pair — every dropped vector must
+    owe its drop to a real pair. The k-means cells themselves are
+    engine-specific, so they stay out of the hashed columns; the full
+    operator is differentially tested in pytest (planted tight groups ->
+    exactly one survivor each)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = similarity.semantic_dedup(
+        emb, n_clusters=8, threshold=0.35, seed=7
+    )
+    cents = similarity.train_ivf_centroids_sampled(emb, 8, "embedding", seed=7)
+    assignments, _ = similarity.ivf_assign(emb, 8, centroids=cents)
+    pairs = similarity.blocked_near_dup_pairs(
+        assignments, "centroid_id", threshold=0.35, id_col="id", vec_col="v"
+    )
+    paired = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumn("in_pair", F.lit(1))
+    )
+    return (
+        res.join(paired, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            ((F.col("keep") == 1) | F.col("in_pair").isNotNull())
+            .cast("int")
+            .alias("ok"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1239,5 +1275,6 @@ QUERIES = {
         q67_tfidf_top_terms,
         q68_bm25_search,
         q70_chunk_documents,
+        q71_semantic_dedup,
     ]
 }

@@ -241,3 +241,50 @@ def test_srp_multi_table_recall_and_dedup(spark, sf_dir):
             key = (r["query_id"], r["neighbor_id"])
             if key in exact:
                 assert abs(r["cos_sim"] - exact[key]) < 1e-9
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Differential on planted structure: four tight groups of
+    near-identical vectors placed far apart; with n_clusters=4 each group
+    lands in one cell, so exactly its min id survives; singleton vectors
+    are never dropped."""
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    groups = []
+    for g in range(4):
+        center = np.zeros(16)
+        center[g * 4 : g * 4 + 4] = 1.0  # orthogonal group anchors
+        members = []
+        for _ in range(5):
+            v = center + rng.normal(0, 0.01, 16)  # cos ~ 0.999 within group
+            rows.append((vid, [float(x) for x in v]))
+            members.append(vid)
+            vid += 1
+        groups.append(members)
+    got = semantic_dedup(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        n_clusters=4,
+        threshold=0.9,
+        seed=7,
+        sample_size=64,
+    ).collect()
+    keep = {r["id"]: r["keep"] for r in got}
+    assert len(keep) == 20
+    for members in groups:
+        kept = [m for m in members if keep[m] == 1]
+        assert kept == [min(members)], (members, kept)
+    # a fifth, isolated vector joins some cell but has no near-dup: kept
+    rows2 = rows + [(99, [float(x) for x in rng.normal(0, 1, 16)])]
+    got2 = semantic_dedup(
+        spark.createDataFrame(rows2, "vec_id long, embedding array<double>"),
+        n_clusters=4,
+        threshold=0.9,
+        seed=7,
+        sample_size=64,
+    ).collect()
+    assert {r["id"]: r["keep"] for r in got2}[99] == 1
