@@ -466,7 +466,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 7,
     sample_size: int = 2048,
-) -> DataFrame:
+    return_pairs: bool = False,
+):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with seeded spherical
     k-means, then keep exactly one representative of every WITHIN-cluster
@@ -481,7 +482,10 @@ def semantic_dedup(
     with the rest of the dedup stack (dedup_keep_canonical), so chains
     of transitively-similar embeddings collapse to one survivor.
     Deterministic end to end for a fixed seed (hash-ordered training
-    sample, seeded Lloyd, argmax assignment)."""
+    sample, seeded Lloyd, argmax assignment). With ``return_pairs`` the
+    within-cell near-dup pair frame is returned alongside the result
+    (``(result, pairs)``) so callers auditing drops don't recompute the
+    cell gram products."""
     from snowplow_s3_loader_spark.operators.graph import connected_components
 
     cents = train_ivf_centroids_sampled(
@@ -495,8 +499,9 @@ def semantic_dedup(
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("id"), F.lit(0).alias("keep")
     )
-    return (
+    result = (
         assignments.select("id", "centroid_id")
         .join(losers, "id", "left")
         .select("id", "centroid_id", F.coalesce("keep", F.lit(1)).alias("keep"))
     )
+    return (result, pairs) if return_pairs else result

@@ -1177,13 +1177,8 @@ def q71_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is differentially tested in pytest (planted tight groups ->
     exactly one survivor each)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    res = similarity.semantic_dedup(
-        emb, n_clusters=8, threshold=0.35, seed=7
-    )
-    cents = similarity.train_ivf_centroids_sampled(emb, 8, "embedding", seed=7)
-    assignments, _ = similarity.ivf_assign(emb, 8, centroids=cents)
-    pairs = similarity.blocked_near_dup_pairs(
-        assignments, "centroid_id", threshold=0.35, id_col="id", vec_col="v"
+    res, pairs = similarity.semantic_dedup(
+        emb, n_clusters=8, threshold=0.35, seed=7, return_pairs=True
     )
     paired = (
         pairs.select(F.col("id_a").alias("id"))
