@@ -61,13 +61,23 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in `pairs`; component is
     the minimum node id reachable through the pair graph — a stable,
-    engine-portable cluster id. Min-label propagation for the first
-    max_iter/2 rounds (optimal for shallow near-dup clusters); graphs
-    whose diameter outlives that budget fall back to the O(log n)
-    large-star/small-star algorithm instead of failing."""
+    engine-portable cluster id.
+
+    Hybrid execution (round 5): a graph at or under ``driver_threshold``
+    distinct pairs is solved with UNION-FIND ON THE DRIVER — 100k pairs
+    is ~1.6 MB collected, and chain-shaped graphs (semantic near-dups)
+    that cost the distributed loop a dozen fixed-overhead Spark rounds
+    solve in milliseconds (measured: a 1.4k-pair chain graph 16.6s ->
+    0.6s). Larger graphs run the distributed loop: min-label propagation
+    for the first max_iter/2 rounds (optimal for shallow near-dup
+    clusters), then the O(log n) large-star/small-star fallback for
+    diameters that outlive the budget. The same bounded-driver-work
+    pattern as the IVF training sample; set driver_threshold=0 to force
+    the distributed path."""
     # Size the loop's shuffle width to the graph, not the session default:
     # a small dedup graph would otherwise pay full-width task scheduling k
     # times over (measured 3.8s -> 2.2s on a 23k-edge graph by dropping
@@ -81,10 +91,20 @@ def connected_components(
     # no-op); a non-numeric session value falls back to the cluster's
     # default parallelism.
     spark = pairs.sparkSession
-    edges0 = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d")).union(
-        pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    distinct_pairs = checkpoint_nostats(
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d")).distinct()
     )
-    n_edges = edges0.count()
+    id_type = distinct_pairs.schema["s"].dataType.simpleString()
+    n_pairs = distinct_pairs.count()
+    if n_pairs <= driver_threshold:
+        try:
+            return _driver_components(spark, distinct_pairs.collect(), id_type)
+        finally:
+            release_materialized(distinct_pairs)
+    edges0 = distinct_pairs.union(
+        distinct_pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    n_edges = 2 * n_pairs
     loop_parts = _loop_width(spark, n_edges)
     # every loop materialization uses checkpoint_nostats, NOT plain
     # localCheckpoint: inherited stats compound multiplicatively through
@@ -95,6 +115,7 @@ def connected_components(
     # reports UnknownPartitioning and the FULL edge set re-shuffles
     # every round (O(rounds x |E|) at corpus scale).
     edges = checkpoint_nostats(edges0.distinct(), loop_parts, ["d"])
+    release_materialized(distinct_pairs)
     try:
         labels = checkpoint_nostats(
             edges.select(F.col("s").alias("v"))
@@ -157,6 +178,30 @@ def connected_components(
         return _star_components(edges, nodes, loop_parts=loop_parts)
     finally:
         release_materialized(edges)
+
+
+def _driver_components(spark, rows, id_type: str) -> DataFrame:
+    """Union-find over a collected (small) pair list; roots are component
+    minima because every union parents the larger root under the smaller.
+    Returns the same checkpointed (node, component) contract as the
+    distributed path (release_materialized-compatible)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["s"]), find(r["d"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(n, find(n)) for n in parent]
+    return checkpoint_nostats(
+        spark.createDataFrame(out, f"node {id_type}, component {id_type}")
+    )
 
 
 def _star_components(

@@ -18,19 +18,21 @@ def _pairs(spark, edges):
 
 
 def test_connected_components_basic(spark):
-    # two components: {1,2,3,7} (chain) and {5,6}
+    # two components: {1,2,3,7} (chain) and {5,6} — identical through the
+    # driver union-find fast path AND the distributed loop
     pairs = _pairs(spark, [(1, 2), (2, 3), (3, 7), (5, 6)])
-    got = {
-        (r["node"], r["component"])
-        for r in connected_components(pairs).collect()
-    }
-    assert got == {(1, 1), (2, 1), (3, 1), (7, 1), (5, 5), (6, 5)}
+    for thr in (100_000, 0):
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(pairs, driver_threshold=thr).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (7, 1), (5, 5), (6, 5)}, thr
 
 
 def test_connected_components_long_chain_converges(spark):
     # a 12-node path needs multiple propagation rounds
     pairs = _pairs(spark, [(i, i + 1) for i in range(12)])
-    comps = connected_components(pairs).collect()
+    comps = connected_components(pairs, driver_threshold=0).collect()
     assert {r["component"] for r in comps} == {0}
     assert len(comps) == 13
 
@@ -44,7 +46,7 @@ def test_connected_components_leaves_no_persistent_blocks(spark):
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
     pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10)])
-    out = connected_components(pairs)
+    out = connected_components(pairs, driver_threshold=0)
     out.count()
     # edges + intermediate label rounds are released inside the operator;
     # only the final label frame's checkpoint may remain
@@ -58,7 +60,7 @@ def test_connected_components_never_mutates_session_conf(spark):
     # same session previously saw a narrowed width for the loop).
     before = spark.conf.get("spark.sql.shuffle.partitions")
     pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)] + [(i, i + 1) for i in range(40, 52)])
-    out = connected_components(pairs)
+    out = connected_components(pairs, driver_threshold=0)
     out.count()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
@@ -177,7 +179,7 @@ def test_connected_components_path_graph_falls_back_to_star(spark):
     min-label propagation budget; the operator must switch to the
     large-star/small-star formulation and converge, not raise."""
     pairs = _pairs(spark, [(i, i + 1) for i in range(1000)])
-    comps = connected_components(pairs).collect()
+    comps = connected_components(pairs, driver_threshold=0).collect()
     assert len(comps) == 1001
     assert {r["component"] for r in comps} == {0}
 
