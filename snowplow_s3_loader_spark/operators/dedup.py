@@ -336,16 +336,24 @@ def checkpoint_nostats(
     width then plan with ZERO Exchange. ``trust_partitioning=True``
     skips the repartition when the caller KNOWS the input plan already
     ends in that exact layout (e.g. a join that preserved it); a wrong
-    claim produces wrong join results, so use only with a plan-gate
-    test.
+    claim produces wrong join results, so the trust path VERIFIES the
+    claim against the executed plan's final (post-AQE)
+    outputPartitioning and raises AssertionError on mismatch — a cheap
+    plan-only check that turns a planner-invariant drift (a Spark bump
+    changing SMJ/BHJ layout preservation, AQE coalescing a
+    REPARTITION_BY_NUM) into a loud failure instead of wrong results.
 
     The rebuilt frame reads the SAME persisted blocks;
     release_materialized frees them unchanged. Falls back (private-API
-    guard) to an unpartitioned rebase, then to the plain checkpoint."""
+    guard) to an unpartitioned rebase, then to the plain checkpoint —
+    both fallbacks warn ONCE per process, so the advertised-partitioning
+    path silently stopping engaging after a Spark upgrade is visible."""
     sp = df.sparkSession
     if partition_cols and not trust_partitioning:
         df = df.repartition(n_parts, *partition_cols)
     ckpt = df.localCheckpoint(eager=True)
+    if partition_cols and trust_partitioning:
+        _assert_trusted_layout(df, partition_cols, int(n_parts))
     jvm = sp._jvm
     try:
         j = ckpt._jdf
@@ -373,8 +381,14 @@ def checkpoint_nostats(
             jvm.org.apache.spark.sql.classic.Dataset.ofRows(sp._jsparkSession, newplan),
             sp,
         )
+    except AssertionError:
+        raise
     except Exception:
-        pass
+        _warn_ckpt_fallback(
+            "LogicalRDD rebuild with advertised partitioning failed; "
+            "falling back to an unpartitioned rebase (downstream joins "
+            "will re-shuffle checkpointed frames)"
+        )
     try:
         # older private-API shape: rebase without partitioning
         j = ckpt._jdf
@@ -384,7 +398,72 @@ def checkpoint_nostats(
     except Exception:
         # last resort: correct, just stats-inheriting (slow only for very
         # long iterative runs)
+        _warn_ckpt_fallback(
+            "checkpoint rebase failed entirely; returning the plain "
+            "localCheckpoint (stats-inheriting — iterative loops may slow "
+            "down over many rounds)"
+        )
         return ckpt
+
+
+_CKPT_FALLBACK_WARNED: set = set()
+
+
+def _warn_ckpt_fallback(msg: str) -> None:
+    """Warn ONCE per distinct fallback message per process — a Spark bump
+    that degrades checkpoint_nostats to UnknownPartitioning or
+    stats-inheriting checkpoints must be visible, not silent (round-5
+    ADVICE item)."""
+    if msg not in _CKPT_FALLBACK_WARNED:
+        _CKPT_FALLBACK_WARNED.add(msg)
+        import warnings
+
+        warnings.warn(f"checkpoint_nostats: {msg}", RuntimeWarning, stacklevel=3)
+
+
+def _assert_trusted_layout(df: DataFrame, partition_cols: list[str], n_parts: int) -> None:
+    """Plan-only verification of a ``trust_partitioning=True`` claim: the
+    executed plan's FINAL (post-AQE) outputPartitioning must be a hash
+    partitioning on ``partition_cols`` at exactly ``n_parts`` partitions
+    (a PartitioningCollection containing it also qualifies — join outputs
+    report one). Runs after the eager checkpoint so AQE has finalized the
+    plan; raises AssertionError on mismatch because a wrong trust claim
+    produces WRONG JOIN RESULTS downstream, not just a slow plan. If the
+    plan APIs themselves are unavailable (private-API drift), warns once
+    and lets the call proceed — the claim is then unverified, exactly the
+    condition the warning surfaces."""
+    try:
+        ep = df._jdf.queryExecution().executedPlan()
+        if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            ep = ep.finalPhysicalPlan()
+        op = ep.outputPartitioning()
+        desc = op.toString()
+        n = op.numPartitions()
+    except Exception:
+        _warn_ckpt_fallback(
+            "trust_partitioning claim could not be verified (plan "
+            "introspection API unavailable) — layout is UNCHECKED"
+        )
+        return
+    import re
+
+    ok = (
+        n == n_parts
+        and "hashpartitioning(" in desc.lower()
+        # attribute refs render as `name#exprId`; anchor on the preceding
+        # delimiter so e.g. col "s" can't match inside "pos#3"
+        and all(
+            re.search(rf"[(, ]{re.escape(c)}#\d", desc) for c in partition_cols
+        )
+    )
+    if not ok:
+        raise AssertionError(
+            "checkpoint_nostats(trust_partitioning=True): executed plan's "
+            f"outputPartitioning {desc!r} (numPartitions={n}) does not match "
+            f"the claimed hashpartitioning on {partition_cols} x {n_parts} — "
+            "the caller's layout claim is wrong (planner invariant drift?); "
+            "remove trust_partitioning to force an explicit repartition"
+        )
 
 
 def _token_hash60(tok: Column) -> Column:

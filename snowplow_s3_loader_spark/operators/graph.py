@@ -91,8 +91,15 @@ def connected_components(
     # no-op); a non-numeric session value falls back to the cluster's
     # default parallelism.
     spark = pairs.sparkSession
+    # Null ids are dropped up front so BOTH execution paths see the same
+    # graph: the distributed loop's equi-joins silently never match null
+    # keys, while the driver union-find would crash on them (Python can't
+    # order None against ints) — filtering here makes the
+    # driver_threshold boundary invisible to callers with dirty input.
     distinct_pairs = checkpoint_nostats(
-        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d")).distinct()
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
     )
     id_type = distinct_pairs.schema["s"].dataType.simpleString()
     n_pairs = distinct_pairs.count()

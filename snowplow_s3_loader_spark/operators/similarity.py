@@ -510,7 +510,19 @@ def semantic_dedup(
     sample, seeded Lloyd, argmax assignment). With ``return_pairs`` the
     within-cell near-dup pair frame is returned alongside the result
     (``(result, pairs)``) so callers auditing drops don't recompute the
-    cell gram products."""
+    cell gram products.
+
+    The returned result frame is MATERIALIZED (checkpoint_nostats) — the
+    internal connected-components checkpoint is released before
+    returning, and the caller holds exactly one releasable checkpoint:
+    call ``release_materialized(result)`` when done (same contract as
+    ``connected_components``). The checkpoint is three narrow columns
+    (id, centroid_id, keep) — the same order of footprint as the CC
+    output it replaces."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        release_materialized,
+    )
     from snowplow_s3_loader_spark.operators.graph import connected_components
 
     cents = train_ivf_centroids_sampled(
@@ -524,9 +536,56 @@ def semantic_dedup(
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("id"), F.lit(0).alias("keep")
     )
-    result = (
+    result = checkpoint_nostats(
         assignments.select("id", "centroid_id")
         .join(losers, "id", "left")
         .select("id", "centroid_id", F.coalesce("keep", F.lit(1)).alias("keep"))
     )
+    release_materialized(comps)
     return (result, pairs) if return_pairs else result
+
+
+def semantic_dedup_audit(res: DataFrame, pairs: DataFrame) -> DataFrame:
+    """FALSIFIABLE audit of a semantic_dedup result against its pair
+    graph: recomputes connected components of ``pairs`` independently of
+    the keep/drop decisions in ``res`` (id, centroid_id, keep) and emits
+    one row per vector,
+
+        ok = 1 iff (not in the pair graph and kept) OR (in the pair
+             graph and its component has EXACTLY one survivor, which is
+             the component-minimum id).
+
+    A wrong survivor choice, a double-keep, a zero-keep component, or a
+    dropped isolated vector each flip ok -> 0 for the affected rows —
+    this is the engine-side invariant behind q71 (round-5 ADVICE: the
+    previous formulation was tautological). Returns (vec_id, ok int),
+    unordered. Leaves one releasable checkpoint behind (the recomputed
+    component frame feeding the joins)."""
+    from snowplow_s3_loader_spark.operators.graph import connected_components
+
+    comps = connected_components(pairs)
+    in_graph = res.join(comps, res.id == comps.node, "inner")
+    comp_ok = (
+        in_graph.groupBy("component")
+        .agg(
+            F.sum("keep").alias("n_keep"),
+            F.min("id").alias("min_id"),
+            F.max(F.when(F.col("keep") == 1, F.col("id"))).alias("kept_id"),
+        )
+        .select(
+            "component",
+            ((F.col("n_keep") == 1) & (F.col("kept_id") == F.col("min_id")))
+            .cast("int")
+            .alias("comp_ok"),
+        )
+    )
+    return (
+        res.join(comps.select(F.col("node").alias("id"), "component"), "id", "left")
+        .join(comp_ok, "component", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.when(F.col("component").isNull(), (F.col("keep") == 1).cast("int"))
+            .otherwise(F.col("comp_ok"))
+            .alias("ok"),
+        )
+    )

@@ -943,10 +943,14 @@ FROM starts
 ORDER BY id, chunk_id
 """
 
-# q71: SemDeDup invariant — k-means cells are engine-specific, but "every
-# vector is kept, or owes its drop to a real within-cluster near-dup pair"
-# is deterministic (seeded end to end); the oracle emits the id list with
-# literal 1 (same pattern as q48's recall invariant).
+# q71: SemDeDup invariant — k-means cells are engine-specific, so the
+# oracle emits the id spine with literal 1 and the ENGINE must land ok=1
+# for every vector via a falsifiable audit (components of the pair graph
+# recomputed independently of the keep decisions; each component must
+# have exactly one survivor and it must be the component-min id; isolated
+# vectors must be kept). Wrong survivor / double-keep / zero-keep /
+# dropped-isolated all flip ok->0 and fail the hash (same engine-side-
+# invariant pattern as q48's recall bound; round-5 ADVICE fix).
 ORACLES["q71_semantic_dedup"] = """
 SELECT vec_id, 1 AS ok FROM embeddings ORDER BY vec_id
 """

@@ -1169,33 +1169,29 @@ def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q71_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings table, emitted as
-    a deterministic self-consistency invariant the oracle can hash-match
-    (same pattern as q48): per vector, ok = kept OR it appears in at
-    least one within-cluster near-dup pair — every dropped vector must
-    owe its drop to a real pair. The k-means cells themselves are
-    engine-specific, so they stay out of the hashed columns; the full
-    operator is differentially tested in pytest (planted tight groups ->
-    exactly one survivor each)."""
+    a FALSIFIABLE per-vector invariant the oracle can hash-match (same
+    pattern as q48): connected components of the within-cell near-dup
+    pair graph are recomputed here, independently of the keep/drop
+    decisions semantic_dedup made, and per vector
+
+        ok = 1 iff (not in the pair graph and kept) OR (in the pair
+             graph and its component has EXACTLY one survivor, which is
+             the component-minimum id)
+
+    A wrong survivor choice, a double-keep, a zero-keep component, or a
+    dropped isolated vector each flip ok -> 0 for the affected rows and
+    fail the hash (unlike the round-5 formulation, where every dropped
+    id appeared in the pair frame by construction and ok was
+    tautologically 1 — round-5 ADVICE item). The k-means cells stay out
+    of the hashed columns (engine-specific); the audit itself is
+    falsifiability-tested in pytest with deliberately perturbed keep
+    decisions, and the operator is differentially tested on planted
+    tight groups (exactly one survivor each)."""
     emb = load_table(spark, sf_dir, "embeddings")
     res, pairs = similarity.semantic_dedup(
         emb, n_clusters=8, threshold=0.35, seed=7, return_pairs=True
     )
-    paired = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-        .withColumn("in_pair", F.lit(1))
-    )
-    return (
-        res.join(paired, "id", "left")
-        .select(
-            F.col("id").alias("vec_id"),
-            ((F.col("keep") == 1) | F.col("in_pair").isNotNull())
-            .cast("int")
-            .alias("ok"),
-        )
-        .orderBy("vec_id")
-    )
+    return similarity.semantic_dedup_audit(res, pairs).orderBy("vec_id")
 
 
 QUERIES = {

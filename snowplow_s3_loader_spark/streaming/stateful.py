@@ -238,6 +238,16 @@ def streaming_near_dup_votes(
     age out first), and `timeout_ms` evicts idle buckets entirely.
     Within-batch processing order is sorted by id so replays and
     re-partitionings decide ties identically.
+
+    CHECKPOINT COMPATIBILITY — `band_bits` is part of the state KEY
+    ((band_id, band_value)), so changing it invalidates any existing
+    query checkpoint: state written under the old banding is never
+    matched by the new band keys after a restart, and near-dups of
+    pre-upgrade documents are silently missed (no error is raised).
+    The default changed 15 -> 10 in round 5 for the measured recall win
+    above; when RESUMING a query checkpointed under an older default,
+    either pin ``band_bits=15`` explicitly or start a fresh checkpoint
+    directory. New queries should take the default.
     """
     from snowplow_s3_loader_spark.operators.dedup import simhash60_fast
 

@@ -288,3 +288,74 @@ def test_semantic_dedup_planted_groups(spark):
         sample_size=64,
     ).collect()
     assert {r["id"]: r["keep"] for r in got2}[99] == 1
+
+
+def test_semantic_dedup_audit_is_falsifiable(spark):
+    """The q71 invariant must FAIL on wrong keep decisions (round-5
+    ADVICE: the old formulation was tautologically 1). Perturb a correct
+    result four ways — wrong survivor, double-keep, zero-keep component,
+    dropped isolated vector — and assert ok flips to 0 each time."""
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.similarity import semantic_dedup_audit
+
+    # pair graph: component {1,2,3}; vectors 4, 5 isolated
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    res_rows = [(1, 0, 1), (2, 0, 0), (3, 0, 0), (4, 0, 1), (5, 1, 1)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id long, centroid_id int, keep int"
+    )
+
+    ok_map = lambda rows: {
+        r["vec_id"]: r["ok"] for r in semantic_dedup_audit(mk(rows), pairs).collect()
+    }
+
+    base = ok_map(res_rows)
+    assert base == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    # wrong survivor (2 kept instead of min 1): whole component flips
+    wrong_survivor = ok_map([(1, 0, 0), (2, 0, 1), (3, 0, 0), (4, 0, 1), (5, 1, 1)])
+    assert wrong_survivor[1] == 0 and wrong_survivor[2] == 0 and wrong_survivor[3] == 0
+    assert wrong_survivor[4] == 1  # unaffected rows still ok
+
+    # double-keep in the component
+    double = ok_map([(1, 0, 1), (2, 0, 1), (3, 0, 0), (4, 0, 1), (5, 1, 1)])
+    assert double[1] == 0 and double[3] == 0
+
+    # zero-keep component
+    zero = ok_map([(1, 0, 0), (2, 0, 0), (3, 0, 0), (4, 0, 1), (5, 1, 1)])
+    assert zero[1] == 0
+
+    # dropped isolated vector
+    dropped = ok_map([(1, 0, 1), (2, 0, 0), (3, 0, 0), (4, 0, 0), (5, 1, 1)])
+    assert dropped[4] == 0 and dropped[1] == 1
+
+
+def test_semantic_dedup_releases_internal_checkpoints(spark):
+    """semantic_dedup materializes its result and releases the internal
+    connected-components checkpoint before returning (round-5 ADVICE:
+    the comps frame used to leak); after release_materialized(result)
+    no blocks this call created remain."""
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g in range(3):
+        center = np.zeros(12)
+        center[g * 4 : g * 4 + 4] = 1.0
+        for i in range(4):
+            v = center + rng.normal(0, 0.01, 12)
+            rows.append((g * 4 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    res = semantic_dedup(emb, n_clusters=3, threshold=0.9, seed=7, sample_size=32)
+    assert res.count() == 12
+    # result itself is the single releasable checkpoint the caller holds
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    release_materialized(res)
+    assert jsc.getPersistentRDDs().size() <= before

@@ -480,3 +480,20 @@ def test_component_map_soak_flat(spark):
     assert tail <= 3 * head + 1.0, times
     m.release()
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_connected_components_null_ids_both_paths(spark):
+    """Null-id pairs are dropped up front so BOTH execution paths see the
+    same graph (round-5 ADVICE: the driver union-find used to crash on
+    None while the distributed joins silently skipped nulls)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (None, None), (5, 6)],
+        "id_a long, id_b long",
+    )
+    expect = {(1, 1), (2, 1), (5, 5), (6, 5)}
+    for thr in (100_000, 0):
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(pairs, driver_threshold=thr).collect()
+        }
+        assert got == expect, thr

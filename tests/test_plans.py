@@ -304,3 +304,33 @@ def test_component_map_state_never_shuffles_in_lookup(spark, sf_dir):
     # adjacent ones collapsed): a 4th would mean state started shuffling
     assert tree.count("Exchange") <= 3, tree
     m.release()
+
+
+def test_checkpoint_nostats_trust_claim_verified(spark, sf_dir):
+    """trust_partitioning=True verifies the executed plan's final
+    (post-AQE) outputPartitioning against the claim (round-5 ADVICE): a
+    true claim passes and advertises the layout; a FALSE claim (wrong
+    key or wrong width) raises AssertionError instead of silently
+    producing wrong co-partitioned joins downstream."""
+    import pytest
+
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        release_materialized,
+    )
+
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    # true claim: plan really ends in hash(k) x 8
+    good = checkpoint_nostats(base.repartition(8, "k"), 8, ["k"], trust_partitioning=True)
+    assert good.count() == 200
+    release_materialized(good)
+
+    # false claims: wrong key / wrong width / no repartition at all
+    with pytest.raises(AssertionError, match="trust_partitioning"):
+        checkpoint_nostats(base.repartition(8, "v"), 8, ["k"], trust_partitioning=True)
+    with pytest.raises(AssertionError, match="trust_partitioning"):
+        checkpoint_nostats(base.repartition(4, "k"), 8, ["k"], trust_partitioning=True)
+    with pytest.raises(AssertionError, match="trust_partitioning"):
+        checkpoint_nostats(base, 8, ["k"], trust_partitioning=True)
