@@ -413,6 +413,125 @@ def ann_topk_ivf(
     )
 
 
+def ivf_recall_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Recall@k audit of trained IVF against exact brute force, computed
+    from ONE corpus scan (round-5 VERDICT #3: the q48 composition ran the
+    IVF chain and the brute-force baseline as two independent scans of
+    `emb` — the scored pair frame is identical work, so share it).
+
+    Mechanics: centroids come from the usual sampled driver Lloyd; the
+    query sample (everything matching `query_pred`, capped at
+    `max_queries` — an audit runs on a bounded sample by design) is
+    collected and broadcast as a numpy block. A single mapInPandas pass
+    then, per Arrow batch, (a) assigns each corpus vector's nearest
+    centroid (GEMM argmax — same math as ivf_assign) and (b) scores it
+    against ALL queries (one GEMM), emitting (query_id, neighbor_id,
+    cos_sim, in_probe) where in_probe says the neighbor's cell is among
+    that query's n_probe closest centroids (probe lists are a q x K
+    driver-side argsort of the same normalized dot). Exact top-k ranks
+    the full frame; IVF top-k ranks the in_probe subset — identical
+    ranking keys (round(cos,6) DESC, neighbor_id ASC) to
+    brute_force_topk / ann_topk_ivf. Returns one row per query:
+    (query_id, n_hits) with n_hits = |ivf top-k ∩ exact top-k|
+    (0 for queries whose probe cells held no candidates).
+
+    Scale shape: the pair frame is |queries| x |corpus| rows — the
+    brute-force audit cost, which is the point of a recall report; the
+    corpus ships ONCE, queries/centroids are driver-bounded, and the two
+    rankings reuse the same shuffle-free scored frame (two windows over
+    the same partitionBy key plan back-to-back)."""
+    centroids = train_ivf_centroids_sampled(
+        emb, n_centroids, vec_col, seed=seed, max_iter=max_iter, id_col=id_col
+    )
+    cent_rows = centroids.orderBy("centroid_id").collect()
+    cent_ids = np.array([r["centroid_id"] for r in cent_rows])
+    C = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    q_rows = (
+        emb.filter(query_pred)
+        .select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
+        .orderBy("qid")
+        .limit(max_queries)
+        .collect()
+    )
+    if not q_rows:
+        return emb.sparkSession.createDataFrame([], "query_id long, n_hits long")
+    qids = np.array([r["qid"] for r in q_rows])
+    Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # per-query probe cells: n_probe largest by (sim DESC, centroid_id ASC)
+    qsim = Qn @ Cn.T  # (q, K)
+    order = np.lexsort((np.broadcast_to(cent_ids, qsim.shape), -qsim), axis=1)
+    probe_mask = np.zeros_like(qsim, dtype=bool)  # (q, K) by centroid POSITION
+    rows_idx = np.arange(len(qids))[:, None]
+    probe_mask[rows_idx, order[:, : min(n_probe, len(cent_ids))]] = True
+
+    itype = emb.schema[id_col].dataType.simpleString()
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cpos = np.argmax(Vn @ Cn.T, axis=1)  # centroid POSITION per vector
+            sims = np.round(Qn @ Vn.T, 6)  # (q, B)
+            ids = pdf["id"].to_numpy()
+            B = len(ids)
+            qq = np.repeat(qids, B)
+            nn = np.tile(ids, len(qids))
+            mask = qq != nn  # drop self-pairs
+            yield pd.DataFrame(
+                {
+                    "query_id": qq[mask],
+                    "neighbor_id": nn[mask],
+                    "cos_sim": sims.ravel()[mask],
+                    "in_probe": probe_mask[
+                        np.repeat(np.arange(len(qids)), B), np.tile(cpos, len(qids))
+                    ][mask],
+                }
+            )
+
+    scored = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).mapInPandas(
+        _score,
+        schema=f"query_id {itype}, neighbor_id {itype}, cos_sim double, in_probe boolean",
+    )
+    # ONE sort serves both rankings: exact_rank is row_number, ivf_rank is
+    # the running count of in_probe rows over the SAME frame spec (so the
+    # second ranking adds a window function, not a second shuffle+sort)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("exact_rank", F.row_number().over(w)).withColumn(
+        "ivf_rank",
+        F.when(
+            F.col("in_probe"),
+            F.count(F.when(F.col("in_probe"), 1)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ),
+    )
+    return ranked.groupBy("query_id").agg(
+        F.count(
+            F.when((F.col("exact_rank") <= k) & (F.col("ivf_rank") <= k), 1)
+        ).alias("n_hits")
+    )
+
+
 def blocked_near_dup_pairs(
     emb: DataFrame,
     block_col: str,

@@ -359,3 +359,51 @@ def test_semantic_dedup_releases_internal_checkpoints(spark):
     assert jsc.getPersistentRDDs().size() <= before + 1
     release_materialized(res)
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_ivf_recall_topk_matches_two_scan_composition(spark):
+    """The shared-scan recall audit (round-6) must produce the same
+    per-query hit counts as the old composition (ann_topk_ivf joined to
+    brute_force_topk) on a seeded corpus — the refactor changed the scan
+    count, not the semantics."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.similarity import (
+        ann_topk_ivf,
+        brute_force_topk,
+        ivf_recall_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    # clustered corpus so IVF cells are meaningful
+    rows = []
+    for i in range(120):
+        center = np.zeros(16)
+        center[(i % 6) * 2 : (i % 6) * 2 + 2] = 1.0
+        v = center + rng.normal(0, 0.25, 16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pred = F.col("vec_id") % 20 == 0
+
+    got = {
+        r["query_id"]: r["n_hits"]
+        for r in ivf_recall_topk(
+            emb, pred, k=5, n_centroids=6, n_probe=3, seed=7
+        ).collect()
+    }
+
+    ivf = ann_topk_ivf(emb, pred, k=5, n_centroids=6, n_probe=3, train=True, seed=7)
+    exact = brute_force_topk(emb, pred, k=5)
+    want = {
+        r["query_id"]: r["n_hits"]
+        for r in ivf.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+        .collect()
+    }
+    # the audit emits a row for every query; the composition omits
+    # zero-hit queries
+    assert {q: n for q, n in got.items() if n > 0} == want
+    assert set(got) == {0, 20, 40, 60, 80, 100}
