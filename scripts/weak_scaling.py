@@ -389,6 +389,42 @@ def streaming_neardup_case(spark, n_docs: int = 1500, seed: int = 11) -> list[di
     return results
 
 
+def chunking_case(spark, n_docs: int) -> dict:
+    """Overlapping-window chunking (round-5 VERDICT item 6): synthetic
+    corpus of mixed-length docs (20..420 tokens in a fixed cycle so the
+    length MIX, not just the count, is scale-invariant). The operator is
+    pure JVM (tokenize once, explode stride starts, slice) — wall time
+    and output rows must both grow ~linearly with the corpus; the
+    ~window/stride output multiplier is the documented storage trade,
+    verified here against the closed-form expected chunk count."""
+    from snowplow_s3_loader_spark.operators.text import chunk_documents
+
+    window, overlap = 64, 16
+    stride = window - overlap
+    n_toks = (F.col("id") % 21).cast("int") * 20 + 20  # 20,40,...,420 cycle
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), n_toks),
+                lambda i: F.concat(F.lit("t"), ((F.col("id") * 7 + i) % 997).cast("string")),
+            ),
+        ).alias("text"),
+    )
+    expected = sum(
+        1 + max(0, -(-((((i % 21) * 20 + 20) - window)) // stride))
+        for i in range(n_docs)
+    )
+    chunked = chunk_documents(docs, "doc_id", "text", window=window, overlap=overlap)
+    chunked.count()  # warm: codegen/scheduler startup out of the 1x number
+    t0 = time.perf_counter()
+    n_chunks = chunked.count()
+    dt = time.perf_counter() - t0
+    assert n_chunks == expected, (n_chunks, expected)
+    return {"case": "chunking", "docs": n_docs, "chunks": n_chunks, "sec": round(dt, 2)}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -412,6 +448,9 @@ def main() -> None:
         out.append(incremental_cc_case(spark, 50_000))
     if which in ("streaming_neardup", "all"):
         out.extend(streaming_neardup_case(spark))
+    if which in ("chunking", "all"):
+        out.append(chunking_case(spark, 20_000))
+        out.append(chunking_case(spark, 200_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()
