@@ -629,7 +629,10 @@ def semantic_dedup(
     sample, seeded Lloyd, argmax assignment). With ``return_pairs`` the
     within-cell near-dup pair frame is returned alongside the result
     (``(result, pairs)``) so callers auditing drops don't recompute the
-    cell gram products.
+    cell gram products; the pairs frame is then MATERIALIZED too (a lazy
+    return would force every auditing caller to re-run the per-cell gram
+    products), and the caller owes ``release_materialized(pairs)`` as
+    well. The pairs checkpoint is bounded by the near-dup pair count.
 
     The returned result frame is MATERIALIZED (checkpoint_nostats) — the
     internal connected-components checkpoint is released before
@@ -651,6 +654,8 @@ def semantic_dedup(
     pairs = blocked_near_dup_pairs(
         assignments, "centroid_id", threshold=threshold, id_col="id", vec_col="v"
     )
+    if return_pairs:
+        pairs = checkpoint_nostats(pairs)
     comps = connected_components(pairs)
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("id"), F.lit(0).alias("keep")

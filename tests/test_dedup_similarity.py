@@ -407,3 +407,4 @@ def test_ivf_recall_topk_matches_two_scan_composition(spark):
     # zero-hit queries
     assert {q: n for q, n in got.items() if n > 0} == want
     assert set(got) == {0, 20, 40, 60, 80, 100}
+
