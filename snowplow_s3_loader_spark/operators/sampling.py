@@ -104,6 +104,69 @@ def stratified_sample(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    key_col: Column,
+    splits: dict[str, float],
+    hex_chars: int = 4,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment keyed on a LEAKAGE GROUP instead of the
+    row id: every row sharing ``key_col`` lands in the same split, so
+    duplicated or near-duplicated documents can never straddle the
+    train/test boundary (the classic eval-contamination failure of
+    id-keyed splits over un-deduplicated corpora).
+
+    Key choice is the caller's leakage model:
+      - exact duplicates: a content digest (``F.md5(text)``) — fully
+        oracle-reproducible;
+      - near-duplicates: the connected-component id from the dedup pair
+        graph (join ``connected_components`` output and pass the
+        component, falling back to the row id for unclustered rows:
+        ``F.coalesce("component", F.col(id_col))``).
+
+    Same md5-threshold mechanics as deterministic_split (row-order /
+    partitioning / engine independent); one narrow projection when the
+    key is a content digest, one broadcast-able join when it is a
+    cluster map. Fractions land on GROUPS, so heavily-skewed group sizes
+    skew realized row fractions — by design (the alternative re-leaks)."""
+    return df.withColumn(out_col, split_column(key_col, splits, hex_chars))
+
+
+def group_reservoir(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample — the reproducible,
+    engine-portable stand-in for per-group reservoir sampling (cap
+    examples per source/domain/language when building a training mix).
+    A row survives iff its rank by (md5(id), id) within the group is
+    <= n_per_group; md5 gives the uniform permutation, the id tiebreak
+    pins hash collisions, so the selected SET is independent of row
+    order, partitioning, and engine.
+
+    Scale shape: one hash shuffle on the group key + a rank cutoff —
+    Spark plans WindowGroupLimit (rank pushdown), so each partition
+    retains only n_per_group rows per group before the final filter; no
+    global sort, no driver involvement. For group cardinalities so hot
+    that one group overwhelms a task, pre-aggregate with a per-salt
+    reservoir then re-rank (same two-phase shape as the ranking
+    operator)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     id_col: str,

@@ -313,9 +313,13 @@ def q54_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling battery: deterministic train/val/test split (q58) +
     stratified per-language sampling (q61) + temperature resampling
-    (alpha=0.7 corpus-mix rebalance), tagged union."""
+    (alpha=0.7 corpus-mix rebalance) + leakage-safe content-keyed split
+    (q72) + per-group reservoir cap (q73), tagged union. The `checksum`
+    column carries the new sections' kept-id sums so the driver hash is
+    falsifiable down to single-row mis-assignments."""
     from snowplow_s3_loader_spark.operators.sampling import temperature_resample
 
+    no_ck = F.lit(None).cast("long").alias("checksum")
     temp = (
         temperature_resample(
             load_table(spark, sf_dir, "documents"), "doc_id", "lang",
@@ -330,6 +334,7 @@ def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_id",
             F.lit(None).cast("long").alias("max_id"),
             F.lit(None).cast("double").alias("avg_len"),
+            no_ck,
         )
     )
     split = q.q58_deterministic_split(spark, sf_dir).select(
@@ -339,6 +344,7 @@ def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_id",
         "max_id",
         "avg_len",
+        no_ck,
     )
     strat = q.q61_stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("battery"),
@@ -347,8 +353,30 @@ def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_id",
         F.lit(None).cast("long").alias("max_id"),
         F.lit(None).cast("double").alias("avg_len"),
+        no_ck,
     )
-    return split.union(strat).union(temp).orderBy("battery", "bucket")
+    leak = q.q72_leakage_safe_split(spark, sf_dir).select(
+        F.lit("leakage_safe").alias("battery"),
+        F.col("split").alias("bucket"),
+        F.col("n_docs").alias("n"),
+        "min_id",
+        "max_id",
+        F.lit(None).cast("double").alias("avg_len"),
+        F.col("sum_id").alias("checksum"),
+    )
+    resv = q.q73_group_reservoir(spark, sf_dir).select(
+        F.lit("reservoir").alias("battery"),
+        F.col("event_type").alias("bucket"),
+        F.col("n_kept").alias("n"),
+        "min_id",
+        F.lit(None).cast("long").alias("max_id"),
+        F.lit(None).cast("double").alias("avg_len"),
+        F.col("sum_id").alias("checksum"),
+    )
+    return (
+        split.union(strat).union(temp).union(leak).union(resv)
+        .orderBy("battery", "bucket")
+    )
 
 
 def q69_hygiene_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,6 +466,7 @@ _FOLDED = {
     "q51_null_handling", "q52_array_functions",
     "q54_pivot", "q55_unpivot",
     "q58_deterministic_split", "q61_stratified_sample",
+    "q72_leakage_safe_split", "q73_group_reservoir",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -722,15 +751,25 @@ ORDER BY yr, status
 """
 
 COMPOSITE_ORACLES["q58_sampling_battery"] = f"""
-SELECT 'split' AS battery, split AS bucket, n_docs AS n, min_id, max_id, avg_len
+SELECT 'split' AS battery, split AS bucket, n_docs AS n, min_id, max_id, avg_len,
+       NULL::BIGINT AS checksum
 FROM ({ORACLES["q58_deterministic_split"]})
 UNION ALL
+SELECT 'leakage_safe' AS battery, split AS bucket, n_docs AS n, min_id, max_id,
+       NULL::DOUBLE AS avg_len, sum_id AS checksum
+FROM ({ORACLES["q72_leakage_safe_split"]})
+UNION ALL
+SELECT 'reservoir' AS battery, event_type AS bucket, n_kept AS n, min_id,
+       NULL::BIGINT AS max_id, NULL::DOUBLE AS avg_len, sum_id AS checksum
+FROM ({ORACLES["q73_group_reservoir"]})
+UNION ALL
 SELECT 'stratified' AS battery, lang AS bucket, n_kept AS n, min_id,
-       NULL::BIGINT AS max_id, NULL::DOUBLE AS avg_len
+       NULL::BIGINT AS max_id, NULL::DOUBLE AS avg_len, NULL::BIGINT AS checksum
 FROM ({ORACLES["q61_stratified_sample"]})
 UNION ALL
 SELECT 'temperature' AS battery, lang AS bucket, count(*) AS n,
-       min(doc_id) AS min_id, NULL::BIGINT AS max_id, NULL::DOUBLE AS avg_len
+       min(doc_id) AS min_id, NULL::BIGINT AS max_id, NULL::DOUBLE AS avg_len,
+       NULL::BIGINT AS checksum
 FROM (
   WITH tcounts AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY lang),
   tz AS (

@@ -954,3 +954,42 @@ ORDER BY id, chunk_id
 ORACLES["q71_semantic_dedup"] = """
 SELECT vec_id, 1 AS ok FROM embeddings ORDER BY vec_id
 """
+
+# q72: leakage-safe split — assignment is keyed on md5(text), thresholds
+# are the same cumulative hex bounds split_thresholds derives for
+# {train .8, val .1, test .1} at hex_chars=4 (0xcccc / 0xe666); a single
+# mis-assigned row moves n_docs AND sum_id and fails the hash.
+ORACLES["q72_leakage_safe_split"] = """
+WITH assigned AS (
+  SELECT doc_id, md5(text) AS grp,
+         CASE WHEN substr(md5(md5(text)), 1, 4) < 'cccc' THEN 'train'
+              WHEN substr(md5(md5(text)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+# q73: per-group reservoir — identical (md5(id), id) ranking window; the
+# kept-id checksum makes the selected SET falsifiable, not just its size.
+ORACLES["q73_group_reservoir"] = """
+WITH ranked AS (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rk
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       min(event_id) AS min_id,
+       CAST(sum(event_id) AS BIGINT) AS sum_id
+FROM ranked WHERE rk <= 50 GROUP BY event_type ORDER BY event_type
+"""

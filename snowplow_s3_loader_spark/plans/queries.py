@@ -1191,6 +1191,56 @@ def q71_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_audit(res, pairs).orderBy("vec_id")
 
 
+def q72_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment keyed on the CONTENT
+    digest (md5 of text) instead of the row id, so exact-duplicate
+    documents can never straddle the train/test boundary. Emits per-split
+    row/group counts plus the id-set checksum (sum of doc ids), all
+    reproducible in DuckDB from the same md5 thresholds — a mis-assigned
+    row moves n_docs AND sum_id and fails the hash. The near-dup-cluster
+    keyed variant (connected-component key) is differentially tested in
+    pytest (clusters aren't SQL-expressible)."""
+    from snowplow_s3_loader_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = sampling.leakage_safe_split(
+        docs, F.md5(F.col("text")), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5(F.col("text"))).alias("n_groups"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("doc_id").alias("sum_id"),
+        )
+        .orderBy("split")
+    )
+
+
+def q73_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group fixed-size sample (reservoir-style cap of
+    examples per source when building a training mix): keep the 50
+    lowest-(md5(id), id) events per event_type. Emits per-type kept
+    count, min id and the kept-id checksum — the oracle re-ranks with
+    the identical window, so selecting even one different row fails the
+    hash."""
+    from snowplow_s3_loader_spark.operators import sampling
+
+    ev = load_table(spark, sf_dir, "events")
+    kept = sampling.group_reservoir(ev, "event_type", "event_id", 50)
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("event_id").alias("min_id"),
+            F.sum("event_id").alias("sum_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1264,5 +1314,7 @@ QUERIES = {
         q68_bm25_search,
         q70_chunk_documents,
         q71_semantic_dedup,
+        q72_leakage_safe_split,
+        q73_group_reservoir,
     ]
 }

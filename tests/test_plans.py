@@ -334,3 +334,12 @@ def test_checkpoint_nostats_trust_claim_verified(spark, sf_dir):
         checkpoint_nostats(base.repartition(4, "k"), 8, ["k"], trust_partitioning=True)
     with pytest.raises(AssertionError, match="trust_partitioning"):
         checkpoint_nostats(base, 8, ["k"], trust_partitioning=True)
+
+
+def test_q73_group_reservoir_rank_pushdown(spark, sf_dir):
+    """The per-group reservoir must plan with WindowGroupLimit (rank
+    pushdown: each partition retains only n rows per group BEFORE the
+    final window filter) and exactly one exchange on the group key — a
+    plain window+filter over the full corpus would sort everything."""
+    plan = plan_of(Q.q73_group_reservoir(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan

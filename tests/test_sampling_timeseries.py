@@ -309,3 +309,95 @@ def test_chunk_documents_edges(spark):
     # every token of doc 4 appears in at least one chunk
     seen = {t for r in by_doc[4] for t in r["chunk_text"].split()}
     assert seen == {f"v{i}" for i in range(20)}
+
+
+def test_leakage_safe_split_exact_dups_co_assign(spark):
+    """Rows sharing a content digest must land in the SAME split no matter
+    their ids; an id-keyed split demonstrably leaks the same corpus."""
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.sampling import (
+        deterministic_split,
+        leakage_safe_split,
+    )
+
+    # 60 distinct texts, each duplicated under 5 scattered ids
+    rows = [
+        (g * 1000 + i * 7, f"document body number {g}")
+        for g in range(60)
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(
+        docs, F.md5(F.col("text")), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    per_group = (
+        out.groupBy("text")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_group)
+    # control: the id-keyed split DOES scatter at least one dup group
+    ctl = deterministic_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    scattered = (
+        ctl.groupBy("text").agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert scattered > 0
+
+
+def test_leakage_safe_split_cluster_keyed_near_dups(spark):
+    """Near-dup variant: key on the connected-component id from the dedup
+    pair graph (fallback to own id for unclustered rows) — every cluster
+    co-assigns, singletons still split by their own key."""
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.graph import connected_components
+    from snowplow_s3_loader_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # clusters {0..3}, {10..12}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12)], "id_a long, id_b long"
+    )
+    comps = connected_components(pairs)
+    keyed = docs.join(
+        comps.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
+    )
+    out = leakage_safe_split(
+        keyed,
+        F.coalesce("component", F.col("doc_id")),
+        {"train": 0.5, "test": 0.5},
+    )
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len({got[i] for i in (0, 1, 2, 3)}) == 1
+    assert len({got[i] for i in (10, 11, 12)}) == 1
+    assert len(got) == 40
+
+
+def test_group_reservoir_deterministic_and_capped(spark):
+    """Per-group cap holds, the selected SET is row-order/partitioning
+    independent, and groups under the cap keep everything."""
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.sampling import group_reservoir
+
+    rows = [(i, "big" if i % 3 else "small") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    small_n = sum(1 for _, g in rows if g == "small")
+    out1 = group_reservoir(df, "grp", "id", 25)
+    got1 = {(r["grp"], r["id"]) for r in out1.collect()}
+    sizes = {}
+    for g, _ in ((r["grp"], r) for r in out1.collect()):
+        sizes[g] = sizes.get(g, 0) + 1
+    assert sizes["big"] == 25
+    assert sizes["small"] == min(25, small_n)
+    # re-partitioned + reversed input selects the SAME set
+    out2 = group_reservoir(
+        df.orderBy(F.desc("id")).repartition(7), "grp", "id", 25
+    )
+    got2 = {(r["grp"], r["id"]) for r in out2.collect()}
+    assert got1 == got2
