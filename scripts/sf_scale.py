@@ -138,7 +138,7 @@ def _knob_variants():
     }
 
 
-def run(out_dir: str, names: list[str]) -> None:
+def run(out_dir: str, names: list[str], factor: int = 10) -> None:
     import math
 
     from snowplow_s3_loader_spark.plans import queries as Q
@@ -188,7 +188,8 @@ def run(out_dir: str, names: list[str]) -> None:
                     "sec_sf0.1": times["small"],
                     "sec_sf1": times["big"],
                     "ratio": round(ratio, 2),
-                    "alpha": round(math.log(max(ratio, 1e-9)) / math.log(10), 2),
+                    "alpha": round(math.log(max(ratio, 1e-9)) / math.log(factor), 2),
+                    "factor": factor,
                 }
             ),
             flush=True,
@@ -213,7 +214,7 @@ def main() -> None:
         build(out, factor)
     elif cmd == "run":
         names = args or (HEAVY + list(_knob_variants()))
-        run(out, names)
+        run(out, names, factor)
     else:
         raise SystemExit(f"unknown command {cmd!r}")
 
