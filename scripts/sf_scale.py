@@ -98,6 +98,8 @@ def build(out_dir: str, factor: int = 10) -> None:
         ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({"factor": factor, "src": SRC}, f)
     for t in ("events", "documents", "embeddings"):
         n = con.execute(f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
         print(f"built {t}: {n} rows", flush=True)
@@ -213,6 +215,13 @@ def main() -> None:
     if cmd == "build":
         build(out, factor)
     elif cmd == "run":
+        # the exponent denominator must match what the dataset was BUILT
+        # with — read the build manifest unless --factor was given
+        if "--factor" not in sys.argv:
+            mpath = os.path.join(out, "manifest.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    factor = int(json.load(f)["factor"])
         names = args or (HEAVY + list(_knob_variants()))
         run(out, names, factor)
     else:

@@ -353,7 +353,13 @@ def checkpoint_nostats(
         df = df.repartition(n_parts, *partition_cols)
     ckpt = df.localCheckpoint(eager=True)
     if partition_cols and trust_partitioning:
-        _assert_trusted_layout(df, partition_cols, int(n_parts))
+        try:
+            _assert_trusted_layout(df, partition_cols, int(n_parts))
+        except AssertionError:
+            # don't leak the just-materialized blocks on a failed claim —
+            # pyspark's GC never frees them
+            release_materialized(ckpt)
+            raise
     jvm = sp._jvm
     try:
         j = ckpt._jdf
@@ -447,14 +453,28 @@ def _assert_trusted_layout(df: DataFrame, partition_cols: list[str], n_parts: in
         return
     import re
 
-    ok = (
-        n == n_parts
-        and "hashpartitioning(" in desc.lower()
-        # attribute refs render as `name#exprId`; anchor on the preceding
-        # delimiter so e.g. col "s" can't match inside "pos#3"
-        and all(
-            re.search(rf"[(, ]{re.escape(c)}#\d", desc) for c in partition_cols
-        )
+    # EXACT match required: parse every hashpartitioning(...) group in the
+    # description (a join output may report a PartitioningCollection of
+    # several) and accept only one whose expression list is precisely the
+    # claimed columns, as bare attribute refs (`name#exprId`), in order,
+    # at the claimed width. A substring check would bless supersets —
+    # claim hash(s) against an actual hash(s, d) layout — or
+    # expression-wrapped columns (hash(lower(k))), either of which still
+    # produces wrong co-partitioned join results downstream.
+    def _group_matches(args: str) -> bool:
+        parts = [a.strip() for a in args.split(",")]
+        if len(parts) != len(partition_cols) + 1:
+            return False
+        if not parts[-1].isdigit() or int(parts[-1]) != n_parts:
+            return False
+        for claimed, actual in zip(partition_cols, parts[:-1]):
+            if not re.fullmatch(rf"{re.escape(claimed)}#\d+L?", actual):
+                return False
+        return True
+
+    ok = n == n_parts and any(
+        _group_matches(m)
+        for m in re.findall(r"hashpartitioning\(([^()]*)\)", desc)
     )
     if not ok:
         raise AssertionError(

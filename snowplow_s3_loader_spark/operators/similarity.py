@@ -431,9 +431,11 @@ def ivf_recall_topk(
     `emb` — the scored pair frame is identical work, so share it).
 
     Mechanics: centroids come from the usual sampled driver Lloyd; the
-    query sample (everything matching `query_pred`, capped at
-    `max_queries` — an audit runs on a bounded sample by design) is
-    collected and broadcast as a numpy block. A single mapInPandas pass
+    query set (everything matching `query_pred`) is collected and
+    broadcast as a numpy block. An audit runs on a bounded sample by
+    design, so more than `max_queries` matches RAISES (no silent caps —
+    a truncated query set would score the overflow as recall failures);
+    tighten the predicate or raise the bound explicitly. A single mapInPandas pass
     then, per Arrow batch, (a) assigns each corpus vector's nearest
     centroid (GEMM argmax — same math as ivf_assign) and (b) scores it
     against ALL queries (one GEMM), emitting (query_id, neighbor_id,
@@ -459,15 +461,25 @@ def ivf_recall_topk(
     C = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
+    itype = emb.schema[id_col].dataType.simpleString()
     q_rows = (
         emb.filter(query_pred)
         .select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
         .orderBy("qid")
-        .limit(max_queries)
+        .limit(max_queries + 1)
         .collect()
     )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_recall_topk: query_pred matches more than max_queries="
+            f"{max_queries} vectors — a silently truncated audit would score "
+            "the overflow queries as recall failures; tighten the predicate "
+            "or raise max_queries explicitly"
+        )
     if not q_rows:
-        return emb.sparkSession.createDataFrame([], "query_id long, n_hits long")
+        # same query_id type as the non-empty path — schema must not
+        # depend on whether the predicate matched
+        return emb.sparkSession.createDataFrame([], f"query_id {itype}, n_hits long")
     qids = np.array([r["qid"] for r in q_rows])
     Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -478,33 +490,38 @@ def ivf_recall_topk(
     rows_idx = np.arange(len(qids))[:, None]
     probe_mask[rows_idx, order[:, : min(n_probe, len(cent_ids))]] = True
 
-    itype = emb.schema[id_col].dataType.simpleString()
-
     def _score(batches):
         import pandas as pd
 
+        # bound per-yield memory: the pair block is (q_chunk x B), never
+        # the full (max_queries x B) — at the 4096-query bound the
+        # unchunked version held >1 GB of transient arrays per task
+        q_chunk = 128  # queries per inner block
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             cpos = np.argmax(Vn @ Cn.T, axis=1)  # centroid POSITION per vector
-            sims = np.round(Qn @ Vn.T, 6)  # (q, B)
             ids = pdf["id"].to_numpy()
             B = len(ids)
-            qq = np.repeat(qids, B)
-            nn = np.tile(ids, len(qids))
-            mask = qq != nn  # drop self-pairs
-            yield pd.DataFrame(
-                {
-                    "query_id": qq[mask],
-                    "neighbor_id": nn[mask],
-                    "cos_sim": sims.ravel()[mask],
-                    "in_probe": probe_mask[
-                        np.repeat(np.arange(len(qids)), B), np.tile(cpos, len(qids))
-                    ][mask],
-                }
-            )
+            for q0 in range(0, len(qids), q_chunk):
+                q1 = min(q0 + q_chunk, len(qids))
+                nq = q1 - q0
+                sims = np.round(Qn[q0:q1] @ Vn.T, 6)  # (nq, B)
+                qq = np.repeat(qids[q0:q1], B)
+                nn = np.tile(ids, nq)
+                mask = qq != nn  # drop self-pairs
+                yield pd.DataFrame(
+                    {
+                        "query_id": qq[mask],
+                        "neighbor_id": nn[mask],
+                        "cos_sim": sims.ravel()[mask],
+                        "in_probe": probe_mask[
+                            np.repeat(np.arange(q0, q1), B), np.tile(cpos, nq)
+                        ][mask],
+                    }
+                )
 
     scored = emb.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
@@ -611,6 +628,7 @@ def semantic_dedup(
     seed: int = 7,
     sample_size: int = 2048,
     return_pairs: bool = False,
+    return_components: bool = False,
 ):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with seeded spherical
@@ -640,7 +658,14 @@ def semantic_dedup(
     call ``release_materialized(result)`` when done (same contract as
     ``connected_components``). The checkpoint is three narrow columns
     (id, centroid_id, keep) — the same order of footprint as the CC
-    output it replaces."""
+    output it replaces.
+
+    ``return_components=True`` (implies pairs) returns ``(result, pairs,
+    comps)`` with the internal component frame HANDED TO THE CALLER
+    instead of released — three release obligations. Auditors pass comps
+    to semantic_dedup_audit so the CC loop runs once, not twice; comps
+    never depends on the keep decisions, so reuse costs no
+    falsifiability."""
     from snowplow_s3_loader_spark.operators.dedup import (
         checkpoint_nostats,
         release_materialized,
@@ -654,7 +679,7 @@ def semantic_dedup(
     pairs = blocked_near_dup_pairs(
         assignments, "centroid_id", threshold=threshold, id_col="id", vec_col="v"
     )
-    if return_pairs:
+    if return_pairs or return_components:
         pairs = checkpoint_nostats(pairs)
     comps = connected_components(pairs)
     losers = comps.where(F.col("node") != F.col("component")).select(
@@ -665,15 +690,22 @@ def semantic_dedup(
         .join(losers, "id", "left")
         .select("id", "centroid_id", F.coalesce("keep", F.lit(1)).alias("keep"))
     )
+    if return_components:
+        return result, pairs, comps
     release_materialized(comps)
     return (result, pairs) if return_pairs else result
 
 
-def semantic_dedup_audit(res: DataFrame, pairs: DataFrame) -> DataFrame:
+def semantic_dedup_audit(
+    res: DataFrame,
+    pairs: DataFrame,
+    comps: DataFrame | None = None,
+    materialize: bool = False,
+) -> DataFrame:
     """FALSIFIABLE audit of a semantic_dedup result against its pair
-    graph: recomputes connected components of ``pairs`` independently of
-    the keep/drop decisions in ``res`` (id, centroid_id, keep) and emits
-    one row per vector,
+    graph: the component structure of ``pairs`` is evaluated
+    independently of the keep/drop decisions in ``res`` (id, centroid_id,
+    keep) and one row is emitted per vector,
 
         ok = 1 iff (not in the pair graph and kept) OR (in the pair
              graph and its component has EXACTLY one survivor, which is
@@ -683,11 +715,26 @@ def semantic_dedup_audit(res: DataFrame, pairs: DataFrame) -> DataFrame:
     dropped isolated vector each flip ok -> 0 for the affected rows —
     this is the engine-side invariant behind q71 (round-5 ADVICE: the
     previous formulation was tautological). Returns (vec_id, ok int),
-    unordered. Leaves one releasable checkpoint behind (the recomputed
-    component frame feeding the joins)."""
+    unordered.
+
+    ``comps`` may be the component frame semantic_dedup already computed
+    (``return_components=True``) — the components never depend on the
+    keep decisions, so reusing them costs no falsifiability and skips a
+    second CC loop; ownership stays with the caller. When None, CC runs
+    here and the frame is this call's checkpoint. ``materialize=True``
+    checkpoints the (narrow, two-column) audit output and releases any
+    internally-computed comps before returning — the caller then owns
+    exactly one checkpoint (the result); otherwise the lazy result reads
+    the comps checkpoint and the caller must keep it alive."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        release_materialized,
+    )
     from snowplow_s3_loader_spark.operators.graph import connected_components
 
-    comps = connected_components(pairs)
+    own_comps = comps is None
+    if own_comps:
+        comps = connected_components(pairs)
     in_graph = res.join(comps, res.id == comps.node, "inner")
     comp_ok = (
         in_graph.groupBy("component")
@@ -703,7 +750,7 @@ def semantic_dedup_audit(res: DataFrame, pairs: DataFrame) -> DataFrame:
             .alias("comp_ok"),
         )
     )
-    return (
+    out = (
         res.join(comps.select(F.col("node").alias("id"), "component"), "id", "left")
         .join(comp_ok, "component", "left")
         .select(
@@ -713,3 +760,8 @@ def semantic_dedup_audit(res: DataFrame, pairs: DataFrame) -> DataFrame:
             .alias("ok"),
         )
     )
+    if materialize:
+        out = checkpoint_nostats(out)
+        if own_comps:
+            release_materialized(comps)
+    return out

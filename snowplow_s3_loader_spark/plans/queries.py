@@ -1183,12 +1183,21 @@ def q71_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the hashed columns (engine-specific); the audit itself is
     falsifiability-tested in pytest with deliberately perturbed keep
     decisions, and the operator is differentially tested on planted
-    tight groups (exactly one survivor each)."""
+    tight groups (exactly one survivor each). The component frame is
+    computed once and shared with the audit (it never depends on the
+    keep decisions); the audit output is materialized so every internal
+    checkpoint is released here — one narrow (vec_id, ok) checkpoint is
+    the query's only residue."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+
     emb = load_table(spark, sf_dir, "embeddings")
-    res, pairs = similarity.semantic_dedup(
-        emb, n_clusters=8, threshold=0.35, seed=7, return_pairs=True
+    res, pairs, comps = similarity.semantic_dedup(
+        emb, n_clusters=8, threshold=0.35, seed=7, return_components=True
     )
-    return similarity.semantic_dedup_audit(res, pairs).orderBy("vec_id")
+    out = similarity.semantic_dedup_audit(res, pairs, comps=comps, materialize=True)
+    for frame in (res, pairs, comps):
+        release_materialized(frame)
+    return out.orderBy("vec_id")
 
 
 def q72_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:

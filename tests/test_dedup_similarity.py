@@ -408,3 +408,68 @@ def test_ivf_recall_topk_matches_two_scan_composition(spark):
     assert {q: n for q, n in got.items() if n > 0} == want
     assert set(got) == {0, 20, 40, 60, 80, 100}
 
+
+
+def test_ivf_recall_topk_cap_and_empty_schema(spark):
+    """No silent caps: exceeding max_queries raises instead of scoring the
+    overflow as recall failures; an empty query set returns the same
+    query_id type as the non-empty path (int here, not a hardcoded long)."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.similarity import ivf_recall_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.normal(0, 1, 8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_recall_topk(
+            emb, F.col("vec_id") % 2 == 0, k=3, n_centroids=4, max_queries=10
+        )
+
+    empty = ivf_recall_topk(
+        emb, F.col("vec_id") < 0, k=3, n_centroids=4, max_queries=10
+    )
+    assert dict(empty.dtypes)["query_id"] == "int"
+    assert empty.count() == 0
+
+
+def test_semantic_dedup_shared_components_audit_single_residue(spark):
+    """return_components hands the caller three releasable frames; the
+    materialized audit reuses comps (one CC pass) and after releasing all
+    three inputs exactly one checkpoint (the audit output) remains."""
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_audit,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g in range(3):
+        center = np.zeros(12)
+        center[g * 4 : g * 4 + 4] = 1.0
+        for i in range(4):
+            rows.append(
+                (g * 4 + i, [float(x) for x in center + rng.normal(0, 0.01, 12)])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    res, pairs, comps = semantic_dedup(
+        emb, n_clusters=3, threshold=0.9, seed=7, sample_size=32,
+        return_components=True,
+    )
+    out = semantic_dedup_audit(res, pairs, comps=comps, materialize=True)
+    for frame in (res, pairs, comps):
+        release_materialized(frame)
+    got = {r["vec_id"]: r["ok"] for r in out.collect()}
+    assert len(got) == 12 and all(v == 1 for v in got.values())
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    release_materialized(out)
+    assert jsc.getPersistentRDDs().size() <= before

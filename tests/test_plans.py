@@ -327,13 +327,26 @@ def test_checkpoint_nostats_trust_claim_verified(spark, sf_dir):
     assert good.count() == 200
     release_materialized(good)
 
-    # false claims: wrong key / wrong width / no repartition at all
+    # false claims: wrong key / wrong width / no repartition at all /
+    # SUPERSET layout (hash(k,v) does NOT satisfy a hash(k) claim — a
+    # substring check would bless it and downstream co-partitioned joins
+    # on k would silently drop matches)
     with pytest.raises(AssertionError, match="trust_partitioning"):
         checkpoint_nostats(base.repartition(8, "v"), 8, ["k"], trust_partitioning=True)
     with pytest.raises(AssertionError, match="trust_partitioning"):
         checkpoint_nostats(base.repartition(4, "k"), 8, ["k"], trust_partitioning=True)
     with pytest.raises(AssertionError, match="trust_partitioning"):
         checkpoint_nostats(base, 8, ["k"], trust_partitioning=True)
+    # no block leak from a failed claim: the failing path must release
+    # the checkpoint it just materialized before raising (relative count:
+    # the shared session may hold other tests' blocks)
+    jsc = spark.sparkContext._jsc.sc()
+    before_blocks = jsc.getPersistentRDDs().size()
+    with pytest.raises(AssertionError, match="trust_partitioning"):
+        checkpoint_nostats(
+            base.repartition(8, "k", "v"), 8, ["k"], trust_partitioning=True
+        )
+    assert jsc.getPersistentRDDs().size() <= before_blocks
 
 
 def test_q73_group_reservoir_rank_pushdown(spark, sf_dir):
