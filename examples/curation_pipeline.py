@@ -8,8 +8,12 @@ Stages (each one a first-class operator elsewhere in the repo):
   4. hygiene: benchmark decontamination, cross-document repeated-span
      removal (ExactSubstr-style), PII redaction
   5. quality gating: Gopher-style repetition signals + bigram-LM
-     cross-entropy band
-  6. deterministic train/val/test split of the survivors
+     cross-entropy band + hashed-linear classifier scores
+  6. corpus statistics: Misra-Gries heavy hitters (induced stopword
+     candidates, bounded state however large the vocabulary)
+  7. deterministic train/val/test split of the survivors
+  8. z-order layout write of the train split (multi-column file
+     skipping for downstream readers)
 
 Run:  PYTHONPATH=. python examples/curation_pipeline.py [sf_dir]
 """
@@ -17,6 +21,7 @@ Run:  PYTHONPATH=. python examples/curation_pipeline.py [sf_dir]
 from __future__ import annotations
 
 import sys
+import tempfile
 
 from pyspark.sql import functions as F
 
@@ -29,7 +34,9 @@ from snowplow_s3_loader_spark.operators.dedup import (
 from snowplow_s3_loader_spark.operators.graph import dedup_keep_canonical
 from snowplow_s3_loader_spark.operators.lm import bigram_lm_scores
 from snowplow_s3_loader_spark.operators.sampling import deterministic_split
-from snowplow_s3_loader_spark.operators.text import repetition_stats
+from snowplow_s3_loader_spark.operators.layout import zorder_repartition
+from snowplow_s3_loader_spark.operators.sketches import heavy_hitters
+from snowplow_s3_loader_spark.operators.text import hashed_linear_score, repetition_stats
 from snowplow_s3_loader_spark.session import get_spark
 from snowplow_s3_loader_spark.tables import load_table
 
@@ -86,11 +93,31 @@ def main() -> None:
         )
     )
     docs = docs.join(good_ids, "doc_id", "left_semi")
+    # model-based quality signal kept alongside (hashed-linear scoring;
+    # swap the deterministic weights for a trained model's)
+    score, label = hashed_linear_score(F.col("text"))
+    docs = docs.select("*", score, label)
     n4 = docs.count()
 
-    # 6) deterministic split
+    # 6) corpus statistics: induced stopword candidates via bounded-state
+    # Misra-Gries (the exact groupBy would carry the whole vocabulary)
+    top = heavy_hitters(docs, "text", capacity=512, k=8).collect()
+
+    # 7) deterministic split
     split = deterministic_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
     counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+
+    # 8) z-order the train split on (lang-bucket, doc length) so
+    # downstream per-language or per-length readers skip files
+    train = split.filter(F.col("split") == "train")
+    laid_out = zorder_repartition(
+        train,
+        [(F.xxhash64("lang"), 16), (F.length("text"), 1024)],
+        num_partitions=8,
+        bits=10,
+    )
+    out_dir = tempfile.mkdtemp(prefix="curated_train_")
+    laid_out.drop("__zval").write.mode("overwrite").parquet(out_dir)
 
     release_materialized(pairs)
     print(f"input                      : {n0}")
@@ -98,7 +125,9 @@ def main() -> None:
     print(f"after near-dup clustering  : {n2}")
     print(f"after decontamination      : {n3}")
     print(f"after quality gates        : {n4}")
+    print(f"top tokens (MG sketch)     : {[r['token'] for r in top]}")
     print(f"splits                     : {counts}")
+    print(f"train written z-ordered to : {out_dir}")
     spark.stop()
 
 

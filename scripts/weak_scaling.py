@@ -425,6 +425,121 @@ def chunking_case(spark, n_docs: int) -> dict:
     return {"case": "chunking", "docs": n_docs, "chunks": n_chunks, "sec": round(dt, 2)}
 
 
+def bloom_case(spark, n_big: int) -> dict:
+    """Blocked-bloom prefiltered semi join (round-6): n_big probe rows vs
+    a 1% key side, broadcast disabled so the exact join is an SMJ both
+    ways (the big-big case the operator exists for). Reports bloom wall,
+    plain-semi wall, and the probe-side reduction the bloom achieved;
+    wall must grow ~linearly with n_big."""
+    from snowplow_s3_loader_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_prefilter_semi_join,
+    )
+
+    big = spark.range(n_big).select(
+        (F.xxhash64("id") % 1_000_003).alias("k"), F.col("id").alias("payload")
+    )
+    keys = (
+        spark.range(n_big // 100)
+        .select((F.xxhash64(F.col("id") + 7) % 1_000_003).alias("k"))
+        .distinct()
+    )
+    n_keys = keys.count()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = bloom_prefilter_semi_join(big, keys, "k", n_keys=n_keys)
+        res.count()  # warm
+        t0 = time.perf_counter()
+        n_match = res.count()
+        bloom_s = time.perf_counter() - t0
+        plain = big.join(keys, "k", "left_semi")
+        plain.count()
+        t0 = time.perf_counter()
+        n_plain = plain.count()
+        plain_s = time.perf_counter() - t0
+        assert n_match == n_plain, (n_match, n_plain)
+        n_blocks = max(64, -(-n_keys * 16 // 64))
+        filt = bloom_build(keys, "k", n_blocks)
+        n_pre = bloom_might_contain(big, "k", filt, n_blocks).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return {
+        "case": "bloom",
+        "big": n_big,
+        "keys": n_keys,
+        "matched": n_match,
+        "prefilter_kept_frac": round(n_pre / n_big, 4),
+        "bloom_sec": round(bloom_s, 2),
+        "plain_semi_sec": round(plain_s, 2),
+    }
+
+
+def heavy_hitters_case(spark, n_docs: int) -> dict:
+    """Misra-Gries heavy hitters (round-6): zipf-ish corpus (token j of
+    doc i appears ~40/j times, vocabulary grows with the corpus via a
+    per-doc suffix so the open-vocabulary pressure is realistic).
+    Summary rows stay bounded by capacity x partitions regardless of
+    vocabulary; wall must grow ~linearly with tokens."""
+    from snowplow_s3_loader_spark.operators.sketches import (
+        heavy_hitter_audit,
+        mg_token_summary,
+    )
+
+    head = " ".join(f"t{j}" for j in range(1, 30) for _ in range(30 // j))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(head + " "), F.lit("rare"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    summary = mg_token_summary(docs, "text", capacity=256)
+    summary.count()  # warm
+    t0 = time.perf_counter()
+    n_rows = summary.count()
+    dt = time.perf_counter() - t0
+    audit = heavy_hitter_audit(docs, "text", capacity=256, k=10).collect()
+    ok = all(r["found"] == 1 and r["bound_ok"] == 1 for r in audit)
+    return {
+        "case": "heavy_hitters",
+        "docs": n_docs,
+        "summary_rows": n_rows,
+        "audit_ok": ok,
+        "sec": round(dt, 2),
+    }
+
+
+def zorder_case(spark, n_rows: int) -> dict:
+    """Z-order layout rewrite (round-6): time the full
+    repartitionByRange+sort rewrite and record the measured worst-column
+    skipping range at both scales — the layout quality must be
+    scale-invariant while wall grows ~linearly."""
+    from snowplow_s3_loader_spark.operators.layout import (
+        skipping_effectiveness,
+        zorder_repartition,
+    )
+
+    df = spark.range(n_rows).select(
+        (F.xxhash64("id") % 1024).alias("x"),
+        (F.xxhash64(F.col("id") + 3) % 1024).alias("y"),
+    )
+    specs = [(F.col("x"), 1024), (F.col("y"), 1024)]
+    z = zorder_repartition(df, specs, 32)
+    z.count()  # warm
+    t0 = time.perf_counter()
+    z.count()
+    dt = time.perf_counter() - t0
+    eff = skipping_effectiveness(df, specs, 32)
+    return {
+        "case": "zorder",
+        "rows": n_rows,
+        "worst_col_z": round(max(eff["zorder"]), 4),
+        "worst_col_linear": round(max(eff["linear"]), 4),
+        "sec": round(dt, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -451,6 +566,15 @@ def main() -> None:
     if which in ("chunking", "all"):
         out.append(chunking_case(spark, 20_000))
         out.append(chunking_case(spark, 200_000))
+    if which in ("bloom", "all"):
+        out.append(bloom_case(spark, 1_000_000))
+        out.append(bloom_case(spark, 10_000_000))
+    if which in ("heavy", "all"):
+        out.append(heavy_hitters_case(spark, 20_000))
+        out.append(heavy_hitters_case(spark, 200_000))
+    if which in ("zorder", "all"):
+        out.append(zorder_case(spark, 1_000_000))
+        out.append(zorder_case(spark, 10_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()

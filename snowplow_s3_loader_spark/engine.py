@@ -114,3 +114,45 @@ class Engine:
         from snowplow_s3_loader_spark.operators.sampling import temperature_resample
 
         return temperature_resample(docs, id_col, class_col, alpha, target_frac)
+
+    def semi_join_filtered(
+        self, big: DataFrame, keys: DataFrame, on, bits_per_key: int = 16
+    ) -> DataFrame:
+        """Exact big-big semi join with a blocked-bloom runtime prefilter
+        (operators.bloom) — the shuffle only moves bloom survivors."""
+        from snowplow_s3_loader_spark.operators.bloom import bloom_prefilter_semi_join
+
+        return bloom_prefilter_semi_join(big, keys, on, bits_per_key=bits_per_key)
+
+    def heavy_hitters(
+        self, docs: DataFrame, text_col: str, capacity: int = 1024, k: int = 20
+    ) -> DataFrame:
+        """Corpus-frequent tokens via mergeable Misra-Gries summaries
+        (operators.sketches) — bounded executor state on open
+        vocabularies; est_count <= true <= est_count + err_bound."""
+        from snowplow_s3_loader_spark.operators.sketches import heavy_hitters
+
+        return heavy_hitters(docs, text_col, capacity, k)
+
+    def zorder(
+        self, df: DataFrame, specs, num_partitions: int, bits: int = 10
+    ) -> DataFrame:
+        """Z-order (Morton) layout rewrite for multi-column file skipping
+        (operators.layout); specs = [(column, modulus), ...] with moduli
+        matched to the occupied value domains."""
+        from snowplow_s3_loader_spark.operators.layout import zorder_repartition
+
+        return zorder_repartition(df, specs, num_partitions, bits)
+
+    def quality_scores(
+        self, docs: DataFrame, id_col: str, text_col: str,
+        dim: int = 4096, seed: int = 0,
+    ) -> DataFrame:
+        """Hashed bag-of-words linear classifier scoring (operators.text
+        hashed_linear_score): (id, score_micro, label)."""
+        from pyspark.sql import functions as F
+
+        from snowplow_s3_loader_spark.operators.text import hashed_linear_score
+
+        score, label = hashed_linear_score(F.col(text_col), dim=dim, seed=seed)
+        return docs.select(F.col(id_col).alias("id"), score, label)

@@ -57,16 +57,26 @@ def ngram_contamination(
     text_col: str,
     bench_text_col: str | None = None,
     n: int = 8,
+    benchmark_broadcast: bool = True,
 ) -> DataFrame:
     """(id, n_shared_ngrams, contaminated) per corpus document: how many
     of the document's distinct word n-grams appear anywhere in the
     benchmark, and whether any do.
 
-    The benchmark n-gram set is distinct-aggregated and broadcast (eval
-    benchmarks are tiny next to a pretraining corpus); documents with no
-    overlap survive the left join with count 0 — every input row is
-    present in the output, so the operator composes with filters either
-    way (drop contaminated / route to audit).
+    With benchmark_broadcast=True (default) the benchmark n-gram set is
+    distinct-aggregated and broadcast (eval benchmarks are tiny next to a
+    pretraining corpus). When the "benchmark" is itself huge — e.g.
+    decontaminating against every eval suite ever published, or against
+    another corpus — set benchmark_broadcast=False: the corpus-side gram
+    stream is then reduced by a blocked-bloom prefilter (a compact bit_or
+    filter over the benchmark grams, broadcast in place of the grams
+    themselves) before the exact semi join, so the big-big join's shuffle
+    only moves grams the bloom passed. Results are identical (the bloom
+    is exact-after-confirmation); pytest pins the equality.
+
+    Documents with no overlap survive the left join with count 0 — every
+    input row is present in the output, so the operator composes with
+    filters either way (drop contaminated / route to audit).
     """
     bench_text = bench_text_col or text_col
     bench_grams = (
@@ -77,11 +87,13 @@ def ngram_contamination(
         F.col(id_col).alias("id"),
         F.explode_outer(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
     )
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_shared_ngrams"))
-    )
+    if benchmark_broadcast:
+        matched = doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+    else:
+        from snowplow_s3_loader_spark.operators.bloom import bloom_prefilter_semi_join
+
+        matched = bloom_prefilter_semi_join(doc_grams, bench_grams, "gram")
+    hits = matched.groupBy("id").agg(F.count("*").alias("n_shared_ngrams"))
     base = docs.select(F.col(id_col).alias("id"))
     return base.join(hits, "id", "left").select(
         "id",

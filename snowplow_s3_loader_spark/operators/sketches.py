@@ -1,0 +1,144 @@
+"""Mergeable frequency sketches: distributed Misra-Gries heavy hitters.
+
+(Beyond the reference's surface — SURVEY.md SS7.8 scale extensions.)
+
+Corpus-wide frequent-token discovery is the building block behind
+stopword induction, boilerplate detection, and vocabulary pruning. The
+exact answer is one `groupBy(token).count()` — a shuffle whose map-side
+combine state is the full distinct-token vocabulary. At 100 TB web scale
+the vocabulary (URLs, hashes, typos) is itself huge; the standard fix is
+a bounded-memory mergeable summary per partition.
+
+This module implements Misra-Gries summaries with the merge rule of
+Agarwal et al., "Mergeable Summaries" (PODS 2012): each partition keeps
+at most `capacity` counters (numpy-compacted: merge a batch Counter,
+then subtract the (capacity+1)-largest count and drop non-positives);
+partial summaries merge by summing counters per token. The merged
+estimate `est` of every token satisfies
+
+    true_count - n_total / (capacity + 1)  <=  est  <=  true_count
+
+so every token with true frequency above n_total/(capacity+1) is
+guaranteed present in the merged summary (the classic MG guarantee,
+preserved under merging).
+
+Scale shape: the token stream never shuffles — each partition reduces to
+<= capacity rows inside mapInPandas (Arrow-batched; the per-batch work is
+a C-speed Counter + one numpy partition/compact), and only the tiny
+candidate sets shuffle into the final per-token sum. Python is justified
+here exactly because the JVM path (hash aggregate) cannot bound its
+state; the transfer is one string column.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators.text import tokens
+
+
+def _mg_partition(
+    batches: Iterator[pd.DataFrame], capacity: int
+) -> Iterator[pd.DataFrame]:
+    """One Misra-Gries summary per partition: merge each Arrow batch's
+    Counter, compact to `capacity` counters by subtracting the
+    (capacity+1)-largest count (batch-decrement MG; error accrues only
+    through subtractions, which total <= n_partition/(capacity+1))."""
+    import numpy as np
+
+    state: Counter = Counter()
+    for pdf in batches:
+        state.update(Counter(pdf["tok"].to_numpy()))
+        if len(state) > capacity:
+            toks = np.array(list(state.keys()), dtype=object)
+            vals = np.fromiter(state.values(), dtype=np.int64, count=len(state))
+            thresh = np.partition(vals, -(capacity + 1))[-(capacity + 1)]
+            keep = vals > thresh
+            state = Counter(dict(zip(toks[keep], (vals[keep] - thresh).tolist())))
+    if state:
+        yield pd.DataFrame(
+            {"token": list(state.keys()), "partial": list(state.values())}
+        )
+
+
+def mg_token_summary(
+    df: DataFrame, text_col: str, capacity: int = 1024
+) -> DataFrame:
+    """(token, est_count) merged Misra-Gries summary of the corpus token
+    stream — at most `capacity` rows per input partition ever leave the
+    executors, independent of vocabulary size."""
+    tok_df = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    partials = tok_df.mapInPandas(
+        lambda it: _mg_partition(it, capacity), schema="token string, partial long"
+    )
+    return partials.groupBy("token").agg(F.sum("partial").alias("est_count"))
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str, capacity: int = 1024, k: int = 20
+) -> DataFrame:
+    """Top-k frequent tokens by merged-MG estimate, with the deterministic
+    error bound attached: (token, est_count, err_bound) where
+    err_bound = floor(n_total / (capacity+1)) and
+    est_count <= true_count <= est_count + err_bound. Note est_count
+    (and therefore the ranking) depends on the input partitioning —
+    callers needing reproducible ranks use heavy_hitter_audit (which
+    checks the sketch against the exact counts) or the exact groupBy."""
+    summary = mg_token_summary(df, text_col, capacity)
+    n_total = df.select(F.sum(F.size(tokens(F.col(text_col)))).alias("n")).collect()[
+        0
+    ]["n"] or 0
+    err = int(n_total) // (capacity + 1)
+    return (
+        summary.orderBy(F.desc("est_count"), "token")
+        .limit(k)
+        .select("token", "est_count", F.lit(err).cast("long").alias("err_bound"))
+    )
+
+
+def heavy_hitter_audit(
+    df: DataFrame, text_col: str, capacity: int = 1024, k: int = 20
+) -> DataFrame:
+    """FALSIFIABLE invariant rows for the sketch (the q37/q48 pattern):
+    for each of the exact top-k tokens (by exact count, ties by token),
+    emit
+
+        (token, exact_count, found, bound_ok)
+
+    where found = 1 iff the token is present in the merged MG summary
+    (guaranteed whenever exact_count > n_total/(capacity+1)) and
+    bound_ok = 1 iff exact - err <= est <= exact. The oracle recomputes
+    token/exact_count exactly and emits literal 1s: a sketch that loses
+    a guaranteed heavy hitter, or whose estimate leaves the MG interval,
+    flips a 0 into the hashed columns and fails the hash. Tokens at or
+    below the guarantee threshold n_total/(capacity+1) are excluded from
+    the audit (the MG guarantee doesn't cover them).
+    """
+    tok_df = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    exact = tok_df.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    n_total = df.select(F.sum(F.size(tokens(F.col(text_col)))).alias("n")).collect()[
+        0
+    ]["n"] or 0
+    err = int(n_total) // (capacity + 1)
+    topk = (
+        exact.orderBy(F.desc("exact_count"), "tok")
+        .limit(k)
+        .filter(F.col("exact_count") > F.lit(err))
+    )
+    summary = mg_token_summary(df, text_col, capacity)
+    joined = topk.join(summary, topk.tok == summary.token, "left")
+    return joined.select(
+        F.col("tok").alias("token"),
+        "exact_count",
+        F.col("est_count").isNotNull().cast("int").alias("found"),
+        (
+            F.col("est_count").isNotNull()
+            & (F.col("est_count") <= F.col("exact_count"))
+            & (F.col("est_count") >= F.col("exact_count") - F.lit(err))
+        ).cast("int").alias("bound_ok"),
+    )

@@ -208,6 +208,43 @@ def chunk_documents(
     )
 
 
+def hashed_feature_bucket(tok: Column, dim: int) -> Column:
+    """Feature-hashing bucket for one token (Weinberger et al., "Feature
+    Hashing for Large Scale Multitask Learning", ICML'09): first 8 hex
+    chars of md5 as an integer, mod dim. md5 keeps the bucket assignment
+    engine-portable (DuckDB: CAST('0x'||substr(md5(t),1,8) AS BIGINT)) —
+    the same hash family the MinHash/split operators already use."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+
+
+def hashed_linear_score(
+    text: Column, dim: int = 4096, seed: int = 0
+) -> tuple[Column, Column]:
+    """(score_micro, label) of a hashed bag-of-words linear classifier —
+    the fastText-style quality-model scoring path with the model weights
+    generated deterministically from the bucket index (a Knuth
+    multiplicative mix into [-1e6, 1e6] micro-units), so the full scoring
+    pipeline — tokenize, feature-hash, weight lookup, accumulate — is
+    exercised without shipping a weight file. Swapping in trained weights
+    means replacing `w` with element_at(<broadcast weight array>, bucket).
+
+    Integer micro-units end to end: the per-token weight and the document
+    sum are exact BIGINT math, so the DuckDB oracle hash-matches without
+    float tolerance. Pure JVM expressions (one transform + aggregate per
+    row), zero shuffle, zero Python.
+    """
+    toks = tokens(text)
+
+    def w(tok: Column) -> Column:
+        b = hashed_feature_bucket(tok, dim)
+        return (b * F.lit(2654435761) + F.lit(seed) * F.lit(1000003)) % F.lit(
+            2000001
+        ) - F.lit(1000000)
+
+    score = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + w(t))
+    return score.alias("score_micro"), (score > 0).alias("label")
+
+
 def bigrams(text: Column) -> Column:
     """Adjacent word-2-grams of the whitespace token stream."""
     toks = tokens(text)

@@ -4,11 +4,12 @@ The grading driver records CORRECTNESS rows for at most ~50 ``queries()``
 entries, and rounds 2-3 declared more: 18 queries per round went formally
 dark even though they pass the cold-session oracle check. This module
 folds the single-purpose batteries into per-family composites so that the
-DRIVER-FACING registry (``DRIVER_QUERIES``, 50 entries: 35 surviving
-singles + 15 composites incl. the round-4 hygiene battery) covers every
-operator family inside the cap, while every original single-purpose query
-stays importable, pytest-verified (``QUERIES_ALL``), and benchmarked
-(bench.py keeps timing the singles so per-round numbers stay comparable).
+DRIVER-FACING registry (``DRIVER_QUERIES``, 50 entries: 34 surviving
+singles + 16 composites incl. the round-4 hygiene battery and the round-6
+scale-toolkit battery) covers every operator family inside the cap, while
+every original single-purpose query stays importable, pytest-verified
+(``QUERIES_ALL``), and benchmarked (bench.py keeps timing the singles so
+per-round numbers stay comparable).
 
 Composite design rules:
   - a composite either UNIONs the member results under a tag column
@@ -171,15 +172,27 @@ def q26_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q27_ann_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN battery: brute-force cosine top-5 (q27) + SRP-LSH bucketed top-5
-    (q28, deterministic given its literal planes), tagged union."""
+    """Embedding-similarity battery: brute-force cosine top-5 (q27) +
+    SRP-LSH bucketed top-5 (q28, deterministic given its literal planes) +
+    label-blocked exact near-dup pairs (q50, rank-less), tagged union."""
     brute = q.q27_ann_topk(spark, sf_dir).select(
         F.lit("brute").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank"
     )
     srp = q.q28_ann_srp(spark, sf_dir).select(
         F.lit("srp").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank"
     )
-    return brute.union(srp).orderBy("method", "query_id", "rank")
+    neardup = q.q50_embedding_near_dup(spark, sf_dir).select(
+        F.lit("neardup").alias("method"),
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "cos_sim",
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return (
+        brute.union(srp)
+        .union(neardup)
+        .orderBy("method", "query_id", F.asc_nulls_last("rank"), "neighbor_id")
+    )
 
 
 def q29_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,6 +392,56 @@ def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-toolkit battery (round-6 widening): blocked-bloom prefiltered
+    semi join (q74), Misra-Gries heavy-hitter audit (q75), z-order layout
+    keys (q76), hashed-linear quality scoring (q77) — tagged union with
+    the members' columns coerced onto (battery, key, v1, v2, v3), the
+    same normalization the sampling battery uses."""
+    bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
+        F.lit("bloom").alias("battery"),
+        F.col("l_returnflag").alias("key"),
+        F.col("n_items").cast("long").alias("v1"),
+        F.col("key_checksum").cast("long").alias("v2"),
+        F.col("n_orders").cast("long").alias("v3"),
+    )
+    hh = q.q75_heavy_hitters(spark, sf_dir).select(
+        F.lit("heavy").alias("battery"),
+        F.col("token").alias("key"),
+        F.col("exact_count").cast("long").alias("v1"),
+        F.col("found").cast("long").alias("v2"),
+        F.col("bound_ok").cast("long").alias("v3"),
+    )
+    zord = q.q76_zorder_layout(spark, sf_dir).select(
+        F.lit("zorder").alias("battery"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("zval").cast("long").alias("v1"),
+        F.col("x_bucket").cast("long").alias("v2"),
+        F.col("y_bucket").cast("long").alias("v3"),
+    )
+    clf = q.q77_quality_classifier(spark, sf_dir).select(
+        F.lit("classifier").alias("battery"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("score_micro").cast("long").alias("v1"),
+        F.col("label").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    quant = q.q78_approx_quantiles(spark, sf_dir).select(
+        F.lit("quantile").alias("battery"),
+        F.concat_ws("@", "event_type", F.col("p").cast("string")).alias("key"),
+        F.col("n").cast("long").alias("v1"),
+        F.col("within_bound").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    return (
+        bloom_rows.union(hh)
+        .union(zord)
+        .union(clf)
+        .union(quant)
+        .orderBy("battery", "key", "v1")
+    )
+
+
 def q69_hygiene_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data hygiene battery: benchmark decontamination (5-gram
     overlap vs the doc_id%37 slice as a stand-in eval set) + PII
@@ -444,6 +507,7 @@ COMPOSITES = {
         q54_pivot_unpivot,
         q58_sampling_battery,
         q69_hygiene_battery,
+        q74_scale_battery,
     ]
 }
 
@@ -467,6 +531,10 @@ _FOLDED = {
     "q54_pivot", "q55_unpivot",
     "q58_deterministic_split", "q61_stratified_sample",
     "q72_leakage_safe_split", "q73_group_reservoir",
+    "q50_embedding_near_dup",
+    "q74_bloom_semi_join", "q75_heavy_hitters",
+    "q76_zorder_layout", "q77_quality_classifier",
+    "q78_approx_quantiles",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -798,7 +866,37 @@ FROM ({ORACLES["q27_ann_topk"]})
 UNION ALL
 SELECT 'srp' AS method, query_id, neighbor_id, cos_sim, rank
 FROM ({ORACLES["q28_ann_srp"]})
-ORDER BY method, query_id, rank
+UNION ALL
+SELECT 'neardup' AS method, id_a AS query_id, id_b AS neighbor_id, cos_sim,
+       CAST(NULL AS INTEGER) AS rank
+FROM ({ORACLES["q50_embedding_near_dup"]})
+ORDER BY method, query_id, rank ASC NULLS LAST, neighbor_id
+"""
+
+COMPOSITE_ORACLES["q74_scale_battery"] = f"""
+SELECT 'bloom' AS battery, l_returnflag AS key,
+       n_items AS v1, key_checksum AS v2, n_orders AS v3
+FROM ({ORACLES["q74_bloom_semi_join"]})
+UNION ALL
+SELECT 'heavy' AS battery, token AS key,
+       exact_count AS v1, CAST(found AS BIGINT) AS v2,
+       CAST(bound_ok AS BIGINT) AS v3
+FROM ({ORACLES["q75_heavy_hitters"]})
+UNION ALL
+SELECT 'zorder' AS battery, CAST(event_id AS VARCHAR) AS key,
+       zval AS v1, x_bucket AS v2, y_bucket AS v3
+FROM ({ORACLES["q76_zorder_layout"]})
+UNION ALL
+SELECT 'classifier' AS battery, CAST(doc_id AS VARCHAR) AS key,
+       score_micro AS v1, CAST(label AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q77_quality_classifier"]})
+UNION ALL
+SELECT 'quantile' AS battery,
+       event_type || '@' || CAST(p AS VARCHAR) AS key,
+       n AS v1, CAST(within_bound AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q78_approx_quantiles"]})
+ORDER BY battery, key, v1
 """
 
 COMPOSITE_ORACLES["q69_hygiene_battery"] = r"""

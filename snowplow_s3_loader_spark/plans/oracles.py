@@ -993,3 +993,70 @@ SELECT event_type,
        CAST(sum(event_id) AS BIGINT) AS sum_id
 FROM ranked WHERE rk <= 50 GROUP BY event_type ORDER BY event_type
 """
+
+# q74: the bloom prefilter is exact by construction (false positives are
+# removed by the exact semi join), so the oracle is the plain semi join;
+# a bloom that DROPPED a true match would change these integer checksums.
+ORACLES["q74_bloom_semi_join"] = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+# q75: exact top-15 tokens (count desc, token asc — deterministic ties)
+# above the MG guarantee threshold n_total/(capacity+1); found/bound_ok
+# are literal 1s the Spark-side sketch audit must reproduce.
+ORACLES["q75_heavy_hitters"] = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+        FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(exact_count) AS BIGINT) AS n FROM cnt),
+topk AS (SELECT token, exact_count FROM cnt
+         ORDER BY exact_count DESC, token LIMIT 15)
+SELECT token, exact_count, 1 AS found, 1 AS bound_ok
+FROM topk, tot
+WHERE exact_count > CAST(floor(n / 257) AS BIGINT)
+ORDER BY exact_count DESC, token
+"""
+
+# q76: Morton interleave of the low 10 bits of (user_id, event_id) pmod
+# buckets, written out as plain bit operators.
+_ZTERMS = " | ".join(
+    f"((((user_id % 1024) >> {i}) & 1) << {2 * i}) | "
+    f"((((event_id % 1024) >> {i}) & 1) << {2 * i + 1})"
+    for i in range(10)
+)
+ORACLES["q76_zorder_layout"] = f"""
+SELECT event_id,
+       CAST(user_id % 1024 AS BIGINT) AS x_bucket,
+       CAST(event_id % 1024 AS BIGINT) AS y_bucket,
+       CAST({_ZTERMS} AS BIGINT) AS zval
+FROM events ORDER BY event_id
+"""
+
+# q77: hashed bag-of-words linear scoring — identical md5 bucket and
+# Knuth-mix weight arithmetic, exact BIGINT end to end.
+_W77 = (
+    "((CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096) * 2654435761)"
+    " % 2000001 - 1000000"
+)
+ORACLES["q77_quality_classifier"] = f"""
+SELECT doc_id,
+       CAST(list_sum(list_transform({_TOKS}, t -> {_W77})) AS BIGINT)
+         AS score_micro,
+       list_sum(list_transform({_TOKS}, t -> {_W77})) > 0 AS label
+FROM documents ORDER BY doc_id
+"""
+
+# q78: GK percentile_approx rank-bound audit — exact group sizes plus
+# literal 1s the Spark-side in-query rank check must reproduce.
+ORACLES["q78_approx_quantiles"] = """
+SELECT event_type, p, CAST(count(*) AS BIGINT) AS n, 1 AS within_bound
+FROM events CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS p) ps
+GROUP BY event_type, p ORDER BY event_type, p
+"""

@@ -1250,6 +1250,120 @@ def q73_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big semi join with a blocked-bloom runtime prefilter (the
+    explicit twin of Catalyst's InjectRuntimeFilter): lineitem rows whose
+    order is URGENT, reduced by a broadcast bloom membership test BEFORE
+    the exact semi join's shuffle. The result is exact (bloom false
+    positives are removed by the exact join), so the oracle is the plain
+    semi join; integer checksums make the hash exact."""
+    from snowplow_s3_loader_spark.operators import bloom
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    hits = bloom.bloom_prefilter_semi_join(li, keys, ("l_orderkey", "o_orderkey"))
+    return (
+        hits.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_orderkey").cast("long").alias("key_checksum"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q75_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters over the corpus token stream,
+    emitted as the FALSIFIABLE audit (q37/q48 pattern): for each exact
+    top-15 token above the MG guarantee threshold, found=1 iff the merged
+    sketch contains it and bound_ok=1 iff the estimate sits inside
+    [exact - n/(cap+1), exact]. The oracle recomputes token/exact_count
+    and emits literal 1s — a lossy or out-of-bound sketch fails the
+    hash."""
+    from snowplow_s3_loader_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.heavy_hitter_audit(docs, "text", capacity=256, k=15).orderBy(
+        F.desc("exact_count"), "token"
+    )
+
+
+def q76_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, event_id) buckets —
+    the multi-column data-layout primitive behind file skipping. The
+    z-value math (pmod bucketize + bit interleave) is pure JVM here and
+    plain bit operators in the oracle, so every code hash-matches; the
+    layout's measured skipping win is pytest-asserted (per-partition
+    min/max narrowing isn't SQL-portable)."""
+    from snowplow_s3_loader_spark.operators import layout
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.pmod(F.col("user_id").cast("long"), F.lit(1024)).alias("x_bucket"),
+        F.pmod(F.col("event_id").cast("long"), F.lit(1024)).alias("y_bucket"),
+        layout.zorder_key(
+            [(F.col("user_id"), 1024), (F.col("event_id"), 1024)], bits=10
+        ).alias("zval"),
+    ).orderBy("event_id")
+
+
+def q77_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier scoring (the fastText-style
+    quality-model path with deterministic bucket-derived weights):
+    per-document integer micro-unit score + sign label, exact BIGINT
+    math end to end so the oracle hash-matches without tolerance."""
+    docs = load_table(spark, sf_dir, "documents")
+    score, label = text.hashed_linear_score(F.col("text"), dim=4096, seed=0)
+    return docs.select("doc_id", score, label).orderBy("doc_id")
+
+
+def q78_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch audit (the q37/q75 falsifiable-invariant pattern,
+    here for Spark's built-in GK percentile_approx): per event_type and
+    p in {0.5, 0.9}, the approximate percentile at accuracy=100 must
+    occupy a rank within eps*n (+1 slack for boundary conventions) of
+    p*n — verified in-query against the exact rank interval
+    [rank_lt+1, rank_le] the returned value occupies. The oracle emits
+    the exact group sizes and literal 1s; a sketch outside its rank
+    guarantee flips within_bound and fails the hash. The approximate
+    VALUE stays out of the hashed columns (engine-specific), exactly as
+    q37 keeps HLL registers out."""
+    ev = load_table(spark, sf_dir, "events")
+    acc, ps = 100, [0.5, 0.9]
+    aq = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", ps, acc).alias("ap"),
+        F.count("*").alias("n"),
+    )
+    aqe = aq.select(
+        "event_type", "n", F.posexplode("ap").alias("pi", "v")
+    ).withColumn(
+        "p", F.element_at(F.array(*[F.lit(x) for x in ps]), F.col("pi") + 1)
+    )
+    ranks = (
+        ev.select("event_type", "value")
+        .join(aqe, "event_type")
+        .groupBy("event_type", "p", "n", "v")
+        .agg(
+            F.sum((F.col("value") <= F.col("v")).cast("long")).alias("rank_le"),
+            F.sum((F.col("value") < F.col("v")).cast("long")).alias("rank_lt"),
+        )
+    )
+    eps = 1.0 / acc
+    lo = F.col("p") * F.col("n") - F.lit(eps) * F.col("n") - 1
+    hi = F.col("p") * F.col("n") + F.lit(eps) * F.col("n") + 1
+    return ranks.select(
+        "event_type",
+        F.col("p").cast("double").alias("p"),
+        F.col("n").cast("long").alias("n"),
+        ((F.col("rank_le") >= lo) & ((F.col("rank_lt") + 1) <= hi))
+        .cast("int")
+        .alias("within_bound"),
+    ).orderBy("event_type", "p")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1325,5 +1439,10 @@ QUERIES = {
         q71_semantic_dedup,
         q72_leakage_safe_split,
         q73_group_reservoir,
+        q74_bloom_semi_join,
+        q75_heavy_hitters,
+        q76_zorder_layout,
+        q77_quality_classifier,
+        q78_approx_quantiles,
     ]
 }

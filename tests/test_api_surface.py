@@ -1,0 +1,100 @@
+"""API-surface parity beyond the core batteries: Python UDTFs (the last
+UDF flavor SURVEY SS2.3 lists — scalar pandas_udf, applyInPandas,
+mapInPandas, applyInPandasWithState are covered elsewhere) and
+non-parquet source formats (ORC / CSV / JSON round-trips through the
+same frames the engine serves from parquet)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Python UDTF
+# ---------------------------------------------------------------------------
+
+
+def test_python_udtf_matches_builtin_chunker(spark, sf_dir):
+    """A table-function chunker (one input row -> many output rows) must
+    agree with the pure-JVM chunk_documents at overlap=0. UDTFs are the
+    escape hatch for row-expanding logic the built-ins can't express;
+    this pins the wiring (registration, lateral join, schema) on a case
+    where a built-in twin CAN check it."""
+    from pyspark.sql.functions import udtf
+
+    from snowplow_s3_loader_spark.operators.text import chunk_documents
+
+    @udtf(returnType="chunk_id int, chunk_text string")
+    class ChunkWords:
+        def eval(self, text: str, size: int):
+            toks = text.split()
+            for i in range(0, len(toks), size):
+                yield i // size, " ".join(toks[i : i + size])
+
+    spark.udtf.register("chunk_words", ChunkWords)
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    docs.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        """
+        SELECT d.doc_id AS id, c.chunk_id, c.chunk_text
+        FROM udtf_docs d, LATERAL chunk_words(d.text, 16) c
+        """
+    )
+    want = chunk_documents(docs, "doc_id", "text", window=16, overlap=0).select(
+        "id", "chunk_id", "chunk_text"
+    )
+    g = {(r["id"], r["chunk_id"], r["chunk_text"]) for r in got.collect()}
+    w = {(r["id"], r["chunk_id"], r["chunk_text"]) for r in want.collect()}
+    assert g == w and g
+
+
+def test_python_udtf_arrow_variant(spark):
+    """The Arrow-optimized UDTF path (batch transfer) must behave
+    identically to the pickled path."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="n int, sq bigint", useArrow=True)
+    class Squares:
+        def eval(self, upto: int):
+            for i in range(upto):
+                yield i, i * i
+
+    rows = Squares(lit(6)).collect()
+    assert [(r["n"], r["sq"]) for r in rows] == [(i, i * i) for i in range(6)]
+
+
+# ---------------------------------------------------------------------------
+# source format parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["orc", "csv", "json"])
+def test_format_roundtrip_documents(spark, sf_dir, fmt, tmp_path):
+    """documents written to ORC/CSV/JSON and read back must carry the
+    exact same rows (checksums over ids and text fingerprints) — the
+    engine is not parquet-bound."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    path = str(tmp_path / f"docs_{fmt}")
+    writer = docs.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", True).option("escape", '"')
+    writer.format(fmt).save(path)
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", True).schema(docs.schema)
+    elif fmt == "json":
+        reader = reader.schema(docs.schema)
+    back = reader.format(fmt).load(path)
+
+    def summary(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.crc32(F.concat_ws("|", "lang", "source", "text"))).alias("crc"),
+        ).collect()[0]
+
+    assert summary(back) == summary(docs)

@@ -1,0 +1,307 @@
+"""Round-6 scale toolkit: blocked-bloom prefiltered semi join, Misra-Gries
+heavy hitters, z-order layout, hashed-linear classifier scoring."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators import bloom, layout, sketches, text
+from snowplow_s3_loader_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# bloom
+# ---------------------------------------------------------------------------
+
+
+def _exact_semi(big, keys, big_col, key_col):
+    return big.join(keys, big[big_col] == keys[key_col], "left_semi")
+
+
+def test_bloom_semi_join_matches_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    got = bloom.bloom_prefilter_semi_join(li, keys, ("l_orderkey", "o_orderkey"))
+    want = _exact_semi(li, keys, "l_orderkey", "o_orderkey")
+    assert got.count() == want.count()
+    assert (
+        got.select(F.sum("l_orderkey")).collect()[0][0]
+        == want.select(F.sum("l_orderkey")).collect()[0][0]
+    )
+
+
+def test_bloom_same_column_name_and_seeds(spark):
+    big = spark.range(0, 5000).select(F.col("id").alias("k"))
+    keys = spark.range(0, 5000, 7).select(F.col("id").alias("k"))
+    for seed in (41, 1234):
+        got = bloom.bloom_prefilter_semi_join(big, keys, "k", seed=seed)
+        assert got.count() == keys.count()  # every key present exactly once
+
+
+def test_bloom_empty_and_null_keys(spark):
+    big = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k bigint"
+    )
+    empty = spark.createDataFrame([], "k bigint")
+    assert bloom.bloom_prefilter_semi_join(big, empty, "k").count() == 0
+    withnull = spark.createDataFrame([(2,), (None,)], "k bigint")
+    got = bloom.bloom_prefilter_semi_join(big, withnull, "k").collect()
+    # null never matches a semi join on either path
+    assert [r["k"] for r in got] == [2]
+
+
+def test_bloom_prefilter_reduces_probe_side(spark):
+    """The bloom pass itself (before the exact join) must pass true
+    matches and reject the vast majority of non-matches."""
+    big = spark.range(0, 20000).select(F.col("id").alias("k"))
+    keys = spark.range(0, 20000, 100).select(F.col("id").alias("k"))  # 200 keys
+    n_keys = keys.count()
+    n_blocks = max(64, -(-n_keys * 16 // 64))
+    filt = bloom.bloom_build(keys, "k", n_blocks)
+    pre = bloom.bloom_might_contain(big, "k", filt, n_blocks)
+    n_pre = pre.count()
+    assert n_pre >= n_keys  # no false negatives
+    fpr = (n_pre - n_keys) / (20000 - n_keys)
+    assert fpr < 0.05, fpr  # blocked bloom at 16 bits/key: a few percent
+
+
+def test_bloom_filter_sits_below_exact_join_shuffle(spark, sf_dir):
+    """With broadcast disabled for the exact join, the plan must be: a
+    BroadcastHashJoin (the bloom probe — its build side is hint-forced)
+    + bitwise filter BELOW the SortMergeJoin LeftSemi's exchange, so the
+    shuffle only moves bloom survivors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE prints finished stages out of tree order; the static plan is the
+    # single parents-before-children tree the positional assert needs
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        got = bloom.bloom_prefilter_semi_join(li, keys, ("l_orderkey", "o_orderkey"))
+        got.collect()
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftSemi" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "__bloom_mask" in plan, plan
+        # tree prints parents first: the probe-side Exchange feeds the semi
+        # join, and the bloom BHJ (+ bitwise filter) sits BELOW it
+        i_smj = plan.index("SortMergeJoin")
+        i_exch = plan.index("Exchange hashpartitioning(l_orderkey")
+        i_bhj = plan.index("BroadcastHashJoin")
+        assert i_smj < i_exch < i_bhj, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_bloom_oversize_raises(spark):
+    big = spark.range(10).select(F.col("id").alias("k"))
+    keys = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="max_broadcast_blocks"):
+        bloom.bloom_prefilter_semi_join(
+            big, keys, "k", n_keys=10**12, max_broadcast_blocks=1000
+        )
+
+
+def test_decontamination_bloom_path_matches_broadcast(spark, sf_dir):
+    """ngram_contamination's big-benchmark path (bloom-prefiltered exact
+    semi join) must produce row-identical results to the broadcast
+    path."""
+    from snowplow_s3_loader_spark.operators import hygiene
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 13 == 0)
+    a = hygiene.ngram_contamination(docs, benchmark, "doc_id", "text", n=5)
+    b = hygiene.ngram_contamination(
+        docs, benchmark, "doc_id", "text", n=5, benchmark_broadcast=False
+    )
+    rows_a = {(r["id"], r["n_shared_ngrams"], r["contaminated"]) for r in a.collect()}
+    rows_b = {(r["id"], r["n_shared_ngrams"], r["contaminated"]) for r in b.collect()}
+    assert rows_a == rows_b
+    assert any(r[2] for r in rows_a)  # the planted overlap is detected
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries
+# ---------------------------------------------------------------------------
+
+
+def _mg_reference_guarantees(df, text_col, capacity):
+    """est <= exact everywhere; every token heavier than n/(cap+1) found."""
+    from snowplow_s3_loader_spark.operators.text import tokens
+
+    summary = {
+        r["token"]: r["est_count"]
+        for r in sketches.mg_token_summary(df, text_col, capacity).collect()
+    }
+    tok_df = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    exact = {r["tok"]: r["c"] for r in tok_df.groupBy("tok").agg(F.count("*").alias("c")).collect()}
+    n = sum(exact.values())
+    err = n // (capacity + 1)
+    for t, est in summary.items():
+        assert est <= exact[t], (t, est, exact[t])
+        assert est >= exact[t] - err, (t, est, exact[t], err)
+    for t, c in exact.items():
+        if c > err:
+            assert t in summary, (t, c, err)
+
+
+def test_mg_guarantees_uniform(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    _mg_reference_guarantees(docs, "text", capacity=64)
+
+
+def test_mg_guarantees_skewed(spark):
+    # zipf-ish synthetic corpus: token i appears ~N/i times, tiny capacity
+    rows = [(i, " ".join(f"t{j}" for j in range(1, 40) for _ in range(40 // j)))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, text string").repartition(7)
+    _mg_reference_guarantees(df, "text", capacity=8)
+
+
+def test_mg_partition_compaction_bounded():
+    """_mg_partition never yields more than capacity counters and its
+    counts never exceed the true stream counts."""
+    batches = [pd.DataFrame({"tok": ["a"] * 50 + ["b"] * 30 + [f"x{i}" for i in range(40)]}),
+               pd.DataFrame({"tok": ["a"] * 20 + [f"y{i}" for i in range(40)]})]
+    out = list(sketches._mg_partition(iter(batches), capacity=10))
+    assert len(out) == 1
+    got = dict(zip(out[0]["token"], out[0]["partial"]))
+    assert len(got) <= 10
+    assert got.get("a", 0) <= 70 and got.get("b", 0) <= 30
+    assert got.get("a", 0) >= 70 - (180 // 11) * 3  # loose lower sanity bound
+
+
+def test_heavy_hitter_audit_all_green(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sketches.heavy_hitter_audit(docs, "text", capacity=256, k=10).collect()
+    assert rows, "audit should cover the top tokens"
+    assert all(r["found"] == 1 and r["bound_ok"] == 1 for r in rows)
+
+
+def test_heavy_hitter_audit_excludes_unguaranteed(spark):
+    """Tokens at/below n/(capacity+1) are outside the MG guarantee and
+    must not be audited (their absence from the sketch is legal)."""
+    rows_in = [(i, "common " * 30 + f"rare{i}") for i in range(20)]
+    df = spark.createDataFrame(rows_in, "id long, text string")
+    audited = sketches.heavy_hitter_audit(df, "text", capacity=4, k=10).collect()
+    # n_total = 20*31 = 620, err = 124: only 'common' (600) qualifies
+    assert [r["token"] for r in audited] == ["common"]
+    assert audited[0]["found"] == 1 and audited[0]["bound_ok"] == 1
+
+
+# ---------------------------------------------------------------------------
+# z-order layout
+# ---------------------------------------------------------------------------
+
+
+def _py_interleave(vals, bits):
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * len(vals) + j)
+    return z
+
+
+def test_interleave_bits_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    got = df.select(
+        "x", "y", layout.interleave_bits([F.col("x"), F.col("y")], 3).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _py_interleave([r["x"], r["y"]], 3), r
+    # the known textbook case: x=0b11, y=0b01 -> z=0b0111
+    assert _py_interleave([3, 1], 2) == 7
+
+
+def test_interleave_bits_overflow_guard():
+    with pytest.raises(ValueError, match="62"):
+        layout.interleave_bits([F.lit(1), F.lit(2), F.lit(3)], 21)
+
+
+def test_zorder_improves_worst_column_skipping(spark, sf_dir):
+    """The point of the layout: the worst per-column mean min/max range
+    under z-order must beat linear layout's worst column (which is ~1:
+    no skipping on the non-leading column)."""
+    ev = load_table(spark, sf_dir, "events")
+    # moduli matched to the columns' occupied bit-width (user_id is a
+    # small domain) — the documented bucketization rule: sparse high bits
+    # would hand every leading split to the other column
+    r = layout.skipping_effectiveness(
+        ev, [(F.col("user_id"), 32), (F.col("event_id"), 32)], 8, bits=5
+    )
+    assert max(r["zorder"]) < 0.8 * max(r["linear"]), r
+
+
+def test_partition_minmax_stats_shape(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    ).repartition(4)
+    stats = layout.partition_minmax_stats(df, ["a", "b"])
+    rows = stats.collect()
+    assert {c for c in stats.columns} == {
+        "partition_id", "n_rows", "a_min", "a_max", "b_min", "b_max"
+    }
+    assert sum(r["n_rows"] for r in rows) == 100
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier
+# ---------------------------------------------------------------------------
+
+
+def _py_score(s: str, dim=4096, seed=0) -> int:
+    total = 0
+    for t in s.strip().split():
+        b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+        total += (b * 2654435761 + seed * 1000003) % 2000001 - 1000000
+    return total
+
+
+def test_hashed_linear_score_matches_python_reference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    score, label = text.hashed_linear_score(F.col("text"), dim=4096, seed=0)
+    rows = docs.select("doc_id", "text", score, label).collect()
+    assert rows
+    for r in rows:
+        want = _py_score(r["text"])
+        assert r["score_micro"] == want, (r["doc_id"], r["score_micro"], want)
+        assert r["label"] == (want > 0)
+
+
+def test_engine_facade_exposes_scale_ops(spark, sf_dir):
+    """The Engine facade delegates to the round-6 operators."""
+    from snowplow_s3_loader_spark.engine import Engine
+
+    eng = Engine.at(spark, sf_dir)
+    docs = eng.table("documents")
+    li, orders = eng.table("lineitem"), eng.table("orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    assert (
+        eng.semi_join_filtered(li, keys, ("l_orderkey", "o_orderkey")).count()
+        == li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi").count()
+    )
+    hh = eng.heavy_hitters(docs, "text", capacity=64, k=3).collect()
+    assert len(hh) == 3 and all(r["est_count"] > 0 for r in hh)
+    z = eng.zorder(docs.select("doc_id", "n_chars"),
+                   [(F.col("doc_id"), 64), (F.col("n_chars"), 64)], 4, bits=6)
+    assert z.count() == docs.count()
+    qs = eng.quality_scores(docs, "doc_id", "text").collect()
+    assert all((r["score_micro"] > 0) == r["label"] for r in qs)
+
+
+def test_hashed_linear_score_seed_changes_model(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    s0, _ = text.hashed_linear_score(F.col("text"), seed=0)
+    s1, _ = text.hashed_linear_score(F.col("text"), seed=9)
+    diff = docs.select((s0 != s1).cast("int").alias("d")).agg(F.sum("d")).collect()[0][0]
+    assert diff > 0
