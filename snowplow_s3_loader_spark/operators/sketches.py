@@ -42,24 +42,33 @@ from pyspark.sql import functions as F
 from snowplow_s3_loader_spark.operators.text import tokens
 
 
+def _mg_compact(state: Counter, capacity: int) -> Counter:
+    """Batch-decrement MG compaction: subtract the (capacity+1)-largest
+    count from every counter and drop the non-positive ones. At least
+    capacity+1 counters carry >= the subtracted value, so each compaction
+    removes >= (capacity+1)*thresh stream mass — total error stays under
+    n/(capacity+1). Shared by the batch summary and the streaming twin."""
+    if len(state) <= capacity:
+        return state
+    import numpy as np
+
+    toks = np.array(list(state.keys()), dtype=object)
+    vals = np.fromiter(state.values(), dtype=np.int64, count=len(state))
+    thresh = np.partition(vals, -(capacity + 1))[-(capacity + 1)]
+    keep = vals > thresh
+    return Counter(dict(zip(toks[keep], (vals[keep] - thresh).tolist())))
+
+
 def _mg_partition(
     batches: Iterator[pd.DataFrame], capacity: int
 ) -> Iterator[pd.DataFrame]:
     """One Misra-Gries summary per partition: merge each Arrow batch's
-    Counter, compact to `capacity` counters by subtracting the
-    (capacity+1)-largest count (batch-decrement MG; error accrues only
-    through subtractions, which total <= n_partition/(capacity+1))."""
-    import numpy as np
-
+    Counter, compact to `capacity` counters (error accrues only through
+    compaction subtractions, which total <= n_partition/(capacity+1))."""
     state: Counter = Counter()
     for pdf in batches:
         state.update(Counter(pdf["tok"].to_numpy()))
-        if len(state) > capacity:
-            toks = np.array(list(state.keys()), dtype=object)
-            vals = np.fromiter(state.values(), dtype=np.int64, count=len(state))
-            thresh = np.partition(vals, -(capacity + 1))[-(capacity + 1)]
-            keep = vals > thresh
-            state = Counter(dict(zip(toks[keep], (vals[keep] - thresh).tolist())))
+        state = _mg_compact(state, capacity)
     if state:
         yield pd.DataFrame(
             {"token": list(state.keys()), "partial": list(state.values())}

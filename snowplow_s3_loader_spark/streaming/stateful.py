@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     BooleanType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -312,4 +313,88 @@ def near_dup_keep_filter(votes_batch: DataFrame) -> DataFrame:
     where keep = no band flagged the document."""
     return votes_batch.groupBy("id").agg(
         (~F.max("dup")).alias("keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters (sharded Misra-Gries state)
+# ---------------------------------------------------------------------------
+
+HEAVY_HITTERS_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("token", StringType()),
+        StructField("est_count", LongType()),
+    ]
+)
+
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("tokens", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    toks: DataFrame,
+    n_shards: int = 16,
+    capacity: int = 256,
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Streaming twin of operators.sketches heavy hitters: per-shard
+    Misra-Gries summaries folded across micro-batches.
+
+    Input: a streaming frame with a token column (pre-exploded by the
+    caller, e.g. ``select(explode(tokens(text)))``). Tokens are sharded
+    by hash, so each token lives in exactly ONE shard and the per-shard
+    MG guarantee applies with that shard's token mass:
+
+        est <= true <= est + n_shard/(capacity+1)
+
+    and every token heavier than its shard's error bound is guaranteed
+    present — sharding TIGHTENS the bound (n_shard ~ n/n_shards) while
+    parallelizing state updates across n_shards keys. State per shard is
+    <= capacity (token, count) pairs, fixed forever; each batch emits the
+    shard's full current summary (update mode), so downstream
+    foreachBatch consumers keep the latest emission per shard.
+
+    The state merge IS Misra-Gries over the concatenated stream (same
+    _mg_compact as the batch operator), so restarts from the checkpoint
+    resume exactly.
+    """
+    from collections import Counter
+
+    from snowplow_s3_loader_spark.operators.sketches import _mg_compact
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tk, ct = state.get
+            mg: Counter = Counter(dict(zip(tk, ct)))
+        else:
+            mg = Counter()
+        for pdf in pdfs:
+            mg.update(Counter(pdf[tok_col].to_numpy()))
+            mg = _mg_compact(mg, capacity)
+        state.update((list(mg.keys()), [int(c) for c in mg.values()]))
+        if mg:
+            yield pd.DataFrame(
+                {
+                    "shard": key[0],
+                    "token": list(mg.keys()),
+                    "est_count": [int(c) for c in mg.values()],
+                }
+            )
+
+    sharded = toks.withColumn(
+        "shard", F.pmod(F.xxhash64(tok_col), F.lit(n_shards)).cast("int")
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _update,
+        outputStructType=HEAVY_HITTERS_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

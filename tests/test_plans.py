@@ -356,3 +356,20 @@ def test_q73_group_reservoir_rank_pushdown(spark, sf_dir):
     plain window+filter over the full corpus would sort everything."""
     plan = plan_of(Q.q73_group_reservoir(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """The engine can pin each physical join strategy via hints — the
+    knob a 100 TB tuning pass reaches for when AQE's choice is wrong
+    (e.g. forcing shuffle-hash over sort-merge for a skew-salted key,
+    or un-broadcasting a dimension that outgrew the executors)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "merge": "SortMergeJoin",
+    }
+    for hint, node in cases.items():
+        plan = plan_of(orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey))
+        assert node in plan, (hint, plan)

@@ -224,3 +224,82 @@ def test_streaming_near_dup_filter(spark, tmp_path):
     d13 = bin(sh[1] ^ sh[3]).count("1")
     d12 = bin(sh[1] ^ sh[2]).count("1")
     assert d13 <= 3 < d12
+
+
+def _write_tokens(dirpath, name, tokens):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    (dirpath / name).write_text("\n".join(tokens) + "\n")
+
+
+def _run_hh(spark, in_dir, ckpt, n_shards, capacity):
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = spark.readStream.schema("tok string").csv(str(in_dir))
+    collected: list[tuple[int, dict]] = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        per_shard: dict = {}
+        for r in rows:
+            per_shard.setdefault(r["shard"], {})[r["token"]] = r["est_count"]
+        collected.append((batch_id, per_shard))
+
+    q = (
+        streaming_heavy_hitters(src, n_shards=n_shards, capacity=capacity)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest emission per shard wins (update mode)
+    latest: dict = {}
+    for _bid, per_shard in sorted(collected):
+        latest.update(per_shard)
+    return latest
+
+
+def test_streaming_heavy_hitters_bounds_across_batches(spark, tmp_path):
+    """Sharded MG state folded across micro-batches (and a restart) must
+    satisfy the per-shard MG guarantee over the UNION of all batches:
+    est <= true <= est + n_shard/(capacity+1), and every token heavier
+    than its shard's bound is present."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    n_shards, capacity = 4, 8
+    b1 = ["alpha"] * 40 + ["beta"] * 25 + [f"x{i}" for i in range(30)]
+    b2 = ["alpha"] * 20 + ["gamma"] * 30 + [f"y{i}" for i in range(30)]
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    _write_tokens(in_dir, "b1.csv", b1)
+    _run_hh(spark, in_dir, ckpt, n_shards, capacity)
+    # second file + restart over the same checkpoint: state persists
+    _write_tokens(in_dir, "b2.csv", b2)
+    latest = _run_hh(spark, in_dir, ckpt, n_shards, capacity)
+
+    truth = Counter(b1) + Counter(b2)
+    # shard assignment must match the operator's (xxhash64 pmod)
+    shard_of = {
+        r["tok"]: r["shard"]
+        for r in spark.createDataFrame([(t,) for t in truth], "tok string")
+        .select(
+            "tok", F.pmod(F.xxhash64("tok"), F.lit(n_shards)).cast("int").alias("shard")
+        )
+        .collect()
+    }
+    shard_mass = Counter()
+    for t, c in truth.items():
+        shard_mass[shard_of[t]] += c
+
+    for tok, true_c in truth.items():
+        s = shard_of[tok]
+        err = shard_mass[s] // (capacity + 1)
+        est = latest.get(s, {}).get(tok)
+        if true_c > err:
+            assert est is not None, (tok, true_c, err)
+        if est is not None:
+            assert est <= true_c, (tok, est, true_c)
+            assert est >= true_c - err, (tok, est, true_c, err)
