@@ -278,3 +278,54 @@ def temperature_resample(
         .where(hv < F.col("keep_frac"))
         .drop("keep_frac")
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    token_count: Column,
+    weights: dict[str, float],
+    budget_tokens: int,
+    hex_chars: int = 13,
+) -> DataFrame:
+    """Assemble a training mix against a TOKEN budget: per source class s,
+    sample documents at rate r_s = min(1, weights[s]*budget / tokens_s) so
+    the kept token mass per source lands at ~weights[s]*budget (exactly
+    the available mass when the source is smaller than its allocation —
+    rates never exceed 1; renormalize weights upstream if full-budget
+    delivery matters more than the declared ratios).
+
+    Selection is the repo's deterministic md5-threshold rule (same as
+    stratified_sample): keep iff md5(id)/16^hex_chars < r_s, so the kept
+    SET is reproducible across engines — r_s is derived from exact
+    integer totals with one double multiply+divide, bit-identical IEEE in
+    Spark and DuckDB. Classes absent from `weights` get rate 0 (dropped);
+    13 hex chars keep the hash inside double-exact range (2^52).
+
+    Scale shape: one partial+final agg for the per-class totals (rows =
+    |classes|), a broadcast join of the rates, and a scan-level filter —
+    the corpus never shuffles.
+    """
+    totals = df.groupBy(class_col).agg(F.sum(token_count).alias("__avail"))
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    raw = wmap[F.col(class_col)] * F.lit(float(budget_tokens)) / F.col("__avail")
+    # least() IGNORES nulls (both engines), which would turn a missing
+    # weight into rate 1.0 — gate the clamp so absent classes stay NULL
+    # and the threshold comparison drops them
+    rates = totals.select(
+        class_col,
+        F.when(raw.isNotNull(), F.least(F.lit(1.0), raw)).alias("__rate"),
+    )
+    space = float(16**hex_chars)
+    hv = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, hex_chars), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(space)
+    )
+    return (
+        df.join(F.broadcast(rates), class_col)
+        .where(hv < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -327,9 +327,11 @@ def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling battery: deterministic train/val/test split (q58) +
     stratified per-language sampling (q61) + temperature resampling
     (alpha=0.7 corpus-mix rebalance) + leakage-safe content-keyed split
-    (q72) + per-group reservoir cap (q73), tagged union. The `checksum`
-    column carries the new sections' kept-id sums so the driver hash is
-    falsifiable down to single-row mis-assignments."""
+    (q72) + per-group reservoir cap (q73) + token-budget mixture
+    assembly (q79), tagged union. The `checksum` column carries the new
+    sections' kept-id sums so the driver hash is falsifiable down to
+    single-row mis-assignments; the mixture's kept token mass rides the
+    avg_len (double) slot."""
     from snowplow_s3_loader_spark.operators.sampling import temperature_resample
 
     no_ck = F.lit(None).cast("long").alias("checksum")
@@ -386,8 +388,17 @@ def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_len"),
         F.col("sum_id").alias("checksum"),
     )
+    mix = q.q79_token_budget_mixture(spark, sf_dir).select(
+        F.lit("mixture").alias("battery"),
+        F.col("source").alias("bucket"),
+        F.col("n_kept").alias("n"),
+        "min_id",
+        "max_id",
+        F.col("tokens_kept").cast("double").alias("avg_len"),
+        F.col("sum_id").alias("checksum"),
+    )
     return (
-        split.union(strat).union(temp).union(leak).union(resv)
+        split.union(strat).union(temp).union(leak).union(resv).union(mix)
         .orderBy("battery", "bucket")
     )
 
@@ -535,6 +546,7 @@ _FOLDED = {
     "q74_bloom_semi_join", "q75_heavy_hitters",
     "q76_zorder_layout", "q77_quality_classifier",
     "q78_approx_quantiles",
+    "q79_token_budget_mixture",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -834,6 +846,10 @@ UNION ALL
 SELECT 'stratified' AS battery, lang AS bucket, n_kept AS n, min_id,
        NULL::BIGINT AS max_id, NULL::DOUBLE AS avg_len, NULL::BIGINT AS checksum
 FROM ({ORACLES["q61_stratified_sample"]})
+UNION ALL
+SELECT 'mixture' AS battery, source AS bucket, n_kept AS n, min_id, max_id,
+       CAST(tokens_kept AS DOUBLE) AS avg_len, sum_id AS checksum
+FROM ({ORACLES["q79_token_budget_mixture"]})
 UNION ALL
 SELECT 'temperature' AS battery, lang AS bucket, count(*) AS n,
        min(doc_id) AS min_id, NULL::BIGINT AS max_id, NULL::DOUBLE AS avg_len,

@@ -1060,3 +1060,39 @@ SELECT event_type, p, CAST(count(*) AS BIGINT) AS n, 1 AS within_bound
 FROM events CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS p) ps
 GROUP BY event_type, p ORDER BY event_type, p
 """
+
+# q79: token-budget mixture — rates from exact totals via one double
+# multiply+divide (bit-identical IEEE both engines), md5-threshold keep.
+ORACLES["q79_token_budget_mixture"] = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ntok
+  FROM documents
+),
+tot AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS avail FROM t GROUP BY source),
+r AS (
+  -- least() ignores NULLs in DuckDB too: keep absent-weight sources NULL
+  SELECT source,
+         CASE WHEN w IS NULL THEN NULL
+              ELSE least(1.0, w * 2000.0 / avail) END AS rate
+  FROM (
+    SELECT source, avail,
+           CASE source
+               WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+               WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 END AS w
+    FROM tot
+  )
+),
+kept AS (
+  SELECT t.* FROM t JOIN r USING (source)
+  WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+             AS DOUBLE) / 4503599627370496.0 < rate
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(ntok) AS BIGINT) AS tokens_kept,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM kept GROUP BY source ORDER BY source
+"""

@@ -1364,6 +1364,34 @@ def q78_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "p")
 
 
+def q79_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly against a token budget: four weighted
+    sources sampled at rate min(1, w_s*budget/tokens_s) via the
+    deterministic md5-threshold rule (unweighted sources drop out).
+    Emits per-source kept-doc/token counts and the id-set checksum —
+    the oracle recomputes the rates from the same exact totals and the
+    same double arithmetic, so selecting even one different document
+    fails the hash."""
+    from snowplow_s3_loader_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    kept = sampling.token_budget_mixture(
+        docs, "doc_id", "source", text.token_count(F.col("text")), weights, 2000
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(text.token_count(F.col("text"))).cast("long").alias("tokens_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("doc_id").cast("long").alias("sum_id"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1444,5 +1472,6 @@ QUERIES = {
         q76_zorder_layout,
         q77_quality_classifier,
         q78_approx_quantiles,
+        q79_token_budget_mixture,
     ]
 }

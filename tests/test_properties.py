@@ -123,3 +123,81 @@ def test_plain_record_passthrough(payload):
     if payload[:2] != GZIP_MAGIC and payload[:4] != ZSTD_MAGIC:
         out, err = decompress_record(payload, DecompressionLimits())
         assert err is None and out == [payload]
+
+
+# ---------------------------------------------------------------------------
+# round-6 primitives: Misra-Gries compaction + Morton interleave
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.sampled_from([f"t{i}" for i in range(40)]), min_size=0, max_size=400),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_mg_stream_guarantee_property(tokens, capacity, n_batches):
+    """For ANY stream split into ANY number of batches: the compacted
+    summary (a) never over-counts, (b) under-counts by at most
+    n/(capacity+1), and (c) contains every token heavier than that bound
+    — the MG invariant the distributed merge builds on."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from snowplow_s3_loader_spark.operators.sketches import _mg_partition
+
+    if not tokens:
+        batches = []
+    else:
+        size = max(1, len(tokens) // n_batches)
+        batches = [
+            pd.DataFrame({"tok": tokens[i : i + size]})
+            for i in range(0, len(tokens), size)
+        ]
+    out = list(_mg_partition(iter(batches), capacity))
+    summary = (
+        dict(zip(out[0]["token"], out[0]["partial"])) if out else {}
+    )
+    truth = Counter(tokens)
+    err = len(tokens) // (capacity + 1)
+    assert len(summary) <= capacity + 0  # compaction may leave < capacity
+    for t, est in summary.items():
+        assert 0 < est <= truth[t]
+        assert est >= truth[t] - err
+    for t, c in truth.items():
+        if c > err:
+            assert t in summary
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**15 - 1), min_size=1, max_size=4),
+    st.integers(min_value=1, max_value=15),
+)
+@settings(max_examples=100, deadline=None)
+def test_interleave_roundtrip_property(vals, bits):
+    """The Morton code is a bijection on the masked inputs: de-interleave
+    recovers every column's low `bits` bits, and the code is monotone in
+    each column when the others are fixed (the property range
+    partitioning relies on)."""
+    if len(vals) * bits > 62:
+        vals = vals[: max(1, 62 // bits)]
+    d = len(vals)
+    masked = [v & ((1 << bits) - 1) for v in vals]
+
+    def interleave(vs):
+        z = 0
+        for i in range(bits):
+            for j, v in enumerate(vs):
+                z |= ((v >> i) & 1) << (i * d + j)
+        return z
+
+    z = interleave(masked)
+    for j in range(d):
+        back = sum(((z >> (i * d + j)) & 1) << i for i in range(bits))
+        assert back == masked[j]
+    for j in range(d):
+        if masked[j] + 1 < (1 << bits):
+            bumped = list(masked)
+            bumped[j] += 1
+            assert interleave(bumped) > z

@@ -444,3 +444,44 @@ def test_leakage_safe_split_by_pairs_contract(spark):
     assert all(got[k] == v for k, v in want.items())
     release_materialized(out)
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_token_budget_mixture_semantics(spark, sf_dir):
+    """Kept token mass per source lands near weight*budget (md5-threshold
+    sampling is only statistically proportional), unweighted sources are
+    dropped, rates clamp at 1 (a source smaller than its allocation is
+    kept whole), and selection is deterministic."""
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.sampling import token_budget_mixture
+    from snowplow_s3_loader_spark.operators.text import token_count
+    from snowplow_s3_loader_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count(F.col("text"))
+    avail = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source").agg(F.sum(ntok).alias("t")).collect()
+    }
+    weights = {"src0": 0.6, "src1": 0.4, "src2": 5.0}  # src2: clamp to rate 1
+    budget = max(1, sum(avail.values()) // 4)
+    kept = token_budget_mixture(docs, "doc_id", "source", ntok, weights, budget)
+    got = {
+        r["source"]: (r["n"], r["t"])
+        for r in kept.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(ntok).alias("t"))
+        .collect()
+    }
+    assert set(got) <= set(weights)  # unweighted sources dropped
+    # clamped source kept whole
+    assert got["src2"][1] == avail["src2"]
+    # weighted sources land within a loose statistical band of the target
+    for s in ("src0", "src1"):
+        target = weights[s] * budget
+        if s in got:
+            assert got[s][1] <= avail[s]
+            assert abs(got[s][1] - target) <= max(0.75 * target, 200)
+    # deterministic: identical second run
+    kept2 = token_budget_mixture(docs, "doc_id", "source", ntok, weights, budget)
+    ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    assert ids(kept) == ids(kept2)
