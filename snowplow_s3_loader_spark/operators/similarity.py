@@ -765,3 +765,110 @@ def semantic_dedup_audit(
         if own_comps:
             release_materialized(comps)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening over embedding columns
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(
+    emb: DataFrame, vec_col: str, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean[d], components[k,d], eigenvalues[k]) of the embedding
+    column's covariance — the whitening/compression step embedding
+    pipelines run before clustering or dedup (SemDeDup et al. operate on
+    normalized/whitened vectors).
+
+    One-pass distributed moments: each partition reduces its Arrow
+    batches to (n, sum[d], X^T X[d,d]) with BLAS — a single numpy GEMM
+    per batch — and ONE row per partition reaches the driver (for d=64
+    that is 4 KB/partition, the same bounded-driver-work pattern as the
+    IVF training sample). The driver assembles cov = (XtX - n*mean
+    mean^T)/(n-1) and eigendecomposes d x d (trivial for embedding-sized
+    d; at d where a driver eigh hurts, switch to randomized SVD on the
+    same moments). Deterministic: moments are float64 sums whose
+    partition split may vary -> tests pin the SUBSPACE, not the signs.
+    """
+    import pandas as pd
+
+    def _moments(batches):
+        n, s, xtx = 0, None, None
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s = x.sum(0) if s is None else s + x.sum(0)
+            g = x.T @ x
+            xtx = g if xtx is None else xtx + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "xtx": [xtx.reshape(-1).tolist()]}
+            )
+
+    parts = emb.select(vec_col).mapInPandas(
+        _moments, schema="n long, s array<double>, xtx array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["s"])
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    xtx = np.sum([np.array(r["xtx"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / max(1, n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    return mean, evecs[:, order].T.copy(), evals[order]
+
+
+def pca_project(
+    emb: DataFrame,
+    vec_col: str,
+    mean: np.ndarray,
+    components: np.ndarray,
+    eigenvalues: np.ndarray | None = None,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project (and optionally whiten, when eigenvalues are given) the
+    embedding column onto the fitted components: one numpy GEMM per
+    Arrow batch against the broadcast [k,d] matrix — zero shuffle, the
+    same vectorized shape as ivf_assign."""
+    import pandas as pd
+
+    sc = emb.sparkSession.sparkContext
+    b_mean = sc.broadcast(np.asarray(mean, dtype=np.float64))
+    b_comp = sc.broadcast(np.asarray(components, dtype=np.float64))
+    b_scale = sc.broadcast(
+        None if eigenvalues is None else 1.0 / np.sqrt(np.maximum(eigenvalues, 1e-12))
+    )
+
+    out_fields = emb.schema.fieldNames() + [out_col]
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in emb.schema.fields]
+        + [f"{out_col} array<double>"]
+    )
+
+    def _proj(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            y = (x - b_mean.value) @ b_comp.value.T
+            if b_scale.value is not None:
+                y = y * b_scale.value
+            pdf = pdf.copy()
+            pdf[out_col] = list(y)
+            yield pdf[out_fields]
+
+    return emb.mapInPandas(_proj, schema=schema)
+
+
+def pca_save(path: str, mean: np.ndarray, components: np.ndarray,
+             eigenvalues: np.ndarray) -> None:
+    """Persist a fitted PCA model (driver-side npz artifact — model files
+    are small and live beside the data; the bloom/IVF artifacts are
+    DataFrames and persist as parquet directly)."""
+    np.savez(path, mean=mean, components=components, eigenvalues=eigenvalues)
+
+
+def pca_load(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    d = np.load(path if path.endswith(".npz") else path + ".npz")
+    return d["mean"], d["components"], d["eigenvalues"]

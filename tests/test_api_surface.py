@@ -98,3 +98,17 @@ def test_format_roundtrip_documents(spark, sf_dir, fmt, tmp_path):
         ).collect()[0]
 
     assert summary(back) == summary(docs)
+
+
+def test_variant_semi_structured_extraction(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured JSON: parse_json +
+    variant_get must agree with the string-path get_json_object the
+    existing JSON battery uses."""
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    both = ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("via_variant"),
+        F.get_json_object("props", "$.k").cast("int").alias("via_string"),
+    )
+    rows = both.collect()
+    assert rows and all(r["via_variant"] == r["via_string"] for r in rows)

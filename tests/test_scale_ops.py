@@ -305,3 +305,126 @@ def test_hashed_linear_score_seed_changes_model(spark, sf_dir):
     s1, _ = text.hashed_linear_score(F.col("text"), seed=9)
     diff = docs.select((s0 != s1).cast("int").alias("d")).agg(F.sum("d")).collect()[0][0]
     assert diff > 0
+
+
+def test_bloom_self_lineage_join(spark):
+    """keys derived from the SAME source frame as the probe (the
+    dedup-against-own-subset shape) must resolve without ambiguity and
+    match the plain semi join."""
+    df = spark.range(2000).select((F.col("id") % 97).alias("k"), F.col("id").alias("v"))
+    keys = df.filter(F.col("k") < 20).select("k")
+    got = bloom.bloom_prefilter_semi_join(df, keys, "k")
+    want = df.join(keys, "k", "left_semi")
+    assert got.count() == want.count() > 0
+    assert got.count() < df.count()
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_subspace(spark, sf_dir):
+    """Distributed one-pass moments must reproduce numpy's PCA: same
+    eigenvalues, same subspace (signs/rotations within degenerate
+    eigenvalues are not identifiable, so compare projection operators
+    C^T C, not raw components)."""
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators.similarity import pca_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    mean, comps, evals = pca_fit(emb, "embedding", k)
+    x = np.stack([np.array(r["embedding"]) for r in emb.collect()]).astype(np.float64)
+    ref_mean = x.mean(0)
+    cov = np.cov(x, rowvar=False)
+    ref_evals, ref_evecs = np.linalg.eigh(cov)
+    ref_evals = ref_evals[::-1][:k]
+    ref_comps = ref_evecs[:, ::-1][:, :k].T
+    assert np.allclose(mean, ref_mean, atol=1e-9)
+    assert np.allclose(evals, ref_evals, rtol=1e-8)
+    assert np.allclose(comps.T @ comps, ref_comps.T @ ref_comps, atol=1e-6)
+
+
+def test_pca_project_and_whiten(spark, sf_dir):
+    """Projected data has per-component variance equal to the
+    eigenvalues (descending); whitened data has ~identity covariance."""
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators.similarity import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 6
+    mean, comps, evals = pca_fit(emb, "embedding", k)
+    proj = pca_project(emb, "embedding", mean, comps)
+    y = np.stack([np.array(r["pca"]) for r in proj.select("pca").collect()])
+    var = y.var(0, ddof=1)
+    assert np.allclose(var, evals, rtol=1e-6)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(k - 1))
+    white = pca_project(emb, "embedding", mean, comps, eigenvalues=evals)
+    w = np.stack([np.array(r["pca"]) for r in white.select("pca").collect()])
+    assert np.allclose(np.cov(w, rowvar=False), np.eye(k), atol=1e-6)
+    # original columns survive the projection
+    assert set(proj.columns) == set(emb.columns) | {"pca"}
+
+
+# ---------------------------------------------------------------------------
+# index / model persistence
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_filter_persists_as_parquet(spark, tmp_path):
+    """The bloom filter is a plain (block, bits) DataFrame: write it once,
+    reload it in another job, and membership is identical — build-once,
+    probe-many across pipeline runs."""
+    keys = spark.range(0, 3000, 7).select(F.col("id").alias("k"))
+    n_blocks = max(64, -(-keys.count() * 16 // 64))
+    filt = bloom.bloom_build(keys, "k", n_blocks)
+    p = str(tmp_path / "bloom.parquet")
+    filt.write.parquet(p)
+    reloaded = spark.read.parquet(p)
+    big = spark.range(0, 6000).select(F.col("id").alias("k"))
+    a = sorted(r["k"] for r in bloom.bloom_might_contain(big, "k", filt, n_blocks).collect())
+    b = sorted(r["k"] for r in bloom.bloom_might_contain(big, "k", reloaded, n_blocks).collect())
+    assert a == b and len(a) >= keys.count()
+
+
+def test_ivf_centroids_persist_as_parquet(spark, sf_dir, tmp_path):
+    """Trained IVF centroids round-trip through parquet with identical
+    ANN results — train once, serve many."""
+    from snowplow_s3_loader_spark.operators.similarity import (
+        ann_topk_ivf,
+        train_ivf_centroids_sampled,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids_sampled(emb, n_centroids=4, seed=7)
+    p = str(tmp_path / "ivf.parquet")
+    cents.write.parquet(p)
+    reloaded = spark.read.parquet(p)
+
+    def run(c):
+        out = ann_topk_ivf(
+            emb, F.col("vec_id") % 100 == 0, k=3, n_probe=2, centroids=c
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    assert run(cents) == run(reloaded) != []
+
+
+def test_pca_model_roundtrip(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators.similarity import (
+        pca_fit, pca_load, pca_project, pca_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, evals = pca_fit(emb, "embedding", 4)
+    pca_save(str(tmp_path / "pca"), mean, comps, evals)
+    m2, c2, e2 = pca_load(str(tmp_path / "pca"))
+    assert np.array_equal(mean, m2) and np.array_equal(comps, c2) and np.array_equal(evals, e2)
+    a = pca_project(emb, "embedding", mean, comps).select("pca").limit(5).collect()
+    b = pca_project(emb, "embedding", m2, c2).select("pca").limit(5).collect()
+    assert [r["pca"] for r in a] == [r["pca"] for r in b]
