@@ -99,6 +99,12 @@ def bloom_might_contain(
     With keep_bits=True the (non-null by construction) __bloom_bits
     column survives, so callers can fence later operators to this join's
     output (see bloom_prefilter_semi_join)."""
+    clash = {_BLOCK, _MASK, _BITS} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"probe frame already has reserved column(s) {sorted(clash)}; "
+            "rename them before bloom filtering"
+        )
     block, mask = _block_and_mask(F.col(key_col), n_blocks, k, seed)
     probe = df.withColumn(_BLOCK, block).withColumn(_MASK, mask)
     out = (
@@ -129,6 +135,8 @@ def bloom_prefilter_semi_join(
     Null probe keys never match a semi join and are dropped up front on
     both paths (bloom and exact join agree by construction).
     """
+    if bits_per_key < 1 or k < 1:
+        raise ValueError(f"bits_per_key ({bits_per_key}) and k ({k}) must be >= 1")
     big_col, key_col = (on, on) if isinstance(on, str) else on
     key_side = keys.select(F.col(key_col).alias(key_col)).filter(
         F.col(key_col).isNotNull()

@@ -81,6 +81,8 @@ def mg_token_summary(
     """(token, est_count) merged Misra-Gries summary of the corpus token
     stream — at most `capacity` rows per input partition ever leave the
     executors, independent of vocabulary size."""
+    if capacity < 1:
+        raise ValueError(f"capacity ({capacity}) must be >= 1")
     tok_df = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
     partials = tok_df.mapInPandas(
         lambda it: _mg_partition(it, capacity), schema="token string, partial long"

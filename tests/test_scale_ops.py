@@ -428,3 +428,16 @@ def test_pca_model_roundtrip(spark, sf_dir, tmp_path):
     a = pca_project(emb, "embedding", mean, comps).select("pca").limit(5).collect()
     b = pca_project(emb, "embedding", m2, c2).select("pca").limit(5).collect()
     assert [r["pca"] for r in a] == [r["pca"] for r in b]
+
+
+def test_bloom_reserved_columns_and_param_guards(spark):
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("__bloom_bits"))
+    keys = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="reserved"):
+        bloom.bloom_prefilter_semi_join(df, keys, "k")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        bloom.bloom_prefilter_semi_join(df.drop("__bloom_bits"), keys, "k", bits_per_key=0)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        sketches.mg_token_summary(
+            spark.createDataFrame([("a b",)], "text string"), "text", capacity=0
+        )
