@@ -154,6 +154,77 @@ def pack_sequences(
     ).withColumn("pack_offset", (start_offset % F.lit(budget)).cast("long"))
 
 
+def pack_sequences_ffd(
+    df,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    group_cols: list[str] | None = None,
+):
+    """First-fit-decreasing bin packing of documents into token-budget
+    packs — the padding-minimizing alternative to pack_sequences'
+    concat-and-chunk layout (FFD uses at most 11/9*OPT + 2/3 bins,
+    Dosa 2007; concat-chunk splits documents across pack boundaries
+    instead). Documents longer than the budget get a pack of their own,
+    flagged oversize.
+
+    Returns (group_cols..., id, n_tokens, pack_id, pack_fill, oversize)
+    with pack_id dense from 0 per group and pack_fill the pack's total
+    AFTER this document (the last row per pack carries its final fill).
+
+    Scale shape: FFD is inherently sequential per group, so it runs as
+    applyInPandas over the caller's groups — the same contract as
+    pack_sequences' group_cols: pack within shards/languages/date
+    buckets, never one global group, and the per-group doc list must fit
+    an Arrow batch group (millions of rows is fine; the state is one int
+    per open bin). Deterministic: sort by (tokens desc, id)."""
+    from pyspark.sql import functions as F
+
+    group_cols = group_cols or []
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            [token_count_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []  # current fill per open bin
+        assign, fill_after, oversize = [], [], []
+        for n in pdf[token_count_col].astype(int):
+            if n > budget:
+                fills.append(n)
+                assign.append(len(fills) - 1)
+                fill_after.append(n)
+                oversize.append(True)
+                continue
+            for b, f in enumerate(fills):
+                if f + n <= budget:
+                    fills[b] = f + n
+                    assign.append(b)
+                    fill_after.append(fills[b])
+                    oversize.append(False)
+                    break
+            else:
+                fills.append(n)
+                assign.append(len(fills) - 1)
+                fill_after.append(n)
+                oversize.append(False)
+        out = pdf[group_cols + [id_col, token_count_col]].copy()
+        out["pack_id"] = pd.array(assign, dtype="int64")
+        out["pack_fill"] = pd.array(fill_after, dtype="int64")
+        out["oversize"] = oversize
+        return out
+
+    gschema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}"
+        for c in group_cols + [id_col, token_count_col]
+    )
+    schema = f"{gschema}, pack_id long, pack_fill long, oversize boolean"
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy(F.lit(1).alias("__g"))
+    out = grouped.applyInPandas(_pack, schema=schema)
+    return out
+
+
 def chunk_documents(
     df,
     id_col: str,

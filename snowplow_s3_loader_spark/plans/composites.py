@@ -444,11 +444,19 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("within_bound").cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    ffd = q.q80_ffd_packing(spark, sf_dir).select(
+        F.lit("packing").alias("battery"),
+        F.col("lang").alias("key"),
+        F.col("total_tokens").cast("long").alias("v1"),
+        (F.col("all_fit") * F.col("lb_ok")).cast("long").alias("v2"),
+        F.col("lb").cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
         .union(clf)
         .union(quant)
+        .union(ffd)
         .orderBy("battery", "key", "v1")
     )
 
@@ -547,6 +555,7 @@ _FOLDED = {
     "q76_zorder_layout", "q77_quality_classifier",
     "q78_approx_quantiles",
     "q79_token_budget_mixture",
+    "q80_ffd_packing",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -912,6 +921,10 @@ SELECT 'quantile' AS battery,
        event_type || '@' || CAST(p AS VARCHAR) AS key,
        n AS v1, CAST(within_bound AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q78_approx_quantiles"]})
+UNION ALL
+SELECT 'packing' AS battery, lang AS key,
+       total_tokens AS v1, CAST(all_fit * lb_ok AS BIGINT) AS v2, lb AS v3
+FROM ({ORACLES["q80_ffd_packing"]})
 ORDER BY battery, key, v1
 """
 

@@ -1096,3 +1096,16 @@ SELECT source,
        CAST(sum(doc_id) AS BIGINT) AS sum_id
 FROM kept GROUP BY source ORDER BY source
 """
+
+# q80: FFD pack-layout audit — exact per-language doc/token totals and
+# the ceil(total/budget) lower bound; the packer's invariant flags are
+# literal 1s (overfilled or lost assignments flip them Spark-side).
+ORACLES["q80_ffd_packing"] = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(len({_TOKS})) / 256.0) AS BIGINT) AS lb,
+       1 AS all_fit,
+       1 AS lb_ok
+FROM documents GROUP BY lang ORDER BY lang
+"""

@@ -1392,6 +1392,57 @@ def q79_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing pack layout audit (invariant-row pattern —
+    FFD itself is sequential per group and not SQL-expressible): per
+    language, exact doc/token totals + the budget lower bound, plus
+    all_fit = 1 iff every non-oversize pack's fill <= budget and
+    lb_ok = 1 iff the non-oversize packs' capacity covers their token
+    mass ((n_packs - n_oversize)*budget >= their total — guaranteed for
+    a correct packer, violated by any overfilled or lost assignment).
+    The oracle recomputes the exact columns and emits literal 1s."""
+    budget = 256
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = text.pack_sequences_ffd(docs, "doc_id", "n_tokens", budget, ["lang"])
+    packs = packed.groupBy("lang", "pack_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    return (
+        packs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.sum(F.when(F.col("has_oversize") == 0, F.col("fill")).otherwise(0)).alias(
+                "__no_total"
+            ),
+            F.sum((F.col("has_oversize") == 0).cast("long")).alias("__no_packs"),
+            F.min(
+                (F.col("has_oversize") == 1) | (F.col("fill") <= budget)
+            ).cast("int").alias("all_fit"),
+        )
+        .join(
+            docs.groupBy("lang").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+            ),
+            "lang",
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.ceil(F.col("total_tokens") / budget).cast("long").alias("lb"),
+            "all_fit",
+            (F.col("__no_packs") * budget >= F.col("__no_total")).cast("int").alias(
+                "lb_ok"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1473,5 +1524,6 @@ QUERIES = {
         q77_quality_classifier,
         q78_approx_quantiles,
         q79_token_budget_mixture,
+        q80_ffd_packing,
     ]
 }

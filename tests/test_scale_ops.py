@@ -441,3 +441,88 @@ def test_bloom_reserved_columns_and_param_guards(spark):
         sketches.mg_token_summary(
             spark.createDataFrame([("a b",)], "text string"), "text", capacity=0
         )
+
+
+# ---------------------------------------------------------------------------
+# FFD sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _ffd_reference(lengths, budget):
+    """pure-python FFD over (len desc, idx asc)."""
+    order = sorted(range(len(lengths)), key=lambda i: (-lengths[i], i))
+    fills, assign = [], {}
+    for i in order:
+        n = lengths[i]
+        if n > budget:
+            fills.append(n); assign[i] = len(fills) - 1; continue
+        for b, f in enumerate(fills):
+            if f + n <= budget:
+                fills[b] = f + n; assign[i] = b; break
+        else:
+            fills.append(n); assign[i] = len(fills) - 1
+    return assign, fills
+
+
+def test_ffd_packing_matches_reference_and_invariants(spark, sf_dir):
+    from snowplow_s3_loader_spark.operators.text import pack_sequences_ffd, token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    budget = 256
+    packed = pack_sequences_ffd(docs, "doc_id", "n_tokens", budget, ["lang"]).collect()
+    by_lang: dict = {}
+    for r in packed:
+        by_lang.setdefault(r["lang"], []).append(r)
+    src = {(r["lang"], r["doc_id"]): r["n_tokens"] for r in docs.collect()}
+    assert len(packed) == len(src)  # every doc packed exactly once
+    for lang, rows in by_lang.items():
+        rows_sorted = sorted(rows, key=lambda r: r["doc_id"])
+        lengths = [r["n_tokens"] for r in sorted(rows, key=lambda r: r["doc_id"])]
+        ids = [r["doc_id"] for r in rows_sorted]
+        ref_assign, ref_fills = _ffd_reference(lengths, budget)
+        got_assign = {r["doc_id"]: r["pack_id"] for r in rows_sorted}
+        assert got_assign == {ids[i]: b for i, b in ref_assign.items()}
+        # invariants: packs fit (unless oversize), lower bound holds
+        pack_sums: dict = {}
+        for r in rows:
+            pack_sums[r["pack_id"]] = pack_sums.get(r["pack_id"], 0) + r["n_tokens"]
+        for r in rows:
+            if not r["oversize"]:
+                assert pack_sums[r["pack_id"]] <= budget or any(
+                    x["oversize"] and x["pack_id"] == r["pack_id"] for x in rows
+                )
+        total = sum(r["n_tokens"] for r in rows)
+        assert len(pack_sums) >= -(-total // budget) - sum(
+            1 for r in rows if r["oversize"]
+        )
+
+
+def test_ffd_packing_deterministic_across_partitionings(spark, sf_dir):
+    from snowplow_s3_loader_spark.operators.text import pack_sequences_ffd, token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    a = pack_sequences_ffd(docs, "doc_id", "n_tokens", 200, ["lang"])
+    b = pack_sequences_ffd(docs.repartition(13), "doc_id", "n_tokens", 200, ["lang"])
+    ka = sorted((r["lang"], r["doc_id"], r["pack_id"]) for r in a.collect())
+    kb = sorted((r["lang"], r["doc_id"], r["pack_id"]) for r in b.collect())
+    assert ka == kb
+
+
+def test_ffd_global_group(spark):
+    from snowplow_s3_loader_spark.operators.text import pack_sequences_ffd
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([90, 80, 50, 40, 30, 10])], "id long, n long"
+    )
+    rows = pack_sequences_ffd(df, "id", "n", 100).collect()
+    sums: dict = {}
+    for r in rows:
+        sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["n"]
+    assert all(v <= 100 for v in sums.values())
+    # FFD trace: [90+10], [80], [50+40], [30]
+    assert len(sums) == 4
+    assert sorted(sums.values(), reverse=True) == [100, 90, 80, 30]
