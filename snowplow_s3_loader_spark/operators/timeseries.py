@@ -70,3 +70,44 @@ def gap_fill(
     for col_name, default in fill.items():
         out = out.withColumn(col_name, F.coalesce(F.col(col_name), default))
     return out
+
+
+def robust_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    z: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier statistics — median/MAD gating, the
+    numeric-column counterpart of the text quality filters (mean/stddev
+    break down exactly when outliers exist; the modified z-score
+    |x - median| / (1.4826 * MAD) > z is the standard robust rule,
+    Iglewicz & Hoaglin 1993).
+
+    Returns one row per group: (keys..., n, med, mad, n_outliers).
+    Two grouped aggregations (median, then MAD = median of absolute
+    deviations) + one conditional count — three shuffles on the group
+    key, each with map-side partials; percentile is Spark's exact
+    interpolated implementation, matching DuckDB's quantile_cont so the
+    outputs oracle-check."""
+    med = df.groupBy(*keys).agg(
+        F.percentile(value_col, 0.5).alias("med"), F.count("*").alias("n")
+    )
+    with_med = df.join(med, keys)
+    mad = with_med.groupBy(*keys).agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("med")), 0.5).alias("mad")
+    )
+    scored = with_med.join(mad, keys)
+    return (
+        scored.groupBy(*keys, "n", "med", "mad")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col(value_col) - F.col("med"))
+                    > F.lit(z) * F.lit(1.4826) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers")
+        )
+        .select(*keys, "n", F.round("med", 6).alias("med"),
+                F.round("mad", 6).alias("mad"), "n_outliers")
+    )

@@ -451,12 +451,21 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("all_fit") * F.col("lb_ok")).cast("long").alias("v2"),
         F.col("lb").cast("long").alias("v3"),
     )
+    outl = q.q81_robust_outliers(spark, sf_dir).select(
+        F.lit("outliers").alias("battery"),
+        F.col("event_type").alias("key"),
+        F.col("n").cast("long").alias("v1"),
+        F.col("n_outliers").cast("long").alias("v2"),
+        # med/mad ride v3 as exact micro-units (both are 6-dp rounded)
+        F.round(F.col("med") * 1000000 + F.col("mad"), 0).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
         .union(clf)
         .union(quant)
         .union(ffd)
+        .union(outl)
         .orderBy("battery", "key", "v1")
     )
 
@@ -556,6 +565,7 @@ _FOLDED = {
     "q78_approx_quantiles",
     "q79_token_budget_mixture",
     "q80_ffd_packing",
+    "q81_robust_outliers",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -925,6 +935,11 @@ UNION ALL
 SELECT 'packing' AS battery, lang AS key,
        total_tokens AS v1, CAST(all_fit * lb_ok AS BIGINT) AS v2, lb AS v3
 FROM ({ORACLES["q80_ffd_packing"]})
+UNION ALL
+SELECT 'outliers' AS battery, event_type AS key,
+       n AS v1, n_outliers AS v2,
+       CAST(round(med * 1000000 + mad, 0) AS BIGINT) AS v3
+FROM ({ORACLES["q81_robust_outliers"]})
 ORDER BY battery, key, v1
 """
 

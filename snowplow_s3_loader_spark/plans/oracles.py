@@ -1109,3 +1109,26 @@ SELECT lang,
        1 AS lb_ok
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+# q81: robust outlier stats — exact interpolated medians (quantile_cont
+# == Spark percentile), unrounded values feed the comparison, rounding
+# only at the output.
+ORACLES["q81_robust_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT m.event_type, m.n,
+       round(m.med, 6) AS med,
+       round(d.mad, 6) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - m.med) > (3.5 * 1.4826) * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN med m USING (event_type) JOIN mad d ON d.event_type = m.event_type
+GROUP BY m.event_type, m.n, m.med, d.mad
+ORDER BY m.event_type
+"""

@@ -1443,6 +1443,18 @@ def q80_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q81_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier gating over event values (modified
+    z-score > 3.5, Iglewicz & Hoaglin) — numeric-column quality
+    filtering. Exact interpolated percentiles match DuckDB's
+    quantile_cont; medians of 2-decimal values are exact in double, so
+    the full (med, mad, n_outliers) row hash-checks."""
+    from snowplow_s3_loader_spark.operators.timeseries import robust_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return robust_outliers(ev, ["event_type"], "value").orderBy("event_type")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1525,5 +1537,6 @@ QUERIES = {
         q78_approx_quantiles,
         q79_token_budget_mixture,
         q80_ffd_packing,
+        q81_robust_outliers,
     ]
 }

@@ -485,3 +485,26 @@ def test_token_budget_mixture_semantics(spark, sf_dir):
     kept2 = token_budget_mixture(docs, "doc_id", "source", ntok, weights, budget)
     ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
     assert ids(kept) == ids(kept2)
+
+
+def test_robust_outliers_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.timeseries import robust_outliers
+    from snowplow_s3_loader_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r["event_type"]: r for r in robust_outliers(ev, ["event_type"], "value").collect()}
+    vals: dict = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, xs in vals.items():
+        x = np.array(xs)
+        med = float(np.median(x))
+        mad = float(np.median(np.abs(x - med)))
+        n_out = int((np.abs(x - med) > 3.5 * 1.4826 * mad).sum())
+        g = got[et]
+        assert g["n"] == len(xs)
+        assert abs(g["med"] - med) < 1e-6 and abs(g["mad"] - mad) < 1e-6
+        assert g["n_outliers"] == n_out, (et, g["n_outliers"], n_out)
