@@ -156,3 +156,47 @@ class Engine:
 
         score, label = hashed_linear_score(F.col(text_col), dim=dim, seed=seed)
         return docs.select(F.col(id_col).alias("id"), score, label)
+
+    def build_mixture(
+        self, docs: DataFrame, id_col: str, class_col: str, token_count,
+        weights: dict[str, float], budget_tokens: int,
+    ) -> DataFrame:
+        """Token-budget training-mix assembly (operators.sampling
+        token_budget_mixture): deterministic per-source sampling at
+        min(1, w*budget/tokens)."""
+        from snowplow_s3_loader_spark.operators.sampling import token_budget_mixture
+
+        return token_budget_mixture(
+            docs, id_col, class_col, token_count, weights, budget_tokens
+        )
+
+    def pack_ffd(
+        self, docs: DataFrame, id_col: str, token_count_col: str,
+        budget: int, group_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """First-fit-decreasing token-budget packing (operators.text
+        pack_sequences_ffd)."""
+        from snowplow_s3_loader_spark.operators.text import pack_sequences_ffd
+
+        return pack_sequences_ffd(docs, id_col, token_count_col, budget, group_cols)
+
+    def robust_outliers(
+        self, df: DataFrame, keys: list[str], value_col: str, z: float = 3.5
+    ) -> DataFrame:
+        """Median/MAD outlier statistics per group (operators.timeseries
+        robust_outliers)."""
+        from snowplow_s3_loader_spark.operators.timeseries import robust_outliers
+
+        return robust_outliers(df, keys, value_col, z)
+
+    def pca(self, emb: DataFrame, vec_col: str, k: int, whiten: bool = False):
+        """Fit + project PCA over an embedding column (operators.similarity
+        pca_fit/pca_project); returns (projected_df, (mean, components,
+        eigenvalues))."""
+        from snowplow_s3_loader_spark.operators.similarity import pca_fit, pca_project
+
+        mean, comps, evals = pca_fit(emb, vec_col, k)
+        out = pca_project(
+            emb, vec_col, mean, comps, eigenvalues=evals if whiten else None
+        )
+        return out, (mean, comps, evals)
