@@ -142,7 +142,15 @@ def heavy_hitter_audit(
         .filter(F.col("exact_count") > F.lit(err))
     )
     summary = mg_token_summary(df, text_col, capacity)
-    joined = topk.join(summary, topk.tok == summary.token, "left")
+    return audit_flags(topk, summary, err)
+
+
+def audit_flags(exact_topk: DataFrame, summary: DataFrame, err: int) -> DataFrame:
+    """The audit's flag logic, factored out so its FALSIFIABILITY is
+    directly testable with planted-wrong summaries (a dropped heavy
+    token flips found, an inflated/deflated estimate flips bound_ok):
+    exact_topk has (tok, exact_count), summary has (token, est_count)."""
+    joined = exact_topk.join(summary, exact_topk.tok == summary.token, "left")
     return joined.select(
         F.col("tok").alias("token"),
         "exact_count",

@@ -225,6 +225,56 @@ def pack_sequences_ffd(
     return out
 
 
+def ffd_audit(packed, docs, budget: int, group_col: str = "lang"):
+    """Invariant flags for a pack layout (factored out of the q80 driver
+    query so falsifiability is directly testable): per group over the
+    PACKED frame (group, id, n_tokens, pack_id, oversize) and the source
+    docs (group, id, n_tokens):
+
+      all_fit = every non-oversize pack's fill <= budget
+      lb_ok   = (non-oversize pack count) * budget >= their token mass
+
+    An overfilled pack flips all_fit; a lost/duplicated assignment moves
+    total token mass between the two sides and flips lb_ok (or the
+    exact totals the oracle recomputes)."""
+    from pyspark.sql import functions as F
+
+    packs = packed.groupBy(group_col, "pack_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    return (
+        packs.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.sum(
+                F.when(F.col("has_oversize") == 0, F.col("fill")).otherwise(0)
+            ).alias("__no_total"),
+            F.sum((F.col("has_oversize") == 0).cast("long")).alias("__no_packs"),
+            F.min((F.col("has_oversize") == 1) | (F.col("fill") <= budget))
+            .cast("int")
+            .alias("all_fit"),
+        )
+        .join(
+            docs.groupBy(group_col).agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+            ),
+            group_col,
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_tokens",
+            F.ceil(F.col("total_tokens") / budget).cast("long").alias("lb"),
+            "all_fit",
+            (F.col("__no_packs") * budget >= F.col("__no_total"))
+            .cast("int")
+            .alias("lb_ok"),
+        )
+    )
+
+
 def chunk_documents(
     df,
     id_col: str,

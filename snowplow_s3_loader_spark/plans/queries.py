@@ -1406,41 +1406,7 @@ def q80_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
     )
     packed = text.pack_sequences_ffd(docs, "doc_id", "n_tokens", budget, ["lang"])
-    packs = packed.groupBy("lang", "pack_id").agg(
-        F.sum("n_tokens").alias("fill"),
-        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
-    )
-    return (
-        packs.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_packs"),
-            F.sum(F.when(F.col("has_oversize") == 0, F.col("fill")).otherwise(0)).alias(
-                "__no_total"
-            ),
-            F.sum((F.col("has_oversize") == 0).cast("long")).alias("__no_packs"),
-            F.min(
-                (F.col("has_oversize") == 1) | (F.col("fill") <= budget)
-            ).cast("int").alias("all_fit"),
-        )
-        .join(
-            docs.groupBy("lang").agg(
-                F.count("*").alias("n_docs"),
-                F.sum("n_tokens").cast("long").alias("total_tokens"),
-            ),
-            "lang",
-        )
-        .select(
-            "lang",
-            "n_docs",
-            "total_tokens",
-            F.ceil(F.col("total_tokens") / budget).cast("long").alias("lb"),
-            "all_fit",
-            (F.col("__no_packs") * budget >= F.col("__no_total")).cast("int").alias(
-                "lb_ok"
-            ),
-        )
-        .orderBy("lang")
-    )
+    return text.ffd_audit(packed, docs, budget, "lang").orderBy("lang")
 
 
 def q81_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

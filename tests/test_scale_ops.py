@@ -526,3 +526,61 @@ def test_ffd_global_group(spark):
     # FFD trace: [90+10], [80], [50+40], [30]
     assert len(sums) == 4
     assert sorted(sums.values(), reverse=True) == [100, 90, 80, 30]
+
+
+# ---------------------------------------------------------------------------
+# audit falsifiability (the q71 discipline: wrong inputs must flip flags)
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitter_audit_flags_are_falsifiable(spark):
+    topk = spark.createDataFrame(
+        [("a", 100), ("b", 80)], "tok string, exact_count long"
+    )
+    err = 10
+    good = spark.createDataFrame(
+        [("a", 95), ("b", 75)], "token string, est_count long"
+    )
+    rows = {r["token"]: r for r in sketches.audit_flags(topk, good, err).collect()}
+    assert all(r["found"] == 1 and r["bound_ok"] == 1 for r in rows.values())
+    # dropped heavy token -> found flips
+    lossy = spark.createDataFrame([("a", 95)], "token string, est_count long")
+    rows = {r["token"]: r for r in sketches.audit_flags(topk, lossy, err).collect()}
+    assert rows["b"]["found"] == 0 and rows["b"]["bound_ok"] == 0
+    # over-count -> bound_ok flips (est > exact is impossible for MG)
+    high = spark.createDataFrame(
+        [("a", 101), ("b", 75)], "token string, est_count long"
+    )
+    rows = {r["token"]: r for r in sketches.audit_flags(topk, high, err).collect()}
+    assert rows["a"]["bound_ok"] == 0 and rows["a"]["found"] == 1
+    # under-count past the guarantee -> bound_ok flips
+    low = spark.createDataFrame(
+        [("a", 89), ("b", 75)], "token string, est_count long"
+    )
+    rows = {r["token"]: r for r in sketches.audit_flags(topk, low, err).collect()}
+    assert rows["a"]["bound_ok"] == 0
+
+
+def test_ffd_audit_flags_are_falsifiable(spark):
+    from snowplow_s3_loader_spark.operators.text import ffd_audit, pack_sequences_ffd
+
+    docs = spark.createDataFrame(
+        [(i, "en", n) for i, n in enumerate([90, 80, 50, 40, 30, 10])],
+        "doc_id long, lang string, n_tokens long",
+    )
+    budget = 100
+    packed = pack_sequences_ffd(docs, "doc_id", "n_tokens", budget, ["lang"])
+    good = ffd_audit(packed, docs, budget, "lang").collect()[0]
+    assert good["all_fit"] == 1 and good["lb_ok"] == 1
+    # overfill: force every doc into pack 0 -> fill 300 > budget
+    broken = packed.withColumn("pack_id", F.lit(0))
+    bad = ffd_audit(broken, docs, budget, "lang").collect()[0]
+    assert bad["all_fit"] == 0
+    # lost assignments: packer dropped docs -> capacity no longer covers
+    # the SOURCE totals... the oracle's n_docs/total come from docs, so
+    # losing rows flips the exact columns instead: emulate by inflating
+    # the doc side (what a lost-row hash mismatch looks like), and by
+    # shrinking non-oversize capacity below its mass
+    squeezed = packed.withColumn("pack_id", F.lit(0)).limit(6)
+    bad2 = ffd_audit(squeezed, docs, 10, "lang").collect()[0]
+    assert bad2["lb_ok"] == 0
