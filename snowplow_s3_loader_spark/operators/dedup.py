@@ -570,3 +570,81 @@ def simhash60_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def hamming60(a: Column, b: Column) -> Column:
     """Hamming distance between two 60-bit simhashes: popcount of xor."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.8,
+    tokens_expr: Column | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: |A ∩ B| / |A| >= threshold
+    (Broder 1997's containment, vs the resemblance token_jaccard_pairs
+    computes). Catches sub-document duplication — a short document
+    quoted wholesale inside a long one has Jaccard <= |A|/|B| (tiny) but
+    containment ~1, so symmetric dedup never sees it.
+
+    Output: ordered (id_a, id_b, containment) rows — id_a's token set is
+    contained in id_b at the given rate; both directions are evaluated
+    independently (A-in-B and B-in-A can differ arbitrarily).
+
+    Candidate generation: containment >= t forces overlap >= ceil(t*|A|),
+    so a qualifying pair shares a token within A's PPJoin prefix (first
+    |A| - ceil(t*|A|) + 1 rarity-ordered tokens) — the same lossless
+    prefix _prefix_postings builds for Jaccard. The CONTAINEE side
+    cannot be prefix-pruned (B may be arbitrarily larger than A), so it
+    posts all tokens; the rarity ordering still keeps A's prefix tokens
+    infrequent, which is what bounds the candidate join. The exact
+    verify (array_intersect) then removes every false candidate. Size
+    filter |B| >= ceil(t*|A|) applies before the intersect.
+    """
+    from pyspark import StorageLevel
+
+    toks = tokens(F.col(text_col)) if tokens_expr is None else tokens_expr
+    par = df.sparkSession.sparkContext.defaultParallelism
+    in_files = df.inputFiles()
+    n_parts = len(in_files) if in_files else df.rdd.getNumPartitions()
+    if n_parts < par:
+        df = df.repartition(par)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.struct(*[F.col(c) for c in block_cols]).alias("blk"),
+        F.array_sort(F.array_distinct(toks)).alias("toks"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pre = _prefix_postings(base, threshold).persist(StorageLevel.MEMORY_AND_DISK)
+    full = base.select(
+        F.col("id").alias("id_b"), "blk", F.explode("toks").alias("tok")
+    )
+    candidates = (
+        pre.select(F.col("id").alias("id_a"), "blk", "tok")
+        .join(full, ["blk", "tok"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "blk")
+        .distinct()
+    )
+    docs_a = base.select(
+        F.col("id").alias("id_a"), F.col("blk"), F.col("toks").alias("toks_a")
+    )
+    docs_b = base.select(
+        F.col("id").alias("id_b"), F.col("blk"), F.col("toks").alias("toks_b")
+    )
+    out = (
+        candidates.join(docs_a, ["id_a", "blk"])
+        .join(docs_b, ["id_b", "blk"])
+        .where(F.size("toks_b") >= F.ceil(F.lit(threshold) * F.size("toks_a")))
+        .withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "containment",
+            F.round(F.col("common").cast("double") / F.size("toks_a"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+        pre.unpersist()
+    return out

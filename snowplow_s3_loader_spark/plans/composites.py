@@ -140,8 +140,10 @@ def q16_bad_row_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q24_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair-generation battery: exact token Jaccard (q24) +
-    char-3-gram shingle Jaccard (q56) + MinHash/LSH candidates (q25),
-    tagged union over the shared (id_a, id_b) shape."""
+    char-3-gram shingle Jaccard (q56) + MinHash/LSH candidates (q25) +
+    asymmetric containment (q82 — the jaccard column carries the
+    containment rate), tagged union over the shared (id_a, id_b)
+    shape."""
     tok = q.q24_token_jaccard(spark, sf_dir).select(
         F.lit("token").alias("method"), "id_a", "id_b", "jaccard"
     )
@@ -154,7 +156,13 @@ def q24_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return tok.union(ngram).union(mh).orderBy("method", "id_a", "id_b")
+    cont = q.q82_containment_pairs(spark, sf_dir).select(
+        F.lit("containment").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("containment").alias("jaccard"),
+    )
+    return tok.union(ngram).union(mh).union(cont).orderBy("method", "id_a", "id_b")
 
 
 def q26_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,6 +574,7 @@ _FOLDED = {
     "q79_token_budget_mixture",
     "q80_ffd_packing",
     "q81_robust_outliers",
+    "q82_containment_pairs",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -675,6 +684,9 @@ SELECT 'ngram' AS method, id_a, id_b, jaccard FROM ({ORACLES["q56_ngram_jaccard"
 UNION ALL
 SELECT 'minhash' AS method, id_a, id_b, NULL::DOUBLE AS jaccard
 FROM ({ORACLES["q25_minhash_lsh"]})
+UNION ALL
+SELECT 'containment' AS method, id_a, id_b, containment AS jaccard
+FROM ({ORACLES["q82_containment_pairs"]})
 ORDER BY method, id_a, id_b
 """
 

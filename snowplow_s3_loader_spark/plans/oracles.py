@@ -1132,3 +1132,19 @@ FROM events e JOIN med m USING (event_type) JOIN mad d ON d.event_type = m.event
 GROUP BY m.event_type, m.n, m.med, d.mad
 ORDER BY m.event_type
 """
+
+# q82: containment pairs — all-pairs within the slice+block in SQL (the
+# engine's prefix filter is lossless, so the sets must match exactly).
+ORACLES["q82_containment_pairs"] = """
+WITH d AS (
+  SELECT doc_id AS id, lang,
+         list_sort(list_distinct(string_split_regex(trim(text), ' +'))) AS toks
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.toks, b.toks)) / len(a.toks), 6) AS containment
+FROM d a JOIN d b ON a.lang = b.lang AND a.id != b.id
+WHERE len(b.toks) >= ceil(0.8 * len(a.toks))
+  AND round(len(list_intersect(a.toks, b.toks)) / len(a.toks), 6) >= 0.8
+ORDER BY id_a, id_b
+"""

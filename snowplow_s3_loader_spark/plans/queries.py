@@ -1421,6 +1421,17 @@ def q81_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_outliers(ev, ["event_type"], "value").orderBy("event_type")
 
 
+def q82_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (|A∩B|/|A| >= 0.8, Broder) —
+    the sub-document-duplication detector symmetric Jaccard misses;
+    same 10% slice + lang blocking as q24, prefix-filtered candidates,
+    exact verify."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", ["lang"], threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1504,5 +1515,6 @@ QUERIES = {
         q79_token_budget_mixture,
         q80_ffd_packing,
         q81_robust_outliers,
+        q82_containment_pairs,
     ]
 }

@@ -473,3 +473,47 @@ def test_semantic_dedup_shared_components_audit_single_residue(spark):
     assert jsc.getPersistentRDDs().size() <= before + 1
     release_materialized(out)
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_containment_pairs_asymmetric_and_exact(spark):
+    """Containment catches a short doc quoted inside a long one (Jaccard
+    misses it), directions are independent, and the prefix-filtered
+    candidates reproduce brute force exactly."""
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.dedup import (
+        containment_pairs,
+        release_materialized,
+        token_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    rows = [(0, short, "en"), (1, long_, "en"), (2, "unrelated words here", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cont = containment_pairs(df, "doc_id", "text", ["lang"], threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in cont.collect()}
+    assert got == {(0, 1): 1.0}  # short-in-long only; reverse is ~4/44
+    jac = token_jaccard_pairs(df, "doc_id", "text", ["lang"], threshold=0.9)
+    assert jac.count() == 0  # symmetric Jaccard cannot see it
+    release_materialized(cont)
+    release_materialized(jac)
+
+    # brute-force equality on a denser corpus
+    import itertools
+
+    dense = [
+        (i, " ".join(f"t{j}" for j in range((i % 5) + 3, 20)), "en")
+        for i in range(30)
+    ]
+    ddf = spark.createDataFrame(dense, "doc_id long, text string, lang string")
+    cont2 = containment_pairs(ddf, "doc_id", "text", ["lang"], threshold=0.7)
+    got2 = {(r["id_a"], r["id_b"]) for r in cont2.collect()}
+    toks = {i: set(t.split()) for i, t, _ in dense}
+    want2 = {
+        (a, b)
+        for a, b in itertools.permutations(toks, 2)
+        if round(len(toks[a] & toks[b]) / len(toks[a]), 6) >= 0.7
+    }
+    assert got2 == want2 and want2
+    release_materialized(cont2)
