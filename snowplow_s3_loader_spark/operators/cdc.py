@@ -1,0 +1,80 @@
+"""Changelog application (CDC merge / upsert) — apply a stream of keyed
+INSERT/UPDATE/DELETE change records to a snapshot table, latest change
+per key wins. The lakehouse MERGE primitive every incremental curation
+pipeline needs (refresh a document corpus from a crawl delta, apply
+takedown/deletion lists, upsert re-scored quality columns) — beyond the
+reference's surface (its loader appends blobs and has no table
+semantics at all, Processing.scala:69-77 / S3Sink.scala:29-58).
+
+Scale mechanics:
+- resolving "latest change per key" is ONE window shuffle over the
+  changelog — the changelog, not the snapshot, which is typically
+  orders of magnitude smaller;
+- applying it is ONE left-anti join on the key (drop every snapshot row
+  that has any change, then union the surviving upserts back in). When
+  the resolved changelog is small it broadcasts (AQE decides from the
+  post-window size; `broadcast_changes=True` forces the hint), so the
+  100 TB snapshot never shuffles at all — the scan streams through a
+  broadcast-hash anti join and the union.
+- the snapshot is never windowed, sorted, or re-partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """One row per key: the change with the highest ``seq_col`` (the
+    winning change under last-writer-wins). Sequence ties break on
+    ``op_col`` descending ('U' > 'D' in ASCII, so an update outranks a
+    delete carrying the same sequence number) — callers with a real
+    total order (log offset, LSN) never hit the tie-break."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    broadcast_changes: bool = False,
+) -> DataFrame:
+    """MERGE the changelog into the snapshot: for every key with at
+    least one change, the latest change wins — a ``delete_op`` row
+    removes the key, any other op replaces (or inserts) the row with
+    the change's payload columns. Keys without changes pass through
+    untouched.
+
+    ``changes`` must carry every snapshot column (the upsert payload)
+    plus ``seq_col`` and ``op_col``. The result has exactly the
+    snapshot's schema.
+    """
+    for c in (*keys, seq_col, op_col):
+        if c not in changes.columns:
+            raise ValueError(f"changes is missing required column {c!r}")
+    missing = [c for c in snapshot.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing snapshot payload columns {missing}")
+    latest = latest_changes(changes, keys, seq_col, op_col)
+    touched = latest.select(*keys)
+    if broadcast_changes:
+        # hint only the join side; the upsert branch is a union (no join)
+        touched = F.broadcast(touched)
+    upserts = latest.where(F.col(op_col) != delete_op).select(*snapshot.columns)
+    return snapshot.join(touched, keys, "left_anti").unionByName(upserts)

@@ -584,3 +584,125 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Exact-integer PageRank power iteration: (node, rank_micro) after
+    ``iterations`` rounds, with all arithmetic in BIGINT micro-units so
+    the result is bit-identical across engines (the same trick as the
+    bigram-LM micro-nats — floating-point PageRank is order-dependent
+    and cannot hash-match an oracle).
+
+    Semantics: ranks start at ``scale div n`` for each of the n distinct
+    nodes; each round every node receives
+
+        tele + sum over in-edges (u, v) of (rank[u] * damping_num)
+                                       div (damping_den * outdeg[u])
+
+    where ``tele = (scale * (damping_den - damping_num)) div
+    (damping_den * n)`` and ``div`` is truncating integer division
+    (all quantities are non-negative, so truncation == floor in every
+    engine). Mass lost to dangling nodes (out-degree 0) and to floor
+    rounding is NOT redistributed — the standard "pseudo-PageRank"
+    simplification; node ORDERING converges to the same ranking, and
+    exactness is what makes the operator verifiable. Beyond the
+    reference's surface (its loader has no relational layer,
+    Processing.scala:69-77); the operator exists for link-graph /
+    citation-graph quality weighting in curation pipelines.
+
+    Scale mechanics (mirrors connected_components): the adjacency
+    frame (src, dst, outdeg) is checkpointed ONCE with an advertised
+    hash(src) layout and ranks with hash(node) at the same width, so
+    the per-round rank-to-edges join plans with ZERO Exchange on the
+    edge side; only the per-round groupBy(dst) and the node-align join
+    shuffle, both at graph-sized width. Lineage is truncated every
+    round via checkpoint_nostats (stats otherwise compound
+    multiplicatively — see its docstring); the previous round's blocks
+    are released immediately, so storage is bounded at
+    |E| + 2 x |V| rows regardless of iteration count.
+
+    Returns a materialized (checkpointed) frame; callers that run many
+    operators in one session should release_materialized() it when done.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError(
+            f"need 0 < damping_num < damping_den, got {damping_num}/{damping_den}"
+        )
+    spark = edges.sparkSession
+    e = checkpoint_nostats(
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    n_edges = e.count()
+    loop_parts = _loop_width(spark, n_edges)
+    # out-degree rides WITH each edge so the per-round join is a single
+    # co-partitioned equi-join on s (no second outdeg join per round).
+    adj = checkpoint_nostats(
+        e.join(e.groupBy("s").agg(F.count("*").alias("outdeg")), "s"),
+        loop_parts,
+        ["s"],
+    )
+    nodes = checkpoint_nostats(
+        e.select("s").union(e.select(F.col("d").alias("s"))).distinct()
+        .select(F.col("s").alias("node")),
+        loop_parts,
+        ["node"],
+    )
+    release_materialized(e)
+    try:
+        n = nodes.count()
+        init = int(scale) // n
+        tele = (int(scale) * (damping_den - damping_num)) // (damping_den * n)
+        ranks = checkpoint_nostats(
+            nodes.withColumn("pr", F.lit(init).cast("long")), loop_parts, ["node"]
+        )
+        for _ in range(iterations):
+            contribs = (
+                adj.join(ranks, adj.s == ranks.node)  # co-partitioned on s
+                .select(
+                    "d",
+                    F.expr(
+                        f"(pr * {damping_num}) div ({damping_den} * outdeg)"
+                    ).alias("share"),
+                )
+                .repartition(loop_parts, "d")
+                .groupBy("d")
+                .agg(F.sum("share").cast("long").alias("contrib"))
+            )
+            # nodes is hash(node, loop_parts); contribs hash(d, loop_parts)
+            # after its agg — the align join is co-partitioned, and the
+            # projection keeps `node`, so the result carries nodes' layout.
+            new_ranks = checkpoint_nostats(
+                nodes.join(contribs, nodes.node == contribs.d, "left").select(
+                    "node",
+                    (F.lit(tele) + F.coalesce("contrib", F.lit(0)))
+                    .cast("long")
+                    .alias("pr"),
+                ),
+                loop_parts,
+                ["node"],
+                trust_partitioning=True,
+            )
+            release_materialized(ranks)
+            ranks = new_ranks
+        out = checkpoint_nostats(
+            ranks.select("node", F.col("pr").alias("rank_micro"))
+        )
+        release_materialized(ranks)
+        return out
+    finally:
+        release_materialized(adj)
+        release_materialized(nodes)

@@ -426,3 +426,119 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         & (F.col("top_token_frac") <= 0.2)
         & (F.col("dup_bigram_frac") <= 0.9),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1) — the
+# standard pre-training document filter battery. All rules are evaluated
+# with EXACT integer arithmetic (cross-multiplied ratio comparisons, no
+# doubles), so flags hash-match the DuckDB oracle bit-for-bit, and all of
+# it is pure JVM expressions — per-row, zero shuffle, codegen-friendly.
+# ---------------------------------------------------------------------------
+
+GOPHER_BULLETS = ("- ", "* ", "•")
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrences of a literal substring (both engines
+    scan-and-replace left to right, so counts agree)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: tuple[str, ...] = QUALITY_STOPWORDS,
+) -> Column:
+    """Struct of the Gopher rule verdicts for one document:
+
+    - ``word_count_ok``: min_words <= n_words <= max_words
+    - ``mean_word_len_ok``: mean word length in [3, 10] characters,
+      tested as ``3*n_words <= total_chars <= 10*n_words`` (exact)
+    - ``symbol_ratio_ok``: (# of '#' + # of '...') / n_words <= 0.1,
+      tested as ``10*symbols <= n_words``
+    - ``bullet_ratio_ok``: <= 90% of lines start with a bullet,
+      tested as ``10*bullet_lines <= 9*n_lines``
+    - ``ellipsis_ratio_ok``: <= 30% of lines end with '...',
+      tested as ``10*ellipsis_lines <= 3*n_lines``
+    - ``alpha_ratio_ok``: >= 80% of words contain at least one
+      alphabetic character, tested as ``5*alpha_words >= 4*n_words``
+    - ``stopword_ok``: document contains >= 2 distinct stopwords
+    - ``pass_all``: conjunction of the above
+
+    Counts ride along (n_words, n_lines) for downstream scoring."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    total_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    symbols = _count_occurrences(text, "#") + _count_occurrences(text, "...")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.reduce(
+                F.array([F.lit(b) for b in GOPHER_BULLETS]),
+                F.lit(False),
+                lambda acc, b: acc | ln.startswith(b),
+            ),
+        )
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop = F.reduce(
+        F.array([F.lit(s) for s in stopwords]),
+        F.lit(0),
+        lambda acc, s: acc + F.array_contains(toks, s).cast("int"),
+    )
+    flags = {
+        "word_count_ok": (F.lit(min_words) <= n_words) & (n_words <= F.lit(max_words)),
+        "mean_word_len_ok": (F.lit(3) * n_words <= total_chars)
+        & (total_chars <= F.lit(10) * n_words),
+        "symbol_ratio_ok": F.lit(10) * symbols <= n_words,
+        "bullet_ratio_ok": F.lit(10) * bullet_lines <= F.lit(9) * n_lines,
+        "ellipsis_ratio_ok": F.lit(10) * ellipsis_lines <= F.lit(3) * n_lines,
+        "alpha_ratio_ok": F.lit(5) * alpha_words >= F.lit(4) * n_words,
+        "stopword_ok": n_stop >= F.lit(2),
+    }
+    pass_all = F.lit(True)
+    for c in flags.values():
+        pass_all = pass_all & c
+    return F.struct(
+        *[c.alias(name) for name, c in flags.items()],
+        pass_all.alias("pass_all"),
+        n_words.cast("long").alias("n_words"),
+        n_lines.cast("long").alias("n_lines"),
+    )
+
+
+def gopher_rule_summary(
+    df: DataFrame, text_col: str = "text", group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group Gopher audit: document counts, pass count, and per-rule
+    FAIL counts — the corpus-curation dashboard row. One partial+final
+    aggregation; the flag evaluation itself is per-row JVM expressions."""
+    group_cols = group_cols or ["lang"]
+    g = df.withColumn("__g", gopher_quality_flags(F.col(text_col)))
+    rules = [
+        "word_count_ok",
+        "mean_word_len_ok",
+        "symbol_ratio_ok",
+        "bullet_ratio_ok",
+        "ellipsis_ratio_ok",
+        "alpha_ratio_ok",
+        "stopword_ok",
+    ]
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("__g.pass_all").cast("long")).alias("n_pass"),
+        *[
+            F.sum((~F.col(f"__g.{r}")).cast("long")).alias(f"n_fail_{r[:-3]}")
+            for r in rules
+        ],
+    ]
+    return g.groupBy(*group_cols).agg(*aggs)

@@ -414,9 +414,11 @@ def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-toolkit battery (round-6 widening): blocked-bloom prefiltered
     semi join (q74), Misra-Gries heavy-hitter audit (q75), z-order layout
-    keys (q76), hashed-linear quality scoring (q77) — tagged union with
-    the members' columns coerced onto (battery, key, v1, v2, v3), the
-    same normalization the sampling battery uses."""
+    keys (q76), hashed-linear quality scoring (q77), GK-quantile audit
+    (q78), FFD packing (q80), robust outliers (q81), exact-integer
+    PageRank (q83), CDC merge (q84), Gopher rule audit (q85) — tagged
+    union with the members' columns coerced onto (battery, key, v1, v2,
+    v3), the same normalization the sampling battery uses."""
     bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
         F.lit("bloom").alias("battery"),
         F.col("l_returnflag").alias("key"),
@@ -467,6 +469,37 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         # med/mad ride v3 as exact micro-units (both are 6-dp rounded)
         F.round(F.col("med") * 1000000 + F.col("mad"), 0).cast("long").alias("v3"),
     )
+    pr = q.q83_pagerank(spark, sf_dir).select(
+        F.lit("pagerank").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("rank_micro").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    cdc_rows = q.q84_cdc_merge(spark, sf_dir).select(
+        F.lit("cdc").alias("battery"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v1"),
+        # name content rides as a numeric digest (first 8 md5 hex chars)
+        F.conv(F.substring(F.md5("c_name"), 1, 8), 16, 10).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    gopher = q.q85_gopher_rules(spark, sf_dir).select(
+        F.lit("gopher").alias("battery"),
+        F.col("lang").alias("key"),
+        F.col("n_docs").alias("v1"),
+        F.col("n_pass").alias("v2"),
+        # all seven fail counts folded into one base-31 checksum
+        (
+            F.col("n_fail_word_count")
+            + F.col("n_fail_mean_word_len") * 31
+            + F.col("n_fail_symbol_ratio") * 31**2
+            + F.col("n_fail_bullet_ratio") * 31**3
+            + F.col("n_fail_ellipsis_ratio") * 31**4
+            + F.col("n_fail_alpha_ratio") * 31**5
+            + F.col("n_fail_stopword") * 31**6
+        ).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -474,6 +507,9 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(quant)
         .union(ffd)
         .union(outl)
+        .union(pr)
+        .union(cdc_rows)
+        .union(gopher)
         .orderBy("battery", "key", "v1")
     )
 
@@ -575,6 +611,7 @@ _FOLDED = {
     "q80_ffd_packing",
     "q81_robust_outliers",
     "q82_containment_pairs",
+    "q83_pagerank", "q84_cdc_merge", "q85_gopher_rules",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -952,6 +989,27 @@ SELECT 'outliers' AS battery, event_type AS key,
        n AS v1, n_outliers AS v2,
        CAST(round(med * 1000000 + mad, 0) AS BIGINT) AS v3
 FROM ({ORACLES["q81_robust_outliers"]})
+UNION ALL
+SELECT 'pagerank' AS battery, CAST(node AS VARCHAR) AS key,
+       rank_micro AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q83_pagerank"]})
+UNION ALL
+SELECT 'cdc' AS battery, CAST(c_custkey AS VARCHAR) AS key,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS v1,
+       CAST(('0x' || substr(md5(c_name), 1, 8)) AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q84_cdc_merge"]})
+UNION ALL
+SELECT 'gopher' AS battery, lang AS key,
+       n_docs AS v1, n_pass AS v2,
+       CAST(n_fail_word_count
+            + n_fail_mean_word_len * 31
+            + n_fail_symbol_ratio * 31*31
+            + n_fail_bullet_ratio * 31*31*31
+            + n_fail_ellipsis_ratio * 31*31*31*31
+            + n_fail_alpha_ratio * 31*31*31*31*31
+            + n_fail_stopword * 31*31*31*31*31*31 AS BIGINT) AS v3
+FROM ({ORACLES["q85_gopher_rules"]})
 ORDER BY battery, key, v1
 """
 

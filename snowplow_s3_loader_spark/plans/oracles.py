@@ -1148,3 +1148,125 @@ WHERE len(b.toks) >= ceil(0.8 * len(a.toks))
   AND round(len(list_intersect(a.toks, b.toks)) / len(a.toks), 6) >= 0.8
 ORDER BY id_a, id_b
 """
+
+# q83: exact-integer PageRank — 3 unrolled power iterations in BIGINT
+# micro-units; `//` (floor) equals Spark's `div` (truncation) because
+# every quantity is non-negative. Edges are the symmetric closure of the
+# distinct customer->supplier trade relation.
+_PR_ITER = """
+  SELECT nd.node,
+         (1000000000000 * 15) // (100 * p.n) + COALESCE(c.s, 0) AS pr
+  FROM nodes nd CROSS JOIN p
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((pr.pr * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+    FROM edges e
+    JOIN {prev} pr ON pr.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+"""
+
+ORACLES["q83_pagerank"] = f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+p AS (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS (SELECT node, 1000000000000 // p.n AS pr FROM nodes CROSS JOIN p),
+it1 AS ({_PR_ITER.format(prev="pr0")}),
+it2 AS ({_PR_ITER.format(prev="it1")}),
+it3 AS ({_PR_ITER.format(prev="it2")})
+SELECT node, CAST(pr AS BIGINT) AS rank_micro
+FROM it3
+ORDER BY rank_micro DESC, node
+LIMIT 20
+"""
+
+# q84: CDC merge — last-writer-wins changelog application; row_number
+# tie-break mirrors cdc.latest_changes (seq desc, op desc).
+ORACLES["q84_cdc_merge"] = """
+WITH ch AS (
+  SELECT o_custkey AS c_custkey,
+         'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         round(o_totalprice, 2) AS c_acctbal,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders
+),
+latest AS (
+  SELECT * FROM (
+    SELECT ch.*,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY seq DESC, op DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS c_acctbal
+FROM customer c
+WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+ORDER BY c_custkey
+"""
+
+# q85: Gopher rule audit — every flag recomputed with the same exact
+# cross-multiplied integer comparisons as text.gopher_quality_flags.
+ORACLES["q85_gopher_rules"] = """
+WITH f AS (
+  SELECT lang,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> starts_with(l, '- ')
+                                   OR starts_with(l, '* ')
+                                   OR starts_with(l, '•'))) AS bullet_lines,
+         len(list_filter(lines, l -> ends_with(l, '...'))) AS ellipsis_lines,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+         (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END) AS n_stop
+  FROM (
+    SELECT lang, text,
+           string_split_regex(trim(text), ' +') AS toks,
+           str_split(text, chr(10)) AS lines
+    FROM documents
+  )
+),
+flags AS (
+  SELECT lang,
+         (n_words BETWEEN 50 AND 100000) AS word_count_ok,
+         (3 * n_words <= total_chars AND total_chars <= 10 * n_words) AS mean_word_len_ok,
+         (10 * symbols <= n_words) AS symbol_ratio_ok,
+         (10 * bullet_lines <= 9 * n_lines) AS bullet_ratio_ok,
+         (10 * ellipsis_lines <= 3 * n_lines) AS ellipsis_ratio_ok,
+         (5 * alpha_words >= 4 * n_words) AS alpha_ratio_ok,
+         (n_stop >= 2) AS stopword_ok
+  FROM f
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+                      AND bullet_ratio_ok AND ellipsis_ratio_ok AND alpha_ratio_ok
+                      AND stopword_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN NOT word_count_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+       CAST(SUM(CASE WHEN NOT mean_word_len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_word_len,
+       CAST(SUM(CASE WHEN NOT symbol_ratio_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol_ratio,
+       CAST(SUM(CASE WHEN NOT bullet_ratio_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_bullet_ratio,
+       CAST(SUM(CASE WHEN NOT ellipsis_ratio_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ellipsis_ratio,
+       CAST(SUM(CASE WHEN NOT alpha_ratio_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha_ratio,
+       CAST(SUM(CASE WHEN NOT stopword_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
+FROM flags
+GROUP BY lang
+ORDER BY lang
+"""

@@ -1432,6 +1432,59 @@ def q82_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q83_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank over the symmetric customer–supplier trade
+    graph (edge iff the customer ever ordered a lineitem from the
+    supplier; supplier nodes offset by 1e6): 3 power-iteration rounds in
+    BIGINT micro-units (damping 85/100, scale 1e12), top-20 nodes. All
+    arithmetic is truncating integer division, so the DuckDB oracle's
+    unrolled iteration hash-matches bit-for-bit — the link-graph quality
+    weight for curation pipelines, computed verifiably."""
+    from snowplow_s3_loader_spark.operators import graph
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = graph.pagerank(edges, iterations=3)
+    return pr.orderBy(F.col("rank_micro").desc(), "node").limit(20)
+
+
+def q84_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (lakehouse MERGE): a synthetic changelog
+    derived from orders (seq = o_orderkey; every 50th order deletes the
+    customer, the rest upsert name + balance) applied to the customer
+    snapshot with last-writer-wins. One window over the changelog + one
+    anti join — the snapshot never shuffles."""
+    from snowplow_s3_loader_spark.operators import cdc
+
+    snap = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    changes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("upd_"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.round("o_totalprice", 2).alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 50 == 0, "D").otherwise("U").alias("op"),
+    )
+    return cdc.apply_changelog(
+        snap, changes, ["c_custkey"], "seq", broadcast_changes=True
+    ).orderBy("c_custkey")
+
+
+def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
+    doc counts, pass-all counts, per-rule fail counts — all flags
+    evaluated with exact cross-multiplied integer arithmetic (no float
+    ratios), so every count hash-matches the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rule_summary(docs, "text", ["lang"]).orderBy("lang")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1516,5 +1569,8 @@ QUERIES = {
         q80_ffd_packing,
         q81_robust_outliers,
         q82_containment_pairs,
+        q83_pagerank,
+        q84_cdc_merge,
+        q85_gopher_rules,
     ]
 }

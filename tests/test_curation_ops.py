@@ -1,0 +1,258 @@
+"""Round-6 curation operators: exact-integer PageRank, CDC changelog
+application, Gopher quality rules. Each is differential-tested against a
+pure-Python reference implementing the same exact arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators import cdc, text
+from snowplow_s3_loader_spark.operators.dedup import release_materialized
+from snowplow_s3_loader_spark.operators.graph import pagerank
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+SCALE = 10**12
+
+
+def _pagerank_py(edges, iterations, num=85, den=100, scale=SCALE):
+    """Pure-python integer PageRank — same recurrence, same truncating
+    division; the operator must match it exactly."""
+    es = sorted(set(edges))
+    nodes = sorted({u for e in es for u in e})
+    outdeg: dict[int, int] = {}
+    for s, _ in es:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    tele = (scale * (den - num)) // (den * n)
+    pr = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        new = {v: tele for v in nodes}
+        for s, d in es:
+            new[d] += (pr[s] * num) // (den * outdeg[s])
+        pr = new
+    return pr
+
+
+def _run_pagerank(spark, edges, iterations):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = pagerank(df, iterations=iterations)
+    res = {r["node"]: r["rank_micro"] for r in out.collect()}
+    release_materialized(out)
+    return res
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (2, 1), (5, 1)]
+    assert _run_pagerank(spark, edges, 4) == _pagerank_py(edges, 4)
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    # hub 0 with 20 spokes, symmetric edges
+    edges = [(0, i) for i in range(1, 21)] + [(i, 0) for i in range(1, 21)]
+    res = _run_pagerank(spark, edges, 5)
+    assert res == _pagerank_py(edges, 5)
+    hub = res[0]
+    assert all(hub > v for n, v in res.items() if n != 0)
+    # spokes are symmetric — identical ranks
+    assert len({v for n, v in res.items() if n != 0}) == 1
+
+
+def test_pagerank_dangling_mass_dropped_not_redistributed(spark):
+    # 1 -> 2, node 2 has no out-edges: its mass vanishes each round
+    edges = [(1, 2)]
+    res = _run_pagerank(spark, edges, 3)
+    assert res == _pagerank_py(edges, 3)
+    assert sum(res.values()) < SCALE  # mass is genuinely lost
+
+
+def test_pagerank_duplicate_and_null_edges_ignored(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (None, 9), (9, None)],
+        "src long, dst long",
+    )
+    out = pagerank(df, iterations=2)
+    res = {r["node"]: r["rank_micro"] for r in out.collect()}
+    release_materialized(out)
+    assert res == _pagerank_py([(1, 2), (2, 1)], 2)
+
+
+def test_pagerank_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping_num=100, damping_den=100)
+
+
+def test_pagerank_mass_conservation_on_strongly_connected_graph(spark):
+    # ring: every node outdeg 1 — only floor rounding loses mass, so the
+    # total stays within n*(iterations+1) micro-units of SCALE
+    n = 7
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    res = _run_pagerank(spark, edges, 6)
+    assert res == _pagerank_py(edges, 6)
+    assert SCALE - sum(res.values()) <= n * 7
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog application
+# ---------------------------------------------------------------------------
+
+
+def _snap(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "id long, name string, bal double",
+    )
+
+
+def test_apply_changelog_upsert_delete_insert(spark):
+    changes = spark.createDataFrame(
+        [
+            (2, "bob2", 25.0, 100, "U"),   # update existing
+            (3, "carol", 0.0, 101, "D"),   # delete existing
+            (4, "dave", 40.0, 102, "U"),   # insert new key
+        ],
+        "id long, name string, bal double, seq long, op string",
+    )
+    out = cdc.apply_changelog(_snap(spark), changes, ["id"], "seq")
+    rows = {r["id"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert rows == {1: ("alice", 10.0), 2: ("bob2", 25.0), 4: ("dave", 40.0)}
+    assert out.columns == ["id", "name", "bal"]
+
+
+def test_apply_changelog_last_writer_wins(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", 1.0, 10, "U"),
+            (1, "a2", 2.0, 30, "U"),   # highest seq wins
+            (1, "gone", 0.0, 20, "D"),
+        ],
+        "id long, name string, bal double, seq long, op string",
+    )
+    out = cdc.apply_changelog(_snap(spark), changes, ["id"], "seq")
+    rows = {r["id"]: r["name"] for r in out.collect()}
+    assert rows[1] == "a2"
+    # delete as the latest change removes the row
+    changes2 = spark.createDataFrame(
+        [(1, "a1", 1.0, 10, "U"), (1, "x", 0.0, 40, "D")],
+        "id long, name string, bal double, seq long, op string",
+    )
+    out2 = cdc.apply_changelog(_snap(spark), changes2, ["id"], "seq")
+    assert sorted(r["id"] for r in out2.collect()) == [2, 3]
+
+
+def test_apply_changelog_seq_tie_breaks_update_over_delete(spark):
+    changes = spark.createDataFrame(
+        [(1, "kept", 5.0, 10, "U"), (1, "x", 0.0, 10, "D")],
+        "id long, name string, bal double, seq long, op string",
+    )
+    out = cdc.apply_changelog(_snap(spark), changes, ["id"], "seq")
+    rows = {r["id"]: r["name"] for r in out.collect()}
+    assert rows[1] == "kept"  # 'U' > 'D' on the documented tie-break
+
+
+def test_apply_changelog_broadcast_matches_plain(spark):
+    changes = spark.createDataFrame(
+        [(2, "bob2", 25.0, 100, "U"), (3, "c", 0.0, 101, "D")],
+        "id long, name string, bal double, seq long, op string",
+    )
+    plain = cdc.apply_changelog(_snap(spark), changes, ["id"], "seq")
+    bcast = cdc.apply_changelog(
+        _snap(spark), changes, ["id"], "seq", broadcast_changes=True
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, bcast.collect()))
+    # the hint must reach the anti join's build side
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+
+def test_apply_changelog_validates_columns(spark):
+    changes_missing_payload = spark.createDataFrame(
+        [(1, 10, "U")], "id long, seq long, op string"
+    )
+    with pytest.raises(ValueError, match="payload"):
+        cdc.apply_changelog(_snap(spark), changes_missing_payload, ["id"], "seq")
+    with pytest.raises(ValueError, match="missing required"):
+        cdc.apply_changelog(_snap(spark), _snap(spark), ["id"], "seq")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+
+def _flags(spark, s):
+    df = spark.createDataFrame([(s,)], "text string")
+    return df.select(text.gopher_quality_flags(F.col("text")).alias("g")).collect()[0][
+        "g"
+    ].asDict()
+
+
+def test_gopher_passing_document(spark):
+    doc = "the cat and the dog sat of to in is " + "word " * 60
+    g = _flags(spark, doc)
+    assert g["pass_all"] and g["n_words"] == 70
+
+
+def test_gopher_word_count_bounds(spark):
+    assert not _flags(spark, "too short")["word_count_ok"]
+    assert _flags(spark, "okay " * 50)["word_count_ok"]
+    assert not _flags(spark, "w " * 100_001)["word_count_ok"]
+
+
+def test_gopher_mean_word_length(spark):
+    # mean word length 1 (< 3) fails; 3..10 passes; > 10 fails
+    assert not _flags(spark, "a b c d e f")["mean_word_len_ok"]
+    assert _flags(spark, "abcd " * 10)["mean_word_len_ok"]
+    assert not _flags(spark, "abcdefghijklmnop " * 5)["mean_word_len_ok"]
+
+
+def test_gopher_symbol_ratio(spark):
+    # 2 symbols ('#' + '...') over 8 words -> 0.25 > 0.1 fails
+    assert not _flags(spark, "# one two three four five six ...")["symbol_ratio_ok"]
+    # 1 symbol over 12 words passes
+    assert _flags(spark, "# " + "w " * 11)["symbol_ratio_ok"]
+    # four consecutive dots count as ONE non-overlapping '...' occurrence
+    g = _flags(spark, "w.... " + "w " * 11)
+    assert g["symbol_ratio_ok"]
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    all_bullets = "\n".join(f"- item {i}" for i in range(10))
+    assert not _flags(spark, all_bullets)["bullet_ratio_ok"]
+    one_bullet = "- item\n" + "\n".join(f"line {i}" for i in range(9))
+    assert _flags(spark, one_bullet)["bullet_ratio_ok"]
+    heavy_ellipsis = "\n".join(f"line {i}..." for i in range(4)) + "\nplain"
+    assert not _flags(spark, heavy_ellipsis)["ellipsis_ratio_ok"]
+    assert _flags(spark, "one...\nplain\nplain\nplain")["ellipsis_ratio_ok"]
+
+
+def test_gopher_alpha_ratio_and_stopwords(spark):
+    # 3 alpha words of 10 -> 0.3 < 0.8 fails
+    assert not _flags(spark, "1 2 3 4 5 6 7 cat dog hat")["alpha_ratio_ok"]
+    assert _flags(spark, "cat dog hat 1 2")["alpha_ratio_ok"] is False  # 3/5 = 0.6
+    assert _flags(spark, "cat dog hat bat 5")["alpha_ratio_ok"]  # 4/5 = 0.8
+    assert not _flags(spark, "cat dog")["stopword_ok"]
+    assert not _flags(spark, "the cat")["stopword_ok"]  # 1 distinct stopword
+    assert _flags(spark, "the cat is here")["stopword_ok"]
+    # repeated single stopword still counts once
+    assert not _flags(spark, "the the the the")["stopword_ok"]
+
+
+def test_gopher_summary_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat and the dog sat of to in is " + "word " * 60),
+            ("en", "tiny"),
+            ("de", "a b c d e"),
+        ],
+        "lang string, text string",
+    )
+    out = {r["lang"]: r.asDict() for r in text.gopher_rule_summary(df).collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["n_pass"] == 1
+    assert out["en"]["n_fail_word_count"] == 1
+    assert out["de"]["n_pass"] == 0 and out["de"]["n_fail_mean_word_len"] == 1
