@@ -45,8 +45,12 @@ def avg_token_length(text: Column) -> Column:
 
 def punct_count(text: Column) -> Column:
     """Characters outside [a-zA-Z0-9 ] — formula shared with the oracle
-    (length minus cleaned length) to avoid regexp-count semantic drift."""
-    return F.length(text) - F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+    (length minus punctuation-stripped length) to avoid regexp-count
+    semantic drift. (Round 6 fix: the character class was previously
+    un-negated, so this counted ALPHANUMERICS and quality_score rewarded
+    punctuation-heavy text; Spark and oracle shared the inversion, so
+    hashes matched while the semantics were backwards.)"""
+    return F.length(text) - F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
 
 
 def punct_ratio(text: Column) -> Column:

@@ -768,13 +768,13 @@ quality AS (
   SELECT doc_id, lang,
     round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
       AS avg_token_len,
-    round(CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+    round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
           / length(text), 6) AS punct_ratio,
     round(CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
           / len(toks), 6) AS stopword_ratio,
     round(0.4::DOUBLE * least(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 50.0::DOUBLE)
           + 0.3::DOUBLE * (1.0::DOUBLE
-              - CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+              - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
                 / length(text))
           + 0.3::DOUBLE * (CAST(len(list_filter(toks, x -> x IN
               ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(toks)),

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 _STOP_EN = "('the','a','and','of','to','in','is')"
 _TOKS = "string_split_regex(trim(text), ' +')"
-_PUNCT = "CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)"
+_PUNCT = "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)"
 _FP = "md5(lower(regexp_replace(trim(text), ' +', ' ', 'g')))"
 
 _SDJ_VALID_FILTER = "event_id % 10 NOT IN (0, 5)"

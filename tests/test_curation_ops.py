@@ -256,3 +256,33 @@ def test_gopher_summary_counts(spark):
     assert out["en"]["n_docs"] == 2 and out["en"]["n_pass"] == 1
     assert out["en"]["n_fail_word_count"] == 1
     assert out["de"]["n_pass"] == 0 and out["de"]["n_fail_mean_word_len"] == 1
+
+
+# ---------------------------------------------------------------------------
+# punct_count regression (round-6 fix: the character class was un-negated,
+# counting alphanumerics instead of punctuation)
+# ---------------------------------------------------------------------------
+
+
+def test_punct_count_counts_punctuation_not_alphanumerics(spark):
+    df = spark.createDataFrame(
+        [("abc def!?",), ("no punct here",), ("!!!",)], "text string"
+    )
+    out = [
+        r["n"]
+        for r in df.select(text.punct_count(F.col("text")).alias("n"))
+        .orderBy(F.lit(1))
+        .collect()
+    ]
+    assert sorted(out) == [0, 2, 3]
+
+
+def test_quality_score_penalizes_punctuation(spark):
+    clean = "the cat and the dog sat of to in is on the mat again and again"
+    noisy = clean + " !!!???;;;###@@@%%%&&&***((()))"
+    df = spark.createDataFrame([(1, clean), (2, noisy)], "id long, text string")
+    scores = {
+        r["id"]: r["q"]
+        for r in df.select("id", text.quality_score(F.col("text")).alias("q")).collect()
+    }
+    assert scores[1] > scores[2]
