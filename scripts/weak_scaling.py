@@ -540,6 +540,41 @@ def zorder_case(spark, n_rows: int) -> dict:
     }
 
 
+def pagerank_case(spark, n_edges: int) -> dict:
+    """Exact-integer PageRank (round-6): synthetic directed graph with
+    n_edges hashed edges over n_edges/10 nodes (avg degree ~10, hash-skewed
+    like real link graphs). Reports wall for 3 iterations; per-iteration
+    work is one co-partitioned join + one keyed agg, so wall must grow
+    ~linearly with |E|. Mass invariant checked (floor-rounded total never
+    exceeds the scale constant).
+    """
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import pagerank
+
+    n_nodes = max(100, n_edges // 10)
+    edges = spark.range(n_edges).select(
+        (F.abs(F.xxhash64("id")) % n_nodes).alias("src"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % n_nodes).alias("dst"),
+    )
+    warm = pagerank(edges, iterations=1)
+    warm.count()
+    release_materialized(warm)
+    t0 = time.perf_counter()
+    pr = pagerank(edges, iterations=3)
+    total = pr.agg(F.sum("rank_micro").alias("s")).collect()[0]["s"]
+    wall = time.perf_counter() - t0
+    n_out = pr.count()
+    release_materialized(pr)
+    assert total <= 10**12, total
+    return {
+        "case": "pagerank",
+        "edges": n_edges,
+        "nodes": n_out,
+        "total_rank_frac": round(total / 10**12, 4),
+        "sec_3_iters": round(wall, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -575,6 +610,9 @@ def main() -> None:
     if which in ("zorder", "all"):
         out.append(zorder_case(spark, 1_000_000))
         out.append(zorder_case(spark, 10_000_000))
+    if which in ("pagerank", "all"):
+        out.append(pagerank_case(spark, 1_000_000))
+        out.append(pagerank_case(spark, 10_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()

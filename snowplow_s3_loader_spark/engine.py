@@ -200,3 +200,56 @@ class Engine:
             emb, vec_col, mean, comps, eigenvalues=evals if whiten else None
         )
         return out, (mean, comps, evals)
+
+    def pagerank(
+        self, edges: DataFrame, src: str = "src", dst: str = "dst",
+        iterations: int = 3,
+    ) -> DataFrame:
+        """Exact-integer PageRank over a link graph (operators.graph
+        pagerank); returns (node, rank_micro), caller releases."""
+        from snowplow_s3_loader_spark.operators.graph import pagerank
+
+        return pagerank(edges, src, dst, iterations)
+
+    def apply_changelog(
+        self, snapshot: DataFrame, changes: DataFrame, keys: list[str],
+        seq_col: str, broadcast_changes: bool = False,
+    ) -> DataFrame:
+        """CDC merge: last-writer-wins changelog application
+        (operators.cdc apply_changelog)."""
+        from snowplow_s3_loader_spark.operators.cdc import apply_changelog
+
+        return apply_changelog(
+            snapshot, changes, keys, seq_col, broadcast_changes=broadcast_changes
+        )
+
+    def gopher_rules(
+        self, docs: DataFrame, text_col: str = "text",
+        group_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Gopher quality-rule audit per group (operators.text
+        gopher_rule_summary); per-document flags via gopher_quality_flags."""
+        from snowplow_s3_loader_spark.operators.text import gopher_rule_summary
+
+        return gopher_rule_summary(docs, text_col, group_cols)
+
+    def agg_state(
+        self, df: DataFrame, keys: list[str], sum_cols: tuple[str, ...] = (),
+        min_cols: tuple[str, ...] = (), max_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Build keyed count/sum/min/max aggregate state
+        (operators.incremental agg_state)."""
+        from snowplow_s3_loader_spark.operators.incremental import agg_state
+
+        return agg_state(df, keys, sum_cols, min_cols, max_cols)
+
+    def update_agg_state(
+        self, state: DataFrame, delta: DataFrame, keys: list[str],
+        sum_cols: tuple[str, ...] = (), min_cols: tuple[str, ...] = (),
+        max_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Merge an insert-only delta into aggregate state without
+        rescanning the corpus (operators.incremental update_agg_state)."""
+        from snowplow_s3_loader_spark.operators.incremental import update_agg_state
+
+        return update_agg_state(state, delta, keys, sum_cols, min_cols, max_cols)

@@ -416,7 +416,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi join (q74), Misra-Gries heavy-hitter audit (q75), z-order layout
     keys (q76), hashed-linear quality scoring (q77), GK-quantile audit
     (q78), FFD packing (q80), robust outliers (q81), exact-integer
-    PageRank (q83), CDC merge (q84), Gopher rule audit (q85) — tagged
+    PageRank (q83), CDC merge (q84), Gopher rule audit (q85),
+    incremental aggregate maintenance (q86) — tagged
     union with the members' columns coerced onto (battery, key, v1, v2,
     v3), the same normalization the sampling battery uses."""
     bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
@@ -500,6 +501,16 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("n_fail_stopword") * 31**6
         ).cast("long").alias("v3"),
     )
+    incr = q.q86_incremental_agg(spark, sf_dir).select(
+        F.lit("incr").alias("battery"),
+        F.concat_ws(
+            "@", "event_type", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+        ).alias("key"),
+        F.col("n").alias("v1"),
+        F.col("sum_cents").alias("v2"),
+        # min/max fold into one slot (cents < 1e5, so this is lossless)
+        (F.col("max_cents") * 100000 + F.col("min_cents")).alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -510,6 +521,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pr)
         .union(cdc_rows)
         .union(gopher)
+        .union(incr)
         .orderBy("battery", "key", "v1")
     )
 
@@ -612,6 +624,7 @@ _FOLDED = {
     "q81_robust_outliers",
     "q82_containment_pairs",
     "q83_pagerank", "q84_cdc_merge", "q85_gopher_rules",
+    "q86_incremental_agg",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1010,6 +1023,12 @@ SELECT 'gopher' AS battery, lang AS key,
             + n_fail_alpha_ratio * 31*31*31*31*31
             + n_fail_stopword * 31*31*31*31*31*31 AS BIGINT) AS v3
 FROM ({ORACLES["q85_gopher_rules"]})
+UNION ALL
+SELECT 'incr' AS battery,
+       event_type || '@' || strftime(bucket, '%Y-%m-%d %H:%M:%S') AS key,
+       n AS v1, sum_cents AS v2,
+       max_cents * 100000 + min_cents AS v3
+FROM ({ORACLES["q86_incremental_agg"]})
 ORDER BY battery, key, v1
 """
 

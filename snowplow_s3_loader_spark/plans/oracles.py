@@ -1270,3 +1270,18 @@ FROM flags
 GROUP BY lang
 ORDER BY lang
 """
+
+# q86: incremental aggregate maintenance — the oracle is the FULL
+# recompute over all events; the engine must reproduce it from
+# base-state + delta merge, so the hash check is the differential.
+ORACLES["q86_incremental_agg"] = """
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+       max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bucket
+"""

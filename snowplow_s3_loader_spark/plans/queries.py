@@ -1485,6 +1485,32 @@ def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_rule_summary(docs, "text", ["lang"]).orderBy("lang")
 
 
+def q86_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view delta
+    update): build per-(event_type, hour) count/sum/min/max state from
+    3/4 of events, then merge the remaining quarter as an insert-only
+    delta via one partial/final re-aggregation — the corpus is never
+    rescanned. The oracle aggregates ALL events from scratch, so the
+    hash check proves incremental == full recompute exactly (measures
+    in integer cents for order-independent sums)."""
+    from snowplow_s3_loader_spark.operators import incremental
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    keys = ["event_type", "bucket"]
+    base = ev.filter(F.col("event_id") % 4 != 0)
+    delta = ev.filter(F.col("event_id") % 4 == 0)
+    state = incremental.agg_state(base, keys, ("cents",), ("cents",), ("cents",))
+    out = incremental.update_agg_state(
+        state, delta, keys, ("cents",), ("cents",), ("cents",)
+    )
+    return out.orderBy("event_type", "bucket")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1572,5 +1598,6 @@ QUERIES = {
         q83_pagerank,
         q84_cdc_merge,
         q85_gopher_rules,
+        q86_incremental_agg,
     ]
 }

@@ -286,3 +286,68 @@ def test_quality_score_penalizes_punctuation(spark):
         for r in df.select("id", text.quality_score(F.col("text")).alias("q")).collect()
     }
     assert scores[1] > scores[2]
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def test_update_agg_state_equals_full_recompute(spark):
+    from snowplow_s3_loader_spark.operators import incremental
+
+    base = _events(spark, [("a", 10), ("a", 20), ("b", 5)])
+    delta = _events(spark, [("a", 1), ("b", 100), ("c", 7)])  # c is a NEW key
+    state = incremental.agg_state(base, ["k"], ("v",), ("v",), ("v",))
+    updated = incremental.update_agg_state(state, delta, ["k"], ("v",), ("v",), ("v",))
+    full = incremental.agg_state(
+        base.unionByName(delta), ["k"], ("v",), ("v",), ("v",)
+    )
+    assert sorted(map(tuple, updated.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_update_agg_state_sequential_updates(spark):
+    from snowplow_s3_loader_spark.operators import incremental
+
+    batches = [
+        [("a", 1), ("b", 2)],
+        [("a", 3), ("c", 4)],
+        [("c", -10), ("a", 0)],
+    ]
+    state = incremental.agg_state(
+        _events(spark, batches[0]), ["k"], ("v",), ("v",), ("v",)
+    )
+    for b in batches[1:]:
+        state = incremental.update_agg_state(
+            state, _events(spark, b), ["k"], ("v",), ("v",), ("v",)
+        )
+    all_rows = [r for b in batches for r in b]
+    full = incremental.agg_state(
+        _events(spark, all_rows), ["k"], ("v",), ("v",), ("v",)
+    )
+    assert sorted(map(tuple, state.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_update_agg_state_validates_state_schema(spark):
+    from snowplow_s3_loader_spark.operators import incremental
+
+    bad_state = _events(spark, [("a", 1)])  # raw rows, not agg_state output
+    with pytest.raises(ValueError, match="missing columns"):
+        incremental.update_agg_state(bad_state, _events(spark, []), ["k"], ("v",))
+
+
+def test_update_agg_state_single_shuffle(spark):
+    from snowplow_s3_loader_spark.operators import incremental
+
+    base = _events(spark, [("a", 10), ("b", 5)])
+    delta = _events(spark, [("a", 1), ("c", 7)])
+    state = incremental.agg_state(base, ["k"], ("v",)).localCheckpoint()
+    updated = incremental.update_agg_state(state, delta, ["k"], ("v",))
+    plan = updated._jdf.queryExecution().executedPlan().toString()
+    # one Exchange for the merge groupBy; the checkpointed state
+    # contributes none of its own
+    assert plan.count("Exchange") == 1, plan
