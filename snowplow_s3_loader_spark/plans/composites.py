@@ -417,7 +417,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys (q76), hashed-linear quality scoring (q77), GK-quantile audit
     (q78), FFD packing (q80), robust outliers (q81), exact-integer
     PageRank (q83), CDC merge (q84), Gopher rule audit (q85),
-    incremental aggregate maintenance (q86) — tagged
+    incremental aggregate maintenance (q86), int8 embedding
+    quantization (q87) — tagged
     union with the members' columns coerced onto (battery, key, v1, v2,
     v3), the same normalization the sampling battery uses."""
     bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
@@ -511,6 +512,14 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         # min/max fold into one slot (cents < 1e5, so this is lossless)
         (F.col("max_cents") * 100000 + F.col("min_cents")).alias("v3"),
     )
+    qz = q.q87_quantize_embeddings(spark, sf_dir).select(
+        F.lit("quantize").alias("battery"),
+        F.col("vec_id").cast("string").alias("key"),
+        F.col("code_checksum").alias("v1"),
+        # min/max codes are uint8 — lossless fold into one slot
+        (F.col("code_max") * 1000 + F.col("code_min")).cast("long").alias("v2"),
+        F.col("n_dims").cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -522,6 +531,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cdc_rows)
         .union(gopher)
         .union(incr)
+        .union(qz)
         .orderBy("battery", "key", "v1")
     )
 
@@ -624,7 +634,7 @@ _FOLDED = {
     "q81_robust_outliers",
     "q82_containment_pairs",
     "q83_pagerank", "q84_cdc_merge", "q85_gopher_rules",
-    "q86_incremental_agg",
+    "q86_incremental_agg", "q87_quantize_embeddings",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1029,6 +1039,12 @@ SELECT 'incr' AS battery,
        n AS v1, sum_cents AS v2,
        max_cents * 100000 + min_cents AS v3
 FROM ({ORACLES["q86_incremental_agg"]})
+UNION ALL
+SELECT 'quantize' AS battery, CAST(vec_id AS VARCHAR) AS key,
+       code_checksum AS v1,
+       CAST(code_max * 1000 + code_min AS BIGINT) AS v2,
+       CAST(n_dims AS BIGINT) AS v3
+FROM ({ORACLES["q87_quantize_embeddings"]})
 ORDER BY battery, key, v1
 """
 

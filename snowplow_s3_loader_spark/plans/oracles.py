@@ -1285,3 +1285,36 @@ FROM events
 GROUP BY 1, 2
 ORDER BY event_type, bucket
 """
+
+# q87: int8 scalar quantization — bounds over the FULL corpus, codes on
+# the 5% slice; all arithmetic in DOUBLE (explicit casts: DuckDB would
+# otherwise subtract FLOATs where Spark widens to double first).
+ORACLES["q87_quantize_embeddings"] = """
+WITH u AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+b AS (
+  SELECT pos, min(v) AS mn, max(v) AS mx FROM u GROUP BY pos
+),
+c AS (
+  SELECT u.vec_id, u.pos,
+         CASE WHEN b.mx > b.mn THEN
+           LEAST(255, CAST(floor(((CAST(u.v AS DOUBLE) - CAST(b.mn AS DOUBLE))
+                                   * 255.0)
+                                  / (CAST(b.mx AS DOUBLE) - CAST(b.mn AS DOUBLE)))
+                           AS INTEGER))
+         ELSE 0 END AS code
+  FROM u JOIN b ON b.pos = u.pos
+  WHERE u.vec_id % 20 = 0
+)
+SELECT vec_id,
+       CAST(count(*) AS INTEGER) AS n_dims,
+       CAST(sum(code * pos) AS BIGINT) AS code_checksum,
+       min(code) AS code_min,
+       max(code) AS code_max
+FROM c
+GROUP BY vec_id
+ORDER BY vec_id
+"""

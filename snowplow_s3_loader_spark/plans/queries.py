@@ -1511,6 +1511,33 @@ def q86_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "bucket")
 
 
+def q87_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding corpus: global per-dim
+    min/max bounds (one bounded-driver-work pass), then uint8 codes as
+    pure JVM expressions — 4x fewer bytes through every downstream ANN
+    shuffle. Codes are exact integer outputs of IEEE double math, so a
+    5% slice's per-vector code checksums hash-match DuckDB bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = similarity.quantization_bounds(emb, "embedding")
+    codes = similarity.quantize_embeddings(
+        emb.filter(F.col("vec_id") % 20 == 0), "embedding", mins, maxs
+    )
+    weighted = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(1), F.size("codes")),
+        lambda c, i: (c * i).cast("long"),
+    )
+    return codes.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_checksum"
+        ),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+    ).orderBy("vec_id")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1599,5 +1626,6 @@ QUERIES = {
         q84_cdc_merge,
         q85_gopher_rules,
         q86_incremental_agg,
+        q87_quantize_embeddings,
     ]
 }

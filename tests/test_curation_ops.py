@@ -351,3 +351,93 @@ def test_update_agg_state_single_shuffle(spark):
     # one Exchange for the merge groupBy; the checkpointed state
     # contributes none of its own
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_embeddings_matches_numpy(spark):
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators.similarity import (
+        quantization_bounds,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    mins, maxs = quantization_bounds(df, "embedding")
+    assert mins == vecs.min(0).astype(np.float64).tolist()
+    assert maxs == vecs.max(0).astype(np.float64).tolist()
+    out = {
+        r["vec_id"]: r["codes"]
+        for r in quantize_embeddings(df, "embedding", mins, maxs).collect()
+    }
+    mn = np.array(mins)
+    rng_ = np.array(maxs) - mn
+    expected = np.minimum(
+        255, np.floor((vecs.astype(np.float64) - mn) * 255.0 / rng_)
+    ).astype(int)
+    for i in range(len(vecs)):
+        assert out[i] == expected[i].tolist()
+    # every max-valued element maps to 255, every min-valued to 0
+    assert all(255 in expected[:, j] and 0 in expected[:, j] for j in range(8))
+
+
+def test_quantize_constant_dimension_yields_zero(spark):
+    from snowplow_s3_loader_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 1.0]), (2, [3.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r["codes"]
+        for r in quantize_embeddings(
+            df, "embedding", [3.0, 1.0], [3.0, 2.0]
+        ).collect()
+    }
+    assert out[1][0] == 0 and out[2][0] == 0  # constant dim -> code 0
+    assert out[1][1] == 0 and out[2][1] == 255
+
+
+def test_quantize_dequantize_error_bounded(spark):
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators.similarity import (
+        quantization_bounds,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.uniform(-1, 1, size=(40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    mins, maxs = quantization_bounds(df, "embedding")
+    codes = np.array(
+        [
+            r["codes"]
+            for r in quantize_embeddings(df, "embedding", mins, maxs)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    mn, mx = np.array(mins), np.array(maxs)
+    step = (mx - mn) / 255.0
+    recon = mn + (codes + 0.5) * step  # documented dequantization
+    assert np.abs(recon - vecs).max() <= step.max() / 2 + 1e-12
+
+
+def test_quantization_bounds_rejects_empty(spark):
+    from snowplow_s3_loader_spark.operators.similarity import quantization_bounds
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        quantization_bounds(empty, "embedding")
