@@ -105,9 +105,11 @@ def build(out_dir: str, factor: int = 10) -> None:
         print(f"built {t}: {n} rows", flush=True)
 
 
-def _knob_variants():
-    """Scale-knob variants: the operating points a 10x corpus should run
-    at (documented knobs, not code changes)."""
+def _knob_variants(factor: int = 10):
+    """Scale-knob variants: the operating points a scaled corpus should
+    run at (documented knobs, not code changes). The SemDeDup cell count
+    scales WITH the corpus (8 per sf0.1-equivalent), holding per-cell
+    work constant — the knob's design contract."""
     from pyspark.sql import functions as F
 
     from snowplow_s3_loader_spark.operators import similarity
@@ -125,16 +127,19 @@ def _knob_variants():
 
     def q48_fixed_queries(spark, sf_dir):
         # recall audit at a FIXED query budget (the audit is q x N by
-        # design; holding q constant isolates the corpus-scan scaling)
+        # design; holding q constant isolates the corpus-scan scaling).
+        # The predicate pins the SAME 20 base-replica vectors at every
+        # factor (replica ids start at ID_STRIDE, so vec_id < 2000
+        # excludes them).
         emb = load_table(spark, sf_dir, "embeddings")
-        pred = F.col("vec_id") % 100 == 0
+        pred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
         return similarity.ivf_recall_topk(
             emb, pred, k=5, n_centroids=8, n_probe=4, seed=7, max_queries=20
         ).count()
 
     return {
         "q71_nclusters_knob": lambda spark, sf, scaled: q71_scaled_clusters(
-            spark, sf, 80 if scaled else 8
+            spark, sf, 8 * factor if scaled else 8
         ),
         "q48_fixed_queries": lambda spark, sf, scaled: q48_fixed_queries(spark, sf),
     }
@@ -148,7 +153,7 @@ def run(out_dir: str, names: list[str], factor: int = 10) -> None:
     from snowplow_s3_loader_spark.tables import clear_table_cache
 
     spark = get_spark(app_name="sf-scale", extra_conf={"spark.ui.enabled": "false"})
-    variants = _knob_variants()
+    variants = _knob_variants(factor)
 
     def sweep_checkpoint_blocks() -> None:
         # same per-run isolation as bench.py: materializing operators

@@ -1,0 +1,106 @@
+"""Behavioral analytics over event streams: ordered-funnel analysis and
+cohort retention — the product-analytics queries an event loader's
+downstream warehouse exists to answer (beyond the reference's surface;
+its loader only lands the events, Processing.scala:69-77).
+
+Scale mechanics:
+- ``funnel_steps`` is a cascade of FILTERED keyed aggregations — step k
+  aggregates only the events of step k's type (a small slice of the
+  stream), joined per user to the previous step's reach time. k steps
+  cost k (filtered-agg + keyed-join) rounds; the full event stream is
+  scanned once per step type but never collected, sorted, or windowed
+  per user, so there is no per-user array blowup for power users (the
+  classic failure of collect_list-based funnels at 100 TB).
+- ``cohort_retention`` is two keyed aggregations (first-seen per user,
+  then the cohort x activity-period matrix) — the user dimension joins
+  back via its natural key.
+
+Determinism: step times are MINIMA of event timestamps (order-
+independent), so results hash-match an engine-independent oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel reach per user: for each user, ``t1`` is the
+    earliest event of ``steps[0]``, ``t2`` the earliest ``steps[1]``
+    STRICTLY AFTER ``t1``, and so on. Returns one row per user that
+    reached at least step 1: (user, stage, t1..tk) with ``stage`` =
+    number of steps reached and unreached step times null.
+
+    The standard conversion-funnel semantics (each step must follow the
+    previous one in time); same-timestamp events do NOT satisfy the
+    strict ordering, which keeps the semantics engine-portable."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    u, t = user_col, ts_col
+    reach = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(u)
+        .agg(F.min(t).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .join(reach.select(u, f"t{i-1}"), u)
+            .where(F.col(t) > F.col(f"t{i-1}"))
+            .groupBy(u)
+            .agg(F.min(t).alias(f"t{i}"))
+        )
+        reach = reach.join(nxt, u, "left")
+    stage = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        stage = stage + F.col(f"t{i}").isNotNull().cast("int")
+    return reach.select(
+        u, stage.alias("stage"), *[f"t{i}" for i in range(1, len(steps) + 1)]
+    )
+
+
+def funnel_summary(funnel: DataFrame, n_steps: int) -> DataFrame:
+    """Per-stage conversion counts from a ``funnel_steps`` result:
+    (step, n_users) where n_users counts users whose stage >= step."""
+    return (
+        funnel.select(
+            F.explode(F.sequence(F.lit(1), F.lit(n_steps))).alias("step"), "stage"
+        )
+        .where(F.col("stage") >= F.col("step"))
+        .groupBy("step")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the ``unit``-
+    truncated timestamp of their FIRST event; each (cohort, period)
+    row counts the cohort's users active in that period, plus
+    ``periods_since`` (the retention age in whole units). Two keyed
+    aggregations; the event stream shuffles once per."""
+    u, t = user_col, ts_col
+    first = events.groupBy(u).agg(F.date_trunc(unit, F.min(t)).alias("cohort"))
+    diff_unit = {"day": "DAY", "week": "WEEK", "month": "MONTH", "hour": "HOUR"}[unit]
+    return (
+        events.select(u, F.date_trunc(unit, F.col(t)).alias("period"))
+        .distinct()
+        .join(first, u)
+        .groupBy("cohort", "period")
+        .agg(F.count("*").alias("n_users"))
+        .withColumn(
+            "periods_since",
+            F.expr(f"timestampdiff({diff_unit}, cohort, period)").cast("int"),
+        )
+    )

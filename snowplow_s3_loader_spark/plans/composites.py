@@ -418,7 +418,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q78), FFD packing (q80), robust outliers (q81), exact-integer
     PageRank (q83), CDC merge (q84), Gopher rule audit (q85),
     incremental aggregate maintenance (q86), int8 embedding
-    quantization (q87) — tagged
+    quantization (q87), conversion funnel (q88), cohort retention
+    (q89) — tagged
     union with the members' columns coerced onto (battery, key, v1, v2,
     v3), the same normalization the sampling battery uses."""
     bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
@@ -520,6 +521,26 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("code_max") * 1000 + F.col("code_min")).cast("long").alias("v2"),
         F.col("n_dims").cast("long").alias("v3"),
     )
+    fun = q.q88_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("battery"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("stage").cast("long").alias("v1"),
+        # session tz is UTC (tune_session), so ntz -> timestamp -> micros
+        # equals DuckDB's naive epoch_us
+        F.unix_micros(F.col("t1").cast("timestamp")).alias("v2"),
+        F.unix_micros(F.col("t3").cast("timestamp")).alias("v3"),
+    )
+    coh = q.q89_cohort_retention(spark, sf_dir).select(
+        F.lit("cohort").alias("battery"),
+        F.concat_ws(
+            "@",
+            F.date_format("cohort", "yyyy-MM-dd"),
+            F.date_format("period", "yyyy-MM-dd"),
+        ).alias("key"),
+        F.col("n_users").alias("v1"),
+        F.col("periods_since").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -532,6 +553,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(gopher)
         .union(incr)
         .union(qz)
+        .union(fun)
+        .union(coh)
         .orderBy("battery", "key", "v1")
     )
 
@@ -635,6 +658,7 @@ _FOLDED = {
     "q82_containment_pairs",
     "q83_pagerank", "q84_cdc_merge", "q85_gopher_rules",
     "q86_incremental_agg", "q87_quantize_embeddings",
+    "q88_funnel", "q89_cohort_retention",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1045,6 +1069,16 @@ SELECT 'quantize' AS battery, CAST(vec_id AS VARCHAR) AS key,
        CAST(code_max * 1000 + code_min AS BIGINT) AS v2,
        CAST(n_dims AS BIGINT) AS v3
 FROM ({ORACLES["q87_quantize_embeddings"]})
+UNION ALL
+SELECT 'funnel' AS battery, CAST(user_id AS VARCHAR) AS key,
+       CAST(stage AS BIGINT) AS v1, epoch_us(t1) AS v2, epoch_us(t3) AS v3
+FROM ({ORACLES["q88_funnel"]})
+UNION ALL
+SELECT 'cohort' AS battery,
+       strftime(cohort, '%Y-%m-%d') || '@' || strftime(period, '%Y-%m-%d') AS key,
+       n_users AS v1, CAST(periods_since AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q89_cohort_retention"]})
 ORDER BY battery, key, v1
 """
 

@@ -1318,3 +1318,52 @@ FROM c
 GROUP BY vec_id
 ORDER BY vec_id
 """
+
+# q88: ordered funnel — the same min-after-previous cascade in SQL.
+ORACLES["q88_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(1 + (s2.t2 IS NOT NULL)::INTEGER + (s3.t3 IS NOT NULL)::INTEGER
+            AS INTEGER) AS stage,
+       s1.t1, s2.t2, s3.t3
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+ORDER BY s1.user_id
+"""
+
+# q89: weekly cohort retention — cohort by first-event week; DuckDB
+# date_trunc('week') and Spark both truncate to Monday, and
+# date_diff('week', ...) on week-truncated stamps counts exact weeks.
+ORACLES["q89_cohort_retention"] = """
+WITH first AS (
+  -- CAST: DuckDB date_trunc('week') yields DATE; Spark yields TIMESTAMP
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS period
+  FROM events
+)
+SELECT f.cohort, a.period,
+       count(*) AS n_users,
+       CAST(date_diff('week', f.cohort, a.period) AS INTEGER) AS periods_since
+FROM active a JOIN first f ON f.user_id = a.user_id
+GROUP BY f.cohort, a.period
+ORDER BY f.cohort, a.period
+"""

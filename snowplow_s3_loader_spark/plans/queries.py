@@ -1538,6 +1538,32 @@ def q87_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q88_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user:
+    step k's reach time is the earliest step-k event strictly after the
+    step-(k-1) reach time — the cascade of filtered keyed aggregations
+    (no per-user collect/sort, so power users cannot blow memory).
+    Step times are minima, hence order-independent and hash-exact."""
+    from snowplow_s3_loader_spark.operators import behavior
+
+    ev = load_table(spark, sf_dir, "events")
+    return behavior.funnel_steps(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("user_id")
+
+
+def q89_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = week of first event per
+    user; per (cohort, activity week), distinct active users + retention
+    age in weeks. Two keyed aggregations."""
+    from snowplow_s3_loader_spark.operators import behavior
+
+    ev = load_table(spark, sf_dir, "events")
+    return behavior.cohort_retention(ev, "user_id", "ts", "week").orderBy(
+        "cohort", "period"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1627,5 +1653,7 @@ QUERIES = {
         q85_gopher_rules,
         q86_incremental_agg,
         q87_quantize_embeddings,
+        q88_funnel,
+        q89_cohort_retention,
     ]
 }

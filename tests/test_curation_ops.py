@@ -441,3 +441,110 @@ def test_quantization_bounds_rejects_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         quantization_bounds(empty, "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: funnel + cohort retention
+# ---------------------------------------------------------------------------
+
+from datetime import datetime
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_type string")
+
+
+def test_funnel_strict_ordering(spark):
+    from snowplow_s3_loader_spark.operators import behavior
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        # user 1: full conversion in order
+        (1, t("2024-01-01T10:00"), "view"),
+        (1, t("2024-01-01T11:00"), "click"),
+        (1, t("2024-01-01T12:00"), "purchase"),
+        # user 2: purchase BEFORE click -> stage 2 only
+        (2, t("2024-01-01T10:00"), "view"),
+        (2, t("2024-01-01T09:00"), "purchase"),
+        (2, t("2024-01-01T11:00"), "click"),
+        # user 3: never viewed -> absent from the funnel
+        (3, t("2024-01-01T10:00"), "click"),
+        (3, t("2024-01-01T11:00"), "purchase"),
+        # user 4: click at the SAME instant as view -> strict '>' fails
+        (4, t("2024-01-01T10:00"), "view"),
+        (4, t("2024-01-01T10:00"), "click"),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in behavior.funnel_steps(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1]["stage"] == 3 and out[1]["t3"] == t("2024-01-01T12:00")
+    assert out[2]["stage"] == 2 and out[2]["t3"] is None
+    assert out[4]["stage"] == 1 and out[4]["t2"] is None
+
+
+def test_funnel_earliest_qualifying_event_wins(spark):
+    from snowplow_s3_loader_spark.operators import behavior
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        (1, t("2024-01-01T10:00"), "view"),
+        (1, t("2024-01-01T09:00"), "click"),   # before view: not qualifying
+        (1, t("2024-01-01T11:00"), "click"),   # earliest AFTER view
+        (1, t("2024-01-01T12:00"), "click"),
+    ]
+    row = behavior.funnel_steps(
+        _ev(spark, rows), "user_id", "ts", "event_type", ["view", "click"]
+    ).collect()[0]
+    assert row["t2"] == t("2024-01-01T11:00")
+
+
+def test_funnel_summary_counts(spark):
+    from snowplow_s3_loader_spark.operators import behavior
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        (1, t("2024-01-01T10:00"), "view"),
+        (1, t("2024-01-01T11:00"), "click"),
+        (2, t("2024-01-01T10:00"), "view"),
+    ]
+    fun = behavior.funnel_steps(
+        _ev(spark, rows), "user_id", "ts", "event_type", ["view", "click"]
+    )
+    summary = {
+        r["step"]: r["n_users"]
+        for r in behavior.funnel_summary(fun, 2).collect()
+    }
+    assert summary == {1: 2, 2: 1}
+    with pytest.raises(ValueError):
+        behavior.funnel_steps(_ev(spark, rows), "user_id", "ts", "event_type", [])
+
+
+def test_cohort_retention_matrix(spark):
+    from snowplow_s3_loader_spark.operators import behavior
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        # user 1 first seen week of Jan 1 (Mon), active again week of Jan 8
+        (1, t("2024-01-02T10:00"), "view"),
+        (1, t("2024-01-10T10:00"), "view"),
+        # user 2 first seen week of Jan 8 only
+        (2, t("2024-01-09T10:00"), "view"),
+        # user 1 twice in the same week: still one active row
+        (1, t("2024-01-11T10:00"), "click"),
+    ]
+    out = {
+        (r["cohort"].isoformat(), r["period"].isoformat()): (
+            r["n_users"], r["periods_since"]
+        )
+        for r in behavior.cohort_retention(_ev(spark, rows), "user_id", "ts").collect()
+    }
+    assert out == {
+        ("2024-01-01T00:00:00", "2024-01-01T00:00:00"): (1, 0),
+        ("2024-01-01T00:00:00", "2024-01-08T00:00:00"): (1, 1),
+        ("2024-01-08T00:00:00", "2024-01-08T00:00:00"): (1, 0),
+    }
