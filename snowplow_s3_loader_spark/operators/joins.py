@@ -57,3 +57,59 @@ def bucketize(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bucket_width: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Interval-interval OVERLAP join (closed bounds: match iff
+    ``l_start <= r_end AND r_start <= l_end``) without the cartesian
+    product a naive range condition plans to.
+
+    Grid-bucketing: every interval explodes to the ``bucket_width``-wide
+    cells it spans; candidates meet through an EQUI-join on the cell id
+    (plus ``on`` block columns), so the pair space is bounded by cell
+    co-occupancy instead of |L| x |R|. A pair overlapping in several
+    shared cells would match repeatedly — instead of a dedup shuffle,
+    each pair is emitted ONLY in the first cell both intervals occupy
+    (``greatest(l_start, r_start) div width``), the standard
+    report-once trick: no distinct, no extra shuffle.
+
+    ``bucket_width`` is the scale knob: cells per interval is
+    ``span div width + 1`` (the explode multiplier), while a too-wide
+    cell degrades candidate selectivity. Pick it near the typical
+    interval span. Bounds must be NON-NEGATIVE integers (``div``
+    truncates toward zero — epoch micros/millis qualify).
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    on = on or []
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    clash = (set(left.columns) & set(right.columns)) - set(on)
+    if clash:
+        raise ValueError(
+            f"left and right share non-join columns {sorted(clash)}; rename first"
+        )
+    w = int(bucket_width)
+    lc = left.withColumn(
+        "__cell", F.explode(F.sequence(F.expr(f"{ls} div {w}"), F.expr(f"{le} div {w}")))
+    )
+    rc = right.withColumn(
+        "__cell", F.explode(F.sequence(F.expr(f"{rs} div {w}"), F.expr(f"{re_} div {w}")))
+    )
+    first_shared = F.expr(f"greatest({ls}, {rs}) div {w}")
+    return (
+        lc.join(rc, on + ["__cell"])
+        .where(
+            (F.col(ls) <= F.col(re_))
+            & (F.col(rs) <= F.col(le))
+            & (F.col("__cell") == first_shared)
+        )
+        .drop("__cell")
+    )

@@ -419,7 +419,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank (q83), CDC merge (q84), Gopher rule audit (q85),
     incremental aggregate maintenance (q86), int8 embedding
     quantization (q87), conversion funnel (q88), cohort retention
-    (q89) — tagged
+    (q89), interval-overlap join (q90) — tagged
     union with the members' columns coerced onto (battery, key, v1, v2,
     v3), the same normalization the sampling battery uses."""
     bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
@@ -541,6 +541,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("periods_since").cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    iv = q.q90_interval_overlap(spark, sf_dir).select(
+        F.lit("interval").alias("battery"),
+        F.concat_ws("@", F.col("id_l").cast("string"), F.col("id_r").cast("string")).alias("key"),
+        F.col("l_start").alias("v1"),
+        F.col("r_end").alias("v2"),
+        (F.col("l_end") - F.col("r_start")).alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -555,6 +562,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(qz)
         .union(fun)
         .union(coh)
+        .union(iv)
         .orderBy("battery", "key", "v1")
     )
 
@@ -658,7 +666,7 @@ _FOLDED = {
     "q82_containment_pairs",
     "q83_pagerank", "q84_cdc_merge", "q85_gopher_rules",
     "q86_incremental_agg", "q87_quantize_embeddings",
-    "q88_funnel", "q89_cohort_retention",
+    "q88_funnel", "q89_cohort_retention", "q90_interval_overlap",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1073,6 +1081,11 @@ UNION ALL
 SELECT 'funnel' AS battery, CAST(user_id AS VARCHAR) AS key,
        CAST(stage AS BIGINT) AS v1, epoch_us(t1) AS v2, epoch_us(t3) AS v3
 FROM ({ORACLES["q88_funnel"]})
+UNION ALL
+SELECT 'interval' AS battery,
+       CAST(id_l AS VARCHAR) || '@' || CAST(id_r AS VARCHAR) AS key,
+       l_start AS v1, r_end AS v2, l_end - r_start AS v3
+FROM ({ORACLES["q90_interval_overlap"]})
 UNION ALL
 SELECT 'cohort' AS battery,
        strftime(cohort, '%Y-%m-%d') || '@' || strftime(period, '%Y-%m-%d') AS key,

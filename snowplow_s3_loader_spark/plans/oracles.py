@@ -1367,3 +1367,27 @@ FROM active a JOIN first f ON f.user_id = a.user_id
 GROUP BY f.cohort, a.period
 ORDER BY f.cohort, a.period
 """
+
+# q90: interval overlap join — the oracle is the ALL-PAIRS overlap
+# condition (the engine's grid bucketing is lossless, so the sets must
+# match exactly); epoch micros arithmetic is exact BIGINT both sides.
+ORACLES["q90_interval_overlap"] = """
+WITH ev AS (
+  SELECT event_id,
+         epoch_us(ts) AS start_us,
+         CAST(value * 60000000 AS BIGINT) AS dur_us
+  FROM events
+),
+l AS (
+  SELECT event_id AS id_l, start_us AS l_start, start_us + dur_us AS l_end
+  FROM ev WHERE event_id % 50 = 0
+),
+r AS (
+  SELECT event_id AS id_r, start_us AS r_start,
+         start_us + 1800000000 AS r_end
+  FROM ev WHERE event_id % 70 = 0
+)
+SELECT l.id_l, l.l_start, l.l_end, r.id_r, r.r_start, r.r_end
+FROM l JOIN r ON l.l_start <= r.r_end AND r.r_start <= l.l_end
+ORDER BY l.id_l, r.id_r
+"""

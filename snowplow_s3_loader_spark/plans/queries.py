@@ -1564,6 +1564,36 @@ def q89_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via grid bucketing: synthetic sessions
+    (every 50th event, open for `value` minutes) against maintenance
+    windows (every 70th event, 30 minutes) — candidates meet through an
+    equi-join on 1-hour cells and each pair is emitted only in the first
+    shared cell (no dedup shuffle). Bounds are epoch micros (BIGINT), so
+    the all-pairs DuckDB oracle hash-matches exactly."""
+    from snowplow_s3_loader_spark.operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (F.col("value") * 60_000_000).cast("long").alias("dur_us"),
+    )
+    left = ev.filter(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("id_l"),
+        F.col("start_us").alias("l_start"),
+        (F.col("start_us") + F.col("dur_us")).alias("l_end"),
+    )
+    right = ev.filter(F.col("event_id") % 70 == 0).select(
+        F.col("event_id").alias("id_r"),
+        F.col("start_us").alias("r_start"),
+        (F.col("start_us") + F.lit(30 * 60_000_000)).alias("r_end"),
+    )
+    hour_us = 3_600_000_000
+    return interval_overlap_join(
+        left, right, ("l_start", "l_end"), ("r_start", "r_end"), hour_us
+    ).orderBy("id_l", "id_r")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1655,5 +1685,6 @@ QUERIES = {
         q87_quantize_embeddings,
         q88_funnel,
         q89_cohort_retention,
+        q90_interval_overlap,
     ]
 }

@@ -548,3 +548,66 @@ def test_cohort_retention_matrix(spark):
         ("2024-01-01T00:00:00", "2024-01-08T00:00:00"): (1, 1),
         ("2024-01-08T00:00:00", "2024-01-08T00:00:00"): (1, 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_matches_brute_force(spark):
+    import random
+
+    from snowplow_s3_loader_spark.operators.joins import interval_overlap_join
+
+    rnd = random.Random(5)
+    lefts = [(i, rnd.randrange(0, 1000), rnd.randrange(1, 300)) for i in range(60)]
+    rights = [(i, rnd.randrange(0, 1000), rnd.randrange(1, 80)) for i in range(40)]
+    L = spark.createDataFrame(
+        [(i, s, s + d) for i, s, d in lefts], "id_l long, l_start long, l_end long"
+    )
+    R = spark.createDataFrame(
+        [(i, s, s + d) for i, s, d in rights], "id_r long, r_start long, r_end long"
+    )
+    # bucket width much smaller than many spans: pairs share MANY cells,
+    # exercising the report-once-in-first-shared-cell dedup
+    got = sorted(
+        (r["id_l"], r["id_r"])
+        for r in interval_overlap_join(
+            L, R, ("l_start", "l_end"), ("r_start", "r_end"), 50
+        ).collect()
+    )
+    want = sorted(
+        (il, ir)
+        for il, ls, ld in lefts
+        for ir, rs, rd in rights
+        if ls <= rs + rd and rs <= ls + ld
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # no duplicate pairs despite shared cells
+
+
+def test_interval_overlap_closed_bounds_touching(spark):
+    from snowplow_s3_loader_spark.operators.joins import interval_overlap_join
+
+    L = spark.createDataFrame([(1, 0, 10)], "id_l long, l_start long, l_end long")
+    R = spark.createDataFrame(
+        [(1, 10, 20), (2, 11, 20)], "id_r long, r_start long, r_end long"
+    )
+    got = sorted(
+        r["id_r"]
+        for r in interval_overlap_join(
+            L, R, ("l_start", "l_end"), ("r_start", "r_end"), 7
+        ).collect()
+    )
+    assert got == [1]  # touching endpoints overlap (closed); disjoint does not
+
+
+def test_interval_overlap_validations(spark):
+    from snowplow_s3_loader_spark.operators.joins import interval_overlap_join
+
+    L = spark.createDataFrame([(1, 0, 10)], "id long, s long, e long")
+    with pytest.raises(ValueError, match="positive"):
+        interval_overlap_join(L, L, ("s", "e"), ("s", "e"), 0)
+    with pytest.raises(ValueError, match="rename"):
+        interval_overlap_join(L, L, ("s", "e"), ("s", "e"), 10)

@@ -373,3 +373,56 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
     for hint, node in cases.items():
         plan = plan_of(orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey))
         assert node in plan, (hint, plan)
+
+
+def test_pagerank_round_join_is_co_partitioned(spark, sf_dir):
+    """The PageRank loop's per-round rank-to-adjacency join must reuse
+    the advertised hash layouts (adj on s, ranks on node) — zero
+    Exchange under the join, exactly the CC round-join shape."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        release_materialized,
+    )
+
+    adj = checkpoint_nostats(
+        spark.createDataFrame(
+            [(i, i + 1, 1) for i in range(100)], "s long, d long, outdeg long"
+        ),
+        4,
+        ["s"],
+    )
+    ranks = checkpoint_nostats(
+        adj.select(F.col("s").alias("node")).distinct()
+        .withColumn("pr", F.lit(1000).cast("long")),
+        4,
+        ["node"],
+    )
+    try:
+        joined = adj.join(ranks, adj.s == ranks.node)
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+    finally:
+        release_materialized(adj)
+        release_materialized(ranks)
+
+
+def test_cdc_merge_snapshot_side_never_shuffles(spark, sf_dir):
+    """apply_changelog(broadcast_changes=True): the snapshot reaches the
+    anti join through a BroadcastHashJoin — no Exchange on the snapshot
+    branch (only the changelog's window sorts/shuffles)."""
+    from snowplow_s3_loader_spark.operators import cdc
+
+    snap = spark.range(1000).select(
+        F.col("id"), F.lit("x").alias("name")
+    )
+    changes = spark.createDataFrame(
+        [(1, "y", 10, "U"), (2, "z", 11, "D")],
+        "id long, name string, seq long, op string",
+    )
+    out = cdc.apply_changelog(snap, changes, ["id"], "seq", broadcast_changes=True)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the snapshot branch is range->project->broadcast-anti-join: the only
+    # Exchanges in the whole plan belong to the changelog's window
+    head, _, _ = plan.partition("Window")
+    assert "Exchange" not in head.split("BroadcastExchange")[0], plan
