@@ -706,3 +706,68 @@ def pagerank(
     finally:
         release_materialized(adj)
         release_materialized(nodes)
+
+
+def triangle_count(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph, plus the
+    graph total in every row's ``total_triangles`` — the clustering /
+    community-density signal for link-graph curation.
+
+    Degree-oriented node-iterator join (the MapReduce-era standard, cf.
+    Suri & Vassilvitskii WWW'11): orient every undirected edge from its
+    LOWER-degree endpoint to the higher (ties by id), so wedges are
+    enumerated only at their lowest-degree vertex — the intermediate
+    wedge count drops from sum(deg^2) to O(|E|^1.5) on skewed graphs
+    (a hub of degree d generates 0 wedges instead of d^2). Two keyed
+    equi-joins, no cartesian: wedges (u,v,w) from oriented u->v, u->w
+    (v < w by the same order), closed by an oriented-edge semi join.
+
+    Output: (node, n_triangles, total_triangles) for every node with at
+    least one triangle."""
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    # orient low-degree -> high-degree (ties by id): rank = (deg, id)
+    ranked = (
+        und.join(deg.select(F.col("a"), F.col("deg").alias("da")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("db")),
+            "b",
+        )
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b", "db")
+    )
+    lo = ranked.select(F.col("a").alias("u"), F.col("b").alias("v"), F.col("db").alias("dv"))
+    # wedges at u: pairs of oriented out-neighbors, ordered by (deg, id)
+    w1 = lo.select("u", "v", "dv")
+    w2 = lo.select(F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw"))
+    wedges = (
+        w1.join(w2, "u")
+        .where(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        )
+        .select("u", "v", "w")
+    )
+    closed = wedges.join(
+        ranked.select(F.col("a").alias("v"), F.col("b").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    per_node = (
+        closed.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    total = closed.count()
+    return per_node.withColumn("total_triangles", F.lit(total).cast("long"))

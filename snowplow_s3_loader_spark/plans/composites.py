@@ -419,7 +419,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank (q83), CDC merge (q84), Gopher rule audit (q85),
     incremental aggregate maintenance (q86), int8 embedding
     quantization (q87), conversion funnel (q88), cohort retention
-    (q89), interval-overlap join (q90) — tagged
+    (q89), interval-overlap join (q90), triangle counting (q91) —
+    tagged
     union with the members' columns coerced onto (battery, key, v1, v2,
     v3), the same normalization the sampling battery uses."""
     bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
@@ -548,6 +549,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_end").alias("v2"),
         (F.col("l_end") - F.col("r_start")).alias("v3"),
     )
+    tri = q.q91_triangle_count(spark, sf_dir).select(
+        F.lit("triangle").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("n_triangles").alias("v1"),
+        F.col("total_triangles").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -563,6 +571,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(fun)
         .union(coh)
         .union(iv)
+        .union(tri)
         .orderBy("battery", "key", "v1")
     )
 
@@ -667,6 +676,7 @@ _FOLDED = {
     "q83_pagerank", "q84_cdc_merge", "q85_gopher_rules",
     "q86_incremental_agg", "q87_quantize_embeddings",
     "q88_funnel", "q89_cohort_retention", "q90_interval_overlap",
+    "q91_triangle_count",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1086,6 +1096,10 @@ SELECT 'interval' AS battery,
        CAST(id_l AS VARCHAR) || '@' || CAST(id_r AS VARCHAR) AS key,
        l_start AS v1, r_end AS v2, l_end - r_start AS v3
 FROM ({ORACLES["q90_interval_overlap"]})
+UNION ALL
+SELECT 'triangle' AS battery, CAST(node AS VARCHAR) AS key,
+       n_triangles AS v1, total_triangles AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q91_triangle_count"]})
 UNION ALL
 SELECT 'cohort' AS battery,
        strftime(cohort, '%Y-%m-%d') || '@' || strftime(period, '%Y-%m-%d') AS key,

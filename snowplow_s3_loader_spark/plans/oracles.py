@@ -1391,3 +1391,33 @@ SELECT l.id_l, l.l_start, l.l_end, r.id_r, r.r_start, r.r_end
 FROM l JOIN r ON l.l_start <= r.r_end AND r.r_start <= l.l_end
 ORDER BY l.id_l, r.id_r
 """
+
+# q91: triangle counting — the oracle closes wedges with an ordered
+# triple join over the undirected co-occurrence edge list (x < y < z
+# enumerates every triangle exactly once).
+ORACLES["q91_triangle_count"] = """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_orderkey % 10 = 0
+),
+tri AS (
+  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+  FROM e e1
+  JOIN e e2 ON e2.x = e1.y
+  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+members AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+),
+tot AS (SELECT count(*) AS t FROM tri)
+SELECT node,
+       CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST(tot.t AS BIGINT) AS total_triangles
+FROM members CROSS JOIN tot
+GROUP BY node, tot.t
+ORDER BY node
+"""

@@ -1594,6 +1594,30 @@ def q90_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_l", "id_r")
 
 
+def q91_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the supplier co-occurrence graph (edge iff
+    two suppliers appear in the same order; 10% order slice bounds the
+    density knob): degree-oriented node-iterator join — wedges enumerate
+    only at their lowest-degree vertex, so hub nodes generate zero
+    wedges instead of deg^2 (Suri & Vassilvitskii). Exact counts, so
+    the all-triples DuckDB oracle hash-matches."""
+    from snowplow_s3_loader_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
+    ).select("l_orderkey", "l_suppkey")
+    a, b = li.alias("x"), li.alias("y")
+    pairs = (
+        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("id_a"), F.col("y.l_suppkey").alias("id_b")
+        )
+        .distinct()
+    )
+    return graph.triangle_count(pairs).orderBy("node")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1686,5 +1710,6 @@ QUERIES = {
         q88_funnel,
         q89_cohort_retention,
         q90_interval_overlap,
+        q91_triangle_count,
     ]
 }

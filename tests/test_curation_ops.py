@@ -611,3 +611,60 @@ def test_interval_overlap_validations(spark):
         interval_overlap_join(L, L, ("s", "e"), ("s", "e"), 0)
     with pytest.raises(ValueError, match="rename"):
         interval_overlap_join(L, L, ("s", "e"), ("s", "e"), 10)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_matches_brute_force(spark):
+    import itertools
+    import random
+    from collections import Counter
+
+    from snowplow_s3_loader_spark.operators.graph import triangle_count
+
+    rnd = random.Random(11)
+    edges = set()
+    for _ in range(150):
+        a, b = rnd.randrange(25), rnd.randrange(25)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {
+        r["node"]: (r["n_triangles"], r["total_triangles"])
+        for r in triangle_count(df).collect()
+    }
+    tris = [
+        t
+        for t in itertools.combinations(sorted({x for e in edges for x in e}), 3)
+        if (t[0], t[1]) in edges and (t[1], t[2]) in edges and (t[0], t[2]) in edges
+    ]
+    per = Counter(x for t in tris for x in t)
+    assert got == {n: (c, len(tris)) for n, c in per.items()}
+
+
+def test_triangle_count_handles_dirty_input(spark):
+    from snowplow_s3_loader_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        # triangle 1-2-3 given with duplicates, reversals, a self-loop,
+        # and a null — all must be ignored/normalized
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (None, 2), (1, 2)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: (r["n_triangles"], r["total_triangles"])
+        for r in triangle_count(df).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1)}
+
+
+def test_triangle_count_star_graph_has_none(spark):
+    from snowplow_s3_loader_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 10)], "id_a long, id_b long"
+    )
+    assert triangle_count(df).count() == 0
