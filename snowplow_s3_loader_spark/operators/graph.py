@@ -669,9 +669,21 @@ def pagerank(
         ranks = checkpoint_nostats(
             nodes.withColumn("pr", F.lit(init).cast("long")), loop_parts, ["node"]
         )
-        for _ in range(iterations):
+        # Rounds are chained LAZILY and only materialized every
+        # `checkpoint_interval` rounds: a 3-iteration PageRank is ONE
+        # Spark job instead of three (fewer scheduling round-trips; the
+        # arithmetic is identical either way and pinned by the
+        # differential tests). The interval bounds both plan depth and
+        # the stats compounding checkpoint_nostats exists to stop
+        # (sizeInBytes multiplies once per lazy round from a
+        # constant-stats base — bounded by the interval, vs unbounded
+        # growth without any checkpointing).
+        checkpoint_interval = 4
+        last_ck = ranks
+        cur = ranks
+        for i in range(iterations):
             contribs = (
-                adj.join(ranks, adj.s == ranks.node)  # co-partitioned on s
+                adj.join(cur, adj.s == cur.node)  # co-partitioned on s
                 .select(
                     "d",
                     F.expr(
@@ -685,23 +697,23 @@ def pagerank(
             # nodes is hash(node, loop_parts); contribs hash(d, loop_parts)
             # after its agg — the align join is co-partitioned, and the
             # projection keeps `node`, so the result carries nodes' layout.
-            new_ranks = checkpoint_nostats(
-                nodes.join(contribs, nodes.node == contribs.d, "left").select(
-                    "node",
-                    (F.lit(tele) + F.coalesce("contrib", F.lit(0)))
-                    .cast("long")
-                    .alias("pr"),
-                ),
-                loop_parts,
-                ["node"],
-                trust_partitioning=True,
+            cur = nodes.join(contribs, nodes.node == contribs.d, "left").select(
+                "node",
+                (F.lit(tele) + F.coalesce("contrib", F.lit(0)))
+                .cast("long")
+                .alias("pr"),
             )
-            release_materialized(ranks)
-            ranks = new_ranks
+            last_round = i == iterations - 1
+            if (i + 1) % checkpoint_interval == 0 and not last_round:
+                cur = checkpoint_nostats(
+                    cur, loop_parts, ["node"], trust_partitioning=True
+                )
+                release_materialized(last_ck)
+                last_ck = cur
         out = checkpoint_nostats(
-            ranks.select("node", F.col("pr").alias("rank_micro"))
+            cur.select("node", F.col("pr").alias("rank_micro"))
         )
-        release_materialized(ranks)
+        release_materialized(last_ck)
         return out
     finally:
         release_materialized(adj)

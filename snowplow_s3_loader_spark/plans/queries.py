@@ -1445,10 +1445,20 @@ def q83_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
-        F.col("o_custkey").alias("src"),
-        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        F.col("o_custkey").alias("a"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("b"),
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # symmetric closure via explode, NOT union(e0, e0.reversed): a union
+    # would evaluate the orders x lineitem join twice; explode doubles
+    # the rows in-place on one scan (narrow, no recompute)
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = graph.pagerank(edges, iterations=3)
     return pr.orderBy(F.col("rank_micro").desc(), "node").limit(20)
 
