@@ -104,3 +104,43 @@ def cohort_retention(
             F.expr(f"timestampdiff({diff_unit}, cohort, period)").cast("int"),
         )
     )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+) -> DataFrame:
+    """Frequent co-occurring item PAIRS (market-basket mining):
+    (item_a, item_b, support) for every unordered pair appearing
+    together in at least ``min_support`` baskets.
+
+    Scale shape: items are support-pruned FIRST (the apriori property —
+    a pair's support cannot exceed either item's), so rare items never
+    reach the quadratic per-basket pair expansion; the expansion itself
+    is an ordered equi-self-join on the basket id (item_a < item_b), and
+    the pair count is one keyed aggregation. The basket x item relation
+    is deduplicated up front so multiplicity inside a basket cannot
+    inflate support."""
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    items = df.select(
+        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
+    ).distinct()
+    keep = (
+        items.groupBy("__item")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_support)
+        .select("__item")
+    )
+    pruned = items.join(keep, "__item", "left_semi")
+    a = pruned.select(F.col("__basket"), F.col("__item").alias("item_a"))
+    b = pruned.select(F.col("__basket"), F.col("__item").alias("item_b"))
+    return (
+        a.join(b, "__basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+    )

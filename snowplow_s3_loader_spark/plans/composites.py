@@ -419,8 +419,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank (q83), CDC merge (q84), Gopher rule audit (q85),
     incremental aggregate maintenance (q86), int8 embedding
     quantization (q87), conversion funnel (q88), cohort retention
-    (q89), interval-overlap join (q90), triangle counting (q91) —
-    tagged
+    (q89), interval-overlap join (q90), triangle counting (q91), table
+    profiling (q92), frequent-pair mining (q93) — tagged
     union with the members' columns coerced onto (battery, key, v1, v2,
     v3), the same normalization the sampling battery uses."""
     bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
@@ -556,6 +556,35 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_triangles").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    prof = q.q92_profile_events(spark, sf_dir).select(
+        F.lit("profile").alias("battery"),
+        F.col("column").alias("key"),
+        F.col("n_distinct").alias("v1"),
+        (F.col("n_rows") * 1000000 + F.col("n_null")).alias("v2"),
+        # min/max strings ride as a numeric digest
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.coalesce("min_value", F.lit("")),
+                        F.coalesce("max_value", F.lit("")),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").alias("v3"),
+    )
+    fp = q.q93_frequent_pairs(spark, sf_dir).select(
+        F.lit("pairs").alias("battery"),
+        F.concat_ws("@", "item_a", "item_b").alias("key"),
+        F.col("support").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -572,6 +601,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(coh)
         .union(iv)
         .union(tri)
+        .union(prof)
+        .union(fp)
         .orderBy("battery", "key", "v1")
     )
 
@@ -676,7 +707,7 @@ _FOLDED = {
     "q83_pagerank", "q84_cdc_merge", "q85_gopher_rules",
     "q86_incremental_agg", "q87_quantize_embeddings",
     "q88_funnel", "q89_cohort_retention", "q90_interval_overlap",
-    "q91_triangle_count",
+    "q91_triangle_count", "q92_profile_events", "q93_frequent_pairs",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1100,6 +1131,17 @@ UNION ALL
 SELECT 'triangle' AS battery, CAST(node AS VARCHAR) AS key,
        n_triangles AS v1, total_triangles AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q91_triangle_count"]})
+UNION ALL
+SELECT 'profile' AS battery, "column" AS key,
+       n_distinct AS v1,
+       n_rows * 1000000 + n_null AS v2,
+       CAST(('0x' || substr(md5(coalesce(min_value, '') || '|' ||
+                                coalesce(max_value, '')), 1, 8)) AS BIGINT) AS v3
+FROM ({ORACLES["q92_profile_events"]})
+UNION ALL
+SELECT 'pairs' AS battery, item_a || '@' || item_b AS key,
+       support AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q93_frequent_pairs"]})
 UNION ALL
 SELECT 'cohort' AS battery,
        strftime(cohort, '%Y-%m-%d') || '@' || strftime(period, '%Y-%m-%d') AS key,

@@ -1421,3 +1421,41 @@ FROM members CROSS JOIN tot
 GROUP BY node, tot.t
 ORDER BY node
 """
+
+# q92: table profile — one UNION ALL branch per column; VARCHAR casts of
+# doubles use the same shortest-round-trip formatting as Java/Spark.
+_PROFILE_COL = """
+SELECT '{name}' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+       {minexpr} AS min_value, {maxexpr} AS max_value
+FROM events
+"""
+
+ORACLES["q92_profile_events"] = " UNION ALL ".join(
+    _PROFILE_COL.format(
+        name=n,
+        minexpr=f"strftime(min({n}), '%Y-%m-%d %H:%M:%S')" if n == "ts"
+        else f"CAST(min({n}) AS VARCHAR)",
+        maxexpr=f"strftime(max({n}), '%Y-%m-%d %H:%M:%S')" if n == "ts"
+        else f"CAST(max({n}) AS VARCHAR)",
+    )
+    for n in ("event_id", "ts", "user_id", "event_type", "value")
+) + ' ORDER BY "column"'
+
+# q93: frequent pairs — all-pairs support count in SQL (the engine's
+# apriori prune is lossless at min_support, so the sets must match).
+ORACLES["q93_frequent_pairs"] = """
+WITH items AS (
+  SELECT DISTINCT
+    CAST(user_id AS VARCHAR) || '@' || strftime(date_trunc('day', ts), '%Y-%m-%d')
+      AS basket,
+    event_type AS item
+  FROM events
+)
+SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+GROUP BY a.item, b.item
+HAVING count(*) >= 5
+ORDER BY item_a, item_b
+"""

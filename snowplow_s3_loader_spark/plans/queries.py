@@ -1628,6 +1628,39 @@ def q91_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(pairs).orderBy("node")
 
 
+def q92_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profile of events — per-column row/null/distinct counts and
+    stringified min/max in ONE aggregation pass (multi-count_distinct
+    via Spark's Expand). Exact distincts so the per-column UNION oracle
+    hash-matches; engine-portable min/max formatting (timestamps
+    second-truncated, doubles shortest-repr)."""
+    from snowplow_s3_loader_spark.operators.profile import profile_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(
+        ev, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).orderBy("column")
+
+
+def q93_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: event-type pairs co-occurring in the same
+    (user, day) basket with support >= 5 — items are apriori-pruned
+    before the quadratic pair expansion, so rare items never reach the
+    self-join. Exact supports hash-match the all-pairs oracle."""
+    from snowplow_s3_loader_spark.operators import behavior
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "@", F.col("user_id").cast("string"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"),
+        ).alias("basket"),
+        "event_type",
+    )
+    return behavior.frequent_pairs(ev, "basket", "event_type", 5).orderBy(
+        "item_a", "item_b"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1721,5 +1754,7 @@ QUERIES = {
         q89_cohort_retention,
         q90_interval_overlap,
         q91_triangle_count,
+        q92_profile_events,
+        q93_frequent_pairs,
     ]
 }

@@ -668,3 +668,69 @@ def test_triangle_count_star_graph_has_none(spark):
         [(0, i) for i in range(1, 10)], "id_a long, id_b long"
     )
     assert triangle_count(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Table profiling
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_stats(spark):
+    from snowplow_s3_loader_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, [1]), (2, None, 1.5, [2]), (2, "b", None, None)],
+        "id long, s string, v double, arr array<int>",
+    )
+    out = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert out["id"]["n_rows"] == 3 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 2
+    assert out["id"]["min_value"] == "1" and out["id"]["max_value"] == "2"
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["v"]["min_value"] == "1.5" and out["v"]["max_value"] == "2.5"
+    # complex type: counts yes, min/max null
+    assert out["arr"]["n_null"] == 1 and out["arr"]["min_value"] is None
+
+
+def test_profile_table_approx_and_validation(spark):
+    from snowplow_s3_loader_spark.operators.profile import profile_table
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 10).alias("k"))
+    approx = {
+        r["column"]: r["n_distinct"] for r in profile_table(df, exact=False).collect()
+    }
+    assert abs(approx["k"] - 10) <= 1  # HLL on 10 distinct is near-exact
+    assert 900 <= approx["id"] <= 1100
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, ["nope"])
+
+
+# ---------------------------------------------------------------------------
+# Frequent-pair mining
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_pairs_counts_and_prune(spark):
+    from snowplow_s3_loader_spark.operators import behavior
+
+    rows = [
+        # pair (a, b) in baskets 1..3; c appears twice in basket 1 (dup)
+        (1, "a"), (1, "b"), (1, "c"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "b"), (3, "a"),
+        (4, "d"),  # singleton item, pruned before the self-join
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in behavior.frequent_pairs(df, "basket", "item", 2).collect()
+    }
+    assert got == {("a", "b"): 3}
+    # support 1 admits every co-occurring pair, dedup keeps (a,c) at 1
+    got1 = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in behavior.frequent_pairs(df, "basket", "item", 1).collect()
+    }
+    assert got1 == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    with pytest.raises(ValueError):
+        behavior.frequent_pairs(df, "basket", "item", 0)
