@@ -575,6 +575,70 @@ def pagerank_case(spark, n_edges: int) -> dict:
     }
 
 
+
+
+def interval_case(spark, n_left: int) -> dict:
+    """Grid-bucketed interval-overlap join (round-6): n_left sessions vs
+    n_left/10 windows over a timeline that GROWS with the data (30 days
+    per 1M sessions — the weak-scaling-correct shape: constant density,
+    so matches grow linearly; a fixed domain would make the OUTPUT
+    quadratic and measure result size, not the engine). Wall must grow
+    ~linearly with the interval count."""
+    from snowplow_s3_loader_spark.operators.joins import interval_overlap_join
+
+    domain = n_left * 2_592_000  # 30 days per 1M intervals, in micros
+    left = spark.range(n_left).select(
+        F.col("id").alias("id_l"),
+        (F.abs(F.xxhash64("id")) % domain).alias("l_start"),
+    ).withColumn("l_end", F.col("l_start") + 600_000_000)  # 10 min
+    right = spark.range(n_left // 10).select(
+        F.col("id").alias("id_r"),
+        (F.abs(F.xxhash64(F.col("id") + 3)) % domain).alias("r_start"),
+    ).withColumn("r_end", F.col("r_start") + 1_800_000_000)  # 30 min
+    res = interval_overlap_join(
+        left, right, ("l_start", "l_end"), ("r_start", "r_end"), 3_600_000_000
+    )
+    res.count()  # warm
+    t0 = time.perf_counter()
+    n = res.count()
+    return {
+        "case": "interval",
+        "left": n_left,
+        "right": n_left // 10,
+        "matched": n,
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+
+
+def triangle_case(spark, n_edges: int) -> dict:
+    """Degree-oriented triangle counting (round-6): hashed graph with a
+    planted hub (one node on 2% of edges) — the degree orientation must
+    keep the hub from exploding the wedge count, so wall grows
+    ~|E|^1.5 / uniform-degree-bounded, not deg_hub^2."""
+    from snowplow_s3_loader_spark.operators.graph import triangle_count
+
+    n_nodes = n_edges // 10
+    base = spark.range(n_edges).select(
+        (F.abs(F.xxhash64("id")) % n_nodes).alias("id_a"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % n_nodes).alias("id_b"),
+    )
+    hub = spark.range(n_edges // 50).select(
+        F.lit(0).cast("long").alias("id_a"),
+        (F.abs(F.xxhash64(F.col("id") + 13)) % n_nodes).alias("id_b"),
+    )
+    edges = base.union(hub)
+    res = triangle_count(edges)
+    res.count()  # warm
+    t0 = time.perf_counter()
+    total = res.select(F.max("total_triangles")).collect()[0][0]
+    return {
+        "case": "triangle",
+        "edges": n_edges,
+        "triangles": int(total or 0),
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -613,6 +677,12 @@ def main() -> None:
     if which in ("pagerank", "all"):
         out.append(pagerank_case(spark, 1_000_000))
         out.append(pagerank_case(spark, 10_000_000))
+    if which in ("interval", "all"):
+        out.append(interval_case(spark, 1_000_000))
+        out.append(interval_case(spark, 10_000_000))
+    if which in ("triangle", "all"):
+        out.append(triangle_case(spark, 100_000))
+        out.append(triangle_case(spark, 1_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()

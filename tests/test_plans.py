@@ -426,3 +426,19 @@ def test_cdc_merge_snapshot_side_never_shuffles(spark, sf_dir):
     # Exchanges in the whole plan belong to the changelog's window
     head, _, _ = plan.partition("Window")
     assert "Exchange" not in head.split("BroadcastExchange")[0], plan
+
+
+def test_new_pair_generators_plan_no_cartesian(spark, sf_dir):
+    """q90 (interval overlap), q91 (triangles), and q93 (frequent pairs)
+    generate pairs through keyed equi-joins — none may plan a
+    CartesianProduct or BroadcastNestedLoopJoin."""
+    from snowplow_s3_loader_spark.plans import queries as Q
+
+    for name in (
+        "q90_interval_overlap",
+        "q91_triangle_count",
+        "q93_frequent_pairs",
+    ):
+        plan = plan_of(Q.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoop" not in plan, (name, plan)
