@@ -618,8 +618,8 @@ def pagerank(
     Processing.scala:69-77); the operator exists for link-graph /
     citation-graph quality weighting in curation pipelines.
 
-    Scale mechanics (mirrors connected_components): the adjacency
-    frame (src, dst, outdeg) is checkpointed ONCE with an advertised
+    Scale mechanics (mirrors connected_components): the narrow (src,
+    dst) adjacency frame is checkpointed ONCE with an advertised
     hash(src) layout and ranks with hash(node) at the same width, so
     the per-round rank-to-edges join plans with ZERO Exchange on the
     edge side; only the per-round groupBy(dst) and the node-align join
@@ -648,16 +648,20 @@ def pagerank(
     )
     n_edges = e.count()
     loop_parts = _loop_width(spark, n_edges)
-    # out-degree rides WITH each edge so the per-round join is a single
-    # co-partitioned equi-join on s (no second outdeg join per round).
-    adj = checkpoint_nostats(
-        e.join(e.groupBy("s").agg(F.count("*").alias("outdeg")), "s"),
-        loop_parts,
-        ["s"],
-    )
+    # the edge frame stays NARROW (s, d) and is laid out on hash(s) —
+    # out-degree lives on the |V|-sized node frame instead of being
+    # duplicated onto all |E| edge rows (a dense graph would pay
+    # |E|/|V| x the bytes for nothing — 140x on the q83 trade graph),
+    # and the former e x outdeg self-join disappears entirely.
+    # groupBy("s") below needs no Exchange (co-partitioned with the
+    # advertised layout).
+    adj = checkpoint_nostats(e, loop_parts, ["s"])
+    outdeg = adj.groupBy("s").agg(F.count("*").alias("outdeg"))
     nodes = checkpoint_nostats(
-        e.select("s").union(e.select(F.col("d").alias("s"))).distinct()
-        .select(F.col("s").alias("node")),
+        adj.select("s").union(adj.select(F.col("d").alias("s"))).distinct()
+        .select(F.col("s").alias("node"))
+        .join(outdeg, F.col("node") == F.col("s"), "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg")),
         loop_parts,
         ["node"],
     )
@@ -682,14 +686,19 @@ def pagerank(
         last_ck = ranks
         cur = ranks
         for i in range(iterations):
+            # per-NODE share first (|V| rows), then the edge join fans it
+            # out — the arithmetic never rides |E|-wide rows. A dangling
+            # node's outdeg=0 makes `div` yield null, but such a node
+            # matches no adj.s row, so the null never reaches the sum.
+            shares = cur.select(
+                "node",
+                F.expr(
+                    f"(pr * {damping_num}) div ({damping_den} * outdeg)"
+                ).alias("share"),
+            )
             contribs = (
-                adj.join(cur, adj.s == cur.node)  # co-partitioned on s
-                .select(
-                    "d",
-                    F.expr(
-                        f"(pr * {damping_num}) div ({damping_den} * outdeg)"
-                    ).alias("share"),
-                )
+                adj.join(shares, adj.s == shares.node)  # co-partitioned
+                .select("d", "share")
                 .repartition(loop_parts, "d")
                 .groupBy("d")
                 .agg(F.sum("share").cast("long").alias("contrib"))
@@ -699,6 +708,7 @@ def pagerank(
             # projection keeps `node`, so the result carries nodes' layout.
             cur = nodes.join(contribs, nodes.node == contribs.d, "left").select(
                 "node",
+                "outdeg",
                 (F.lit(tele) + F.coalesce("contrib", F.lit(0)))
                 .cast("long")
                 .alias("pr"),
