@@ -31,6 +31,7 @@ def funnel_steps(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel reach per user: for each user, ``t1`` is the
     earliest event of ``steps[0]``, ``t2`` the earliest ``steps[1]``
@@ -40,7 +41,11 @@ def funnel_steps(
 
     The standard conversion-funnel semantics (each step must follow the
     previous one in time); same-timestamp events do NOT satisfy the
-    strict ordering, which keeps the semantics engine-portable."""
+    strict ordering, which keeps the semantics engine-portable.
+    ``max_gap_seconds`` adds the conversion-window variant: step k must
+    also land within that many seconds of step k-1's reach time (the
+    greedy earliest-qualifying chain; a later step-(k-1) event is never
+    reconsidered, matching the standard windowed-funnel convention)."""
     if not steps:
         raise ValueError("steps must be non-empty")
     u, t = user_col, ts_col
@@ -50,10 +55,16 @@ def funnel_steps(
         .agg(F.min(t).alias("t1"))
     )
     for i, step in enumerate(steps[1:], start=2):
+        within = F.col(t) > F.col(f"t{i-1}")
+        if max_gap_seconds is not None:
+            within = within & (
+                F.col(t)
+                <= F.col(f"t{i-1}") + F.expr(f"INTERVAL {int(max_gap_seconds)} SECOND")
+            )
         nxt = (
             events.where(F.col(type_col) == step)
             .join(reach.select(u, f"t{i-1}"), u)
-            .where(F.col(t) > F.col(f"t{i-1}"))
+            .where(within)
             .groupBy(u)
             .agg(F.min(t).alias(f"t{i}"))
         )

@@ -81,3 +81,47 @@ def profile_table(
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram: k buckets over the sorted
+    values, each holding total/k rows (SQL ntile contract), with per-
+    bucket (n, low, high) — the binning primitive for length-balanced
+    batching, score calibration, and selectivity estimation.
+
+    Scale shape: NO global window — the global row number comes from
+    ranking.global_row_number (range partition + broadcast offsets) and
+    the bucket id from ntile's closed form, so the sort is distributed
+    and the only single-point state is one tiny per-partition count row
+    each. ``tie_cols`` must make the order total (pass a unique id) or
+    bucket boundaries are nondeterministic under ties."""
+    from snowplow_s3_loader_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_row_number,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = [F.col(value_col)] + [F.col(c) for c in (tie_cols or [])]
+    ranked, total = global_row_number(df, order, rn_col="__rn")
+    if total == 0:
+        return ranked.select(
+            F.lit(0).cast("int").alias("bucket"),
+            F.lit(0).cast("long").alias("n"),
+            F.col(value_col).alias("low"),
+            F.col(value_col).alias("high"),
+        ).limit(0)
+    return (
+        ranked.withColumn("bucket", ntile_from_row_number(F.col("__rn"), total, k))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(value_col).alias("low"),
+            F.max(value_col).alias("high"),
+        )
+    )

@@ -30,6 +30,14 @@ def global_row_number(
 
     No single-partition stage: the sort is range-partitioned, the offset
     table is one tiny row per partition (collected + broadcast back).
+
+    The range-partitioned, locally-numbered frame is eagerly
+    localCheckpointed (it feeds two consumers whose re-evaluations could
+    otherwise draw different range boundaries — see the inline comment);
+    sessions running many ranking calls can reclaim the blocks with
+    dedup.release_materialized on the RETURNED frame's lineage, and the
+    bench/battery harnesses sweep leftover checkpoint blocks between
+    runs.
     """
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
@@ -39,6 +47,14 @@ def global_row_number(
     local = ranged.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
     )
+    # PIN one evaluation: `local` feeds BOTH the counts branch and the
+    # output join, and RangePartitioner's sample seed incorporates the
+    # RDD id — re-evaluating the plan can draw DIFFERENT range
+    # boundaries per branch, so the offsets describe one partitioning
+    # while the rows carry another (observed: 10000 rows -> 9737
+    # distinct rns with gaps to 10247 on the q94 histogram input).
+    # An eager localCheckpoint makes the partition assignment a fact.
+    local = local.localCheckpoint(eager=True)
     # per-partition counts: P rows only (bounded by cluster partitions, not
     # data), so the single-partition cumulative window over them is safe at
     # any scale; one collect of the grand total remains (callers need it as

@@ -420,7 +420,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental aggregate maintenance (q86), int8 embedding
     quantization (q87), conversion funnel (q88), cohort retention
     (q89), interval-overlap join (q90), triangle counting (q91), table
-    profiling (q92), frequent-pair mining (q93) — tagged
+    profiling (q92), frequent-pair mining (q93), equi-depth
+    histogram (q94) — tagged
     union with the members' columns coerced onto (battery, key, v1, v2,
     v3), the same normalization the sampling battery uses."""
     bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
@@ -585,6 +586,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    hist = q.q94_equi_depth_histogram(spark, sf_dir).select(
+        F.lit("histogram").alias("battery"),
+        F.col("bucket").cast("string").alias("key"),
+        F.col("n").alias("v1"),
+        F.round(F.col("low") * 100).cast("long").alias("v2"),
+        F.round(F.col("high") * 100).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -603,6 +611,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(tri)
         .union(prof)
         .union(fp)
+        .union(hist)
         .orderBy("battery", "key", "v1")
     )
 
@@ -708,6 +717,7 @@ _FOLDED = {
     "q86_incremental_agg", "q87_quantize_embeddings",
     "q88_funnel", "q89_cohort_retention", "q90_interval_overlap",
     "q91_triangle_count", "q92_profile_events", "q93_frequent_pairs",
+    "q94_equi_depth_histogram",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1142,6 +1152,12 @@ UNION ALL
 SELECT 'pairs' AS battery, item_a || '@' || item_b AS key,
        support AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q93_frequent_pairs"]})
+UNION ALL
+SELECT 'histogram' AS battery, CAST(bucket AS VARCHAR) AS key,
+       n AS v1,
+       CAST(round(low * 100) AS BIGINT) AS v2,
+       CAST(round(high * 100) AS BIGINT) AS v3
+FROM ({ORACLES["q94_equi_depth_histogram"]})
 UNION ALL
 SELECT 'cohort' AS battery,
        strftime(cohort, '%Y-%m-%d') || '@' || strftime(period, '%Y-%m-%d') AS key,

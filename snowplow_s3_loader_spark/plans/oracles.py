@@ -1459,3 +1459,14 @@ GROUP BY a.item, b.item
 HAVING count(*) >= 5
 ORDER BY item_a, item_b
 """
+
+# q94: equi-depth histogram — DuckDB's ntile over the same total order.
+ORACLES["q94_equi_depth_histogram"] = """
+WITH b AS (
+  SELECT value,
+         ntile(16) OVER (ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT bucket, count(*) AS n, min(value) AS low, max(value) AS high
+FROM b GROUP BY bucket ORDER BY bucket
+"""

@@ -1661,6 +1661,17 @@ def q93_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q94_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of event values (16 buckets, event_id
+    tie-break): global row number via range partition + broadcast
+    offsets (no single-partition window) and ntile's closed form. Exact
+    bucket boundaries hash-match DuckDB's ntile."""
+    from snowplow_s3_loader_spark.operators.profile import equi_depth_histogram
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return equi_depth_histogram(ev, "value", 16, ["event_id"]).orderBy("bucket")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1756,5 +1767,6 @@ QUERIES = {
         q91_triangle_count,
         q92_profile_events,
         q93_frequent_pairs,
+        q94_equi_depth_histogram,
     ]
 }

@@ -734,3 +734,88 @@ def test_frequent_pairs_counts_and_prune(spark):
     assert got1 == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
     with pytest.raises(ValueError):
         behavior.frequent_pairs(df, "basket", "item", 0)
+
+
+def test_agg_state_parquet_round_trip(spark, tmp_path):
+    """Aggregate state is a plain DataFrame: parquet round-trips to the
+    identical frame, and an update applied to the RELOADED state equals
+    the full recompute — the build-once / update-per-delta persistence
+    pattern (same argument as the bloom-filter and IVF-centroid
+    round-trips)."""
+    from snowplow_s3_loader_spark.operators import incremental
+
+    base = _events(spark, [("a", 10), ("a", 20), ("b", 5)])
+    delta = _events(spark, [("a", 1), ("c", 7)])
+    state = incremental.agg_state(base, ["k"], ("v",), ("v",), ("v",))
+    path = str(tmp_path / "agg_state")
+    state.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    updated = incremental.update_agg_state(
+        reloaded, delta, ["k"], ("v",), ("v",), ("v",)
+    )
+    full = incremental.agg_state(
+        base.unionByName(delta), ["k"], ("v",), ("v",), ("v",)
+    )
+    assert sorted(map(tuple, updated.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_funnel_max_gap_window(spark):
+    from snowplow_s3_loader_spark.operators import behavior
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        (1, t("2024-01-01T10:00"), "view"),
+        (1, t("2024-01-01T10:30"), "click"),     # within 1h of view
+        (2, t("2024-01-01T10:00"), "view"),
+        (2, t("2024-01-01T12:00"), "click"),     # 2h later: outside window
+    ]
+    out = {
+        r["user_id"]: r["stage"]
+        for r in behavior.funnel_steps(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click"], max_gap_seconds=3600,
+        ).collect()
+    }
+    assert out == {1: 2, 2: 1}
+    # boundary: exactly max_gap qualifies (<=)
+    rows_b = [(3, t("2024-01-01T10:00"), "view"), (3, t("2024-01-01T11:00"), "click")]
+    out_b = behavior.funnel_steps(
+        _ev(spark, rows_b), "user_id", "ts", "event_type",
+        ["view", "click"], max_gap_seconds=3600,
+    ).collect()[0]
+    assert out_b["stage"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram + global_row_number permutation regression
+# ---------------------------------------------------------------------------
+
+
+def test_global_row_number_is_permutation(spark):
+    """Regression for the dual-evaluation range-boundary bug: the counts
+    branch and the output join must see the SAME partitioning, or rns
+    duplicate/gap (observed 9737 distinct over 10000 rows before the
+    eager checkpoint pinned one evaluation)."""
+    from snowplow_s3_loader_spark.operators.ranking import global_row_number
+
+    df = spark.range(5000).select(
+        (F.xxhash64("id") % 1000).alias("v"), F.col("id")
+    )
+    ranked, total = global_row_number(df, [F.col("v"), F.col("id")], rn_col="rn")
+    assert total == 5000
+    rns = sorted(r["rn"] for r in ranked.select("rn").collect())
+    assert rns == list(range(1, 5001))
+
+
+def test_equi_depth_histogram_bucket_counts(spark):
+    from snowplow_s3_loader_spark.operators.profile import equi_depth_histogram
+
+    df = spark.range(103).select(F.col("id"), (F.col("id") * 7 % 103).alias("v"))
+    out = {r["bucket"]: r for r in equi_depth_histogram(df, "v", 10, ["id"]).collect()}
+    # SQL ntile: first 103 % 10 = 3 buckets get 11 rows, the rest 10
+    assert [out[b]["n"] for b in range(1, 11)] == [11, 11, 11] + [10] * 7
+    # buckets tile the domain in order without overlap
+    for b in range(1, 10):
+        assert out[b]["high"] <= out[b + 1]["low"]
+    with pytest.raises(ValueError):
+        equi_depth_histogram(df, "v", 0)
