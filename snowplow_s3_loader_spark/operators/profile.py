@@ -125,3 +125,43 @@ def equi_depth_histogram(
             F.max(value_col).alias("high"),
         )
     )
+
+
+def exact_moments(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact second-order moments of two INTEGER columns per group —
+    the engine-portable covariance/correlation kernel: emits n, sums,
+    and the integer-exact combinations
+
+        cov_num   = n*Sxy - Sx*Sy          (n^2 * covariance)
+        var_x_num = n*Sxx - Sx^2           (n^2 * variance)
+        var_y_num = n*Syy - Sy^2
+
+    from which Pearson r = cov_num / sqrt(var_x_num * var_y_num).
+    Keeping the output in exact BIGINTs sidesteps float-summation order
+    entirely (the same micro-unit discipline as the bigram-LM); callers
+    do the one final float division/sqrt themselves. ONE partial+final
+    aggregation; inputs must be integers scaled so n*Sxy fits int64
+    (raise the scale, not the dtype, if they do not)."""
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    agg = df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_x_num"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("var_y_num"),
+    )

@@ -421,7 +421,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization (q87), conversion funnel (q88), cohort retention
     (q89), interval-overlap join (q90), triangle counting (q91), table
     profiling (q92), frequent-pair mining (q93), equi-depth
-    histogram (q94) — tagged
+    histogram (q94), exact correlation moments (q95) — tagged
     union with the members' columns coerced onto (battery, key, v1, v2,
     v3), the same normalization the sampling battery uses."""
     bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
@@ -593,6 +593,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("low") * 100).cast("long").alias("v2"),
         F.round(F.col("high") * 100).cast("long").alias("v3"),
     )
+    mom = q.q95_exact_correlation(spark, sf_dir).select(
+        F.lit("moments").alias("battery"),
+        F.col("l_returnflag").alias("key"),
+        F.col("cov_num").alias("v1"),
+        F.col("var_x_num").alias("v2"),
+        F.col("var_y_num").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -612,6 +619,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(prof)
         .union(fp)
         .union(hist)
+        .union(mom)
         .orderBy("battery", "key", "v1")
     )
 
@@ -717,7 +725,7 @@ _FOLDED = {
     "q86_incremental_agg", "q87_quantize_embeddings",
     "q88_funnel", "q89_cohort_retention", "q90_interval_overlap",
     "q91_triangle_count", "q92_profile_events", "q93_frequent_pairs",
-    "q94_equi_depth_histogram",
+    "q94_equi_depth_histogram", "q95_exact_correlation",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1158,6 +1166,10 @@ SELECT 'histogram' AS battery, CAST(bucket AS VARCHAR) AS key,
        CAST(round(low * 100) AS BIGINT) AS v2,
        CAST(round(high * 100) AS BIGINT) AS v3
 FROM ({ORACLES["q94_equi_depth_histogram"]})
+UNION ALL
+SELECT 'moments' AS battery, l_returnflag AS key,
+       cov_num AS v1, var_x_num AS v2, var_y_num AS v3
+FROM ({ORACLES["q95_exact_correlation"]})
 UNION ALL
 SELECT 'cohort' AS battery,
        strftime(cohort, '%Y-%m-%d') || '@' || strftime(period, '%Y-%m-%d') AS key,

@@ -1470,3 +1470,30 @@ WITH b AS (
 SELECT bucket, count(*) AS n, min(value) AS low, max(value) AS high
 FROM b GROUP BY bucket ORDER BY bucket
 """
+
+# q95: exact moments — identical integer algebra; DuckDB sums promote to
+# HUGEINT, so every combination casts back to BIGINT.
+ORACLES["q95_exact_correlation"] = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice / 100) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sx, sy,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS var_x_num,
+       CAST(n * syy - sy * sy AS BIGINT) AS var_y_num
+FROM m
+ORDER BY l_returnflag
+"""

@@ -1672,6 +1672,27 @@ def q94_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_histogram(ev, "value", 16, ["event_id"]).orderBy("bucket")
 
 
+def q95_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact second-order moments of (quantity, price in hundreds) per
+    return flag: the covariance/correlation kernel in pure BIGINT
+    (cov_num = n*Sxy - Sx*Sy etc.), so no float-summation order can
+    leak in and the oracle hash-matches bit-for-bit; Pearson r derives
+    by one final division outside the engine. The hundreds scaling
+    keeps n*Syy inside int64 through sf1 (price_h <= 1.1e3, so
+    n * Syy <= n^2 * 1.2e6 — safe to n ~ 2.7e6 rows per group; rescale
+    further for bigger groups, per the operator docstring)."""
+    from snowplow_s3_loader_spark.operators.profile import exact_moments
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") / 100).alias("price_h"),
+    )
+    return exact_moments(li, ["l_returnflag"], "qty", "price_h").orderBy(
+        "l_returnflag"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1768,5 +1789,6 @@ QUERIES = {
         q92_profile_events,
         q93_frequent_pairs,
         q94_equi_depth_histogram,
+        q95_exact_correlation,
     ]
 }

@@ -819,3 +819,28 @@ def test_equi_depth_histogram_bucket_counts(spark):
         assert out[b]["high"] <= out[b + 1]["low"]
     with pytest.raises(ValueError):
         equi_depth_histogram(df, "v", 0)
+
+
+def test_exact_moments_match_numpy(spark):
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators.profile import exact_moments
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 100, 500)
+    y = (x * 3 + rng.integers(0, 50, 500)).astype(int)  # correlated
+    df = spark.createDataFrame(
+        [("g", int(a), int(b)) for a, b in zip(x, y)], "g string, x long, y long"
+    )
+    row = exact_moments(df, ["g"], "x", "y").collect()[0]
+    n = 500
+    assert row["n"] == n and row["sx"] == int(x.sum()) and row["sy"] == int(y.sum())
+    cov_num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    var_x = n * int((x * x).sum()) - int(x.sum()) ** 2
+    var_y = n * int((y * y).sum()) - int(y.sum()) ** 2
+    assert (row["cov_num"], row["var_x_num"], row["var_y_num"]) == (
+        cov_num, var_x, var_y,
+    )
+    # derived Pearson r matches numpy to float precision
+    r = cov_num / (var_x**0.5 * var_y**0.5)
+    assert abs(r - np.corrcoef(x, y)[0, 1]) < 1e-12
