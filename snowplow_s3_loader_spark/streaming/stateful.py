@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 ROCKSDB_PROVIDER = (
@@ -397,4 +398,96 @@ def streaming_heavy_hitters(
         stateStructType=_HH_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming ordered funnel (per-user stage state)
+# ---------------------------------------------------------------------------
+
+
+def streaming_funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of behavior.funnel_steps: per-user funnel stage
+    carried across micro-batches with BOUNDED state (k timestamps per
+    user, nothing else — no event history).
+
+    Each batch's events are processed in event-time order; an event of
+    step k advances (or improves) t_k when it lands strictly after
+    t_{k-1}, exactly the batch operator's greedy-min recurrence. When a
+    user's events arrive in event-time order across batches (the normal
+    log-shipping case) the result EQUALS the batch funnel on the same
+    data (differential-tested). A retroactive earlier event still
+    improves its own step and never invalidates downstream steps
+    (improvements only lower t_k, and every later t_{k+1} > old t_k >
+    new t_k stays valid) — but a step event DISCARDED before a
+    retroactive improvement is not replayed; the chain stays valid,
+    possibly non-minimal. Exact retro-correction would need unbounded
+    per-user history, the thing this operator exists to avoid.
+
+    ``timeout_ms``: processing-time eviction for always-on deployments
+    (same caveat as running_user_counts: leave None under
+    Trigger.AvailableNow).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    user_type = events.schema[user_col].dataType
+    out_schema = StructType(
+        [
+            StructField(user_col, user_type),
+            StructField("stage", IntegerType()),
+            *[StructField(f"t{i}", TimestampNTZType()) for i in range(1, k + 1)],
+        ]
+    )
+    state_schema = StructType(
+        [StructField(f"u{i}", LongType()) for i in range(1, k + 1)]
+    )
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        times = list(state.get) if state.exists else [-1] * k
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(ts_col, kind="mergesort")
+            ts_ns = batch[ts_col].astype("int64").tolist()
+            types = batch[type_col].tolist()
+            for ts, typ in zip(ts_ns, types):
+                for j, s in enumerate(steps):
+                    if typ != s:
+                        continue
+                    after_prev = j == 0 or (times[j - 1] != -1 and ts > times[j - 1])
+                    if after_prev and (times[j] == -1 or ts < times[j]):
+                        times[j] = ts
+        state.update(tuple(times))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if times[0] == -1:
+            return
+        stage = sum(1 for t in times if t != -1)
+        row = {user_col: [key[0]], "stage": [stage]}
+        for i, t in enumerate(times, start=1):
+            row[f"t{i}"] = [pd.Timestamp(t) if t != -1 else pd.NaT]
+        yield pd.DataFrame(row)
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -303,3 +303,99 @@ def test_streaming_heavy_hitters_bounds_across_batches(spark, tmp_path):
         if est is not None:
             assert est <= true_c, (tok, est, true_c)
             assert est >= true_c - err, (tok, est, true_c, err)
+
+
+def test_streaming_funnel_matches_batch_on_ordered_stream(spark, tmp_path):
+    """streaming_funnel over time-ordered micro-batches must equal the
+    batch funnel on the union of all events (the documented exactness
+    case), including users whose conversion spans batches."""
+    import random
+    from datetime import datetime, timedelta
+
+    from snowplow_s3_loader_spark.operators.behavior import funnel_steps
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_funnel
+
+    rnd = random.Random(17)
+    t0 = datetime(2024, 1, 1)
+    steps = ["view", "click", "purchase"]
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                rnd.randrange(25),
+                t0 + timedelta(seconds=i * 13 + rnd.randrange(5)),
+                rnd.choice(steps + ["noise"]),
+            )
+        )
+    rows.sort(key=lambda r: r[1])  # event-time-ordered arrival
+    thirds = [rows[:150], rows[150:300], rows[300:]]
+    in_dir = tmp_path / "funnel_in"
+    in_dir.mkdir(parents=True)
+    for i, chunk in enumerate(thirds):
+        (in_dir / f"b{i}.csv").write_text(
+            "\n".join(f"{u},{ts.isoformat()},{ty}" for u, ts, ty in chunk) + "\n"
+        )
+
+    src = spark.readStream.schema(
+        "user_id int, ts timestamp_ntz, event_type string"
+    ).csv(str(in_dir))
+    collected: list = []
+    q = (
+        streaming_funnel(src, "user_id", "ts", "event_type", steps)
+        .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: the last emission per user is the final state
+    got = {}
+    for r in collected:
+        got[r["user_id"]] = (r["stage"], r["t1"], r["t2"], r["t3"])
+
+    batch_df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp_ntz, event_type string"
+    )
+    want = {
+        r["user_id"]: (r["stage"], r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(batch_df, "user_id", "ts", "event_type", steps).collect()
+    }
+    assert got == want
+    assert any(v[0] == 3 for v in want.values())  # non-trivial conversions
+
+
+def test_streaming_funnel_retro_event_improves_without_invalidating(spark, tmp_path):
+    """A retroactive earlier step-1 event (arriving in a LATER batch)
+    lowers t1 and leaves the already-established downstream chain valid
+    — the documented bounded-state behavior."""
+    from datetime import datetime
+
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_funnel
+
+    t = lambda s: datetime.fromisoformat(s)
+    b1 = [(1, t("2024-01-01T10:00"), "view"), (1, t("2024-01-01T11:00"), "click")]
+    b2 = [(1, t("2024-01-01T09:00"), "view")]  # retroactive earlier view
+    in_dir = tmp_path / "retro_in"
+    in_dir.mkdir(parents=True)
+    for i, chunk in enumerate((b1, b2)):
+        (in_dir / f"b{i}.csv").write_text(
+            "\n".join(f"{u},{ts.isoformat()},{ty}" for u, ts, ty in chunk) + "\n"
+        )
+    src = spark.readStream.schema(
+        "user_id int, ts timestamp_ntz, event_type string"
+    ).csv(str(in_dir))
+    collected: list = []
+    q = (
+        streaming_funnel(src, "user_id", "ts", "event_type", ["view", "click"])
+        .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "retro_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = collected[-1]
+    assert final["t1"] == t("2024-01-01T09:00")  # improved retroactively
+    assert final["t2"] == t("2024-01-01T11:00")  # chain stays valid
+    assert final["stage"] == 2
