@@ -253,3 +253,90 @@ class Engine:
         from snowplow_s3_loader_spark.operators.incremental import update_agg_state
 
         return update_agg_state(state, delta, keys, sum_cols, min_cols, max_cols)
+
+    # ---- analytics surface (round 6) ----
+
+    def funnel(
+        self, events: DataFrame, user_col: str, ts_col: str, type_col: str,
+        steps: list[str], max_gap_seconds: int | None = None,
+    ) -> DataFrame:
+        """Ordered conversion funnel (operators.behavior funnel_steps)."""
+        from snowplow_s3_loader_spark.operators.behavior import funnel_steps
+
+        return funnel_steps(events, user_col, ts_col, type_col, steps, max_gap_seconds)
+
+    def cohort_retention(
+        self, events: DataFrame, user_col: str, ts_col: str, unit: str = "week"
+    ) -> DataFrame:
+        """Cohort retention matrix (operators.behavior cohort_retention)."""
+        from snowplow_s3_loader_spark.operators.behavior import cohort_retention
+
+        return cohort_retention(events, user_col, ts_col, unit)
+
+    def frequent_pairs(
+        self, df: DataFrame, basket_col: str, item_col: str, min_support: int
+    ) -> DataFrame:
+        """Apriori-pruned market-basket pair mining (operators.behavior)."""
+        from snowplow_s3_loader_spark.operators.behavior import frequent_pairs
+
+        return frequent_pairs(df, basket_col, item_col, min_support)
+
+    def profile(
+        self, df: DataFrame, cols: list[str] | None = None, exact: bool = True
+    ) -> DataFrame:
+        """Per-column table profile (operators.profile profile_table)."""
+        from snowplow_s3_loader_spark.operators.profile import profile_table
+
+        return profile_table(df, cols, exact)
+
+    def equi_depth_histogram(
+        self, df: DataFrame, value_col: str, k: int,
+        tie_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Equal-count histogram without a global window
+        (operators.profile equi_depth_histogram)."""
+        from snowplow_s3_loader_spark.operators.profile import equi_depth_histogram
+
+        return equi_depth_histogram(df, value_col, k, tie_cols)
+
+    def exact_moments(
+        self, df: DataFrame, keys: list[str], x_col: str, y_col: str
+    ) -> DataFrame:
+        """Integer-exact covariance/correlation moments
+        (operators.profile exact_moments)."""
+        from snowplow_s3_loader_spark.operators.profile import exact_moments
+
+        return exact_moments(df, keys, x_col, y_col)
+
+    def interval_overlap_join(
+        self, left: DataFrame, right: DataFrame,
+        left_bounds: tuple[str, str], right_bounds: tuple[str, str],
+        bucket_width: int, on: list[str] | None = None,
+    ) -> DataFrame:
+        """Grid-bucketed interval overlap join (operators.joins)."""
+        from snowplow_s3_loader_spark.operators.joins import interval_overlap_join
+
+        return interval_overlap_join(
+            left, right, left_bounds, right_bounds, bucket_width, on
+        )
+
+    def triangle_count(
+        self, pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    ) -> DataFrame:
+        """Degree-oriented triangle counting (operators.graph)."""
+        from snowplow_s3_loader_spark.operators.graph import triangle_count
+
+        return triangle_count(pairs, id_a, id_b)
+
+    def quantize_embeddings(
+        self, emb: DataFrame, vec_col: str, out_col: str = "codes"
+    ) -> DataFrame:
+        """Fit global int8 bounds and quantize in one call
+        (operators.similarity quantization_bounds + quantize_embeddings)."""
+        from snowplow_s3_loader_spark.operators.similarity import (
+            quantization_bounds,
+            quantize_embeddings,
+        )
+
+        mins, maxs = quantization_bounds(emb, vec_col)
+        return quantize_embeddings(emb, vec_col, mins, maxs, out_col)

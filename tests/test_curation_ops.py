@@ -844,3 +844,26 @@ def test_exact_moments_match_numpy(spark):
     # derived Pearson r matches numpy to float precision
     r = cov_num / (var_x**0.5 * var_y**0.5)
     assert abs(r - np.corrcoef(x, y)[0, 1]) < 1e-12
+
+
+def test_engine_analytics_facade(spark):
+    """The analytics facade delegations are wired and runnable."""
+    from snowplow_s3_loader_spark.engine import Engine
+
+    eng = Engine.at(spark, "/root/testdata/sf0.001")
+    ev = eng.table("events")
+    assert eng.profile(ev, ["event_id"]).count() == 1
+    fun = eng.funnel(ev, "user_id", "ts", "event_type", ["view", "click"])
+    assert fun.count() > 0
+    assert eng.cohort_retention(ev, "user_id", "ts").count() > 0
+    assert eng.equi_depth_histogram(ev, "value", 4, ["event_id"]).count() == 4
+    assert (
+        eng.exact_moments(ev.selectExpr("event_type", "CAST(value AS LONG) v",
+                                        "event_id"),
+                          ["event_type"], "v", "event_id").count() == 5
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "id_a long, id_b long")
+    assert eng.triangle_count(pairs).count() == 3
+    emb = eng.table("embeddings").limit(50)
+    q = eng.quantize_embeddings(emb, "embedding")
+    assert q.select("codes").first()["codes"] is not None
