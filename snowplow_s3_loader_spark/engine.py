@@ -203,13 +203,14 @@ class Engine:
 
     def pagerank(
         self, edges: DataFrame, src: str = "src", dst: str = "dst",
-        iterations: int = 3,
+        iterations: int = 3, seeds: DataFrame | None = None,
     ) -> DataFrame:
-        """Exact-integer PageRank over a link graph (operators.graph
-        pagerank); returns (node, rank_micro), caller releases."""
+        """Exact-integer (optionally personalized) PageRank over a link
+        graph (operators.graph pagerank); returns (node, rank_micro),
+        caller releases."""
         from snowplow_s3_loader_spark.operators.graph import pagerank
 
-        return pagerank(edges, src, dst, iterations)
+        return pagerank(edges, src, dst, iterations, seeds=seeds)
 
     def apply_changelog(
         self, snapshot: DataFrame, changes: DataFrame, keys: list[str],

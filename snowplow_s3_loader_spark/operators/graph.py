@@ -594,6 +594,8 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Exact-integer PageRank power iteration: (node, rank_micro) after
     ``iterations`` rounds, with all arithmetic in BIGINT micro-units so
@@ -629,6 +631,13 @@ def pagerank(
     are released immediately, so storage is bounded at
     |E| + 2 x |V| rows regardless of iteration count.
 
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala 2002 /
+    Jeh & Widom 2002): the initial mass and every round's teleport go
+    only to the seed node set (a one-column frame named ``seed_col``) —
+    the graph-proximity score for "expand this curated set along the
+    link graph". Seeds not present in the edge set are ignored; the
+    same integer arithmetic keeps it oracle-exact.
+
     Returns a materialized (checkpointed) frame; callers that run many
     operators in one session should release_materialized() it when done.
     """
@@ -657,21 +666,34 @@ def pagerank(
     # advertised layout).
     adj = checkpoint_nostats(e, loop_parts, ["s"])
     outdeg = adj.groupBy("s").agg(F.count("*").alias("outdeg"))
-    nodes = checkpoint_nostats(
+    node_base = (
         adj.select("s").union(adj.select(F.col("d").alias("s"))).distinct()
         .select(F.col("s").alias("node"))
         .join(outdeg, F.col("node") == F.col("s"), "left")
-        .select("node", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg")),
-        loop_parts,
-        ["node"],
+        .select("node", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"))
     )
+    if seeds is not None:
+        seed_ids = seeds.select(F.col(seed_col).cast("long").alias("node")).distinct()
+        node_base = node_base.join(
+            seed_ids.withColumn("__seed", F.lit(True)), "node", "left"
+        ).select("node", "outdeg", F.coalesce("__seed", F.lit(False)).alias("seed"))
+    else:
+        node_base = node_base.withColumn("seed", F.lit(True))
+    nodes = checkpoint_nostats(node_base, loop_parts, ["node"])
     release_materialized(e)
     try:
-        n = nodes.count()
+        n = nodes.where("seed").count()
+        if n == 0:
+            raise ValueError("pagerank: no seed node appears in the edge set")
         init = int(scale) // n
         tele = (int(scale) * (damping_den - damping_num)) // (damping_den * n)
         ranks = checkpoint_nostats(
-            nodes.withColumn("pr", F.lit(init).cast("long")), loop_parts, ["node"]
+            nodes.withColumn(
+                "pr",
+                F.when(F.col("seed"), F.lit(init)).otherwise(F.lit(0)).cast("long"),
+            ),
+            loop_parts,
+            ["node"],
         )
         # Rounds are chained LAZILY and only materialized every
         # `checkpoint_interval` rounds: a 3-iteration PageRank is ONE
@@ -709,7 +731,10 @@ def pagerank(
             cur = nodes.join(contribs, nodes.node == contribs.d, "left").select(
                 "node",
                 "outdeg",
-                (F.lit(tele) + F.coalesce("contrib", F.lit(0)))
+                (
+                    F.when(F.col("seed"), F.lit(tele)).otherwise(F.lit(0))
+                    + F.coalesce("contrib", F.lit(0))
+                )
                 .cast("long")
                 .alias("pr"),
             )

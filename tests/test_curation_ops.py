@@ -867,3 +867,54 @@ def test_engine_analytics_facade(spark):
     emb = eng.table("embeddings").limit(50)
     q = eng.quantize_embeddings(emb, "embedding")
     assert q.select("codes").first()["codes"] is not None
+
+
+def _ppr_py(edges, seeds, iterations, num=85, den=100, scale=SCALE):
+    """Pure-python personalized PageRank with the same integer recurrence."""
+    es = sorted(set(edges))
+    nodes = sorted({u for e in es for u in e})
+    outdeg: dict[int, int] = {}
+    for s, _ in es:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    seeds = sorted(set(seeds) & set(nodes))
+    ns = len(seeds)
+    init = scale // ns
+    tele = (scale * (den - num)) // (den * ns)
+    pr = {v: (init if v in seeds else 0) for v in nodes}
+    for _ in range(iterations):
+        new = {v: (tele if v in seeds else 0) for v in nodes}
+        for s, d in es:
+            new[d] += (pr[s] * num) // (den * outdeg[s])
+        pr = new
+    return pr
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 1), (3, 1), (5, 4), (4, 5)]
+    seeds_df = spark.createDataFrame([(1,), (2,)], "node long")
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = pagerank(df, iterations=4, seeds=seeds_df)
+    res = {r["node"]: r["rank_micro"] for r in out.collect()}
+    release_materialized(out)
+    assert res == _ppr_py(edges, [1, 2], 4)
+    # mass concentrates near the seeds: both seeds outrank the far node 5
+    assert res[1] > res[5] and res[2] > res[5]
+
+
+def test_personalized_pagerank_ignores_unknown_seeds_and_rejects_empty(spark):
+    edges = [(1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")  # 99 not in graph
+    out = pagerank(df, iterations=2, seeds=seeds)
+    res = {r["node"]: r["rank_micro"] for r in out.collect()}
+    release_materialized(out)
+    assert res == _ppr_py(edges, [1], 2)
+    only_unknown = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="no seed node"):
+        pagerank(df, iterations=1, seeds=only_unknown)
+
+
+def test_uniform_pagerank_unchanged_by_seed_refactor(spark):
+    # seeds=None must reproduce the original uniform behavior exactly
+    edges = [(1, 2), (2, 3), (3, 1)]
+    assert _run_pagerank(spark, edges, 3) == _pagerank_py(edges, 3)
