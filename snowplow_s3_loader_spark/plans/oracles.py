@@ -1375,7 +1375,7 @@ ORACLES["q90_interval_overlap"] = """
 WITH ev AS (
   SELECT event_id,
          epoch_us(ts) AS start_us,
-         CAST(value * 60000000 AS BIGINT) AS dur_us
+         CAST(round(value * 100) AS BIGINT) * 600000 AS dur_us
   FROM events
 ),
 l AS (

@@ -1586,7 +1586,11 @@ def q90_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
-        (F.col("value") * 60_000_000).cast("long").alias("dur_us"),
+        # exact: value is 2-dp, so cents x 600000 us-per-cent-minute is
+        # integer math (value * 6e7 in double truncates vs rounds
+        # differently across engines at representation boundaries —
+        # bit us at sf0.1)
+        (F.round(F.col("value") * 100).cast("long") * 600_000).alias("dur_us"),
     )
     left = ev.filter(F.col("event_id") % 50 == 0).select(
         F.col("event_id").alias("id_l"),
