@@ -90,10 +90,14 @@ WHERE rn <= 3
 ORDER BY o_custkey, rn
 """
 
+# (orderkey, linenumber) is NOT unique in the synthetic lineitem; the
+# cent value as final ORDER BY key makes remaining ties sum-neutral.
 ORACLES["q08_running_revenue"] = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) OVER (
-    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0::DOUBLE
     AS running_revenue
 FROM lineitem

@@ -139,19 +139,24 @@ def q07_window_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q08_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue per supplier by shipdate: analytic window (SS2.4 Q7).
 
-    Accumulation order is pinned by the unique (shipdate, orderkey,
-    linenumber) ordering, so the float prefix-sums agree with the oracle.
+    Accumulation order is pinned by (shipdate, orderkey, linenumber,
+    rev_cents): the synthetic lineitem has DUPLICATE (orderkey,
+    linenumber) rows (118k at sf0.1), so the first three columns alone
+    are NOT a total order — both engines then break the tie by scan
+    order and usually agree (stable sorts), but Spark's partition merge
+    occasionally swaps tied rows and one intermediate running sum
+    flips (caught by the round-6 cross-SF sweep: 84 same-shipdate
+    differing-cents tie groups at sf0.1). Adding the cent value itself
+    as the final key makes any REMAINING tie sum-neutral: equal
+    addends commute, so every prefix sum is order-independent.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", rev_cents)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # integer-cents accumulation: float prefix sums are not associative and
-    # engines disagree on window-sum evaluation order (segment trees), so sum
-    # exact cents and divide once at the end
-    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     return (
         li.select(
             "l_suppkey",
