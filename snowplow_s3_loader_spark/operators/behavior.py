@@ -102,8 +102,13 @@ def cohort_retention(
     ``periods_since`` (the retention age in whole units). Two keyed
     aggregations; the event stream shuffles once per."""
     u, t = user_col, ts_col
+    diff_units = {"day": "DAY", "week": "WEEK", "month": "MONTH", "hour": "HOUR"}
+    if unit not in diff_units:
+        raise ValueError(
+            f"unsupported unit {unit!r}: expected one of {sorted(diff_units)}"
+        )
     first = events.groupBy(u).agg(F.date_trunc(unit, F.min(t)).alias("cohort"))
-    diff_unit = {"day": "DAY", "week": "WEEK", "month": "MONTH", "hour": "HOUR"}[unit]
+    diff_unit = diff_units[unit]
     return (
         events.select(u, F.date_trunc(unit, F.col(t)).alias("period"))
         .distinct()

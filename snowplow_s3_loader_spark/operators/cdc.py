@@ -35,10 +35,18 @@ def latest_changes(
     winning change under last-writer-wins). Sequence ties break on
     ``op_col`` descending ('U' > 'D' in ASCII, so an update outranks a
     delete carrying the same sequence number) — callers with a real
-    total order (log offset, LSN) never hit the tie-break."""
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), F.col(op_col).desc()
-    )
+    total order (log offset, LSN) never hit the tie-break. Rows tied on
+    (key, seq, op) but carrying DIFFERENT payloads take a final
+    deterministic tie-break on the payload's xxhash64, so the winner is
+    stable across runs and engines instead of depending on scan order
+    (fully identical duplicate rows are interchangeable either way).
+    Payload columns must be xxhash64-hashable (map-typed columns are
+    not — give such changelogs a real total order in ``seq_col``)."""
+    payload = [c for c in changes.columns if c not in (*keys, seq_col, op_col)]
+    order = [F.col(seq_col).desc(), F.col(op_col).desc()]
+    if payload:
+        order.append(F.xxhash64(*[F.col(c) for c in payload]).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         changes.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

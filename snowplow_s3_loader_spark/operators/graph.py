@@ -759,6 +759,7 @@ def triangle_count(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph, plus the
     graph total in every row's ``total_triangles`` — the clustering /
@@ -774,47 +775,99 @@ def triangle_count(
     (v < w by the same order), closed by an oriented-edge semi join.
 
     Output: (node, n_triangles, total_triangles) for every node with at
-    least one triangle."""
+    least one triangle.
+
+    Execution (round 7): the oriented edge frame is materialized ONCE
+    with an advertised hash(a) layout — it feeds three consumers (both
+    legs of the wedge self-join and the closure semi join), each of
+    which previously re-derived the union-distinct plus two degree
+    joins from scratch; the advertised layout additionally makes the
+    wedge self-join on `u` co-partitioned (zero Exchange, plan-gated).
+    When the undirected edge list is at or under
+    ``broadcast_threshold`` rows, the degree lookups AND the closure
+    semi join broadcast the small side — the O(|E|^1.5) wedge stream
+    then never shuffles at all (the expensive Exchange of the whole
+    pipeline); larger graphs fall back to the two-sided shuffle semi
+    join. The graph total is derived from the per-node counts (sum/3 —
+    every triangle lands on its three corners) instead of a second
+    full pipeline evaluation.
+
+    Returns a materialized (checkpointed) frame; callers that run many
+    operators in one session should release_materialized() it when
+    done."""
+    ranked, closed = _oriented_closed_wedges(pairs, id_a, id_b, broadcast_threshold)
+    per_node = checkpoint_nostats(
+        closed.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    release_materialized(ranked)
+    row = per_node.agg(F.sum("n_triangles").alias("s")).collect()[0]
+    total = int(row["s"] or 0) // 3
+    return per_node.withColumn("total_triangles", F.lit(total).cast("long"))
+
+
+def _oriented_closed_wedges(
+    pairs: DataFrame, id_a: str, id_b: str, broadcast_threshold: int
+) -> tuple[DataFrame, DataFrame]:
+    """(ranked, closed): the materialized degree-oriented edge frame and
+    the LAZY closed-wedge frame built on it. Split out so the plan gate
+    can assert the shuffle structure of `closed` before aggregation:
+    with `ranked` advertising hash(a) at loop width, the wedge
+    self-join is co-partitioned, so the remaining Exchanges are the two
+    sides of the (v, w) closure semi join on the fallback path — and
+    ZERO on the broadcast path, where degrees and the closure side ride
+    broadcasts and the wedge stream never shuffles. Caller owns
+    releasing `ranked` (closed's blocks) once consumed."""
+    spark = pairs.sparkSession
     e = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
     )
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = checkpoint_nostats(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
+    n_und = und.count()
+    loop_parts = _loop_width(spark, n_und)
+    # |deg| = |V| <= n_und and a (long, long) row is ~16 bytes, so at or
+    # under the threshold the degree lookup is a few-MB broadcast — both
+    # orientation joins become BHJs that PRESERVE und's layout.
+    small = n_und <= broadcast_threshold
     deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    deg_a = deg.select(F.col("a"), F.col("deg").alias("da"))
+    deg_b = deg.select(F.col("a").alias("b"), F.col("deg").alias("db"))
+    if small:
+        deg_a, deg_b = F.broadcast(deg_a), F.broadcast(deg_b)
     # orient low-degree -> high-degree (ties by id): rank = (deg, id)
-    ranked = (
-        und.join(deg.select(F.col("a"), F.col("deg").alias("da")), "a")
-        .join(
-            deg.select(F.col("a").alias("b"), F.col("deg").alias("db")),
-            "b",
-        )
+    ranked = checkpoint_nostats(
+        und.join(deg_a, "a")
+        .join(deg_b, "b")
         .where(
             (F.col("da") < F.col("db"))
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
-        .select("a", "b", "db")
+        .select("a", "b", "db"),
+        loop_parts,
+        ["a"],
     )
+    release_materialized(und)
     lo = ranked.select(F.col("a").alias("u"), F.col("b").alias("v"), F.col("db").alias("dv"))
     # wedges at u: pairs of oriented out-neighbors, ordered by (deg, id)
     w1 = lo.select("u", "v", "dv")
     w2 = lo.select(F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw"))
     wedges = (
-        w1.join(w2, "u")
+        w1.join(w2, "u")  # co-partitioned on hash(a)=hash(u): no Exchange
         .where(
             (F.col("dv") < F.col("dw"))
             | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
         )
         .select("u", "v", "w")
     )
-    closed = wedges.join(
-        ranked.select(F.col("a").alias("v"), F.col("b").alias("w")),
-        ["v", "w"],
-        "left_semi",
-    )
-    per_node = (
-        closed.select(F.explode(F.array("u", "v", "w")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("n_triangles"))
-    )
-    total = closed.count()
-    return per_node.withColumn("total_triangles", F.lit(total).cast("long"))
+    # closure: the oriented edge set is |E| rows of two longs — when it
+    # fits a broadcast, the O(|E|^1.5) wedge stream (the DOMINANT
+    # intermediate) is probed in place and never shuffles.
+    closure = ranked.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    if small:
+        closure = F.broadcast(closure)
+    closed = wedges.join(closure, ["v", "w"], "left_semi")
+    return ranked, closed

@@ -929,7 +929,12 @@ def quantize_embeddings(
     over broadcast literal bound arrays — per-row, zero shuffle, and
     engine-portable: floor of IEEE double math is deterministic, so the
     same SQL reproduces the codes exactly. Dequantization for rescoring
-    is the affine inverse ``min_d + (code + 0.5) * range_d / 255``."""
+    is the affine inverse ``min_d + (code + 0.5) * range_d / 255``.
+
+    Values OUTSIDE the supplied bounds saturate on both ends (0 / 255):
+    the API accepts arbitrary mins/maxs (e.g. bounds fit on an earlier
+    corpus snapshot), so a value below ``min_d`` must clamp to 0, not
+    produce a negative code outside the promised uint8 range."""
     if len(mins) != len(maxs):
         raise ValueError("mins and maxs must have the same length")
     mins_lit = F.array(*[F.lit(float(v)) for v in mins])
@@ -939,6 +944,8 @@ def quantize_embeddings(
         mn = F.element_at(mins_lit, i + 1)
         rng = F.element_at(maxs_lit, i + 1) - mn
         q = F.floor(((x.cast("double") - mn) * F.lit(255.0)) / rng).cast("int")
-        return F.when(rng > 0, F.least(F.lit(255), q)).otherwise(F.lit(0))
+        return F.when(
+            rng > 0, F.greatest(F.lit(0), F.least(F.lit(255), q))
+        ).otherwise(F.lit(0))
 
     return emb.withColumn(out_col, F.transform(F.col(vec_col), _code))

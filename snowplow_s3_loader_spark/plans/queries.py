@@ -1687,9 +1687,11 @@ def q95_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cov_num = n*Sxy - Sx*Sy etc.), so no float-summation order can
     leak in and the oracle hash-matches bit-for-bit; Pearson r derives
     by one final division outside the engine. The hundreds scaling
-    keeps n*Syy inside int64 through sf1 (price_h <= 1.1e3, so
-    n * Syy <= n^2 * 1.2e6 — safe to n ~ 2.7e6 rows per group; rescale
-    further for bigger groups, per the operator docstring)."""
+    bounds price_h <= 1.1e3, so worst-case n * Syy <= n^2 * 1.2e6 stays
+    inside int64 to ~2.7e6 rows per group — enough for every bench SF
+    but NOT for sf1's largest return-flag group (~3e6 rows), where only
+    average-case values keep it safe; rescale price to thousands for
+    guaranteed headroom there (per the operator docstring)."""
     from snowplow_s3_loader_spark.operators.profile import exact_moments
 
     li = load_table(spark, sf_dir, "lineitem").select(

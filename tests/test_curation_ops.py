@@ -170,6 +170,23 @@ def test_apply_changelog_broadcast_matches_plain(spark):
     assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
 
 
+def test_latest_changes_full_tie_breaks_on_payload_hash(spark):
+    """Rows tied on (key, seq, op) with DIFFERENT payloads must resolve
+    to the same winner on every run — the final ORDER BY key is the
+    payload's xxhash64, so the choice cannot depend on scan/merge order.
+    Both input orderings must pick the identical row."""
+    rows = [(1, "pay_a", 1.0, 10, "U"), (1, "pay_b", 2.0, 10, "U")]
+    winners = set()
+    for ordering in (rows, rows[::-1]):
+        changes = spark.createDataFrame(
+            ordering, "id long, name string, bal double, seq long, op string"
+        )
+        got = cdc.latest_changes(changes, ["id"], "seq").collect()
+        assert len(got) == 1
+        winners.add((got[0]["name"], got[0]["bal"]))
+    assert len(winners) == 1, winners
+
+
 def test_apply_changelog_validates_columns(spark):
     changes_missing_payload = spark.createDataFrame(
         [(1, 10, "U")], "id long, seq long, op string"
@@ -406,6 +423,21 @@ def test_quantize_constant_dimension_yields_zero(spark):
     assert out[1][1] == 0 and out[2][1] == 255
 
 
+def test_quantize_out_of_bounds_values_saturate(spark):
+    """Caller-supplied bounds narrower than the data (e.g. fit on an
+    earlier corpus snapshot) must saturate at BOTH ends of the uint8
+    range — a value below min_d clamps to 0, above max_d to 255."""
+    from snowplow_s3_loader_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [-5.0, 9.0, 0.5])], "vec_id long, embedding array<float>"
+    )
+    [row] = quantize_embeddings(df, "embedding", [0.0] * 3, [1.0] * 3).collect()
+    assert row["codes"][0] == 0  # below min_d: clamp, never negative
+    assert row["codes"][1] == 255  # above max_d
+    assert 0 <= row["codes"][2] <= 255
+
+
 def test_quantize_dequantize_error_bounded(spark):
     import numpy as np
 
@@ -548,6 +580,15 @@ def test_cohort_retention_matrix(spark):
         ("2024-01-01T00:00:00", "2024-01-08T00:00:00"): (1, 1),
         ("2024-01-08T00:00:00", "2024-01-08T00:00:00"): (1, 0),
     }
+
+
+def test_cohort_retention_rejects_unknown_unit(spark):
+    from snowplow_s3_loader_spark.operators import behavior
+
+    t = lambda s: datetime.fromisoformat(s)
+    ev = _ev(spark, [(1, t("2024-01-02T10:00"), "view")])
+    with pytest.raises(ValueError, match="quarter.*day.*hour|unsupported unit"):
+        behavior.cohort_retention(ev, "user_id", "ts", unit="quarter")
 
 
 # ---------------------------------------------------------------------------

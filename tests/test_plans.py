@@ -442,3 +442,35 @@ def test_new_pair_generators_plan_no_cartesian(spark, sf_dir):
         plan = plan_of(Q.QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoop" not in plan, (name, plan)
+
+
+def test_triangle_wedge_stream_shuffle_structure(spark):
+    """The O(|E|^1.5) wedge stream is the triangle pipeline's dominant
+    intermediate; its shuffle structure is the scale property. With
+    `ranked` checkpointed on an advertised hash(a) layout the wedge
+    self-join on u is co-partitioned (zero Exchange), so:
+    - broadcast path (edge list under the threshold): the closure is a
+      broadcast semi join -> the closed-wedge plan has NO shuffle
+      Exchange at all;
+    - fallback path: exactly the two Exchanges of the (v, w) closure
+      semi join sides."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import _oriented_closed_wedges
+
+    pairs = spark.createDataFrame(
+        [(i, (i * 7 + j) % 40) for i in range(40) for j in range(1, 4)],
+        "id_a long, id_b long",
+    )
+    for threshold, max_exchanges in ((10**9, 0), (0, 2)):
+        ranked, closed = _oriented_closed_wedges(pairs, "id_a", "id_b", threshold)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            closed.explain()  # simple mode: each node printed exactly once
+        plan = buf.getvalue()
+        n_shuffle = plan.count("Exchange hashpartitioning")
+        assert n_shuffle <= max_exchanges, (threshold, plan)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        if threshold == 0:
+            # fallback must not silently broadcast the closure side
+            assert "BroadcastExchange" not in plan, plan
+        release_materialized(ranked)
