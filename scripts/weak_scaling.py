@@ -577,6 +577,65 @@ def pagerank_case(spark, n_edges: int) -> dict:
 
 
 
+def pagerank_soak_case(spark, n_edges: int) -> dict:
+    """Deep-iteration PageRank soak (round-7, VERDICT r6 #3): production
+    link-graph scoring runs 10-30 power iterations, but the bench query
+    runs 3 — which NEVER crosses a checkpoint_interval=4 boundary, so
+    the lazy round-chaining + per-interval checkpoint/release path
+    (graph.py) went unexercised at depth. This case runs 8, 16 and 24
+    iterations (2, 4 and 6 checkpoint intervals) on the weak-scaling
+    graph and asserts:
+    - wall per iteration stays FLAT: the marginal per-iteration cost of
+      iterations 17-24 must be <= 1.5x that of iterations 9-16 (stats
+      compounding or block accumulation would make later rounds dearer);
+    - the persistent-RDD block count after each run is IDENTICAL
+      regardless of depth (every interval releases its predecessor);
+    - deeper runs remain mass-sane (floor-rounded total <= scale).
+    """
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import pagerank
+
+    n_nodes = max(100, n_edges // 10)
+    edges = spark.range(n_edges).select(
+        (F.abs(F.xxhash64("id")) % n_nodes).alias("src"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % n_nodes).alias("dst"),
+    )
+
+    def n_blocks() -> int:
+        lst = spark.sparkContext._jsc.sc().getPersistentRDDs().toList()
+        return lst.size()
+
+    warm = pagerank(edges, iterations=1)
+    warm.count()
+    release_materialized(warm)
+    walls: dict[int, float] = {}
+    blocks: dict[int, int] = {}
+    for iters in (8, 16, 24):
+        t0 = time.perf_counter()
+        pr = pagerank(edges, iterations=iters)
+        total = pr.agg(F.sum("rank_micro").alias("s")).collect()[0]["s"]
+        walls[iters] = time.perf_counter() - t0
+        blocks[iters] = n_blocks()
+        assert total <= 10**12, (iters, total)
+        release_materialized(pr)
+    marg_9_16 = (walls[16] - walls[8]) / 8
+    marg_17_24 = (walls[24] - walls[16]) / 8
+    assert blocks[8] == blocks[16] == blocks[24], blocks
+    # flat per-round: later intervals must not get dearer (1.5x allows
+    # local-mode timing noise on a ~1-2 s/round signal)
+    assert marg_17_24 <= 1.5 * max(marg_9_16, 0.2), (marg_9_16, marg_17_24)
+    return {
+        "case": "pagerank_soak",
+        "edges": n_edges,
+        "sec_8": round(walls[8], 2),
+        "sec_16": round(walls[16], 2),
+        "sec_24": round(walls[24], 2),
+        "sec_per_iter_9_16": round(marg_9_16, 3),
+        "sec_per_iter_17_24": round(marg_17_24, 3),
+        "blocks_after_run": blocks[24],
+    }
+
+
 def interval_case(spark, n_left: int) -> dict:
     """Grid-bucketed interval-overlap join (round-6): n_left sessions vs
     n_left/10 windows over a timeline that GROWS with the data (30 days
@@ -677,6 +736,8 @@ def main() -> None:
     if which in ("pagerank", "all"):
         out.append(pagerank_case(spark, 1_000_000))
         out.append(pagerank_case(spark, 10_000_000))
+    if which in ("pagerank_soak", "all"):
+        out.append(pagerank_soak_case(spark, 10_000_000))
     if which in ("interval", "all"):
         out.append(interval_case(spark, 1_000_000))
         out.append(interval_case(spark, 10_000_000))
