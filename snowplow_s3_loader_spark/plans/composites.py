@@ -421,9 +421,14 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization (q87), conversion funnel (q88), cohort retention
     (q89), interval-overlap join (q90), triangle counting (q91), table
     profiling (q92), frequent-pair mining (q93), equi-depth
-    histogram (q94), exact correlation moments (q95) — tagged
+    histogram (q94), exact correlation moments (q95), and the
+    batch-vs-streaming parity audit (round 7: streaming funnel /
+    sharded streaming heavy hitters / incremental ComponentMap each
+    re-run against their batch twin on the same static frame, per-key
+    match bits vs the oracle's literal 1s — plans/parity.py) — tagged
     union with the members' columns coerced onto (battery, key, v1, v2,
     v3), the same normalization the sampling battery uses."""
+    from snowplow_s3_loader_spark.plans.parity import streaming_parity_rows
     bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
         F.lit("bloom").alias("battery"),
         F.col("l_returnflag").alias("key"),
@@ -600,6 +605,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("var_x_num").alias("v2"),
         F.col("var_y_num").alias("v3"),
     )
+    par = streaming_parity_rows(spark, sf_dir).select(
+        F.lit("parity").alias("battery"),
+        F.concat_ws("@", "check_name", "key").alias("key"),
+        F.col("is_match").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -620,6 +632,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(fp)
         .union(hist)
         .union(mom)
+        .union(par)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1176,6 +1189,33 @@ SELECT 'cohort' AS battery,
        n_users AS v1, CAST(periods_since AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q89_cohort_retention"]})
+UNION ALL
+-- batch-vs-streaming parity audit: literal 1s over the SQL-enumerable
+-- key sets (funnel users with a step-1 event, exact top-15 tokens above
+-- the MG threshold, pair-graph nodes); any batch/streaming divergence
+-- on the Spark side flips a bit (or the row count) and fails the hash
+SELECT 'parity' AS battery,
+       'streaming_funnel@' || CAST(user_id AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+UNION ALL
+SELECT 'parity' AS battery,
+       'streaming_heavy@' || token AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q75_heavy_hitters"]})
+UNION ALL
+SELECT 'parity' AS battery,
+       'component_map@' || CAST(node AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (
+  SELECT DISTINCT a.l_suppkey AS node
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  WHERE a.l_orderkey % 10 = 0
+)
 ORDER BY battery, key, v1
 """
 

@@ -399,3 +399,25 @@ def test_streaming_funnel_retro_event_improves_without_invalidating(spark, tmp_p
     assert final["t1"] == t("2024-01-01T09:00")  # improved retroactively
     assert final["t2"] == t("2024-01-01T11:00")  # chain stays valid
     assert final["stage"] == 2
+
+
+def test_streaming_parity_rows_all_match(spark, sf_dir):
+    """The driver-visible batch-vs-streaming parity audit (folded into
+    q74_scale_battery) must emit is_match=1 for every key in all three
+    families — a falsifiable audit is only useful if its green state is
+    pinned here and its red states are reachable (each family's
+    divergence behavior is covered by the operator-level differential
+    tests above)."""
+    from snowplow_s3_loader_spark.plans.parity import streaming_parity_rows
+
+    rows = streaming_parity_rows(spark, sf_dir).collect()
+    by_check: dict = {}
+    for r in rows:
+        by_check.setdefault(r["check_name"], []).append(r["is_match"])
+    assert set(by_check) == {
+        "streaming_funnel",
+        "streaming_heavy",
+        "component_map",
+    }, by_check
+    for name, bits in by_check.items():
+        assert bits and all(b == 1 for b in bits), (name, bits)
