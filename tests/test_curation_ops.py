@@ -959,3 +959,76 @@ def test_uniform_pagerank_unchanged_by_seed_refactor(spark):
     # seeds=None must reproduce the original uniform behavior exactly
     edges = [(1, 2), (2, 3), (3, 1)]
     assert _run_pagerank(spark, edges, 3) == _pagerank_py(edges, 3)
+
+
+# ---------------------------------------------------------------------------
+# Literal-expectation audits for shared-transform batteries (round 7,
+# VERDICT r6 #6): where an oracle re-implements the SAME formula as the
+# engine, engine-vs-oracle equality cannot catch a shared semantic
+# inversion (the round-6 punct_count lesson). Each battery therefore pins
+# a crafted input to a KNOWN-GOOD hand-derived literal output.
+# ---------------------------------------------------------------------------
+
+
+def test_lang_id_literal_expectations(spark):
+    """q29 battery: hand-derived language-ID outcomes, including the
+    documented tie rules (zero hits -> unknown; tied max -> smallest
+    language code)."""
+    from snowplow_s3_loader_spark.operators import text as T
+
+    cases = [
+        (1, "the the the", "en"),         # en=3, all others 0
+        (2, "xyzzy blorp", "unknown"),     # zero stopword hits
+        (3, "the der", "de"),              # 1-1 tie -> smallest code wins
+        (4, "le de shi the", "zh"),        # zh hits de+shi+le=3 beats en=1,fr=1
+        (5, "el la y es los", "es"),       # es=5
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in cases], "id long, text string")
+    got = {
+        r["id"]: r["lang"]
+        for r in df.select("id", T.predicted_lang(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {i: want for i, _, want in cases}
+
+
+def test_quality_score_literal_expectation(spark):
+    """q30 battery: quality_score("the cat!") =
+    0.4*min(1, 2/50) + 0.3*(1 - 1/8) + 0.3*(1/2) = 0.4285 exactly
+    (2 tokens; 1 punctuation char of 8; 1 of 2 tokens is a stopword —
+    'cat!' is NOT 'cat', so it does not hit)."""
+    from snowplow_s3_loader_spark.operators import text as T
+
+    df = spark.createDataFrame([("the cat!",)], "text string")
+    [r] = df.select(T.quality_score(F.col("text")).alias("q")).collect()
+    assert r["q"] == pytest.approx(0.4 * (2 / 50) + 0.3 * (1 - 1 / 8) + 0.3 * 0.5, abs=1e-9)
+    assert r["q"] == pytest.approx(0.4285, abs=1e-9)
+
+
+def test_repetition_stats_literal_expectation(spark):
+    """q66 battery: "a b a b a" -> 5 tokens, 2 distinct (ratio 0.4);
+    bigrams (a b)(b a)(a b)(b a) -> 4 with 2 distinct (dup frac 0.5);
+    top token 'a' appears 3 of 5 times (frac 0.6)."""
+    from snowplow_s3_loader_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    [r] = repetition_stats(df, "doc_id", "text").collect()
+    assert r["n_tokens"] == 5
+    assert r["distinct_token_ratio"] == pytest.approx(0.4, abs=1e-9)
+    assert r["dup_bigram_frac"] == pytest.approx(0.5, abs=1e-9)
+    assert r["top_token_frac"] == pytest.approx(0.6, abs=1e-9)
+
+
+def test_hashed_linear_literal_expectation(spark):
+    """q77 battery: hand-derived weights for dim=4096, seed=0 —
+    bucket(t) = int(md5(t)[:8], 16) % 4096, w = (bucket * 2654435761)
+    % 2000001 - 1000000: bucket('hello') = 42 -> w = -753781,
+    bucket('world') = 55 -> w = +893859, so score('hello world') =
+    140078 and label = true. Pinned as literals (not recomputed), so a
+    drift in the md5/mix arithmetic fails loudly."""
+    from snowplow_s3_loader_spark.operators import text as T
+
+    df = spark.createDataFrame([("hello world",)], "text string")
+    score, label = T.hashed_linear_score(F.col("text"), dim=4096, seed=0)
+    [r] = df.select(score, label).collect()
+    assert r["score_micro"] == 140078
+    assert r["label"] is True
