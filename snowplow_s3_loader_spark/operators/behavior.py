@@ -4,13 +4,16 @@ downstream warehouse exists to answer (beyond the reference's surface;
 its loader only lands the events, Processing.scala:69-77).
 
 Scale mechanics:
-- ``funnel_steps`` is a cascade of FILTERED keyed aggregations — step k
-  aggregates only the events of step k's type (a small slice of the
-  stream), joined per user to the previous step's reach time. k steps
-  cost k (filtered-agg + keyed-join) rounds; the full event stream is
-  scanned once per step type but never collected, sorted, or windowed
-  per user, so there is no per-user array blowup for power users (the
-  classic failure of collect_list-based funnels at 100 TB).
+- ``funnel_steps`` is ONE user-partitioned window pass plus one keyed
+  aggregation (round 7; it was previously a cascade of filtered
+  aggregations re-joined per step, whose self-referencing plan
+  re-evaluated step 1's aggregate 2^(k-1) times). Step k's candidate
+  events are qualified by a running prefix-minimum of step k-1's
+  qualified times over a strictly-before RANGE frame — all k-1 chained
+  window expressions share one partitioning and one sort, and the
+  per-user running minima are O(1) state per row, so there is no
+  per-user array blowup for power users (the classic failure of
+  collect_list-based funnels at 100 TB).
 - ``cohort_retention`` is two keyed aggregations (first-seen per user,
   then the cohort x activity-period matrix) — the user dimension joins
   back via its natural key.
@@ -45,35 +48,59 @@ def funnel_steps(
     ``max_gap_seconds`` adds the conversion-window variant: step k must
     also land within that many seconds of step k-1's reach time (the
     greedy earliest-qualifying chain; a later step-(k-1) event is never
-    reconsidered, matching the standard windowed-funnel convention)."""
+    reconsidered, matching the standard windowed-funnel convention).
+
+    Formulation: a step-k event at time ts is ON the user's greedy chain
+    iff some qualified step-(k-1) event lies STRICTLY before ts (then
+    the minimum such time IS the step-(k-1) reach time, and ts > it by
+    construction). That existence test is a running prefix-minimum over
+    a RANGE frame ending one microsecond before the current row, so the
+    whole funnel is k-1 chained window columns over one user
+    partitioning followed by one groupBy — one shuffle total. The
+    microsecond order key goes through the session time zone for
+    TIMESTAMP_NTZ inputs; run in a fixed-offset (UTC) session — the
+    engine default via tune_session — for DST-proof strictness."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    from pyspark.sql import Window
+
     u, t = user_col, ts_col
-    reach = (
-        events.where(F.col(type_col) == steps[0])
-        .groupBy(u)
-        .agg(F.min(t).alias("t1"))
+    k = len(steps)
+    gap_us = None if max_gap_seconds is None else int(max_gap_seconds) * 1_000_000
+    df = events.select(
+        F.col(u),
+        F.col(t),
+        F.col(type_col).alias("__type"),
+        F.unix_micros(F.col(t).cast("timestamp")).alias("__us"),
     )
-    for i, step in enumerate(steps[1:], start=2):
-        within = F.col(t) > F.col(f"t{i-1}")
-        if max_gap_seconds is not None:
-            within = within & (
-                F.col(t)
-                <= F.col(f"t{i-1}") + F.expr(f"INTERVAL {int(max_gap_seconds)} SECOND")
-            )
-        nxt = (
-            events.where(F.col(type_col) == step)
-            .join(reach.select(u, f"t{i-1}"), u)
-            .where(within)
-            .groupBy(u)
-            .agg(F.min(t).alias(f"t{i}"))
-        )
-        reach = reach.join(nxt, u, "left")
+    w = (
+        Window.partitionBy(u)
+        .orderBy("__us")
+        .rangeBetween(Window.unboundedPreceding, -1)  # strictly before
+    )
+    # __q{i}: this row's event time iff the row sits on the greedy chain
+    # as a step-i event; __p{i}: min qualified step-i time strictly
+    # before the current row (the reach time of step i once non-null)
+    df = df.withColumn(
+        "__q1", F.when(F.col("__type") == steps[0], F.col("__us"))
+    )
+    for i in range(2, k + 1):
+        prev = F.min(f"__q{i-1}").over(w)
+        cond = (F.col("__type") == steps[i - 1]) & prev.isNotNull()
+        if gap_us is not None:
+            cond = cond & (F.col("__us") <= prev + F.lit(gap_us))
+        df = df.withColumn(f"__q{i}", F.when(cond, F.col("__us")))
+    reached = df.groupBy(u).agg(
+        *[
+            F.min(F.when(F.col(f"__q{i}").isNotNull(), F.col(t))).alias(f"t{i}")
+            for i in range(1, k + 1)
+        ]
+    )
     stage = F.lit(1)
-    for i in range(2, len(steps) + 1):
+    for i in range(2, k + 1):
         stage = stage + F.col(f"t{i}").isNotNull().cast("int")
-    return reach.select(
-        u, stage.alias("stage"), *[f"t{i}" for i in range(1, len(steps) + 1)]
+    return reached.where(F.col("t1").isNotNull()).select(
+        u, stage.alias("stage"), *[f"t{i}" for i in range(1, k + 1)]
     )
 
 
