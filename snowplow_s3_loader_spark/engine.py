@@ -341,3 +341,11 @@ class Engine:
 
         mins, maxs = quantization_bounds(emb, vec_col)
         return quantize_embeddings(emb, vec_col, mins, maxs, out_col)
+
+    def check_suite(self, df: DataFrame, checks: list) -> DataFrame:
+        """Declarative data-quality constraint suite (operators.checks):
+        build the list with checks.not_null/unique/in_set/in_range/
+        matches/ref; one scan for all non-referential checks."""
+        from snowplow_s3_loader_spark.operators.checks import check_suite
+
+        return check_suite(df, checks)

@@ -605,6 +605,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("var_x_num").alias("v2"),
         F.col("var_y_num").alias("v3"),
     )
+    chk = q.q97_quality_checks(spark, sf_dir).select(
+        F.lit("checks").alias("battery"),
+        F.col("check_name").alias("key"),
+        F.col("metric").alias("v1"),
+        F.col("passed").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     par = streaming_parity_rows(spark, sf_dir).select(
         F.lit("parity").alias("battery"),
         F.concat_ws("@", "check_name", "key").alias("key"),
@@ -632,6 +639,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(fp)
         .union(hist)
         .union(mom)
+        .union(chk)
         .union(par)
         .orderBy("battery", "key", "v1")
     )
@@ -739,6 +747,7 @@ _FOLDED = {
     "q88_funnel", "q89_cohort_retention", "q90_interval_overlap",
     "q91_triangle_count", "q92_profile_events", "q93_frequent_pairs",
     "q94_equi_depth_histogram", "q95_exact_correlation",
+    "q97_quality_checks",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1189,6 +1198,10 @@ SELECT 'cohort' AS battery,
        n_users AS v1, CAST(periods_since AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q89_cohort_retention"]})
+UNION ALL
+SELECT 'checks' AS battery, check_name AS key,
+       metric AS v1, CAST(passed AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q97_quality_checks"]})
 UNION ALL
 -- batch-vs-streaming parity audit: literal 1s over the SQL-enumerable
 -- key sets (funnel users with a step-1 event, exact top-15 tokens above

@@ -1501,3 +1501,47 @@ SELECT l_returnflag, n, sx, sy,
 FROM m
 ORDER BY l_returnflag
 """
+
+# q97: declarative data-quality suite — exact BIGINT violation counts per
+# check from one aggregation CTE (mirrors the single-scan Spark shape) +
+# an anti-join count for the referential check. The in_set and in_range
+# checks are DESIGNED to fail on the synthetic data ('error' event type;
+# value max ~490 vs the [0,100] bound) so the suite demonstrably reports
+# red, not only green. Multi-column uniqueness: no (user_id, ts) nulls
+# exist in the synthetic events, so DuckDB's row-struct distinct equals
+# Spark's any-null-skipping count_distinct.
+ORACLES["q97_quality_checks"] = """
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_event,
+    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_props,
+    CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS uq_event,
+    CAST(count(*) - count(DISTINCT (user_id, ts)) AS BIGINT) AS uq_user_ts,
+    CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+      ('view','click','purchase','signup','refund') THEN 1 ELSE 0 END) AS BIGINT)
+      AS set_type,
+    CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 100.0)
+      THEN 1 ELSE 0 END) AS BIGINT) AS rng_value,
+    CAST(sum(CASE WHEN event_type IS NOT NULL AND NOT
+      regexp_matches(event_type, '^[a-z_]+$') THEN 1 ELSE 0 END) AS BIGINT)
+      AS re_type
+  FROM events
+),
+refk AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphans
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+)
+SELECT check_name, metric, CAST(metric <= 0 AS INTEGER) AS passed FROM (
+  SELECT 'not_null(event_id)' AS check_name, nn_event AS metric FROM m
+  UNION ALL SELECT 'not_null(props)', nn_props FROM m
+  UNION ALL SELECT 'unique(event_id)', uq_event FROM m
+  UNION ALL SELECT 'unique(user_id,ts)', uq_user_ts FROM m
+  UNION ALL SELECT 'in_set(event_type)', set_type FROM m
+  UNION ALL SELECT 'in_range(value)', rng_value FROM m
+  UNION ALL SELECT 'matches(event_type)', re_type FROM m
+  UNION ALL SELECT 'ref(l_orderkey->orders)', orphans FROM refk
+)
+ORDER BY check_name
+"""

@@ -1704,6 +1704,40 @@ def q95_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (operators/checks.py):
+    null / uniqueness / accepted-values / range / regex checks compile
+    into ONE conditional aggregation over events (single scan for the
+    whole list), plus one anti-join branch for the lineitem -> orders
+    referential check. Exact BIGINT violation counts, so the oracle
+    hash-matches with zero tolerance. The orderkey%3 in_set check and
+    the value range are DESIGNED to fail on synthetic data — a suite
+    that only ever reports passed=1 is not demonstrably wired to its
+    metrics."""
+    from snowplow_s3_loader_spark.operators import checks as C
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ev_suite = C.check_suite(
+        ev,
+        [
+            C.not_null("event_id"),
+            C.not_null("props"),
+            C.unique("event_id"),
+            C.unique("user_id", "ts"),
+            C.in_set("event_type", ("view", "click", "purchase", "signup", "refund")),
+            C.in_range("value", 0.0, 100.0),
+            C.matches("event_type", "^[a-z_]+$"),
+        ],
+    )
+    li_suite = C.check_suite(
+        li,
+        [C.ref("l_orderkey", orders, "o_orderkey", name="ref(l_orderkey->orders)")],
+    )
+    return ev_suite.unionByName(li_suite).orderBy("check_name")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1801,5 +1835,6 @@ QUERIES = {
         q93_frequent_pairs,
         q94_equi_depth_histogram,
         q95_exact_correlation,
+        q97_quality_checks,
     ]
 }

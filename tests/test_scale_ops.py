@@ -584,3 +584,110 @@ def test_ffd_audit_flags_are_falsifiable(spark):
     squeezed = packed.withColumn("pack_id", F.lit(0)).limit(6)
     bad2 = ffd_audit(squeezed, docs, 10, "lang").collect()[0]
     assert bad2["lb_ok"] == 0
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint suite (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_check_suite_literal_metrics(spark):
+    from snowplow_s3_loader_spark.operators import checks as C
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0, "view"),
+            (2, "b", -1.0, "view"),     # range violation (low)
+            (2, "c", 200.0, "Error"),   # dup id; range high; bad set; bad regex
+            (None, None, 50.0, "view"), # null id, null name
+        ],
+        "id long, name string, value double, typ string",
+    )
+    out = {
+        r["check_name"]: (r["metric"], r["passed"])
+        for r in C.check_suite(
+            df,
+            [
+                C.not_null("id"),
+                C.not_null("name"),
+                C.unique("id"),
+                C.in_set("typ", ("view", "click")),
+                C.in_range("value", 0.0, 100.0),
+                C.matches("typ", "^[a-z]+$"),
+            ],
+        ).collect()
+    }
+    assert out["not_null(id)"] == (1, 0)
+    assert out["not_null(name)"] == (1, 0)
+    # 4 rows, distinct non-null ids {1, 2}: count_distinct skips the null
+    # row, so metric = 4 - 2 = 2
+    assert out["unique(id)"] == (2, 0)
+    assert out["in_set(typ)"] == (1, 0)
+    assert out["in_range(value)"] == (2, 0)
+    assert out["matches(typ)"] == (1, 0)
+
+
+def test_check_suite_referential_and_tolerance(spark):
+    from snowplow_s3_loader_spark.operators import checks as C
+
+    fact = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = {
+        r["check_name"]: (r["metric"], r["passed"])
+        for r in C.check_suite(
+            fact,
+            [
+                C.ref("fk", dim, "pk"),                      # 9 is an orphan
+                C.ref("fk", dim, "pk", name="tolerant", tolerance=1),
+                C.not_null("fk", tolerance=1),               # 1 null allowed
+            ],
+        ).collect()
+    }
+    assert out["ref(fk)"] == (1, 0)       # nulls don't count as orphans
+    assert out["tolerant"] == (1, 1)      # within tolerance
+    assert out["not_null(fk)"] == (1, 1)
+
+
+def test_check_suite_all_green_and_validation(spark):
+    from snowplow_s3_loader_spark.operators import checks as C
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    out = C.check_suite(df, [C.not_null("id"), C.unique("id", "s")]).collect()
+    assert all(r["passed"] == 1 and r["metric"] == 0 for r in out)
+    with pytest.raises(ValueError, match="non-empty"):
+        C.check_suite(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        C.check_suite(df, [C.not_null("id"), C.not_null("id")])
+    with pytest.raises(ValueError, match="quotes"):
+        C.check_suite(df, [C.not_null("id", name="bad'name")])
+
+
+def test_check_suite_single_scan_plan(spark):
+    """All non-referential checks must compile into ONE aggregation over
+    one scan of the frame — the check list growing must not multiply
+    scans (the 100 TB property)."""
+    import contextlib
+    import io
+
+    from snowplow_s3_loader_spark.operators import checks as C
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v"), F.lit("t").alias("s")
+    )
+    suite = C.check_suite(
+        df,
+        [
+            C.not_null("id"),
+            C.not_null("v"),
+            C.unique("id"),
+            C.in_range("v", 0, 6),
+            C.matches("s", "^t$"),
+        ],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        suite.explain()
+    plan = buf.getvalue()
+    assert plan.count("Range (0, 100") == 1, plan
