@@ -349,3 +349,21 @@ class Engine:
         from snowplow_s3_loader_spark.operators.checks import check_suite
 
         return check_suite(df, checks)
+
+    def bpe_train(
+        self, df: DataFrame, text_col: str, n_merges: int
+    ) -> tuple:
+        """Learn BPE merges from a corpus (operators.bpe): returns
+        (merges, vocab frame); encode with bpe_encode."""
+        from snowplow_s3_loader_spark.operators.bpe import bpe_train
+
+        return bpe_train(df, text_col, n_merges)
+
+    def bpe_encode(
+        self, df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+    ) -> DataFrame:
+        """Encode a corpus with a trained BPE vocabulary
+        (operators.bpe): tokenize + broadcast-join segmentation."""
+        from snowplow_s3_loader_spark.operators.bpe import bpe_encode
+
+        return bpe_encode(df, id_col, text_col, vocab)

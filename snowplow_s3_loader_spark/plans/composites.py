@@ -605,6 +605,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("var_x_num").alias("v2"),
         F.col("var_y_num").alias("v3"),
     )
+    tok = q.q98_bpe_tokenizer(spark, sf_dir).select(
+        F.lit("bpe").alias("battery"),
+        F.concat_ws("@", "kind", "key").alias("key"),
+        F.col("v").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     chk = q.q97_quality_checks(spark, sf_dir).select(
         F.lit("checks").alias("battery"),
         F.col("check_name").alias("key"),
@@ -640,6 +647,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(hist)
         .union(mom)
         .union(chk)
+        .union(tok)
         .union(par)
         .orderBy("battery", "key", "v1")
     )
@@ -747,7 +755,7 @@ _FOLDED = {
     "q88_funnel", "q89_cohort_retention", "q90_interval_overlap",
     "q91_triangle_count", "q92_profile_events", "q93_frequent_pairs",
     "q94_equi_depth_histogram", "q95_exact_correlation",
-    "q97_quality_checks",
+    "q97_quality_checks", "q98_bpe_tokenizer",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1198,6 +1206,10 @@ SELECT 'cohort' AS battery,
        n_users AS v1, CAST(periods_since AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q89_cohort_retention"]})
+UNION ALL
+SELECT 'bpe' AS battery, kind || '@' || key AS key,
+       v AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q98_bpe_tokenizer"]})
 UNION ALL
 SELECT 'checks' AS battery, check_name AS key,
        metric AS v1, CAST(passed AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3

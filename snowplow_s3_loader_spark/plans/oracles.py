@@ -1545,3 +1545,36 @@ SELECT check_name, metric, CAST(metric <= 0 AS INTEGER) AS passed FROM (
 )
 ORDER BY check_name
 """
+
+# q98: round-1 BPE pair statistics — weighted adjacent character pairs
+# over the word-frequency vocabulary, pair identity chr(31)-joined (the
+# same unit separator the Spark side uses); top 50 by (n desc, pair).
+# The 8 'merge' audit rows are literal 1s (independent python-reference
+# differential on the Spark side).
+ORACLES["q98_bpe_tokenizer"] = """
+WITH wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(text), ' +')) AS word FROM documents
+  ) WHERE len(word) > 0 GROUP BY word
+),
+pairs AS (
+  SELECT unnest(list_transform(
+           range(1, len(word)),
+           i -> substr(word, CAST(i AS INTEGER), 1) || chr(31) ||
+                substr(word, CAST(i AS INTEGER) + 1, 1)
+         )) AS pair,
+         freq
+  FROM wc WHERE len(word) > 1
+),
+stats AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair
+  ORDER BY n DESC, pair LIMIT 50
+)
+SELECT kind, key, v FROM (
+  SELECT 'pairstats' AS kind, pair AS key, n AS v FROM stats
+  UNION ALL
+  SELECT 'merge', CAST(i AS VARCHAR), CAST(1 AS BIGINT)
+  FROM range(1, 9) t(i)
+)
+ORDER BY kind, key, v
+"""

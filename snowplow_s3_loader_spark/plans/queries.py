@@ -1738,6 +1738,83 @@ def q97_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev_suite.unionByName(li_suite).orderBy("check_name")
 
 
+def q98_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py):
+    'pairstats' rows are the round-1 weighted adjacent-char-pair counts
+    (top 50, fully SQL-oracled via chr(31)-joined substr pairs);
+    'merge' rows audit the 8-round trained merge sequence against an
+    independent pure-python BPE run over the same collected vocabulary
+    (the q48/q75 falsifiable-audit pattern: the oracle pins literal 1s,
+    so a tie-break or fold divergence flips a bit). The corpus is
+    touched once (word_counts); training rounds run on the
+    vocabulary frame."""
+    from snowplow_s3_loader_spark.operators import bpe
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        release_materialized,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = checkpoint_nostats(bpe.word_counts(docs, "text"))  # ONE corpus pass
+    stats = (
+        bpe.pair_counts(wc.withColumn("syms", F.split("word", "")))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+        .select(
+            F.lit("pairstats").alias("kind"),
+            F.col("pair").alias("key"),
+            F.col("n").alias("v"),
+        )
+    )
+    stats = spark.createDataFrame(stats.collect(), "kind string, key string, v long")
+    merges, vocab = bpe.bpe_train_from_words(wc, 8)
+    words = {r["word"]: r["freq"] for r in vocab.select("word", "freq").collect()}
+    release_materialized(vocab)
+    release_materialized(wc)
+    # independent driver-side reference (dict/loop BPE, not Spark
+    # expressions) over the same vocabulary — bounded: |vocab| rows
+    want, _ = _bpe_reference(words, 8)
+    audit = spark.createDataFrame(
+        [
+            ("merge", str(i + 1), int(i < len(merges) and i < len(want) and merges[i] == want[i]))
+            for i in range(8)
+        ],
+        "kind string, key string, v long",
+    )
+    return stats.unionByName(audit).orderBy("kind", "key", "v")
+
+
+def _bpe_reference(words: dict, n_merges: int):
+    """Pure-python BPE (classic overlapping pair counts, count-desc /
+    pair-asc selection, left-to-right greedy merge) — the independent
+    audit twin for q98; intentionally dict/loop-based so it shares no
+    code path with the Spark implementation."""
+    sep = "\x1f"
+    vocab = {w: list(w) for w in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, freq in words.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = syms[i] + sep + syms[i + 1]
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        a, b = best.split(sep, 1)
+        merges.append((a, b))
+        for w in vocab:
+            out: list = []
+            for x in vocab[w]:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -1836,5 +1913,6 @@ QUERIES = {
         q94_equi_depth_histogram,
         q95_exact_correlation,
         q97_quality_checks,
+        q98_bpe_tokenizer,
     ]
 }

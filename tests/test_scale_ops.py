@@ -691,3 +691,102 @@ def test_check_suite_single_scan_plan(spark):
         suite.explain()
     plan = buf.getvalue()
     assert plan.count("Range (0, 100") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_py(words: dict, n_merges: int):
+    """Independent pure-python BPE reference: classic overlapping pair
+    counting, (count desc, pair asc) selection, left-to-right greedy
+    non-overlapping merge application."""
+    SEP = "\x1f"
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, freq in words.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = syms[i] + SEP + syms[i + 1]
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        a, b = best.split(SEP, 1)
+        merges.append((a, b))
+        for w in vocab:
+            syms, out = vocab[w], []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from snowplow_s3_loader_spark.operators import bpe
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "widest wide wider new new",
+        "aaaa aaa banana bandana",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    words: dict = {}
+    for t in texts:
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    want_merges, want_vocab = _bpe_py(words, 9)
+    merges, vocab = bpe.bpe_train(df, "text", 9)
+    got_vocab = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    release_materialized(vocab)
+    assert merges == want_merges
+    assert got_vocab == want_vocab
+
+
+def test_bpe_merge_fold_is_left_to_right_nonoverlapping(spark):
+    from pyspark.sql import functions as SF
+
+    from snowplow_s3_loader_spark.operators.bpe import _merge_fold
+
+    df = spark.createDataFrame([(["a", "a", "a", "a"],), (["a", "a", "a"],)], "syms array<string>")
+    got = [r["m"] for r in df.select(_merge_fold(SF.col("syms"), "a", "a").alias("m")).collect()]
+    assert got == [["aa", "aa"], ["aa", "a"]]
+
+
+def test_bpe_encode_joins_trained_segmentation(spark):
+    from snowplow_s3_loader_spark.operators import bpe
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+
+    train = spark.createDataFrame([(1, "ab ab ab cd")], "id long, text string")
+    merges, vocab = bpe.bpe_train(train, "text", 1)
+    assert merges == [("a", "b")]
+    test_df = spark.createDataFrame([(7, "ab cd zz")], "id long, text string")
+    rows = bpe.bpe_encode(test_df, "id", "text", vocab).orderBy("pos").collect()
+    release_materialized(vocab)
+    # 'ab' -> trained single symbol; 'cd' -> trained chars; 'zz' -> OOV chars
+    assert [r["sym"] for r in rows] == ["ab", "c", "d", "z", "z"]
+    assert all(r["id"] == 7 for r in rows)
+
+
+def test_bpe_train_validates_and_handles_exhaustion(spark):
+    import pytest as _pytest
+
+    from snowplow_s3_loader_spark.operators import bpe
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+
+    df = spark.createDataFrame([(1, "x y")], "id long, text string")
+    with _pytest.raises(ValueError):
+        bpe.bpe_train(df, "text", 0)
+    # single-char words only: no adjacent pairs -> merges exhaust at 0
+    merges, vocab = bpe.bpe_train(df, "text", 3)
+    assert merges == []
+    assert {r["word"]: list(r["syms"]) for r in vocab.collect()} == {"x": ["x"], "y": ["y"]}
+    release_materialized(vocab)
