@@ -367,3 +367,13 @@ class Engine:
         from snowplow_s3_loader_spark.operators.bpe import bpe_encode
 
         return bpe_encode(df, id_col, text_col, vocab)
+
+    def random_walks(
+        self, edges: DataFrame, src: str = "src", dst: str = "dst",
+        walk_length: int = 3, seed: int = 0,
+    ) -> DataFrame:
+        """Deterministic hash-seeded random walks (operators.graph) —
+        graph sampling for embedding corpora."""
+        from snowplow_s3_loader_spark.operators.graph import random_walks
+
+        return random_walks(edges, src, dst, walk_length, seed)

@@ -871,3 +871,85 @@ def _oriented_closed_wedges(
         closure = F.broadcast(closure)
     closed = wedges.join(closure, ["v", "w"], "left_semi")
     return ranked, closed
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_length: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic hash-seeded random walks — one walk per distinct
+    source node, ``walk_length`` steps: the graph-sampling primitive
+    behind DeepWalk/node2vec-style embedding corpora (Perozzi et al.
+    KDD'14), made engine-reproducible the way every sampler here is
+    (q58's md5-threshold discipline): at step i the walk at node u moves
+    to the out-neighbor v minimizing md5(seed|walk|i|v). The choice is
+    uniform-ish over neighbors, stable across runs, engines, and
+    partitionings, and the DuckDB oracle replays it exactly with
+    arg_min over the same md5 string. Walks stop early at dead ends
+    (nodes with no out-edges).
+
+    Output: (walk, step, node) with step 0 = the start node.
+
+    Scale mechanics (the pagerank loop shape): the adjacency is
+    checkpointed ONCE with an advertised hash(s) layout at graph-sized
+    width; each step repartitions the |V|-sized walk frontier to match
+    (the |E|-sized adjacency side never shuffles) and reduces candidates
+    with one min_by aggregation keyed by walk — 2 graph-width shuffles
+    of frontier-sized data per step, never corpus-scale. Steps chain
+    lazily (walk_length is small by construction); per-step candidate
+    volume is bounded by |E|.
+
+    Returns a plan over a materialized adjacency; call
+    release_materialized on the result only after consuming it — the
+    internal adjacency checkpoint is handed to the returned frame's
+    lineage and released with it.
+    """
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    spark = edges.sparkSession
+    e = checkpoint_nostats(
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    loop_parts = _loop_width(spark, e.count())
+    adj = checkpoint_nostats(e, loop_parts, ["s"])
+    release_materialized(e)
+    cur = adj.select(F.col("s").alias("walk"), F.col("s").alias("cur")).distinct()
+    levels = [cur.select("walk", F.lit(0).alias("step"), F.col("cur").alias("node"))]
+    for i in range(1, walk_length + 1):
+        cand = (
+            cur.repartition(loop_parts, "cur")
+            .join(adj, F.col("cur") == adj.s)  # adjacency side: no shuffle
+            .select(
+                "walk",
+                F.col("d"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(seed),
+                        F.col("walk"),
+                        F.lit(i),
+                        F.col("d"),
+                    ).cast("binary")
+                ).alias("h"),
+            )
+        )
+        # adjacency is distinct, so (walk, d) is unique and min_by has no
+        # ties to break (md5 collisions aside)
+        cur = (
+            cand.groupBy("walk")
+            .agg(F.min_by("d", "h").alias("cur"))
+        )
+        levels.append(
+            cur.select("walk", F.lit(i).alias("step"), F.col("cur").alias("node"))
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -605,6 +605,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("var_x_num").alias("v2"),
         F.col("var_y_num").alias("v3"),
     )
+    rw = q.q99_random_walks(spark, sf_dir).select(
+        F.lit("walks").alias("battery"),
+        F.concat_ws("@", F.col("walk").cast("string"), F.col("step").cast("string")).alias("key"),
+        F.col("node").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     tok = q.q98_bpe_tokenizer(spark, sf_dir).select(
         F.lit("bpe").alias("battery"),
         F.concat_ws("@", "kind", "key").alias("key"),
@@ -648,6 +655,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(mom)
         .union(chk)
         .union(tok)
+        .union(rw)
         .union(par)
         .orderBy("battery", "key", "v1")
     )
@@ -755,7 +763,7 @@ _FOLDED = {
     "q88_funnel", "q89_cohort_retention", "q90_interval_overlap",
     "q91_triangle_count", "q92_profile_events", "q93_frequent_pairs",
     "q94_equi_depth_histogram", "q95_exact_correlation",
-    "q97_quality_checks", "q98_bpe_tokenizer",
+    "q97_quality_checks", "q98_bpe_tokenizer", "q99_random_walks",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1206,6 +1214,11 @@ SELECT 'cohort' AS battery,
        n_users AS v1, CAST(periods_since AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q89_cohort_retention"]})
+UNION ALL
+SELECT 'walks' AS battery,
+       CAST(walk AS VARCHAR) || '@' || CAST(step AS VARCHAR) AS key,
+       node AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q99_random_walks"]})
 UNION ALL
 SELECT 'bpe' AS battery, kind || '@' || key AS key,
        v AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3

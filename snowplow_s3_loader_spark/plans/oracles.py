@@ -1578,3 +1578,31 @@ SELECT kind, key, v FROM (
 )
 ORDER BY kind, key, v
 """
+
+# q99: deterministic random walks — the same md5(seed|walk|step|neighbor)
+# arg-min choice, unrolled 3 levels; DuckDB || implicitly casts the
+# BIGINT walk/neighbor ids into the hash string exactly like Spark's
+# concat_ws.
+ORACLES["q99_random_walks"] = """
+WITH p AS (
+  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_orderkey % 10 = 0
+),
+e AS (SELECT x AS s, y AS d FROM p UNION SELECT y, x FROM p),
+w0 AS (SELECT DISTINCT s AS walk, s AS cur FROM e),
+s1 AS (SELECT walk, arg_min(d, md5('0|' || walk || '|1|' || d)) AS cur
+       FROM w0 JOIN e ON e.s = w0.cur GROUP BY walk),
+s2 AS (SELECT walk, arg_min(d, md5('0|' || walk || '|2|' || d)) AS cur
+       FROM s1 JOIN e ON e.s = s1.cur GROUP BY walk),
+s3 AS (SELECT walk, arg_min(d, md5('0|' || walk || '|3|' || d)) AS cur
+       FROM s2 JOIN e ON e.s = s2.cur GROUP BY walk)
+SELECT walk, CAST(step AS INTEGER) AS step, node FROM (
+  SELECT walk, 0 AS step, cur AS node FROM w0
+  UNION ALL SELECT walk, 1, cur FROM s1
+  UNION ALL SELECT walk, 2, cur FROM s2
+  UNION ALL SELECT walk, 3, cur FROM s3
+)
+ORDER BY walk, step
+"""

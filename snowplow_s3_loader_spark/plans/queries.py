@@ -1784,6 +1784,28 @@ def q98_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(audit).orderBy("kind", "key", "v")
 
 
+def q99_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-seeded random walks over the (symmetrized)
+    supplier co-occurrence graph — 3 steps from every node; the walk
+    choice (arg-min of md5(seed|walk|step|neighbor)) replays exactly in
+    the DuckDB oracle's unrolled 3-level arg_min SQL."""
+    from snowplow_s3_loader_spark.operators.graph import random_walks
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
+    ).select("l_orderkey", "l_suppkey")
+    a, b = li.alias("x"), li.alias("y")
+    pairs = (
+        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return random_walks(edges, walk_length=3, seed=0).orderBy("walk", "step")
+
+
 def _bpe_reference(words: dict, n_merges: int):
     """Pure-python BPE (classic overlapping pair counts, count-desc /
     pair-asc selection, left-to-right greedy merge) — the independent
@@ -1914,5 +1936,6 @@ QUERIES = {
         q95_exact_correlation,
         q97_quality_checks,
         q98_bpe_tokenizer,
+        q99_random_walks,
     ]
 }

@@ -538,3 +538,67 @@ def test_component_map_checkpoint_write_scales_linearly(spark, tmp_path):
     early = sorted(p for _, p in per_node[2:5])[1]
     late = sorted(p for _, p in per_node[-3:])[1]
     assert late <= 2.5 * early, per_node
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _walks_py(edges, walk_length, seed=0):
+    import hashlib
+
+    adj: dict = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    out = {}
+    for start in sorted({s for s, _ in set(edges)}):
+        path = [start]
+        cur = start
+        for i in range(1, walk_length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(
+                nbrs,
+                key=lambda v: hashlib.md5(f"{seed}|{start}|{i}|{v}".encode()).hexdigest(),
+            )
+            path.append(cur)
+        out[start] = path
+    return out
+
+
+def test_random_walks_match_python_reference(spark):
+    from snowplow_s3_loader_spark.operators.graph import random_walks
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 5), (2, 1), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got: dict = {}
+    for r in random_walks(df, walk_length=4, seed=7).collect():
+        got.setdefault(r["walk"], {})[r["step"]] = r["node"]
+    want = _walks_py(edges, 4, seed=7)
+    assert {w: [p[i] for i in sorted(p)] for w, p in got.items()} == want
+
+
+def test_random_walks_stop_at_dead_ends(spark):
+    from snowplow_s3_loader_spark.operators.graph import random_walks
+
+    # 1 -> 2, 2 has no out-edges: walk 1 is [1, 2]; node 2 starts no walk
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    rows = sorted(
+        (r["walk"], r["step"], r["node"])
+        for r in random_walks(df, walk_length=5).collect()
+    )
+    assert rows == [(1, 0, 1), (1, 1, 2)]
+
+
+def test_random_walks_deterministic_across_runs_and_seeds(spark):
+    from snowplow_s3_loader_spark.operators.graph import random_walks
+
+    edges = [(i, (i * 3 + j) % 20) for i in range(20) for j in range(1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    a = sorted(map(tuple, random_walks(df, walk_length=3, seed=1).collect()))
+    b = sorted(map(tuple, random_walks(df, walk_length=3, seed=1).collect()))
+    c = sorted(map(tuple, random_walks(df, walk_length=3, seed=2).collect()))
+    assert a == b
+    assert a != c  # the seed genuinely changes the paths
