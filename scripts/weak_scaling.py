@@ -577,6 +577,95 @@ def pagerank_case(spark, n_edges: int) -> dict:
 
 
 
+def bpe_case(spark, n_docs: int) -> dict:
+    """Distributed BPE training (round-7): corpus with a vocabulary that
+    GROWS with the doc count (per-doc suffixed words on top of a common
+    zipf head — Heaps-law pressure), 6 merges. The corpus is reduced to
+    (word, freq) in one pass; training rounds then cost
+    O(|vocab|)/round, so wall must grow sublinearly with docs (the
+    corpus pass) plus ~linearly with the VOCABULARY (the rounds)."""
+    from snowplow_s3_loader_spark.operators.bpe import bpe_train
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+
+    head = " ".join(f"tok{j}" for j in range(1, 20) for _ in range(20 // j))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(head + " uniq"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    docs.count()  # warm the range
+    t0 = time.perf_counter()
+    merges, vocab = bpe_train(docs, "text", 6)
+    n_vocab = vocab.count()
+    dt = time.perf_counter() - t0
+    release_materialized(vocab)
+    return {
+        "case": "bpe_train",
+        "docs": n_docs,
+        "vocab": n_vocab,
+        "n_merges": len(merges),
+        "sec": round(dt, 2),
+    }
+
+
+def walks_case(spark, n_edges: int) -> dict:
+    """Deterministic random walks (round-7): 3 steps from every node of
+    the hashed graph (~|E|/10 nodes, degree ~10). Per step the frontier
+    is |V| rows and candidates are bounded by |E|; wall must grow
+    ~linearly with |E|."""
+    from snowplow_s3_loader_spark.operators.graph import random_walks
+
+    n_nodes = max(100, n_edges // 10)
+    edges = spark.range(n_edges).select(
+        (F.abs(F.xxhash64("id")) % n_nodes).alias("src"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % n_nodes).alias("dst"),
+    )
+    w = random_walks(edges, walk_length=3, seed=1)
+    w.count()  # warm
+    t0 = time.perf_counter()
+    n_rows = random_walks(edges, walk_length=3, seed=1).count()
+    dt = time.perf_counter() - t0
+    return {
+        "case": "random_walks",
+        "edges": n_edges,
+        "rows": n_rows,
+        "sec": round(dt, 2),
+    }
+
+
+def triangle_fallback_case(spark, n_edges: int) -> dict:
+    """Triangle counting with the broadcast path DISABLED (round-7): the
+    two-sided shuffle closure join is the 100 TB path; it must scale the
+    same way the broadcast path does (degree orientation still bounds
+    wedges at O(|E|^1.5), planted 2% hub)."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import triangle_count
+
+    n_nodes = max(100, n_edges // 10)
+    hub_every = 50  # ~2% of edges touch the hub
+    edges = spark.range(n_edges).select(
+        F.when(F.col("id") % hub_every == 0, F.lit(0))
+        .otherwise(F.abs(F.xxhash64("id")) % n_nodes)
+        .alias("id_a"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % n_nodes).alias("id_b"),
+    )
+    warm = triangle_count(edges, broadcast_threshold=0)
+    warm.count()
+    release_materialized(warm)
+    t0 = time.perf_counter()
+    res = triangle_count(edges, broadcast_threshold=0)
+    total = res.select(F.max("total_triangles")).collect()[0][0]
+    dt = time.perf_counter() - t0
+    release_materialized(res)
+    return {
+        "case": "triangle_fallback",
+        "edges": n_edges,
+        "triangles": int(total or 0),
+        "sec": round(dt, 2),
+    }
+
+
 def pagerank_soak_case(spark, n_edges: int) -> dict:
     """Deep-iteration PageRank soak (round-7, VERDICT r6 #3): production
     link-graph scoring runs 10-30 power iterations, but the bench query
@@ -738,6 +827,15 @@ def main() -> None:
         out.append(pagerank_case(spark, 10_000_000))
     if which in ("pagerank_soak", "all"):
         out.append(pagerank_soak_case(spark, 10_000_000))
+    if which in ("bpe", "all"):
+        out.append(bpe_case(spark, 20_000))
+        out.append(bpe_case(spark, 200_000))
+    if which in ("walks", "all"):
+        out.append(walks_case(spark, 1_000_000))
+        out.append(walks_case(spark, 10_000_000))
+    if which in ("triangle_fallback", "all"):
+        out.append(triangle_fallback_case(spark, 100_000))
+        out.append(triangle_fallback_case(spark, 1_000_000))
     if which in ("interval", "all"):
         out.append(interval_case(spark, 1_000_000))
         out.append(interval_case(spark, 10_000_000))
