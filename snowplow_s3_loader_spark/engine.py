@@ -377,3 +377,15 @@ class Engine:
         from snowplow_s3_loader_spark.operators.graph import random_walks
 
         return random_walks(edges, src, dst, walk_length, seed)
+
+    def attribution(
+        self, events: DataFrame, user_col: str, ts_col: str, type_col: str,
+        conversion: str, touch_types: list, window_seconds: int | None = None,
+    ) -> DataFrame:
+        """First/last-touch conversion attribution (operators.behavior)."""
+        from snowplow_s3_loader_spark.operators.behavior import attribution
+
+        return attribution(
+            events, user_col, ts_col, type_col, conversion, touch_types,
+            window_seconds,
+        )

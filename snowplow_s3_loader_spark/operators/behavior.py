@@ -187,3 +187,84 @@ def frequent_pairs(
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= min_support)
     )
+
+
+def attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion: str,
+    touch_types: list[str],
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """Marketing-touch attribution: one row per CONVERSION event with its
+    user's first- and last-touch times strictly before the conversion
+    (optionally within ``window_seconds``), the touch count, and the
+    last touch's type — first-touch and last-touch attribution in one
+    pass, the analytics twin of the funnel.
+
+    One user-partitioned window pass (the funnel's strictly-before RANGE
+    frame): first/last/count of touch times are running aggregates, so
+    per-row state is O(1) and power users cannot blow memory; the last
+    touch's TYPE resolves with one join back on (user, last_touch time)
+    keyed by the |conversions|-sized result (max(type) on exact-tie
+    touches — deterministic). The microsecond order key goes through
+    the session time zone for TIMESTAMP_NTZ inputs; run in a
+    fixed-offset (UTC) session (the engine default via tune_session).
+
+    Output: (user, conv_ts, first_touch_ts, last_touch_ts, n_touches,
+    last_touch_type) — conversions with zero qualifying touches keep
+    nulls/0 (the "direct conversion" bucket)."""
+    from pyspark.sql import Window
+
+    u, t = user_col, ts_col
+    us = F.unix_micros(F.col(t).cast("timestamp"))
+    df = events.select(
+        F.col(u), F.col(t), F.col(type_col).alias("__type"), us.alias("__us")
+    )
+    lo = Window.unboundedPreceding if window_seconds is None else -int(
+        window_seconds
+    ) * 1_000_000
+    w = Window.partitionBy(u).orderBy("__us").rangeBetween(lo, -1)
+    touch_us = F.when(F.col("__type").isin(*touch_types), F.col("__us"))
+    convs = (
+        df.withColumn("__first", F.min(touch_us).over(w))
+        .withColumn("__last", F.max(touch_us).over(w))
+        .withColumn(
+            "__n", F.count(touch_us).over(w).cast("long")
+        )
+        .where(F.col("__type") == conversion)
+        .select(
+            F.col(u),
+            F.col(t).alias("conv_ts"),
+            F.timestamp_micros(F.col("__first")).cast(df.schema[t].dataType).alias(
+                "first_touch_ts"
+            ),
+            F.timestamp_micros(F.col("__last")).cast(df.schema[t].dataType).alias(
+                "last_touch_ts"
+            ),
+            F.col("__n").alias("n_touches"),
+            F.col("__last").alias("__last_us"),
+        )
+    )
+    touch_type_at = (
+        df.where(F.col("__type").isin(*touch_types))
+        .groupBy(u, "__us")
+        .agg(F.max("__type").alias("last_touch_type"))
+    )
+    return (
+        convs.join(
+            touch_type_at,
+            (convs[u] == touch_type_at[u]) & (convs["__last_us"] == touch_type_at["__us"]),
+            "left",
+        )
+        .select(
+            convs[u],
+            "conv_ts",
+            "first_touch_ts",
+            "last_touch_ts",
+            "n_touches",
+            "last_touch_type",
+        )
+    )

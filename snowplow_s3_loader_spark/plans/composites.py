@@ -605,6 +605,22 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("var_x_num").alias("v2"),
         F.col("var_y_num").alias("v3"),
     )
+    att = q.q100_attribution(spark, sf_dir).select(
+        F.lit("attribution").alias("battery"),
+        F.concat_ws(
+            "@",
+            F.col("user_id").cast("string"),
+            F.unix_micros(F.col("conv_ts").cast("timestamp")).cast("string"),
+        ).alias("key"),
+        F.unix_micros(F.col("last_touch_ts").cast("timestamp")).alias("v1"),
+        F.col("n_touches").alias("v2"),
+        # type digest folded with the first-touch time (lossless: type is
+        # one of two values -> 0/1 bit on top of the micros)
+        (
+            F.unix_micros(F.col("first_touch_ts").cast("timestamp")) * 2
+            + F.when(F.col("last_touch_type") == "view", 1).otherwise(0)
+        ).alias("v3"),
+    )
     rw = q.q99_random_walks(spark, sf_dir).select(
         F.lit("walks").alias("battery"),
         F.concat_ws("@", F.col("walk").cast("string"), F.col("step").cast("string")).alias("key"),
@@ -656,6 +672,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(chk)
         .union(tok)
         .union(rw)
+        .union(att)
         .union(par)
         .orderBy("battery", "key", "v1")
     )
@@ -764,6 +781,7 @@ _FOLDED = {
     "q91_triangle_count", "q92_profile_events", "q93_frequent_pairs",
     "q94_equi_depth_histogram", "q95_exact_correlation",
     "q97_quality_checks", "q98_bpe_tokenizer", "q99_random_walks",
+    "q100_attribution",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1214,6 +1232,14 @@ SELECT 'cohort' AS battery,
        n_users AS v1, CAST(periods_since AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q89_cohort_retention"]})
+UNION ALL
+SELECT 'attribution' AS battery,
+       CAST(user_id AS VARCHAR) || '@' || CAST(epoch_us(conv_ts) AS VARCHAR) AS key,
+       epoch_us(last_touch_ts) AS v1,
+       n_touches AS v2,
+       epoch_us(first_touch_ts) * 2 +
+         (CASE WHEN last_touch_type = 'view' THEN 1 ELSE 0 END) AS v3
+FROM ({ORACLES["q100_attribution"]})
 UNION ALL
 SELECT 'walks' AS battery,
        CAST(walk AS VARCHAR) || '@' || CAST(step AS VARCHAR) AS key,

@@ -1606,3 +1606,36 @@ SELECT walk, CAST(step AS INTEGER) AS step, node FROM (
 )
 ORDER BY walk, step
 """
+
+# q100: first/last-touch attribution — the same strictly-before RANGE
+# window; the last touch's type resolves via a max(type) lookup at the
+# exact last-touch instant (deterministic on same-instant ties, matching
+# the Spark side's groupBy max).
+ORACLES["q100_attribution"] = """
+WITH e AS (
+  SELECT user_id, ts, event_type, epoch_us(ts) AS us FROM events
+),
+w AS (
+  SELECT user_id, ts, event_type,
+    min(CASE WHEN event_type IN ('view','click') THEN ts END) OVER win
+      AS first_touch_ts,
+    max(CASE WHEN event_type IN ('view','click') THEN ts END) OVER win
+      AS last_touch_ts,
+    count(CASE WHEN event_type IN ('view','click') THEN us END) OVER win
+      AS n_touches,
+    max(CASE WHEN event_type IN ('view','click') THEN us END) OVER win
+      AS last_us
+  FROM e
+  WINDOW win AS (
+    PARTITION BY user_id ORDER BY us
+    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT user_id, ts AS conv_ts, first_touch_ts, last_touch_ts,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       (SELECT max(t.event_type) FROM e t
+        WHERE t.user_id = w.user_id AND t.us = w.last_us
+          AND t.event_type IN ('view','click')) AS last_touch_type
+FROM w WHERE event_type = 'purchase'
+ORDER BY user_id, conv_ts
+"""

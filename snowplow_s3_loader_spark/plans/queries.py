@@ -1806,6 +1806,20 @@ def q99_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, walk_length=3, seed=0).orderBy("walk", "step")
 
 
+def q100_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution for every purchase event: the user's
+    earliest and latest view/click strictly before the conversion, the
+    touch count, and the last touch's type — one user-partitioned window
+    pass plus a conversions-sized type-resolution join. Window semantics
+    replay exactly in the DuckDB oracle's RANGE-frame SQL."""
+    from snowplow_s3_loader_spark.operators import behavior
+
+    ev = load_table(spark, sf_dir, "events")
+    return behavior.attribution(
+        ev, "user_id", "ts", "event_type", "purchase", ["view", "click"]
+    ).orderBy("user_id", "conv_ts")
+
+
 def _bpe_reference(words: dict, n_merges: int):
     """Pure-python BPE (classic overlapping pair counts, count-desc /
     pair-asc selection, left-to-right greedy merge) — the independent
@@ -1937,5 +1951,6 @@ QUERIES = {
         q97_quality_checks,
         q98_bpe_tokenizer,
         q99_random_walks,
+        q100_attribution,
     ]
 }

@@ -1032,3 +1032,74 @@ def test_hashed_linear_literal_expectation(spark):
     [r] = df.select(score, label).collect()
     assert r["score_micro"] == 140078
     assert r["label"] is True
+
+
+# ---------------------------------------------------------------------------
+# touch attribution (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_first_last_and_direct(spark):
+    from snowplow_s3_loader_spark.operators import behavior
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        (1, t("2024-01-01T10:00"), "ad"),
+        (1, t("2024-01-01T11:00"), "email"),
+        (1, t("2024-01-01T12:00"), "purchase"),   # first=ad, last=email, n=2
+        (1, t("2024-01-01T13:00"), "ad"),
+        (1, t("2024-01-01T14:00"), "purchase"),   # first=ad@10, last=ad@13, n=3
+        (2, t("2024-01-01T09:00"), "purchase"),   # direct: no touches
+        (3, t("2024-01-01T08:00"), "purchase"),
+        (3, t("2024-01-01T08:00"), "ad"),         # same instant: NOT before
+    ]
+    out = {
+        (r["user_id"], r["conv_ts"]): (
+            r["first_touch_ts"], r["last_touch_ts"], r["n_touches"], r["last_touch_type"]
+        )
+        for r in behavior.attribution(
+            _ev(spark, rows), "user_id", "ts", "event_type", "purchase", ["ad", "email"]
+        ).collect()
+    }
+    assert out[(1, t("2024-01-01T12:00"))] == (
+        t("2024-01-01T10:00"), t("2024-01-01T11:00"), 2, "email"
+    )
+    assert out[(1, t("2024-01-01T14:00"))] == (
+        t("2024-01-01T10:00"), t("2024-01-01T13:00"), 3, "ad"
+    )
+    assert out[(2, t("2024-01-01T09:00"))] == (None, None, 0, None)
+    assert out[(3, t("2024-01-01T08:00"))] == (None, None, 0, None)
+
+
+def test_attribution_window_bounds_lookback(spark):
+    from snowplow_s3_loader_spark.operators import behavior
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        (1, t("2024-01-01T00:00"), "ad"),         # outside the 1h window
+        (1, t("2024-01-01T11:30"), "ad"),         # inside
+        (1, t("2024-01-01T12:00"), "purchase"),
+    ]
+    [r] = behavior.attribution(
+        _ev(spark, rows), "user_id", "ts", "event_type", "purchase", ["ad"],
+        window_seconds=3600,
+    ).collect()
+    assert r["first_touch_ts"] == t("2024-01-01T11:30")
+    assert r["last_touch_ts"] == t("2024-01-01T11:30")
+    assert r["n_touches"] == 1
+
+
+def test_attribution_same_instant_touch_tie_is_deterministic(spark):
+    from snowplow_s3_loader_spark.operators import behavior
+
+    t = lambda s: datetime.fromisoformat(s)
+    rows = [
+        (1, t("2024-01-01T10:00"), "ad"),
+        (1, t("2024-01-01T10:00"), "email"),      # same-instant touches
+        (1, t("2024-01-01T12:00"), "purchase"),
+    ]
+    [r] = behavior.attribution(
+        _ev(spark, rows), "user_id", "ts", "event_type", "purchase", ["ad", "email"]
+    ).collect()
+    assert r["n_touches"] == 2
+    assert r["last_touch_type"] == "email"  # max(type) on exact ties
