@@ -421,7 +421,10 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization (q87), conversion funnel (q88), cohort retention
     (q89), interval-overlap join (q90), triangle counting (q91), table
     profiling (q92), frequent-pair mining (q93), equi-depth
-    histogram (q94), exact correlation moments (q95), and the
+    histogram (q94), exact correlation moments (q95), data-quality
+    constraint suite (q97), BPE tokenizer pair stats + merge audit
+    (q98), deterministic random walks (q99), first/last-touch
+    attribution (q100), and the
     batch-vs-streaming parity audit (round 7: streaming funnel /
     sharded streaming heavy hitters / incremental ComponentMap each
     re-run against their batch twin on the same static frame, per-key
