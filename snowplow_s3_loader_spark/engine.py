@@ -389,3 +389,24 @@ class Engine:
             events, user_col, ts_col, type_col, conversion, touch_types,
             window_seconds,
         )
+
+    def pq_train(self, emb: DataFrame, m: int = 8, k: int = 16,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> list:
+        """Train product-quantization codebooks (operators.similarity)."""
+        from snowplow_s3_loader_spark.operators.similarity import pq_train
+
+        return pq_train(emb, m, k, vec_col, id_col)
+
+    def pq_encode(self, emb: DataFrame, codebooks: list,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+        """Encode vectors to PQ codes (operators.similarity)."""
+        from snowplow_s3_loader_spark.operators.similarity import pq_encode
+
+        return pq_encode(emb, codebooks, id_col, vec_col)
+
+    def pq_topk(self, emb: DataFrame, codes: DataFrame, codebooks: list,
+                query_pred, k: int = 5, shortlist: int = 200) -> DataFrame:
+        """PQ ADC shortlist + exact re-rank top-k (operators.similarity)."""
+        from snowplow_s3_loader_spark.operators.similarity import pq_topk_adc
+
+        return pq_topk_adc(emb, codes, codebooks, query_pred, k, shortlist)

@@ -949,3 +949,198 @@ def quantize_embeddings(
         ).otherwise(F.lit(0))
 
     return emb.withColumn(out_col, F.transform(F.col(vec_col), _code))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 7) — Jegou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011. Extends the int8 scalar quantizer:
+# the vector splits into m subvectors, each encoded as the id of its
+# nearest per-subspace centroid, so an m*log2(k)-bit code replaces d
+# floats (m=4, k=16 on 64-dim floats = 64x smaller through downstream
+# shuffles) and query scoring becomes m table lookups per vector (ADC).
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    seed: int = 7,
+    max_iter: int = 12,
+) -> list:
+    """Train PQ codebooks: per-subspace euclidean k-means over the same
+    bounded md5-ordered driver sample as the IVF trainer (~1 MB; codebook
+    quality converges on a few thousand points). Vectors are
+    L2-normalized first (the engine's similarity is cosine, so encoding
+    happens on the unit sphere and ADC scores are dot products).
+    Returns ``codebooks``: m lists of k centroid lists (python floats —
+    plain data, broadcastable, json/npz-serializable)."""
+    rows = (
+        emb.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .orderBy("_h")
+        .limit(sample_size)
+        .select("v")
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if X.shape[1] % m:
+        raise ValueError(f"dim {X.shape[1]} not divisible by m={m}")
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    sub = X.shape[1] // m
+    books = []
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[rng.choice(len(Xj), size=min(k, len(Xj)), replace=False)].copy()
+        for _ in range(max_iter):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            moved = False
+            for c in range(len(C)):
+                members = Xj[assign == c]
+                if len(members):
+                    nc = members.mean(axis=0)
+                    if not np.allclose(nc, C[c]):
+                        moved = True
+                    C[c] = nc
+            if not moved:
+                break
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """(id, pq_codes): per-subspace nearest-centroid ids (array<int>,
+    length m). One numpy distance computation per Arrow batch per
+    subspace against the broadcast codebooks — zero shuffle, the
+    ivf_assign execution shape. Vectors are L2-normalized before
+    encoding (matching pq_train)."""
+    import pandas as pd
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    spark_schema = "id long, pq_codes array<int>"
+
+    def _enc(it):
+        for pdf in it:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if len(X):
+                X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                codes = np.empty((len(X), len(books)), dtype=np.int32)
+                for j, C in enumerate(books):
+                    Xj = X[:, j * sub : (j + 1) * sub]
+                    # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; argmin drops ||x||^2
+                    d = -2.0 * (Xj @ C.T) + (C * C).sum(axis=1)[None, :]
+                    codes[:, j] = np.argmin(d, axis=1)
+                yield pd.DataFrame({"id": pdf["id"], "pq_codes": list(codes.tolist())})
+            else:
+                yield pd.DataFrame({"id": pdf["id"], "pq_codes": []})
+
+    base = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    return base.mapInPandas(_enc, spark_schema).withColumnRenamed("pq_codes", out_col)
+
+
+def pq_topk_adc(
+    emb: DataFrame,
+    codes: DataFrame,
+    codebooks: list,
+    query_pred: Column,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries (rows of ``emb`` matching
+    ``query_pred``) score every PQ code with m table lookups — the
+    per-query lookup tables (m x k dot products with the codebooks) are
+    tiny and broadcast with the queries; the corpus side streams its
+    CODES (m bytes-ish per row, never the float vectors), takes an ADC
+    shortlist per query, and only the shortlist (|q| x shortlist rows)
+    joins back to real vectors for exact cosine re-ranking — the
+    standard PQ serving pipeline. Returns (query_id, neighbor_id, sim,
+    rank) like the other ANN operators.
+
+    Scale shape: one corpus scan over codes + one |q|*shortlist-sized
+    exact re-rank join; the float vectors never shuffle."""
+    import pandas as pd
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    qrows = (
+        emb.where(query_pred)
+        .select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("query_pred matched no rows")
+    qids = [r["qid"] for r in qrows]
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # lookup tables: tables[q][j][c] = q_j . c_{j,c}
+    tables = np.stack(
+        [Q[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(len(books))],
+        axis=1,
+    )  # (|q|, m, k)
+
+    def _adc(it):
+        for pdf in it:
+            C = np.array(pdf["pq_codes"].tolist(), dtype=np.int64)  # (n, m)
+            if not len(C):
+                continue
+            # scores[q, n] = sum_j tables[q, j, C[n, j]]
+            scores = np.zeros((len(tables), len(C)))
+            for j in range(C.shape[1]):
+                scores += tables[:, j, :][:, C[:, j]]
+            top = min(len(C), shortlist)
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            out_q, out_n, out_s = [], [], []
+            ids = pdf["id"].to_numpy()
+            for qi in range(len(tables)):
+                out_q.extend([qids[qi]] * top)
+                out_n.extend(ids[idx[qi]].tolist())
+                out_s.extend(scores[qi, idx[qi]].tolist())
+            yield pd.DataFrame({"query_id": out_q, "cand_id": out_n, "adc": out_s})
+
+    # per-partition shortlists union to <= partitions * |q| * shortlist rows;
+    # the global per-query shortlist re-trims during the exact re-rank
+    cand = codes.select("id", "pq_codes").mapInPandas(
+        _adc, "query_id long, cand_id long, adc double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "cand_id")
+    cand = cand.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= shortlist
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("cand_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    qdf = emb.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
+        "query_id long, qv array<double>",
+    )
+    reranked = (
+        cand.select("query_id", "cand_id")
+        .join(corpus, "cand_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .where(F.col("cand_id") != F.col("query_id"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cand_id")
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "sim", "rank")
+    )

@@ -182,7 +182,8 @@ def q26_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q27_ann_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-similarity battery: brute-force cosine top-5 (q27) +
     SRP-LSH bucketed top-5 (q28, deterministic given its literal planes) +
-    label-blocked exact near-dup pairs (q50, rank-less), tagged union."""
+    label-blocked exact near-dup pairs (q50, rank-less) + the PQ
+    ADC-recall audit (q101, rank carries recall_ok), tagged union."""
     brute = q.q27_ann_topk(spark, sf_dir).select(
         F.lit("brute").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank"
     )
@@ -196,9 +197,17 @@ def q27_ann_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         F.lit(None).cast("int").alias("rank"),
     )
+    pq = q.q101_pq_ann(spark, sf_dir).select(
+        F.lit("pq_audit").alias("method"),
+        "query_id",
+        F.lit(None).cast("long").alias("neighbor_id"),
+        F.lit(None).cast("double").alias("cos_sim"),
+        F.col("recall_ok").cast("int").alias("rank"),
+    )
     return (
         brute.union(srp)
         .union(neardup)
+        .union(pq)
         .orderBy("method", "query_id", F.asc_nulls_last("rank"), "neighbor_id")
     )
 
@@ -784,7 +793,7 @@ _FOLDED = {
     "q91_triangle_count", "q92_profile_events", "q93_frequent_pairs",
     "q94_equi_depth_histogram", "q95_exact_correlation",
     "q97_quality_checks", "q98_bpe_tokenizer", "q99_random_walks",
-    "q100_attribution",
+    "q100_attribution", "q101_pq_ann",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1127,6 +1136,10 @@ UNION ALL
 SELECT 'neardup' AS method, id_a AS query_id, id_b AS neighbor_id, cos_sim,
        CAST(NULL AS INTEGER) AS rank
 FROM ({ORACLES["q50_embedding_near_dup"]})
+UNION ALL
+SELECT 'pq_audit' AS method, query_id, CAST(NULL AS BIGINT) AS neighbor_id,
+       CAST(NULL AS DOUBLE) AS cos_sim, CAST(recall_ok AS INTEGER) AS rank
+FROM ({ORACLES["q101_pq_ann"]})
 ORDER BY method, query_id, rank ASC NULLS LAST, neighbor_id
 """
 

@@ -1639,3 +1639,13 @@ SELECT user_id, ts AS conv_ts, first_touch_ts, last_touch_ts,
 FROM w WHERE event_type = 'purchase'
 ORDER BY user_id, conv_ts
 """
+
+# q101: PQ recall invariant — literal 1s over the seeded query-id list
+# (the q48 pattern; the Spark side computes actual recall@5 of the
+# ADC+re-rank pipeline vs in-query brute force).
+ORACLES["q101_pq_ann"] = """
+SELECT vec_id AS query_id, 1 AS recall_ok
+FROM embeddings
+WHERE vec_id % 100 = 0
+ORDER BY query_id
+"""

@@ -1820,6 +1820,42 @@ def q100_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "conv_ts")
 
 
+def q101_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011), oracle-checkable as
+    a recall invariant (the q48 pattern): m=8 x k=16 codebooks trained on
+    the seeded md5-ordered sample, corpus encoded to 8-byte codes, ADC
+    shortlist-200 + exact re-rank top-5 vs in-query brute-force top-5;
+    emits (query_id, recall_ok) with recall_ok = recall@5 >= 0.2
+    (measured min 1.0/0.4 and mean 1.0/0.77 at sf0.01/sf0.1 — 2x margin
+    on the worst query).
+    The oracle emits the query-id list with literal 1s."""
+    from snowplow_s3_loader_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 100 == 0
+    books = similarity.pq_train(emb, m=8, k=16, seed=7)
+    codes = similarity.pq_encode(emb, books)
+    got = similarity.pq_topk_adc(emb, codes, books, pred, k=5, shortlist=200)
+    exact = similarity.brute_force_topk(emb, pred, k=5)
+    hits = (
+        got.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    spine = emb.filter(pred).select(F.col("vec_id").alias("query_id"))
+    return (
+        spine.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0) >= F.lit(0.2))
+            .cast("int")
+            .alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _bpe_reference(words: dict, n_merges: int):
     """Pure-python BPE (classic overlapping pair counts, count-desc /
     pair-asc selection, left-to-right greedy merge) — the independent
@@ -1952,5 +1988,6 @@ QUERIES = {
         q98_bpe_tokenizer,
         q99_random_walks,
         q100_attribution,
+        q101_pq_ann,
     ]
 }

@@ -517,3 +517,96 @@ def test_containment_pairs_asymmetric_and_exact(spark):
     }
     assert got2 == want2 and want2
     release_materialized(cont2)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _pq_fixture(spark, n=300, dim=16, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # 6 planted clusters on the sphere: PQ must beat chance easily
+    centers = rng.normal(size=(6, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = centers[rng.integers(0, 6, size=n)] + 0.15 * rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    return df, X
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    from snowplow_s3_loader_spark.operators.similarity import pq_encode, pq_train
+
+    df, _ = _pq_fixture(spark)
+    books = pq_train(df, m=4, k=8)
+    assert len(books) == 4 and all(len(b) <= 8 for b in books)
+    a = {r["id"]: list(r["pq_codes"]) for r in pq_encode(df, books).collect()}
+    b = {r["id"]: list(r["pq_codes"]) for r in pq_encode(df.repartition(5), books).collect()}
+    assert a == b  # partitioning-invariant
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in a.values())
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from snowplow_s3_loader_spark.operators.similarity import pq_train
+
+    df, _ = _pq_fixture(spark, dim=15)
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=4)
+
+
+def test_pq_reconstruction_beats_random_codebooks(spark):
+    import numpy as np
+
+    from snowplow_s3_loader_spark.operators.similarity import pq_encode, pq_train
+
+    df, X = _pq_fixture(spark)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    books = pq_train(df, m=4, k=8)
+
+    def distortion(bs):
+        codes = {r["id"]: r["pq_codes"] for r in pq_encode(df, bs).collect()}
+        B = [np.array(b) for b in bs]
+        err = 0.0
+        for i, c in codes.items():
+            rec = np.concatenate([B[j][c[j]] for j in range(4)])
+            err += float(((Xn[i] - rec) ** 2).sum())
+        return err / len(codes)
+
+    rng = np.random.default_rng(0)
+    random_books = [
+        [[float(x) for x in rng.normal(scale=0.5, size=4)] for _ in range(8)]
+        for _ in range(4)
+    ]
+    assert distortion(books) < 0.5 * distortion(random_books)
+
+
+def test_pq_adc_topk_recall_vs_brute_force(spark):
+    from snowplow_s3_loader_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+    )
+
+    df, _ = _pq_fixture(spark)
+    pred = F.col("vec_id") % 50 == 0  # 6 queries
+    books = pq_train(df, m=4, k=16)
+    codes = pq_encode(df, books)
+    got = pq_topk_adc(df, codes, books, pred, k=5, shortlist=40)
+    exact = brute_force_topk(df, pred, k=5)
+    g = {}
+    for r in got.collect():
+        g.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(g) == set(e)
+    recalls = [len(g[q] & e[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
