@@ -410,3 +410,11 @@ class Engine:
         from snowplow_s3_loader_spark.operators.similarity import pq_topk_adc
 
         return pq_topk_adc(emb, codes, codebooks, query_pred, k, shortlist)
+
+    def k_core(self, pairs: DataFrame, k: int,
+               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+        """k-core of the undirected pair graph (operators.graph):
+        (node, core_degree) for the maximal subgraph of min-degree k."""
+        from snowplow_s3_loader_spark.operators.graph import k_core
+
+        return k_core(pairs, k, id_a, id_b)

@@ -953,3 +953,69 @@ def random_walks(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph in which
+    every node has degree >= k (Seidman 1983) — the dense-subgraph
+    filter for link-graph curation (drop weakly-connected spam tails,
+    keep the well-embedded core).
+
+    Standard peeling, expressed as the engine's iterative-loop shape:
+    each round computes degrees inside the surviving subgraph (one
+    keyed aggregation) and drops nodes under k; edges shrink
+    monotonically, so the loop converges in <= rounds-to-empty and
+    every round's work is bounded by the surviving |E|. Loop frames are
+    checkpointed with advertised layouts every round (lineage/stat
+    truncation per the checkpoint_nostats doctrine); convergence is
+    detected from the materialized edge count the checkpoint already
+    paid for.
+
+    Returns (node, core_degree): the surviving nodes with their degree
+    INSIDE the core (>= k by construction — the falsifiable invariant
+    the driver row audits). Materialized; release when done."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    )
+    spark = pairs.sparkSession
+    und = checkpoint_nostats(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
+    n = und.count()
+    loop_parts = _loop_width(spark, n)
+    cur = checkpoint_nostats(und, loop_parts, ["a"])
+    release_materialized(und)
+    for _ in range(max_iter):
+        deg = cur.groupBy("a").agg(F.count("*").alias("deg"))  # co-partitioned
+        keep = deg.where(F.col("deg") >= k).select("a")
+        # prune both endpoints: an edge survives iff BOTH ends survive
+        nxt_plan = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+        )
+        nxt = checkpoint_nostats(nxt_plan, loop_parts, ["a"])
+        n_next = nxt.count()
+        release_materialized(cur)
+        cur = nxt
+        if n_next == n:
+            break
+        n = n_next
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+    out = checkpoint_nostats(
+        cur.groupBy("a").agg(F.count("*").alias("core_degree")).select(
+            F.col("a").alias("node"), "core_degree"
+        )
+    )
+    release_materialized(cur)
+    return out

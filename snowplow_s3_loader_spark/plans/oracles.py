@@ -1649,3 +1649,16 @@ FROM embeddings
 WHERE vec_id % 100 = 0
 ORDER BY query_id
 """
+
+# q102: k-core audit — literal 1s over the SQL-enumerable node list of
+# the supplier pair graph (the Spark side differentially compares its
+# distributed peel against an independent python reference per node).
+ORACLES["q102_k_core"] = """
+SELECT node, 1 AS is_match FROM (
+  SELECT DISTINCT a.l_suppkey AS node
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  WHERE a.l_orderkey % 10 = 0
+)
+ORDER BY node
+"""

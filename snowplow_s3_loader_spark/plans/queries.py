@@ -1856,6 +1856,65 @@ def q101_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q102_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the supplier co-occurrence graph,
+    audited with the q98 pattern: the distributed peeling result is
+    differentially compared per node against an independent
+    python-reference peel over the same collected pair set (bounded: the
+    q91 slice), emitting one (node, is_match) row for EVERY graph node —
+    membership AND core-degree divergence both flip bits; the oracle
+    emits the SQL-enumerable node list with literal 1s."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        release_materialized,
+    )
+    from snowplow_s3_loader_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
+    ).select("l_orderkey", "l_suppkey")
+    a, b = li.alias("x"), li.alias("y")
+    pairs = (
+        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(F.col("x.l_suppkey").alias("id_a"), F.col("y.l_suppkey").alias("id_b"))
+        .distinct()
+    )
+    pairs = checkpoint_nostats(pairs)
+    core = k_core(pairs, k=8)
+    got = {r["node"]: r["core_degree"] for r in core.collect()}
+    release_materialized(core)
+    edge_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    release_materialized(pairs)
+    want = _k_core_reference(edge_rows, 8)
+    nodes = sorted({x for e in edge_rows for x in e})
+    return spark.createDataFrame(
+        [(n, int(got.get(n) == want.get(n))) for n in nodes],
+        "node long, is_match int",
+    ).orderBy("node")
+
+
+def _k_core_reference(edges: list, k: int) -> dict:
+    """Independent python peeling (set/dict based — shares no code with
+    the Spark loop); the q102 audit twin."""
+    adj: dict = {}
+    for a, b in set(edges):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
 def _bpe_reference(words: dict, n_merges: int):
     """Pure-python BPE (classic overlapping pair counts, count-desc /
     pair-asc selection, left-to-right greedy merge) — the independent
@@ -1989,5 +2048,6 @@ QUERIES = {
         q99_random_walks,
         q100_attribution,
         q101_pq_ann,
+        q102_k_core,
     ]
 }

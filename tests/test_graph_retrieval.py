@@ -602,3 +602,55 @@ def test_random_walks_deterministic_across_runs_and_seeds(spark):
     c = sorted(map(tuple, random_walks(df, walk_length=3, seed=2).collect()))
     assert a == b
     assert a != c  # the seed genuinely changes the paths
+
+
+def _k_core_py(edges, k):
+    adj: dict = {}
+    for a, b in set(edges):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def test_k_core_matches_python_reference(spark):
+    import random
+
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import k_core
+
+    rnd = random.Random(3)
+    edges = [(rnd.randrange(40), rnd.randrange(40)) for _ in range(160)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for k in (2, 3, 4):
+        out = k_core(df, k)
+        got = {r["node"]: r["core_degree"] for r in out.collect()}
+        release_materialized(out)
+        assert got == _k_core_py(edges, k), k
+
+
+def test_k_core_peels_tail_keeps_clique(spark):
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import k_core
+
+    # 5-clique with a pendant chain hanging off it: 3-core = the clique
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + chain, "id_a long, id_b long")
+    out = k_core(df, 3)
+    got = {r["node"]: r["core_degree"] for r in out.collect()}
+    release_materialized(out)
+    assert got == {i: 4 for i in range(5)}
+    empty = k_core(df, 5)
+    assert empty.count() == 0  # whole graph peels away
+    release_materialized(empty)
