@@ -665,12 +665,17 @@ def pagerank(
     # groupBy("s") below needs no Exchange (co-partitioned with the
     # advertised layout).
     adj = checkpoint_nostats(e, loop_parts, ["s"])
-    outdeg = adj.groupBy("s").agg(F.count("*").alias("outdeg"))
+    # node set AND out-degree in ONE tagged aggregation (round 7): each
+    # adjacency row contributes 1 at its source and 0 at its dest, so
+    # sum-per-node IS the out-degree and the group keys ARE the node
+    # set — replacing the former union-distinct + separate groupBy +
+    # left join (two shuffles and a join over 2|E| rows -> one shuffle
+    # with map-side partial aggregation)
     node_base = (
-        adj.select("s").union(adj.select(F.col("d").alias("s"))).distinct()
-        .select(F.col("s").alias("node"))
-        .join(outdeg, F.col("node") == F.col("s"), "left")
-        .select("node", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"))
+        adj.select(F.col("s").alias("node"), F.lit(1).alias("o"))
+        .union(adj.select(F.col("d").alias("node"), F.lit(0).alias("o")))
+        .groupBy("node")
+        .agg(F.sum("o").cast("long").alias("outdeg"))
     )
     if seeds is not None:
         seed_ids = seeds.select(F.col(seed_col).cast("long").alias("node")).distinct()
