@@ -418,3 +418,10 @@ class Engine:
         from snowplow_s3_loader_spark.operators.graph import k_core
 
         return k_core(pairs, k, id_a, id_b)
+
+    def hits(self, edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 2) -> DataFrame:
+        """Exact-integer HITS hubs/authorities (operators.graph)."""
+        from snowplow_s3_loader_spark.operators.graph import hits
+
+        return hits(edges, src, dst, iterations)

@@ -617,6 +617,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("var_x_num").alias("v2"),
         F.col("var_y_num").alias("v3"),
     )
+    ht = q.q103_hits(spark, sf_dir).select(
+        F.lit("hits").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("hub_micro").alias("v1"),
+        F.col("auth_micro").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     kc = q.q102_k_core(spark, sf_dir).select(
         F.lit("kcore").alias("battery"),
         F.col("node").cast("string").alias("key"),
@@ -693,6 +700,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(rw)
         .union(att)
         .union(kc)
+        .union(ht)
         .union(par)
         .orderBy("battery", "key", "v1")
     )
@@ -801,7 +809,7 @@ _FOLDED = {
     "q91_triangle_count", "q92_profile_events", "q93_frequent_pairs",
     "q94_equi_depth_histogram", "q95_exact_correlation",
     "q97_quality_checks", "q98_bpe_tokenizer", "q99_random_walks",
-    "q100_attribution", "q101_pq_ann", "q102_k_core",
+    "q100_attribution", "q101_pq_ann", "q102_k_core", "q103_hits",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1256,6 +1264,10 @@ SELECT 'cohort' AS battery,
        n_users AS v1, CAST(periods_since AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q89_cohort_retention"]})
+UNION ALL
+SELECT 'hits' AS battery, CAST(node AS VARCHAR) AS key,
+       hub_micro AS v1, auth_micro AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q103_hits"]})
 UNION ALL
 SELECT 'kcore' AS battery, CAST(node AS VARCHAR) AS key,
        CAST(is_match AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,

@@ -1662,3 +1662,51 @@ SELECT node, 1 AS is_match FROM (
 )
 ORDER BY node
 """
+
+# q103: exact-integer HITS — two mutual-reinforcement rounds unrolled,
+# max-normalized with truncating integer division (DuckDB // on BIGINT)
+# in the same micro-units as the Spark loop.
+ORACLES["q103_hits"] = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS s, 1000000 + l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_orderkey % 4 = 0
+),
+n AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+ra1 AS (SELECT d, CAST(count(*) AS BIGINT) * 1000000 AS raw FROM e GROUP BY d),
+ma1 AS (SELECT max(raw) AS m FROM ra1),
+a1 AS (
+  SELECT n.node, CAST(coalesce(ra1.raw, 0) * 1000000 // ma1.m AS BIGINT) AS auth
+  FROM n LEFT JOIN ra1 ON ra1.d = n.node CROSS JOIN ma1
+),
+rh1 AS (
+  SELECT e.s, CAST(sum(a1.auth) AS BIGINT) AS raw
+  FROM e JOIN a1 ON a1.node = e.d GROUP BY e.s
+),
+mh1 AS (SELECT max(raw) AS m FROM rh1),
+h1 AS (
+  SELECT n.node, CAST(coalesce(rh1.raw, 0) * 1000000 // mh1.m AS BIGINT) AS hub
+  FROM n LEFT JOIN rh1 ON rh1.s = n.node CROSS JOIN mh1
+),
+ra2 AS (
+  SELECT e.d, CAST(sum(h1.hub) AS BIGINT) AS raw
+  FROM e JOIN h1 ON h1.node = e.s GROUP BY e.d
+),
+ma2 AS (SELECT max(raw) AS m FROM ra2),
+a2 AS (
+  SELECT n.node, CAST(coalesce(ra2.raw, 0) * 1000000 // ma2.m AS BIGINT) AS auth
+  FROM n LEFT JOIN ra2 ON ra2.d = n.node CROSS JOIN ma2
+),
+rh2 AS (
+  SELECT e.s, CAST(sum(a2.auth) AS BIGINT) AS raw
+  FROM e JOIN a2 ON a2.node = e.d GROUP BY e.s
+),
+mh2 AS (SELECT max(raw) AS m FROM rh2),
+h2 AS (
+  SELECT n.node, CAST(coalesce(rh2.raw, 0) * 1000000 // mh2.m AS BIGINT) AS hub
+  FROM n LEFT JOIN rh2 ON rh2.s = n.node CROSS JOIN mh2
+)
+SELECT h2.node, h2.hub AS hub_micro, a2.auth AS auth_micro
+FROM h2 JOIN a2 ON a2.node = h2.node
+ORDER BY h2.node
+"""

@@ -1894,6 +1894,26 @@ def q102_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def q103_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer HITS over the DIRECTED customer -> supplier trade
+    graph (customers are hubs, suppliers authorities): 2
+    mutual-reinforcement rounds with max-normalization in BIGINT
+    micro-units — truncating integer division makes every round
+    bit-identical across engines, so the DuckDB oracle's unrolled
+    two-round SQL hash-matches exactly (the q83 discipline)."""
+    from snowplow_s3_loader_spark.operators import graph
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    ).select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.hits(edges, iterations=2).orderBy("node")
+
+
 def _k_core_reference(edges: list, k: int) -> dict:
     """Independent python peeling (set/dict based — shares no code with
     the Spark loop); the q102 audit twin."""
@@ -2049,5 +2069,6 @@ QUERIES = {
         q100_attribution,
         q101_pq_ann,
         q102_k_core,
+        q103_hits,
     ]
 }

@@ -654,3 +654,53 @@ def test_k_core_peels_tail_keeps_clique(spark):
     empty = k_core(df, 5)
     assert empty.count() == 0  # whole graph peels away
     release_materialized(empty)
+
+
+def _hits_py(edges, iterations, scale=10**6):
+    es = sorted(set(edges))
+    nodes = sorted({x for e in es for x in e})
+    hub = {v: scale for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iterations):
+        raw_a = {v: 0 for v in nodes}
+        for u, v in es:
+            raw_a[v] += hub[u]
+        mx = max(raw_a.values()) or 1
+        auth = {v: (raw_a[v] * scale) // mx for v in nodes}
+        raw_h = {v: 0 for v in nodes}
+        for u, v in es:
+            raw_h[u] += auth[v]
+        mh = max(raw_h.values()) or 1
+        hub = {v: (raw_h[v] * scale) // mh for v in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+def test_hits_matches_python_reference(spark):
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 4), (5, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        out = hits(df, iterations=iters)
+        got = {r["node"]: (r["hub_micro"], r["auth_micro"]) for r in out.collect()}
+        release_materialized(out)
+        assert got == _hits_py(edges, iters), iters
+
+
+def test_hits_directory_node_is_hub_not_authority(spark):
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import hits
+
+    # node 0 links to all popular pages but nothing links to it;
+    # pages 1..4 are mutually linked authorities
+    edges = [(0, i) for i in range(1, 5)] + [
+        (i, j) for i in range(1, 5) for j in range(1, 5) if i != j
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = hits(df, iterations=3)
+    got = {r["node"]: (r["hub_micro"], r["auth_micro"]) for r in out.collect()}
+    release_materialized(out)
+    assert got == _hits_py(edges, 3)
+    assert got[0][1] == 0  # no in-links: zero authority
+    assert got[0][0] > 0  # but a real hub score
