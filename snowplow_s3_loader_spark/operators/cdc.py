@@ -40,9 +40,20 @@ def latest_changes(
     deterministic tie-break on the payload's xxhash64, so the winner is
     stable across runs and engines instead of depending on scan order
     (fully identical duplicate rows are interchangeable either way).
-    Payload columns must be xxhash64-hashable (map-typed columns are
-    not — give such changelogs a real total order in ``seq_col``)."""
-    payload = [c for c in changes.columns if c not in (*keys, seq_col, op_col)]
+    Map-typed payload columns are skipped from the hash (xxhash64 does
+    not support MapType, and raising would break callers that have a
+    real total order in ``seq_col`` and never hit the tie-break); rows
+    differing ONLY in a map column remain tie-broken arbitrarily — give
+    such changelogs a real total order."""
+    from pyspark.sql.types import MapType
+
+    schema = {f.name: f.dataType for f in changes.schema.fields}
+    payload = [
+        c
+        for c in changes.columns
+        if c not in (*keys, seq_col, op_col)
+        and not isinstance(schema[c], MapType)
+    ]
     order = [F.col(seq_col).desc(), F.col(op_col).desc()]
     if payload:
         order.append(F.xxhash64(*[F.col(c) for c in payload]).desc())

@@ -13,7 +13,9 @@ a DuckDB oracle with zero tolerance.
 
 Checks (name, metric):
 - ``not_null(col)``        -> null count
-- ``unique(cols)``         -> duplicate row count (n_rows - n_distinct)
+- ``unique(cols)``         -> duplicate row count among rows whose key
+  columns are all non-null (SQL uniqueness semantics: NULL keys are
+  neither duplicates nor distinct values)
 - ``in_set(col, values)``  -> count of non-null values outside the set
 - ``in_range(col, lo, hi)``-> count of non-null values outside [lo, hi]
 - ``matches(col, regex)``  -> count of non-null values not rlike regex
@@ -126,9 +128,17 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
             ref_checks.append(c)
             continue
         if c.kind == "unique":
+            # SQL uniqueness ignores NULL keys: both the row count and
+            # the distinct count range over rows with ALL key columns
+            # non-null (count_distinct already skips any-null rows; a
+            # plain count(*) would report phantom duplicates for every
+            # NULL-keyed row — round-7 review finding)
+            all_set = F.lit(True)
+            for x in c.cols:
+                all_set = all_set & F.col(x).isNotNull()
             aggs.append(
                 (
-                    F.count(F.lit(1))
+                    F.count(F.when(all_set, F.lit(1)))
                     - F.count_distinct(*[F.col(x) for x in c.cols])
                 ).cast("long").alias(f"m{i}")
             )

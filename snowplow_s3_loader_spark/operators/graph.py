@@ -907,10 +907,11 @@ def random_walks(
     lazily (walk_length is small by construction); per-step candidate
     volume is bounded by |E|.
 
-    Returns a plan over a materialized adjacency; call
-    release_materialized on the result only after consuming it — the
-    internal adjacency checkpoint is handed to the returned frame's
-    lineage and released with it.
+    Returns a MATERIALIZED (checkpointed) frame — the internal
+    adjacency checkpoint is released before returning (a lazy union
+    over it would make the adjacency blocks unreleasable: the round-7
+    review found release_materialized is a silent no-op on non-leaf
+    plans). Callers release_materialized() the result when done.
     """
     if walk_length < 1:
         raise ValueError(f"walk_length must be >= 1, got {walk_length}")
@@ -954,9 +955,11 @@ def random_walks(
         levels.append(
             cur.select("walk", F.lit(i).alias("step"), F.col("cur").alias("node"))
         )
-    out = levels[0]
+    plan = levels[0]
     for lv in levels[1:]:
-        out = out.unionByName(lv)
+        plan = plan.unionByName(lv)
+    out = checkpoint_nostats(plan)
+    release_materialized(adj)
     return out
 
 

@@ -1031,7 +1031,11 @@ def pq_encode(
 
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
-    spark_schema = "id long, pq_codes array<int>"
+    # the id passes through untouched — carry its actual type instead of
+    # hardcoding long (string/int32 ids would hit an Arrow schema
+    # mismatch; round-7 review finding)
+    id_type = emb.schema[id_col].dataType.simpleString()
+    spark_schema = f"id {id_type}, pq_codes array<int>"
 
     def _enc(it):
         for pdf in it:
@@ -1070,12 +1074,18 @@ def pq_topk_adc(
     shortlist per query, and only the shortlist (|q| x shortlist rows)
     joins back to real vectors for exact cosine re-ranking — the
     standard PQ serving pipeline. Returns (query_id, neighbor_id, sim,
-    rank) like the other ANN operators.
+    rank) like the other ANN operators. Requires an integral id column
+    (query ids ride a driver-built frame; validated up front).
 
     Scale shape: one corpus scan over codes + one |q|*shortlist-sized
     exact re-rank join; the float vectors never shuffle."""
     import pandas as pd
 
+    id_type = emb.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint", "long"):
+        raise ValueError(
+            f"pq_topk_adc requires an integral id column, got {id_col}: {id_type}"
+        )
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
     qrows = (

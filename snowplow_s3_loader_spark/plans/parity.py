@@ -71,7 +71,12 @@ def _run_stream(src_df: DataFrame, tmp: str, foreach_batch) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    # awaitTermination returns False on timeout WITHOUT raising — a slow
+    # stream must surface as a harness error, not as partial-state parity
+    # bits that masquerade as a batch/streaming divergence
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("parity stream did not drain within 600s")
 
 
 def _funnel_parity(spark: SparkSession, sf_dir: str) -> list:
@@ -192,18 +197,9 @@ def _component_map_parity(spark: SparkSession, sf_dir: str) -> list:
         connected_components,
     )
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 10 == 0)
-        .select("l_orderkey", "l_suppkey")
-    )
-    a, b = li.alias("x"), li.alias("y")
-    pairs = (
-        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .select(F.col("x.l_suppkey").alias("id_a"), F.col("y.l_suppkey").alias("id_b"))
-        .distinct()
-    )
+    from snowplow_s3_loader_spark.plans.queries import supplier_pairs
+
+    pairs = supplier_pairs(spark, sf_dir)
     split = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2))
     m = ComponentMap()
     m.update(pairs.where(split == 0))

@@ -1464,8 +1464,14 @@ def q83_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+
     pr = graph.pagerank(edges, iterations=3)
-    return pr.orderBy(F.col("rank_micro").desc(), "node").limit(20)
+    rows = pr.orderBy(F.col("rank_micro").desc(), "node").limit(20).collect()
+    release_materialized(pr)  # the operator's checkpoint must not outlive the query
+    return spark.createDataFrame(rows, "node long, rank_micro long").orderBy(
+        F.col("rank_micro").desc(), "node"
+    )
 
 
 def q84_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1613,6 +1619,26 @@ def q90_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_l", "id_r")
 
 
+def supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-occurrence pair graph (edge iff two suppliers appear
+    in the same order; the l_orderkey%10 slice bounds density) — the
+    SHARED input of q91/q99/q102 and the ComponentMap parity check, so
+    the slice/dedup rule cannot drift between the Spark queries and
+    their oracles' identical SQL."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
+    ).select("l_orderkey", "l_suppkey")
+    a, b = li.alias("x"), li.alias("y")
+    return (
+        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("id_a"), F.col("y.l_suppkey").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def q91_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts over the supplier co-occurrence graph (edge iff
     two suppliers appear in the same order; 10% order slice bounds the
@@ -1621,20 +1647,14 @@ def q91_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges instead of deg^2 (Suri & Vassilvitskii). Exact counts, so
     the all-triples DuckDB oracle hash-matches."""
     from snowplow_s3_loader_spark.operators import graph
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
 
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 10 == 0
-    ).select("l_orderkey", "l_suppkey")
-    a, b = li.alias("x"), li.alias("y")
-    pairs = (
-        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .select(
-            F.col("x.l_suppkey").alias("id_a"), F.col("y.l_suppkey").alias("id_b")
-        )
-        .distinct()
-    )
-    return graph.triangle_count(pairs).orderBy("node")
+    res = graph.triangle_count(supplier_pairs(spark, sf_dir))
+    rows = res.collect()  # |V|-bounded; frees the operator checkpoint below
+    release_materialized(res)
+    return spark.createDataFrame(
+        rows, "node long, n_triangles long, total_triangles long"
+    ).orderBy("node")
 
 
 def q92_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1774,9 +1794,19 @@ def q98_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # independent driver-side reference (dict/loop BPE, not Spark
     # expressions) over the same vocabulary — bounded: |vocab| rows
     want, _ = _bpe_reference(words, 8)
+    # agreement INCLUDING agreed early exhaustion is a match: if both
+    # sides ran out of mergeable pairs at the same step, step i's
+    # (absent, absent) comparison must read 1, not 0
     audit = spark.createDataFrame(
         [
-            ("merge", str(i + 1), int(i < len(merges) and i < len(want) and merges[i] == want[i]))
+            (
+                "merge",
+                str(i + 1),
+                int(
+                    (merges[i] if i < len(merges) else None)
+                    == (want[i] if i < len(want) else None)
+                ),
+            )
             for i in range(8)
         ],
         "kind string, key string, v long",
@@ -1789,21 +1819,21 @@ def q99_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier co-occurrence graph — 3 steps from every node; the walk
     choice (arg-min of md5(seed|walk|step|neighbor)) replays exactly in
     the DuckDB oracle's unrolled 3-level arg_min SQL."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
     from snowplow_s3_loader_spark.operators.graph import random_walks
 
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 10 == 0
-    ).select("l_orderkey", "l_suppkey")
-    a, b = li.alias("x"), li.alias("y")
-    pairs = (
-        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .select(F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst"))
+    pairs = supplier_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return random_walks(edges, walk_length=3, seed=0).orderBy("walk", "step")
+    res = random_walks(edges, walk_length=3, seed=0)
+    rows = res.collect()  # |V| * (walk_length+1) bounded
+    release_materialized(res)
+    return spark.createDataFrame(rows, "walk long, step int, node long").orderBy(
+        "walk", "step"
+    )
 
 
 def q100_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1870,17 +1900,7 @@ def q102_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from snowplow_s3_loader_spark.operators.graph import k_core
 
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 10 == 0
-    ).select("l_orderkey", "l_suppkey")
-    a, b = li.alias("x"), li.alias("y")
-    pairs = (
-        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .select(F.col("x.l_suppkey").alias("id_a"), F.col("y.l_suppkey").alias("id_b"))
-        .distinct()
-    )
-    pairs = checkpoint_nostats(pairs)
+    pairs = checkpoint_nostats(supplier_pairs(spark, sf_dir))
     core = k_core(pairs, k=8)
     got = {r["node"]: r["core_degree"] for r in core.collect()}
     release_materialized(core)
@@ -1911,7 +1931,14 @@ def q103_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("src"),
         (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
     )
-    return graph.hits(edges, iterations=2).orderBy("node")
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+
+    res = graph.hits(edges, iterations=2)
+    rows = res.collect()  # |V|-bounded
+    release_materialized(res)
+    return spark.createDataFrame(
+        rows, "node long, hub_micro long, auth_micro long"
+    ).orderBy("node")
 
 
 def _k_core_reference(edges: list, k: int) -> dict:

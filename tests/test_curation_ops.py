@@ -1103,3 +1103,15 @@ def test_attribution_same_instant_touch_tie_is_deterministic(spark):
     ).collect()
     assert r["n_touches"] == 2
     assert r["last_touch_type"] == "email"  # max(type) on exact ties
+
+
+def test_latest_changes_skips_map_payload_columns_in_tie_break(spark):
+    """Map-typed payload columns cannot be xxhash64'd; the tie-break must
+    skip them instead of failing analysis for callers with a real total
+    order in seq_col (round-7 review finding)."""
+    changes = spark.createDataFrame(
+        [(1, "a", {"k": "v"}, 10, "U"), (1, "b", {"k": "w"}, 20, "U")],
+        "id long, name string, props map<string,string>, seq long, op string",
+    )
+    [r] = cdc.latest_changes(changes, ["id"], "seq").collect()
+    assert r["name"] == "b"  # highest seq still wins

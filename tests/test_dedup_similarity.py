@@ -610,3 +610,34 @@ def test_pq_adc_topk_recall_vs_brute_force(spark):
     assert set(g) == set(e)
     recalls = [len(g[q] & e[q]) / len(e[q]) for q in e]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_encode_carries_non_long_id_type(spark):
+    from snowplow_s3_loader_spark.operators.similarity import pq_encode, pq_train
+
+    df, _ = _pq_fixture(spark, n=60)
+    sdf = df.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    books = pq_train(df, m=4, k=8)  # train on the numeric twin
+    out = pq_encode(sdf, books)
+    assert dict(out.dtypes)["id"] == "string"
+    assert out.count() == 60
+
+
+def test_pq_topk_rejects_non_integral_ids(spark):
+    import pytest as _pytest
+
+    from snowplow_s3_loader_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+    )
+
+    df, _ = _pq_fixture(spark, n=60)
+    sdf = df.select(F.col("vec_id").cast("string").alias("vec_id"), "embedding")
+    books = pq_train(df, m=4, k=8)
+    codes = pq_encode(sdf, books)
+    with _pytest.raises(ValueError, match="integral id"):
+        pq_topk_adc(sdf, codes, books, F.col("vec_id") == "0")

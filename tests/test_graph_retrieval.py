@@ -704,3 +704,29 @@ def test_hits_directory_node_is_hub_not_authority(spark):
     assert got == _hits_py(edges, 3)
     assert got[0][1] == 0  # no in-links: zero authority
     assert got[0][0] > 0  # but a real hub score
+
+
+def test_random_walks_result_is_releasable(spark):
+    """random_walks must return a materialized checkpoint whose release
+    frees ALL blocks the operator created (a lazy union over the
+    internal adjacency would leak it forever — round-7 review
+    finding)."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import random_walks
+
+    def checkpoint_blocks() -> int:
+        lst = spark.sparkContext._jsc.sc().getPersistentRDDs().toList()
+        return sum(
+            1
+            for i in range(lst.size())
+            if "localCheckpoint" in lst.apply(i)._2().toString()
+        )
+
+    base = checkpoint_blocks()
+    df = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 15) for i in range(15)], "src long, dst long"
+    )
+    out = random_walks(df, walk_length=2)
+    out.count()
+    release_materialized(out)
+    assert checkpoint_blocks() == base

@@ -619,9 +619,10 @@ def test_check_suite_literal_metrics(spark):
     }
     assert out["not_null(id)"] == (1, 0)
     assert out["not_null(name)"] == (1, 0)
-    # 4 rows, distinct non-null ids {1, 2}: count_distinct skips the null
-    # row, so metric = 4 - 2 = 2
-    assert out["unique(id)"] == (2, 0)
+    # SQL uniqueness ignores NULL keys: 3 non-null-keyed rows over
+    # distinct ids {1, 2} -> exactly 1 duplicate (the repeated id 2);
+    # the NULL row is neither a duplicate nor a distinct value
+    assert out["unique(id)"] == (1, 0)
     assert out["in_set(typ)"] == (1, 0)
     assert out["in_range(value)"] == (2, 0)
     assert out["matches(typ)"] == (1, 0)
@@ -790,3 +791,13 @@ def test_bpe_train_validates_and_handles_exhaustion(spark):
     assert merges == []
     assert {r["word"]: list(r["syms"]) for r in vocab.collect()} == {"x": ["x"], "y": ["y"]}
     release_materialized(vocab)
+
+
+def test_check_suite_unique_ignores_null_keys_entirely(spark):
+    from snowplow_s3_loader_spark.operators import checks as C
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (None,)], "id long"
+    )
+    [r] = C.check_suite(df, [C.unique("id")]).collect()
+    assert (r["metric"], r["passed"]) == (0, 1)  # NULLs are not duplicates
