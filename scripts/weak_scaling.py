@@ -666,6 +666,52 @@ def triangle_fallback_case(spark, n_edges: int) -> dict:
     }
 
 
+def hits_case(spark, n_edges: int) -> dict:
+    """Exact-integer HITS (round-7): 2 rounds on the hashed graph
+    (~|E|/10 nodes). Per half-round work is one co-partitioned join +
+    one keyed agg + a 1-row max; wall must grow ~linearly with |E|."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import hits
+
+    n_nodes = max(100, n_edges // 10)
+    edges = spark.range(n_edges).select(
+        (F.abs(F.xxhash64("id")) % n_nodes).alias("src"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % n_nodes).alias("dst"),
+    )
+    warm = hits(edges, iterations=1)
+    warm.count()
+    release_materialized(warm)
+    t0 = time.perf_counter()
+    out = hits(edges, iterations=2)
+    n_rows = out.count()
+    dt = time.perf_counter() - t0
+    release_materialized(out)
+    return {"case": "hits", "edges": n_edges, "nodes": n_rows, "sec": round(dt, 2)}
+
+
+def kcore_case(spark, n_edges: int) -> dict:
+    """k-core peeling (round-7): hashed graph with a degree mix (avg ~10)
+    peeled at k=12 — several rounds of real shrinkage. Per-round work is
+    bounded by the SURVIVING |E|; wall must grow ~linearly with |E|."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import k_core
+
+    n_nodes = max(100, n_edges // 10)
+    edges = spark.range(n_edges).select(
+        (F.abs(F.xxhash64("id")) % n_nodes).alias("id_a"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % n_nodes).alias("id_b"),
+    )
+    warm = k_core(edges, 12)
+    warm.count()
+    release_materialized(warm)
+    t0 = time.perf_counter()
+    out = k_core(edges, 12)
+    n_core = out.count()
+    dt = time.perf_counter() - t0
+    release_materialized(out)
+    return {"case": "k_core", "edges": n_edges, "core_nodes": n_core, "sec": round(dt, 2)}
+
+
 def pagerank_soak_case(spark, n_edges: int) -> dict:
     """Deep-iteration PageRank soak (round-7, VERDICT r6 #3): production
     link-graph scoring runs 10-30 power iterations, but the bench query
@@ -836,6 +882,12 @@ def main() -> None:
     if which in ("triangle_fallback", "all"):
         out.append(triangle_fallback_case(spark, 100_000))
         out.append(triangle_fallback_case(spark, 1_000_000))
+    if which in ("hits", "all"):
+        out.append(hits_case(spark, 1_000_000))
+        out.append(hits_case(spark, 10_000_000))
+    if which in ("kcore", "all"):
+        out.append(kcore_case(spark, 100_000))
+        out.append(kcore_case(spark, 1_000_000))
     if which in ("interval", "all"):
         out.append(interval_case(spark, 1_000_000))
         out.append(interval_case(spark, 10_000_000))
