@@ -425,3 +425,10 @@ class Engine:
         from snowplow_s3_loader_spark.operators.graph import hits
 
         return hits(edges, src, dst, iterations)
+
+    def scd2_history(self, changes: DataFrame, keys: list, seq_col: str,
+                     op_col: str = "op", delete_op: str = "D") -> DataFrame:
+        """SCD2 validity timeline from a keyed changelog (operators.cdc)."""
+        from snowplow_s3_loader_spark.operators.cdc import scd2_history
+
+        return scd2_history(changes, keys, seq_col, op_col, delete_op)

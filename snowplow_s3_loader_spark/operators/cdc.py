@@ -65,6 +65,58 @@ def latest_changes(
     )
 
 
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a keyed changelog:
+    every non-delete change becomes a VERSION row valid from its own
+    sequence number until the next change's (``valid_to_seq`` null on
+    the open version); a delete closes the preceding version (its
+    sequence becomes that version's ``valid_to_seq``) and emits no row
+    of its own. ``is_current`` marks open versions. The warehouse twin
+    of apply_changelog: MERGE keeps only the latest state, SCD2 keeps
+    the full validity timeline.
+
+    One window pass over the CHANGELOG (lead over the same total order
+    latest_changes uses — seq, then op, then the payload hash, so the
+    two operators never disagree about ordering); the changelog, not
+    any snapshot, is all that shuffles. Changelogs whose (keys, seq)
+    is a genuine total order — log offsets, LSNs — get
+    oracle-reproducible output; ties fall back to the documented
+    deterministic hash order."""
+    from pyspark.sql.types import MapType
+
+    for c in (*keys, seq_col, op_col):
+        if c not in changes.columns:
+            raise ValueError(f"changes is missing required column {c!r}")
+    schema = {f.name: f.dataType for f in changes.schema.fields}
+    payload = [
+        c
+        for c in changes.columns
+        if c not in (*keys, seq_col, op_col)
+        and not isinstance(schema[c], MapType)
+    ]
+    order = [F.col(seq_col).asc(), F.col(op_col).asc()]
+    if payload:
+        order.append(F.xxhash64(*[F.col(c) for c in payload]).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changes.withColumn("__next_seq", F.lead(seq_col).over(w))
+        .where(F.col(op_col) != delete_op)
+        .select(
+            *keys,
+            *[c for c in changes.columns if c not in (*keys, seq_col, op_col)],
+            F.col(seq_col).alias("valid_from_seq"),
+            F.col("__next_seq").alias("valid_to_seq"),
+            F.col("__next_seq").isNull().cast("boolean").alias("is_current"),
+        )
+    )
+
+
 def apply_changelog(
     snapshot: DataFrame,
     changes: DataFrame,

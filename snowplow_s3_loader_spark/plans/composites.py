@@ -617,6 +617,16 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("var_x_num").alias("v2"),
         F.col("var_y_num").alias("v3"),
     )
+    scd = q.q104_scd2_history(spark, sf_dir).select(
+        F.lit("scd2").alias("battery"),
+        F.concat_ws(
+            "@", F.col("c_custkey").cast("string"),
+            F.col("valid_from_seq").cast("string"),
+        ).alias("key"),
+        F.coalesce(F.col("valid_to_seq"), F.lit(-1)).alias("v1"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v2"),
+        F.col("is_current").cast("long").alias("v3"),
+    )
     ht = q.q103_hits(spark, sf_dir).select(
         F.lit("hits").alias("battery"),
         F.col("node").cast("string").alias("key"),
@@ -701,6 +711,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(att)
         .union(kc)
         .union(ht)
+        .union(scd)
         .union(par)
         .orderBy("battery", "key", "v1")
     )
@@ -810,6 +821,7 @@ _FOLDED = {
     "q94_equi_depth_histogram", "q95_exact_correlation",
     "q97_quality_checks", "q98_bpe_tokenizer", "q99_random_walks",
     "q100_attribution", "q101_pq_ann", "q102_k_core", "q103_hits",
+    "q104_scd2_history",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1264,6 +1276,13 @@ SELECT 'cohort' AS battery,
        n_users AS v1, CAST(periods_since AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q89_cohort_retention"]})
+UNION ALL
+SELECT 'scd2' AS battery,
+       CAST(c_custkey AS VARCHAR) || '@' || CAST(valid_from_seq AS VARCHAR) AS key,
+       coalesce(valid_to_seq, -1) AS v1,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS v2,
+       CAST(is_current AS BIGINT) AS v3
+FROM ({ORACLES["q104_scd2_history"]})
 UNION ALL
 SELECT 'hits' AS battery, CAST(node AS VARCHAR) AS key,
        hub_micro AS v1, auth_micro AS v2, CAST(NULL AS BIGINT) AS v3

@@ -1710,3 +1710,26 @@ SELECT h2.node, h2.hub AS hub_micro, a2.auth AS auth_micro
 FROM h2 JOIN a2 ON a2.node = h2.node
 ORDER BY h2.node
 """
+
+# q104: SCD2 validity timeline over the q84 changelog — the same lead()
+# window (seq is a genuine total order here: o_orderkey), deletes close
+# the preceding version and vanish.
+ORACLES["q104_scd2_history"] = """
+WITH ch AS (
+  SELECT o_custkey AS c_custkey,
+         'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         round(o_totalprice, 2) AS c_acctbal,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders
+),
+v AS (
+  SELECT *, lead(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS next_seq
+  FROM ch
+)
+SELECT c_custkey, c_name, c_acctbal,
+       seq AS valid_from_seq, next_seq AS valid_to_seq,
+       next_seq IS NULL AS is_current
+FROM v WHERE op <> 'D'
+ORDER BY c_custkey, valid_from_seq
+"""

@@ -1497,6 +1497,27 @@ def q84_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def q104_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from the q84 changelog (seq = o_orderkey is
+    a genuine total order, so the validity timeline is
+    oracle-reproducible): every upsert becomes a version row valid
+    [its seq, next change's seq); deletes close the preceding version
+    and emit nothing; is_current marks open versions. One window pass
+    over the changelog."""
+    from snowplow_s3_loader_spark.operators import cdc
+
+    changes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("upd_"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.round("o_totalprice", 2).alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 50 == 0, "D").otherwise("U").alias("op"),
+    )
+    return cdc.scd2_history(changes, ["c_custkey"], "seq").orderBy(
+        "c_custkey", "valid_from_seq"
+    )
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2097,5 +2118,6 @@ QUERIES = {
         q101_pq_ann,
         q102_k_core,
         q103_hits,
+        q104_scd2_history,
     ]
 }

@@ -1115,3 +1115,64 @@ def test_latest_changes_skips_map_payload_columns_in_tie_break(spark):
     )
     [r] = cdc.latest_changes(changes, ["id"], "seq").collect()
     assert r["name"] == "b"  # highest seq still wins
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_history_versions_and_delete_closure(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "v1", 10, "U"),
+            (1, "v2", 20, "U"),   # closes v1 at seq 20
+            (1, "gone", 30, "D"), # closes v2 at seq 30, emits nothing
+            (1, "v3", 40, "U"),   # reopens after the delete, current
+            (2, "only", 5, "U"),  # single open version
+        ],
+        "id long, name string, seq long, op string",
+    )
+    rows = {
+        (r["id"], r["valid_from_seq"]): (r["name"], r["valid_to_seq"], r["is_current"])
+        for r in cdc.scd2_history(changes, ["id"], "seq").collect()
+    }
+    assert rows == {
+        (1, 10): ("v1", 20, False),
+        (1, 20): ("v2", 30, False),
+        (1, 40): ("v3", None, True),
+        (2, 5): ("only", None, True),
+    }
+
+
+def test_scd2_history_agrees_with_latest_changes(spark):
+    """The open SCD2 version per surviving key must be exactly what
+    apply_changelog/latest_changes resolves as the winner (shared total
+    order), and keys whose LAST change is a delete have no open
+    version."""
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 1, "U"), (1, "b", 2, "U"),
+            (2, "x", 1, "U"), (2, "dead", 9, "D"),
+            (3, "z", 4, "U"),
+        ],
+        "id long, name string, seq long, op string",
+    )
+    current = {
+        r["id"]: r["name"]
+        for r in cdc.scd2_history(changes, ["id"], "seq")
+        .where("is_current")
+        .collect()
+    }
+    latest = {
+        r["id"]: r["name"]
+        for r in cdc.latest_changes(changes, ["id"], "seq")
+        .where(F.col("op") != "D")
+        .collect()
+    }
+    assert current == latest == {1: "b", 3: "z"}
+
+
+def test_scd2_history_validates_columns(spark):
+    with pytest.raises(ValueError, match="missing required"):
+        cdc.scd2_history(_snap(spark), ["id"], "seq")
