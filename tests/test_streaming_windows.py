@@ -190,3 +190,61 @@ def test_engine_curation_facade(spark, sf_dir):
     comps = eng.dedup_clusters(pairs)
     assert set(comps.columns) == {"node", "component"}
     assert eng.keep_canonical(docs, pairs, "doc_id").count() <= docs.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks and a time-range
+    condition (the attribution-style enrichment: each click joins the
+    same user's views from the preceding 10 minutes) must equal the
+    identical batch join — closing the one §2.3 streaming row without
+    an e2e check."""
+    def ts(m):
+        return f"2024-03-01 12:{m:02d}:00"
+
+    views = [(ts(0), 1, 10), (ts(2), 1, 11), (ts(30), 1, 12), (ts(1), 2, 20)]
+    clicks = [(ts(5), 1, 100), (ts(40), 1, 101), (ts(3), 2, 200), (ts(59), 3, 300)]
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    _write_events(vdir, views)
+    _write_events(cdir, clicks)
+
+    def build(vdf, cdf):
+        v = vdf.select(
+            F.col("ts").alias("v_ts"), F.col("user_id").alias("v_user"),
+            F.col("val").alias("v_val"),
+        )
+        c = cdf.select(
+            F.col("ts").alias("c_ts"), F.col("user_id").alias("c_user"),
+            F.col("val").alias("c_val"),
+        )
+        return v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+
+    sj = build(
+        _stream(spark, vdir).withWatermark("ts", "1 hour"),
+        _stream(spark, cdir).withWatermark("ts", "1 hour"),
+    )
+    _run(sj, tmp_path, "ssjoin", "append")
+    got = {
+        (r["v_user"], r["v_val"], r["c_val"])
+        for r in spark.sql("select * from ssjoin").collect()
+    }
+    batch = build(
+        spark.createDataFrame(
+            [(datetime.fromisoformat(a), b, c) for a, b, c in views],
+            "ts timestamp, user_id int, val int",
+        ),
+        spark.createDataFrame(
+            [(datetime.fromisoformat(a), b, c) for a, b, c in clicks],
+            "ts timestamp, user_id int, val int",
+        ),
+    )
+    want = {(r["v_user"], r["v_val"], r["c_val"]) for r in batch.collect()}
+    assert got == want
+    # the time bound genuinely filters: user 1's 12:40 click joins only
+    # the 12:30 view, and user 3 (no views) joins nothing
+    assert (1, 12, 101) in want and (1, 10, 101) not in want
+    assert not any(u == 3 for u, _, _ in want)
