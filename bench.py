@@ -23,6 +23,25 @@ import sys
 import time
 
 
+def compact_headline(total: float, sf_num, n_queries: int, attempts: int) -> str:
+    """The FINAL output line: a headline object WITHOUT the queries dict.
+    Must stay well under the driver's 2 KB output-tail capture — the
+    per-query detail line exceeded it from rounds 3-6, leaving the
+    recorded bench artifact unparsed (tested)."""
+    line = json.dumps(
+        {
+            "metric": "total_query_set_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_num,
+            "n_queries": n_queries,
+            "attempts": attempts,
+        }
+    )
+    assert len(line) < 1024, f"headline line too long for tail capture: {len(line)}"
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -95,20 +114,7 @@ def main() -> None:
             }
         )
     )
-    # Compact headline as the FINAL line: must stay well under the driver's
-    # 2 KB tail capture so BENCH_r{N}.json gets a non-null "parsed".
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_set_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf_num,
-                "n_queries": len(timings),
-                "attempts": attempts,
-            }
-        )
-    )
+    print(compact_headline(total, sf_num, len(timings), attempts))
     sys.stdout.flush()
     from snowplow_s3_loader_spark.tables import clear_table_cache
 

@@ -112,3 +112,21 @@ def test_variant_semi_structured_extraction(spark, sf_dir):
     )
     rows = both.collect()
     assert rows and all(r["via_variant"] == r["via_string"] for r in rows)
+
+
+def test_bench_compact_headline_fits_driver_tail_capture():
+    """bench.py's FINAL printed line is the driver's only perf signal; it
+    must parse standalone and stay far inside the 2 KB tail capture
+    (the per-query line exceeded it for four rounds — never again)."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location("bench_mod", "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    line = mod.compact_headline(98765.432, 0.1, 102, 2)
+    assert len(line) < 1024
+    parsed = _json.loads(line)
+    assert parsed["metric"] == "total_query_set_seconds"
+    assert parsed["value"] == 98765.432 and parsed["n_queries"] == 102
+    assert "queries" not in parsed
