@@ -38,7 +38,8 @@ def compact_headline(total: float, sf_num, n_queries: int, attempts: int) -> str
             "attempts": attempts,
         }
     )
-    assert len(line) < 1024, f"headline line too long for tail capture: {len(line)}"
+    if len(line) >= 1024:  # not an assert: must survive `python -O`
+        raise ValueError(f"headline line too long for tail capture: {len(line)}")
     return line
 
 

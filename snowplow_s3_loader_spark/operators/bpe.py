@@ -191,7 +191,9 @@ def bpe_encode(
         seg.select("id", "wpos", F.posexplode("__syms").alias("spos", "sym"))
         .select(
             "id",
-            (F.col("wpos") * F.lit(1_000_000) + F.col("spos")).alias("pos"),
+            (F.col("wpos").cast("long") * F.lit(1_000_000) + F.col("spos")).alias(
+                "pos"
+            ),
             "sym",
         )
     )

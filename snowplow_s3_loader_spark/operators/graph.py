@@ -1055,15 +1055,24 @@ def hits(
     in integers where the classical L2 norm could not). Nodes with no
     in-edges end at authority 0, sources at hub 0 — standard.
     int64 bound: max_degree * scale^2 must stay under 2^63 (at the
-    default scale=1e6 that is max degree ~9.2e6 — far beyond any bench
-    graph; lower `scale` for denser graphs).
+    default scale=1e6 that is max degree ~9.2e6); the bound is ENFORCED
+    with one cheap degree aggregation after the adjacency builds —
+    a denser graph raises ValueError advising a smaller `scale` instead
+    of wrapping silently under non-ANSI arithmetic.
 
     Scale mechanics: the narrow (s, d) adjacency is checkpointed once
     with an advertised hash(s) layout and a d-keyed twin with hash(d),
     so each half-round's join co-partitions against one of them; scores
-    live on |V|-sized frames. Rounds chain lazily; the max for each
-    normalization is one cheap 1-row aggregation per half-round on a
-    |V| frame. Returns a materialized frame; release when done."""
+    live on |V|-sized frames. Rounds chain LAZILY between checkpoints
+    (the pagerank pattern): each half-round's max-normalizer is a 1-row
+    aggregate cross-joined back as a broadcast scalar — NOT a driver
+    collect — so a deep run is one Spark job per checkpoint interval
+    instead of 2 blocking driver round-trips per iteration. The raw
+    per-half-round sums are persisted lazily (each feeds both its
+    normalizer broadcast and the align join — without the cache the
+    lazy plan would recompute the chain exponentially) and dropped at
+    the next checkpoint. Returns a materialized frame; release when
+    done."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     spark = edges.sparkSession
@@ -1086,33 +1095,58 @@ def hits(
         ["node"],
     )
     try:
+        # enforce the documented int64 bound BEFORE iterating: each raw
+        # sum is bounded by degree * scale and the normalization
+        # multiplies by scale again, so max(in_deg, out_deg) * scale^2
+        # must fit in int64 or the sums wrap silently (ANSI off).
+        deg_row = (
+            adj_s.select(F.col("s").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+            .union(adj_s.select(F.col("d").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i")))
+            .groupBy("node")
+            .agg(F.sum("o").alias("od"), F.sum("i").alias("id"))
+            .agg(F.greatest(F.max("od"), F.max("id")).alias("m"))
+            .collect()
+        )
+        max_deg = int(deg_row[0]["m"] or 0)
+        if max_deg * int(scale) * int(scale) >= 2**63:
+            raise ValueError(
+                f"hits: max degree {max_deg} at scale {scale} exceeds the "
+                f"int64 bound max_degree * scale^2 < 2^63; lower `scale` "
+                f"(e.g. {10 ** 4}) for this graph density"
+            )
+        checkpoint_interval = 2  # full iterations per materialization
         hub = nodes.withColumn("hub", F.lit(int(scale)).cast("long"))
-        auth = None
+        auth = hub.select("node", F.lit(0).cast("long").alias("auth"))
         last_ck: list = []
-        for _ in range(iterations):
-            # auth'(v) = sum of hub(u) over in-edges; co-partitioned on s
+        cached: list = []  # raw frames persisted since the last checkpoint
+        for i in range(iterations):
+            # auth'(v) = sum of hub(u) over in-edges; co-partitioned on s.
+            # Persisted LAZILY: it feeds both the broadcast normalizer and
+            # the align join, and the next half-round chains on top —
+            # without the cache the lazy plan recomputes it 2^depth times.
             raw_auth = (
                 adj_s.join(hub.select(F.col("node").alias("s"), "hub"), "s")
                 .select("d", "hub")
                 .repartition(loop_parts, "d")
                 .groupBy("d")
                 .agg(F.sum("hub").alias("raw"))
+            ).persist()
+            cached.append(raw_auth)
+            mx_a = raw_auth.agg(
+                F.greatest(F.max("raw"), F.lit(1).cast("long")).alias("__mx")
             )
-            raw_auth = checkpoint_nostats(raw_auth, loop_parts, ["d"], trust_partitioning=True)
-            mx = raw_auth.agg(F.max("raw").alias("m")).collect()[0]["m"] or 1
-            auth = checkpoint_nostats(
+            auth = (
                 nodes.join(
                     raw_auth.select(F.col("d").alias("node"), "raw"), "node", "left"
-                ).select(
+                )
+                .crossJoin(F.broadcast(mx_a))
+                .select(
                     "node",
-                    F.expr(
-                        f"(coalesce(raw, 0) * {int(scale)}) div {int(mx)}"
-                    ).alias("auth"),
-                ),
-                loop_parts,
-                ["node"],
+                    F.expr(f"(coalesce(raw, 0) * {int(scale)}) div __mx").alias(
+                        "auth"
+                    ),
+                )
             )
-            release_materialized(raw_auth)
             # hub'(u) = sum of auth'(v) over out-edges; co-partitioned on d
             raw_hub = (
                 adj_d.join(auth.select(F.col("node").alias("d"), "auth"), "d")
@@ -1120,33 +1154,42 @@ def hits(
                 .repartition(loop_parts, "s")
                 .groupBy("s")
                 .agg(F.sum("auth").alias("raw"))
+            ).persist()
+            cached.append(raw_hub)
+            mx_h = raw_hub.agg(
+                F.greatest(F.max("raw"), F.lit(1).cast("long")).alias("__mx")
             )
-            raw_hub = checkpoint_nostats(raw_hub, loop_parts, ["s"], trust_partitioning=True)
-            mh = raw_hub.agg(F.max("raw").alias("m")).collect()[0]["m"] or 1
-            new_hub = checkpoint_nostats(
+            hub = (
                 nodes.join(
                     raw_hub.select(F.col("s").alias("node"), "raw"), "node", "left"
-                ).select(
+                )
+                .crossJoin(F.broadcast(mx_h))
+                .select(
                     "node",
-                    F.expr(
-                        f"(coalesce(raw, 0) * {int(scale)}) div {int(mh)}"
-                    ).alias("hub"),
-                ),
-                loop_parts,
-                ["node"],
+                    F.expr(f"(coalesce(raw, 0) * {int(scale)}) div __mx").alias(
+                        "hub"
+                    ),
+                )
             )
-            for f in last_ck:
-                release_materialized(f)
-            # the first round's hub is a projection over `nodes` (not a
-            # checkpoint of its own) — release_materialized is a no-op on
-            # it by design, so the uniform call is safe
-            last_ck = [auth, new_hub]
-            hub = new_hub
+            last_round = i == iterations - 1
+            if (i + 1) % checkpoint_interval == 0 and not last_round:
+                auth = checkpoint_nostats(auth, loop_parts, ["node"])
+                hub = checkpoint_nostats(hub, loop_parts, ["node"])
+                for f in cached:
+                    f.unpersist()
+                cached = []
+                for f in last_ck:
+                    release_materialized(f)
+                last_ck = [auth, hub]
         out = checkpoint_nostats(
-            hub.join(auth, "node").select("node", "hub", F.col("auth"))
-            .withColumnRenamed("hub", "hub_micro")
-            .withColumnRenamed("auth", "auth_micro")
+            hub.join(auth, "node").select(
+                "node",
+                F.col("hub").alias("hub_micro"),
+                F.col("auth").alias("auth_micro"),
+            )
         )
+        for f in cached:
+            f.unpersist()
         for f in last_ck:
             release_materialized(f)
         return out

@@ -1065,6 +1065,7 @@ def pq_topk_adc(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Asymmetric-distance top-k: queries (rows of ``emb`` matching
     ``query_pred``) score every PQ code with m table lookups — the
@@ -1077,8 +1078,16 @@ def pq_topk_adc(
     rank) like the other ANN operators. Requires an integral id column
     (query ids ride a driver-built frame; validated up front).
 
+    The query set RIDES THE DRIVER (full float vectors collected to
+    build the broadcast lookup tables), so ``query_pred`` must select a
+    BOUNDED set — fraction-style predicates (``vec_id % 100 == 0``)
+    grow linearly with the corpus and would eventually exhaust driver
+    memory. ``max_queries`` (default 10k ≈ 10k x dim x 8 B collected,
+    plus a |q| x m x k lookup tensor broadcast per executor) enforces
+    that contract up front with a loud ValueError instead of an OOM.
+
     Scale shape: one corpus scan over codes + one |q|*shortlist-sized
-    exact re-rank join; the float vectors never shuffle."""
+    exact re-rank join; the corpus float vectors never shuffle."""
     import pandas as pd
 
     id_type = emb.schema[id_col].dataType.simpleString()
@@ -1091,10 +1100,17 @@ def pq_topk_adc(
     qrows = (
         emb.where(query_pred)
         .select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
+        .limit(max_queries + 1)
         .collect()
     )
     if not qrows:
         raise ValueError("query_pred matched no rows")
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query_pred matched more than max_queries={max_queries} rows; "
+            "pq_topk_adc queries ride the driver and broadcast — select a "
+            "bounded query set or raise max_queries deliberately"
+        )
     qids = [r["qid"] for r in qrows]
     Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
