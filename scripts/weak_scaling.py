@@ -689,6 +689,66 @@ def hits_case(spark, n_edges: int) -> dict:
     return {"case": "hits", "edges": n_edges, "nodes": n_rows, "sec": round(dt, 2)}
 
 
+def hits_soak_case(spark, n_edges: int) -> dict:
+    """Deep-iteration HITS soak (round-8, VERDICT r7 #2): the q103 query
+    runs 2 iterations, which exercises exactly one checkpoint interval —
+    the lazy round-chaining path (broadcast max-normalizers instead of
+    per-half-round driver collects, persisted raw frames dropped at each
+    checkpoint) went unexercised at depth. Runs 8, 16 and 24 iterations
+    (4, 8 and 12 checkpoint intervals at checkpoint_interval=2) on the
+    weak-scaling graph and asserts the same envelope as pagerank_soak:
+    - marginal per-iteration cost of iterations 17-24 <= 1.5x that of
+      iterations 9-16 (block accumulation or plan compounding would make
+      later intervals dearer);
+    - persistent-RDD block count after each run + release is IDENTICAL
+      regardless of depth (every interval unpersists its raw frames and
+      releases its predecessor checkpoints);
+    - scores stay inside the micro-unit envelope (max-normalization
+      bounds every score by `scale`)."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import hits
+
+    n_nodes = max(100, n_edges // 10)
+    edges = spark.range(n_edges).select(
+        (F.abs(F.xxhash64("id")) % n_nodes).alias("src"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % n_nodes).alias("dst"),
+    )
+
+    def n_blocks() -> int:
+        lst = spark.sparkContext._jsc.sc().getPersistentRDDs().toList()
+        return lst.size()
+
+    warm = hits(edges, iterations=1)
+    warm.count()
+    release_materialized(warm)
+    walls: dict[int, float] = {}
+    blocks: dict[int, int] = {}
+    for iters in (8, 16, 24):
+        t0 = time.perf_counter()
+        ht = hits(edges, iterations=iters)
+        mx = ht.agg(
+            F.max("hub_micro").alias("h"), F.max("auth_micro").alias("a")
+        ).collect()[0]
+        walls[iters] = time.perf_counter() - t0
+        blocks[iters] = n_blocks()
+        assert 0 < mx["h"] <= 10**6 and 0 < mx["a"] <= 10**6, (iters, dict(mx.asDict()))
+        release_materialized(ht)
+    marg_9_16 = (walls[16] - walls[8]) / 8
+    marg_17_24 = (walls[24] - walls[16]) / 8
+    assert blocks[8] == blocks[16] == blocks[24], blocks
+    assert marg_17_24 <= 1.5 * max(marg_9_16, 0.2), (marg_9_16, marg_17_24)
+    return {
+        "case": "hits_soak",
+        "edges": n_edges,
+        "sec_8": round(walls[8], 2),
+        "sec_16": round(walls[16], 2),
+        "sec_24": round(walls[24], 2),
+        "sec_per_iter_9_16": round(marg_9_16, 3),
+        "sec_per_iter_17_24": round(marg_17_24, 3),
+        "blocks_after_run": blocks[24],
+    }
+
+
 def kcore_case(spark, n_edges: int) -> dict:
     """k-core peeling (round-7): hashed graph with a degree mix (avg ~10)
     peeled at k=12 — several rounds of real shrinkage. Per-round work is
@@ -885,6 +945,8 @@ def main() -> None:
     if which in ("hits", "all"):
         out.append(hits_case(spark, 1_000_000))
         out.append(hits_case(spark, 10_000_000))
+    if which in ("hits_soak", "all"):
+        out.append(hits_soak_case(spark, 10_000_000))
     if which in ("kcore", "all"):
         out.append(kcore_case(spark, 100_000))
         out.append(kcore_case(spark, 1_000_000))

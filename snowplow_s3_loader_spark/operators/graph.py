@@ -900,12 +900,22 @@ def random_walks(
 
     Scale mechanics (the pagerank loop shape): the adjacency is
     checkpointed ONCE with an advertised hash(s) layout at graph-sized
-    width; each step repartitions the |V|-sized walk frontier to match
+    width; each step repartitions the |V|-sized walk state to match
     (the |E|-sized adjacency side never shuffles) and reduces candidates
     with one min_by aggregation keyed by walk — 2 graph-width shuffles
-    of frontier-sized data per step, never corpus-scale. Steps chain
-    lazily (walk_length is small by construction); per-step candidate
-    volume is bounded by |E|.
+    of frontier-sized data per step, never corpus-scale. The walk
+    history rides the state frame as a path array and a single
+    posexplode emits (walk, step, node) at the end, so the whole walk
+    is ONE linear lazy chain: every step's join/agg is evaluated
+    exactly once. (The round-7 shape unioned a per-step output frame
+    instead — with nothing materialized between steps, level i's union
+    branch re-evaluated steps 1..i-1, an O(L^2) plan that measured as
+    ~60% of q99's wall at L=3 and would grow quadratically for the
+    DeepWalk-typical L=40-80. The path array costs O(step) extra bytes
+    per candidate row instead — the strictly better trade at any L.)
+    A dead-ended walk survives as a left-join null and simply stops
+    extending its path; steps checkpoint every 8 rounds to keep lineage
+    bounded for long walks.
 
     Returns a MATERIALIZED (checkpointed) frame — the internal
     adjacency checkpoint is released before returning (a lazy union
@@ -926,14 +936,20 @@ def random_walks(
     loop_parts = _loop_width(spark, e.count())
     adj = checkpoint_nostats(e, loop_parts, ["s"])
     release_materialized(e)
-    cur = adj.select(F.col("s").alias("walk"), F.col("s").alias("cur")).distinct()
-    levels = [cur.select("walk", F.lit(0).alias("step"), F.col("cur").alias("node"))]
+    # state: one row per walk — (walk, path so far, current node). cur is
+    # null once the walk dead-ends; the left join then finds no match and
+    # the path stops growing, with no per-step branch to re-evaluate.
+    state = adj.select(F.col("s").alias("walk")).distinct().select(
+        "walk", F.array("walk").alias("path"), F.col("walk").alias("cur")
+    )
+    ckpts: list[DataFrame] = []
     for i in range(1, walk_length + 1):
         cand = (
-            cur.repartition(loop_parts, "cur")
-            .join(adj, F.col("cur") == adj.s)  # adjacency side: no shuffle
+            state.repartition(loop_parts, "cur")
+            .join(adj, state.cur == adj.s, "left")  # adjacency: no shuffle
             .select(
                 "walk",
+                "path",
                 F.col("d"),
                 F.md5(
                     F.concat_ws(
@@ -947,18 +963,34 @@ def random_walks(
             )
         )
         # adjacency is distinct, so (walk, d) is unique and min_by has no
-        # ties to break (md5 collisions aside)
-        cur = (
+        # ties to break (md5 collisions aside). A dead-ended walk is a
+        # single unmatched row (d null) -> min_by yields null -> the path
+        # is carried unchanged. path is constant within a walk group.
+        state = (
             cand.groupBy("walk")
-            .agg(F.min_by("d", "h").alias("cur"))
+            .agg(
+                F.min_by("d", "h").alias("cur"),
+                F.first("path").alias("path"),
+            )
+            .select(
+                "walk",
+                F.when(F.col("cur").isNull(), F.col("path"))
+                .otherwise(F.array_append("path", F.col("cur")))
+                .alias("path"),
+                "cur",
+            )
         )
-        levels.append(
-            cur.select("walk", F.lit(i).alias("step"), F.col("cur").alias("node"))
-        )
-    plan = levels[0]
-    for lv in levels[1:]:
-        plan = plan.unionByName(lv)
-    out = checkpoint_nostats(plan)
+        if i % 8 == 0 and i < walk_length:
+            nxt = checkpoint_nostats(state, loop_parts, ["cur"])
+            for c in ckpts:
+                release_materialized(c)
+            ckpts = [nxt]
+            state = nxt
+    out = checkpoint_nostats(
+        state.select("walk", F.posexplode("path").alias("step", "node"))
+    )
+    for c in ckpts:
+        release_materialized(c)
     release_materialized(adj)
     return out
 
