@@ -1095,15 +1095,31 @@ def hits(
     Scale mechanics: the narrow (s, d) adjacency is checkpointed once
     with an advertised hash(s) layout and a d-keyed twin with hash(d),
     so each half-round's join co-partitions against one of them; scores
-    live on |V|-sized frames. Rounds chain LAZILY between checkpoints
-    (the pagerank pattern): each half-round's max-normalizer is a 1-row
-    aggregate cross-joined back as a broadcast scalar — NOT a driver
-    collect — so a deep run is one Spark job per checkpoint interval
-    instead of 2 blocking driver round-trips per iteration. The raw
-    per-half-round sums are persisted lazily (each feeds both its
-    normalizer broadcast and the align join — without the cache the
-    lazy plan would recompute the chain exponentially) and dropped at
-    the next checkpoint. Returns a materialized frame; release when
+    live on |V|-sized frames KEYED BY THE NEXT JOIN'S SIDE (auth by d,
+    hub by s) — alignment onto the full node spine happens ONCE at the
+    end, not per half-round (round 8: the per-half-round spine joins
+    bought nothing — a node missing from a score frame is exactly a
+    node no edge reads — and cost a join per half-round of both plan
+    construction and execution). Iteration 1's first half-round is a
+    PURE EXPRESSION over the materialized degree frame: with all hubs
+    at `scale`, raw auth(v) = in_deg(v)*scale and its max-normalizer is
+    the literal max in-degree, so auth_1 = in_deg*scale div max_in_deg
+    — bit-identical to the generic path since (a*k) div (b*k) = a div b
+    for truncating division. Each later half-round MATERIALIZES its raw
+    sum frame (one checkpoint job — the raw frame feeds BOTH its
+    broadcast max-normalizer and the next half-round, and round 8
+    measured the alternatives: per-half-round max COLLECTS cost two
+    blocking jobs per half-round, while fully lazy persist() chaining
+    exploded into ~50 AQE stage re-executions per query because
+    concurrent query-stage submission races the un-populated cache —
+    2.5s of scheduling for a 150k-edge graph). The normalizer stays a
+    1-row aggregate cross-joined back as a broadcast scalar, computed
+    from the materialized leaf inside the next half-round's job — no
+    separate driver round-trip — so a deep run costs exactly one
+    |E|-join job per half-round with flat marginal cost (the
+    weak-scaling hits_soak pins this at 8/16/24 iterations). Raw
+    checkpoints are released as soon as no live frame reads them (at
+    most two are held). Returns a materialized frame; release when
     done."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -1119,113 +1135,119 @@ def hits(
     adj_s = checkpoint_nostats(e, loop_parts, ["s"])
     adj_d = checkpoint_nostats(adj_s, loop_parts, ["d"])
     release_materialized(e)
-    nodes = checkpoint_nostats(
-        adj_s.select(F.col("s").alias("node"))
-        .union(adj_s.select(F.col("d").alias("node")))
-        .distinct(),
+    # node spine FUSED with the degree frame: one |E|-pass builds both
+    # the distinct-node frame every round's align join needs AND the
+    # per-node in/out degrees the int64 bound check needs (round 8 —
+    # previously two separate full passes over the adjacency).
+    deg = checkpoint_nostats(
+        adj_s.select(F.col("s").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+        .union(adj_s.select(F.col("d").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i")))
+        .groupBy("node")
+        .agg(F.sum("o").alias("od"), F.sum("i").alias("id")),
         loop_parts,
         ["node"],
     )
+    # projection preserves the advertised hash(node) layout
+    nodes = deg.select("node")
     try:
         # enforce the documented int64 bound BEFORE iterating: each raw
         # sum is bounded by degree * scale and the normalization
         # multiplies by scale again, so max(in_deg, out_deg) * scale^2
-        # must fit in int64 or the sums wrap silently (ANSI off).
-        deg_row = (
-            adj_s.select(F.col("s").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i"))
-            .union(adj_s.select(F.col("d").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i")))
-            .groupBy("node")
-            .agg(F.sum("o").alias("od"), F.sum("i").alias("id"))
-            .agg(F.greatest(F.max("od"), F.max("id")).alias("m"))
-            .collect()
-        )
-        max_deg = int(deg_row[0]["m"] or 0)
+        # must fit in int64 or the sums wrap silently (ANSI off). Reads
+        # the already-materialized degree frame — |V|-sized, not |E|.
+        # max in-degree doubles as iteration 1's literal max-normalizer.
+        [deg_row] = deg.agg(
+            F.max("od").alias("mo"), F.max("id").alias("mi")
+        ).collect()
+        max_out, max_in = int(deg_row["mo"] or 0), int(deg_row["mi"] or 0)
+        max_deg = max(max_out, max_in)
         if max_deg * int(scale) * int(scale) >= 2**63:
             raise ValueError(
                 f"hits: max degree {max_deg} at scale {scale} exceeds the "
                 f"int64 bound max_degree * scale^2 < 2^63; lower `scale` "
                 f"(e.g. {10 ** 4}) for this graph density"
             )
-        checkpoint_interval = 2  # full iterations per materialization
-        hub = nodes.withColumn("hub", F.lit(int(scale)).cast("long"))
-        auth = hub.select("node", F.lit(0).cast("long").alias("auth"))
-        last_ck: list = []
-        cached: list = []  # raw frames persisted since the last checkpoint
+        # score frames are keyed by the side the NEXT join consumes:
+        # auth by d (feeds the adj_d join), hub by s (feeds the adj_s
+        # join). Every dst has in-degree >= 1 and every src has
+        # out-degree >= 1, so the inner joins lose nothing; nodes absent
+        # from a score frame are exactly the nodes no edge reads, and
+        # they align to 0 once at the end.
+        # iteration 1, first half: all hubs are `scale`, so raw auth(v)
+        # is in_deg(v)*scale and the normalizer is the literal
+        # max_in*scale — auth_1 = in_deg*scale div max_in, zero stages
+        # beyond the already-materialized degree frame.
+        auth = deg.where(F.col("id") > 0).select(
+            F.col("node").alias("d"),
+            F.expr(f"(id * cast({int(scale)} as bigint)) div {max(max_in, 1)}")
+            .alias("auth"),
+        )
+        hub = None  # placeholder; set in the loop's second half-round
+        live: list = []  # raw checkpoints still feeding auth/hub
         for i in range(iterations):
-            # auth'(v) = sum of hub(u) over in-edges; co-partitioned on s.
-            # Persisted LAZILY: it feeds both the broadcast normalizer and
-            # the align join, and the next half-round chains on top —
-            # without the cache the lazy plan recomputes it 2^depth times.
-            raw_auth = (
-                adj_s.join(hub.select(F.col("node").alias("s"), "hub"), "s")
-                .select("d", "hub")
-                .repartition(loop_parts, "d")
-                .groupBy("d")
-                .agg(F.sum("hub").alias("raw"))
-            ).persist()
-            cached.append(raw_auth)
-            mx_a = raw_auth.agg(
-                F.greatest(F.max("raw"), F.lit(1).cast("long")).alias("__mx")
-            )
-            auth = (
-                nodes.join(
-                    raw_auth.select(F.col("d").alias("node"), "raw"), "node", "left"
+            if i > 0:
+                # auth'(v) = sum of hub(u) over in-edges; co-partitioned
+                # on s. The explicit repartition keys the aggregation at
+                # loop width, so the checkpoint trusts (and verifies)
+                # the layout instead of re-shuffling.
+                raw_auth = checkpoint_nostats(
+                    adj_s.join(hub, "s")
+                    .select("d", "hub")
+                    .repartition(loop_parts, "d")
+                    .groupBy("d")
+                    .agg(F.sum("hub").alias("raw")),
+                    loop_parts,
+                    ["d"],
+                    trust_partitioning=True,
                 )
-                .crossJoin(F.broadcast(mx_a))
-                .select(
-                    "node",
-                    F.expr(f"(coalesce(raw, 0) * {int(scale)}) div __mx").alias(
-                        "auth"
-                    ),
+                live.append(raw_auth)
+                mx_a = raw_auth.agg(
+                    F.greatest(F.max("raw"), F.lit(1).cast("long")).alias("__mx")
                 )
-            )
+                auth = raw_auth.crossJoin(F.broadcast(mx_a)).select(
+                    "d",
+                    F.expr(f"(raw * {int(scale)}) div __mx").alias("auth"),
+                )
             # hub'(u) = sum of auth'(v) over out-edges; co-partitioned on d
-            raw_hub = (
-                adj_d.join(auth.select(F.col("node").alias("d"), "auth"), "d")
+            raw_hub = checkpoint_nostats(
+                adj_d.join(auth, "d")
                 .select("s", "auth")
                 .repartition(loop_parts, "s")
                 .groupBy("s")
-                .agg(F.sum("auth").alias("raw"))
-            ).persist()
-            cached.append(raw_hub)
+                .agg(F.sum("auth").alias("raw")),
+                loop_parts,
+                ["s"],
+                trust_partitioning=True,
+            )
+            live.append(raw_hub)
             mx_h = raw_hub.agg(
                 F.greatest(F.max("raw"), F.lit(1).cast("long")).alias("__mx")
             )
-            hub = (
-                nodes.join(
-                    raw_hub.select(F.col("s").alias("node"), "raw"), "node", "left"
-                )
-                .crossJoin(F.broadcast(mx_h))
-                .select(
-                    "node",
-                    F.expr(f"(coalesce(raw, 0) * {int(scale)}) div __mx").alias(
-                        "hub"
-                    ),
-                )
+            hub = raw_hub.crossJoin(F.broadcast(mx_h)).select(
+                "s",
+                F.expr(f"(raw * {int(scale)}) div __mx").alias("hub"),
             )
-            last_round = i == iterations - 1
-            if (i + 1) % checkpoint_interval == 0 and not last_round:
-                auth = checkpoint_nostats(auth, loop_parts, ["node"])
-                hub = checkpoint_nostats(hub, loop_parts, ["node"])
-                for f in cached:
-                    f.unpersist()
-                cached = []
-                for f in last_ck:
-                    release_materialized(f)
-                last_ck = [auth, hub]
+            # retire raw checkpoints no longer read by the live auth/hub
+            for f in live[:-2]:
+                release_materialized(f)
+            live = live[-2:]
+        # single final alignment onto the full node spine (deg is hash
+        # (node)-partitioned at loop width, as are both score frames
+        # after their key renames — zero-Exchange joins)
         out = checkpoint_nostats(
-            hub.join(auth, "node").select(
+            nodes
+            .join(hub.select(F.col("s").alias("node"), "hub"), "node", "left")
+            .join(auth.select(F.col("d").alias("node"), "auth"), "node", "left")
+            .select(
                 "node",
-                F.col("hub").alias("hub_micro"),
-                F.col("auth").alias("auth_micro"),
+                F.coalesce("hub", F.lit(0)).cast("long").alias("hub_micro"),
+                F.coalesce("auth", F.lit(0)).cast("long").alias("auth_micro"),
             )
         )
-        for f in cached:
-            f.unpersist()
-        for f in last_ck:
+        for f in live:
             release_materialized(f)
         return out
     finally:
         release_materialized(adj_s)
         release_materialized(adj_d)
-        release_materialized(nodes)
+        release_materialized(deg)

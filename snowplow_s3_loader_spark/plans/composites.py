@@ -435,9 +435,11 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q98), deterministic random walks (q99), first/last-touch
     attribution (q100), and the
     batch-vs-streaming parity audit (round 7: streaming funnel /
-    sharded streaming heavy hitters / incremental ComponentMap each
-    re-run against their batch twin on the same static frame, per-key
-    match bits vs the oracle's literal 1s — plans/parity.py) — tagged
+    sharded streaming heavy hitters / incremental ComponentMap; round 8
+    adds the watermarked stream-stream interval join — each re-run
+    against its batch twin on the same static frame, per-key match bits
+    vs the oracle's literal 1s — plans/parity.py), and the SCD2<->MERGE
+    round-trip invariant (round 8: _scd2_roundtrip_rows) — tagged
     union with the members' columns coerced onto (battery, key, v1, v2,
     v3), the same normalization the sampling battery uses."""
     from snowplow_s3_loader_spark.plans.parity import streaming_parity_rows
@@ -685,6 +687,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    scdrt = _scd2_roundtrip_rows(spark, sf_dir).select(
+        F.lit("scd2rt").alias("battery"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("is_match").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -713,7 +722,46 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(ht)
         .union(scd)
         .union(par)
+        .union(scdrt)
         .orderBy("battery", "key", "v1")
+    )
+
+
+def _scd2_roundtrip_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 <-> MERGE round-trip invariant (round 8, VERDICT r7 #5):
+    ``scd2_history(changes).where(is_current)`` must payload-equal
+    ``apply_changelog(empty_snapshot, changes)`` on the SAME changelog —
+    the two operators share one total tie order (seq, op, payload hash),
+    and this audit proves it STAYS shared: a divergent winner, a key on
+    only one side, or a payload mismatch flips a bit or the row count
+    vs the oracle's literal 1s. One (c_custkey, is_match) row per key
+    whose last change is not a delete."""
+    from snowplow_s3_loader_spark.operators import cdc
+
+    changes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("upd_"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.round("o_totalprice", 2).alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 50 == 0, "D").otherwise("U").alias("op"),
+    )
+    hist = cdc.scd2_history(changes, ["c_custkey"], "seq").where("is_current").select(
+        "c_custkey", F.col("c_name").alias("h_name"), F.col("c_acctbal").alias("h_bal")
+    )
+    empty = changes.select("c_custkey", "c_name", "c_acctbal").limit(0)
+    merged = cdc.apply_changelog(empty, changes, ["c_custkey"], "seq").select(
+        "c_custkey", F.col("c_name").alias("m_name"), F.col("c_acctbal").alias("m_bal")
+    )
+    return hist.join(merged, "c_custkey", "full_outer").select(
+        "c_custkey",
+        # coalesce: a key on only one side yields a NULL comparison, which
+        # must read as a 0 bit, not a NULL that the hash treats specially
+        F.coalesce(
+            F.col("h_name").isNotNull()
+            & (F.col("h_name") == F.col("m_name"))
+            & (F.col("h_bal") == F.col("m_bal")),
+            F.lit(False),
+        ).cast("int").alias("is_match"),
     )
 
 
@@ -1340,6 +1388,33 @@ FROM (
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
   WHERE a.l_orderkey % 10 = 0
 )
+UNION ALL
+-- stream-stream interval join: the true (view, click) pair set — each
+-- click with the same user's views from the preceding 4 hours
+SELECT 'parity' AS battery,
+       'stream_interval_join@' || CAST(v.event_id AS VARCHAR)
+         || '@' || CAST(c.event_id AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+UNION ALL
+-- SCD2 <-> MERGE round-trip invariant: scd2_history's open (is_current)
+-- versions must payload-equal apply_changelog folded into an empty
+-- snapshot over the SAME changelog (they share one tie order); the key
+-- set is every customer whose LAST change is not a delete
+SELECT 'scd2rt' AS battery, CAST(o_custkey AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (
+  SELECT o_custkey,
+         arg_max(CASE WHEN o_orderkey % 50 = 0 THEN 'D' ELSE 'U' END,
+                 o_orderkey) AS last_op
+  FROM orders GROUP BY o_custkey
+)
+WHERE last_op <> 'D'
 ORDER BY battery, key, v1
 """
 

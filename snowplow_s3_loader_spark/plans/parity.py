@@ -20,6 +20,15 @@ Checks:
 - ``component_map``: the incremental map after folding the pair graph
   in two hash-split batches must be row-identical to batch connected
   components on the full pair set.
+- ``stream_interval_join`` (round 8, VERDICT r7 #6): the watermarked
+  stream-stream inner join with a time-range condition (each click
+  joined to the same user's views from the preceding 4 hours, both
+  sides replayed as hash-split micro-batches so matches genuinely
+  cross batch boundaries) must produce exactly the batch join's
+  (view, click) pair set — inner-join results emit on match regardless
+  of the watermark, so the comparison is exact, and the oracle
+  enumerates the true pair set in SQL so a divergence in EITHER
+  direction flips a bit or the row count.
 
 All comparisons resolve driver-side into one small materialized frame
 (key sets: funnel users / 15 tokens / pair-graph nodes — bounded well
@@ -215,18 +224,112 @@ def _component_map_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+def _interval_join_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Stream-stream interval join vs its batch twin (round-7's pytest
+    e2e — tests/test_streaming_windows.py — promoted to a driver-visible
+    audit). Both event slices stream from two hash-split parquet files
+    under maxFilesPerTrigger=1, so roughly half the matches pair rows
+    from DIFFERENT micro-batches and exercise the buffered-state path;
+    the watermark out-spans the data (inner joins emit on match — the
+    watermark only bounds state, and the slice is audit-sized)."""
+    # watermarks demand TIMESTAMP (not NTZ); the session tz is UTC
+    # (tune_session), so the cast is the same stable bijection the
+    # funnel battery rides and both twins apply it identically
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    views = ev.where(F.col("event_type") == "view").drop("event_type")
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+
+    v_b = views.select(
+        F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts"),
+        F.col("user_id").alias("user_id"),
+    )
+    c_b = clicks.select(
+        F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    batch = {
+        (r["v_id"], r["c_id"])
+        for r in v_b.join(
+            c_b,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 4 HOURS")),
+        ).select("v_id", "c_id").collect()
+    }
+
+    tmp = tempfile.mkdtemp(prefix="parity_ssjoin_")
+    got: set = set()
+    try:
+        v_dir = _write_stream_files(
+            [views.where(F.pmod(F.xxhash64("event_id"), 2) == i) for i in range(2)],
+            os.path.join(tmp, "v"),
+        )
+        c_dir = _write_stream_files(
+            [clicks.where(F.pmod(F.xxhash64("event_id"), 2) == i) for i in range(2)],
+            os.path.join(tmp, "c"),
+        )
+        schema = "event_id bigint, ts timestamp, user_id bigint"
+
+        def rd(d):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d)
+            )
+
+        sv = rd(v_dir).withWatermark("ts", "60 days").select(
+            F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts"),
+            F.col("user_id"),
+        )
+        sc = rd(c_dir).withWatermark("ts", "60 days").select(
+            F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"),
+            F.col("user_id").alias("c_user"),
+        )
+        sj = sv.join(
+            sc,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 4 HOURS")),
+        ).select("v_id", "c_id")
+
+        def _fb(df, bid):
+            for r in df.collect():
+                got.add((r["v_id"], r["c_id"]))
+
+        q = (
+            sj.writeStream.foreachBatch(_fb)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("interval-join parity stream did not drain within 600s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return [
+        ("stream_interval_join", f"{v}@{c}", int((v, c) in batch and (v, c) in got))
+        for (v, c) in sorted(batch | got)
+    ]
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(check_name, key, is_match) for all three parity families, fully
+    """(check_name, key, is_match) for all four parity families, fully
     materialized driver-side (literal rows — no lingering plan or
-    checkpoint references). The two streaming checks run CONCURRENTLY
+    checkpoint references). The three streaming checks run CONCURRENTLY
     (independent sources/sinks/checkpoints; Spark job submission is
     thread-safe) so the audit pays one streaming-query startup of wall
-    time, not two."""
+    time, not three."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
+    with ThreadPoolExecutor(max_workers=3) as ex:
         fut_funnel = ex.submit(_funnel_parity, spark, sf_dir)
         fut_heavy = ex.submit(_heavy_parity, spark, sf_dir)
+        fut_ssj = ex.submit(_interval_join_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
-        rows = fut_funnel.result() + fut_heavy.result() + cm_rows
+        rows = fut_funnel.result() + fut_heavy.result() + fut_ssj.result() + cm_rows
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")
