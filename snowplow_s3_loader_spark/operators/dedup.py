@@ -476,6 +476,14 @@ def _assert_trusted_layout(df: DataFrame, partition_cols: list[str], n_parts: in
         _group_matches(m)
         for m in re.findall(r"hashpartitioning\(([^()]*)\)", desc)
     )
+    # a provably-EMPTY final plan satisfies any layout claim vacuously
+    # (every one of its zero rows is in the right partition): AQE's
+    # PropagateEmptyRelation collapses an empty-input subtree to an
+    # empty local relation reporting UnknownPartitioning(0) — e.g. a
+    # k-core peel that prunes the whole graph. Zero partitions can hold
+    # no rows, so n == 0 is the demonstrably-empty condition.
+    if not ok and n == 0:
+        return
     if not ok:
         raise AssertionError(
             "checkpoint_nostats(trust_partitioning=True): executed plan's "

@@ -1001,6 +1001,7 @@ def k_core(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph in which
     every node has degree >= k (Seidman 1983) — the dense-subgraph
@@ -1016,6 +1017,16 @@ def k_core(
     truncation per the checkpoint_nostats doctrine); convergence is
     detected from the materialized edge count the checkpoint already
     paid for.
+
+    While the surviving edge count stays at or under
+    ``broadcast_threshold`` (a (long) survivor list is ~8 bytes/row, and
+    |keep| <= |V| <= |E|), the survivor set rides a BROADCAST into both
+    endpoint prunes — the surviving edge frame then never shuffles and
+    each round's checkpoint trusts the preserved hash(a) layout, making
+    the whole round zero-Exchange (round 8: the same gating as
+    triangle_count's closure broadcast; larger graphs fall back to the
+    shuffled semi joins, which is the only plan that scales past
+    broadcast size).
 
     Returns (node, core_degree): the surviving nodes with their degree
     INSIDE the core (>= k by construction — the falsifiable invariant
@@ -1037,13 +1048,21 @@ def k_core(
     for _ in range(max_iter):
         deg = cur.groupBy("a").agg(F.count("*").alias("deg"))  # co-partitioned
         keep = deg.where(F.col("deg") >= k).select("a")
-        # prune both endpoints: an edge survives iff BOTH ends survive
+        small = n <= broadcast_threshold
+        if small:
+            keep = F.broadcast(keep)
+        # prune both endpoints: an edge survives iff BOTH ends survive.
+        # On the broadcast path both semi joins are BHJs that preserve
+        # cur's hash(a) layout, so the checkpoint trusts it (verified
+        # against the post-AQE plan) instead of re-shuffling.
         nxt_plan = (
             cur.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
             .select("a", "b")
         )
-        nxt = checkpoint_nostats(nxt_plan, loop_parts, ["a"])
+        nxt = checkpoint_nostats(
+            nxt_plan, loop_parts, ["a"], trust_partitioning=small
+        )
         n_next = nxt.count()
         release_materialized(cur)
         cur = nxt
