@@ -432,3 +432,57 @@ class Engine:
         from snowplow_s3_loader_spark.operators.cdc import scd2_history
 
         return scd2_history(changes, keys, seq_col, op_col, delete_op)
+
+    def fuzzy_join(self, left: DataFrame, right: DataFrame,
+                   left_id: str, left_str: str, right_id: str,
+                   right_str: str, tau: int) -> DataFrame:
+        """Edit-distance similarity join, PassJoin segment blocking
+        (operators.linkage)."""
+        from snowplow_s3_loader_spark.operators.linkage import edit_distance_join
+
+        return edit_distance_join(
+            left, right, left_id, left_str, right_id, right_str, tau
+        )
+
+    def fuzzy_self_join(self, df: DataFrame, id_col: str, str_col: str,
+                        tau: int) -> DataFrame:
+        """Within-corpus edit-distance pairs (operators.linkage)."""
+        from snowplow_s3_loader_spark.operators.linkage import (
+            edit_distance_self_join,
+        )
+
+        return edit_distance_self_join(df, id_col, str_col, tau)
+
+    def bfs_distances(self, edges: DataFrame, sources: DataFrame,
+                      src: str = "src", dst: str = "dst",
+                      node_col: str = "node", max_depth: int = 8) -> DataFrame:
+        """Multi-source BFS hop distances (operators.graph)."""
+        from snowplow_s3_loader_spark.operators.graph import bfs_distances
+
+        return bfs_distances(edges, sources, src, dst, node_col, max_depth)
+
+    def snapshot_diff(self, old: DataFrame, new: DataFrame, keys: list,
+                      include_unchanged: bool = False) -> DataFrame:
+        """Row-level added/removed/changed diff between two snapshots
+        (operators.cdc)."""
+        from snowplow_s3_loader_spark.operators.cdc import snapshot_diff
+
+        return snapshot_diff(old, new, keys, include_unchanged)
+
+    def transition_matrix(self, events: DataFrame, user_col: str, ts_col: str,
+                          type_col: str, tie_cols: tuple = ()) -> DataFrame:
+        """First-order Markov transition counts + micro-unit probabilities
+        (operators.behavior)."""
+        from snowplow_s3_loader_spark.operators.behavior import transition_matrix
+
+        return transition_matrix(events, user_col, ts_col, type_col, tie_cols)
+
+    def rolling_anomalies(self, df: DataFrame, group_col: str,
+                          order_cols: list, cents_col: str, window: int = 20,
+                          min_n: int = 8, threshold: int = 3) -> DataFrame:
+        """Exact-integer rolling z-score anomaly flags (operators.timeseries)."""
+        from snowplow_s3_loader_spark.operators.timeseries import rolling_anomalies
+
+        return rolling_anomalies(
+            df, group_col, order_cols, cents_col, window, min_n, threshold
+        )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel_steps(
@@ -267,4 +268,52 @@ def attribution(
             "n_touches",
             "last_touch_type",
         )
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tie_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: for every consecutive (event, next event) pair in a
+    user's timeline, the exact transition count and the row-normalized
+    transition probability in integer MICRO-UNITS
+    (``prob_micro = n * 1_000_000 div sum(n) over from_type`` —
+    truncating integer division, so the matrix is bit-identical across
+    engines; the q83/q103 discipline). The next-action model behind
+    "users who did X then do Y" product analytics and behavioral
+    pretraining-corpus statistics.
+
+    One window pass over the events (lead over the user partition —
+    the same shape as funnel/attribution; pass ``tie_cols`` to make the
+    order total when timestamps can tie) plus one aggregation keyed on
+    the (from, to) pair; the normalizing window runs on the aggregated
+    matrix, which is at most |event types|^2 rows — nothing
+    user-volume-sized shuffles twice.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tie_cols]
+    )
+    pairs = (
+        events.withColumn("__to", F.lead(type_col).over(w))
+        .where(F.col("__to").isNotNull())
+        .select(F.col(type_col).alias("from_type"), F.col("__to").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("__num"),
+        F.sum("n").over(total).alias("__den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("__num div __den").alias("prob_micro"),
     )

@@ -149,3 +149,54 @@ def apply_changelog(
         touched = F.broadcast(touched)
     upserts = latest.where(F.col(op_col) != delete_op).select(*snapshot.columns)
     return snapshot.join(touched, keys, "left_anti").unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same keyed table:
+    one row per key present in either side, classified as ``added``
+    (key only in ``new``), ``removed`` (only in ``old``), ``changed``
+    (both sides, any payload column differs — SQL ``IS DISTINCT FROM``
+    semantics, so NULL vs value counts as a change and NULL vs NULL
+    does not), or ``unchanged`` (emitted only with
+    ``include_unchanged=True``). The dataset-versioning audit primitive:
+    what did this crawl/ingest/backfill actually touch?
+
+    ONE full-outer join on the key and a pure-expression classifier —
+    both sides shuffle once on the key (or less: AQE broadcasts a
+    small side), payload comparison never leaves the JVM. Schemas must
+    match; column order may differ.
+    """
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshots differ in columns: {sorted(set(old.columns) ^ set(new.columns))}"
+        )
+    payload = [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in payload],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in payload],
+        F.lit(True).alias("__in_new"),
+    )
+    changed = F.lit(False)
+    for c in payload:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    out = o.join(n, keys, "full_outer").select(
+        *keys,
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    if not include_unchanged:
+        out = out.where(F.col("change_type") != "unchanged")
+    return out

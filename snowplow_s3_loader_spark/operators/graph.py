@@ -1270,3 +1270,86 @@ def hits(
         release_materialized(adj_s)
         release_materialized(adj_d)
         release_materialized(deg)
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_depth: int = 8,
+) -> DataFrame:
+    """Minimum hop distance from a seed SET to every reachable node
+    within ``max_depth`` hops: level-synchronous multi-source BFS over
+    directed edges, returned as a checkpointed ``(node, dist)`` frame
+    (``release_materialized``-compatible; callers symmetrize for
+    undirected graphs).
+
+    The engine's iterative-loop shape (connected_components /
+    pagerank discipline): the adjacency is checkpointed ONCE with an
+    advertised hash(src) layout and never moves again; per round only
+    the frontier — at most |V| rows, typically far fewer — shuffles
+    (one distinct keyed on the neighbor id), and the anti-join against
+    the visited set plus the next round's expansion are co-partitioned
+    zero-Exchange joins. Work per round is O(edges out of the
+    frontier); total traffic is O(depth x |V|), never O(depth x |E|).
+    Rounds stop early when a level is empty, so ``max_depth`` is a cap,
+    not a cost.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    n_edges = e.count()
+    loop_parts = _loop_width(spark, n_edges)
+    adj = checkpoint_nostats(e, loop_parts, ["s"])
+    try:
+        frontier = checkpoint_nostats(
+            sources.select(F.col(node_col).alias("v")).where(F.col("v").isNotNull())
+            .distinct(),
+            loop_parts,
+            ["v"],
+        )
+        visited = checkpoint_nostats(
+            frontier.select("v", F.lit(0).alias("dist")), loop_parts, ["v"]
+        )
+        for depth in range(1, max_depth + 1):
+            neigh = (
+                adj.join(frontier, adj.s == frontier.v)  # co-partitioned on s
+                .select(F.col("d").alias("v"))
+                .repartition(loop_parts, "v")
+                .distinct()
+            )
+            # both sides hash(v) at loop width -> zero-Exchange anti join;
+            # the projection keeps v, so the layout survives to the
+            # checkpoint (trusted, same gate as the CC round join)
+            new_frontier = checkpoint_nostats(
+                neigh.join(visited, "v", "left_anti"),
+                loop_parts,
+                ["v"],
+                trust_partitioning=True,
+            )
+            release_materialized(frontier)
+            frontier = new_frontier
+            if frontier.count() == 0:
+                break
+            new_visited = checkpoint_nostats(
+                visited.unionByName(
+                    frontier.select("v", F.lit(depth).alias("dist"))
+                ),
+                loop_parts,
+                ["v"],
+            )
+            release_materialized(visited)
+            visited = new_visited
+        out = checkpoint_nostats(
+            visited.select(F.col("v").alias(node_col), F.col("dist"))
+        )
+        release_materialized(visited)
+        release_materialized(frontier)
+        return out
+    finally:
+        release_materialized(adj)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _UNITS = {"hour", "day", "week", "month", "minute", "second"}
 
@@ -110,4 +111,50 @@ def robust_outliers(
         )
         .select(*keys, "n", F.round("med", 6).alias("med"),
                 F.round("mad", 6).alias("mad"), "n_outliers")
+    )
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    cents_col: str,
+    window: int = 20,
+    min_n: int = 8,
+    threshold: int = 3,
+) -> DataFrame:
+    """Flag rows whose value deviates more than ``threshold`` rolling
+    standard deviations from the trailing ``window`` rows of their
+    group — the streaming-shaped quality gate for numeric columns
+    (sensor glitches, price fat-fingers, bot bursts) with EXACT integer
+    math: the test ``|x - mean| > t * stddev`` is evaluated as
+    ``(x*n - S)^2 > t^2 * (n*Q - S^2)`` over BIGINT rolling sums
+    (S = sum, Q = sum of squares, n = count of the trailing frame), so
+    no float summation order exists anywhere and the flags are
+    bit-identical across engines. ``cents_col`` must be an integer
+    column (use the cents discipline for 2-dp floats); inputs must keep
+    ``|x| * window`` within int64 (|x| <= ~2e13 at the default window).
+
+    One partitioned window pass (``ROWS BETWEEN window PRECEDING AND 1
+    PRECEDING`` — the row itself is excluded so it cannot mask its own
+    deviation); rows with fewer than ``min_n`` trailing observations are
+    never flagged. A zero-variance history flags ANY deviation from the
+    constant (documented; raise ``min_n`` if that is too eager).
+    ``order_cols`` must be a total order within the group (append a
+    unique id — the q08 lesson).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-window, -1)
+    )
+    c = F.col(cents_col).cast("long")
+    n = F.count(cents_col).over(w)
+    s = F.sum(c).over(w)
+    q = F.sum(c * c).over(w)
+    lhs = (c * n - s) * (c * n - s)
+    rhs = F.lit(threshold * threshold) * (n * q - s * s)
+    return df.withColumn(
+        "is_anomaly",
+        ((n >= F.lit(min_n)) & (lhs > rhs)).cast("boolean"),
     )

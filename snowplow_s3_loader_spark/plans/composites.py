@@ -694,6 +694,45 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    fz = q.q105_fuzzy_join(spark, sf_dir).select(
+        F.lit("fuzzy").alias("battery"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("n_matches").alias("v1"),
+        F.col("min_match").alias("v2"),
+        F.col("max_match").alias("v3"),
+    )
+    bf = q.q106_bfs_distances(spark, sf_dir).select(
+        F.lit("bfs").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("dist").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    sdiff = q.q107_snapshot_diff(spark, sf_dir).select(
+        F.lit("diff").alias("battery"),
+        F.concat_ws(
+            "@", F.col("change_type"), F.col("o_orderkey").cast("string")
+        ).alias("key"),
+        F.lit(None).cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    tm = q.q108_transition_matrix(spark, sf_dir).select(
+        F.lit("transitions").alias("battery"),
+        F.concat_ws("@", "from_type", "to_type").alias("key"),
+        F.col("n").alias("v1"),
+        F.col("prob_micro").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    anom = q.q109_rolling_anomalies(spark, sf_dir).select(
+        F.lit("anomaly").alias("battery"),
+        F.concat_ws("@", F.col("event_type"), F.col("event_id").cast("string")).alias(
+            "key"
+        ),
+        F.col("cents").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -723,6 +762,11 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(scd)
         .union(par)
         .union(scdrt)
+        .union(fz)
+        .union(bf)
+        .union(sdiff)
+        .union(tm)
+        .union(anom)
         .orderBy("battery", "key", "v1")
     )
 
@@ -870,6 +914,8 @@ _FOLDED = {
     "q97_quality_checks", "q98_bpe_tokenizer", "q99_random_walks",
     "q100_attribution", "q101_pq_ann", "q102_k_core", "q103_hits",
     "q104_scd2_history",
+    "q105_fuzzy_join", "q106_bfs_distances", "q107_snapshot_diff",
+    "q108_transition_matrix", "q109_rolling_anomalies",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1415,6 +1461,30 @@ FROM (
   FROM orders GROUP BY o_custkey
 )
 WHERE last_op <> 'D'
+UNION ALL
+SELECT 'fuzzy' AS battery, CAST(c_custkey AS VARCHAR) AS key,
+       n_matches AS v1, min_match AS v2, max_match AS v3
+FROM ({ORACLES["q105_fuzzy_join"]})
+UNION ALL
+SELECT 'bfs' AS battery, CAST(node AS VARCHAR) AS key,
+       CAST(dist AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q106_bfs_distances"]})
+UNION ALL
+SELECT 'diff' AS battery,
+       change_type || '@' || CAST(o_orderkey AS VARCHAR) AS key,
+       CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q107_snapshot_diff"]})
+UNION ALL
+SELECT 'transitions' AS battery, from_type || '@' || to_type AS key,
+       n AS v1, prob_micro AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q108_transition_matrix"]})
+UNION ALL
+SELECT 'anomaly' AS battery,
+       event_type || '@' || CAST(event_id AS VARCHAR) AS key,
+       cents AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q109_rolling_anomalies"]})
 ORDER BY battery, key, v1
 """
 

@@ -1733,3 +1733,120 @@ SELECT c_custkey, c_name, c_acctbal,
 FROM v WHERE op <> 'D'
 ORDER BY c_custkey, valid_from_seq
 """
+
+# q105: brute-force levenshtein over the same customer-name slice the
+# PassJoin-blocked Spark operator runs on — per-node neighbor profile
+# over both pair directions, sensitive to any missing/spurious pair.
+ORACLES["q105_fuzzy_join"] = """
+WITH c AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 5 = 0
+),
+p AS (
+  SELECT a.c_custkey AS x, b.c_custkey AS y
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+u AS (SELECT x AS node, y AS nbr FROM p UNION ALL SELECT y AS node, x AS nbr FROM p)
+SELECT node AS c_custkey,
+       count(*) AS n_matches,
+       min(nbr) AS min_match,
+       max(nbr) AS max_match
+FROM u GROUP BY node ORDER BY c_custkey
+"""
+
+# q106: recursive (node, dist) expansion over the symmetrized q103 edge
+# set; UNION dedupes exact tuples so the walk is bounded by
+# |V| x depth, min(dist) recovers the BFS level.
+ORACLES["q106_bfs_distances"] = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o_custkey AS s, 1000000 + l_suppkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_orderkey % 4 = 0
+),
+sym AS (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),
+seeds AS (SELECT DISTINCT s AS node FROM e WHERE s % 200 = 0),
+walk(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT sym.d, walk.dist + 1
+  FROM walk JOIN sym ON sym.s = walk.node
+  WHERE walk.dist < 3
+)
+SELECT node, CAST(min(dist) AS INTEGER) AS dist
+FROM walk GROUP BY node ORDER BY node
+"""
+
+# q107: snapshot diff as a full-outer join + CASE classifier with
+# IS DISTINCT FROM payload comparison (NULL vs value is a change).
+ORACLES["q107_snapshot_diff"] = """
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT * FROM (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN (old.o_custkey IS DISTINCT FROM new.o_custkey)
+                OR (old.o_orderstatus IS DISTINCT FROM new.o_orderstatus)
+                OR (old.o_totalprice IS DISTINCT FROM new.o_totalprice)
+              THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+WHERE change_type <> 'unchanged'
+ORDER BY o_orderkey
+"""
+
+# q108: lead() transitions + truncating integer division in micro-units
+# (// on positive BIGINTs matches Spark's div exactly).
+ORACLES["q108_transition_matrix"] = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS prob_micro
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+# q109: identical rolling-window SQL — BIGINT sums over ROWS BETWEEN 20
+# PRECEDING AND 1 PRECEDING, exact integer inequality.
+ORACLES["q109_rolling_anomalies"] = """
+WITH ev AS (
+  SELECT event_id, event_type, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_id, event_type, cents,
+         count(cents) OVER win AS n,
+         sum(cents)   OVER win AS s,
+         sum(cents * cents) OVER win AS q
+  FROM ev
+  WINDOW win AS (
+    PARTITION BY event_type ORDER BY ts, event_id
+    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, event_type, cents
+FROM w
+WHERE n >= 8 AND (cents * n - s) * (cents * n - s) > 9 * (n * q - s * s)
+ORDER BY event_id
+"""

@@ -1518,6 +1518,125 @@ def q104_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (PassJoin segment blocking, Li et al.
+    VLDB'11) over the c_custkey%5 customer-name slice at tau=1: pairs
+    meet through an equi-join on (segment index, length, segment
+    string) — never all-pairs — and only candidates pay levenshtein.
+    Emits the per-node linkage profile (neighbor count, min/max
+    neighbor id over both pair directions), which is sensitive to any
+    missing or spurious pair; the oracle brute-forces the same slice
+    with DuckDB's levenshtein."""
+    from snowplow_s3_loader_spark.operators.linkage import edit_distance_self_join
+
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0)
+    pairs = edit_distance_self_join(cust, "c_custkey", "c_name", tau=1)
+    und = pairs.select(
+        F.col("id_a").alias("c_custkey"), F.col("id_b").alias("nbr")
+    ).unionByName(pairs.select(F.col("id_b").alias("c_custkey"), F.col("id_a").alias("nbr")))
+    return (
+        und.groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("nbr").alias("min_match"),
+            F.max("nbr").alias("max_match"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q106_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the SYMMETRIZED customer <->
+    supplier trade graph (the q103 edge set): minimum hops from the
+    seed customers (custkey % 200 == 0 among edge sources) to every
+    node within 3 hops. Level-synchronous frontier loop (adjacency
+    checkpointed once, only the frontier shuffles per round); the
+    oracle replays it with a WITH RECURSIVE (node, dist) expansion +
+    min(dist)."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import bfs_distances
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    ).select("l_orderkey", "l_suppkey")
+    e = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = e.select(F.col("src").alias("node")).where(
+        F.col("node") % 200 == 0
+    ).distinct()
+    res = bfs_distances(sym, seeds, max_depth=3)
+    rows = res.collect()  # |V| bounded
+    release_materialized(res)
+    return spark.createDataFrame(rows, "node long, dist int").orderBy("node")
+
+
+def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff between two deterministic snapshots of
+    orders (old = keys not divisible by 7; new = keys not divisible by
+    5, with totalprice bumped +1.00 on keys divisible by 3): one
+    full-outer join + pure-expression classifier emitting
+    (key, added|removed|changed). NULL-safe payload comparison — the
+    oracle states the same CASE over IS DISTINCT FROM."""
+    from snowplow_s3_loader_spark.operators.cdc import snapshot_diff
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    old = base.where(F.col("o_orderkey") % 7 != 0)
+    new = base.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+def q108_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (ordered by ts with event_id as the uniqueness
+    tie-break — the q08 lesson): exact transition counts plus
+    row-normalized probabilities in truncating-integer micro-units, so
+    the matrix hash-matches the oracle's lead() + integer-division
+    SQL bit for bit."""
+    from snowplow_s3_loader_spark.operators.behavior import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "user_id", "ts", "event_type", tie_cols=("event_id",)
+    ).orderBy("from_type", "to_type")
+
+
+def q109_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling robust anomaly gate over per-type event values: flag
+    rows more than 3 trailing standard deviations from the preceding
+    20 observations of their event_type — evaluated as
+    (x*n - S)^2 > 9*(n*Q - S^2) over BIGINT rolling sums of cents
+    (exact integer math, no float summation anywhere), so the flagged
+    set hash-matches the oracle's identical window SQL. One partitioned
+    window pass; emits the anomalous rows only."""
+    from snowplow_s3_loader_spark.operators.timeseries import rolling_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = rolling_anomalies(
+        ev, "event_type", ["ts", "event_id"], "cents", window=20, min_n=8, threshold=3
+    )
+    return (
+        out.where(F.col("is_anomaly"))
+        .select("event_id", "event_type", "cents")
+        .orderBy("event_id")
+    )
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2119,5 +2238,10 @@ QUERIES = {
         q102_k_core,
         q103_hits,
         q104_scd2_history,
+        q105_fuzzy_join,
+        q106_bfs_distances,
+        q107_snapshot_diff,
+        q108_transition_matrix,
+        q109_rolling_anomalies,
     ]
 }

@@ -1,0 +1,189 @@
+"""Round-8 widening: BFS distances, snapshot diff, Markov transitions,
+rolling integer anomaly flags."""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowplow_s3_loader_spark.operators.behavior import transition_matrix
+from snowplow_s3_loader_spark.operators.cdc import snapshot_diff
+from snowplow_s3_loader_spark.operators.dedup import release_materialized
+from snowplow_s3_loader_spark.operators.graph import bfs_distances
+from snowplow_s3_loader_spark.operators.timeseries import rolling_anomalies
+
+
+def _bfs_ref(edges, sources, max_depth):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        v = q.popleft()
+        if dist[v] >= max_depth:
+            continue
+        for nb in adj.get(v, []):
+            if nb not in dist:
+                dist[nb] = dist[v] + 1
+                q.append(nb)
+    return dist
+
+
+class TestBfsDistances:
+    def test_matches_reference_on_directed_graph(self, spark):
+        # two chains, a diamond, a cycle, an unreachable island
+        edges = [
+            (0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+            (0, 10), (10, 3),           # shortcut: 3 is at dist 2, not 3
+            (5, 0),                      # cycle back
+            (20, 21), (21, 22),          # island (unreachable from 0)
+        ]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        src = spark.createDataFrame([(0,)], "node long")
+        got = bfs_distances(e, src, max_depth=8)
+        rows = {r["node"]: r["dist"] for r in got.collect()}
+        release_materialized(got)
+        assert rows == _bfs_ref(edges, [0], 8)
+
+    def test_multi_source_takes_min_distance(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3), (9, 3), (9, 8)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        src = spark.createDataFrame([(0,), (9,)], "node long")
+        got = bfs_distances(e, src, max_depth=8)
+        rows = {r["node"]: r["dist"] for r in got.collect()}
+        release_materialized(got)
+        assert rows == _bfs_ref(edges, [0, 9], 8)
+        assert rows[3] == 1  # via 9, not dist 3 via 0
+
+    def test_max_depth_caps_expansion(self, spark):
+        edges = [(i, i + 1) for i in range(10)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        src = spark.createDataFrame([(0,)], "node long")
+        got = bfs_distances(e, src, max_depth=3)
+        rows = {r["node"]: r["dist"] for r in got.collect()}
+        release_materialized(got)
+        assert rows == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_releases_every_block_it_creates(self, spark):
+        sc = spark.sparkContext
+        before = sc._jsc.sc().getPersistentRDDs().size()
+        e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+        src = spark.createDataFrame([(0,)], "node long")
+        got = bfs_distances(e, src, max_depth=4)
+        got.collect()
+        release_materialized(got)
+        assert sc._jsc.sc().getPersistentRDDs().size() == before
+
+
+class TestSnapshotDiff:
+    def _frames(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+            "k long, name string, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+            "k long, name string, v double",
+        )
+        return old, new
+
+    def test_classifies_all_change_types(self, spark):
+        old, new = self._frames(spark)
+        got = {(r.k, r.change_type) for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert got == {
+            (2, "changed"),   # name differs
+            (3, "changed"),   # NULL -> value IS a change
+            (4, "removed"),
+            (5, "added"),
+        }
+
+    def test_include_unchanged(self, spark):
+        old, new = self._frames(spark)
+        got = {
+            (r.k, r.change_type)
+            for r in snapshot_diff(old, new, ["k"], include_unchanged=True).collect()
+        }
+        assert (1, "unchanged") in got and len(got) == 5
+
+    def test_schema_mismatch_raises(self, spark):
+        old, new = self._frames(spark)
+        with pytest.raises(ValueError, match="columns"):
+            snapshot_diff(old, new.withColumnRenamed("v", "w"), ["k"])
+
+
+class TestTransitionMatrix:
+    def test_counts_and_micro_probs(self, spark):
+        ev = spark.createDataFrame(
+            [
+                # user 1: a -> b -> a -> c ; user 2: a -> b
+                (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+                (2, 1, "a"), (2, 2, "b"),
+            ],
+            "u long, t long, typ string",
+        )
+        got = {
+            (r.from_type, r.to_type): (r.n, r.prob_micro)
+            for r in transition_matrix(ev, "u", "t", "typ").collect()
+        }
+        # from a: b x2, c x1 -> 666666 / 333333 micro (truncating div)
+        assert got == {
+            ("a", "b"): (2, 666666),
+            ("a", "c"): (1, 333333),
+            ("b", "a"): (1, 1000000),
+        }
+
+    def test_tie_cols_make_order_total(self, spark):
+        ev = spark.createDataFrame(
+            [(1, 5, 1, "x"), (1, 5, 2, "y"), (1, 5, 3, "z")],
+            "u long, t long, eid long, typ string",
+        )
+        got = {
+            (r.from_type, r.to_type)
+            for r in transition_matrix(ev, "u", "t", "typ", tie_cols=("eid",)).collect()
+        }
+        assert got == {("x", "y"), ("y", "z")}
+
+
+class TestRollingAnomalies:
+    def test_flags_exact_integer_spike(self, spark):
+        rows = [("g", i, 100) for i in range(10)] + [("g", 10, 100_000)]
+        df = spark.createDataFrame(rows, "grp string, seq long, cents long")
+        got = rolling_anomalies(df, "grp", ["seq"], "cents", window=20, min_n=8)
+        flags = {r.seq: r.is_anomaly for r in got.collect()}
+        assert flags[10] is True
+        assert not any(flags[i] for i in range(10))
+
+    def test_min_n_suppresses_early_rows(self, spark):
+        rows = [("g", i, v) for i, v in enumerate([100, 100, 100, 99999])]
+        df = spark.createDataFrame(rows, "grp string, seq long, cents long")
+        got = rolling_anomalies(df, "grp", ["seq"], "cents", window=20, min_n=4)
+        assert not any(r.is_anomaly for r in got.collect())
+
+    def test_matches_float_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vals = [rng.randint(90, 110) for _ in range(60)]
+        vals[30] = 5000
+        vals[45] = -4000
+        rows = [("g", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "grp string, seq long, cents long")
+        got = {
+            r.seq: r.is_anomaly
+            for r in rolling_anomalies(
+                df, "grp", ["seq"], "cents", window=20, min_n=8, threshold=3
+            ).collect()
+        }
+        for i in range(60):
+            lo, hi = max(0, i - 20), i
+            hist = vals[lo:hi]
+            n = len(hist)
+            want = False
+            if n >= 8:
+                mean = sum(hist) / n
+                var = sum((x - mean) ** 2 for x in hist) / n
+                want = (vals[i] - mean) ** 2 > 9 * var
+            assert got[i] == want, f"row {i}"

@@ -403,7 +403,7 @@ def test_streaming_funnel_retro_event_improves_without_invalidating(spark, tmp_p
 
 def test_streaming_parity_rows_all_match(spark, sf_dir):
     """The driver-visible batch-vs-streaming parity audit (folded into
-    q74_scale_battery) must emit is_match=1 for every key in all three
+    q74_scale_battery) must emit is_match=1 for every key in all four
     families — a falsifiable audit is only useful if its green state is
     pinned here and its red states are reachable (each family's
     divergence behavior is covered by the operator-level differential
@@ -418,6 +418,7 @@ def test_streaming_parity_rows_all_match(spark, sf_dir):
         "streaming_funnel",
         "streaming_heavy",
         "component_map",
+        "stream_interval_join",
     }, by_check
     for name, bits in by_check.items():
         assert bits and all(b == 1 for b in bits), (name, bits)
