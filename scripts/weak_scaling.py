@@ -893,6 +893,63 @@ def triangle_case(spark, n_edges: int) -> dict:
     }
 
 
+def fuzzy_case(spark, n_strings: int) -> dict:
+    """Edit-distance self-join (round-8) on the ADVERSARIAL shape for
+    segment blocking: sequential ids behind a constant prefix
+    ("user-00001234"), where every PassJoin prefix segment is one hot
+    key. The deletion-neighborhood path (tau=1) must keep candidates
+    proportional to true near-pairs, so wall grows ~linearly with the
+    corpus."""
+    from snowplow_s3_loader_spark.operators.linkage import edit_distance_self_join
+
+    df = spark.range(n_strings).select(
+        F.col("id"),
+        F.concat(F.lit("user-"), F.lpad(F.col("id").cast("string"), 8, "0")).alias(
+            "name"
+        ),
+    )
+    edit_distance_self_join(df, "id", "name", tau=1).count()  # warm
+    t0 = time.perf_counter()
+    n_pairs = edit_distance_self_join(df, "id", "name", tau=1).count()
+    dt = time.perf_counter() - t0
+    return {
+        "case": "fuzzy_join",
+        "strings": n_strings,
+        "pairs": n_pairs,
+        "sec": round(dt, 2),
+    }
+
+
+def bfs_case(spark, n_edges: int) -> dict:
+    """Multi-source BFS (round-8) over the hashed graph (~|E|/10 nodes,
+    degree ~10), seeds = every 1000th node, depth 4: adjacency is
+    checkpointed once, per-round traffic is frontier-sized, so wall
+    must grow ~linearly with |E|."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import bfs_distances
+
+    n_nodes = max(100, n_edges // 10)
+    edges = spark.range(n_edges).select(
+        (F.abs(F.xxhash64("id")) % n_nodes).alias("src"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % n_nodes).alias("dst"),
+    )
+    seeds = spark.range(0, n_nodes, 1000).select(F.col("id").alias("node"))
+    w = bfs_distances(edges, seeds, max_depth=4)
+    w.count()  # warm
+    release_materialized(w)
+    t0 = time.perf_counter()
+    res = bfs_distances(edges, seeds, max_depth=4)
+    n_rows = res.count()
+    dt = time.perf_counter() - t0
+    release_materialized(res)
+    return {
+        "case": "bfs_distances",
+        "edges": n_edges,
+        "reached": n_rows,
+        "sec": round(dt, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -956,6 +1013,12 @@ def main() -> None:
     if which in ("triangle", "all"):
         out.append(triangle_case(spark, 100_000))
         out.append(triangle_case(spark, 1_000_000))
+    if which in ("fuzzy", "all"):
+        out.append(fuzzy_case(spark, 100_000))
+        out.append(fuzzy_case(spark, 1_000_000))
+    if which in ("bfs", "all"):
+        out.append(bfs_case(spark, 1_000_000))
+        out.append(bfs_case(spark, 10_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()

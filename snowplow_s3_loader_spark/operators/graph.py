@@ -1288,68 +1288,70 @@ def bfs_distances(
 
     The engine's iterative-loop shape (connected_components /
     pagerank discipline): the adjacency is checkpointed ONCE with an
-    advertised hash(src) layout and never moves again; per round only
-    the frontier — at most |V| rows, typically far fewer — shuffles
-    (one distinct keyed on the neighbor id), and the anti-join against
-    the visited set plus the next round's expansion are co-partitioned
-    zero-Exchange joins. Work per round is O(edges out of the
+    advertised hash(src) layout and never moves again. The frontier is
+    NOT a separate frame — it is the ``dist == depth-1`` slice of the
+    single visited checkpoint (a lazy filter costs nothing and keeps the
+    layout), so each round materializes exactly ONE frame: the new
+    visited set. The expansion join is co-partitioned on the adjacency
+    side, the dedup/anti path is keyed on the neighbor id, and
+    convergence reads the visited row-count delta off the already-paid
+    checkpoint — no extra job. Work per round is O(edges out of the
     frontier); total traffic is O(depth x |V|), never O(depth x |E|).
     Rounds stop early when a level is empty, so ``max_depth`` is a cap,
     not a cost.
     """
     spark = edges.sparkSession
-    e = (
+    # materialize the edge build ONCE, then count the checkpoint (the CC
+    # discipline — counting the lazy plan would evaluate the upstream
+    # join twice: once for the count, again for the checkpoint)
+    e0 = checkpoint_nostats(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
     )
-    n_edges = e.count()
+    n_edges = e0.count()
     loop_parts = _loop_width(spark, n_edges)
-    adj = checkpoint_nostats(e, loop_parts, ["s"])
+    adj = checkpoint_nostats(e0, loop_parts, ["s"])
+    release_materialized(e0)
     try:
-        frontier = checkpoint_nostats(
+        visited = checkpoint_nostats(
             sources.select(F.col(node_col).alias("v")).where(F.col("v").isNotNull())
-            .distinct(),
+            .distinct()
+            .select("v", F.lit(0).alias("dist")),
             loop_parts,
             ["v"],
         )
-        visited = checkpoint_nostats(
-            frontier.select("v", F.lit(0).alias("dist")), loop_parts, ["v"]
-        )
+        n_seen = visited.count()
         for depth in range(1, max_depth + 1):
+            frontier = visited.where(F.col("dist") == depth - 1).select("v")
             neigh = (
                 adj.join(frontier, adj.s == frontier.v)  # co-partitioned on s
                 .select(F.col("d").alias("v"))
                 .repartition(loop_parts, "v")
                 .distinct()
             )
-            # both sides hash(v) at loop width -> zero-Exchange anti join;
-            # the projection keeps v, so the layout survives to the
-            # checkpoint (trusted, same gate as the CC round join)
-            new_frontier = checkpoint_nostats(
-                neigh.join(visited, "v", "left_anti"),
-                loop_parts,
-                ["v"],
-                trust_partitioning=True,
-            )
-            release_materialized(frontier)
-            frontier = new_frontier
-            if frontier.count() == 0:
-                break
+            # neigh and visited are both hash(v) at loop width -> the anti
+            # join is zero-Exchange; the union's new branch carries the
+            # round's distance
             new_visited = checkpoint_nostats(
                 visited.unionByName(
-                    frontier.select("v", F.lit(depth).alias("dist"))
+                    neigh.join(visited, "v", "left_anti").select(
+                        "v", F.lit(depth).alias("dist")
+                    )
                 ),
                 loop_parts,
                 ["v"],
             )
             release_materialized(visited)
             visited = new_visited
+            n_now = visited.count()
+            if n_now == n_seen:
+                break
+            n_seen = n_now
         out = checkpoint_nostats(
             visited.select(F.col("v").alias(node_col), F.col("dist"))
         )
         release_materialized(visited)
-        release_materialized(frontier)
         return out
     finally:
         release_materialized(adj)

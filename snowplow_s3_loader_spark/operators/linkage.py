@@ -2,16 +2,21 @@
 
 The naive formulation of "find all string pairs within edit distance
 tau" is an all-pairs `levenshtein()` cross join — quadratic in the
-corpus and a non-starter at 100 TB. `edit_distance_join` implements the
-segment-blocking scheme of PassJoin (Li, Deng, Feng, "PASS-JOIN: a
-partition-based method for similarity joins", VLDB 2011): by the
-pigeonhole principle, if ED(r, s) <= tau then at least one of the
-tau+1 disjoint segments of s appears EXACTLY (same characters, start
-position shifted by at most tau) as a substring of r. Candidates
-therefore meet through a plain EQUI-join on (segment index, indexed
-length, segment string) — the pair space is bounded by segment-key
-co-occupancy, never |L| x |R| — and only candidates pay the
-`levenshtein` verification.
+corpus and a non-starter at 100 TB. `edit_distance_join` blocks
+candidates with one of two complete schemes (both reduce the pair
+space to blocking-key co-occupancy, never |L| x |R|, and only
+candidates pay the `levenshtein` verification):
+
+- FastSS deletion neighborhoods (Bocek et al. 2007) for tau <= 1:
+  equi-join on the <=tau-deletion variants of each string — keys carry
+  the string's full entropy, so shared-prefix corpora still block well;
+- PassJoin segment blocking (Li, Deng, Feng, "PASS-JOIN: a
+  partition-based method for similarity joins", VLDB 2011) for
+  tau >= 2: by the pigeonhole principle, if ED(r, s) <= tau then at
+  least one of the tau+1 disjoint segments of s appears EXACTLY (same
+  characters, start position shifted by at most tau) as a substring of
+  r — candidates meet through an equi-join on (segment index, indexed
+  length, segment string).
 
 Reference parity note: the reference loader (Processing.scala) has no
 string-similarity surface; this operator is part of the LLM-pipeline
@@ -91,6 +96,34 @@ def _probe_keys(probe: DataFrame, str_col: str, tau: int) -> DataFrame:
     )
 
 
+def _deletion_keys(df: DataFrame, str_col: str, tau: int) -> DataFrame:
+    """FastSS deletion-neighborhood keys (Bocek et al., "Fast similarity
+    search in large dictionaries", 2007): every variant of the string
+    with 0..tau characters deleted. If ED(r, s) <= tau, an optimal
+    alignment leaves at most tau positions of each string unmatched;
+    deleting them yields the SAME subsequence on both sides, so the two
+    deletion neighborhoods intersect — an equi-join on the variant is a
+    complete candidate generator. Keys are near-whole strings, so their
+    selectivity tracks the corpus's full entropy (no constant-prefix
+    hot key, the segment scheme's weakness). Pure JVM: one explode over
+    deletion-position combinations + substring concatenation."""
+    if tau == 0:
+        return df.withColumn("__seg", F.col(str_col))
+    # tau == 1: variants = self + one deletion per position
+    pos = F.explode(
+        F.sequence(F.lit(0), F.length(str_col))
+    ).alias("__delpos")  # 0 = keep whole string, i>0 = delete char i
+    return df.select("*", pos).withColumn(
+        "__seg",
+        F.when(F.col("__delpos") == 0, F.col(str_col)).otherwise(
+            F.concat(
+                F.expr(f"substring({str_col}, 1, __delpos - 1)"),
+                F.expr(f"substring({str_col}, __delpos + 1, 2147483647)"),
+            )
+        ),
+    ).drop("__delpos")
+
+
 def edit_distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -101,29 +134,56 @@ def edit_distance_join(
     tau: int,
 ) -> DataFrame:
     """All (left, right) pairs with ``levenshtein(l, r) <= tau``, as
-    ``(left_id, right_id, distance)`` — segment-blocked (PassJoin), so
-    the pair generator is an equi-join on (segment index, length,
-    segment string) and `levenshtein` runs only on candidates.
+    ``(left_id, right_id, distance)`` — blocked candidate generation,
+    so `levenshtein` runs only on candidates and no all-pairs path
+    exists.
 
-    Completeness: an optimal alignment of r and s has at most tau
-    errors, so at least one of s's tau+1 disjoint segments aligns
-    error-free — it appears verbatim in r, with its start displaced by
-    at most tau (each error shifts positions by at most one). The probe
-    side generates exactly those substrings. Indexed strings shorter
-    than tau+1 characters get degenerate (empty) segments; they take a
-    separate length-banded equi-join path (any such string is within
-    tau of all strings of length <= 2*tau by definition of length
-    difference, so the band is the only filter available).
+    Two complete blocking schemes, chosen by tau:
 
-    At 100 TB: both sides shuffle once on the segment key (bounded
-    fan-out per row: ~(2*tau+1)^2*(tau+1) probe keys, tau+1 index keys);
-    the verify step is a projection. No cartesian path exists.
-    Column names must be distinct between the two frames.
+    - ``tau <= 1``: FastSS deletion neighborhoods — both sides explode
+      to their <=tau-deletion variants and candidates meet through an
+      equi-join on the variant string. len+1 keys per row, and each key
+      carries the string's FULL entropy, so low-entropy corpora
+      (constant prefixes: ``Customer#00001...``, URLs sharing a domain)
+      still block selectively. The variant fan-out is what caps tau
+      here: C(len, tau) keys per row explodes past tau=1-2.
+    - ``tau >= 2``: PassJoin segment blocking (Li, Deng, Feng,
+      VLDB 2011) — an optimal alignment of r and s has at most tau
+      errors, so at least one of s's tau+1 disjoint segments aligns
+      error-free: it appears verbatim in r with its start displaced by
+      at most tau. Candidates meet through an equi-join on (segment
+      index, indexed length, segment string); bounded fan-out
+      (~(2*tau+1)^2*(tau+1) probe keys). CAVEAT: a segment falling in a
+      constant region of the corpus (shared prefixes) is a hot key
+      whose bucket pairs quadratically — prefer higher-entropy key
+      columns, or strip known-constant prefixes before joining.
+
+    Indexed strings shorter than tau+1 characters get degenerate
+    (empty) segments on the segment path; they take a separate
+    length-banded equi-join path. At 100 TB: both sides shuffle once on
+    the blocking key; the verify step is a projection. Column names
+    must be distinct between the two frames.
     """
     if tau < 0:
         raise ValueError(f"tau must be >= 0, got {tau}")
     if {left_id, left_str} & {right_id, right_str}:
         raise ValueError("left and right column names must be distinct; rename first")
+    if tau <= 1:
+        lhs = left.select(F.col(left_id), F.col(left_str)).where(
+            F.col(left_str).isNotNull()
+        )
+        rhs = right.select(F.col(right_id), F.col(right_str)).where(
+            F.col(right_str).isNotNull()
+        )
+        cands = _deletion_keys(lhs, left_str, tau).join(
+            _deletion_keys(rhs, right_str, tau), "__seg"
+        )
+        return (
+            cands.dropDuplicates([left_id, right_id])
+            .withColumn("distance", F.levenshtein(F.col(left_str), F.col(right_str)))
+            .where(F.col("distance") <= tau)
+            .select(left_id, right_id, "distance")
+        )
     k = tau + 1
     lhs = left.select(
         F.col(left_id), F.col(left_str), F.length(left_str).alias("__plen")
