@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from pyspark.sql import functions as F
 
@@ -474,3 +475,59 @@ def test_triangle_wedge_stream_shuffle_structure(spark):
             # fallback must not silently broadcast the closure side
             assert "BroadcastExchange" not in plan, plan
         release_materialized(ranked)
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes in a formatted explain (each node prints in
+    the tree AND the details section — count the detail headers)."""
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+def test_q108_transitions_one_event_volume_window(spark, sf_dir):
+    """The lead() pass is the only event-volume window; the normalizing
+    sum-over runs on the aggregated |types|^2 matrix. Both windows must
+    be keyed, the transition agg partial+final, and no join at all."""
+    plan = plan_of(Q.q108_transition_matrix(spark, sf_dir))
+    assert _nodes(plan, "Window") == 2, plan
+    assert _nodes(plan, "HashAggregate") >= 2, plan  # partial+final counts
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_q109_anomalies_single_keyed_window(spark, sf_dir):
+    """One partitioned window carries all three rolling sums (n, S, Q) —
+    a plan with one Window node per aggregate would sort the events
+    three times."""
+    plan = plan_of(Q.q109_rolling_anomalies(spark, sf_dir))
+    assert _nodes(plan, "Window") == 1, plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_q107_snapshot_diff_single_join_no_python(spark, sf_dir):
+    """The diff is ONE full-outer join; the classifier is a JVM
+    projection (no Python eval anywhere in the plan)."""
+    plan = plan_of(Q.q107_snapshot_diff(spark, sf_dir))
+    joins = _nodes(plan, "SortMergeJoin") + _nodes(plan, "ShuffledHashJoin")
+    assert joins == 1, plan
+    assert "FullOuter" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_deletion_path_single_equi_join(spark):
+    """tau<=1 candidates meet through ONE equi-join on the deletion
+    variant; verification is a projection — no second join, nothing
+    nested-loop."""
+    from snowplow_s3_loader_spark.operators.linkage import edit_distance_self_join
+
+    df = spark.createDataFrame(
+        [(i, f"name {i:05d}") for i in range(100)], "id long, name string"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edit_distance_self_join(df, "id", "name", 1).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = sum(_nodes(plan, j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
