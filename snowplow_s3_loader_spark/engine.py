@@ -486,3 +486,18 @@ class Engine:
         return rolling_anomalies(
             df, group_col, order_cols, cents_col, window, min_n, threshold
         )
+
+    def cms_build(self, df: DataFrame, token_col: str, width: int = 2048,
+                  depth: int = 4) -> DataFrame:
+        """Count-Min sketch over a token stream (operators.sketches)."""
+        from snowplow_s3_loader_spark.operators.sketches import cms_build
+
+        return cms_build(df, token_col, width, depth)
+
+    def cms_query(self, sketch: DataFrame, queries: DataFrame, token_col: str,
+                  width: int, depth: int) -> DataFrame:
+        """Point-frequency estimates from a Count-Min sketch
+        (operators.sketches)."""
+        from snowplow_s3_loader_spark.operators.sketches import cms_query
+
+        return cms_query(sketch, queries, token_col, width, depth)

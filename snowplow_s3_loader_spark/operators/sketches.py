@@ -161,3 +161,87 @@ def audit_flags(exact_topk: DataFrame, summary: DataFrame, err: int) -> DataFram
             & (F.col("est_count") >= F.col("exact_count") - F.lit(err))
         ).cast("int").alias("bound_ok"),
     )
+
+
+def cms_hash(tok, row, width: int):
+    """Count-Min cell for one token under hash row ``row``: first 15 hex
+    chars of md5('<row>|<token>') as a 60-bit integer, mod width — the
+    engine-portable hash family the MinHash/split/feature-hash operators
+    already use (DuckDB: ``CAST('0x'||substr(md5(...),1,15) AS BIGINT)``),
+    so a sketch built here is reproducible CELL FOR CELL in SQL."""
+    salted = F.concat(row.cast("string"), F.lit("|"), tok)
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long") % width
+
+
+def cms_build(
+    df: DataFrame, token_col: str, width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, "An improved data
+    stream summary: the count-min sketch and its applications", 2005)
+    over a token stream: ``depth x width`` counters as a
+    ``(row, cell, n)`` frame (absent cells are zero). Point estimates
+    via `cms_query` satisfy ``true <= est`` always and
+    ``est <= true + e/width * N`` with probability ``1 - e^-depth`` per
+    query (N = stream size) — the fixed-size frequency summary for
+    vocabularies too large to count exactly, and it MERGES: sketches of
+    two corpus shards with the same (width, depth) combine by summing
+    cells (`cms_merge`).
+
+    Scale shape: pure JVM — one explode of the token stream across the
+    ``depth`` hash rows, then a partial+final count keyed on (row, cell).
+    Map-side combine collapses every partition to at most depth*width
+    rows before the shuffle, so the exchanged bytes are BOUNDED by the
+    sketch size regardless of corpus size (the same reason the exact
+    groupBy is unbounded is the reason this isn't).
+    """
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("row")
+    tok = F.col(token_col)
+    return (
+        df.select(tok.alias("__tok"))
+        .where(F.col("__tok").isNotNull())
+        .select("__tok", rows)
+        .select("row", cms_hash(F.col("__tok"), F.col("row"), width).alias("cell"))
+        .groupBy("row", "cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two sketches built with the same (width, depth): cells
+    sum (the CMS merge property — estimates over the union keep both
+    guarantees)."""
+    return (
+        a.unionByName(b).groupBy("row", "cell").agg(F.sum("n").alias("n"))
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str,
+    width: int,
+    depth: int,
+) -> DataFrame:
+    """Point-frequency estimates for every token in ``queries``:
+    ``est = min`` over the ``depth`` rows of that token's cell count
+    (0 for absent cells). The sketch is at most depth*width rows, so it
+    BROADCASTS — the query stream never shuffles for the lookup; the
+    only exchange is the per-token min aggregation of ``depth`` rows
+    per query token."""
+    q = (
+        queries.select(F.col(token_col).alias("token"))
+        .where(F.col("token").isNotNull())
+        .distinct()
+        .select(
+            "token",
+            F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("row"),
+        )
+        .select(
+            "token", "row", cms_hash(F.col("token"), F.col("row"), width).alias("cell")
+        )
+    )
+    return (
+        q.join(F.broadcast(sketch), ["row", "cell"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+    )

@@ -724,6 +724,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prob_micro").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    cms = q.q110_cms_frequency(spark, sf_dir).select(
+        F.lit("cms").alias("battery"),
+        F.col("token").alias("key"),
+        F.col("true_n").alias("v1"),
+        F.col("est_n").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     anom = q.q109_rolling_anomalies(spark, sf_dir).select(
         F.lit("anomaly").alias("battery"),
         F.concat_ws("@", F.col("event_type"), F.col("event_id").cast("string")).alias(
@@ -767,6 +774,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(sdiff)
         .union(tm)
         .union(anom)
+        .union(cms)
         .orderBy("battery", "key", "v1")
     )
 
@@ -916,6 +924,7 @@ _FOLDED = {
     "q104_scd2_history",
     "q105_fuzzy_join", "q106_bfs_distances", "q107_snapshot_diff",
     "q108_transition_matrix", "q109_rolling_anomalies",
+    "q110_cms_frequency",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1480,6 +1489,10 @@ UNION ALL
 SELECT 'transitions' AS battery, from_type || '@' || to_type AS key,
        n AS v1, prob_micro AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q108_transition_matrix"]})
+UNION ALL
+SELECT 'cms' AS battery, token AS key,
+       true_n AS v1, est_n AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q110_cms_frequency"]})
 UNION ALL
 SELECT 'anomaly' AS battery,
        event_type || '@' || CAST(event_id AS VARCHAR) AS key,

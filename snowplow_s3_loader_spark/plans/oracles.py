@@ -1850,3 +1850,40 @@ FROM w
 WHERE n >= 8 AND (cents * n - s) * (cents * n - s) > 9 * (n * q - s * s)
 ORDER BY event_id
 """
+
+# q110: the Count-Min sketch is rebuilt IDENTICALLY in SQL (portable md5
+# cell hash), so estimates — including collision overestimates — are
+# deterministic and hash-checked exactly, not audited probabilistically.
+ORACLES["q110_cms_frequency"] = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+),
+rows_ AS (SELECT unnest(range(4)) AS row),
+sk AS (
+  SELECT row,
+         CAST('0x' || substr(md5(CAST(row AS VARCHAR) || '|' || tok), 1, 15)
+              AS BIGINT) % 2048 AS cell,
+         count(*) AS n
+  FROM toks, rows_
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT DISTINCT unnest({_TOKS}) AS token
+  FROM documents WHERE doc_id % 97 = 0
+),
+qc AS (
+  SELECT token, row,
+         CAST('0x' || substr(md5(CAST(row AS VARCHAR) || '|' || token), 1, 15)
+              AS BIGINT) % 2048 AS cell
+  FROM q, rows_
+),
+est AS (
+  SELECT token, min(coalesce(sk.n, 0)) AS est_n
+  FROM qc LEFT JOIN sk USING (row, cell)
+  GROUP BY token
+),
+tr AS (SELECT tok AS token, count(*) AS true_n FROM toks GROUP BY tok)
+SELECT token, true_n, est_n
+FROM est JOIN tr USING (token)
+ORDER BY token
+"""

@@ -1637,6 +1637,34 @@ def q109_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q110_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates (Cormode &
+    Muthukrishnan 2005) with an in-query exact baseline: a 4x2048
+    sketch over the document token stream, queried for every distinct
+    token of the doc_id%97 slice, joined to the exact corpus counts.
+    The md5 hash family is engine-portable, so the oracle rebuilds the
+    IDENTICAL sketch in SQL and (token, true_n, est_n) hash-matches
+    bit for bit — est >= true always; the overestimate is collision
+    mass, bounded in expectation by N/width per row."""
+    from snowplow_s3_loader_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    sketch = sketches.cms_build(toks, "tok", width=2048, depth=4)
+    queries = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    est = sketches.cms_query(sketch, queries, "tok", width=2048, depth=4)
+    truth = toks.groupBy(F.col("tok").alias("token")).agg(
+        F.count("*").alias("true_n")
+    )
+    return (
+        est.join(truth, "token")
+        .select("token", "true_n", "est_n")
+        .orderBy("token")
+    )
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2243,5 +2271,6 @@ QUERIES = {
         q107_snapshot_diff,
         q108_transition_matrix,
         q109_rolling_anomalies,
+        q110_cms_frequency,
     ]
 }

@@ -187,3 +187,58 @@ class TestRollingAnomalies:
                 var = sum((x - mean) ** 2 for x in hist) / n
                 want = (vals[i] - mean) ** 2 > 9 * var
             assert got[i] == want, f"row {i}"
+
+
+class TestCountMinSketch:
+    def _toks(self, spark, words):
+        return spark.createDataFrame([(w,) for w in words], "tok string")
+
+    def test_never_underestimates_and_bound_holds(self, spark):
+        import random
+
+        rng = random.Random(3)
+        words = [f"w{rng.randint(0, 200):03d}" for _ in range(5000)]
+        from collections import Counter
+
+        true = Counter(words)
+        from snowplow_s3_loader_spark.operators.sketches import cms_build, cms_query
+
+        toks = self._toks(spark, words)
+        sk = cms_build(toks, "tok", width=1024, depth=4)
+        est = {
+            r.token: r.est_n
+            for r in cms_query(
+                sk, self._toks(spark, list(true)), "tok", 1024, 4
+            ).collect()
+        }
+        import math
+
+        slack = math.e / 1024 * len(words)  # eps * N
+        for w, n in true.items():
+            assert est[w] >= n, w
+            assert est[w] <= n + max(8 * slack, 8), (w, est[w], n)
+
+    def test_merge_equals_full_build(self, spark):
+        from snowplow_s3_loader_spark.operators.sketches import cms_build, cms_merge
+
+        words = [f"tok{i % 37}" for i in range(400)]
+        full = cms_build(self._toks(spark, words), "tok", width=256, depth=3)
+        a = cms_build(self._toks(spark, words[:150]), "tok", width=256, depth=3)
+        b = cms_build(self._toks(spark, words[150:]), "tok", width=256, depth=3)
+        merged = cms_merge(a, b)
+        as_set = lambda df: {(r.row, r.cell, r.n) for r in df.collect()}
+        assert as_set(merged) == as_set(full)
+
+    def test_absent_token_estimates_only_collision_mass(self, spark):
+        from snowplow_s3_loader_spark.operators.sketches import cms_build, cms_query
+
+        sk = cms_build(self._toks(spark, ["a"] * 100), "tok", width=1024, depth=4)
+        est = {
+            r.token: r.est_n
+            for r in cms_query(
+                sk, self._toks(spark, ["zzz-never-seen"]), "tok", 1024, 4
+            ).collect()
+        }
+        # one distinct corpus token: either a cell collision (est=100) or 0;
+        # with 4 independent rows a full collision is ~(1/1024)^4
+        assert est["zzz-never-seen"] == 0
