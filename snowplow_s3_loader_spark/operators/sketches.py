@@ -226,12 +226,11 @@ def cms_query(
     ``est = min`` over the ``depth`` rows of that token's cell count
     (0 for absent cells). The sketch is at most depth*width rows, so it
     BROADCASTS — the query stream never shuffles for the lookup; the
-    only exchange is the per-token min aggregation of ``depth`` rows
-    per query token."""
+    only exchange is the per-token min aggregation (which also dedupes
+    repeated query tokens — no separate distinct pass)."""
     q = (
         queries.select(F.col(token_col).alias("token"))
         .where(F.col("token").isNotNull())
-        .distinct()
         .select(
             "token",
             F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("row"),

@@ -132,8 +132,11 @@ def rolling_anomalies(
     (S = sum, Q = sum of squares, n = count of the trailing frame), so
     no float summation order exists anywhere and the flags are
     bit-identical across engines. ``cents_col`` must be an integer
-    column (use the cents discipline for 2-dp floats); inputs must keep
-    ``|x| * window`` within int64 (|x| <= ~2e13 at the default window).
+    column (use the cents discipline for 2-dp floats). Overflow bound:
+    the SQUARED terms are binding — ``t^2 * (n*Q - S^2)`` needs
+    ``threshold * window * |x| <= ~3e9``, i.e. |x| up to ~5e7 cents at
+    the default window=20, t=3; larger magnitudes must be rescaled
+    first (the q95 discipline).
 
     One partitioned window pass (``ROWS BETWEEN window PRECEDING AND 1
     PRECEDING`` — the row itself is excluded so it cannot mask its own
