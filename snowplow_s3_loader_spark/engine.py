@@ -501,3 +501,9 @@ class Engine:
         from snowplow_s3_loader_spark.operators.sketches import cms_query
 
         return cms_query(sketch, queries, token_col, width, depth)
+
+    def strip_markup(self, text_col):
+        """Plain text from HTML-ish markup (operators.text)."""
+        from snowplow_s3_loader_spark.operators.text import strip_markup
+
+        return strip_markup(text_col)

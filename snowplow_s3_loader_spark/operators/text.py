@@ -546,3 +546,27 @@ def gopher_rule_summary(
         ],
     ]
     return g.groupBy(*group_cols).agg(*aggs)
+
+
+def strip_markup(text: Column) -> Column:
+    """Plain text from HTML-ish markup: drop tags (replaced by a space
+    so adjacent words never fuse), unescape the common entities, and
+    collapse whitespace runs. The text-extraction step between a crawl
+    and every quality/dedup operator in this module — pure JVM
+    regexp_replace chain (RE2-safe patterns, reproducible in DuckDB
+    with the 'g' flag, so cleaned output hash-matches the oracle).
+    Deliberately not a full HTML5 parser: no entity numeric forms, no
+    script/style content removal beyond their tags — a real extractor
+    (trafilatura-class) plugs in as a Pandas UDF where fidelity
+    matters; this is the bulk path."""
+    out = F.regexp_replace(text, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+    ):
+        out = F.regexp_replace(out, ent, rep)
+    return F.trim(F.regexp_replace(out, " +", " "))

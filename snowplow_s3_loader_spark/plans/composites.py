@@ -731,6 +731,15 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_n").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    mk = q.q111_markup_strip(spark, sf_dir).select(
+        F.lit("markup").alias("battery"),
+        F.concat_ws(
+            "@", F.col("doc_id").cast("string"), F.col("clean_tail")
+        ).alias("key"),
+        F.col("n_tags").cast("long").alias("v1"),
+        F.col("clean_len").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     anom = q.q109_rolling_anomalies(spark, sf_dir).select(
         F.lit("anomaly").alias("battery"),
         F.concat_ws("@", F.col("event_type"), F.col("event_id").cast("string")).alias(
@@ -775,6 +784,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(tm)
         .union(anom)
         .union(cms)
+        .union(mk)
         .orderBy("battery", "key", "v1")
     )
 
@@ -924,7 +934,7 @@ _FOLDED = {
     "q104_scd2_history",
     "q105_fuzzy_join", "q106_bfs_distances", "q107_snapshot_diff",
     "q108_transition_matrix", "q109_rolling_anomalies",
-    "q110_cms_frequency",
+    "q110_cms_frequency", "q111_markup_strip",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1489,6 +1499,12 @@ UNION ALL
 SELECT 'transitions' AS battery, from_type || '@' || to_type AS key,
        n AS v1, prob_micro AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q108_transition_matrix"]})
+UNION ALL
+SELECT 'markup' AS battery,
+       CAST(doc_id AS VARCHAR) || '@' || clean_tail AS key,
+       CAST(n_tags AS BIGINT) AS v1, CAST(clean_len AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q111_markup_strip"]})
 UNION ALL
 SELECT 'cms' AS battery, token AS key,
        true_n AS v1, est_n AS v2, CAST(NULL AS BIGINT) AS v3

@@ -1887,3 +1887,33 @@ SELECT token, true_n, est_n
 FROM est JOIN tr USING (token)
 ORDER BY token
 """
+
+# q111: identical regex chain — tags -> space, entity unescape,
+# whitespace collapse; tag counts + cleaned length/tail hash-checked.
+ORACLES["q111_markup_strip"] = """
+WITH marked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</h1><p class="main">' || text
+           || '</p><br/>&amp; footer &lt;links&gt;</body></html>'
+         ELSE text END AS marked
+  FROM documents
+),
+clean AS (
+  SELECT doc_id, marked,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(marked, '<[^>]*>', ' ', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '),
+           ' +', ' ', 'g')) AS clean
+  FROM marked
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(marked, '<[^>]*>')) AS INTEGER) AS n_tags,
+       CAST(length(clean) AS INTEGER) AS clean_len,
+       right(clean, 40) AS clean_tail
+FROM clean
+ORDER BY doc_id
+"""

@@ -1665,6 +1665,35 @@ def q110_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text extraction: every third document is wrapped in
+    deterministic HTML-ish markup (tags + escaped entities — the q69
+    synthetic-injection pattern), then strip_markup recovers plain
+    text. Emits tag counts and the cleaned text's length and tail, all
+    hash-matched against the oracle's identical regex chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<html><body><h1>Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</h1><p class=\"main\">"),
+                F.col("text"),
+                F.lit("</p><br/>&amp; footer &lt;links&gt;</body></html>"),
+            ),
+        ).otherwise(F.col("text")).alias("marked"),
+    )
+    cleaned = marked.withColumn("clean", text.strip_markup(F.col("marked")))
+    return cleaned.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(marked, '<[^>]*>', 0)")).alias("n_tags"),
+        F.length("clean").alias("clean_len"),
+        F.expr("right(clean, 40)").alias("clean_tail"),
+    ).orderBy("doc_id")
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2272,5 +2301,6 @@ QUERIES = {
         q108_transition_matrix,
         q109_rolling_anomalies,
         q110_cms_frequency,
+        q111_markup_strip,
     ]
 }

@@ -103,3 +103,33 @@ def test_pair_generation_is_never_cartesian(spark):
     plan = edit_distance_self_join(df, "id", "name", 1)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+small_corpus = st.lists(
+    st.text(alphabet="ab", max_size=5), min_size=2, max_size=25, unique=True
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(corpus=small_corpus, tau=st.integers(0, 2))
+def test_property_matches_brute_force(spark, corpus, tau):
+    """Tiny-alphabet corpora maximize blocking edge cases: empty
+    strings, shared segments, every length band. Both blocking schemes
+    (deletion for tau<=1, segment for tau=2) must agree with the DP
+    reference exactly."""
+    rows = [(i, s) for i, s in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in edit_distance_self_join(df, "id", "name", tau).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= tau
+    }
+    assert got == want

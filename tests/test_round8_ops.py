@@ -242,3 +242,22 @@ class TestCountMinSketch:
         # one distinct corpus token: either a cell collision (est=100) or 0;
         # with 4 independent rows a full collision is ~(1/1024)^4
         assert est["zzz-never-seen"] == 0
+
+
+class TestStripMarkup:
+    @pytest.mark.parametrize(
+        "raw,want",
+        [
+            ("<p>hello <b>world</b></p>", "hello world"),
+            ("a&amp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y", 'a&b <tag> "q" \'s\' x y'),
+            ("no markup here", "no markup here"),
+            ("<br/><br/>", ""),
+            ("a  <span class='x'>b</span>  c", "a b c"),
+            ("un<closed", "un<closed"),  # an unterminated tag is not a tag
+        ],
+    )
+    def test_examples(self, spark, raw, want):
+        from snowplow_s3_loader_spark.operators.text import strip_markup
+
+        df = spark.createDataFrame([(raw,)], "t string")
+        assert df.select(strip_markup(F.col("t")).alias("c")).first()["c"] == want
