@@ -507,3 +507,10 @@ class Engine:
         from snowplow_s3_loader_spark.operators.text import strip_markup
 
         return strip_markup(text_col)
+
+    def label_propagation(self, pairs: DataFrame, id_a: str = "id_a",
+                          id_b: str = "id_b", iterations: int = 2) -> DataFrame:
+        """Deterministic label-propagation communities (operators.graph)."""
+        from snowplow_s3_loader_spark.operators.graph import label_propagation
+
+        return label_propagation(pairs, id_a, id_b, iterations)

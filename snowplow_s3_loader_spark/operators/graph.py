@@ -1355,3 +1355,79 @@ def bfs_distances(
         return out
     finally:
         release_materialized(adj)
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 2,
+) -> DataFrame:
+    """Community detection by semi-synchronous label propagation
+    (Raghavan, Albert, Kumara 2007) over the undirected pair graph:
+    labels start as node ids; each round every node adopts the MOST
+    FREQUENT label among its neighbors, ties broken by the minimum
+    label — a fully deterministic schedule, so a fixed iteration count
+    replays exactly in an unrolled SQL oracle (the HITS discipline;
+    classic async LPA is order-dependent and untestable). Returns a
+    checkpointed ``(node, label)`` frame.
+
+    Loop shape: adjacency symmetrized and checkpointed ONCE with an
+    advertised hash(d) layout; per round one co-partitioned
+    labels-join, one (node, label) count keyed on the node, and one
+    per-node arg-max window over the count frame — every shuffle is
+    O(|E|) keyed traffic with map-side combine, labels stay |V|-sized,
+    lineage truncated per round (checkpoint_nostats), blocks released.
+    Convergence on community-structured graphs is a handful of rounds;
+    ``iterations`` is a fixed budget by design (determinism), not a
+    convergence test.
+    """
+    spark = pairs.sparkSession
+    base = checkpoint_nostats(
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    n_pairs = base.count()
+    loop_parts = _loop_width(spark, 2 * n_pairs)
+    edges = checkpoint_nostats(
+        base.unionByName(base.select(F.col("d").alias("s"), F.col("s").alias("d"))),
+        loop_parts,
+        ["d"],
+    )
+    release_materialized(base)
+    try:
+        labels = checkpoint_nostats(
+            edges.select(F.col("s").alias("v")).distinct().withColumn(
+                "lbl", F.col("v")
+            ),
+            loop_parts,
+            ["v"],
+        )
+        from pyspark.sql.window import Window
+
+        for _ in range(iterations):
+            counts = (
+                edges.join(labels, edges.d == labels.v)  # co-partitioned
+                .select("s", "lbl")
+                .repartition(loop_parts, "s")
+                .groupBy("s", "lbl")
+                .agg(F.count("*").alias("n"))
+            )
+            w = Window.partitionBy("s").orderBy(F.col("n").desc(), F.col("lbl").asc())
+            new_labels = checkpoint_nostats(
+                counts.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("s").alias("v"), "lbl"),
+                loop_parts,
+                ["v"],
+            )
+            release_materialized(labels)
+            labels = new_labels
+        out = checkpoint_nostats(
+            labels.select(F.col("v").alias("node"), F.col("lbl").alias("label"))
+        )
+        release_materialized(labels)
+        return out
+    finally:
+        release_materialized(edges)

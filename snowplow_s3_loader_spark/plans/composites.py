@@ -740,6 +740,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clean_len").cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    lpa = q.q112_label_propagation(spark, sf_dir).select(
+        F.lit("lpa").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("label").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     anom = q.q109_rolling_anomalies(spark, sf_dir).select(
         F.lit("anomaly").alias("battery"),
         F.concat_ws("@", F.col("event_type"), F.col("event_id").cast("string")).alias(
@@ -785,6 +792,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(anom)
         .union(cms)
         .union(mk)
+        .union(lpa)
         .orderBy("battery", "key", "v1")
     )
 
@@ -934,7 +942,7 @@ _FOLDED = {
     "q104_scd2_history",
     "q105_fuzzy_join", "q106_bfs_distances", "q107_snapshot_diff",
     "q108_transition_matrix", "q109_rolling_anomalies",
-    "q110_cms_frequency", "q111_markup_strip",
+    "q110_cms_frequency", "q111_markup_strip", "q112_label_propagation",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1499,6 +1507,10 @@ UNION ALL
 SELECT 'transitions' AS battery, from_type || '@' || to_type AS key,
        n AS v1, prob_micro AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q108_transition_matrix"]})
+UNION ALL
+SELECT 'lpa' AS battery, CAST(node AS VARCHAR) AS key,
+       label AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q112_label_propagation"]})
 UNION ALL
 SELECT 'markup' AS battery,
        CAST(doc_id AS VARCHAR) || '@' || clean_tail AS key,

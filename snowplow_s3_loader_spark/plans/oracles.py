@@ -1917,3 +1917,39 @@ SELECT doc_id,
 FROM clean
 ORDER BY doc_id
 """
+
+# q112: two label-propagation rounds unrolled — most frequent neighbor
+# label, ties to the minimum (row_number over (n DESC, lbl ASC)).
+ORACLES["q112_label_propagation"] = """
+WITH p AS (
+  SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_orderkey % 10 = 0
+),
+e AS (SELECT s, d FROM p UNION SELECT d AS s, s AS d FROM p),
+l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM e),
+c1 AS (
+  SELECT e.s, l0.lbl, count(*) AS n
+  FROM e JOIN l0 ON l0.v = e.d GROUP BY e.s, l0.lbl
+),
+l1 AS (
+  SELECT s AS v, lbl FROM (
+    SELECT s, lbl,
+           row_number() OVER (PARTITION BY s ORDER BY n DESC, lbl ASC) AS rn
+    FROM c1
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT e.s, l1.lbl, count(*) AS n
+  FROM e JOIN l1 ON l1.v = e.d GROUP BY e.s, l1.lbl
+),
+l2 AS (
+  SELECT s AS v, lbl FROM (
+    SELECT s, lbl,
+           row_number() OVER (PARTITION BY s ORDER BY n DESC, lbl ASC) AS rn
+    FROM c2
+  ) WHERE rn = 1
+)
+SELECT v AS node, lbl AS label FROM l2 ORDER BY node
+"""

@@ -1694,6 +1694,21 @@ def q111_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q112_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-synchronous label-propagation communities (Raghavan et al.
+    2007) over the supplier co-occurrence graph, 2 deterministic
+    rounds: each node adopts its neighbors' most frequent label, ties
+    to the minimum — the fixed schedule replays exactly in the
+    oracle's unrolled two-round SQL (the q103 discipline)."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import label_propagation
+
+    res = label_propagation(supplier_pairs(spark, sf_dir), iterations=2)
+    rows = res.collect()  # |V| bounded
+    release_materialized(res)
+    return spark.createDataFrame(rows, "node long, label long").orderBy("node")
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2302,5 +2317,6 @@ QUERIES = {
         q109_rolling_anomalies,
         q110_cms_frequency,
         q111_markup_strip,
+        q112_label_propagation,
     ]
 }

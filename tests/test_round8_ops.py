@@ -261,3 +261,64 @@ class TestStripMarkup:
 
         df = spark.createDataFrame([(raw,)], "t string")
         assert df.select(strip_markup(F.col("t")).alias("c")).first()["c"] == want
+
+
+def _lpa_ref(pairs, iterations):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {v: v for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v, nbrs in adj.items():
+            counts = {}
+            for u in nbrs:
+                counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+            new[v] = min(counts, key=lambda c: (-counts[c], c))
+        lbl = new
+    return lbl
+
+
+class TestLabelPropagation:
+    def test_matches_reference_on_two_communities(self, spark):
+        from snowplow_s3_loader_spark.operators.dedup import release_materialized
+        from snowplow_s3_loader_spark.operators.graph import label_propagation
+
+        # two dense cliques joined by one bridge edge
+        clique = lambda base: [
+            (base + i, base + j) for i in range(5) for j in range(i + 1, 5)
+        ]
+        pairs = clique(0) + clique(100) + [(4, 100)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        for iters in (1, 2, 3):
+            res = label_propagation(df, iterations=iters)
+            got = {r["node"]: r["label"] for r in res.collect()}
+            release_materialized(res)
+            assert got == _lpa_ref(pairs, iters), iters
+
+    def test_deterministic_tie_break_and_dirty_input(self, spark):
+        from snowplow_s3_loader_spark.operators.dedup import release_materialized
+        from snowplow_s3_loader_spark.operators.graph import label_propagation
+
+        # a 4-cycle: every node has two neighbors with distinct labels ->
+        # every adoption is a pure tie-break; plus dup/reversed/null rows
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 0), (0, 1), (None, 5)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        res = label_propagation(df, iterations=2)
+        got = {r["node"]: r["label"] for r in res.collect()}
+        release_materialized(res)
+        clean = [(a, b) for a, b in pairs if a is not None and b is not None]
+        assert got == _lpa_ref(clean, 2)
+
+    def test_releases_blocks(self, spark):
+        from snowplow_s3_loader_spark.operators.dedup import release_materialized
+        from snowplow_s3_loader_spark.operators.graph import label_propagation
+
+        sc = spark.sparkContext
+        before = sc._jsc.sc().getPersistentRDDs().size()
+        df = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+        res = label_propagation(df, iterations=2)
+        res.collect()
+        release_materialized(res)
+        assert sc._jsc.sc().getPersistentRDDs().size() == before
