@@ -1357,11 +1357,37 @@ def bfs_distances(
         release_materialized(adj)
 
 
+def _driver_label_propagation(spark, rows, iterations: int, id_type: str) -> DataFrame:
+    """Semi-synchronous LPA on a collected (bounded) pair list — exactly
+    the distributed schedule (most frequent neighbor label, ties to the
+    minimum), so the two paths are row-identical (contract-tested).
+    Same checkpointed-return contract as the distributed path."""
+    adj: dict = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {v: v for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v, nbrs in adj.items():
+            counts: dict = {}
+            for u in nbrs:
+                counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+            new[v] = min(counts, key=lambda c: (-counts[c], c))
+        lbl = new
+    return checkpoint_nostats(
+        spark.createDataFrame(
+            sorted(lbl.items()), f"node {id_type}, label {id_type}"
+        )
+    )
+
+
 def label_propagation(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     iterations: int = 2,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Community detection by semi-synchronous label propagation
     (Raghavan, Albert, Kumara 2007) over the undirected pair graph:
@@ -1381,6 +1407,11 @@ def label_propagation(
     Convergence on community-structured graphs is a handful of rounds;
     ``iterations`` is a fixed budget by design (determinism), not a
     convergence test.
+
+    Hybrid execution (the CC doctrine): a graph at or under
+    ``driver_threshold`` distinct pairs runs the identical schedule on
+    the driver (bounded collect, contract-tested row-identical); set
+    ``driver_threshold=0`` to force the distributed loop.
     """
     spark = pairs.sparkSession
     base = checkpoint_nostats(
@@ -1388,7 +1419,15 @@ def label_propagation(
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
     )
+    id_type = base.schema["s"].dataType.simpleString()
     n_pairs = base.count()
+    if n_pairs <= driver_threshold:
+        try:
+            return _driver_label_propagation(
+                spark, [(r["s"], r["d"]) for r in base.collect()], iterations, id_type
+            )
+        finally:
+            release_materialized(base)
     loop_parts = _loop_width(spark, 2 * n_pairs)
     edges = checkpoint_nostats(
         base.unionByName(base.select(F.col("d").alias("s"), F.col("s").alias("d"))),

@@ -292,10 +292,12 @@ class TestLabelPropagation:
         pairs = clique(0) + clique(100) + [(4, 100)]
         df = spark.createDataFrame(pairs, "id_a long, id_b long")
         for iters in (1, 2, 3):
-            res = label_propagation(df, iterations=iters)
-            got = {r["node"]: r["label"] for r in res.collect()}
-            release_materialized(res)
-            assert got == _lpa_ref(pairs, iters), iters
+            # both execution paths (driver hybrid and distributed loop)
+            for thresh in (100_000, 0):
+                res = label_propagation(df, iterations=iters, driver_threshold=thresh)
+                got = {r["node"]: r["label"] for r in res.collect()}
+                release_materialized(res)
+                assert got == _lpa_ref(pairs, iters), (iters, thresh)
 
     def test_deterministic_tie_break_and_dirty_input(self, spark):
         from snowplow_s3_loader_spark.operators.dedup import release_materialized
@@ -305,11 +307,12 @@ class TestLabelPropagation:
         # every adoption is a pure tie-break; plus dup/reversed/null rows
         pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 0), (0, 1), (None, 5)]
         df = spark.createDataFrame(pairs, "id_a long, id_b long")
-        res = label_propagation(df, iterations=2)
-        got = {r["node"]: r["label"] for r in res.collect()}
-        release_materialized(res)
         clean = [(a, b) for a, b in pairs if a is not None and b is not None]
-        assert got == _lpa_ref(clean, 2)
+        for thresh in (100_000, 0):
+            res = label_propagation(df, iterations=2, driver_threshold=thresh)
+            got = {r["node"]: r["label"] for r in res.collect()}
+            release_materialized(res)
+            assert got == _lpa_ref(clean, 2), thresh
 
     def test_releases_blocks(self, spark):
         from snowplow_s3_loader_spark.operators.dedup import release_materialized
