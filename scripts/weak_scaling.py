@@ -950,6 +950,35 @@ def bfs_case(spark, n_edges: int) -> dict:
     }
 
 
+def lpa_case(spark, n_edges: int) -> dict:
+    """Label propagation (round-8), DISTRIBUTED path forced
+    (driver_threshold=0): 2 deterministic rounds on the hashed graph.
+    Per round one co-partitioned join + one keyed count + one arg-max
+    window — wall must grow ~linearly with |E|."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import label_propagation
+
+    n_nodes = max(100, n_edges // 10)
+    edges = spark.range(n_edges).select(
+        (F.abs(F.xxhash64("id")) % n_nodes).alias("id_a"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % n_nodes).alias("id_b"),
+    )
+    r = label_propagation(edges, iterations=2, driver_threshold=0)
+    r.count()  # warm
+    release_materialized(r)
+    t0 = time.perf_counter()
+    res = label_propagation(edges, iterations=2, driver_threshold=0)
+    n_comm = res.select("label").distinct().count()
+    dt = time.perf_counter() - t0
+    release_materialized(res)
+    return {
+        "case": "label_propagation",
+        "edges": n_edges,
+        "communities": n_comm,
+        "sec": round(dt, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1019,6 +1048,9 @@ def main() -> None:
     if which in ("bfs", "all"):
         out.append(bfs_case(spark, 1_000_000))
         out.append(bfs_case(spark, 10_000_000))
+    if which in ("lpa", "all"):
+        out.append(lpa_case(spark, 1_000_000))
+        out.append(lpa_case(spark, 10_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()
