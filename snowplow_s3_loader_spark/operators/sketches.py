@@ -179,7 +179,9 @@ def cms_build(
     """Count-Min sketch (Cormode & Muthukrishnan, "An improved data
     stream summary: the count-min sketch and its applications", 2005)
     over a token stream: ``depth x width`` counters as a
-    ``(row, cell, n)`` frame (absent cells are zero). Point estimates
+    ``(row, cell, n)`` frame (absent cells are zero; keep depth*width
+    within broadcast size — ~10M cells — since `cms_query` broadcasts
+    the sketch). Point estimates
     via `cms_query` satisfy ``true <= est`` always and
     ``est <= true + e/width * N`` with probability ``1 - e^-depth`` per
     query (N = stream size) — the fixed-size frequency summary for
