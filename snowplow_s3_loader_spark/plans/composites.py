@@ -756,6 +756,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    bmd = q.q113_bitmap_distinct(spark, sf_dir).select(
+        F.lit("bitmap").alias("battery"),
+        F.concat_ws("@", "kind", "key").alias("key"),
+        F.col("n").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -793,6 +800,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cms)
         .union(mk)
         .union(lpa)
+        .union(bmd)
         .orderBy("battery", "key", "v1")
     )
 
@@ -943,6 +951,7 @@ _FOLDED = {
     "q105_fuzzy_join", "q106_bfs_distances", "q107_snapshot_diff",
     "q108_transition_matrix", "q109_rolling_anomalies",
     "q110_cms_frequency", "q111_markup_strip", "q112_label_propagation",
+    "q113_bitmap_distinct",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1526,6 +1535,10 @@ SELECT 'anomaly' AS battery,
        event_type || '@' || CAST(event_id AS VARCHAR) AS key,
        cents AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q109_rolling_anomalies"]})
+UNION ALL
+SELECT 'bitmap' AS battery, kind || '@' || key AS key,
+       n AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q113_bitmap_distinct"]})
 ORDER BY battery, key, v1
 """
 

@@ -1953,3 +1953,26 @@ l2 AS (
 )
 SELECT v AS node, lbl AS label FROM l2 ORDER BY node
 """
+
+# q113: the bitmap path is exact, so the oracle is plain
+# COUNT(DISTINCT) per type (twice — the merged-halves rows must equal
+# the full recompute) plus a distinct-pair join for the intersection
+# matrix (inner-join semantics: only pairs with >= 1 common user).
+ORACLES["q113_bitmap_distinct"] = """
+WITH ev AS (
+  SELECT event_type, user_id FROM events WHERE event_id % 37 = 0
+),
+du AS (SELECT DISTINCT event_type, user_id FROM ev)
+SELECT 'type' AS kind, event_type AS key, COUNT(DISTINCT user_id) AS n
+FROM ev GROUP BY event_type
+UNION ALL
+SELECT 'merged' AS kind, event_type AS key, COUNT(DISTINCT user_id) AS n
+FROM ev GROUP BY event_type
+UNION ALL
+SELECT 'pair' AS kind, a.event_type || '@' || b.event_type AS key,
+       COUNT(*) AS n
+FROM du a JOIN du b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY kind, key
+"""

@@ -1709,6 +1709,51 @@ def q112_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "node long, label long").orderBy("node")
 
 
+def q113_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting + set algebra via mergeable bitmaps
+    (the RoaringBitmap idea — Chambi et al. 2016 — as a word-keyed
+    frame): per event type, the exact distinct-user count from a
+    64-bit-word bitmap; the same count rebuilt by MERGING two
+    independently-built half-stream bitmaps (proving bit_or-mergeable
+    state == full recompute); and the exact pairwise "users who did
+    both" matrix from a word-keyed self-join — all popcounts, no raw
+    re-scan, hash-matched against COUNT(DISTINCT)/join SQL. The raw
+    stream shuffles once pre-reduced (map-side bit_or bounds exchanged
+    bytes by domain/64 per group, not by event count)."""
+    from snowplow_s3_loader_spark.operators import bitmap
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 37 == 0)
+    bm = bitmap.bitmap_agg(ev, ["event_type"], "user_id")
+    types = bitmap.bitmap_cardinality(bm, ["event_type"]).select(
+        F.lit("type").alias("kind"),
+        F.col("event_type").alias("key"),
+        F.col("n_distinct").alias("n"),
+    )
+    halves = [
+        bitmap.bitmap_agg(
+            ev.where(F.col("event_id") % 2 == p), ["event_type"], "user_id"
+        )
+        for p in (0, 1)
+    ]
+    merged = bitmap.bitmap_cardinality(
+        bitmap.bitmap_merge(halves[0], halves[1], ["event_type"]), ["event_type"]
+    ).select(
+        F.lit("merged").alias("kind"),
+        F.col("event_type").alias("key"),
+        F.col("n_distinct").alias("n"),
+    )
+    pairs = (
+        bitmap.bitmap_pairwise_intersections(bm, "event_type")
+        .where(F.col("n_common") > 0)  # match the oracle's inner-join semantics
+        .select(
+            F.lit("pair").alias("kind"),
+            F.concat_ws("@", "group_a", "group_b").alias("key"),
+            F.col("n_common").alias("n"),
+        )
+    )
+    return types.unionByName(merged).unionByName(pairs).orderBy("kind", "key")
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2318,5 +2363,6 @@ QUERIES = {
         q110_cms_frequency,
         q111_markup_strip,
         q112_label_propagation,
+        q113_bitmap_distinct,
     ]
 }

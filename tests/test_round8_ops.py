@@ -325,3 +325,82 @@ class TestLabelPropagation:
         res.collect()
         release_materialized(res)
         assert sc._jsc.sc().getPersistentRDDs().size() == before
+
+
+class TestBitmapDistinct:
+    def _events(self, spark):
+        rows = [
+            # (etype, uid) with dups, overlap across types, a null,
+            # and negative ids (the (>>6, &63) bijection must hold)
+            ("a", 1), ("a", 1), ("a", 2), ("a", 64), ("a", 65), ("a", -1),
+            ("b", 2), ("b", 64), ("b", 200), ("b", -1), ("b", -129),
+            ("c", 999), ("c", None),
+        ]
+        return spark.createDataFrame(rows, "etype string, uid long"), rows
+
+    def test_cardinality_matches_count_distinct(self, spark):
+        from snowplow_s3_loader_spark.operators import bitmap
+
+        df, rows = self._events(spark)
+        bm = bitmap.bitmap_agg(df, ["etype"], "uid")
+        got = {
+            r["etype"]: r["n_distinct"]
+            for r in bitmap.bitmap_cardinality(bm, ["etype"]).collect()
+        }
+        want = {}
+        for t, u in rows:
+            if u is not None:
+                want.setdefault(t, set()).add(u)
+        assert got == {t: len(s) for t, s in want.items()}
+
+    def test_merge_of_overlapping_shards_equals_full(self, spark):
+        from snowplow_s3_loader_spark.operators import bitmap
+
+        df, _ = self._events(spark)
+        full = bitmap.bitmap_agg(df, ["etype"], "uid")
+        # overlapping shards: every row goes to shard 0, half also to 1
+        s0 = bitmap.bitmap_agg(df, ["etype"], "uid")
+        s1 = bitmap.bitmap_agg(df.where(F.col("uid") % 2 == 0), ["etype"], "uid")
+        merged = bitmap.bitmap_merge(s0, s1, ["etype"])
+        a = {(r["etype"], r["word"]): r["bits"] for r in full.collect()}
+        b = {(r["etype"], r["word"]): r["bits"] for r in merged.collect()}
+        assert a == b
+
+    def test_pairwise_intersections(self, spark):
+        from snowplow_s3_loader_spark.operators import bitmap
+
+        df, rows = self._events(spark)
+        bm = bitmap.bitmap_agg(df, ["etype"], "uid")
+        got = {
+            (r["group_a"], r["group_b"]): r["n_common"]
+            for r in bitmap.bitmap_pairwise_intersections(bm, "etype").collect()
+        }
+        sets = {}
+        for t, u in rows:
+            if u is not None:
+                sets.setdefault(t, set()).add(u)
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] & sets[b]:
+                    want[(a, b)] = len(sets[a] & sets[b])
+        # the bitmap path may emit 0-count rows for pairs sharing a
+        # word but no bit; everything non-zero must match exactly
+        assert {k: v for k, v in got.items() if v} == want
+
+    def test_intersect_cardinality_grouped(self, spark):
+        from snowplow_s3_loader_spark.operators import bitmap
+
+        a = spark.createDataFrame(
+            [("g", 1), ("g", 2), ("g", 130), ("h", 7)], "k string, uid long"
+        )
+        b = spark.createDataFrame(
+            [("g", 2), ("g", 130), ("g", 131), ("h", 8)], "k string, uid long"
+        )
+        bma = bitmap.bitmap_agg(a, ["k"], "uid")
+        bmb = bitmap.bitmap_agg(b, ["k"], "uid")
+        got = {
+            r["k"]: r["n_common"]
+            for r in bitmap.bitmap_intersect_cardinality(bma, bmb, ["k"]).collect()
+        }
+        assert got == {"g": 2, "h": 0}
