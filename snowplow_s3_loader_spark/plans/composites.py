@@ -763,6 +763,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    sky = q.q114_skyline(spark, sf_dir).select(
+        F.lit("skyline").alias("battery"),
+        F.col("order_day").cast("string").alias("key"),
+        F.col("price_cents").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -801,6 +808,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(mk)
         .union(lpa)
         .union(bmd)
+        .union(sky)
         .orderBy("battery", "key", "v1")
     )
 
@@ -951,7 +959,7 @@ _FOLDED = {
     "q105_fuzzy_join", "q106_bfs_distances", "q107_snapshot_diff",
     "q108_transition_matrix", "q109_rolling_anomalies",
     "q110_cms_frequency", "q111_markup_strip", "q112_label_propagation",
-    "q113_bitmap_distinct",
+    "q113_bitmap_distinct", "q114_skyline",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1539,6 +1547,11 @@ UNION ALL
 SELECT 'bitmap' AS battery, kind || '@' || key AS key,
        n AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q113_bitmap_distinct"]})
+UNION ALL
+SELECT 'skyline' AS battery, CAST(order_day AS VARCHAR) AS key,
+       price_cents AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q114_skyline"]})
 ORDER BY battery, key, v1
 """
 

@@ -1976,3 +1976,30 @@ FROM du a JOIN du b
 GROUP BY a.event_type, b.event_type
 ORDER BY kind, key
 """
+
+# q114: 2-D skyline closed form — per distinct day keep the max price,
+# then a strict-prefix RANGE window (equal-day peers excluded) keeps a
+# day iff its price beats every strictly earlier day's best.
+ORACLES["q114_skyline"] = """
+WITH pts AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+d AS (
+  SELECT order_day, max(price_cents) AS price_cents
+  FROM pts GROUP BY order_day
+),
+w AS (
+  SELECT order_day, price_cents,
+         max(price_cents) OVER (
+           ORDER BY order_day
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS pm
+  FROM d
+)
+SELECT order_day, price_cents FROM w
+WHERE pm IS NULL OR price_cents > pm
+ORDER BY order_day
+"""

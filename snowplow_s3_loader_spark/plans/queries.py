@@ -1754,6 +1754,27 @@ def q113_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return types.unionByName(merged).unionByName(pairs).orderBy("kind", "key")
 
 
+def q114_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline — Börzsönyi et al., ICDE 2001) of
+    "largest early orders": order day minimized against total price
+    maximized, both as exact integers (epoch days / cents). The
+    bucket-decomposed sort-scan runs the per-bucket windows in
+    parallel with O(n_buckets) cross-bucket state — no quadratic
+    dominance join, no single-task global sort — and hash-matches the
+    oracle's groupBy + strict-prefix-RANGE-window SQL."""
+    from snowplow_s3_loader_spark.operators.frontier import pareto_frontier_2d
+
+    pts = load_table(spark, sf_dir, "orders").select(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long").alias(
+            "order_day"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    return pareto_frontier_2d(
+        pts, "order_day", "price_cents", maximize=(False, True), n_buckets=64
+    ).orderBy("order_day")
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2364,5 +2385,6 @@ QUERIES = {
         q111_markup_strip,
         q112_label_propagation,
         q113_bitmap_distinct,
+        q114_skyline,
     ]
 }

@@ -404,3 +404,73 @@ class TestBitmapDistinct:
             for r in bitmap.bitmap_intersect_cardinality(bma, bmb, ["k"]).collect()
         }
         assert got == {"g": 2, "h": 0}
+
+
+def _skyline_ref(pts, maximize):
+    sx = -1 if maximize[0] else 1
+    sy = -1 if maximize[1] else 1
+    norm = {(sx * x, sy * y) for x, y in pts}
+    out = set()
+    for p in norm:
+        dominated = any(
+            q != p and q[0] <= p[0] and q[1] <= p[1] for q in norm
+        )
+        if not dominated:
+            out.add((sx * p[0], sy * p[1]))
+    return out
+
+
+class TestParetoFrontier:
+    def test_matches_bruteforce_on_random_sets(self, spark):
+        import random
+
+        from snowplow_s3_loader_spark.operators.frontier import pareto_frontier_2d
+
+        rnd = random.Random(42)
+        for trial, maximize in enumerate(
+            [(False, False), (True, False), (False, True), (True, True)]
+        ):
+            pts = [
+                (rnd.randint(-50, 50), rnd.randint(-50, 50))
+                for _ in range(200)
+            ]
+            pts += pts[:10]  # exact duplicates must not dominate each other
+            df = spark.createDataFrame(pts, "x long, y long")
+            got = {
+                (r["x"], r["y"])
+                for r in pareto_frontier_2d(
+                    df, "x", "y", maximize=maximize, n_buckets=7
+                ).collect()
+            }
+            assert got == _skyline_ref(pts, maximize), (trial, maximize)
+
+    def test_ties_on_x_keep_only_best_y(self, spark):
+        from snowplow_s3_loader_spark.operators.frontier import pareto_frontier_2d
+
+        pts = [(1, 5), (1, 3), (2, 3), (2, 2), (3, 2)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {
+            (r["x"], r["y"])
+            for r in pareto_frontier_2d(df, "x", "y").collect()
+        }
+        assert got == _skyline_ref(pts, (False, False)) == {(1, 3), (2, 2)}
+
+    def test_nulls_dropped_and_empty_input(self, spark):
+        from snowplow_s3_loader_spark.operators.frontier import pareto_frontier_2d
+
+        df = spark.createDataFrame(
+            [(None, 1), (2, None), (3, 3)], "x long, y long"
+        )
+        got = {(r["x"], r["y"]) for r in pareto_frontier_2d(df, "x", "y").collect()}
+        assert got == {(3, 3)}
+        empty = df.where(F.lit(False))
+        assert pareto_frontier_2d(empty, "x", "y").collect() == []
+        assert pareto_frontier_2d(empty, "x", "y").columns == ["x", "y"]
+
+    def test_single_bucket_degenerate_range(self, spark):
+        from snowplow_s3_loader_spark.operators.frontier import pareto_frontier_2d
+
+        # all x identical -> one bucket, pure y-min
+        df = spark.createDataFrame([(5, 9), (5, 2), (5, 7)], "x long, y long")
+        got = [(r["x"], r["y"]) for r in pareto_frontier_2d(df, "x", "y").collect()]
+        assert got == [(5, 2)]
