@@ -161,3 +161,65 @@ def rolling_anomalies(
         "is_anomaly",
         ((n >= F.lit(min_n)) & (lhs > rhs)).cast("boolean"),
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page, "Continuous inspection
+    schemes", Biometrika 1954) per series, in EXACT integer arithmetic.
+    The textbook statistic is recursive — ``s_i = max(0, s_{i-1} +
+    (x_i - target - slack))`` — which looks like it needs per-row
+    iteration; it has a closed window form:
+
+        s_i = P_i - min(0, min_{j<=i} P_j),   P = running sum of the
+                                              drift increments
+
+    so the whole detector is two stacked window passes (running sum,
+    then running min of that sum) over the SAME partitioned sort — no
+    recursion, no Python, no second shuffle (the second window reuses
+    the first's partitioning and order). ``value_col`` must be integer
+    (cents discipline); with integer inputs both engines' window sums
+    are exact, so alarm flags hash-match bit for bit.
+
+    Emits every input row plus ``s_hi`` (upward drift statistic),
+    ``s_lo`` (downward), and ``alarm`` (either side above
+    ``threshold``). Alarmed statistics keep accumulating rather than
+    resetting — the standard monitoring read-out (first crossing per
+    run of drift is the changepoint signal; the un-reset tail shows
+    drift persistence). ``order_cols`` must be a total order within
+    the group (the q08 lesson).
+
+    Scale shape: one hash partition by series, one sort, all
+    whole-stage-codegen'd expressions. State per row is O(1); series
+    length is unbounded. (ROWS UNBOUNDED PRECEDING running frames are
+    the streaming-compatible shape — the applyInPandasWithState twin
+    would carry (P, minP) as its two-integer state.)
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col(value_col).cast("long")
+    p_hi = F.sum(x - F.lit(target + slack)).over(w)
+    p_lo = F.sum(F.lit(target - slack) - x).over(w)
+    out = df.withColumn("__p_hi", p_hi).withColumn("__p_lo", p_lo)
+    s_hi = F.col("__p_hi") - F.least(F.min("__p_hi").over(w), F.lit(0))
+    s_lo = F.col("__p_lo") - F.least(F.min("__p_lo").over(w), F.lit(0))
+    return (
+        out.withColumn("s_hi", s_hi)
+        .withColumn("s_lo", s_lo)
+        .withColumn(
+            "alarm",
+            (F.col("s_hi") > F.lit(threshold))
+            | (F.col("s_lo") > F.lit(threshold)),
+        )
+        .drop("__p_hi", "__p_lo")
+    )

@@ -770,6 +770,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    csm = q.q115_cusum(spark, sf_dir).select(
+        F.lit("cusum").alias("battery"),
+        F.concat_ws("@", "kind", "key").alias("key"),
+        F.col("a").alias("v1"),
+        F.col("b").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -809,6 +816,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(lpa)
         .union(bmd)
         .union(sky)
+        .union(csm)
         .orderBy("battery", "key", "v1")
     )
 
@@ -959,7 +967,7 @@ _FOLDED = {
     "q105_fuzzy_join", "q106_bfs_distances", "q107_snapshot_diff",
     "q108_transition_matrix", "q109_rolling_anomalies",
     "q110_cms_frequency", "q111_markup_strip", "q112_label_propagation",
-    "q113_bitmap_distinct", "q114_skyline",
+    "q113_bitmap_distinct", "q114_skyline", "q115_cusum",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1552,6 +1560,10 @@ SELECT 'skyline' AS battery, CAST(order_day AS VARCHAR) AS key,
        price_cents AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q114_skyline"]})
+UNION ALL
+SELECT 'cusum' AS battery, kind || '@' || key AS key,
+       a AS v1, b AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q115_cusum"]})
 ORDER BY battery, key, v1
 """
 

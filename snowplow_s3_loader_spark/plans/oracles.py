@@ -2003,3 +2003,43 @@ SELECT order_day, price_cents FROM w
 WHERE pm IS NULL OR price_cents > pm
 ORDER BY order_day
 """
+
+# q115: CUSUM via the prefix-sum closed form — s = P - min(0, running
+# min of P) on BIGINT cents, the identical two stacked windows.
+ORACLES["q115_cusum"] = """
+WITH e AS (
+  SELECT event_type, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+p AS (
+  SELECT event_type, event_id, ts,
+         sum(cents - 6000) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_hi,
+         sum(4000 - cents) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_lo
+  FROM e
+),
+s AS (
+  SELECT event_type, event_id,
+         p_hi - least(min(p_hi) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s_hi,
+         p_lo - least(min(p_lo) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s_lo
+  FROM p
+),
+a AS (SELECT * FROM s WHERE s_hi > 50000 OR s_lo > 50000)
+SELECT 'summary' AS kind, event_type AS key,
+       CAST(count(*) AS BIGINT) AS a, CAST(max(s_hi) AS BIGINT) AS b
+FROM a GROUP BY event_type
+UNION ALL
+SELECT 'row' AS kind,
+       event_type || '@' || CAST(event_id AS VARCHAR) AS key,
+       CAST(s_hi AS BIGINT) AS a, CAST(s_lo AS BIGINT) AS b
+FROM a WHERE event_id % 11 = 0
+ORDER BY kind, key
+"""

@@ -1775,6 +1775,40 @@ def q114_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("order_day")
 
 
+def q115_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) per event type over
+    integer cents: the recursive max(0, s+d) statistic evaluated via
+    its prefix-sum closed form — two stacked windows on ONE
+    partitioned sort, exact BIGINT arithmetic. Emits a per-type alarm
+    summary plus an id-sliced sample of alarmed rows; both hash-match
+    the oracle's identical nested-window SQL."""
+    from snowplow_s3_loader_spark.operators.timeseries import cusum_alarms
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    scored = cusum_alarms(
+        ev, "event_type", ["ts", "event_id"], "cents",
+        target=5000, slack=1000, threshold=50_000,
+    )
+    alarms = scored.where("alarm")
+    summary = alarms.groupBy("event_type").agg(
+        F.count("*").alias("a"), F.max("s_hi").alias("b")
+    ).select(
+        F.lit("summary").alias("kind"), F.col("event_type").alias("key"), "a", "b"
+    )
+    sample = alarms.where(F.col("event_id") % 11 == 0).select(
+        F.lit("row").alias("kind"),
+        F.concat_ws("@", "event_type", F.col("event_id").cast("string")).alias("key"),
+        F.col("s_hi").alias("a"),
+        F.col("s_lo").alias("b"),
+    )
+    return summary.unionByName(sample).orderBy("kind", "key")
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2386,5 +2420,6 @@ QUERIES = {
         q112_label_propagation,
         q113_bitmap_distinct,
         q114_skyline,
+        q115_cusum,
     ]
 }

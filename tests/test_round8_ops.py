@@ -474,3 +474,53 @@ class TestParetoFrontier:
         df = spark.createDataFrame([(5, 9), (5, 2), (5, 7)], "x long, y long")
         got = [(r["x"], r["y"]) for r in pareto_frontier_2d(df, "x", "y").collect()]
         assert got == [(5, 2)]
+
+
+def _cusum_ref(xs, target, slack, threshold):
+    """Textbook recursive two-sided CUSUM."""
+    s_hi = s_lo = 0
+    out = []
+    for x in xs:
+        s_hi = max(0, s_hi + (x - target - slack))
+        s_lo = max(0, s_lo + (target - slack - x))
+        out.append((s_hi, s_lo, s_hi > threshold or s_lo > threshold))
+    return out
+
+
+class TestCusum:
+    def test_closed_form_equals_recursive_reference(self, spark):
+        import random
+
+        from snowplow_s3_loader_spark.operators.timeseries import cusum_alarms
+
+        rnd = random.Random(7)
+        # a drifting series: baseline 100, upward shift, then downward
+        xs = (
+            [rnd.randint(80, 120) for _ in range(30)]
+            + [rnd.randint(130, 170) for _ in range(20)]
+            + [rnd.randint(30, 70) for _ in range(20)]
+        )
+        rows = [("s", i, x) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "k string, i long, x long")
+        got = (
+            cusum_alarms(df, "k", ["i"], "x", target=100, slack=10, threshold=150)
+            .orderBy("i")
+            .select("s_hi", "s_lo", "alarm")
+            .collect()
+        )
+        want = _cusum_ref(xs, 100, 10, 150)
+        assert [(r["s_hi"], r["s_lo"], r["alarm"]) for r in got] == want
+        assert any(r["alarm"] for r in got)  # the shift must actually fire
+
+    def test_series_are_independent(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import cusum_alarms
+
+        rows = [("a", 0, 1000), ("b", 0, 0), ("b", 1, 0)]
+        df = spark.createDataFrame(rows, "k string, i long, x long")
+        got = {
+            (r["k"], r["i"]): r["s_hi"]
+            for r in cusum_alarms(
+                df, "k", ["i"], "x", target=0, slack=0, threshold=10
+            ).collect()
+        }
+        assert got == {("a", 0): 1000, ("b", 0): 0, ("b", 1): 0}
