@@ -165,3 +165,76 @@ def exact_moments(
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_x_num"),
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("var_y_num"),
     )
+
+
+def group_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-group OLS trend (closed-form simple linear regression) in
+    EXACT integer arithmetic: one aggregation pass collects
+    (n, Σx, Σy, Σxy, Σx²), and the slope is emitted both as the exact
+    rational ``slope_num / slope_den``
+
+        slope_num = n·Σxy − Σx·Σy      slope_den = n·Σx² − (Σx)²
+
+    and as ``slope_scaled = sign(num) · (|num|·scale div den)`` —
+    truncating integer division on non-negative operands, which both
+    Spark's ``div`` and DuckDB's ``//`` implement identically, so the
+    scaled slope hash-matches across engines (negative-operand
+    division semantics never enter). ``slope_den = 0`` (all x equal)
+    yields NULL.
+
+    Inputs must be integer columns (cents / epoch-day discipline).
+    Overflow: intermediates are bounded by n²·max|x|·max|y| — keep
+    that under 2⁶³ by choosing a near origin for x (shifting x changes
+    no slope) and rescaling y; the scaled slope additionally needs
+    |num|·scale < 2⁶³, which is ENFORCED (raise_error per row, the
+    hits() discipline) rather than silently wrapped.
+
+    Scale shape: a single groupBy with map-side combine — five BIGINT
+    sums per group of shuffle state, no second pass, no Python.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("__sx"),
+            F.sum(y).alias("__sy"),
+            F.sum(x * y).alias("__sxy"),
+            F.sum(x * x).alias("__sxx"),
+        )
+    )
+    num = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    bound = (2**63 - 1) // scale
+    guarded_num = F.when(
+        F.abs(num) > F.lit(bound),
+        F.raise_error(
+            F.lit(
+                f"group_trend: |slope_num| exceeds 2^63/scale at scale={scale}; "
+                "shift x to a nearer origin or rescale y"
+            )
+        ).cast("long"),
+    ).otherwise(num)
+    slope_scaled = F.when(den == 0, F.lit(None).cast("long")).otherwise(
+        F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+        * F.expr(f"abs(__num) * {int(scale)} div __den")
+    )
+    return (
+        agg.withColumn("__num", guarded_num)
+        .withColumn("__den", den)
+        .select(
+            *group_cols,
+            "n",
+            F.col("__num").alias("slope_num"),
+            F.col("__den").alias("slope_den"),
+            slope_scaled.alias("slope_scaled"),
+        )
+    )

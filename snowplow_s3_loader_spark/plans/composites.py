@@ -777,6 +777,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    trd = q.q116_group_trend(spark, sf_dir).select(
+        F.lit("trend").alias("battery"),
+        F.col("o_custkey").cast("string").alias("key"),
+        F.col("slope_num").alias("v1"),
+        F.col("slope_den").alias("v2"),
+        F.col("slope_milli").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -817,6 +824,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(bmd)
         .union(sky)
         .union(csm)
+        .union(trd)
         .orderBy("battery", "key", "v1")
     )
 
@@ -968,6 +976,7 @@ _FOLDED = {
     "q108_transition_matrix", "q109_rolling_anomalies",
     "q110_cms_frequency", "q111_markup_strip", "q112_label_propagation",
     "q113_bitmap_distinct", "q114_skyline", "q115_cusum",
+    "q116_group_trend",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1564,6 +1573,10 @@ UNION ALL
 SELECT 'cusum' AS battery, kind || '@' || key AS key,
        a AS v1, b AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q115_cusum"]})
+UNION ALL
+SELECT 'trend' AS battery, CAST(o_custkey AS VARCHAR) AS key,
+       slope_num AS v1, slope_den AS v2, slope_milli AS v3
+FROM ({ORACLES["q116_group_trend"]})
 ORDER BY battery, key, v1
 """
 

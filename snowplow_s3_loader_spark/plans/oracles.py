@@ -2043,3 +2043,33 @@ SELECT 'row' AS kind,
 FROM a WHERE event_id % 11 = 0
 ORDER BY kind, key
 """
+
+# q116: five-sum closed-form OLS; positive-operand // so the truncating
+# division matches Spark's div exactly (sign applied separately).
+ORACLES["q116_group_trend"] = """
+WITH pts AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1995-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+),
+s AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY o_custkey
+)
+SELECT o_custkey, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                 * (abs(n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+                 AS BIGINT)
+       END AS slope_milli
+FROM s
+WHERE n >= 5 AND o_custkey % 7 = 0
+ORDER BY o_custkey
+"""

@@ -1809,6 +1809,33 @@ def q115_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.unionByName(sample).orderBy("kind", "key")
 
 
+def q116_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-spend trend: closed-form OLS slope of
+    (days since 1995-01-01, order cents) per customer in ONE
+    aggregation pass — the exact rational num/den plus a truncating
+    millicents-per-day slope (positive-operand div, identical in both
+    engines). Customers with >= 5 orders, id-sliced; hash-matched
+    against the oracle's identical five-sum SQL."""
+    from snowplow_s3_loader_spark.operators.profile import group_trend
+
+    pts = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    return (
+        group_trend(pts, ["o_custkey"], "x", "y", scale=1000)
+        .where((F.col("n") >= 5) & (F.col("o_custkey") % 7 == 0))
+        .select(
+            "o_custkey", "n", "slope_num", "slope_den",
+            F.col("slope_scaled").alias("slope_milli"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2421,5 +2448,6 @@ QUERIES = {
         q113_bitmap_distinct,
         q114_skyline,
         q115_cusum,
+        q116_group_trend,
     ]
 }

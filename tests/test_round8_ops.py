@@ -524,3 +524,50 @@ class TestCusum:
             ).collect()
         }
         assert got == {("a", 0): 1000, ("b", 0): 0, ("b", 1): 0}
+
+
+class TestGroupTrend:
+    def test_matches_float_ols_reference(self, spark):
+        import random
+
+        from snowplow_s3_loader_spark.operators.profile import group_trend
+
+        rnd = random.Random(3)
+        rows = []
+        truth = {}
+        for g, (slope, icept) in enumerate([(250, 1000), (-120, 9000), (0, 42)]):
+            xs = [rnd.randint(0, 400) for _ in range(50)]
+            pts = [(x, icept + slope * x + rnd.randint(-500, 500)) for x in xs]
+            rows += [(g, x, y) for x, y in pts]
+            n = len(pts)
+            sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+            sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+            truth[g] = (n * sxy - sx * sy, n * sxx - sx * sx)
+        df = spark.createDataFrame(rows, "g long, x long, y long")
+        got = {r["g"]: r for r in group_trend(df, ["g"], "x", "y").collect()}
+        for g, (num, den) in truth.items():
+            r = got[g]
+            assert (r["slope_num"], r["slope_den"]) == (num, den)
+            sign = -1 if num < 0 else 1
+            assert r["slope_scaled"] == sign * (abs(num) * 1000 // den)
+            # the scaled slope approximates the float OLS slope
+            assert abs(r["slope_scaled"] / 1000 - num / den) < 1e-3
+
+    def test_constant_x_yields_null_slope(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import group_trend
+
+        df = spark.createDataFrame([(1, 5, 10), (1, 5, 20)], "g long, x long, y long")
+        r = group_trend(df, ["g"], "x", "y").collect()[0]
+        assert r["slope_den"] == 0 and r["slope_scaled"] is None
+
+    def test_overflow_guard_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import group_trend
+
+        # num = m^2 ~ 2.25e16 fits int64, but num * 1000 would not:
+        # the explicit guard must fire (not a silent wrap / raw overflow)
+        m = 150_000_000
+        df = spark.createDataFrame(
+            [(1, 0, 0), (1, m, m)], "g long, x long, y long"
+        )
+        with pytest.raises(Exception, match="group_trend"):
+            group_trend(df, ["g"], "x", "y", scale=1000).collect()
