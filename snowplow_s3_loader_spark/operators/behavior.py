@@ -317,3 +317,80 @@ def transition_matrix(
         "n",
         F.expr("__num div __den").alias("prob_micro"),
     )
+
+
+def item_similarity_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    k: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al., "Item-based
+    collaborative filtering recommendation algorithms", WWW 2001): the
+    top-k most-similar neighbors per item, where similarity is the
+    cosine between binary item-occurrence vectors over baskets. To stay
+    engine-exact the emitted score is the SQUARED cosine in truncating
+    integer micro-units —
+
+        sim2 = c_ij^2 * scale div (c_i * c_j)
+
+    (monotone in cosine, so rankings are identical; no sqrt, no floats
+    anywhere). Ties rank deterministically by neighbor id.
+
+    Scale shape: reuses `frequent_pairs`' apriori discipline — items
+    below ``min_support`` are pruned BEFORE the per-basket quadratic
+    pair expansion, co-occurrence is one ordered equi-self-join plus a
+    keyed count, per-item counts join back on the item key (two hash
+    joins on |pairs|-sized frames, never on the raw basket relation),
+    and the top-k filter is a per-item row_number window. Overflow is
+    ENFORCED, not assumed: pair support must stay under
+    sqrt(2^63/scale) (~3e6 at the default scale) or the row raises.
+    """
+    pairs = frequent_pairs(df, basket_col, item_col, min_support)
+    counts = (
+        df.select(F.col(basket_col).alias("__basket"), F.col(item_col).alias("item"))
+        .distinct()
+        .groupBy("item")
+        .agg(F.count("*").alias("c"))
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"), "support"
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"), "support"
+        )
+    )
+    max_support = int(((2**63 - 1) // scale) ** 0.5)
+    guarded = sym.withColumn(
+        "support",
+        F.when(
+            F.col("support") > F.lit(max_support),
+            F.raise_error(
+                F.lit(
+                    "item_similarity_topk: pair support exceeds the exact-integer "
+                    f"bound sqrt(2^63/scale) = {max_support}; lower scale"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("support")),
+    )
+    joined = (
+        guarded.join(counts.select(F.col("item"), F.col("c").alias("__ci")), "item")
+        .join(
+            counts.select(F.col("item").alias("neighbor"), F.col("c").alias("__cj")),
+            "neighbor",
+        )
+        .withColumn(
+            "sim2_micro",
+            F.expr(f"support * support * {int(scale)} div (__ci * __cj)"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("sim2_micro").desc(), F.col("neighbor").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("item", "neighbor", "support", "sim2_micro", "rank")
+    )

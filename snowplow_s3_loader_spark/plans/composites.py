@@ -784,6 +784,15 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope_den").alias("v2"),
         F.col("slope_milli").alias("v3"),
     )
+    isim = q.q117_item_similarity(spark, sf_dir).select(
+        F.lit("itemsim").alias("battery"),
+        F.concat_ws(
+            "@", F.col("item").cast("string"), F.col("rnk").cast("string")
+        ).alias("key"),
+        F.col("neighbor").alias("v1"),
+        F.col("support").alias("v2"),
+        F.col("sim2_micro").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -825,6 +834,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(sky)
         .union(csm)
         .union(trd)
+        .union(isim)
         .orderBy("battery", "key", "v1")
     )
 
@@ -976,7 +986,7 @@ _FOLDED = {
     "q108_transition_matrix", "q109_rolling_anomalies",
     "q110_cms_frequency", "q111_markup_strip", "q112_label_propagation",
     "q113_bitmap_distinct", "q114_skyline", "q115_cusum",
-    "q116_group_trend",
+    "q116_group_trend", "q117_item_similarity",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1577,6 +1587,11 @@ UNION ALL
 SELECT 'trend' AS battery, CAST(o_custkey AS VARCHAR) AS key,
        slope_num AS v1, slope_den AS v2, slope_milli AS v3
 FROM ({ORACLES["q116_group_trend"]})
+UNION ALL
+SELECT 'itemsim' AS battery,
+       CAST(item AS VARCHAR) || '@' || CAST(rnk AS VARCHAR) AS key,
+       neighbor AS v1, support AS v2, sim2_micro AS v3
+FROM ({ORACLES["q117_item_similarity"]})
 ORDER BY battery, key, v1
 """
 

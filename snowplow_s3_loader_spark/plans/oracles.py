@@ -2073,3 +2073,40 @@ FROM s
 WHERE n >= 5 AND o_custkey % 7 = 0
 ORDER BY o_custkey
 """
+
+# q117: apriori-pruned co-occurrence + squared-cosine micro-units
+# (positive-operand // = Spark div); ties rank by neighbor id.
+ORACLES["q117_item_similarity"] = """
+WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY i),
+keep AS (SELECT i FROM cnt WHERE c >= 2),
+pr AS (
+  SELECT a.i AS ia, b2.i AS ib, CAST(count(*) AS BIGINT) AS s
+  FROM it a JOIN it b2 ON a.b = b2.b AND a.i < b2.i
+  WHERE a.i IN (SELECT i FROM keep) AND b2.i IN (SELECT i FROM keep)
+  GROUP BY a.i, b2.i HAVING count(*) >= 2
+),
+sym AS (
+  SELECT ia AS item, ib AS neighbor, s FROM pr
+  UNION ALL
+  SELECT ib AS item, ia AS neighbor, s FROM pr
+),
+sc AS (
+  SELECT sym.item, sym.neighbor, sym.s AS support,
+         CAST(sym.s * sym.s * 1000000 // (ci.c * cj.c) AS BIGINT)
+           AS sim2_micro
+  FROM sym
+  JOIN cnt ci ON ci.i = sym.item
+  JOIN cnt cj ON cj.i = sym.neighbor
+),
+r AS (
+  SELECT item, neighbor, support, sim2_micro,
+         row_number() OVER (
+           PARTITION BY item ORDER BY sim2_micro DESC, neighbor ASC
+         ) AS rn
+  FROM sc
+)
+SELECT item, neighbor, support, sim2_micro, CAST(rn AS INT) AS rnk
+FROM r WHERE rn <= 5
+ORDER BY item, rnk
+"""

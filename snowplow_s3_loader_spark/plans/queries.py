@@ -1836,6 +1836,25 @@ def q116_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q117_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. 2001) over
+    order baskets: top-5 neighbors per part by binary-occurrence
+    cosine, scored as squared cosine in truncating integer micro-units
+    (ranking-equivalent, engine-exact). Apriori-pruned pair expansion,
+    keyed joins on pair-sized frames only; hash-matched against the
+    oracle's identical SQL."""
+    from snowplow_s3_loader_spark.operators.behavior import item_similarity_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        item_similarity_topk(
+            li, "l_orderkey", "l_partkey", min_support=2, k=5
+        )
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("item", "rnk")
+    )
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2449,5 +2468,6 @@ QUERIES = {
         q114_skyline,
         q115_cusum,
         q116_group_trend,
+        q117_item_similarity,
     ]
 }

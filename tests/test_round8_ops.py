@@ -571,3 +571,63 @@ class TestGroupTrend:
         )
         with pytest.raises(Exception, match="group_trend"):
             group_trend(df, ["g"], "x", "y", scale=1000).collect()
+
+
+class TestItemSimilarity:
+    def test_matches_python_reference(self, spark):
+        from collections import defaultdict
+
+        from snowplow_s3_loader_spark.operators.behavior import item_similarity_topk
+
+        baskets = {
+            1: ["a", "b", "c"],
+            2: ["a", "b"],
+            3: ["a", "b", "d"],
+            4: ["c", "d"],
+            5: ["a", "c", "c"],  # dup inside a basket must not inflate
+            6: ["b", "d"],
+            7: ["e"],            # below min_support, pruned
+        }
+        rows = [(b, i) for b, items in baskets.items() for i in items]
+        df = spark.createDataFrame(rows, "b long, i string")
+        got = [
+            (r["item"], r["neighbor"], r["support"], r["sim2_micro"], r["rank"])
+            for r in item_similarity_topk(df, "b", "i", min_support=2, k=2)
+            .orderBy("item", "rank")
+            .collect()
+        ]
+        # python reference
+        cnt = defaultdict(int)
+        co = defaultdict(int)
+        for b, items in baskets.items():
+            uniq = sorted(set(items))
+            for i in uniq:
+                cnt[i] += 1
+            for x in range(len(uniq)):
+                for y in range(x + 1, len(uniq)):
+                    co[(uniq[x], uniq[y])] += 1
+        keep = {i for i, c in cnt.items() if c >= 2}
+        sym = defaultdict(list)
+        for (a, b2), s in co.items():
+            if a in keep and b2 in keep and s >= 2:
+                sym[a].append((b2, s))
+                sym[b2].append((a, s))
+        want = []
+        for item in sorted(sym):
+            scored = sorted(
+                (
+                    (-(s * s * 1_000_000 // (cnt[item] * cnt[n])), n, s)
+                    for n, s in sym[item]
+                )
+            )[:2]
+            for rank, (negsim, n, s) in enumerate(scored, 1):
+                want.append((item, n, s, -negsim, rank))
+        assert got == want
+
+    def test_support_guard_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.behavior import item_similarity_topk
+
+        df = spark.createDataFrame([(1, "a")], "b long, i string")
+        out = item_similarity_topk(df, "b", "i", min_support=1, k=1, scale=10**6)
+        # single item, no pairs -> empty, guard untriggered
+        assert out.collect() == []
