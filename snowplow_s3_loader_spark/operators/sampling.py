@@ -329,3 +329,58 @@ def token_budget_mixture(
         .where(hv < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    integer twin of priority sampling (Duffield, Lund & Thorup,
+    "Priority sampling for estimation of arbitrary subset sums",
+    JACM 2007): each row draws a reproducible 60-bit uniform
+    ``u = md5(id)`` and gets priority ``u div weight``; the
+    ``n_per_group`` smallest priorities per group win. Heavier rows
+    divide by more, land lower, and win proportionally more often —
+    with NO floats, NO rng state, and the same selected set on any
+    engine, row order, or partitioning (hash collisions pinned by the
+    id tiebreak; the md5-hex → 60-bit integer idiom is the package's
+    portable hash family).
+
+    Weights must be integers >= 1; rows with NULL or sub-1 weights
+    RAISE (a silently dropped row is a silently biased sample).
+
+    Scale shape: identical to `group_reservoir` — one hash shuffle on
+    the group key and a rank cutoff that Spark plans as
+    WindowGroupLimit, so each map task pre-trims to n_per_group rows
+    per group before the exchange. The weighting adds one division to
+    the sort key and nothing else.
+    """
+    w = F.col(weight_col).cast("long")
+    guarded = F.when(
+        w.isNull() | (w < 1),
+        F.raise_error(
+            F.lit(
+                "weighted_sample_topk: weights must be integers >= 1 "
+                "(a dropped row would silently bias the sample)"
+            )
+        ).cast("long"),
+    ).otherwise(w)
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    prio = F.expr("__wst_u div __wst_w")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(group_col).orderBy("__wst_p", F.col(id_col))
+    return (
+        df.withColumn("__wst_w", guarded)
+        .withColumn("__wst_u", u)
+        .withColumn("__wst_p", prio)
+        .withColumn("__wst_rk", F.row_number().over(win))
+        .filter(F.col("__wst_rk") <= n_per_group)
+        .select(*df.columns, F.col("__wst_p").alias("priority"))
+    )

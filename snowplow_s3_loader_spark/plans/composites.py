@@ -793,6 +793,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("support").alias("v2"),
         F.col("sim2_micro").alias("v3"),
     )
+    wsm = q.q118_weighted_sample(spark, sf_dir).select(
+        F.lit("wsample").alias("battery"),
+        F.concat_ws("@", "lang", F.col("doc_id").cast("string")).alias("key"),
+        F.col("priority").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -835,6 +842,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(csm)
         .union(trd)
         .union(isim)
+        .union(wsm)
         .orderBy("battery", "key", "v1")
     )
 
@@ -986,7 +994,7 @@ _FOLDED = {
     "q108_transition_matrix", "q109_rolling_anomalies",
     "q110_cms_frequency", "q111_markup_strip", "q112_label_propagation",
     "q113_bitmap_distinct", "q114_skyline", "q115_cusum",
-    "q116_group_trend", "q117_item_similarity",
+    "q116_group_trend", "q117_item_similarity", "q118_weighted_sample",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1592,6 +1600,12 @@ SELECT 'itemsim' AS battery,
        CAST(item AS VARCHAR) || '@' || CAST(rnk AS VARCHAR) AS key,
        neighbor AS v1, support AS v2, sim2_micro AS v3
 FROM ({ORACLES["q117_item_similarity"]})
+UNION ALL
+SELECT 'wsample' AS battery,
+       lang || '@' || CAST(doc_id AS VARCHAR) AS key,
+       priority AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q118_weighted_sample"]})
 ORDER BY battery, key, v1
 """
 

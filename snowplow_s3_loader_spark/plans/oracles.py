@@ -2110,3 +2110,23 @@ SELECT item, neighbor, support, sim2_micro, CAST(rn AS INT) AS rnk
 FROM r WHERE rn <= 5
 ORDER BY item, rnk
 """
+
+# q118: integer priority sampling — identical md5-60-bit uniform and
+# positive-operand // division, so the selected set matches exactly.
+ORACLES["q118_weighted_sample"] = """
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           // greatest(CAST(n_chars AS BIGINT), 1) AS priority
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id, priority,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY priority, doc_id
+         ) AS rn
+  FROM d
+)
+SELECT lang, doc_id, priority FROM r WHERE rn <= 15
+ORDER BY lang, doc_id
+"""

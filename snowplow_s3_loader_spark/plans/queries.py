@@ -1855,6 +1855,27 @@ def q117_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (integer priority sampling —
+    Duffield et al. 2007): per language, the 15 winners by
+    md5-uniform div length-weight priority — longer documents
+    proportionally likelier, zero floats, zero rng state. The
+    selected SET (not just its size) hash-matches the oracle's
+    identical integer SQL."""
+    from snowplow_s3_loader_spark.operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.greatest(F.col("n_chars").cast("long"), F.lit(1)).alias("w"),
+    )
+    return (
+        weighted_sample_topk(docs, "lang", "doc_id", "w", n_per_group=15)
+        .select("lang", "doc_id", "priority")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2469,5 +2490,6 @@ QUERIES = {
         q115_cusum,
         q116_group_trend,
         q117_item_similarity,
+        q118_weighted_sample,
     ]
 }

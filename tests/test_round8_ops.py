@@ -631,3 +631,47 @@ class TestItemSimilarity:
         out = item_similarity_topk(df, "b", "i", min_support=1, k=1, scale=10**6)
         # single item, no pairs -> empty, guard untriggered
         assert out.collect() == []
+
+
+class TestWeightedSample:
+    def test_selected_set_matches_python_reference(self, spark):
+        import hashlib
+
+        from snowplow_s3_loader_spark.operators.sampling import weighted_sample_topk
+
+        rows = [("g", i, (i % 5) * 100 + 1) for i in range(60)]
+        df = spark.createDataFrame(rows, "grp string, id long, w long")
+        got = [
+            (r["id"], r["priority"])
+            for r in weighted_sample_topk(df, "grp", "id", "w", 10)
+            .orderBy("id")
+            .collect()
+        ]
+        prios = []
+        for _, i, w in rows:
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            prios.append((u // w, i))
+        want = sorted(sorted(prios)[:10], key=lambda t: t[1])
+        assert got == [(i, p) for p, i in want]
+
+    def test_heavier_rows_win_more_often(self, spark):
+        from snowplow_s3_loader_spark.operators.sampling import weighted_sample_topk
+
+        # 500 light (w=1) vs 500 heavy (w=100) rows: the heavy half must
+        # dominate the sample decisively (deterministic given md5)
+        rows = [("g", i, 1) for i in range(500)] + [
+            ("g", i, 100) for i in range(500, 1000)
+        ]
+        df = spark.createDataFrame(rows, "grp string, id long, w long")
+        picked = {
+            r["id"] for r in weighted_sample_topk(df, "grp", "id", "w", 50).collect()
+        }
+        heavy = sum(1 for i in picked if i >= 500)
+        assert heavy >= 45
+
+    def test_invalid_weight_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.sampling import weighted_sample_topk
+
+        df = spark.createDataFrame([("g", 1, 0)], "grp string, id long, w long")
+        with pytest.raises(Exception, match="weighted_sample_topk"):
+            weighted_sample_topk(df, "grp", "id", "w", 5).collect()
