@@ -531,3 +531,76 @@ def test_fuzzy_join_deletion_path_single_equi_join(spark):
     n_joins = sum(_nodes(plan, j) for j in
                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
     assert n_joins == 1, plan
+
+
+def test_q113_bitmap_agg_partial_final_no_python(spark, sf_dir):
+    """Every bitmap aggregation must get map-side combine (partial +
+    final HashAggregate around each exchange) and stay fully JVM-side —
+    the bounded-shuffle claim rests on the partial agg."""
+    plan = plan_of(Q.q113_bitmap_distinct(spark, sf_dir))
+    assert _nodes(plan, "HashAggregate") >= 2, plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q114_skyline_windows_keyed_no_quadratic_join(spark, sf_dir):
+    """The skyline must never plan a dominance self-join (quadratic) or
+    a global unpartitioned window (single-task sort funnel): the scan
+    window is keyed by bucket, the prefix-min side arrives broadcast."""
+    plan = plan_of(Q.q114_skyline(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _nodes(plan, "BroadcastHashJoin") == 1, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "partitionBy []" not in line
+
+
+def test_q115_cusum_one_sort_no_join(spark, sf_dir):
+    """Both CUSUM window passes (running sum, then running min of it)
+    must ride ONE partitioned sort — a plan that re-sorts per window
+    doubles the dominant cost; no join belongs anywhere."""
+    from snowplow_s3_loader_spark.operators.timeseries import cusum_alarms
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    plan = plan_of(
+        cusum_alarms(ev, "event_type", ["ts", "event_id"], "cents", 5000, 1000, 50_000)
+    )
+    assert _nodes(plan, "Sort") == 1, plan
+    # exactly one hash exchange on the series key (the cached source
+    # table contributes an unrelated round-robin exchange)
+    assert plan.count("hashpartitioning(event_type") == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_q116_trend_single_aggregation_pass(spark, sf_dir):
+    """All five OLS sums must come from ONE partial+final aggregation —
+    no window, no join, no second scan of orders."""
+    plan = plan_of(Q.q116_group_trend(spark, sf_dir))
+    assert _nodes(plan, "HashAggregate") == 2, plan
+    assert _nodes(plan, "Window") == 0, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("InMemoryFileIndex") == 1, plan
+
+
+def test_q117_item_similarity_all_equi_joins(spark, sf_dir):
+    """The pair expansion and both count joins must be equi-joins —
+    nothing nested-loop, nothing cartesian; the top-k window is keyed."""
+    plan = plan_of(Q.q117_item_similarity(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "partitionBy []" not in line
+
+
+def test_q118_weighted_sample_rank_pushdown(spark, sf_dir):
+    """Priority sampling must keep group_reservoir's WindowGroupLimit
+    shape — the weight division must not defeat the rank pushdown."""
+    plan = plan_of(Q.q118_weighted_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
