@@ -979,6 +979,110 @@ def lpa_case(spark, n_edges: int) -> dict:
     }
 
 
+def bitmap_case(spark, n_rows: int) -> dict:
+    """Exact bitmap distinct counting (round-8): n_rows events over a
+    1M-id domain across 8 groups. The shuffle carries at most
+    groups x domain/64 bit_or-combined words regardless of n_rows, so
+    wall must grow ~linearly with the scan and the reported word count
+    must stay FLAT as rows grow 10x (the bounded-exchange claim)."""
+    from snowplow_s3_loader_spark.operators import bitmap
+
+    domain = 1_000_000
+    ev = spark.range(n_rows).select(
+        (F.abs(F.xxhash64("id")) % 8).cast("string").alias("g"),
+        (F.abs(F.xxhash64(F.col("id") + 3)) % domain).alias("uid"),
+    )
+    ev.count()
+    t0 = time.perf_counter()
+    bm = bitmap.bitmap_agg(ev, ["g"], "uid")
+    n_words = bm.count()
+    card = bitmap.bitmap_cardinality(bm, ["g"]).agg(F.sum("n_distinct")).collect()[0][0]
+    dt = time.perf_counter() - t0
+    return {
+        "case": "bitmap_distinct",
+        "rows": n_rows,
+        "words": n_words,
+        "distinct_total": card,
+        "sec": round(dt, 2),
+    }
+
+
+def skyline_case(spark, n_rows: int) -> dict:
+    """2-D Pareto frontier (round-8): n_rows correlated points (price
+    vs day). Work is one distinct-x reduce + parallel per-bucket
+    windows; wall must track the scan ~linearly, never quadratically
+    (no dominance self-join exists in the plan)."""
+    from snowplow_s3_loader_spark.operators.frontier import pareto_frontier_2d
+
+    pts = spark.range(n_rows).select(
+        (F.abs(F.xxhash64("id")) % 3650).alias("x"),
+        (F.abs(F.xxhash64(F.col("id") + 11)) % 10_000_000).alias("y"),
+    )
+    pts.count()
+    t0 = time.perf_counter()
+    n_frontier = pareto_frontier_2d(pts, "x", "y").count()
+    dt = time.perf_counter() - t0
+    return {
+        "case": "skyline",
+        "rows": n_rows,
+        "frontier": n_frontier,
+        "sec": round(dt, 2),
+    }
+
+
+def itemsim_case(spark, n_rows: int) -> dict:
+    """Item-item similarity (round-8): n_rows basket lines over
+    n_rows/5 baskets and a 10k-item zipf-ish catalog. The apriori prune
+    plus ordered pair join keeps candidate pairs bounded by
+    sum-of-squared-basket-sizes; wall must track that pair volume, not
+    baskets^2."""
+    from snowplow_s3_loader_spark.operators.behavior import item_similarity_topk
+
+    n_baskets = max(100, n_rows // 5)
+    rows = spark.range(n_rows).select(
+        (F.abs(F.xxhash64("id")) % n_baskets).alias("b"),
+        (F.abs(F.xxhash64(F.col("id") + 5)) % 10_000).alias("i"),
+    )
+    rows.count()
+    t0 = time.perf_counter()
+    out = item_similarity_topk(rows, "b", "i", min_support=2, k=10)
+    n_out = out.count()
+    dt = time.perf_counter() - t0
+    return {
+        "case": "item_similarity",
+        "rows": n_rows,
+        "topk_rows": n_out,
+        "sec": round(dt, 2),
+    }
+
+
+def cusum_case(spark, n_rows: int) -> dict:
+    """CUSUM drift detection (round-8): n_rows observations across 64
+    series. One hash exchange + one sort carry both stacked windows;
+    wall must grow ~linearly with rows (O(1) per-row state)."""
+    from snowplow_s3_loader_spark.operators.timeseries import cusum_alarms
+
+    obs = spark.range(n_rows).select(
+        (F.abs(F.xxhash64("id")) % 64).cast("string").alias("g"),
+        F.col("id").alias("seq"),
+        (F.abs(F.xxhash64(F.col("id") + 13)) % 200).alias("x"),
+    )
+    obs.count()
+    t0 = time.perf_counter()
+    n_alarms = (
+        cusum_alarms(obs, "g", ["seq"], "x", target=100, slack=10, threshold=5000)
+        .where("alarm")
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    return {
+        "case": "cusum",
+        "rows": n_rows,
+        "alarms": n_alarms,
+        "sec": round(dt, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1051,6 +1155,18 @@ def main() -> None:
     if which in ("lpa", "all"):
         out.append(lpa_case(spark, 1_000_000))
         out.append(lpa_case(spark, 10_000_000))
+    if which in ("bitmap", "all"):
+        out.append(bitmap_case(spark, 1_000_000))
+        out.append(bitmap_case(spark, 10_000_000))
+    if which in ("skyline", "all"):
+        out.append(skyline_case(spark, 1_000_000))
+        out.append(skyline_case(spark, 10_000_000))
+    if which in ("itemsim", "all"):
+        out.append(itemsim_case(spark, 200_000))
+        out.append(itemsim_case(spark, 2_000_000))
+    if which in ("cusum", "all"):
+        out.append(cusum_case(spark, 1_000_000))
+        out.append(cusum_case(spark, 10_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()
