@@ -800,6 +800,20 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    skw = q.q119_skew_report(spark, sf_dir).select(
+        F.lit("skew").alias("battery"),
+        F.concat_ws("@", "kind", "key").alias("key"),
+        F.col("a").alias("v1"),
+        F.col("b").alias("v2"),
+        F.col("c").alias("v3"),
+    )
+    jex = q.q120_join_explosion(spark, sf_dir).select(
+        F.lit("joinx").alias("battery"),
+        F.concat_ws("@", "kind", "key", F.col("d").cast("string")).alias("key"),
+        F.col("a").alias("v1"),
+        F.col("b").alias("v2"),
+        F.col("c").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -843,6 +857,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(trd)
         .union(isim)
         .union(wsm)
+        .union(skw)
+        .union(jex)
         .orderBy("battery", "key", "v1")
     )
 
@@ -995,6 +1011,7 @@ _FOLDED = {
     "q110_cms_frequency", "q111_markup_strip", "q112_label_propagation",
     "q113_bitmap_distinct", "q114_skyline", "q115_cusum",
     "q116_group_trend", "q117_item_similarity", "q118_weighted_sample",
+    "q119_skew_report", "q120_join_explosion",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1606,6 +1623,15 @@ SELECT 'wsample' AS battery,
        priority AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q118_weighted_sample"]})
+UNION ALL
+SELECT 'skew' AS battery, kind || '@' || key AS key,
+       a AS v1, b AS v2, c AS v3
+FROM ({ORACLES["q119_skew_report"]})
+UNION ALL
+SELECT 'joinx' AS battery,
+       kind || '@' || key || '@' || CAST(d AS VARCHAR) AS key,
+       a AS v1, b AS v2, c AS v3
+FROM ({ORACLES["q120_join_explosion"]})
 ORDER BY battery, key, v1
 """
 

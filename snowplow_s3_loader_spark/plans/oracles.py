@@ -2130,3 +2130,86 @@ r AS (
 SELECT lang, doc_id, priority FROM r WHERE rn <= 15
 ORDER BY lang, doc_id
 """
+
+# q119: per-key counts once; all ratios truncating micro-units on
+# positive operands (// == Spark div).
+ORACLES["q119_skew_report"] = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_n
+  FROM c
+),
+top AS (
+  SELECT user_id, n,
+         row_number() OVER (ORDER BY n DESC, user_id ASC) AS rnk
+  FROM c QUALIFY rnk <= 10
+)
+SELECT 'key' AS kind,
+       CAST(rnk AS VARCHAR) || '@' || CAST(user_id AS VARCHAR) AS key,
+       n AS a,
+       CAST(n * 1000000 // (SELECT n_rows FROM t) AS BIGINT) AS b,
+       CAST(NULL AS BIGINT) AS c
+FROM top
+UNION ALL
+SELECT 'stats1' AS kind, 'all' AS key, n_rows AS a, n_keys AS b,
+       max_n AS c
+FROM t
+UNION ALL
+SELECT 'stats2' AS kind, 'all' AS key,
+       CAST(max_n * n_keys * 1000000 // n_rows AS BIGINT) AS a,
+       CAST((SELECT sum(n) FROM top) * 1000000 // n_rows AS BIGINT) AS b,
+       CAST(NULL AS BIGINT) AS c
+FROM t
+ORDER BY kind, key
+"""
+
+# q120: join size forecast from the two count frames; the raw tables
+# are never joined on either side.
+ORACLES["q120_join_explosion"] = """
+WITH ca AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_a
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+cb AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_b
+  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+  GROUP BY user_id
+),
+pk AS (
+  SELECT ca.user_id, n_a, n_b, n_a * n_b AS out_rows
+  FROM ca JOIN cb ON ca.user_id = cb.user_id
+),
+tb AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows_b
+  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+),
+ta AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows_a
+  FROM events WHERE user_id IS NOT NULL
+),
+top AS (
+  SELECT user_id, n_a, n_b, out_rows,
+         row_number() OVER (ORDER BY out_rows DESC, user_id ASC) AS rnk
+  FROM pk QUALIFY rnk <= 10
+)
+SELECT 'key' AS kind,
+       CAST(rnk AS VARCHAR) || '@' || CAST(user_id AS VARCHAR) AS key,
+       n_a AS a, n_b AS b, CAST(out_rows AS BIGINT) AS c,
+       CAST(out_rows * 1000000 // (n_a + n_b) AS BIGINT) AS d
+FROM top
+UNION ALL
+SELECT 'stats' AS kind, 'all' AS key,
+       CAST(count(*) AS BIGINT) AS a,
+       CAST(sum(out_rows) AS BIGINT) AS b,
+       (SELECT rows_b FROM tb) AS c,
+       CAST(sum(out_rows) * 1000000
+            // ((SELECT rows_a FROM ta) + (SELECT rows_b FROM tb))
+            AS BIGINT) AS d
+FROM pk
+ORDER BY kind, key
+"""

@@ -1876,6 +1876,77 @@ def q118_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew pre-flight: the 10 heaviest user_id keys in the
+    event stream (count + row share) plus the skew stats
+    (max-over-mean multiple, top-10 combined share) — all exact BIGINT
+    micro-units from ONE per-key count; the top-k is a distributed
+    TakeOrderedAndProject, never a single-task sort of the key frame.
+    Hash-matched against the oracle's identical SQL."""
+    from snowplow_s3_loader_spark.operators.diagnostics import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    top, stats = skew_report(ev, ["user_id"], top_n=10)
+    krows = top.select(
+        F.lit("key").alias("kind"),
+        F.concat_ws(
+            "@", F.col("rnk").cast("string"), F.col("user_id").cast("string")
+        ).alias("key"),
+        F.col("n").alias("a"),
+        F.col("share_micro").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+    )
+    s1 = stats.select(
+        F.lit("stats1").alias("kind"),
+        F.lit("all").alias("key"),
+        F.col("n_rows").alias("a"),
+        F.col("n_keys").alias("b"),
+        F.col("max_n").alias("c"),
+    )
+    s2 = stats.select(
+        F.lit("stats2").alias("kind"),
+        F.lit("all").alias("key"),
+        F.col("skew_multiple_micro").alias("a"),
+        F.col("top_share_micro").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+    )
+    return krows.unionByName(s1).unionByName(s2).orderBy("kind", "key")
+
+
+def q120_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion forecast: the exact output size of
+    events ⋈ purchase-events on user_id computed from the two per-key
+    COUNT frames alone (the raw tables are never joined) — total rows,
+    amplification vs inputs, and the 10 most-multiplying keys. Exact
+    BIGINT; hash-matched against the oracle's identical SQL."""
+    from snowplow_s3_loader_spark.operators.diagnostics import (
+        join_explosion_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    top, stats = join_explosion_report(ev, purchases, ["user_id"], top_n=10)
+    krows = top.select(
+        F.lit("key").alias("kind"),
+        F.concat_ws(
+            "@", F.col("rnk").cast("string"), F.col("user_id").cast("string")
+        ).alias("key"),
+        F.col("n_a").alias("a"),
+        F.col("n_b").alias("b"),
+        F.col("out_rows").alias("c"),
+        F.col("amplification_micro").alias("d"),
+    )
+    s = stats.select(
+        F.lit("stats").alias("kind"),
+        F.lit("all").alias("key"),
+        F.col("n_matching_keys").alias("a"),
+        F.col("total_out_rows").alias("b"),
+        F.col("rows_b").alias("c"),
+        F.col("amplification_micro").alias("d"),
+    )
+    return krows.unionByName(s).orderBy("kind", "key")
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2491,5 +2562,7 @@ QUERIES = {
         q116_group_trend,
         q117_item_similarity,
         q118_weighted_sample,
+        q119_skew_report,
+        q120_join_explosion,
     ]
 }

@@ -675,3 +675,56 @@ class TestWeightedSample:
         df = spark.createDataFrame([("g", 1, 0)], "grp string, id long, w long")
         with pytest.raises(Exception, match="weighted_sample_topk"):
             weighted_sample_topk(df, "grp", "id", "w", 5).collect()
+
+
+class TestDiagnostics:
+    def test_skew_report_matches_reference(self, spark):
+        from snowplow_s3_loader_spark.operators.diagnostics import skew_report
+
+        # 3 keys: a x6, b x3, c x1 (+ a null key, which must participate)
+        rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] + [(None,)]
+        df = spark.createDataFrame(rows, "k string")
+        top, stats = skew_report(df, ["k"], top_n=2)
+        t = [(r["k"], r["rnk"], r["n"], r["share_micro"]) for r in top.collect()]
+        assert t == [("a", 1, 6, 6 * 10**6 // 11), ("b", 2, 3, 3 * 10**6 // 11)]
+        s = stats.collect()[0]
+        assert (s["n_rows"], s["n_keys"], s["max_n"]) == (11, 4, 6)
+        assert s["skew_multiple_micro"] == 6 * 4 * 10**6 // 11
+        assert s["top_share_micro"] == 9 * 10**6 // 11
+
+    def test_join_explosion_matches_real_join(self, spark):
+        from snowplow_s3_loader_spark.operators.diagnostics import (
+            join_explosion_report,
+        )
+
+        a = spark.createDataFrame(
+            [(k, i) for k in ["x", "x", "x", "y", "z"] for i in range(2)]
+            + [(None, 0)],
+            "k string, v long",
+        )
+        b = spark.createDataFrame(
+            [("x", 0), ("x", 1), ("y", 0), ("w", 0), (None, 0)],
+            "k string, v long",
+        )
+        top, stats = join_explosion_report(a, b, ["k"], top_n=5)
+        s = stats.collect()[0]
+        real = a.join(b, "k").count()
+        assert s["total_out_rows"] == real  # 6*2 + 2*1 = 14
+        assert s["n_matching_keys"] == 2
+        assert (s["rows_a"], s["rows_b"]) == (10, 4)
+        assert s["amplification_micro"] == 14 * 10**6 // 14
+        t = [(r["k"], r["n_a"], r["n_b"], r["out_rows"]) for r in top.collect()]
+        assert t == [("x", 6, 2, 12), ("y", 2, 1, 2)]
+
+    def test_topk_is_distributed_not_global_sort(self, spark):
+        import contextlib
+        import io
+
+        from snowplow_s3_loader_spark.operators.diagnostics import skew_report
+
+        df = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+        top, _ = skew_report(df, ["k"], top_n=3)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            top.explain("formatted")
+        assert "TakeOrderedAndProject" in buf.getvalue()
