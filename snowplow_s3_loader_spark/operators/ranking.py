@@ -93,3 +93,80 @@ def ntile_from_row_number(rn: Column, total: int, k: int) -> Column:
         .otherwise(F.lit(r) + F.floor((rn - head - 1) / q) + 1)
         .cast("int")
     )
+
+
+def quantile_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    out_col: str = "pct_micro",
+) -> DataFrame:
+    """Per-group quantile (rank) normalization — the distribution-free
+    feature transform (map each value to its within-group percentile)
+    used to make heavy-tailed columns comparable across groups before
+    training. Exact integer micro-units:
+
+        pct_micro = (row_number - 1) * 1_000_000 div (n_group - 1)
+
+    so the smallest row maps to 0, the largest to exactly 1_000_000,
+    and a single-row group to 0 (documented degenerate case; NULL would
+    poison downstream arithmetic). ``order_cols`` must be a total order
+    within the group (append a unique id — the q08 lesson); with a
+    total order row_number == rank, so ties never flip across engines.
+    Truncating division on non-negative operands — identical in Spark
+    (div) and DuckDB (//).
+
+    Scale shape: ONE keyed window partition spec carries both the
+    row_number and the group count (one hash exchange + one sort); the
+    division is a projection. No unpartitioned window exists — for a
+    GLOBAL quantile transform use `global_row_number` +
+    `ntile_from_row_number` instead."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    wc = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("__qr_rn", F.row_number().over(w))
+        .withColumn("__qr_n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__qr_n") > 1,
+                F.expr("(__qr_rn - 1) * CAST(1000000 AS BIGINT) div (__qr_n - 1)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .drop("__qr_rn", "__qr_n")
+    )
+
+
+def group_mode(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Deterministic per-group mode: the most frequent value, ties to
+    the MINIMUM value (a tie rule both engines replay exactly — the
+    q112 discipline). NULL values are excluded (an unknown cannot be
+    the dominant value). Emits (group..., mode, mode_n).
+
+    The reduction is ``min_by`` keyed on ``struct(-n, value)``: the
+    smallest struct has the largest count (structs compare field-wise
+    and only the COUNT is negated — counts are always numeric, so any
+    orderable value type works, strings included), ties falling to the
+    minimum value.
+
+    Scale shape: one partial+final count per (group, value), then one
+    partial+final min_by over the already-reduced count frame — two
+    keyed aggregations, no window, no sort of the raw stream."""
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count("*").alias("__gm_n"))
+    )
+    best = counts.groupBy(*group_cols).agg(
+        F.min_by(
+            F.struct(
+                F.col(value_col).alias("mode"), F.col("__gm_n").alias("mode_n")
+            ),
+            F.struct((-F.col("__gm_n")).alias("neg_n"), F.col(value_col).alias("v")),
+        ).alias("__gm_best")
+    )
+    return best.select(*group_cols, "__gm_best.mode", "__gm_best.mode_n")

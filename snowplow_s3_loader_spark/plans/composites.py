@@ -814,6 +814,22 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("v2"),
         F.col("c").alias("v3"),
     )
+    qrk = q.q121_quantile_rank(spark, sf_dir).select(
+        F.lit("qrank").alias("battery"),
+        F.concat_ws(
+            "@", "event_type", F.col("event_id").cast("string")
+        ).alias("key"),
+        F.col("cents").alias("v1"),
+        F.col("pct_micro").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    gmd = q.q122_group_mode(spark, sf_dir).select(
+        F.lit("mode").alias("battery"),
+        F.concat_ws("@", "source", "lang_mode").alias("key"),
+        F.col("mode_n").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -859,6 +875,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(wsm)
         .union(skw)
         .union(jex)
+        .union(qrk)
+        .union(gmd)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1011,7 +1029,8 @@ _FOLDED = {
     "q110_cms_frequency", "q111_markup_strip", "q112_label_propagation",
     "q113_bitmap_distinct", "q114_skyline", "q115_cusum",
     "q116_group_trend", "q117_item_similarity", "q118_weighted_sample",
-    "q119_skew_report", "q120_join_explosion",
+    "q119_skew_report", "q120_join_explosion", "q121_quantile_rank",
+    "q122_group_mode",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1632,6 +1651,15 @@ SELECT 'joinx' AS battery,
        kind || '@' || key || '@' || CAST(d AS VARCHAR) AS key,
        a AS v1, b AS v2, c AS v3
 FROM ({ORACLES["q120_join_explosion"]})
+UNION ALL
+SELECT 'qrank' AS battery,
+       event_type || '@' || CAST(event_id AS VARCHAR) AS key,
+       cents AS v1, pct_micro AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q121_quantile_rank"]})
+UNION ALL
+SELECT 'mode' AS battery, source || '@' || lang_mode AS key,
+       mode_n AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q122_group_mode"]})
 ORDER BY battery, key, v1
 """
 

@@ -2213,3 +2213,46 @@ SELECT 'stats' AS kind, 'all' AS key,
 FROM pk
 ORDER BY kind, key
 """
+
+# q121: (rn-1)*1e6 // (n-1) over the identical total order; the
+# single-row-group guard mirrors the operator's 0 literal.
+ORACLES["q121_quantile_rank"] = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, cents,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cents, event_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+)
+SELECT event_type, event_id, cents,
+       CASE WHEN n > 1
+            THEN CAST((rn - 1) * 1000000 // (n - 1) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS pct_micro
+FROM r WHERE event_id % 23 = 0
+ORDER BY event_type, event_id
+"""
+
+# q122: most frequent lang per source, ties to the minimum lang.
+ORACLES["q122_group_mode"] = """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE lang IS NOT NULL
+  GROUP BY source, lang
+),
+r AS (
+  SELECT source, lang, n,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n DESC, lang ASC
+         ) AS rn
+  FROM c
+)
+SELECT source, lang AS lang_mode, n AS mode_n
+FROM r WHERE rn = 1
+ORDER BY source
+"""

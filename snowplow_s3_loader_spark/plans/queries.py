@@ -1947,6 +1947,44 @@ def q120_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krows.unionByName(s).orderBy("kind", "key")
 
 
+def q121_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile normalization: each event's within-type
+    percentile of cents in exact integer micro-units — (rn-1)*1e6 div
+    (n-1) over a total order — one keyed window pass, id-sliced
+    output, hash-matched against the oracle's identical window SQL."""
+    from snowplow_s3_loader_spark.operators.ranking import quantile_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = quantile_rank(
+        ev, ["event_type"], [F.col("cents"), F.col("event_id")]
+    )
+    return (
+        out.where(F.col("event_id") % 23 == 0)
+        .select("event_type", "event_id", "cents", "pct_micro")
+        .orderBy("event_type", "event_id")
+    )
+
+
+def q122_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the dominant language per document
+    source (most frequent, ties to the minimum lang) via a min_by on
+    struct(-n, value) over the reduced count frame — two keyed
+    aggregations, no window; hash-matched against the oracle's
+    row_number tie-rule SQL."""
+    from snowplow_s3_loader_spark.operators.ranking import group_mode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        group_mode(docs, ["source"], "lang")
+        .select("source", F.col("mode").alias("lang_mode"), "mode_n")
+        .orderBy("source")
+    )
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2564,5 +2602,7 @@ QUERIES = {
         q118_weighted_sample,
         q119_skew_report,
         q120_join_explosion,
+        q121_quantile_rank,
+        q122_group_mode,
     ]
 }

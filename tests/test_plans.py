@@ -604,3 +604,23 @@ def test_q118_weighted_sample_rank_pushdown(spark, sf_dir):
     plan = plan_of(Q.q118_weighted_sample(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_q121_quantile_rank_one_keyed_window(spark, sf_dir):
+    """row_number and the group count must share ONE window partition
+    spec — one hash exchange, one sort, no unpartitioned window."""
+    plan = plan_of(Q.q121_quantile_rank(spark, sf_dir))
+    assert plan.count("hashpartitioning(event_type") == 1, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "partitionBy []" not in line
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_q122_group_mode_two_aggs_no_window(spark, sf_dir):
+    """Mode = count agg + min_by agg over the reduced frame: both
+    partial+final, zero windows, zero joins."""
+    plan = plan_of(Q.q122_group_mode(spark, sf_dir))
+    assert _nodes(plan, "HashAggregate") + _nodes(plan, "SortAggregate") >= 4, plan
+    assert _nodes(plan, "Window") == 0, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan

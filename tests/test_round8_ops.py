@@ -728,3 +728,61 @@ class TestDiagnostics:
         with contextlib.redirect_stdout(buf):
             top.explain("formatted")
         assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+class TestQuantileRank:
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from snowplow_s3_loader_spark.operators.ranking import quantile_rank
+
+        rnd = random.Random(5)
+        rows = [("g%d" % (i % 3), i, rnd.randint(0, 50)) for i in range(40)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        got = {
+            (r["g"], r["id"]): r["pct_micro"]
+            for r in quantile_rank(df, ["g"], [F.col("v"), F.col("id")]).collect()
+        }
+        by_g = {}
+        for g, i, v in rows:
+            by_g.setdefault(g, []).append((v, i))
+        for g, vs in by_g.items():
+            n = len(vs)
+            for rn, (v, i) in enumerate(sorted(vs), 1):
+                want = (rn - 1) * 1_000_000 // (n - 1) if n > 1 else 0
+                assert got[(g, i)] == want, (g, i)
+        assert max(got.values()) == 1_000_000 and min(got.values()) == 0
+
+    def test_single_row_group_is_zero(self, spark):
+        from snowplow_s3_loader_spark.operators.ranking import quantile_rank
+
+        df = spark.createDataFrame([("g", 1, 9)], "g string, id long, v long")
+        assert quantile_rank(df, ["g"], [F.col("v"), F.col("id")]).collect()[0][
+            "pct_micro"
+        ] == 0
+
+
+class TestGroupMode:
+    def test_mode_with_string_ties_to_minimum(self, spark):
+        from snowplow_s3_loader_spark.operators.ranking import group_mode
+
+        rows = (
+            [("s1", "en")] * 3 + [("s1", "de")] * 3 + [("s1", "fr")]
+            + [("s2", "zh")] * 2 + [("s2", None)] * 5
+        )
+        df = spark.createDataFrame(rows, "src string, lang string")
+        got = {
+            r["src"]: (r["mode"], r["mode_n"])
+            for r in group_mode(df, ["src"], "lang").collect()
+        }
+        # s1: en/de tie at 3 -> min lang "de"; s2: nulls excluded
+        assert got == {"s1": ("de", 3), "s2": ("zh", 2)}
+
+    def test_numeric_values(self, spark):
+        from snowplow_s3_loader_spark.operators.ranking import group_mode
+
+        df = spark.createDataFrame(
+            [(1, 7), (1, 7), (1, 3), (1, 3), (1, 9)], "g long, v long"
+        )
+        r = group_mode(df, ["g"], "v").collect()[0]
+        assert (r["mode"], r["mode_n"]) == (3, 2)
