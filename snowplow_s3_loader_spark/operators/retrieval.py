@@ -137,3 +137,59 @@ def bm25_topk(
     # window ever sees the full corpus
     top = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def inverted_index(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional inverted index: one (term, id, pos) posting per token
+    occurrence (0-based position) — the retrieval-infrastructure twin
+    of `bm25_topk`'s scoring path. Built with a single posexplode; at
+    rest, write it partitioned/sorted by term so phrase and boolean
+    queries prune to their terms' postings at the scan."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).select("term", "id", "pos")
+
+
+def phrase_search(postings: DataFrame, phrase: str) -> DataFrame:
+    """Exact phrase query over a positional index: documents containing
+    the phrase's tokens at consecutive positions, with the exact
+    occurrence count. Classic intersection plan with STATISTICS-DRIVEN
+    join order (the Spark-first touch): the per-term posting counts —
+    one tiny aggregation over <= len(phrase) terms — pick the RAREST
+    term as the probe side, so every subsequent equi-join on
+    (id, aligned position) intersects against the smallest candidate
+    set first; join order never changes the result, only the work.
+
+    Returns (id, n_matches), n_matches >= 1. Single-term phrases reduce
+    to the term's posting counts. Scale shape: k-1 equi-joins between
+    posting slices that a term-partitioned index prunes at the scan;
+    no join ever touches more than one term's postings per side."""
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    slices = [
+        postings.where(F.col("term") == t).select(
+            F.col("id"), (F.col("pos") - i).alias("anchor")
+        )
+        for i, t in enumerate(terms)
+    ]
+    if len(terms) == 1:
+        base = slices[0]
+    else:
+        # rarest-first probe order from ONE statistics pass: per-term
+        # posting counts for just the phrase's terms (missing terms
+        # count 0 and still sort first — the join then proves emptiness
+        # immediately)
+        counts = {
+            r["term"]: r["n"]
+            for r in postings.where(F.col("term").isin(list(set(terms))))
+            .groupBy("term")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        order = sorted(range(len(terms)), key=lambda i: (counts.get(terms[i], 0), i))
+        base = slices[order[0]]
+        for i in order[1:]:
+            base = base.join(slices[i], ["id", "anchor"])
+    return base.groupBy("id").agg(F.count("*").alias("n_matches"))

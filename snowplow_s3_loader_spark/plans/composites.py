@@ -830,6 +830,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    phr = q.q123_phrase_search(spark, sf_dir).select(
+        F.lit("phrase").alias("battery"),
+        F.concat_ws("@", "kind", F.col("doc_id").cast("string")).alias("key"),
+        F.col("n_matches").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -877,6 +884,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(jex)
         .union(qrk)
         .union(gmd)
+        .union(phr)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1030,7 +1038,7 @@ _FOLDED = {
     "q113_bitmap_distinct", "q114_skyline", "q115_cusum",
     "q116_group_trend", "q117_item_similarity", "q118_weighted_sample",
     "q119_skew_report", "q120_join_explosion", "q121_quantile_rank",
-    "q122_group_mode",
+    "q122_group_mode", "q123_phrase_search",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1660,6 +1668,12 @@ UNION ALL
 SELECT 'mode' AS battery, source || '@' || lang_mode AS key,
        mode_n AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q122_group_mode"]})
+UNION ALL
+SELECT 'phrase' AS battery,
+       kind || '@' || CAST(doc_id AS VARCHAR) AS key,
+       n_matches AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q123_phrase_search"]})
 ORDER BY battery, key, v1
 """
 

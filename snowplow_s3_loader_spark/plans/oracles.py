@@ -2256,3 +2256,30 @@ SELECT source, lang AS lang_mode, n AS mode_n
 FROM r WHERE rn = 1
 ORDER BY source
 """
+
+# q123: phrase occurrences via a 1-based list scan (DuckDB range is
+# half-open; i+k-1 stays in bounds by construction).
+ORACLES["q123_phrase_search"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+m2 AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t)),
+             i -> t[i] = 'fast' AND t[i+1] = 'table')) AS n
+  FROM toks
+),
+m3 AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t) - 1),
+             i -> t[i] = 'value' AND t[i+1] = 'table'
+                  AND t[i+2] = 'part')) AS n
+  FROM toks
+)
+SELECT 'p2' AS kind, doc_id, CAST(n AS BIGINT) AS n_matches
+FROM m2 WHERE n >= 1
+UNION ALL
+SELECT 'p3' AS kind, doc_id, CAST(n AS BIGINT) AS n_matches
+FROM m3 WHERE n >= 1
+ORDER BY kind, doc_id
+"""

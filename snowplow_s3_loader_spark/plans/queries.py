@@ -1985,6 +1985,29 @@ def q122_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q123_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval over a positional inverted index: a
+    2-term and a 3-term phrase, each resolved by rarest-term-first
+    posting intersection (statistics-driven join order from one
+    per-term count pass; order changes work, never results). Emits
+    per-document occurrence counts, hash-matched against the oracle's
+    list-scan SQL."""
+    from snowplow_s3_loader_spark.operators.retrieval import (
+        inverted_index,
+        phrase_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = inverted_index(docs, "doc_id", "text")
+    p2 = phrase_search(idx, "fast table").select(
+        F.lit("p2").alias("kind"), F.col("id").alias("doc_id"), "n_matches"
+    )
+    p3 = phrase_search(idx, "value table part").select(
+        F.lit("p3").alias("kind"), F.col("id").alias("doc_id"), "n_matches"
+    )
+    return p2.unionByName(p3).orderBy("kind", "doc_id")
+
+
 def q85_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (Rae et al. 2021 table A1) per language:
     doc counts, pass-all counts, per-rule fail counts — all flags
@@ -2604,5 +2627,6 @@ QUERIES = {
         q120_join_explosion,
         q121_quantile_rank,
         q122_group_mode,
+        q123_phrase_search,
     ]
 }

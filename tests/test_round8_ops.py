@@ -786,3 +786,54 @@ class TestGroupMode:
         )
         r = group_mode(df, ["g"], "v").collect()[0]
         assert (r["mode"], r["mode_n"]) == (3, 2)
+
+
+class TestPhraseSearch:
+    def _index(self, spark, docs):
+        from snowplow_s3_loader_spark.operators.retrieval import inverted_index
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return inverted_index(df, "doc_id", "text")
+
+    def test_occurrence_counts_match_reference(self, spark):
+        from snowplow_s3_loader_spark.operators.retrieval import phrase_search
+
+        docs = [
+            (1, "a b c a b"),      # "a b" twice
+            (2, "a b"),            # once
+            (3, "b a"),            # reversed: no match
+            (4, "a x b"),          # gap: no match
+            (5, "a a b"),          # once (at pos 1)
+        ]
+        idx = self._index(spark, docs)
+        got = {
+            r["id"]: r["n_matches"]
+            for r in phrase_search(idx, "a b").collect()
+        }
+        assert got == {1: 2, 2: 1, 5: 1}
+
+    def test_three_term_and_repeated_term_phrases(self, spark):
+        from snowplow_s3_loader_spark.operators.retrieval import phrase_search
+
+        docs = [(1, "x y x y x"), (2, "x y z"), (3, "y x y")]
+        idx = self._index(spark, docs)
+        assert {
+            r["id"]: r["n_matches"]
+            for r in phrase_search(idx, "x y x").collect()
+        } == {1: 2}  # overlapping matches both count
+        assert {
+            r["id"]: r["n_matches"]
+            for r in phrase_search(idx, "x y z").collect()
+        } == {2: 1}
+
+    def test_single_term_and_missing_term(self, spark):
+        from snowplow_s3_loader_spark.operators.retrieval import phrase_search
+
+        docs = [(1, "q q r"), (2, "r")]
+        idx = self._index(spark, docs)
+        assert {
+            r["id"]: r["n_matches"] for r in phrase_search(idx, "q").collect()
+        } == {1: 2}
+        assert phrase_search(idx, "zz q").collect() == []
+        with pytest.raises(ValueError, match="empty"):
+            phrase_search(idx, "")
