@@ -1548,6 +1548,12 @@ SELECT 'parity' AS battery,
 FROM ({ORACLES["q75_heavy_hitters"]})
 UNION ALL
 SELECT 'parity' AS battery,
+       'streaming_cusum@' || event_type AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (SELECT DISTINCT event_type FROM events)
+UNION ALL
+SELECT 'parity' AS battery,
        'component_map@' || CAST(node AS VARCHAR) AS key,
        CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3

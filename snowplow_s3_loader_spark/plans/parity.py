@@ -317,6 +317,99 @@ def _interval_join_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+def _cusum_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Streaming CUSUM vs the batch closed form (round 8): per event
+    type, the final (s_hi, s_lo) statistic and the cumulative alarm
+    count after folding three seq-ordered micro-batches must equal the
+    batch operator's last row + alarm count on the union — the
+    operator's documented exactness case. seq is a per-type row_number
+    over (ts, event_id), so the order is total and identical for both
+    twins and the tertile split keeps per-key arrival ordered."""
+    from pyspark.sql.window import Window
+
+    from snowplow_s3_loader_spark.operators.timeseries import cusum_alarms
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_cusum
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("seq", F.row_number().over(w).cast("long"))
+        .select("event_type", "seq", "cents")
+    )
+    [row] = ev.select(
+        F.expr("percentile(seq, array(0.34, 0.67))").alias("c")
+    ).collect()
+    c1, c2 = int(row["c"][0]), int(row["c"][1])
+    slices = [
+        ev.where(F.col("seq") <= c1),
+        ev.where((F.col("seq") > c1) & (F.col("seq") <= c2)),
+        ev.where(F.col("seq") > c2),
+    ]
+    tmp = tempfile.mkdtemp(prefix="parity_cusum_")
+    final: dict = {}
+    try:
+        in_dir = _write_stream_files(slices, tmp)
+        src = (
+            spark.readStream.schema("event_type string, seq bigint, cents bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+        def _fb(df, bid):
+            for r in df.collect():  # update mode: later batches overwrite
+                final[r["event_type"]] = (
+                    r["s_hi"], r["s_lo"], r["n_alarms"], r["n_seen"]
+                )
+
+        _run_stream(
+            streaming_cusum(
+                src, "event_type", "seq", "cents",
+                target=5000, slack=1000, threshold=50_000,
+            ),
+            tmp,
+            _fb,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    scored = cusum_alarms(
+        ev, "event_type", ["seq"], "cents",
+        target=5000, slack=1000, threshold=50_000,
+    )
+    last = {
+        r["event_type"]: (r["s_hi"], r["s_lo"])
+        for r in scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.col("seq").desc())
+            ),
+        )
+        .where("rn = 1")
+        .collect()
+    }
+    counts = {
+        r["event_type"]: (r["n_alarms"], r["n"])
+        for r in scored.groupBy("event_type")
+        .agg(
+            F.sum(F.col("alarm").cast("long")).alias("n_alarms"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    batch = {
+        k: (last[k][0], last[k][1], counts[k][0], counts[k][1]) for k in last
+    }
+    return [
+        ("streaming_cusum", str(k), int(batch.get(k) == final.get(k)))
+        for k in sorted(set(batch) | set(final))
+    ]
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check_name, key, is_match) for all four parity families, fully
     materialized driver-side (literal rows — no lingering plan or
@@ -326,10 +419,17 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, not three."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
+    with ThreadPoolExecutor(max_workers=4) as ex:
         fut_funnel = ex.submit(_funnel_parity, spark, sf_dir)
         fut_heavy = ex.submit(_heavy_parity, spark, sf_dir)
         fut_ssj = ex.submit(_interval_join_parity, spark, sf_dir)
+        fut_cusum = ex.submit(_cusum_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
-        rows = fut_funnel.result() + fut_heavy.result() + fut_ssj.result() + cm_rows
+        rows = (
+            fut_funnel.result()
+            + fut_heavy.result()
+            + fut_ssj.result()
+            + fut_cusum.result()
+            + cm_rows
+        )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

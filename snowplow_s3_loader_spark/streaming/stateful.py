@@ -491,3 +491,106 @@ def streaming_funnel(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s_hi", LongType()),
+        StructField("s_lo", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def streaming_cusum(
+    events: DataFrame,
+    key_col: str,
+    seq_col: str,
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of timeseries.cusum_alarms: per-series two-sided
+    CUSUM carried across micro-batches with FOUR integers of state
+    (s_hi, s_lo, cumulative alarm count, rows seen) — the recursion
+    max(0, s + d) needs exactly the current statistic, nothing else,
+    which is why CUSUM is the classic streaming drift detector.
+
+    Each batch's rows are processed in ``seq_col`` order via the same
+    prefix-sum closed form the batch operator uses, composed with the
+    carried statistic: with Q = s_prev + cumsum(d),
+
+        s_i = Q_i - min(0, min_{j<=i} Q_j)
+
+    (numpy int64 cumsum/accumulate — vectorized AND exact). When rows
+    arrive in seq order across batches — the log-shipping case — the
+    final emission per key EQUALS the batch operator's last row and
+    alarm count on the union (differential-tested). Emits one row per
+    key per batch: (key, s_hi, s_lo, n_alarms, n_seen).
+
+    ``timeout_ms``: processing-time eviction for always-on runs (same
+    Trigger.AvailableNow caveat as running_user_counts)."""
+    import numpy as np
+
+    key_type = events.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("s_hi", LongType()),
+            StructField("s_lo", LongType()),
+            StructField("n_alarms", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def _run_side(s_prev: int, d: "np.ndarray") -> "np.ndarray":
+        q = s_prev + np.cumsum(d, dtype=np.int64)
+        m = np.minimum(np.minimum.accumulate(q), 0)
+        return q - m
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        s_hi, s_lo, n_alarms, n_seen = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(seq_col, kind="mergesort")
+            x = batch[value_col].to_numpy(dtype=np.int64)
+            hi = _run_side(s_hi, x - (target + slack))
+            lo = _run_side(s_lo, (target - slack) - x)
+            alarm = (hi > threshold) | (lo > threshold)
+            s_hi, s_lo = int(hi[-1]), int(lo[-1])
+            n_alarms += int(alarm.sum())
+            n_seen += len(batch)
+        state.update((s_hi, s_lo, n_alarms, n_seen))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "s_hi": [s_hi],
+                "s_lo": [s_lo],
+                "n_alarms": [n_alarms],
+                "n_seen": [n_seen],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

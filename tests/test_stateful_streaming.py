@@ -403,7 +403,7 @@ def test_streaming_funnel_retro_event_improves_without_invalidating(spark, tmp_p
 
 def test_streaming_parity_rows_all_match(spark, sf_dir):
     """The driver-visible batch-vs-streaming parity audit (folded into
-    q74_scale_battery) must emit is_match=1 for every key in all four
+    q74_scale_battery) must emit is_match=1 for every key in all five
     families — a falsifiable audit is only useful if its green state is
     pinned here and its red states are reachable (each family's
     divergence behavior is covered by the operator-level differential
@@ -419,6 +419,82 @@ def test_streaming_parity_rows_all_match(spark, sf_dir):
         "streaming_heavy",
         "component_map",
         "stream_interval_join",
+        "streaming_cusum",
     }, by_check
     for name, bits in by_check.items():
         assert bits and all(b == 1 for b in bits), (name, bits)
+
+
+def test_streaming_cusum_matches_batch_on_ordered_stream(spark, tmp_path):
+    """streaming_cusum over seq-ordered micro-batches must equal the
+    batch closed form on the union: final statistic per key AND the
+    cumulative alarm count (the documented exactness case), including
+    drifts that cross batch boundaries."""
+    import random
+
+    from snowplow_s3_loader_spark.operators.timeseries import cusum_alarms
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_cusum
+
+    rnd = random.Random(23)
+    rows = []
+    for k in ("a", "b", "c"):
+        base = 100
+        for i in range(120):
+            if k == "a" and i >= 60:
+                base = 140  # upward drift crossing the 2nd/3rd batch
+            if k == "b" and i >= 90:
+                base = 55   # late downward drift
+            rows.append((k, i, base + rnd.randrange(-8, 9)))
+    thirds = [rows[0::3], rows[1::3], rows[2::3]]  # interleave by seq? no:
+    # seq-ordered arrival: batch n carries the n-th time slice per key
+    ordered = sorted(rows, key=lambda r: r[1])
+    thirds = [ordered[:120], ordered[120:240], ordered[240:]]
+    in_dir = tmp_path / "cusum_in"
+    in_dir.mkdir(parents=True)
+    import os
+    import time as _time
+
+    base_t = _time.time() - 100
+    for i, chunk in enumerate(thirds):
+        p = in_dir / f"b{i}.csv"
+        p.write_text("\n".join(f"{k},{s},{v}" for k, s, v in chunk) + "\n")
+        # the file source orders micro-batches by mtime: pin it so batch
+        # i really arrives i-th (the plans/parity.py discipline)
+        os.utime(p, (base_t + i * 10, base_t + i * 10))
+
+    src = spark.readStream.schema("k string, seq long, x long").option(
+        "maxFilesPerTrigger", 1
+    ).csv(str(in_dir))
+    collected: list = []
+    q = (
+        streaming_cusum(src, "k", "seq", "x", target=100, slack=5, threshold=120)
+        .writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in collected:  # update mode: last emission per key is final
+        got[r["k"]] = (r["s_hi"], r["s_lo"], r["n_alarms"], r["n_seen"])
+
+    batch_df = spark.createDataFrame(rows, "k string, seq long, x long")
+    scored = cusum_alarms(
+        batch_df, "k", ["seq"], "x", target=100, slack=5, threshold=120
+    )
+    import pyspark.sql.functions as SF
+
+    finals = {
+        r["k"]: (r["s_hi"], r["s_lo"])
+        for r in scored.where(SF.col("seq") == 119).collect()
+    }
+    alarms = {
+        r["k"]: r["n"]
+        for r in scored.where("alarm").groupBy("k").agg(SF.count("*").alias("n")).collect()
+    }
+    want = {
+        k: (finals[k][0], finals[k][1], alarms.get(k, 0), 120) for k in finals
+    }
+    assert got == want
+    assert want["a"][2] > 0 and want["b"][2] > 0  # both drifts fired
