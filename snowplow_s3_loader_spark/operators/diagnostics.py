@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
 MICRO = 1_000_000
 
 
@@ -43,11 +45,17 @@ def skew_report(
     tens of mean shares) is the signature that `skew.salted_join` /
     AQE skew handling is worth its cost.
 
-    Scale shape: ONE partial+final count per key (map-side combined);
-    the ranking window and every stat run on the |keys|-sized count
-    frame. Null key components participate (they hash to one task in a
-    real shuffle — exactly the skew this exists to catch)."""
-    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    Scale shape: ONE partial+final count per key (map-side combined),
+    materialized ONCE — the raw table is scanned exactly once no matter
+    how many of the returned stats are consumed (the top-k, the totals
+    and the top-share each read the |keys|-sized checkpoint, never the
+    input again). The ranking window and every stat run on the
+    |keys|-sized count frame. Null key components participate (they
+    hash to one task in a real shuffle — exactly the skew this exists
+    to catch)."""
+    counts = checkpoint_nostats(
+        df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    )
     order = [F.col("n").desc(), *[F.col(c).asc() for c in key_cols]]
     totals = counts.agg(
         F.sum("n").alias("n_rows"),
@@ -106,13 +114,23 @@ def join_explosion_report(
     top frame names the keys to salt, filter, or pre-aggregate.
 
     NULL key components never match in SQL join semantics, so count
-    frames drop them (mirroring what the real join would do)."""
+    frames drop them (mirroring what the real join would do).
+
+    Scale shape: each input is scanned exactly once — its per-key count
+    frame is checkpointed, and the input totals (``rows_a`` /
+    ``rows_b``) are the SUMS of those |keys|-sized frames (1-row
+    broadcast scalars in the plan, never a driver-blocking count() and
+    never a second scan)."""
     nn = [F.col(c).isNotNull() for c in key_cols]
     cond = nn[0]
     for c in nn[1:]:
         cond = cond & c
-    ca = a.where(cond).groupBy(*key_cols).agg(F.count("*").alias("n_a"))
-    cb = b.where(cond).groupBy(*key_cols).agg(F.count("*").alias("n_b"))
+    ca = checkpoint_nostats(
+        a.where(cond).groupBy(*key_cols).agg(F.count("*").alias("n_a"))
+    )
+    cb = checkpoint_nostats(
+        b.where(cond).groupBy(*key_cols).agg(F.count("*").alias("n_b"))
+    )
     per_key = ca.join(cb, key_cols).select(
         *key_cols, "n_a", "n_b", (F.col("n_a") * F.col("n_b")).alias("out_rows")
     )
@@ -132,18 +150,24 @@ def join_explosion_report(
             ),
         )
     )
-    tot_a = a.where(cond).count()
-    tot_b = b.where(cond).count()
-    stats = per_key.agg(
-        F.count("*").alias("n_matching_keys"),
-        F.sum("out_rows").alias("total_out_rows"),
-    ).select(
-        "n_matching_keys",
-        "total_out_rows",
-        F.lit(tot_a).alias("rows_a"),
-        F.lit(tot_b).alias("rows_b"),
-        F.expr(
-            f"total_out_rows * {MICRO} div ({tot_a} + {tot_b})"
-        ).alias("amplification_micro"),
+    totals = (
+        ca.agg(F.coalesce(F.sum("n_a"), F.lit(0)).alias("rows_a"))
+        .crossJoin(cb.agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("rows_b")))
+    )
+    stats = (
+        per_key.agg(
+            F.count("*").alias("n_matching_keys"),
+            F.coalesce(F.sum("out_rows"), F.lit(0)).alias("total_out_rows"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_matching_keys",
+            "total_out_rows",
+            "rows_a",
+            "rows_b",
+            F.expr(
+                f"total_out_rows * {MICRO} div (rows_a + rows_b)"
+            ).alias("amplification_micro"),
+        )
     )
     return top, stats
