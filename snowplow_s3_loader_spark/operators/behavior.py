@@ -172,6 +172,15 @@ def frequent_pairs(
     items = df.select(
         F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
     ).distinct()
+    return _pairs_from_items(items, min_support)
+
+
+def _pairs_from_items(items: DataFrame, min_support: int) -> DataFrame:
+    """frequent_pairs' core on an already-deduplicated (__basket, __item)
+    relation — shared with item_similarity_topk so callers that need the
+    deduped frame for OTHER aggregates too (per-item counts) can
+    materialize it once instead of re-deriving the distinct per
+    consumer."""
     keep = (
         items.groupBy("__item")
         .agg(F.count("*").alias("n"))
@@ -344,17 +353,35 @@ def item_similarity_topk(
     pair expansion, co-occurrence is one ordered equi-self-join plus a
     keyed count, per-item counts join back on the item key (two hash
     joins on |pairs|-sized frames, never on the raw basket relation),
-    and the top-k filter is a per-item row_number window. Overflow is
-    ENFORCED, not assumed: pair support must stay under
-    sqrt(2^63/scale) (~3e6 at the default scale) or the row raises.
+    and the top-k filter is a per-item row_number window. The
+    deduplicated (basket, item) relation is materialized ONCE and feeds
+    both the pair expansion and the per-item counts (previously each
+    consumer re-derived the distinct — up to four scans of the raw
+    relation); the counts frame is itself checkpointed (it has two join
+    consumers) and rides as a broadcast while the item vocabulary is
+    small enough (<= 5M items), the standard CF regime of
+    vocabulary ≪ interactions — larger vocabularies fall back to
+    shuffled joins. Overflow is ENFORCED, not assumed: pair support
+    must stay under sqrt(2^63/scale) (~3e6 at the default scale) or the
+    row raises.
     """
-    pairs = frequent_pairs(df, basket_col, item_col, min_support)
-    counts = (
-        df.select(F.col(basket_col).alias("__basket"), F.col(item_col).alias("item"))
-        .distinct()
-        .groupBy("item")
-        .agg(F.count("*").alias("c"))
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    items = checkpoint_nostats(
+        df.select(
+            F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
+        ).distinct()
     )
+    pairs = _pairs_from_items(items, min_support)
+    counts = checkpoint_nostats(
+        items.groupBy("__item")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("__item").alias("item"), "c")
+    )
+    if counts.count() <= 5_000_000:
+        counts = F.broadcast(counts)
     sym = pairs.select(
         F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"), "support"
     ).unionByName(
