@@ -208,6 +208,40 @@ def cms_build(
     )
 
 
+def cms_build_weighted(
+    df: DataFrame,
+    token_col: str,
+    weight_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch from a PRE-AGGREGATED ``(token, weight)`` frame —
+    bit-identical to `cms_build` over the expanded stream (each token's
+    weight lands in the same (row, cell) its occurrences would), for
+    callers that already hold per-token counts.
+
+    Scale shape: the ``depth``-way explode and the md5 hashing run over
+    |vocabulary| rows instead of |stream| rows — when the exact counts
+    are being computed anyway (e.g. a sketch-vs-truth audit), the
+    corpus is tokenized and aggregated ONCE and the sketch costs only a
+    vocabulary-sized pass on top."""
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("row")
+    return (
+        df.select(
+            F.col(token_col).alias("__tok"), F.col(weight_col).alias("__w")
+        )
+        .where(F.col("__tok").isNotNull())
+        .select("__tok", "__w", rows)
+        .select(
+            "row",
+            cms_hash(F.col("__tok"), F.col("row"), width).alias("cell"),
+            "__w",
+        )
+        .groupBy("row", "cell")
+        .agg(F.sum("__w").alias("n"))
+    )
+
+
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Combine two sketches built with the same (width, depth): cells
     sum (the CMS merge property — estimates over the union keep both

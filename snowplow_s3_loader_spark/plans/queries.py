@@ -1645,19 +1645,29 @@ def q110_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     The md5 hash family is engine-portable, so the oracle rebuilds the
     IDENTICAL sketch in SQL and (token, true_n, est_n) hash-matches
     bit for bit — est >= true always; the overestimate is collision
-    mass, bounded in expectation by N/width per row."""
+    mass, bounded in expectation by N/width per row.
+
+    The corpus is tokenized and count-aggregated ONCE (checkpointed
+    vocabulary frame); the sketch is the bit-identical weighted build
+    over that frame and the truth side reads it directly — only the
+    doc_id%97 query slice touches raw text a second time."""
     from snowplow_s3_loader_spark.operators import sketches
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
-    sketch = sketches.cms_build(toks, "tok", width=2048, depth=4)
+    counts = checkpoint_nostats(
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("true_n"))
+    )
+    sketch = sketches.cms_build_weighted(
+        counts, "tok", "true_n", width=2048, depth=4
+    )
     queries = docs.where(F.col("doc_id") % 97 == 0).select(
         F.explode(text.tokens(F.col("text"))).alias("tok")
     )
     est = sketches.cms_query(sketch, queries, "tok", width=2048, depth=4)
-    truth = toks.groupBy(F.col("tok").alias("token")).agg(
-        F.count("*").alias("true_n")
-    )
+    truth = counts.select(F.col("tok").alias("token"), "true_n")
     return (
         est.join(truth, "token")
         .select("token", "true_n", "est_n")

@@ -229,6 +229,23 @@ class TestCountMinSketch:
         as_set = lambda df: {(r.row, r.cell, r.n) for r in df.collect()}
         assert as_set(merged) == as_set(full)
 
+    def test_weighted_build_equals_stream_build(self, spark):
+        from collections import Counter
+
+        from snowplow_s3_loader_spark.operators.sketches import (
+            cms_build,
+            cms_build_weighted,
+        )
+
+        words = [f"tok{i % 37}" for i in range(400)] + ["tok5"] * 60
+        stream = cms_build(self._toks(spark, words), "tok", width=256, depth=3)
+        counts = spark.createDataFrame(
+            list(Counter(words).items()), "tok string, n long"
+        )
+        weighted = cms_build_weighted(counts, "tok", "n", width=256, depth=3)
+        as_set = lambda df: {(r.row, r.cell, r.n) for r in df.collect()}
+        assert as_set(weighted) == as_set(stream)
+
     def test_absent_token_estimates_only_collision_mass(self, spark):
         from snowplow_s3_loader_spark.operators.sketches import cms_build, cms_query
 
