@@ -1729,24 +1729,35 @@ def q113_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     both" matrix from a word-keyed self-join — all popcounts, no raw
     re-scan, hash-matched against COUNT(DISTINCT)/join SQL. The raw
     stream shuffles once pre-reduced (map-side bit_or bounds exchanged
-    bytes by domain/64 per group, not by event count)."""
+    bytes by domain/64 per group, not by event count).
+
+    Scan discipline: the raw stream is read exactly twice — once for
+    the checkpointed full bitmap (shared by the type counts and the
+    pairwise matrix) and once for the parity-tagged agg that builds
+    both independent half-stream bitmaps in a single pass before
+    bit_or-merging them."""
     from snowplow_s3_loader_spark.operators import bitmap
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
 
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 37 == 0)
-    bm = bitmap.bitmap_agg(ev, ["event_type"], "user_id")
+    bm = checkpoint_nostats(bitmap.bitmap_agg(ev, ["event_type"], "user_id"))
     types = bitmap.bitmap_cardinality(bm, ["event_type"]).select(
         F.lit("type").alias("kind"),
         F.col("event_type").alias("key"),
         F.col("n_distinct").alias("n"),
     )
-    halves = [
-        bitmap.bitmap_agg(
-            ev.where(F.col("event_id") % 2 == p), ["event_type"], "user_id"
-        )
-        for p in (0, 1)
-    ]
+    # both half-stream bitmaps from ONE parity-tagged pass; the merge is
+    # still a genuine bit_or fold of independently-reduced halves
+    halves = bitmap.bitmap_agg(
+        ev.withColumn("__half", F.col("event_id") % 2),
+        ["event_type", "__half"],
+        "user_id",
+    )
     merged = bitmap.bitmap_cardinality(
-        bitmap.bitmap_merge(halves[0], halves[1], ["event_type"]), ["event_type"]
+        halves.groupBy("event_type", "word").agg(
+            F.bit_or("bits").alias("bits")
+        ),
+        ["event_type"],
     ).select(
         F.lit("merged").alias("kind"),
         F.col("event_type").alias("key"),
