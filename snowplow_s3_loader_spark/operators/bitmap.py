@@ -129,3 +129,53 @@ def bitmap_intersect_cardinality(
             "n_common"
         )
     )
+
+
+def bitmap_trailing_distinct(
+    df: DataFrame, day_col: str, value_col: str, window_days: int
+) -> DataFrame:
+    """Exact trailing-window distinct counts (the "rolling 7-day active
+    users" analytic) per observed period: for each distinct value of
+    integer ``day_col``, the EXACT count of distinct ``value_col``
+    members over days ``[d - window_days + 1, d]`` — plus the same-day
+    exact distinct — from bitmap word frames, never a per-window
+    re-scan of the raw stream.
+
+    Scale shape: the raw stream reduces ONCE to per-(day, word) bitmaps
+    (map-side bit_or; exchanged bytes bounded by days * domain/64, not
+    by event count). Each word row then fans out to the <= window_days
+    trailing periods it contributes to (a bounded sequence-explode on
+    the already-reduced frame — no window function, so no single
+    partition ever holds a day's full domain), a second (day, word)
+    bit_or folds the contributions, and popcounts sum per day.
+    Calendar gaps are handled by semi-joining the fan-out against the
+    observed-day frame (tiny, broadcast)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
+    bm = checkpoint_nostats(bitmap_agg(df, [day_col], value_col))
+    day = F.col(day_col).cast("long")
+    days = bm.select(day.alias("__day_out")).distinct()
+    contrib = bm.select(
+        F.explode(
+            F.sequence(day, day + F.lit(int(window_days) - 1))
+        ).alias("__day_out"),
+        "word",
+        "bits",
+    ).join(F.broadcast(days), "__day_out", "left_semi")
+    trailing = (
+        contrib.groupBy("__day_out", "word")
+        .agg(F.bit_or("bits").alias("__tbits"))
+        .groupBy("__day_out")
+        .agg(F.sum(F.bit_count("__tbits")).alias("n_trailing"))
+    )
+    same_day = bm.groupBy(day.alias("__day_out")).agg(
+        F.sum(F.bit_count("bits")).alias("n_same_day")
+    )
+    return (
+        same_day.join(trailing, "__day_out")
+        .select(
+            F.col("__day_out").alias(day_col), "n_same_day", "n_trailing"
+        )
+    )

@@ -236,3 +236,54 @@ def redaction_report(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_cards.alias("n_cards"),
         redact_pii(t).alias("redacted"),
     )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame, id_col: str, text_col: str, max_doc_freq: int
+) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb / CCNet paragraph
+    rule): a line appearing verbatim in MORE than ``max_doc_freq``
+    distinct documents is boilerplate (headers, nav bars, cookie
+    banners, license footers) and is dropped from every document; text
+    reassembles from the surviving lines in their original order.
+    Returns (id, n_lines, n_removed, clean_text).
+
+    Scale shape: one posexplode over the corpus, one line-keyed
+    count-distinct (map-side combined partials), then the flagging join
+    back on the line key and ONE per-document aggregation that computes
+    the counts and the ordered reassembly together (collect_list of
+    (pos, line) structs is document-sized state — the same bound as the
+    document itself). The boilerplate side of the join is, by
+    definition, the few-distinct/high-frequency slice, so AQE's runtime
+    sizing broadcasts it in practice; the plan stays correct either
+    way. Documents whose every line is boilerplate come back with
+    ``clean_text = ''`` (not null)."""
+    if max_doc_freq < 1:
+        raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+    lines = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    boiler = (
+        lines.groupBy("__line")
+        .agg(F.count_distinct("__doc").alias("__df"))
+        .where(F.col("__df") > max_doc_freq)
+        .select("__line", F.lit(1).alias("__boiler"))
+    )
+    flagged = lines.join(boiler, "__line", "left")
+    kept_struct = F.when(
+        F.col("__boiler").isNull(), F.struct("__pos", "__line")
+    )
+    return flagged.groupBy("__doc").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("__boiler") == 1, 1).otherwise(0)).alias(
+            "n_removed"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["__line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    ).withColumnRenamed("__doc", "id")

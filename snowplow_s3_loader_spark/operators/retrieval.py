@@ -193,3 +193,44 @@ def phrase_search(postings: DataFrame, phrase: str) -> DataFrame:
         for i in order[1:]:
             base = base.join(slices[i], ["id", "anchor"])
     return base.groupBy("id").agg(F.count("*").alias("n_matches"))
+
+
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    combine N ranked lists into one by ``sum over lists of
+    1 / (k0 + rank)`` — the standard lexical+semantic / multi-query
+    hybrid-retrieval merge, famously robust to score-scale mismatch
+    because it reads only the RANKS. Scored in truncating integer
+    micro-units (``scale div (k0 + rank)``) so the fused order is
+    engine-exact; ties break to the lowest id. Returns
+    (id, n_lists, rrf_micro, fused_rank).
+
+    Scale shape: the candidate set is bounded by the SUM of the input
+    lists' lengths (each list is already a top-k), so the union, the
+    id-keyed aggregation, and the final ranking window all run on a
+    k-scale frame — the unpartitioned row_number is over that bounded
+    set, never a corpus."""
+    if not rankings:
+        raise ValueError("reciprocal_rank_fusion: need at least one ranking")
+    if k0 < 0:
+        raise ValueError(f"k0 must be >= 0, got {k0}")
+    tagged = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col).alias("id"), F.col(rank_col).cast("long").alias("rank")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy("id").agg(
+        F.count("*").alias("n_lists"),
+        F.sum(F.expr(f"{int(scale)} div ({int(k0)} + rank)")).alias(
+            "rrf_micro"
+        ),
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("id"))
+    return fused.withColumn("fused_rank", F.row_number().over(w))

@@ -854,3 +854,242 @@ class TestPhraseSearch:
         assert phrase_search(idx, "zz q").collect() == []
         with pytest.raises(ValueError, match="empty"):
             phrase_search(idx, "")
+
+
+class TestKMeans:
+    def _py_kmeans(self, vecs, k, n_iter, scale=1000):
+        import math
+
+        def trunc_div(s, n):
+            return -((-s) // n) if s < 0 else s // n
+
+        q = {
+            i: [math.floor(x * scale) for x in v] for i, v in vecs.items()
+        }
+        cents = [list(q[i]) for i in sorted(q)[:k]]
+
+        def assign():
+            out = {}
+            for i, v in q.items():
+                best = min(
+                    (sum((a - b) * (a - b) for a, b in zip(v, c)), j)
+                    for j, c in enumerate(cents)
+                )
+                out[i] = best[::-1]
+            return out
+
+        for _ in range(n_iter):
+            a = assign()
+            sums = {}
+            for i, (c, _) in a.items():
+                s, n = sums.setdefault(c, ([0] * len(q[i]), 0))
+                sums[c] = ([x + y for x, y in zip(s, q[i])], n + 1)
+            for c, (s, n) in sums.items():
+                cents[c] = [trunc_div(x, n) for x in s]
+        return assign(), cents
+
+    def test_matches_python_lloyd(self, spark):
+        import random
+
+        from snowplow_s3_loader_spark.operators.clustering import kmeans
+
+        rnd = random.Random(11)
+        vecs = {
+            i: [
+                rnd.uniform(-1, 1) + (2.5 if i % 3 == 0 else 0),
+                rnd.uniform(-1, 1) - (2.5 if i % 3 == 1 else 0),
+            ]
+            for i in range(60)
+        }
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "id long, vec array<double>"
+        )
+        got_df, got_cents = kmeans(df, "id", "vec", k=3, n_iter=3)
+        want_assign, want_cents = self._py_kmeans(vecs, 3, 3)
+        assert got_cents == want_cents
+        got = {r["id"]: (r["cluster"], r["dist2"]) for r in got_df.collect()}
+        assert got == want_assign
+
+    def test_zero_iterations_and_bad_args(self, spark):
+        from snowplow_s3_loader_spark.operators.clustering import kmeans
+
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [5.0]), (3, [5.1])], "id long, vec array<double>"
+        )
+        out, cents = kmeans(df, "id", "vec", k=2, n_iter=0)
+        assert cents == [[0], [5000]]
+        assert {r["id"]: r["cluster"] for r in out.collect()} == {
+            1: 0,
+            2: 1,
+            3: 1,
+        }
+        with pytest.raises(ValueError, match="k="):
+            kmeans(df, "id", "vec", k=5, n_iter=1)
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        from snowplow_s3_loader_spark.operators.clustering import kmeans
+
+        # both points sit at 0 -> centroid 1 (seeded at 9.0) goes empty
+        # after iteration 1 and must keep its position
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [9.0]), (3, [0.1]), (4, [0.2])],
+            "id long, vec array<double>",
+        )
+        _, cents = kmeans(df, "id", "vec", k=2, n_iter=2)
+        py_assign, py_cents = self._py_kmeans(
+            {1: [0.0], 2: [9.0], 3: [0.1], 4: [0.2]}, 2, 2
+        )
+        assert cents == py_cents
+
+
+class TestCovariancePCA:
+    def test_moments_match_numpy_exact(self, spark):
+        import math
+        import random
+
+        import numpy as np
+
+        from snowplow_s3_loader_spark.operators.clustering import (
+            covariance_moments,
+        )
+
+        rnd = random.Random(7)
+        data = [[rnd.uniform(-2, 2) for _ in range(4)] for _ in range(50)]
+        df = spark.createDataFrame(
+            [(v,) for v in data], "vec array<double>"
+        )
+        got = {
+            (r["i"], r["j"]): (r["n"], r["s_i"], r["s_j"], r["s_ij"], r["cov_num"])
+            for r in covariance_moments(df, "vec", dims=3).collect()
+        }
+        q = np.array(
+            [[math.floor(x * 1000) for x in v] for v in data], dtype=object
+        )
+        for i in range(1, 4):
+            for j in range(i, 4):
+                si = int(sum(q[:, i - 1]))
+                sj = int(sum(q[:, j - 1]))
+                sij = int(sum(a * b for a, b in zip(q[:, i - 1], q[:, j - 1])))
+                assert got[(i, j)] == (50, si, sj, sij, 50 * sij - si * sj)
+
+    def test_pca_recovers_dominant_direction(self, spark):
+        import random
+
+        import numpy as np
+
+        from snowplow_s3_loader_spark.operators.clustering import (
+            covariance_moments,
+            pca_components,
+            pca_project,
+        )
+
+        rnd = random.Random(3)
+        # points along (1, 1)/sqrt(2) with small orthogonal noise
+        data = [
+            [t + rnd.uniform(-0.1, 0.1), t - rnd.uniform(-0.1, 0.1)]
+            for t in (rnd.uniform(-3, 3) for _ in range(200))
+        ]
+        df = spark.createDataFrame([(v,) for v in data], "vec array<double>")
+        rows = covariance_moments(df, "vec", dims=2).collect()
+        vals, comps = pca_components(rows, dims=2, n_components=2)
+        assert vals[0] > 10 * vals[1]
+        v = np.array(comps[0])
+        want = np.array([1.0, 1.0]) / np.sqrt(2)
+        assert abs(abs(float(v @ want)) - 1.0) < 0.01
+        proj = pca_project(df, "vec", comps).select("pc1").collect()
+        got = np.array([r["pc1"] for r in proj])
+        ref = np.array(data) @ v
+        assert np.allclose(np.sort(got), np.sort(ref), atol=1e-9)
+
+
+class TestBoilerplateLines:
+    def test_strips_frequent_lines_and_reassembles(self, spark):
+        from snowplow_s3_loader_spark.operators.hygiene import (
+            strip_boilerplate_lines,
+        )
+
+        docs = [
+            (1, "HEADER\nbody one\nFOOTER"),
+            (2, "HEADER\nbody two\nFOOTER"),
+            (3, "HEADER\nbody three\nFOOTER"),
+            (4, "HEADER\nFOOTER"),  # all boilerplate -> ''
+            (5, "unique\nlines\nonly"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r["id"]: (r["n_lines"], r["n_removed"], r["clean_text"])
+            for r in strip_boilerplate_lines(
+                df, "doc_id", "text", max_doc_freq=2
+            ).collect()
+        }
+        assert out[1] == (3, 2, "body one")
+        assert out[4] == (2, 2, "")
+        assert out[5] == (3, 0, "unique\nlines\nonly")
+        with pytest.raises(ValueError, match="max_doc_freq"):
+            strip_boilerplate_lines(df, "doc_id", "text", 0)
+
+    def test_order_preserved_with_duplicate_lines_in_doc(self, spark):
+        from snowplow_s3_loader_spark.operators.hygiene import (
+            strip_boilerplate_lines,
+        )
+
+        # 'x' repeats inside doc 1 but in only ONE distinct doc -> kept
+        df = spark.createDataFrame(
+            [(1, "x\nmid\nx"), (2, "a"), (3, "b")], "doc_id long, text string"
+        )
+        out = {
+            r["id"]: r["clean_text"]
+            for r in strip_boilerplate_lines(df, "doc_id", "text", 1).collect()
+        }
+        assert out[1] == "x\nmid\nx"
+
+
+class TestTrailingDistinct:
+    def test_matches_bruteforce_with_gaps(self, spark):
+        import random
+
+        from snowplow_s3_loader_spark.operators.bitmap import (
+            bitmap_trailing_distinct,
+        )
+
+        rnd = random.Random(9)
+        rows = [
+            (rnd.choice([1, 2, 3, 7, 8, 20]), rnd.randint(0, 40))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "day long, uid long")
+        got = {
+            r["day"]: (r["n_same_day"], r["n_trailing"])
+            for r in bitmap_trailing_distinct(df, "day", "uid", 7).collect()
+        }
+        days = sorted({d for d, _ in rows})
+        for d in days:
+            same = len({u for dd, u in rows if dd == d})
+            trail = len({u for dd, u in rows if d - 6 <= dd <= d})
+            assert got[d] == (same, trail), d
+        assert set(got) == set(days)
+
+
+class TestReciprocalRankFusion:
+    def test_fuses_and_breaks_ties_by_id(self, spark):
+        from snowplow_s3_loader_spark.operators.retrieval import (
+            reciprocal_rank_fusion,
+        )
+
+        a = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [(11, 1), (10, 2), (13, 3)], "id long, rank long"
+        )
+        out = {
+            r["id"]: (r["n_lists"], r["rrf_micro"], r["fused_rank"])
+            for r in reciprocal_rank_fusion([a, b], k0=60).collect()
+        }
+        m = 1_000_000
+        assert out[10] == (2, m // 61 + m // 62, 1)  # same sum as 11...
+        assert out[11] == (2, m // 61 + m // 62, 2)  # ...tie -> lower id first
+        assert out[12] == (1, m // 63, 3)
+        assert out[13] == (1, m // 63, 4)
+        with pytest.raises(ValueError, match="at least one"):
+            reciprocal_rank_fusion([])
