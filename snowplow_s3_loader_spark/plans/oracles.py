@@ -2283,3 +2283,211 @@ SELECT 'p3' AS kind, doc_id, CAST(n AS BIGINT) AS n_matches
 FROM m3 WHERE n >= 1
 ORDER BY kind, doc_id
 """
+
+# q124: identical injection + line pipeline; string_agg skips NULLs and
+# orders by pos, mirroring the engine's collect_list/array_sort
+# reassembly; all-boilerplate docs coalesce to ''.
+ORACLES["q124_line_dedup"] = """
+WITH marked AS (
+  SELECT doc_id,
+         '(c) example corp - all rights reserved' || chr(10) ||
+         'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         text || chr(10) ||
+         CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+              ELSE 'ref #' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+         'home | about | contact' AS m
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(m, chr(10))) AS line,
+         unnest(range(1, len(string_split(m, chr(10))) + 1)) AS pos
+  FROM marked
+),
+boiler AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line
+  ) WHERE df > 5
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_b
+  FROM lines l LEFT JOIN boiler b ON l.line = b.line
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS n_removed,
+         coalesce(
+           string_agg(CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY pos),
+           '') AS clean
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       right(clean, 30) AS clean_tail
+FROM agg ORDER BY doc_id
+"""
+
+
+def _kmeans_sql(k: int, n_iter: int, scale: int) -> str:
+    """The UNROLLED Lloyd iterations as DuckDB CTEs (the q103/HITS
+    discipline): lowest-id seeding, exact integer squared-L2 argmin with
+    ties to the lowest cid, truncating-toward-zero centroid division
+    (sign separated — DuckDB // floors), empty clusters keeping their
+    previous centroid via the LEFT JOIN + coalesce."""
+
+    def assign(src: str, cents: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, v, cid, d FROM (
+    SELECT q.vec_id, q.v, c.cid,
+           CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS d
+    FROM {src} q CROSS JOIN {cents} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+)"""
+
+    def update(assigned: str, prev: str, out: str) -> str:
+        return f"""{out}_u AS (
+  SELECT cid, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS n
+  FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM {assigned})
+  GROUP BY cid, pos
+),
+{out}_l AS (
+  SELECT cid,
+         list(CAST(CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END
+              AS BIGINT) ORDER BY pos) AS v
+  FROM {out}_u GROUP BY cid
+),
+{out} AS (
+  SELECT p.cid, coalesce(l.v, p.v) AS v
+  FROM {prev} p LEFT JOIN {out}_l l USING (cid)
+)"""
+
+    ctes = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+  FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= {k}
+)""",
+    ]
+    cur = "c0"
+    for it in range(1, n_iter + 1):
+        ctes.append(assign("q", cur, f"a{it}"))
+        ctes.append(update(f"a{it}", cur, f"c{it}"))
+        cur = f"c{it}"
+    ctes.append(assign("q", cur, "afinal"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT vec_id, cid AS cluster, d AS dist2 FROM afinal ORDER BY vec_id"
+    )
+
+
+ORACLES["q125_kmeans"] = _kmeans_sql(k=4, n_iter=2, scale=1000)
+
+# q126: the INDEPENDENT trailing-distinct formulation — a day-range
+# self-join with COUNT(DISTINCT) — so the hash match proves the bitmap
+# algebra (fan-out + bit_or + popcount), not mere reproducibility.
+ORACLES["q126_trailing_distinct"] = """
+WITH e AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day,
+         user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+d AS (SELECT DISTINCT day FROM e)
+SELECT d.day,
+       CAST(count(DISTINCT CASE WHEN e.day = d.day THEN e.user_id END)
+            AS BIGINT) AS n_same_day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_trailing
+FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    """Parameterized q68 BM25 SQL (same constants k1=1.2 b=0.75, same
+    fixed-order float summation) returning (id, score, rank)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    term_sum = "\n             + ".join(
+        f"coalesce(sum(CASE WHEN term = '{t}' THEN s END), 0.0)" for t in terms
+    )
+    return f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+n AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+tf AS (
+  SELECT id, tok AS term, count(*) AS tf
+  FROM (SELECT id, unnest(toks) AS tok FROM t)
+  WHERE tok IN ({in_list})
+  GROUP BY 1, 2
+),
+dl AS (SELECT id, len(toks) AS dl FROM t),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.id, tf.term,
+         ln(1.0 + (n.n - dfr.df + 0.5) / (dfr.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avgdl)) AS s
+  FROM tf JOIN dfr ON tf.term = dfr.term JOIN dl ON tf.id = dl.id CROSS JOIN n
+),
+sc AS (
+  SELECT id, round({term_sum}, 6) AS score
+  FROM per GROUP BY id
+)
+SELECT id, score, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT id, score, row_number() OVER (ORDER BY score DESC, id ASC) AS rn
+  FROM sc
+) WHERE rn <= {k}
+"""
+
+
+ORACLES["q127_hybrid_search"] = f"""
+WITH ra AS ({_bm25_sql(["spark", "query", "stream"], 30)}),
+rb AS ({_bm25_sql(["join", "fast", "merge"], 30)}),
+u AS (
+  SELECT id, rank FROM ra UNION ALL SELECT id, rank FROM rb
+),
+f AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_lists,
+         CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+  FROM u GROUP BY id
+)
+SELECT id, n_lists, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, id ASC) AS INTEGER)
+         AS fused_rank
+FROM f ORDER BY fused_rank
+"""
+
+# q128: dimension-index cross products against the quantized vectors —
+# the same floor() bridge as q87, exact BIGINT sums throughout.
+ORACLES["q128_embedding_covariance"] = """
+WITH q AS (
+  SELECT list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings WHERE len(embedding) >= 16
+),
+ii AS (SELECT unnest(range(1, 17)) AS i),
+jj AS (SELECT unnest(range(1, 17)) AS j),
+ex AS (
+  SELECT ii.i, jj.j, q.v[CAST(ii.i AS INTEGER)] AS xi,
+         q.v[CAST(jj.j AS INTEGER)] AS xj
+  FROM q, ii, jj WHERE jj.j >= ii.i
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       count(*) AS n,
+       CAST(sum(xi) AS BIGINT) AS s_i,
+       CAST(sum(xj) AS BIGINT) AS s_j,
+       CAST(sum(xi * xj) AS BIGINT) AS s_ij,
+       CAST(count(*) * sum(xi * xj) - sum(xi) * sum(xj) AS BIGINT) AS cov_num
+FROM ex GROUP BY i, j
+ORDER BY i, j
+"""

@@ -2525,6 +2525,119 @@ def _bpe_reference(words: dict, n_merges: int):
     return merges, vocab
 
 
+def q124_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb / CCNet paragraph
+    rule): documents are wrapped in deterministic synthetic page chrome
+    (two universal lines, one every-other-doc banner, two unique lines
+    — the q111 injection pattern), then strip_boilerplate_lines drops
+    every line occurring in more than 5 distinct documents and
+    reassembles the survivors in order. Emits per-doc line counts,
+    removed counts, and the cleaned text's length and tail — all
+    hash-matched against the oracle's identical pipeline."""
+    from snowplow_s3_loader_spark.operators.hygiene import (
+        strip_boilerplate_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("(c) example corp - all rights reserved"),
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("subscribe to our newsletter"),
+            ).otherwise(
+                F.concat(F.lit("ref #"), F.col("doc_id").cast("string"))
+            ),
+            F.lit("home | about | contact"),
+        ).alias("marked"),
+    )
+    out = strip_boilerplate_lines(marked, "doc_id", "marked", max_doc_freq=5)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_removed",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.expr("right(clean_text, 30)").alias("clean_tail"),
+    ).orderBy("doc_id")
+
+
+def q125_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Lloyd k-means over the embedding corpus (k=4, two
+    update rounds, floor-quantized to milli-units): every vector's final
+    cluster and exact squared distance. The oracle UNROLLS the identical
+    iterations in SQL (the q103/HITS discipline) — same deterministic
+    lowest-id seeding, same truncating centroid division, same
+    tie-to-lowest-cid argmin — so assignments hash-match bit for bit."""
+    from snowplow_s3_loader_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, "vec_id", "embedding", k=4, n_iter=2, scale=1000)
+    return assigned.select(
+        F.col("id").alias("vec_id"), "cluster", "dist2"
+    ).orderBy("vec_id")
+
+
+def q126_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users per observed day from bitmap
+    word frames: the stream reduces once to per-(day, word) bitmaps,
+    each word row fans out to the <= 7 trailing days it serves, and
+    popcounts sum — never a per-window re-scan, no window function over
+    the raw stream. The oracle is the INDEPENDENT formulation (a
+    day-range self-join with COUNT(DISTINCT)), so the match proves the
+    bitmap algebra, not just reproducibility."""
+    from snowplow_s3_loader_spark.operators.bitmap import (
+        bitmap_trailing_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    )
+    return bitmap_trailing_distinct(ev, "day", "user_id", window_days=7).orderBy(
+        "day"
+    )
+
+
+def q127_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. SIGIR
+    2009): two BM25 top-30 lists for different query variants fused by
+    sum(1e6 div (60 + rank)) in exact micro-units — the multi-query
+    merge pattern, score-scale-free because only ranks participate.
+    Candidate set bounded by the union of the top-k lists."""
+    from snowplow_s3_loader_spark.operators.retrieval import (
+        bm25_topk,
+        reciprocal_rank_fusion,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ra = bm25_topk(docs, "doc_id", "text", ["spark", "query", "stream"], k=30)
+    rb = bm25_topk(docs, "doc_id", "text", ["join", "fast", "merge"], k=30)
+    return reciprocal_rank_fusion([ra, rb], k0=60).orderBy("fused_rank")
+
+
+def q128_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact second-moment audit of the leading 16 embedding dimensions
+    from ONE corpus scan: per (i, j) pair the counts, sums, product sums
+    and the integer covariance numerator n*s_ij - s_i*s_j — the input
+    PCA/whitening consumes, engine-exact via floor-quantization. The
+    d*(d+1)/2 pair table is a broadcast literal; the reduction is one
+    keyed aggregation to a pair-table-sized result."""
+    from snowplow_s3_loader_spark.operators.clustering import (
+        covariance_moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_moments(emb, "embedding", dims=16, scale=1000).orderBy(
+        "i", "j"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -2649,5 +2762,10 @@ QUERIES = {
         q121_quantile_rank,
         q122_group_mode,
         q123_phrase_search,
+        q124_line_dedup,
+        q125_kmeans,
+        q126_trailing_distinct,
+        q127_hybrid_search,
+        q128_embedding_covariance,
     ]
 }
