@@ -837,6 +837,45 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    lded = q.q124_line_dedup(spark, sf_dir).select(
+        F.lit("linededup").alias("battery"),
+        F.concat_ws("@", F.col("doc_id").cast("string"), "clean_tail").alias(
+            "key"
+        ),
+        F.col("n_lines").alias("v1"),
+        F.col("n_removed").alias("v2"),
+        F.col("clean_len").alias("v3"),
+    )
+    km = q.q125_kmeans(spark, sf_dir).select(
+        F.lit("kmeans").alias("battery"),
+        F.col("vec_id").cast("string").alias("key"),
+        F.col("cluster").cast("long").alias("v1"),
+        F.col("dist2").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    trl = q.q126_trailing_distinct(spark, sf_dir).select(
+        F.lit("trailing").alias("battery"),
+        F.col("day").cast("string").alias("key"),
+        F.col("n_same_day").alias("v1"),
+        F.col("n_trailing").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    rrf = q.q127_hybrid_search(spark, sf_dir).select(
+        F.lit("rrf").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        F.col("n_lists").alias("v1"),
+        F.col("rrf_micro").alias("v2"),
+        F.col("fused_rank").cast("long").alias("v3"),
+    )
+    cov = q.q128_embedding_covariance(spark, sf_dir).select(
+        F.lit("cov").alias("battery"),
+        F.concat_ws(
+            "@", F.col("i").cast("string"), F.col("j").cast("string")
+        ).alias("key"),
+        F.col("s_ij").alias("v1"),
+        F.col("cov_num").alias("v2"),
+        F.col("n").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -885,6 +924,11 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(qrk)
         .union(gmd)
         .union(phr)
+        .union(lded)
+        .union(km)
+        .union(trl)
+        .union(rrf)
+        .union(cov)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1039,6 +1083,8 @@ _FOLDED = {
     "q116_group_trend", "q117_item_similarity", "q118_weighted_sample",
     "q119_skew_report", "q120_join_explosion", "q121_quantile_rank",
     "q122_group_mode", "q123_phrase_search",
+    "q124_line_dedup", "q125_kmeans", "q126_trailing_distinct",
+    "q127_hybrid_search", "q128_embedding_covariance",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1680,6 +1726,28 @@ SELECT 'phrase' AS battery,
        n_matches AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q123_phrase_search"]})
+UNION ALL
+SELECT 'linededup' AS battery,
+       CAST(doc_id AS VARCHAR) || '@' || clean_tail AS key,
+       n_lines AS v1, n_removed AS v2, clean_len AS v3
+FROM ({ORACLES["q124_line_dedup"]})
+UNION ALL
+SELECT 'kmeans' AS battery, CAST(vec_id AS VARCHAR) AS key,
+       CAST(cluster AS BIGINT) AS v1, dist2 AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q125_kmeans"]})
+UNION ALL
+SELECT 'trailing' AS battery, CAST(day AS VARCHAR) AS key,
+       n_same_day AS v1, n_trailing AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q126_trailing_distinct"]})
+UNION ALL
+SELECT 'rrf' AS battery, CAST(id AS VARCHAR) AS key,
+       n_lists AS v1, rrf_micro AS v2, CAST(fused_rank AS BIGINT) AS v3
+FROM ({ORACLES["q127_hybrid_search"]})
+UNION ALL
+SELECT 'cov' AS battery,
+       CAST(i AS VARCHAR) || '@' || CAST(j AS VARCHAR) AS key,
+       s_ij AS v1, cov_num AS v2, n AS v3
+FROM ({ORACLES["q128_embedding_covariance"]})
 ORDER BY battery, key, v1
 """
 
