@@ -624,3 +624,55 @@ def test_q122_group_mode_two_aggs_no_window(spark, sf_dir):
     assert _nodes(plan, "HashAggregate") + _nodes(plan, "SortAggregate") >= 4, plan
     assert _nodes(plan, "Window") == 0, plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_q124_line_dedup_one_reassembly_agg(spark, sf_dir):
+    """The flagging join must be an equi-join on the line key (never
+    nested-loop), and the per-doc aggregation computes counts and the
+    ordered reassembly together — one doc-keyed agg pair."""
+    plan = plan_of(Q.q124_line_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _nodes(plan, "Generate") <= 2, plan  # one explode per consumer
+
+
+def test_q125_kmeans_assignment_is_pure_expressions(spark, sf_dir):
+    """Final assignment under literal centroids: zero joins, zero
+    windows — broadcast-expression argmin over the checkpointed
+    quantized corpus."""
+    plan = plan_of(Q.q125_kmeans(spark, sf_dir))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert _nodes(plan, "Window") == 0, plan
+
+
+def test_q126_trailing_distinct_broadcast_day_semi(spark, sf_dir):
+    """The fan-out prunes against the observed-day frame via a
+    BROADCAST semi join (days are tiny); the raw stream must reduce
+    before any sequence explode (Generate operates on the checkpointed
+    bitmap frame, never the events scan)."""
+    plan = plan_of(Q.q126_trailing_distinct(spark, sf_dir))
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "SortMergeJoin LeftSemi" not in plan, plan
+    # the explode's child is the checkpointed LogicalRDD, not a scan
+    gen = [l for l in plan.splitlines() if "Generate" in l and "Input" not in l]
+    assert gen, plan
+    assert "parquet" not in plan.split("Generate")[0].splitlines()[-1]
+
+
+def test_q127_rrf_windows_on_bounded_candidates_only(spark, sf_dir):
+    """Each BM25 list caps with TakeOrderedAndProject (distributed
+    top-k, no global sort of the corpus); the only unpartitioned
+    windows run AFTER the limits, on k-scale frames."""
+    plan = plan_of(Q.q127_hybrid_search(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q128_covariance_single_scan_single_agg(spark, sf_dir):
+    """All 136 pair moments from ONE scan of embeddings and ONE
+    partial+final aggregation — no joins, no windows, no second scan."""
+    plan = plan_of(Q.q128_embedding_covariance(spark, sf_dir))
+    assert _nodes(plan, "HashAggregate") == 2, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert _nodes(plan, "Window") == 0, plan
+    assert plan.count("InMemoryFileIndex") == 1, plan
