@@ -67,6 +67,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-words query under BM25 (Robertson/
     Sparck Jones; the Okapi formulation used by Lucene/Elasticsearch).
@@ -75,6 +76,11 @@ def bm25_topk(
     score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)).
 
     Deterministic output: (round(score, 6) DESC, id ASC), rank included.
+
+    ``corpus_stats`` — an optional precomputed ``(n_docs, avgdl)`` pair:
+    multi-query callers (query-variant fusion, batch evaluation) compute
+    the corpus statistics ONCE via `bm25_corpus_stats` instead of paying
+    the two blocking corpus scans per query.
     """
     # duplicated query terms must not double-count; order preserved for the
     # fixed-order summation below
@@ -82,7 +88,7 @@ def bm25_topk(
     base = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
-    n_docs = docs.count()
+    n_docs = corpus_stats[0] if corpus_stats else docs.count()
     if not query_terms or n_docs == 0:
         # empty query or empty corpus: a well-typed empty result, not a crash
         return base.limit(0).select(
@@ -90,7 +96,11 @@ def bm25_topk(
             F.lit(0.0).alias("score"),
             F.lit(0).alias("rank"),
         )
-    avgdl = base.select(F.avg(F.size("toks"))).first()[0]
+    avgdl = (
+        corpus_stats[1]
+        if corpus_stats
+        else base.select(F.avg(F.size("toks"))).first()[0]
+    )
     tf = (
         base.select("id", F.explode("toks").alias("term"))
         # literal IN-filter runs before the aggregation: only query terms
@@ -137,6 +147,18 @@ def bm25_topk(
     # window ever sees the full corpus
     top = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_corpus_stats(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[int, float]:
+    """``(n_docs, avgdl)`` for `bm25_topk`'s ``corpus_stats`` — ONE
+    aggregation pass shared across any number of query evaluations."""
+    row = docs.select(
+        F.count("*").alias("n"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
+    ).first()
+    return int(row["n"]), row["avgdl"]
 
 
 def inverted_index(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

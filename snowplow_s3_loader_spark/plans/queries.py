@@ -2611,13 +2611,21 @@ def q127_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge pattern, score-scale-free because only ranks participate.
     Candidate set bounded by the union of the top-k lists."""
     from snowplow_s3_loader_spark.operators.retrieval import (
+        bm25_corpus_stats,
         bm25_topk,
         reciprocal_rank_fusion,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    ra = bm25_topk(docs, "doc_id", "text", ["spark", "query", "stream"], k=30)
-    rb = bm25_topk(docs, "doc_id", "text", ["join", "fast", "merge"], k=30)
+    stats = bm25_corpus_stats(docs, "doc_id", "text")
+    ra = bm25_topk(
+        docs, "doc_id", "text", ["spark", "query", "stream"], k=30,
+        corpus_stats=stats,
+    )
+    rb = bm25_topk(
+        docs, "doc_id", "text", ["join", "fast", "merge"], k=30,
+        corpus_stats=stats,
+    )
     return reciprocal_rank_fusion([ra, rb], k0=60).orderBy("fused_rank")
 
 
