@@ -1083,6 +1083,88 @@ def cusum_case(spark, n_rows: int) -> dict:
     }
 
 
+def kmeans_case(spark, n_rows: int) -> dict:
+    """Exact-integer Lloyd (round-8): n_rows 16-dim vectors, k=8, two
+    update rounds. Per iteration: one scan of the checkpointed corpus +
+    one (cid, dim)-keyed reduction to k*d rows; wall must grow
+    ~linearly with the corpus and the collected model stays k*d."""
+    from snowplow_s3_loader_spark.operators.clustering import kmeans
+
+    vecs = spark.range(n_rows).select(
+        F.col("id"),
+        F.array(
+            *[
+                ((F.abs(F.xxhash64(F.col("id") + d)) % 2000) / 1000.0 - 1.0)
+                for d in range(16)
+            ]
+        ).alias("v"),
+    )
+    vecs.count()
+    t0 = time.perf_counter()
+    assigned, cents = kmeans(vecs, "id", "v", k=8, n_iter=2, scale=1000)
+    n_assigned = assigned.count()
+    dt = time.perf_counter() - t0
+    assert n_assigned == n_rows and len(cents) == 8
+    return {"case": "kmeans", "rows": n_rows, "sec": round(dt, 2)}
+
+
+def line_dedup_case(spark, n_docs: int) -> dict:
+    """Line-level boilerplate removal (round-8): n_docs documents of 8
+    lines each — 3 universal boilerplate lines + 5 unique. Work is one
+    explode, one line-keyed count-distinct, one per-doc reassembly;
+    wall must track the corpus linearly (no pair space exists)."""
+    from snowplow_s3_loader_spark.operators.hygiene import (
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.lit("header: example site"),
+            F.concat(F.lit("u1 "), F.col("id").cast("string")),
+            F.lit("nav: home about contact"),
+            F.concat(F.lit("u2 "), F.md5(F.col("id").cast("string"))),
+            F.concat(F.lit("u3 "), F.md5((F.col("id") + 1).cast("string"))),
+            F.concat(F.lit("u4 "), F.md5((F.col("id") + 2).cast("string"))),
+            F.concat(F.lit("u5 "), F.md5((F.col("id") + 3).cast("string"))),
+            F.lit("footer: (c) example"),
+        ).alias("text"),
+    )
+    docs.count()
+    t0 = time.perf_counter()
+    out = strip_boilerplate_lines(docs, "doc_id", "text", max_doc_freq=5)
+    n_docs_out, n_removed = out.agg(
+        F.count("*"), F.sum("n_removed")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    assert n_docs_out == n_docs and n_removed == 3 * n_docs
+    return {"case": "line_dedup", "docs": n_docs, "sec": round(dt, 2)}
+
+
+def trailing_case(spark, n_rows: int) -> dict:
+    """Bitmap trailing distinct (round-8): n_rows events over 365 days
+    and a 1M-user domain, 7-day window. The stream reduces once to
+    (day, word) bitmaps; the fan-out is bounded by 7x that reduced
+    frame REGARDLESS of row count — wall tracks the scan, and the
+    reduced word count stays flat as rows grow 10x."""
+    from snowplow_s3_loader_spark.operators.bitmap import (
+        bitmap_trailing_distinct,
+    )
+
+    ev = spark.range(n_rows).select(
+        (F.abs(F.xxhash64("id")) % 365).alias("day"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % 1_000_000).alias("uid"),
+    )
+    ev.count()
+    t0 = time.perf_counter()
+    out = bitmap_trailing_distinct(ev, "day", "uid", 7)
+    n_days = out.count()
+    dt = time.perf_counter() - t0
+    assert n_days == 365
+    return {"case": "trailing_distinct", "rows": n_rows, "sec": round(dt, 2)}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1167,6 +1249,15 @@ def main() -> None:
     if which in ("cusum", "all"):
         out.append(cusum_case(spark, 1_000_000))
         out.append(cusum_case(spark, 10_000_000))
+    if which in ("kmeans", "all"):
+        out.append(kmeans_case(spark, 500_000))
+        out.append(kmeans_case(spark, 5_000_000))
+    if which in ("line_dedup", "all"):
+        out.append(line_dedup_case(spark, 100_000))
+        out.append(line_dedup_case(spark, 1_000_000))
+    if which in ("trailing", "all"):
+        out.append(trailing_case(spark, 1_000_000))
+        out.append(trailing_case(spark, 10_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()
