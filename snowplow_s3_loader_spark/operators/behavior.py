@@ -421,3 +421,63 @@ def item_similarity_topk(
         .where(F.col("rank") <= k)
         .select("item", "neighbor", "support", "sim2_micro", "rank")
     )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap_seconds: int,
+    max_len: int,
+    tie_cols: tuple[str, ...] = (),
+    min_count: int = 1,
+) -> DataFrame:
+    """Top navigation paths: gap-based sessionization (the q38 window
+    formulation — lag + running sum of gap breaks on ONE user-keyed
+    sort), then each session's first ``max_len`` event types join into
+    a '>'-separated path string and paths aggregate to
+    (path, n_sessions). ``tie_cols`` extend the within-user order to a
+    TOTAL order (the q08 lesson — equal timestamps otherwise make the
+    path string nondeterministic).
+
+    Scale shape: both window passes and the session collapse share the
+    user-keyed partitioning; per-session state is capped by ``max_len``
+    via the slice AFTER an ordered array_agg of (ts, tie..., type)
+    structs whose size is bounded by the session itself (the same bound
+    funnel/attribution carry); the path count is one partial+final
+    aggregation."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tie_cols)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_break = F.col("__prev").isNull() | (
+        F.expr(
+            f"timestampdiff(MICROSECOND, __prev, {ts_col})"
+        ) > gap_seconds * 1_000_000
+    )
+    sess = (
+        events.withColumn("__prev", F.lag(ts_col).over(w))
+        .withColumn("__new", gap_break.cast("int"))
+        .withColumn("__sid", F.sum("__new").over(wrun))
+    )
+    per_session = sess.groupBy(user_col, "__sid").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(ts_col, *tie_cols, type_col)
+                        )
+                    ),
+                    lambda x: x[type_col],
+                ),
+                1,
+                max_len,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .where(F.col("n_sessions") >= min_count)
+    )

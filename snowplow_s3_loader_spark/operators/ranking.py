@@ -170,3 +170,39 @@ def group_mode(
         ).alias("__gm_best")
     )
     return best.select(*group_cols, "__gm_best.mode", "__gm_best.mode_n")
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tie_cols: list[Column],
+    lo_micro: int,
+    hi_micro: int,
+) -> DataFrame:
+    """Per-group winsorization at exact empirical percentiles: values
+    below the group's ``lo_micro`` quantile clip up to the smallest
+    value AT OR ABOVE that percentile; values above ``hi_micro`` clip
+    down symmetrically — the standard heavy-tail feature clamp, exact
+    because the percentile grid is `quantile_rank`'s integer micro-unit
+    ladder over a total order (``value_col`` + ``tie_cols``).
+
+    Appends (pct_micro, lo_bound, hi_bound, clipped). Scale shape: one
+    keyed window pass for the ranks (quantile_rank's single hash
+    exchange), one per-group conditional aggregation for the two bounds
+    (a |groups|-sized frame, broadcast back), zero self-joins."""
+    if not (0 <= lo_micro <= hi_micro <= 1_000_000):
+        raise ValueError(
+            f"need 0 <= lo <= hi <= 1e6, got ({lo_micro}, {hi_micro})"
+        )
+    ranked = quantile_rank(
+        df, group_cols, [F.col(value_col), *tie_cols], out_col="pct_micro"
+    )
+    v = F.col(value_col)
+    bounds = ranked.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("pct_micro") >= lo_micro, v)).alias("lo_bound"),
+        F.max(F.when(F.col("pct_micro") <= hi_micro, v)).alias("hi_bound"),
+    )
+    return ranked.join(F.broadcast(bounds), group_cols).withColumn(
+        "clipped", F.least(F.greatest(v, F.col("lo_bound")), F.col("hi_bound"))
+    )

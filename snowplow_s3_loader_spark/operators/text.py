@@ -570,3 +570,76 @@ def strip_markup(text: Column) -> Column:
     ):
         out = F.regexp_replace(out, ent, rep)
     return F.trim(F.regexp_replace(out, " +", " "))
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 40,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by integer LIFT — the
+    pointwise-mutual-information collocation miner (Church & Hanks 1990)
+    with the monotone float-free score
+
+        lift_micro = (n_ab * scale div n_a) * N div n_b
+
+    (PMI = log of n_ab*N / (n_a*n_b); the ratio itself ranks in the
+    package's exact-integer discipline — the divide-then-multiply order
+    keeps every intermediate under n_total * scale, so the int64 bound
+    holds to ~9e12 corpus tokens rather than the naive triple product's
+    ~3e6). Returns (w1, w2, n_ab, n_a, n_b, lift_micro, rnk), ties
+    broken by (w1, w2).
+
+    Scale shape: bigrams come from ONE zip_with over each document's
+    token array (no self-join — adjacency is positional); unigram and
+    bigram counts are partial+final aggregations; the support filter
+    (``min_count``) prunes the bigram frame BEFORE the two unigram
+    joins; the top-k is a distributed TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = docs.select(tokens(F.col(text_col)).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    bi = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(t, 1, size(t) - 1)"),
+                    F.expr("slice(t, 2, size(t) - 1)"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    total = uni.agg(F.sum("n").alias("n_total"))
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"(n_ab * {int(scale)} div n_a) * n_total div n_b"
+            ).alias("lift_micro"),
+        )
+    )
+    order = [F.desc("lift_micro"), F.asc("w1"), F.asc("w2")]
+    top = scored.orderBy(*order).limit(k)
+    return top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(*order))
+    )

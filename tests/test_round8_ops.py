@@ -1093,3 +1093,115 @@ class TestReciprocalRankFusion:
         assert out[13] == (1, m // 63, 4)
         with pytest.raises(ValueError, match="at least one"):
             reciprocal_rank_fusion([])
+
+
+class TestCollocations:
+    def test_matches_python_reference(self, spark):
+        from collections import Counter
+
+        from snowplow_s3_loader_spark.operators.text import collocations
+
+        texts = [
+            "new york is a big city",
+            "new york city has a new mayor",
+            "york new is not new york",
+            "a a a",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = {
+            (r["w1"], r["w2"]): (r["n_ab"], r["n_a"], r["n_b"], r["lift_micro"])
+            for r in collocations(df, "text", min_count=2, k=10).collect()
+        }
+        uni = Counter(w for t in texts for w in t.split())
+        bi = Counter(
+            (a, b)
+            for t in texts
+            for a, b in zip(t.split(), t.split()[1:])
+        )
+        n_total = sum(uni.values())
+        want = {
+            p: (
+                n,
+                uni[p[0]],
+                uni[p[1]],
+                (n * 10**6 // uni[p[0]]) * n_total // uni[p[1]],
+            )
+            for p, n in bi.items()
+            if n >= 2
+        }
+        assert got == want
+        # rank order: lift desc then (w1, w2)
+        ranked = [
+            (r["rnk"], r["lift_micro"])
+            for r in collocations(df, "text", min_count=2, k=10)
+            .orderBy("rnk")
+            .collect()
+        ]
+        assert [x[1] for x in ranked] == sorted(
+            [x[1] for x in ranked], reverse=True
+        )
+        with pytest.raises(ValueError, match="min_count"):
+            collocations(df, "text", min_count=0)
+
+
+class TestWinsorize:
+    def test_clips_at_exact_percentile_grid(self, spark):
+        from snowplow_s3_loader_spark.operators.ranking import winsorize
+
+        rows = [("g", i, v) for i, v in enumerate([0, 10, 20, 30, 40, 50, 60, 70, 80, 1000])]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        out = {
+            r["id"]: (r["pct_micro"], r["lo_bound"], r["hi_bound"], r["clipped"])
+            for r in winsorize(
+                df, ["g"], "v", [F.col("id")], 100_000, 900_000
+            ).collect()
+        }
+        # pct grid for n=10: (rn-1)*1e6 // 9 -> 0, 111111, ..., 1000000
+        # lo_bound: smallest v with pct >= 100000 -> v=10 (pct 111111)
+        # hi_bound: largest v with pct <= 900000 -> v=80 (pct 888888)
+        assert out[0] == (0, 10, 80, 10)
+        assert out[9] == (1_000_000, 10, 80, 80)
+        assert out[5] == (555_555, 10, 80, 50)
+        with pytest.raises(ValueError, match="lo <= hi"):
+            winsorize(df, ["g"], "v", [F.col("id")], 5, 2)
+
+
+class TestSessionPaths:
+    def test_paths_and_session_breaks(self, spark):
+        import datetime as dt
+
+        from snowplow_s3_loader_spark.operators.behavior import session_paths
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = lambda sec: t0 + dt.timedelta(seconds=sec)
+        rows = [
+            # user 1, session 1: a > b > c (+ a 4th event beyond max_len)
+            (1, s(0), 1, "a"), (1, s(10), 2, "b"), (1, s(20), 3, "c"),
+            (1, s(30), 4, "d"),
+            # gap > 60s -> session 2: a > b
+            (1, s(200), 5, "a"), (1, s(210), 6, "b"),
+            # user 2: a > b (one session)
+            (2, s(0), 7, "a"), (2, s(5), 8, "b"),
+        ]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, eid long, typ string")
+        got = {
+            r["path"]: r["n_sessions"]
+            for r in session_paths(
+                df, "u", "ts", "typ", gap_seconds=60, max_len=3,
+                tie_cols=("eid",),
+            ).collect()
+        }
+        assert got == {"a>b>c": 1, "a>b": 2}
+
+    def test_tie_cols_fix_equal_timestamps(self, spark):
+        import datetime as dt
+
+        from snowplow_s3_loader_spark.operators.behavior import session_paths
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, t0, 2, "y"), (1, t0, 1, "x"), (1, t0, 3, "z")]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, eid long, typ string")
+        got = session_paths(
+            df, "u", "ts", "typ", gap_seconds=60, max_len=5, tie_cols=("eid",)
+        ).collect()
+        assert {r["path"] for r in got} == {"x>y>z"}
