@@ -876,6 +876,29 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cov_num").alias("v2"),
         F.col("n").alias("v3"),
     )
+    colc = q.q129_collocations(spark, sf_dir).select(
+        F.lit("colloc").alias("battery"),
+        F.concat_ws("@", "w1", "w2").alias("key"),
+        F.col("n_ab").alias("v1"),
+        F.col("lift_micro").alias("v2"),
+        F.col("rnk").cast("long").alias("v3"),
+    )
+    wins = q.q130_winsorize(spark, sf_dir).select(
+        F.lit("winsor").alias("battery"),
+        F.concat_ws(
+            "@", "event_type", F.col("event_id").cast("string")
+        ).alias("key"),
+        F.col("cents").alias("v1"),
+        F.col("clipped").alias("v2"),
+        (F.col("lo_bound") * 10_000_000 + F.col("hi_bound")).alias("v3"),
+    )
+    spath = q.q131_session_paths(spark, sf_dir).select(
+        F.lit("spath").alias("battery"),
+        F.col("path").alias("key"),
+        F.col("n_sessions").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -929,6 +952,9 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(trl)
         .union(rrf)
         .union(cov)
+        .union(colc)
+        .union(wins)
+        .union(spath)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1085,6 +1111,7 @@ _FOLDED = {
     "q122_group_mode", "q123_phrase_search",
     "q124_line_dedup", "q125_kmeans", "q126_trailing_distinct",
     "q127_hybrid_search", "q128_embedding_covariance",
+    "q129_collocations", "q130_winsorize", "q131_session_paths",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1748,6 +1775,20 @@ SELECT 'cov' AS battery,
        CAST(i AS VARCHAR) || '@' || CAST(j AS VARCHAR) AS key,
        s_ij AS v1, cov_num AS v2, n AS v3
 FROM ({ORACLES["q128_embedding_covariance"]})
+UNION ALL
+SELECT 'colloc' AS battery, w1 || '@' || w2 AS key,
+       n_ab AS v1, lift_micro AS v2, CAST(rnk AS BIGINT) AS v3
+FROM ({ORACLES["q129_collocations"]})
+UNION ALL
+SELECT 'winsor' AS battery,
+       event_type || '@' || CAST(event_id AS VARCHAR) AS key,
+       cents AS v1, clipped AS v2,
+       lo_bound * 10000000 + hi_bound AS v3
+FROM ({ORACLES["q130_winsorize"]})
+UNION ALL
+SELECT 'spath' AS battery, path AS key,
+       n_sessions AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q131_session_paths"]})
 ORDER BY battery, key, v1
 """
 

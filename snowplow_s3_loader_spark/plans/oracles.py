@@ -2491,3 +2491,106 @@ SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
 FROM ex GROUP BY i, j
 ORDER BY i, j
 """
+
+# q129: bigrams via zipped list slices (parallel unnests align in
+# DuckDB); the lift arithmetic mirrors the operator's
+# divide-then-multiply order exactly (// on positive operands == div).
+ORACLES["q129_collocations"] = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+uni AS (
+  SELECT w, count(*) AS n FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM uni),
+bi AS (
+  SELECT w1, w2, count(*) AS n_ab FROM (
+    SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+    FROM toks WHERE len(t) >= 2
+  ) GROUP BY w1, w2 HAVING count(*) >= 5
+),
+scored AS (
+  SELECT bi.w1, bi.w2, bi.n_ab, a.n AS n_a, b.n AS n_b,
+         CAST((bi.n_ab * 1000000 // a.n) * t.n_total // b.n AS BIGINT)
+           AS lift_micro
+  FROM bi JOIN uni a ON bi.w1 = a.w
+          JOIN uni b ON bi.w2 = b.w
+          CROSS JOIN tot t
+)
+SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       lift_micro, CAST(rn AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY lift_micro DESC, w1, w2) AS rn
+  FROM scored
+) WHERE rn <= 40
+ORDER BY rnk
+"""
+
+# q130: the q121 percentile ladder + conditional bound aggregation +
+# pure-expression clip; bounds from ALL rows, output id-sliced.
+ORACLES["q130_winsorize"] = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, cents,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cents, event_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+),
+p AS (
+  SELECT event_type, event_id, cents,
+         CASE WHEN n > 1
+              THEN CAST((rn - 1) * 1000000 // (n - 1) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS pct_micro
+  FROM r
+),
+b AS (
+  SELECT event_type,
+         min(CASE WHEN pct_micro >= 100000 THEN cents END) AS lo_bound,
+         max(CASE WHEN pct_micro <= 900000 THEN cents END) AS hi_bound
+  FROM p GROUP BY event_type
+)
+SELECT p.event_type, p.event_id, p.cents, p.pct_micro,
+       b.lo_bound, b.hi_bound,
+       least(greatest(p.cents, b.lo_bound), b.hi_bound) AS clipped
+FROM p JOIN b ON p.event_type = b.event_type
+WHERE p.event_id % 29 = 0
+ORDER BY p.event_type, p.event_id
+"""
+
+# q131: the q38 sessionization + per-session ordered path strings
+# capped at 4 via list slicing (slices past the end are legal both
+# sides).
+ORACLES["q131_session_paths"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('microsecond', prev_ts, ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM g
+),
+r AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s
+),
+per AS (
+  SELECT user_id, sid,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:4], '>') AS path
+  FROM r GROUP BY user_id, sid
+)
+SELECT path, count(*) AS n_sessions
+FROM per GROUP BY path HAVING count(*) >= 5
+ORDER BY n_sessions DESC, path
+"""

@@ -2646,6 +2646,63 @@ def q128_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 adjacent-bigram collocations over the document corpus by
+    integer lift (the PMI ratio, Church & Hanks 1990) with support >= 5
+    — bigrams from one positional zip_with (no self-join), support
+    pruned before the unigram joins, distributed top-k. Hash-matched
+    against the oracle's identical list-slice zip + arithmetic."""
+    from snowplow_s3_loader_spark.operators.text import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations(docs, "text", min_count=5, k=40).orderBy("rnk")
+
+
+def q130_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of cents at the exact empirical
+    [p10, p90] grid points: one keyed window pass for the integer
+    micro-unit percentile ladder, one conditional aggregation for the
+    two bounds (broadcast back), pure-expression clipping. Output
+    id-sliced; bounds computed over ALL rows."""
+    from snowplow_s3_loader_spark.operators.ranking import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = winsorize(
+        ev, ["event_type"], "cents", [F.col("event_id")],
+        lo_micro=100_000, hi_micro=900_000,
+    )
+    return (
+        out.where(F.col("event_id") % 29 == 0)
+        .select(
+            "event_type", "event_id", "cents",
+            "pct_micro", "lo_bound", "hi_bound", "clipped",
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+def q131_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: 30-minute gap sessionization (the q38
+    formulation, made total with the event_id tiebreak) + each
+    session's first 4 event types as a '>'-joined path, counted — the
+    funnel-discovery twin of q38/q108. Paths with >= 5 sessions."""
+    from snowplow_s3_loader_spark.operators.behavior import session_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        session_paths(
+            ev, "user_id", "ts", "event_type",
+            gap_seconds=1800, max_len=4, tie_cols=("event_id",),
+            min_count=5,
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -2775,5 +2832,8 @@ QUERIES = {
         q126_trailing_distinct,
         q127_hybrid_search,
         q128_embedding_covariance,
+        q129_collocations,
+        q130_winsorize,
+        q131_session_paths,
     ]
 }
