@@ -676,3 +676,36 @@ def test_q128_covariance_single_scan_single_agg(spark, sf_dir):
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert _nodes(plan, "Window") == 0, plan
     assert plan.count("InMemoryFileIndex") == 1, plan
+
+
+def test_q129_collocations_no_self_join_distributed_topk(spark, sf_dir):
+    """Bigrams are positional (zip_with) — no token self-join anywhere;
+    the top-k is TakeOrderedAndProject; the only nested-loop join is
+    the 1-row broadcast total (the scalar-frame pattern)."""
+    plan = plan_of(Q.q129_collocations(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_q130_winsorize_one_window_pass_broadcast_bounds(spark, sf_dir):
+    """The percentile ladder and group count share ONE keyed window
+    partitioning; the bounds join back as a broadcast."""
+    plan = plan_of(Q.q130_winsorize(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "partitionBy []" not in line
+
+
+def test_q131_session_paths_shared_user_sort(spark, sf_dir):
+    """Both window passes and the session collapse ride the user-keyed
+    partitioning — exactly one hash exchange on user_id; no
+    unpartitioned window."""
+    plan = plan_of(Q.q131_session_paths(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "partitionBy []" not in line
+    assert "Join" not in plan and "CartesianProduct" not in plan
