@@ -1627,6 +1627,17 @@ SELECT 'parity' AS battery,
 FROM (SELECT DISTINCT event_type FROM events)
 UNION ALL
 SELECT 'parity' AS battery,
+       'streaming_trailing@' || CAST(day AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (
+  SELECT DISTINCT
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events
+)
+UNION ALL
+SELECT 'parity' AS battery,
        'component_map@' || CAST(node AS VARCHAR) AS key,
        CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3

@@ -410,6 +410,67 @@ def _cusum_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+def _trailing_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Streaming bitmap trailing-distinct vs the batch word-frame
+    operator (round 8): the events stream replays as three hash-split
+    micro-batches (so a day's 7-day window genuinely accumulates across
+    batches and the bit_or state merge is exercised), and the final
+    per-day rolling 7-day distinct-user count must equal
+    bitmap.bitmap_trailing_distinct on the union, for EVERY observed
+    day."""
+    from snowplow_s3_loader_spark.operators.bitmap import (
+        bitmap_trailing_distinct,
+    )
+    from snowplow_s3_loader_spark.streaming.stateful import (
+        streaming_trailing_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+        .cast("long")
+        .alias("day"),
+        F.col("user_id").alias("uid"),
+        "event_id",
+    )
+    slices = [
+        ev.where(F.col("event_id") % 3 == p).select("day", "uid")
+        for p in range(3)
+    ]
+    tmp = tempfile.mkdtemp(prefix="parity_trailing_")
+    final: dict = {}
+    try:
+        in_dir = _write_stream_files(slices, tmp)
+        src = (
+            spark.readStream.schema("day bigint, uid bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+        def _fb(df, bid):
+            for r in df.collect():  # update mode: later batches overwrite
+                final[r["day"]] = r["n_trailing"]
+
+        _run_stream(
+            streaming_trailing_distinct(src, "day", "uid", window_days=7),
+            tmp,
+            _fb,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    batch = {
+        r["day"]: r["n_trailing"]
+        for r in bitmap_trailing_distinct(
+            ev.select("day", "uid"), "day", "uid", 7
+        ).collect()
+    }
+    # streaming legitimately also carries fan-out days past the observed
+    # set; parity is over the batch operator's observed-day domain
+    return [
+        ("streaming_trailing", str(d), int(final.get(d) == n))
+        for d, n in sorted(batch.items())
+    ]
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check_name, key, is_match) for all four parity families, fully
     materialized driver-side (literal rows — no lingering plan or
@@ -419,17 +480,19 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, not three."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as ex:
+    with ThreadPoolExecutor(max_workers=5) as ex:
         fut_funnel = ex.submit(_funnel_parity, spark, sf_dir)
         fut_heavy = ex.submit(_heavy_parity, spark, sf_dir)
         fut_ssj = ex.submit(_interval_join_parity, spark, sf_dir)
         fut_cusum = ex.submit(_cusum_parity, spark, sf_dir)
+        fut_trail = ex.submit(_trailing_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
         rows = (
             fut_funnel.result()
             + fut_heavy.result()
             + fut_ssj.result()
             + fut_cusum.result()
+            + fut_trail.result()
             + cm_rows
         )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

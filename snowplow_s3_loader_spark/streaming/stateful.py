@@ -594,3 +594,115 @@ def streaming_cusum(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+TRAILING_STATE_SCHEMA = StructType(
+    [
+        StructField("words", ArrayType(LongType())),
+        StructField("bits", ArrayType(LongType())),
+    ]
+)
+
+
+def streaming_trailing_distinct(
+    events: DataFrame,
+    day_col: str,
+    value_col: str,
+    window_days: int,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of bitmap.bitmap_trailing_distinct: exact rolling
+    ``window_days``-day distinct counts maintained across micro-batches
+    with a MERGEABLE bitmap as the per-day state.
+
+    A stateless fan-out first maps each (day, value) to the
+    <= window_days trailing days it serves plus its (word, mask) bitmap
+    coordinates — pure expressions, so the only stateful key is the
+    OUTPUT day. The keyed state is the day's bitmap as parallel
+    (words[], bits[]) arrays, bounded by domain/64 regardless of how
+    many events ever arrive (bit_or is idempotent — replays and
+    overlapping fan-outs merge for free, the same property that makes
+    the batch word frames shard-mergeable). Emits per batch:
+    (day, n_trailing, n_words) — cumulative exact distincts.
+
+    Update-mode semantics: the last emission per day equals the batch
+    operator on the union of all batches (differential-tested and
+    driver-audited via the 'streaming_trailing' parity family). Days
+    beyond the observed set (a day's fan-out reaches window_days - 1
+    days past it) are emitted too; batch comparisons inner-join on the
+    observed-day set, mirroring the batch operator's semi join."""
+    import numpy as np
+
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.col(day_col).cast("long")
+    v = F.col(value_col).cast("long")
+    fan = (
+        events.where(v.isNotNull())
+        .select(
+            F.explode(
+                F.sequence(day, day + F.lit(int(window_days) - 1))
+            ).alias("day"),
+            v.alias("__v"),
+        )
+        .select(
+            "day",
+            F.shiftright(F.col("__v"), 6).alias("word"),
+            # __v & 63, matching bitmap._word_and_mask bit for bit (a
+            # % 64 alternative diverges on negative ids)
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__v & 63 AS INT))"
+            ).alias("mask"),
+        )
+    )
+    out_schema = StructType(
+        [
+            StructField("day", LongType()),
+            StructField("n_trailing", LongType()),
+            StructField("n_words", LongType()),
+        ]
+    )
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            words, bits = state.get
+            bm = dict(zip(words, bits))
+        else:
+            bm = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            folded = pdf.groupby("word")["mask"].agg(
+                lambda s: int(np.bitwise_or.reduce(s.to_numpy(np.int64)))
+            )
+            for w, m in folded.items():
+                bm[int(w)] = bm.get(int(w), 0) | int(m)
+        items = sorted(bm.items())
+        state.update(([w for w, _ in items], [b for _, b in items]))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        n = int(sum(bin(b & 0xFFFFFFFFFFFFFFFF).count("1") for _, b in items))
+        yield pd.DataFrame(
+            {
+                "day": [key[0]],
+                "n_trailing": [n],
+                "n_words": [len(items)],
+            }
+        )
+
+    return fan.groupBy("day").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=TRAILING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

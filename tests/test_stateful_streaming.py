@@ -403,7 +403,7 @@ def test_streaming_funnel_retro_event_improves_without_invalidating(spark, tmp_p
 
 def test_streaming_parity_rows_all_match(spark, sf_dir):
     """The driver-visible batch-vs-streaming parity audit (folded into
-    q74_scale_battery) must emit is_match=1 for every key in all five
+    q74_scale_battery) must emit is_match=1 for every key in all six
     families — a falsifiable audit is only useful if its green state is
     pinned here and its red states are reachable (each family's
     divergence behavior is covered by the operator-level differential
@@ -420,6 +420,7 @@ def test_streaming_parity_rows_all_match(spark, sf_dir):
         "component_map",
         "stream_interval_join",
         "streaming_cusum",
+        "streaming_trailing",
     }, by_check
     for name, bits in by_check.items():
         assert bits and all(b == 1 for b in bits), (name, bits)
@@ -498,3 +499,68 @@ def test_streaming_cusum_matches_batch_on_ordered_stream(spark, tmp_path):
     }
     assert got == want
     assert want["a"][2] > 0 and want["b"][2] > 0  # both drifts fired
+
+
+def test_streaming_trailing_distinct_matches_batch(spark, tmp_path):
+    """streaming_trailing_distinct folded over three micro-batches must
+    equal the batch bitmap operator on the union for every observed
+    day — including windows whose contributing days arrive in
+    DIFFERENT batches (bit_or merge across batches)."""
+    import os
+    import random
+    import time as _time
+
+    from snowplow_s3_loader_spark.operators.bitmap import (
+        bitmap_trailing_distinct,
+    )
+    from snowplow_s3_loader_spark.streaming.stateful import (
+        streaming_trailing_distinct,
+    )
+
+    rnd = random.Random(31)
+    rows = [
+        (rnd.choice([1, 2, 3, 8, 9, 15]), rnd.randrange(0, 300))
+        for _ in range(600)
+    ]
+    thirds = [rows[:200], rows[200:400], rows[400:]]
+    in_dir = tmp_path / "trail_in"
+    in_dir.mkdir(parents=True)
+    base_t = _time.time() - 100
+    for i, chunk in enumerate(thirds):
+        p = in_dir / f"b{i}.csv"
+        p.write_text("\n".join(f"{d},{u}" for d, u in chunk) + "\n")
+        os.utime(p, (base_t + i * 10, base_t + i * 10))
+
+    src = spark.readStream.schema("day long, uid long").option(
+        "maxFilesPerTrigger", 1
+    ).csv(str(in_dir))
+    collected: list = []
+    q = (
+        streaming_trailing_distinct(src, "day", "uid", window_days=7)
+        .writeStream.foreachBatch(
+            lambda df, bid: collected.extend(df.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "trail_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in collected:  # update mode: last emission per day wins
+        final[r["day"]] = r["n_trailing"]
+
+    batch_df = spark.createDataFrame(rows, "day long, uid long")
+    want = {
+        r["day"]: r["n_trailing"]
+        for r in bitmap_trailing_distinct(
+            batch_df, "day", "uid", 7
+        ).collect()
+    }
+    # brute-force belt-and-braces
+    for d in {dd for dd, _ in rows}:
+        assert want[d] == len({u for dd, u in rows if d - 6 <= dd <= d})
+    # every observed day must match; streaming legitimately also holds
+    # fan-out days past the observed set
+    for d, n in want.items():
+        assert final[d] == n, d
