@@ -436,7 +436,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution (q100), and the
     batch-vs-streaming parity audit (round 7: streaming funnel /
     sharded streaming heavy hitters / incremental ComponentMap; round 8
-    adds the watermarked stream-stream interval join — each re-run
+    adds the watermarked stream-stream interval join, streaming CUSUM,
+    and streaming bitmap trailing distinct — each re-run
     against its batch twin on the same static frame, per-key match bits
     vs the oracle's literal 1s — plans/parity.py), and the SCD2<->MERGE
     round-trip invariant (round 8: _scd2_roundtrip_rows) — tagged
