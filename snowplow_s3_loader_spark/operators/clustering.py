@@ -116,6 +116,22 @@ def kmeans(
             quantize_vec(F.col(vec_col), scale).alias("__v"),
         ).where(F.col("__v").isNotNull())
     )
+    # int64 bound, ENFORCED (the hits() discipline): the squared-L2 sum
+    # is <= dims * (2 * max|q|)^2, and a centroid-update sum is
+    # <= n * max|q| — both must stay under 2^63 or the aggregation
+    # wraps silently under non-ANSI mode
+    stats = base.select(
+        F.max(F.array_max(F.transform("__v", F.abs))).alias("b"),
+        F.max(F.size("__v")).alias("d"),
+        F.count("*").alias("n"),
+    ).first()
+    if stats["n"]:
+        b, d = int(stats["b"] or 0), int(stats["d"] or 1)
+        if d * (2 * b) ** 2 >= 2**63 or stats["n"] * b >= 2**63:
+            raise ValueError(
+                f"kmeans: quantized magnitude {b} over {d} dims at n="
+                f"{stats['n']} exceeds the exact int64 bound; lower scale"
+            )
     seed_rows = base.orderBy("id").limit(k).select("__v").collect()
     if len(seed_rows) < k:
         raise ValueError(f"kmeans: k={k} but only {len(seed_rows)} vectors")
@@ -175,15 +191,37 @@ def covariance_moments(
             F.element_at("__v", F.col("p.j")).alias("__xj"),
         )
     )
-    return ex.groupBy("i", "j").agg(
+    agg = ex.groupBy("i", "j").agg(
         F.count("*").alias("n"),
         F.sum("__xi").alias("s_i"),
         F.sum("__xj").alias("s_j"),
         F.sum(F.col("__xi") * F.col("__xj")).alias("s_ij"),
-    ).select(
+        F.max(F.abs("__xi")).alias("__mi"),
+        F.max(F.abs("__xj")).alias("__mj"),
+    )
+    # |cov_num| <= 2 * n^2 * max|x_i| * max|x_j| — ENFORCED in double
+    # (a guard needs magnitude, not exactness) so the int64 product
+    # below never wraps silently; rides the same aggregation, no
+    # second scan
+    guard = (
+        2.0
+        * F.col("n").cast("double")
+        * F.col("n").cast("double")
+        * F.col("__mi").cast("double")
+        * F.col("__mj").cast("double")
+    )
+    return agg.select(
         "i",
         "j",
-        "n",
+        F.when(
+            guard >= F.lit(float(2**62)),
+            F.raise_error(
+                F.lit(
+                    "covariance_moments: n^2 * max|x|^2 exceeds the exact "
+                    "int64 bound; lower scale or dims"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n")).alias("n"),
         "s_i",
         "s_j",
         "s_ij",

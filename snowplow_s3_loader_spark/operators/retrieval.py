@@ -248,6 +248,18 @@ def reciprocal_rank_fusion(
             F.col(id_col).alias("id"), F.col(rank_col).cast("long").alias("rank")
         )
         tagged = part if tagged is None else tagged.unionByName(part)
+    # a null or sub-1 rank would silently null this id's fused score
+    # (sum absorbs nulls) or divide by zero — both are corrupt inputs,
+    # not rankings; fail loudly instead
+    tagged = tagged.withColumn(
+        "rank",
+        F.when(
+            F.col("rank").isNull() | (F.col("rank") < 1),
+            F.raise_error(
+                F.lit("reciprocal_rank_fusion: ranks must be 1-based ints")
+            ).cast("long"),
+        ).otherwise(F.col("rank")),
+    )
     fused = tagged.groupBy("id").agg(
         F.count("*").alias("n_lists"),
         F.sum(F.expr(f"{int(scale)} div ({int(k0)} + rank)")).alias(

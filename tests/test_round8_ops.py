@@ -1205,3 +1205,40 @@ class TestSessionPaths:
             df, "u", "ts", "typ", gap_seconds=60, max_len=5, tie_cols=("eid",)
         ).collect()
         assert {r["path"] for r in got} == {"x>y>z"}
+
+
+class TestRound8Guards:
+    def test_kmeans_enforces_int64_bound(self, spark):
+        from snowplow_s3_loader_spark.operators.clustering import kmeans
+
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [3.0e15])], "id long, vec array<double>"
+        )
+        with pytest.raises(ValueError, match="int64 bound"):
+            kmeans(df, "id", "vec", k=2, n_iter=1, scale=1000)
+
+    def test_covariance_guard_trips_on_huge_magnitudes(self, spark):
+        from snowplow_s3_loader_spark.operators.clustering import (
+            covariance_moments,
+        )
+
+        df = spark.createDataFrame(
+            [([4.0e15, 4.0e15],), ([4.0e15, 4.0e15],)],
+            "vec array<double>",
+        )
+        # ANSI sessions (the Spark 4 default) raise ARITHMETIC_OVERFLOW
+        # on the product itself; the operator's own guard covers
+        # ANSI-off sessions with the named bound — either way, loud
+        with pytest.raises(
+            Exception, match="int64 bound|ARITHMETIC_OVERFLOW"
+        ):
+            covariance_moments(df, "vec", dims=2).collect()
+
+    def test_rrf_rejects_corrupt_ranks(self, spark):
+        from snowplow_s3_loader_spark.operators.retrieval import (
+            reciprocal_rank_fusion,
+        )
+
+        bad = spark.createDataFrame([(1, 0)], "id long, rank long")
+        with pytest.raises(Exception, match="1-based"):
+            reciprocal_rank_fusion([bad]).collect()
