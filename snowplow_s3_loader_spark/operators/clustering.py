@@ -281,3 +281,53 @@ def pca_project(
             ),
         )
     return out
+
+
+def label_scatter(
+    df: DataFrame, label_col: str, vec_col: str, scale: int = 1000
+) -> DataFrame:
+    """Per-label embedding-space diagnostics from exact integer sums —
+    the class-separation health check (the trace form of Fisher's
+    within-class scatter): per label,
+
+        n, norm2_sum = sum(|x|^2),
+        trace_num    = n * norm2_sum - sum_d (s_d)^2
+
+    where s_d is the per-dimension coordinate sum — trace_num is n^2 *
+    (trace of the within-class scatter / n), exact BIGINT, so label
+    collapse (trace ~ 0) and label explosion both read directly off the
+    frame with zero float-summation leakage.
+
+    Scale shape: one scan computes per-row |x|^2 (aggregate over the
+    array, no explode) and the per-(label, dim) sums (one posexplode +
+    keyed agg whose output is |labels| * d rows); the squared-sum fold
+    runs on that reduced frame. No joins touch the corpus."""
+    q = quantize_vec(F.col(vec_col), scale)
+    base = df.select(F.col(label_col).alias("label"), q.alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    per_label = base.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.aggregate(
+                F.transform("__v", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).alias("norm2_sum"),
+    )
+    dim_sums = (
+        base.select("label", F.posexplode("__v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s_d"))
+        .groupBy("label")
+        .agg(F.sum(F.col("s_d") * F.col("s_d")).alias("sum_sd2"))
+    )
+    return per_label.join(dim_sums, "label").select(
+        "label",
+        "n",
+        "norm2_sum",
+        (F.col("n") * F.col("norm2_sum") - F.col("sum_sd2")).alias(
+            "trace_num"
+        ),
+    )

@@ -238,3 +238,90 @@ def group_trend(
             slope_scaled.alias("slope_scaled"),
         )
     )
+
+
+def spearman_moments(
+    df: DataFrame, x_col: str, y_col: str, id_col: str
+) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation (Spearman 1904;
+    the Kendall-book tie correction): returns ONE row of integer-exact
+    pieces plus the derived coefficient —
+
+        n, d2 = sum((2*avgrank_x - 2*avgrank_y)^2),
+        tx/ty = sum over tie groups of (t^3 - t),
+        rho   = (Sx + Sy - d2/4) / (2*sqrt(Sx*Sy)),
+        where S = (n^3 - n - T) / 12
+
+    Average ranks ride DOUBLED (min_rank + max_rank of the tie group —
+    consecutive global row numbers make that identity exact) so every
+    piece is BIGINT; only the final rho expression touches doubles,
+    and identical integer inputs make that IEEE-deterministic across
+    engines. The d2 bound (4*n^3 < 2^63, n <= ~1.3e6) is ENFORCED —
+    beyond it, sample or shard.
+
+    Scale shape: two two-phase global rankings (`global_row_number` —
+    range-partitioned, never a single-task window over the rows), one
+    |distinct value|-sized tie-stat aggregation per column, and one
+    final scalar aggregation; the raw frame is never self-joined
+    (tie stats join back on the value key)."""
+    from snowplow_s3_loader_spark.operators.ranking import global_row_number
+
+    base = df.select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+        F.col(id_col).alias("__id"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    rx, n = global_row_number(
+        base, [F.col("__x"), F.col("__id")], rn_col="__rnx"
+    )
+    if n > 1_300_000:
+        raise ValueError(
+            f"spearman_moments: n={n} exceeds the exact int64 bound "
+            "(4*n^3 < 2^63, n <= ~1.3e6); sample or shard first"
+        )
+    if n < 2:
+        raise ValueError(f"spearman_moments: need n >= 2, got {n}")
+    # global_row_number emits INT ranks: the doubled-rank differences
+    # square to ~4n^2, which wraps int32 past n ~ 23k — everything
+    # rank-derived rides as long from here (the q98 wpos lesson)
+    gx = rx.groupBy("__x").agg(
+        (F.min(F.col("__rnx").cast("long")) + F.max(F.col("__rnx").cast("long"))).alias("__ar2x"),
+        F.count("*").alias("__tx"),
+    )
+    tx_frame = gx.agg(
+        F.sum(
+            F.col("__tx") * F.col("__tx") * F.col("__tx") - F.col("__tx")
+        ).alias("tx")
+    )
+    withx = rx.join(gx.select("__x", "__ar2x"), "__x")
+    ry, _ = global_row_number(
+        withx, [F.col("__y"), F.col("__id")], rn_col="__rny"
+    )
+    gy = ry.groupBy("__y").agg(
+        (F.min(F.col("__rny").cast("long")) + F.max(F.col("__rny").cast("long"))).alias("__ar2y"),
+        F.count("*").alias("__ty"),
+    )
+    ty_frame = gy.agg(
+        F.sum(
+            F.col("__ty") * F.col("__ty") * F.col("__ty") - F.col("__ty")
+        ).alias("ty")
+    )
+    both = ry.join(gy.select("__y", "__ar2y"), "__y")
+    d2 = both.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("__ar2x") - F.col("__ar2y"))
+            * (F.col("__ar2x") - F.col("__ar2y"))
+        ).alias("d2"),
+    )
+    out = (
+        d2.crossJoin(F.broadcast(tx_frame))
+        .crossJoin(F.broadcast(ty_frame))
+    )
+    nD = F.col("n").cast("double")
+    sx = (nD * nD * nD - nD - F.col("tx").cast("double")) / F.lit(12.0)
+    sy = (nD * nD * nD - nD - F.col("ty").cast("double")) / F.lit(12.0)
+    rho = (sx + sy - F.col("d2").cast("double") / F.lit(4.0)) / (
+        F.lit(2.0) * F.sqrt(sx * sy)
+    )
+    return out.select("n", "d2", "tx", "ty", F.round(rho, 6).alias("rho"))

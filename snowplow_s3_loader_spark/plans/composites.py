@@ -900,6 +900,22 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    sprm = q.q132_spearman(spark, sf_dir).select(
+        F.lit("spearman").alias("battery"),
+        # n/d2/tx/ty fully determine rho — the float stays out of the
+        # battery's string key space
+        F.lit("all").alias("key"),
+        F.col("n").alias("v1"),
+        F.col("d2").alias("v2"),
+        (F.col("tx") * 100_000 + F.col("ty")).alias("v3"),
+    )
+    lsc = q.q133_label_scatter(spark, sf_dir).select(
+        F.lit("lscatter").alias("battery"),
+        F.col("label").cast("string").alias("key"),
+        F.col("n").alias("v1"),
+        F.col("norm2_sum").alias("v2"),
+        F.col("trace_num").alias("v3"),
+    )
     return (
         bloom_rows.union(hh)
         .union(zord)
@@ -956,6 +972,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(colc)
         .union(wins)
         .union(spath)
+        .union(sprm)
+        .union(lsc)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1113,6 +1131,7 @@ _FOLDED = {
     "q124_line_dedup", "q125_kmeans", "q126_trailing_distinct",
     "q127_hybrid_search", "q128_embedding_covariance",
     "q129_collocations", "q130_winsorize", "q131_session_paths",
+    "q132_spearman", "q133_label_scatter",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1801,6 +1820,14 @@ UNION ALL
 SELECT 'spath' AS battery, path AS key,
        n_sessions AS v1, CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q131_session_paths"]})
+UNION ALL
+SELECT 'spearman' AS battery, 'all' AS key,
+       n AS v1, d2 AS v2, tx * 100000 + ty AS v3
+FROM ({ORACLES["q132_spearman"]})
+UNION ALL
+SELECT 'lscatter' AS battery, CAST(label AS VARCHAR) AS key,
+       n AS v1, norm2_sum AS v2, trace_num AS v3
+FROM ({ORACLES["q133_label_scatter"]})
 ORDER BY battery, key, v1
 """
 

@@ -2594,3 +2594,78 @@ SELECT path, count(*) AS n_sessions
 FROM per GROUP BY path HAVING count(*) >= 5
 ORDER BY n_sessions DESC, path
 """
+
+# q132: doubled average ranks via 2*rank() + t - 1 (== min+max of the
+# tie group's consecutive global row numbers — the engine computes the
+# same identity from min/max); the rho expression is term-for-term
+# identical so the IEEE doubles agree.
+ORACLES["q132_spearman"] = """
+WITH e AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice / 100) AS BIGINT) AS y
+  FROM lineitem WHERE l_orderkey % 8 = 0
+),
+r AS (
+  SELECT x, y,
+         2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1
+           AS ar2x,
+         2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1
+           AS ar2y
+  FROM e
+),
+tstats AS (
+  SELECT
+    (SELECT CAST(sum(t*t*t - t) AS BIGINT)
+     FROM (SELECT count(*) AS t FROM e GROUP BY x)) AS tx,
+    (SELECT CAST(sum(t*t*t - t) AS BIGINT)
+     FROM (SELECT count(*) AS t FROM e GROUP BY y)) AS ty
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum((ar2x - ar2y) * (ar2x - ar2y)) AS BIGINT) AS d2
+  FROM r
+)
+SELECT m.n, m.d2, t.tx, t.ty,
+       round(
+         ((CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+             - CAST(m.n AS DOUBLE) - CAST(t.tx AS DOUBLE)) / 12.0
+          + (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+             - CAST(m.n AS DOUBLE) - CAST(t.ty AS DOUBLE)) / 12.0
+          - CAST(m.d2 AS DOUBLE) / 4.0)
+         / (2.0 * sqrt(
+             ((CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+                 - CAST(m.n AS DOUBLE) - CAST(t.tx AS DOUBLE)) / 12.0)
+             * ((CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+                 - CAST(m.n AS DOUBLE) - CAST(t.ty AS DOUBLE)) / 12.0))),
+         6) AS rho
+FROM m CROSS JOIN tstats t
+"""
+
+# q133: same quantized sums via unnest + generate_subscripts.
+ORACLES["q133_label_scatter"] = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+per AS (
+  SELECT label, count(*) AS n,
+         CAST(sum(list_sum(list_transform(v, x -> x * x))) AS BIGINT)
+           AS norm2_sum
+  FROM q GROUP BY label
+),
+dims AS (
+  SELECT label, pos, CAST(sum(val) AS BIGINT) AS s
+  FROM (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM q)
+  GROUP BY label, pos
+),
+sd AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS sum_sd2 FROM dims GROUP BY label
+)
+SELECT per.label, per.n, per.norm2_sum,
+       per.n * per.norm2_sum - sd.sum_sd2 AS trace_num
+FROM per JOIN sd ON per.label = sd.label
+ORDER BY per.label
+"""

@@ -2703,6 +2703,40 @@ def q131_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q132_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation between quantity
+    and price (hundreds) on the orderkey%8 lineitem slice: doubled
+    average ranks keep every piece BIGINT (d2, per-column tie sums);
+    only the final rho expression touches doubles, deterministic
+    because both engines evaluate the identical expression on identical
+    integers. The slice keeps n inside the ENFORCED 4n^3 < 2^63 bound
+    through sf1 (~750k rows)."""
+    from snowplow_s3_loader_spark.operators.profile import spearman_moments
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 8 == 0
+    ).select(
+        F.col("l_orderkey").alias("rid"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") / 100).alias("price_h"),
+    )
+    return spearman_moments(li, "qty", "price_h", "rid")
+
+
+def q133_label_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-space diagnostics: exact within-class scatter
+    trace numerators (n * sum|x|^2 - sum_d s_d^2) per label from one
+    scan + one (label, dim)-keyed reduction — the class-separation /
+    label-collapse health check, BIGINT-exact via the floor
+    quantization bridge."""
+    from snowplow_s3_loader_spark.operators.clustering import label_scatter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_scatter(emb, "label", "embedding", scale=1000).orderBy(
+        "label"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -2835,5 +2869,7 @@ QUERIES = {
         q129_collocations,
         q130_winsorize,
         q131_session_paths,
+        q132_spearman,
+        q133_label_scatter,
     ]
 }

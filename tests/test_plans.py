@@ -709,3 +709,23 @@ def test_q131_session_paths_shared_user_sort(spark, sf_dir):
         if "Window [" in line:
             assert "partitionBy []" not in line
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_q132_spearman_no_single_task_ranking(spark, sf_dir):
+    """Both rankings ride the two-phase global_row_number — no
+    unpartitioned window over the rows anywhere; tie stats join back on
+    the value key (hash joins only)."""
+    plan = plan_of(Q.q132_spearman(spark, sf_dir))
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "partitionBy []" not in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_q133_label_scatter_no_corpus_join(spark, sf_dir):
+    """Per-row |x|^2 needs no explode; the only join is between the two
+    |labels|-sized aggregates."""
+    plan = plan_of(Q.q133_label_scatter(spark, sf_dir))
+    assert _nodes(plan, "Generate") == 1, plan  # the (label, dim) explode
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryFileIndex") <= 2, plan

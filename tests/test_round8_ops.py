@@ -1242,3 +1242,119 @@ class TestRound8Guards:
         bad = spark.createDataFrame([(1, 0)], "id long, rank long")
         with pytest.raises(Exception, match="1-based"):
             reciprocal_rank_fusion([bad]).collect()
+
+
+class TestSpearman:
+    def test_matches_scipy_free_reference(self, spark):
+        import random
+
+        from snowplow_s3_loader_spark.operators.profile import spearman_moments
+
+        rnd = random.Random(17)
+        xs = [rnd.randint(0, 30) for _ in range(200)]          # heavy ties
+        ys = [x * 3 + rnd.randint(-20, 20) for x in xs]        # correlated
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(zip(xs, ys))],
+            "id long, x long, y long",
+        )
+        row = spearman_moments(df, "x", "y", "id").collect()[0]
+
+        def avg_ranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while j < len(order) and vals[order[j]] == vals[order[i]]:
+                    j += 1
+                avg = (i + 1 + j) / 2.0
+                for k in range(i, j):
+                    ranks[order[k]] = avg
+                i = j
+            return ranks
+
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(xs)
+        d2 = sum((2 * a - 2 * b) ** 2 for a, b in zip(rx, ry))
+        assert row["n"] == n and row["d2"] == d2
+
+        # tie-corrected rho vs the direct Pearson-on-ranks computation
+        mx = sum(rx) / n
+        my = sum(ry) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = (
+            sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+        ) ** 0.5
+        assert abs(row["rho"] - num / den) < 1e-6
+
+    def test_perfect_and_reversed(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import spearman_moments
+
+        df = spark.createDataFrame(
+            [(i, i, 100 - i) for i in range(50)], "id long, x long, y long"
+        )
+        assert spearman_moments(df, "x", "y", "id").collect()[0]["rho"] == -1.0
+        df2 = spark.createDataFrame(
+            [(i, i, i * 7) for i in range(50)], "id long, x long, y long"
+        )
+        assert spearman_moments(df2, "x", "y", "id").collect()[0]["rho"] == 1.0
+
+    def test_n_bound_enforced(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import spearman_moments
+
+        df = spark.createDataFrame([(1, 1, 1)], "id long, x long, y long")
+        with pytest.raises(ValueError, match="n >= 2"):
+            spearman_moments(df, "x", "y", "id")
+
+
+class TestLabelScatter:
+    def test_matches_numpy_exact(self, spark):
+        import math
+        import random
+
+        from snowplow_s3_loader_spark.operators.clustering import label_scatter
+
+        rnd = random.Random(13)
+        rows = [
+            (i % 3, [rnd.uniform(-1, 1) + i % 3 for _ in range(4)])
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "lbl int, vec array<double>")
+        got = {
+            r["label"]: (r["n"], r["norm2_sum"], r["trace_num"])
+            for r in label_scatter(df, "lbl", "vec").collect()
+        }
+        for lbl in (0, 1, 2):
+            qs = [
+                [math.floor(x * 1000) for x in v]
+                for l, v in rows
+                if l == lbl
+            ]
+            n = len(qs)
+            norm2 = sum(sum(x * x for x in q) for q in qs)
+            sd2 = sum(
+                sum(q[d] for q in qs) ** 2 for d in range(4)
+            )
+            assert got[lbl] == (n, norm2, n * norm2 - sd2)
+        # trace_num / n^2 is the within-class variance trace: collapsed
+        # labels read ~0
+        tight = spark.createDataFrame(
+            [(9, [5.0, 5.0])] * 10, "lbl int, vec array<double>"
+        )
+        r = label_scatter(tight, "lbl", "vec").collect()[0]
+        assert r["trace_num"] == 0
+
+
+def test_spearman_survives_int32_rank_scale(spark):
+    """At n=60k the doubled-rank differences square past int32 — the
+    rank-derived columns must ride as long (regression for the sf0.1
+    ARITHMETIC_OVERFLOW)."""
+    from snowplow_s3_loader_spark.operators.profile import spearman_moments
+
+    df = spark.range(60_000).selectExpr(
+        "id", "id AS x", "60000 - id AS y"
+    )
+    row = spearman_moments(df, "x", "y", "id").collect()[0]
+    assert row["rho"] == -1.0
+    n = 60_000
+    assert row["d2"] == sum((2 * (i + 1) - 2 * (n - i)) ** 2 for i in range(n))
