@@ -298,32 +298,32 @@ def label_scatter(
     collapse (trace ~ 0) and label explosion both read directly off the
     frame with zero float-summation leakage.
 
-    Scale shape: one scan computes per-row |x|^2 (aggregate over the
-    array, no explode) and the per-(label, dim) sums (one posexplode +
-    keyed agg whose output is |labels| * d rows); the squared-sum fold
-    runs on that reduced frame. No joins touch the corpus."""
+    Scale shape: ONE scan — the posexplode feeds a single (label, dim)-
+    keyed aggregation carrying the coordinate sums, square sums, AND
+    per-dim counts together; everything per-label then folds on that
+    |labels| * d frame (n recovers as the per-dim count — vectors are
+    assumed uniform-width, the embedding-table contract). No joins
+    touch the corpus."""
     q = quantize_vec(F.col(vec_col), scale)
     base = df.select(F.col(label_col).alias("label"), q.alias("__v")).where(
         F.col("__v").isNotNull()
     )
-    per_label = base.groupBy("label").agg(
-        F.count("*").alias("n"),
-        F.sum(
-            F.aggregate(
-                F.transform("__v", lambda x: x * x),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-        ).alias("norm2_sum"),
-    )
     dim_sums = (
         base.select("label", F.posexplode("__v").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.sum("val").alias("s_d"))
+        .agg(
+            F.sum("val").alias("s_d"),
+            F.sum(F.col("val") * F.col("val")).alias("q_d"),
+            F.count("*").alias("c_d"),
+        )
         .groupBy("label")
-        .agg(F.sum(F.col("s_d") * F.col("s_d")).alias("sum_sd2"))
+        .agg(
+            F.max("c_d").alias("n"),
+            F.sum("q_d").alias("norm2_sum"),
+            F.sum(F.col("s_d") * F.col("s_d")).alias("sum_sd2"),
+        )
     )
-    return per_label.join(dim_sums, "label").select(
+    return dim_sums.select(
         "label",
         "n",
         "norm2_sum",

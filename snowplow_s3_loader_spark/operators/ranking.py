@@ -195,8 +195,15 @@ def winsorize(
         raise ValueError(
             f"need 0 <= lo <= hi <= 1e6, got ({lo_micro}, {hi_micro})"
         )
-    ranked = quantile_rank(
-        df, group_cols, [F.col(value_col), *tie_cols], out_col="pct_micro"
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
+    # the ranked frame feeds BOTH the bounds aggregation and the output
+    # join — materialize the window pass once instead of re-sorting per
+    # consumer
+    ranked = checkpoint_nostats(
+        quantile_rank(
+            df, group_cols, [F.col(value_col), *tie_cols], out_col="pct_micro"
+        )
     )
     v = F.col(value_col)
     bounds = ranked.groupBy(*group_cols).agg(

@@ -599,10 +599,15 @@ def collocations(
     joins; the top-k is a distributed TakeOrderedAndProject."""
     from pyspark.sql import Window
 
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     toks = docs.select(tokens(F.col(text_col)).alias("t"))
-    uni = (
+    # the unigram frame has THREE consumers (two joins + the total) —
+    # materialize the |vocab|-sized frame once instead of re-tokenizing
+    # the corpus per consumer
+    uni = checkpoint_nostats(
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
