@@ -1470,3 +1470,100 @@ def label_propagation(
         return out
     finally:
         release_materialized(edges)
+
+
+def topological_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 200,
+    broadcast_threshold: int = 2_000_000,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Topological layering of a directed graph (Kahn 1962, the
+    level-synchronous form): layer(v) = length of the LONGEST path from
+    any in-degree-0 source to v — the stage schedule for pipeline /
+    dependency DAGs. Nodes inside or strictly downstream of a cycle can
+    never reach in-degree 0, so they come back flagged ``layer = -1``
+    (cycle detection rides for free; the caller gets both the schedule
+    AND the "this is not a DAG" evidence in one frame).
+
+    The engine's peel-loop shape (the k-core discipline): each round
+    drops the current zero-in-degree set, per-round work is bounded by
+    the surviving |E| (monotonically shrinking), loop frames are
+    checkpointed with advertised hash(src) layouts, and while the
+    survivor set fits ``broadcast_threshold`` the per-round prunes ride
+    broadcasts so the surviving edge frame never re-shuffles.
+    ``max_rounds`` caps the loop at the longest-path depth the caller
+    expects (the bfs_distances envelope rule).
+
+    ``nodes`` (optional, single column named like ``src``): the full
+    node universe when it exceeds the edge-incident set — ISOLATED
+    nodes are sources by definition and come back at layer 0; without
+    the frame, only edge-incident nodes are layered.
+
+    Returns a MATERIALIZED (node, layer) frame — release when done."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    ).distinct()
+    spark = edges.sparkSession
+    cur = checkpoint_nostats(e)
+    n_edges = cur.count()
+    loop_parts = _loop_width(spark, max(n_edges, 1))
+    cur_e = checkpoint_nostats(cur, loop_parts, ["a"])
+    release_materialized(cur)
+    node_plan = cur_e.select("a").union(cur_e.select(F.col("b").alias("a")))
+    if nodes is not None:
+        node_plan = node_plan.union(
+            nodes.select(F.col(src).alias("a")).where(F.col("a").isNotNull())
+        )
+    nodes = checkpoint_nostats(node_plan.distinct())
+    n_nodes = nodes.count()
+    done: list = []  # (frame, layer) checkpoints, unioned at the end
+    remaining = nodes
+    layer = 0
+    while n_nodes > 0 and layer < max_rounds:
+        # anti join needs no distinct on its right side — the raw edge
+        # targets prune identically without an aggregation job
+        has_in = cur_e.select(F.col("b").alias("a"))
+        zero_in = checkpoint_nostats(remaining.join(has_in, "a", "left_anti"))
+        done.append((zero_in, layer))
+        small = n_nodes <= broadcast_threshold
+        nxt_nodes = checkpoint_nostats(
+            remaining.join(
+                F.broadcast(zero_in) if small else zero_in, "a", "left_anti"
+            )
+        )
+        n_next = nxt_nodes.count()
+        if n_next == n_nodes:  # nothing peeled: survivors sit in cycles
+            done.pop()
+            release_materialized(zero_in)
+            release_materialized(nxt_nodes)
+            break
+        nxt_e_plan = cur_e.join(
+            F.broadcast(zero_in) if small else zero_in, "a", "left_anti"
+        )
+        nxt_e = checkpoint_nostats(
+            nxt_e_plan, loop_parts, ["a"], trust_partitioning=small
+        )
+        release_materialized(remaining)
+        release_materialized(cur_e)
+        remaining, cur_e = nxt_nodes, nxt_e
+        n_nodes = n_next
+        layer += 1
+    if n_nodes > 0 and layer >= max_rounds:
+        raise RuntimeError(
+            f"topological_layers: depth exceeds max_rounds={max_rounds}; "
+            "raise it for deeper DAGs"
+        )
+    parts = [f.select("a", F.lit(l).alias("layer")) for f, l in done]
+    parts.append(remaining.select("a", F.lit(-1).alias("layer")))
+    plan = parts[0]
+    for p in parts[1:]:
+        plan = plan.unionByName(p)
+    out = checkpoint_nostats(plan.select(F.col("a").alias("node"), "layer"))
+    for f, _ in done:
+        release_materialized(f)
+    release_materialized(remaining)
+    release_materialized(cur_e)
+    return out

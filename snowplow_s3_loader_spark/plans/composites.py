@@ -909,6 +909,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("v2"),
         (F.col("tx") * 100_000 + F.col("ty")).alias("v3"),
     )
+    topo = q.q134_topo_layers(spark, sf_dir).select(
+        F.lit("topo").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("layer").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
         F.col("label").cast("string").alias("key"),
@@ -974,6 +981,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(spath)
         .union(sprm)
         .union(lsc)
+        .union(topo)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1131,7 +1139,7 @@ _FOLDED = {
     "q124_line_dedup", "q125_kmeans", "q126_trailing_distinct",
     "q127_hybrid_search", "q128_embedding_covariance",
     "q129_collocations", "q130_winsorize", "q131_session_paths",
-    "q132_spearman", "q133_label_scatter",
+    "q132_spearman", "q133_label_scatter", "q134_topo_layers",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1828,6 +1836,11 @@ UNION ALL
 SELECT 'lscatter' AS battery, CAST(label AS VARCHAR) AS key,
        n AS v1, norm2_sum AS v2, trace_num AS v3
 FROM ({ORACLES["q133_label_scatter"]})
+UNION ALL
+SELECT 'topo' AS battery, CAST(node AS VARCHAR) AS key,
+       CAST(layer AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q134_topo_layers"]})
 ORDER BY battery, key, v1
 """
 

@@ -2669,3 +2669,27 @@ SELECT per.label, per.n, per.norm2_sum,
 FROM per JOIN sd ON per.label = sd.label
 ORDER BY per.label
 """
+
+# q134: the recursive-CTE replay (the q106 pattern) — longest path from
+# the in-degree-0 sources; UNION ALL keeps path multiplicity, which the
+# divisor DAG bounds binomially.
+ORACLES["q134_topo_layers"] = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT p_partkey % 4096 AS n FROM part
+  WHERE p_partkey % 4096 >= 1
+),
+edges AS (
+  SELECT n AS a, n * 2 AS b FROM nodes
+  WHERE n * 2 <= 4095 AND n * 2 IN (SELECT n FROM nodes)
+  UNION ALL
+  SELECT n AS a, n * 3 AS b FROM nodes
+  WHERE n * 3 <= 4095 AND n * 3 IN (SELECT n FROM nodes)
+),
+paths(v, len) AS (
+  SELECT n, 0 FROM nodes WHERE n NOT IN (SELECT b FROM edges)
+  UNION ALL
+  SELECT e.b, p.len + 1 FROM paths p JOIN edges e ON e.a = p.v
+)
+SELECT v AS node, CAST(max(len) AS INTEGER) AS layer
+FROM paths GROUP BY v ORDER BY node
+"""

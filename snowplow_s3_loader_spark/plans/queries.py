@@ -2737,6 +2737,43 @@ def q133_label_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological layering (Kahn peel) of the divisor DAG over part
+    keys mod 4096 (n -> 2n / n -> 3n within the observed key set —
+    acyclic by construction, depth ~12, size SF-independent): layer =
+    longest path from any in-degree-0 source. The oracle replays it
+    with a WITH RECURSIVE path expansion + max(len) — the q106
+    recursive-CTE pattern; path multiplicity stays bounded because
+    divisor-DAG path counts are binomial in the depth."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        release_materialized,
+    )
+    from snowplow_s3_loader_spark.operators.graph import topological_layers
+
+    nodes = (
+        load_table(spark, sf_dir, "part")
+        .select((F.col("p_partkey") % 4096).alias("n"))
+        .where(F.col("n") >= 1)
+        .distinct()
+    )
+    mem = nodes.select(F.col("n").alias("b"))
+    edges = None
+    for m in (2, 3):
+        em = (
+            nodes.select("n", (F.col("n") * m).alias("b"))
+            .where(F.col("b") <= 4095)
+            .join(F.broadcast(mem), "b", "left_semi")
+            .select(F.col("n").alias("src"), F.col("b").alias("dst"))
+        )
+        edges = em if edges is None else edges.unionByName(em)
+    res = topological_layers(
+        edges, max_rounds=40, nodes=nodes.select(F.col("n").alias("src"))
+    )
+    rows = res.collect()  # bounded: <= 4095 nodes by construction
+    release_materialized(res)
+    return spark.createDataFrame(rows, "node long, layer int").orderBy("node")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -2871,5 +2908,6 @@ QUERIES = {
         q131_session_paths,
         q132_spearman,
         q133_label_scatter,
+        q134_topo_layers,
     ]
 }

@@ -729,3 +729,12 @@ def test_q133_label_scatter_no_corpus_join(spark, sf_dir):
     assert _nodes(plan, "Generate") == 1, plan  # the (label, dim) explode
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryFileIndex") <= 2, plan
+
+
+def test_q134_topo_peel_anti_joins_only(spark, sf_dir):
+    """The Kahn peel's per-round prunes are anti joins off checkpointed
+    frames — no cartesian, no unpartitioned window; the result frame is
+    a materialized checkpoint."""
+    plan = plan_of(Q.q134_topo_layers(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

@@ -1358,3 +1358,48 @@ def test_spearman_survives_int32_rank_scale(spark):
     assert row["rho"] == -1.0
     n = 60_000
     assert row["d2"] == sum((2 * (i + 1) - 2 * (n - i)) ** 2 for i in range(n))
+
+
+class TestTopologicalLayers:
+    def _layers(self, spark, edges):
+        from snowplow_s3_loader_spark.operators.graph import (
+            topological_layers,
+        )
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        out = topological_layers(e)
+        rows = {r["node"]: r["layer"] for r in out.collect()}
+        release_materialized(out)
+        return rows
+
+    def test_longest_path_layers_on_a_dag(self, spark):
+        # diamond + a long chain: layer = LONGEST path from a source
+        edges = [
+            (1, 2), (1, 3), (2, 4), (3, 4),          # diamond: 4 at layer 2
+            (4, 5), (5, 6),                           # chain continues
+            (10, 6),                                  # shortcut: 6 still layer 4
+        ]
+        got = self._layers(spark, edges)
+        assert got == {1: 0, 10: 0, 2: 1, 3: 1, 4: 2, 5: 3, 6: 4}
+
+    def test_cycle_members_and_downstream_flagged(self, spark):
+        edges = [
+            (1, 2),              # clean DAG part
+            (3, 4), (4, 5), (5, 3),   # cycle
+            (5, 6),              # downstream of the cycle
+            (1, 6),              # 6 unreachable at zero in-degree anyway
+        ]
+        got = self._layers(spark, edges)
+        assert got[1] == 0 and got[2] == 1
+        assert got[3] == got[4] == got[5] == got[6] == -1
+
+    def test_max_rounds_raises_on_deep_dag(self, spark):
+        from snowplow_s3_loader_spark.operators.graph import (
+            topological_layers,
+        )
+
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "src long, dst long"
+        )
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            topological_layers(e, max_rounds=5)
