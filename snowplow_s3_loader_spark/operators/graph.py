@@ -1567,3 +1567,142 @@ def topological_layers(
     release_materialized(remaining)
     release_materialized(cur_e)
     return out
+
+
+def link_prediction(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    min_common: int = 1,
+    max_wedge_degree: int | None = None,
+    broadcast_threshold: int = 2_000_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Link-prediction scores for non-adjacent node pairs at distance 2
+    in an undirected graph: common-neighbor count, resource-allocation
+    index (Zhou/Lu/Zhang, EPJ B 2009 — sum over shared neighbors w of
+    1/deg(w), here in truncating integer micro-units so both engines
+    agree bit-for-bit), and the neighborhood Jaccard
+    |N(u) and N(v)| / |N(u) or N(v)| in micro-units. The standard
+    "which nodes should be connected" signal for graph curation and
+    recommendation candidate generation. (Beyond the reference's
+    surface — SURVEY.md SS7.8 extensions; the reference loader has no
+    graph layer, Processing.scala:69-77.)
+
+    Candidate generation enumerates wedges (u - w - v) at their center
+    w, so the intermediate volume is sum over w of deg(w)^2. That is the
+    inherent cost of EXACT common-neighbor counting, and a single hub
+    squares it — ``max_wedge_degree`` is the documented scale knob:
+    centers with deg(w) above it are excluded from candidate generation
+    (their per-pair resource-allocation weight, scale div deg, is
+    already ~0, so the ranking signal loses almost nothing; the oracle
+    mirrors the same cutoff, so correctness is defined WITH the knob).
+    Degrees in the Jaccard/RA arithmetic are always the TRUE full-graph
+    degrees regardless of the cutoff.
+
+    Scale mechanics (the triangle_count discipline):
+    - the symmetric-closure adjacency is checkpointed ONCE with an
+      advertised hash(center) layout, so the wedge self-join is
+      co-partitioned (zero Exchange on either leg);
+    - existing edges are removed with a keyed LEFT ANTI join (broadcast
+      under ``broadcast_threshold`` undirected rows), never a filter
+      over an all-pairs frame;
+    - the |V|-sized degree frame broadcasts to the pair-sized result
+      for the u/v degree lookups.
+
+    Output: (u, v, common_neighbors, ra_micro, jaccard_micro) with
+    u < v, only non-adjacent pairs with at least ``min_common`` shared
+    neighbors. Returns a materialized (checkpointed) frame — bounded by
+    the candidate-pair volume, which min_common prunes — with the
+    adjacency intermediates already released; callers running many
+    operators per session should release_materialized() it when done."""
+    frames, lazy = _linkpred_plan(
+        pairs, id_a, id_b,
+        min_common=min_common,
+        max_wedge_degree=max_wedge_degree,
+        broadcast_threshold=broadcast_threshold,
+        scale=scale,
+    )
+    out = checkpoint_nostats(lazy)
+    for f in frames:
+        release_materialized(f)
+    return out
+
+
+def _linkpred_plan(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    *,
+    min_common: int,
+    max_wedge_degree: int | None,
+    broadcast_threshold: int,
+    scale: int,
+) -> tuple[list[DataFrame], DataFrame]:
+    """(materialized_frames, lazy_result): the checkpointed adjacency /
+    center / degree frames and the LAZY scoring pipeline built on them —
+    split out so the plan gate can assert the shuffle structure
+    (co-partitioned wedge join, keyed anti join, no cartesian) before
+    the public wrapper checkpoints the result. Caller owns releasing
+    the frames once lazy is consumed."""
+    spark = pairs.sparkSession
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    )
+    und = checkpoint_nostats(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
+    n_und = und.count()
+    loop_parts = _loop_width(spark, n_und)
+    small = n_und <= broadcast_threshold
+    # |V|-sized and consumed by four plan branches (hub filter, center
+    # weights, u/v lookups): materialize once instead of re-aggregating
+    # the |E| adjacency per consumer
+    deg = checkpoint_nostats(und.groupBy("a").agg(F.count("*").alias("deg")))
+    # wedge centers: adjacency keyed by the center node w = a
+    ctr = und
+    if max_wedge_degree is not None:
+        keep = deg.where(F.col("deg") <= max_wedge_degree).select("a")
+        ctr = und.join(F.broadcast(keep) if small else keep, "a", "left_semi")
+    # the center's RA weight (scale div deg(w)) rides the adjacency row,
+    # so the wedge join needs no further degree lookup on the hot path
+    ctr = checkpoint_nostats(
+        ctr.join(F.broadcast(deg) if small else deg, "a")
+        .select(F.col("a").alias("w"), F.col("b").alias("n"),
+                F.expr(f"{scale} div deg").alias("rw")),
+        loop_parts,
+        ["w"],
+    )
+    lhs = ctr.select("w", F.col("n").alias("u"), "rw")
+    rhs = ctr.select("w", F.col("n").alias("v"))
+    cand = (
+        lhs.join(rhs, "w")  # co-partitioned on hash(w): no Exchange
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("rw").alias("ra_micro"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    # drop pairs that are already edges (und holds both directions, so
+    # the u<v candidate matches the (a,b)=(u,v) row exactly once)
+    edge_uv = und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    cand = cand.join(F.broadcast(edge_uv) if small else edge_uv,
+                     ["u", "v"], "left_anti")
+    deg_u = deg.select(F.col("a").alias("u"), F.col("deg").alias("du"))
+    deg_v = deg.select(F.col("a").alias("v"), F.col("deg").alias("dv"))
+    if small:
+        deg_u, deg_v = F.broadcast(deg_u), F.broadcast(deg_v)
+    lazy = (
+        cand.join(deg_u, "u")
+        .join(deg_v, "v")
+        .select(
+            "u", "v", "common_neighbors", "ra_micro",
+            F.expr(
+                f"(common_neighbors * {scale}) div (du + dv - common_neighbors)"
+            ).alias("jaccard_micro"),
+        )
+    )
+    return [und, ctr, deg], lazy

@@ -916,6 +916,14 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    lnk = q.q135_link_prediction(spark, sf_dir).select(
+        F.lit("linkpred").alias("battery"),
+        F.concat_ws("-", F.col("u").cast("string"),
+                    F.col("v").cast("string")).alias("key"),
+        F.col("common_neighbors").alias("v1"),
+        F.col("ra_micro").alias("v2"),
+        F.col("jaccard_micro").alias("v3"),
+    )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
         F.col("label").cast("string").alias("key"),
@@ -982,6 +990,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(sprm)
         .union(lsc)
         .union(topo)
+        .union(lnk)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1140,6 +1149,7 @@ _FOLDED = {
     "q127_hybrid_search", "q128_embedding_covariance",
     "q129_collocations", "q130_winsorize", "q131_session_paths",
     "q132_spearman", "q133_label_scatter", "q134_topo_layers",
+    "q135_link_prediction",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1841,6 +1851,11 @@ SELECT 'topo' AS battery, CAST(node AS VARCHAR) AS key,
        CAST(layer AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q134_topo_layers"]})
+UNION ALL
+SELECT 'linkpred' AS battery,
+       CAST(u AS VARCHAR) || '-' || CAST(v AS VARCHAR) AS key,
+       common_neighbors AS v1, ra_micro AS v2, jaccard_micro AS v3
+FROM ({ORACLES["q135_link_prediction"]})
 ORDER BY battery, key, v1
 """
 

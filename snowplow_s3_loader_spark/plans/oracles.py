@@ -2693,3 +2693,46 @@ paths(v, len) AS (
 SELECT v AS node, CAST(max(len) AS INTEGER) AS layer
 FROM paths GROUP BY v ORDER BY node
 """
+
+# q135: link prediction — the wedge enumeration at the center, identical
+# truncating micro-unit arithmetic (// == Spark div on positives), the
+# same degree-200 hub cutoff, full-graph degrees in the Jaccard/RA terms.
+ORACLES["q135_link_prediction"] = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey % 10 = 0
+),
+e0 AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+),
+und AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+ctr AS (
+  SELECT u.a AS w, u.b AS n, 1000000 // d.deg AS rw
+  FROM und u JOIN deg d ON u.a = d.a
+  WHERE d.deg <= 200
+),
+cand AS (
+  SELECT l.n AS u, r.n AS v,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(l.rw) AS BIGINT) AS ra_micro
+  FROM ctr l JOIN ctr r ON l.w = r.w AND l.n < r.n
+  GROUP BY l.n, r.n
+  HAVING count(*) >= 2
+),
+nonedge AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN e0 ON c.u = e0.a AND c.v = e0.b
+  WHERE e0.a IS NULL
+)
+SELECT ne.u, ne.v, ne.common_neighbors, ne.ra_micro,
+       CAST((ne.common_neighbors * 1000000)
+            // (du.deg + dv.deg - ne.common_neighbors) AS BIGINT)
+         AS jaccard_micro
+FROM nonedge ne
+JOIN deg du ON ne.u = du.a
+JOIN deg dv ON ne.v = dv.a
+ORDER BY ne.ra_micro DESC, ne.common_neighbors DESC, ne.u, ne.v
+LIMIT 200
+"""

@@ -2774,6 +2774,28 @@ def q134_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "node long, layer int").orderBy("node")
 
 
+def q135_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores over the supplier co-occurrence graph
+    (the shared q91/q99/q102 input): for non-adjacent supplier pairs
+    with >= 2 shared neighbors, the common-neighbor count,
+    resource-allocation index (Zhou et al. 2009) and neighborhood
+    Jaccard — all in truncating integer micro-units so the oracle's
+    identical arithmetic hash-matches. Wedge centers above degree 200
+    are excluded (the documented hub knob, mirrored in the oracle);
+    top 200 by (ra, cn, u, v) — a total order, so LIMIT is
+    deterministic."""
+    from snowplow_s3_loader_spark.operators.graph import link_prediction
+
+    res = link_prediction(
+        supplier_pairs(spark, sf_dir),
+        min_common=2,
+        max_wedge_degree=200,
+    )
+    return res.orderBy(
+        F.desc("ra_micro"), F.desc("common_neighbors"), "u", "v"
+    ).limit(200)
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -2909,5 +2931,6 @@ QUERIES = {
         q132_spearman,
         q133_label_scatter,
         q134_topo_layers,
+        q135_link_prediction,
     ]
 }

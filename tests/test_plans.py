@@ -738,3 +738,34 @@ def test_q134_topo_peel_anti_joins_only(spark, sf_dir):
     plan = plan_of(Q.q134_topo_layers(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_link_prediction_wedge_join_co_partitioned(spark):
+    """q135's scale properties: the wedge self-join runs on the ctr
+    checkpoint's advertised hash(w) layout (zero Exchange on either
+    leg), existing-edge removal is a keyed anti join, and no cartesian /
+    nested-loop join exists anywhere. On the small-graph path the only
+    Exchange left in the whole lazy pipeline is the candidate groupBy's
+    — everything else rides broadcasts over the checkpoints."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import _linkpred_plan
+
+    pairs = spark.createDataFrame(
+        [(i, (i * 7 + j) % 40) for i in range(40) for j in range(1, 4)],
+        "id_a long, id_b long",
+    )
+    frames, lazy = _linkpred_plan(
+        pairs, "id_a", "id_b",
+        min_common=1, max_wedge_degree=None,
+        broadcast_threshold=10**9, scale=1_000_000,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lazy.explain()
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # wedge join co-partitioned + broadcast edge/degree lookups: the
+    # candidate aggregation's Exchange is the only shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    for f in frames:
+        release_materialized(f)

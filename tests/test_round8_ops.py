@@ -1403,3 +1403,97 @@ class TestTopologicalLayers:
         )
         with pytest.raises(RuntimeError, match="max_rounds"):
             topological_layers(e, max_rounds=5)
+
+
+def _linkpred_ref(pairs, min_common, max_wedge_degree, scale=1_000_000):
+    """Brute-force link-prediction reference: all non-adjacent pairs,
+    common neighbors restricted to centers within the degree cutoff,
+    truncating integer arithmetic identical to the operator's."""
+    adj: dict = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    out = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in adj[u]:
+                continue
+            common = [
+                w for w in adj[u] & adj[v]
+                if max_wedge_degree is None or deg[w] <= max_wedge_degree
+            ]
+            cn = len(common)
+            if cn < min_common:
+                continue
+            ra = sum(scale // deg[w] for w in common)
+            jac = cn * scale // (deg[u] + deg[v] - cn)
+            out[(u, v)] = (cn, ra, jac)
+    return out
+
+
+class TestLinkPrediction:
+    def _run(self, spark, pairs, **kw):
+        from snowplow_s3_loader_spark.operators.graph import link_prediction
+
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        out = link_prediction(df, **kw)
+        rows = {
+            (r["u"], r["v"]): (
+                r["common_neighbors"], r["ra_micro"], r["jaccard_micro"]
+            )
+            for r in out.collect()
+        }
+        release_materialized(out)
+        return rows
+
+    def test_crafted_graph_matches_reference(self, spark):
+        # two triangles sharing a bridge + a pendant: mixed degrees,
+        # several distance-2 pairs, one already-adjacent pair to exclude
+        pairs = [
+            (1, 2), (2, 3), (1, 3),      # triangle A
+            (3, 4),                       # bridge
+            (4, 5), (5, 6), (4, 6),      # triangle B
+            (6, 7),                       # pendant
+        ]
+        got = self._run(spark, pairs, min_common=1)
+        assert got == _linkpred_ref(pairs, 1, None)
+        assert got  # non-degenerate: candidates exist
+
+    def test_hub_cutoff_drops_hub_only_candidates(self, spark):
+        # u and v meet ONLY through hub h (degree 5): with the cutoff
+        # below 5 the pair disappears; RA/CN stay defined by true degrees
+        pairs = [(100, h) for h in (1, 2, 3, 4, 5)] + [(200, 1)]
+        # 100 is the hub (deg 5); (200, h!=1) pairs exist via center 1? no:
+        # 200's only neighbor is 1, so (100, 200)? adjacent? no. common = {1}
+        full = self._run(spark, pairs, min_common=1)
+        assert full == _linkpred_ref(pairs, 1, None)
+        cut = self._run(spark, pairs, min_common=1, max_wedge_degree=4)
+        assert cut == _linkpred_ref(pairs, 1, 4)
+        # pairs meeting only through nodes above the cutoff vanish
+        assert any(k in full and k not in cut for k in full)
+
+    def test_randomized_differential(self, spark):
+        import random
+
+        rng = random.Random(1351)
+        pairs = list({
+            tuple(sorted(rng.sample(range(1, 26), 2))) for _ in range(60)
+        })
+        got = self._run(spark, pairs, min_common=2, max_wedge_degree=8)
+        assert got == _linkpred_ref(pairs, 2, 8)
+
+    def test_dirty_input_nulls_self_loops_duplicates(self, spark):
+        from snowplow_s3_loader_spark.operators.graph import link_prediction
+
+        df = spark.createDataFrame(
+            [(1, 2), (1, 2), (2, 1), (3, 3), (None, 4), (2, 3)],
+            "id_a long, id_b long",
+        )
+        out = link_prediction(df, min_common=1)
+        rows = {(r["u"], r["v"]): r["common_neighbors"] for r in out.collect()}
+        release_materialized(out)
+        assert rows == {(1, 3): 1}
