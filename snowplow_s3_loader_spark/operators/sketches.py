@@ -280,3 +280,98 @@ def cms_query(
         .groupBy("token")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_KMV_M = 1 << 48  # 48-bit hash space: see kmv_build
+
+
+def _kmv_hash(col) -> F.Column:
+    """Engine-portable uniform 48-bit hash: leading 12 md5 hex chars.
+    DuckDB replays it as CAST('0x' || substr(md5(v), 1, 12) AS BIGINT).
+    48 bits keeps every estimator intermediate ((k-1) * (M mod h_k))
+    inside int64 for k up to ~32k; the ~n^2/2^49 collision odds this
+    costs are noise next to the 1/sqrt(k) estimator error."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_build(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 256
+) -> DataFrame:
+    """KMV distinct-count sketch per group (Bar-Yossef et al. 2002;
+    Beyer et al., "On synopses for distinct-value estimation under
+    multiset operations", SIGMOD 2007): the ``k`` smallest distinct
+    48-bit hashes of ``value_col``. DETERMINISTIC — no rng state, no
+    partitioning sensitivity — so sketches, merges, and estimates
+    hash-match an independent SQL replay bit for bit (unlike HLL, whose
+    q37 audit is invariant-only). Mergeable: see kmv_merge.
+
+    Scale shape: one distinct on (group, hash) — map-side combine
+    bounds the exchanged rows by the distinct-value count — then the
+    rank <= k filter rides Spark's WindowGroupLimit pushdown (the q73
+    reservoir shape): each task keeps only its local top-k before the
+    per-group sort, so no task ever holds a group's full hash set.
+
+    Output: (group_cols..., rnk, h) with rnk in [1, k]."""
+    if k < 2:
+        raise ValueError(f"kmv_build: k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        df.select(*group_cols, _kmv_hash(F.col(value_col)).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Merge two KMV sketches built with the same hash (union the hash
+    sets, keep the k smallest per group) — the union bound means a
+    merged sketch EQUALS the sketch of the unioned input, so shard
+    sketches combine without revisiting either shard (proven by the
+    merged-halves == full-rebuild oracle bit in q136)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        a.select(*group_cols, "h")
+        .union(b.select(*group_cols, "h"))
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: exact count when the
+    group has fewer than k distinct hashes (the sketch IS the value
+    set), else the unbiased (k-1) * M / h_k evaluated in pure int64 —
+    (k-1)*q + ((k-1)*r) div h_k with q = M div h_k, r = M mod h_k, an
+    exact integer identity for floor((k-1)*M/h_k), so both engines
+    agree bit for bit. Relative error concentrates at ~1/sqrt(k).
+
+    Output: (group_cols..., kmv_n, kmv_est) where kmv_n is the sketch
+    size actually held."""
+    kth = F.max(F.when(F.col("rnk") == k, F.col("h"))).alias("kth")
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("kmv_n"), kth
+    )
+    return agg.select(
+        *group_cols,
+        "kmv_n",
+        F.when(F.col("kmv_n") < k, F.col("kmv_n"))
+        .otherwise(
+            F.lit(k - 1) * F.expr(f"{_KMV_M} div kth")
+            + F.expr(f"(({k - 1} * ({_KMV_M} % kth)) div kth)")
+        )
+        .cast("long")
+        .alias("kmv_est"),
+    )

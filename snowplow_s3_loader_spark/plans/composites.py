@@ -924,6 +924,14 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ra_micro").alias("v2"),
         F.col("jaccard_micro").alias("v3"),
     )
+    kmv = q.q136_kmv_distinct(spark, sf_dir).select(
+        F.lit("kmv").alias("battery"),
+        F.col("event_type").alias("key"),
+        F.col("exact_distinct").alias("v1"),
+        F.col("kmv_est").alias("v2"),
+        (F.col("kmv_n") * 100 + F.col("bound_ok") * 10
+         + F.col("merge_match")).alias("v3"),
+    )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
         F.col("label").cast("string").alias("key"),
@@ -991,6 +999,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(lsc)
         .union(topo)
         .union(lnk)
+        .union(kmv)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1149,7 +1158,7 @@ _FOLDED = {
     "q127_hybrid_search", "q128_embedding_covariance",
     "q129_collocations", "q130_winsorize", "q131_session_paths",
     "q132_spearman", "q133_label_scatter", "q134_topo_layers",
-    "q135_link_prediction",
+    "q135_link_prediction", "q136_kmv_distinct",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1856,6 +1865,11 @@ SELECT 'linkpred' AS battery,
        CAST(u AS VARCHAR) || '-' || CAST(v AS VARCHAR) AS key,
        common_neighbors AS v1, ra_micro AS v2, jaccard_micro AS v3
 FROM ({ORACLES["q135_link_prediction"]})
+UNION ALL
+SELECT 'kmv' AS battery, event_type AS key,
+       exact_distinct AS v1, kmv_est AS v2,
+       kmv_n * 100 + bound_ok * 10 + merge_match AS v3
+FROM ({ORACLES["q136_kmv_distinct"]})
 ORDER BY battery, key, v1
 """
 

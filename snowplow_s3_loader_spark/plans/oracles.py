@@ -2736,3 +2736,75 @@ JOIN deg dv ON ne.v = dv.a
 ORDER BY ne.ra_micro DESC, ne.common_neighbors DESC, ne.u, ne.v
 LIMIT 200
 """
+
+# q136: KMV sketch — full replay of the deterministic md5-48-bit
+# pipeline: distinct hashes, rank <= k, the exact-int64 estimator
+# identity floor((k-1)M/h_k) = (k-1)(M div h_k) + ((k-1)(M mod h_k))
+# div h_k, and the merged-halves == full invariant.
+_KMV_H = "CAST('0x' || substr(md5(CAST(item AS VARCHAR)), 1, 12) AS BIGINT)"
+_KMV_EST = """
+  CASE WHEN kmv_n < 256 THEN kmv_n
+       ELSE 255 * (281474976710656 // kth)
+            + (255 * (281474976710656 % kth)) // kth
+  END"""
+ORACLES["q136_kmv_distinct"] = f"""
+WITH ev AS (
+  SELECT event_type, user_id * 131 + event_id % 97 AS item, event_id
+  FROM events
+),
+hf AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM ev),
+skf AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+  FROM hf
+),
+estf AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS kmv_n,
+         max(CASE WHEN rnk = 256 THEN h END) AS kth
+  FROM skf WHERE rnk <= 256 GROUP BY event_type
+),
+full_est AS (
+  SELECT event_type, kmv_n, CAST({_KMV_EST} AS BIGINT) AS kmv_est FROM estf
+),
+h1 AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM ev WHERE event_id % 2 = 0),
+sk1 AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+    FROM h1) WHERE rnk <= 256
+),
+h2 AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM ev WHERE event_id % 2 = 1),
+sk2 AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+    FROM h2) WHERE rnk <= 256
+),
+mu AS (SELECT event_type, h FROM sk1 UNION SELECT event_type, h FROM sk2),
+skm AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+  FROM mu
+),
+estm AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS kmv_n,
+         max(CASE WHEN rnk = 256 THEN h END) AS kth
+  FROM skm WHERE rnk <= 256 GROUP BY event_type
+),
+merged_est AS (
+  SELECT event_type, kmv_n, CAST({_KMV_EST} AS BIGINT) AS kmv_est FROM estm
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT item) AS BIGINT) AS exact_distinct
+  FROM ev GROUP BY event_type
+)
+SELECT f.event_type, x.exact_distinct, f.kmv_n, f.kmv_est,
+       CAST(abs(f.kmv_est - x.exact_distinct) * 4 <= x.exact_distinct
+            AS BIGINT) AS bound_ok,
+       CAST(f.kmv_est = m.kmv_est AND f.kmv_n = m.kmv_n AS BIGINT)
+         AS merge_match
+FROM full_est f
+JOIN merged_est m ON f.event_type = m.event_type
+JOIN exact x ON f.event_type = x.event_type
+ORDER BY f.event_type
+"""

@@ -2796,6 +2796,64 @@ def q135_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(200)
 
 
+def q136_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch audit per event type over the derived
+    (user, event_id mod 97) item key (~97 x |users| distinct items, so
+    the ESTIMATOR path — not the exact small-set path — fires at every
+    SF): the k=256 sketch's pure-int64 estimate vs the exact distinct
+    count with a 25% (4-sigma) bound bit, plus the mergeability
+    invariant — sketches of the two event_id-parity halves merged must
+    EQUAL the full-build sketch's estimate bit for bit. Deterministic
+    md5-48-bit hashes, so the oracle replays the whole pipeline."""
+    from snowplow_s3_loader_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    k = 256
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") * 131 + F.col("event_id") % 97).alias("item"),
+        "event_id",
+    )
+    grp = ["event_type"]
+    est = kmv_estimate(kmv_build(ev, grp, "item", k), grp, k)
+    merged = kmv_merge(
+        kmv_build(ev.where(F.col("event_id") % 2 == 0), grp, "item", k),
+        kmv_build(ev.where(F.col("event_id") % 2 == 1), grp, "item", k),
+        grp,
+        k,
+    )
+    est_m = kmv_estimate(merged, grp, k).select(
+        "event_type",
+        F.col("kmv_n").alias("m_n"),
+        F.col("kmv_est").alias("m_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("item").alias("exact_distinct")
+    )
+    return (
+        est.join(est_m, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "kmv_n",
+            "kmv_est",
+            (
+                F.abs(F.col("kmv_est") - F.col("exact_distinct")) * 4
+                <= F.col("exact_distinct")
+            ).cast("long").alias("bound_ok"),
+            (
+                (F.col("kmv_est") == F.col("m_est"))
+                & (F.col("kmv_n") == F.col("m_n"))
+            ).cast("long").alias("merge_match"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -2932,5 +2990,6 @@ QUERIES = {
         q133_label_scatter,
         q134_topo_layers,
         q135_link_prediction,
+        q136_kmv_distinct,
     ]
 }

@@ -769,3 +769,14 @@ def test_link_prediction_wedge_join_co_partitioned(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     for f in frames:
         release_materialized(f)
+
+
+def test_q136_kmv_rank_pushdown_no_full_sort(spark, sf_dir):
+    """The k-smallest-hashes filter must ride WindowGroupLimit (each
+    task keeps a local top-k before the per-group sort), and the only
+    joins are the final broadcast assembly of the 5-row audit frames —
+    no cartesian, no full-table sort."""
+    plan = plan_of(Q.q136_kmv_distinct(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -1497,3 +1497,88 @@ class TestLinkPrediction:
         rows = {(r["u"], r["v"]): r["common_neighbors"] for r in out.collect()}
         release_materialized(out)
         assert rows == {(1, 3): 1}
+
+
+def _kmv_ref(values, k, M=1 << 48):
+    """Pure-python KMV reference sharing only the md5 spec: sketch =
+    k smallest distinct 48-bit hashes; estimate via the exact integer
+    floor identity."""
+    import hashlib
+
+    hs = sorted({
+        int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+        for v in values
+    })
+    sk = hs[:k]
+    if len(sk) < k:
+        return sk, len(sk)
+    kth = sk[-1]
+    est = (k - 1) * (M // kth) + ((k - 1) * (M % kth)) // kth
+    return sk, est
+
+
+class TestKmvSketch:
+    def _build(self, spark, rows, k):
+        from snowplow_s3_loader_spark.operators.sketches import (
+            kmv_build,
+            kmv_estimate,
+        )
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        sk = kmv_build(df, ["g"], "v", k)
+        est = {
+            r["g"]: (r["kmv_n"], r["kmv_est"])
+            for r in kmv_estimate(sk, ["g"], k).collect()
+        }
+        hashes = {}
+        for r in sk.collect():
+            hashes.setdefault(r["g"], []).append((r["rnk"], r["h"]))
+        return {g: [h for _, h in sorted(v)] for g, v in hashes.items()}, est
+
+    def test_sketch_and_estimate_match_python_reference(self, spark):
+        rows = [("a", v) for v in range(500)] + [("b", v % 7) for v in range(50)]
+        got_sk, got_est = self._build(spark, rows, k=64)
+        ref_a, est_a = _kmv_ref(range(500), 64)
+        ref_b, est_b = _kmv_ref(range(7), 64)
+        assert got_sk["a"] == ref_a and got_sk["b"] == ref_b
+        assert got_est["a"] == (64, est_a)
+        # below-k group: the estimate IS the exact distinct count
+        assert got_est["b"] == (7, 7)
+
+    def test_estimator_concentrates(self, spark):
+        # 20k distinct values, k=256: the estimate should land well
+        # inside 4/sqrt(k) = 25% of the truth
+        rows = [("g", v) for v in range(20_000)]
+        _, est = self._build(spark, rows, k=256)
+        n, e = est["g"]
+        assert n == 256 and abs(e - 20_000) * 4 <= 20_000
+
+    def test_merge_equals_full_rebuild_and_is_partition_invariant(self, spark):
+        from snowplow_s3_loader_spark.operators.sketches import (
+            kmv_build,
+            kmv_merge,
+        )
+
+        rows = [("g", v) for v in range(3_000)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        full = kmv_build(df, ["g"], "v", 128)
+        a = kmv_build(df.where(F.col("v") % 2 == 0), ["g"], "v", 128)
+        b = kmv_build(df.where(F.col("v") % 2 == 1), ["g"], "v", 128)
+        merged = kmv_merge(a, b, ["g"], 128)
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+        # overlapping shards (not a partition) also merge exactly: KMV
+        # is a distinct-value synopsis, duplicates across shards are free
+        c = kmv_build(df.where(F.col("v") < 2_000), ["g"], "v", 128)
+        d = kmv_build(df.where(F.col("v") >= 1_000), ["g"], "v", 128)
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, kmv_merge(c, d, ["g"], 128).collect())
+        )
+
+    def test_k_below_two_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.sketches import kmv_build
+
+        df = spark.createDataFrame([("g", 1)], "g string, v long")
+        with pytest.raises(ValueError, match="k must be >= 2"):
+            kmv_build(df, ["g"], "v", 1)
