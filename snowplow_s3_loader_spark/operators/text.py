@@ -648,3 +648,118 @@ def collocations(
     return top.withColumn(
         "rnk", F.row_number().over(Window.orderBy(*order))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm's base scheme): hash every token
+    k-gram, then in each window of ``w`` consecutive k-grams select the
+    RIGHTMOST minimal hash; the document's fingerprint set is the union
+    of the per-window selections. The paper's guarantee carries over:
+    any match of at least w+k-1 consecutive tokens between two
+    documents shares at least one fingerprint, while only ~2/(w+1) of
+    all k-grams are kept — the local, position-robust document
+    signature for near-dup and plagiarism-style overlap detection.
+    Documents shorter than ``w`` k-grams select the rightmost minimum
+    of all their grams (the single clipped window).
+
+    Spark-side selection avoids enumerating windows: position p is a
+    rightmost window minimum iff for SOME offset j in its feasible
+    range, the j trailing hashes are >= h(p) and the (w-1-j) leading
+    hashes are > h(p) (ties before p allowed, ties after p forbidden —
+    exactly the rightmost-tie rule). The trailing/leading hashes ride
+    two bounded collect_list frames over ONE (doc, pos) sort, and the
+    exists/forall runs as a pure expression: no self-join, no window
+    enumeration, O(w^2) expression work per gram. The oracle replays
+    winnowing INDEPENDENTLY — brute-force per-window rightmost-argmin
+    SQL — so a hash match proves the formulation equivalence, not just
+    the arithmetic (the q126 discipline).
+
+    Output: (id_col, pos, h) — 0-based k-gram position and the 60-bit
+    gram hash of each selected fingerprint."""
+    if k < 1 or w < 2:
+        raise ValueError(f"winnow_fingerprints: need k >= 1, w >= 2; got {k}, {w}")
+    from pyspark.sql import Window
+
+    # split('') yields [''] — filter it so an empty document has zero
+    # grams even at k=1 (mirrored in the oracle with list_filter)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), " +"),
+        lambda t: t != "",
+    )
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
+    ws = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.collect_list("h").over(ws.rowsBetween(-(w - 1), -1))
+    nxt = F.collect_list("h").over(ws.rowsBetween(1, w - 1))
+    n = F.count("*").over(Window.partitionBy(id_col))
+    annotated = g.select(
+        id_col, "pos", "h",
+        prev.alias("prev"), nxt.alias("nxt"), n.alias("n"),
+    )
+    j_lo = F.greatest(F.lit(0), F.col("pos") - F.greatest(F.lit(0), F.col("n") - w))
+    j_hi = F.least(F.lit(w - 1), F.col("pos"))
+    sel = F.exists(
+        F.sequence(j_lo, j_hi),
+        lambda j: F.forall(
+            F.slice(F.col("prev"), F.size(F.col("prev")) - j + 1, j),
+            lambda x: x >= F.col("h"),
+        )
+        & F.forall(
+            F.slice(F.col("nxt"), F.lit(1), F.lit(w - 1) - j),
+            lambda x: x > F.col("h"),
+        ),
+    )
+    return annotated.where(sel).select(id_col, "pos", "h")
+
+
+def winnow_matches(
+    fp: DataFrame,
+    id_col: str,
+    *,
+    max_df: int = 1000,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Cross-document overlap candidates from winnowing fingerprints:
+    documents sharing >= ``min_shared`` fingerprint HASHES, found by an
+    equi-join on the hash bucket — never an all-pairs comparison.
+    Fingerprints appearing in more than ``max_df`` documents (corpus
+    boilerplate — their buckets pair quadratically and carry no
+    discriminative signal) are dropped first, the same guardrail as
+    PPJoin's prefix pruning; distinct (doc, hash) before pairing so
+    repeated in-doc matches count once.
+
+    Output: (id_a, id_b, shared_fingerprints) with id_a < id_b."""
+    d = fp.select(F.col(id_col).alias("doc"), "h").distinct()
+    docfreq = d.groupBy("h").agg(F.count("*").alias("df"))
+    # anti-join on the HOT hashes (df > max_df): that side is small by
+    # construction (corpus boilerplate), so AQE broadcasts it
+    keep = d.join(
+        docfreq.where(F.col("df") > max_df).select("h"), "h", "left_anti"
+    )
+    a = keep.select("h", F.col("doc").alias("id_a"))
+    b = keep.select("h", F.col("doc").alias("id_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -932,6 +932,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("kmv_n") * 100 + F.col("bound_ok") * 10
          + F.col("merge_match")).alias("v3"),
     )
+    wfp = q.q137_winnow_fingerprints(spark, sf_dir).select(
+        F.lit("winnow").alias("battery"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("pos").cast("long").alias("v1"),
+        F.col("h").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
         F.col("label").cast("string").alias("key"),
@@ -1000,6 +1007,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(topo)
         .union(lnk)
         .union(kmv)
+        .union(wfp)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1159,6 +1167,7 @@ _FOLDED = {
     "q129_collocations", "q130_winsorize", "q131_session_paths",
     "q132_spearman", "q133_label_scatter", "q134_topo_layers",
     "q135_link_prediction", "q136_kmv_distinct",
+    "q137_winnow_fingerprints",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1870,6 +1879,10 @@ SELECT 'kmv' AS battery, event_type AS key,
        exact_distinct AS v1, kmv_est AS v2,
        kmv_n * 100 + bound_ok * 10 + merge_match AS v3
 FROM ({ORACLES["q136_kmv_distinct"]})
+UNION ALL
+SELECT 'winnow' AS battery, CAST(doc_id AS VARCHAR) AS key,
+       CAST(pos AS BIGINT) AS v1, h AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q137_winnow_fingerprints"]})
 ORDER BY battery, key, v1
 """
 

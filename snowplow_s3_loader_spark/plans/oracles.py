@@ -2808,3 +2808,38 @@ JOIN merged_est m ON f.event_type = m.event_type
 JOIN exact x ON f.event_type = x.event_type
 ORDER BY f.event_type
 """
+
+# q137: winnowing — the INDEPENDENT brute-force replay: every window of
+# 4 consecutive 3-gram hashes picks its rightmost minimum via
+# row_number (h ASC, pos DESC); short docs get the single clipped
+# window. A hash match against Spark's exists-rule formulation proves
+# the two selection rules equivalent.
+ORACLES["q137_winnow_fingerprints"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), ' +'),
+                     t -> t <> '') AS t
+  FROM documents WHERE doc_id % 7 = 0
+),
+g AS (
+  SELECT doc_id, CAST(x - 1 AS INTEGER) AS pos,
+         CAST('0x' || substr(md5(array_to_string(t[x:x+2], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM d, unnest(range(1, greatest(len(t) - 3 + 2, 1))) AS u(x)
+),
+n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+win AS (
+  SELECT doc_id, s
+  FROM n, unnest(range(0, greatest(n - 4 + 1, 1))) AS u(s)
+),
+sel AS (
+  SELECT DISTINCT doc_id, pos, h FROM (
+    SELECT w.doc_id, g.pos, g.h,
+           row_number() OVER (PARTITION BY w.doc_id, w.s
+                              ORDER BY g.h ASC, g.pos DESC) AS rn
+    FROM win w
+    JOIN g ON g.doc_id = w.doc_id AND g.pos BETWEEN s AND s + 3
+  ) WHERE rn = 1
+)
+SELECT doc_id, pos, h FROM sel ORDER BY doc_id, pos
+"""

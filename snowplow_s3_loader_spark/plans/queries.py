@@ -2854,6 +2854,22 @@ def q136_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q137_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD 2003,
+    the MOSS scheme) over the doc_id%7 document slice: token 3-gram
+    hashes, rightmost window minima at w=4. The Spark side selects via
+    the trailing/leading-array exists rule (one keyed sort, no window
+    enumeration); the oracle brute-forces every window's
+    rightmost-argmin INDEPENDENTLY, so the hash match proves the two
+    formulations equivalent — not just the arithmetic."""
+    from snowplow_s3_loader_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return winnow_fingerprints(docs, "doc_id", "text", k=3, w=4).orderBy(
+        "doc_id", "pos"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -2991,5 +3007,6 @@ QUERIES = {
         q134_topo_layers,
         q135_link_prediction,
         q136_kmv_distinct,
+        q137_winnow_fingerprints,
     ]
 }

@@ -780,3 +780,13 @@ def test_q136_kmv_rank_pushdown_no_full_sort(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_q137_winnow_one_keyed_sort_no_window_enumeration(spark, sf_dir):
+    """Winnowing must run as ONE (doc, pos)-keyed sort with the
+    selection as pure expressions: a single Window node (the two
+    bounded collect_list frames + the doc count share it), no join of
+    grams against enumerated windows, no cartesian."""
+    plan = plan_of(Q.q137_winnow_fingerprints(spark, sf_dir))
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 2, plan

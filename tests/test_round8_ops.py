@@ -1582,3 +1582,117 @@ class TestKmvSketch:
         df = spark.createDataFrame([("g", 1)], "g string, v long")
         with pytest.raises(ValueError, match="k must be >= 2"):
             kmv_build(df, ["g"], "v", 1)
+
+
+def _winnow_ref(text, k, w):
+    """Brute-force winnowing reference: enumerate every window, select
+    its rightmost minimal hash (short docs: one clipped window)."""
+    import hashlib
+
+    toks = text.strip().lower().split()
+    grams = (
+        [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        if len(toks) >= k
+        else []
+    )
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    n = len(hs)
+    sel = set()
+    if n == 0:
+        return sel
+    if n < w:
+        m = min(hs)
+        p = max(i for i, h in enumerate(hs) if h == m)
+        return {(p, hs[p])}
+    for s in range(0, n - w + 1):
+        window = hs[s:s + w]
+        m = min(window)
+        p = s + max(i for i, h in enumerate(window) if h == m)
+        sel.add((p, hs[p]))
+    return sel
+
+
+class TestWinnowFingerprints:
+    def _run(self, spark, docs, k, w):
+        from snowplow_s3_loader_spark.operators.text import winnow_fingerprints
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {}
+        for r in winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect():
+            got.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
+        return got
+
+    def test_randomized_differential_multiple_configs(self, spark):
+        import random
+
+        rng = random.Random(137)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+            for i in range(50)
+        ]
+        docs += [(100, ""), (101, "one two"),
+                 (102, "  spaced   out   tokens   here   now  ")]
+        for k, w in [(3, 4), (1, 2), (4, 8)]:
+            got = self._run(spark, docs, k, w)
+            for i, t in docs:
+                assert got.get(i, set()) == _winnow_ref(t, k, w), (k, w, i, t)
+
+    def test_guarantee_shared_run_yields_shared_fingerprint(self, spark):
+        # the SIGMOD'03 guarantee: any shared run of >= w+k-1 tokens
+        # (here 6) produces at least one shared fingerprint HASH
+        shared = "quick brown foxes jump over lazy dogs tonight"
+        docs = [
+            (1, "intro words before " + shared + " and trailing text one"),
+            (2, shared + " totally different ending follows here"),
+        ]
+        got = self._run(spark, docs, k=3, w=4)
+        h1 = {h for _, h in got[1]}
+        h2 = {h for _, h in got[2]}
+        assert h1 & h2, (sorted(h1), sorted(h2))
+
+    def test_density_stays_near_two_over_w_plus_one(self, spark):
+        import random
+
+        rng = random.Random(7)
+        # long random doc: selected fraction ~ 2/(w+1) (paper SS3)
+        text = " ".join(str(rng.randrange(10**9)) for _ in range(2000))
+        got = self._run(spark, [(1, text)], k=3, w=4)
+        frac = len(got[1]) / (2000 - 3 + 1)
+        assert 0.25 <= frac <= 0.55, frac
+
+    def test_bad_params_raise(self, spark):
+        from snowplow_s3_loader_spark.operators.text import winnow_fingerprints
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="winnow_fingerprints"):
+            winnow_fingerprints(df, "doc_id", "text", k=0, w=4)
+        with pytest.raises(ValueError, match="winnow_fingerprints"):
+            winnow_fingerprints(df, "doc_id", "text", k=3, w=1)
+
+
+class TestWinnowMatches:
+    def test_overlap_pairs_and_boilerplate_cutoff(self, spark):
+        from snowplow_s3_loader_spark.operators.text import (
+            winnow_fingerprints,
+            winnow_matches,
+        )
+
+        shared = "the quick brown fox jumps over the lazy dog again today"
+        boiler = "copyright footer all rights reserved contact us terms"
+        docs = [
+            (1, shared + " unique tail alpha beta gamma delta"),
+            (2, "prefix words here " + shared + " other ending"),
+            (3, "completely unrelated text about database engines and joins"),
+        ] + [(10 + i, boiler + f" page number {i}") for i in range(6)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        fp = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["shared_fingerprints"]
+            for r in winnow_matches(fp, "doc_id", max_df=4, min_shared=2).collect()
+        }
+        assert (1, 2) in pairs  # the true near-dup pair survives
+        # the 6-doc boilerplate cluster's fingerprints exceed max_df=4:
+        # no boilerplate-only pair may appear
+        assert not any(a >= 10 and b >= 10 for a, b in pairs), pairs
+        assert not any((a, b) == (1, 3) or (a, b) == (2, 3) for a, b in pairs)
