@@ -223,3 +223,107 @@ def cusum_alarms(
         )
         .drop("__p_hi", "__p_lo")
     )
+
+
+def acf_moments(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Exact autocorrelation function at lags 1..max_lag per series —
+    the seasonality / burstiness diagnostic for event streams (Box &
+    Jenkins). ``value_col`` must be integer; per key k and lag l:
+
+        acf_num(l) = sum over t of (n*x_t - S)(n*x_{t+l} - S)
+        acf_den    = sum over t of (n*x_t - S)^2          (all t)
+        acf(l)     = acf_num / acf_den                    (one double div)
+
+    i.e. the mean-centered products cleared of the rational mean by
+    multiplying through by n^2 — every piece stays BIGINT, so num/den
+    hash-match the oracle exactly and the single final double division
+    is evaluated identically by both engines from identical integers
+    (the Spearman-rho discipline). The int64 bound
+    4 * n^3 * max(x)^2 < 2^63 is ENFORCED per series (one cheap
+    aggregation, ValueError with advice), as is (key, order) totality —
+    a duplicate order key would make lead() nondeterministic.
+
+    Scale shape: one |keys|-bounded stats aggregation broadcast back,
+    ONE keyed sort carrying all max_lag lead columns, one partial+final
+    aggregation per key, and a max_lag-wide literal explode of the
+    |keys|-sized result. The series stream is touched twice (stats +
+    window), never joined against itself.
+
+    Output: (keys..., lag, acf_num, acf_den, acf) — num/acf are NULL
+    for lags at or beyond the series length."""
+    if max_lag < 1:
+        raise ValueError(f"acf_moments: max_lag must be >= 1, got {max_lag}")
+    x = F.col(value_col)
+    stats = df.groupBy(*keys).agg(
+        F.count("*").alias("__n"),
+        F.sum(x).alias("__s"),
+        F.max(F.abs(x)).alias("__amax"),
+        F.count_distinct(F.col(order_col)).alias("__nd"),
+    )
+    # guard arithmetic in double (the product itself would overflow the
+    # int64 it protects); 9.0e18 is conservatively below 2^63
+    nd = F.col("__n").cast("double")
+    ad = F.col("__amax").cast("double")
+    bad = stats.where(
+        (F.col("__nd") != F.col("__n"))
+        | (F.lit(4.0) * nd * nd * nd * ad * ad >= F.lit(9.0e18))
+    ).limit(1).collect()
+    if bad:
+        r = bad[0]
+        if r["__nd"] != r["__n"]:
+            raise ValueError(
+                "acf_moments: duplicate order values within a series "
+                f"(n={r['__n']}, distinct={r['__nd']}) — lead() would be "
+                "nondeterministic; aggregate to unique buckets first"
+            )
+        raise ValueError(
+            "acf_moments: int64 bound 4*n^3*max|x|^2 < 2^63 violated "
+            f"(n={r['__n']}, max|x|={r['__amax']}) — shorten the series "
+            "or rescale the values"
+        )
+    joined = df.join(F.broadcast(stats.drop("__nd", "__amax")), keys)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    c = F.col("__n") * x - F.col("__s")
+    leads = [
+        (F.col("__n") * F.lead(x, lag).over(w) - F.col("__s")).alias(f"__c{lag}")
+        for lag in range(1, max_lag + 1)
+    ]
+    centered = joined.select(*keys, c.alias("__c0"), "__n", *leads)
+    agg = centered.groupBy(*keys).agg(
+        F.sum(F.col("__c0") * F.col("__c0")).alias("acf_den"),
+        *[
+            F.sum(F.col("__c0") * F.col(f"__c{lag}")).alias(f"__num{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    lag_structs = F.array(
+        *[
+            F.struct(
+                F.lit(lag).cast("int").alias("lag"),
+                F.col(f"__num{lag}").alias("acf_num"),
+            )
+            for lag in range(1, max_lag + 1)
+        ]
+    )
+    return (
+        agg.select(*keys, "acf_den", F.explode(lag_structs).alias("e"))
+        .select(
+            *keys,
+            F.col("e.lag").alias("lag"),
+            F.col("e.acf_num").alias("acf_num"),
+            "acf_den",
+            # explicit zero-den guard: ANSI Spark throws on x/0 while
+            # DuckDB yields NULL — a constant series must emit NULL acf
+            F.when(
+                F.col("acf_den") != 0,
+                F.col("e.acf_num").cast("double")
+                / F.col("acf_den").cast("double"),
+            ).alias("acf"),
+        )
+    )

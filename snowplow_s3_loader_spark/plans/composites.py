@@ -939,6 +939,15 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    acfr = q.q138_event_acf(spark, sf_dir).select(
+        F.lit("acf").alias("battery"),
+        F.concat_ws("@", "event_type", F.col("lag").cast("string")).alias("key"),
+        F.col("acf_num").alias("v1"),
+        F.col("acf_den").alias("v2"),
+        # the double ratio stays out of the battery's long columns; the
+        # single itself hash-checks it
+        F.lit(None).cast("long").alias("v3"),
+    )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
         F.col("label").cast("string").alias("key"),
@@ -1008,6 +1017,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(lnk)
         .union(kmv)
         .union(wfp)
+        .union(acfr)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1167,7 +1177,7 @@ _FOLDED = {
     "q129_collocations", "q130_winsorize", "q131_session_paths",
     "q132_spearman", "q133_label_scatter", "q134_topo_layers",
     "q135_link_prediction", "q136_kmv_distinct",
-    "q137_winnow_fingerprints",
+    "q137_winnow_fingerprints", "q138_event_acf",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1883,6 +1893,11 @@ UNION ALL
 SELECT 'winnow' AS battery, CAST(doc_id AS VARCHAR) AS key,
        CAST(pos AS BIGINT) AS v1, h AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q137_winnow_fingerprints"]})
+UNION ALL
+SELECT 'acf' AS battery,
+       event_type || '@' || CAST(lag AS VARCHAR) AS key,
+       acf_num AS v1, acf_den AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q138_event_acf"]})
 ORDER BY battery, key, v1
 """
 

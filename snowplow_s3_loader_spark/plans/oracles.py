@@ -2843,3 +2843,50 @@ sel AS (
 )
 SELECT doc_id, pos, h FROM sel ORDER BY doc_id, pos
 """
+
+
+# q138: exact ACF — identical integer num/den pieces (mean cleared by
+# n^2), the ratio as the one shared double division; lags unrolled via
+# a VALUES lateral.
+ORACLES["q138_event_acf"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+),
+c AS (
+  SELECT d.event_type, st.n * d.x - st.s AS c0,
+         st.n * lead(d.x, 1) OVER w - st.s AS c1,
+         st.n * lead(d.x, 2) OVER w - st.s AS c2,
+         st.n * lead(d.x, 3) OVER w - st.s AS c3,
+         st.n * lead(d.x, 4) OVER w - st.s AS c4,
+         st.n * lead(d.x, 5) OVER w - st.s AS c5,
+         st.n * lead(d.x, 6) OVER w - st.s AS c6,
+         st.n * lead(d.x, 7) OVER w - st.s AS c7
+  FROM daily d JOIN st USING (event_type)
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(c0 * c0) AS BIGINT) AS acf_den,
+         CAST(sum(c0 * c1) AS BIGINT) AS n1,
+         CAST(sum(c0 * c2) AS BIGINT) AS n2,
+         CAST(sum(c0 * c3) AS BIGINT) AS n3,
+         CAST(sum(c0 * c4) AS BIGINT) AS n4,
+         CAST(sum(c0 * c5) AS BIGINT) AS n5,
+         CAST(sum(c0 * c6) AS BIGINT) AS n6,
+         CAST(sum(c0 * c7) AS BIGINT) AS n7
+  FROM c GROUP BY event_type
+)
+SELECT event_type, v.lag, v.acf_num, acf_den,
+       CASE WHEN acf_den <> 0
+            THEN CAST(v.acf_num AS DOUBLE) / CAST(acf_den AS DOUBLE)
+       END AS acf
+FROM agg, LATERAL (VALUES (CAST(1 AS INTEGER), n1), (CAST(2 AS INTEGER), n2), (CAST(3 AS INTEGER), n3), (CAST(4 AS INTEGER), n4), (CAST(5 AS INTEGER), n5), (CAST(6 AS INTEGER), n6), (CAST(7 AS INTEGER), n7)) AS v(lag, acf_num)
+ORDER BY event_type, v.lag
+"""

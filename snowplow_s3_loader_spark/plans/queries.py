@@ -2870,6 +2870,25 @@ def q137_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q138_event_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact autocorrelation of the daily event-count series per event
+    type at lags 1..7 — the weekly-seasonality / burstiness diagnostic.
+    Integer num/den pieces (mean cleared by multiplying through by n^2,
+    the q95/q132 discipline) hash-match; the acf ratio is the single
+    final double division both engines evaluate identically. The daily
+    rollup keeps n ~ series days and counts within the ENFORCED
+    4n^3 max(x)^2 bound through sf1 and beyond."""
+    from snowplow_s3_loader_spark.operators.timeseries import acf_moments
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    return acf_moments(daily, ["event_type"], "day", "n_events", 7).orderBy(
+        "event_type", "lag"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3008,5 +3027,6 @@ QUERIES = {
         q135_link_prediction,
         q136_kmv_distinct,
         q137_winnow_fingerprints,
+        q138_event_acf,
     ]
 }

@@ -790,3 +790,13 @@ def test_q137_winnow_one_keyed_sort_no_window_enumeration(spark, sf_dir):
     plan = plan_of(Q.q137_winnow_fingerprints(spark, sf_dir))
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 2, plan
+
+
+def test_q138_acf_one_keyed_window_no_self_join(spark, sf_dir):
+    """All 7 lag columns must ride ONE keyed window pass (a single
+    Window node over one sort), with the |keys|-bounded stats riding a
+    broadcast — the series stream is never joined against itself."""
+    plan = plan_of(Q.q138_event_acf(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan)) <= 1, plan

@@ -1696,3 +1696,67 @@ class TestWinnowMatches:
         # no boilerplate-only pair may appear
         assert not any(a >= 10 and b >= 10 for a, b in pairs), pairs
         assert not any((a, b) == (1, 3) or (a, b) == (2, 3) for a, b in pairs)
+
+
+def _acf_ref(xs, max_lag):
+    """Textbook ACF on integers: exact numerators/denominator via the
+    n^2-cleared mean, ratio as one float division."""
+    n = len(xs)
+    s = sum(xs)
+    c = [n * x - s for x in xs]
+    den = sum(v * v for v in c)
+    out = {}
+    for lag in range(1, max_lag + 1):
+        prods = [c[t] * c[t + lag] for t in range(n - lag)]
+        num = sum(prods) if prods else None
+        out[lag] = (num, den, (num / den) if num is not None and den else None)
+    return out
+
+
+class TestAcfMoments:
+    def _run(self, spark, series, max_lag):
+        from snowplow_s3_loader_spark.operators.timeseries import acf_moments
+
+        rows = [(g, t, x) for g, xs in series.items() for t, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, t long, x long")
+        return {
+            (r["g"], r["lag"]): (r["acf_num"], r["acf_den"], r["acf"])
+            for r in acf_moments(df, ["g"], "t", "x", max_lag).collect()
+        }
+
+    def test_matches_reference_incl_short_series(self, spark):
+        import random
+
+        rng = random.Random(138)
+        series = {
+            "a": [rng.randrange(1000) for _ in range(40)],
+            "b": [rng.randrange(1000) for _ in range(3)],  # lags > n -> NULL
+            "c": [7, 7, 7, 7],  # zero variance -> den 0, acf NULL
+        }
+        got = self._run(spark, series, 5)
+        for g, xs in series.items():
+            for lag, exp in _acf_ref(xs, 5).items():
+                assert got[(g, lag)] == exp, (g, lag, got[(g, lag)], exp)
+
+    def test_planted_period_dominates(self, spark):
+        # period-4 square wave: acf(4) should be strongly positive and
+        # the largest of lags 1..5; acf(2) strongly negative
+        xs = [100 if t % 4 < 2 else 0 for t in range(64)]
+        got = self._run(spark, {"s": xs}, 5)
+        acfs = {lag: got[("s", lag)][2] for lag in range(1, 6)}
+        assert acfs[4] == max(acfs.values()) and acfs[4] > 0.8
+        assert acfs[2] < -0.8
+
+    def test_bound_and_duplicate_order_raise(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import acf_moments
+
+        big = spark.createDataFrame(
+            [("z", t, 2**25) for t in range(3000)], "g string, t long, x long"
+        )
+        with pytest.raises(ValueError, match="int64 bound"):
+            acf_moments(big, ["g"], "t", "x", 2)
+        dup = spark.createDataFrame(
+            [("z", 1, 5), ("z", 1, 6)], "g string, t long, x long"
+        )
+        with pytest.raises(ValueError, match="duplicate order"):
+            acf_moments(dup, ["g"], "t", "x", 1)
