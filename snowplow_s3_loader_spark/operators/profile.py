@@ -325,3 +325,71 @@ def spearman_moments(
         F.lit(2.0) * F.sqrt(sx * sy)
     )
     return out.select("n", "d2", "tx", "ty", F.round(rho, 6).alias("rho"))
+
+
+def association_components(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square association components between two categorical
+    columns — the feature/label dependence audit (feature selection,
+    leakage screening, drift-by-segment). For every cell (a, b) of the
+    contingency table, including ZERO-observed cells (they contribute
+    r*c/n to the statistic and omitting them understates dependence):
+
+        dev     = n * observed - row_total * col_total    (exact BIGINT)
+        contrib = dev^2 / (row_total * col_total * n)     (one double expr)
+
+    contrib sums to the chi-square statistic; dev's sign shows the
+    direction of the deviation. Every integer piece hash-matches the
+    oracle; contrib is a single shared double expression evaluated from
+    identical integers (the q138 discipline). |dev| <= n^2, so the
+    int64 bound is n < 3e9 rows — ENFORCED with a ValueError.
+
+    Scale shape: ONE corpus aggregation to the |A| x |B| cell frame,
+    checkpointed so margins and output derive from it without
+    re-scanning the corpus; the cross-margin spine is margins-sized
+    (|A| x |B| rows), never corpus-sized; n rides as a literal from the
+    already-paid cell frame (a scalar collect, not a corpus job).
+
+    Output: (a, b, observed, row_total, col_total, dev, contrib)."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        release_materialized,
+    )
+
+    cells = checkpoint_nostats(
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("o"))
+    )
+    n = int(cells.agg(F.sum("o")).collect()[0][0] or 0)
+    if n >= 3_000_000_000:
+        release_materialized(cells)
+        raise ValueError(
+            f"association_components: n={n} rows exceeds the int64 dev "
+            "bound (n < 3e9) — pre-aggregate or sample first"
+        )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("row_total"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("col_total"))
+    spine = F.broadcast(ra).crossJoin(F.broadcast(cb))
+    full = spine.join(cells, ["a", "b"], "left").select(
+        "a", "b", "row_total", "col_total",
+        F.coalesce(F.col("o"), F.lit(0)).alias("observed"),
+    )
+    dev = F.lit(n) * F.col("observed") - F.col("row_total") * F.col("col_total")
+    dd = F.col("dev").cast("double")
+    out = checkpoint_nostats(
+        full.withColumn("dev", dev).select(
+            "a", "b", "observed", "row_total", "col_total", "dev",
+            (
+                dd * dd
+                / (
+                    F.col("row_total").cast("double")
+                    * F.col("col_total").cast("double")
+                    * F.lit(float(n))
+                )
+            ).alias("contrib"),
+        )
+    )
+    release_materialized(cells)
+    return out

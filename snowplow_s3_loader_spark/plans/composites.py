@@ -948,6 +948,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         # single itself hash-checks it
         F.lit(None).cast("long").alias("v3"),
     )
+    chi = q.q139_association(spark, sf_dir).select(
+        F.lit("chi2").alias("battery"),
+        F.concat_ws("@", "event_type", F.col("cohort").cast("string")).alias("key"),
+        F.col("observed").alias("v1"),
+        F.col("dev").alias("v2"),
+        (F.col("row_total") * 1_000_000 + F.col("col_total")).alias("v3"),
+    )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
         F.col("label").cast("string").alias("key"),
@@ -1018,6 +1025,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(kmv)
         .union(wfp)
         .union(acfr)
+        .union(chi)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1177,7 +1185,7 @@ _FOLDED = {
     "q129_collocations", "q130_winsorize", "q131_session_paths",
     "q132_spearman", "q133_label_scatter", "q134_topo_layers",
     "q135_link_prediction", "q136_kmv_distinct",
-    "q137_winnow_fingerprints", "q138_event_acf",
+    "q137_winnow_fingerprints", "q138_event_acf", "q139_association",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1898,6 +1906,12 @@ SELECT 'acf' AS battery,
        event_type || '@' || CAST(lag AS VARCHAR) AS key,
        acf_num AS v1, acf_den AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q138_event_acf"]})
+UNION ALL
+SELECT 'chi2' AS battery,
+       event_type || '@' || CAST(cohort AS VARCHAR) AS key,
+       observed AS v1, dev AS v2,
+       row_total * 1000000 + col_total AS v3
+FROM ({ORACLES["q139_association"]})
 ORDER BY battery, key, v1
 """
 

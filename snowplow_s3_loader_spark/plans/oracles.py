@@ -2890,3 +2890,31 @@ SELECT event_type, v.lag, v.acf_num, acf_den,
 FROM agg, LATERAL (VALUES (CAST(1 AS INTEGER), n1), (CAST(2 AS INTEGER), n2), (CAST(3 AS INTEGER), n3), (CAST(4 AS INTEGER), n4), (CAST(5 AS INTEGER), n5), (CAST(6 AS INTEGER), n6), (CAST(7 AS INTEGER), n7)) AS v(lag, acf_num)
 ORDER BY event_type, v.lag
 """
+
+# q139: chi-square association — identical integer dev and the shared
+# double contrib expression (dev^2 / (r*c*n), left-assoc), zero cells
+# materialized from the margin cross spine.
+ORACLES["q139_association"] = """
+WITH cells AS (
+  SELECT event_type AS a, user_id % 5 AS b, CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS row_total FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS col_total FROM cells GROUP BY b),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT ra.a, cb.b, ra.row_total, cb.col_total,
+         COALESCE(cells.o, 0) AS observed
+  FROM ra CROSS JOIN cb
+  LEFT JOIN cells ON ra.a = cells.a AND cb.b = cells.b
+)
+SELECT g.a AS event_type, g.b AS cohort, g.observed,
+       g.row_total, g.col_total,
+       t.n * g.observed - g.row_total * g.col_total AS dev,
+       CAST(t.n * g.observed - g.row_total * g.col_total AS DOUBLE)
+         * CAST(t.n * g.observed - g.row_total * g.col_total AS DOUBLE)
+         / (CAST(g.row_total AS DOUBLE) * CAST(g.col_total AS DOUBLE)
+            * CAST(t.n AS DOUBLE)) AS contrib
+FROM grid g CROSS JOIN tot t
+ORDER BY event_type, cohort
+"""

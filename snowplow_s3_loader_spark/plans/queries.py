@@ -2889,6 +2889,29 @@ def q138_event_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q139_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association components between event type and the
+    user_id%5 cohort: per contingency cell (zero-observed cells
+    included), the exact BIGINT deviation n*O - R*C plus the per-cell
+    chi-square contribution as the single shared double expression.
+    One corpus aggregation; margins and spine are cell-frame-sized."""
+    from snowplow_s3_loader_spark.operators.profile import (
+        association_components,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("cohort")
+    )
+    out = association_components(ev, "event_type", "cohort")
+    return out.select(
+        F.col("a").alias("event_type"),
+        F.col("b").alias("cohort"),
+        # contrib stays unrounded: both engines compute the identical
+        # double from identical integers (round() reprs can diverge)
+        "observed", "row_total", "col_total", "dev", "contrib",
+    ).orderBy("event_type", "cohort")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3028,5 +3051,6 @@ QUERIES = {
         q136_kmv_distinct,
         q137_winnow_fingerprints,
         q138_event_acf,
+        q139_association,
     ]
 }

@@ -800,3 +800,13 @@ def test_q138_acf_one_keyed_window_no_self_join(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan)) <= 1, plan
+
+
+def test_q139_association_single_corpus_aggregation(spark, sf_dir):
+    """The corpus is aggregated ONCE into the checkpointed cell frame:
+    the executed plan over the cells must contain no parquet scan of
+    events (margins/spine/output all derive from the checkpoint), and
+    the only cross join is the margins-sized broadcast spine."""
+    plan = plan_of(Q.q139_association(spark, sf_dir))
+    assert "Scan parquet" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin\b", plan)) <= 1, plan

@@ -1760,3 +1760,66 @@ class TestAcfMoments:
         )
         with pytest.raises(ValueError, match="duplicate order"):
             acf_moments(dup, ["g"], "t", "x", 1)
+
+
+def _chi2_ref(pairs):
+    """Textbook chi-square components from a list of (a, b) rows."""
+    from collections import Counter
+
+    cells = Counter(pairs)
+    ra = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    n = len(pairs)
+    out = {}
+    for a in ra:
+        for b in cb:
+            o = cells.get((a, b), 0)
+            dev = n * o - ra[a] * cb[b]
+            out[(a, b)] = (o, ra[a], cb[b], dev,
+                           float(dev) * float(dev)
+                           / (float(ra[a]) * float(cb[b]) * float(n)))
+    return out
+
+
+class TestAssociationComponents:
+    def _run(self, spark, pairs):
+        from snowplow_s3_loader_spark.operators.dedup import release_materialized
+        from snowplow_s3_loader_spark.operators.profile import (
+            association_components,
+        )
+
+        df = spark.createDataFrame(pairs, "x string, y long")
+        out = association_components(df, "x", "y")
+        got = {
+            (r["a"], r["b"]): (
+                r["observed"], r["row_total"], r["col_total"],
+                r["dev"], r["contrib"],
+            )
+            for r in out.collect()
+        }
+        release_materialized(out)
+        return got
+
+    def test_matches_reference_with_zero_cells(self, spark):
+        import random
+
+        rng = random.Random(139)
+        # skewed dependence + a (c, 9) combination that never occurs
+        pairs = []
+        for _ in range(300):
+            a = rng.choice("abc")
+            if a == "c":
+                b = rng.choice([1, 2])
+            else:
+                b = rng.choice([1, 2, 9])
+            pairs.append((a, b))
+        got = self._run(spark, pairs)
+        ref = _chi2_ref(pairs)
+        assert got == ref
+        assert got[("c", 9)][0] == 0 and got[("c", 9)][4] > 0  # zero cell present
+
+    def test_independent_columns_have_small_statistic(self, spark):
+        # perfectly balanced independent grid: every dev is exactly 0
+        pairs = [(a, b) for a in "ab" for b in (1, 2) for _ in range(25)]
+        got = self._run(spark, pairs)
+        assert all(v[3] == 0 and v[4] == 0.0 for v in got.values())
