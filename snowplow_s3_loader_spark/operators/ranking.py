@@ -213,3 +213,78 @@ def winsorize(
     return ranked.join(F.broadcast(bounds), group_cols).withColumn(
         "clipped", F.least(F.greatest(v, F.col("lo_bound")), F.col("hi_bound"))
     )
+
+
+def auc_moments(
+    df: DataFrame, keys: list[str], score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC-AUC per group via the Mann-Whitney U statistic — the
+    standard quality-classifier evaluation (is the model's score
+    actually ranking positives above negatives?), tie-corrected and
+    float-free. AUC = U / (n1*n0) with U = R1 - n1(n1+1)/2, R1 the sum
+    of the positives' AVERAGE ranks; average ranks ride DOUBLED
+    (min_rank + max_rank of the score tie group — the q132 identity),
+    so every piece is BIGINT:
+
+        u_dbl     = sum over positives of dbl_rank  -  n1*(n1+1)
+        auc_micro = (u_dbl * 500000) div (n1 * n0)      [u_dbl >= 0]
+
+    both truncating-exact and bit-identical across engines. The int64
+    bound (2n^2 * 5e5 < 2^63, i.e. n <= ~2e6 rows per group) and the
+    0/1 label domain are ENFORCED.
+
+    Scale shape: one keyed sort (row_number), one (keys, score) tie
+    window on the same sort prefix, one partial+final aggregation per
+    group. Groups rank independently — for a single global AUC over
+    more rows than one task should sort, pre-shard by a hash key and
+    combine the u_dbl/n1/n0 pieces (they are NOT mergeable across
+    shards of the same score range; use global_row_number instead).
+
+    Output: (keys..., n1, n0, u_dbl, auc_micro); auc_micro is NULL for
+    single-class groups."""
+    lbl = F.col(label_col)
+    bad = (
+        df.where(~lbl.isin(0, 1) | lbl.isNull()).limit(1).collect()
+    )
+    if bad:
+        raise ValueError(
+            f"auc_moments: label column {label_col!r} must be 0/1 "
+            f"non-null; found {bad[0][label_col]!r}"
+        )
+    ranked = df.select(
+        *keys,
+        F.col(score_col).alias("__s"),
+        lbl.cast("long").alias("__l"),
+    ).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy(*keys).orderBy("__s")),
+    )
+    tie = Window.partitionBy(*keys, "__s")
+    dbl = (F.min("__rn").over(tie) + F.max("__rn").over(tie)).cast("long")
+    agg = (
+        ranked.withColumn("__dbl", dbl)
+        .groupBy(*keys)
+        .agg(
+            F.sum("__l").alias("n1"),
+            F.sum(1 - F.col("__l")).alias("n0"),
+            F.sum(F.when(F.col("__l") == 1, F.col("__dbl"))).alias("__r1"),
+            F.count("*").alias("__n"),
+        )
+    )
+    over = agg.where(F.col("__n") > 2_000_000).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"auc_moments: group size {over[0]['__n']} exceeds the exact "
+            "int64 bound (~2e6 rows/group); shard or sample first"
+        )
+    u = F.coalesce(F.col("__r1"), F.lit(0)) - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(*keys, "n1", "n0", u.alias("u_dbl")).select(
+        *keys,
+        "n1",
+        "n0",
+        "u_dbl",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            F.expr("(u_dbl * 500000) div (n1 * n0)"),
+        ).alias("auc_micro"),
+    )

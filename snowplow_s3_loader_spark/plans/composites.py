@@ -955,6 +955,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dev").alias("v2"),
         (F.col("row_total") * 1_000_000 + F.col("col_total")).alias("v3"),
     )
+    aucr = q.q140_auc(spark, sf_dir).select(
+        F.lit("auc").alias("battery"),
+        F.col("cohort").cast("string").alias("key"),
+        F.col("u_dbl").alias("v1"),
+        F.col("auc_micro").alias("v2"),
+        (F.col("n1") * 1_000_000 + F.col("n0")).alias("v3"),
+    )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
         F.col("label").cast("string").alias("key"),
@@ -1026,6 +1033,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(wfp)
         .union(acfr)
         .union(chi)
+        .union(aucr)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1186,6 +1194,7 @@ _FOLDED = {
     "q132_spearman", "q133_label_scatter", "q134_topo_layers",
     "q135_link_prediction", "q136_kmv_distinct",
     "q137_winnow_fingerprints", "q138_event_acf", "q139_association",
+    "q140_auc",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1912,6 +1921,10 @@ SELECT 'chi2' AS battery,
        observed AS v1, dev AS v2,
        row_total * 1000000 + col_total AS v3
 FROM ({ORACLES["q139_association"]})
+UNION ALL
+SELECT 'auc' AS battery, CAST(cohort AS VARCHAR) AS key,
+       u_dbl AS v1, auc_micro AS v2, n1 * 1000000 + n0 AS v3
+FROM ({ORACLES["q140_auc"]})
 ORDER BY battery, key, v1
 """
 

@@ -2918,3 +2918,39 @@ SELECT g.a AS event_type, g.b AS cohort, g.observed,
 FROM grid g CROSS JOIN tot t
 ORDER BY event_type, cohort
 """
+
+# q140: exact AUC — identical doubled-average-rank construction
+# (min+max row_number per score tie group) and truncating micro-unit
+# division.
+ORACLES["q140_auc"] = """
+WITH base AS (
+  SELECT user_id % 4 AS cohort,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(event_type = 'purchase' AS BIGINT) AS l
+  FROM events
+),
+rn AS (
+  SELECT cohort, cents, l,
+         row_number() OVER (PARTITION BY cohort ORDER BY cents) AS r
+  FROM base
+),
+dbl AS (
+  SELECT cohort, cents, l,
+         min(r) OVER (PARTITION BY cohort, cents)
+         + max(r) OVER (PARTITION BY cohort, cents) AS d
+  FROM rn
+),
+agg AS (
+  SELECT cohort,
+         CAST(sum(l) AS BIGINT) AS n1,
+         CAST(sum(1 - l) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN l = 1 THEN d END) AS BIGINT) AS r1
+  FROM dbl GROUP BY cohort
+)
+SELECT cohort, n1, n0,
+       COALESCE(r1, 0) - n1 * (n1 + 1) AS u_dbl,
+       CASE WHEN n1 > 0 AND n0 > 0
+            THEN ((COALESCE(r1, 0) - n1 * (n1 + 1)) * 500000) // (n1 * n0)
+       END AS auc_micro
+FROM agg ORDER BY cohort
+"""

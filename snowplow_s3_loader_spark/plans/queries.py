@@ -2912,6 +2912,22 @@ def q139_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "cohort")
 
 
+def q140_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney U) per user cohort: does the event's
+    value rank purchases above other events? Doubled average ranks keep
+    U in BIGINT and the micro-unit AUC is a truncating division —
+    bit-identical to the oracle's identical rank SQL (ties corrected by
+    construction)."""
+    from snowplow_s3_loader_spark.operators.ranking import auc_moments
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("cohort"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return auc_moments(ev, ["cohort"], "cents", "label").orderBy("cohort")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3052,5 +3068,6 @@ QUERIES = {
         q137_winnow_fingerprints,
         q138_event_acf,
         q139_association,
+        q140_auc,
     ]
 }

@@ -810,3 +810,14 @@ def test_q139_association_single_corpus_aggregation(spark, sf_dir):
     plan = plan_of(Q.q139_association(spark, sf_dir))
     assert "Scan parquet" not in plan, plan
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin\b", plan)) <= 1, plan
+
+
+def test_q140_auc_keyed_windows_single_agg(spark, sf_dir):
+    """Ranking and the tie window must both be keyed (no unpartitioned
+    window), one partial+final aggregation, no join of the event stream
+    against itself."""
+    plan = plan_of(Q.q140_auc(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "cohort" in line, line

@@ -1823,3 +1823,79 @@ class TestAssociationComponents:
         pairs = [(a, b) for a in "ab" for b in (1, 2) for _ in range(25)]
         got = self._run(spark, pairs)
         assert all(v[3] == 0 and v[4] == 0.0 for v in got.values())
+
+
+def _auc_ref(rows):
+    """Mann-Whitney reference: (n1, n0, u_dbl, auc_micro) from
+    (score, label) pairs via doubled average ranks."""
+    from collections import defaultdict
+
+    n = len(rows)
+    srt = sorted(range(n), key=lambda i: rows[i][0])
+    rn = {i: r for r, i in enumerate(srt, 1)}
+    groups = defaultdict(list)
+    for i, (s, _) in enumerate(rows):
+        groups[s].append(i)
+    dbl = {}
+    for idxs in groups.values():
+        rns = [rn[i] for i in idxs]
+        d = min(rns) + max(rns)
+        for i in idxs:
+            dbl[i] = d
+    n1 = sum(l for _, l in rows)
+    n0 = n - n1
+    r1 = sum(dbl[i] for i, (_, l) in enumerate(rows) if l == 1)
+    u = r1 - n1 * (n1 + 1)
+    return (n1, n0, u, (u * 500000) // (n1 * n0) if n1 and n0 else None)
+
+
+class TestAucMoments:
+    def _run(self, spark, data):
+        from snowplow_s3_loader_spark.operators.ranking import auc_moments
+
+        rows = [(g, s, l) for g, rs in data.items() for s, l in rs]
+        df = spark.createDataFrame(rows, "g long, s long, l long")
+        return {
+            r["g"]: (r["n1"], r["n0"], r["u_dbl"], r["auc_micro"])
+            for r in auc_moments(df, ["g"], "s", "l").collect()
+        }
+
+    def test_matches_reference_with_ties_and_single_class(self, spark):
+        import random
+
+        rng = random.Random(140)
+        data = {
+            g: [
+                (
+                    rng.randrange(50) + (10 if (lab := rng.random() < 0.3) else 0),
+                    int(lab),
+                )
+                for _ in range(200)
+            ]
+            for g in range(4)
+        }
+        data[9] = [(5, 1), (7, 1)]  # positives only: auc_micro NULL
+        got = self._run(spark, data)
+        for g, rs in data.items():
+            assert got[g] == _auc_ref(rs), (g, got[g], _auc_ref(rs))
+
+    def test_perfect_and_inverted_rankings(self, spark):
+        perfect = {1: [(i, 1 if i >= 50 else 0) for i in range(100)]}
+        inverted = {1: [(i, 1 if i < 50 else 0) for i in range(100)]}
+        assert self._run(spark, perfect)[1][3] == 1_000_000
+        assert self._run(spark, inverted)[1][3] == 0
+
+    def test_random_labels_near_half(self, spark):
+        import random
+
+        rng = random.Random(7)
+        data = {1: [(rng.randrange(10**6), rng.randrange(2)) for _ in range(2000)]}
+        auc = self._run(spark, data)[1][3]
+        assert 450_000 <= auc <= 550_000, auc
+
+    def test_non_binary_label_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.ranking import auc_moments
+
+        df = spark.createDataFrame([(1, 1, 2)], "g long, s long, l long")
+        with pytest.raises(ValueError, match="must be 0/1"):
+            auc_moments(df, ["g"], "s", "l")
