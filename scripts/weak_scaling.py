@@ -1165,6 +1165,38 @@ def trailing_case(spark, n_rows: int) -> dict:
     return {"case": "trailing_distinct", "rows": n_rows, "sec": round(dt, 2)}
 
 
+def linkpred_case(spark, n_edges: int) -> dict:
+    """Link prediction (round-8 q135): hashed graph with avg degree ~10
+    plus a planted 2% hub — candidate volume is sum(deg_w^2), so without
+    the wedge-degree cutoff the hub alone contributes (0.02|V|)^2 pairs.
+    The case runs WITH the cutoff (the documented 100 TB knob) and
+    reports wall + candidate pairs; wall must track the bounded wedge
+    volume, not |V|^2."""
+    from snowplow_s3_loader_spark.operators.dedup import release_materialized
+    from snowplow_s3_loader_spark.operators.graph import link_prediction
+
+    n_nodes = max(100, n_edges // 10)
+    hub = n_nodes // 50 if n_nodes >= 50 else 1
+    edges = spark.range(n_edges).select(
+        (F.abs(F.xxhash64("id")) % n_nodes).alias("id_a"),
+        F.when(
+            F.col("id") % 50 == 0, F.abs(F.xxhash64(F.col("id") + 3)) % hub
+        ).otherwise(F.abs(F.xxhash64(F.col("id") + 7)) % n_nodes).alias("id_b"),
+    )
+    warm = link_prediction(edges, min_common=2, max_wedge_degree=64)
+    warm.count()
+    release_materialized(warm)
+    t0 = time.perf_counter()
+    out = link_prediction(edges, min_common=2, max_wedge_degree=64)
+    n_pairs = out.count()
+    dt = time.perf_counter() - t0
+    release_materialized(out)
+    return {
+        "case": "link_prediction", "edges": n_edges,
+        "candidate_pairs": n_pairs, "sec": round(dt, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1258,6 +1290,9 @@ def main() -> None:
     if which in ("trailing", "all"):
         out.append(trailing_case(spark, 1_000_000))
         out.append(trailing_case(spark, 10_000_000))
+    if which in ("linkpred", "all"):
+        out.append(linkpred_case(spark, 100_000))
+        out.append(linkpred_case(spark, 1_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()

@@ -1721,6 +1721,39 @@ FROM (
 )
 UNION ALL
 SELECT 'parity' AS battery,
+       'session_window@' || CAST(user_id AS VARCHAR) || '@'
+         || CAST(start_us AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (
+  WITH sev AS (
+    SELECT user_id, ts, event_id FROM events
+    WHERE user_id % 5 = 0 AND user_id IS NOT NULL
+  ),
+  sl AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+           event_id
+    FROM sev
+  ),
+  sm AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev IS NULL
+                  OR date_diff('microsecond', prev, ts) > 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM sl
+  ),
+  ss AS (
+    SELECT user_id, ts,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM sm
+  )
+  SELECT user_id, epoch_us(min(ts)) AS start_us
+  FROM ss GROUP BY user_id, sid
+)
+UNION ALL
+SELECT 'parity' AS battery,
        'component_map@' || CAST(node AS VARCHAR) AS key,
        CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3

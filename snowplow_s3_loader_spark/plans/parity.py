@@ -471,6 +471,114 @@ def _trailing_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+def _session_window_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Native Structured Streaming session windows vs the engine's
+    batch gap sessionization (round 8, the seventh family). Spark's
+    session_window merges an event landing EXACTLY at the gap boundary
+    (verified empirically: break iff diff > gap), which is the same
+    boundary rule as q38's `timestampdiff > gap` — so the session SETS
+    must match exactly. The slice streams as exact event-time tertiles
+    (sessions genuinely span micro-batches) plus two far-future
+    single-event sentinel batches whose only job is to advance the
+    watermark so every real session finalizes under append mode; the
+    sentinels' own sessions never finalize and the collector filters
+    their users out. Keys are (user, session-start micros); the bit
+    also requires (last ts, event count) equality."""
+    gap = "30 minutes"
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") % 5 == 0) & F.col("user_id").isNotNull()
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    # batch twin: the q38 formulation (break iff diff > gap)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_break = F.col("__prev").isNull() | (
+        F.expr("timestampdiff(MICROSECOND, __prev, ts)") > 1_800_000_000
+    )
+    batch_sessions = (
+        ev.withColumn("__prev", F.lag("ts").over(w))
+        .withColumn("__new", gap_break.cast("int"))
+        .withColumn("__sid", F.sum("__new").over(wrun))
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("last_us"),
+            F.count("*").alias("n"),
+        )
+    )
+    batch = {
+        (r["user_id"], r["start_us"]): (r["last_us"], r["n"])
+        for r in batch_sessions.collect()
+    }
+
+    [row] = ev.select(
+        F.expr("percentile(unix_micros(ts), array(0.34, 0.67))").alias("c")
+    ).collect()
+    c1, c2 = int(row["c"][0]), int(row["c"][1])
+    us = F.unix_micros(F.col("ts"))
+    sent = spark.createDataFrame(
+        [(-1, "2100-01-01 00:00:00", -1), (-2, "2101-01-01 00:00:00", -2)],
+        "user_id long, ts_s string, event_id long",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id")
+    slices = [
+        ev.where(us <= c1),
+        ev.where((us > c1) & (us <= c2)),
+        ev.where(us > c2),
+        sent.where(F.col("user_id") == -1),
+        sent.where(F.col("user_id") == -2),
+    ]
+    got: dict = {}
+    tmp = tempfile.mkdtemp(prefix="parity_sesswin_")
+    try:
+        in_dir = _write_stream_files(slices, tmp)
+        src = (
+            spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        sess = (
+            src.withWatermark("ts", "1 minute")
+            .groupBy("user_id", F.session_window("ts", gap))
+            .agg(
+                F.unix_micros(F.min("ts")).alias("start_us"),
+                F.unix_micros(F.max("ts")).alias("last_us"),
+                F.count("*").alias("n"),
+            )
+            .select("user_id", "start_us", "last_us", "n")
+        )
+
+        def _fb(df, bid):
+            for r in df.collect():  # append mode: finalized sessions only
+                if r["user_id"] >= 0:
+                    got[(r["user_id"], r["start_us"])] = (r["last_us"], r["n"])
+
+        q = (
+            sess.writeStream.foreachBatch(_fb)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "session-window parity stream did not drain within 600s"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return [
+        (
+            "session_window",
+            f"{u}@{s}",
+            int(batch.get((u, s)) == got.get((u, s))),
+        )
+        for (u, s) in sorted(set(batch) | set(got))
+    ]
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check_name, key, is_match) for all four parity families, fully
     materialized driver-side (literal rows — no lingering plan or
@@ -480,12 +588,13 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, not three."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=5) as ex:
+    with ThreadPoolExecutor(max_workers=6) as ex:
         fut_funnel = ex.submit(_funnel_parity, spark, sf_dir)
         fut_heavy = ex.submit(_heavy_parity, spark, sf_dir)
         fut_ssj = ex.submit(_interval_join_parity, spark, sf_dir)
         fut_cusum = ex.submit(_cusum_parity, spark, sf_dir)
         fut_trail = ex.submit(_trailing_parity, spark, sf_dir)
+        fut_sess = ex.submit(_session_window_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
         rows = (
             fut_funnel.result()
@@ -493,6 +602,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             + fut_ssj.result()
             + fut_cusum.result()
             + fut_trail.result()
+            + fut_sess.result()
             + cm_rows
         )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

@@ -404,7 +404,8 @@ def test_streaming_funnel_retro_event_improves_without_invalidating(spark, tmp_p
 def test_streaming_parity_rows_all_match(spark, sf_dir):
     """The driver-visible batch-vs-streaming parity audit (folded into
     q74_scale_battery) must emit is_match=1 for every key in all six
-    families — a falsifiable audit is only useful if its green state is
+    families (plus session_window, round 8's seventh) — a falsifiable
+    audit is only useful if its green state is
     pinned here and its red states are reachable (each family's
     divergence behavior is covered by the operator-level differential
     tests above)."""
@@ -421,6 +422,7 @@ def test_streaming_parity_rows_all_match(spark, sf_dir):
         "stream_interval_join",
         "streaming_cusum",
         "streaming_trailing",
+        "session_window",
     }, by_check
     for name, bits in by_check.items():
         assert bits and all(b == 1 for b in bits), (name, bits)
@@ -564,3 +566,31 @@ def test_streaming_trailing_distinct_matches_batch(spark, tmp_path):
     # fan-out days past the observed set
     for d, n in want.items():
         assert final[d] == n, d
+
+
+def test_session_window_gap_boundary_matches_batch_rule(spark):
+    """Pins the boundary rule the session_window parity family depends
+    on: Spark's session_window MERGES an event landing exactly at the
+    gap boundary (break iff diff > gap) — the same rule as the q38
+    batch twin's `timestampdiff > gap`. If a Spark upgrade changed this
+    to a half-open window, this test fails before the parity audit."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(s):
+        return base + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, t(0)), (1, t(1800)),   # exactly gap apart: ONE session
+        (2, t(0)), (2, t(1801)),   # over the gap: TWO sessions
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    got = {(r["user_id"], r["n"]) for r in out.collect()}
+    assert got == {(1, 2), (2, 1)}, got
