@@ -327,3 +327,92 @@ def acf_moments(
             ).alias("acf"),
         )
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    cents_col: str,
+    order_tiebreak: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """OHLC candle bars + time-weighted average per (keys, time bucket)
+    — the market-data / metrics-downsampling summary (open = first
+    value in the bar, close = last, high/low = extremes, volume = row
+    count, TWAP = duration-weighted mean where each sample holds until
+    the next one and the bar's last sample holds to the bar end).
+
+    Exactness: ``cents_col`` must be integer; open/close are defined by
+    the TOTAL order (ts, tiebreak) — the q08 lesson, ties of the raw
+    timestamp are broken by the unique tiebreak column identically in
+    both engines — and TWAP is the exact truncating division
+    sum(cents * dur_us) div sum(dur_us), all BIGINT (bound: max|cents|
+    x bar span must stay under 2^63 — a day bar allows |cents| < 1e8,
+    an hour bar < 2.5e12; ENFORCED).
+
+    Scale shape: ONE keyed window sort per (keys, bucket) carrying
+    row_number asc/desc and lead(ts) together, then one partial+final
+    aggregation. No joins, no second sort.
+
+    Output: (keys..., bucket, open_cents, high_cents, low_cents,
+    close_cents, n_ticks, twap_num, twap_den, twap_cents)."""
+    if unit not in _UNITS:
+        raise ValueError(f"unit must be one of {sorted(_UNITS)}")
+    span_us = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 7 * 86_400_000_000,
+        "month": 31 * 86_400_000_000,
+    }[unit]
+    c = F.col(cents_col)
+    bad = df.select(F.max(F.abs(c)).alias("m")).collect()[0]["m"]
+    if bad is not None and int(bad) * span_us >= 2**62:
+        raise ValueError(
+            f"ohlc_bars: max|cents|={bad} x {unit} span overflows the "
+            "exact TWAP int64 bound — rescale or use a smaller unit"
+        )
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    base = df.select(
+        *keys, bucket, F.col(ts_col).alias("__ts"),
+        F.col(order_tiebreak).alias("__tb"), c.alias("__c"),
+    )
+    w = Window.partitionBy(*keys, "bucket")
+    asc = w.orderBy("__ts", "__tb")
+    bar_end = F.col("bucket") + F.expr(f"interval 1 {unit}")
+    annotated = base.select(
+        *keys, "bucket", "__c",
+        F.row_number().over(asc).alias("__ra"),
+        # last-row flag WITHOUT a second (desc) sort: rd = n - ra + 1
+        (
+            F.count("*").over(w) - F.row_number().over(asc) + 1
+        ).alias("__rd"),
+        # duration this sample holds: to the next tick in the bar, or
+        # to the bar end for the last tick
+        (
+            F.unix_micros(
+                F.coalesce(F.lead("__ts").over(asc), bar_end)
+            )
+            - F.unix_micros(F.col("__ts"))
+        ).alias("__dur"),
+    )
+    return annotated.groupBy(*keys, "bucket").agg(
+        F.max(F.when(F.col("__ra") == 1, F.col("__c"))).alias("open_cents"),
+        F.max("__c").alias("high_cents"),
+        F.min("__c").alias("low_cents"),
+        F.max(F.when(F.col("__rd") == 1, F.col("__c"))).alias("close_cents"),
+        F.count("*").alias("n_ticks"),
+        F.sum(F.col("__c") * F.col("__dur")).alias("twap_num"),
+        F.sum("__dur").alias("twap_den"),
+    ).withColumn(
+        "twap_cents",
+        # durations are strictly positive (last tick holds to bar end,
+        # which is strictly after any tick in the bar) so den > 0; sign
+        # separated for engine-identical truncation on negative cents
+        F.when(
+            F.col("twap_num") >= 0,
+            F.expr("twap_num div twap_den"),
+        ).otherwise(-F.expr("(-twap_num) div twap_den")),
+    )
