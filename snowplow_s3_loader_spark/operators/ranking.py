@@ -235,33 +235,30 @@ def auc_moments(
 
     Scale shape: one keyed sort (row_number), one (keys, score) tie
     window on the same sort prefix, one partial+final aggregation per
-    group. Groups rank independently — for a single global AUC over
-    more rows than one task should sort, pre-shard by a hash key and
-    combine the u_dbl/n1/n0 pieces (they are NOT mergeable across
-    shards of the same score range; use global_row_number instead).
+    group — executed ONCE: the per-group frame is checkpointed and both
+    guards (label domain, int64 group-size bound) read one tiny scan of
+    that |groups|-sized result instead of re-running the pipeline.
 
     Output: (keys..., n1, n0, u_dbl, auc_micro); auc_micro is NULL for
     single-class groups."""
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
     lbl = F.col(label_col)
-    bad = (
-        df.where(~lbl.isin(0, 1) | lbl.isNull()).limit(1).collect()
-    )
-    if bad:
-        raise ValueError(
-            f"auc_moments: label column {label_col!r} must be 0/1 "
-            f"non-null; found {bad[0][label_col]!r}"
-        )
     ranked = df.select(
         *keys,
         F.col(score_col).alias("__s"),
         lbl.cast("long").alias("__l"),
+        (~lbl.isin(0, 1) | lbl.isNull()).cast("long").alias("__b"),
+        F.when(~lbl.isin(0, 1) | lbl.isNull(), lbl.cast("string")).alias(
+            "__bv"
+        ),
     ).withColumn(
         "__rn",
         F.row_number().over(Window.partitionBy(*keys).orderBy("__s")),
     )
     tie = Window.partitionBy(*keys, "__s")
     dbl = (F.min("__rn").over(tie) + F.max("__rn").over(tie)).cast("long")
-    agg = (
+    agg = checkpoint_nostats(
         ranked.withColumn("__dbl", dbl)
         .groupBy(*keys)
         .agg(
@@ -269,12 +266,23 @@ def auc_moments(
             F.sum(1 - F.col("__l")).alias("n0"),
             F.sum(F.when(F.col("__l") == 1, F.col("__dbl"))).alias("__r1"),
             F.count("*").alias("__n"),
+            F.sum("__b").alias("__badn"),
+            F.first("__bv", ignorenulls=True).alias("__badv"),
         )
     )
-    over = agg.where(F.col("__n") > 2_000_000).limit(1).collect()
-    if over:
+    guard = agg.agg(
+        F.max("__n").alias("mx"),
+        F.sum("__badn").alias("bad"),
+        F.first("__badv", ignorenulls=True).alias("badv"),
+    ).collect()[0]
+    if guard["bad"]:
         raise ValueError(
-            f"auc_moments: group size {over[0]['__n']} exceeds the exact "
+            f"auc_moments: label column {label_col!r} must be 0/1 "
+            f"non-null; found {guard['badv']!r}"
+        )
+    if guard["mx"] is not None and guard["mx"] > 2_000_000:
+        raise ValueError(
+            f"auc_moments: group size {guard['mx']} exceeds the exact "
             "int64 bound (~2e6 rows/group); shard or sample first"
         )
     u = F.coalesce(F.col("__r1"), F.lit(0)) - F.col("n1") * (F.col("n1") + 1)

@@ -259,12 +259,18 @@ def acf_moments(
     for lags at or beyond the series length."""
     if max_lag < 1:
         raise ValueError(f"acf_moments: max_lag must be >= 1, got {max_lag}")
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
     x = F.col(value_col)
-    stats = df.groupBy(*keys).agg(
-        F.count("*").alias("__n"),
-        F.sum(x).alias("__s"),
-        F.max(F.abs(x)).alias("__amax"),
-        F.count_distinct(F.col(order_col)).alias("__nd"),
+    # |keys|-bounded; checkpointed so the guard collect below and the
+    # broadcast join share ONE corpus scan instead of recomputing it
+    stats = checkpoint_nostats(
+        df.groupBy(*keys).agg(
+            F.count("*").alias("__n"),
+            F.sum(x).alias("__s"),
+            F.max(F.abs(x)).alias("__amax"),
+            F.count_distinct(F.col(order_col)).alias("__nd"),
+        )
     )
     # guard arithmetic in double (the product itself would overflow the
     # int64 it protects); 9.0e18 is conservatively below 2^63

@@ -953,14 +953,16 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("@", "event_type", F.col("cohort").cast("string")).alias("key"),
         F.col("observed").alias("v1"),
         F.col("dev").alias("v2"),
-        (F.col("row_total") * 1_000_000 + F.col("col_total")).alias("v3"),
+        # 1e10 multiplier: totals stay distinguishable up to ~1e10 rows
+        # (int64-safe for row_total < 9.2e8 groups-worth of margin)
+        (F.col("row_total") * 10_000_000_000 + F.col("col_total")).alias("v3"),
     )
     aucr = q.q140_auc(spark, sf_dir).select(
         F.lit("auc").alias("battery"),
         F.col("cohort").cast("string").alias("key"),
         F.col("u_dbl").alias("v1"),
         F.col("auc_micro").alias("v2"),
-        (F.col("n1") * 1_000_000 + F.col("n0")).alias("v3"),
+        (F.col("n1") * 10_000_000_000 + F.col("n0")).alias("v3"),
     )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
@@ -1952,11 +1954,11 @@ UNION ALL
 SELECT 'chi2' AS battery,
        event_type || '@' || CAST(cohort AS VARCHAR) AS key,
        observed AS v1, dev AS v2,
-       row_total * 1000000 + col_total AS v3
+       row_total * 10000000000 + col_total AS v3
 FROM ({ORACLES["q139_association"]})
 UNION ALL
 SELECT 'auc' AS battery, CAST(cohort AS VARCHAR) AS key,
-       u_dbl AS v1, auc_micro AS v2, n1 * 1000000 + n0 AS v3
+       u_dbl AS v1, auc_micro AS v2, n1 * 10000000000 + n0 AS v3
 FROM ({ORACLES["q140_auc"]})
 ORDER BY battery, key, v1
 """

@@ -2752,7 +2752,8 @@ WITH ev AS (
   SELECT event_type, user_id * 131 + event_id % 97 AS item, event_id
   FROM events
 ),
-hf AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM ev),
+hf AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM ev
+       WHERE {_KMV_H} IS NOT NULL),
 skf AS (
   SELECT event_type, h,
          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
@@ -2766,14 +2767,16 @@ estf AS (
 full_est AS (
   SELECT event_type, kmv_n, CAST({_KMV_EST} AS BIGINT) AS kmv_est FROM estf
 ),
-h1 AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM ev WHERE event_id % 2 = 0),
+h1 AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM ev
+       WHERE event_id % 2 = 0 AND {_KMV_H} IS NOT NULL),
 sk1 AS (
   SELECT event_type, h FROM (
     SELECT event_type, h,
            row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
     FROM h1) WHERE rnk <= 256
 ),
-h2 AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM ev WHERE event_id % 2 = 1),
+h2 AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM ev
+       WHERE event_id % 2 = 1 AND {_KMV_H} IS NOT NULL),
 sk2 AS (
   SELECT event_type, h FROM (
     SELECT event_type, h,
