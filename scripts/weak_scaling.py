@@ -1197,6 +1197,33 @@ def linkpred_case(spark, n_edges: int) -> dict:
     }
 
 
+def ohlc_case(spark, n_rows: int) -> dict:
+    """OHLC/TWAP bars (round-9 q141): n_rows ticks spread over 8 keys x
+    a year of hourly bars. The operator is one keyed window sort + one
+    partial+final aggregation — wall must track the scan/sort of the
+    tick stream (n log n within bars), with NO join and no second sort;
+    output stays fixed at keys x hours regardless of row count."""
+    from snowplow_s3_loader_spark.operators.timeseries import ohlc_bars
+
+    year_us = 365 * 86_400_000_000
+    ev = spark.range(n_rows).select(
+        (F.abs(F.xxhash64("id")) % 8).cast("string").alias("k"),
+        F.timestamp_micros(
+            F.lit(1_704_067_200_000_000)
+            + F.abs(F.xxhash64(F.col("id") + 3)) % year_us
+        ).cast("timestamp_ntz").alias("ts"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % 20_000 - 10_000).alias("cents"),
+        F.col("id").alias("tb"),
+    )
+    ev.count()
+    t0 = time.perf_counter()
+    out = ohlc_bars(ev, ["k"], "ts", "cents", "tb", "hour")
+    n_bars = out.count()
+    dt = time.perf_counter() - t0
+    assert n_bars <= 8 * 366 * 24, n_bars
+    return {"case": "ohlc_bars", "rows": n_rows, "bars": n_bars, "sec": round(dt, 2)}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1293,6 +1320,9 @@ def main() -> None:
     if which in ("linkpred", "all"):
         out.append(linkpred_case(spark, 100_000))
         out.append(linkpred_case(spark, 1_000_000))
+    if which in ("ohlc", "all"):
+        out.append(ohlc_case(spark, 1_000_000))
+        out.append(ohlc_case(spark, 10_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()

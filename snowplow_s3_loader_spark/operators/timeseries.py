@@ -357,9 +357,10 @@ def ohlc_bars(
     x bar span must stay under 2^63 — a day bar allows |cents| < 1e8,
     an hour bar < 2.5e12; ENFORCED).
 
-    Scale shape: ONE keyed window sort per (keys, bucket) carrying
-    row_number asc/desc and lead(ts) together, then one partial+final
-    aggregation. No joins, no second sort.
+    Scale shape: ONE keyed window sort per (keys, bucket) — row_number,
+    lead(ts) and the lead(tb)-is-null last-row flag share a single
+    windowspec, so the physical plan is one Window node over one sort —
+    then one partial+final aggregation. No joins, no second sort.
 
     Output: (keys..., bucket, open_cents, high_cents, low_cents,
     close_cents, n_ticks, twap_num, twap_den, twap_cents)."""
@@ -389,26 +390,26 @@ def ohlc_bars(
     asc = w.orderBy("__ts", "__tb")
     bar_end = F.col("bucket") + F.expr(f"interval 1 {unit}")
     annotated = base.select(
-        *keys, "bucket", "__c",
+        *keys, "bucket", "__c", "__ts",
         F.row_number().over(asc).alias("__ra"),
-        # last-row flag WITHOUT a second (desc) sort: rd = n - ra + 1
-        (
-            F.count("*").over(w) - F.row_number().over(asc) + 1
-        ).alias("__rd"),
+        # last-row flag WITHOUT a second sort OR a second window frame:
+        # the tiebreak is non-null by contract, so lead(tb) IS NULL
+        # exactly on the bar's final row — row_number, both leads share
+        # ONE windowspec, so the physical plan carries a single Window
+        # node over a single (keys, bucket, ts, tb) sort
+        F.lead("__tb").over(asc).isNull().alias("__last"),
         # duration this sample holds: to the next tick in the bar, or
-        # to the bar end for the last tick
-        (
-            F.unix_micros(
-                F.coalesce(F.lead("__ts").over(asc), bar_end)
-            )
-            - F.unix_micros(F.col("__ts"))
-        ).alias("__dur"),
+        # to the bar end for the last tick (timestampdiff handles both
+        # TIMESTAMP and TIMESTAMP_NTZ; unix_micros rejects NTZ)
+        F.coalesce(F.lead("__ts").over(asc), bar_end).alias("__nxt"),
+    ).withColumn(
+        "__dur", F.expr("timestampdiff(MICROSECOND, __ts, __nxt)")
     )
     return annotated.groupBy(*keys, "bucket").agg(
         F.max(F.when(F.col("__ra") == 1, F.col("__c"))).alias("open_cents"),
         F.max("__c").alias("high_cents"),
         F.min("__c").alias("low_cents"),
-        F.max(F.when(F.col("__rd") == 1, F.col("__c"))).alias("close_cents"),
+        F.max(F.when(F.col("__last"), F.col("__c"))).alias("close_cents"),
         F.count("*").alias("n_ticks"),
         F.sum(F.col("__c") * F.col("__dur")).alias("twap_num"),
         F.sum("__dur").alias("twap_den"),

@@ -964,6 +964,21 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("auc_micro").alias("v2"),
         (F.col("n1") * 10_000_000_000 + F.col("n0")).alias("v3"),
     )
+    # 1e10 packings: n_ticks / (high-low >= 0) / twap_den (< 3.6e9 for
+    # hour bars) all stay below the multiplier at any plausible SF
+    ohlcb = q.q141_ohlc_bars(spark, sf_dir).select(
+        F.lit("ohlc").alias("battery"),
+        F.concat_ws("@", "event_type", F.col("bucket").cast("string")).alias(
+            "key"
+        ),
+        (F.col("open_cents") * 10_000_000_000 + F.col("n_ticks")).alias("v1"),
+        (
+            F.col("close_cents") * 10_000_000_000
+            + F.col("high_cents")
+            - F.col("low_cents")
+        ).alias("v2"),
+        (F.col("twap_cents") * 10_000_000_000 + F.col("twap_den")).alias("v3"),
+    )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
         F.col("label").cast("string").alias("key"),
@@ -1036,6 +1051,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(acfr)
         .union(chi)
         .union(aucr)
+        .union(ohlcb)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1196,7 +1212,7 @@ _FOLDED = {
     "q132_spearman", "q133_label_scatter", "q134_topo_layers",
     "q135_link_prediction", "q136_kmv_distinct",
     "q137_winnow_fingerprints", "q138_event_acf", "q139_association",
-    "q140_auc",
+    "q140_auc", "q141_ohlc_bars",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1960,6 +1976,13 @@ UNION ALL
 SELECT 'auc' AS battery, CAST(cohort AS VARCHAR) AS key,
        u_dbl AS v1, auc_micro AS v2, n1 * 10000000000 + n0 AS v3
 FROM ({ORACLES["q140_auc"]})
+UNION ALL
+SELECT 'ohlc' AS battery,
+       event_type || '@' || CAST(bucket AS VARCHAR) AS key,
+       open_cents * 10000000000 + n_ticks AS v1,
+       close_cents * 10000000000 + high_cents - low_cents AS v2,
+       twap_cents * 10000000000 + twap_den AS v3
+FROM ({ORACLES["q141_ohlc_bars"]})
 ORDER BY battery, key, v1
 """
 

@@ -2957,3 +2957,43 @@ SELECT cohort, n1, n0,
        END AS auc_micro
 FROM agg ORDER BY cohort
 """
+
+# q141: OHLC bars + TWAP — identical total-order (ts, event_id) window,
+# last-row flag via n - row_number + 1 (no second sort), duration to the
+# next tick or the bar end, and the sign-separated truncating TWAP
+# division (both // operands non-negative, so floor == truncate in both
+# engines).
+ORACLES["q141_ohlc_bars"] = """
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) - 2500 AS c
+  FROM events
+),
+ann AS (
+  SELECT event_type, bucket, c,
+         row_number() OVER w AS ra,
+         count(*) OVER (PARTITION BY event_type, bucket)
+           - row_number() OVER w + 1 AS rd,
+         date_diff('microsecond', ts,
+             coalesce(lead(ts) OVER w, bucket + INTERVAL 1 HOUR)) AS dur
+  FROM base
+  WINDOW w AS (PARTITION BY event_type, bucket ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN ra = 1 THEN c END) AS open_cents,
+         max(c) AS high_cents,
+         min(c) AS low_cents,
+         max(CASE WHEN rd = 1 THEN c END) AS close_cents,
+         CAST(count(*) AS BIGINT) AS n_ticks,
+         CAST(sum(c * dur) AS BIGINT) AS twap_num,
+         CAST(sum(dur) AS BIGINT) AS twap_den
+  FROM ann GROUP BY event_type, bucket
+)
+SELECT event_type, bucket, open_cents, high_cents, low_cents, close_cents,
+       n_ticks, twap_num, twap_den,
+       CASE WHEN twap_num >= 0 THEN twap_num // twap_den
+            ELSE -((-twap_num) // twap_den) END AS twap_cents
+FROM agg
+ORDER BY event_type, bucket
+"""

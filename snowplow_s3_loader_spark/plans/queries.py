@@ -2928,6 +2928,28 @@ def q140_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_moments(ev, ["cohort"], "cents", "label").orderBy("cohort")
 
 
+def q141_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candle bars + exact time-weighted average of the
+    event value per event type — the metrics-downsampling / market-data
+    summary. Values ride as cents shifted down by 2500 so roughly half
+    the ticks are NEGATIVE, exercising the sign-separated truncating
+    TWAP division in the live corpus (not just the unit tests).
+    Open/close are defined by the TOTAL order (ts, event_id); TWAP is
+    sum(cents*dur_us) div sum(dur_us) with the last tick holding to the
+    bar end — every piece BIGINT, hash-identical across engines."""
+    from snowplow_s3_loader_spark.operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long") - 2500).alias("cents"),
+    )
+    return ohlc_bars(
+        ev, ["event_type"], "ts", "cents", "event_id", unit="hour"
+    ).orderBy("event_type", "bucket")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3069,5 +3091,6 @@ QUERIES = {
         q138_event_acf,
         q139_association,
         q140_auc,
+        q141_ohlc_bars,
     ]
 }

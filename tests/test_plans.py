@@ -821,3 +821,16 @@ def test_q140_auc_keyed_windows_single_agg(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "cohort" in line, line
+
+
+def test_q141_ohlc_one_keyed_window_no_join(spark, sf_dir):
+    """The bar computation must ride ONE keyed window pass (row_number,
+    count, lead share a single Window node over one (keys, bucket) sort
+    — the desc rank is derived as n - ra + 1, never a second sort) and
+    one partial+final aggregation; the tick stream is never joined."""
+    plan = plan_of(Q.q141_ohlc_bars(spark, sf_dir))
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "event_type" in line and "bucket" in line, line
