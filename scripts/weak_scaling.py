@@ -1224,6 +1224,29 @@ def ohlc_case(spark, n_rows: int) -> dict:
     return {"case": "ohlc_bars", "rows": n_rows, "bars": n_bars, "sec": round(dt, 2)}
 
 
+def unigram_case(spark, n_words: int) -> dict:
+    """Unigram-LM training (round-9 q142): n_words distinct hex words
+    (len <= 16) with hashed frequencies, one EM iteration. The e-step
+    is corpus-parallel Viterbi over the words frame with the capped
+    vocab closure-shipped; the m-step shuffle is vocab-bounded — wall
+    must track the word scan, never vocab x corpus."""
+    from snowplow_s3_loader_spark.operators.unigram import unigram_train
+
+    words = spark.range(n_words).select(
+        F.lower(F.hex(F.abs(F.xxhash64("id")))).alias("word"),
+        (F.abs(F.xxhash64(F.col("id") + 3)) % 50 + 1).alias("freq"),
+    ).groupBy("word").agg(F.max("freq").alias("freq"))
+    words.count()
+    t0 = time.perf_counter()
+    out = unigram_train(words, max_piece_len=4, min_count=5,
+                        vocab_cap=4096, n_iter=1)
+    n_pieces = out.count()
+    dt = time.perf_counter() - t0
+    assert n_pieces >= 16, n_pieces
+    return {"case": "unigram_lm", "words": n_words,
+            "pieces": n_pieces, "sec": round(dt, 2)}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1323,6 +1346,9 @@ def main() -> None:
     if which in ("ohlc", "all"):
         out.append(ohlc_case(spark, 1_000_000))
         out.append(ohlc_case(spark, 10_000_000))
+    if which in ("unigram", "all"):
+        out.append(unigram_case(spark, 100_000))
+        out.append(unigram_case(spark, 1_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()

@@ -1,0 +1,226 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training — the other
+tokenizer family actually used for frontier-model corpora next to BPE
+(Kudo 2018, "Subword Regularization"; the sentencepiece trainer). This
+is the hard-EM / Viterbi variant: the e-step segments every corpus word
+with the current piece scores (best segmentation under the unigram
+objective sum(log p_i)), the m-step re-counts piece usage.
+
+Exactness discipline (the q125/q129 pattern): piece scores are
+QUANTIZED integers, round(ln(c/N) * 1e6) — both engines compute the
+identical double from identical integers and round once, so the whole
+Viterbi DP is int64 arithmetic and the best segmentation is
+bit-identical across engines. Ties between segmentations are broken
+toward the LONGEST final piece (smallest predecessor index), enforced
+identically in the Python DP (ascending-i scan, strict improvement) and
+the oracle's descending-length CASE.
+
+Bounded-model / unbounded-data split (the k-means discipline):
+  - the corpus is touched once (word_counts — reuse operators/bpe.py);
+    everything else runs on the (word, freq) VOCABULARY frame
+  - the piece vocabulary is rank-capped (c DESC, piece) and collected
+    to the driver ONCE per iteration (vocab_cap-enforced, loud
+    ValueError), then closure-shipped into an Arrow-batched mapInPandas
+    e-step — corpus-parallel Viterbi, no shuffle before the UDF, one
+    vocab-sized aggregation after (the "broadcast-Viterbi" shape)
+  - single-character pieces are ALWAYS kept (coverage guarantee: every
+    word segments), flooring at count 1 on later iterations
+
+Scale shape at 100 TB: the e-step is embarrassingly parallel over the
+distinct-words frame (itself corpus-reduced); per-word DP cost is
+O(len * max_piece_len); the m-step shuffle is bounded by the vocab.
+
+Reference behavior cited for parity: Kudo 2018 §3 (EM over a bounded
+seed vocabulary, Viterbi decode); no reference-repo counterpart — the
+reference is a streaming loader (Processing.scala) with no tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# hard backstop for the driver-side vocabulary collect: rank-capped
+# multi-char pieces plus at most this many distinct single chars
+_MAX_SINGLES = 65_536
+
+
+def seed_vocab(
+    words: DataFrame,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    vocab_cap: int = 8192,
+) -> DataFrame:
+    """Seed piece vocabulary from a (word, freq) frame: every substring
+    of length 1..max_piece_len, count-weighted (overlapping occurrences
+    count, the standard seed), filtered to count >= min_count, then
+    rank-capped at vocab_cap multi-char pieces by (c DESC, piece).
+    Single chars always survive both the filter and the cap (coverage).
+    Output: (piece, c). The global rank window runs on the vocab-sized
+    candidate frame, not the corpus."""
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    starts = words.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
+    )
+    lens = starts.select(
+        "word",
+        "freq",
+        "s",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(
+                    F.lit(max_piece_len), F.length("word") - F.col("s") + 1
+                ),
+            )
+        ).alias("l"),
+    )
+    pieces = lens.select(
+        "freq", F.col("word").substr(F.col("s"), F.col("l")).alias("piece")
+    )
+    counts = pieces.groupBy("piece").agg(F.sum("freq").alias("c"))
+    kept = counts.where(
+        (F.length("piece") == 1) | (F.col("c") >= min_count)
+    )
+    rank = Window.orderBy(F.desc("c"), "piece")
+    multi = (
+        kept.where(F.length("piece") > 1)
+        .withColumn("__r", F.row_number().over(rank))
+        .where(F.col("__r") <= vocab_cap)
+        .drop("__r")
+    )
+    return kept.where(F.length("piece") == 1).unionByName(multi)
+
+
+def score_pieces(vocab: DataFrame) -> DataFrame:
+    """Attach the quantized unigram log-prob: score_micro =
+    round(ln(c / N) * 1e6) as BIGINT, N = sum of counts over the kept
+    vocabulary. The 1-row total rides a broadcast scalar merge (the
+    plans/queries.py:583 pattern)."""
+    tot = vocab.agg(F.sum("c").alias("__N"))
+    return vocab.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "c",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("__N").cast("double"))
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("score_micro"),
+    )
+
+
+def _viterbi(word: str, scores: dict, max_len: int) -> list:
+    """Best segmentation under sum(score_micro), pure-int DP. Ties go
+    to the longest final piece: ascending-i scan with strict
+    improvement keeps the smallest predecessor (= longest piece)."""
+    n = len(word)
+    best = [None] * (n + 1)
+    pred = [0] * (n + 1)
+    best[0] = 0
+    for j in range(1, n + 1):
+        bj, pj = None, -1
+        for i in range(max(0, j - max_len), j):
+            if best[i] is None:
+                continue
+            s = scores.get(word[i:j])
+            if s is None:
+                continue
+            cand = best[i] + s
+            if bj is None or cand > bj:
+                bj, pj = cand, i
+        best[j], pred[j] = bj, pj
+    if best[n] is None:  # unreachable when every char is in the vocab
+        raise ValueError(f"unigram: word {word!r} not segmentable")
+    out = []
+    j = n
+    while j > 0:
+        i = pred[j]
+        out.append(word[i:j])
+        j = i
+    return out
+
+
+def _collect_scores(scored: DataFrame, vocab_cap: int) -> dict:
+    rows = scored.select("piece", "score_micro").collect()
+    if len(rows) > vocab_cap + _MAX_SINGLES:
+        raise ValueError(
+            f"unigram: vocabulary {len(rows)} exceeds the driver-side "
+            f"bound {vocab_cap} + {_MAX_SINGLES} singles — raise "
+            "vocab_cap deliberately or pre-filter the corpus"
+        )
+    return {r["piece"]: r["score_micro"] for r in rows}
+
+
+def _estep(words: DataFrame, scores: dict, max_piece_len: int) -> DataFrame:
+    """Viterbi-segment every (word, freq) row and count piece usage:
+    Arrow-batched mapInPandas with the integer score dict in the
+    closure; one vocab-bounded aggregation after."""
+    import pandas as pd
+
+    def seg(batches):
+        for pdf in batches:
+            out_p: list = []
+            out_f: list = []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                for piece in _viterbi(word, scores, max_piece_len):
+                    out_p.append(piece)
+                    out_f.append(freq)
+            yield pd.DataFrame({"piece": out_p, "freq": out_f})
+
+    return (
+        words.select("word", "freq")
+        .mapInPandas(seg, "piece string, freq long")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("em_count"))
+    )
+
+
+def unigram_train(
+    words: DataFrame,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    vocab_cap: int = 8192,
+    n_iter: int = 1,
+) -> DataFrame:
+    """Train: seed vocab -> n_iter rounds of (score, broadcast-Viterbi
+    e-step, m-step recount). Pieces unused by an e-step are pruned from
+    the next round's vocabulary (the natural unigram pruning), except
+    single chars, which floor at count 1 (coverage). Returns, for every
+    piece used by the FINAL e-step: (piece, seed_count, score_micro,
+    em_count) — score_micro is the score that PRODUCED that final
+    segmentation, so the row set is replayable end to end."""
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    seed = checkpoint_nostats(seed_vocab(words, max_piece_len, min_count, vocab_cap))
+    vocab = seed
+    em = None
+    scored = None
+    for _ in range(n_iter):
+        scored = checkpoint_nostats(score_pieces(vocab))
+        scores = _collect_scores(scored, vocab_cap)
+        em = checkpoint_nostats(_estep(words, scores, max_piece_len))
+        # next round's vocabulary: used pieces, singles floored at 1
+        vocab = (
+            scored.select("piece")
+            .join(em, "piece", "left")
+            .where(
+                (F.length("piece") == 1) | F.col("em_count").isNotNull()
+            )
+            .select(
+                "piece", F.coalesce("em_count", F.lit(1)).alias("c")
+            )
+        )
+    return (
+        em.join(F.broadcast(scored.select("piece", "score_micro")), "piece")
+        .join(
+            F.broadcast(seed.select("piece", F.col("c").alias("seed_count"))),
+            "piece",
+        )
+        .select("piece", "seed_count", "score_micro", "em_count")
+    )

@@ -979,6 +979,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         (F.col("twap_cents") * 10_000_000_000 + F.col("twap_den")).alias("v3"),
     )
+    unig = q.q142_unigram_lm(spark, sf_dir).select(
+        F.lit("unigram").alias("battery"),
+        F.col("piece").alias("key"),
+        F.col("seed_count").alias("v1"),
+        F.col("score_micro").alias("v2"),
+        F.col("em_count").alias("v3"),
+    )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
         F.col("label").cast("string").alias("key"),
@@ -1052,6 +1059,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(chi)
         .union(aucr)
         .union(ohlcb)
+        .union(unig)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1212,7 +1220,7 @@ _FOLDED = {
     "q132_spearman", "q133_label_scatter", "q134_topo_layers",
     "q135_link_prediction", "q136_kmv_distinct",
     "q137_winnow_fingerprints", "q138_event_acf", "q139_association",
-    "q140_auc", "q141_ohlc_bars",
+    "q140_auc", "q141_ohlc_bars", "q142_unigram_lm",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1983,6 +1991,10 @@ SELECT 'ohlc' AS battery,
        close_cents * 10000000000 + high_cents - low_cents AS v2,
        twap_cents * 10000000000 + twap_den AS v3
 FROM ({ORACLES["q141_ohlc_bars"]})
+UNION ALL
+SELECT 'unigram' AS battery, piece AS key,
+       seed_count AS v1, score_micro AS v2, em_count AS v3
+FROM ({ORACLES["q142_unigram_lm"]})
 ORDER BY battery, key, v1
 """
 

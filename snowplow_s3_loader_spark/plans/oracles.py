@@ -2997,3 +2997,86 @@ SELECT event_type, bucket, open_cents, high_cents, low_cents, close_cents,
 FROM agg
 ORDER BY event_type, bucket
 """
+
+# q142: unigram-LM tokenizer training — FULL SQL replay of the
+# hard-EM/Viterbi pipeline: seed substring counts, the rank-capped
+# vocabulary, quantized ln(c/N)*1e6 scores, the Viterbi DP as a
+# lockstep recursive CTE carrying a sliding window of the last 4 best
+# values (so each step only needs the previous iteration's row), ties
+# to the longest piece via the descending-length CASE, and the
+# backtrack as a second recursive CTE walking pred = j - lstar.
+ORACLES["q142_unigram_lm"] = """
+WITH RECURSIVE
+wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+    FROM documents
+  ) WHERE len(word) > 0 GROUP BY word
+),
+starts AS (SELECT word, freq, unnest(range(1, len(word)+1)) AS s FROM wc),
+subpieces AS (
+  SELECT substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS piece,
+         freq
+  FROM (SELECT word, freq, s,
+               unnest(range(1, least(4, len(word) - s + 1) + 1)) AS l
+        FROM starts)
+),
+cnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+        FROM subpieces GROUP BY piece),
+kept AS (SELECT piece, c FROM cnt WHERE len(piece) = 1 OR c >= 2),
+multi AS (
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS r
+    FROM kept WHERE len(piece) > 1) WHERE r <= 8192
+),
+vocab0 AS (
+  SELECT piece, c FROM kept WHERE len(piece) = 1
+  UNION ALL SELECT piece, c FROM multi
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab0),
+vocab AS (
+  SELECT piece, c,
+         CAST(round(ln(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS score_micro
+  FROM vocab0 CROSS JOIN tot t
+),
+dp(word, freq, n, j, b0, b1, b2, b3, lstar) AS (
+  SELECT word, freq, CAST(len(word) AS INTEGER), 0, CAST(0 AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS INTEGER)
+  FROM wc
+  UNION ALL
+  SELECT word, freq, n, j + 1, best, b0, b1, b2, lst FROM (
+    SELECT d.word, d.freq, d.n, d.j, d.b0, d.b1, d.b2,
+           greatest(d.b0 + v1.score_micro,
+                    d.b1 + v2.score_micro,
+                    d.b2 + v3.score_micro,
+                    d.b3 + v4.score_micro) AS best,
+           CASE WHEN d.b3 + v4.score_micro = best THEN 4
+                WHEN d.b2 + v3.score_micro = best THEN 3
+                WHEN d.b1 + v2.score_micro = best THEN 2
+                ELSE 1 END AS lst
+    FROM dp d
+    LEFT JOIN vocab v1 ON v1.piece = substr(d.word, d.j + 1, 1)
+    LEFT JOIN vocab v2 ON d.j >= 1 AND v2.piece = substr(d.word, d.j, 2)
+    LEFT JOIN vocab v3 ON d.j >= 2 AND v3.piece = substr(d.word, d.j - 1, 3)
+    LEFT JOIN vocab v4 ON d.j >= 3 AND v4.piece = substr(d.word, d.j - 2, 4)
+    WHERE d.j < d.n
+  )
+),
+bt(word, freq, j, l) AS (
+  SELECT word, freq, j, lstar FROM dp WHERE j = n
+  UNION ALL
+  SELECT b.word, b.freq, d.j, d.lstar
+  FROM bt b JOIN dp d ON d.word = b.word AND d.j = b.j - b.l
+  WHERE b.j - b.l > 0
+),
+em AS (
+  SELECT substr(word, j - l + 1, l) AS piece,
+         CAST(sum(freq) AS BIGINT) AS em_count
+  FROM bt GROUP BY piece
+)
+SELECT v.piece, v.c AS seed_count, v.score_micro, e.em_count
+FROM vocab v JOIN em e ON e.piece = v.piece
+ORDER BY v.piece
+"""

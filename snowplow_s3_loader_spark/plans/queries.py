@@ -2950,6 +2950,28 @@ def q141_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket")
 
 
+def q142_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training over the
+    document corpus (Kudo 2018, hard-EM/Viterbi variant): seed
+    substring vocabulary (len<=4, count>=2, rank-capped, singles always
+    kept), quantized integer log-prob scores round(ln(c/N)*1e6), one
+    broadcast-Viterbi e-step over the (word, freq) frame, one
+    vocab-sized m-step. The oracle replays the ENTIRE pipeline in SQL:
+    the Viterbi DP as a lockstep recursive CTE carrying the last 4 best
+    values, ties to the longest piece, and the backtrack as a second
+    recursive CTE — so segmentation, scores and counts are all
+    bit-checked. The corpus is touched once (word_counts)."""
+    from snowplow_s3_loader_spark.operators import bpe
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+    from snowplow_s3_loader_spark.operators.unigram import unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = checkpoint_nostats(bpe.word_counts(docs, "text"))
+    return unigram_train(
+        wc, max_piece_len=4, min_count=2, vocab_cap=8192, n_iter=1
+    ).orderBy("piece")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3092,5 +3114,6 @@ QUERIES = {
         q139_association,
         q140_auc,
         q141_ohlc_bars,
+        q142_unigram_lm,
     ]
 }

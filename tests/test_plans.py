@@ -834,3 +834,14 @@ def test_q141_ohlc_one_keyed_window_no_join(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "event_type" in line and "bucket" in line, line
+
+
+def test_q142_unigram_broadcast_joins_only(spark, sf_dir):
+    """The e-step result is a checkpointed vocab-sized frame; the output
+    assembly must be broadcast joins against the (also checkpointed)
+    vocab frames — no sort-merge join, no cartesian, no corpus rescan
+    (the corpus is touched once inside the checkpointed word_counts)."""
+    plan = plan_of(Q.q142_unigram_lm(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan)) <= 2, plan

@@ -118,3 +118,125 @@ class TestOhlcBars:
         df = _mk(spark, [("a", T0, 1, 1)])
         with pytest.raises(ValueError, match="unit must be one of"):
             ohlc_bars(df, ["k"], "ts", "cents", "tb", "fortnight")
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer training (q142)
+# ---------------------------------------------------------------------------
+
+def _ref_unigram(words, L=4, min_count=2, cap=100, n_iter=1):
+    """Independent pure-python hard-EM unigram trainer (dict/loop based,
+    shares no code with the operator): returns
+    {piece: (seed_count, score_micro, em_count)} for final-e-step pieces."""
+    from math import log
+
+    cnt = {}
+    for w, f in words.items():
+        n = len(w)
+        for s in range(n):
+            for l in range(1, min(L, n - s) + 1):
+                p = w[s : s + l]
+                cnt[p] = cnt.get(p, 0) + f
+    kept = {p: c for p, c in cnt.items() if len(p) == 1 or c >= min_count}
+    multi = sorted(
+        ((p, c) for p, c in kept.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:cap]
+    vocab = {p: c for p, c in kept.items() if len(p) == 1}
+    vocab.update(dict(multi))
+    seed = dict(vocab)
+
+    def seg(w, scores):
+        n = len(w)
+        best = {0: 0}
+        pred = {}
+        for j in range(1, n + 1):
+            for i in range(max(0, j - L), j):
+                if i not in best or w[i:j] not in scores:
+                    continue
+                cand = best[i] + scores[w[i:j]]
+                if j not in best or cand > best[j]:
+                    best[j], pred[j] = cand, i
+        out, j = [], n
+        while j > 0:
+            out.append(w[pred[j] : j])
+            j = pred[j]
+        return out
+
+    scores, em = {}, {}
+    for _ in range(n_iter):
+        tot = sum(vocab.values())
+        scores = {p: int(round(log(c / tot) * 1e6)) for p, c in vocab.items()}
+        em = {}
+        for w, f in words.items():
+            for p in seg(w, scores):
+                em[p] = em.get(p, 0) + f
+        vocab = {
+            p: (em.get(p, 1) if len(p) == 1 else em[p])
+            for p in scores
+            if len(p) == 1 or p in em
+        }
+    return {p: (seed[p], scores[p], em[p]) for p in em}
+
+
+_CORPUS = {
+    "spark": 7, "sparks": 3, "park": 5, "parka": 2, "ark": 4,
+    "a": 9, "bark": 1, "sparkbark": 2, "parkpark": 1,
+}
+
+
+class TestUnigramLM:
+    def _train(self, spark, n_iter):
+        from snowplow_s3_loader_spark.operators.unigram import unigram_train
+
+        words = spark.createDataFrame(
+            list(_CORPUS.items()), "word string, freq long"
+        )
+        out = unigram_train(words, 4, 2, 100, n_iter=n_iter)
+        return {
+            r["piece"]: (r["seed_count"], r["score_micro"], r["em_count"])
+            for r in out.collect()
+        }
+
+    def test_matches_reference_one_iter(self, spark):
+        assert self._train(spark, 1) == _ref_unigram(_CORPUS, n_iter=1)
+
+    def test_matches_reference_two_iter(self, spark):
+        got = self._train(spark, 2)
+        assert got == _ref_unigram(_CORPUS, n_iter=2)
+
+    def test_counts_are_corpus_weighted(self, spark):
+        got = self._train(spark, 1)
+        assert sum(c for _, _, c in got.values()) >= sum(_CORPUS.values())
+
+    def test_viterbi_tie_prefers_longest_piece(self):
+        from snowplow_s3_loader_spark.operators.unigram import _viterbi
+
+        # a+a == aa exactly: the tie must resolve to the LONGEST piece
+        assert _viterbi("aa", {"a": -5, "aa": -10}, 4) == ["aa"]
+        # strictly better two-piece split still wins
+        assert _viterbi("aa", {"a": -4, "aa": -10}, 4) == ["a", "a"]
+
+    def test_viterbi_unsegmentable_raises(self):
+        from snowplow_s3_loader_spark.operators.unigram import _viterbi
+
+        with pytest.raises(ValueError, match="not segmentable"):
+            _viterbi("ab", {"a": -1}, 4)
+
+    def test_singles_survive_cap(self, spark):
+        from snowplow_s3_loader_spark.operators.unigram import seed_vocab
+
+        words = spark.createDataFrame(
+            list(_CORPUS.items()), "word string, freq long"
+        )
+        vocab = {r["piece"] for r in seed_vocab(words, 4, 2, 1).collect()}
+        for ch in "sparkb":
+            assert ch in vocab
+        assert len([p for p in vocab if len(p) > 1]) == 1
+
+    def test_bad_n_iter_rejected(self, spark):
+        from snowplow_s3_loader_spark.operators.unigram import unigram_train
+
+        words = spark.createDataFrame([("ab", 1)], "word string, freq long")
+        with pytest.raises(ValueError, match="n_iter"):
+            unigram_train(words, n_iter=0)
