@@ -1247,6 +1247,34 @@ def unigram_case(spark, n_words: int) -> dict:
             "pieces": n_pieces, "sec": round(dt, 2)}
 
 
+def urldedup_case(spark, n_rows: int) -> dict:
+    """URL dedup + domain cap (round-9 q143): n_rows messy URLs over
+    n/5 distinct canonical forms across 1000 domains. Codegen'd
+    canonicalization + one keyed agg + one domain window — wall must
+    track the scan; the window runs on the REDUCED url frame."""
+    from snowplow_s3_loader_spark.operators.urls import domain_cap, url_dedup
+
+    base = (F.abs(F.xxhash64("id")) % (n_rows // 5)).cast("string")
+    docs = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, "https").otherwise("HTTPS"),
+            F.lit("://"),
+            F.when(F.col("id") % 3 == 0, "www.").otherwise(""),
+            F.lit("host"), (F.abs(F.xxhash64("id")) % 1000).cast("string"),
+            F.lit(".com/p/"), base,
+            F.when(F.col("id") % 5 == 0, "/?utm_source=x&a=1").otherwise("?a=1"),
+        ).alias("url"),
+    )
+    docs.count()
+    t0 = time.perf_counter()
+    out = domain_cap(url_dedup(docs, "url", "doc_id"), 100)
+    n_urls = out.count()
+    dt = time.perf_counter() - t0
+    assert n_urls <= n_rows // 5 + 1000, n_urls
+    return {"case": "url_dedup", "rows": n_rows, "urls": n_urls, "sec": round(dt, 2)}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1349,6 +1377,9 @@ def main() -> None:
     if which in ("unigram", "all"):
         out.append(unigram_case(spark, 100_000))
         out.append(unigram_case(spark, 1_000_000))
+    if which in ("urldedup", "all"):
+        out.append(urldedup_case(spark, 1_000_000))
+        out.append(urldedup_case(spark, 10_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()

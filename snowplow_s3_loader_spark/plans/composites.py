@@ -979,6 +979,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         (F.col("twap_cents") * 10_000_000_000 + F.col("twap_den")).alias("v3"),
     )
+    urld = q.q143_url_dedup(spark, sf_dir).select(
+        F.lit("urldedup").alias("battery"),
+        F.col("canonical_url").alias("key"),
+        (F.col("n_dups") * 10_000_000_000 + F.col("keep_id")).alias("v1"),
+        F.col("drank").cast("long").alias("v2"),
+        F.col("kept").cast("long").alias("v3"),
+    )
     unig = q.q142_unigram_lm(spark, sf_dir).select(
         F.lit("unigram").alias("battery"),
         F.col("piece").alias("key"),
@@ -1060,6 +1067,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(aucr)
         .union(ohlcb)
         .union(unig)
+        .union(urld)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1220,7 +1228,7 @@ _FOLDED = {
     "q132_spearman", "q133_label_scatter", "q134_topo_layers",
     "q135_link_prediction", "q136_kmv_distinct",
     "q137_winnow_fingerprints", "q138_event_acf", "q139_association",
-    "q140_auc", "q141_ohlc_bars", "q142_unigram_lm",
+    "q140_auc", "q141_ohlc_bars", "q142_unigram_lm", "q143_url_dedup",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -1995,6 +2003,11 @@ UNION ALL
 SELECT 'unigram' AS battery, piece AS key,
        seed_count AS v1, score_micro AS v2, em_count AS v3
 FROM ({ORACLES["q142_unigram_lm"]})
+UNION ALL
+SELECT 'urldedup' AS battery, canonical_url AS key,
+       n_dups * 10000000000 + keep_id AS v1,
+       CAST(drank AS BIGINT) AS v2, CAST(kept AS BIGINT) AS v3
+FROM ({ORACLES["q143_url_dedup"]})
 ORDER BY battery, key, v1
 """
 

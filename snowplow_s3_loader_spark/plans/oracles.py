@@ -3080,3 +3080,103 @@ SELECT v.piece, v.c AS seed_count, v.score_micro, e.em_count
 FROM vocab v JOIN em e ON e.piece = v.piece
 ORDER BY v.piece
 """
+
+# q143: URL dedup — identical messy-URL synthesis, then the full
+# canonicalization contract replayed step by step (note the 'g' flag on
+# the slash-collapse: DuckDB regexp_replace is first-match-only by
+# default while Spark's replaces all). Rank order inside a domain is
+# (md5(url), url) in both engines.
+ORACLES["q143_url_dedup"] = r"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+    || '://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+    || 'Site' || CAST(doc_id % 7 AS VARCHAR)
+    || (CASE WHEN doc_id % 11 = 0 THEN '.co.uk' ELSE '.com' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN
+          (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+        ELSE '' END)
+    || '/' || source
+    || (CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+        ELSE '?a=1&b=2' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM raw),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM c1
+),
+hp AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM parts),
+hh AS (
+  SELECT *,
+    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                   '^www\.', '') AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    substr(rest, len(hostport) + 1) AS pathq
+  FROM hp
+),
+pq AS (
+  SELECT *,
+    CASE WHEN port = '' THEN ''
+         WHEN scheme = 'http' AND port = '80' THEN ''
+         WHEN scheme = 'https' AND port = '443' THEN ''
+         ELSE ':' || port END AS keep_port,
+    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                   '/{2,}', '/', 'g') AS path0,
+    regexp_extract(pathq, '\?(.*)$', 1) AS query
+  FROM hh
+),
+cn AS (
+  SELECT doc_id,
+    CASE WHEN scheme <> '' AND host <> '' THEN
+      scheme || '://' || host || keep_port
+      || (CASE WHEN path0 = '' THEN '/'
+               WHEN path0 <> '/' THEN regexp_replace(path0, '/$', '')
+               ELSE path0 END)
+      || (CASE WHEN kp <> '' THEN '?' || kp ELSE '' END)
+    END AS canonical_url
+  FROM (
+    SELECT *,
+      array_to_string(list_sort(list_filter(string_split(query, '&'),
+        p -> NOT regexp_matches(p, '^(utm_|fbclid|gclid)')
+             AND p <> '')), '&') AS kp
+    FROM pq
+  )
+),
+agg AS (
+  SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+         min(doc_id) AS keep_id
+  FROM cn WHERE canonical_url IS NOT NULL GROUP BY canonical_url
+),
+dom AS (
+  SELECT *,
+    CASE WHEN len(labels) <= 2 THEN h
+         WHEN labels[-2] || '.' || labels[-1] IN
+              ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au',
+               'org.au','co.jp','co.kr','com.br','com.cn')
+              AND len(labels) >= 3
+         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         ELSE labels[-2] || '.' || labels[-1] END AS domain
+  FROM (
+    SELECT *, string_split(h, '.') AS labels FROM (
+      SELECT *, regexp_extract(canonical_url,
+                '^[a-z0-9+.-]+://([^/:?]*)', 1) AS h
+      FROM agg
+    )
+  )
+)
+SELECT canonical_url, n_dups, keep_id, domain,
+       row_number() OVER (PARTITION BY domain
+                          ORDER BY md5(canonical_url), canonical_url)
+         AS drank,
+       CAST((row_number() OVER (PARTITION BY domain
+                          ORDER BY md5(canonical_url), canonical_url)
+             <= 3) AS INTEGER) AS kept
+FROM dom
+ORDER BY canonical_url
+"""

@@ -2972,6 +2972,49 @@ def q142_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("piece")
 
 
+def q143_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL/domain-level dedup (the standard
+    pretraining dedup axis that runs before any content pass). The
+    corpus has no URL column, so the query synthesizes deterministic
+    MESSY urls from (doc_id, source, lang) — mixed-case schemes/hosts,
+    www. prefixes, default and non-default ports, doubled slashes,
+    trailing slashes, tracking params in shuffled order, fragments —
+    identically in both engines, then canonicalizes with pure
+    expressions, dedups with ONE canonical-URL aggregation, and applies
+    a per-registered-domain cap ranked by md5 (q58 hash-order
+    discipline). Every canonicalization rule is exercised by
+    construction; URLs differing only in junk collapse to one row."""
+    from snowplow_s3_loader_spark.operators.urls import domain_cap, url_dedup
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.when(d % 2 == 0, "https").otherwise("HTTP"),
+            F.lit("://"),
+            F.when(d % 5 == 0, "WWW.").otherwise(""),
+            F.lit("Site"),
+            (d % 7).cast("string"),
+            F.when(d % 11 == 0, ".co.uk").otherwise(".com"),
+            F.when(
+                d % 3 == 0,
+                F.when(d % 2 == 0, ":443").otherwise(":80"),
+            ).otherwise(""),
+            F.lit("/"),
+            F.col("source"),
+            F.when(d % 4 == 0, "//").otherwise(""),
+            F.when(d % 6 == 0, "/").otherwise(""),
+            F.when(d % 2 == 0, "?utm_source=feed&b=2&a=1").otherwise(
+                "?a=1&b=2"
+            ),
+            F.when(d % 7 == 0, "#frag").otherwise(""),
+        ),
+    )
+    return domain_cap(url_dedup(docs, "url", "doc_id"), 3).orderBy(
+        "canonical_url"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3115,5 +3158,6 @@ QUERIES = {
         q140_auc,
         q141_ohlc_bars,
         q142_unigram_lm,
+        q143_url_dedup,
     ]
 }

@@ -845,3 +845,14 @@ def test_q142_unigram_broadcast_joins_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "Scan parquet" not in plan, plan
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan)) <= 2, plan
+
+
+def test_q143_url_dedup_expressions_plus_two_keyed_exchanges(spark, sf_dir):
+    """Canonicalization must stay whole-stage-codegen expressions over
+    the scan (no UDF, no join); the only wide operations are the
+    canonical-URL aggregation and the domain rank window (plus the
+    presentation sort)."""
+    plan = plan_of(Q.q143_url_dedup(spark, sf_dir))
+    assert "Join" not in plan and "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan

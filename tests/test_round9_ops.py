@@ -240,3 +240,93 @@ class TestUnigramLM:
         words = spark.createDataFrame([("ab", 1)], "word string, freq long")
         with pytest.raises(ValueError, match="n_iter"):
             unigram_train(words, n_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (q143)
+# ---------------------------------------------------------------------------
+
+class TestUrlDedup:
+    def _canon(self, spark, urls):
+        from snowplow_s3_loader_spark.operators.urls import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [
+            r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+        ]
+
+    def test_canonicalization_rules(self, spark):
+        got = self._canon(
+            spark,
+            [
+                "HTTPS://WWW.Example.COM:443//a//b/?utm_source=x&b=2&a=1#frag",
+                "http://example.com:80/",
+                "http://example.com:8080/x",
+                "https://example.com",
+                "https://example.com/a/?fbclid=1&gclid=2&utm_campaign=3",
+                "not a url",
+                "ftp://Files.example.com/Pub/",
+            ],
+        )
+        assert got == [
+            "https://example.com/a/b?a=1&b=2",
+            "http://example.com/",
+            "http://example.com:8080/x",
+            "https://example.com/",
+            "https://example.com/a",
+            None,
+            "ftp://files.example.com/Pub",
+        ]
+
+    def test_param_order_never_splits(self, spark):
+        a, b = self._canon(
+            spark, ["https://x.com/p?b=2&a=1", "https://x.com/p?a=1&b=2"]
+        )
+        assert a == b == "https://x.com/p?a=1&b=2"
+
+    def test_registered_domain(self, spark):
+        from snowplow_s3_loader_spark.operators.urls import registered_domain
+
+        df = spark.createDataFrame(
+            [("a.b.example.co.uk",), ("sub.example.com",), ("example.com",),
+             ("localhost",), ("deep.www.example.com.au",)],
+            "h string",
+        )
+        got = [r["d"] for r in df.select(registered_domain(F.col("h")).alias("d")).collect()]
+        assert got == [
+            "example.co.uk", "example.com", "example.com",
+            "localhost", "example.com.au",
+        ]
+
+    def test_dedup_and_cap(self, spark):
+        from snowplow_s3_loader_spark.operators.urls import domain_cap, url_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.com/x?utm_source=1"),
+                (2, "https://WWW.a.com/x"),
+                (3, "https://a.com/x/"),
+                (4, "https://a.com/y"),
+                (5, "https://a.com/z"),
+                (6, "https://b.com/only"),
+                (7, "garbage"),
+            ],
+            "doc_id long, url string",
+        )
+        out = domain_cap(url_dedup(df, "url", "doc_id"), 2)
+        rows = {r["canonical_url"]: r for r in out.collect()}
+        # 1,2,3 collapse; 7 excluded (no canonical form)
+        assert rows["https://a.com/x"]["n_dups"] == 3
+        assert rows["https://a.com/x"]["keep_id"] == 1
+        assert len(rows) == 4
+        # cap=2 on a.com's three URLs: exactly 2 kept, 1 dropped
+        a_kept = [r["kept"] for u, r in rows.items() if r["domain"] == "a.com"]
+        assert sorted(a_kept) == [0, 1, 1]
+        assert rows["https://b.com/only"]["kept"] == 1
+
+    def test_bad_cap_rejected(self, spark):
+        from snowplow_s3_loader_spark.operators.urls import domain_cap, url_dedup
+
+        df = spark.createDataFrame([(1, "https://a.com/")], "doc_id long, url string")
+        with pytest.raises(ValueError, match="cap must be"):
+            domain_cap(url_dedup(df, "url", "doc_id"), 0)
