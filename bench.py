@@ -80,9 +80,13 @@ def main() -> None:
     attempts = int(os.environ.get("SPARK_GRAFT_ATTEMPTS", "2"))
     timings: dict[str, float] = {}
     # warmup: q03 absorbs JVM/codegen startup, q49 spins up the Python/Arrow
-    # worker pool (first pandas_udf pays ~5s once per session)
-    for warm in ("q03_broadcast_join", "q49_grouped_percentiles"):
+    # worker pool (first pandas_udf pays ~5s once per session), q83 warms
+    # the localCheckpoint/block-manager path the iterative queries share —
+    # its cold first run used to land inside the timed attempts and was the
+    # main source of the q83 driver-reading variance (r8 verdict #4)
+    for warm in ("q03_broadcast_join", "q49_grouped_percentiles", "q83_pagerank"):
         QUERIES[warm](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    sweep_checkpoint_blocks()
 
     for name, fn in sorted(QUERIES.items()):
         best = None

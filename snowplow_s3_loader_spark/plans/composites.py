@@ -1788,6 +1788,12 @@ FROM (
 )
 UNION ALL
 SELECT 'parity' AS battery,
+       'streaming_ohlc@' || event_type || '@' || CAST(b AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (SELECT DISTINCT event_type, date_trunc('hour', ts) AS b FROM events)
+UNION ALL
+SELECT 'parity' AS battery,
        'component_map@' || CAST(node AS VARCHAR) AS key,
        CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3

@@ -579,6 +579,88 @@ def _session_window_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+def _ohlc_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Streaming OHLC/TWAP vs the batch bars (round 9, q141 twin): per
+    (event_type, hour bucket), all eight output fields after folding
+    three seq-ordered micro-batches must equal the batch operator's row
+    on the union — the documented log-shipping exactness case. seq is a
+    per-type row_number over (ts, event_id), so per-(key, bucket)
+    arrival stays (ts, tiebreak)-ordered across the tertile split."""
+    from pyspark.sql.window import Window
+
+    from snowplow_s3_loader_spark.operators.timeseries import ohlc_bars
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_ohlc
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            (F.round(F.col("value") * 100).cast("long") - 2500).alias("cents"),
+        )
+        .withColumn("seq", F.row_number().over(w).cast("long"))
+    )
+    [row] = ev.select(
+        F.expr("percentile(seq, array(0.34, 0.67))").alias("c")
+    ).collect()
+    c1, c2 = int(row["c"][0]), int(row["c"][1])
+    cols = ["event_type", "event_id", "ts", "cents"]
+    slices = [
+        ev.where(F.col("seq") <= c1).select(cols),
+        ev.where((F.col("seq") > c1) & (F.col("seq") <= c2)).select(cols),
+        ev.where(F.col("seq") > c2).select(cols),
+    ]
+    tmp = tempfile.mkdtemp(prefix="parity_ohlc_")
+    final: dict = {}
+    fields = [
+        "open_cents", "high_cents", "low_cents", "close_cents",
+        "n_ticks", "twap_num", "twap_den", "twap_cents",
+    ]
+    try:
+        in_dir = _write_stream_files(slices, tmp)
+        src = (
+            spark.readStream.schema(
+                "event_type string, event_id bigint, ts timestamp_ntz, cents bigint"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+        )
+
+        def _fb(df, bid):
+            for r in df.collect():  # update mode: later batches overwrite
+                final[(r["event_type"], r["bucket"])] = tuple(
+                    r[f] for f in fields
+                )
+
+        _run_stream(
+            streaming_ohlc(
+                src, "event_type", "bucket", "ts", "event_id", "cents",
+                span_us=3_600_000_000,
+            ),
+            tmp,
+            _fb,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    batch = {
+        (r["event_type"], r["bucket"]): tuple(r[f] for f in fields)
+        for r in ohlc_bars(
+            ev, ["event_type"], "ts", "cents", "event_id", "hour"
+        ).collect()
+    }
+    return [
+        (
+            "streaming_ohlc",
+            f"{k}@{b}",
+            int(batch.get((k, b)) == final.get((k, b))),
+        )
+        for (k, b) in sorted(set(batch) | set(final))
+    ]
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check_name, key, is_match) for all four parity families, fully
     materialized driver-side (literal rows — no lingering plan or
@@ -588,13 +670,14 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, not three."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=6) as ex:
+    with ThreadPoolExecutor(max_workers=7) as ex:
         fut_funnel = ex.submit(_funnel_parity, spark, sf_dir)
         fut_heavy = ex.submit(_heavy_parity, spark, sf_dir)
         fut_ssj = ex.submit(_interval_join_parity, spark, sf_dir)
         fut_cusum = ex.submit(_cusum_parity, spark, sf_dir)
         fut_trail = ex.submit(_trailing_parity, spark, sf_dir)
         fut_sess = ex.submit(_session_window_parity, spark, sf_dir)
+        fut_ohlc = ex.submit(_ohlc_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
         rows = (
             fut_funnel.result()
@@ -603,6 +686,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             + fut_cusum.result()
             + fut_trail.result()
             + fut_sess.result()
+            + fut_ohlc.result()
             + cm_rows
         )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

@@ -706,3 +706,144 @@ def streaming_trailing_distinct(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_ohlc(
+    ticks: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    cents_col: str,
+    span_us: int,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of timeseries.ohlc_bars: per (key, bucket) OHLC +
+    exact truncating TWAP maintained across micro-batches with NINE
+    integers of state (open, high, low, last value, tick count, partial
+    twap num/den, last tick's ts in us, first-batch flag folded into
+    open being set).
+
+    Each new tick closes the PREVIOUS tick's holding interval
+    (dur = ts - last_ts, num += last_c * dur) — exactly the batch
+    operator's lead(ts) rule unrolled into a running recursion — and
+    every emission finalizes the bar as if it closed now: the last
+    tick's interval runs to the bar end (bucket + span_us), so when the
+    stream drains, the final per-(key, bucket) emission EQUALS the
+    batch operator's row on the union (differential-tested; the q141
+    parity family). Ticks must arrive in (ts, tiebreak) order per key
+    across batches — the log-shipping case, same contract as
+    streaming_cusum; within a batch they are sorted.
+
+    State is bounded: one row per live (key, bucket); pass timeout_ms
+    for processing-time eviction of closed bars in always-on runs.
+
+    Emits one row per touched (key, bucket) per batch with the batch
+    operator's exact output columns."""
+    import numpy as np
+
+    key_type = ticks.schema[key_col].dataType
+    bucket_type = ticks.schema[bucket_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField(bucket_col, bucket_type),
+            StructField("open_cents", LongType()),
+            StructField("high_cents", LongType()),
+            StructField("low_cents", LongType()),
+            StructField("close_cents", LongType()),
+            StructField("n_ticks", LongType()),
+            StructField("twap_num", LongType()),
+            StructField("twap_den", LongType()),
+            StructField("twap_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("open_c", LongType()),
+            StructField("high_c", LongType()),
+            StructField("low_c", LongType()),
+            StructField("last_c", LongType()),
+            StructField("n", LongType()),
+            StructField("num_p", LongType()),
+            StructField("den_p", LongType()),
+            StructField("last_ts_us", LongType()),
+        ]
+    )
+
+    def _us(series: pd.Series) -> "np.ndarray":
+        return series.to_numpy(dtype="datetime64[us]").astype("int64")
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        k, bucket = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(
+                [ts_col, tiebreak_col], kind="mergesort"
+            )
+            ts = _us(batch[ts_col])
+            c = batch[cents_col].to_numpy(dtype=np.int64)
+            if state.exists:
+                open_c, high_c, low_c, last_c, n, num_p, den_p, last_ts = (
+                    state.get
+                )
+            else:
+                open_c, high_c, low_c = int(c[0]), int(c[0]), int(c[0])
+                last_c, last_ts = int(c[0]), int(ts[0])
+                n, num_p, den_p = 1, 0, 0
+                ts, c = ts[1:], c[1:]
+            for t_i, c_i in zip(ts, c):
+                dur = int(t_i) - last_ts
+                num_p += last_c * dur
+                den_p += dur
+                last_c, last_ts = int(c_i), int(t_i)
+                high_c = max(high_c, last_c)
+                low_c = min(low_c, last_c)
+                n += 1
+            state.update(
+                (open_c, high_c, low_c, last_c, n, num_p, den_p, last_ts)
+            )
+        elif state.exists:
+            open_c, high_c, low_c, last_c, n, num_p, den_p, last_ts = (
+                state.get
+            )
+        else:
+            return
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        bar_end_us = (
+            bucket - _dt.datetime(1970, 1, 1)
+        ) // _dt.timedelta(microseconds=1) + span_us
+        tail = bar_end_us - last_ts
+        num, den = num_p + last_c * tail, den_p + tail
+        twap = num // den if num >= 0 else -((-num) // den)
+        yield pd.DataFrame(
+            {
+                key_col: [k],
+                bucket_col: [bucket],
+                "open_cents": [open_c],
+                "high_cents": [high_c],
+                "low_cents": [low_c],
+                "close_cents": [last_c],
+                "n_ticks": [n],
+                "twap_num": [num],
+                "twap_den": [den],
+                "twap_cents": [twap],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return ticks.groupBy(key_col, bucket_col).applyInPandasWithState(
+        _update, out_schema, state_schema, "update", timeout
+    )

@@ -404,7 +404,8 @@ def test_streaming_funnel_retro_event_improves_without_invalidating(spark, tmp_p
 def test_streaming_parity_rows_all_match(spark, sf_dir):
     """The driver-visible batch-vs-streaming parity audit (folded into
     q74_scale_battery) must emit is_match=1 for every key in all six
-    families (plus session_window, round 8's seventh) — a falsifiable
+    families (plus session_window and
+    streaming_ohlc, rounds 8/9) — a falsifiable
     audit is only useful if its green state is
     pinned here and its red states are reachable (each family's
     divergence behavior is covered by the operator-level differential
@@ -423,6 +424,7 @@ def test_streaming_parity_rows_all_match(spark, sf_dir):
         "streaming_cusum",
         "streaming_trailing",
         "session_window",
+        "streaming_ohlc",
     }, by_check
     for name, bits in by_check.items():
         assert bits and all(b == 1 for b in bits), (name, bits)
@@ -594,3 +596,85 @@ def test_session_window_gap_boundary_matches_batch_rule(spark):
     )
     got = {(r["user_id"], r["n"]) for r in out.collect()}
     assert got == {(1, 2), (2, 1)}, got
+
+
+def test_streaming_ohlc_matches_batch_on_ordered_stream(spark, tmp_path):
+    """streaming_ohlc over (ts, tiebreak)-ordered micro-batches must
+    equal ohlc_bars on the union for every (key, bucket) — all eight
+    fields, including TWAP whose tick-holding intervals cross batch
+    boundaries (the recursion carries last_ts/last_c) and bars whose
+    ticks span all three batches."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as SF
+
+    from snowplow_s3_loader_spark.operators.timeseries import ohlc_bars
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_ohlc
+
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    for k in ("x", "y"):
+        for i in range(90):
+            # ~3 ticks/minute over 2 hours -> two bars per key; negative
+            # cents exercise the truncating-division sign path
+            ts = t0 + dt.timedelta(minutes=i * 80 / 60.0)
+            shift = 350 if k == "x" else 150  # key x's bars go net-negative
+            rows.append((k, ts, i, (i * 37) % 400 - shift))
+    rows.sort(key=lambda r: (r[1], r[2]))
+    df_all = spark.createDataFrame(
+        rows, "k string, ts timestamp_ntz, tb long, cents long"
+    )
+    thirds = [rows[:60], rows[60:120], rows[120:]]
+    in_dir = tmp_path / "ohlc_in"
+    in_dir.mkdir(parents=True)
+    base_t = _time.time() - 100
+    for i, chunk in enumerate(thirds):
+        stage = tmp_path / f"w{i}"
+        spark.createDataFrame(
+            chunk, "k string, ts timestamp_ntz, tb long, cents long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            f for f in os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = in_dir / f"b{i}.parquet"
+        (stage / part).rename(dst)
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+
+    src = (
+        spark.readStream.schema(
+            "k string, ts timestamp_ntz, tb long, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .withColumn("bucket", SF.date_trunc("hour", SF.col("ts")))
+    )
+    fields = [
+        "open_cents", "high_cents", "low_cents", "close_cents",
+        "n_ticks", "twap_num", "twap_den", "twap_cents",
+    ]
+    got: dict = {}
+
+    def _fb(df, bid):
+        for r in df.collect():
+            got[(r["k"], r["bucket"])] = tuple(r[f] for f in fields)
+
+    q = (
+        streaming_ohlc(src, "k", "bucket", "ts", "tb", "cents", 3_600_000_000)
+        .writeStream.foreachBatch(_fb)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ohlc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    want = {
+        (r["k"], r["bucket"]): tuple(r[f] for f in fields)
+        for r in ohlc_bars(df_all, ["k"], "ts", "cents", "tb", "hour").collect()
+    }
+    assert got == want
+    assert len(want) == 4  # two bars per key
+    assert any(v[7] < 0 for v in want.values())  # negative TWAP exercised
