@@ -224,3 +224,58 @@ def unigram_train(
         )
         .select("piece", "seed_count", "score_micro", "em_count")
     )
+
+
+def unigram_encode(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    scores: dict,
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Apply a trained unigram vocabulary to the corpus — the pipeline
+    step AFTER training: per document, Viterbi-segment every word with
+    the integer score dict and aggregate token statistics. Output:
+    (doc_id, n_words, n_pieces, n_chars, avg_pieces_micro) with
+    avg_pieces_micro = (n_pieces * 1e6) div n_words — the
+    pieces-per-word compression diagnostic, truncating-exact.
+
+    Scale shape: explode words -> one Arrow-batched mapInPandas carrying
+    (doc_id, word length, segment length) -> ONE doc-keyed aggregation.
+    No join and no second corpus shuffle: segmenting a repeated word
+    twice costs nanoseconds of DP; shipping the corpus through a
+    word-keyed join to dedupe it costs a full exchange (at 100 TB the
+    recompute wins decisively). The score dict is the trained
+    vocab_cap-bounded model in the closure."""
+    import pandas as pd
+
+    from snowplow_s3_loader_spark.operators.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    ).where(F.length("word") > 0)
+
+    def seg(batches):
+        for pdf in batches:
+            ids, wl, np_ = [], [], []
+            for doc_id, word in zip(pdf["doc_id"], pdf["word"]):
+                ids.append(doc_id)
+                wl.append(len(word))
+                np_.append(len(_viterbi(word, scores, max_piece_len)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "wlen": wl, "n_pieces": np_}
+            )
+
+    return (
+        toks.mapInPandas(seg, "doc_id long, wlen long, n_pieces long")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("wlen").alias("n_chars"),
+        )
+        .withColumn(
+            "avg_pieces_micro", F.expr("(n_pieces * 1000000) div n_words")
+        )
+    )

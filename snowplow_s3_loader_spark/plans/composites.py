@@ -979,6 +979,15 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         (F.col("twap_cents") * 10_000_000_000 + F.col("twap_den")).alias("v3"),
     )
+    uenc = q.q144_unigram_encode(spark, sf_dir).select(
+        F.lit("uencode").alias("battery"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_words").alias("v1"),
+        # n_chars per doc < 1e10 at any plausible SF (n_chars is also a
+        # documents column, bounded by the generator)
+        (F.col("n_pieces") * 10_000_000_000 + F.col("n_chars")).alias("v2"),
+        F.col("avg_pieces_micro").alias("v3"),
+    )
     urld = q.q143_url_dedup(spark, sf_dir).select(
         F.lit("urldedup").alias("battery"),
         F.col("canonical_url").alias("key"),
@@ -1068,6 +1077,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(ohlcb)
         .union(unig)
         .union(urld)
+        .union(uenc)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1229,6 +1239,7 @@ _FOLDED = {
     "q135_link_prediction", "q136_kmv_distinct",
     "q137_winnow_fingerprints", "q138_event_acf", "q139_association",
     "q140_auc", "q141_ohlc_bars", "q142_unigram_lm", "q143_url_dedup",
+    "q144_unigram_encode",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2014,6 +2025,11 @@ SELECT 'urldedup' AS battery, canonical_url AS key,
        n_dups * 10000000000 + keep_id AS v1,
        CAST(drank AS BIGINT) AS v2, CAST(kept AS BIGINT) AS v3
 FROM ({ORACLES["q143_url_dedup"]})
+UNION ALL
+SELECT 'uencode' AS battery, CAST(doc_id AS VARCHAR) AS key,
+       n_words AS v1, n_pieces * 10000000000 + n_chars AS v2,
+       avg_pieces_micro AS v3
+FROM ({ORACLES["q144_unigram_encode"]})
 ORDER BY battery, key, v1
 """
 

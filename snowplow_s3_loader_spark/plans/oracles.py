@@ -3005,7 +3005,10 @@ ORDER BY event_type, bucket
 # values (so each step only needs the previous iteration's row), ties
 # to the longest piece via the descending-length CASE, and the
 # backtrack as a second recursive CTE walking pred = j - lstar.
-ORACLES["q142_unigram_lm"] = """
+# shared CTE chain for the unigram family: q142 (train) selects the
+# m-step piece counts; q144 (encode) joins the per-word segment lengths
+# back to the exploded document words
+_UNIGRAM_CTES = """
 WITH RECURSIVE
 wc AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -3076,9 +3079,36 @@ em AS (
          CAST(sum(freq) AS BIGINT) AS em_count
   FROM bt GROUP BY piece
 )
+"""
+
+ORACLES["q142_unigram_lm"] = _UNIGRAM_CTES + """
 SELECT v.piece, v.c AS seed_count, v.score_micro, e.em_count
 FROM vocab v JOIN em e ON e.piece = v.piece
 ORDER BY v.piece
+"""
+
+# q144: tokenizer APPLICATION — per-word segment lengths from the same
+# replayed Viterbi (|bt| rows per word), joined back to the exploded
+# document words; one doc-keyed aggregation. avg is the truncating
+# pieces-per-word in micro-units (both operands non-negative).
+ORACLES["q144_unigram_encode"] = _UNIGRAM_CTES + """
+, seg_len AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_pieces FROM bt GROUP BY word
+),
+docw AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(s.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(len(d.word)) AS BIGINT) AS n_chars,
+       (CAST(sum(s.n_pieces) AS BIGINT) * 1000000)
+         // CAST(count(*) AS BIGINT) AS avg_pieces_micro
+FROM docw d JOIN seg_len s ON s.word = d.word
+WHERE len(d.word) > 0
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
 # q143: URL dedup — identical messy-URL synthesis, then the full

@@ -3015,6 +3015,30 @@ def q143_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q144_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the pipeline step after q142's training:
+    score the seed vocabulary once (the round-1 model), then encode
+    every document with the broadcast-Viterbi and aggregate per-doc
+    token statistics (words, pieces, chars, truncating pieces-per-word
+    in micro-units). One corpus explode + one mapInPandas + ONE
+    doc-keyed aggregation — no join of the corpus against anything (a
+    repeated word is re-segmented in nanoseconds; a word-keyed dedup
+    join would cost a full corpus exchange). The oracle replays the
+    identical segmentation via the shared q142 recursive-CTE chain."""
+    from snowplow_s3_loader_spark.operators import bpe, unigram
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = checkpoint_nostats(bpe.word_counts(docs, "text"))
+    scored = checkpoint_nostats(
+        unigram.score_pieces(unigram.seed_vocab(wc, 4, 2, 8192))
+    )
+    scores = unigram._collect_scores(scored, 8192)
+    return unigram.unigram_encode(docs, "doc_id", "text", scores, 4).orderBy(
+        "doc_id"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3159,5 +3183,6 @@ QUERIES = {
         q141_ohlc_bars,
         q142_unigram_lm,
         q143_url_dedup,
+        q144_unigram_encode,
     ]
 }

@@ -856,3 +856,13 @@ def test_q143_url_dedup_expressions_plus_two_keyed_exchanges(spark, sf_dir):
     assert "Join" not in plan and "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_q144_encode_no_join_one_agg(spark, sf_dir):
+    """Encoding must be explode -> mapInPandas -> ONE doc-keyed
+    aggregation: no join of the corpus against a word table (the
+    recompute-beats-exchange rule documented on the operator)."""
+    plan = plan_of(Q.q144_unigram_encode(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) MapInPandas\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) <= 2, plan

@@ -330,3 +330,54 @@ class TestUrlDedup:
         df = spark.createDataFrame([(1, "https://a.com/")], "doc_id long, url string")
         with pytest.raises(ValueError, match="cap must be"):
             domain_cap(url_dedup(df, "url", "doc_id"), 0)
+
+
+class TestUnigramEncode:
+    def test_known_segmentations(self, spark):
+        from snowplow_s3_loader_spark.operators.unigram import unigram_encode
+
+        scores = {"a": -10, "b": -10, "c": -10, "ab": -15, "cab": -20}
+        docs = spark.createDataFrame(
+            [(1, "ab ab cab"), (2, "a b abc")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_words"], r["n_pieces"], r["n_chars"],
+                r["avg_pieces_micro"],
+            )
+            for r in unigram_encode(docs, "doc_id", "text", scores, 4).collect()
+        }
+        # doc 1: ab|ab|cab -> 3 words, 3 pieces, 7 chars
+        # doc 2: a|b|(ab,c) -> 3 words, 4 pieces, 5 chars, avg 4e6 div 3
+        assert got == {
+            1: (3, 3, 7, 1_000_000),
+            2: (3, 4, 5, 1_333_333),
+        }
+
+    def test_encode_consistent_with_train_counts(self, spark):
+        """Total pieces emitted by encode == sum of em_count from train
+        on the same corpus and model (both run the same segmentation)."""
+        from snowplow_s3_loader_spark.operators.unigram import (
+            unigram_encode, unigram_train,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(
+                ["spark park ark", "sparks parka spark", "a bark sparkbark"]
+            )],
+            "doc_id long, text string",
+        )
+        words = (
+            docs.select(F.explode(F.split(F.trim("text"), " +")).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("freq"))
+        )
+        trained = unigram_train(words, 4, 2, 100, n_iter=1)
+        total_train = trained.agg(F.sum("em_count")).collect()[0][0]
+        from snowplow_s3_loader_spark.operators.unigram import (
+            _collect_scores, score_pieces, seed_vocab,
+        )
+        scores = _collect_scores(score_pieces(seed_vocab(words, 4, 2, 100)), 100)
+        enc = unigram_encode(docs, "doc_id", "text", scores, 4)
+        total_enc = enc.agg(F.sum("n_pieces")).collect()[0][0]
+        assert total_train == total_enc
