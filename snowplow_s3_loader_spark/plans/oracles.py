@@ -1017,7 +1017,7 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 # are literal 1s the Spark-side sketch audit must reproduce.
 ORACLES["q75_heavy_hitters"] = f"""
 WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
-cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+cnt AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS exact_count
         FROM tok GROUP BY token),
 tot AS (SELECT CAST(sum(exact_count) AS BIGINT) AS n FROM cnt),
 topk AS (SELECT token, exact_count FROM cnt
@@ -2078,7 +2078,7 @@ ORDER BY o_custkey
 # (positive-operand // = Spark div); ties rank by neighbor id.
 ORACLES["q117_item_similarity"] = """
 WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY i),
+cnt AS MATERIALIZED (SELECT i, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY i),
 keep AS (SELECT i FROM cnt WHERE c >= 2),
 pr AS (
   SELECT a.i AS ia, b2.i AS ib, CAST(count(*) AS BIGINT) AS s
@@ -3024,7 +3024,7 @@ subpieces AS (
                unnest(range(1, least(4, len(word) - s + 1) + 1)) AS l
         FROM starts)
 ),
-cnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+cnt AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS c
         FROM subpieces GROUP BY piece),
 kept AS (SELECT piece, c FROM cnt WHERE len(piece) = 1 OR c >= 2),
 multi AS (
@@ -3032,12 +3032,12 @@ multi AS (
     SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS r
     FROM kept WHERE len(piece) > 1) WHERE r <= 8192
 ),
-vocab0 AS (
+vocab0 AS MATERIALIZED (
   SELECT piece, c FROM kept WHERE len(piece) = 1
   UNION ALL SELECT piece, c FROM multi
 ),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab0),
-vocab AS (
+vocab AS MATERIALIZED (
   SELECT piece, c,
          CAST(round(ln(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
                     * 1000000, 0) AS BIGINT) AS score_micro
@@ -3074,16 +3074,70 @@ bt(word, freq, j, l) AS (
   FROM bt b JOIN dp d ON d.word = b.word AND d.j = b.j - b.l
   WHERE b.j - b.l > 0
 ),
-em AS (
+em AS MATERIALIZED (
   SELECT substr(word, j - l + 1, l) AS piece,
          CAST(sum(freq) AS BIGINT) AS em_count
   FROM bt GROUP BY piece
 )
 """
 
+# q142 runs TWO EM iterations with the second unrolled in SQL (the
+# q125 k-means discipline): iteration 2's vocabulary is iteration 1's
+# used pieces with singles floored at count 1, rescored, and the whole
+# Viterbi DP + backtrack chain replayed against the new scores.
 ORACLES["q142_unigram_lm"] = _UNIGRAM_CTES + """
-SELECT v.piece, v.c AS seed_count, v.score_micro, e.em_count
-FROM vocab v JOIN em e ON e.piece = v.piece
+, vocab2_0 AS MATERIALIZED (
+  SELECT v.piece, COALESCE(e.em_count, 1) AS c
+  FROM vocab v LEFT JOIN em e ON e.piece = v.piece
+  WHERE len(v.piece) = 1 OR e.em_count IS NOT NULL
+),
+tot2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab2_0),
+vocab2 AS MATERIALIZED (
+  SELECT piece, c,
+         CAST(round(ln(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS score_micro
+  FROM vocab2_0 CROSS JOIN tot2 t
+),
+dp2(word, freq, n, j, b0, b1, b2, b3, lstar) AS (
+  SELECT word, freq, CAST(len(word) AS INTEGER), 0, CAST(0 AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS INTEGER)
+  FROM wc
+  UNION ALL
+  SELECT word, freq, n, j + 1, best, b0, b1, b2, lst FROM (
+    SELECT d.word, d.freq, d.n, d.j, d.b0, d.b1, d.b2,
+           greatest(d.b0 + v1.score_micro,
+                    d.b1 + v2.score_micro,
+                    d.b2 + v3.score_micro,
+                    d.b3 + v4.score_micro) AS best,
+           CASE WHEN d.b3 + v4.score_micro = best THEN 4
+                WHEN d.b2 + v3.score_micro = best THEN 3
+                WHEN d.b1 + v2.score_micro = best THEN 2
+                ELSE 1 END AS lst
+    FROM dp2 d
+    LEFT JOIN vocab2 v1 ON v1.piece = substr(d.word, d.j + 1, 1)
+    LEFT JOIN vocab2 v2 ON d.j >= 1 AND v2.piece = substr(d.word, d.j, 2)
+    LEFT JOIN vocab2 v3 ON d.j >= 2 AND v3.piece = substr(d.word, d.j - 1, 3)
+    LEFT JOIN vocab2 v4 ON d.j >= 3 AND v4.piece = substr(d.word, d.j - 2, 4)
+    WHERE d.j < d.n
+  )
+),
+bt2(word, freq, j, l) AS (
+  SELECT word, freq, j, lstar FROM dp2 WHERE j = n
+  UNION ALL
+  SELECT b.word, b.freq, d.j, d.lstar
+  FROM bt2 b JOIN dp2 d ON d.word = b.word AND d.j = b.j - b.l
+  WHERE b.j - b.l > 0
+),
+em2 AS MATERIALIZED (
+  SELECT substr(word, j - l + 1, l) AS piece,
+         CAST(sum(freq) AS BIGINT) AS em_count
+  FROM bt2 GROUP BY piece
+)
+SELECT v.piece, s.c AS seed_count, v.score_micro, e.em_count
+FROM vocab2 v
+JOIN em2 e ON e.piece = v.piece
+JOIN vocab0 s ON s.piece = v.piece
 ORDER BY v.piece
 """
 

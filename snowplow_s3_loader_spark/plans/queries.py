@@ -2960,7 +2960,10 @@ def q142_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Viterbi DP as a lockstep recursive CTE carrying the last 4 best
     values, ties to the longest piece, and the backtrack as a second
     recursive CTE — so segmentation, scores and counts are all
-    bit-checked. The corpus is touched once (word_counts)."""
+    bit-checked. TWO EM iterations run, with the second fully unrolled
+    in the oracle (the q125 k-means discipline): iteration 2's vocab is
+    iteration 1's used pieces (singles floored at 1), rescored, and the
+    entire DP/backtrack replayed. The corpus is touched once."""
     from snowplow_s3_loader_spark.operators import bpe
     from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
     from snowplow_s3_loader_spark.operators.unigram import unigram_train
@@ -2968,7 +2971,7 @@ def q142_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wc = checkpoint_nostats(bpe.word_counts(docs, "text"))
     return unigram_train(
-        wc, max_piece_len=4, min_count=2, vocab_cap=8192, n_iter=1
+        wc, max_piece_len=4, min_count=2, vocab_cap=8192, n_iter=2
     ).orderBy("piece")
 
 
