@@ -14,6 +14,9 @@ Stages (each a first-class operator elsewhere in the repo):
   5. graph side: deterministic random walks over the document
      similarity graph (hash-seeded, reproducible) — the sampling
      primitive for embedding-style training corpora
+  6. unigram-LM alternative (round 9): train the SentencePiece-style
+     tokenizer on the same corpus (two hard-EM iterations) and compare
+     its pieces-per-word compression against BPE's
 
 Run:  PYTHONPATH=. python examples/tokenizer_pipeline.py [sf_dir]
 """
@@ -85,6 +88,27 @@ def main(sf_dir: str) -> None:
     )
     print(f"  sampled {walks.count()} walk steps over the similarity graph")
     release_materialized(pairs)
+
+    # 6. unigram-LM alternative: same corpus, the other tokenizer family
+    from snowplow_s3_loader_spark.operators import bpe as B
+    from snowplow_s3_loader_spark.operators import unigram as U
+
+    wc = dedup.checkpoint_nostats(B.word_counts(docs, "text"))
+    trained = U.unigram_train(wc, max_piece_len=4, min_count=2,
+                              vocab_cap=4096, n_iter=2)
+    n_pieces_vocab = trained.count()
+    scores = U._collect_scores(
+        dedup.checkpoint_nostats(
+            U.score_pieces(U.seed_vocab(wc, 4, 2, 4096))
+        ),
+        4096,
+    )
+    enc = U.unigram_encode(docs, "doc_id", "text", scores, 4)
+    stats = enc.agg(
+        F.sum("n_pieces").alias("p"), F.sum("n_words").alias("w")
+    ).collect()[0]
+    print(f"  unigram: {n_pieces_vocab} used pieces after 2 EM iterations; "
+          f"{stats['p'] / stats['w']:.2f} pieces/word on the corpus")
     spark.stop()
     print("tokenizer pipeline complete.")
 
