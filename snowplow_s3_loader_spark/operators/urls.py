@@ -14,8 +14,10 @@ hash-ordering idea).
 
 Canonicalization contract (applied in this order):
   1. trim; strip the fragment (#...)
-  2. scheme and host lowercase; a string without a scheme://host
-     shape canonicalizes to NULL (loudly visible, never silently kept)
+  2. scheme and host lowercase; userinfo (user:pass@) dropped; a
+     string without a scheme://host shape canonicalizes to NULL
+     (loudly visible, never silently kept); bracketed IPv6 hosts are
+     kept whole (ports still split correctly)
   3. leading 'www.' dropped from the host
   4. default ports dropped (http:80, https:443); other ports kept
   5. duplicate slashes in the path collapsed; trailing slash dropped
@@ -56,10 +58,15 @@ def canonicalize_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    # drop userinfo; split host/port IPv6-aware (a bracketed host may
+    # contain colons, so the port is only what follows the brackets)
+    hp = F.regexp_replace(hostport, r"^[^@/]*@", "")
     host = F.regexp_replace(
-        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
+        F.lower(F.regexp_extract(hp, r"^(\[[^\]]*\]|[^:]*)", 1)),
+        r"^www\.",
+        "",
     )
-    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    port = F.regexp_extract(hp, r"^(?:\[[^\]]*\]|[^:]*):([0-9]+)$", 1)
     keep_port = (
         F.when(port == "", "")
         .when((scheme == "http") & (port == "80"), "")
@@ -97,13 +104,19 @@ def canonicalize_url(url: Column) -> Column:
 
 def url_host(canonical: Column) -> Column:
     """Host of an already-canonical URL (lowercase, no www, no port
-    stripping needed beyond the canonical form's own)."""
-    return F.regexp_extract(canonical, r"^[a-z0-9+.-]+://([^/:?]*)", 1)
+    stripping needed beyond the canonical form's own); bracketed IPv6
+    hosts come back whole."""
+    return F.regexp_extract(
+        canonical, r"^[a-z0-9+.-]+://(\[[^\]]*\]|[^/:?]*)", 1
+    )
 
 
 def registered_domain(host: Column) -> Column:
     """Last-two-labels registered domain, promoting to three labels for
-    the pinned two-level public suffixes (co.uk style)."""
+    the pinned two-level public suffixes (co.uk style). IP-literal
+    hosts (IPv4 dotted quads, bracketed IPv6) have no registrable
+    domain and return whole."""
+    is_ip = host.rlike(r"^(\[|[0-9.]+$)")
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
@@ -115,7 +128,7 @@ def registered_domain(host: Column) -> Column:
     )
     is_two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
     return (
-        F.when(n <= 2, host)
+        F.when(is_ip | (n <= 2), host)
         .when(is_two_level & (n >= 3), last3)
         .otherwise(last2)
     )

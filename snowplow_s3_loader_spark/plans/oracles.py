@@ -3198,11 +3198,11 @@ parts AS (
 hp AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM parts),
 hh AS (
   SELECT *,
-    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+    regexp_replace(lower(regexp_extract(hp2, '^(\[[^\]]*\]|[^:]*)', 1)),
                    '^www\.', '') AS host,
-    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    regexp_extract(hp2, '^(?:\[[^\]]*\]|[^:]*):([0-9]+)$', 1) AS port,
     substr(rest, len(hostport) + 1) AS pathq
-  FROM hp
+  FROM (SELECT *, regexp_replace(hostport, '^[^@/]*@', '') AS hp2 FROM hp)
 ),
 pq AS (
   SELECT *,
@@ -3239,7 +3239,8 @@ agg AS (
 ),
 dom AS (
   SELECT *,
-    CASE WHEN len(labels) <= 2 THEN h
+    CASE WHEN regexp_matches(h, '^(\[|[0-9.]+$)') THEN h
+         WHEN len(labels) <= 2 THEN h
          WHEN labels[-2] || '.' || labels[-1] IN
               ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au',
                'org.au','co.jp','co.kr','com.br','com.cn')
@@ -3249,7 +3250,7 @@ dom AS (
   FROM (
     SELECT *, string_split(h, '.') AS labels FROM (
       SELECT *, regexp_extract(canonical_url,
-                '^[a-z0-9+.-]+://([^/:?]*)', 1) AS h
+                '^[a-z0-9+.-]+://(\[[^\]]*\]|[^/:?]*)', 1) AS h
       FROM agg
     )
   )
