@@ -979,6 +979,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         (F.col("twap_cents") * 10_000_000_000 + F.col("twap_den")).alias("v3"),
     )
+    woer = q.q145_feature_woe(spark, sf_dir).select(
+        F.lit("woe").alias("battery"),
+        F.col("bin").cast("string").alias("key"),
+        (F.col("n_pos") * 10_000_000_000 + F.col("n_neg")).alias("v1"),
+        F.col("dev").alias("v2"),
+        F.col("woe_micro").alias("v3"),
+    )
     uenc = q.q144_unigram_encode(spark, sf_dir).select(
         F.lit("uencode").alias("battery"),
         F.col("doc_id").cast("string").alias("key"),
@@ -1078,6 +1085,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(unig)
         .union(urld)
         .union(uenc)
+        .union(woer)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1239,7 +1247,7 @@ _FOLDED = {
     "q135_link_prediction", "q136_kmv_distinct",
     "q137_winnow_fingerprints", "q138_event_acf", "q139_association",
     "q140_auc", "q141_ohlc_bars", "q142_unigram_lm", "q143_url_dedup",
-    "q144_unigram_encode",
+    "q144_unigram_encode", "q145_feature_woe",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2030,6 +2038,10 @@ SELECT 'uencode' AS battery, CAST(doc_id AS VARCHAR) AS key,
        n_words AS v1, n_pieces * 10000000000 + n_chars AS v2,
        avg_pieces_micro AS v3
 FROM ({ORACLES["q144_unigram_encode"]})
+UNION ALL
+SELECT 'woe' AS battery, CAST(bin AS VARCHAR) AS key,
+       n_pos * 10000000000 + n_neg AS v1, dev AS v2, woe_micro AS v3
+FROM ({ORACLES["q145_feature_woe"]})
 ORDER BY battery, key, v1
 """
 

@@ -3265,3 +3265,37 @@ SELECT canonical_url, n_dups, keep_id, domain,
 FROM dom
 ORDER BY canonical_url
 """
+
+# q145: WOE bins — DuckDB's ntile over the identical total order (the
+# q94 parity), exact counts, BIGINT dev, and the one shared double
+# ln((pos*NEG)/(neg*POS)) quantized to micro-units.
+ORACLES["q145_feature_woe"] = """
+WITH e AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+         CAST(event_type = 'purchase' AS BIGINT) AS l
+  FROM events
+),
+b AS (
+  SELECT ntile(10) OVER (ORDER BY cents, event_id) AS bin, l FROM e
+),
+agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(l) AS BIGINT) AS n_pos,
+         CAST(sum(1 - l) AS BIGINT) AS n_neg
+  FROM b GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS pos,
+         CAST(sum(n_neg) AS BIGINT) AS neg
+  FROM agg
+)
+SELECT bin, n, n_pos, n_neg,
+       n_pos * t.neg - n_neg * t.pos AS dev,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         CAST(round(ln(CAST(n_pos * t.neg AS DOUBLE)
+                       / CAST(n_neg * t.pos AS DOUBLE)) * 1000000, 0)
+              AS BIGINT)
+       END AS woe_micro
+FROM agg CROSS JOIN tot t
+ORDER BY bin
+"""

@@ -3042,6 +3042,26 @@ def q144_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q145_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence feature diagnostics for the quality-classifier
+    story: decile-bin the event value (cents, event_id tiebreak — the
+    q94 ntile parity), exact per-bin positive/negative counts for the
+    purchase label, the BIGINT lift deviation n_pos*NEG - n_neg*POS,
+    and the quantized WOE (single shared double from identical
+    integers). The IV ingredients arrive exact; no float accumulation
+    crosses the engine boundary."""
+    from snowplow_s3_loader_spark.operators.profile import woe_bins
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return woe_bins(ev, "cents", "label", k=10, tie_cols=["event_id"]).orderBy(
+        "bin"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3187,5 +3207,6 @@ QUERIES = {
         q142_unigram_lm,
         q143_url_dedup,
         q144_unigram_encode,
+        q145_feature_woe,
     ]
 }

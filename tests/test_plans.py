@@ -866,3 +866,14 @@ def test_q144_encode_no_join_one_agg(spark, sf_dir):
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) MapInPandas\b", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) <= 2, plan
+
+
+def test_q145_woe_no_single_task_ranking(spark, sf_dir):
+    """The binning rides the two-phase global_row_number (no
+    unpartitioned window over the rows); everything after the k-row
+    aggregation is broadcast scalar merges."""
+    plan = plan_of(Q.q145_feature_woe(spark, sf_dir))
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "partitionBy []" not in line, line
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

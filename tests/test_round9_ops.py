@@ -432,3 +432,86 @@ class TestUrlEdgeCases:
             ("[2001:db8::1]", "[2001:db8::1]"),
             ("192.168.0.1", "192.168.0.1"),
         ]
+
+
+# ---------------------------------------------------------------------------
+# WOE feature diagnostics (q145)
+# ---------------------------------------------------------------------------
+
+def _ref_woe(rows, k):
+    """Independent pure-python WOE: SQL ntile contract + exact counts.
+    rows: list of (value, tiebreak, label)."""
+    from math import log
+
+    ordered = sorted(rows, key=lambda r: (r[0], r[1]))
+    total = len(ordered)
+    q, r = divmod(total, k)
+    bins = {}
+    for i, (_, _, l) in enumerate(ordered):
+        rn = i + 1
+        if q == 0:
+            b = rn
+        elif rn <= r * (q + 1):
+            b = (rn - 1) // (q + 1) + 1
+        else:
+            b = r + (rn - r * (q + 1) - 1) // q + 1
+        n, p = bins.get(b, (0, 0))
+        bins[b] = (n + 1, p + l)
+    POS = sum(p for _, p in bins.values())
+    NEG = sum(n - p for n, p in bins.values())
+    out = {}
+    for b, (n, p) in bins.items():
+        neg = n - p
+        dev = p * NEG - neg * POS
+        woe = (
+            int(round(log((p * NEG) / (neg * POS)) * 1e6))
+            if p > 0 and neg > 0
+            else None
+        )
+        out[b] = (n, p, neg, dev, woe)
+    return out
+
+
+class TestWoeBins:
+    def test_matches_reference(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import woe_bins
+
+        import random
+        rnd = random.Random(7)
+        rows = [
+            (rnd.randrange(0, 500), i, 1 if rnd.random() < (0.1 + i % 7 / 10) else 0)
+            for i in range(530)
+        ]
+        df = spark.createDataFrame(rows, "v long, tb long, l int")
+        got = {
+            r["bin"]: (r["n"], r["n_pos"], r["n_neg"], r["dev"], r["woe_micro"])
+            for r in woe_bins(df, "v", "l", k=7, tie_cols=["tb"]).collect()
+        }
+        assert got == _ref_woe(rows, 7)
+
+    def test_single_class_bin_yields_null_woe(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import woe_bins
+
+        rows = [(i, i, 1 if i >= 6 else 0) for i in range(12)]
+        df = spark.createDataFrame(rows, "v long, tb long, l int")
+        out = {r["bin"]: r for r in woe_bins(df, "v", "l", 2, ["tb"]).collect()}
+        assert out[1]["woe_micro"] is None and out[1]["n_pos"] == 0
+        assert out[2]["woe_micro"] is None and out[2]["n_neg"] == 0
+        # dev still exact for degenerate bins
+        assert out[1]["dev"] == -6 * 6 and out[2]["dev"] == 6 * 6
+
+    def test_guards(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import woe_bins
+
+        df = spark.createDataFrame([(1, 1, 2)], "v long, tb long, l int")
+        with pytest.raises(ValueError, match="0/1"):
+            woe_bins(df, "v", "l", 2, ["tb"])
+        ok = spark.createDataFrame([(1, 1, 1)], "v long, tb long, l int")
+        with pytest.raises(ValueError, match="k must be"):
+            woe_bins(ok, "v", "l", 0, ["tb"])
+
+    def test_empty_input(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import woe_bins
+
+        df = spark.createDataFrame([], "v long, tb long, l int")
+        assert woe_bins(df, "v", "l", 4, ["tb"]).count() == 0
