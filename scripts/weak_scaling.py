@@ -1275,6 +1275,109 @@ def urldedup_case(spark, n_rows: int) -> dict:
     return {"case": "url_dedup", "rows": n_rows, "urls": n_urls, "sec": round(dt, 2)}
 
 
+def streaming_ohlc_case(spark, n_ticks: int) -> dict:
+    """Streaming OHLC state-store behavior at 10x ticks (round-9): 8
+    keys x 30 days of hourly bars (~5.8k live state rows REGARDLESS of
+    tick count), three mtime-ordered micro-batches through
+    applyInPandasWithState. Wall must track the tick scan; the state
+    row count is pinned flat by construction."""
+    import os
+    import shutil
+    import tempfile
+
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_ohlc
+
+    month_us = 30 * 86_400_000_000
+    ev = spark.range(n_ticks).select(
+        (F.abs(F.xxhash64("id")) % 8).cast("string").alias("k"),
+        F.timestamp_micros(
+            F.lit(1_704_067_200_000_000)
+            + F.abs(F.xxhash64(F.col("id") + 3)) % month_us
+        ).cast("timestamp_ntz").alias("ts"),
+        F.col("id").alias("tb"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % 20_000 - 10_000).alias("cents"),
+    )
+    # per-key (ts, tb)-ordered arrival: slice the seq order into thirds
+    from pyspark.sql.window import Window as W
+
+    ev = ev.withColumn(
+        "seq", F.row_number().over(W.partitionBy("k").orderBy("ts", "tb"))
+    )
+    [row] = ev.select(F.expr("percentile(seq, array(0.34, 0.67))").alias("c")).collect()
+    c1, c2 = int(row["c"][0]), int(row["c"][1])
+    cols = ["k", "ts", "tb", "cents"]
+    slices = [
+        ev.where(F.col("seq") <= c1).select(cols),
+        ev.where((F.col("seq") > c1) & (F.col("seq") <= c2)).select(cols),
+        ev.where(F.col("seq") > c2).select(cols),
+    ]
+    tmp = tempfile.mkdtemp(prefix="ws_sohlc_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        for i, sl in enumerate(slices):
+            stage = os.path.join(tmp, f"w{i}")
+            sl.coalesce(4).write.mode("overwrite").parquet(stage)
+            dst = os.path.join(in_dir, f"b{i}")
+            shutil.move(stage, dst)
+            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+            for f in os.listdir(dst):
+                os.utime(os.path.join(dst, f),
+                         (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        src = (
+            spark.readStream.schema(
+                "k string, ts timestamp_ntz, tb long, cents long"
+            )
+            .option("maxFilesPerTrigger", "4")
+            .parquet(os.path.join(in_dir, "*"))
+            .withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+        )
+        seen: set = set()
+        t0 = time.perf_counter()
+        q = (
+            streaming_ohlc(src, "k", "bucket", "ts", "tb", "cents",
+                           3_600_000_000)
+            .writeStream.foreachBatch(
+                lambda df, bid: seen.update(
+                    (r["k"], r["bucket"]) for r in df.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert len(seen) <= 8 * 31 * 24, len(seen)
+    return {"case": "streaming_ohlc", "ticks": n_ticks,
+            "bars": len(seen), "sec": round(dt, 2)}
+
+
+def unigram_soak_case(spark, n_words: int, n_iter: int) -> dict:
+    """EM-iteration soak (round-9 q142): per-iteration marginal cost
+    must stay flat — each round is one corpus-parallel Viterbi pass +
+    one vocab-sized m-step + one bounded driver collect; nothing
+    accumulates across iterations (checkpoints released by size
+    boundedness, lineage reset per round)."""
+    from snowplow_s3_loader_spark.operators.unigram import unigram_train
+
+    words = spark.range(n_words).select(
+        F.lower(F.hex(F.abs(F.xxhash64("id")))).alias("word"),
+        (F.abs(F.xxhash64(F.col("id") + 3)) % 50 + 1).alias("freq"),
+    ).groupBy("word").agg(F.max("freq").alias("freq"))
+    words.count()
+    t0 = time.perf_counter()
+    n_pieces = unigram_train(
+        words, max_piece_len=4, min_count=5, vocab_cap=4096, n_iter=n_iter
+    ).count()
+    dt = time.perf_counter() - t0
+    return {"case": "unigram_soak", "words": n_words, "iters": n_iter,
+            "pieces": n_pieces, "sec": round(dt, 2)}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1380,6 +1483,12 @@ def main() -> None:
     if which in ("urldedup", "all"):
         out.append(urldedup_case(spark, 1_000_000))
         out.append(urldedup_case(spark, 10_000_000))
+    if which in ("streaming_ohlc", "all"):
+        out.append(streaming_ohlc_case(spark, 500_000))
+        out.append(streaming_ohlc_case(spark, 5_000_000))
+    if which in ("unigram_soak", "all"):
+        out.append(unigram_soak_case(spark, 500_000, 2))
+        out.append(unigram_soak_case(spark, 500_000, 6))
     for line in out:
         print(json.dumps(line))
     spark.stop()
