@@ -420,9 +420,12 @@ def woe_bins(
     per-bin (dev, woe) pieces are what IV sums over; the caller gets
     the exact ingredients rather than a float accumulation.
 
-    Guards: 0/1 non-null labels and the int64 bound n <= 2e9 (so
-    n_pos * NEG stays under 2^63) are ENFORCED from one scan of the
-    k-row bin frame — the corpus pipeline executes once.
+    Guards: 0/1 non-null labels, NON-NULL feature values (Spark sorts
+    NULLs first, DuckDB defaults to NULLS LAST — a nullable feature
+    would silently bin differently across engines, so it raises
+    instead), and the int64 bound n <= 2e9 (so n_pos * NEG stays under
+    2^63) are ENFORCED from one scan of the k-row bin frame — the
+    corpus pipeline executes once.
 
     Scale shape: distributed global sort (range partition + broadcast
     offsets, no single-partition window), ntile's closed form, ONE
@@ -444,6 +447,7 @@ def woe_bins(
         *[F.col(c) for c in (tie_cols or [])],
         lbl.cast("long").alias("__l"),
         (~lbl.isin(0, 1) | lbl.isNull()).cast("long").alias("__b"),
+        F.col(value_col).isNull().cast("long").alias("__vn"),
     )
     order = [F.col(value_col)] + [F.col(c) for c in (tie_cols or [])]
     ranked, total = global_row_number(base, order, rn_col="__rn")
@@ -468,12 +472,22 @@ def woe_bins(
             F.sum("__l").alias("n_pos"),
             F.sum(1 - F.col("__l")).alias("n_neg"),
             F.sum("__b").alias("__badn"),
+            F.sum("__vn").alias("__vnull"),
         )
     )
-    guard = bins.agg(F.sum("__badn").alias("bad")).collect()[0]
+    guard = bins.agg(
+        F.sum("__badn").alias("bad"), F.sum("__vnull").alias("vnull")
+    ).collect()[0]
     if guard["bad"]:
         raise ValueError(
             f"woe_bins: label column {label_col!r} must be 0/1 non-null"
+        )
+    if guard["vnull"]:
+        raise ValueError(
+            f"woe_bins: value column {value_col!r} has {guard['vnull']} "
+            "NULLs — engines disagree on NULL sort placement (Spark "
+            "NULLS FIRST, DuckDB NULLS LAST), so nullable features must "
+            "be filtered or imputed first"
         )
     tot = bins.agg(
         F.sum("n_pos").alias("__POS"), F.sum("n_neg").alias("__NEG")

@@ -355,12 +355,19 @@ def ohlc_bars(
     both engines — and TWAP is the exact truncating division
     sum(cents * dur_us) div sum(dur_us), all BIGINT (bound: max|cents|
     x bar span must stay under 2^63 — a day bar allows |cents| < 1e8,
-    an hour bar < 2.5e12; ENFORCED).
+    an hour bar < 2.5e12; ENFORCED). The tiebreak column must be
+    NON-NULL (the lead(tb)-is-null last-row flag depends on it;
+    ENFORCED) — both guards ride as per-row raise_error branches inside
+    the one projection (codegen'd comparisons, zero extra scan — the
+    auc/acf guard-folding discipline applied expression-side), so a
+    violation raises AT EXECUTION (Spark runtime error carrying the
+    offending value), not at plan-build time.
 
     Scale shape: ONE keyed window sort per (keys, bucket) — row_number,
     lead(ts) and the lead(tb)-is-null last-row flag share a single
     windowspec, so the physical plan is one Window node over one sort —
-    then one partial+final aggregation. No joins, no second sort.
+    then one partial+final aggregation. No joins, no second sort, and
+    NO guard pre-scan: the corpus is read exactly once.
 
     Output: (keys..., bucket, open_cents, high_cents, low_cents,
     close_cents, n_ticks, twap_num, twap_den, twap_cents)."""
@@ -374,17 +381,39 @@ def ohlc_bars(
         "week": 7 * 86_400_000_000,
         "month": 31 * 86_400_000_000,
     }[unit]
+    # per-row guards, folded into the projection (|c| * span >= 2^62
+    # <=> |c| >= ceil(2^62 / span) for integer c): no driver-side
+    # pre-scan — the old max(abs(c)).collect() ran the whole input once
+    # before the real plan ran it again
+    c_limit = (2**62 + span_us - 1) // span_us
     c = F.col(cents_col)
-    bad = df.select(F.max(F.abs(c)).alias("m")).collect()[0]["m"]
-    if bad is not None and int(bad) * span_us >= 2**62:
-        raise ValueError(
-            f"ohlc_bars: max|cents|={bad} x {unit} span overflows the "
-            "exact TWAP int64 bound — rescale or use a smaller unit"
-        )
+    c_checked = F.when(
+        F.abs(c) >= F.lit(c_limit),
+        F.raise_error(
+            F.concat(
+                F.lit(f"ohlc_bars: |cents|="),
+                F.abs(c).cast("string"),
+                F.lit(
+                    f" x {unit} span overflows the exact TWAP int64 "
+                    "bound — rescale or use a smaller unit"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(c)
+    tb = F.col(order_tiebreak)
+    tb_checked = F.when(
+        tb.isNull(),
+        F.raise_error(
+            F.lit(
+                f"ohlc_bars: order_tiebreak {order_tiebreak!r} must be "
+                "non-null (the last-row flag is lead(tiebreak) IS NULL)"
+            )
+        ).cast(df.schema[order_tiebreak].dataType.simpleString()),
+    ).otherwise(tb)
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
     base = df.select(
         *keys, bucket, F.col(ts_col).alias("__ts"),
-        F.col(order_tiebreak).alias("__tb"), c.alias("__c"),
+        tb_checked.alias("__tb"), c_checked.alias("__c"),
     )
     w = Window.partitionBy(*keys, "bucket")
     asc = w.orderBy("__ts", "__tb")

@@ -36,7 +36,7 @@ reference is a streaming loader (Processing.scala) with no tokenizer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # hard backstop for the driver-side vocabulary collect: rank-capped
@@ -55,8 +55,13 @@ def seed_vocab(
     count, the standard seed), filtered to count >= min_count, then
     rank-capped at vocab_cap multi-char pieces by (c DESC, piece).
     Single chars always survive both the filter and the cap (coverage).
-    Output: (piece, c). The global rank window runs on the vocab-sized
-    candidate frame, not the corpus."""
+    Output: (piece, c). The cap is a DISTRIBUTED top-k
+    (orderBy().limit() -> TakeOrderedAndProject: per-partition partial
+    top-k merged on the driver), never a global rank window — the
+    candidate-substring frame is corpus-vocabulary-bounded, not
+    model-bounded (every distinct substring of length 2..max_piece_len
+    of every distinct corpus word), so funneling it through one task's
+    sort would be the single-partition cliff at web scale."""
     if max_piece_len < 1:
         raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
     starts = words.select(
@@ -84,12 +89,13 @@ def seed_vocab(
     kept = counts.where(
         (F.length("piece") == 1) | (F.col("c") >= min_count)
     )
-    rank = Window.orderBy(F.desc("c"), "piece")
+    # distributed top-k: same row set as rank <= vocab_cap under the
+    # total order (c DESC, piece), but the plan is TakeOrderedAndProject
+    # (partial per-partition top-k), not Exchange SinglePartition + sort
     multi = (
         kept.where(F.length("piece") > 1)
-        .withColumn("__r", F.row_number().over(rank))
-        .where(F.col("__r") <= vocab_cap)
-        .drop("__r")
+        .orderBy(F.desc("c"), "piece")
+        .limit(vocab_cap)
     )
     return kept.where(F.length("piece") == 1).unionByName(multi)
 
@@ -251,6 +257,9 @@ def unigram_encode(
 
     from snowplow_s3_loader_spark.operators.text import tokens
 
+    # the doc-id type follows the input column (string/int/long ids all
+    # work); hardcoding long here would miscast non-long ids at runtime
+    id_type = docs.schema[id_col].dataType.simpleString()
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("word"),
@@ -268,7 +277,7 @@ def unigram_encode(
             )
 
     return (
-        toks.mapInPandas(seg, "doc_id long, wlen long, n_pieces long")
+        toks.mapInPandas(seg, f"doc_id {id_type}, wlen long, n_pieces long")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),

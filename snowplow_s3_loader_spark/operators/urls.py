@@ -53,7 +53,15 @@ _TRACKING = "^(utm_|fbclid|gclid)"
 
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of ``url`` per the module contract; NULL when the
-    input has no scheme://host shape."""
+    input has no scheme://host shape.
+
+    NOTE (plan size): this single-Column form inlines every Python-level
+    intermediate (rest/hostport/hp/...) into each of its uses at
+    CONSTRUCTION time, multiplicatively duplicating the regexp chain
+    (measured: ~3.5k regexp nodes, MB-scale serialized task binaries
+    once a plan references the result more than once). It is kept for
+    expression contexts; pipelines should use ``canonicalized`` below,
+    whose staged projections keep the tree linear."""
     u = F.regexp_replace(F.trim(url), "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -102,6 +110,129 @@ def canonicalize_url(url: Column) -> Column:
     return F.when((scheme != "") & (host != ""), canon)
 
 
+def canonicalized(
+    df: DataFrame, url_col: str, out_col: str = "canonical_url"
+) -> DataFrame:
+    """Append ``out_col`` = the canonical form of ``url_col`` — the
+    SAME contract (and bit-identical output) as canonicalize_url, built
+    as a chain of projections over intermediate ATTRIBUTES so the
+    expression tree stays LINEAR: Catalyst's CollapseProject refuses to
+    merge projections when that would duplicate a non-cheap expression
+    referenced more than once, so each regexp runs (and serializes)
+    once. This is the pipeline form; the Column form above is for
+    one-off expression contexts only."""
+    u = F.regexp_replace(F.trim(F.col(url_col)), "#.*$", "")
+    step1 = df.withColumn("__cu_u", u)
+    step2 = step1.withColumn(
+        "__cu_scheme",
+        F.lower(
+            F.regexp_extract(F.col("__cu_u"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+        ),
+    ).withColumn(
+        "__cu_rest",
+        F.regexp_replace(F.col("__cu_u"), r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+    )
+    step3 = step2.withColumn(
+        "__cu_hostport", F.regexp_extract(F.col("__cu_rest"), r"^([^/?]*)", 1)
+    )
+    step4 = step3.withColumn(
+        "__cu_hp", F.regexp_replace(F.col("__cu_hostport"), r"^[^@/]*@", "")
+    ).withColumn(
+        "__cu_pathq",
+        F.col("__cu_rest").substr(
+            F.length("__cu_hostport") + 1, F.length("__cu_rest")
+        ),
+    )
+    step5 = (
+        step4.withColumn(
+            "__cu_host",
+            F.regexp_replace(
+                F.lower(
+                    F.regexp_extract(F.col("__cu_hp"), r"^(\[[^\]]*\]|[^:]*)", 1)
+                ),
+                r"^www\.",
+                "",
+            ),
+        )
+        .withColumn(
+            "__cu_port",
+            F.regexp_extract(
+                F.col("__cu_hp"), r"^(?:\[[^\]]*\]|[^:]*):([0-9]+)$", 1
+            ),
+        )
+        .withColumn(
+            "__cu_rawpath",
+            F.regexp_replace(
+                F.regexp_extract(F.col("__cu_pathq"), r"^([^?]*)", 1),
+                "/{2,}",
+                "/",
+            ),
+        )
+        .withColumn(
+            "__cu_query", F.regexp_extract(F.col("__cu_pathq"), r"\?(.*)$", 1)
+        )
+    )
+    step6 = (
+        step5.withColumn(
+            "__cu_keep_port",
+            F.when(F.col("__cu_port") == "", "")
+            .when(
+                (F.col("__cu_scheme") == "http") & (F.col("__cu_port") == "80"),
+                "",
+            )
+            .when(
+                (F.col("__cu_scheme") == "https")
+                & (F.col("__cu_port") == "443"),
+                "",
+            )
+            .otherwise(F.concat(F.lit(":"), F.col("__cu_port"))),
+        )
+        .withColumn(
+            "__cu_path",
+            F.when(F.col("__cu_rawpath") == "", "/").otherwise(
+                F.when(
+                    F.col("__cu_rawpath") != "/",
+                    F.regexp_replace(F.col("__cu_rawpath"), "/$", ""),
+                ).otherwise(F.col("__cu_rawpath"))
+            ),
+        )
+        .withColumn(
+            "__cu_params",
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split(F.col("__cu_query"), "&"),
+                        lambda p: (~p.rlike(_TRACKING)) & (p != ""),
+                    )
+                ),
+                "&",
+            ),
+        )
+    )
+    canon = F.concat(
+        F.col("__cu_scheme"),
+        F.lit("://"),
+        F.col("__cu_host"),
+        F.col("__cu_keep_port"),
+        F.col("__cu_path"),
+        F.when(
+            F.col("__cu_params") != "",
+            F.concat(F.lit("?"), F.col("__cu_params")),
+        ).otherwise(F.lit("")),
+    )
+    out = step6.withColumn(
+        out_col,
+        F.when(
+            (F.col("__cu_scheme") != "") & (F.col("__cu_host") != ""), canon
+        ),
+    )
+    return out.drop(
+        "__cu_u", "__cu_scheme", "__cu_rest", "__cu_hostport", "__cu_hp",
+        "__cu_pathq", "__cu_host", "__cu_port", "__cu_rawpath", "__cu_query",
+        "__cu_keep_port", "__cu_path", "__cu_params",
+    )
+
+
 def url_host(canonical: Column) -> Column:
     """Host of an already-canonical URL (lowercase, no www, no port
     stripping needed beyond the canonical form's own); bracketed IPv6
@@ -111,11 +242,22 @@ def url_host(canonical: Column) -> Column:
     )
 
 
-def registered_domain(host: Column) -> Column:
+def registered_domain(
+    host: Column, suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES
+) -> Column:
     """Last-two-labels registered domain, promoting to three labels for
-    the pinned two-level public suffixes (co.uk style). IP-literal
-    hosts (IPv4 dotted quads, bracketed IPv6) have no registrable
-    domain and return whole."""
+    the two-level public suffixes in ``suffixes`` (co.uk style;
+    defaults to the pinned approximation above — pass the full
+    public-suffix list's two-level entries for production corpora:
+    github.io, com.mx, co.in, ... silently mis-group under the
+    default). IP-literal hosts (IPv4 dotted quads, bracketed IPv6)
+    have no registrable domain and return whole.
+
+    The membership test is `isin`, which Catalyst compiles to an
+    In/InSet predicate (hash-set lookup past
+    spark.sql.optimizer.inSetConversionThreshold, default 10) — still
+    row-local codegen'd work even for the ~9k-entry real PSL, no join
+    required."""
     is_ip = host.rlike(r"^(\[|[0-9.]+$)")
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -126,7 +268,7 @@ def registered_domain(host: Column) -> Column:
         F.element_at(labels, -2),
         F.element_at(labels, -1),
     )
-    is_two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
+    is_two_level = last2.isin(*suffixes)
     return (
         F.when(is_ip | (n <= 2), host)
         .when(is_two_level & (n >= 3), last3)
@@ -134,35 +276,98 @@ def registered_domain(host: Column) -> Column:
     )
 
 
-def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES,
+) -> DataFrame:
     """Exact URL-level dedup: ONE aggregation keyed by the canonical
     URL. Output: (canonical_url, domain, n_dups, keep_id) — keep_id is
     the smallest id (deterministic winner). Rows whose URL fails to
     canonicalize are EXCLUDED (they carry no dedup key; route them to a
-    bad-row path upstream if they must be kept)."""
-    canon = canonicalize_url(F.col(url_col)).alias("canonical_url")
+    bad-row path upstream if they must be kept). ``suffixes`` feeds
+    registered_domain (pass the real PSL two-level entries for
+    production corpora)."""
+    base = canonicalized(
+        df.select(F.col(url_col).alias("__url"), F.col(id_col).alias("__id")),
+        "__url",
+    )
     return (
-        df.select(canon, F.col(id_col).alias("__id"))
+        base.select("canonical_url", "__id")
         .where(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(
             F.count("*").alias("n_dups"),
             F.min("__id").alias("keep_id"),
         )
-        .withColumn("domain", registered_domain(url_host(F.col("canonical_url"))))
+        .withColumn(
+            "domain",
+            registered_domain(url_host(F.col("canonical_url")), suffixes),
+        )
     )
 
 
-def domain_cap(deduped: DataFrame, cap: int) -> DataFrame:
+def domain_cap(deduped: DataFrame, cap: int, salt_chars: int = 2) -> DataFrame:
     """Per-domain document cap over the url_dedup output: rank the
     domain's canonical URLs by (md5(url), url) — engine-portable and
     deterministic, like the q58 split hash — and flag rank <= cap as
-    kept. One window over the reduced URL frame."""
+    kept.
+
+    Skew-proof two-phase rank (a mega-domain is the REALITY of web
+    corpora — one wiki/blog host with 1e8 canonical URLs must not
+    become one task's full sort): the salt is a PREFIX of the md5 rank
+    key itself, so the 16^salt_chars salt buckets are CONTIGUOUS ranges
+    of the per-domain (md5, url) order and the global rank is exactly
+    local_rank + sum(counts of lower buckets) — offset addition, no
+    re-sort of survivors, bit-identical to the single-window rank.
+
+    Scale shape: the salted input is eagerly checkpointed ONCE (it
+    feeds the local-rank window, the counts aggregation and the output
+    join — the global_row_number multi-consumer discipline; this also
+    cuts the canonicalization expression lineage, which Catalyst
+    otherwise re-inlines into every consumer branch: measured 1,637
+    duplicated regexp nodes / MB-scale task binaries without the cut).
+    Then one (domain, salt)-keyed window sort (a mega-domain splits
+    across 16^salt_chars tasks), one count aggregation, a domain-keyed
+    cumulative-offset window over the <= 16^salt_chars rows per domain,
+    and one join back on (domain, salt) whose big side is already
+    partitioned by the join key. No Exchange SinglePartition anywhere
+    (plan-gated)."""
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
     if cap < 1:
         raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
-    w = Window.partitionBy("domain").orderBy(
-        F.md5(F.col("canonical_url")), F.col("canonical_url")
+    if not (1 <= salt_chars <= 8):
+        raise ValueError(
+            f"domain_cap: salt_chars must be in 1..8, got {salt_chars}"
+        )
+    cols = deduped.columns
+    salted = checkpoint_nostats(
+        deduped.withColumn("__h", F.md5(F.col("canonical_url"))).withColumn(
+            "__salt", F.substring("__h", 1, salt_chars)
+        )
     )
-    return deduped.withColumn("drank", F.row_number().over(w)).withColumn(
-        "kept", (F.col("drank") <= cap).cast("int")
+    lw = Window.partitionBy("domain", "__salt").orderBy(
+        "__h", "canonical_url"
+    )
+    local = salted.withColumn("__lrn", F.row_number().over(lw))
+    counts = salted.groupBy("domain", "__salt").agg(
+        F.count("*").alias("__cnt")
+    )
+    ow = (
+        Window.partitionBy("domain")
+        .orderBy("__salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "domain",
+        "__salt",
+        F.coalesce(F.sum("__cnt").over(ow), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(offs, ["domain", "__salt"])
+        .withColumn("drank", (F.col("__lrn") + F.col("__off")).cast("int"))
+        .withColumn("kept", (F.col("drank") <= cap).cast("int"))
+        .select(*cols, "drank", "kept")
     )

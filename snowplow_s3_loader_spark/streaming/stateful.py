@@ -738,12 +738,45 @@ def streaming_ohlc(
     State is bounded: one row per live (key, bucket); pass timeout_ms
     for processing-time eviction of closed bars in always-on runs.
 
+    bar_end is computed with naive-datetime epoch arithmetic on the
+    bucket key, which is only exact when the Python-side datetimes are
+    wall-clock-naive UTC: ``ts_col`` must be TIMESTAMP_NTZ, and
+    ``bucket_col`` must be TIMESTAMP_NTZ or — because date_trunc
+    returns TimestampType even for NTZ input — a TimestampType under a
+    UTC session. A TimestampType bucket in a non-UTC session arrives as
+    local naive datetimes, so a bar crossing a DST transition would
+    silently diverge from the batch operator's engine-side interval
+    arithmetic; both conditions are ENFORCED here.
+
     Emits one row per touched (key, bucket) per batch with the batch
     operator's exact output columns."""
     import numpy as np
 
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
     key_type = ticks.schema[key_col].dataType
     bucket_type = ticks.schema[bucket_col].dataType
+    if not isinstance(ticks.schema[ts_col].dataType, TimestampNTZType):
+        raise ValueError(
+            f"streaming_ohlc: column {ts_col!r} must be timestamp_ntz, "
+            f"got {ticks.schema[ts_col].dataType.simpleString()} — "
+            "session-local TimestampType makes the python-side tick "
+            "epoch arithmetic DST-dependent"
+        )
+    if isinstance(bucket_type, TimestampType):
+        tz = ticks.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"streaming_ohlc: bucket column {bucket_col!r} is "
+                f"TIMESTAMP (session tz {tz!r}) — bar-end arithmetic is "
+                "only exact for timestamp_ntz buckets or a UTC session; "
+                "cast the bucket to timestamp_ntz"
+            )
+    elif not isinstance(bucket_type, TimestampNTZType):
+        raise ValueError(
+            f"streaming_ohlc: column {bucket_col!r} must be a timestamp "
+            f"type, got {bucket_type.simpleString()}"
+        )
     out_schema = StructType(
         [
             StructField(key_col, key_type),

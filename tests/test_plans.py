@@ -844,18 +844,46 @@ def test_q142_unigram_broadcast_joins_only(spark, sf_dir):
     plan = plan_of(Q.q142_unigram_lm(spark, sf_dir))
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "Scan parquet" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan)) <= 2, plan
+
+
+def test_seed_vocab_no_single_partition_exchange(spark, sf_dir):
+    """The round-10 scale fix (VERDICT r9 #1): the seed-vocabulary rank
+    cap must plan as a distributed top-k (TakeOrderedAndProject /
+    partial limits), NEVER Exchange SinglePartition + full sort — the
+    candidate-substring frame is corpus-vocabulary-bounded and this was
+    the repo's one single-task cliff. Gated on the LAZY seed_vocab plan
+    (q142/q144 checkpoint it, hiding the stage from their final plans)."""
+    from snowplow_s3_loader_spark.operators import bpe
+    from snowplow_s3_loader_spark.operators.unigram import seed_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(seed_vocab(bpe.word_counts(docs, "text"), 4, 2, 8192))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_q143_url_dedup_expressions_plus_two_keyed_exchanges(spark, sf_dir):
     """Canonicalization must stay whole-stage-codegen expressions over
-    the scan (no UDF, no join); the only wide operations are the
-    canonical-URL aggregation and the domain rank window (plus the
-    presentation sort)."""
+    the scan (no UDF); the rank is the skew-proof two-phase form: a
+    (domain, salt)-keyed local window, a domain-keyed cumulative-offset
+    window over the tiny counts frame, one offsets join, NOTHING
+    single-partition — a mega-domain must never become one task's
+    sort."""
     plan = plan_of(Q.q143_url_dedup(spark, sf_dir))
-    assert "Join" not in plan and "BatchEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
-    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly the two rank windows, both keyed (never unpartitioned)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "domain" in line, line
+    # one offsets join only (broadcast or shuffle — both acceptable;
+    # the big side's (domain, salt) partitioning satisfies either)
+    assert len(re.findall(r"\(\d+\) \w*(HashJoin|MergeJoin)\b", plan)) == 1, plan
 
 
 def test_q144_encode_no_join_one_agg(spark, sf_dir):
@@ -864,6 +892,7 @@ def test_q144_encode_no_join_one_agg(spark, sf_dir):
     recompute-beats-exchange rule documented on the operator)."""
     plan = plan_of(Q.q144_unigram_encode(spark, sf_dir))
     assert "Join" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
     assert len(re.findall(r"\(\d+\) MapInPandas\b", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) <= 2, plan
 

@@ -110,9 +110,22 @@ class TestOhlcBars:
         assert all(b["twap_den"] == 3_600_000_000 for b in bars.values())
 
     def test_int64_bound_enforced(self, spark):
+        # the guard is a per-row raise_error branch inside the one
+        # projection (round 10: no driver pre-scan), so it fires at
+        # EXECUTION as a Spark runtime error carrying the message
         df = _mk(spark, [("a", T0, 2**42, 1)])
-        with pytest.raises(ValueError, match="int64 bound"):
-            ohlc_bars(df, ["k"], "ts", "cents", "tb", "day")
+        with pytest.raises(Exception, match="int64 bound"):
+            ohlc_bars(df, ["k"], "ts", "cents", "tb", "day").collect()
+
+    def test_null_tiebreak_rejected(self, spark):
+        # a NULL tiebreak would silently corrupt close_cents (the
+        # last-row flag is lead(tb) IS NULL) — it must raise instead
+        df = spark.createDataFrame(
+            [("a", T0, 5, 1), ("a", T0 + dt.timedelta(minutes=1), 7, None)],
+            "k string, ts timestamp_ntz, cents long, tb long",
+        )
+        with pytest.raises(Exception, match="must be non-null"):
+            ohlc_bars(df, ["k"], "ts", "cents", "tb", "hour").collect()
 
     def test_bad_unit_rejected(self, spark):
         df = _mk(spark, [("a", T0, 1, 1)])
