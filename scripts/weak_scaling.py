@@ -1378,6 +1378,124 @@ def unigram_soak_case(spark, n_words: int, n_iter: int) -> dict:
             "pieces": n_pieces, "sec": round(dt, 2)}
 
 
+def skewed_domain_case(spark, n_rows: int) -> dict:
+    """Skew-proofed domain cap (round-10, VERDICT r9 #2): ONE mega-domain
+    holds ~50% of all canonical URLs (the wiki/blog-host reality of web
+    corpora), the rest spread over 1000 small hosts. The two-phase rank
+    (md5-prefix salt buckets -> local rank + offsets) must keep wall
+    ~linear in rows with no single-task sort cliff; the uniform q143
+    corpus (14 hosts) never exercised this shape. Correctness cross-check:
+    per-domain kept counts == min(cap, n_domain) on both tiers."""
+    from snowplow_s3_loader_spark.operators.urls import domain_cap
+
+    half = F.col("id") % 2 == 0
+    deduped = spark.range(n_rows).select(
+        F.concat(
+            F.lit("https://"),
+            F.when(half, F.lit("mega.com")).otherwise(
+                F.concat(
+                    F.lit("s"),
+                    (F.abs(F.xxhash64("id")) % 1000).cast("string"),
+                    F.lit(".com"),
+                )
+            ),
+            F.lit("/p/"),
+            F.col("id").cast("string"),
+        ).alias("canonical_url"),
+        F.when(half, F.lit("mega.com"))
+        .otherwise(
+            F.concat(
+                F.lit("s"),
+                (F.abs(F.xxhash64("id")) % 1000).cast("string"),
+                F.lit(".com"),
+            )
+        )
+        .alias("domain"),
+        F.lit(1).cast("long").alias("n_dups"),
+        F.col("id").alias("keep_id"),
+    )
+    deduped.count()
+    t0 = time.perf_counter()
+    out = domain_cap(deduped, 100)
+    kept = out.groupBy("domain").agg(
+        F.sum("kept").alias("k"), F.count("*").alias("n")
+    )
+    bad = kept.where(
+        F.col("k") != F.least(F.lit(100), F.col("n"))
+    ).count()
+    dt = time.perf_counter() - t0
+    assert bad == 0, bad
+    mega = kept.where(F.col("domain") == "mega.com").first()
+    return {
+        "case": "skewed_domain_cap", "rows": n_rows,
+        "mega_domain_urls": mega["n"], "mega_kept": mega["k"],
+        "sec": round(dt, 2),
+    }
+
+
+def encode_ab_case(spark, n_docs: int) -> dict:
+    """Unigram-encode granularity A/B (round-10, VERDICT r9 #7): the
+    default re-segments every word occurrence (explode -> mapInPandas ->
+    one doc agg, join-free); dedup_words=True dedups to distinct words,
+    segments each once, and joins the lengths back — one corpus
+    exchange bought with less Python DP. A high-repetition corpus
+    (~100 words/doc from a 10k vocabulary) is the join variant's BEST
+    case; the measured pair documents the tradeoff (the local in-process
+    shuffle understates a cluster's network exchange, so the join win
+    here does not flip the 100 TB default). Outputs asserted identical."""
+    from snowplow_s3_loader_spark.operators.unigram import unigram_encode
+
+    scores = {}
+    for a in "abcdefghij":
+        scores[a] = -3_000_000
+        for b in "abcdefghij":
+            scores[a + b] = -5_500_000
+            scores[a + b + a] = -8_000_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                # 4-char words from a 10^4-word space: heavy repetition
+                F.concat(
+                    *[
+                        F.substring(
+                            F.lit("abcdefghij"),
+                            (
+                                F.abs(F.xxhash64(F.col("id") * 100 + i * 7 + j))
+                                % 10
+                                + 1
+                            ).cast("int"),
+                            1,
+                        )
+                        for j in range(4)
+                    ]
+                )
+                for i in range(100)
+            ],
+        ).alias("text"),
+    )
+    docs.count()
+
+    t0 = time.perf_counter()
+    shipped = unigram_encode(docs, "doc_id", "text", scores, 4)
+    n_shipped = shipped.count()
+    t_shipped = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    joined = unigram_encode(docs, "doc_id", "text", scores, 4, dedup_words=True)
+    n_joined = joined.count()
+    t_joined = time.perf_counter() - t0
+    assert n_shipped == n_joined == n_docs
+    diff = shipped.exceptAll(joined).count()
+    assert diff == 0, diff
+    return {
+        "case": "unigram_encode_ab", "docs": n_docs,
+        "sec_recompute": round(t_shipped, 2),
+        "sec_dedup_join": round(t_joined, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1385,9 +1503,19 @@ def main() -> None:
     if which in ("components", "all"):
         out.append(components_case(spark, 5_000))
         out.append(components_case(spark, 50_000))
+    if which == "components_100x":
+        # the third decade (VERDICT r9 #6): 1x/10x/100x to pin the
+        # exponent on the shuffle-heaviest dedup-clusters family
+        out.append(components_case(spark, 5_000))
+        out.append(components_case(spark, 50_000))
+        out.append(components_case(spark, 500_000))
     if which in ("jaccard", "all"):
         out.append(jaccard_case(spark, 5_000))
         out.append(jaccard_case(spark, 50_000))
+    if which == "jaccard_100x":
+        out.append(jaccard_case(spark, 5_000))
+        out.append(jaccard_case(spark, 50_000))
+        out.append(jaccard_case(spark, 500_000))
     if which in ("recall", "all"):
         out.extend(recall_case(spark, "/root/testdata/sf0.01"))
         out.extend(recall_case(spark, "/root/testdata/sf0.1"))
@@ -1489,6 +1617,12 @@ def main() -> None:
     if which in ("unigram_soak", "all"):
         out.append(unigram_soak_case(spark, 500_000, 2))
         out.append(unigram_soak_case(spark, 500_000, 6))
+    if which in ("skewdomain", "all"):
+        out.append(skewed_domain_case(spark, 1_000_000))
+        out.append(skewed_domain_case(spark, 10_000_000))
+    if which in ("encode_ab", "all"):
+        out.append(encode_ab_case(spark, 20_000))
+        out.append(encode_ab_case(spark, 200_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()

@@ -161,6 +161,25 @@ class TestUnigramEncodeIdTypes:
         }
         assert got == {"d-one": (2, 2), "d-two": (1, 1)}
 
+    def test_dedup_words_variant_identical(self, spark):
+        """The distinct-word + join granularity (the measured single-node
+        winner on repetitive corpora) must produce the exact same rows as
+        the default recompute path."""
+        from snowplow_s3_loader_spark.operators.unigram import unigram_encode
+
+        scores = {"a": -10, "b": -12, "c": -14, "ab": -15, "abc": -20}
+        docs = spark.createDataFrame(
+            [(i, " ".join(["ab", "abc", "c", "ab"][: (i % 4) + 1]))
+             for i in range(1, 40)],
+            "doc_id long, text string",
+        )
+        base = unigram_encode(docs, "doc_id", "text", scores, 4)
+        alt = unigram_encode(
+            docs, "doc_id", "text", scores, 4, dedup_words=True
+        )
+        assert base.exceptAll(alt).count() == 0
+        assert alt.exceptAll(base).count() == 0
+
 
 class TestStreamingOhlcTypeGuard:
     def test_timestamp_ts_rejected(self, spark):
