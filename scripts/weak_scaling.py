@@ -1496,6 +1496,61 @@ def encode_ab_case(spark, n_docs: int) -> dict:
     }
 
 
+def dsir_case(spark, n_docs: int) -> dict:
+    """DSIR weighting (round-10 q146): n_docs docs of ~40 words from a
+    zipf-ish vocabulary, 10% marked target. The feature frame is one
+    explode; both models are bucket-bounded (4096) broadcasts; scoring
+    is one broadcast join + one doc agg — wall must track the token
+    scan ~linearly, never vocab x corpus."""
+    from snowplow_s3_loader_spark.operators.dsir import dsir_weights
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 10 == 0).alias("t"),
+        F.concat_ws(
+            " ",
+            *[F.lit(f"the{i}") for i in range(5)],
+            *[
+                F.concat(
+                    F.lit("w"),
+                    ((F.col("id") * 7 + i * 13) % 2000).cast("string"),
+                )
+                for i in range(35)
+            ],
+        ).alias("text"),
+    )
+    docs.count()
+    t0 = time.perf_counter()
+    out = dsir_weights(docs, "doc_id", "text", F.col("t"), n_buckets=4096)
+    n_rows = out.count()
+    dt = time.perf_counter() - t0
+    assert n_rows == n_docs
+    return {"case": "dsir", "docs": n_docs, "sec": round(dt, 2)}
+
+
+def shards_case(spark, n_docs: int) -> dict:
+    """Token-balanced sharding (round-10 q147): the two-phase prefix sum
+    must track the scan ~linearly (range partition + broadcast offsets;
+    no single-partition stage), and every shard's token mass must stay
+    within one document of total/n_shards at both scales."""
+    from snowplow_s3_loader_spark.operators.layout import token_shards
+
+    docs = spark.range(1, n_docs + 1).select(
+        F.col("id").alias("doc_id"),
+        (F.abs(F.xxhash64("id")) % 400 + 20).alias("w"),
+    )
+    docs.count()
+    t0 = time.perf_counter()
+    sh = token_shards(docs, "doc_id", "w", 64)
+    stats = sh.groupBy("shard").agg(F.sum("w").alias("tok")).collect()
+    dt = time.perf_counter() - t0
+    total = sum(r["tok"] for r in stats)
+    per = total / 64
+    assert len(stats) == 64
+    assert all(abs(r["tok"] - per) <= per + 420 for r in stats)
+    return {"case": "token_shards", "docs": n_docs, "sec": round(dt, 2)}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1623,6 +1678,12 @@ def main() -> None:
     if which in ("encode_ab", "all"):
         out.append(encode_ab_case(spark, 20_000))
         out.append(encode_ab_case(spark, 200_000))
+    if which in ("dsir", "all"):
+        out.append(dsir_case(spark, 20_000))
+        out.append(dsir_case(spark, 200_000))
+    if which in ("shards", "all"):
+        out.append(shards_case(spark, 1_000_000))
+        out.append(shards_case(spark, 10_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()

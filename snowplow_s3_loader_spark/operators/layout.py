@@ -134,3 +134,82 @@ def skipping_effectiveness(
         names[0]
     )
     return {"zorder": mean_ranges(z), "linear": mean_ranges(linear)}
+
+
+def token_shards(
+    docs: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic token-balanced shard assignment — the dataloader
+    last mile: order the corpus by the reproducible pseudo-random
+    permutation (md5(id), id) — decorrelating shards from source/time
+    locality, the q58 hash-order discipline — then cut the exclusive
+    running token total into ``n_shards`` CONTIGUOUS ranges of
+    ~total/n_shards tokens:
+
+        shard = (start * n_shards) div total        (0-based)
+
+    where start is the document's exclusive prefix sum under the
+    permutation. Every shard's token mass is within one document of
+    total/n_shards (a document never splits), the assignment is a pure
+    function of (id set, weights, n_shards) — identical on any engine,
+    row order, or partitioning — and downstream writers get one
+    contiguous range partition per shard.
+
+    Guards: weights must be >= 1 (a zero/negative/NULL-weight document
+    has no place on a token axis; per-row raise_error fold, zero extra
+    scan). start * n_shards must stay under 2^63 — total_tokens *
+    n_shards <= 9.2e18, ENFORCED from the two-phase pass's own scalar
+    total (no extra scan).
+
+    Scale shape: the two-phase distributed prefix sum
+    (ranking.global_running_total — range partition + broadcast
+    offsets, NO single-partition stage), then a pure projection.
+    Output: (id_col, weight_col, rn, start, shard)."""
+    from snowplow_s3_loader_spark.operators.ranking import (
+        global_running_total,
+    )
+
+    if n_shards < 1:
+        raise ValueError(
+            f"token_shards: n_shards must be >= 1, got {n_shards}"
+        )
+    w = F.col(weight_col)
+    w_checked = F.when(
+        w.isNull() | (w < 1),
+        F.raise_error(
+            F.lit(
+                "token_shards: weights must be integers >= 1 (a "
+                "zero-token document has no place on the token axis)"
+            )
+        ).cast("long"),
+    ).otherwise(w.cast("long"))
+    base = docs.select(F.col(id_col), w_checked.alias(weight_col))
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    ranked, n_rows, total = global_running_total(
+        base, order, weight_col, rn_col="rn", start_col="start"
+    )
+    if n_rows == 0:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [],
+            f"{id_col} {docs.schema[id_col].dataType.simpleString()}, "
+            f"{weight_col} long, rn int, start long, shard int",
+        )
+    if total * n_shards >= 2**63:
+        raise ValueError(
+            f"token_shards: total weight {total} x {n_shards} shards "
+            "overflows int64 — shard in two tiers"
+        )
+    return ranked.select(
+        id_col,
+        weight_col,
+        "rn",
+        "start",
+        F.expr(f"CAST((start * {n_shards}) div {total} AS INT)").alias(
+            "shard"
+        ),
+    )
+

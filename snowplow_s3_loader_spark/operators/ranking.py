@@ -79,6 +79,83 @@ def global_row_number(
     return out, int(total_row)
 
 
+def global_running_total(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    rn_col: str = "rn",
+    start_col: str = "start",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Append a 1-based global row number AND the EXCLUSIVE global
+    running total of ``value_col`` (sum of all strictly-earlier rows)
+    under a TOTAL order — global_row_number's two-phase shape carrying
+    a value column: range-repartition on the order key, per-partition
+    local row number + inclusive local prefix sum, per-partition
+    (count, value-sum) offsets collected and broadcast back. Returns
+    (df_with_rn_and_start, total_rows, total_value).
+
+    No single-partition stage; the same eager-localCheckpoint pinning
+    as global_row_number (two consumers over a RangePartitioner whose
+    sample seed is plan-dependent). ``value_col`` must be non-null
+    (a NULL poisons every later prefix; enforced with a per-row
+    raise_error fold, zero extra scan)."""
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    v = F.col(value_col)
+    v_checked = F.when(
+        v.isNull(),
+        F.raise_error(
+            F.lit(
+                f"global_running_total: value column {value_col!r} must "
+                "be non-null (a NULL would poison every later prefix)"
+            )
+        ).cast("long"),
+    ).otherwise(v.cast("long"))
+    ranged = (
+        df.withColumn("_val", v_checked)
+        .repartitionByRange(n_part, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w)).withColumn(
+        "_lcum",
+        F.sum("_val").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    local = local.localCheckpoint(eager=True)
+    counts = local.groupBy("_pid").agg(
+        F.count("*").alias("_cnt"), F.sum("_val").alias("_vsum")
+    )
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(ow), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_vsum").over(ow), F.lit(0)).alias("_voff"),
+        "_cnt",
+        "_vsum",
+    ).localCheckpoint(eager=True)
+    tot = off_df.agg(
+        F.sum("_cnt").alias("n"), F.sum("_vsum").alias("s")
+    ).first()
+    if tot["n"] is None:
+        return (
+            df.withColumn(rn_col, F.lit(None).cast("int")).withColumn(
+                start_col, F.lit(None).cast("long")
+            ),
+            0,
+            0,
+        )
+    out = (
+        local.join(F.broadcast(off_df.drop("_cnt", "_vsum")), "_pid")
+        .withColumn(rn_col, (F.col("_lrn") + F.col("_off")).cast("int"))
+        .withColumn(
+            start_col, F.col("_lcum") - F.col("_val") + F.col("_voff")
+        )
+        .drop("_pid", "_lrn", "_lcum", "_val", "_off", "_voff")
+    )
+    return out, int(tot["n"]), int(tot["s"])
+
+
 def ntile_from_row_number(rn: Column, total: int, k: int) -> Column:
     """Closed-form ntile(k) from a global row number: the first `total % k`
     buckets hold ceil(total/k) rows, the rest floor(total/k) — exactly the SQL

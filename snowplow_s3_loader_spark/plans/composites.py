@@ -1009,6 +1009,22 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_micro").alias("v2"),
         F.col("em_count").alias("v3"),
     )
+    dsirr = q.q146_dsir_selection(spark, sf_dir).select(
+        F.lit("dsir").alias("battery"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_feats").alias("v1"),
+        F.col("weight_micro").alias("v2"),
+        F.col("selected").cast("long").alias("v3"),
+    )
+    shards = q.q147_token_shards(spark, sf_dir).select(
+        F.lit("shards").alias("battery"),
+        F.col("shard").cast("string").alias("key"),
+        (F.col("n_docs") * 10_000_000_000 + F.col("tokens")).alias("v1"),
+        (
+            F.col("rn_min").cast("long") * 10_000_000_000 + F.col("rn_max")
+        ).alias("v2"),
+        F.col("start_min").alias("v3"),
+    )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
         F.col("label").cast("string").alias("key"),
@@ -1086,6 +1102,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(urld)
         .union(uenc)
         .union(woer)
+        .union(dsirr)
+        .union(shards)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1247,7 +1265,8 @@ _FOLDED = {
     "q135_link_prediction", "q136_kmv_distinct",
     "q137_winnow_fingerprints", "q138_event_acf", "q139_association",
     "q140_auc", "q141_ohlc_bars", "q142_unigram_lm", "q143_url_dedup",
-    "q144_unigram_encode", "q145_feature_woe",
+    "q144_unigram_encode", "q145_feature_woe", "q146_dsir_selection",
+    "q147_token_shards",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2042,6 +2061,16 @@ UNION ALL
 SELECT 'woe' AS battery, CAST(bin AS VARCHAR) AS key,
        n_pos * 10000000000 + n_neg AS v1, dev AS v2, woe_micro AS v3
 FROM ({ORACLES["q145_feature_woe"]})
+UNION ALL
+SELECT 'dsir' AS battery, CAST(doc_id AS VARCHAR) AS key,
+       n_feats AS v1, weight_micro AS v2, CAST(selected AS BIGINT) AS v3
+FROM ({ORACLES["q146_dsir_selection"]})
+UNION ALL
+SELECT 'shards' AS battery, CAST(shard AS VARCHAR) AS key,
+       n_docs * 10000000000 + tokens AS v1,
+       CAST(rn_min AS BIGINT) * 10000000000 + rn_max AS v2,
+       start_min AS v3
+FROM ({ORACLES["q147_token_shards"]})
 ORDER BY battery, key, v1
 """
 

@@ -3299,3 +3299,91 @@ SELECT bin, n, n_pos, n_neg,
 FROM agg CROSS JOIN tot t
 ORDER BY bin
 """
+
+# q146: DSIR importance resampling — identical md5-prefix bucket hash
+# (the portable 60-bit idiom), unigram+bigram occurrences (q129's
+# zipped-slice bigram construction), add-1 smoothed bucket multinomials
+# over a full 1024-bucket spine, quantized log-ratio micro-nats, and
+# the deterministic top-100 selection. feats is MATERIALIZED (it feeds
+# four consumers; DuckDB inlines non-recursive CTEs at every reference
+# — the round-9 q142 lesson).
+ORACLES["q146_dsir_selection"] = """
+WITH base AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS t,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t, unnest(list_filter(toks, x -> x <> '')) AS g FROM base
+  UNION ALL
+  SELECT doc_id, t,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM base WHERE len(toks) >= 2
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, t,
+         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024 AS bucket
+  FROM grams
+),
+tc AS (SELECT bucket, count(*) AS ct FROM feats WHERE t = 1 GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY bucket),
+tot AS (
+  SELECT CAST(sum(t) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS nr
+  FROM feats
+),
+model AS MATERIALIZED (
+  SELECT s.bucket,
+    CAST(round(ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)
+                  / CAST(tot.nt + 1024 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+    - CAST(round(ln(CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE)
+                    / CAST(tot.nr + 1024 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+      AS diff
+  FROM (SELECT unnest(range(0, 1024)) AS bucket) s
+  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket) CROSS JOIN tot
+),
+w AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(diff) AS BIGINT) AS weight_micro
+  FROM feats JOIN model USING (bucket) GROUP BY doc_id
+),
+sel AS (SELECT doc_id FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100)
+SELECT w.doc_id, n_feats, weight_micro,
+       CAST(w.doc_id IN (SELECT doc_id FROM sel) AS INT) AS selected
+FROM w
+ORDER BY doc_id
+"""
+
+# q147: token-balanced shard assignment — the identical (md5(id), id)
+# permutation, exclusive window prefix sum, and the contiguous cut
+# shard = (start * 16) // total. DuckDB's window sum over BIGINTs is
+# exact (integers, not the float segment-tree caveat).
+ORACLES["q147_token_shards"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS w
+  FROM documents
+),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM d),
+o AS (
+  SELECT doc_id, w,
+    CAST(row_number() OVER (
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn,
+    CAST(coalesce(sum(w) OVER (
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start
+  FROM d
+),
+s AS (
+  SELECT o.*, CAST((start * 16) // t.total AS INTEGER) AS shard
+  FROM o CROSS JOIN t
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS tokens,
+       CAST(min(rn) AS INTEGER) AS rn_min,
+       CAST(max(rn) AS INTEGER) AS rn_max,
+       CAST(min(start) AS BIGINT) AS start_min
+FROM s GROUP BY shard
+ORDER BY shard
+"""

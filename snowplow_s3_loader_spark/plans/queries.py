@@ -3062,6 +3062,70 @@ def q145_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q146_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023) over the document
+    corpus: hashed unigram+bigram bag models (1024 buckets, add-1
+    smoothing) for the target slice (lang = 'en') vs the raw pool,
+    per-document importance weight = exact int64 sum of quantized
+    per-bucket log-ratio micro-nats, and the deterministic top-100
+    selection flag (weight DESC, doc_id — a distributed top-k). One
+    corpus explode into the checkpointed feature frame; both models are
+    bucket-bounded broadcasts; the oracle replays hash, smoothing,
+    quantization and selection bit-for-bit."""
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+    from snowplow_s3_loader_spark.operators.dsir import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = checkpoint_nostats(
+        dsir_weights(
+            docs, "doc_id", "text", F.col("lang") == "en", n_buckets=1024
+        )
+    )
+    top = dsir_select(w, 100).select("doc_id", F.lit(1).alias("__sel"))
+    return (
+        w.join(F.broadcast(top), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_feats",
+            "weight_micro",
+            F.coalesce("__sel", F.lit(0)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q147_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced deterministic shard assignment — the dataloader
+    last mile: permute the corpus by (md5(doc_id), doc_id), cut the
+    exclusive running token total into 16 contiguous shards via the
+    two-phase distributed prefix sum (range partition + broadcast
+    offsets, no single-partition stage), and emit per-shard stats. The
+    rn ranges tile 1..N contiguously and every shard's token mass is
+    within one document of total/16 — both pinned by the oracle's
+    window replay of the identical permutation."""
+    from snowplow_s3_loader_spark.operators.layout import token_shards
+    from snowplow_s3_loader_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    sh = token_shards(docs, "doc_id", "n_tokens", 16)
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.min("rn").alias("rn_min"),
+            F.max("rn").alias("rn_max"),
+            F.min("start").alias("start_min"),
+        )
+        .orderBy("shard")
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3208,5 +3272,7 @@ QUERIES = {
         q143_url_dedup,
         q144_unigram_encode,
         q145_feature_woe,
+        q146_dsir_selection,
+        q147_token_shards,
     ]
 }

@@ -897,6 +897,48 @@ def test_q144_encode_no_join_one_agg(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) <= 2, plan
 
 
+def test_q146_dsir_broadcast_model_no_single_partition(spark, sf_dir):
+    """Scoring must be broadcast joins of the bucket-bounded model (and
+    the 100-row selection flag) against the checkpointed per-doc weight
+    frame — no sort-merge join, no cartesian, no Exchange
+    SinglePartition (the top-k is TakeOrderedAndProject), and the
+    corpus is exploded once inside the checkpointed feature frame (no
+    parquet rescan in the final plan)."""
+    plan = plan_of(Q.q146_dsir_selection(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan)) <= 1, plan
+
+
+def test_q146_selection_is_distributed_topk(spark, sf_dir):
+    """The lazy dsir_select plan itself must be TakeOrderedAndProject
+    (the q142 seed_vocab lesson: never a global rank window)."""
+    from snowplow_s3_loader_spark.operators.dsir import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs, "doc_id", "text", F.col("lang") == "en", 256)
+    plan = plan_of(dsir_select(w, 50))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_q147_shards_no_single_partition(spark, sf_dir):
+    """The prefix sum is the two-phase range-partitioned pass (hidden
+    behind its checkpoint); the visible plan is the broadcast offsets
+    join + projection + one shard aggregation — nothing
+    single-partition, no sort-merge join, every window keyed."""
+    plan = plan_of(Q.q147_token_shards(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "partitionBy []" not in line, line
+
+
 def test_q145_woe_no_single_task_ranking(spark, sf_dir):
     """The binning rides the two-phase global_row_number (no
     unpartitioned window over the rows); everything after the k-row

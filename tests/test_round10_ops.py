@@ -227,6 +227,234 @@ class TestStreamingOhlcTypeGuard:
         )
 
 
+def _md5_60bit(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+class TestDsir:
+    """Differentials vs an independent pure-python DSIR (dict/loop based,
+    shares no code with the operator)."""
+
+    DOCS = [
+        (1, "the cat sat on the mat", 1),
+        (2, "the dog ran far away from home", 0),
+        (3, "cat cat cat cat", 0),
+        (4, "completely unrelated vocabulary here", 0),
+        (5, "the cat and the dog sat", 1),
+        (6, "", 0),
+    ]
+    B = 64
+
+    def _ref_weights(self):
+        import math
+
+        feats = {}  # doc -> list of buckets
+        for doc_id, text, _t in self.DOCS:
+            toks = [t for t in text.strip().split() if t != ""] if text.strip() else []
+            grams = list(toks) + [
+                f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+            ]
+            if grams:
+                feats[doc_id] = [_md5_60bit(g) % self.B for g in grams]
+        tc: dict = {}
+        rc: dict = {}
+        nt = nr = 0
+        for doc_id, _text, t in self.DOCS:
+            for b in feats.get(doc_id, []):
+                rc[b] = rc.get(b, 0) + 1
+                nr += 1
+                if t:
+                    tc[b] = tc.get(b, 0) + 1
+                    nt += 1
+        diff = {
+            b: round(math.log((tc.get(b, 0) + 1) / (nt + self.B)) * 1e6)
+            - round(math.log((rc.get(b, 0) + 1) / (nr + self.B)) * 1e6)
+            for b in range(self.B)
+        }
+        return {
+            d: (len(bs), sum(diff[b] for b in bs)) for d, bs in feats.items()
+        }
+
+    def test_weights_match_reference(self, spark):
+        from snowplow_s3_loader_spark.operators.dsir import dsir_weights
+
+        docs = spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, t int"
+        )
+        got = {
+            r["doc_id"]: (r["n_feats"], r["weight_micro"])
+            for r in dsir_weights(
+                docs, "doc_id", "text", F.col("t") == 1, n_buckets=self.B
+            ).collect()
+        }
+        assert got == self._ref_weights()
+
+    def test_blank_doc_absent(self, spark):
+        from snowplow_s3_loader_spark.operators.dsir import dsir_weights
+
+        docs = spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, t int"
+        )
+        ids = {
+            r["doc_id"]
+            for r in dsir_weights(
+                docs, "doc_id", "text", F.col("t") == 1, n_buckets=self.B
+            ).collect()
+        }
+        assert 6 not in ids and ids == {1, 2, 3, 4, 5}
+
+    def test_targets_score_above_offtopic(self, spark):
+        """Sanity direction: the target docs (and near-target doc 3,
+        sharing 'cat') must outscore the fully off-topic doc 4."""
+        from snowplow_s3_loader_spark.operators.dsir import dsir_weights
+
+        docs = spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, t int"
+        )
+        w = {
+            r["doc_id"]: r["weight_micro"]
+            for r in dsir_weights(
+                docs, "doc_id", "text", F.col("t") == 1, n_buckets=self.B
+            ).collect()
+        }
+        assert w[1] > w[4] and w[5] > w[4]
+
+    def test_select_topk_deterministic(self, spark):
+        from snowplow_s3_loader_spark.operators.dsir import (
+            dsir_select,
+            dsir_weights,
+        )
+
+        docs = spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, t int"
+        )
+        w = dsir_weights(docs, "doc_id", "text", F.col("t") == 1, self.B)
+        ref = sorted(
+            self._ref_weights().items(), key=lambda kv: (-kv[1][1], kv[0])
+        )[:2]
+        got = {r["doc_id"] for r in dsir_select(w, 2).collect()}
+        assert got == {d for d, _ in ref}
+
+    def test_bucket_guard(self, spark):
+        from snowplow_s3_loader_spark.operators.dsir import hashed_features
+
+        docs = spark.createDataFrame([(1, "a", 0)], "doc_id long, text string, t int")
+        with pytest.raises(ValueError, match="n_buckets"):
+            hashed_features(docs, "doc_id", "text", 1)
+
+
+class TestTokenShards:
+    def _ref(self, rows, n_shards):
+        import hashlib
+
+        order = sorted(
+            rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+        )
+        total = sum(w for _, w in rows)
+        out, start = {}, 0
+        for rn, (doc_id, w) in enumerate(order, 1):
+            out[doc_id] = (rn, start, start * n_shards // total)
+            start += w
+        return out
+
+    def test_matches_reference_permutation(self, spark):
+        from snowplow_s3_loader_spark.operators.layout import token_shards
+
+        rows = [(i, (i * 37) % 90 + 1) for i in range(1, 200)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = {
+            r["doc_id"]: (r["rn"], r["start"], r["shard"])
+            for r in token_shards(df, "doc_id", "w", 8).collect()
+        }
+        assert got == self._ref(rows, 8)
+
+    def test_shards_contiguous_and_balanced(self, spark):
+        from snowplow_s3_loader_spark.operators.layout import token_shards
+
+        rows = [(i, (i * 13) % 50 + 1) for i in range(1, 500)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        sh = token_shards(df, "doc_id", "w", 10)
+        stats = (
+            sh.groupBy("shard")
+            .agg(
+                F.min("rn").alias("lo"),
+                F.max("rn").alias("hi"),
+                F.count("*").alias("n"),
+                F.sum("w").alias("tok"),
+            )
+            .orderBy("shard")
+            .collect()
+        )
+        total = sum(w for _, w in rows)
+        per = total / 10
+        max_doc = max(w for _, w in rows)
+        prev_hi = 0
+        for r in stats:
+            # contiguous rn tiling: each shard's range abuts the previous
+            assert r["lo"] == prev_hi + 1 and r["hi"] - r["lo"] + 1 == r["n"]
+            prev_hi = r["hi"]
+            # token balance within one document of the ideal cut
+            assert abs(r["tok"] - per) <= per + max_doc
+        assert prev_hi == len(rows)
+
+    def test_zero_weight_rejected(self, spark):
+        from snowplow_s3_loader_spark.operators.layout import token_shards
+
+        df = spark.createDataFrame([(1, 5), (2, 0)], "doc_id long, w long")
+        with pytest.raises(Exception, match="must be integers >= 1"):
+            token_shards(df, "doc_id", "w", 2).collect()
+
+    def test_empty_input(self, spark):
+        from snowplow_s3_loader_spark.operators.layout import token_shards
+
+        df = spark.createDataFrame([], "doc_id long, w long")
+        assert token_shards(df, "doc_id", "w", 4).count() == 0
+
+
+class TestGlobalRunningTotal:
+    def test_matches_single_window(self, spark):
+        from pyspark.sql import Window
+
+        from snowplow_s3_loader_spark.operators.ranking import (
+            global_running_total,
+        )
+
+        rows = [(i, (i * 7) % 23 + 1) for i in range(1, 300)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got, n, total = global_running_total(df, [F.col("k")], "v")
+        assert n == 299 and total == sum(v for _, v in rows)
+        w = Window.orderBy("k")
+        ref = df.withColumn(
+            "rn_ref", F.row_number().over(w)
+        ).withColumn(
+            "start_ref",
+            F.coalesce(
+                F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        joined = got.join(ref.select("k", "rn_ref", "start_ref"), "k")
+        bad = joined.where(
+            (F.col("rn") != F.col("rn_ref"))
+            | (F.col("start") != F.col("start_ref"))
+        ).count()
+        assert bad == 0
+
+    def test_null_value_rejected(self, spark):
+        from snowplow_s3_loader_spark.operators.ranking import (
+            global_running_total,
+        )
+
+        df = spark.createDataFrame([(1, 5), (2, None)], "k long, v long")
+        # the guard rides the projection; the eager localCheckpoint
+        # inside the two-phase pass evaluates it at construction
+        with pytest.raises(Exception, match="must be non-null"):
+            got, _, _ = global_running_total(df, [F.col("k")], "v")
+            got.collect()
+
+
 class TestWoeValueNullGuard:
     def test_null_feature_raises(self, spark):
         from snowplow_s3_loader_spark.operators.profile import woe_bins
