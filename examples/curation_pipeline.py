@@ -11,9 +11,12 @@ Stages (each one a first-class operator elsewhere in the repo):
      cross-entropy band + hashed-linear classifier scores
   6. corpus statistics: Misra-Gries heavy hitters (induced stopword
      candidates, bounded state however large the vocabulary)
-  7. deterministic train/val/test split of the survivors
-  8. z-order layout write of the train split (multi-column file
-     skipping for downstream readers)
+  7. target-likeness selection: DSIR importance weights (hashed
+     n-gram bag models vs the 'en' slice) — keep the top half
+  8. deterministic train/val/test split of the survivors
+  9. z-order layout write of the train split (multi-column file
+     skipping for downstream readers) + token-balanced shard
+     assignment (the dataloader hand-off)
 
 Run:  PYTHONPATH=. python examples/curation_pipeline.py [sf_dir]
 """
@@ -31,12 +34,17 @@ from snowplow_s3_loader_spark.operators.dedup import (
     release_materialized,
     token_jaccard_pairs,
 )
+from snowplow_s3_loader_spark.operators.dsir import dsir_select, dsir_weights
 from snowplow_s3_loader_spark.operators.graph import dedup_keep_canonical
 from snowplow_s3_loader_spark.operators.lm import bigram_lm_scores
 from snowplow_s3_loader_spark.operators.sampling import deterministic_split
-from snowplow_s3_loader_spark.operators.layout import zorder_repartition
+from snowplow_s3_loader_spark.operators.layout import token_shards, zorder_repartition
 from snowplow_s3_loader_spark.operators.sketches import heavy_hitters
-from snowplow_s3_loader_spark.operators.text import hashed_linear_score, repetition_stats
+from snowplow_s3_loader_spark.operators.text import (
+    hashed_linear_score,
+    repetition_stats,
+    token_count,
+)
 from snowplow_s3_loader_spark.session import get_spark
 from snowplow_s3_loader_spark.tables import load_table
 
@@ -103,11 +111,20 @@ def main() -> None:
     # Misra-Gries (the exact groupBy would carry the whole vocabulary)
     top = heavy_hitters(docs, "text", capacity=512, k=8).collect()
 
-    # 7) deterministic split
+    # 7) target-likeness selection (DSIR): weight every survivor by how
+    # much more likely its hashed n-gram bag is under the 'en' slice
+    # than under the whole pool, keep the top half (deterministic)
+    w = dsir_weights(docs, "doc_id", "text", F.col("lang") == "en", n_buckets=1024)
+    k_keep = max(1, w.count() // 2)
+    kept = dsir_select(w, k_keep).select("doc_id")
+    docs = docs.join(F.broadcast(kept), "doc_id", "left_semi")
+    n5 = docs.count()
+
+    # 8) deterministic split
     split = deterministic_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
     counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
 
-    # 8) z-order the train split on (lang-bucket, doc length) so
+    # 9) z-order the train split on (lang-bucket, doc length) so
     # downstream per-language or per-length readers skip files
     train = split.filter(F.col("split") == "train")
     laid_out = zorder_repartition(
@@ -119,15 +136,32 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="curated_train_")
     laid_out.drop("__zval").write.mode("overwrite").parquet(out_dir)
 
+    # dataloader hand-off: token-balanced contiguous shards of the train
+    # split under the md5 permutation (each shard ~equal token mass)
+    shards = token_shards(
+        train.select("doc_id", token_count(F.col("text")).alias("n_tokens")),
+        "doc_id",
+        "n_tokens",
+        8,
+    )
+    shard_stats = {
+        r["shard"]: r["tok"]
+        for r in shards.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+
     release_materialized(pairs)
     print(f"input                      : {n0}")
     print(f"after exact dedup          : {n1}")
     print(f"after near-dup clustering  : {n2}")
     print(f"after decontamination      : {n3}")
     print(f"after quality gates        : {n4}")
+    print(f"after DSIR selection       : {n5}")
     print(f"top tokens (MG sketch)     : {[r['token'] for r in top]}")
     print(f"splits                     : {counts}")
     print(f"train written z-ordered to : {out_dir}")
+    print(f"shard token masses         : {shard_stats}")
     spark.stop()
 
 

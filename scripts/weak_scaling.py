@@ -1528,6 +1528,36 @@ def dsir_case(spark, n_docs: int) -> dict:
     return {"case": "dsir", "docs": n_docs, "sec": round(dt, 2)}
 
 
+def mlewis_case(spark, n_docs: int) -> dict:
+    """Moore-Lewis CE-difference scoring (round-10 q148): the zipf-ish
+    retrieval corpus with 10% target docs. The bigram stream explodes
+    once; all four count tables are vocabulary-sized — wall must track
+    the token scan ~linearly."""
+    from snowplow_s3_loader_spark.operators.lm import moore_lewis_scores
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 10 == 0).alias("t"),
+        F.concat_ws(
+            " ",
+            *[F.lit(f"the{i}") for i in range(5)],
+            *[
+                F.concat(
+                    F.lit("w"),
+                    ((F.col("id") * 7 + i * 13) % 2000).cast("string"),
+                )
+                for i in range(35)
+            ],
+        ).alias("text"),
+    )
+    docs.count()
+    t0 = time.perf_counter()
+    n_rows = moore_lewis_scores(docs, "doc_id", "text", F.col("t")).count()
+    dt = time.perf_counter() - t0
+    assert n_rows == n_docs
+    return {"case": "moore_lewis", "docs": n_docs, "sec": round(dt, 2)}
+
+
 def shards_case(spark, n_docs: int) -> dict:
     """Token-balanced sharding (round-10 q147): the two-phase prefix sum
     must track the scan ~linearly (range partition + broadcast offsets;
@@ -1681,6 +1711,9 @@ def main() -> None:
     if which in ("dsir", "all"):
         out.append(dsir_case(spark, 20_000))
         out.append(dsir_case(spark, 200_000))
+    if which in ("mlewis", "all"):
+        out.append(mlewis_case(spark, 20_000))
+        out.append(mlewis_case(spark, 200_000))
     if which in ("shards", "all"):
         out.append(shards_case(spark, 1_000_000))
         out.append(shards_case(spark, 10_000_000))

@@ -87,3 +87,96 @@ def bigram_lm_scores(
             6,
         ).alias("lm_cross_entropy"),
     )
+
+
+def moore_lewis_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    k: float = 0.5,
+) -> DataFrame:
+    """Cross-entropy difference filtering (Moore & Lewis, ACL 2010) —
+    the classic intelligent-selection rule DSIR descends from, at word
+    granularity: score each raw-pool document by
+
+        ml = sum over its bigrams of [ ln P_target(w2|w1)
+                                       - ln P_raw(w2|w1) ]
+
+    with both sides add-k bigram models (the bigram_lm_scores family's
+    smoothing; the TARGET model is trained only on the ``is_target``
+    slice, the RAW model on the whole pool, and V — the smoothing
+    vocabulary — is the shared raw-corpus vocabulary so unseen-in-target
+    bigrams fall to the same 1/V-scale floor on a comparable scale).
+    Higher ml = more target-like; select by thresholding or a
+    distributed top-k downstream.
+
+    Exactness: each bigram's two log-probs quantize to integer
+    micro-nats independently (one shared double from identical
+    integers — the q142 discipline), so every output is an exact int64
+    sum and hash-identical across engines.
+
+    Scale shape: the bigram stream is exploded ONCE and eagerly
+    checkpointed (it feeds four count aggregations and the scoring
+    join — the multi-consumer discipline); all four count tables are
+    vocabulary-sized, joined back under AQE (broadcast while the
+    vocabulary fits); one doc-keyed aggregation; one count-distinct
+    scalar (V). Documents with fewer than two tokens emit n_bigrams=0
+    and NULL scores (no evidence, not zero evidence).
+
+    Output: (id, n_bigrams, sum_logp_target, sum_logp_raw,
+    ml_micronats = sum_logp_target - sum_logp_raw)."""
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
+    bg = checkpoint_nostats(
+        docs.select(
+            F.col(id_col).alias("id"),
+            is_target.cast("int").alias("__t"),
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"),
+        ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    )
+    c2r = bg.groupBy("gram").agg(F.count("*").alias("c2r"))
+    ctxr = bg.groupBy("w1").agg(F.count("*").alias("c1r"))
+    c2t = bg.where(F.col("__t") == 1).groupBy("gram").agg(
+        F.count("*").alias("c2t")
+    )
+    ctxt = bg.where(F.col("__t") == 1).groupBy("w1").agg(
+        F.count("*").alias("c1t")
+    )
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.count_distinct("tok"))
+        .first()[0]
+    )
+    kv = F.lit(k) * F.lit(float(vocab or 0))
+    logp_t = F.log(
+        (F.coalesce("c2t", F.lit(0)) + F.lit(k))
+        / (F.coalesce("c1t", F.lit(0)) + kv)
+    )
+    logp_r = F.log((F.col("c2r") + F.lit(k)) / (F.col("c1r") + kv))
+    scored = (
+        bg.join(c2r, "gram")
+        .join(ctxr, "w1")
+        .join(c2t, "gram", "left")
+        .join(ctxt, "w1", "left")
+        .select(
+            "id",
+            F.round(logp_t * 1e6, 0).cast("long").alias("mt"),
+            F.round(logp_r * 1e6, 0).cast("long").alias("mr"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("mt").alias("sum_logp_target"),
+        F.sum("mr").alias("sum_logp_raw"),
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.col("sum_logp_target").cast("long").alias("sum_logp_target"),
+        F.col("sum_logp_raw").cast("long").alias("sum_logp_raw"),
+        (F.col("sum_logp_target") - F.col("sum_logp_raw")).alias(
+            "ml_micronats"
+        ),
+    )

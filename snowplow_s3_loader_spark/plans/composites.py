@@ -1016,6 +1016,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight_micro").alias("v2"),
         F.col("selected").cast("long").alias("v3"),
     )
+    mlw = q.q148_moore_lewis(spark, sf_dir).select(
+        F.lit("mlewis").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        F.col("n_bigrams").alias("v1"),
+        F.col("sum_logp_target").alias("v2"),
+        F.col("ml_micronats").alias("v3"),
+    )
     shards = q.q147_token_shards(spark, sf_dir).select(
         F.lit("shards").alias("battery"),
         F.col("shard").cast("string").alias("key"),
@@ -1104,6 +1111,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(woer)
         .union(dsirr)
         .union(shards)
+        .union(mlw)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1266,7 +1274,7 @@ _FOLDED = {
     "q137_winnow_fingerprints", "q138_event_acf", "q139_association",
     "q140_auc", "q141_ohlc_bars", "q142_unigram_lm", "q143_url_dedup",
     "q144_unigram_encode", "q145_feature_woe", "q146_dsir_selection",
-    "q147_token_shards",
+    "q147_token_shards", "q148_moore_lewis",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2071,6 +2079,10 @@ SELECT 'shards' AS battery, CAST(shard AS VARCHAR) AS key,
        CAST(rn_min AS BIGINT) * 10000000000 + rn_max AS v2,
        start_min AS v3
 FROM ({ORACLES["q147_token_shards"]})
+UNION ALL
+SELECT 'mlewis' AS battery, CAST(id AS VARCHAR) AS key,
+       n_bigrams AS v1, sum_logp_target AS v2, ml_micronats AS v3
+FROM ({ORACLES["q148_moore_lewis"]})
 ORDER BY battery, key, v1
 """
 

@@ -3387,3 +3387,52 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
 FROM s GROUP BY shard
 ORDER BY shard
 """
+
+# q148: Moore-Lewis cross-entropy difference — the lm-composite's
+# bigram construction and add-0.5 smoothing replayed for BOTH models
+# (target slice vs raw pool) with per-bigram independent micro-nat
+# quantization; V is the shared raw vocabulary (blank-doc '' token
+# included, matching Spark's split-of-empty convention). bgw is
+# MATERIALIZED (five consumers — the q142 CTE-inlining lesson).
+ORACLES["q148_moore_lewis"] = """
+WITH base AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS t,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents
+),
+bgw AS MATERIALIZED (
+  SELECT doc_id, t, gram, string_split(gram, ' ')[1] AS w1 FROM (
+    SELECT doc_id, t,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS gram
+    FROM base WHERE len(toks) >= 2
+  )
+),
+c2r AS (SELECT gram, count(*) AS c2r FROM bgw GROUP BY gram),
+ctxr AS (SELECT w1, count(*) AS c1r FROM bgw GROUP BY w1),
+c2t AS (SELECT gram, count(*) AS c2t FROM bgw WHERE t = 1 GROUP BY gram),
+ctxt AS (SELECT w1, count(*) AS c1t FROM bgw WHERE t = 1 GROUP BY w1),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM base)),
+scored AS (
+  SELECT doc_id,
+    CAST(round(ln((coalesce(c2t.c2t, 0) + 0.5)
+                  / (coalesce(ctxt.c1t, 0) + 0.5 * (SELECT v FROM v)))
+               * 1000000, 0) AS BIGINT) AS mt,
+    CAST(round(ln((c2r.c2r + 0.5)
+                  / (ctxr.c1r + 0.5 * (SELECT v FROM v)))
+               * 1000000, 0) AS BIGINT) AS mr
+  FROM bgw JOIN c2r USING (gram) JOIN ctxr USING (w1)
+  LEFT JOIN c2t USING (gram) LEFT JOIN ctxt USING (w1)
+),
+g AS (
+  SELECT doc_id, count(*) AS n, sum(mt) AS st, sum(mr) AS sr
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id AS id, CAST(coalesce(g.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(g.st AS BIGINT) AS sum_logp_target,
+       CAST(g.sr AS BIGINT) AS sum_logp_raw,
+       CAST(g.st - g.sr AS BIGINT) AS ml_micronats
+FROM documents d LEFT JOIN g USING (doc_id)
+ORDER BY id
+"""

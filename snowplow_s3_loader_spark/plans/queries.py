@@ -3126,6 +3126,22 @@ def q147_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy difference filtering (ACL 2010) — the
+    classic intelligent-selection rule DSIR descends from, at word
+    granularity: per document, the exact int64 difference of its
+    bigram log-likelihood under a target-slice (lang = 'en') add-k
+    model vs the raw-pool model, both quantized per bigram to
+    micro-nats. One exploded + checkpointed bigram stream feeds all
+    four vocabulary-sized count tables and the scoring join."""
+    from snowplow_s3_loader_spark.operators.lm import moore_lewis_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return moore_lewis_scores(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    ).orderBy("id")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3274,5 +3290,6 @@ QUERIES = {
         q145_feature_woe,
         q146_dsir_selection,
         q147_token_shards,
+        q148_moore_lewis,
     ]
 }

@@ -939,6 +939,19 @@ def test_q147_shards_no_single_partition(spark, sf_dir):
             assert "partitionBy []" not in line, line
 
 
+def test_q148_moore_lewis_no_single_partition(spark, sf_dir):
+    """The bigram stream is exploded once behind its checkpoint; the
+    four count tables join back vocabulary-sized (broadcast under AQE
+    at these SFs), the doc aggregation is partial+final — nothing
+    single-partition, no cartesian."""
+    plan = plan_of(Q.q148_moore_lewis(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "partitionBy []" not in line, line
+
+
 def test_q145_woe_no_single_task_ranking(spark, sf_dir):
     """The binning rides the two-phase global_row_number (no
     unpartitioned window over the rows); everything after the k-row

@@ -455,6 +455,95 @@ class TestGlobalRunningTotal:
             got.collect()
 
 
+class TestMooreLewis:
+    DOCS = [
+        (1, "the cat sat on the mat", 1),
+        (2, "the dog ran home", 0),
+        (3, "cat sat cat sat", 0),
+        (4, "zz yy xx ww", 0),
+        (5, "one", 0),
+    ]
+
+    def _ref(self, k=0.5):
+        import math
+
+        toks = {d: t.split() for d, t, _ in self.DOCS if t}
+        vocab = {w for ts in toks.values() for w in ts}
+        bgs = {
+            d: [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+            for d, ts in toks.items()
+        }
+        c2r: dict = {}
+        c1r: dict = {}
+        c2t: dict = {}
+        c1t: dict = {}
+        tflag = {d: t for d, _, t in self.DOCS}
+        for d, pairs in bgs.items():
+            for g in pairs:
+                c2r[g] = c2r.get(g, 0) + 1
+                c1r[g[0]] = c1r.get(g[0], 0) + 1
+                if tflag[d]:
+                    c2t[g] = c2t.get(g, 0) + 1
+                    c1t[g[0]] = c1t.get(g[0], 0) + 1
+        v = len(vocab)
+        out = {}
+        for d, _, _t in self.DOCS:
+            pairs = bgs.get(d, [])
+            if not pairs:
+                out[d] = (0, None, None, None)
+                continue
+            st = sum(
+                round(
+                    math.log(
+                        (c2t.get(g, 0) + k) / (c1t.get(g[0], 0) + k * v)
+                    )
+                    * 1e6
+                )
+                for g in pairs
+            )
+            sr = sum(
+                round(math.log((c2r[g] + k) / (c1r[g[0]] + k * v)) * 1e6)
+                for g in pairs
+            )
+            out[d] = (len(pairs), st, sr, st - sr)
+        return out
+
+    def test_matches_reference(self, spark):
+        from snowplow_s3_loader_spark.operators.lm import moore_lewis_scores
+
+        docs = spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, t int"
+        )
+        got = {
+            r["id"]: (
+                r["n_bigrams"],
+                r["sum_logp_target"],
+                r["sum_logp_raw"],
+                r["ml_micronats"],
+            )
+            for r in moore_lewis_scores(
+                docs, "doc_id", "text", F.col("t") == 1
+            ).collect()
+        }
+        assert got == self._ref()
+
+    def test_target_docs_score_highest(self, spark):
+        """Direction sanity: the target doc and its vocabulary twin must
+        outscore the disjoint-vocabulary doc."""
+        from snowplow_s3_loader_spark.operators.lm import moore_lewis_scores
+
+        docs = spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, t int"
+        )
+        ml = {
+            r["id"]: r["ml_micronats"]
+            for r in moore_lewis_scores(
+                docs, "doc_id", "text", F.col("t") == 1
+            ).collect()
+        }
+        assert ml[1] > ml[4] and ml[3] > ml[4]
+
+
 class TestWoeValueNullGuard:
     def test_null_feature_raises(self, spark):
         from snowplow_s3_loader_spark.operators.profile import woe_bins
