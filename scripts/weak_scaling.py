@@ -1717,6 +1717,14 @@ def main() -> None:
     if which in ("shards", "all"):
         out.append(shards_case(spark, 1_000_000))
         out.append(shards_case(spark, 10_000_000))
+    if which == "shards_100x":
+        out.append(shards_case(spark, 1_000_000))
+        out.append(shards_case(spark, 10_000_000))
+        out.append(shards_case(spark, 100_000_000))
+    if which == "dsir_100x":
+        out.append(dsir_case(spark, 20_000))
+        out.append(dsir_case(spark, 200_000))
+        out.append(dsir_case(spark, 2_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()
