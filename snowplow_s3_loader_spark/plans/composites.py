@@ -1840,6 +1840,12 @@ SELECT 'parity' AS battery,
 FROM (SELECT DISTINCT event_type, date_trunc('hour', ts) AS b FROM events)
 UNION ALL
 SELECT 'parity' AS battery,
+       'streaming_urldedup@' || canonical_url AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q143_url_dedup"]})
+UNION ALL
+SELECT 'parity' AS battery,
        'component_map@' || CAST(node AS VARCHAR) AS key,
        CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3

@@ -661,16 +661,65 @@ def _ohlc_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+def _url_dedup_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Streaming first-seen URL dedup vs the batch url_dedup (round 10,
+    q143 twin — the NINTH parity family): the q143 messy-URL corpus
+    split into three micro-batches by doc_id % 3 — deliberately NOT
+    arrival-ordered, because both state folds (count, min-id) are
+    commutative+associative so the operator carries no ordering
+    contract — must drain to the batch operator's exact
+    (canonical_url, n_dups, keep_id) rows."""
+    from snowplow_s3_loader_spark.operators.urls import url_dedup
+    from snowplow_s3_loader_spark.plans.queries import messy_url_docs
+    from snowplow_s3_loader_spark.streaming.stateful import (
+        streaming_url_dedup,
+    )
+
+    docs = messy_url_docs(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "url"
+    )
+    slices = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="parity_urldedup_")
+    final: dict = {}
+    try:
+        in_dir = _write_stream_files(slices, tmp)
+        src = (
+            spark.readStream.schema("doc_id bigint, url string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+        def _fb(df, bid):
+            for r in df.collect():  # update mode: later batches overwrite
+                final[r["canonical_url"]] = (r["n_dups"], r["keep_id"])
+
+        _run_stream(streaming_url_dedup(src, "url", "doc_id"), tmp, _fb)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    batch = {
+        r["canonical_url"]: (r["n_dups"], r["keep_id"])
+        for r in url_dedup(docs, "url", "doc_id").collect()
+    }
+    return [
+        (
+            "streaming_urldedup",
+            u,
+            int(batch.get(u) == final.get(u)),
+        )
+        for u in sorted(set(batch) | set(final))
+    ]
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(check_name, key, is_match) for all four parity families, fully
+    """(check_name, key, is_match) for all the parity families, fully
     materialized driver-side (literal rows — no lingering plan or
-    checkpoint references). The three streaming checks run CONCURRENTLY
+    checkpoint references). The streaming checks run CONCURRENTLY
     (independent sources/sinks/checkpoints; Spark job submission is
     thread-safe) so the audit pays one streaming-query startup of wall
-    time, not three."""
+    time, not nine."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=7) as ex:
+    with ThreadPoolExecutor(max_workers=8) as ex:
         fut_funnel = ex.submit(_funnel_parity, spark, sf_dir)
         fut_heavy = ex.submit(_heavy_parity, spark, sf_dir)
         fut_ssj = ex.submit(_interval_join_parity, spark, sf_dir)
@@ -678,6 +727,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_trail = ex.submit(_trailing_parity, spark, sf_dir)
         fut_sess = ex.submit(_session_window_parity, spark, sf_dir)
         fut_ohlc = ex.submit(_ohlc_parity, spark, sf_dir)
+        fut_url = ex.submit(_url_dedup_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
         rows = (
             fut_funnel.result()
@@ -687,6 +737,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             + fut_trail.result()
             + fut_sess.result()
             + fut_ohlc.result()
+            + fut_url.result()
             + cm_rows
         )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

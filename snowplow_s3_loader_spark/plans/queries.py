@@ -2989,8 +2989,20 @@ def q143_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; URLs differing only in junk collapse to one row."""
     from snowplow_s3_loader_spark.operators.urls import domain_cap, url_dedup
 
+    docs = messy_url_docs(load_table(spark, sf_dir, "documents"))
+    return domain_cap(url_dedup(docs, "url", "doc_id"), 3).orderBy(
+        "canonical_url"
+    )
+
+
+def messy_url_docs(docs: DataFrame) -> DataFrame:
+    """The q143 deterministic messy-URL synthesis (mixed-case schemes and
+    hosts, www. prefixes, default/non-default ports, doubled slashes,
+    trailing slashes, shuffled tracking params, fragments) — shared by
+    the q143 oracle row and the streaming URL-dedup parity family so
+    both exercise the identical canonicalization surface."""
     d = F.col("doc_id")
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    return docs.withColumn(
         "url",
         F.concat(
             F.when(d % 2 == 0, "https").otherwise("HTTP"),
@@ -3012,9 +3024,6 @@ def q143_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.when(d % 7 == 0, "#frag").otherwise(""),
         ),
-    )
-    return domain_cap(url_dedup(docs, "url", "doc_id"), 3).orderBy(
-        "canonical_url"
     )
 
 

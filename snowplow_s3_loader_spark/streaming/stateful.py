@@ -880,3 +880,91 @@ def streaming_ohlc(
     return ticks.groupBy(key_col, bucket_col).applyInPandasWithState(
         _update, out_schema, state_schema, "update", timeout
     )
+
+
+def streaming_url_dedup(
+    docs: DataFrame,
+    url_col: str,
+    id_col: str,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of urls.url_dedup — the always-on crawl-ingest
+    shape: canonicalize each arriving URL (the same staged
+    pure-expression contract; rows that fail to canonicalize are
+    dropped, exactly like the batch operator) and maintain per
+    canonical URL TWO integers of state: the running duplicate count
+    and the smallest id seen (the deterministic keep winner). Both
+    folds are commutative+associative, so NO arrival-order contract
+    exists — any interleaving of batches drains to the batch
+    operator's exact (canonical_url, n_dups, keep_id) rows (the ninth
+    batch-vs-streaming parity family).
+
+    State is one row per live canonical URL — the first-seen filter's
+    inherent working set; pass timeout_ms for processing-time eviction
+    in always-on runs (an evicted URL that reappears restarts its
+    count, the standard bounded-retention tradeoff, documented rather
+    than silent).
+
+    Emits one row per touched canonical URL per batch (update mode —
+    later batches overwrite); the registered domain is a stateless
+    projection the caller can add (urls.registered_domain), kept out
+    of the state row."""
+    from snowplow_s3_loader_spark.operators.urls import canonicalized
+
+    canon = (
+        canonicalized(
+            docs.select(
+                F.col(url_col).alias("__url"), F.col(id_col).alias("__id")
+            ),
+            "__url",
+        )
+        .select("canonical_url", "__id")
+        .where(F.col("canonical_url").isNotNull())
+    )
+    out_schema = StructType(
+        [
+            StructField("canonical_url", StringType()),
+            StructField("n_dups", LongType()),
+            StructField("keep_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("keep", LongType())]
+    )
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (url,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            n_new = len(batch)
+            keep_new = int(batch["__id"].min())
+            if state.exists:
+                n, keep = state.get
+                n += n_new
+                keep = min(keep, keep_new)
+            else:
+                n, keep = n_new, keep_new
+            state.update((n, keep))
+        elif state.exists:
+            n, keep = state.get
+        else:
+            return
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"canonical_url": [url], "n_dups": [n], "keep_id": [keep]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return canon.groupBy("canonical_url").applyInPandasWithState(
+        _update, out_schema, state_schema, "update", timeout
+    )

@@ -544,6 +544,134 @@ class TestMooreLewis:
         assert ml[1] > ml[4] and ml[3] > ml[4]
 
 
+class TestCanonicalizationEquivalence:
+    """The staged pipeline form (canonicalized — linear plan) and the
+    single-Column form (canonicalize_url) implement ONE contract; any
+    divergence is silent corruption of the dedup key. Hypothesis
+    generates both well-formed and garbage inputs; each example runs a
+    single Spark job over the whole generated batch."""
+
+    @staticmethod
+    def _urls():
+        from hypothesis import strategies as st
+
+        host_label = st.text(
+            alphabet="abcDEFgh09-", min_size=1, max_size=6
+        )
+        host = st.lists(host_label, min_size=1, max_size=4).map(".".join)
+        scheme = st.sampled_from(["http", "HTTPS", "ftp", "s3+x"])
+        port = st.sampled_from(["", ":80", ":443", ":8080"])
+        path = st.text(
+            alphabet="abcXY/0._~", min_size=0, max_size=12
+        )
+        params = st.lists(
+            st.sampled_from(
+                ["a=1", "b=2", "utm_source=x", "fbclid=9", "Z=", ""]
+            ),
+            max_size=4,
+        ).map("&".join)
+        frag = st.sampled_from(["", "#f", "#a/b?c"])
+        userinfo = st.sampled_from(["", "u@", "u:p@"])
+        wellformed = st.builds(
+            lambda s, ui, h, po, pa, q, fr: f"{s}://{ui}{h}{po}/{pa}"
+            + (f"?{q}" if q else "")
+            + fr,
+            scheme, userinfo, host, port, path, params, frag,
+        )
+        garbage = st.text(max_size=30)
+        return st.lists(
+            st.one_of(wellformed, garbage), min_size=1, max_size=40
+        )
+
+    def test_forms_agree(self, spark):
+        from hypothesis import HealthCheck, given, settings
+
+        from snowplow_s3_loader_spark.operators.urls import (
+            canonicalize_url,
+            canonicalized,
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(self._urls())
+        def run(urls):
+            df = spark.createDataFrame(
+                [(i, u) for i, u in enumerate(urls)], "i long, url string"
+            )
+            col_form = {
+                r["i"]: r["c"]
+                for r in df.select(
+                    "i", canonicalize_url(F.col("url")).alias("c")
+                ).collect()
+            }
+            staged = {
+                r["i"]: r["canonical_url"]
+                for r in canonicalized(df, "url").collect()
+            }
+            assert col_form == staged
+
+        run()
+
+
+class TestDomainCapProperty:
+    def test_two_phase_equals_single_window_random(self, spark):
+        """Property: for random (domain skew, url multiplicity) frames
+        and every salt width, the two-phase rank is bit-identical to
+        the single-window reference."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+        from pyspark.sql import Window
+
+        from snowplow_s3_loader_spark.operators.urls import domain_cap
+
+        frames = st.lists(
+            st.tuples(
+                st.integers(0, 4),      # domain id (skewed small space)
+                st.integers(0, 1000),   # path id
+            ),
+            min_size=1,
+            max_size=60,
+            unique=True,
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(frames, st.integers(1, 3), st.integers(1, 4))
+        def run(pairs, cap, salt_chars):
+            rows = [
+                (f"https://d{d}.com/p{p}", f"d{d}.com", 1, d * 10_000 + p)
+                for d, p in pairs
+            ]
+            deduped = spark.createDataFrame(
+                rows,
+                "canonical_url string, domain string, n_dups long, keep_id long",
+            )
+            got = {
+                r["canonical_url"]: (r["drank"], r["kept"])
+                for r in domain_cap(deduped, cap, salt_chars).collect()
+            }
+            w = Window.partitionBy("domain").orderBy(
+                F.md5(F.col("canonical_url")), F.col("canonical_url")
+            )
+            ref = {
+                r["canonical_url"]: (r["drank"], r["kept"])
+                for r in deduped.withColumn(
+                    "drank", F.row_number().over(w)
+                )
+                .withColumn("kept", (F.col("drank") <= cap).cast("int"))
+                .collect()
+            }
+            assert got == ref
+
+        run()
+
+
 class TestWoeValueNullGuard:
     def test_null_feature_raises(self, spark):
         from snowplow_s3_loader_spark.operators.profile import woe_bins

@@ -678,3 +678,73 @@ def test_streaming_ohlc_matches_batch_on_ordered_stream(spark, tmp_path):
     assert got == want
     assert len(want) == 4  # two bars per key
     assert any(v[7] < 0 for v in want.values())  # negative TWAP exercised
+
+
+def test_streaming_url_dedup_matches_batch_any_order(spark, tmp_path):
+    """streaming_url_dedup folded over arbitrarily-split micro-batches
+    must equal batch url_dedup on the union — both state folds (count,
+    min-id) are commutative+associative, so the split deliberately
+    interleaves ids (doc_id % 3), not arrival order. Messy URLs
+    exercise the canonicalization collapse inside the stream."""
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as SF
+
+    from snowplow_s3_loader_spark.operators.urls import url_dedup
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_url_dedup
+
+    rows = []
+    for i in range(1, 121):
+        host = f"Site{i % 5}.com"
+        www = "WWW." if i % 4 == 0 else ""
+        frag = "#x" if i % 3 == 0 else ""
+        rows.append((i, f"https://{www}{host}/p/{i % 20}?b=2&a=1{frag}"))
+    rows.append((200, "garbage"))  # no canonical form: dropped both sides
+    df_all = spark.createDataFrame(rows, "doc_id long, url string")
+
+    in_dir = tmp_path / "url_in"
+    in_dir.mkdir(parents=True)
+    base_t = _time.time() - 100
+    for i in range(3):
+        chunk = df_all.where(SF.col("doc_id") % 3 == i)
+        stage = tmp_path / f"w{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            f for f in os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = in_dir / f"b{i}.parquet"
+        (stage / part).rename(dst)
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+
+    src = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    got: dict = {}
+
+    def _fb(df, bid):
+        for r in df.collect():
+            got[r["canonical_url"]] = (r["n_dups"], r["keep_id"])
+
+    q = (
+        streaming_url_dedup(src, "url", "doc_id")
+        .writeStream.foreachBatch(_fb)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "url_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    want = {
+        r["canonical_url"]: (r["n_dups"], r["keep_id"])
+        for r in url_dedup(df_all, "url", "doc_id").collect()
+    }
+    assert got == want
+    # host = i%5 and path = i%20 are correlated (5 | 20), so exactly 20
+    # distinct canonical forms survive; the junk row is dropped
+    assert len(want) == 20
+    assert max(v[0] for v in want.values()) >= 2  # real collapses happened
