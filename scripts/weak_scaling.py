@@ -1558,6 +1558,38 @@ def mlewis_case(spark, n_docs: int) -> dict:
     return {"case": "moore_lewis", "docs": n_docs, "sec": round(dt, 2)}
 
 
+def novelty_case(spark, n_docs: int) -> dict:
+    """n-gram novelty (round-10 q149): clusters of 4 near-identical docs
+    (3 stale per cluster) plus doc-private tails — the gram-keyed owner
+    join is vocabulary-sized, so wall must track the token scan
+    ~linearly and the planted stale docs must score ~0."""
+    from snowplow_s3_loader_spark.operators.text import ngram_novelty
+
+    cluster = F.floor(F.col("id") / 4)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("s"), (cluster * 12 + i).cast("string"))
+                for i in range(12)
+            ],
+        ).alias("text"),
+    )
+    docs.count()
+    t0 = time.perf_counter()
+    out = ngram_novelty(docs, "doc_id", "text", 3)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("novelty_micro") == 0).cast("long")).alias("stale"),
+    ).first()
+    dt = time.perf_counter() - t0
+    assert agg["n"] == n_docs
+    # 3 of every 4 docs share their cluster's grams with the owner
+    assert agg["stale"] == (n_docs // 4) * 3, agg["stale"]
+    return {"case": "ngram_novelty", "docs": n_docs, "sec": round(dt, 2)}
+
+
 def shards_case(spark, n_docs: int) -> dict:
     """Token-balanced sharding (round-10 q147): the two-phase prefix sum
     must track the scan ~linearly (range partition + broadcast offsets;
@@ -1714,6 +1746,9 @@ def main() -> None:
     if which in ("mlewis", "all"):
         out.append(mlewis_case(spark, 20_000))
         out.append(mlewis_case(spark, 200_000))
+    if which in ("novelty", "all"):
+        out.append(novelty_case(spark, 20_000))
+        out.append(novelty_case(spark, 200_000))
     if which in ("shards", "all"):
         out.append(shards_case(spark, 1_000_000))
         out.append(shards_case(spark, 10_000_000))

@@ -763,3 +763,65 @@ def winnow_matches(
         .agg(F.count("*").alias("shared_fingerprints"))
         .where(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """First-occurrence n-gram novelty — the curation diversity signal
+    (how much of a document's n-gram mass is NEW at the point it enters
+    the corpus, under the total ``id_col`` order): a document full of
+    already-seen n-grams is template/near-dup mass even when no single
+    pair-level duplicate exists; a sampling pass can downweight it
+    without any pair generation.
+
+        owner(g)        = min id among documents containing gram g
+        n_novel(doc)    = count of DISTINCT grams the doc owns
+        novelty_micro   = n_novel * 1e6 div n_distinct   (truncating)
+
+    Exactness: counts and the min-id owner are integers; the ratio is
+    the portable truncating division — hash-identical across engines.
+    Documents with fewer than n tokens emit n_distinct = 0 and NULL
+    novelty (no evidence, not zero).
+
+    Scale shape: one explode to (doc, gram) DISTINCT pairs, ONE
+    gram-keyed aggregation for the owners (vocabulary-sized output),
+    one co-keyed join back (gram-keyed — never a pair space), one
+    doc-keyed aggregation. No window, no self-join of documents.
+
+    Output: (id, n_grams, n_distinct, n_novel, novelty_micro)."""
+    from snowplow_s3_loader_spark.operators.hygiene import word_ngrams
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    per_doc_gram = base.groupBy("id", "gram").agg(
+        F.count("*").alias("__occ")
+    )
+    owners = per_doc_gram.groupBy("gram").agg(F.min("id").alias("__owner"))
+    stats = (
+        per_doc_gram.join(owners, "gram")
+        .groupBy("id")
+        .agg(
+            F.sum("__occ").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            F.sum((F.col("id") == F.col("__owner")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(stats, "id", "left").select(
+        "id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.when(
+            F.col("n_distinct") > 0,
+            F.expr("(n_novel * 1000000) div n_distinct"),
+        ).alias("novelty_micro"),
+    )

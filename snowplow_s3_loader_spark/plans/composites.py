@@ -1016,6 +1016,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight_micro").alias("v2"),
         F.col("selected").cast("long").alias("v3"),
     )
+    nov = q.q149_ngram_novelty(spark, sf_dir).select(
+        F.lit("novelty").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        (F.col("n_grams") * 10_000_000_000 + F.col("n_distinct")).alias("v1"),
+        F.col("n_novel").alias("v2"),
+        F.col("novelty_micro").alias("v3"),
+    )
     mlw = q.q148_moore_lewis(spark, sf_dir).select(
         F.lit("mlewis").alias("battery"),
         F.col("id").cast("string").alias("key"),
@@ -1112,6 +1119,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(dsirr)
         .union(shards)
         .union(mlw)
+        .union(nov)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1274,7 +1282,7 @@ _FOLDED = {
     "q137_winnow_fingerprints", "q138_event_acf", "q139_association",
     "q140_auc", "q141_ohlc_bars", "q142_unigram_lm", "q143_url_dedup",
     "q144_unigram_encode", "q145_feature_woe", "q146_dsir_selection",
-    "q147_token_shards", "q148_moore_lewis",
+    "q147_token_shards", "q148_moore_lewis", "q149_ngram_novelty",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2089,6 +2097,11 @@ UNION ALL
 SELECT 'mlewis' AS battery, CAST(id AS VARCHAR) AS key,
        n_bigrams AS v1, sum_logp_target AS v2, ml_micronats AS v3
 FROM ({ORACLES["q148_moore_lewis"]})
+UNION ALL
+SELECT 'novelty' AS battery, CAST(id AS VARCHAR) AS key,
+       n_grams * 10000000000 + n_distinct AS v1,
+       n_novel AS v2, novelty_micro AS v3
+FROM ({ORACLES["q149_ngram_novelty"]})
 ORDER BY battery, key, v1
 """
 

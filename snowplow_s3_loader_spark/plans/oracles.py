@@ -3436,3 +3436,39 @@ SELECT d.doc_id AS id, CAST(coalesce(g.n, 0) AS BIGINT) AS n_bigrams,
 FROM documents d LEFT JOIN g USING (doc_id)
 ORDER BY id
 """
+
+# q149: first-occurrence trigram novelty — identical gram construction
+# (q129's zipped-slice idiom generalized to 3-grams), min-id owners,
+# truncating micro ratio.
+ORACLES["q149_ngram_novelty"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+dg AS MATERIALIZED (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS occ
+  FROM grams GROUP BY doc_id, gram
+),
+own AS (SELECT gram, min(doc_id) AS owner FROM dg GROUP BY gram),
+st AS (
+  SELECT dg.doc_id,
+         CAST(sum(occ) AS BIGINT) AS n_grams,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN dg.doc_id = own.owner THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM dg JOIN own USING (gram) GROUP BY dg.doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(st.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(st.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(st.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN st.n_distinct > 0
+            THEN st.n_novel * 1000000 // st.n_distinct END AS novelty_micro
+FROM documents d LEFT JOIN st USING (doc_id)
+ORDER BY id
+"""

@@ -3151,6 +3151,18 @@ def q148_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q149_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence trigram novelty per document under the doc_id
+    order — the curation diversity signal (template mass scores low
+    without any pair generation): one explode to distinct (doc, gram)
+    pairs, one gram-keyed min-id owner aggregation, one gram-keyed join
+    back, one doc aggregation; truncating-exact micro ratio."""
+    from snowplow_s3_loader_spark.operators.text import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=3).orderBy("id")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3300,5 +3312,6 @@ QUERIES = {
         q146_dsir_selection,
         q147_token_shards,
         q148_moore_lewis,
+        q149_ngram_novelty,
     ]
 }

@@ -952,6 +952,20 @@ def test_q148_moore_lewis_no_single_partition(spark, sf_dir):
             assert "partitionBy []" not in line, line
 
 
+def test_q149_novelty_gram_keyed_no_pair_space(spark, sf_dir):
+    """Novelty must be gram-keyed joins only — no document self-join,
+    no cartesian, no window, nothing single-partition (the presentation
+    sort is the plan's only global exchange)."""
+    plan = plan_of(Q.q149_ngram_novelty(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    # scans: the corpus feeds the gram explode and the id spine — a doc
+    # self-JOIN on equal ids is fine (the spine), but no join may key on
+    # anything except gram/id equality (no range/theta join nodes)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_q145_woe_no_single_task_ranking(spark, sf_dir):
     """The binning rides the two-phase global_row_number (no
     unpartitioned window over the rows); everything after the k-row

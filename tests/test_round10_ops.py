@@ -672,6 +672,58 @@ class TestDomainCapProperty:
         run()
 
 
+class TestNgramNovelty:
+    DOCS = [
+        (1, "a b c d"),          # owns all three trigrams
+        (2, "a b c d e"),        # first 2 trigrams seen in doc 1's set? no — abc/bcd owned by 1
+        (3, "a b c a b c"),      # repeats + one seen trigram
+        (4, "x y"),              # too short: no trigrams
+        (5, "a b c d"),          # exact repeat of doc 1: fully stale
+    ]
+
+    def _ref(self, n=3):
+        grams = {
+            d: [
+                tuple(t.split()[i : i + n])
+                for i in range(len(t.split()) - n + 1)
+            ]
+            for d, t in self.DOCS
+        }
+        owner: dict = {}
+        for d in sorted(grams):
+            for g in grams[d]:
+                owner.setdefault(g, d)
+        out = {}
+        for d, gs in grams.items():
+            distinct = set(gs)
+            novel = sum(1 for g in distinct if owner[g] == d)
+            out[d] = (
+                len(gs),
+                len(distinct),
+                novel,
+                (novel * 1_000_000) // len(distinct) if distinct else None,
+            )
+        return out
+
+    def test_matches_reference(self, spark):
+        from snowplow_s3_loader_spark.operators.text import ngram_novelty
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {
+            r["id"]: (
+                r["n_grams"], r["n_distinct"], r["n_novel"],
+                r["novelty_micro"],
+            )
+            for r in ngram_novelty(docs, "doc_id", "text", 3).collect()
+        }
+        assert got == self._ref()
+        # the planted structure: doc 1 fully novel, doc 5 fully stale,
+        # doc 4 evidence-free
+        assert got[1][3] == 1_000_000
+        assert got[5] == (2, 2, 0, 0)
+        assert got[4] == (0, 0, 0, None)
+
+
 class TestWoeValueNullGuard:
     def test_null_feature_raises(self, spark):
         from snowplow_s3_loader_spark.operators.profile import woe_bins
