@@ -674,11 +674,11 @@ class TestDomainCapProperty:
 
 class TestNgramNovelty:
     DOCS = [
-        (1, "a b c d"),          # owns all three trigrams
-        (2, "a b c d e"),        # first 2 trigrams seen in doc 1's set? no — abc/bcd owned by 1
-        (3, "a b c a b c"),      # repeats + one seen trigram
-        (4, "x y"),              # too short: no trigrams
-        (5, "a b c d"),          # exact repeat of doc 1: fully stale
+        (1, "a b c d"),      # owns both its trigrams (abc, bcd)
+        (2, "a b c d e"),    # abc/bcd owned by doc 1; cde is novel
+        (3, "a b c a b c"),  # repeated grams + mixed ownership
+        (4, "x y"),          # too short: no trigrams, NULL novelty
+        (5, "a b c d"),      # exact repeat of doc 1: fully stale
     ]
 
     def _ref(self, n=3):
