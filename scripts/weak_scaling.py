@@ -1590,6 +1590,74 @@ def novelty_case(spark, n_docs: int) -> dict:
     return {"case": "ngram_novelty", "docs": n_docs, "sec": round(dt, 2)}
 
 
+def incdedup_case(spark, n_new: int) -> dict:
+    """Incremental MinHash dedup (round-10 q150): a 4x-larger history
+    store probed by n_new docs, 25% of them exact replays of history
+    texts. The only wide op against the store is one band-keyed semi
+    join (membership — no pair space), so wall must track the NEW
+    snapshot ~linearly and the planted dup fraction must hold exactly."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        incremental_minhash_filter,
+        minhash_bands,
+    )
+
+    def corpus(ids, text_of):
+        return ids.select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("w"), (text_of * 9 + i).cast("string"))
+                    for i in range(9)
+                ],
+            ).alias("text"),
+        )
+
+    hist = corpus(spark.range(n_new * 4), F.col("id"))
+    # new ids: 3 of 4 carry fresh text keys (offset past history), the
+    # 4th replays history text key id%histsize
+    fresh = F.col("id") + n_new * 4
+    replay = F.col("id") % (n_new * 4)
+    new = corpus(
+        spark.range(n_new),
+        F.when(F.col("id") % 4 == 3, replay).otherwise(fresh),
+    )
+    store = minhash_bands(hist, "doc_id", "text").select(
+        "band_id", "band_hash"
+    )
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
+    store = checkpoint_nostats(store)  # the PERSISTED store: built once
+    t0 = time.perf_counter()
+    out = incremental_minhash_filter(new, store, "doc_id", "text")
+    dups = out.agg(F.sum("is_dup").alias("d")).first()["d"]
+    dt = time.perf_counter() - t0
+    assert dups == n_new // 4, dups
+    return {"case": "incremental_dedup", "new_docs": n_new,
+            "dups": dups, "sec": round(dt, 2)}
+
+
+def psi_case(spark, n_rows: int) -> dict:
+    """PSI drift (round-10 q151): n_rows reference vs n_rows shifted
+    current. One two-phase global sort of the reference + two scan-level
+    bin counts — wall must track the scans ~linearly; bins stay k."""
+    from snowplow_s3_loader_spark.operators.profile import psi_bins
+
+    ref = spark.range(n_rows).select(
+        (F.abs(F.xxhash64("id")) % 100_000).alias("v"), F.col("id").alias("tb")
+    )
+    cur = spark.range(n_rows).select(
+        (F.abs(F.xxhash64(F.col("id") + 7)) % 100_000 + 5_000).alias("v"),
+        F.col("id").alias("tb"),
+    )
+    ref.count(); cur.count()
+    t0 = time.perf_counter()
+    rows = psi_bins(ref, cur, "v", k=10, tie_cols=["tb"]).collect()
+    dt = time.perf_counter() - t0
+    assert len(rows) == 10
+    return {"case": "psi_drift", "rows": n_rows, "sec": round(dt, 2)}
+
+
 def shards_case(spark, n_docs: int) -> dict:
     """Token-balanced sharding (round-10 q147): the two-phase prefix sum
     must track the scan ~linearly (range partition + broadcast offsets;
@@ -1749,6 +1817,12 @@ def main() -> None:
     if which in ("novelty", "all"):
         out.append(novelty_case(spark, 20_000))
         out.append(novelty_case(spark, 200_000))
+    if which in ("incdedup", "all"):
+        out.append(incdedup_case(spark, 10_000))
+        out.append(incdedup_case(spark, 100_000))
+    if which in ("psi", "all"):
+        out.append(psi_case(spark, 1_000_000))
+        out.append(psi_case(spark, 10_000_000))
     if which in ("shards", "all"):
         out.append(shards_case(spark, 1_000_000))
         out.append(shards_case(spark, 10_000_000))

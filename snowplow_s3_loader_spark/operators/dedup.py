@@ -129,6 +129,52 @@ def minhash_bands(
     )
 
 
+def incremental_minhash_filter(
+    new_docs: DataFrame,
+    band_store: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Cross-snapshot near-dup gate — the production incremental-dedup
+    shape (a daily crawl arrives against a PERSISTED fingerprint store):
+    band only the NEW documents and flag any whose MinHash bands collide
+    with the store (a Jaccard-similar historical document shares a full
+    band w.h.p. — the standard LSH guarantee). History is NEVER
+    re-banded or re-shuffled; the store is an append-only
+    (band_id, band_hash) relation the caller maintains by unioning the
+    survivors' bands after each snapshot.
+
+    Semantics: n_hit_bands counts how many of the NEW document's
+    n_hashes/band_size bands exist in the store (semi-join membership —
+    store multiplicity is irrelevant, so the caller never needs to
+    dedupe the store); is_dup = (n_hit_bands >= 1). Exact given the
+    portable md5 minhash (both engines replay it bit-for-bit).
+
+    Scale shape: the only wide operations are the new snapshot's
+    banding aggregations (snapshot-sized) and ONE
+    (band_id, band_hash)-keyed semi join against the store — membership
+    only, no candidate-PAIR space ever materializes, and the join key
+    is the high-cardinality band hash (no skew). Every new document
+    appears in the output (survivors carry 0/0)."""
+    bands = minhash_bands(new_docs, id_col, text_col, n_hashes, band_size)
+    hits = bands.join(
+        band_store.select("band_id", "band_hash"),
+        ["band_id", "band_hash"],
+        "left_semi",
+    )
+    per_doc = hits.groupBy("id").agg(F.count("*").alias("n_hit_bands"))
+    ids = new_docs.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_hit_bands", F.lit(0)).cast("long").alias("n_hit_bands"),
+        (F.coalesce("n_hit_bands", F.lit(0)) >= 1)
+        .cast("int")
+        .alias("is_dup"),
+    )
+
+
 def lsh_candidate_pairs(
     bands: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:

@@ -395,6 +395,145 @@ def association_components(
     return out
 
 
+def psi_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    k: int = 10,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Population Stability Index ingredients between two snapshots of a
+    feature — the scorecard/pipeline drift monitor (Siddiqi 2006):
+    equi-depth edges come from the REFERENCE snapshot (k-1 upper cut
+    points via the distributed global ntile), then BOTH snapshots are
+    counted by the same value rule
+
+        bin(v) = 1 + |{edges e : e < v}|        (ties land on the edge's
+                                                 own bin; v past the last
+                                                 edge lands in bin k)
+
+    so the two histograms are comparable by construction (counting the
+    reference positionally but the current by value would manufacture
+    drift at duplicated edge values). Per bin the PSI term is
+
+        psi_micro = round((p - q) * ln(p / q) * 1e6)
+          p = n_ref/NR, q = n_cur/NC
+
+    — IEEE-correctly-rounded divisions/subtraction of exact integers
+    plus the package's one relied-upon transcendental (ln), rounded
+    ONCE; NULL when either side's bin is empty (no smoothing — a
+    vanished bin is the loudest drift signal there is, surfaced not
+    blurred). Sum psi_micro/1e6 over bins for the headline PSI
+    (< 0.1 stable / 0.1-0.25 shifting / > 0.25 drifted).
+
+    Guards: NULL feature values raise on BOTH snapshots (the woe_bins
+    NULL-ordering rule); the reference must be non-empty.
+
+    Scale shape: one distributed global sort of the REFERENCE
+    (range partition + broadcast offsets — no single-partition stage),
+    edges collected as k-1 literals, then bin assignment is a pure
+    expression over each snapshot's scan and ONE partial+final
+    aggregation per side; everything after runs on k-row frames.
+
+    Output: (bin, upper_edge, n_ref, n_cur, psi_micro), bins 1..k
+    (upper_edge is NULL for bin k — it is unbounded above)."""
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+    from snowplow_s3_loader_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_row_number,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = ref.sparkSession
+
+    def _guarded(df: DataFrame, side: str) -> DataFrame:
+        v = F.col(value_col)
+        checked = F.when(
+            v.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"psi_bins: value column {value_col!r} has NULLs in "
+                    f"the {side} snapshot — engines disagree on NULL "
+                    "sort placement; filter or impute first"
+                )
+            ).cast(df.schema[value_col].dataType.simpleString()),
+        ).otherwise(v)
+        return df.select(
+            checked.alias(value_col),
+            *[F.col(c) for c in (tie_cols or [])],
+        )
+
+    order = [F.col(value_col)] + [F.col(c) for c in (tie_cols or [])]
+    ranked, total = global_row_number(
+        _guarded(ref, "reference"), order, rn_col="__rn"
+    )
+    if total == 0:
+        raise ValueError("psi_bins: reference snapshot is empty")
+    edge_rows = (
+        ranked.withColumn(
+            "__bin", ntile_from_row_number(F.col("__rn"), total, k)
+        )
+        .where(F.col("__bin") < k)
+        .groupBy("__bin")
+        .agg(F.max(value_col).alias("edge"))
+        .orderBy("__bin")
+        .collect()
+    )
+    edges = [r["edge"] for r in edge_rows]  # <= k-1 literals
+
+    def _counts(guarded: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col)
+        bin_expr = F.lit(1)
+        for e in edges:
+            bin_expr = bin_expr + (v > F.lit(e)).cast("int")
+        return (
+            guarded.select(bin_expr.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(out))
+        )
+
+    spine = spark.range(1, k + 1).select(F.col("id").cast("int").alias("bin"))
+    vtype = ref.schema[value_col].dataType.simpleString()
+    edge_df = (
+        spark.createDataFrame(
+            [(i + 1, e) for i, e in enumerate(edges)], ["bin", "upper_edge"]
+        )
+        if edges
+        else spine.where(F.lit(False)).select(
+            "bin", F.lit(None).cast(vtype).alias("upper_edge")
+        )
+    )
+    bins = checkpoint_nostats(
+        # the reference counts read the already-checkpointed ranked
+        # frame (ref is scanned ONCE for edges and counts together)
+        spine.join(F.broadcast(_counts(ranked, "n_ref")), "bin", "left")
+        .join(F.broadcast(_counts(_guarded(cur, "current"), "n_cur")), "bin", "left")
+        .join(F.broadcast(edge_df), "bin", "left")
+        .select(
+            "bin",
+            "upper_edge",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n_ref").alias("__NR"), F.sum("n_cur").alias("__NC")
+    )
+    p = F.col("n_ref").cast("double") / F.col("__NR").cast("double")
+    q = F.col("n_cur").cast("double") / F.col("__NC").cast("double")
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "upper_edge",
+        "n_ref",
+        "n_cur",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round((p - q) * F.log(p / q) * 1_000_000, 0).cast("long"),
+        ).alias("psi_micro"),
+    )
+
+
 def woe_bins(
     df: DataFrame,
     value_col: str,

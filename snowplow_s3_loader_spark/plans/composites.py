@@ -1023,6 +1023,20 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_novel").alias("v2"),
         F.col("novelty_micro").alias("v3"),
     )
+    incd = q.q150_incremental_dedup(spark, sf_dir).select(
+        F.lit("incdedup").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        F.col("n_hit_bands").alias("v1"),
+        F.col("is_dup").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    psi = q.q151_psi_drift(spark, sf_dir).select(
+        F.lit("psi").alias("battery"),
+        F.col("bin").cast("string").alias("key"),
+        (F.col("n_ref") * 10_000_000_000 + F.col("n_cur")).alias("v1"),
+        F.col("upper_edge").alias("v2"),
+        F.col("psi_micro").alias("v3"),
+    )
     mlw = q.q148_moore_lewis(spark, sf_dir).select(
         F.lit("mlewis").alias("battery"),
         F.col("id").cast("string").alias("key"),
@@ -1120,6 +1134,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(shards)
         .union(mlw)
         .union(nov)
+        .union(incd)
+        .union(psi)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1283,6 +1299,7 @@ _FOLDED = {
     "q140_auc", "q141_ohlc_bars", "q142_unigram_lm", "q143_url_dedup",
     "q144_unigram_encode", "q145_feature_woe", "q146_dsir_selection",
     "q147_token_shards", "q148_moore_lewis", "q149_ngram_novelty",
+    "q150_incremental_dedup", "q151_psi_drift",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2102,6 +2119,15 @@ SELECT 'novelty' AS battery, CAST(id AS VARCHAR) AS key,
        n_grams * 10000000000 + n_distinct AS v1,
        n_novel AS v2, novelty_micro AS v3
 FROM ({ORACLES["q149_ngram_novelty"]})
+UNION ALL
+SELECT 'incdedup' AS battery, CAST(id AS VARCHAR) AS key,
+       n_hit_bands AS v1, CAST(is_dup AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q150_incremental_dedup"]})
+UNION ALL
+SELECT 'psi' AS battery, CAST(bin AS VARCHAR) AS key,
+       n_ref * 10000000000 + n_cur AS v1, upper_edge AS v2, psi_micro AS v3
+FROM ({ORACLES["q151_psi_drift"]})
 ORDER BY battery, key, v1
 """
 

@@ -3437,6 +3437,118 @@ FROM documents d LEFT JOIN g USING (doc_id)
 ORDER BY id
 """
 
+# q150: incremental MinHash dedup — the q25 banding idiom replayed for
+# the history store and the constructed new snapshot; membership is a
+# DISTINCT-store join (Spark's semi join counts each new band at most
+# once regardless of store multiplicity).
+ORACLES["q150_incremental_dedup"] = f"""
+WITH hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+),
+newd AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 2 = 1 AND p.text IS NOT NULL THEN p.text
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+  WHERE d.doc_id % 3 = 0
+),
+ht AS (
+  SELECT doc_id AS id, unnest(list_distinct({_TOKS})) AS tok FROM hist
+),
+hs AS (SELECT id, tok, unnest(range(16)) AS seed FROM ht),
+hh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM hs GROUP BY id, seed
+),
+hb AS (
+  SELECT DISTINCT seed // 4 AS band_id,
+         string_agg(mh, '|' ORDER BY seed) AS band_hash
+  FROM hh GROUP BY id, seed // 4
+),
+nt AS (
+  SELECT doc_id AS id, unnest(list_distinct({_TOKS})) AS tok FROM newd
+),
+ns AS (SELECT id, tok, unnest(range(16)) AS seed FROM nt),
+nh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM ns GROUP BY id, seed
+),
+nb AS (
+  SELECT id, seed // 4 AS band_id,
+         string_agg(mh, '|' ORDER BY seed) AS band_hash
+  FROM nh GROUP BY id, seed // 4
+),
+hits AS (
+  SELECT nb.id, CAST(count(*) AS BIGINT) AS n
+  FROM nb JOIN (SELECT DISTINCT band_id, band_hash FROM hb) s
+    USING (band_id, band_hash)
+  GROUP BY nb.id
+)
+SELECT newd.doc_id AS id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_bands,
+       CAST(coalesce(h.n, 0) >= 1 AS INTEGER) AS is_dup
+FROM newd LEFT JOIN hits h ON h.id = newd.doc_id
+ORDER BY id
+"""
+
+# q151: PSI drift — DuckDB's ntile over the identical reference order
+# yields the same equi-depth edges; both snapshots then count by the
+# shared value rule bin = 1 + |edges < v|; the PSI term multiplies two
+# IEEE-exact ratios by the one relied-upon transcendental and rounds
+# once.
+ORACLES["q151_psi_drift"] = """
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+         event_type = 'purchase' AS p
+  FROM events
+),
+ref AS MATERIALIZED (
+  SELECT cents, event_id FROM ev WHERE event_id % 2 = 0
+),
+cur AS (
+  SELECT cents + CASE WHEN p THEN 700 ELSE 0 END AS cents, event_id
+  FROM ev WHERE event_id % 2 = 1
+),
+rb AS (
+  SELECT cents, ntile(10) OVER (ORDER BY cents, event_id) AS bin FROM ref
+),
+edges AS MATERIALIZED (
+  SELECT bin, max(cents) AS edge FROM rb WHERE bin < 10 GROUP BY bin
+),
+rc AS (
+  SELECT 1 + (SELECT count(*) FROM edges e WHERE e.edge < r.cents) AS bin,
+         count(*) AS n_ref
+  FROM ref r GROUP BY 1
+),
+cc AS (
+  SELECT 1 + (SELECT count(*) FROM edges e WHERE e.edge < c.cents) AS bin,
+         count(*) AS n_cur
+  FROM cur c GROUP BY 1
+),
+spine AS (SELECT unnest(range(1, 11)) AS bin),
+bins AS (
+  SELECT s.bin,
+         (SELECT edge FROM edges e WHERE e.bin = s.bin) AS upper_edge,
+         CAST(coalesce(rc.n_ref, 0) AS BIGINT) AS n_ref,
+         CAST(coalesce(cc.n_cur, 0) AS BIGINT) AS n_cur
+  FROM spine s LEFT JOIN rc ON rc.bin = s.bin LEFT JOIN cc ON cc.bin = s.bin
+),
+tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS nr, CAST(sum(n_cur) AS BIGINT) AS nc
+  FROM bins
+)
+SELECT CAST(bin AS INTEGER) AS bin, upper_edge, n_ref, n_cur,
+       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         CAST(round((CAST(n_ref AS DOUBLE) / t.nr
+                     - CAST(n_cur AS DOUBLE) / t.nc)
+                    * ln((CAST(n_ref AS DOUBLE) / t.nr)
+                         / (CAST(n_cur AS DOUBLE) / t.nc))
+                    * 1000000, 0) AS BIGINT)
+       END AS psi_micro
+FROM bins CROSS JOIN tot t
+ORDER BY bin
+"""
+
 # q149: first-occurrence trigram novelty — identical gram construction
 # (q129's zipped-slice idiom generalized to 3-grams), min-id owners,
 # truncating micro ratio.

@@ -3163,6 +3163,74 @@ def q149_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs, "doc_id", "text", n=3).orderBy("id")
 
 
+def q150_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental near-dup gate: history = docs with
+    doc_id % 3 != 0 banded into the persisted MinHash store; the new
+    snapshot (doc_id % 3 == 0) deterministically mixes genuinely-new
+    documents (even ids keep their own text) with replays of a history
+    document's text (odd ids copy doc_id - 1, which is always in
+    history) — exact dups collide in EVERY band, so the planted is_dup
+    labels are fully predictable and both engines replay the portable
+    md5 minhash bit-for-bit. History is never re-banded; the only wide
+    op against it is one band-keyed semi join."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        incremental_minhash_filter,
+        minhash_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    history = docs.where(d % 3 != 0)
+    prev = docs.select(
+        (d + 1).alias("doc_id"), F.col("text").alias("__prev")
+    )
+    new_docs = (
+        docs.where(d % 3 == 0)
+        .join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (d % 2 == 1) & F.col("__prev").isNotNull(), F.col("__prev")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    store = minhash_bands(history, "doc_id", "text").select(
+        "band_id", "band_hash"
+    )
+    return incremental_minhash_filter(
+        new_docs, store, "doc_id", "text"
+    ).orderBy("id")
+
+
+def q151_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two event snapshots
+    (even vs odd event ids standing in for week-over-week): equi-depth
+    decile edges from the reference, BOTH snapshots counted by the same
+    value rule, exact per-bin counts, quantized PSI terms (NULL for
+    empty bins — a vanished bin is the loudest drift there is)."""
+    from snowplow_s3_loader_spark.operators.profile import psi_bins
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+        (F.col("event_type") == "purchase").alias("__p"),
+    )
+    ref = ev.where(F.col("event_id") % 2 == 0)
+    # the current snapshot is deliberately SHIFTED (purchases' cents
+    # +700) so the drift signal is non-trivial in every bin
+    cur = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("cents") + F.when(F.col("__p"), 700).otherwise(0)).alias(
+            "cents"
+        ),
+        "event_id",
+    )
+    return psi_bins(ref, cur, "cents", k=10, tie_cols=["event_id"]).orderBy(
+        "bin"
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3313,5 +3381,7 @@ QUERIES = {
         q147_token_shards,
         q148_moore_lewis,
         q149_ngram_novelty,
+        q150_incremental_dedup,
+        q151_psi_drift,
     ]
 }

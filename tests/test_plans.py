@@ -966,6 +966,32 @@ def test_q149_novelty_gram_keyed_no_pair_space(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_q150_incremental_dedup_membership_only(spark, sf_dir):
+    """The store is probed by ONE band-keyed LeftSemi join — membership,
+    never a candidate-pair space (no self-join of the band frame, no
+    cartesian), and nothing single-partition."""
+    plan = plan_of(Q.q150_incremental_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    # exactly one semi join (the store probe); the id-spine left join
+    # and the new-snapshot construction join are equi-joins on ids
+    assert plan.count("LeftSemi") <= 2, plan
+
+
+def test_q151_psi_no_single_partition(spark, sf_dir):
+    """Edges ride the two-phase global ranking (behind its checkpoint);
+    the visible plan is two scan-level bin projections + two k-row
+    aggregations + broadcast merges — nothing single-partition, no
+    sort-merge join, no window."""
+    plan = plan_of(Q.q151_psi_drift(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "partitionBy []" not in line, line
+
+
 def test_q145_woe_no_single_task_ranking(spark, sf_dir):
     """The binning rides the two-phase global_row_number (no
     unpartitioned window over the rows); everything after the k-row

@@ -724,6 +724,203 @@ class TestNgramNovelty:
         assert got[4] == (0, 0, 0, None)
 
 
+class TestIncrementalMinhashFilter:
+    def _mk(self, spark):
+        hist = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),
+                (3, "red green blue yellow purple orange"),
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+                (11, "totally fresh never seen words here"),  # novel
+                (12, "one two three four five six seven"),    # exact dup of 2
+                (13, "red green blue cyan magenta white"),    # partial overlap
+            ],
+            "doc_id long, text string",
+        )
+        return hist, new
+
+    def test_exact_dups_hit_all_bands_novel_hits_none(self, spark):
+        from snowplow_s3_loader_spark.operators.dedup import (
+            incremental_minhash_filter,
+            minhash_bands,
+        )
+
+        hist, new = self._mk(spark)
+        store = minhash_bands(hist, "doc_id", "text").select(
+            "band_id", "band_hash"
+        )
+        got = {
+            r["id"]: (r["n_hit_bands"], r["is_dup"])
+            for r in incremental_minhash_filter(
+                new, store, "doc_id", "text"
+            ).collect()
+        }
+        assert got[10] == (4, 1)  # 16 hashes / band_size 4 = all 4 bands
+        assert got[12] == (4, 1)
+        assert got[11] == (0, 0)
+        assert got[13][0] <= 3  # partial overlap never matches all bands
+
+    def test_store_multiplicity_irrelevant(self, spark):
+        """Semi-join membership: duplicating the store rows must not
+        change any count (the caller never needs to dedupe the store)."""
+        from snowplow_s3_loader_spark.operators.dedup import (
+            incremental_minhash_filter,
+            minhash_bands,
+        )
+
+        hist, new = self._mk(spark)
+        store = minhash_bands(hist, "doc_id", "text").select(
+            "band_id", "band_hash"
+        )
+        doubled = store.unionByName(store)
+        a = {
+            r["id"]: r["n_hit_bands"]
+            for r in incremental_minhash_filter(
+                new, store, "doc_id", "text"
+            ).collect()
+        }
+        b = {
+            r["id"]: r["n_hit_bands"]
+            for r in incremental_minhash_filter(
+                new, doubled, "doc_id", "text"
+            ).collect()
+        }
+        assert a == b
+
+    def test_incremental_store_update_roundtrip(self, spark):
+        """The documented maintenance loop: union the survivors' bands
+        into the store; a re-arrival of a survivor then flags as dup."""
+        from snowplow_s3_loader_spark.operators.dedup import (
+            incremental_minhash_filter,
+            minhash_bands,
+        )
+
+        hist, new = self._mk(spark)
+        store = minhash_bands(hist, "doc_id", "text").select(
+            "band_id", "band_hash"
+        )
+        first = incremental_minhash_filter(new, store, "doc_id", "text")
+        survivors = new.join(
+            first.where(F.col("is_dup") == 0).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        store2 = store.unionByName(
+            minhash_bands(survivors, "doc_id", "text").select(
+                "band_id", "band_hash"
+            )
+        )
+        again = {
+            r["id"]: r["is_dup"]
+            for r in incremental_minhash_filter(
+                survivors.select(
+                    (F.col("doc_id") + 100).alias("doc_id"), "text"
+                ),
+                store2,
+                "doc_id",
+                "text",
+            ).collect()
+        }
+        assert all(v == 1 for v in again.values())
+
+
+class TestPsiBins:
+    def _ref(self, ref_rows, cur_rows, k):
+        import math
+
+        order = sorted(ref_rows)
+        total = len(order)
+        qn, r = divmod(total, k)
+        edges = []
+        pos = 0
+        for b in range(1, k):
+            pos += qn + (1 if b <= r else 0)
+            edges.append(order[pos - 1][0])
+
+        def bin_of(v):
+            return 1 + sum(1 for e in edges if e < v)
+
+        nr: dict = {}
+        nc: dict = {}
+        for v, _t in ref_rows:
+            nr[bin_of(v)] = nr.get(bin_of(v), 0) + 1
+        for v, _t in cur_rows:
+            nc[bin_of(v)] = nc.get(bin_of(v), 0) + 1
+        out = {}
+        NR, NC = len(ref_rows), len(cur_rows)
+        for b in range(1, k + 1):
+            p = nr.get(b, 0) / NR
+            q = nc.get(b, 0) / NC
+            psi = (
+                round((p - q) * math.log(p / q) * 1e6)
+                if nr.get(b, 0) and nc.get(b, 0)
+                else None
+            )
+            out[b] = (
+                edges[b - 1] if b < k else None,
+                nr.get(b, 0),
+                nc.get(b, 0),
+                psi,
+            )
+        return out
+
+    def test_matches_reference(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import psi_bins
+
+        ref_rows = [((i * 37) % 200, i) for i in range(1, 400)]
+        cur_rows = [((i * 53) % 260, i) for i in range(1, 300)]
+        ref = spark.createDataFrame(ref_rows, "v long, tb long")
+        cur = spark.createDataFrame(cur_rows, "v long, tb long")
+        got = {
+            r["bin"]: (r["upper_edge"], r["n_ref"], r["n_cur"], r["psi_micro"])
+            for r in psi_bins(ref, cur, "v", k=7, tie_cols=["tb"]).collect()
+        }
+        assert got == self._ref(ref_rows, cur_rows, 7)
+
+    def test_identical_snapshots_zero_psi(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import psi_bins
+
+        rows = [((i * 13) % 90, i) for i in range(1, 200)]
+        df = spark.createDataFrame(rows, "v long, tb long")
+        out = psi_bins(df, df, "v", k=5, tie_cols=["tb"]).collect()
+        assert all(r["psi_micro"] == 0 for r in out)
+
+    def test_guards(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import psi_bins
+
+        ok = spark.createDataFrame([(1, 1)], "v long, tb long")
+        empty = spark.createDataFrame([], "v long, tb long")
+        with pytest.raises(ValueError, match="reference snapshot is empty"):
+            psi_bins(empty, ok, "v", 2, ["tb"])
+        with pytest.raises(ValueError, match="k must be"):
+            psi_bins(ok, ok, "v", 0, ["tb"])
+        nulls = spark.createDataFrame([(None, 1), (2, 2)], "v long, tb long")
+        with pytest.raises(Exception, match="has NULLs"):
+            psi_bins(nulls, ok, "v", 2, ["tb"])
+
+    def test_vanished_bin_emits_null(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import psi_bins
+
+        ref = spark.createDataFrame(
+            [(i, i) for i in range(1, 101)], "v long, tb long"
+        )
+        cur = spark.createDataFrame(
+            [(i, i) for i in range(1, 21)], "v long, tb long"
+        )  # only the first fifth survives
+        out = {r["bin"]: r for r in psi_bins(ref, cur, "v", 5, ["tb"]).collect()}
+        assert out[1]["psi_micro"] is not None
+        assert all(out[b]["psi_micro"] is None for b in (2, 3, 4, 5))
+        assert all(out[b]["n_cur"] == 0 for b in (2, 3, 4, 5))
+
+
 class TestWoeValueNullGuard:
     def test_null_feature_raises(self, spark):
         from snowplow_s3_loader_spark.operators.profile import woe_bins
