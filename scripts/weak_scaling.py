@@ -1637,6 +1637,89 @@ def incdedup_case(spark, n_new: int) -> dict:
             "dups": dups, "sec": round(dt, 2)}
 
 
+def incdedup_soak_case(spark, n_per_snapshot: int, n_snapshots: int) -> dict:
+    """Always-on incremental-dedup soak (round-10 q150): fold
+    n_snapshots successive snapshots into a GROWING persisted band
+    store (each round's survivors union in, checkpointed — the
+    ComponentMap lineage discipline). Per-round wall must stay ~flat
+    (the probe is one membership semi join; the store only ever grows
+    by survivor bands) and the planted dup counts must be exact every
+    round: each snapshot replays 25% of the PREVIOUS snapshot's fresh
+    text keys, so round 1 has zero dups and every later round exactly
+    n/4."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        incremental_minhash_filter,
+        minhash_bands,
+        release_materialized,
+    )
+
+    def snapshot(r):
+        # ids fresh per round; 25% of texts replay round r-1's fresh keys
+        fresh_key = F.col("id") + r * n_per_snapshot
+        replay_key = F.col("id") - F.col("id") % 4 + (r - 1) * n_per_snapshot
+        key = F.when((F.col("id") % 4 == 3) & (F.lit(r) > 0), replay_key).otherwise(
+            fresh_key
+        )
+        return spark.range(n_per_snapshot).select(
+            (F.col("id") + r * n_per_snapshot).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("w"), (key * 9 + i).cast("string"))
+                    for i in range(9)
+                ],
+            ).alias("text"),
+        )
+
+    # the persisted store advertises its (band_id, band_hash) hash
+    # layout, so every probe's semi join plans with ZERO Exchange on
+    # the store side — without this the store re-shuffles on every
+    # snapshot (O(rounds x |store|) redundant shuffle; measured walls
+    # drifting 1.4 -> 2.1 s across 7 rounds before the fix)
+    n_parts = spark.sparkContext.defaultParallelism
+    store = checkpoint_nostats(
+        minhash_bands(snapshot(0), "doc_id", "text").select(
+            "band_id", "band_hash"
+        ),
+        n_parts=n_parts,
+        partition_cols=["band_id", "band_hash"],
+    )
+    walls = []
+    for r in range(1, n_snapshots):
+        snap = snapshot(r)
+        t0 = time.perf_counter()
+        res = incremental_minhash_filter(snap, store, "doc_id", "text")
+        dups = res.agg(F.sum("is_dup").alias("d")).first()["d"]
+        walls.append(round(time.perf_counter() - t0, 2))
+        assert dups == n_per_snapshot // 4, (r, dups)
+        survivors = snap.join(
+            res.where(F.col("is_dup") == 0).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        new_store = checkpoint_nostats(
+            store.unionByName(
+                minhash_bands(survivors, "doc_id", "text").select(
+                    "band_id", "band_hash"
+                )
+            ),
+            n_parts=n_parts,
+            partition_cols=["band_id", "band_hash"],
+        )
+        release_materialized(store)
+        store = new_store
+    n_store = store.count()
+    release_materialized(store)
+    return {
+        "case": "incdedup_soak", "per_snapshot": n_per_snapshot,
+        "snapshots": n_snapshots, "walls": walls,
+        "store_bands_final": n_store,
+    }
+
+
 def psi_case(spark, n_rows: int) -> dict:
     """PSI drift (round-10 q151): n_rows reference vs n_rows shifted
     current. One two-phase global sort of the reference + two scan-level
@@ -1820,6 +1903,8 @@ def main() -> None:
     if which in ("incdedup", "all"):
         out.append(incdedup_case(spark, 10_000))
         out.append(incdedup_case(spark, 100_000))
+    if which in ("incdedup_soak", "all"):
+        out.append(incdedup_soak_case(spark, 20_000, 8))
     if which in ("psi", "all"):
         out.append(psi_case(spark, 1_000_000))
         out.append(psi_case(spark, 10_000_000))

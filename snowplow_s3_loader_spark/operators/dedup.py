@@ -157,7 +157,18 @@ def incremental_minhash_filter(
     (band_id, band_hash)-keyed semi join against the store — membership
     only, no candidate-PAIR space ever materializes, and the join key
     is the high-cardinality band hash (no skew). Every new document
-    appears in the output (survivors carry 0/0)."""
+    appears in the output (survivors carry 0/0).
+
+    Always-on store discipline: maintain the store as
+    ``checkpoint_nostats(store, n_parts=P,
+    partition_cols=["band_id", "band_hash"])`` — the advertised hash
+    layout makes every probe's semi join plan with ZERO Exchange on the
+    store side, so the growing store is only ever SCANNED per probe
+    (memory/disk-local blocks), never re-shuffled across the cluster
+    (the incdedup_soak weak-scaling case measures the shape: walls stay
+    near-flat across 7 folds while the store grows 8x; a production
+    deployment additionally bounds the scan by bucketing the persisted
+    store on band_hash ranges)."""
     bands = minhash_bands(new_docs, id_col, text_col, n_hashes, band_size)
     hits = bands.join(
         band_store.select("band_id", "band_hash"),
