@@ -1743,7 +1743,7 @@ def psi_case(spark, n_rows: int) -> dict:
 
 def shards_case(spark, n_docs: int) -> dict:
     """Token-balanced sharding (round-10 q147): the two-phase prefix sum
-    must track the scan ~linearly (range partition + broadcast offsets;
+    must track the scan ~linearly (literal-boundary buckets + offset map;
     no single-partition stage), and every shard's token mass must stay
     within one document of total/n_shards at both scales."""
     from snowplow_s3_loader_spark.operators.layout import token_shards

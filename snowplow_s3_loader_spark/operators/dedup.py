@@ -146,7 +146,13 @@ def incremental_minhash_filter(
     (band_id, band_hash) relation the caller maintains by unioning the
     survivors' bands after each snapshot.
 
-    Semantics: n_hit_bands counts how many of the NEW document's
+    Semantics: the gate is STRICTLY cross-snapshot — new docs are
+    probed against the STORE only, never against each other, so two
+    near-identical documents arriving in the SAME snapshot both report
+    n_hit_bands=0 and both survive (and both fold into the store).
+    Run the batch dedup path (url_dedup / minhash LSH) WITHIN the
+    snapshot first; this operator owns the new-vs-history axis only.
+    n_hit_bands counts how many of the NEW document's
     n_hashes/band_size bands exist in the store (semi-join membership —
     store multiplicity is irrelevant, so the caller never needs to
     dedupe the store); is_dup = (n_hit_bands >= 1). Exact given the
@@ -184,6 +190,152 @@ def incremental_minhash_filter(
         .cast("int")
         .alias("is_dup"),
     )
+
+
+def _band_store_bucket(n_buckets: int) -> Column:
+    """Bucket id for a band row: xxhash64 of the full band key, modded.
+    Pure function of (band_id, band_hash) — the same expression buckets
+    the persisted store at write time and the probe at read time, so
+    membership never crosses buckets."""
+    return F.pmod(F.xxhash64("band_id", "band_hash"), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def write_band_store(
+    bands: DataFrame,
+    path: str,
+    n_buckets: int = 1024,
+    mode: str = "append",
+) -> None:
+    """Persist (band_id, band_hash) rows partitioned by the band-key
+    bucket — the production store layout that BOUNDS probe I/O: a probe
+    reads only the partition directories its own bands hash into
+    (partition-value pruning at the file index, before any scan), so
+    per-probe I/O is ~ store_size * distinct_probe_buckets / n_buckets
+    instead of O(store).
+
+    Sizing rule: pruning pays when a probe's band count is WELL UNDER
+    ``n_buckets`` (the always-on trickle/micro-batch shape — a probe of
+    B bands touches <= B buckets); a bulk probe with B >> n_buckets
+    hits every bucket and degrades to the full scan, which is the
+    correct cost for that shape. Appends accumulate small files per
+    bucket directory; compact periodically (rewrite with mode
+    'overwrite' per bucket) on long-lived stores."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    (
+        bands.select("band_id", "band_hash")
+        .withColumn("bucket", _band_store_bucket(n_buckets))
+        .write.partitionBy("bucket")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_band_store_pruned(
+    probe_bands: DataFrame, path: str, n_buckets: int = 1024
+) -> DataFrame:
+    """The pruned view of a `write_band_store` store for ONE probe:
+    collect the probe's distinct bucket ids (<= n_buckets ints — a
+    bounded driver collect however large the snapshot) and push them as
+    a partition filter, so the file index lists only the hit bucket
+    directories. Returns the (band_id, band_hash) store frame the
+    membership semi join consumes."""
+    spark = probe_bands.sparkSession
+    hit = [
+        r["b"]
+        for r in probe_bands.select(
+            _band_store_bucket(n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    store = spark.read.parquet(path)
+    if "bucket" not in store.columns:
+        raise ValueError(
+            f"{path} is not a write_band_store layout (no bucket column)"
+        )
+    return store.where(F.col("bucket").isin(hit)).select(
+        "band_id", "band_hash"
+    )
+
+
+def scan_io_metrics(df: DataFrame) -> dict[str, int]:
+    """Executed-plan file-scan metrics for an ALREADY-EXECUTED frame
+    (call an action first): sums numFiles / filesSize / numPartitions
+    across every FileSourceScan in the plan. This is the measurement
+    the bucket-pruning contract is stated in — probe I/O must be the
+    hit buckets' bytes, not the store's."""
+    out = {"numFiles": 0, "filesSize": 0, "numPartitions": 0}
+
+    def _walk(node):
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name:
+            m = node.metrics()
+            for k in out:
+                if m.contains(k):
+                    out[k] += m.apply(k).value()
+        if name == "AdaptiveSparkPlanExec":
+            _walk(node.executedPlan())
+        for i in range(node.children().size()):
+            _walk(node.children().apply(i))
+
+    _walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def incremental_minhash_filter_store(
+    new_docs: DataFrame,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    n_buckets: int = 1024,
+    fold_survivors: bool = True,
+) -> DataFrame:
+    """`incremental_minhash_filter` against a DISK-persisted
+    `write_band_store` store with bucket pruning — the full always-on
+    production loop in one call: band the new snapshot ONCE
+    (materialized — bounded by the new snapshot, it feeds the bucket
+    collect, the semi join, and the survivor fold), read only the hit
+    store buckets, probe, and (``fold_survivors``) append the
+    survivors' bands back into the store under the same bucket layout.
+
+    Returns the same (id, n_hit_bands, is_dup) frame as the in-memory
+    gate — COLLECTED-equivalent, not lazy over the store fold: the
+    result is materialized before the fold appends, so the returned
+    frame never observes the store growing under it. Same
+    cross-snapshot-only contract (intra-snapshot dups pass; run batch
+    dedup within the snapshot first)."""
+    bands = checkpoint_nostats(
+        minhash_bands(new_docs, id_col, text_col, n_hashes, band_size)
+    )
+    store = read_band_store_pruned(bands, store_path, n_buckets)
+    hits = bands.join(
+        store, ["band_id", "band_hash"], "left_semi"
+    )
+    per_doc = hits.groupBy("id").agg(F.count("*").alias("n_hit_bands"))
+    ids = new_docs.select(F.col(id_col).alias("id"))
+    out = checkpoint_nostats(
+        ids.join(per_doc, "id", "left").select(
+            "id",
+            F.coalesce("n_hit_bands", F.lit(0))
+            .cast("long")
+            .alias("n_hit_bands"),
+            (F.coalesce("n_hit_bands", F.lit(0)) >= 1)
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )
+    if fold_survivors:
+        survivor_bands = bands.join(
+            out.where(F.col("is_dup") == 0).select("id"), "id", "left_semi"
+        )
+        write_band_store(survivor_bands, store_path, n_buckets, mode="append")
+    release_materialized(bands)
+    return out
 
 
 def lsh_candidate_pairs(

@@ -165,7 +165,7 @@ def token_shards(
     total (no extra scan).
 
     Scale shape: the two-phase distributed prefix sum
-    (ranking.global_running_total — range partition + broadcast
+    (ranking.global_running_total — literal-boundary buckets + offset map
     offsets, NO single-partition stage), then a pure projection.
     Output: (id_col, weight_col, rn, start, shard)."""
     from snowplow_s3_loader_spark.operators.ranking import (

@@ -95,7 +95,7 @@ def equi_depth_histogram(
     batching, score calibration, and selectivity estimation.
 
     Scale shape: NO global window — the global row number comes from
-    ranking.global_row_number (range partition + broadcast offsets) and
+    ranking.global_row_number (literal-boundary buckets + offset map) and
     the bucket id from ntile's closed form, so the sort is distributed
     and the only single-point state is one tiny per-partition count row
     each. ``tie_cols`` must make the order total (pass a unique id) or
@@ -260,10 +260,15 @@ def spearman_moments(
     beyond it, sample or shard.
 
     Scale shape: two two-phase global rankings (`global_row_number` —
-    range-partitioned, never a single-task window over the rows), one
-    |distinct value|-sized tie-stat aggregation per column, and one
-    final scalar aggregation; the raw frame is never self-joined
-    (tie stats join back on the value key)."""
+    literal-boundary bucketing, never a single-task window over the
+    rows), one |distinct value|-sized tie-stat aggregation per column,
+    and one final scalar aggregation; the raw frame is never
+    self-joined (tie stats join back on the value key). Each ranked
+    frame feeds two consumers (tie stats + the join forward), so each
+    is materialized — BOUNDED by the module's own enforced n <= ~1.3e6
+    contract, never corpus-sized (the ranking operator itself
+    materializes nothing)."""
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
     from snowplow_s3_loader_spark.operators.ranking import global_row_number
 
     base = df.select(
@@ -274,6 +279,7 @@ def spearman_moments(
     rx, n = global_row_number(
         base, [F.col("__x"), F.col("__id")], rn_col="__rnx"
     )
+    rx = checkpoint_nostats(rx)
     if n > 1_300_000:
         raise ValueError(
             f"spearman_moments: n={n} exceeds the exact int64 bound "
@@ -297,6 +303,7 @@ def spearman_moments(
     ry, _ = global_row_number(
         withx, [F.col("__y"), F.col("__id")], rn_col="__rny"
     )
+    ry = checkpoint_nostats(ry)
     gy = ry.groupBy("__y").agg(
         (F.min(F.col("__rny").cast("long")) + F.max(F.col("__rny").cast("long"))).alias("__ar2y"),
         F.count("*").alias("__ty"),
@@ -430,7 +437,8 @@ def psi_bins(
     NULL-ordering rule); the reference must be non-empty.
 
     Scale shape: one distributed global sort of the REFERENCE
-    (range partition + broadcast offsets — no single-partition stage),
+    (literal-boundary buckets + offset map — no single-partition stage,
+    nothing materialized),
     edges collected as k-1 literals, then bin assignment is a pure
     expression over each snapshot's scan and ONE partial+final
     aggregation per side; everything after runs on k-row frames.
@@ -445,6 +453,12 @@ def psi_bins(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if k > 10_000:
+        raise ValueError(
+            f"psi_bins: k={k} — bin assignment is an O(k)-per-row fold "
+            "over k-1 collected edge literals, and PSI bins beyond ~10k "
+            "measure sampling noise, not drift; cap k or pre-bucket"
+        )
     spark = ref.sparkSession
 
     def _guarded(df: DataFrame, side: str) -> DataFrame:
@@ -482,11 +496,21 @@ def psi_bins(
     )
     edges = [r["edge"] for r in edge_rows]  # <= k-1 literals
 
+    etype = ref.schema[value_col].dataType
+
     def _counts(guarded: DataFrame, out: str) -> DataFrame:
+        # one compact array fold (tree size O(1), array size k-1), not a
+        # k-deep chained comparison tree — same shape as the ranking
+        # module's boundary fold
         v = F.col(value_col)
-        bin_expr = F.lit(1)
-        for e in edges:
-            bin_expr = bin_expr + (v > F.lit(e)).cast("int")
+        if edges:
+            bin_expr = F.lit(1) + F.aggregate(
+                F.array(*[F.lit(e).cast(etype) for e in edges]),
+                F.lit(0),
+                lambda acc, e: acc + (v > e).cast("int"),
+            )
+        else:
+            bin_expr = F.lit(1)
         return (
             guarded.select(bin_expr.alias("bin"))
             .groupBy("bin")
@@ -566,7 +590,7 @@ def woe_bins(
     2^63) are ENFORCED from one scan of the k-row bin frame — the
     corpus pipeline executes once.
 
-    Scale shape: distributed global sort (range partition + broadcast
+    Scale shape: distributed global sort (literal-boundary buckets + offset map
     offsets, no single-partition window), ntile's closed form, ONE
     partial+final aggregation to k rows; everything after runs on the
     k-row frame. ``tie_cols`` must make the order total.

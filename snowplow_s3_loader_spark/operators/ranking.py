@@ -2,15 +2,36 @@
 `Window.orderBy(...)` with no partitionBy, which funnels every row through a
 single task (Spark warns `WindowExec: No Partition Defined`).
 
-Two-phase formulation (the classic top-k/ranking pattern):
-  1. range-repartition on the order key, local row_number per partition
-     (each task sorts only its slice);
-  2. per-partition counts (P tiny rows) -> cumulative offsets on the driver
-     -> broadcast join -> global row_number = local + offset.
+Two-phase formulation with LITERAL range boundaries (no materialization):
+  1. sample the order key ONCE (distributed top-k by a uniform xxhash64 of
+     the key — a bounded, exactly-`target`-row uniform sample collected
+     without a count pass), derive k-1 boundary LITERALS;
+  2. bucket id = a pure expression counting how many boundaries sort
+     strictly before the row's key (direction-aware lexicographic
+     compare folded over the boundary array) — every evaluation of the
+     plan assigns IDENTICAL buckets by construction, so the frame never
+     needs checkpointing/persisting: the partitioning is a function of
+     the data, not of a sampler's RDD-id seed;
+  3. per-bucket counts (one partial+final aggregation to <= k rows,
+     collected) -> cumulative offsets baked back in as a LITERAL map;
+  4. local row_number per bucket (bucket-keyed window) + offset.
 
-The order key MUST be a total order (include a unique tiebreak column);
-then row_number == rank == dense_rank, and ntile derives in closed form
-from (row_number, total).
+The global rank is INDEPENDENT of where the boundaries fall — any
+contiguous cut of the total order yields the same global position — so
+results are bit-identical whatever the sample draws; boundaries only
+steer load balance. The order key MUST be a total order (include a
+unique tiebreak column); then row_number == rank == dense_rank, and
+ntile derives in closed form from (row_number, total).
+
+Residency/resilience: nothing is materialized (the round-10 shape
+eagerly localCheckpointed the ENTIRE input — a measured storage wall at
+100M rows and a non-resilient-block failure mode on executor loss).
+The price is that the input plan is evaluated three times (sample,
+counts, output) — all three are scan+partial-agg shaped except the
+output's one real shuffle. Callers whose INPUT is an expensive
+multi-stage plan (not a scan/projection) should materialize that input
+themselves at a size they can bound (see spearman_moments, whose frames
+are contract-bounded to ~1.3e6 rows).
 """
 
 from __future__ import annotations
@@ -18,65 +39,212 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_RESERVED = ("__gr_b", "__gr_lrn", "__gr_val", "__gr_lcum")
+
+
+def _sort_exprs(knames: list[str], descending: list[bool]) -> list[Column]:
+    return [
+        F.col(k).desc() if d else F.col(k).asc()
+        for k, d in zip(knames, descending)
+    ]
+
+
+def _strictly_after(
+    knames: list[str], descending: list[bool], b: Column
+) -> Column:
+    """Direction-aware lexicographic `row key sorts strictly AFTER
+    boundary b` (b's fields are never NULL — enforced at sampling).
+    NULL key fields follow Spark's window semantics exactly: NULLS
+    FIRST under asc (never after any boundary), NULLS LAST under desc
+    (after every boundary)."""
+    gt = F.lit(False)
+    for k, d in reversed(list(zip(knames, descending))):
+        c = F.col(k)
+        bi = b[k]
+        if d:
+            after = c.isNull() | (c < bi)
+        else:
+            after = F.coalesce(c > bi, F.lit(False))
+        eq = F.coalesce(c == bi, F.lit(False))
+        gt = after | (eq & gt)
+    return gt
+
+
+def _boundary_cuts(
+    keyed: DataFrame,
+    knames: list[str],
+    descending: list[bool],
+    n_buckets: int,
+    sample_per_bucket: int,
+) -> list[tuple]:
+    """<= n_buckets-1 boundary key tuples from ONE bounded sampling job:
+    the `target` rows with the smallest xxhash64 of the key (uniform —
+    the key is a total order, so there are no heavy duplicates), sorted
+    in ORDER-sense by the engine itself (engine sort == window sort by
+    construction), cut at evenly spaced sample positions. Rows with any
+    NULL key field are excluded from candidacy (a literal boundary must
+    be comparable); if everything is NULL-keyed the cut list is empty
+    and the sort degrades to one bucket — correct, just unbalanced."""
+    if n_buckets <= 1:
+        return []
+    target = n_buckets * sample_per_bucket
+    nn = F.lit(True)
+    for k in knames:
+        nn = nn & F.col(k).isNotNull()
+    rows = (
+        keyed.select(*knames)
+        .where(nn)
+        .orderBy(F.xxhash64(*knames))
+        .limit(target)
+        .orderBy(*_sort_exprs(knames, descending))
+        .collect()
+    )
+    s = len(rows)
+    cuts: list[tuple] = []
+    prev: tuple | None = None
+    for i in range(1, n_buckets):
+        idx = (i * s) // n_buckets
+        if idx >= s:
+            break
+        key = tuple(rows[idx][k] for k in knames)
+        if key != prev:
+            cuts.append(key)
+            prev = key
+    return cuts
+
+
+def _bucket_expr(
+    knames: list[str],
+    ktypes: list,
+    descending: list[bool],
+    cuts: list[tuple],
+) -> Column:
+    """Bucket id as a PURE expression: count of boundary literals the
+    row's key sorts strictly after — one compact array fold (tree size
+    O(fields), array size len(cuts)), not a len(cuts)-deep CASE chain."""
+    if not cuts:
+        return F.lit(0)
+    arr = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(v).cast(t).alias(k)
+                    for v, k, t in zip(cut, knames, ktypes)
+                ]
+            )
+            for cut in cuts
+        ]
+    )
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc
+        + _strictly_after(knames, descending, b).cast("int"),
+    )
+
+
+def _prepare(
+    df: DataFrame,
+    order_cols: list[Column],
+    descending: list[bool] | None,
+    num_partitions: int | None,
+    sample_per_bucket: int,
+    extra_cols: list[Column] | None = None,
+) -> tuple[DataFrame, list[str], list[bool], int]:
+    """Shared front half: alias key (+value) columns, derive boundary
+    literals, attach the pure bucket id. Returns
+    (bucketed_frame, key_names, descending, n_buckets)."""
+    spark = df.sparkSession
+    n_buckets = num_partitions or spark.sparkContext.defaultParallelism
+    desc_flags = (
+        list(descending) if descending else [False] * len(order_cols)
+    )
+    if len(desc_flags) != len(order_cols):
+        raise ValueError(
+            f"descending has {len(desc_flags)} flags for "
+            f"{len(order_cols)} order columns"
+        )
+    knames = [f"__gr_k{i}" for i in range(len(order_cols))]
+    clash = (set(knames) | set(_RESERVED)) & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns clash with reserved names: {clash}")
+    keyed = df.select(
+        "*",
+        *[c.alias(k) for c, k in zip(order_cols, knames)],
+        *(extra_cols or []),
+    )
+    ktypes = [keyed.schema[k].dataType for k in knames]
+    cuts = _boundary_cuts(
+        keyed, knames, desc_flags, n_buckets, sample_per_bucket
+    )
+    bucketed = keyed.withColumn(
+        "__gr_b", _bucket_expr(knames, ktypes, desc_flags, cuts)
+    )
+    return bucketed, knames, desc_flags, n_buckets
+
+
+def _offset_map(offsets: dict[int, int]) -> Column:
+    return F.create_map(
+        *[
+            x
+            for b, o in offsets.items()
+            for x in (F.lit(b), F.lit(o).cast("long"))
+        ]
+    )
+
 
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column],
     rn_col: str = "rn",
     num_partitions: int | None = None,
+    descending: list[bool] | None = None,
+    sample_per_bucket: int = 64,
 ) -> tuple[DataFrame, int]:
-    """Append a 1-based global row number under a TOTAL order (pass a unique
-    tiebreak in order_cols). Returns (df_with_rn, total_rows).
+    """Append a 1-based global row number under a TOTAL order (pass a
+    unique tiebreak in order_cols; plain columns — sort direction goes
+    in ``descending``, one flag per column). Returns (df_with_rn, total).
 
-    No single-partition stage: the sort is range-partitioned, the offset
-    table is one tiny row per partition (collected + broadcast back).
-
-    The range-partitioned, locally-numbered frame is eagerly
-    localCheckpointed (it feeds two consumers whose re-evaluations could
-    otherwise draw different range boundaries — see the inline comment);
-    sessions running many ranking calls can reclaim the blocks with
-    dedup.release_materialized on the RETURNED frame's lineage, and the
-    bench/battery harnesses sweep leftover checkpoint blocks between
-    runs.
-    """
-    spark = df.sparkSession
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    No single-partition stage and NOTHING materialized: the bucket id is
+    a pure expression over literal boundaries (module docstring), so the
+    counts pass and the output pass agree by construction. The rank is
+    emitted as INT with total_rows < 2^31 ENFORCED (the downstream
+    contract — rank-derived arithmetic rides int; past that bound shard
+    first)."""
+    bucketed, knames, desc_flags, _ = _prepare(
+        df, order_cols, descending, num_partitions, sample_per_bucket
     )
-    local = ranged.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
-    )
-    # PIN one evaluation: `local` feeds BOTH the counts branch and the
-    # output join, and RangePartitioner's sample seed incorporates the
-    # RDD id — re-evaluating the plan can draw DIFFERENT range
-    # boundaries per branch, so the offsets describe one partitioning
-    # while the rows carry another (observed: 10000 rows -> 9737
-    # distinct rns with gaps to 10247 on the q94 histogram input).
-    # An eager localCheckpoint makes the partition assignment a fact.
-    local = local.localCheckpoint(eager=True)
-    # per-partition counts: P rows only (bounded by cluster partitions, not
-    # data), so the single-partition cumulative window over them is safe at
-    # any scale; one collect of the grand total remains (callers need it as
-    # a plain int for ntile's closed form)
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    # localCheckpoint, not persist(): same one-computation guarantee for the
-    # .first() below + the broadcast join, but the (tiny, P-row) blocks are
-    # GC-tracked by the ContextCleaner instead of leaking in the SQL cache
-    # for the session lifetime
-    off_df = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off"), "_cnt"
-    ).localCheckpoint(eager=True)
-    total_row = off_df.agg(F.sum("_cnt")).first()[0]
-    if total_row is None:
+    cnt_rows = bucketed.groupBy("__gr_b").agg(
+        F.count("*").alias("c")
+    ).collect()
+    total = sum(r["c"] for r in cnt_rows)
+    if total == 0:
         return df.withColumn(rn_col, F.lit(None).cast("int")), 0
-    out = (
-        local.join(F.broadcast(off_df.drop("_cnt")), "_pid")
-        .withColumn(rn_col, (F.col("_lrn") + F.col("_off")).cast("int"))
-        .drop("_pid", "_lrn", "_off")
+    if total >= 2**31:
+        raise ValueError(
+            f"global_row_number: {total} rows overflows the INT rank "
+            "contract (2^31); shard or pre-aggregate first"
+        )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(cnt_rows, key=lambda r: r["__gr_b"]):
+        offsets[r["__gr_b"]] = acc
+        acc += r["c"]
+    w = Window.partitionBy("__gr_b").orderBy(
+        *_sort_exprs(knames, desc_flags)
     )
-    return out, int(total_row)
+    out = (
+        bucketed.withColumn("__gr_lrn", F.row_number().over(w))
+        .withColumn(
+            rn_col,
+            (
+                F.element_at(_offset_map(offsets), F.col("__gr_b"))
+                + F.col("__gr_lrn")
+            ).cast("int"),
+        )
+        .drop("__gr_b", "__gr_lrn", *knames)
+    )
+    return out, int(total)
 
 
 def global_running_total(
@@ -86,22 +254,20 @@ def global_running_total(
     rn_col: str = "rn",
     start_col: str = "start",
     num_partitions: int | None = None,
+    descending: list[bool] | None = None,
+    sample_per_bucket: int = 64,
 ) -> tuple[DataFrame, int, int]:
     """Append a 1-based global row number AND the EXCLUSIVE global
     running total of ``value_col`` (sum of all strictly-earlier rows)
-    under a TOTAL order — global_row_number's two-phase shape carrying
-    a value column: range-repartition on the order key, per-partition
-    local row number + inclusive local prefix sum, per-partition
-    (count, value-sum) offsets collected and broadcast back. Returns
-    (df_with_rn_and_start, total_rows, total_value).
+    under a TOTAL order — global_row_number's literal-boundary shape
+    carrying a value column: the per-bucket collect also carries the
+    bucket value sums, the bucket-keyed window also carries the local
+    inclusive prefix sum. Returns (df_with_rn_and_start, total_rows,
+    total_value).
 
-    No single-partition stage; the same eager-localCheckpoint pinning
-    as global_row_number (two consumers over a RangePartitioner whose
-    sample seed is plan-dependent). ``value_col`` must be non-null
-    (a NULL poisons every later prefix; enforced with a per-row
-    raise_error fold, zero extra scan)."""
-    spark = df.sparkSession
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    Nothing materialized (module docstring); total_rows < 2^31 ENFORCED
+    (INT rank contract). ``value_col`` must be non-null (a NULL poisons
+    every later prefix; per-row raise_error fold, zero extra scan)."""
     v = F.col(value_col)
     v_checked = F.when(
         v.isNull(),
@@ -112,32 +278,19 @@ def global_running_total(
             )
         ).cast("long"),
     ).otherwise(v.cast("long"))
-    ranged = (
-        df.withColumn("_val", v_checked)
-        .repartitionByRange(n_part, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
+    bucketed, knames, desc_flags, _ = _prepare(
+        df,
+        order_cols,
+        descending,
+        num_partitions,
+        sample_per_bucket,
+        extra_cols=[v_checked.alias("__gr_val")],
     )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = ranged.withColumn("_lrn", F.row_number().over(w)).withColumn(
-        "_lcum",
-        F.sum("_val").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    local = local.localCheckpoint(eager=True)
-    counts = local.groupBy("_pid").agg(
-        F.count("*").alias("_cnt"), F.sum("_val").alias("_vsum")
-    )
-    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    off_df = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_cnt").over(ow), F.lit(0)).alias("_off"),
-        F.coalesce(F.sum("_vsum").over(ow), F.lit(0)).alias("_voff"),
-        "_cnt",
-        "_vsum",
-    ).localCheckpoint(eager=True)
-    tot = off_df.agg(
-        F.sum("_cnt").alias("n"), F.sum("_vsum").alias("s")
-    ).first()
-    if tot["n"] is None:
+    cnt_rows = bucketed.groupBy("__gr_b").agg(
+        F.count("*").alias("c"), F.sum("__gr_val").alias("s")
+    ).collect()
+    total = sum(r["c"] for r in cnt_rows)
+    if total == 0:
         return (
             df.withColumn(rn_col, F.lit(None).cast("int")).withColumn(
                 start_col, F.lit(None).cast("long")
@@ -145,15 +298,47 @@ def global_running_total(
             0,
             0,
         )
-    out = (
-        local.join(F.broadcast(off_df.drop("_cnt", "_vsum")), "_pid")
-        .withColumn(rn_col, (F.col("_lrn") + F.col("_off")).cast("int"))
-        .withColumn(
-            start_col, F.col("_lcum") - F.col("_val") + F.col("_voff")
+    if total >= 2**31:
+        raise ValueError(
+            f"global_running_total: {total} rows overflows the INT rank "
+            "contract (2^31); shard or pre-aggregate first"
         )
-        .drop("_pid", "_lrn", "_lcum", "_val", "_off", "_voff")
+    total_val = sum(r["s"] for r in cnt_rows)
+    offsets: dict[int, int] = {}
+    voffsets: dict[int, int] = {}
+    acc = vacc = 0
+    for r in sorted(cnt_rows, key=lambda r: r["__gr_b"]):
+        offsets[r["__gr_b"]] = acc
+        voffsets[r["__gr_b"]] = vacc
+        acc += r["c"]
+        vacc += r["s"]
+    w = Window.partitionBy("__gr_b").orderBy(
+        *_sort_exprs(knames, desc_flags)
     )
-    return out, int(tot["n"]), int(tot["s"])
+    out = (
+        bucketed.withColumn("__gr_lrn", F.row_number().over(w))
+        .withColumn(
+            "__gr_lcum",
+            F.sum("__gr_val").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            rn_col,
+            (
+                F.element_at(_offset_map(offsets), F.col("__gr_b"))
+                + F.col("__gr_lrn")
+            ).cast("int"),
+        )
+        .withColumn(
+            start_col,
+            F.element_at(_offset_map(voffsets), F.col("__gr_b"))
+            + F.col("__gr_lcum")
+            - F.col("__gr_val"),
+        )
+        .drop("__gr_b", "__gr_lrn", "__gr_lcum", "__gr_val", *knames)
+    )
+    return out, int(total), int(total_val)
 
 
 def ntile_from_row_number(rn: Column, total: int, k: int) -> Column:

@@ -26,9 +26,12 @@ Canonicalization contract (applied in this order):
      sorted bytewise and re-joined (param ORDER never splits a URL)
 
 Registered-domain extraction is the standard last-two-labels rule with
-a small fixed set of two-level public suffixes (co.uk-style) promoting
-to three labels — an explicit approximation of the public-suffix list,
-documented and test-pinned, not a hidden heuristic.
+two-level public suffixes (co.uk-style) promoting to three labels.
+The suffix set defaults to the vendored snapshot in
+data/public_suffixes.txt (~1.5k entries — ccTLD conventions + two-level
+private registries like github.io); the q143 oracle row pins the tiny
+legacy TWO_LEVEL_SUFFIXES tuple so its hash never moves under snapshot
+updates.
 
 Scale shape at 100 TB: canonicalization is codegen'd row-local work;
 the only shuffles are the canonical-URL aggregation and the
@@ -37,16 +40,45 @@ domain-keyed rank window (both on the reduced URL frame, not raw rows).
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# explicit two-level public-suffix approximation (kept tiny and pinned
-# by tests; the full PSL is a data file, not an algorithm change)
+# legacy two-level public-suffix approximation — kept ONLY as the
+# pinned tuple behind the q143 oracle row (hash-stable forever); the
+# DEFAULT for all operators is the vendored snapshot in
+# data/public_suffixes.txt (public_suffixes()), which groups
+# github.io / com.mx / co.in correctly
 TWO_LEVEL_SUFFIXES = (
     "co.uk", "org.uk", "gov.uk", "ac.uk",
     "com.au", "net.au", "org.au",
     "co.jp", "co.kr", "com.br", "com.cn",
 )
+
+_PSL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffixes.txt",
+)
+
+
+@lru_cache(maxsize=1)
+def public_suffixes() -> tuple[str, ...]:
+    """The vendored two-level public-suffix snapshot (~1.5k entries —
+    ccTLD second-level registration conventions + well-known two-level
+    private registries like github.io; see the data file's header for
+    provenance and its honest delta vs the full Mozilla PSL). Loaded
+    once per process; Catalyst compiles the membership test to an
+    InSet hash lookup, so list size does not change the plan shape."""
+    out: list[str] = []
+    with open(_PSL_PATH, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                out.append(line)
+    return tuple(out)
 
 _TRACKING = "^(utm_|fbclid|gclid)"
 
@@ -243,14 +275,14 @@ def url_host(canonical: Column) -> Column:
 
 
 def registered_domain(
-    host: Column, suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES
+    host: Column, suffixes: tuple[str, ...] | None = None
 ) -> Column:
     """Last-two-labels registered domain, promoting to three labels for
-    the two-level public suffixes in ``suffixes`` (co.uk style;
-    defaults to the pinned approximation above — pass the full
-    public-suffix list's two-level entries for production corpora:
-    github.io, com.mx, co.in, ... silently mis-group under the
-    default). IP-literal hosts (IPv4 dotted quads, bracketed IPv6)
+    the two-level public suffixes in ``suffixes`` (co.uk style).
+    Defaults to the vendored snapshot (public_suffixes() — github.io,
+    com.mx, co.in, ... group correctly); pass urls.TWO_LEVEL_SUFFIXES
+    for the hash-pinned legacy behavior the q143 oracle replays.
+    IP-literal hosts (IPv4 dotted quads, bracketed IPv6)
     have no registrable domain and return whole.
 
     The membership test is `isin`, which Catalyst compiles to an
@@ -268,6 +300,8 @@ def registered_domain(
         F.element_at(labels, -2),
         F.element_at(labels, -1),
     )
+    if suffixes is None:
+        suffixes = public_suffixes()
     is_two_level = last2.isin(*suffixes)
     return (
         F.when(is_ip | (n <= 2), host)
@@ -280,15 +314,15 @@ def url_dedup(
     df: DataFrame,
     url_col: str,
     id_col: str,
-    suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES,
+    suffixes: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Exact URL-level dedup: ONE aggregation keyed by the canonical
     URL. Output: (canonical_url, domain, n_dups, keep_id) — keep_id is
     the smallest id (deterministic winner). Rows whose URL fails to
     canonicalize are EXCLUDED (they carry no dedup key; route them to a
     bad-row path upstream if they must be kept). ``suffixes`` feeds
-    registered_domain (pass the real PSL two-level entries for
-    production corpora)."""
+    registered_domain (default: the vendored public-suffix snapshot;
+    the q143 oracle row pins urls.TWO_LEVEL_SUFFIXES explicitly)."""
     base = canonicalized(
         df.select(F.col(url_col).alias("__url"), F.col(id_col).alias("__id")),
         "__url",

@@ -694,9 +694,19 @@ def q42_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
-    joined = rev.join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+
+    # |suppliers|-sized (bounded by the dimension, not the corpus):
+    # materialize so the ranking's sample/counts/output passes don't
+    # re-run the lineitem aggregation three times
+    joined = checkpoint_nostats(
+        rev.join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+    )
     ranked, total = ranking.global_row_number(
-        joined, [F.desc("revenue"), F.asc("s_suppkey")], rn_col="rnk"
+        joined,
+        [F.col("revenue"), F.col("s_suppkey")],
+        rn_col="rnk",
+        descending=[True, False],
     )
     return ranked.select(
         "s_suppkey",
@@ -2224,7 +2234,7 @@ def q93_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q94_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram of event values (16 buckets, event_id
-    tie-break): global row number via range partition + broadcast
+    tie-break): global row number via literal-boundary buckets + offset map
     offsets (no single-partition window) and ntile's closed form. Exact
     bucket boundaries hash-match DuckDB's ntile."""
     from snowplow_s3_loader_spark.operators.profile import equi_depth_histogram
@@ -2987,12 +2997,20 @@ def q143_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-registered-domain cap ranked by md5 (q58 hash-order
     discipline). Every canonicalization rule is exercised by
     construction; URLs differing only in junk collapse to one row."""
-    from snowplow_s3_loader_spark.operators.urls import domain_cap, url_dedup
+    from snowplow_s3_loader_spark.operators.urls import (
+        TWO_LEVEL_SUFFIXES,
+        domain_cap,
+        url_dedup,
+    )
 
     docs = messy_url_docs(load_table(spark, sf_dir, "documents"))
-    return domain_cap(url_dedup(docs, "url", "doc_id"), 3).orderBy(
-        "canonical_url"
-    )
+    # suffix set PINNED to the legacy tuple: the oracle SQL replays
+    # exactly these promotions, so the row's hash stays put under
+    # vendored-snapshot updates (the packaged PSL is the DEFAULT for
+    # library users; co.uk is in both sets, so values match either way)
+    return domain_cap(
+        url_dedup(docs, "url", "doc_id", suffixes=TWO_LEVEL_SUFFIXES), 3
+    ).orderBy("canonical_url")
 
 
 def messy_url_docs(docs: DataFrame) -> DataFrame:
@@ -3110,7 +3128,7 @@ def q147_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced deterministic shard assignment — the dataloader
     last mile: permute the corpus by (md5(doc_id), doc_id), cut the
     exclusive running token total into 16 contiguous shards via the
-    two-phase distributed prefix sum (range partition + broadcast
+    two-phase distributed prefix sum (literal-boundary buckets + offset map
     offsets, no single-partition stage), and emit per-shard stats. The
     rn ranges tile 1..N contiguously and every shard's token mass is
     within one document of total/16 — both pinned by the oracle's

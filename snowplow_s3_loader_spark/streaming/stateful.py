@@ -908,9 +908,13 @@ def streaming_url_dedup(
     Emits one row per touched canonical URL per batch (update mode —
     later batches overwrite); the registered domain is a stateless
     projection the caller can add (urls.registered_domain), kept out
-    of the state row."""
+    of the state row. ``keep_id`` carries the id column's OWN type
+    (any orderable type, string ids included — the batch twin's F.min
+    contract; pandas min and Spark min agree on the primitive
+    orderings)."""
     from snowplow_s3_loader_spark.operators.urls import canonicalized
 
+    id_type = docs.schema[id_col].dataType
     canon = (
         canonicalized(
             docs.select(
@@ -925,11 +929,11 @@ def streaming_url_dedup(
         [
             StructField("canonical_url", StringType()),
             StructField("n_dups", LongType()),
-            StructField("keep_id", LongType()),
+            StructField("keep_id", id_type),
         ]
     )
     state_schema = StructType(
-        [StructField("n", LongType()), StructField("keep", LongType())]
+        [StructField("n", LongType()), StructField("keep", id_type)]
     )
 
     def _update(
@@ -942,7 +946,9 @@ def streaming_url_dedup(
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
             n_new = len(batch)
-            keep_new = int(batch["__id"].min())
+            keep_new = batch["__id"].min()
+            if hasattr(keep_new, "item"):  # numpy scalar -> python
+                keep_new = keep_new.item()
             if state.exists:
                 n, keep = state.get
                 n += n_new

@@ -928,7 +928,7 @@ def test_q146_selection_is_distributed_topk(spark, sf_dir):
 
 def test_q147_shards_no_single_partition(spark, sf_dir):
     """The prefix sum is the two-phase range-partitioned pass (hidden
-    behind its checkpoint); the visible plan is the broadcast offsets
+    as literal boundaries); the visible plan is the offset-map
     join + projection + one shard aggregation — nothing
     single-partition, no sort-merge join, every window keyed."""
     plan = plan_of(Q.q147_token_shards(spark, sf_dir))

@@ -110,26 +110,30 @@ class TestRegisteredDomainSuffixes:
             [("alice.github.io",), ("shop.com.mx",), ("news.co.uk",)],
             "h string",
         )
+        # the round-11 default is the vendored PSL snapshot: entries the
+        # legacy tuple mis-grouped now promote correctly
         default = {
             r["h"]: r["d"]
             for r in hosts.select(
                 "h", registered_domain(F.col("h")).alias("d")
             ).collect()
         }
-        # the pinned default mis-groups PSL entries it doesn't know
-        assert default["alice.github.io"] == "github.io"
-        assert default["shop.com.mx"] == "com.mx"
+        assert default["alice.github.io"] == "alice.github.io"
+        assert default["shop.com.mx"] == "shop.com.mx"
         assert default["news.co.uk"] == "news.co.uk"
-        expanded = TWO_LEVEL_SUFFIXES + ("github.io", "com.mx")
-        got = {
+        # the legacy tuple stays available (and pinned: the q143 oracle
+        # row passes it explicitly) — it still mis-groups what it
+        # doesn't know, by construction
+        legacy = {
             r["h"]: r["d"]
             for r in hosts.select(
-                "h", registered_domain(F.col("h"), expanded).alias("d")
+                "h",
+                registered_domain(F.col("h"), TWO_LEVEL_SUFFIXES).alias("d"),
             ).collect()
         }
-        assert got["alice.github.io"] == "alice.github.io"
-        assert got["shop.com.mx"] == "shop.com.mx"
-        assert got["news.co.uk"] == "news.co.uk"
+        assert legacy["alice.github.io"] == "github.io"
+        assert legacy["shop.com.mx"] == "com.mx"
+        assert legacy["news.co.uk"] == "news.co.uk"
 
     def test_url_dedup_threads_suffixes(self, spark):
         from snowplow_s3_loader_spark.operators.urls import url_dedup

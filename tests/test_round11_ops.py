@@ -1,0 +1,129 @@
+"""Round-11 operators: bucket-pruned persisted band store, literal-boundary
+ranking edge cases, selection-quality differentials."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _snapshot(spark, r, n):
+    """Deterministic snapshot: fresh ids per round; 25% of round r>0's
+    texts replay round r-1's fresh text keys (guaranteed store hits)."""
+    fresh_key = F.col("id") + r * n
+    replay_key = F.col("id") - F.col("id") % 4 + (r - 1) * n
+    key = F.when((F.col("id") % 4 == 3) & (F.lit(r) > 0), replay_key).otherwise(
+        fresh_key
+    )
+    return spark.range(n).select(
+        (F.col("id") + r * n).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("w"), (key * 9 + i).cast("string")) for i in range(9)],
+        ).alias("text"),
+    )
+
+
+class TestBandStorePruning:
+    def test_pruned_probe_matches_in_memory_gate(self, spark, tmp_path):
+        """The disk store + bucket pruning must produce the exact rows
+        the in-memory gate produces on the same (new, history) split —
+        pruning may never lose a membership hit (the bucket is a pure
+        function of the band key on both sides)."""
+        from snowplow_s3_loader_spark.operators.dedup import (
+            incremental_minhash_filter,
+            incremental_minhash_filter_store,
+            minhash_bands,
+            write_band_store,
+        )
+
+        hist = _snapshot(spark, 0, 120)
+        new = _snapshot(spark, 1, 120)
+        path = str(tmp_path / "store")
+        write_band_store(
+            minhash_bands(hist, "doc_id", "text"), path, n_buckets=16,
+            mode="overwrite",
+        )
+        got = {
+            (r["id"], r["n_hit_bands"], r["is_dup"])
+            for r in incremental_minhash_filter_store(
+                new, path, "doc_id", "text", n_buckets=16,
+                fold_survivors=False,
+            ).collect()
+        }
+        want = {
+            (r["id"], r["n_hit_bands"], r["is_dup"])
+            for r in incremental_minhash_filter(
+                new,
+                minhash_bands(hist, "doc_id", "text").select(
+                    "band_id", "band_hash"
+                ),
+                "doc_id",
+                "text",
+            ).collect()
+        }
+        assert got == want
+        assert sum(1 for _, _, d in want if d) == 120 // 4  # planted replays
+
+    def test_probe_plan_prunes_partitions(self, spark, tmp_path):
+        """The pruned read must push the bucket list as a PARTITION
+        filter (directory-level pruning before any scan), and a small
+        probe must list strictly fewer files than the store holds."""
+        from snowplow_s3_loader_spark.operators.dedup import (
+            minhash_bands,
+            read_band_store_pruned,
+            write_band_store,
+        )
+
+        hist = _snapshot(spark, 0, 400)
+        path = str(tmp_path / "store")
+        write_band_store(
+            minhash_bands(hist, "doc_id", "text"), path, n_buckets=64,
+            mode="overwrite",
+        )
+        # tiny probe: 3 docs x 4 bands -> at most 12 of 64 buckets
+        from snowplow_s3_loader_spark.operators.dedup import scan_io_metrics
+
+        probe = minhash_bands(_snapshot(spark, 1, 3), "doc_id", "text")
+        pruned = read_band_store_pruned(probe, path, n_buckets=64)
+        pruned.collect()
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan, plan
+        got = scan_io_metrics(pruned)
+        full = spark.read.parquet(path)
+        full.collect()
+        ref = scan_io_metrics(full)
+        assert 0 < got["numPartitions"] <= 12 < 64 == ref["numPartitions"], (
+            got,
+            ref,
+        )
+        assert 0 < got["filesSize"] < ref["filesSize"], (got, ref)
+
+    def test_survivor_fold_roundtrip(self, spark, tmp_path):
+        """fold_survivors=True must append exactly the survivors' bands:
+        a third snapshot replaying a SECOND-snapshot survivor text is
+        flagged, and replaying a second-snapshot DUP's text still hits
+        (the dup's text was already in the store via round 1)."""
+        from snowplow_s3_loader_spark.operators.dedup import (
+            incremental_minhash_filter_store,
+            minhash_bands,
+            write_band_store,
+        )
+
+        n = 80
+        path = str(tmp_path / "store")
+        write_band_store(
+            minhash_bands(_snapshot(spark, 0, n), "doc_id", "text"),
+            path,
+            n_buckets=16,
+            mode="overwrite",
+        )
+        r1 = incremental_minhash_filter_store(
+            _snapshot(spark, 1, n), path, "doc_id", "text", n_buckets=16
+        )
+        assert r1.agg(F.sum("is_dup")).first()[0] == n // 4
+        # snapshot 2 replays 25% of snapshot 1's fresh keys — those are
+        # round-1 survivors whose bands only exist via the fold
+        r2 = incremental_minhash_filter_store(
+            _snapshot(spark, 2, n), path, "doc_id", "text", n_buckets=16
+        )
+        assert r2.agg(F.sum("is_dup")).first()[0] == n // 4

@@ -748,3 +748,66 @@ def test_streaming_url_dedup_matches_batch_any_order(spark, tmp_path):
     # distinct canonical forms survive; the junk row is dropped
     assert len(want) == 20
     assert max(v[0] for v in want.values()) >= 2  # real collapses happened
+
+
+def test_streaming_url_dedup_string_ids(spark, tmp_path):
+    """keep_id carries the id column's OWN type — string doc ids must
+    flow through the state fold and drain to the batch operator's rows
+    (the round-10 twin hard-coded LongType and int()-coerced the min,
+    silently narrowing the contract to integer ids)."""
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as SF
+
+    from snowplow_s3_loader_spark.operators.urls import url_dedup
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_url_dedup
+
+    rows = [
+        (f"doc-{i:03d}", f"https://site{i % 3}.com/p/{i % 6}?a=1")
+        for i in range(1, 37)
+    ]
+    df_all = spark.createDataFrame(rows, "doc_id string, url string")
+
+    in_dir = tmp_path / "surl_in"
+    in_dir.mkdir(parents=True)
+    base_t = _time.time() - 100
+    for i in range(2):
+        chunk = df_all.where(SF.abs(SF.hash("doc_id")) % 2 == i)
+        stage = tmp_path / f"sw{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            f for f in os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = in_dir / f"b{i}.parquet"
+        (stage / part).rename(dst)
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+
+    src = (
+        spark.readStream.schema("doc_id string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    got: dict = {}
+
+    def _fb(df, bid):
+        for r in df.collect():
+            got[r["canonical_url"]] = (r["n_dups"], r["keep_id"])
+
+    q = (
+        streaming_url_dedup(src, "url", "doc_id")
+        .writeStream.foreachBatch(_fb)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "surl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    want = {
+        r["canonical_url"]: (r["n_dups"], r["keep_id"])
+        for r in url_dedup(df_all, "url", "doc_id").collect()
+    }
+    assert got == want
+    assert all(isinstance(v[1], str) for v in want.values())
