@@ -207,6 +207,7 @@ def write_band_store(
     path: str,
     n_buckets: int = 1024,
     mode: str = "append",
+    epoch: int | None = None,
 ) -> None:
     """Persist (band_id, band_hash) rows partitioned by the band-key
     bucket — the production store layout that BOUNDS probe I/O: a probe
@@ -234,14 +235,21 @@ def write_band_store(
 
 
 def read_band_store_pruned(
-    probe_bands: DataFrame, path: str, n_buckets: int = 1024
+    probe_bands: DataFrame,
+    path: str,
+    n_buckets: int = 1024,
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """The pruned view of a `write_band_store` store for ONE probe:
     collect the probe's distinct bucket ids (<= n_buckets ints — a
     bounded driver collect however large the snapshot) and push them as
     a partition filter, so the file index lists only the hit bucket
     directories. Returns the (band_id, band_hash) store frame the
-    membership semi join consumes."""
+    membership semi join consumes.
+
+    ``exclude_epoch``: on an epoch'd store, additionally filter OUT
+    that epoch's partition (also directory-pruned) — a replayed
+    micro-batch must never probe against its own half-written fold."""
     spark = probe_bands.sparkSession
     hit = [
         r["b"]
@@ -256,9 +264,15 @@ def read_band_store_pruned(
         raise ValueError(
             f"{path} is not a write_band_store layout (no bucket column)"
         )
-    return store.where(F.col("bucket").isin(hit)).select(
-        "band_id", "band_hash"
-    )
+    pruned = store.where(F.col("bucket").isin(hit))
+    if exclude_epoch is not None:
+        if "epoch" not in store.columns:
+            raise ValueError(
+                f"{path} is not an epoch'd store; exclude_epoch needs "
+                "every write_band_store call to pass epoch"
+            )
+        pruned = pruned.where(F.col("epoch") != int(exclude_epoch))
+    return pruned.select("band_id", "band_hash")
 
 
 def scan_io_metrics(df: DataFrame) -> dict[str, int]:
