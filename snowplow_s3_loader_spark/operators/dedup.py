@@ -222,16 +222,25 @@ def write_band_store(
     hits every bucket and degrades to the full scan, which is the
     correct cost for that shape. Appends accumulate small files per
     bucket directory; compact periodically (rewrite with mode
-    'overwrite' per bucket) on long-lived stores."""
+    'overwrite' per bucket) on long-lived stores.
+
+    ``epoch``: the EXACTLY-ONCE layout for streaming folds — the write
+    lands under ``path/epoch=<epoch>/bucket=.../`` with mode
+    'overwrite' on that epoch directory only, so a replayed micro-batch
+    rewrites its own epoch instead of double-appending. A store must be
+    built consistently (every write epoch'd, or none — Hive partition
+    discovery needs one directory depth); seed history as epoch 0."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    (
-        bands.select("band_id", "band_hash")
-        .withColumn("bucket", _band_store_bucket(n_buckets))
-        .write.partitionBy("bucket")
-        .mode(mode)
-        .parquet(path)
+    out = bands.select("band_id", "band_hash").withColumn(
+        "bucket", _band_store_bucket(n_buckets)
     )
+    if epoch is None:
+        out.write.partitionBy("bucket").mode(mode).parquet(path)
+    else:
+        out.write.partitionBy("bucket").mode("overwrite").parquet(
+            f"{path}/epoch={int(epoch)}"
+        )
 
 
 def read_band_store_pruned(
@@ -308,6 +317,7 @@ def incremental_minhash_filter_store(
     band_size: int = 4,
     n_buckets: int = 1024,
     fold_survivors: bool = True,
+    epoch: int | None = None,
 ) -> DataFrame:
     """`incremental_minhash_filter` against a DISK-persisted
     `write_band_store` store with bucket pruning — the full always-on
@@ -322,11 +332,19 @@ def incremental_minhash_filter_store(
     result is materialized before the fold appends, so the returned
     frame never observes the store growing under it. Same
     cross-snapshot-only contract (intra-snapshot dups pass; run batch
-    dedup within the snapshot first)."""
+    dedup within the snapshot first).
+
+    ``epoch``: the exactly-once replay contract for streaming callers —
+    the probe reads the store with this epoch EXCLUDED and the survivor
+    fold OVERWRITES this epoch's partition, so a retried micro-batch
+    reproduces its result instead of colliding with its own
+    half-written fold (see write_band_store)."""
     bands = checkpoint_nostats(
         minhash_bands(new_docs, id_col, text_col, n_hashes, band_size)
     )
-    store = read_band_store_pruned(bands, store_path, n_buckets)
+    store = read_band_store_pruned(
+        bands, store_path, n_buckets, exclude_epoch=epoch
+    )
     hits = bands.join(
         store, ["band_id", "band_hash"], "left_semi"
     )
@@ -347,7 +365,9 @@ def incremental_minhash_filter_store(
         survivor_bands = bands.join(
             out.where(F.col("is_dup") == 0).select("id"), "id", "left_semi"
         )
-        write_band_store(survivor_bands, store_path, n_buckets, mode="append")
+        write_band_store(
+            survivor_bands, store_path, n_buckets, mode="append", epoch=epoch
+        )
     release_materialized(bands)
     return out
 

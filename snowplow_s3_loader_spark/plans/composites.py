@@ -1870,6 +1870,14 @@ SELECT 'parity' AS battery,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q143_url_dedup"]})
 UNION ALL
+-- streaming incremental MinHash gate (tenth family): one bit per
+-- probed new-snapshot document (the q150 split)
+SELECT 'parity' AS battery,
+       'streaming_incdedup@' || CAST(doc_id AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
 SELECT 'parity' AS battery,
        'component_map@' || CAST(node AS VARCHAR) AS key,
        CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,

@@ -710,6 +710,127 @@ def _url_dedup_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+def _inc_minhash_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Streaming incremental MinHash gate vs the in-memory batch gate
+    (round 11 — the TENTH parity family): q150's corpus split (history
+    = doc_id % 3 != 0 seeded as epoch 0 of a persisted epoch'd band
+    store; the new snapshot — evens keep their text, odds replay
+    doc_id-1's — arrives as THREE micro-batches by (doc_id/3) % 3).
+    The streaming side is foreachBatch over
+    incremental_minhash_filter_store (pruned epoch'd parquet store,
+    survivor folds per batch); the reference replays the SAME batch
+    sequence through the IN-MEMORY gate with checkpointed store unions
+    — two genuinely different store implementations that must agree on
+    every (id, n_hit_bands, is_dup), including cross-batch fold hits
+    (a later batch replaying an earlier batch's survivor text)."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        incremental_minhash_filter,
+        minhash_bands,
+        release_materialized,
+        write_band_store,
+    )
+    from snowplow_s3_loader_spark.streaming.stateful import (
+        streaming_incremental_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    history = docs.where(d % 3 != 0).select("doc_id", "text")
+    prev = docs.select((d + 1).alias("doc_id"), F.col("text").alias("__prev"))
+    new_docs = (
+        docs.where(d % 3 == 0)
+        .join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when((d % 2 == 1) & F.col("__prev").isNotNull(), F.col("__prev"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    slices = [
+        new_docs.where((d / 3).cast("long") % 3 == i) for i in range(3)
+    ]
+    tmp = tempfile.mkdtemp(prefix="parity_incminhash_")
+    store_dir = os.path.join(tmp, "store")
+    got: dict = {}
+    try:
+        write_band_store(
+            minhash_bands(history, "doc_id", "text"),
+            store_dir,
+            n_buckets=16,
+            epoch=0,
+        )
+        in_dir = _write_stream_files(slices, tmp)
+        src = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+        def _collect(res):
+            for r in res.collect():
+                got[r["id"]] = (r["n_hit_bands"], r["is_dup"])
+            release_materialized(res)
+
+        q = (
+            src.writeStream.foreachBatch(
+                streaming_incremental_minhash(
+                    store_dir, "doc_id", "text", n_buckets=16,
+                    on_result=_collect,
+                )
+            )
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("incdedup parity stream did not drain in 600s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # in-memory reference: the same batch sequence through the
+    # in-memory gate, store growing by checkpointed survivor unions
+    want: dict = {}
+    mem_store = checkpoint_nostats(
+        minhash_bands(history, "doc_id", "text").select(
+            "band_id", "band_hash"
+        )
+    )
+    for sl in slices:
+        res = incremental_minhash_filter(sl, mem_store, "doc_id", "text")
+        rows = res.collect()
+        for r in rows:
+            want[r["id"]] = (r["n_hit_bands"], r["is_dup"])
+        survivors = sl.join(
+            spark.createDataFrame(
+                [(r["id"],) for r in rows if r["is_dup"] == 0],
+                "doc_id bigint",
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        nxt = checkpoint_nostats(
+            mem_store.unionByName(
+                minhash_bands(survivors, "doc_id", "text").select(
+                    "band_id", "band_hash"
+                )
+            )
+        )
+        release_materialized(mem_store)
+        mem_store = nxt
+    release_materialized(mem_store)
+    return [
+        (
+            "streaming_incdedup",
+            str(i),
+            int(want.get(i) == got.get(i)),
+        )
+        for i in sorted(set(want) | set(got))
+    ]
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check_name, key, is_match) for all the parity families, fully
     materialized driver-side (literal rows — no lingering plan or
@@ -728,6 +849,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_sess = ex.submit(_session_window_parity, spark, sf_dir)
         fut_ohlc = ex.submit(_ohlc_parity, spark, sf_dir)
         fut_url = ex.submit(_url_dedup_parity, spark, sf_dir)
+        fut_inc = ex.submit(_inc_minhash_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
         rows = (
             fut_funnel.result()
@@ -738,6 +860,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             + fut_sess.result()
             + fut_ohlc.result()
             + fut_url.result()
+            + fut_inc.result()
             + cm_rows
         )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

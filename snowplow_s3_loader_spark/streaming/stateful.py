@@ -974,3 +974,63 @@ def streaming_url_dedup(
     return canon.groupBy("canonical_url").applyInPandasWithState(
         _update, out_schema, state_schema, "update", timeout
     )
+
+
+def streaming_incremental_minhash(
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    n_buckets: int = 1024,
+    on_result=None,
+):
+    """Streaming twin of dedup.incremental_minhash_filter_store — the
+    TENTH batch-vs-streaming parity family: each micro-batch is ONE
+    snapshot probed against (then folded into) the persisted epoch'd
+    band store. Returns a foreachBatch body; wire it as
+
+        src.writeStream.foreachBatch(
+            streaming_incremental_minhash(path, "doc_id", "text",
+                                          on_result=collect_fn))
+
+    Why foreachBatch and not applyInPandasWithState: the state here is
+    the EXTERNAL growing band store, and survivorship couples across
+    state keys — a document folds into the store iff NONE of its bands
+    hit, which a single band-keyed state update cannot decide (each key
+    sees only its own band's occurrences). foreachBatch is Structured
+    Streaming's documented shape for exactly this (stateful sinks over
+    external stores); the keyed-state families (funnel, OHLC, URL
+    dedup) stay on applyInPandasWithState where the fold IS per-key.
+
+    Exactly-once: the fold lands under the store's epoch=<batch_id>
+    partition with OVERWRITE, and the probe reads the store WITH that
+    epoch excluded — a replayed micro-batch reproduces its result
+    bit-for-bit instead of double-appending or colliding with its own
+    half-written fold. Seed history as epoch 0 (or any epoch the
+    stream's batch ids never reuse — batch ids start at 0, so seed
+    with a negative epoch or pre-fold history before starting).
+
+    Semantics match the batch operator applied snapshot-by-snapshot:
+    cross-snapshot only (two near-dups in ONE micro-batch both pass
+    and both fold), is_dup rows never fold. ``on_result`` receives the
+    materialized (id, n_hit_bands, is_dup) frame per batch."""
+    from snowplow_s3_loader_spark.operators.dedup import (
+        incremental_minhash_filter_store,
+    )
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        res = incremental_minhash_filter_store(
+            batch_df,
+            store_path,
+            id_col,
+            text_col,
+            n_hashes=n_hashes,
+            band_size=band_size,
+            n_buckets=n_buckets,
+            epoch=int(batch_id) + 1,  # epoch 0 stays the seeded history
+        )
+        if on_result is not None:
+            on_result(res)
+
+    return _fb

@@ -127,3 +127,66 @@ class TestBandStorePruning:
             _snapshot(spark, 2, n), path, "doc_id", "text", n_buckets=16
         )
         assert r2.agg(F.sum("is_dup")).first()[0] == n // 4
+
+
+class TestEpochStoreExactlyOnce:
+    def test_replayed_epoch_is_idempotent(self, spark, tmp_path):
+        """A retried micro-batch (same epoch) must reproduce its result
+        bit-for-bit and leave the store byte-identical: the probe
+        excludes its own epoch and the fold overwrites it — no
+        double-append, no self-collision (a naive append would flag the
+        whole replay as dups against its own first fold)."""
+        import os
+
+        from snowplow_s3_loader_spark.operators.dedup import (
+            incremental_minhash_filter_store,
+            minhash_bands,
+            write_band_store,
+        )
+
+        n = 80
+        path = str(tmp_path / "store")
+        write_band_store(
+            minhash_bands(_snapshot(spark, 0, n), "doc_id", "text"),
+            path,
+            n_buckets=16,
+            epoch=0,
+        )
+        snap = _snapshot(spark, 1, n)
+
+        def run():
+            return {
+                (r["id"], r["n_hit_bands"], r["is_dup"])
+                for r in incremental_minhash_filter_store(
+                    snap, path, "doc_id", "text", n_buckets=16, epoch=1
+                ).collect()
+            }
+
+        def store_rows():
+            return spark.read.parquet(path).count()
+
+        first = run()
+        rows_after_first = store_rows()
+        replay = run()  # the retry
+        assert replay == first
+        assert store_rows() == rows_after_first  # overwrite, not append
+        assert sum(1 for _, _, d in first if d) == n // 4
+
+    def test_mixed_layout_rejected(self, spark, tmp_path):
+        """exclude_epoch against a flat (non-epoch'd) store raises
+        loudly instead of silently probing the whole store."""
+        import pytest
+
+        from snowplow_s3_loader_spark.operators.dedup import (
+            minhash_bands,
+            read_band_store_pruned,
+            write_band_store,
+        )
+
+        path = str(tmp_path / "flat")
+        bands = minhash_bands(_snapshot(spark, 0, 20), "doc_id", "text")
+        write_band_store(bands, path, n_buckets=8, mode="overwrite")
+        with pytest.raises(ValueError, match="epoch"):
+            read_band_store_pruned(
+                bands, path, n_buckets=8, exclude_epoch=1
+            ).count()
