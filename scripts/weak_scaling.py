@@ -1919,6 +1919,18 @@ def main() -> None:
         out.append(dsir_case(spark, 20_000))
         out.append(dsir_case(spark, 200_000))
         out.append(dsir_case(spark, 2_000_000))
+    if which == "dsir_1000x":
+        # fourth decade (VERDICT r10 #7): the model stays 4096 buckets
+        # while the corpus grows 1000x — explode-is-the-cost evidence.
+        out.append(dsir_case(spark, 2_000_000))
+        out.append(dsir_case(spark, 20_000_000))
+    if which == "mlewis_100x":
+        # third decade for moore_lewis (VERDICT r10 #7): unlike dsir
+        # its count tables are VOCABULARY-sized (grow with the corpus),
+        # so the claim to pin is linear-in-corpus, AQE-planned joins.
+        out.append(mlewis_case(spark, 20_000))
+        out.append(mlewis_case(spark, 200_000))
+        out.append(mlewis_case(spark, 2_000_000))
     for line in out:
         print(json.dumps(line))
     spark.stop()
