@@ -106,30 +106,37 @@ def dsir_weights(
     marks the documents defining the target distribution (they are
     scored too — useful as a sanity band: targets should score high).
     Documents with no features (blank text) are ABSENT from the output
-    (no bag, no likelihood — filter or route them upstream)."""
-    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+    (no bag, no likelihood — filter or route them upstream).
 
+    Residency: NOTHING is materialized. The exploded feature stream is
+    deterministic (md5 bucketing — no sampling), so its two consumers
+    (the count pass and the scoring pass) agree by construction; the
+    round-10 shape localCheckpointed the FULL explode and the repo's
+    own 20M-doc measurement LOST checkpoint blocks under heap pressure
+    ("Block rdd_N does not exist" — the non-resilient-block failure
+    mode). Both count tables AND both totals come from ONE aggregation
+    over the explode (count(*) and sum(__t) per bucket; totals are the
+    k-row frame's own sums), so the whole operator is two scan+explode
+    passes and one broadcast join — resilient and storage-free at any
+    scale."""
     spark = docs.sparkSession
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         is_target.cast("int").alias("__t"),
         F.col(text_col).alias("__txt"),
     )
-    feats = checkpoint_nostats(
-        hashed_features(base, "doc_id", "__txt", n_buckets, ["__t"])
+    feats = hashed_features(base, "doc_id", "__txt", n_buckets, ["__t"])
+    counts = feats.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.col("__t").cast("long")).alias("ct"),
     )
-    tc = feats.where(F.col("__t") == 1).groupBy("bucket").agg(
-        F.count("*").alias("ct")
-    )
-    rc = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
-    totals = feats.agg(
-        F.sum(F.col("__t").cast("long")).alias("NT"),
-        F.count("*").alias("NR"),
+    totals = counts.agg(
+        F.sum("ct").alias("NT"),
+        F.sum("cr").alias("NR"),
     )
     spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     model = (
-        spine.join(F.broadcast(tc), "bucket", "left")
-        .join(F.broadcast(rc), "bucket", "left")
+        spine.join(F.broadcast(counts), "bucket", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "bucket",

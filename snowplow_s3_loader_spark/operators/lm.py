@@ -125,23 +125,27 @@ def moore_lewis_scores(
     and NULL scores (no evidence, not zero evidence).
 
     Output: (id, n_bigrams, sum_logp_target, sum_logp_raw,
-    ml_micronats = sum_logp_target - sum_logp_raw)."""
-    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+    ml_micronats = sum_logp_target - sum_logp_raw).
 
-    bg = checkpoint_nostats(
-        docs.select(
-            F.col(id_col).alias("id"),
-            is_target.cast("int").alias("__t"),
-            F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"),
-        ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    Residency: NOTHING is materialized (the round-10 shape
+    localCheckpointed the FULL bigram explode — the block-loss hazard
+    dsir_weights measured at 20M docs). The explode is deterministic,
+    and the four count tables FUSE into two aggregations (count(*) and
+    sum(__t) per gram / per context), so the operator is three
+    scan+explode passes (gram counts, context counts, scoring join)
+    plus the one-scalar vocabulary pass — resilient and storage-free."""
+    bg = docs.select(
+        F.col(id_col).alias("id"),
+        is_target.cast("int").alias("__t"),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"),
+    ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    c2 = bg.groupBy("gram").agg(
+        F.count("*").alias("c2r"),
+        F.sum(F.col("__t").cast("long")).alias("c2t"),
     )
-    c2r = bg.groupBy("gram").agg(F.count("*").alias("c2r"))
-    ctxr = bg.groupBy("w1").agg(F.count("*").alias("c1r"))
-    c2t = bg.where(F.col("__t") == 1).groupBy("gram").agg(
-        F.count("*").alias("c2t")
-    )
-    ctxt = bg.where(F.col("__t") == 1).groupBy("w1").agg(
-        F.count("*").alias("c1t")
+    ctx = bg.groupBy("w1").agg(
+        F.count("*").alias("c1r"),
+        F.sum(F.col("__t").cast("long")).alias("c1t"),
     )
     vocab = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
@@ -155,10 +159,8 @@ def moore_lewis_scores(
     )
     logp_r = F.log((F.col("c2r") + F.lit(k)) / (F.col("c1r") + kv))
     scored = (
-        bg.join(c2r, "gram")
-        .join(ctxr, "w1")
-        .join(c2t, "gram", "left")
-        .join(ctxt, "w1", "left")
+        bg.join(c2, "gram")
+        .join(ctx, "w1")
         .select(
             "id",
             F.round(logp_t * 1e6, 0).cast("long").alias("mt"),

@@ -676,3 +676,115 @@ def woe_bins(
         ).alias("woe_micro"),
     )
     return out
+
+
+def ks_statistic(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two snapshots of
+    a feature — PSI's bin-free companion drift monitor (psi_bins needs
+    an edge grid; KS is the sup-distance of the two EMPIRICAL CDFs and
+    catches shape drift a coarse grid blurs):
+
+        D = max over observed v of |F_ref(v) - F_cur(v)|
+
+    Exact integer form (no CDF doubles anywhere): at each distinct
+    value of the union, with c_r / c_c the inclusive counts of rows
+    <= v on each side,
+
+        d_num    = max |c_r * n_cur - c_c * n_ref|      (exact int64)
+        ks_micro = d_num * 1e6 div (n_ref * n_cur)      (truncating)
+
+    Scale shape — ONE global prefix sum, not two: the per-value counts
+    of both sides pack into a single int64, val = d_r * M + d_c with
+    M = n_cur + 1 > any possible c_c, so `ranking.global_running_total`
+    (literal-boundary buckets, nothing materialized, no
+    single-partition stage) carries BOTH cumulative counts in one pass;
+    they unpack as div/mod. The reduction to one row is a plain max
+    aggregation. Everything upstream is one union + one value-keyed
+    count aggregation.
+
+    Guards: NULL values raise on either side (the psi_bins/woe_bins
+    NULL rule — Spark and DuckDB order NULLs differently, so a NULL
+    would silently shift every cumulative count); both snapshots must
+    be non-empty; n_ref * (n_cur + 1) must stay inside int64 (packing
+    bound, ~3e9 x 3e9 — ENFORCED).
+
+    Output: one row (n_ref, n_cur, d_num, ks_micro)."""
+    from snowplow_s3_loader_spark.operators.ranking import (
+        global_running_total,
+    )
+
+    def _side(df: DataFrame, flag: int, name: str) -> DataFrame:
+        v = F.col(value_col)
+        checked = F.when(
+            v.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"ks_statistic: NULL {value_col!r} in the {name} "
+                    "snapshot (NULL ordering differs across engines; "
+                    "filter or impute first)"
+                )
+            ).cast(df.schema[value_col].dataType),
+        ).otherwise(v)
+        return df.select(
+            checked.alias("__v"),
+            F.lit(flag).alias("__is_ref"),
+        )
+
+    u = _side(ref, 1, "reference").unionAll(_side(cur, 0, "current"))
+    per_v = u.groupBy("__v").agg(
+        F.sum("__is_ref").cast("long").alias("__dr"),
+        F.sum(1 - F.col("__is_ref")).cast("long").alias("__dc"),
+    )
+    tot = per_v.agg(
+        F.sum("__dr").alias("nr"), F.sum("__dc").alias("nc")
+    ).collect()[0]
+    n_ref, n_cur = int(tot["nr"] or 0), int(tot["nc"] or 0)
+    if n_ref == 0 or n_cur == 0:
+        raise ValueError(
+            f"ks_statistic: both snapshots must be non-empty "
+            f"(n_ref={n_ref}, n_cur={n_cur})"
+        )
+    m = n_cur + 1
+    if n_ref * m >= 2**62:
+        raise ValueError(
+            f"ks_statistic: {n_ref} x {n_cur} rows overflows the packed "
+            "int64 prefix bound; pre-aggregate or sample first"
+        )
+    packed = per_v.select(
+        "__v", (F.col("__dr") * m + F.col("__dc")).alias("__pv")
+    )
+    pref, _, _ = global_running_total(
+        packed,
+        [F.col("__v")],
+        "__pv",
+        rn_col="__rn",
+        start_col="__start",
+        num_partitions=num_partitions,
+    )
+    # inclusive packed prefix, unpacked with INTEGER div/mod (a double
+    # division would lose exactness past 2^53)
+    unpacked = pref.select(
+        (F.col("__start") + F.col("__pv")).alias("__inc")
+    ).select(
+        F.abs(
+            F.expr(f"__inc div CAST({m} AS BIGINT)") * F.lit(n_cur)
+            - F.expr(f"__inc % CAST({m} AS BIGINT)") * F.lit(n_ref)
+        ).alias("__d")
+    )
+    return (
+        unpacked.agg(F.max("__d").alias("d_num"))
+        .select(
+            F.lit(n_ref).cast("long").alias("n_ref"),
+            F.lit(n_cur).cast("long").alias("n_cur"),
+            "d_num",
+            F.expr(
+                f"(d_num * 1000000) div (CAST({n_ref} AS BIGINT) * "
+                f"CAST({n_cur} AS BIGINT))"
+            ).alias("ks_micro"),
+        )
+    )

@@ -825,3 +825,190 @@ def ngram_novelty(
             F.expr("(n_novel * 1000000) div n_distinct"),
         ).alias("novelty_micro"),
     )
+
+
+def substring_duplication(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Exact-substring duplication scoring — the scalable sampled-hash
+    form of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", ACL): their ExactSubstr pass finds char
+    spans >= 50 shared verbatim across documents with a corpus suffix
+    array, a structure with no distributed analogue. This operator
+    hashes CONTENT-DEFINED anchor windows: a position p is an anchor
+    iff the 60-bit md5 prefix of its first 8 chars is 0 mod ``stride``
+    (the Broder mod-sampling rule), and each anchor contributes the
+    md5 of its full ``window``-char substring. Anchor selection
+    depends only on CONTENT — a verbatim span copied to ANY offset in
+    any document selects the same anchors and the same window hashes
+    (a position-aligned grid would silently miss misaligned copies).
+    A window is duplicated when its content occurs 2+ times anywhere
+    in the corpus (same doc included — a self-repeat is still
+    duplicated training signal). Expected 1/stride of positions
+    anchor; a shared span of length L >= window is detected
+    deterministically-per-content with miss probability ~
+    (1 - 1/stride)^(L - window + 1) — misses decay geometrically with
+    span length, and a span either anchors in EVERY copy or in none
+    (never inconsistently).
+
+        n_windows      anchored windows in the doc (0 possible even
+                       for len >= window — no position anchored)
+        n_dup_windows  windows whose md5 occurs >= 2 times corpus-wide
+        dup_micro      n_dup * 1e6 div n_windows   (NULL if no windows)
+
+    Exactness: counts are integers over md5 equality (portable,
+    collision odds ~n^2/2^128) and the ratio is the truncating
+    division — hash-identical across engines. The anchor hash is the
+    portable 60-bit md5 prefix (the ngram_bucket family) so both
+    engines select identical anchors.
+
+    Scale shape: one explode to ALL candidate positions (one row per
+    corpus char — the honest price of offset-independent exact
+    substrings; a suffix array costs more), the cheap 8-char anchor
+    hash + filter BEFORE any shuffle (only ~1/stride of rows survive
+    to the wide stages), one hash-keyed count aggregation
+    (partial+final map-side combine), one hash-keyed join back, one
+    doc-keyed aggregation. ZERO pair space: duplicated spans are
+    found by key equality, never by comparing documents. In
+    production swap the anchor md5 for xxhash64 (~10x cheaper; md5 is
+    the cross-engine-oracle choice).
+
+    Output: (id, n_windows, n_dup_windows, dup_micro)."""
+    if window < 9 or stride < 1:
+        raise ValueError(
+            f"substring_duplication: need window >= 9 (anchor reads 8 "
+            f"chars) and stride >= 1, got ({window}, {stride})"
+        )
+    t = F.col(text_col)
+    pos = F.when(
+        F.length(t) >= window,
+        F.sequence(F.lit(1), F.length(t) - window + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    anchor = (
+        F.conv(
+            F.substring(F.md5(F.expr("substring(__t, __p, 8)")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % stride
+        == 0
+    )
+    wins = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(pos).alias("__p"),
+            t.alias("__t"),
+        )
+        .where(anchor)
+        .select(
+            "id",
+            F.md5(F.expr(f"substring(__t, __p, {int(window)})")).alias(
+                "__h"
+            ),
+        )
+    )
+    occ = wins.groupBy("__h").agg(F.count("*").alias("__n"))
+    stats = (
+        wins.join(occ, "__h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("__n") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(stats, "id", "left").select(
+        "id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+        F.when(
+            F.col("n_windows") > 0,
+            F.expr("(n_dup_windows * 1000000) div n_windows"),
+        ).alias("dup_micro"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf power-law fit over the corpus token-frequency spectrum —
+    the classic corpus-health diagnostic (Zipf 1949; natural text shows
+    log-freq ~ -1 * log-rank; template/boilerplate-heavy or synthetic
+    corpora bend the slope): least-squares slope of (ln rank, ln freq)
+    over the ``top_k`` most frequent tokens.
+
+    Exactness (the q146 micro-quantization discipline, milli-scale so
+    every moment stays exact in BOTH int64 and double): per ranked
+    token x = round(ln(rank)*1e3), y = round(ln(freq)*1e3) as int64;
+    the four moment sums are exact int64 (|k*sxy| <= ~2e14 << 2^53, so
+    the one closing slope division computes on EXACTLY represented
+    doubles and rounds identically in any engine):
+
+        slope_micro = round((k*sxy - sx*sy) / (k*sxx - sx^2) * 1e6)
+
+    NULL when fewer than 2 distinct tokens exist (no line to fit).
+    Ranking ties (equal freq) break by token ASC — a total order both
+    engines replay.
+
+    Scale shape: one explode + token-keyed count (partial+final), a
+    distributed top-k (orderBy().limit() -> TakeOrderedAndProject),
+    then ALL remaining work (rank window, moments, slope) happens on a
+    <= top_k-row frame — the bounded-k-row tail pattern (the
+    unpartitioned window is k-row bounded, the q151 discipline).
+
+    Output: one row (n_terms, sx, sy, sxx, sxy, slope_micro)."""
+    if top_k < 2:
+        raise ValueError(f"zipf_fit: top_k must be >= 2, got {top_k}")
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), "tok").limit(top_k)
+    # k-row bounded frame: the unpartitioned window is benign here
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), "tok")),
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")) * 1000, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    m = ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (
+        F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return m.select(
+        "n_terms",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        F.when(
+            (F.col("n_terms") >= 2) & (den != 0),
+            F.round(num / den * 1_000_000, 0).cast("long"),
+        ).alias("slope_micro"),
+    )

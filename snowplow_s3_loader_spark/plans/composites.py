@@ -1037,6 +1037,27 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("upper_edge").alias("v2"),
         F.col("psi_micro").alias("v3"),
     )
+    subd = q.q152_substring_dedup(spark, sf_dir).select(
+        F.lit("subdup").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        F.col("n_windows").alias("v1"),
+        F.col("n_dup_windows").alias("v2"),
+        F.col("dup_micro").alias("v3"),
+    )
+    ksd = q.q153_ks_drift(spark, sf_dir).select(
+        F.lit("ks").alias("battery"),
+        F.lit("0").alias("key"),
+        (F.col("n_ref") * 10_000_000_000 + F.col("n_cur")).alias("v1"),
+        F.col("d_num").alias("v2"),
+        F.col("ks_micro").alias("v3"),
+    )
+    zpf = q.q154_zipf_fit(spark, sf_dir).select(
+        F.lit("zipf").alias("battery"),
+        F.lit("0").alias("key"),
+        F.col("sxy").alias("v1"),
+        F.col("sxx").alias("v2"),
+        F.col("slope_micro").alias("v3"),
+    )
     mlw = q.q148_moore_lewis(spark, sf_dir).select(
         F.lit("mlewis").alias("battery"),
         F.col("id").cast("string").alias("key"),
@@ -1136,6 +1157,9 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(nov)
         .union(incd)
         .union(psi)
+        .union(subd)
+        .union(ksd)
+        .union(zpf)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1299,7 +1323,8 @@ _FOLDED = {
     "q140_auc", "q141_ohlc_bars", "q142_unigram_lm", "q143_url_dedup",
     "q144_unigram_encode", "q145_feature_woe", "q146_dsir_selection",
     "q147_token_shards", "q148_moore_lewis", "q149_ngram_novelty",
-    "q150_incremental_dedup", "q151_psi_drift",
+    "q150_incremental_dedup", "q151_psi_drift", "q152_substring_dedup",
+    "q153_ks_drift", "q154_zipf_fit",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2136,6 +2161,18 @@ UNION ALL
 SELECT 'psi' AS battery, CAST(bin AS VARCHAR) AS key,
        n_ref * 10000000000 + n_cur AS v1, upper_edge AS v2, psi_micro AS v3
 FROM ({ORACLES["q151_psi_drift"]})
+UNION ALL
+SELECT 'subdup' AS battery, CAST(id AS VARCHAR) AS key,
+       n_windows AS v1, n_dup_windows AS v2, dup_micro AS v3
+FROM ({ORACLES["q152_substring_dedup"]})
+UNION ALL
+SELECT 'ks' AS battery, '0' AS key,
+       n_ref * 10000000000 + n_cur AS v1, d_num AS v2, ks_micro AS v3
+FROM ({ORACLES["q153_ks_drift"]})
+UNION ALL
+SELECT 'zipf' AS battery, '0' AS key,
+       sxy AS v1, sxx AS v2, slope_micro AS v3
+FROM ({ORACLES["q154_zipf_fit"]})
 ORDER BY battery, key, v1
 """
 

@@ -3584,3 +3584,103 @@ SELECT d.doc_id AS id,
 FROM documents d LEFT JOIN st USING (doc_id)
 ORDER BY id
 """
+
+# q152: exact-substring duplication — CONTENT-DEFINED anchors (60-bit
+# md5 prefix of the 8-char head, 0 mod 20 — the ngram_bucket parity
+# family), full 40-char window md5 at anchors, >= 2 occurrences
+# corpus-wide = duplicated, truncating micro ratio. DuckDB range() is
+# stop-EXCLUSIVE, Spark sequence() stop-INCLUSIVE: range(1, len-40+2)
+# == sequence(1, len-40+1).
+ORACLES["q152_substring_dedup"] = """
+WITH wins AS (
+  SELECT doc_id,
+         md5(substr(text, CAST(p AS INTEGER), 40)) AS h
+  FROM documents,
+       unnest(range(1, CAST(length(text) AS BIGINT) - 40 + 2)) AS t(p)
+  WHERE length(text) >= 40
+    AND CAST('0x' || substr(md5(substr(text, CAST(p AS INTEGER), 8)),
+                            1, 15) AS BIGINT) % 20 = 0
+),
+occ AS (SELECT h, count(*) AS n FROM wins GROUP BY h),
+st AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS nw,
+         CAST(sum(CASE WHEN occ.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+  FROM wins JOIN occ USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(st.nw, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(st.nd, 0) AS BIGINT) AS n_dup_windows,
+       CASE WHEN st.nw > 0 THEN st.nd * 1000000 // st.nw END AS dup_micro
+FROM documents d LEFT JOIN st USING (doc_id)
+ORDER BY id
+"""
+
+# q153: two-sample KS between the q151 snapshots — exact integer
+# sup-distance numerator over ordered distinct values (window cumsums
+# here; the Spark side rides ONE packed literal-boundary prefix sum).
+ORACLES["q153_ks_drift"] = """
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+         event_type = 'purchase' AS p
+  FROM events
+),
+u AS (
+  SELECT cents AS v, 1 AS isr FROM ev WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT cents + CASE WHEN p THEN 700 ELSE 0 END AS v, 0 AS isr
+  FROM ev WHERE event_id % 2 = 1
+),
+g AS (
+  SELECT v, sum(isr) AS dr, sum(1 - isr) AS dc FROM u GROUP BY v
+),
+cum AS (
+  SELECT sum(dr) OVER (ORDER BY v) AS cr,
+         sum(dc) OVER (ORDER BY v) AS cc
+  FROM g
+),
+tot AS (
+  SELECT CAST(sum(dr) AS BIGINT) AS nr, CAST(sum(dc) AS BIGINT) AS nc
+  FROM g
+)
+SELECT nr AS n_ref, nc AS n_cur,
+       CAST(max(abs(cr * nc - cc * nr)) AS BIGINT) AS d_num,
+       CAST(max(abs(cr * nc - cc * nr)) * 1000000 // (nr * nc)
+            AS BIGINT) AS ks_micro
+FROM cum CROSS JOIN tot
+GROUP BY nr, nc
+"""
+
+# q154: Zipf slope over the top-1000 token frequencies — milli-nat
+# quantized moments (exact int64, all < 2^53 so the closing division
+# computes on exactly-represented doubles in both engines).
+ORACLES["q154_zipf_fit"] = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, count(*) AS freq FROM toks WHERE tok <> '' GROUP BY tok
+),
+top AS (SELECT tok, freq FROM counts ORDER BY freq DESC, tok LIMIT 1000),
+ranked AS (
+  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY freq DESC, tok)
+                            AS DOUBLE)) * 1000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS y
+  FROM top
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM ranked
+)
+SELECT n_terms, sx, sy, sxx, sxy,
+       CASE WHEN n_terms >= 2 AND (n_terms * sxx - sx * sx) <> 0 THEN
+         CAST(round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                    / CAST(n_terms * sxx - sx * sx AS DOUBLE)
+                    * 1000000) AS BIGINT)
+       END AS slope_micro
+FROM m
+"""

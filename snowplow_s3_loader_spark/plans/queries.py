@@ -3249,6 +3249,58 @@ def q151_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication scoring (Lee et al. 2022 windowed-
+    hash form): every aligned 40-char window hashed, a window is
+    duplicated when its content occurs 2+ times corpus-wide, per-doc
+    duplicated fraction in truncating micro units. One explode, one
+    hash-keyed count, one hash-keyed join back — zero pair space."""
+    from snowplow_s3_loader_spark.operators.text import (
+        substring_duplication,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_duplication(
+        docs, "doc_id", "text", window=40, stride=20
+    ).orderBy("id")
+
+
+def q153_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between the q151 snapshots
+    (even vs odd event ids, purchases' cents shifted +700 in the
+    current snapshot) — the bin-free companion to PSI: exact int64
+    sup-distance numerator over the union's distinct values via ONE
+    packed global prefix sum (both sides' cumulative counts ride one
+    int64 through ranking.global_running_total)."""
+    from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+        (F.col("event_type") == "purchase").alias("__p"),
+    )
+    ref = ev.where(F.col("event_id") % 2 == 0).select("cents")
+    cur = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("cents") + F.when(F.col("__p"), 700).otherwise(0)).alias(
+            "cents"
+        )
+    )
+    return ks_statistic(ref, cur, "cents")
+
+
+def q154_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus token-frequency spectrum
+    (corpus-health diagnostic): milli-nat quantized (ln rank, ln freq)
+    moments over the top-1000 tokens as exact int64 sums, one closing
+    slope division on exactly-represented doubles. Token counting is
+    the only corpus-scale stage; everything after the distributed
+    top-k runs on a k-row frame."""
+    from snowplow_s3_loader_spark.operators.text import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", top_k=1000)
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3401,5 +3453,8 @@ QUERIES = {
         q149_ngram_novelty,
         q150_incremental_dedup,
         q151_psi_drift,
+        q152_substring_dedup,
+        q153_ks_drift,
+        q154_zipf_fit,
     ]
 }

@@ -1001,3 +1001,39 @@ def test_q145_woe_no_single_task_ranking(spark, sf_dir):
         if "Window [" in line:
             assert "partitionBy []" not in line, line
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q152_substring_keyed_no_pair_space(spark, sf_dir):
+    """Substring duplication must be hash-keyed joins only (the q149
+    shape at char level): the anchor filter runs scan-side before any
+    exchange, no document self-join, no cartesian, nothing
+    single-partition, every window keyed."""
+    plan = plan_of(Q.q152_substring_dedup(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "partitionBy []" not in line, line
+
+
+def test_q153_ks_no_single_partition(spark, sf_dir):
+    """The packed prefix sum rides the literal-boundary ranking; the
+    visible plan must carry no Exchange SinglePartition (the final max
+    is a partial+final scalar aggregate), no cartesian, no sort-merge
+    join, and only bucket-keyed windows."""
+    plan = plan_of(Q.q153_ks_drift(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "partitionBy []" not in line, line
+
+
+def test_q154_zipf_topk_is_distributed(spark, sf_dir):
+    """The token spectrum cap must be TakeOrderedAndProject (never a
+    global rank window over the vocabulary); everything after runs on
+    the k-row frame, nothing single-partition."""
+    plan = plan_of(Q.q154_zipf_fit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

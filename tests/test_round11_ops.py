@@ -291,3 +291,182 @@ class TestSelectionRecovery:
         planted = set(range(n_target, n_target + n_planted))
         recall = len(got & planted) / n_planted
         assert recall >= 0.95, f"moore-lewis planted recall {recall}"
+
+
+class TestSubstringDuplication:
+    """Content-defined-anchor exact-substring scoring (q152)."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_misaligned_copy_detected(self, spark):
+        """A verbatim span embedded at DIFFERENT offsets in two docs
+        must flag both (the aligned-grid design this replaced would
+        miss it); a doc of unique filler stays clean."""
+        from snowplow_s3_loader_spark.operators.text import (
+            substring_duplication,
+        )
+
+        span = " ".join(f"shared{i}token" for i in range(40))  # ~520 chars
+        filler_a = " ".join(f"fa{i}word" for i in range(30))
+        filler_b = " ".join(f"fbx{i}item" for i in range(23))  # misaligns
+        clean = " ".join(f"unique{i}only" for i in range(80))
+        out = {
+            r.id: r
+            for r in substring_duplication(
+                self._df(
+                    spark,
+                    [
+                        (1, filler_a + " " + span),
+                        (2, filler_b + " " + span + " " + filler_a),
+                        (3, clean),
+                    ],
+                ),
+                "doc_id",
+                "text",
+            ).collect()
+        }
+        assert out[1].n_dup_windows > 0
+        assert out[2].n_dup_windows > 0
+        assert out[3].n_dup_windows == 0
+        assert out[3].n_windows > 0  # clean doc still anchors windows
+
+    def test_identical_docs_fully_duplicated(self, spark):
+        from snowplow_s3_loader_spark.operators.text import (
+            substring_duplication,
+        )
+
+        text = " ".join(f"tw{i}body" for i in range(60))
+        out = {
+            r.id: r
+            for r in substring_duplication(
+                self._df(spark, [(1, text), (2, text)]), "doc_id", "text"
+            ).collect()
+        }
+        assert out[1].n_windows > 0
+        assert out[1].dup_micro == 1_000_000
+        assert out[2].dup_micro == 1_000_000
+
+    def test_short_doc_has_no_windows(self, spark):
+        from snowplow_s3_loader_spark.operators.text import (
+            substring_duplication,
+        )
+
+        out = substring_duplication(
+            self._df(spark, [(1, "tiny")]), "doc_id", "text", window=40
+        ).collect()[0]
+        assert out.n_windows == 0 and out.dup_micro is None
+
+    def test_window_bound_enforced(self, spark):
+        import pytest
+
+        from snowplow_s3_loader_spark.operators.text import (
+            substring_duplication,
+        )
+
+        with pytest.raises(ValueError, match="window"):
+            substring_duplication(
+                self._df(spark, [(1, "x")]), "doc_id", "text", window=8
+            )
+
+
+class TestKsStatistic:
+    def _vals(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "v long")
+
+    def test_identical_snapshots_zero(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+        a = self._vals(spark, [1, 2, 2, 5, 9])
+        out = ks_statistic(a, a, "v").collect()[0]
+        assert out.d_num == 0 and out.ks_micro == 0
+
+    def test_disjoint_supports_is_one(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+        out = ks_statistic(
+            self._vals(spark, [1, 2, 3]),
+            self._vals(spark, [10, 11, 12, 13]),
+            "v",
+        ).collect()[0]
+        assert out.d_num == out.n_ref * out.n_cur
+        assert out.ks_micro == 1_000_000
+
+    def test_hand_case(self, spark):
+        """ref=[1,2,3], cur=[2,3,4]: cumulative (c_r, c_c) at v=1..4 is
+        (1,0)(2,1)(3,2)(3,3); |c_r*3 - c_c*3| = 3,3,3,0 -> d=3,
+        ks = 3/9 -> 333333 truncating."""
+        from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+        out = ks_statistic(
+            self._vals(spark, [1, 2, 3]), self._vals(spark, [2, 3, 4]), "v"
+        ).collect()[0]
+        assert (out.n_ref, out.n_cur, out.d_num, out.ks_micro) == (
+            3,
+            3,
+            3,
+            333333,
+        )
+
+    def test_null_raises(self, spark):
+        import pytest
+
+        from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+        bad = spark.createDataFrame([(1,), (None,)], "v long")
+        with pytest.raises(Exception, match="NULL"):
+            ks_statistic(bad, self._vals(spark, [1]), "v").collect()
+
+    def test_empty_raises(self, spark):
+        import pytest
+
+        from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+        with pytest.raises(ValueError, match="non-empty"):
+            ks_statistic(
+                self._vals(spark, []), self._vals(spark, [1]), "v"
+            )
+
+
+class TestZipfFit:
+    def test_hand_case(self, spark):
+        """'a'x4 'b'x2 'c'x1 -> ranks 1,2,3; milli-nat moments checked
+        against python math, slope via the same closed form."""
+        import math
+
+        from snowplow_s3_loader_spark.operators.text import zipf_fit
+
+        docs = spark.createDataFrame(
+            [("a a a a b b c",)], "text string"
+        )
+        out = zipf_fit(docs, "text", top_k=10).collect()[0]
+        xs = [round(math.log(r) * 1000) for r in (1, 2, 3)]
+        ys = [round(math.log(f) * 1000) for f in (4, 2, 1)]
+        n = 3
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        want = round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1_000_000)
+        assert (out.n_terms, out.sx, out.sy, out.sxx, out.sxy) == (
+            n,
+            sx,
+            sy,
+            sxx,
+            sxy,
+        )
+        assert out.slope_micro == want
+
+    def test_single_token_corpus_null_slope(self, spark):
+        from snowplow_s3_loader_spark.operators.text import zipf_fit
+
+        docs = spark.createDataFrame([("a a a",)], "text string")
+        out = zipf_fit(docs, "text").collect()[0]
+        assert out.n_terms == 1 and out.slope_micro is None
+
+    def test_top_k_bound(self, spark):
+        import pytest
+
+        from snowplow_s3_loader_spark.operators.text import zipf_fit
+
+        with pytest.raises(ValueError, match="top_k"):
+            zipf_fit(spark.range(1).selectExpr("'x' as text"), "text", 1)
