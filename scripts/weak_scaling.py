@@ -1764,6 +1764,56 @@ def shards_case(spark, n_docs: int) -> dict:
     return {"case": "token_shards", "docs": n_docs, "sec": round(dt, 2)}
 
 
+
+def subdup_case(spark, n_docs: int) -> dict:
+    """Substring duplication weak scaling: ~230-char docs, 25% of docs
+    replaying another doc's full text (planted duplicated mass). Cost
+    model: the anchor explode is one row per corpus char; survivors
+    (1/stride) carry through the two hash-keyed stages."""
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.text import (
+        substring_duplication,
+    )
+
+    key = F.when(
+        F.col("id") % 4 == 3, F.col("id") - F.col("id") % 4
+    ).otherwise(F.col("id"))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("w"), (key * 23 + i * 7).cast("string"))
+                for i in range(24)
+            ],
+        ).alias("text"),
+    )
+    t0 = time.time()
+    out = substring_duplication(docs, "doc_id", "text")
+    n_dup = out.where(F.col("n_dup_windows") > 0).count()
+    dt = time.time() - t0
+    assert n_dup >= n_docs // 4, (n_dup, n_docs)
+    return {"case": "subdup", "docs": n_docs, "sec": round(dt, 2)}
+
+
+def ks_case(spark, n_rows: int) -> dict:
+    """Two-sample KS weak scaling: hash-spread integer values, current
+    snapshot shifted — the packed literal-boundary prefix sum is the
+    whole wide cost."""
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+    v = (F.col("id") * 2654435761) % 1000003
+    ref = spark.range(n_rows).select(v.alias("v"))
+    cur = spark.range(n_rows, 2 * n_rows).select((v + 5000).alias("v"))
+    t0 = time.time()
+    row = ks_statistic(ref, cur, "v").collect()[0]
+    dt = time.time() - t0
+    assert row.d_num > 0
+    return {"case": "ks", "rows": n_rows, "sec": round(dt, 2)}
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1919,6 +1969,12 @@ def main() -> None:
         out.append(dsir_case(spark, 20_000))
         out.append(dsir_case(spark, 200_000))
         out.append(dsir_case(spark, 2_000_000))
+    if which in ("subdup", "all"):
+        out.append(subdup_case(spark, 100_000))
+        out.append(subdup_case(spark, 1_000_000))
+    if which in ("ks", "all"):
+        out.append(ks_case(spark, 1_000_000))
+        out.append(ks_case(spark, 10_000_000))
     if which == "dsir_1000x":
         # fourth decade (VERDICT r10 #7): the model stays 4096 buckets
         # while the corpus grows 1000x — explode-is-the-cost evidence.

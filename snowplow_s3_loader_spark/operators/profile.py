@@ -402,6 +402,85 @@ def association_components(
     return out
 
 
+def psi_bin_expr(v: Column, edges: list, etype) -> Column:
+    """The shared PSI bin rule — bin(v) = 1 + |{edges e : e < v}| — as
+    one compact array fold (tree size O(1), array size k-1, never a
+    k-deep chained comparison tree). BOTH the batch psi_bins counts and
+    the streaming PSI monitor bin through THIS expression, so their
+    histograms are comparable by construction."""
+    if not edges:
+        return F.lit(1)
+    return F.lit(1) + F.aggregate(
+        F.array(*[F.lit(e).cast(etype) for e in edges]),
+        F.lit(0),
+        lambda acc, e: acc + (v > e).cast("int"),
+    )
+
+
+def psi_reference(
+    ref: DataFrame,
+    value_col: str,
+    k: int = 10,
+    tie_cols: list[str] | None = None,
+) -> tuple[list, list[int]]:
+    """Freeze a PSI reference for an always-on monitor: (edges,
+    ref_counts) — the k-1 equi-depth upper-edge literals and the k
+    reference bin counts, computed by psi_bins ITSELF (cur = empty
+    slice of ref), so the frozen edges/counts are bit-identical to
+    what any batch psi_bins call on this reference would use. k rows
+    collected; the streaming side then needs only the pure
+    psi_bin_expr over these literals plus k counters of state."""
+    rows = psi_bins(
+        ref, ref.where(F.lit(False)), value_col, k=k, tie_cols=tie_cols
+    ).collect()
+    rows.sort(key=lambda r: r["bin"])
+    edges = [r["upper_edge"] for r in rows if r["bin"] < k]
+    return edges, [int(r["n_ref"]) for r in rows]
+
+
+def psi_assemble(
+    spark,
+    edges: list,
+    ref_counts: list[int],
+    cur_counts: dict[int, int],
+    value_type: str,
+) -> DataFrame:
+    """Assemble the exact psi_bins output frame from a frozen reference
+    (psi_reference) plus the monitor's per-bin current counts: k
+    literal rows projected through the SAME Spark-side psi formula
+    (the ln stays in the JVM — a Python-math replica could round
+    differently). Drained monitor counts fed through this equal the
+    batch psi_bins rows bit-for-bit (the eleventh parity family)."""
+    k = len(ref_counts)
+    rows = [
+        (
+            i + 1,
+            edges[i] if i < len(edges) else None,
+            ref_counts[i],
+            int(cur_counts.get(i + 1, 0)),
+        )
+        for i in range(k)
+    ]
+    nr = sum(ref_counts)
+    nc = sum(cur_counts.values())
+    bins = spark.createDataFrame(
+        rows,
+        f"bin int, upper_edge {value_type}, n_ref long, n_cur long",
+    )
+    p = F.col("n_ref").cast("double") / F.lit(float(nr))
+    q = F.col("n_cur").cast("double") / F.lit(float(nc))
+    return bins.select(
+        "bin",
+        "upper_edge",
+        "n_ref",
+        "n_cur",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round((p - q) * F.log(p / q) * 1_000_000, 0).cast("long"),
+        ).alias("psi_micro"),
+    )
+
+
 def psi_bins(
     ref: DataFrame,
     cur: DataFrame,
@@ -499,20 +578,10 @@ def psi_bins(
     etype = ref.schema[value_col].dataType
 
     def _counts(guarded: DataFrame, out: str) -> DataFrame:
-        # one compact array fold (tree size O(1), array size k-1), not a
-        # k-deep chained comparison tree — same shape as the ranking
-        # module's boundary fold
-        v = F.col(value_col)
-        if edges:
-            bin_expr = F.lit(1) + F.aggregate(
-                F.array(*[F.lit(e).cast(etype) for e in edges]),
-                F.lit(0),
-                lambda acc, e: acc + (v > e).cast("int"),
-            )
-        else:
-            bin_expr = F.lit(1)
         return (
-            guarded.select(bin_expr.alias("bin"))
+            guarded.select(
+                psi_bin_expr(F.col(value_col), edges, etype).alias("bin")
+            )
             .groupBy("bin")
             .agg(F.count("*").alias(out))
         )

@@ -1903,6 +1903,14 @@ SELECT 'parity' AS battery,
        CAST(NULL AS BIGINT) AS v3
 FROM documents WHERE doc_id % 3 = 0
 UNION ALL
+-- streaming PSI drift monitor (eleventh family): one bit per bin of
+-- the q151 k=10 grid
+SELECT 'parity' AS battery,
+       'streaming_psi@' || CAST(b AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (SELECT unnest(range(1, 11)) AS b)
+UNION ALL
 SELECT 'parity' AS battery,
        'component_map@' || CAST(node AS VARCHAR) AS key,
        CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,

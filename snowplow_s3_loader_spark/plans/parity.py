@@ -831,6 +831,80 @@ def _inc_minhash_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+def _psi_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Streaming PSI drift monitor vs batch psi_bins (round 11 — the
+    ELEVENTH parity family, q151's twin): the q151 snapshots (even ids
+    = frozen reference, odd ids with the +700 purchase shift = current)
+    with the CURRENT side split into three micro-batches by event_id
+    residue — deliberately NOT arrival-ordered; the per-bin count fold
+    is commutative — drained through streaming_psi_counts over the
+    frozen psi_reference edges, assembled via psi_assemble, and
+    compared bit-for-bit against batch psi_bins on every
+    (bin, upper_edge, n_ref, n_cur, psi_micro) row."""
+    from snowplow_s3_loader_spark.operators.profile import (
+        psi_assemble,
+        psi_bins,
+        psi_reference,
+    )
+    from snowplow_s3_loader_spark.streaming.stateful import (
+        streaming_psi_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+        (F.col("event_type") == "purchase").alias("__p"),
+    )
+    ref = ev.where(F.col("event_id") % 2 == 0)
+    cur = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("cents") + F.when(F.col("__p"), 700).otherwise(0)).alias(
+            "cents"
+        ),
+        "event_id",
+    )
+    edges, ref_counts = psi_reference(ref, "cents", k=10, tie_cols=["event_id"])
+    slices = [
+        cur.where(F.expr("(event_id div 2) % 3") == i) for i in range(3)
+    ]
+    tmp = tempfile.mkdtemp(prefix="parity_psi_")
+    counts: dict = {}
+    try:
+        in_dir = _write_stream_files(slices, tmp)
+        src = (
+            spark.readStream.schema("cents bigint, event_id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+        def _fb(df, bid):
+            for r in df.collect():  # update mode: later batches overwrite
+                counts[r["bin"]] = r["n_cur"]
+
+        _run_stream(streaming_psi_counts(src, "cents", edges), tmp, _fb)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    drained = {
+        r["bin"]: tuple(r)
+        for r in psi_assemble(
+            spark, edges, ref_counts, counts, "bigint"
+        ).collect()
+    }
+    batch = {
+        r["bin"]: tuple(r)
+        for r in psi_bins(
+            ref, cur, "cents", k=10, tie_cols=["event_id"]
+        ).collect()
+    }
+    return [
+        (
+            "streaming_psi",
+            str(b),
+            int(batch.get(b) == drained.get(b)),
+        )
+        for b in sorted(set(batch) | set(drained))
+    ]
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check_name, key, is_match) for all the parity families, fully
     materialized driver-side (literal rows — no lingering plan or
@@ -850,6 +924,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_ohlc = ex.submit(_ohlc_parity, spark, sf_dir)
         fut_url = ex.submit(_url_dedup_parity, spark, sf_dir)
         fut_inc = ex.submit(_inc_minhash_parity, spark, sf_dir)
+        fut_psi = ex.submit(_psi_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
         rows = (
             fut_funnel.result()
@@ -861,6 +936,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             + fut_ohlc.result()
             + fut_url.result()
             + fut_inc.result()
+            + fut_psi.result()
             + cm_rows
         )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

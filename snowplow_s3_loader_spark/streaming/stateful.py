@@ -1034,3 +1034,79 @@ def streaming_incremental_minhash(
             on_result(res)
 
     return _fb
+
+
+def streaming_psi_counts(
+    stream: DataFrame,
+    value_col: str,
+    edges: list,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming PSI drift monitor — the ELEVENTH batch-vs-streaming
+    parity family: maintain the CURRENT snapshot's per-bin counts
+    against a FROZEN reference (profile.psi_reference), one long of
+    state per bin. The bin rule is profile.psi_bin_expr over the same
+    edge literals the batch psi_bins uses, so the streamed histogram is
+    comparable (and parity-exact) by construction; the fold is a plain
+    count addition — commutative+associative, NO arrival-order
+    contract, any interleaving of batches drains to the batch counts.
+
+    State is k rows TOTAL (the bin spine — bounded by the monitor's
+    own k, never by the data), which makes this the cheapest always-on
+    drift monitor possible: the wide work per micro-batch is one
+    k-ary groupBy. Emits (bin, n_cur) per touched bin per batch
+    (update mode — later batches overwrite); feed the drained counts
+    plus the frozen reference to profile.psi_assemble for the exact
+    psi_bins output frame.
+
+    NULL values raise (the psi_bins NULL rule, enforced in the same
+    pure projection)."""
+    from snowplow_s3_loader_spark.operators.profile import psi_bin_expr
+
+    v = F.col(value_col)
+    etype = stream.schema[value_col].dataType
+    checked = F.when(
+        v.isNull(),
+        F.raise_error(
+            F.lit(
+                f"streaming_psi_counts: NULL {value_col!r} in the "
+                "stream — filter or impute first (the psi_bins rule)"
+            )
+        ).cast(etype),
+    ).otherwise(v)
+    binned = stream.select(
+        psi_bin_expr(checked, edges, etype).alias("bin")
+    )
+    out_schema = StructType(
+        [StructField("bin", IntegerType()), StructField("n_cur", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (b,) = key
+        n_new = sum(len(p) for p in pdfs)
+        if n_new:
+            (n,) = state.get if state.exists else (0,)
+            n += n_new
+            state.update((n,))
+        elif state.exists:
+            (n,) = state.get
+        else:
+            return
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({"bin": [b], "n_cur": [n]})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return binned.groupBy("bin").applyInPandasWithState(
+        _update, out_schema, state_schema, "update", timeout
+    )

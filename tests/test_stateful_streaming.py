@@ -403,9 +403,10 @@ def test_streaming_funnel_retro_event_improves_without_invalidating(spark, tmp_p
 
 def test_streaming_parity_rows_all_match(spark, sf_dir):
     """The driver-visible batch-vs-streaming parity audit (folded into
-    q74_scale_battery) must emit is_match=1 for every key in all NINE
+    q74_scale_battery) must emit is_match=1 for every key in all ELEVEN
     families (session_window and streaming_ohlc landed rounds 8/9;
-    streaming_urldedup round 10) — a falsifiable audit is only useful
+    streaming_urldedup round 10; streaming_incdedup and streaming_psi
+    round 11) — a falsifiable audit is only useful
     if its green state is pinned here and its red states are reachable
     (each family's divergence behavior is covered by the
     operator-level differential tests above)."""
@@ -425,6 +426,8 @@ def test_streaming_parity_rows_all_match(spark, sf_dir):
         "session_window",
         "streaming_ohlc",
         "streaming_urldedup",
+        "streaming_incdedup",
+        "streaming_psi",
     }, by_check
     for name, bits in by_check.items():
         assert bits and all(b == 1 for b in bits), (name, bits)
