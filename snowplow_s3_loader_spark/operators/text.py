@@ -866,11 +866,15 @@ def substring_duplication(
     portable 60-bit md5 prefix (the ngram_bucket family) so both
     engines select identical anchors.
 
-    Scale shape: one explode to ALL candidate positions (one row per
-    corpus char — the honest price of offset-independent exact
-    substrings; a suffix array costs more), the cheap 8-char anchor
-    hash + filter BEFORE any shuffle (only ~1/stride of rows survive
-    to the wide stages), one hash-keyed count aggregation
+    Scale shape: ALL per-position work happens INSIDE one row's array
+    expression — filter the candidate positions by the cheap 8-char
+    anchor hash, then md5 the full window ONLY at anchors — and only
+    the resulting ~len/stride hash array explodes. Exploding raw
+    positions while carrying the text column would amplify the
+    Generate output to O(len^2) bytes per document (each position row
+    copies the whole text); the array form keeps per-doc bytes at
+    ~1.6x the text (the anchor-hash array) and row amplification at
+    anchors only. Then one hash-keyed count aggregation
     (partial+final map-side combine), one hash-keyed join back, one
     doc-keyed aggregation. ZERO pair space: duplicated spans are
     found by key equality, never by comparing documents. In
@@ -884,32 +888,22 @@ def substring_duplication(
             f"chars) and stride >= 1, got ({window}, {stride})"
         )
     t = F.col(text_col)
-    pos = F.when(
-        F.length(t) >= window,
-        F.sequence(F.lit(1), F.length(t) - window + 1),
-    ).otherwise(F.array().cast("array<int>"))
-    anchor = (
-        F.conv(
-            F.substring(F.md5(F.expr("substring(__t, __p, 8)")), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % stride
-        == 0
+    hash_arr = F.expr(
+        f"""transform(
+              filter(sequence(1, length(__t) - {int(window)} + 1),
+                     p -> CAST(conv(substr(md5(substr(__t, p, 8)), 1, 15),
+                                    16, 10) AS BIGINT) % {int(stride)} = 0),
+              p -> md5(substr(__t, p, {int(window)})))"""
     )
-    wins = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(pos).alias("__p"),
-            t.alias("__t"),
-        )
-        .where(anchor)
-        .select(
-            "id",
-            F.md5(F.expr(f"substring(__t, __p, {int(window)})")).alias(
-                "__h"
-            ),
-        )
+    wins = df.select(
+        F.col(id_col).alias("id"), t.alias("__t")
+    ).select(
+        "id",
+        F.explode(
+            F.when(F.length("__t") >= window, hash_arr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("__h"),
     )
     occ = wins.groupBy("__h").agg(F.count("*").alias("__n"))
     stats = (
