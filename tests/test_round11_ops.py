@@ -470,3 +470,88 @@ class TestZipfFit:
 
         with pytest.raises(ValueError, match="top_k"):
             zipf_fit(spark.range(1).selectExpr("'x' as text"), "text", 1)
+
+
+class TestRandomizedReferenceBatteries:
+    """Third-implementation checks: seeded random inputs scored by a
+    pure-Python reference (hashlib md5 / integer CDF math) — independent
+    of BOTH Spark and DuckDB, so a shared-assumption bug in the oracle
+    pair cannot hide."""
+
+    def test_ks_matches_python_reference(self, spark):
+        import random
+
+        from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+        rng = random.Random(1107)
+        for _ in range(8):
+            n1, n2 = rng.randint(1, 40), rng.randint(1, 40)
+            ref = [rng.randint(0, 15) for _ in range(n1)]
+            cur = [rng.randint(0, 15) for _ in range(n2)]
+            vals = sorted(set(ref) | set(cur))
+            d = max(
+                abs(
+                    sum(1 for x in ref if x <= v) * n2
+                    - sum(1 for x in cur if x <= v) * n1
+                )
+                for v in vals
+            )
+            out = ks_statistic(
+                spark.createDataFrame([(v,) for v in ref], "v long"),
+                spark.createDataFrame([(v,) for v in cur], "v long"),
+                "v",
+            ).collect()[0]
+            assert (out.n_ref, out.n_cur, out.d_num) == (n1, n2, d)
+            assert out.ks_micro == d * 1_000_000 // (n1 * n2)
+
+    def test_substring_matches_python_reference(self, spark):
+        import hashlib
+        import random
+        from collections import Counter
+
+        from snowplow_s3_loader_spark.operators.text import (
+            substring_duplication,
+        )
+
+        W, S = 40, 20
+
+        def anchor_hashes(text):
+            if len(text) < W:
+                return []
+            out = []
+            for p in range(len(text) - W + 1):  # 0-based == SQL p-1
+                head = text[p : p + 8]
+                h = int(hashlib.md5(head.encode()).hexdigest()[:15], 16)
+                if h % S == 0:
+                    out.append(
+                        hashlib.md5(text[p : p + W].encode()).hexdigest()
+                    )
+            return out
+
+        rng = random.Random(42)
+        texts = [
+            " ".join(
+                f"w{rng.randint(0, 300)}x{i}"
+                for i in range(rng.randint(2, 30))
+            )
+            for _ in range(30)
+        ]
+        texts[5] = texts[3]  # exact copy
+        texts[9] = "prefix junk " + texts[3]  # misaligned copy
+        per_doc = [anchor_hashes(t) for t in texts]
+        occ = Counter(h for a in per_doc for h in a)
+        out = {
+            r.id: (r.n_windows, r.n_dup_windows)
+            for r in substring_duplication(
+                spark.createDataFrame(
+                    list(enumerate(texts)), "doc_id long, text string"
+                ),
+                "doc_id",
+                "text",
+                window=W,
+                stride=S,
+            ).collect()
+        }
+        for i, a in enumerate(per_doc):
+            want = (len(a), sum(1 for h in a if occ[h] >= 2))
+            assert out[i] == want, (i, out[i], want)
