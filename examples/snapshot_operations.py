@@ -27,7 +27,10 @@ from snowplow_s3_loader_spark.operators.dedup import (
     release_materialized,
 )
 from snowplow_s3_loader_spark.operators.layout import token_shards
-from snowplow_s3_loader_spark.operators.profile import psi_bins
+from snowplow_s3_loader_spark.operators.profile import (
+    ks_statistic,
+    psi_bins,
+)
 from snowplow_s3_loader_spark.operators.text import token_count
 from snowplow_s3_loader_spark.session import get_spark
 from snowplow_s3_loader_spark.tables import load_table
@@ -105,6 +108,13 @@ def main() -> None:
         psi.agg(F.sum(F.col("psi_micro").cast("double") / 1e6)).first()[0]
     ) or 0.0
 
+    # 2b) the bin-free companion: two-sample KS on the same axis —
+    # catches shape drift inside a bin PSI's k=10 grid blurs. Exact
+    # integer sup-distance; ks_micro/1e6 in [0, 1].
+    ks = ks_statistic(
+        ref.select("v"), cur.select("v"), "v"
+    ).collect()[0]
+
     # 3) per-source mix deltas (the other standard drift axis)
     mix = (
         history.groupBy("source").agg(F.count("*").alias("then"))
@@ -134,6 +144,7 @@ def main() -> None:
     print(f"flagged as near-dup        : {n_dup}")
     print(f"survivors folded to store  : {n_kept}")
     print(f"PSI (token-length drift)   : {headline:.4f}")
+    print(f"KS  (token-length drift)   : {ks.ks_micro / 1e6:.4f}")
     print(f"source mix (then -> now)   : {[(r['source'], r['then'], r['now']) for r in mix.collect()[:5]]}")
     print(f"shard token masses         : {shard_tok}")
     release_materialized(new_store)
