@@ -773,8 +773,14 @@ def ks_statistic(
     (literal-boundary buckets, nothing materialized, no
     single-partition stage) carries BOTH cumulative counts in one pass;
     they unpack as div/mod. The reduction to one row is a plain max
-    aggregation. Everything upstream is one union + one value-keyed
-    count aggregation.
+    aggregation. The upstream union + value-keyed count aggregation is
+    RE-EVALUATED per pass (the totals collect plus the ranking
+    module's sample/counts/output trio — four shuffles of the
+    distinct-value frame): deliberate — the plan is deterministic so
+    the passes agree by construction, and recompute is the resilient
+    choice (the module's localCheckpoint lesson); a caller who can
+    bound the distinct-value frame may pre-aggregate and persist it
+    themselves.
 
     Guards: NULL values raise on either side (the psi_bins/woe_bins
     NULL rule — Spark and DuckDB order NULLs differently, so a NULL
