@@ -1522,9 +1522,14 @@ def dsir_case(spark, n_docs: int) -> dict:
     docs.count()
     t0 = time.perf_counter()
     out = dsir_weights(docs, "doc_id", "text", F.col("t"), n_buckets=4096)
-    n_rows = out.count()
+    # consume the SCORES, not just row count — a bare count() lets
+    # Catalyst prune the weight columns (and on the mlewis twin even
+    # eliminate the scoring join entirely), timing an empty plan
+    row = out.agg(
+        F.count("*").alias("n"), F.sum("weight_micro").alias("s")
+    ).collect()[0]
     dt = time.perf_counter() - t0
-    assert n_rows == n_docs
+    assert row["n"] == n_docs and row["s"] is not None
     return {"case": "dsir", "docs": n_docs, "sec": round(dt, 2)}
 
 
@@ -1552,9 +1557,13 @@ def mlewis_case(spark, n_docs: int) -> dict:
     )
     docs.count()
     t0 = time.perf_counter()
-    n_rows = moore_lewis_scores(docs, "doc_id", "text", F.col("t")).count()
+    row = (
+        moore_lewis_scores(docs, "doc_id", "text", F.col("t"))
+        .agg(F.count("*").alias("n"), F.sum("ml_micronats").alias("s"))
+        .collect()[0]
+    )
     dt = time.perf_counter() - t0
-    assert n_rows == n_docs
+    assert row["n"] == n_docs and row["s"] is not None
     return {"case": "moore_lewis", "docs": n_docs, "sec": round(dt, 2)}
 
 
