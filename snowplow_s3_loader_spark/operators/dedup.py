@@ -301,6 +301,12 @@ def scan_io_metrics(df: DataFrame) -> dict[str, int]:
                     out[k] += m.apply(k).value()
         if name == "AdaptiveSparkPlanExec":
             _walk(node.executedPlan())
+        # AQE query-stage nodes are LEAVES (children() is empty) whose
+        # subtree hangs off .plan — without descending, any plan with
+        # an exchange reads as numFiles=0 and the pruning contract
+        # silently reports "no I/O"
+        if name.endswith("QueryStageExec"):
+            _walk(node.plan())
         for i in range(node.children().size()):
             _walk(node.children().apply(i))
 

@@ -116,13 +116,11 @@ def moore_lewis_scores(
     integers — the q142 discipline), so every output is an exact int64
     sum and hash-identical across engines.
 
-    Scale shape: the bigram stream is exploded ONCE and eagerly
-    checkpointed (it feeds four count aggregations and the scoring
-    join — the multi-consumer discipline); all four count tables are
-    vocabulary-sized, joined back under AQE (broadcast while the
-    vocabulary fits); one doc-keyed aggregation; one count-distinct
-    scalar (V). Documents with fewer than two tokens emit n_bigrams=0
-    and NULL scores (no evidence, not zero evidence).
+    Scale shape: both count tables are vocabulary-sized, joined back
+    under AQE (broadcast while the vocabulary fits); one doc-keyed
+    aggregation; one count-distinct scalar (V). Documents with fewer
+    than two tokens emit n_bigrams=0 and NULL scores (no evidence, not
+    zero evidence).
 
     Output: (id, n_bigrams, sum_logp_target, sum_logp_raw,
     ml_micronats = sum_logp_target - sum_logp_raw).

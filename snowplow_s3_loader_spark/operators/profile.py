@@ -279,7 +279,11 @@ def spearman_moments(
     rx, n = global_row_number(
         base, [F.col("__x"), F.col("__id")], rn_col="__rnx"
     )
-    rx = checkpoint_nostats(rx)
+    # enforce the bound BEFORE materializing: global_row_number already
+    # returns n without storing anything, so a corpus-sized input must
+    # raise here instead of paying a corpus-sized localCheckpoint (the
+    # very storage hazard this module's bound exists to prevent) on
+    # the rejection path
     if n > 1_300_000:
         raise ValueError(
             f"spearman_moments: n={n} exceeds the exact int64 bound "
@@ -287,6 +291,7 @@ def spearman_moments(
         )
     if n < 2:
         raise ValueError(f"spearman_moments: need n >= 2, got {n}")
+    rx = checkpoint_nostats(rx)
     # global_row_number emits INT ranks: the doubled-rank differences
     # square to ~4n^2, which wraps int32 past n ~ 23k — everything
     # rank-derived rides as long from here (the q98 wpos lesson)
@@ -434,7 +439,15 @@ def psi_reference(
         ref, ref.where(F.lit(False)), value_col, k=k, tie_cols=tie_cols
     ).collect()
     rows.sort(key=lambda r: r["bin"])
-    edges = [r["upper_edge"] for r in rows if r["bin"] < k]
+    # a reference with fewer rows than k leaves trailing bins with NULL
+    # upper_edge — a None in the edge list would NULL-poison
+    # psi_bin_expr's fold and silently drop every streamed row; the
+    # non-null prefix is exactly the edge list batch psi_bins binned by
+    edges = [
+        r["upper_edge"]
+        for r in rows
+        if r["bin"] < k and r["upper_edge"] is not None
+    ]
     return edges, [int(r["n_ref"]) for r in rows]
 
 
@@ -598,8 +611,11 @@ def psi_bins(
         )
     )
     bins = checkpoint_nostats(
-        # the reference counts read the already-checkpointed ranked
-        # frame (ref is scanned ONCE for edges and counts together)
+        # the ranked frame is NOT materialized (literal-boundary
+        # ranking): the reference plan re-evaluates for the edge
+        # collect and again for these counts — deterministic by the
+        # ranking module's contract; callers with expensive reference
+        # plans should materialize them before calling
         spine.join(F.broadcast(_counts(ranked, "n_ref")), "bin", "left")
         .join(F.broadcast(_counts(_guarded(cur, "current"), "n_cur")), "bin", "left")
         .join(F.broadcast(edge_df), "bin", "left")
@@ -857,9 +873,13 @@ def ks_statistic(
             F.lit(n_ref).cast("long").alias("n_ref"),
             F.lit(n_cur).cast("long").alias("n_cur"),
             "d_num",
+            # d_num can reach n_ref*n_cur, so d_num*1e6 overflows BIGINT
+            # past ~3M x 3M rows — ride DECIMAL(38,0) through the one
+            # scaled division (IntegralDivide on decimals is exact and
+            # returns BIGINT; DuckDB's side widens to HUGEINT natively)
             F.expr(
-                f"(d_num * 1000000) div (CAST({n_ref} AS BIGINT) * "
-                f"CAST({n_cur} AS BIGINT))"
+                f"(CAST(d_num AS DECIMAL(38,0)) * 1000000) div "
+                f"(CAST({n_ref} AS BIGINT) * CAST({n_cur} AS BIGINT))"
             ).alias("ks_micro"),
         )
     )

@@ -19,7 +19,17 @@ Two-phase formulation with LITERAL range boundaries (no materialization):
 The global rank is INDEPENDENT of where the boundaries fall — any
 contiguous cut of the total order yields the same global position — so
 results are bit-identical whatever the sample draws; boundaries only
-steer load balance. The order key MUST be a total order (include a
+steer load balance.
+
+CONTRACT: the input plan MUST be deterministic. The counts pass and the
+output pass evaluate it independently and agree only because identical
+plans over identical data produce identical rows — an input containing
+rand()/randn(), monotonically_increasing_id(), .sample(), or an
+uncheckpointed prior nondeterministic stage yields different rows per
+pass and SILENTLY corrupts ranks (offset map from one evaluation, local
+row numbers from another). Callers with such inputs must materialize
+them first (checkpoint_nostats) — the operator cannot detect this
+without paying an extra full pass. The order key MUST be a total order (include a
 unique tiebreak column); then row_number == rank == dense_rank, and
 ntile derives in closed form from (row_number, total).
 

@@ -1003,13 +1003,13 @@ def streaming_incremental_minhash(
     external stores); the keyed-state families (funnel, OHLC, URL
     dedup) stay on applyInPandasWithState where the fold IS per-key.
 
-    Exactly-once: the fold lands under the store's epoch=<batch_id>
-    partition with OVERWRITE, and the probe reads the store WITH that
-    epoch excluded — a replayed micro-batch reproduces its result
-    bit-for-bit instead of double-appending or colliding with its own
-    half-written fold. Seed history as epoch 0 (or any epoch the
-    stream's batch ids never reuse — batch ids start at 0, so seed
-    with a negative epoch or pre-fold history before starting).
+    Exactly-once: the fold lands under the store's
+    epoch = batch_id + 1 partition with OVERWRITE, and the probe reads
+    the store WITH that epoch excluded — a replayed micro-batch
+    reproduces its result bit-for-bit instead of double-appending or
+    colliding with its own half-written fold. Seed history as epoch 0:
+    the +1 mapping reserves it (batch ids start at 0), so epoch-0
+    seeds are never overwritten by any micro-batch.
 
     Semantics match the batch operator applied snapshot-by-snapshot:
     cross-snapshot only (two near-dups in ONE micro-batch both pass
@@ -1058,6 +1058,13 @@ def streaming_psi_counts(
     (update mode — later batches overwrite); feed the drained counts
     plus the frozen reference to profile.psi_assemble for the exact
     psi_bins output frame.
+
+    ``timeout_ms`` EVICTS a quiet bin's cumulative count (it restarts
+    from 0 if the bin sees data again) — that deliberately breaks the
+    drains-to-batch-counts equivalence in exchange for bounded
+    retention on endless streams; leave it None (the default) when the
+    monitor must stay batch-parity-exact over the whole stream. With k
+    rows of total state there is rarely a reason to evict.
 
     NULL values raise (the psi_bins NULL rule, enforced in the same
     pure projection)."""

@@ -555,3 +555,32 @@ class TestRandomizedReferenceBatteries:
         for i, a in enumerate(per_doc):
             want = (len(a), sum(1 for h in a if occ[h] >= 2))
             assert out[i] == want, (i, out[i], want)
+
+
+class TestPsiReferenceEdgeCases:
+    def test_tiny_reference_yields_no_null_edges(self, spark):
+        """A reference with fewer rows than k leaves trailing bins with
+        NULL upper_edge; psi_reference must NOT propagate those into
+        the edge list (a None literal would NULL-poison psi_bin_expr
+        and silently drop every streamed row)."""
+        from snowplow_s3_loader_spark.operators.profile import (
+            psi_assemble,
+            psi_bin_expr,
+            psi_reference,
+        )
+
+        ref = spark.createDataFrame(
+            [(10, 1), (20, 2), (30, 3), (40, 4), (50, 5)], "v long, id long"
+        )
+        edges, ref_counts = psi_reference(ref, "v", k=10, tie_cols=["id"])
+        assert None not in edges and len(ref_counts) == 10
+        # every reference value bins to a NON-NULL bin under the edges
+        etype = ref.schema["v"].dataType
+        binned = ref.select(
+            psi_bin_expr(F.col("v"), edges, etype).alias("bin")
+        )
+        assert binned.where(F.col("bin").isNull()).count() == 0
+        out = psi_assemble(
+            spark, edges, ref_counts, {1: 3, 2: 2}, "bigint"
+        ).collect()
+        assert len(out) == 10
