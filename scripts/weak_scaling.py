@@ -1823,6 +1823,32 @@ def ks_case(spark, n_rows: int) -> dict:
     assert row.d_num > 0
     return {"case": "ks", "rows": n_rows, "sec": round(dt, 2)}
 
+
+def kmv_case(spark, n_docs: int) -> dict:
+    """KMV source-overlap weak scaling: n_docs docs over 40 sources
+    with heavy cross-source shingle sharing — corpus-side cost is one
+    distinct (source, hash) aggregation; everything after is the
+    bounded |sources|*k signature frame."""
+    from pyspark.sql import functions as F
+
+    from snowplow_s3_loader_spark.operators.similarity import (
+        kmv_overlap_matrix,
+        kmv_signatures,
+    )
+
+    docs = spark.range(n_docs).select(
+        F.concat(F.lit("s"), (F.col("id") % 40).cast("string")).alias("g"),
+        F.concat(
+            F.lit("sh"), ((F.col("id") * 13) % (n_docs // 2)).cast("string")
+        ).alias("it"),
+    )
+    t0 = time.time()
+    sigs = kmv_signatures(docs, "g", "it", k=64)
+    n = kmv_overlap_matrix(sigs, "g", k=64).count()
+    dt = time.time() - t0
+    assert n == 40 * 39 // 2
+    return {"case": "kmv_overlap", "rows": n_docs, "sec": round(dt, 2)}
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -1984,6 +2010,9 @@ def main() -> None:
     if which in ("ks", "all"):
         out.append(ks_case(spark, 1_000_000))
         out.append(ks_case(spark, 10_000_000))
+    if which in ("kmv", "all"):
+        out.append(kmv_case(spark, 1_000_000))
+        out.append(kmv_case(spark, 10_000_000))
     if which == "dsir_1000x":
         # fourth decade (VERDICT r10 #7): the model stays 4096 buckets
         # while the corpus grows 1000x — explode-is-the-cost evidence.

@@ -1170,3 +1170,103 @@ def pq_topk_adc(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("cand_id").alias("neighbor_id"), "sim", "rank")
     )
+
+
+def kmv_signatures(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k MinHash (KMV) signature over an item column —
+    the bounded sketch behind the source-overlap matrix: hash every
+    item with the portable 60-bit md5 prefix, keep each group's k
+    SMALLEST DISTINCT hash values. (Beyond the reference's surface —
+    Beyer et al. 2007 K-Minimum Values; the single-set KMV distinct
+    sketch is q136, this is its multi-set set-ALGEBRA use.)
+
+    Scale shape: one distinct (group, hash) aggregation over the item
+    stream, then a GROUP-KEYED rank window (partitioned — the groups
+    axis is the parallelism) capped at k — output is <= |groups| * k
+    rows, bounded by the SKETCH, not the data.
+
+    Output: (group_col, h, rk) with rk the 1-based rank of h within
+    the group (ascending)."""
+    if k < 1:
+        raise ValueError(f"kmv_signatures: k must be >= 1, got {k}")
+    hashed = (
+        items.select(
+            F.col(group_col).alias("__g"),
+            F.conv(F.substring(F.md5(F.col(item_col)), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("__g", "h")
+        .agg(F.lit(1).alias("__one"))
+    )
+    w = Window.partitionBy("__g").orderBy("h")
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col("__g").alias(group_col), "h", "rk")
+    )
+
+
+def kmv_overlap_matrix(
+    sigs: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise Jaccard ESTIMATES between groups from their KMV
+    signatures — the corpus-mixture diagnostic ("how much does source
+    A duplicate source B?") at sketch cost: for each unordered pair,
+    take the k smallest distinct hashes of the UNION of the two
+    signatures (computable from the signatures alone — the KMV merge
+    property) and count how many lie in BOTH:
+
+        jaccard_micro = n_both * 1e6 div k_u     (truncating, exact)
+
+    with k_u = min(k, |union|) the union sketch's actual size. The
+    estimate is the standard KMV set-similarity estimator (unbiased,
+    s.e. ~ 1/sqrt(k)).
+
+    Scale shape: everything runs on the <= |groups|*k-row signature
+    frame — the pair expansion is |groups|^2 * k rows (bounded by the
+    sketch; guard your group cardinality upstream), never the corpus.
+    Exactness: hashes are the portable md5 prefix; counts and the
+    truncating division replay identically in any engine.
+
+    Output: (group_a, group_b, k_used, n_both, jaccard_micro) for
+    group_a < group_b."""
+    g = F.col(group_col)
+    a = sigs.select(g.alias("ga"), F.col("h"))
+    b = sigs.select(g.alias("gb"), F.col("h").alias("hb"))
+    pairs = (
+        a.select("ga")
+        .distinct()
+        .join(b.select("gb").distinct())
+        .where(F.col("ga") < F.col("gb"))
+    )
+    # pair x union-of-hashes, with membership flags per side
+    u = (
+        pairs.join(
+            sigs.select(g.alias("__g"), "h"),
+            (F.col("__g") == F.col("ga")) | (F.col("__g") == F.col("gb")),
+        )
+        .groupBy("ga", "gb", "h")
+        .agg(
+            F.max((F.col("__g") == F.col("ga")).cast("int")).alias("in_a"),
+            F.max((F.col("__g") == F.col("gb")).cast("int")).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    topu = u.withColumn("__rk", F.row_number().over(wu)).where(
+        F.col("__rk") <= k
+    )
+    return topu.groupBy("ga", "gb").agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.expr(
+            "CAST(sum(in_a * in_b) AS BIGINT) * 1000000 div count(*)"
+        ).alias("jaccard_micro"),
+    )

@@ -1037,6 +1037,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("upper_edge").alias("v2"),
         F.col("psi_micro").alias("v3"),
     )
+    kmvm = q.q155_source_overlap(spark, sf_dir).select(
+        F.lit("srcoverlap").alias("battery"),
+        F.concat_ws("|", "ga", "gb").alias("key"),
+        (F.col("k_used") * 10_000_000_000 + F.col("n_both")).alias("v1"),
+        F.col("jaccard_micro").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     subd = q.q152_substring_dedup(spark, sf_dir).select(
         F.lit("subdup").alias("battery"),
         F.col("id").cast("string").alias("key"),
@@ -1160,6 +1167,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(subd)
         .union(ksd)
         .union(zpf)
+        .union(kmvm)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1324,7 +1332,7 @@ _FOLDED = {
     "q144_unigram_encode", "q145_feature_woe", "q146_dsir_selection",
     "q147_token_shards", "q148_moore_lewis", "q149_ngram_novelty",
     "q150_incremental_dedup", "q151_psi_drift", "q152_substring_dedup",
-    "q153_ks_drift", "q154_zipf_fit",
+    "q153_ks_drift", "q154_zipf_fit", "q155_source_overlap",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2181,6 +2189,11 @@ UNION ALL
 SELECT 'zipf' AS battery, '0' AS key,
        sxy AS v1, sxx AS v2, slope_micro AS v3
 FROM ({ORACLES["q154_zipf_fit"]})
+UNION ALL
+SELECT 'srcoverlap' AS battery, ga || '|' || gb AS key,
+       k_used * 10000000000 + n_both AS v1, jaccard_micro AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q155_source_overlap"]})
 ORDER BY battery, key, v1
 """
 

@@ -3684,3 +3684,53 @@ SELECT n_terms, sx, sy, sxx, sxy,
        END AS slope_micro
 FROM m
 """
+
+
+# q155: KMV source-overlap matrix — identical trigram construction to
+# q149, 60-bit md5-prefix hashes, per-source bottom-64 distinct, union
+# bottom-64 membership counts, truncating micro Jaccard.
+ORACLES["q155_source_overlap"] = """
+WITH toks AS (
+  SELECT source, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+sh AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+  FROM toks WHERE len(t) >= 3
+),
+hashed AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+  FROM sh
+),
+sigs AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+  FROM hashed QUALIFY rk <= 64
+),
+pairs AS (
+  SELECT a.source AS ga, b.source AS gb
+  FROM (SELECT DISTINCT source FROM sigs) a,
+       (SELECT DISTINCT source FROM sigs) b
+  WHERE a.source < b.source
+),
+u AS (
+  SELECT ga, gb, h,
+         max(CASE WHEN s.source = ga THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.source = gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs JOIN sigs s ON s.source = ga OR s.source = gb
+  GROUP BY ga, gb, h
+),
+topu AS (
+  SELECT ga, gb, in_a, in_b,
+         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+  FROM u QUALIFY rk <= 64
+)
+SELECT ga, gb, CAST(count(*) AS BIGINT) AS k_used,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       CAST(sum(in_a * in_b) AS BIGINT) * 1000000 // count(*)
+         AS jaccard_micro
+FROM topu GROUP BY ga, gb
+ORDER BY ga, gb
+"""

@@ -3301,6 +3301,26 @@ def q154_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, "text", top_k=1000)
 
 
+def q155_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix via KMV bottom-64 MinHash
+    signatures over word-trigram shingles — the mixture-design
+    diagnostic (how much does source A duplicate source B?): bounded
+    per-source sketches, union-merge Jaccard estimates, everything
+    after the shingle scan runs on <= |sources|*64 rows."""
+    from snowplow_s3_loader_spark.operators.hygiene import word_ngrams
+    from snowplow_s3_loader_spark.operators.similarity import (
+        kmv_overlap_matrix,
+        kmv_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = docs.select(
+        "source", F.explode(word_ngrams(F.col("text"), 3)).alias("sh")
+    )
+    sigs = kmv_signatures(shingles, "source", "sh", k=64)
+    return kmv_overlap_matrix(sigs, "source", k=64).orderBy("ga", "gb")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3456,5 +3476,6 @@ QUERIES = {
         q152_substring_dedup,
         q153_ks_drift,
         q154_zipf_fit,
+        q155_source_overlap,
     ]
 }

@@ -1037,3 +1037,15 @@ def test_q154_zipf_topk_is_distributed(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q155_overlap_runs_on_sketch_frame(spark, sf_dir):
+    """Everything after the shingle scan must run on the bounded
+    signature frame: group-keyed windows only (no unpartitioned
+    window), no Exchange SinglePartition, no cartesian over the
+    corpus (the |sources|^2 pair expansion is sketch-sized)."""
+    plan = plan_of(Q.q155_source_overlap(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "partitionBy []" not in line, line

@@ -584,3 +584,69 @@ class TestPsiReferenceEdgeCases:
             spark, edges, ref_counts, {1: 3, 2: 2}, "bigint"
         ).collect()
         assert len(out) == 10
+
+
+class TestKmvOverlap:
+    def test_identical_groups_full_overlap(self, spark):
+        """Two groups with identical item sets must estimate Jaccard =
+        1.0 exactly (every union-bottom-k hash is in both)."""
+        from snowplow_s3_loader_spark.operators.similarity import (
+            kmv_overlap_matrix,
+            kmv_signatures,
+        )
+
+        items = spark.range(200).selectExpr(
+            "CASE WHEN id < 100 THEN 'a' ELSE 'b' END AS g",
+            "concat('item', id % 100) AS it",
+        )
+        sigs = kmv_signatures(items, "g", "it", k=32)
+        out = kmv_overlap_matrix(sigs, "g", k=32).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.ga, r.gb) == ("a", "b")
+        assert r.k_used == 32 and r.n_both == 32
+        assert r.jaccard_micro == 1_000_000
+
+    def test_disjoint_groups_zero_overlap(self, spark):
+        from snowplow_s3_loader_spark.operators.similarity import (
+            kmv_overlap_matrix,
+            kmv_signatures,
+        )
+
+        items = spark.range(200).selectExpr(
+            "CASE WHEN id < 100 THEN 'a' ELSE 'b' END AS g",
+            "concat('item', id) AS it",  # ids never collide across groups
+        )
+        sigs = kmv_signatures(items, "g", "it", k=32)
+        r = kmv_overlap_matrix(sigs, "g", k=32).collect()[0]
+        assert r.n_both == 0 and r.jaccard_micro == 0
+
+    def test_estimate_tracks_true_jaccard(self, spark):
+        """Planted 50% overlap (A = 0..149, B = 75..224 -> J = 1/3):
+        the KMV estimate at k=64 must land within ~3 s.e. of truth."""
+        from snowplow_s3_loader_spark.operators.similarity import (
+            kmv_overlap_matrix,
+            kmv_signatures,
+        )
+
+        rows = [("a", f"x{i}") for i in range(150)] + [
+            ("b", f"x{i}") for i in range(75, 225)
+        ]
+        items = spark.createDataFrame(rows, "g string, it string")
+        sigs = kmv_signatures(items, "g", "it", k=64)
+        r = kmv_overlap_matrix(sigs, "g", k=64).collect()[0]
+        est = r.jaccard_micro / 1e6
+        assert abs(est - 1 / 3) < 0.18, est  # 3 s.e. ~ 3/sqrt(64)
+
+    def test_small_group_k_used_shrinks(self, spark):
+        from snowplow_s3_loader_spark.operators.similarity import (
+            kmv_overlap_matrix,
+            kmv_signatures,
+        )
+
+        rows = [("a", "only1"), ("a", "only2"), ("b", "only1")]
+        items = spark.createDataFrame(rows, "g string, it string")
+        sigs = kmv_signatures(items, "g", "it", k=64)
+        r = kmv_overlap_matrix(sigs, "g", k=64).collect()[0]
+        assert r.k_used == 2 and r.n_both == 1
+        assert r.jaccard_micro == 500_000
