@@ -883,3 +883,330 @@ def ks_statistic(
             ).alias("ks_micro"),
         )
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — the
+    calibration companion to the ranking-quality AUC (q140) and the
+    monotone-lift WOE (q145): before a quality model's scores gate a
+    100 TB corpus at a fixed threshold, the threshold is only
+    meaningful if the scores are CALIBRATED (a bin whose average score
+    says 0.8 should contain ~80% positives; Naeini et al. 2015's ECE is
+    the standard summary).
+
+    Inputs: ``score_col`` a micro-unit probability in [0, 1e6] (BIGINT;
+    out-of-range or NULL scores RAISE — a silently clamped score is a
+    corrupted diagram), ``label_col`` a 0/1 ground-truth label (other
+    values raise). Equal-WIDTH bins over the score axis (bin i covers
+    [i*1e6/k, (i+1)*1e6/k); score = 1e6 lands in the last bin), the
+    reliability-diagram convention — equi-depth binning is what
+    `woe_bins` already provides.
+
+    Exact integer outputs per bin (the full k-row spine, empty bins
+    with n = 0 and NULL ratios):
+
+        avg_score_micro = sum_score div n          (truncating)
+        frac_pos_micro  = n_pos * 1e6 div n        (truncating)
+        gap_micro       = |avg_score - frac_pos|
+        ece_num         = sum over bins of n * gap_micro  (same on
+                          every row; ece_micro = ece_num div N)
+
+    Scale shape: ONE scan — a pure guarded projection to (bin, label)
+    feeds one k-ary hash aggregation (map-side partial combine bounds
+    the shuffle at k rows per task); the spine join and the ECE window
+    run on the k-row frame. Int64 bounds: sum_score <= N * 1e6 and
+    ece_num <= N * 1e6 — safe through ~9e12 rows, far past any corpus.
+
+    Output: (bin, n, n_pos, avg_score_micro, frac_pos_micro, gap_micro,
+    ece_num) ordered by bin."""
+    if not 1 <= k <= 10_000:
+        raise ValueError(f"calibration_bins: k must be in [1, 10000], got {k}")
+    s, lab = F.col(score_col), F.col(label_col)
+    checked_s = F.when(
+        s.isNull() | (s < 0) | (s > 1_000_000),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"calibration_bins: {score_col!r} must be a micro-unit "
+                    "probability in [0, 1e6], got "
+                ),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(s.cast("long"))
+    checked_l = F.when(
+        lab.isNull() | ~lab.cast("long").isin(0, 1),
+        F.raise_error(
+            F.concat(
+                F.lit(f"calibration_bins: {label_col!r} must be 0/1, got "),
+                F.coalesce(lab.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(lab.cast("long"))
+    # staged projection so the bin rule is exact INTEGER division on the
+    # guarded attribute (a double divide could mis-bin exact boundaries)
+    binned = (
+        df.select(checked_s.alias("__s"), checked_l.alias("__l"))
+        .select(
+            F.least(
+                F.expr(f"(__s * CAST({k} AS BIGINT)) div 1000000"),
+                F.lit(k - 1).cast("long"),
+            ).cast("int").alias("bin"),
+            "__s",
+            "__l",
+        )
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("__l").alias("n_pos"),
+        F.sum("__s").alias("sum_score"),
+    )
+    spine = (
+        df.sparkSession.range(k)
+        .select(F.col("id").cast("int").alias("bin"))
+    )
+    full = spine.join(per_bin, "bin", "left").select(
+        "bin",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce("sum_score", F.lit(0)).cast("long").alias("__ss"),
+    )
+    with_ratios = full.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.when(F.col("n") > 0, F.expr("__ss div n")).alias(
+            "avg_score_micro"
+        ),
+        F.when(
+            F.col("n") > 0, F.expr("(n_pos * 1000000) div n")
+        ).alias("frac_pos_micro"),
+    ).select(
+        "*",
+        F.when(
+            F.col("n") > 0,
+            F.abs(F.col("avg_score_micro") - F.col("frac_pos_micro")),
+        ).alias("gap_micro"),
+    )
+    # ECE numerator over the k-row frame — an unpartitioned window is
+    # fine HERE because the frame is bounded by the monitor's own k
+    # (the psi_bins/woe_bins k-row discipline), never by the data
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return with_ratios.select(
+        "*",
+        F.sum(
+            F.coalesce(F.col("n") * F.col("gap_micro"), F.lit(0))
+        ).over(w).alias("ece_num"),
+    ).orderBy("bin")
+
+
+def two_proportion_z(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    a_value,
+    b_value,
+    strata_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-proportion z-test readout per stratum — the A/B experiment
+    primitive (conversion-rate difference with its pooled standard
+    error; Fleiss et al., "Statistical Methods for Rates and
+    Proportions"): is variant A's success rate genuinely above B's, or
+    is the gap inside sampling noise?
+
+    ``variant_col`` values other than ``a_value``/``b_value`` RAISE
+    (a silently dropped third arm biases both denominators);
+    ``success_col`` must be 0/1/boolean (NULL raises). Per stratum:
+
+        n_a, n_b, x_a, x_b       exact success/total counts
+        diff_num = x_a*n_b - x_b*n_a   exact int64 cross difference
+                                  (sign = direction, 0 = identical
+                                  rates — hash-strong without floats)
+        z_micro  = round(1e6 * (x_a/n_a - x_b/n_b) / se)  where
+                   se = sqrt(p*(1-p)*(1/n_a+1/n_b)), p pooled —
+                   ONE closing double expression over the four exact
+                   int64 counts (the q116/q154 discipline: every
+                   operand < 2^53 is exactly represented, the sqrt is
+                   IEEE-defined, both engines compute bit-identical
+                   doubles); NULL when either arm is empty or the
+                   pooled rate is degenerate (se = 0).
+
+    Scale shape: ONE scan — a guarded projection feeds one hash
+    aggregation keyed on the strata (conditional sums; map-side
+    partial combine bounds the shuffle at |strata| rows per task).
+    The int64 bound x*n < 2^63 holds through ~3e9 rows per arm per
+    stratum — ENFORCED with a per-row raise at 2^31 per count
+    (diff_num's factors), loud not wrapped.
+
+    Output: (*strata, n_a, n_b, x_a, x_b, diff_num, z_micro) ordered
+    by strata."""
+    strata = list(strata_cols or [])
+    v, s = F.col(variant_col), F.col(success_col)
+    is_a = v == F.lit(a_value)
+    is_b = v == F.lit(b_value)
+    checked_v = F.when(
+        v.isNull() | (~is_a & ~is_b),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"two_proportion_z: {variant_col!r} must be "
+                    f"{a_value!r} or {b_value!r}, got "
+                ),
+                F.coalesce(v.cast("string"), F.lit("NULL")),
+            )
+        ).cast("boolean"),
+    ).otherwise(is_a)
+    checked_s = F.when(
+        s.isNull() | ~s.cast("long").isin(0, 1),
+        F.raise_error(
+            F.concat(
+                F.lit(f"two_proportion_z: {success_col!r} must be 0/1, got "),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(s.cast("long"))
+    base = df.select(
+        *strata, checked_v.alias("__a"), checked_s.alias("__x")
+    )
+    agg = base.groupBy(*strata).agg(
+        F.sum(F.col("__a").cast("long")).alias("n_a"),
+        F.sum((~F.col("__a")).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("__a"), F.col("__x")).otherwise(0)).alias("x_a"),
+        F.sum(F.when(~F.col("__a"), F.col("__x")).otherwise(0)).alias("x_b"),
+    )
+    bound = F.lit(2**31)
+    guarded = agg.select(
+        *strata,
+        *[
+            F.when(
+                F.col(c) >= bound,
+                F.raise_error(
+                    F.lit(
+                        f"two_proportion_z: {c} exceeds 2^31 rows per "
+                        "stratum — diff_num would overflow int64; "
+                        "stratify finer or pre-sample"
+                    )
+                ).cast("long"),
+            ).otherwise(F.col(c)).alias(c)
+            for c in ("n_a", "n_b", "x_a", "x_b")
+        ],
+    )
+    # pooled-se z in ONE closing double expression over exact int64s
+    z = F.when(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("x_a") + F.col("x_b") > 0)
+        & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b")),
+        F.round(
+            (
+                F.col("x_a") / F.col("n_a") - F.col("x_b") / F.col("n_b")
+            )
+            / F.sqrt(
+                ((F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b")))
+                * (
+                    1
+                    - (F.col("x_a") + F.col("x_b"))
+                    / (F.col("n_a") + F.col("n_b"))
+                )
+                * (1 / F.col("n_a") + 1 / F.col("n_b"))
+            )
+            * 1_000_000
+        ).cast("long"),
+    )
+    return guarded.select(
+        *strata,
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        (F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")).alias(
+            "diff_num"
+        ),
+        z.alias("z_micro"),
+    ).orderBy(*strata) if strata else guarded.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        (F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")).alias(
+            "diff_num"
+        ),
+        z.alias("z_micro"),
+    )
+
+
+def fd_check(
+    df: DataFrame,
+    dependencies: list[tuple[list[str], str]],
+) -> DataFrame:
+    """Functional-dependency / candidate-key profiling — does column set
+    X determine column y in THIS data? (Huhtala et al. 1999's TANE
+    problem, here as the verification primitive schema inference and
+    data-contract audits run at scale: a violated FD is either a
+    modeling error or a data bug, and the violation COUNT says which.)
+
+    For each declared ``([det, ...], dep)`` pair:
+
+        n_groups        distinct determinant combinations
+        n_violating     determinant groups with > 1 distinct dep value
+        max_dep_values  the worst group's distinct-dep count
+        holds           n_violating = 0 (1/0)
+
+    A candidate-key check is the FD with dep = any unique row id; the
+    operator treats NULL determinant values as a group key like SQL
+    GROUP BY does (NULL = NULL for grouping), and NULL dep counts as a
+    distinct value via count(distinct)+max(is-null) so two groups
+    differing only in dep NULL-ness are distinguished.
+
+    Scale shape: one exact two-level aggregation PER declared pair —
+    groupBy(det) with count_distinct(dep) (partial combine keyed on the
+    determinant), then a bounded reduction to one row; the per-pair
+    plans union into one |pairs|-row frame. Each pair costs one
+    shuffle of its determinant frame — declare the pairs you need, not
+    the O(2^cols) lattice (TANE's pruning is a driver-side search; at
+    100 TB you verify contracted FDs, you don't mine the lattice).
+
+    Output: (fd, n_groups, n_violating, max_dep_values, holds) ordered
+    by fd."""
+    if not dependencies:
+        raise ValueError("fd_check: declare at least one (dets, dep) pair")
+    outs = []
+    for dets, dep in dependencies:
+        if not dets or dep in dets:
+            raise ValueError(
+                f"fd_check: bad pair ({dets!r} -> {dep!r}): need a "
+                "non-empty determinant set not containing the dependent"
+            )
+        name = ",".join(dets) + "->" + dep
+        per_group = df.groupBy(*dets).agg(
+            (
+                F.count_distinct(F.col(dep))
+                + F.max(F.col(dep).isNull().cast("long"))
+            ).alias("__nd")
+        )
+        outs.append(
+            per_group.agg(
+                F.count("*").alias("n_groups"),
+                F.sum((F.col("__nd") > 1).cast("long")).alias("n_violating"),
+                F.max("__nd").alias("max_dep_values"),
+            ).select(
+                F.lit(name).alias("fd"),
+                F.col("n_groups").cast("long").alias("n_groups"),
+                F.col("n_violating").cast("long").alias("n_violating"),
+                F.col("max_dep_values").cast("long").alias("max_dep_values"),
+                (F.col("n_violating") == 0).cast("long").alias("holds"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("fd")

@@ -1006,3 +1006,84 @@ def zipf_fit(
             F.round(num / den * 1_000_000, 0).cast("long"),
         ).alias("slope_micro"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    random-bytes / encoding-garbage detector (Shannon 1948; the signal
+    CCNet-style pipelines threshold alongside the word-level Gopher
+    rules): natural text sits in a narrow entropy band, base64 blobs
+    and key dumps score high, single-char floods score near zero.
+
+        H = ln(n) - (sum_c c_i * ln(c_i)) / n      (nats; c_i = count
+                                                    of character i)
+
+    Exact engine-portable form (the per-term quantization discipline of
+    the bigram LM / Moore-Lewis): each distinct character's term is
+    quantized ONCE — t_i = round(ln(c_i) * 1e6) — then everything else
+    is exact int64:
+
+        entropy_micro = round(ln(n) * 1e6) - (sum_i c_i * t_i) div n
+
+    (truncating div; both engines round the same two scalars and sum
+    the same integers, so the hash matches bit for bit). Empty/NULL
+    text emits n_chars = 0 and NULL entropy — no evidence, not zero.
+
+    Int64 bound: sum c_i * t_i <= n * ln(n) * 1e6 — safe through
+    ~2e11 chars PER DOCUMENT; no guard needed (a single document that
+    size does not exist).
+
+    Scale shape: one explode to (id, char) — O(len) rows per document,
+    the q152 cost class — one (id, char)-keyed count (map-side partial
+    combine collapses repeats before the shuffle), one id-keyed
+    aggregation, one spine join back so every input row is present.
+    No window, no pair space, no Python.
+
+    Output: (id, n_chars, n_distinct_chars, entropy_micro)."""
+    # sequence(1, 0) runs DESCENDING (the word_ngrams guard lesson), so
+    # empty/NULL text must short-circuit to an empty array, not explode
+    # two phantom positions
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                F.length(F.col(text_col)) >= 1,
+                F.expr(
+                    f"transform(sequence(1, length({text_col})), "
+                    f"i -> substring({text_col}, i, 1))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ch"),
+    )
+    per_char = base.groupBy("id", "ch").agg(F.count("*").alias("c"))
+    quant = per_char.select(
+        "id",
+        "c",
+        F.round(F.log(F.col("c").cast("double")) * 1_000_000).cast(
+            "long"
+        ).alias("t"),
+    )
+    stats = quant.groupBy("id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        F.sum(F.col("c") * F.col("t")).alias("__s"),
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(stats, "id", "left").select(
+        "id",
+        F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce("n_distinct_chars", F.lit(0)).cast("long").alias(
+            "n_distinct_chars"
+        ),
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(
+                F.log(F.col("n_chars").cast("double")) * 1_000_000
+            ).cast("long")
+            - F.expr("__s div n_chars"),
+        ).alias("entropy_micro"),
+    )

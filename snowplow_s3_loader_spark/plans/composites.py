@@ -1081,6 +1081,40 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         F.col("start_min").alias("v3"),
     )
+    calib = q.q156_calibration(spark, sf_dir).select(
+        F.lit("calib").alias("battery"),
+        F.col("bin").cast("string").alias("key"),
+        (F.col("n") * 10_000_000_000 + F.col("n_pos")).alias("v1"),
+        # avg/frac are micro-units <= 1e6 — lossless fold into one slot
+        (
+            F.col("avg_score_micro") * 10_000_000
+            + F.col("frac_pos_micro")
+        ).alias("v2"),
+        F.col("ece_num").alias("v3"),
+    )
+    abz = q.q157_ab_test(spark, sf_dir).select(
+        F.lit("abz").alias("battery"),
+        F.col("event_type").alias("key"),
+        (F.col("n_a") * 10_000_000_000 + F.col("n_b")).alias("v1"),
+        (F.col("x_a") * 10_000_000_000 + F.col("x_b")).alias("v2"),
+        F.col("z_micro").alias("v3"),
+    )
+    fdp = q.q158_fd_profile(spark, sf_dir).select(
+        F.lit("fd").alias("battery"),
+        F.concat_ws("@", "tbl", "fd").alias("key"),
+        F.col("n_groups").alias("v1"),
+        F.col("n_violating").alias("v2"),
+        (F.col("max_dep_values") * 10 + F.col("holds")).alias("v3"),
+    )
+    entr = q.q159_char_entropy(spark, sf_dir).select(
+        F.lit("entropy").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        (
+            F.col("n_chars") * 10_000_000_000 + F.col("n_distinct_chars")
+        ).alias("v1"),
+        F.col("entropy_micro").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     lsc = q.q133_label_scatter(spark, sf_dir).select(
         F.lit("lscatter").alias("battery"),
         F.col("label").cast("string").alias("key"),
@@ -1168,6 +1202,10 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(ksd)
         .union(zpf)
         .union(kmvm)
+        .union(calib)
+        .union(abz)
+        .union(fdp)
+        .union(entr)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1333,6 +1371,8 @@ _FOLDED = {
     "q147_token_shards", "q148_moore_lewis", "q149_ngram_novelty",
     "q150_incremental_dedup", "q151_psi_drift", "q152_substring_dedup",
     "q153_ks_drift", "q154_zipf_fit", "q155_source_overlap",
+    "q156_calibration", "q157_ab_test", "q158_fd_profile",
+    "q159_char_entropy",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2194,6 +2234,27 @@ SELECT 'srcoverlap' AS battery, ga || '|' || gb AS key,
        k_used * 10000000000 + n_both AS v1, jaccard_micro AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q155_source_overlap"]})
+UNION ALL
+SELECT 'calib' AS battery, CAST(bin AS VARCHAR) AS key,
+       n * 10000000000 + n_pos AS v1,
+       avg_score_micro * 10000000 + frac_pos_micro AS v2,
+       ece_num AS v3
+FROM ({ORACLES["q156_calibration"]})
+UNION ALL
+SELECT 'abz' AS battery, event_type AS key,
+       n_a * 10000000000 + n_b AS v1,
+       x_a * 10000000000 + x_b AS v2, z_micro AS v3
+FROM ({ORACLES["q157_ab_test"]})
+UNION ALL
+SELECT 'fd' AS battery, tbl || '@' || fd AS key,
+       n_groups AS v1, n_violating AS v2,
+       max_dep_values * 10 + holds AS v3
+FROM ({ORACLES["q158_fd_profile"]})
+UNION ALL
+SELECT 'entropy' AS battery, CAST(id AS VARCHAR) AS key,
+       n_chars * 10000000000 + n_distinct_chars AS v1,
+       entropy_micro AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q159_char_entropy"]})
 ORDER BY battery, key, v1
 """
 

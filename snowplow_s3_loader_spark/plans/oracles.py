@@ -3734,3 +3734,222 @@ SELECT ga, gb, CAST(count(*) AS BIGINT) AS k_used,
 FROM topu GROUP BY ga, gb
 ORDER BY ga, gb
 """
+
+# q156: calibration bins — the q77 scoring SQL squashed by the
+# sign-separated truncating integer map, 10 equal-width bins with the
+# exact (n, n_pos, sum_score) triple, k-row spine via range(), ECE
+# numerator as a window sum over the bounded bin frame.
+ORACLES["q156_calibration"] = f"""
+WITH scored AS (
+  SELECT CAST(list_sum(list_transform({_TOKS}, t -> {_W77})) AS BIGINT)
+           AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+squashed AS (
+  SELECT least(greatest(500000 + CASE WHEN s >= 0 THEN s // 24
+                                      ELSE -((-s) // 24) END,
+                        0), 1000000) AS p, y
+  FROM scored
+),
+binned AS (
+  SELECT least((p * 10) // 1000000, 9) AS bin, p, y FROM squashed
+),
+per_bin AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(p) AS BIGINT) AS ss
+  FROM binned GROUP BY bin
+),
+spine AS (SELECT unnest(range(0, 10)) AS bin),
+full_bins AS (
+  SELECT CAST(spine.bin AS INTEGER) AS bin,
+         coalesce(n, 0) AS n, coalesce(n_pos, 0) AS n_pos,
+         coalesce(ss, 0) AS ss
+  FROM spine LEFT JOIN per_bin ON spine.bin = per_bin.bin
+),
+ratios AS (
+  SELECT bin, n, n_pos,
+         CASE WHEN n > 0 THEN ss // n END AS avg_score_micro,
+         CASE WHEN n > 0 THEN (n_pos * 1000000) // n END AS frac_pos_micro
+  FROM full_bins
+),
+gaps AS (
+  SELECT *, CASE WHEN n > 0
+                 THEN abs(avg_score_micro - frac_pos_micro) END AS gap_micro
+  FROM ratios
+)
+SELECT bin, n, n_pos, avg_score_micro, frac_pos_micro, gap_micro,
+       CAST(sum(coalesce(n * gap_micro, 0)) OVER () AS BIGINT) AS ece_num
+FROM gaps ORDER BY bin
+"""
+
+# q157: two-proportion z per event_type — integer cross-multiply
+# success rule, exact counts, ONE closing double expression mirroring
+# the Spark tree node for node (every operand an exactly-represented
+# int64, sqrt IEEE-defined — the q116/q154 portability rule).
+ORACLES["q157_ab_test"] = """
+WITH ev AS (
+  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+users AS (SELECT DISTINCT user_id FROM ev),
+types AS (SELECT DISTINCT event_type FROM ev),
+counts AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_t
+  FROM ev GROUP BY event_type, user_id
+),
+totals AS (
+  SELECT event_type, CAST(sum(n_t) AS BIGINT) AS total_t
+  FROM counts GROUP BY event_type
+),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM users),
+grid AS (
+  SELECT t.event_type,
+         u.user_id % 2 = 0 AS variant,
+         CASE WHEN coalesce(c.n_t, 0) * nu.nu > tt.total_t
+              THEN 1 ELSE 0 END AS success
+  FROM users u
+  CROSS JOIN types t
+  LEFT JOIN counts c ON c.event_type = t.event_type
+                    AND c.user_id = u.user_id
+  JOIN totals tt ON tt.event_type = t.event_type
+  CROSS JOIN nu
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN variant THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant THEN success ELSE 0 END) AS BIGINT)
+           AS x_a,
+         CAST(sum(CASE WHEN variant THEN 0 ELSE success END) AS BIGINT)
+           AS x_b
+  FROM grid GROUP BY event_type
+)
+SELECT event_type, n_a, n_b, x_a, x_b,
+       x_a * n_b - x_b * n_a AS diff_num,
+       CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+                 AND x_a + x_b < n_a + n_b THEN
+         CAST(round(
+           (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt(
+               (CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))
+             )
+           * 1000000) AS BIGINT)
+       END AS z_micro
+FROM agg ORDER BY event_type
+"""
+
+# q158: FD profiling — count(distinct dep) + max(dep IS NULL) per
+# determinant group, reduced to (n_groups, n_violating, max_dep_values)
+# per declared pair; unioned across the three tables.
+ORACLES["q158_fd_profile"] = """
+WITH
+fd1 AS (
+  SELECT CAST(count(DISTINCT o_custkey)
+              + max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nd
+  FROM orders GROUP BY o_orderkey
+),
+fd2 AS (
+  SELECT CAST(count(DISTINCT o_orderstatus)
+              + max(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nd
+  FROM orders GROUP BY o_custkey
+),
+fd3 AS (
+  SELECT CAST(count(DISTINCT l_partkey)
+              + max(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nd
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+),
+fd4 AS (
+  SELECT CAST(count(DISTINCT l_returnflag)
+              + max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nd
+  FROM lineitem GROUP BY l_orderkey
+),
+fd5 AS (
+  SELECT CAST(count(DISTINCT user_id)
+              + max(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nd
+  FROM events GROUP BY event_id
+),
+fd6 AS (
+  SELECT CAST(count(DISTINCT event_type)
+              + max(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nd
+  FROM events GROUP BY user_id
+),
+rows_out AS (
+  SELECT 'orders' AS tbl, 'o_orderkey->o_custkey' AS fd,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         CAST(max(nd) AS BIGINT) AS max_dep_values
+  FROM fd1
+  UNION ALL
+  SELECT 'orders', 'o_custkey->o_orderstatus', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(max(nd) AS BIGINT)
+  FROM fd2
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey,l_linenumber->l_partkey',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(max(nd) AS BIGINT)
+  FROM fd3
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey->l_returnflag', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(max(nd) AS BIGINT)
+  FROM fd4
+  UNION ALL
+  SELECT 'events', 'event_id->user_id', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(max(nd) AS BIGINT)
+  FROM fd5
+  UNION ALL
+  SELECT 'events', 'user_id->event_type', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(max(nd) AS BIGINT)
+  FROM fd6
+)
+SELECT tbl, fd, n_groups, n_violating, max_dep_values,
+       CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM rows_out ORDER BY tbl, fd
+"""
+
+# q159: char-level Shannon entropy — per-term quantized ln(c) micro-nats
+# (round once per distinct (doc, char) count), exact int64 sums, one
+# truncating closing division; empty docs NULL.
+ORACLES["q159_char_entropy"] = """
+WITH chars AS (
+  SELECT doc_id, substr(text, CAST(p AS INTEGER), 1) AS ch
+  FROM documents,
+       unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS t(p)
+),
+pc AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars GROUP BY doc_id, ch
+),
+q AS (
+  SELECT doc_id, c, CAST(round(ln(c) * 1000000) AS BIGINT) AS t FROM pc
+),
+st AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(c * t) AS BIGINT) AS s
+  FROM q GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       coalesce(st.n, 0) AS n_chars,
+       coalesce(st.nd, 0) AS n_distinct_chars,
+       CASE WHEN st.n > 0
+            THEN CAST(round(ln(st.n) * 1000000) AS BIGINT) - s // st.n
+       END AS entropy_micro
+FROM documents d LEFT JOIN st USING (doc_id)
+ORDER BY id
+"""

@@ -3321,6 +3321,118 @@ def q155_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap_matrix(sigs, "source", k=64).orderBy("ga", "gb")
 
 
+def q156_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration bins (Naeini et al. 2015 ECE) for
+    the q77 hashed-linear quality classifier against an INDEPENDENT
+    ground truth (lang = 'en'): raw scores squash into a micro-unit
+    pseudo-probability by a clipped integer linear map (sign-separated
+    truncating division — the q116 rule, so both engines divide
+    positive operands only), then ten equal-width bins collect exact
+    (n, n_pos, sum_score) and the ECE numerator. One corpus scan, one
+    k-ary aggregation."""
+    from snowplow_s3_loader_spark.operators.profile import calibration_bins
+    from snowplow_s3_loader_spark.operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    score, _ = hashed_linear_score(F.col("text"), dim=4096, seed=0)
+    base = docs.select(
+        score.alias("__s"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    squashed = base.select(
+        F.least(
+            F.greatest(
+                F.lit(500_000)
+                + F.when(F.col("__s") >= 0, F.expr("__s div 24")).otherwise(
+                    -F.expr("(-__s) div 24")
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(1_000_000).cast("long"),
+        ).alias("p_micro"),
+        "y",
+    )
+    return calibration_bins(squashed, "p_micro", "y", k=10)
+
+
+def q157_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout per event_type — the A/B
+    experiment primitive: variant = user_id parity, success = the user
+    logged strictly more events of that type than the per-user average
+    (the threshold is the exact integer cross-multiply
+    n_t * n_users > total_t — no division anywhere in the success
+    rule). Exact counts + one closing double z expression."""
+    from snowplow_s3_loader_spark.operators.profile import two_proportion_z
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_t")
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("n_t").alias("total_t"))
+    n_users = users.agg(F.count("*").alias("nu"))
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "user_id"], "left")
+        .join(F.broadcast(totals), "event_type")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "event_type",
+            (F.col("user_id") % 2 == 0).alias("variant"),
+            (
+                F.coalesce("n_t", F.lit(0)) * F.col("nu") > F.col("total_t")
+            ).cast("long").alias("success"),
+        )
+    )
+    return two_proportion_z(
+        grid, "variant", "success", True, False, strata_cols=["event_type"]
+    )
+
+
+def q158_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency / candidate-key profiling across three
+    tables: declared contracts that HOLD (o_orderkey is a key;
+    event_id determines user_id) next to violated ones (o_custkey does
+    not determine order status; (l_orderkey, l_linenumber) is NOT
+    unique in this synthetic drop — the kind of surprise FD profiling
+    exists to surface). One exact two-level aggregation per declared
+    pair."""
+    from snowplow_s3_loader_spark.operators.profile import fd_check
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    o = fd_check(
+        orders,
+        [(["o_orderkey"], "o_custkey"), (["o_custkey"], "o_orderstatus")],
+    ).select(F.lit("orders").alias("tbl"), "*")
+    l = fd_check(
+        li,
+        [
+            (["l_orderkey", "l_linenumber"], "l_partkey"),
+            (["l_orderkey"], "l_returnflag"),
+        ],
+    ).select(F.lit("lineitem").alias("tbl"), "*")
+    e = fd_check(
+        ev,
+        [(["event_id"], "user_id"), (["user_id"], "event_type")],
+    ).select(F.lit("events").alias("tbl"), "*")
+    return o.unionAll(l).unionAll(e).orderBy("tbl", "fd")
+
+
+def q159_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (gibberish /
+    encoding-garbage detector): per-term quantized micro-nats, exact
+    int64 accumulation, one explode + two aggregations."""
+    from snowplow_s3_loader_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs, "doc_id", "text").orderBy("id")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3477,5 +3589,9 @@ QUERIES = {
         q153_ks_drift,
         q154_zipf_fit,
         q155_source_overlap,
+        q156_calibration,
+        q157_ab_test,
+        q158_fd_profile,
+        q159_char_entropy,
     ]
 }

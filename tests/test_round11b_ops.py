@@ -1,0 +1,363 @@
+"""Round-11 second-wave operators: calibration bins, two-proportion
+z-test, FD profiling, char-level entropy — each differential-tested
+against an independent pure-python reference plus its guard contracts."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.utils import PythonException
+
+
+def _collect_err(df):
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    return str(ei.value)
+
+
+class TestCalibrationBins:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(rows, "p long, y int")
+
+    def test_matches_pure_python_reference(self, spark):
+        """Exact (n, n_pos, avg, frac, gap, ece) vs an independent
+        integer reference on a deterministic mixed-score set."""
+        from snowplow_s3_loader_spark.operators.profile import (
+            calibration_bins,
+        )
+
+        rows = [
+            ((i * 7919) % 1000001, 1 if (i * 104729) % 1000001 < (i * 7919) % 1000001 else 0)
+            for i in range(500)
+        ]
+        k = 10
+        # pure-python reference
+        bins = {b: [0, 0, 0] for b in range(k)}
+        for p, y in rows:
+            b = min(p * k // 1_000_000, k - 1)
+            bins[b][0] += 1
+            bins[b][1] += y
+            bins[b][2] += p
+        expect = {}
+        ece = 0
+        for b in range(k):
+            n, np_, ss = bins[b]
+            if n > 0:
+                avg = ss // n
+                frac = np_ * 1_000_000 // n
+                gap = abs(avg - frac)
+                ece += n * gap
+                expect[b] = (n, np_, avg, frac, gap)
+            else:
+                expect[b] = (0, 0, None, None, None)
+        got = calibration_bins(self._frame(spark, rows), "p", "y", k=k).collect()
+        assert len(got) == k
+        for r in got:
+            assert (
+                r["n"],
+                r["n_pos"],
+                r["avg_score_micro"],
+                r["frac_pos_micro"],
+                r["gap_micro"],
+            ) == expect[r["bin"]], r
+            assert r["ece_num"] == ece
+
+    def test_perfectly_calibrated_scores_have_zero_gap(self, spark):
+        """A bin whose scores all equal its positive rate gaps at 0
+        (200 rows at p = 0.25e6, exactly 50 positive)."""
+        from snowplow_s3_loader_spark.operators.profile import (
+            calibration_bins,
+        )
+
+        rows = [(250_000, 1 if i < 50 else 0) for i in range(200)]
+        out = {
+            r["bin"]: r
+        for r in calibration_bins(self._frame(spark, rows), "p", "y", k=4).collect()}
+        assert out[1]["n"] == 200 and out[1]["gap_micro"] == 0
+        assert out[1]["ece_num"] == 0
+
+    def test_score_eq_one_lands_in_last_bin(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            calibration_bins,
+        )
+
+        rows = [(1_000_000, 1)]
+        out = calibration_bins(self._frame(spark, rows), "p", "y", k=10).collect()
+        assert [r["n"] for r in out] == [0] * 9 + [1]
+
+    def test_out_of_range_score_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            calibration_bins,
+        )
+
+        msg = _collect_err(
+            calibration_bins(
+                self._frame(spark, [(1_000_001, 0)]), "p", "y", k=10
+            )
+        )
+        assert "micro-unit probability" in msg
+
+    def test_bad_label_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            calibration_bins,
+        )
+
+        msg = _collect_err(
+            calibration_bins(self._frame(spark, [(5, 2)]), "p", "y", k=10)
+        )
+        assert "must be 0/1" in msg
+
+    def test_bad_k_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            calibration_bins,
+        )
+
+        with pytest.raises(ValueError, match="k must be"):
+            calibration_bins(self._frame(spark, [(5, 0)]), "p", "y", k=0)
+
+
+class TestTwoProportionZ:
+    def _frame(self, spark, rows, schema="v string, s int"):
+        return spark.createDataFrame(rows, schema)
+
+    def test_matches_pure_python_z(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            two_proportion_z,
+        )
+
+        rows = (
+            [("a", 1)] * 60
+            + [("a", 0)] * 40
+            + [("b", 1)] * 45
+            + [("b", 0)] * 55
+        )
+        got = two_proportion_z(
+            self._frame(spark, rows), "v", "s", "a", "b"
+        ).collect()[0]
+        n_a, n_b, x_a, x_b = 100, 100, 60, 45
+        p = (x_a + x_b) / (n_a + n_b)
+        se = math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+        z = round((x_a / n_a - x_b / n_b) / se * 1_000_000)
+        assert (got["n_a"], got["n_b"], got["x_a"], got["x_b"]) == (
+            n_a,
+            n_b,
+            x_a,
+            x_b,
+        )
+        assert got["diff_num"] == x_a * n_b - x_b * n_a == 1500
+        assert got["z_micro"] == z
+
+    def test_identical_rates_give_zero(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            two_proportion_z,
+        )
+
+        rows = [("a", 1)] * 3 + [("a", 0)] * 7 + [("b", 1)] * 3 + [("b", 0)] * 7
+        got = two_proportion_z(
+            self._frame(spark, rows), "v", "s", "a", "b"
+        ).collect()[0]
+        assert got["diff_num"] == 0 and got["z_micro"] == 0
+
+    def test_degenerate_pool_rate_gives_null_z(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            two_proportion_z,
+        )
+
+        rows = [("a", 1)] * 5 + [("b", 1)] * 5
+        got = two_proportion_z(
+            self._frame(spark, rows), "v", "s", "a", "b"
+        ).collect()[0]
+        assert got["z_micro"] is None and got["diff_num"] == 0
+
+    def test_third_arm_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            two_proportion_z,
+        )
+
+        msg = _collect_err(
+            two_proportion_z(
+                self._frame(spark, [("a", 1), ("c", 0)]), "v", "s", "a", "b"
+            )
+        )
+        assert "must be" in msg
+
+    def test_null_success_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            two_proportion_z,
+        )
+
+        msg = _collect_err(
+            two_proportion_z(
+                self._frame(spark, [("a", None), ("b", 1)]), "v", "s", "a", "b"
+            )
+        )
+        assert "0/1" in msg
+
+    def test_strata_split_counts(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            two_proportion_z,
+        )
+
+        rows = [
+            ("g1", "a", 1),
+            ("g1", "b", 0),
+            ("g2", "a", 0),
+            ("g2", "b", 1),
+            ("g2", "b", 0),
+        ]
+        got = {
+            r["g"]: r
+            for r in two_proportion_z(
+                self._frame(spark, rows, "g string, v string, s int"),
+                "v",
+                "s",
+                "a",
+                "b",
+                strata_cols=["g"],
+            ).collect()
+        }
+        assert (got["g1"]["n_a"], got["g1"]["n_b"], got["g1"]["x_a"], got["g1"]["x_b"]) == (1, 1, 1, 0)
+        assert (got["g2"]["n_a"], got["g2"]["n_b"], got["g2"]["x_a"], got["g2"]["x_b"]) == (1, 2, 0, 1)
+
+
+class TestFdCheck:
+    def test_holds_and_violations(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import fd_check
+
+        df = spark.createDataFrame(
+            [(1, 10, "x"), (2, 10, "x"), (3, 20, "y"), (4, 20, "z")],
+            "id long, det long, dep string",
+        )
+        out = {
+            r["fd"]: r
+            for r in fd_check(
+                df, [(["id"], "dep"), (["det"], "dep")]
+            ).collect()
+        }
+        assert out["id->dep"]["holds"] == 1
+        assert out["id->dep"]["n_groups"] == 4
+        assert out["det->dep"]["holds"] == 0
+        assert out["det->dep"]["n_violating"] == 1
+        assert out["det->dep"]["max_dep_values"] == 2
+
+    def test_null_dep_counts_as_distinct_value(self, spark):
+        """{1, NULL} under one determinant must read 2 dependent values
+        (plain count(distinct) would silently report 1 and call the FD
+        held)."""
+        from snowplow_s3_loader_spark.operators.profile import fd_check
+
+        df = spark.createDataFrame(
+            [(10, 1), (10, None), (20, 2)], "det long, dep long"
+        )
+        row = fd_check(df, [(["det"], "dep")]).collect()[0]
+        assert row["n_violating"] == 1 and row["max_dep_values"] == 2
+
+    def test_null_determinant_is_a_group(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import fd_check
+
+        df = spark.createDataFrame(
+            [(None, 1), (None, 2), (1, 3)], "det long, dep long"
+        )
+        row = fd_check(df, [(["det"], "dep")]).collect()[0]
+        assert row["n_groups"] == 2 and row["n_violating"] == 1
+
+    def test_multi_column_determinant(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import fd_check
+
+        df = spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, "b"), (1, 1, "a")],
+            "d1 long, d2 long, dep string",
+        )
+        row = fd_check(df, [(["d1", "d2"], "dep")]).collect()[0]
+        assert row["fd"] == "d1,d2->dep"
+        assert row["n_groups"] == 2 and row["holds"] == 1
+
+    def test_bad_pairs_raise(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import fd_check
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with pytest.raises(ValueError, match="at least one"):
+            fd_check(df, [])
+        with pytest.raises(ValueError, match="bad pair"):
+            fd_check(df, [(["a"], "a")])
+        with pytest.raises(ValueError, match="bad pair"):
+            fd_check(df, [([], "a")])
+
+
+class TestCharEntropy:
+    def _run(self, spark, texts):
+        from snowplow_s3_loader_spark.operators.text import char_entropy
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r["id"]: r
+            for r in char_entropy(df, "doc_id", "text").collect()
+        }
+
+    @staticmethod
+    def _ref(text):
+        """Independent reference with the operator's own quantization
+        contract (round once per distinct count, integer-sum, truncate)."""
+        from collections import Counter
+
+        c = Counter(text)
+        n = len(text)
+        if n == 0:
+            return (0, 0, None)
+        s = sum(
+            cnt * int(_round_half_up(math.log(cnt) * 1_000_000))
+            for cnt in c.values()
+        )
+        return (
+            n,
+            len(c),
+            int(_round_half_up(math.log(n) * 1_000_000)) - s // n,
+        )
+
+    def test_matches_reference_on_mixed_texts(self, spark):
+        texts = [
+            "aaaa",
+            "abab",
+            "abcdefgh",
+            "the quick brown fox jumps over the lazy dog",
+            "aA bB!!??",
+            "",
+            "x",
+        ]
+        got = self._run(spark, texts)
+        for i, t in enumerate(texts):
+            n, nd, em = self._ref(t)
+            assert (
+                got[i]["n_chars"],
+                got[i]["n_distinct_chars"],
+                got[i]["entropy_micro"],
+            ) == (n, nd, em), (i, t)
+
+    def test_single_char_flood_is_zero_entropy(self, spark):
+        got = self._run(spark, ["zzzzzzzzzzzz"])
+        assert got[0]["entropy_micro"] == 0
+
+    def test_uniform_distribution_hits_ln_k(self, spark):
+        """16 distinct chars once each: H = ln(16) exactly (quantized)."""
+        got = self._run(spark, ["abcdefghijklmnop"])
+        # ln(16)*1e6 = 2772588.72...; per-term ln(1)=0 so H = round(ln 16 * 1e6)
+        assert got[0]["entropy_micro"] == 2772589
+
+    def test_high_entropy_beats_natural_text(self, spark):
+        got = self._run(
+            spark,
+            [
+                "the the the the the the the the",
+                "q7Zp3kX9vR2mW8sL5nJ4hT6gB1cD0fY",
+            ],
+        )
+        assert got[1]["entropy_micro"] > got[0]["entropy_micro"]
+
+
+def _round_half_up(x: float) -> float:
+    """Spark F.round / DuckDB round semantics: half away from zero."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
