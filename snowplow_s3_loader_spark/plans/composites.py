@@ -1959,6 +1959,14 @@ SELECT 'parity' AS battery,
        CAST(NULL AS BIGINT) AS v3
 FROM (SELECT unnest(range(1, 11)) AS b)
 UNION ALL
+-- streaming CMS maintenance (twelfth family): one bit per depth row,
+-- each covering that row's whole counter vector
+SELECT 'parity' AS battery,
+       'streaming_cms@' || CAST(d AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (SELECT unnest(range(0, 4)) AS d)
+UNION ALL
 SELECT 'parity' AS battery,
        'component_map@' || CAST(node AS VARCHAR) AS key,
        CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,

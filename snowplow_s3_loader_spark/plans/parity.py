@@ -905,6 +905,62 @@ def _psi_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+def _cms_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Streaming CMS maintenance vs batch cms_build (round 11 — the
+    TWELFTH parity family): the documents token stream hash-split into
+    three micro-batches (deliberately NOT arrival-ordered; the per-cell
+    count fold is commutative), drained through streaming_cms and
+    compared CELL FOR CELL against the batch sketch of the full
+    corpus — one parity bit per depth row, each bit covering that
+    row's entire counter vector (a single divergent cell, missing
+    cell, or phantom cell flips its row's bit)."""
+    from snowplow_s3_loader_spark.operators.sketches import cms_build, tokens
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_cms
+
+    width, depth = 2048, 4
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="parity_cms_")
+    drained: dict = {}
+    try:
+        slices = [
+            docs.where(F.pmod(F.xxhash64("doc_id"), 3) == i) for i in range(3)
+        ]
+        in_dir = _write_stream_files(slices, tmp)
+        src = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        toks = src.select(F.explode(tokens(F.col("text"))).alias("tok"))
+
+        def _fb(df, bid):
+            for r in df.collect():  # update mode: later batches overwrite
+                drained[(r["row"], r["cell"])] = r["n"]
+
+        _run_stream(
+            streaming_cms(toks, tok_col="tok", width=width, depth=depth),
+            tmp,
+            _fb,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    batch = {
+        (r["row"], r["cell"]): r["n"]
+        for r in cms_build(
+            docs.select(F.explode(tokens(F.col("text"))).alias("tok")),
+            "tok",
+            width=width,
+            depth=depth,
+        ).collect()
+    }
+    rows = []
+    for d in range(depth):
+        b = {c: n for (r, c), n in batch.items() if r == d}
+        s = {c: n for (r, c), n in drained.items() if r == d}
+        rows.append(("streaming_cms", str(d), int(b == s and len(b) > 0)))
+    return rows
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check_name, key, is_match) for all the parity families, fully
     materialized driver-side (literal rows — no lingering plan or
@@ -914,7 +970,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, not nine."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
+    with ThreadPoolExecutor(max_workers=12) as ex:
         fut_funnel = ex.submit(_funnel_parity, spark, sf_dir)
         fut_heavy = ex.submit(_heavy_parity, spark, sf_dir)
         fut_ssj = ex.submit(_interval_join_parity, spark, sf_dir)
@@ -925,6 +981,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_url = ex.submit(_url_dedup_parity, spark, sf_dir)
         fut_inc = ex.submit(_inc_minhash_parity, spark, sf_dir)
         fut_psi = ex.submit(_psi_parity, spark, sf_dir)
+        fut_cms = ex.submit(_cms_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
         rows = (
             fut_funnel.result()
@@ -937,6 +994,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             + fut_url.result()
             + fut_inc.result()
             + fut_psi.result()
+            + fut_cms.result()
             + cm_rows
         )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

@@ -1117,3 +1117,75 @@ def streaming_psi_counts(
     return binned.groupBy("bin").applyInPandasWithState(
         _update, out_schema, state_schema, "update", timeout
     )
+
+
+def streaming_cms(
+    toks: DataFrame,
+    tok_col: str = "tok",
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Streaming Count-Min sketch maintenance — the TWELFTH
+    batch-vs-streaming parity family, operators.sketches.cms_build's
+    twin: the always-on frequency monitor over an unbounded token
+    stream, drained cell-for-cell EQUAL to the batch sketch of the
+    union of all micro-batches.
+
+    Each token routes to its ``depth`` (row, cell) counters through the
+    engine-portable md5 hash family (sketches.cms_hash — the SAME cells
+    the batch builder and the DuckDB oracle hit), and the per-cell fold
+    is a plain count addition: commutative + associative, so there is
+    NO arrival-order contract — any interleaving of batches drains to
+    ``cms_build`` on the union exactly (the streaming_psi_counts
+    argument, applied to a sketch instead of a bin grid).
+
+    State is ONE long per touched cell, bounded by depth*width — the
+    monitor's own size, never the data (the defining CMS property
+    carried into the state store). Emits the touched cells' cumulative
+    (row, cell, n) per batch (update mode — keep the latest emission
+    per cell); the drained frame IS a sketch frame: feed it to
+    `cms_query` / `cms_merge` unchanged.
+
+    NULL tokens are dropped (the cms_build rule, applied in the same
+    pure projection)."""
+    from snowplow_s3_loader_spark.operators.sketches import cms_hash
+
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias(
+        "row"
+    )
+    cells = (
+        toks.select(F.col(tok_col).alias("__tok"))
+        .where(F.col("__tok").isNotNull())
+        .select("__tok", rows)
+        .select(
+            "row", cms_hash(F.col("__tok"), F.col("row"), width).alias("cell")
+        )
+    )
+    out_schema = StructType(
+        [
+            StructField("row", IntegerType()),
+            StructField("cell", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        row, cell = key
+        n_new = sum(len(p) for p in pdfs)
+        if not n_new:
+            return
+        (n,) = state.get if state.exists else (0,)
+        n += n_new
+        state.update((n,))
+        yield pd.DataFrame({"row": [row], "cell": [cell], "n": [n]})
+
+    return cells.groupBy("row", "cell").applyInPandasWithState(
+        _update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -403,10 +403,10 @@ def test_streaming_funnel_retro_event_improves_without_invalidating(spark, tmp_p
 
 def test_streaming_parity_rows_all_match(spark, sf_dir):
     """The driver-visible batch-vs-streaming parity audit (folded into
-    q74_scale_battery) must emit is_match=1 for every key in all ELEVEN
+    q74_scale_battery) must emit is_match=1 for every key in all TWELVE
     families (session_window and streaming_ohlc landed rounds 8/9;
-    streaming_urldedup round 10; streaming_incdedup and streaming_psi
-    round 11) — a falsifiable audit is only useful
+    streaming_urldedup round 10; streaming_incdedup, streaming_psi and
+    streaming_cms round 11) — a falsifiable audit is only useful
     if its green state is pinned here and its red states are reachable
     (each family's divergence behavior is covered by the
     operator-level differential tests above)."""
@@ -428,6 +428,7 @@ def test_streaming_parity_rows_all_match(spark, sf_dir):
         "streaming_urldedup",
         "streaming_incdedup",
         "streaming_psi",
+        "streaming_cms",
     }, by_check
     for name, bits in by_check.items():
         assert bits and all(b == 1 for b in bits), (name, bits)
@@ -814,3 +815,76 @@ def test_streaming_url_dedup_string_ids(spark, tmp_path):
     }
     assert got == want
     assert all(isinstance(v[1], str) for v in want.values())
+
+
+def test_streaming_cms_matches_batch_cell_for_cell(spark, tmp_path):
+    """streaming_cms drained over three UNORDERED micro-batches must
+    equal cms_build on the union cell for cell — including cells whose
+    counts accumulate across batches (a token split across all three
+    slices) — and a brute-force per-token audit must show every
+    drained estimate >= the true count (the CMS one-sided guarantee
+    survives the streaming fold)."""
+    import os
+    import random
+    import time as _time
+
+    from snowplow_s3_loader_spark.operators.sketches import (
+        cms_build,
+        cms_query,
+    )
+    from snowplow_s3_loader_spark.streaming.stateful import streaming_cms
+
+    rnd = random.Random(47)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = [rnd.choice(vocab) for _ in range(900)]
+    # deliberately UNORDERED slices: round-robin so most tokens span all
+    # three batches and the per-cell fold must genuinely accumulate
+    thirds = [rows[0::3], rows[1::3], rows[2::3]]
+    in_dir = tmp_path / "cms_in"
+    in_dir.mkdir(parents=True)
+    base_t = _time.time() - 100
+    for i, chunk in enumerate(thirds):
+        p = in_dir / f"b{i}.csv"
+        p.write_text("\n".join(chunk) + "\n")
+        os.utime(p, (base_t + i * 10, base_t + i * 10))
+
+    width, depth = 128, 3
+    src = spark.readStream.schema("tok string").option(
+        "maxFilesPerTrigger", 1
+    ).csv(str(in_dir))
+    drained: dict = {}
+    q = (
+        streaming_cms(src, tok_col="tok", width=width, depth=depth)
+        .writeStream.foreachBatch(
+            lambda df, bid: drained.update(
+                {(r["row"], r["cell"]): r["n"] for r in df.collect()}
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame([(t,) for t in rows], "tok string")
+    want = {
+        (r["row"], r["cell"]): r["n"]
+        for r in cms_build(batch_df, "tok", width=width, depth=depth).collect()
+    }
+    assert drained == want
+    # the drained frame IS a sketch frame: point estimates must satisfy
+    # true <= est for every token (one-sided CMS guarantee)
+    sketch = spark.createDataFrame(
+        [(r, c, n) for (r, c), n in drained.items()], "row int, cell long, n long"
+    )
+    qtoks = spark.createDataFrame([(t,) for t in set(rows)], "tok string")
+    ests = {
+        r["token"]: r["est_n"]
+        for r in cms_query(sketch, qtoks, "tok", width=width, depth=depth).collect()
+    }
+    from collections import Counter
+
+    true = Counter(rows)
+    for t, n in true.items():
+        assert ests[t] >= n, (t, ests[t], n)
