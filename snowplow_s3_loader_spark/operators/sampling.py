@@ -384,3 +384,90 @@ def weighted_sample_topk(
         .filter(F.col("__wst_rk") <= n_per_group)
         .select(*df.columns, F.col("__wst_p").alias("priority"))
     )
+
+
+def quality_budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    token_col: str,
+    budget_tokens: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget-constrained quality selection — the curation closer
+    that turns a scored corpus into a training set of a DECLARED size:
+    keep documents from the best score down until the kept token mass
+    reaches the budget (the greedy prefix rule every "take the top X
+    tokens by quality" recipe means; token_budget_mixture shapes the
+    SOURCE mix by rates, this pins the TOTAL by an exact cut).
+
+    A document is kept iff the token mass of all STRICTLY
+    better-ranked documents is below the budget — so the kept set
+    always covers the budget (the boundary document is included) and
+    is the unique minimal such prefix under the total
+    (score DESC, id ASC) order. Deterministic: the rank rides
+    `ranking.global_running_total`'s literal-boundary machinery
+    (distributed, nothing materialized, no single-partition stage).
+
+    Guards: budget_tokens >= 1; NULL scores raise (Spark and DuckDB
+    order NULLs differently — the psi_bins rule); negative or NULL
+    token counts raise (a negative count corrupts the greedy prefix
+    silently).
+
+    Output: every input row as (id, score, n_tokens, cum_before,
+    kept) — cum_before the exclusive better-ranked token mass, so
+    downstream both filters (kept) and audits (how far over budget
+    the boundary document lands) without a second pass."""
+    from snowplow_s3_loader_spark.operators.ranking import (
+        global_running_total,
+    )
+
+    if budget_tokens < 1:
+        raise ValueError(
+            f"quality_budget_select: budget_tokens must be >= 1, got "
+            f"{budget_tokens}"
+        )
+    s, t = F.col(score_col), F.col(token_col)
+    checked_s = F.when(
+        s.isNull(),
+        F.raise_error(
+            F.lit(
+                f"quality_budget_select: NULL {score_col!r} (NULL "
+                "ordering differs across engines; filter or impute "
+                "first)"
+            )
+        ).cast(df.schema[score_col].dataType),
+    ).otherwise(s)
+    checked_t = F.when(
+        t.isNull() | (t < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"quality_budget_select: {token_col!r} must be a "
+                    "non-negative token count, got "
+                ),
+                F.coalesce(t.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(t.cast("long"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        checked_s.alias("__score"),
+        checked_t.alias("__tok"),
+    )
+    ranked, _, _ = global_running_total(
+        base,
+        [F.col("__score"), F.col("id")],
+        "__tok",
+        rn_col="__rn",
+        start_col="__start",
+        num_partitions=num_partitions,
+        descending=[True, False],
+    )
+    return ranked.select(
+        "id",
+        F.col("__score").alias(score_col),
+        F.col("__tok").alias("n_tokens"),
+        F.col("__start").alias("cum_before"),
+        (F.col("__start") < F.lit(budget_tokens)).alias("kept"),
+    )

@@ -1106,6 +1106,15 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violating").alias("v2"),
         (F.col("max_dep_values") * 10 + F.col("holds")).alias("v3"),
     )
+    bsel = q.q160_budget_select(spark, sf_dir).select(
+        F.lit("budget").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        F.col("score_micro").alias("v1"),
+        (F.col("n_tokens") * 10_000_000_000 + F.col("cum_before")).alias(
+            "v2"
+        ),
+        F.col("kept").cast("long").alias("v3"),
+    )
     entr = q.q159_char_entropy(spark, sf_dir).select(
         F.lit("entropy").alias("battery"),
         F.col("id").cast("string").alias("key"),
@@ -1206,6 +1215,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(abz)
         .union(fdp)
         .union(entr)
+        .union(bsel)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1372,7 +1382,7 @@ _FOLDED = {
     "q150_incremental_dedup", "q151_psi_drift", "q152_substring_dedup",
     "q153_ks_drift", "q154_zipf_fit", "q155_source_overlap",
     "q156_calibration", "q157_ab_test", "q158_fd_profile",
-    "q159_char_entropy",
+    "q159_char_entropy", "q160_budget_select",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2263,6 +2273,11 @@ SELECT 'entropy' AS battery, CAST(id AS VARCHAR) AS key,
        n_chars * 10000000000 + n_distinct_chars AS v1,
        entropy_micro AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q159_char_entropy"]})
+UNION ALL
+SELECT 'budget' AS battery, CAST(id AS VARCHAR) AS key,
+       score_micro AS v1, n_tokens * 10000000000 + cum_before AS v2,
+       CAST(kept AS BIGINT) AS v3
+FROM ({ORACLES["q160_budget_select"]})
 ORDER BY battery, key, v1
 """
 

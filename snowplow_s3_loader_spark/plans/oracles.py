@@ -3953,3 +3953,31 @@ SELECT d.doc_id AS id,
 FROM documents d LEFT JOIN st USING (doc_id)
 ORDER BY id
 """
+
+# q160: token-budget quality selection — the q77 scoring SQL, exclusive
+# running token mass over (score DESC, doc_id) via a window frame ending
+# at 1 PRECEDING (integer sums — no float prefix issues), keep iff the
+# better-ranked mass is under the literal budget.
+ORACLES["q160_budget_select"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS tk FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(tk, t -> {_W77})) AS BIGINT)
+           AS score_micro,
+         CAST(len(tk) AS BIGINT) AS n_tokens
+  FROM toks
+),
+c AS (
+  SELECT *,
+         CAST(coalesce(sum(n_tokens) OVER (
+                ORDER BY score_micro DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM scored
+)
+SELECT doc_id AS id, score_micro, n_tokens, cum_before,
+       cum_before < 12000 AS kept
+FROM c ORDER BY id
+"""

@@ -3433,6 +3433,32 @@ def q159_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(docs, "doc_id", "text").orderBy("id")
 
 
+def q160_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained quality selection: keep documents from
+    the best q77 classifier score down until 12k kept tokens — the
+    greedy prefix rule riding the literal-boundary global running
+    total (distributed, nothing materialized). Every document emitted
+    with its exclusive better-ranked token mass and keep flag."""
+    from snowplow_s3_loader_spark.operators.sampling import (
+        quality_budget_select,
+    )
+    from snowplow_s3_loader_spark.operators.text import (
+        hashed_linear_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    score, _ = hashed_linear_score(F.col("text"), dim=4096, seed=0)
+    base = docs.select(
+        "doc_id",
+        score.alias("score_micro"),
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return quality_budget_select(
+        base, "doc_id", "score_micro", "n_tok", 12_000
+    ).orderBy("id")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3593,5 +3619,6 @@ QUERIES = {
         q157_ab_test,
         q158_fd_profile,
         q159_char_entropy,
+        q160_budget_select,
     ]
 }

@@ -1162,3 +1162,13 @@ def test_q159_entropy_keyed_no_pair_space(spark, sf_dir):
     assert not data_sized_single_partitions(plan), plan
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition" not in plan.lower(), plan
+
+
+def test_q160_budget_select_distributed_prefix(spark, sf_dir):
+    """The greedy budget cut rides the literal-boundary running total:
+    no data-sized single-partition stage, no cartesian, every window
+    bucket-keyed."""
+    plan = plan_of(Q.q160_budget_select(spark, sf_dir))
+    assert not data_sized_single_partitions(plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert not unpartitioned_window_lines(plan), plan

@@ -361,3 +361,87 @@ class TestCharEntropy:
 def _round_half_up(x: float) -> float:
     """Spark F.round / DuckDB round semantics: half away from zero."""
     return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+class TestQualityBudgetSelect:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, s long, t long")
+
+    def test_matches_pure_python_greedy(self, spark):
+        from snowplow_s3_loader_spark.operators.sampling import (
+            quality_budget_select,
+        )
+
+        rows = [(i, (i * 7919) % 1000, 10 + (i * 31) % 90) for i in range(300)]
+        budget = 5000
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        cum, expect = 0, {}
+        for i, s, t in order:
+            expect[i] = (s, t, cum, cum < budget)
+            cum += t
+        got = quality_budget_select(
+            self._frame(spark, rows), "id", "s", "t", budget
+        ).collect()
+        assert len(got) == 300
+        for r in got:
+            assert (
+                r["s"],
+                r["n_tokens"],
+                r["cum_before"],
+                r["kept"],
+            ) == expect[r["id"]], r
+        # the kept set covers the budget and is minimal: kept mass >=
+        # budget (boundary doc included) and dropping the boundary doc
+        # goes under
+        kept = sorted(
+            (r for r in got if r["kept"]), key=lambda r: r["cum_before"]
+        )
+        mass = sum(r["n_tokens"] for r in kept)
+        assert mass >= budget
+        assert mass - kept[-1]["n_tokens"] < budget
+
+    def test_budget_covers_everything_keeps_all(self, spark):
+        from snowplow_s3_loader_spark.operators.sampling import (
+            quality_budget_select,
+        )
+
+        rows = [(1, 5, 10), (2, 3, 10)]
+        got = quality_budget_select(
+            self._frame(spark, rows), "id", "s", "t", 10_000
+        ).collect()
+        assert all(r["kept"] for r in got)
+
+    def test_score_ties_break_by_id(self, spark):
+        from snowplow_s3_loader_spark.operators.sampling import (
+            quality_budget_select,
+        )
+
+        rows = [(2, 7, 6), (1, 7, 6), (3, 7, 6)]
+        got = {
+            r["id"]: r
+            for r in quality_budget_select(
+                self._frame(spark, rows), "id", "s", "t", 7
+            ).collect()
+        }
+        assert got[1]["kept"] and got[2]["kept"] and not got[3]["kept"]
+        assert got[2]["cum_before"] == 6 and got[3]["cum_before"] == 12
+
+    def test_guards(self, spark):
+        from snowplow_s3_loader_spark.operators.sampling import (
+            quality_budget_select,
+        )
+
+        with pytest.raises(ValueError, match="budget_tokens"):
+            quality_budget_select(
+                self._frame(spark, [(1, 1, 1)]), "id", "s", "t", 0
+            )
+        # the per-row guards fire during the ranking's boundary-sampling
+        # job, i.e. already at operator CONSTRUCTION — wrap the whole call
+        with pytest.raises(Exception, match="NULL"):
+            quality_budget_select(
+                self._frame(spark, [(1, None, 1)]), "id", "s", "t", 5
+            ).collect()
+        with pytest.raises(Exception, match="non-negative"):
+            quality_budget_select(
+                self._frame(spark, [(1, 1, -3)]), "id", "s", "t", 5
+            ).collect()
