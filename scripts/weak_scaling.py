@@ -1849,10 +1849,111 @@ def kmv_case(spark, n_docs: int) -> dict:
     assert n == 40 * 39 // 2
     return {"case": "kmv_overlap", "rows": n_docs, "sec": round(dt, 2)}
 
+def char_entropy_case(spark, n_docs: int) -> dict:
+    """Per-char explode is the cost (O(len) rows/doc, the q152 class):
+    ~120-char synthetic docs with mixed char distributions; wall should
+    scale ~linearly with corpus chars."""
+    from snowplow_s3_loader_spark.operators.text import char_entropy
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("w"), ((F.col("id") * 31 + i) % 9973).cast("string"))
+                for i in range(15)
+            ],
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    out = char_entropy(docs, "doc_id", "text")
+    [row] = out.agg(
+        F.count("*").alias("n"), F.sum("entropy_micro").alias("s")
+    ).collect()
+    dt = time.perf_counter() - t0
+    assert row["n"] == n_docs
+    return {"case": "char_entropy", "docs": n_docs, "sec": round(dt, 2)}
+
+
+def calibration_case(spark, n_rows: int) -> dict:
+    """One guarded projection + one k-ary aggregation: wall should be
+    scan-bound (flat fixed costs, then linear in rows)."""
+    from snowplow_s3_loader_spark.operators.profile import calibration_bins
+
+    df = spark.range(n_rows).select(
+        ((F.col("id") * 7919) % 1000001).alias("p"),
+        ((F.col("id") * 104729) % 2).cast("int").alias("y"),
+    )
+    t0 = time.perf_counter()
+    out = calibration_bins(df, "p", "y", k=10).collect()
+    dt = time.perf_counter() - t0
+    assert len(out) == 10 and sum(r["n"] for r in out) == n_rows
+    return {"case": "calibration", "rows": n_rows, "sec": round(dt, 2)}
+
+
+def fd_case(spark, n_rows: int) -> dict:
+    """Two declared pairs = two keyed aggregations; determinant
+    cardinality grows with the data (the realistic profiling shape)."""
+    from snowplow_s3_loader_spark.operators.profile import fd_check
+
+    df = spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % (n_rows // 10)).alias("det"),
+        (F.col("id") % 97).alias("dep"),
+    )
+    t0 = time.perf_counter()
+    out = {r["fd"]: r for r in fd_check(
+        df, [(["k"], "dep"), (["det"], "dep")]
+    ).collect()}
+    dt = time.perf_counter() - t0
+    assert out["k->dep"]["holds"] == 1
+    return {"case": "fd_profile", "rows": n_rows, "sec": round(dt, 2)}
+
+
+def budget_select_case(spark, n_docs: int) -> dict:
+    """The greedy budget cut rides the literal-boundary running total —
+    the token_shards cost shape (sample + counts + output pass, nothing
+    materialized)."""
+    from snowplow_s3_loader_spark.operators.sampling import (
+        quality_budget_select,
+    )
+
+    df = spark.range(n_docs).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 1000000).alias("score"),
+        (50 + F.col("id") % 100).alias("toks"),
+    )
+    budget = n_docs * 25  # ~25% of mean token mass kept
+    t0 = time.perf_counter()
+    out = quality_budget_select(df, "id", "score", "toks", budget)
+    [row] = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("kept").cast("long")).alias("k"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens"))).alias("kt"),
+    ).collect()
+    dt = time.perf_counter() - t0
+    assert row["n"] == n_docs and row["kt"] >= budget
+    return {
+        "case": "budget_select",
+        "docs": n_docs,
+        "kept": row["k"],
+        "sec": round(dt, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
     out = []
+    if which == "round11b":
+        out.append(char_entropy_case(spark, 100_000))
+        out.append(char_entropy_case(spark, 1_000_000))
+        out.append(calibration_case(spark, 1_000_000))
+        out.append(calibration_case(spark, 10_000_000))
+        out.append(fd_case(spark, 1_000_000))
+        out.append(fd_case(spark, 10_000_000))
+        out.append(budget_select_case(spark, 1_000_000))
+        out.append(budget_select_case(spark, 10_000_000))
     if which in ("components", "all"):
         out.append(components_case(spark, 5_000))
         out.append(components_case(spark, 50_000))

@@ -3364,14 +3364,22 @@ def q157_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule). Exact counts + one closing double z expression."""
     from snowplow_s3_loader_spark.operators.profile import two_proportion_z
 
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+    )
+
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
     )
-    users = ev.select("user_id").distinct()
-    types = ev.select("event_type").distinct()
-    counts = ev.groupBy("event_type", "user_id").agg(
-        F.count("*").alias("n_t")
+    # the raw stream is scanned ONCE into the bounded (type, user)
+    # counts frame (|users| x |types| rows — the experiment's own size,
+    # never the event volume); users/types/totals all derive from it,
+    # so the checkpoint is bounded-frame pinning, not corpus residency
+    counts = checkpoint_nostats(
+        ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n_t"))
     )
+    users = counts.select("user_id").distinct()
+    types = counts.select("event_type").distinct()
     totals = counts.groupBy("event_type").agg(F.sum("n_t").alias("total_t"))
     n_users = users.agg(F.count("*").alias("nu"))
     grid = (
