@@ -1210,3 +1210,138 @@ def fd_check(
     for o in outs[1:]:
         res = res.unionAll(o)
     return res.orderBy("fd")
+
+
+def survival_curve(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group (Kaplan & Meier 1958) —
+    the time-to-event / churn primitive with right-censoring, the
+    analytics family the cohort-retention grid (q89) cannot express
+    (a user still active at observation end is CENSORED evidence, not
+    a non-event):
+
+        S(t) = prod over distinct event times t_i <= t of
+               (1 - d_i / n_i)
+
+    with d_i the events at t_i and n_i the at-risk count (subjects
+    whose duration >= t_i). Exact engine-portable form: at-risk counts
+    and event/censor counts are exact int64 (one keyed aggregation +
+    one exclusive keyed prefix sum); each step contributes
+    ``step_ln_micro = round(ln(1 - d/n) * 1e6)`` — quantized ONCE per
+    distinct (group, t) row, the repo's per-term ln discipline — and
+    the curve is carried as the exact integer ``cum_ln_micro`` (sum of
+    steps; S(t) = exp(cum/1e6), left to callers — no closing exp, so
+    the hashed artifact never depends on libm exp rounding). A time
+    where every remaining subject exits (d = n) drives S to 0:
+    ln(0) is emitted as NULL and cum_ln_micro stays NULL from there
+    down (the curve is dead, not rounding noise).
+
+    ``duration_col`` must be a non-negative integer (NULL/negative
+    raise); ``event_col`` 1 = event observed at duration, 0 = censored
+    there (NULL/other raise). Censored subjects leave the risk set at
+    their censor time without a survival step (the KM rule).
+
+    Scale shape: one (group, t)-keyed aggregation over the subjects
+    (map-side combine), one group-keyed window over the DISTINCT-time
+    frame (bounded by observed times per group, not subjects), one
+    more for the cumulative sum. No unpartitioned window, no join, no
+    Python.
+
+    Output: (group, t, n_at_risk, n_events, n_censored, step_ln_micro,
+    cum_ln_micro) ordered by (group, t)."""
+    from pyspark.sql import Window
+
+    d, e = F.col(duration_col), F.col(event_col)
+    checked_d = F.when(
+        d.isNull() | (d < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"survival_curve: {duration_col!r} must be a "
+                    "non-negative integer duration, got "
+                ),
+                F.coalesce(d.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(d.cast("long"))
+    checked_e = F.when(
+        e.isNull() | ~e.cast("long").isin(0, 1),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"survival_curve: {event_col!r} must be 0 (censored) "
+                    "or 1 (event), got "
+                ),
+                F.coalesce(e.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(e.cast("long"))
+    per_t = (
+        df.select(
+            F.col(group_col).alias("group"),
+            checked_d.alias("t"),
+            checked_e.alias("__e"),
+        )
+        .groupBy("group", "t")
+        .agg(
+            F.sum("__e").alias("n_events"),
+            F.sum(1 - F.col("__e")).alias("n_censored"),
+        )
+    )
+    w = Window.partitionBy("group").orderBy("t")
+    at_risk = per_t.select(
+        "*",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("n_events")
+            - F.col("n_censored")
+        ).alias("__before"),
+        F.sum(F.col("n_events") + F.col("n_censored")).over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    ).select(
+        "group",
+        "t",
+        (F.col("__total") - F.col("__before")).alias("n_at_risk"),
+        "n_events",
+        "n_censored",
+    )
+    stepped = at_risk.select(
+        "*",
+        F.when(
+            (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_at_risk")),
+            F.round(
+                F.log(
+                    1.0
+                    - F.col("n_events")
+                    / F.col("n_at_risk").cast("double")
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+        .when(F.col("n_events") == 0, F.lit(0).cast("long"))
+        .alias("step_ln_micro"),
+    )
+    # a NULL step (d = n: the curve hit exact 0) poisons the cumulative
+    # sum from that time on — deliberately: sum() over a window skips
+    # NULLs, so gate the cumsum on no-NULL-yet instead
+    dead = F.max(
+        F.col("step_ln_micro").isNull().cast("int")
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return stepped.select(
+        "*",
+        F.when(
+            dead == 0,
+            F.sum("step_ln_micro").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).alias("cum_ln_micro"),
+    ).orderBy("group", "t")

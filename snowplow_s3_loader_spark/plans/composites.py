@@ -1106,6 +1106,15 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violating").alias("v2"),
         (F.col("max_dep_values") * 10 + F.col("holds")).alias("v3"),
     )
+    kmc = q.q161_survival(spark, sf_dir).select(
+        F.lit("km").alias("battery"),
+        F.concat_ws("@", "group", "t").alias("key"),
+        F.col("n_at_risk").alias("v1"),
+        (F.col("n_events") * 10_000_000_000 + F.col("n_censored")).alias(
+            "v2"
+        ),
+        F.col("cum_ln_micro").alias("v3"),
+    )
     bsel = q.q160_budget_select(spark, sf_dir).select(
         F.lit("budget").alias("battery"),
         F.col("id").cast("string").alias("key"),
@@ -1216,6 +1225,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(fdp)
         .union(entr)
         .union(bsel)
+        .union(kmc)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1382,7 +1392,7 @@ _FOLDED = {
     "q150_incremental_dedup", "q151_psi_drift", "q152_substring_dedup",
     "q153_ks_drift", "q154_zipf_fit", "q155_source_overlap",
     "q156_calibration", "q157_ab_test", "q158_fd_profile",
-    "q159_char_entropy", "q160_budget_select",
+    "q159_char_entropy", "q160_budget_select", "q161_survival",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2278,6 +2288,12 @@ SELECT 'budget' AS battery, CAST(id AS VARCHAR) AS key,
        score_micro AS v1, n_tokens * 10000000000 + cum_before AS v2,
        CAST(kept AS BIGINT) AS v3
 FROM ({ORACLES["q160_budget_select"]})
+UNION ALL
+SELECT 'km' AS battery,
+       CAST("group" AS VARCHAR) || '@' || CAST(t AS VARCHAR) AS key,
+       n_at_risk AS v1, n_events * 10000000000 + n_censored AS v2,
+       cum_ln_micro AS v3
+FROM ({ORACLES["q161_survival"]})
 ORDER BY battery, key, v1
 """
 

@@ -3981,3 +3981,67 @@ SELECT doc_id AS id, score_micro, n_tokens, cum_before,
        cum_before < 12000 AS kept
 FROM c ORDER BY id
 """
+
+# q161: Kaplan-Meier per cohort — (group, t)-keyed counts, exclusive
+# prefix for the risk set, per-step round(ln(1 - d/n)*1e6), integer
+# cumulative curve; a d = n step kills the curve (NULL poison carried
+# by a running max of the death flag, mirroring the Spark gate).
+ORACLES["q161_survival"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) AS f,
+         max(ts) AS l,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS lp
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+subjects AS (
+  SELECT user_id % 3 AS cohort,
+         CAST(CASE WHEN lp IS NOT NULL
+              THEN date_diff('day', CAST(f AS DATE), CAST(lp AS DATE))
+              ELSE date_diff('day', CAST(f AS DATE), CAST(l AS DATE))
+         END AS BIGINT) AS t,
+         CASE WHEN lp IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM per_user
+),
+per_t AS (
+  SELECT cohort AS "group", t,
+         CAST(sum(e) AS BIGINT) AS n_events,
+         CAST(sum(1 - e) AS BIGINT) AS n_censored
+  FROM subjects GROUP BY cohort, t
+),
+risk AS (
+  SELECT *,
+         CAST(sum(n_events + n_censored) OVER
+                (PARTITION BY "group") AS BIGINT)
+         - CAST(coalesce(sum(n_events + n_censored) OVER
+                (PARTITION BY "group" ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk
+  FROM per_t
+),
+stepped AS (
+  SELECT *,
+         CASE WHEN n_events > 0 AND n_events < n_at_risk THEN
+           CAST(round(ln(1 - CAST(n_events AS DOUBLE)
+                             / CAST(n_at_risk AS DOUBLE)) * 1000000)
+                AS BIGINT)
+         WHEN n_events = 0 THEN CAST(0 AS BIGINT)
+         END AS step_ln_micro
+  FROM risk
+),
+gated AS (
+  SELECT *,
+         max(CASE WHEN step_ln_micro IS NULL THEN 1 ELSE 0 END) OVER
+           (PARTITION BY "group" ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+  FROM stepped
+)
+SELECT "group", t, n_at_risk, n_events, n_censored, step_ln_micro,
+       CASE WHEN dead = 0 THEN
+         CAST(sum(step_ln_micro) OVER
+                (PARTITION BY "group" ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT)
+       END AS cum_ln_micro
+FROM gated ORDER BY "group", t
+"""

@@ -3467,6 +3467,38 @@ def q160_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q161_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curves per user cohort (user_id % 3): a user
+    whose history contains a purchase is an observed event at
+    days(first event -> last purchase); everyone else is right-CENSORED
+    at their last activity. Exact at-risk/event/censor counts, per-step
+    quantized ln terms, integer cumulative curve (no closing exp)."""
+    from snowplow_s3_loader_spark.operators.profile import survival_curve
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.max("ts").alias("__last"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__lastp"),
+    )
+    subjects = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.when(
+            F.col("__lastp").isNotNull(),
+            F.datediff(F.to_date("__lastp"), F.to_date("__first")),
+        )
+        .otherwise(F.datediff(F.to_date("__last"), F.to_date("__first")))
+        .cast("long")
+        .alias("dur_days"),
+        F.col("__lastp").isNotNull().cast("int").alias("event"),
+    )
+    return survival_curve(subjects, "cohort", "dur_days", "event")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3628,5 +3660,6 @@ QUERIES = {
         q158_fd_profile,
         q159_char_entropy,
         q160_budget_select,
+        q161_survival,
     ]
 }

@@ -1172,3 +1172,12 @@ def test_q160_budget_select_distributed_prefix(spark, sf_dir):
     assert not data_sized_single_partitions(plan), plan
     assert "CartesianProduct" not in plan, plan
     assert not unpartitioned_window_lines(plan), plan
+
+
+def test_q161_survival_all_windows_keyed(spark, sf_dir):
+    """Every KM window is cohort-keyed over the distinct-time frame —
+    no unpartitioned window, no join, no data-sized single partition."""
+    plan = plan_of(Q.q161_survival(spark, sf_dir))
+    assert not data_sized_single_partitions(plan), plan
+    assert not unpartitioned_window_lines(plan), plan
+    assert "CartesianProduct" not in plan, plan

@@ -445,3 +445,93 @@ class TestQualityBudgetSelect:
             quality_budget_select(
                 self._frame(spark, [(1, 1, -3)]), "id", "s", "t", 5
             ).collect()
+
+
+class TestSurvivalCurve:
+    def _run(self, spark, rows):
+        from snowplow_s3_loader_spark.operators.profile import survival_curve
+
+        df = spark.createDataFrame(rows, "g string, d long, e int")
+        return survival_curve(df, "g", "d", "e").collect()
+
+    @staticmethod
+    def _ref(rows):
+        """Independent pure-python KM with the operator's quantization
+        contract."""
+        out = {}
+        by_t = {}
+        for _, d, e in rows:
+            by_t.setdefault(d, [0, 0])
+            by_t[d][0] += e
+            by_t[d][1] += 1 - e
+        total = len(rows)
+        seen = 0
+        cum = 0
+        dead = False
+        for t in sorted(by_t):
+            d_t, c_t = by_t[t]
+            n_t = total - seen
+            seen += d_t + c_t
+            if d_t == 0:
+                step = 0
+            elif d_t < n_t:
+                step = int(_round_half_up(math.log(1 - d_t / n_t) * 1_000_000))
+            else:
+                step = None
+            if step is None:
+                dead = True
+            if not dead:
+                cum += step
+            out[t] = (n_t, d_t, c_t, step, None if dead else cum)
+        return out
+
+    def test_matches_textbook_km(self, spark):
+        """The classic KM example shape: events and censors interleaved,
+        ties at one time, a censor-only time (step 0)."""
+        rows = (
+            [("a", 1, 1), ("a", 1, 1), ("a", 2, 0), ("a", 3, 1),
+             ("a", 5, 0), ("a", 5, 0), ("a", 8, 1), ("a", 9, 1),
+             ("a", 9, 0), ("a", 12, 0)]
+        )
+        got = {r["t"]: r for r in self._run(spark, rows)}
+        want = self._ref(rows)
+        assert set(got) == set(want)
+        for t, (n, d, c, step, cum) in want.items():
+            r = got[t]
+            assert (
+                r["n_at_risk"], r["n_events"], r["n_censored"],
+                r["step_ln_micro"], r["cum_ln_micro"],
+            ) == (n, d, c, step, cum), (t, r)
+
+    def test_curve_dies_when_all_remaining_exit_as_events(self, spark):
+        """d = n at the last time: S(t) = 0 exactly — NULL step and the
+        cumulative curve NULL from there on."""
+        rows = [("a", 1, 1), ("a", 2, 1), ("a", 2, 1)]
+        got = {r["t"]: r for r in self._run(spark, rows)}
+        assert got[1]["step_ln_micro"] is not None
+        assert got[2]["step_ln_micro"] is None
+        assert got[2]["cum_ln_micro"] is None
+
+    def test_censoring_shrinks_risk_set_without_a_step(self, spark):
+        rows = [("a", 1, 0), ("a", 1, 0), ("a", 2, 1), ("a", 3, 0)]
+        got = {r["t"]: r for r in self._run(spark, rows)}
+        assert got[1]["step_ln_micro"] == 0 and got[1]["n_at_risk"] == 4
+        assert got[2]["n_at_risk"] == 2
+        # ln(1 - 1/2) = -ln 2
+        assert got[2]["step_ln_micro"] == -693147
+
+    def test_groups_are_independent(self, spark):
+        rows = [("a", 1, 1), ("a", 2, 1), ("b", 1, 1)]
+        got = {(r["group"], r["t"]): r for r in self._run(spark, rows)}
+        assert got[("b", 1)]["n_at_risk"] == 1
+        assert got[("a", 1)]["n_at_risk"] == 2
+
+    def test_guards(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import survival_curve
+
+        df = spark.createDataFrame([("a", -1, 1)], "g string, d long, e int")
+        with pytest.raises(Exception, match="non-negative"):
+            survival_curve(df, "g", "d", "e").collect()
+        df2 = spark.createDataFrame([("a", 1, 7)], "g string, d long, e int")
+        with pytest.raises(Exception, match="censored"):
+            survival_curve(df2, "g", "d", "e").collect()
