@@ -452,3 +452,170 @@ def ohlc_bars(
             F.expr("twap_num div twap_den"),
         ).otherwise(-F.expr("(-twap_num) div twap_den")),
     )
+
+
+_BURST_BIG = 1 << 62
+
+
+def kleinberg_bursts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    s_num: int = 2,
+    gamma_micro: int = 1_000_000,
+) -> DataFrame:
+    """Kleinberg two-state burst detection per key (Kleinberg, "Bursty
+    and Hierarchical Structure in Streams", KDD 2002) — the OPTIMAL
+    burst segmentation CUSUM's one-sided drift statistic cannot give:
+    find the minimum-cost assignment of each inter-event gap to a base
+    state (rate λ0 = mean rate) or a burst state (λ1 = s·λ0), where a
+    gap costs its exponential negative log-likelihood and entering the
+    burst state costs γ·ln(n).
+
+    Exact integer Viterbi (the q142 quantization discipline — every DP
+    cell is int64, so Spark and the DuckDB recursive-CTE oracle agree
+    bit for bit):
+
+        c0(x)   = (x_s * 1e6) div mean_gap_s     (λ0·x in micro-nats,
+                                                  truncating)
+        Δ(x)    = (s-1)·c0(x) - round(ln(s)·1e6) (state-1 relative
+                                                  cost per gap)
+        trans   = (γ_micro · round(ln(n)·1e6)) div 1e6
+        dp0_i   = min(dp0_{i-1}, dp1_{i-1})
+        dp1_i   = min(dp1_{i-1}, dp0_{i-1} + trans) + Δ(x_i)
+
+    starting in the base state (dp1_0 = 2^62). Backtrack ties are
+    PINNED: the final state prefers 0; state 0's predecessor prefers
+    0; state 1's predecessor prefers staying in 1. Gaps are integer
+    SECONDS (timestampdiff truncation, identical in the oracle via
+    date_diff('microsecond') div 1e6); ``tie_col`` must make the
+    per-key event order total.
+
+    Scale shape: one keyed window (lag) for the gaps, one keyed
+    aggregation for the per-key constants, then the inherently
+    sequential DP as ONE applyInPandas over the key groups — the
+    pack_sequences_ffd contract: a key's history must fit an Arrow
+    group (segment per (key, time-window) upstream when it does not;
+    state is O(n_gaps) ints). Output is one bounded row per key.
+
+    Guards: mean_gap_s = 0 raises (sub-second corpora need a finer
+    gap unit); NULL timestamps raise; s_num >= 2; keys with < 2 gaps
+    emit a trivial row (0 bursts, NULL cost — no evidence).
+
+    Output: (key, n_events, n_gaps, mean_gap_s, n_burst_gaps,
+    n_bursts, max_burst_gaps, cost_micro) ordered by key."""
+    import math
+
+    import pandas as pd
+
+    if s_num < 2:
+        raise ValueError(f"kleinberg_bursts: s_num must be >= 2, got {s_num}")
+    if gamma_micro < 0:
+        raise ValueError(
+            f"kleinberg_bursts: gamma_micro must be >= 0, got {gamma_micro}"
+        )
+    k, t = F.col(key_col), F.col(ts_col)
+    checked_t = F.when(
+        t.isNull(),
+        F.raise_error(
+            F.lit(f"kleinberg_bursts: NULL {ts_col!r} — filter first")
+        ).cast(df.schema[ts_col].dataType),
+    ).otherwise(t)
+    # the gap's window position rides along: applyInPandas hands the
+    # group in ARBITRARY row order, and the DP is order-sensitive
+    gaps = (
+        df.select(k.alias("key"), checked_t.alias(ts_col), F.col(tie_col))
+        .select(
+            "key",
+            F.expr(
+                f"timestampdiff(MICROSECOND, lag({ts_col}) OVER "
+                f"(PARTITION BY key ORDER BY {ts_col}, {tie_col}), {ts_col})"
+            ).alias("__gap_us"),
+            F.expr(
+                f"row_number() OVER "
+                f"(PARTITION BY key ORDER BY {ts_col}, {tie_col})"
+            ).alias("__i"),
+        )
+        .where(F.col("__gap_us").isNotNull())
+        .select(
+            "key", F.expr("__gap_us div 1000000").alias("gap_s"), "__i"
+        )
+    )
+    ln_s_micro = int(math.floor(math.log(s_num) * 1_000_000 + 0.5))
+    out_schema = (
+        "key string, n_events bigint, n_gaps bigint, mean_gap_s bigint, "
+        "n_burst_gaps bigint, n_bursts bigint, max_burst_gaps bigint, "
+        "cost_micro bigint"
+    )
+
+    def _dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        xs = pdf.sort_values("__i")["gap_s"].tolist()
+        n_gaps = len(xs)
+        n_events = n_gaps + 1
+        total = int(sum(xs))
+        if n_gaps < 2:
+            return pd.DataFrame(
+                [[str(key), n_events, n_gaps, None, 0, 0, 0, None]],
+                columns=[c.split()[0] for c in out_schema.split(", ")],
+            )
+        mean_gap = total // n_gaps
+        if mean_gap == 0:
+            raise ValueError(
+                f"kleinberg_bursts: key {key!r} has mean gap 0 s — "
+                "sub-second corpus needs a finer gap unit"
+            )
+        ln_n_micro = int(math.floor(math.log(n_events) * 1_000_000 + 0.5))
+        trans = (gamma_micro * ln_n_micro) // 1_000_000
+        deltas = [
+            (s_num - 1) * ((int(x) * 1_000_000) // mean_gap) - ln_s_micro
+            for x in xs
+        ]
+        dp0, dp1 = 0, _BURST_BIG
+        hist = []
+        for d in deltas:
+            ndp0 = min(dp0, dp1)
+            ndp1 = min(dp1, dp0 + trans) + d
+            hist.append((ndp0, ndp1))
+            dp0, dp1 = ndp0, ndp1
+        # backward pass with pinned tie rules
+        states = [0] * n_gaps
+        cur = 0 if dp0 <= dp1 else 1
+        states[-1] = cur
+        for i in range(n_gaps - 1, 0, -1):
+            p0, p1 = hist[i - 1]
+            if cur == 0:
+                cur = 0 if p0 <= p1 else 1
+            else:
+                cur = 1 if p1 <= p0 + trans else 0
+            states[i - 1] = cur
+        n_burst = sum(states)
+        n_runs, max_run, run = 0, 0, 0
+        prev = 0
+        for st in states:
+            if st == 1:
+                run += 1
+                if prev == 0:
+                    n_runs += 1
+                max_run = max(max_run, run)
+            else:
+                run = 0
+            prev = st
+        return pd.DataFrame(
+            [[
+                str(key),
+                n_events,
+                n_gaps,
+                mean_gap,
+                n_burst,
+                n_runs,
+                max_run,
+                min(dp0, dp1),
+            ]],
+            columns=[c.split()[0] for c in out_schema.split(", ")],
+        )
+
+    return (
+        gaps.groupBy("key").applyInPandas(_dp, out_schema).orderBy("key")
+    )

@@ -1106,6 +1106,23 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violating").alias("v2"),
         (F.col("max_dep_values") * 10 + F.col("holds")).alias("v3"),
     )
+    brst = q.q162_bursts(spark, sf_dir).select(
+        F.lit("burst").alias("battery"),
+        F.col("key").alias("key"),
+        # n_events / n_gaps / longest run folded losslessly (bounds
+        # documented on the operator; battery SFs stay far inside)
+        (
+            F.col("n_events") * 10_000_000_000
+            + F.col("n_gaps") * 100_000
+            + F.col("max_burst_gaps")
+        ).alias("v1"),
+        (
+            F.col("mean_gap_s") * 1_000_000_000
+            + F.col("n_burst_gaps") * 10_000
+            + F.col("n_bursts")
+        ).alias("v2"),
+        F.col("cost_micro").alias("v3"),
+    )
     kmc = q.q161_survival(spark, sf_dir).select(
         F.lit("km").alias("battery"),
         F.concat_ws("@", "group", "t").alias("key"),
@@ -1226,6 +1243,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(entr)
         .union(bsel)
         .union(kmc)
+        .union(brst)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1393,6 +1411,7 @@ _FOLDED = {
     "q153_ks_drift", "q154_zipf_fit", "q155_source_overlap",
     "q156_calibration", "q157_ab_test", "q158_fd_profile",
     "q159_char_entropy", "q160_budget_select", "q161_survival",
+    "q162_bursts",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2288,6 +2307,12 @@ SELECT 'budget' AS battery, CAST(id AS VARCHAR) AS key,
        score_micro AS v1, n_tokens * 10000000000 + cum_before AS v2,
        CAST(kept AS BIGINT) AS v3
 FROM ({ORACLES["q160_budget_select"]})
+UNION ALL
+SELECT 'burst' AS battery, key,
+       n_events * 10000000000 + n_gaps * 100000 + max_burst_gaps AS v1,
+       mean_gap_s * 1000000000 + n_burst_gaps * 10000 + n_bursts AS v2,
+       cost_micro AS v3
+FROM ({ORACLES["q162_bursts"]})
 UNION ALL
 SELECT 'km' AS battery,
        CAST("group" AS VARCHAR) || '@' || CAST(t AS VARCHAR) AS key,

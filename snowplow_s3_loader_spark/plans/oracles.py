@@ -4045,3 +4045,115 @@ SELECT "group", t, n_at_risk, n_events, n_censored, step_ln_micro,
        END AS cum_ln_micro
 FROM gated ORDER BY "group", t
 """
+
+# q162: Kleinberg two-state bursts — forward integer Viterbi and the
+# pinned-tie backward pass as lockstep recursive CTEs over the per-key
+# gap sequences (all keys advance together; each stops at its own
+# n_gaps). BIG = 2^62 is the 'started in base state' sentinel; gaps in
+# integer seconds via date_diff('microsecond') div 1e6 (the
+# timestampdiff truncation rule).
+ORACLES["q162_bursts"] = """
+WITH RECURSIVE ev AS (
+  SELECT event_type AS key, ts, event_id FROM events
+  WHERE event_id % 4 = 0
+),
+g0 AS (
+  SELECT key,
+         row_number() OVER (PARTITION BY key ORDER BY ts, event_id) - 1
+           AS i,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY key ORDER BY ts, event_id),
+                   ts) // 1000000 AS gap_s
+  FROM ev
+),
+gaps AS MATERIALIZED (
+  SELECT key, CAST(i AS INTEGER) AS i, CAST(gap_s AS BIGINT) AS gap_s
+  FROM g0 WHERE gap_s IS NOT NULL
+),
+consts AS MATERIALIZED (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(count(*) + 1 AS BIGINT) AS n_events,
+         CAST(sum(gap_s) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS mean_gap
+  FROM gaps GROUP BY key
+),
+params AS MATERIALIZED (
+  SELECT key, n_gaps, n_events, mean_gap,
+         (1000000 * CAST(round(ln(n_events) * 1000000) AS BIGINT))
+           // 1000000 AS trans
+  FROM consts WHERE n_gaps >= 2
+),
+deltas AS MATERIALIZED (
+  SELECT g.key, g.i,
+         (g.gap_s * 1000000) // p.mean_gap - 693147 AS delta
+  FROM gaps g JOIN params p USING (key)
+),
+fwd(key, i, dp0, dp1) AS (
+  SELECT key, 0, CAST(0 AS BIGINT), CAST(4611686018427387904 AS BIGINT)
+  FROM params
+  UNION ALL
+  SELECT f.key, f.i + 1,
+         least(f.dp0, f.dp1),
+         least(f.dp1, f.dp0 + p.trans) + d.delta
+  FROM fwd f
+  JOIN params p ON p.key = f.key
+  JOIN deltas d ON d.key = f.key AND d.i = f.i + 1
+  WHERE f.i < p.n_gaps
+),
+-- the recursive fwd CTE is RE-EVALUATED at every reference inside
+-- another recursive CTE's step (the q142 inlining lesson, recursive
+-- flavor): pin it once
+fwd_m AS MATERIALIZED (SELECT * FROM fwd),
+bwd(key, i, s) AS (
+  SELECT f.key, f.i,
+         CASE WHEN f.dp0 <= f.dp1 THEN 0 ELSE 1 END
+  FROM fwd_m f JOIN params p ON p.key = f.key AND f.i = p.n_gaps
+  UNION ALL
+  SELECT b.key, b.i - 1,
+         CASE WHEN b.s = 0
+              THEN CASE WHEN f.dp0 <= f.dp1 THEN 0 ELSE 1 END
+              ELSE CASE WHEN f.dp1 <= f.dp0 + p.trans THEN 1 ELSE 0 END
+         END
+  FROM bwd b
+  JOIN fwd_m f ON f.key = b.key AND f.i = b.i - 1
+  JOIN params p ON p.key = b.key
+  WHERE b.i > 1
+),
+runs AS (
+  SELECT key, i, s,
+         lag(s, 1, 0) OVER (PARTITION BY key ORDER BY i) AS prev_s
+  FROM bwd
+),
+summary AS (
+  SELECT key,
+         CAST(sum(s) AS BIGINT) AS n_burst_gaps,
+         CAST(sum(CASE WHEN s = 1 AND prev_s = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bursts
+  FROM runs GROUP BY key
+),
+islands AS (
+  SELECT key, i - row_number() OVER (PARTITION BY key ORDER BY i)
+           AS isl
+  FROM runs WHERE s = 1
+),
+longest AS (
+  SELECT key, CAST(max(c) AS BIGINT) AS max_burst_gaps
+  FROM (SELECT key, isl, count(*) AS c FROM islands GROUP BY key, isl)
+  GROUP BY key
+),
+final_cost AS (
+  SELECT f.key, least(f.dp0, f.dp1) AS cost_micro
+  FROM fwd_m f JOIN params p ON p.key = f.key AND f.i = p.n_gaps
+)
+SELECT c.key, c.n_events, c.n_gaps,
+       CASE WHEN c.n_gaps >= 2 THEN c.mean_gap END AS mean_gap_s,
+       coalesce(s.n_burst_gaps, 0) AS n_burst_gaps,
+       coalesce(s.n_bursts, 0) AS n_bursts,
+       coalesce(l.max_burst_gaps, 0) AS max_burst_gaps,
+       fc.cost_micro
+FROM consts c
+LEFT JOIN summary s ON s.key = c.key
+LEFT JOIN longest l ON l.key = c.key
+LEFT JOIN final_cost fc ON fc.key = c.key
+ORDER BY c.key
+"""

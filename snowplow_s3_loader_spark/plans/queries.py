@@ -3499,6 +3499,30 @@ def q161_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survival_curve(subjects, "cohort", "dur_days", "event")
 
 
+def q162_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg two-state burst detection per event_type: exact
+    integer Viterbi over the inter-event gap sequence (base rate vs
+    2x burst rate, gamma = 1 entry cost), backtracked to the optimal
+    burst segmentation — per-key burst counts, mass, longest run and
+    the exact DP cost. The oracle replays the full forward DP AND the
+    backward pass in lockstep recursive CTEs (the q142 discipline)."""
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        kleinberg_bursts,
+    )
+
+    # deterministic 4x thinning (event_id modulo): thinning a Poisson
+    # stream preserves the base/burst rate RATIO, so the burst structure
+    # survives while the oracle's backward recursion stays bounded
+    # (~n/4 lockstep iterations per key)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 4 == 0
+    )
+    return kleinberg_bursts(
+        ev, "event_type", "ts", "event_id", s_num=2,
+        gamma_micro=1_000_000,
+    )
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3661,5 +3685,6 @@ QUERIES = {
         q159_char_entropy,
         q160_budget_select,
         q161_survival,
+        q162_bursts,
     ]
 }

@@ -1181,3 +1181,14 @@ def test_q161_survival_all_windows_keyed(spark, sf_dir):
     assert not data_sized_single_partitions(plan), plan
     assert not unpartitioned_window_lines(plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q162_bursts_keyed_dp(spark, sf_dir):
+    """The gap windows are key-partitioned and the DP runs as one
+    grouped Arrow pass keyed on the burst key — no data-sized single
+    partition, no cartesian, no unpartitioned window."""
+    plan = plan_of(Q.q162_bursts(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert not data_sized_single_partitions(plan), plan
+    assert not unpartitioned_window_lines(plan), plan
+    assert "CartesianProduct" not in plan, plan

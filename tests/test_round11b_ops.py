@@ -535,3 +535,145 @@ class TestSurvivalCurve:
         df2 = spark.createDataFrame([("a", 1, 7)], "g string, d long, e int")
         with pytest.raises(Exception, match="censored"):
             survival_curve(df2, "g", "d", "e").collect()
+
+
+class TestKleinbergBursts:
+    def _events(self, spark, gaps, key="k"):
+        import datetime
+
+        t = datetime.datetime(2024, 1, 1)
+        rows = [(key, t, 0)]
+        for i, g in enumerate(gaps):
+            t = t + datetime.timedelta(seconds=g)
+            rows.append((key, t, i + 1))
+        return spark.createDataFrame(
+            rows, "key string, ts timestamp_ntz, eid long"
+        )
+
+    @staticmethod
+    def _ref(gaps, s_num=2, gamma_micro=1_000_000):
+        """Independent pure-python Viterbi with the operator's pinned
+        integer contract."""
+        n_gaps = len(gaps)
+        n = n_gaps + 1
+        mean = sum(gaps) // n_gaps
+        lnsm = int(math.floor(math.log(s_num) * 1e6 + 0.5))
+        lnnm = int(math.floor(math.log(n) * 1e6 + 0.5))
+        trans = (gamma_micro * lnnm) // 1_000_000
+        deltas = [
+            (s_num - 1) * ((x * 1_000_000) // mean) - lnsm for x in gaps
+        ]
+        BIG = 1 << 62
+        dp0, dp1, hist = 0, BIG, []
+        for d in deltas:
+            a, b = min(dp0, dp1), min(dp1, dp0 + trans) + d
+            hist.append((a, b))
+            dp0, dp1 = a, b
+        states = [0] * n_gaps
+        cur = 0 if dp0 <= dp1 else 1
+        states[-1] = cur
+        for i in range(n_gaps - 1, 0, -1):
+            p0, p1 = hist[i - 1]
+            cur = (0 if p0 <= p1 else 1) if cur == 0 else (
+                1 if p1 <= p0 + trans else 0
+            )
+            states[i - 1] = cur
+        runs = sum(
+            1
+            for i, st in enumerate(states)
+            if st == 1 and (i == 0 or states[i - 1] == 0)
+        )
+        mx = run = 0
+        for st in states:
+            run = run + 1 if st == 1 else 0
+            mx = max(mx, run)
+        return (
+            n, n_gaps, mean, sum(states), runs, mx, min(dp0, dp1)
+        )
+
+    def test_planted_burst_recovered_exactly(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts,
+        )
+
+        gaps = [100 + (i % 3) for i in range(80)]
+        gaps[30:50] = [5 + (i % 2) for i in range(20)]
+        [r] = kleinberg_bursts(
+            self._events(spark, gaps), "key", "ts", "eid"
+        ).collect()
+        want = self._ref(gaps)
+        assert (
+            r["n_events"], r["n_gaps"], r["mean_gap_s"],
+            r["n_burst_gaps"], r["n_bursts"], r["max_burst_gaps"],
+            r["cost_micro"],
+        ) == want
+        # the planted 20-gap burst is the one detected run
+        assert r["n_bursts"] == 1 and r["n_burst_gaps"] == 20
+
+    def test_two_bursts_and_quiet_corpus(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts,
+        )
+
+        gaps = [60] * 100
+        gaps[10:18] = [2] * 8
+        gaps[70:82] = [3] * 12
+        [r] = kleinberg_bursts(
+            self._events(spark, gaps), "key", "ts", "eid"
+        ).collect()
+        assert r["n_bursts"] == 2 and r["max_burst_gaps"] == 12
+        assert (
+            r["n_events"], r["n_gaps"], r["mean_gap_s"],
+            r["n_burst_gaps"], r["n_bursts"], r["max_burst_gaps"],
+            r["cost_micro"],
+        ) == self._ref(gaps)
+        # uniform gaps: no burst worth gamma*ln(n)
+        gaps2 = [60] * 50
+        [r2] = kleinberg_bursts(
+            self._events(spark, gaps2), "key", "ts", "eid"
+        ).collect()
+        assert r2["n_bursts"] == 0 and r2["n_burst_gaps"] == 0
+
+    def test_unordered_arrival_is_window_sorted(self, spark):
+        """The DP must see gaps in time order even when the frame's
+        physical row order is scrambled (applyInPandas group order is
+        arbitrary)."""
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts,
+        )
+
+        gaps = [100] * 40
+        gaps[5:15] = [4] * 10
+        df = self._events(spark, gaps).orderBy(F.xxhash64("eid"))
+        [r] = kleinberg_bursts(df, "key", "ts", "eid").collect()
+        assert (
+            r["n_events"], r["n_gaps"], r["mean_gap_s"],
+            r["n_burst_gaps"], r["n_bursts"], r["max_burst_gaps"],
+            r["cost_micro"],
+        ) == self._ref(gaps)
+
+    def test_short_key_emits_trivial_row(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts,
+        )
+
+        [r] = kleinberg_bursts(
+            self._events(spark, [10]), "key", "ts", "eid"
+        ).collect()
+        assert r["n_gaps"] == 1 and r["n_bursts"] == 0
+        assert r["cost_micro"] is None and r["mean_gap_s"] is None
+
+    def test_guards(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts,
+        )
+
+        with pytest.raises(ValueError, match="s_num"):
+            kleinberg_bursts(
+                self._events(spark, [1, 2]), "key", "ts", "eid", s_num=1
+            )
+        # sub-second corpus: mean gap 0 raises inside the DP
+        with pytest.raises(Exception, match="mean gap 0"):
+            kleinberg_bursts(
+                self._events(spark, [0, 0, 0]), "key", "ts", "eid"
+            ).collect()
