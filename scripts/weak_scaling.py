@@ -1941,10 +1941,73 @@ def budget_select_case(spark, n_docs: int) -> dict:
     }
 
 
+def survival_case(spark, n_subjects: int) -> dict:
+    """KM cost = one keyed agg over subjects + keyed windows over the
+    DISTINCT-time frame (bounded by observed durations, not subjects):
+    10x subjects over a fixed 4k-day duration domain should be ~flat
+    after the aggregation."""
+    from snowplow_s3_loader_spark.operators.profile import survival_curve
+
+    df = spark.range(n_subjects).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        ((F.col("id") * 7919) % 4000).alias("d"),
+        ((F.col("id") * 31) % 2).cast("int").alias("e"),
+    )
+    t0 = time.perf_counter()
+    out = survival_curve(df, "g", "d", "e")
+    [row] = out.agg(
+        F.count("*").alias("n"), F.sum("n_events").alias("ev")
+    ).collect()
+    dt = time.perf_counter() - t0
+    assert row["n"] <= 4 * 4000
+    return {"case": "survival", "subjects": n_subjects, "sec": round(dt, 2)}
+
+
+def bursts_case(spark, n_events: int) -> dict:
+    """The DP is linear per key and the keyed lag window is the only
+    corpus-scale stage; 16 keys share the volume. Planted bursts: every
+    200-gap stretch alternates quiet (60 s) and bursty (4 s) regimes."""
+    import datetime as _dt
+
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        kleinberg_bursts,
+    )
+
+    per_key = n_events // 16
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.range(n_events).select(
+        (F.col("id") % 16).cast("string").alias("k"),
+        F.col("id").alias("eid"),
+        (
+            F.lit(base)
+            + F.make_interval(
+                secs=(
+                    (F.col("id") / 16).cast("long")
+                    * F.when(
+                        ((F.col("id") / 16).cast("long") / 200) % 2 == 0,
+                        60,
+                    ).otherwise(4)
+                ).cast("double")
+            )
+        ).cast("timestamp_ntz").alias("ts"),
+    )
+    t0 = time.perf_counter()
+    out = kleinberg_bursts(df, "k", "ts", "eid")
+    rows = out.collect()
+    dt = time.perf_counter() - t0
+    assert len(rows) == 16 and all(r["n_bursts"] >= 1 for r in rows)
+    return {"case": "bursts", "events": n_events, "sec": round(dt, 2)}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
     out = []
+    if which == "round11c":
+        out.append(survival_case(spark, 1_000_000))
+        out.append(survival_case(spark, 10_000_000))
+        out.append(bursts_case(spark, 160_000))
+        out.append(bursts_case(spark, 1_600_000))
     if which == "round11b":
         out.append(char_entropy_case(spark, 100_000))
         out.append(char_entropy_case(spark, 1_000_000))
