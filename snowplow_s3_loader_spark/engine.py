@@ -514,3 +514,68 @@ class Engine:
         from snowplow_s3_loader_spark.operators.graph import label_propagation
 
         return label_propagation(pairs, id_a, id_b, iterations)
+
+    # ---- round-11 second-session additions ----
+
+    def calibration_bins(self, df: DataFrame, score_col: str,
+                         label_col: str, k: int = 10) -> DataFrame:
+        """Reliability-diagram bins + ECE numerator (operators.profile)."""
+        from snowplow_s3_loader_spark.operators.profile import calibration_bins
+
+        return calibration_bins(df, score_col, label_col, k)
+
+    def ab_test(self, df: DataFrame, variant_col: str, success_col: str,
+                a_value, b_value,
+                strata_cols: list[str] | None = None) -> DataFrame:
+        """Two-proportion z-test readout per stratum (operators.profile)."""
+        from snowplow_s3_loader_spark.operators.profile import two_proportion_z
+
+        return two_proportion_z(
+            df, variant_col, success_col, a_value, b_value, strata_cols
+        )
+
+    def fd_check(self, df: DataFrame,
+                 dependencies: list[tuple[list[str], str]]) -> DataFrame:
+        """Functional-dependency / candidate-key profiling
+        (operators.profile)."""
+        from snowplow_s3_loader_spark.operators.profile import fd_check
+
+        return fd_check(df, dependencies)
+
+    def char_entropy(self, docs: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+        """Char-level Shannon entropy — gibberish detector
+        (operators.text)."""
+        from snowplow_s3_loader_spark.operators.text import char_entropy
+
+        return char_entropy(docs, id_col, text_col)
+
+    def budget_select(self, df: DataFrame, id_col: str, score_col: str,
+                      token_col: str, budget_tokens: int) -> DataFrame:
+        """Token-budget-constrained quality selection
+        (operators.sampling)."""
+        from snowplow_s3_loader_spark.operators.sampling import (
+            quality_budget_select,
+        )
+
+        return quality_budget_select(
+            df, id_col, score_col, token_col, budget_tokens
+        )
+
+    def survival_curve(self, df: DataFrame, group_col: str,
+                       duration_col: str, event_col: str) -> DataFrame:
+        """Kaplan-Meier survival curve with right-censoring
+        (operators.profile)."""
+        from snowplow_s3_loader_spark.operators.profile import survival_curve
+
+        return survival_curve(df, group_col, duration_col, event_col)
+
+    def bursts(self, df: DataFrame, key_col: str, ts_col: str,
+               tie_col: str, s_num: int = 2,
+               gamma_micro: int = 1_000_000) -> DataFrame:
+        """Kleinberg two-state burst detection (operators.timeseries)."""
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts,
+        )
+
+        return kleinberg_bursts(df, key_col, ts_col, tie_col, s_num, gamma_micro)
