@@ -1270,3 +1270,79 @@ def kmv_overlap_matrix(
             "CAST(sum(in_a * in_b) AS BIGINT) * 1000000 div count(*)"
         ).alias("jaccard_micro"),
     )
+
+
+def truncation_recall(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    dims_keep: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-truncation quality audit — the measurement behind the
+    "can we search on the first d' dimensions?" decision (Matryoshka-
+    style truncation, Kusupati et al. 2022; also the first question any
+    PQ/IVF cost cut asks): for each query vector, the exact cosine
+    top-k under the FULL vector vs under its first ``dims_keep``
+    components, reported as the per-query overlap
+
+        recall_micro = |topk_full ∩ topk_trunc| * 1e6 div k
+
+    Both sides ride `brute_force_topk`'s deterministic ranking
+    contract (round(cos, 6) DESC, neighbor_id ASC), so the overlap is
+    engine-exact — approximation error comes ONLY from the truncation
+    under audit, never from the measurement.
+
+    Scale shape: two broadcast-join scoring passes over the corpus
+    (queries are the small side) + one query-keyed count of the rank-k
+    join; at 100 TB the same audit runs on a sampled query set (the
+    query_pred contract) — the corpus passes are the cost and they are
+    embarrassingly parallel.
+
+    Output: (query_id, n_full, n_trunc, n_common, recall_micro)
+    ordered by query_id."""
+    if dims_keep < 1:
+        raise ValueError(
+            f"truncation_recall: dims_keep must be >= 1, got {dims_keep}"
+        )
+    full = brute_force_topk(
+        emb, query_pred, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    sliced = emb.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, dims_keep).alias("__tv"),
+        query_pred.alias("__is_q"),
+    )
+    trunc = brute_force_topk(
+        sliced, F.col("__is_q"), k=k, id_col=id_col, vec_col="__tv"
+    ).select(
+        F.col("query_id"), F.col("neighbor_id").alias("t_neighbor")
+    )
+    common = (
+        full.join(
+            trunc,
+            (full["query_id"] == trunc["query_id"])
+            & (full["neighbor_id"] == trunc["t_neighbor"]),
+        )
+        .groupBy(full["query_id"].alias("query_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    per_q = (
+        full.groupBy("query_id")
+        .agg(F.count("*").alias("n_full"))
+        .join(
+            trunc.groupBy("query_id").agg(F.count("*").alias("n_trunc")),
+            "query_id",
+        )
+        .join(common, "query_id", "left")
+    )
+    return per_q.select(
+        "query_id",
+        F.col("n_full").cast("long").alias("n_full"),
+        F.col("n_trunc").cast("long").alias("n_trunc"),
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.expr(f"(coalesce(n_common, 0) * 1000000) div {k}").alias(
+            "recall_micro"
+        ),
+    ).orderBy("query_id")

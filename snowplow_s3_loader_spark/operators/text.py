@@ -1087,3 +1087,61 @@ def char_entropy(
             - F.expr("__s div n_chars"),
         ).alias("entropy_micro"),
     )
+
+
+def charset_mix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Character-class composition per document — the encoding-health
+    companion to `char_entropy`: letters / digits / spaces / non-ASCII
+    each as an exact truncating micro fraction, with
+    punctuation-and-other as the derived remainder of the FRACTIONS
+    (other = 1e6 - the four truncated fractions — itself exact given
+    the truncation rule, mirrored in the oracle). Catches mojibake
+    floods, digit dumps, and whitespace art that entropy alone scores
+    as "normal".
+
+    All counts are length-difference expressions over character-class
+    regexes shared verbatim with the oracle ([A-Za-z], [0-9], a literal
+    space, [^\\x00-\\x7F] — each valid and identical in Java regex and
+    RE2); ONE projection, zero joins, zero explode (unlike
+    char_entropy there is no per-char state to aggregate). Empty/NULL
+    text emits n_chars = 0 and NULL fractions.
+
+    Output: (id, n_chars, letter_micro, digit_micro, space_micro,
+    nonascii_micro, other_micro)."""
+    t = F.col(text_col)
+    n = F.coalesce(F.length(t), F.lit(0))
+    letters = n - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    spaces = n - F.length(F.regexp_replace(t, " ", ""))
+    nonascii = n - F.length(F.regexp_replace(t, "[^\\x00-\\x7F]", ""))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_chars"),
+        letters.cast("long").alias("__l"),
+        digits.cast("long").alias("__d"),
+        spaces.cast("long").alias("__s"),
+        nonascii.cast("long").alias("__na"),
+    )
+    staged = base.select(
+        "id",
+        "n_chars",
+        F.when(F.col("n_chars") > 0, F.expr("(__l * 1000000) div n_chars")).alias("letter_micro"),
+        F.when(F.col("n_chars") > 0, F.expr("(__d * 1000000) div n_chars")).alias("digit_micro"),
+        F.when(F.col("n_chars") > 0, F.expr("(__s * 1000000) div n_chars")).alias("space_micro"),
+        F.when(F.col("n_chars") > 0, F.expr("(__na * 1000000) div n_chars")).alias("nonascii_micro"),
+    )
+    return staged.select(
+        "*",
+        F.when(
+            F.col("n_chars") > 0,
+            F.lit(1_000_000)
+            - F.col("letter_micro")
+            - F.col("digit_micro")
+            - F.col("space_micro")
+            - F.col("nonascii_micro"),
+        ).alias("other_micro"),
+    )

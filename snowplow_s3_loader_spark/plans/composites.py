@@ -1106,6 +1106,24 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violating").alias("v2"),
         (F.col("max_dep_values") * 10 + F.col("holds")).alias("v3"),
     )
+    trc = q.q163_truncation_recall(spark, sf_dir).select(
+        F.lit("trunc").alias("battery"),
+        F.col("query_id").cast("string").alias("key"),
+        (F.col("n_full") * 10_000_000_000 + F.col("n_trunc")).alias("v1"),
+        F.col("n_common").alias("v2"),
+        F.col("recall_micro").alias("v3"),
+    )
+    chm = q.q164_charset_mix(spark, sf_dir).select(
+        F.lit("charset").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        (F.col("n_chars") * 10_000_000 + F.col("letter_micro")).alias("v1"),
+        (F.col("digit_micro") * 10_000_000 + F.col("space_micro")).alias(
+            "v2"
+        ),
+        (
+            F.col("nonascii_micro") * 10_000_000 + F.col("other_micro")
+        ).alias("v3"),
+    )
     brst = q.q162_bursts(spark, sf_dir).select(
         F.lit("burst").alias("battery"),
         F.col("key").alias("key"),
@@ -1244,6 +1262,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(bsel)
         .union(kmc)
         .union(brst)
+        .union(trc)
+        .union(chm)
         .orderBy("battery", "key", "v1")
     )
 
@@ -1411,7 +1431,7 @@ _FOLDED = {
     "q153_ks_drift", "q154_zipf_fit", "q155_source_overlap",
     "q156_calibration", "q157_ab_test", "q158_fd_profile",
     "q159_char_entropy", "q160_budget_select", "q161_survival",
-    "q162_bursts",
+    "q162_bursts", "q163_truncation_recall", "q164_charset_mix",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2006,6 +2026,14 @@ SELECT 'parity' AS battery,
        CAST(NULL AS BIGINT) AS v3
 FROM (SELECT unnest(range(0, 4)) AS d)
 UNION ALL
+-- streaming calibration monitor (thirteenth family): one bit per bin
+-- of the q156 k=10 grid
+SELECT 'parity' AS battery,
+       'streaming_calib@' || CAST(b AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (SELECT unnest(range(0, 10)) AS b)
+UNION ALL
 SELECT 'parity' AS battery,
        'component_map@' || CAST(node AS VARCHAR) AS key,
        CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
@@ -2307,6 +2335,17 @@ SELECT 'budget' AS battery, CAST(id AS VARCHAR) AS key,
        score_micro AS v1, n_tokens * 10000000000 + cum_before AS v2,
        CAST(kept AS BIGINT) AS v3
 FROM ({ORACLES["q160_budget_select"]})
+UNION ALL
+SELECT 'trunc' AS battery, CAST(query_id AS VARCHAR) AS key,
+       n_full * 10000000000 + n_trunc AS v1, n_common AS v2,
+       recall_micro AS v3
+FROM ({ORACLES["q163_truncation_recall"]})
+UNION ALL
+SELECT 'charset' AS battery, CAST(id AS VARCHAR) AS key,
+       n_chars * 10000000 + letter_micro AS v1,
+       digit_micro * 10000000 + space_micro AS v2,
+       nonascii_micro * 10000000 + other_micro AS v3
+FROM ({ORACLES["q164_charset_mix"]})
 UNION ALL
 SELECT 'burst' AS battery, key,
        n_events * 10000000000 + n_gaps * 100000 + max_burst_gaps AS v1,

@@ -4157,3 +4157,97 @@ LEFT JOIN longest l ON l.key = c.key
 LEFT JOIN final_cost fc ON fc.key = c.key
 ORDER BY c.key
 """
+
+# q163: truncation recall — both top-5 lists replayed with the q27
+# cosine/rank contract (round 6, neighbor-id tiebreak), overlap counted
+# on the rank-5 join.
+ORACLES["q163_truncation_recall"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(embedding[1:16] AS DOUBLE[]) AS tv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, tv AS qtv FROM e
+      WHERE vec_id % 100 = 0),
+sf AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(v, v))), 6) AS c
+  FROM q JOIN e ON e.vec_id != q.query_id
+),
+rf AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC,
+                            neighbor_id) AS rk
+  FROM sf QUALIFY rk <= 5
+),
+st AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(qtv, tv)
+               / (sqrt(list_dot_product(qtv, qtv))
+                  * sqrt(list_dot_product(tv, tv))), 6) AS c
+  FROM q JOIN e ON e.vec_id != q.query_id
+),
+rt AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC,
+                            neighbor_id) AS rk
+  FROM st QUALIFY rk <= 5
+),
+common AS (
+  SELECT rf.query_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM rf JOIN rt ON rt.query_id = rf.query_id
+                 AND rt.neighbor_id = rf.neighbor_id
+  GROUP BY rf.query_id
+)
+SELECT q.query_id,
+       (SELECT CAST(count(*) AS BIGINT) FROM rf WHERE rf.query_id = q.query_id)
+         AS n_full,
+       (SELECT CAST(count(*) AS BIGINT) FROM rt WHERE rt.query_id = q.query_id)
+         AS n_trunc,
+       coalesce(c.n_common, 0) AS n_common,
+       (coalesce(c.n_common, 0) * 1000000) // 5 AS recall_micro
+FROM q LEFT JOIN common c ON c.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+# q164: charset mix — the same length-difference class counts, the same
+# truncating fractions, other = 1e6 - the four truncated fractions.
+ORACLES["q164_charset_mix"] = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+         CAST(length(text)
+              - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS l,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS d,
+         CAST(length(text)
+              - length(regexp_replace(text, ' ', '', 'g'))
+              AS BIGINT) AS s,
+         CAST(length(text)
+              - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+              AS BIGINT) AS na
+  FROM documents
+),
+fr AS (
+  SELECT id, n_chars,
+         CASE WHEN n_chars > 0 THEN (l * 1000000) // n_chars END
+           AS letter_micro,
+         CASE WHEN n_chars > 0 THEN (d * 1000000) // n_chars END
+           AS digit_micro,
+         CASE WHEN n_chars > 0 THEN (s * 1000000) // n_chars END
+           AS space_micro,
+         CASE WHEN n_chars > 0 THEN (na * 1000000) // n_chars END
+           AS nonascii_micro
+  FROM base
+)
+SELECT *,
+       CASE WHEN n_chars > 0 THEN
+         1000000 - letter_micro - digit_micro - space_micro
+                 - nonascii_micro
+       END AS other_micro
+FROM fr ORDER BY id
+"""

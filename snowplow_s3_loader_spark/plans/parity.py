@@ -961,6 +961,92 @@ def _cms_parity(spark: SparkSession, sf_dir: str) -> list:
     return rows
 
 
+def _calibration_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Streaming reliability monitor vs batch calibration_bins (round
+    11 — the THIRTEENTH parity family, q156's twin): the q156 squashed
+    score/label frame split into three micro-batches by a hash of the
+    score (deliberately NOT arrival-ordered; all three per-bin folds
+    are additions), drained through streaming_calibration_counts,
+    assembled with the batch operator's exact integer rules
+    driver-side, and compared bit-for-bit on every
+    (bin, n, n_pos, avg, frac, gap, ece) row."""
+    from snowplow_s3_loader_spark.operators.profile import calibration_bins
+    from snowplow_s3_loader_spark.operators.text import hashed_linear_score
+    from snowplow_s3_loader_spark.streaming.stateful import (
+        streaming_calibration_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    score, _ = hashed_linear_score(F.col("text"), dim=4096, seed=0)
+    base = docs.select(
+        score.alias("__s"), (F.col("lang") == "en").cast("long").alias("y")
+    )
+    squashed = base.select(
+        F.least(
+            F.greatest(
+                F.lit(500_000)
+                + F.when(F.col("__s") >= 0, F.expr("__s div 24")).otherwise(
+                    -F.expr("(-__s) div 24")
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(1_000_000).cast("long"),
+        ).alias("p_micro"),
+        "y",
+    )
+    k = 10
+    slices = [
+        squashed.where(F.pmod(F.xxhash64("p_micro"), 3) == i)
+        for i in range(3)
+    ]
+    tmp = tempfile.mkdtemp(prefix="parity_calib_")
+    counts: dict = {}
+    try:
+        in_dir = _write_stream_files(slices, tmp)
+        src = (
+            spark.readStream.schema("p_micro bigint, y bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+        def _fb(df, bid):
+            for r in df.collect():  # update mode: later batches overwrite
+                counts[r["bin"]] = (r["n"], r["n_pos"], r["sum_score"])
+
+        _run_stream(
+            streaming_calibration_counts(src, "p_micro", "y", k=k), tmp, _fb
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # assemble with the batch operator's exact integer rules
+    ece = sum(
+        n * abs(ss // n - npos * 1_000_000 // n)
+        for n, npos, ss in counts.values()
+        if n > 0
+    )
+    drained = {}
+    for b in range(k):
+        n, npos, ss = counts.get(b, (0, 0, 0))
+        if n > 0:
+            avg = ss // n
+            frac = npos * 1_000_000 // n
+            drained[b] = (b, n, npos, avg, frac, abs(avg - frac), ece)
+        else:
+            drained[b] = (b, 0, 0, None, None, None, ece)
+    batch = {
+        r["bin"]: tuple(r)
+        for r in calibration_bins(squashed, "p_micro", "y", k=k).collect()
+    }
+    return [
+        (
+            "streaming_calib",
+            str(b),
+            int(batch.get(b) == drained.get(b)),
+        )
+        for b in range(k)
+    ]
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check_name, key, is_match) for all the parity families, fully
     materialized driver-side (literal rows — no lingering plan or
@@ -970,7 +1056,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, not nine."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=12) as ex:
+    with ThreadPoolExecutor(max_workers=13) as ex:
         fut_funnel = ex.submit(_funnel_parity, spark, sf_dir)
         fut_heavy = ex.submit(_heavy_parity, spark, sf_dir)
         fut_ssj = ex.submit(_interval_join_parity, spark, sf_dir)
@@ -982,6 +1068,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_inc = ex.submit(_inc_minhash_parity, spark, sf_dir)
         fut_psi = ex.submit(_psi_parity, spark, sf_dir)
         fut_cms = ex.submit(_cms_parity, spark, sf_dir)
+        fut_calib = ex.submit(_calibration_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
         rows = (
             fut_funnel.result()
@@ -995,6 +1082,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             + fut_inc.result()
             + fut_psi.result()
             + fut_cms.result()
+            + fut_calib.result()
             + cm_rows
         )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

@@ -3523,6 +3523,32 @@ def q162_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q163_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-truncation quality audit: exact cosine top-5 under the
+    full 64 dims vs the first 16, per-query overlap as recall_micro —
+    the measurement behind every 'search on a prefix of the vector'
+    cost cut. Both sides ride brute_force_topk's deterministic ranking
+    contract, so the only approximation measured is the truncation."""
+    from snowplow_s3_loader_spark.operators.similarity import (
+        truncation_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncation_recall(
+        emb, F.col("vec_id") % 100 == 0, k=5, dims_keep=16
+    )
+
+
+def q164_charset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per document (letters / digits /
+    spaces / non-ASCII / other as exact truncating micro fractions) —
+    the encoding-health companion to q159's entropy."""
+    from snowplow_s3_loader_spark.operators.text import charset_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return charset_mix(docs, "doc_id", "text").orderBy("id")
+
+
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -3686,5 +3712,7 @@ QUERIES = {
         q160_budget_select,
         q161_survival,
         q162_bursts,
+        q163_truncation_recall,
+        q164_charset_mix,
     ]
 }

@@ -1189,3 +1189,101 @@ def streaming_cms(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_calibration_counts(
+    stream: DataFrame,
+    score_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Streaming reliability-diagram monitor — the THIRTEENTH
+    batch-vs-streaming parity family, profile.calibration_bins' twin:
+    maintain each equal-width score bin's exact (n, n_pos, sum_score)
+    against the live stream, three longs of state per bin (k rows
+    TOTAL — bounded by the monitor, never the data). All three folds
+    are plain additions — commutative+associative, NO arrival-order
+    contract; any interleaving of micro-batches drains to the batch
+    operator's per-bin counts, from which the full reliability frame
+    (avg/frac/gap/ECE) assembles with the same exact integer rules.
+
+    The bin rule and the score/label guards are the SAME guarded
+    projection calibration_bins plans (score in [0, 1e6], label 0/1 —
+    violations raise in-stream rather than corrupting a bin). Emits
+    the touched bins' cumulative triple per batch (update mode)."""
+    s, lab = F.col(score_col), F.col(label_col)
+    checked_s = F.when(
+        s.isNull() | (s < 0) | (s > 1_000_000),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"streaming_calibration_counts: {score_col!r} must be "
+                    "a micro-unit probability in [0, 1e6], got "
+                ),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(s.cast("long"))
+    checked_l = F.when(
+        lab.isNull() | ~lab.cast("long").isin(0, 1),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"streaming_calibration_counts: {label_col!r} must "
+                    "be 0/1, got "
+                ),
+                F.coalesce(lab.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(lab.cast("long"))
+    binned = stream.select(
+        checked_s.alias("__s"), checked_l.alias("__l")
+    ).select(
+        F.least(
+            F.expr(f"(__s * CAST({k} AS BIGINT)) div 1000000"),
+            F.lit(k - 1).cast("long"),
+        ).cast("int").alias("bin"),
+        "__s",
+        "__l",
+    )
+    out_schema = StructType(
+        [
+            StructField("bin", IntegerType()),
+            StructField("n", LongType()),
+            StructField("n_pos", LongType()),
+            StructField("sum_score", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("n_pos", LongType()),
+            StructField("sum_score", LongType()),
+        ]
+    )
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (b,) = key
+        dn = dp = ds = 0
+        for p in pdfs:
+            dn += len(p)
+            dp += int(p["__l"].sum())
+            ds += int(p["__s"].sum())
+        if not dn:
+            return
+        n, npos, ss = state.get if state.exists else (0, 0, 0)
+        n, npos, ss = n + dn, npos + dp, ss + ds
+        state.update((n, npos, ss))
+        yield pd.DataFrame(
+            {"bin": [b], "n": [n], "n_pos": [npos], "sum_score": [ss]}
+        )
+
+    return binned.groupBy("bin").applyInPandasWithState(
+        _update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

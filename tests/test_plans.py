@@ -1192,3 +1192,23 @@ def test_q162_bursts_keyed_dp(spark, sf_dir):
     assert not data_sized_single_partitions(plan), plan
     assert not unpartitioned_window_lines(plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q163_truncation_recall_broadcast_scoring(spark, sf_dir):
+    """Both scoring passes broadcast the query side over the corpus —
+    no non-broadcast cartesian, no data-sized single partition; the
+    overlap count is a query-keyed aggregation."""
+    plan = plan_of(Q.q163_truncation_recall(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert not data_sized_single_partitions(plan), plan
+    assert "BroadcastNestedLoopJoin" in plan  # the != join, query side tiny
+
+
+def test_q164_charset_single_projection(spark, sf_dir):
+    """Charset mix is one scan + pure projections: no join, no window,
+    no aggregate, no Python."""
+    plan = plan_of(Q.q164_charset_mix(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert formatted_part(plan).count("InMemoryFileIndex") == 1, plan

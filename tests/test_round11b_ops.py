@@ -677,3 +677,144 @@ class TestKleinbergBursts:
             kleinberg_bursts(
                 self._events(spark, [0, 0, 0]), "key", "ts", "eid"
             ).collect()
+
+
+class TestTruncationRecall:
+    def test_identity_truncation_is_perfect_recall(self, spark):
+        """dims_keep = full dimensionality: the two rankings coincide,
+        recall = 1e6 exactly for every query."""
+        from snowplow_s3_loader_spark.operators.similarity import (
+            truncation_recall,
+        )
+
+        rows = [
+            (i, [float((i * 7 + j * 13) % 10) for j in range(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = truncation_recall(
+            df, F.col("vec_id") % 10 == 0, k=3, dims_keep=8
+        ).collect()
+        assert out and all(r["recall_micro"] == 1_000_000 for r in out)
+
+    def test_adversarial_tail_dims_break_recall(self, spark):
+        """Vectors identical in the first 2 dims but decisive in the
+        tail: truncating to 2 dims must NOT recover the full ranking."""
+        from snowplow_s3_loader_spark.operators.similarity import (
+            truncation_recall,
+        )
+
+        import random
+
+        rnd = random.Random(3)
+        rows = [
+            (i, [1.0, 2.0] + [rnd.uniform(-5, 5) for _ in range(6)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = truncation_recall(
+            df, F.col("vec_id") % 20 == 0, k=5, dims_keep=2
+        ).collect()
+        assert any(r["recall_micro"] < 1_000_000 for r in out)
+
+    def test_matches_pure_python_overlap(self, spark):
+        from snowplow_s3_loader_spark.operators.similarity import (
+            truncation_recall,
+        )
+
+        import math as m
+
+        rows = [
+            (i, [float(((i + 1) * (j + 3)) % 7) - 3.0 for j in range(6)])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        k, dk = 4, 3
+
+        def topk(vecs, qid, dims):
+            qv = vecs[qid][:dims]
+            scored = []
+            for nid, v in vecs.items():
+                if nid == qid:
+                    continue
+                vv = v[:dims]
+                num = sum(a * b for a, b in zip(qv, vv))
+                den = m.sqrt(sum(a * a for a in qv)) * m.sqrt(
+                    sum(a * a for a in vv)
+                )
+                scored.append((round(num / den, 6), nid))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            return {nid for _, nid in scored[:k]}
+
+        vecs = {i: v for i, v in rows}
+        got = {
+            r["query_id"]: r
+            for r in truncation_recall(
+                df, F.col("vec_id") % 10 == 0, k=k, dims_keep=dk
+            ).collect()
+        }
+        for qid in (0, 10, 20):
+            want = len(topk(vecs, qid, 6) & topk(vecs, qid, dk))
+            assert got[qid]["n_common"] == want, (qid, got[qid], want)
+            assert got[qid]["recall_micro"] == want * 1_000_000 // k
+
+    def test_bad_dims_raise(self, spark):
+        from snowplow_s3_loader_spark.operators.similarity import (
+            truncation_recall,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="dims_keep"):
+            truncation_recall(df, F.col("vec_id") == 0, dims_keep=0)
+
+
+class TestCharsetMix:
+    def _run(self, spark, texts):
+        from snowplow_s3_loader_spark.operators.text import charset_mix
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r["id"]: r for r in charset_mix(df, "doc_id", "text").collect()}
+
+    def test_matches_pure_python_reference(self, spark):
+        texts = [
+            "abc 123 !?",
+            "naïve café ✓",
+            "",
+            "    ",
+            "ALLCAPS",
+            "１２３",  # full-width digits are NON-ascii, not digits
+        ]
+        got = self._run(spark, texts)
+        for i, t in enumerate(texts):
+            n = len(t)
+            if n == 0:
+                assert got[i]["n_chars"] == 0
+                assert got[i]["letter_micro"] is None
+                continue
+            letters = sum(1 for c in t if ("a" <= c <= "z") or ("A" <= c <= "Z"))
+            digits = sum(1 for c in t if "0" <= c <= "9")
+            spaces = t.count(" ")
+            nonascii = sum(1 for c in t if ord(c) > 0x7F)
+            lm = letters * 1_000_000 // n
+            dm = digits * 1_000_000 // n
+            sm = spaces * 1_000_000 // n
+            nam = nonascii * 1_000_000 // n
+            assert (
+                got[i]["n_chars"],
+                got[i]["letter_micro"],
+                got[i]["digit_micro"],
+                got[i]["space_micro"],
+                got[i]["nonascii_micro"],
+                got[i]["other_micro"],
+            ) == (n, lm, dm, sm, nam, 1_000_000 - lm - dm - sm - nam), (i, t)
+
+    def test_null_text_is_empty(self, spark):
+        from snowplow_s3_loader_spark.operators.text import charset_mix
+
+        df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+        [r] = charset_mix(df, "doc_id", "text").collect()
+        assert r["n_chars"] == 0 and r["other_micro"] is None
