@@ -1999,10 +1999,36 @@ def bursts_case(spark, n_events: int) -> dict:
     return {"case": "bursts", "events": n_events, "sec": round(dt, 2)}
 
 
+def truncation_recall_case(spark, n_vecs: int) -> dict:
+    """Two broadcast scoring passes over the corpus (queries fixed at
+    20): wall should be ~linear in corpus vectors."""
+    from snowplow_s3_loader_spark.operators.similarity import (
+        truncation_recall,
+    )
+
+    df = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda j: ((F.col("id") * 31 + j * 7) % 19).cast("float") - 9.0,
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    out = truncation_recall(
+        df, F.col("vec_id") % (n_vecs // 20) == 0, k=5, dims_keep=4
+    ).collect()
+    dt = time.perf_counter() - t0
+    assert len(out) == 20
+    return {"case": "truncation_recall", "vecs": n_vecs, "sec": round(dt, 2)}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
     out = []
+    if which == "round11d":
+        out.append(truncation_recall_case(spark, 100_000))
+        out.append(truncation_recall_case(spark, 1_000_000))
     if which == "round11c":
         out.append(survival_case(spark, 1_000_000))
         out.append(survival_case(spark, 10_000_000))
