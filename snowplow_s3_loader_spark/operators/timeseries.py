@@ -500,8 +500,11 @@ def kleinberg_bursts(
     state is O(n_gaps) ints). Output is one bounded row per key.
 
     Guards: mean_gap_s = 0 raises (sub-second corpora need a finer
-    gap unit); NULL timestamps raise; s_num >= 2; keys with < 2 gaps
-    emit a trivial row (0 bursts, NULL cost — no evidence).
+    gap unit); NULL timestamps raise; s_num >= 2. Keys with exactly
+    one gap emit a trivial row (0 bursts, NULL mean/cost — no
+    evidence); single-EVENT keys have no gap at all and are absent
+    from the output (the oracle builds from the same gap frame, so
+    both engines agree).
 
     Output: (key, n_events, n_gaps, mean_gap_s, n_burst_gaps,
     n_bursts, max_burst_gaps, cost_micro) ordered by key."""

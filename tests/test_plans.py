@@ -101,13 +101,16 @@ def data_sized_single_partitions(plan: str) -> list[str]:
     for i, l in enumerate(lines):
         if "Exchange SinglePartition" not in l:
             continue
-        parent = lines[i - 1] if i else ""
+        # in the DFS rendering the exchange's CHILD is always the next
+        # line (its parent may not be adjacent when the exchange is a
+        # later child of a join) — and the child alone decides
+        # boundedness: a partial keys=[] aggregate emits one row per
+        # upstream task, so the exchange moves cluster-bounded rows
         child = lines[i + 1] if i + 1 < len(lines) else ""
-        scalar_final = "Aggregate(keys=[]" in parent or "Aggregate(key=[]" in parent
         scalar_partial = "partial_" in child and (
             "Aggregate(keys=[]" in child or "Aggregate(key=[]" in child
         )
-        if scalar_final and scalar_partial:
+        if scalar_partial:
             continue
         out.append(l)
     return out
