@@ -818,3 +818,124 @@ class TestCharsetMix:
         df = spark.createDataFrame([(0, None)], "doc_id long, text string")
         [r] = charset_mix(df, "doc_id", "text").collect()
         assert r["n_chars"] == 0 and r["other_micro"] is None
+
+
+class TestCharLevelProperties:
+    """Hypothesis properties over arbitrary unicode text for the two
+    char-level operators: the Spark result must match an independent
+    python computation of the same integer contract on ANY input, not
+    just the curated differential cases."""
+
+    def test_charset_mix_matches_python_on_random_unicode(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from snowplow_s3_loader_spark.operators.text import charset_mix
+
+        # exclude surrogates (invalid in UTF-8 transport); everything
+        # else — emoji, CJK, controls, combining marks — is fair game
+        texts = st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x10FFF
+                ),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=25,
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(texts)
+        def run(ts):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(ts)], "doc_id long, text string"
+            )
+            got = {
+                r["id"]: r for r in charset_mix(df, "doc_id", "text").collect()
+            }
+            for i, t in enumerate(ts):
+                n = len(t)
+                if n == 0:
+                    assert got[i]["n_chars"] == 0
+                    assert got[i]["other_micro"] is None
+                    continue
+                letters = sum(
+                    1 for c in t if "a" <= c <= "z" or "A" <= c <= "Z"
+                )
+                digits = sum(1 for c in t if "0" <= c <= "9")
+                spaces = t.count(" ")
+                nonascii = sum(1 for c in t if ord(c) > 0x7F)
+                lm = letters * 1_000_000 // n
+                dm = digits * 1_000_000 // n
+                sm = spaces * 1_000_000 // n
+                nam = nonascii * 1_000_000 // n
+                assert (
+                    got[i]["letter_micro"],
+                    got[i]["digit_micro"],
+                    got[i]["space_micro"],
+                    got[i]["nonascii_micro"],
+                    got[i]["other_micro"],
+                ) == (lm, dm, sm, nam, 1_000_000 - lm - dm - sm - nam), (
+                    i,
+                    repr(t),
+                )
+                assert got[i]["other_micro"] >= 0
+
+        run()
+
+    def test_char_entropy_matches_python_on_random_unicode(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from snowplow_s3_loader_spark.operators.text import char_entropy
+
+        texts = st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x10FFF
+                ),
+                max_size=30,
+            ),
+            min_size=1,
+            max_size=20,
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(texts)
+        def run(ts):
+            from collections import Counter
+
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(ts)], "doc_id long, text string"
+            )
+            got = {
+                r["id"]: r
+                for r in char_entropy(df, "doc_id", "text").collect()
+            }
+            for i, t in enumerate(ts):
+                c = Counter(t)
+                n = len(t)
+                if n == 0:
+                    assert got[i]["entropy_micro"] is None
+                    continue
+                s = sum(
+                    cnt * int(_round_half_up(math.log(cnt) * 1_000_000))
+                    for cnt in c.values()
+                )
+                em = int(_round_half_up(math.log(n) * 1_000_000)) - s // n
+                assert (
+                    got[i]["n_chars"],
+                    got[i]["n_distinct_chars"],
+                    got[i]["entropy_micro"],
+                ) == (n, len(c), em), (i, repr(t))
+
+        run()
