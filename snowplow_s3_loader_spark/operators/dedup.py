@@ -284,6 +284,154 @@ def read_band_store_pruned(
     return pruned.select("band_id", "band_hash")
 
 
+def compact_band_store(
+    spark,
+    path: str,
+    up_to_epoch: int | None = None,
+    dedupe: bool = True,
+) -> dict[str, int]:
+    """Compact a `write_band_store` store — the maintenance operator the
+    always-on trickle shape needs: every micro-batch fold appends a few
+    files per bucket directory, so an unmaintained store's file count
+    grows per batch until LISTING dominates the pruned read. Compaction
+    rewrites the CLOSED portion of the store into one file set per
+    bucket, preserving the layout (and so `read_band_store_pruned`
+    results) exactly.
+
+    Epoch'd stores (the streaming exactly-once layout): all epochs
+    <= ``up_to_epoch`` (default: every epoch present) are merged into a
+    single epoch directory at the LOWEST compacted epoch number — the
+    "seed history" slot, so later replays (which exclude their own,
+    higher, epoch) still see the full compacted history. Only compact
+    epochs that are CLOSED (no in-flight micro-batch writes or replays
+    can target them); the active epoch must stay out of ``up_to_epoch``.
+
+    Flat stores (plain appends, no epoch): the whole store is rewritten
+    bucket directory by bucket directory.
+
+    ``dedupe`` drops duplicate (band_id, band_hash) rows while
+    rewriting — safe because every store consumer is a left-semi
+    membership probe (set semantics), and appends across epochs
+    re-land the same band rows whenever near-dup survivors share bands.
+
+    Swap protocol (single-writer contract, same as the store's): the
+    compacted data is written to a dot-prefixed temp dir (invisible to
+    Spark/Hive readers), source dirs are renamed into dot-prefixed
+    trash, the temp is renamed into place, then trash is deleted. A
+    crash mid-swap leaves dot-dirs to restore by hand — never a
+    double-counted row; probes running DURING the swap window may miss
+    the in-flight portion, so schedule compaction like any other store
+    write (it IS one).
+
+    Returns {files_before, files_after, epochs_compacted, target_epoch}
+    (file counts over data files in the compacted scope; -1 target for
+    flat stores)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        raise ValueError(f"compact_band_store: {path} does not exist")
+
+    def _data_files(p) -> int:
+        n = 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next().getPath().getName()
+            if not f.startswith(("_", ".")):
+                n += 1
+        return n
+
+    top = [s.getPath() for s in fs.listStatus(root)]
+    epoch_dirs = {
+        int(p.getName().split("=", 1)[1]): p
+        for p in top
+        if p.getName().startswith("epoch=")
+    }
+    is_epoched = bool(epoch_dirs)
+    if is_epoched:
+        closed = sorted(
+            e
+            for e in epoch_dirs
+            if up_to_epoch is None or e <= up_to_epoch
+        )
+        if len(closed) < 2 and not (closed and dedupe):
+            return {
+                "files_before": 0,
+                "files_after": 0,
+                "epochs_compacted": len(closed),
+                "target_epoch": closed[0] if closed else -1,
+            }
+        sources = [epoch_dirs[e] for e in closed]
+        target_epoch = closed[0]
+    else:
+        if up_to_epoch is not None:
+            raise ValueError(
+                f"compact_band_store: {path} is not an epoch'd store; "
+                "up_to_epoch only applies to epoch'd layouts"
+            )
+        sources = [p for p in top if p.getName().startswith("bucket=")]
+        if not sources:
+            raise ValueError(
+                f"{path} is not a write_band_store layout (no bucket=/"
+                "epoch= directories)"
+            )
+        closed, target_epoch = [], -1
+    files_before = sum(_data_files(p) for p in sources)
+
+    scope = spark.read.parquet(path)
+    if is_epoched:
+        scope = scope.where(F.col("epoch").isin([int(e) for e in closed]))
+    scope = scope.select("band_id", "band_hash", "bucket")
+    if dedupe:
+        scope = scope.distinct()
+    tmp = HPath(root, ".compact-tmp")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    # repartition by bucket so each bucket directory lands as ONE file
+    # per shuffle partition that actually holds it (the file-count
+    # bound compaction exists to restore)
+    scope.repartition(F.col("bucket")).write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(tmp.toString())
+    trash = []
+    for i, p in enumerate(sources):
+        t = HPath(root, f".compact-trash-{i}-{p.getName()}")
+        if not fs.rename(p, t):
+            raise IOError(f"compact_band_store: rename {p} -> {t} failed")
+        trash.append(t)
+    if is_epoched:
+        dest = HPath(root, f"epoch={target_epoch}")
+        if not fs.rename(tmp, dest):
+            raise IOError(
+                f"compact_band_store: rename {tmp} -> {dest} failed; "
+                "restore the .compact-trash-* directories"
+            )
+        files_after = _data_files(dest)
+    else:
+        files_after = 0
+        for s in fs.listStatus(tmp):
+            c = s.getPath()
+            if c.getName().startswith("bucket="):
+                dest = HPath(root, c.getName())
+                if not fs.rename(c, dest):
+                    raise IOError(
+                        f"compact_band_store: rename {c} -> {dest} "
+                        "failed; restore the .compact-trash-* dirs"
+                    )
+                files_after += _data_files(dest)
+        fs.delete(tmp, True)
+    for t in trash:
+        fs.delete(t, True)
+    return {
+        "files_before": int(files_before),
+        "files_after": int(files_after),
+        "epochs_compacted": len(closed),
+        "target_epoch": int(target_epoch),
+    }
+
+
 def scan_io_metrics(df: DataFrame) -> dict[str, int]:
     """Executed-plan file-scan metrics for an ALREADY-EXECUTED frame
     (call an action first): sums numFiles / filesSize / numPartitions

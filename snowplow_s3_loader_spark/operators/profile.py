@@ -927,8 +927,10 @@ def calibration_bins(
     if not 1 <= k <= 10_000:
         raise ValueError(f"calibration_bins: k must be in [1, 10000], got {k}")
     s, lab = F.col(score_col), F.col(label_col)
+    # s != s.cast(long) catches fractional micro scores (silent
+    # truncation would shift bin boundaries) — false on integer inputs
     checked_s = F.when(
-        s.isNull() | (s < 0) | (s > 1_000_000),
+        s.isNull() | (s < 0) | (s > 1_000_000) | (s != s.cast("long")),
         F.raise_error(
             F.concat(
                 F.lit(
@@ -1165,7 +1167,10 @@ def fd_check(
     operator treats NULL determinant values as a group key like SQL
     GROUP BY does (NULL = NULL for grouping), and NULL dep counts as a
     distinct value via count(distinct)+max(is-null) so two groups
-    differing only in dep NULL-ness are distinguished.
+    differing only in dep NULL-ness are distinguished. On an EMPTY
+    relation an FD vacuously holds: n_groups = n_violating =
+    max_dep_values = 0 and holds = 1 (never three-valued NULL — the
+    sum-over-zero-rows NULL is coalesced before `holds` derives).
 
     Scale shape: one exact two-level aggregation PER declared pair —
     groupBy(det) with count_distinct(dep) (partial combine keyed on the
@@ -1201,9 +1206,15 @@ def fd_check(
             ).select(
                 F.lit(name).alias("fd"),
                 F.col("n_groups").cast("long").alias("n_groups"),
-                F.col("n_violating").cast("long").alias("n_violating"),
-                F.col("max_dep_values").cast("long").alias("max_dep_values"),
-                (F.col("n_violating") == 0).cast("long").alias("holds"),
+                F.coalesce("n_violating", F.lit(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.coalesce("max_dep_values", F.lit(0))
+                .cast("long")
+                .alias("max_dep_values"),
+                (F.coalesce("n_violating", F.lit(0)) == 0)
+                .cast("long")
+                .alias("holds"),
             )
         )
     res = outs[0]
@@ -1240,8 +1251,10 @@ def survival_curve(
     ln(0) is emitted as NULL and cum_ln_micro stays NULL from there
     down (the curve is dead, not rounding noise).
 
-    ``duration_col`` must be a non-negative integer (NULL/negative
-    raise); ``event_col`` 1 = event observed at duration, 0 = censored
+    ``duration_col`` must be a non-negative integer (NULL / negative /
+    FRACTIONAL values raise — a fractional duration silently truncated
+    would merge distinct event times);
+    ``event_col`` 1 = event observed at duration, 0 = censored
     there (NULL/other raise). Censored subjects leave the risk set at
     their censor time without a survival step (the KM rule).
 
@@ -1256,8 +1269,11 @@ def survival_curve(
     from pyspark.sql import Window
 
     d, e = F.col(duration_col), F.col(event_col)
+    # d != d.cast(long) is identically false on integer inputs and
+    # catches fractional doubles/decimals (1.5 must RAISE, not truncate
+    # to 1 — the docstring's integer contract, kept loud)
     checked_d = F.when(
-        d.isNull() | (d < 0),
+        d.isNull() | (d < 0) | (d != d.cast("long")),
         F.raise_error(
             F.concat(
                 F.lit(

@@ -24,14 +24,24 @@ steer load balance.
 CONTRACT: the input plan MUST be deterministic. The counts pass and the
 output pass evaluate it independently and agree only because identical
 plans over identical data produce identical rows — an input containing
-rand()/randn(), monotonically_increasing_id(), .sample(), or an
-uncheckpointed prior nondeterministic stage yields different rows per
-pass and SILENTLY corrupts ranks (offset map from one evaluation, local
-row numbers from another). Callers with such inputs must materialize
-them first (checkpoint_nostats) — the operator cannot detect this
-without paying an extra full pass. The order key MUST be a total order (include a
-unique tiebreak column); then row_number == rank == dense_rank, and
-ntile derives in closed form from (row_number, total).
+an uncheckpointed nondeterministic stage (.sample(), a nondeterministic
+UDF, round-robin repartition) yields different rows per pass and would
+corrupt ranks (offset map from one evaluation, local row numbers from
+another). That corruption is MACHINE-CHECKED, not just documented: the
+output pass carries one extra window count over the SAME bucket
+exchange (unbounded frame on the rank window's spec — no extra shuffle,
+no extra sort, no extra evaluation of the input) and every row asserts
+its bucket's observed size equals the literal count collected in the
+counts pass, raising loudly on mismatch. Any cross-pass redistribution
+or per-bucket count change trips it; the one escape is an input whose
+re-evaluation drops rows while leaving every surviving bucket's count
+identical (a strict-subset drift that no per-row check can see without
+a content hash). Callers with nondeterministic inputs must still
+materialize first (checkpoint_nostats) — the guard turns silent
+corruption into an error, it does not make such inputs correct. The
+order key MUST be a total order (include a unique tiebreak column);
+then row_number == rank == dense_rank, and ntile derives in closed
+form from (row_number, total).
 
 Residency/resilience: nothing is materialized (the round-10 shape
 eagerly localCheckpointed the ENTIRE input — a measured storage wall at
@@ -49,7 +59,43 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_RESERVED = ("__gr_b", "__gr_lrn", "__gr_val", "__gr_lcum")
+_RESERVED = ("__gr_b", "__gr_lrn", "__gr_val", "__gr_lcum", "__gr_chk")
+
+
+def _count_guard(counts: dict[int, int], op: str) -> Column:
+    """Per-row cross-pass consistency check (module docstring): TRUE iff
+    the row's bucket size observed in the output pass (`__gr_chk`, a
+    window count over the same exchange) equals the literal count the
+    counts pass collected for that bucket. A bucket id the counts pass
+    never saw (NULL lookup) is also a mismatch."""
+    cnt_map = F.create_map(
+        *[
+            x
+            for b, c in counts.items()
+            for x in (F.lit(b), F.lit(c).cast("long"))
+        ]
+    )
+    expected = F.element_at(cnt_map, F.col("__gr_b"))
+    return F.when(
+        expected.isNull() | (F.col("__gr_chk") != expected),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{op}: cross-pass bucket-count mismatch (bucket "
+                ),
+                F.col("__gr_b").cast("string"),
+                F.lit(" observed "),
+                F.col("__gr_chk").cast("string"),
+                F.lit(" rows in the output pass vs "),
+                F.coalesce(expected.cast("string"), F.lit("NONE")),
+                F.lit(
+                    " in the counts pass) — the input plan is "
+                    "NONDETERMINISTIC; materialize it first "
+                    "(checkpoint_nostats)"
+                ),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
 
 
 def _sort_exprs(knames: list[str], descending: list[bool]) -> list[Column]:
@@ -246,7 +292,10 @@ def global_row_number(
 
     No single-partition stage and NOTHING materialized: the bucket id is
     a pure expression over literal boundaries (module docstring), so the
-    counts pass and the output pass agree by construction. The rank is
+    counts pass and the output pass agree by construction — and that
+    agreement is ASSERTED per bucket in the output pass (the cross-pass
+    count guard: a nondeterministic input raises instead of silently
+    mis-ranking). The rank is
     emitted as INT with total_rows < 2^31 ENFORCED (the downstream
     contract — rank-derived arithmetic rides int; past that bound shard
     first)."""
@@ -272,16 +321,26 @@ def global_row_number(
     w = Window.partitionBy("__gr_b").orderBy(
         *_sort_exprs(knames, desc_flags)
     )
+    counts = {r["__gr_b"]: r["c"] for r in cnt_rows}
     out = (
         bucketed.withColumn("__gr_lrn", F.row_number().over(w))
         .withColumn(
+            "__gr_chk",
+            F.count(F.lit(1)).over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn(
             rn_col,
-            (
+            F.when(
+                _count_guard(counts, "global_row_number"),
                 F.element_at(_offset_map(offsets), F.col("__gr_b"))
-                + F.col("__gr_lrn")
+                + F.col("__gr_lrn"),
             ).cast("int"),
         )
-        .drop("__gr_b", "__gr_lrn", *knames)
+        .drop("__gr_b", "__gr_lrn", "__gr_chk", *knames)
     )
     return out, int(total)
 
@@ -305,7 +364,9 @@ def global_running_total(
     total_value).
 
     Nothing materialized (module docstring); total_rows < 2^31 ENFORCED
-    (INT rank contract). ``value_col`` must be non-null (a NULL poisons
+    (INT rank contract); cross-pass bucket counts ASSERTED in the output
+    pass (nondeterministic inputs raise instead of silently
+    mis-ranking). ``value_col`` must be non-null (a NULL poisons
     every later prefix; per-row raise_error fold, zero extra scan)."""
     v = F.col(value_col)
     v_checked = F.when(
@@ -354,6 +415,7 @@ def global_running_total(
     w = Window.partitionBy("__gr_b").orderBy(
         *_sort_exprs(knames, desc_flags)
     )
+    counts = {r["__gr_b"]: r["c"] for r in cnt_rows}
     out = (
         bucketed.withColumn("__gr_lrn", F.row_number().over(w))
         .withColumn(
@@ -363,10 +425,19 @@ def global_running_total(
             ),
         )
         .withColumn(
+            "__gr_chk",
+            F.count(F.lit(1)).over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn(
             rn_col,
-            (
+            F.when(
+                _count_guard(counts, "global_running_total"),
                 F.element_at(_offset_map(offsets), F.col("__gr_b"))
-                + F.col("__gr_lrn")
+                + F.col("__gr_lrn"),
             ).cast("int"),
         )
         .withColumn(
@@ -375,7 +446,10 @@ def global_running_total(
             + F.col("__gr_lcum")
             - F.col("__gr_val"),
         )
-        .drop("__gr_b", "__gr_lrn", "__gr_lcum", "__gr_val", *knames)
+        .drop(
+            "__gr_b", "__gr_lrn", "__gr_lcum", "__gr_val", "__gr_chk",
+            *knames,
+        )
     )
     return out, int(total), int(total_val)
 

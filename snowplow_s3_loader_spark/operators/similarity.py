@@ -1328,19 +1328,28 @@ def truncation_recall(
         .groupBy(full["query_id"].alias("query_id"))
         .agg(F.count("*").alias("n_common"))
     )
+    # per-query stats hang off the QUERY-ID SPINE (every row matching
+    # query_pred), not off the neighbor frames: a query with zero scored
+    # neighbors (degenerate corpus of one vector) must still emit a zero
+    # row, exactly as the oracle's `FROM q LEFT JOIN common` does
+    spine = emb.where(query_pred).select(F.col(id_col).alias("query_id"))
     per_q = (
-        full.groupBy("query_id")
-        .agg(F.count("*").alias("n_full"))
+        spine.join(
+            full.groupBy("query_id").agg(F.count("*").alias("n_full")),
+            "query_id",
+            "left",
+        )
         .join(
             trunc.groupBy("query_id").agg(F.count("*").alias("n_trunc")),
             "query_id",
+            "left",
         )
         .join(common, "query_id", "left")
     )
     return per_q.select(
         "query_id",
-        F.col("n_full").cast("long").alias("n_full"),
-        F.col("n_trunc").cast("long").alias("n_trunc"),
+        F.coalesce("n_full", F.lit(0)).cast("long").alias("n_full"),
+        F.coalesce("n_trunc", F.lit(0)).cast("long").alias("n_trunc"),
         F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
         F.expr(f"(coalesce(n_common, 0) * 1000000) div {k}").alias(
             "recall_micro"

@@ -457,6 +457,127 @@ def ohlc_bars(
 _BURST_BIG = 1 << 62
 
 
+def _burst_gaps_frame(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    op: str,
+    s_num: int,
+    gamma_micro: int,
+    with_ts: bool = False,
+) -> DataFrame:
+    """Shared guard + gap extraction for the Kleinberg operators: one
+    keyed lag window producing per-key integer-second gaps carrying
+    their window position (`__i` — applyInPandas hands groups in
+    ARBITRARY row order and the DP is order-sensitive). NULL timestamps
+    and NULL tiebreaks RAISE. ``with_ts`` additionally carries each
+    gap's bounding event timestamps (t0 = earlier event, t1 = later) —
+    the interval emitter's inputs."""
+    if s_num < 2:
+        raise ValueError(f"{op}: s_num must be >= 2, got {s_num}")
+    if gamma_micro < 0:
+        raise ValueError(
+            f"{op}: gamma_micro must be >= 0, got {gamma_micro}"
+        )
+    k, t, tie = F.col(key_col), F.col(ts_col), F.col(tie_col)
+    checked_t = F.when(
+        t.isNull(),
+        F.raise_error(
+            F.lit(f"{op}: NULL {ts_col!r} — filter first")
+        ).cast(df.schema[ts_col].dataType),
+    ).otherwise(t)
+    checked_tie = F.when(
+        tie.isNull(),
+        F.raise_error(
+            F.lit(
+                f"{op}: NULL {tie_col!r} — the tiebreak must "
+                "make the per-key order TOTAL (NULL ordering differs "
+                "across engines); filter first"
+            )
+        ).cast(df.schema[tie_col].dataType),
+    ).otherwise(tie)
+    extra = (
+        [
+            F.expr(
+                f"lag({ts_col}) OVER "
+                f"(PARTITION BY key ORDER BY {ts_col}, {tie_col})"
+            ).alias("t0"),
+            F.col(ts_col).alias("t1"),
+        ]
+        if with_ts
+        else []
+    )
+    return (
+        df.select(
+            k.alias("key"), checked_t.alias(ts_col), checked_tie.alias(tie_col)
+        )
+        .select(
+            "key",
+            F.expr(
+                f"timestampdiff(MICROSECOND, lag({ts_col}) OVER "
+                f"(PARTITION BY key ORDER BY {ts_col}, {tie_col}), {ts_col})"
+            ).alias("__gap_us"),
+            F.expr(
+                f"row_number() OVER "
+                f"(PARTITION BY key ORDER BY {ts_col}, {tie_col})"
+            ).alias("__i"),
+            *extra,
+        )
+        .where(F.col("__gap_us").isNotNull())
+        .select(
+            "key",
+            F.expr("__gap_us div 1000000").alias("gap_s"),
+            "__i",
+            *(["t0", "t1"] if with_ts else []),
+        )
+    )
+
+
+def _burst_states(
+    xs: list[int], key, s_num: int, gamma_micro: int
+) -> tuple[list[int], int, int, int]:
+    """The exact-integer two-state Viterbi shared by `kleinberg_bursts`
+    and `kleinberg_burst_intervals` (same forward recurrence, same
+    PINNED backtrack ties — docstrings there). Requires len(xs) >= 2.
+    Returns (states, cost_micro, mean_gap, trans)."""
+    import math
+
+    n_gaps = len(xs)
+    n_events = n_gaps + 1
+    mean_gap = int(sum(xs)) // n_gaps
+    if mean_gap == 0:
+        raise ValueError(
+            f"kleinberg burst DP: key {key!r} has mean gap 0 s — "
+            "sub-second corpus needs a finer gap unit"
+        )
+    ln_s_micro = int(math.floor(math.log(s_num) * 1_000_000 + 0.5))
+    ln_n_micro = int(math.floor(math.log(n_events) * 1_000_000 + 0.5))
+    trans = (gamma_micro * ln_n_micro) // 1_000_000
+    deltas = [
+        (s_num - 1) * ((int(x) * 1_000_000) // mean_gap) - ln_s_micro
+        for x in xs
+    ]
+    dp0, dp1 = 0, _BURST_BIG
+    hist = []
+    for d in deltas:
+        ndp0 = min(dp0, dp1)
+        ndp1 = min(dp1, dp0 + trans) + d
+        hist.append((ndp0, ndp1))
+        dp0, dp1 = ndp0, ndp1
+    states = [0] * n_gaps
+    cur = 0 if dp0 <= dp1 else 1
+    states[-1] = cur
+    for i in range(n_gaps - 1, 0, -1):
+        p0, p1 = hist[i - 1]
+        if cur == 0:
+            cur = 0 if p0 <= p1 else 1
+        else:
+            cur = 1 if p1 <= p0 + trans else 0
+        states[i - 1] = cur
+    return states, min(dp0, dp1), mean_gap, trans
+
+
 def kleinberg_bursts(
     df: DataFrame,
     key_col: str,
@@ -500,7 +621,11 @@ def kleinberg_bursts(
     state is O(n_gaps) ints). Output is one bounded row per key.
 
     Guards: mean_gap_s = 0 raises (sub-second corpora need a finer
-    gap unit); NULL timestamps raise; s_num >= 2. Keys with exactly
+    gap unit); NULL timestamps raise; NULL ``tie_col`` values raise
+    (NULL-ordering differences between engines could reorder
+    equal-timestamp gaps and flip the order-sensitive DP); s_num >= 2.
+    The output ``key`` column preserves the input key dtype. Keys with
+    exactly
     one gap emit a trivial row (0 bursts, NULL mean/cost — no
     evidence); single-EVENT keys have no gap at all and are absent
     from the output (the oracle builds from the same gap frame, so
@@ -508,46 +633,18 @@ def kleinberg_bursts(
 
     Output: (key, n_events, n_gaps, mean_gap_s, n_burst_gaps,
     n_bursts, max_burst_gaps, cost_micro) ordered by key."""
-    import math
-
     import pandas as pd
 
-    if s_num < 2:
-        raise ValueError(f"kleinberg_bursts: s_num must be >= 2, got {s_num}")
-    if gamma_micro < 0:
-        raise ValueError(
-            f"kleinberg_bursts: gamma_micro must be >= 0, got {gamma_micro}"
-        )
-    k, t = F.col(key_col), F.col(ts_col)
-    checked_t = F.when(
-        t.isNull(),
-        F.raise_error(
-            F.lit(f"kleinberg_bursts: NULL {ts_col!r} — filter first")
-        ).cast(df.schema[ts_col].dataType),
-    ).otherwise(t)
-    # the gap's window position rides along: applyInPandas hands the
-    # group in ARBITRARY row order, and the DP is order-sensitive
-    gaps = (
-        df.select(k.alias("key"), checked_t.alias(ts_col), F.col(tie_col))
-        .select(
-            "key",
-            F.expr(
-                f"timestampdiff(MICROSECOND, lag({ts_col}) OVER "
-                f"(PARTITION BY key ORDER BY {ts_col}, {tie_col}), {ts_col})"
-            ).alias("__gap_us"),
-            F.expr(
-                f"row_number() OVER "
-                f"(PARTITION BY key ORDER BY {ts_col}, {tie_col})"
-            ).alias("__i"),
-        )
-        .where(F.col("__gap_us").isNotNull())
-        .select(
-            "key", F.expr("__gap_us div 1000000").alias("gap_s"), "__i"
-        )
+    gaps = _burst_gaps_frame(
+        df, key_col, ts_col, tie_col, "kleinberg_bursts", s_num,
+        gamma_micro,
     )
-    ln_s_micro = int(math.floor(math.log(s_num) * 1_000_000 + 0.5))
+    # the output key column preserves the INPUT key dtype (a pinned
+    # 'string' here would silently coerce numeric keys)
+    key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
-        "key string, n_events bigint, n_gaps bigint, mean_gap_s bigint, "
+        f"key {key_type}, n_events bigint, n_gaps bigint, "
+        "mean_gap_s bigint, "
         "n_burst_gaps bigint, n_bursts bigint, max_burst_gaps bigint, "
         "cost_micro bigint"
     )
@@ -557,42 +654,14 @@ def kleinberg_bursts(
         xs = pdf.sort_values("__i")["gap_s"].tolist()
         n_gaps = len(xs)
         n_events = n_gaps + 1
-        total = int(sum(xs))
         if n_gaps < 2:
             return pd.DataFrame(
-                [[str(key), n_events, n_gaps, None, 0, 0, 0, None]],
+                [[key, n_events, n_gaps, None, 0, 0, 0, None]],
                 columns=[c.split()[0] for c in out_schema.split(", ")],
             )
-        mean_gap = total // n_gaps
-        if mean_gap == 0:
-            raise ValueError(
-                f"kleinberg_bursts: key {key!r} has mean gap 0 s — "
-                "sub-second corpus needs a finer gap unit"
-            )
-        ln_n_micro = int(math.floor(math.log(n_events) * 1_000_000 + 0.5))
-        trans = (gamma_micro * ln_n_micro) // 1_000_000
-        deltas = [
-            (s_num - 1) * ((int(x) * 1_000_000) // mean_gap) - ln_s_micro
-            for x in xs
-        ]
-        dp0, dp1 = 0, _BURST_BIG
-        hist = []
-        for d in deltas:
-            ndp0 = min(dp0, dp1)
-            ndp1 = min(dp1, dp0 + trans) + d
-            hist.append((ndp0, ndp1))
-            dp0, dp1 = ndp0, ndp1
-        # backward pass with pinned tie rules
-        states = [0] * n_gaps
-        cur = 0 if dp0 <= dp1 else 1
-        states[-1] = cur
-        for i in range(n_gaps - 1, 0, -1):
-            p0, p1 = hist[i - 1]
-            if cur == 0:
-                cur = 0 if p0 <= p1 else 1
-            else:
-                cur = 1 if p1 <= p0 + trans else 0
-            states[i - 1] = cur
+        states, cost, mean_gap, _trans = _burst_states(
+            xs, key, s_num, gamma_micro
+        )
         n_burst = sum(states)
         n_runs, max_run, run = 0, 0, 0
         prev = 0
@@ -607,18 +676,103 @@ def kleinberg_bursts(
             prev = st
         return pd.DataFrame(
             [[
-                str(key),
+                key,
                 n_events,
                 n_gaps,
                 mean_gap,
                 n_burst,
                 n_runs,
                 max_run,
-                min(dp0, dp1),
+                cost,
             ]],
             columns=[c.split()[0] for c in out_schema.split(", ")],
         )
 
     return (
         gaps.groupBy("key").applyInPandas(_dp, out_schema).orderBy("key")
+    )
+
+
+def kleinberg_burst_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    s_num: int = 2,
+    gamma_micro: int = 1_000_000,
+) -> DataFrame:
+    """The burst WINDOWS behind `kleinberg_bursts`' per-key counts —
+    the artifact a user actually plots: one row per maximal burst-state
+    run from the SAME exact-integer DP and the SAME pinned backtrack
+    (`_burst_states`), so the intervals and the counts can never
+    disagree.
+
+    A run of burst-state gaps [a..b] (1-based gap positions; gap i sits
+    between events i-1 and i) covers events a-1 .. b:
+
+        start_ts = timestamp of event a-1 (the gap run's opening event)
+        end_ts   = timestamp of event b
+        n_gaps   = b - a + 1,  n_events = n_gaps + 1
+        span_s   = sum of the run's integer-second gaps (truncated
+                   per-gap exactly like the DP's inputs — NOT
+                   end_ts - start_ts, whose single truncation differs)
+
+    ``burst_id`` numbers runs 1.. per key in time order. Keys with no
+    burst (or < 2 gaps — no DP evidence) emit NOTHING: this is the
+    plot-ready frame, not the per-key summary (that is
+    `kleinberg_bursts`; join on key for both).
+
+    Scale shape: identical to `kleinberg_bursts` — one keyed lag
+    window, one grouped-Arrow DP pass emitting at most n_gaps/2 bounded
+    rows per key; same pack_sequences_ffd per-key-history contract.
+
+    Output: (key, burst_id, start_ts, end_ts, n_gaps, n_events, span_s)
+    ordered by (key, burst_id)."""
+    import pandas as pd
+
+    gaps = _burst_gaps_frame(
+        df, key_col, ts_col, tie_col, "kleinberg_burst_intervals",
+        s_num, gamma_micro, with_ts=True,
+    )
+    key_type = df.schema[key_col].dataType.simpleString()
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    out_schema = (
+        f"key {key_type}, burst_id bigint, start_ts {ts_type}, "
+        f"end_ts {ts_type}, n_gaps bigint, n_events bigint, span_s bigint"
+    )
+    cols = [c.split()[0] for c in out_schema.split(", ")]
+
+    def _dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        g = pdf.sort_values("__i")
+        xs = g["gap_s"].tolist()
+        if len(xs) < 2:
+            return pd.DataFrame([], columns=cols)
+        states, _cost, _mean, _trans = _burst_states(
+            xs, key, s_num, gamma_micro
+        )
+        t0s, t1s = g["t0"].tolist(), g["t1"].tolist()
+        rows = []
+        a = None
+        for i, st in enumerate(states + [0]):
+            if st == 1 and a is None:
+                a = i
+            elif st == 0 and a is not None:
+                b = i - 1
+                rows.append([
+                    key,
+                    len(rows) + 1,
+                    t0s[a],
+                    t1s[b],
+                    b - a + 1,
+                    b - a + 2,
+                    int(sum(xs[a : b + 1])),
+                ])
+                a = None
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        gaps.groupBy("key")
+        .applyInPandas(_dp, out_schema)
+        .orderBy("key", "burst_id")
     )

@@ -24,7 +24,7 @@ Composite design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snowplow_s3_loader_spark.operators import dedup, text
@@ -417,6 +417,36 @@ def q58_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         split.union(strat).union(temp).union(leak).union(resv).union(mix)
         .orderBy("battery", "bucket")
+    )
+
+
+def burst_fold_v1() -> Column:
+    """The burst battery's v1 slot fold (n_events / n_gaps / longest
+    run packed into one int64) with its losslessness bounds enforced
+    LOUDLY: past n_gaps >= 1e5, n_burst_gaps >= 1e5 or n_bursts >= 1e4
+    the shared slots collide and a real Spark-vs-oracle divergence
+    could be masked (or a spurious one created) — so the bound raises
+    like two_proportion_z's 2^31 guard instead of living in a comment.
+    (max_burst_gaps <= n_burst_gaps <= n_gaps, so the n_gaps bound
+    covers every v1/v2 sub-slot.)"""
+    overflow = (
+        (F.col("n_gaps") >= 100_000)
+        | (F.col("n_burst_gaps") >= 100_000)
+        | (F.col("n_bursts") >= 10_000)
+    )
+    return F.when(
+        overflow,
+        F.raise_error(
+            F.lit(
+                "burst battery fold: slot bounds exceeded (need n_gaps "
+                "< 1e5, n_burst_gaps < 1e5, n_bursts < 1e4) — widen the "
+                "fold slots before trusting this SF"
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.col("n_events") * 10_000_000_000
+        + F.col("n_gaps") * 100_000
+        + F.col("max_burst_gaps")
     )
 
 
@@ -1127,13 +1157,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     brst = q.q162_bursts(spark, sf_dir).select(
         F.lit("burst").alias("battery"),
         F.col("key").alias("key"),
-        # n_events / n_gaps / longest run folded losslessly (bounds
-        # documented on the operator; battery SFs stay far inside)
-        (
-            F.col("n_events") * 10_000_000_000
-            + F.col("n_gaps") * 100_000
-            + F.col("max_burst_gaps")
-        ).alias("v1"),
+        burst_fold_v1().alias("v1"),
         (
             F.col("mean_gap_s") * 1_000_000_000
             + F.col("n_burst_gaps") * 10_000

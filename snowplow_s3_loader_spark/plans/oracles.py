@@ -3917,8 +3917,11 @@ rows_out AS (
          CAST(max(nd) AS BIGINT)
   FROM fd6
 )
-SELECT tbl, fd, n_groups, n_violating, max_dep_values,
-       CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+SELECT tbl, fd, n_groups,
+       coalesce(n_violating, 0) AS n_violating,
+       coalesce(max_dep_values, 0) AS max_dep_values,
+       CAST(CASE WHEN coalesce(n_violating, 0) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS holds
 FROM rows_out ORDER BY tbl, fd
 """
 

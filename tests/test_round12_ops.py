@@ -1,0 +1,473 @@
+"""Round-12 hardening: the five cross-engine parity / loud-guard fixes
+from the round-11 advisory — truncation-recall query spine, burst-fold
+slot-bound guard, fd_check vacuous holds, kleinberg tie/dtype contract,
+fractional-input integrality guards."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+
+class TestTruncationRecallSpine:
+    def test_query_with_zero_neighbors_emits_zero_row(self, spark):
+        """A corpus of exactly one vector (the query itself): no scored
+        neighbors exist on either side, yet the query must still appear
+        with all-zero stats — the oracle's `FROM q LEFT JOIN common`
+        shape."""
+        from snowplow_s3_loader_spark.operators.similarity import (
+            truncation_recall,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0, 4.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = truncation_recall(
+            df, F.col("vec_id") % 10 == 0, k=3, dims_keep=2
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (
+            r["query_id"],
+            r["n_full"],
+            r["n_trunc"],
+            r["n_common"],
+            r["recall_micro"],
+        ) == (0, 0, 0, 0, 0)
+
+    def test_spine_covers_every_query(self, spark):
+        """Every row matching query_pred appears exactly once, even when
+        mixed with queries that do have neighbors."""
+        from snowplow_s3_loader_spark.operators.similarity import (
+            truncation_recall,
+        )
+
+        rows = [
+            (i, [float((i * 7 + j * 13) % 10) for j in range(8)])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = truncation_recall(
+            df, F.col("vec_id") % 10 == 0, k=3, dims_keep=8
+        ).collect()
+        assert [r["query_id"] for r in out] == [0, 10, 20]
+        assert all(r["n_full"] == 3 for r in out)
+
+
+class TestBurstFoldGuard:
+    _SCHEMA = (
+        "battery string, key string, n_events long, n_gaps long, "
+        "mean_gap_s long, n_burst_gaps long, n_bursts long, "
+        "max_burst_gaps long, cost_micro long"
+    )
+
+    def _frame(self, spark, n_gaps, n_burst_gaps, n_bursts, max_run):
+        return spark.createDataFrame(
+            [(
+                "burst", "k", n_gaps + 1, n_gaps, 10, n_burst_gaps,
+                n_bursts, max_run, 123,
+            )],
+            self._SCHEMA,
+        )
+
+    def test_in_bounds_fold_is_lossless(self, spark):
+        from snowplow_s3_loader_spark.plans.composites import burst_fold_v1
+
+        [r] = (
+            self._frame(spark, 99_999, 50, 3, 20)
+            .select(burst_fold_v1().alias("v1"))
+            .collect()
+        )
+        assert r["v1"] == 100_000 * 10_000_000_000 + 99_999 * 100_000 + 20
+
+    @pytest.mark.parametrize(
+        "n_gaps,n_burst_gaps,n_bursts",
+        [(100_000, 5, 1), (200_000, 100_000, 1), (200_000, 5, 10_000)],
+    )
+    def test_out_of_bounds_raises(self, spark, n_gaps, n_burst_gaps, n_bursts):
+        from snowplow_s3_loader_spark.plans.composites import burst_fold_v1
+
+        with pytest.raises(Exception, match="slot bounds exceeded"):
+            self._frame(spark, n_gaps, n_burst_gaps, n_bursts, 1).select(
+                burst_fold_v1().alias("v1")
+            ).collect()
+
+
+class TestFdCheckEmptyRelation:
+    def test_fd_vacuously_holds_on_empty_input(self, spark):
+        """sum() over zero rows is NULL in Spark; the operator must not
+        leak that as a three-valued `holds` — an FD on an empty relation
+        vacuously holds (1), with zero counts, in BOTH engines."""
+        from snowplow_s3_loader_spark.operators.profile import fd_check
+
+        df = spark.createDataFrame([], "a long, b long")
+        [r] = fd_check(df, [(["a"], "b")]).collect()
+        assert (
+            r["n_groups"],
+            r["n_violating"],
+            r["max_dep_values"],
+            r["holds"],
+        ) == (0, 0, 0, 1)
+
+    def test_oracle_mirror_on_empty_relation(self, spark):
+        """The q158 oracle's coalesce-then-derive shape yields the same
+        vacuous row on an empty relation in DuckDB."""
+        import duckdb
+
+        got = duckdb.sql(
+            """
+            WITH src(a, b) AS (SELECT 1, 1 WHERE false),
+            g AS (SELECT count(DISTINCT b)
+                         + max(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS nd
+                  FROM src GROUP BY a),
+            r AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_violating,
+                         CAST(max(nd) AS BIGINT) AS max_dep_values
+                  FROM g)
+            SELECT n_groups, coalesce(n_violating, 0),
+                   coalesce(max_dep_values, 0),
+                   CASE WHEN coalesce(n_violating, 0) = 0
+                        THEN 1 ELSE 0 END
+            FROM r
+            """
+        ).fetchall()
+        assert got == [(0, 0, 0, 1)]
+
+    def test_nonempty_unchanged(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import fd_check
+
+        df = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20)], "a long, b long"
+        )
+        [r] = fd_check(df, [(["a"], "b")]).collect()
+        assert (
+            r["n_groups"],
+            r["n_violating"],
+            r["max_dep_values"],
+            r["holds"],
+        ) == (2, 1, 2, 0)
+
+
+class TestKleinbergContracts:
+    def _events(self, spark, gaps, schema, key):
+        t = datetime.datetime(2024, 1, 1)
+        rows = [(key, t, 0)]
+        for i, g in enumerate(gaps):
+            t = t + datetime.timedelta(seconds=g)
+            rows.append((key, t, i + 1))
+        return spark.createDataFrame(rows, schema)
+
+    def test_null_tie_col_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts,
+        )
+
+        df = self._events(
+            spark, [10, 20, 30], "key string, ts timestamp_ntz, eid long", "k"
+        ).withColumn(
+            "eid", F.when(F.col("eid") == 2, F.lit(None)).otherwise("eid")
+        )
+        with pytest.raises(Exception, match="tiebreak must"):
+            kleinberg_bursts(df, "key", "ts", "eid").collect()
+
+    def test_numeric_key_dtype_preserved(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts,
+        )
+
+        df = self._events(
+            spark, [60] * 20, "key long, ts timestamp_ntz, eid long", 7
+        )
+        out = kleinberg_bursts(df, "key", "ts", "eid")
+        assert out.schema["key"].dataType.simpleString() == "bigint"
+        [r] = out.collect()
+        assert r["key"] == 7 and r["n_gaps"] == 20
+
+
+def _bands(spark, epoch, n=40):
+    """Distinct synthetic band rows per epoch (no cross-epoch dups, so
+    dedupe-on-compact rewrites byte-identical row sets)."""
+    return spark.range(n).select(
+        (F.col("id") % 4).cast("int").alias("band_id"),
+        F.concat(
+            F.lit(f"e{epoch}:"), F.col("id").cast("string")
+        ).alias("band_hash"),
+    )
+
+
+def _store_files(path):
+    import os
+
+    return sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+
+
+class TestCompactBandStore:
+    def test_soak_fifty_epochs_then_compact(self, spark, tmp_path):
+        """The always-on trickle shape: 50 micro-epoch folds, then one
+        compaction of the closed epochs — file count drops, pruned-read
+        results stay identical, and the active epoch is untouched."""
+        from snowplow_s3_loader_spark.operators.dedup import (
+            compact_band_store,
+            read_band_store_pruned,
+            write_band_store,
+        )
+
+        path = str(tmp_path / "store")
+        for e in range(50):
+            write_band_store(
+                _bands(spark, e, n=24), path, n_buckets=8, epoch=e
+            )
+        probe = _bands(spark, 7, n=24)
+
+        def _read():
+            return sorted(
+                (r["band_id"], r["band_hash"])
+                for r in read_band_store_pruned(
+                    probe, path, n_buckets=8
+                ).collect()
+            )
+
+        before_rows = _read()
+        files_before = _store_files(path)
+        stats = compact_band_store(spark, path, up_to_epoch=48)
+        assert stats["epochs_compacted"] == 49
+        assert stats["target_epoch"] == 0
+        files_after = _store_files(path)
+        assert files_after < files_before
+        assert stats["files_after"] < stats["files_before"]
+        assert _read() == before_rows
+        # the open epoch (49) survived untouched
+        import os
+
+        assert os.path.isdir(os.path.join(path, "epoch=49"))
+        # and no temp/trash residue
+        assert not [
+            d for d in os.listdir(path) if d.startswith(".compact")
+        ]
+
+    def test_incremental_gate_identical_after_compaction(
+        self, spark, tmp_path
+    ):
+        """q150's shape: the full store-backed gate returns the exact
+        same (id, n_hit_bands, is_dup) rows before and after compacting
+        the folded history."""
+        from snowplow_s3_loader_spark.operators.dedup import (
+            compact_band_store,
+            incremental_minhash_filter_store,
+            minhash_bands,
+            write_band_store,
+        )
+        from tests.test_round11_ops import _snapshot
+
+        path = str(tmp_path / "store")
+        write_band_store(
+            minhash_bands(_snapshot(spark, 0, 120), "doc_id", "text"),
+            path,
+            n_buckets=16,
+            epoch=0,
+        )
+        write_band_store(
+            minhash_bands(_snapshot(spark, 1, 120), "doc_id", "text"),
+            path,
+            n_buckets=16,
+            epoch=1,
+        )
+        new = _snapshot(spark, 2, 120)
+
+        def _gate():
+            return sorted(
+                (r["id"], r["n_hit_bands"], r["is_dup"])
+                for r in incremental_minhash_filter_store(
+                    new, path, "doc_id", "text", n_buckets=16,
+                    fold_survivors=False,
+                ).collect()
+            )
+
+        before = _gate()
+        stats = compact_band_store(spark, path)
+        assert stats["epochs_compacted"] == 2
+        assert _gate() == before
+
+    def test_flat_store_compaction(self, spark, tmp_path):
+        from snowplow_s3_loader_spark.operators.dedup import (
+            compact_band_store,
+            write_band_store,
+        )
+
+        path = str(tmp_path / "store")
+        for e in range(6):
+            write_band_store(
+                _bands(spark, e, n=24), path, n_buckets=4, mode="append"
+            )
+        before_rows = sorted(
+            (r["band_id"], r["band_hash"])
+            for r in spark.read.parquet(path)
+            .select("band_id", "band_hash")
+            .collect()
+        )
+        files_before = _store_files(path)
+        stats = compact_band_store(spark, path)
+        assert stats["target_epoch"] == -1
+        assert _store_files(path) < files_before
+        after_rows = sorted(
+            (r["band_id"], r["band_hash"])
+            for r in spark.read.parquet(path)
+            .select("band_id", "band_hash")
+            .collect()
+        )
+        assert after_rows == before_rows
+
+    def test_dedupe_drops_replayed_band_rows(self, spark, tmp_path):
+        """Cross-epoch duplicate band rows collapse to one copy; the
+        membership semantics (a set) are unchanged."""
+        from snowplow_s3_loader_spark.operators.dedup import (
+            compact_band_store,
+            write_band_store,
+        )
+
+        path = str(tmp_path / "store")
+        for e in range(3):
+            write_band_store(
+                _bands(spark, 0, n=24), path, n_buckets=4, epoch=e
+            )
+        assert spark.read.parquet(path).count() == 72
+        compact_band_store(spark, path)
+        assert spark.read.parquet(path).count() == 24
+
+    def test_up_to_epoch_on_flat_store_raises(self, spark, tmp_path):
+        from snowplow_s3_loader_spark.operators.dedup import (
+            compact_band_store,
+            write_band_store,
+        )
+
+        path = str(tmp_path / "store")
+        write_band_store(_bands(spark, 0), path, n_buckets=4)
+        with pytest.raises(ValueError, match="not an epoch'd store"):
+            compact_band_store(spark, path, up_to_epoch=3)
+
+
+class TestRankingCrossPassGuard:
+    def test_nondeterministic_input_raises(self, spark):
+        """A genuinely nondeterministic key (non-deterministic UDF): the
+        counts pass and the output pass see different bucket
+        distributions, and the per-row cross-pass count guard must turn
+        the documented silent-corruption mode into a loud error."""
+        import random
+
+        from snowplow_s3_loader_spark.operators.ranking import (
+            global_row_number,
+        )
+
+        nd = F.udf(
+            lambda _: random.random(), "double"
+        ).asNondeterministic()
+        df = spark.range(0, 20_000, 1, 8).select(
+            nd(F.col("id")).alias("k"), F.col("id")
+        )
+        out, _total = global_row_number(
+            df, [F.col("k"), F.col("id")], num_partitions=16
+        )
+        with pytest.raises(Exception, match="cross-pass bucket-count"):
+            out.collect()
+
+    def test_nondeterministic_running_total_raises(self, spark):
+        import random
+
+        from snowplow_s3_loader_spark.operators.ranking import (
+            global_running_total,
+        )
+
+        nd = F.udf(
+            lambda _: random.random(), "double"
+        ).asNondeterministic()
+        df = spark.range(0, 20_000, 1, 8).select(
+            nd(F.col("id")).alias("k"),
+            F.col("id"),
+            F.lit(1).cast("long").alias("v"),
+        )
+        out, _t, _tv = global_running_total(
+            df, [F.col("k"), F.col("id")], "v", num_partitions=16
+        )
+        with pytest.raises(Exception, match="cross-pass bucket-count"):
+            out.collect()
+
+    def test_deterministic_input_unchanged_and_no_extra_exchange(
+        self, spark
+    ):
+        """The guard rides the existing bucket window: ranks identical
+        to a plain global sort, and the output plan gains NO exchange
+        beyond the one bucket-keyed shuffle."""
+        from snowplow_s3_loader_spark.operators.ranking import (
+            global_row_number,
+        )
+
+        df = spark.range(0, 5_000, 1, 8).select(
+            (F.col("id") * 2654435761 % 100_000).alias("k"), F.col("id")
+        )
+        out, total = global_row_number(
+            df, [F.col("k"), F.col("id")], num_partitions=16
+        )
+        assert total == 5_000
+        rows = out.orderBy("rn").collect()
+        expect = sorted((r["k"], r["id"]) for r in df.collect())
+        assert [(r["k"], r["id"]) for r in rows] == expect
+        assert [r["rn"] for r in rows] == list(range(1, 5_001))
+        import re
+
+        txt = out._jdf.queryExecution().executedPlan().toString()
+        n_exchange = len(re.findall(r"Exchange hashpartitioning", txt))
+        assert n_exchange == 1
+
+
+class TestIntegralityGuards:
+    def test_survival_fractional_duration_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import survival_curve
+
+        df = spark.createDataFrame(
+            [("a", 1.5, 1)], "g string, d double, e int"
+        )
+        with pytest.raises(Exception, match="non-negative integer"):
+            survival_curve(df, "g", "d", "e").collect()
+
+    def test_survival_integral_double_passes(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import survival_curve
+
+        df = spark.createDataFrame(
+            [("a", 2.0, 1), ("a", 3.0, 0)], "g string, d double, e int"
+        )
+        rows = survival_curve(df, "g", "d", "e").collect()
+        assert [r["t"] for r in rows] == [2, 3]
+
+    def test_calibration_fractional_score_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            calibration_bins,
+        )
+
+        df = spark.createDataFrame(
+            [(500000.5, 1)], "p double, y int"
+        )
+        with pytest.raises(Exception, match="micro-unit"):
+            calibration_bins(df, "p", "y", k=10).collect()
+
+    def test_calibration_integral_double_passes(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            calibration_bins,
+        )
+
+        df = spark.createDataFrame(
+            [(500000.0, 1), (100000.0, 0)], "p double, y int"
+        )
+        out = {r["bin"]: r["n"] for r in
+               calibration_bins(df, "p", "y", k=10).collect()}
+        assert out[5] == 1 and out[1] == 1
