@@ -4161,6 +4161,106 @@ LEFT JOIN final_cost fc ON fc.key = c.key
 ORDER BY c.key
 """
 
+# q165: burst intervals — the q162 lockstep forward/backward DP, with
+# the gap frame additionally carrying each gap's bounding event
+# timestamps; burst-state islands reduce to (start_ts, end_ts, counts,
+# integer gap mass) per maximal run. Keyed per user bucket (session
+# structure), gamma = 0.3 (trans below).
+ORACLES["q165_burst_intervals"] = """
+WITH RECURSIVE ev AS (
+  SELECT user_id % 40 AS key, ts, event_id FROM events
+  WHERE user_id IS NOT NULL
+),
+g0 AS (
+  SELECT key,
+         row_number() OVER (PARTITION BY key ORDER BY ts, event_id) - 1
+           AS i,
+         lag(ts) OVER (PARTITION BY key ORDER BY ts, event_id) AS t0,
+         ts AS t1,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY key ORDER BY ts, event_id),
+                   ts) // 1000000 AS gap_s
+  FROM ev
+),
+gaps AS MATERIALIZED (
+  SELECT key, CAST(i AS INTEGER) AS i, CAST(gap_s AS BIGINT) AS gap_s,
+         t0, t1
+  FROM g0 WHERE gap_s IS NOT NULL
+),
+consts AS MATERIALIZED (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(count(*) + 1 AS BIGINT) AS n_events,
+         CAST(sum(gap_s) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS mean_gap
+  FROM gaps GROUP BY key
+),
+params AS MATERIALIZED (
+  SELECT key, n_gaps, n_events, mean_gap,
+         (300000 * CAST(round(ln(n_events) * 1000000) AS BIGINT))
+           // 1000000 AS trans
+  FROM consts WHERE n_gaps >= 2
+),
+deltas AS MATERIALIZED (
+  SELECT g.key, g.i,
+         (g.gap_s * 1000000) // p.mean_gap - 693147 AS delta
+  FROM gaps g JOIN params p USING (key)
+),
+fwd(key, i, dp0, dp1) AS (
+  SELECT key, 0, CAST(0 AS BIGINT), CAST(4611686018427387904 AS BIGINT)
+  FROM params
+  UNION ALL
+  SELECT f.key, f.i + 1,
+         least(f.dp0, f.dp1),
+         least(f.dp1, f.dp0 + p.trans) + d.delta
+  FROM fwd f
+  JOIN params p ON p.key = f.key
+  JOIN deltas d ON d.key = f.key AND d.i = f.i + 1
+  WHERE f.i < p.n_gaps
+),
+fwd_m AS MATERIALIZED (SELECT * FROM fwd),
+bwd(key, i, s) AS (
+  SELECT f.key, f.i,
+         CASE WHEN f.dp0 <= f.dp1 THEN 0 ELSE 1 END
+  FROM fwd_m f JOIN params p ON p.key = f.key AND f.i = p.n_gaps
+  UNION ALL
+  SELECT b.key, b.i - 1,
+         CASE WHEN b.s = 0
+              THEN CASE WHEN f.dp0 <= f.dp1 THEN 0 ELSE 1 END
+              ELSE CASE WHEN f.dp1 <= f.dp0 + p.trans THEN 1 ELSE 0 END
+         END
+  FROM bwd b
+  JOIN fwd_m f ON f.key = b.key AND f.i = b.i - 1
+  JOIN params p ON p.key = b.key
+  WHERE b.i > 1
+),
+islands AS MATERIALIZED (
+  SELECT key, i,
+         i - row_number() OVER (PARTITION BY key ORDER BY i) AS isl
+  FROM bwd WHERE s = 1
+),
+bursts AS MATERIALIZED (
+  SELECT key, isl, min(i) AS i_a, max(i) AS i_b,
+         CAST(count(*) AS BIGINT) AS n_gaps
+  FROM islands GROUP BY key, isl
+),
+spans AS (
+  SELECT b.key, b.isl, CAST(sum(g.gap_s) AS BIGINT) AS span_s
+  FROM bursts b
+  JOIN gaps g ON g.key = b.key AND g.i BETWEEN b.i_a AND b.i_b
+  GROUP BY b.key, b.isl
+)
+SELECT b.key,
+       CAST(row_number() OVER (PARTITION BY b.key ORDER BY b.i_a)
+            AS BIGINT) AS burst_id,
+       ga.t0 AS start_ts, gb.t1 AS end_ts,
+       b.n_gaps, b.n_gaps + 1 AS n_events, sp.span_s
+FROM bursts b
+JOIN gaps ga ON ga.key = b.key AND ga.i = b.i_a
+JOIN gaps gb ON gb.key = b.key AND gb.i = b.i_b
+JOIN spans sp ON sp.key = b.key AND sp.isl = b.isl
+ORDER BY b.key, burst_id
+"""
+
 # q163: truncation recall — both top-5 lists replayed with the q27
 # cosine/rank contract (round 6, neighbor-id tiebreak), overlap counted
 # on the rank-5 join.

@@ -3523,6 +3523,33 @@ def q162_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q165_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The burst WINDOWS behind q162's per-key counts — one row per
+    maximal burst run (start_ts, end_ts, gap/event counts, integer gap
+    mass) from the SAME exact-integer Viterbi and the SAME pinned
+    backtrack. Keyed by user bucket (user_id % 40) rather than q162's
+    event_type: the per-type merged stream is near-Poisson (zero bursts
+    is the DP's correct answer there), while per-user streams carry the
+    session structure burst windows exist to plot; gamma = 0.3 prices
+    burst entry against that session signal. The oracle replays the
+    full DP lockstep-recursively and reduces the burst-state islands to
+    intervals."""
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        kleinberg_burst_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    keyed = ev.select(
+        (F.col("user_id") % 40).alias("ukey"), "ts", "event_id"
+    )
+    return kleinberg_burst_intervals(
+        keyed, "ukey", "ts", "event_id", s_num=2,
+        gamma_micro=300_000,
+    )
+
+
 def q163_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-truncation quality audit: exact cosine top-5 under the
     full 64 dims vs the first 16, per-query overlap as recall_micro —
@@ -3714,5 +3741,6 @@ QUERIES = {
         q162_bursts,
         q163_truncation_recall,
         q164_charset_mix,
+        q165_burst_intervals,
     ]
 }

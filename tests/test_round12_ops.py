@@ -430,6 +430,83 @@ class TestRankingCrossPassGuard:
         assert n_exchange == 1
 
 
+class TestBurstIntervals:
+    def _events(self, spark, gaps, key="k"):
+        t = datetime.datetime(2024, 1, 1)
+        rows = [(key, t, 0)]
+        for i, g in enumerate(gaps):
+            t = t + datetime.timedelta(seconds=g)
+            rows.append((key, t, i + 1))
+        return spark.createDataFrame(
+            rows, "key string, ts timestamp_ntz, eid long"
+        )
+
+    def test_intervals_match_planted_windows(self, spark):
+        """Two planted bursts: the emitted windows carry the exact
+        bounding event timestamps and gap mass of each planted run."""
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_burst_intervals,
+        )
+
+        gaps = [60] * 100
+        gaps[10:18] = [2] * 8
+        gaps[70:82] = [3] * 12
+        rows = kleinberg_burst_intervals(
+            self._events(spark, gaps), "key", "ts", "eid"
+        ).collect()
+        assert len(rows) == 2
+        base = datetime.datetime(2024, 1, 1)
+
+        def ts_of(event_idx):
+            return base + datetime.timedelta(
+                seconds=sum(gaps[:event_idx])
+            )
+
+        # burst 1: gaps 11..18 (1-based) cover events 10..18
+        r1 = rows[0]
+        assert (r1["burst_id"], r1["n_gaps"], r1["n_events"]) == (1, 8, 9)
+        assert r1["start_ts"] == ts_of(10) and r1["end_ts"] == ts_of(18)
+        assert r1["span_s"] == 8 * 2
+        r2 = rows[1]
+        assert (r2["burst_id"], r2["n_gaps"], r2["n_events"]) == (2, 12, 13)
+        assert r2["start_ts"] == ts_of(70) and r2["end_ts"] == ts_of(82)
+        assert r2["span_s"] == 12 * 3
+
+    def test_intervals_consistent_with_summary(self, spark):
+        """Interval rows aggregated per key reproduce kleinberg_bursts'
+        counts exactly (same DP, same backtrack — by construction)."""
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_burst_intervals,
+            kleinberg_bursts,
+        )
+
+        gaps = [100 + (i % 3) for i in range(80)]
+        gaps[30:50] = [5 + (i % 2) for i in range(20)]
+        ev = self._events(spark, gaps)
+        [summary] = kleinberg_bursts(ev, "key", "ts", "eid").collect()
+        ivals = kleinberg_burst_intervals(ev, "key", "ts", "eid").collect()
+        assert len(ivals) == summary["n_bursts"]
+        assert sum(r["n_gaps"] for r in ivals) == summary["n_burst_gaps"]
+        assert (
+            max((r["n_gaps"] for r in ivals), default=0)
+            == summary["max_burst_gaps"]
+        )
+
+    def test_quiet_and_short_keys_emit_nothing(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_burst_intervals,
+        )
+
+        quiet = self._events(spark, [60] * 50, key="quiet")
+        short = self._events(spark, [10], key="short")
+        assert (
+            kleinberg_burst_intervals(
+                quiet.union(short), "key", "ts", "eid"
+            ).count()
+            == 0
+        )
+
+
 class TestIntegralityGuards:
     def test_survival_fractional_duration_raises(self, spark):
         from snowplow_s3_loader_spark.operators.profile import survival_curve
