@@ -693,6 +693,172 @@ def kleinberg_bursts(
     )
 
 
+def _burst_states_multi(
+    xs: list[int],
+    key,
+    n_states: int,
+    s_num: int,
+    gamma_micro: int,
+) -> tuple[list[int], int, int, int]:
+    """The k-state generalization of `_burst_states` — Kleinberg's full
+    KDD 2002 automaton: state j fires at rate s^j * λ0, so a gap in
+    state j costs (relative to state 0, in micro-nats, truncating
+    exactly like the two-state form)
+
+        Δ_j(x) = (s^j - 1)·c0(x) - j·round(ln(s)·1e6),
+        c0(x)  = (x·1e6) div mean_gap
+
+    and moving UP i→j costs (j-i)·trans (down is free), with
+    trans = (γ_micro·round(ln(n)·1e6)) div 1e6.
+
+    Backtrack ties are PINNED by the rule that REDUCES EXACTLY to the
+    two-state pins: prefer STAYING in the current state, else the
+    LOWEST predecessor among the argmins (final state: lowest argmin).
+    With n_states = 2 this emits bit-identical states/cost to
+    `_burst_states` (tested). Requires len(xs) >= 2.
+
+    Returns (states, cost_micro, mean_gap, trans)."""
+    import math
+
+    n_gaps = len(xs)
+    n_events = n_gaps + 1
+    mean_gap = int(sum(xs)) // n_gaps
+    if mean_gap == 0:
+        raise ValueError(
+            f"kleinberg burst DP: key {key!r} has mean gap 0 s — "
+            "sub-second corpus needs a finer gap unit"
+        )
+    ln_s_micro = int(math.floor(math.log(s_num) * 1_000_000 + 0.5))
+    ln_n_micro = int(math.floor(math.log(n_events) * 1_000_000 + 0.5))
+    trans = (gamma_micro * ln_n_micro) // 1_000_000
+    k = n_states
+    pows = [s_num**j for j in range(k)]
+    dp = [0] + [_BURST_BIG] * (k - 1)
+    hist = []
+    for x in xs:
+        c0x = (int(x) * 1_000_000) // mean_gap
+        ndp = [
+            min(
+                dp[i] + max(0, j - i) * trans for i in range(k)
+            )
+            + (pows[j] - 1) * c0x
+            - j * ln_s_micro
+            for j in range(k)
+        ]
+        hist.append(tuple(ndp))
+        dp = ndp
+    best = min(dp)
+    states = [0] * n_gaps
+    cur = min(j for j in range(k) if dp[j] == best)
+    states[-1] = cur
+    for i in range(n_gaps - 1, 0, -1):
+        p = hist[i - 1]
+        costs = [p[j] + max(0, cur - j) * trans for j in range(k)]
+        mn = min(costs)
+        if costs[cur] == mn:
+            pass  # pinned: staying wins every tie
+        else:
+            cur = min(j for j in range(k) if costs[j] == mn)
+        states[i - 1] = cur
+    return states, best, mean_gap, trans
+
+
+def kleinberg_bursts_multi(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    n_states: int = 3,
+    s_num: int = 2,
+    gamma_micro: int = 1_000_000,
+) -> DataFrame:
+    """Multi-state Kleinberg burst detection per key — the full burst
+    HIERARCHY of Kleinberg (KDD 2002): not just "is this span bursty"
+    (the two-state q162 answer) but HOW bursty, via a ladder of states
+    where state j fires at s^j times the base rate and climbing each
+    level costs γ·ln(n). The optimal state sequence is the exact
+    integer Viterbi of `_burst_states_multi` (same quantization
+    discipline as the two-state DP; the n_states = 2 case is
+    bit-identical to `kleinberg_bursts`).
+
+    Per-key hierarchy summary:
+
+        max_state    the deepest burst level reached
+        n_burst_gaps gaps at any level >= 1
+        n_bursts     maximal runs of level >= 1 gaps
+        state_mass   sum of per-gap state levels (the depth-weighted
+                     burst mass — 10 gaps at level 2 = 20)
+        cost_micro   the exact optimal DP cost
+
+    Guards and contracts are `kleinberg_bursts`' (NULL ts/tie raise,
+    mean gap 0 raises, single-gap keys emit a trivial row, key dtype
+    preserved, per-key history must fit an Arrow group). n_states is
+    bounded to [2, 6]: Δ grows as s^(k-1) and the useful hierarchy in
+    practice is 2-4 levels deep (Kleinberg's own examples).
+
+    Scale shape: identical to `kleinberg_bursts` — one keyed lag
+    window, one grouped-Arrow DP emitting one bounded row per key; the
+    DP is O(n_gaps · k^2) per key with k <= 6.
+
+    Output: (key, n_events, n_gaps, mean_gap_s, max_state,
+    n_burst_gaps, n_bursts, state_mass, cost_micro) ordered by key."""
+    import pandas as pd
+
+    if not 2 <= n_states <= 6:
+        raise ValueError(
+            f"kleinberg_bursts_multi: n_states must be in [2, 6], got "
+            f"{n_states}"
+        )
+    gaps = _burst_gaps_frame(
+        df, key_col, ts_col, tie_col, "kleinberg_bursts_multi", s_num,
+        gamma_micro,
+    )
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"key {key_type}, n_events bigint, n_gaps bigint, "
+        "mean_gap_s bigint, max_state bigint, n_burst_gaps bigint, "
+        "n_bursts bigint, state_mass bigint, cost_micro bigint"
+    )
+    cols = [c.split()[0] for c in out_schema.split(", ")]
+
+    def _dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        xs = pdf.sort_values("__i")["gap_s"].tolist()
+        n_gaps = len(xs)
+        n_events = n_gaps + 1
+        if n_gaps < 2:
+            return pd.DataFrame(
+                [[key, n_events, n_gaps, None, 0, 0, 0, 0, None]],
+                columns=cols,
+            )
+        states, cost, mean_gap, _trans = _burst_states_multi(
+            xs, key, n_states, s_num, gamma_micro
+        )
+        n_runs, prev = 0, 0
+        for st in states:
+            if st >= 1 and prev == 0:
+                n_runs += 1
+            prev = 1 if st >= 1 else 0
+        return pd.DataFrame(
+            [[
+                key,
+                n_events,
+                n_gaps,
+                mean_gap,
+                max(states),
+                sum(1 for st in states if st >= 1),
+                n_runs,
+                sum(states),
+                cost,
+            ]],
+            columns=cols,
+        )
+
+    return (
+        gaps.groupBy("key").applyInPandas(_dp, out_schema).orderBy("key")
+    )
+
+
 def kleinberg_burst_intervals(
     df: DataFrame,
     key_col: str,

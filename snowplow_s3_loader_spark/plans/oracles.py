@@ -4261,6 +4261,123 @@ JOIN spans sp ON sp.key = b.key AND sp.isl = b.isl
 ORDER BY b.key, burst_id
 """
 
+# q166: 3-state burst hierarchy — the q162/q165 lockstep pattern with
+# all three DP columns carried through the forward recursion and the
+# pinned stay-else-lowest backtrack expanded per current state.
+# Constants: s = 2 (ln_s = 693147; delta1 = c0 - ln_s,
+# delta2 = 3*c0 - 2*ln_s), gamma = 0.3.
+ORACLES["q166_burst_hierarchy"] = """
+WITH RECURSIVE ev AS (
+  SELECT user_id % 40 AS key, ts, event_id FROM events
+  WHERE user_id IS NOT NULL
+),
+g0 AS (
+  SELECT key,
+         row_number() OVER (PARTITION BY key ORDER BY ts, event_id) - 1
+           AS i,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY key ORDER BY ts, event_id),
+                   ts) // 1000000 AS gap_s
+  FROM ev
+),
+gaps AS MATERIALIZED (
+  SELECT key, CAST(i AS INTEGER) AS i, CAST(gap_s AS BIGINT) AS gap_s
+  FROM g0 WHERE gap_s IS NOT NULL
+),
+consts AS MATERIALIZED (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(count(*) + 1 AS BIGINT) AS n_events,
+         CAST(sum(gap_s) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS mean_gap
+  FROM gaps GROUP BY key
+),
+params AS MATERIALIZED (
+  SELECT key, n_gaps, n_events, mean_gap,
+         (300000 * CAST(round(ln(n_events) * 1000000) AS BIGINT))
+           // 1000000 AS trans
+  FROM consts WHERE n_gaps >= 2
+),
+deltas AS MATERIALIZED (
+  SELECT g.key, g.i,
+         (g.gap_s * 1000000) // p.mean_gap - 693147 AS d1,
+         3 * ((g.gap_s * 1000000) // p.mean_gap) - 1386294 AS d2
+  FROM gaps g JOIN params p USING (key)
+),
+fwd(key, i, dp0, dp1, dp2) AS (
+  SELECT key, 0, CAST(0 AS BIGINT),
+         CAST(4611686018427387904 AS BIGINT),
+         CAST(4611686018427387904 AS BIGINT)
+  FROM params
+  UNION ALL
+  SELECT f.key, f.i + 1,
+         least(f.dp0, f.dp1, f.dp2),
+         least(f.dp0 + p.trans, f.dp1, f.dp2) + d.d1,
+         least(f.dp0 + 2 * p.trans, f.dp1 + p.trans, f.dp2) + d.d2
+  FROM fwd f
+  JOIN params p ON p.key = f.key
+  JOIN deltas d ON d.key = f.key AND d.i = f.i + 1
+  WHERE f.i < p.n_gaps
+),
+fwd_m AS MATERIALIZED (SELECT * FROM fwd),
+bwd(key, i, s) AS (
+  SELECT f.key, f.i,
+         CASE WHEN f.dp0 <= f.dp1 AND f.dp0 <= f.dp2 THEN 0
+              WHEN f.dp1 <= f.dp2 THEN 1 ELSE 2 END
+  FROM fwd_m f JOIN params p ON p.key = f.key AND f.i = p.n_gaps
+  UNION ALL
+  SELECT b.key, b.i - 1,
+         CASE b.s
+           WHEN 0 THEN
+             CASE WHEN f.dp0 <= f.dp1 AND f.dp0 <= f.dp2 THEN 0
+                  WHEN f.dp1 <= f.dp2 THEN 1 ELSE 2 END
+           WHEN 1 THEN
+             CASE WHEN f.dp1 <= f.dp0 + p.trans AND f.dp1 <= f.dp2
+                    THEN 1
+                  WHEN f.dp0 + p.trans <= f.dp2 THEN 0 ELSE 2 END
+           ELSE
+             CASE WHEN f.dp2 <= f.dp0 + 2 * p.trans
+                    AND f.dp2 <= f.dp1 + p.trans THEN 2
+                  WHEN f.dp0 + 2 * p.trans <= f.dp1 + p.trans THEN 0
+                  ELSE 1 END
+         END
+  FROM bwd b
+  JOIN fwd_m f ON f.key = b.key AND f.i = b.i - 1
+  JOIN params p ON p.key = b.key
+  WHERE b.i > 1
+),
+runs AS (
+  SELECT key, i, s,
+         CASE WHEN s >= 1 THEN 1 ELSE 0 END AS b,
+         lag(CASE WHEN s >= 1 THEN 1 ELSE 0 END, 1, 0)
+           OVER (PARTITION BY key ORDER BY i) AS prev_b
+  FROM bwd
+),
+summary AS (
+  SELECT key,
+         CAST(max(s) AS BIGINT) AS max_state,
+         CAST(sum(b) AS BIGINT) AS n_burst_gaps,
+         CAST(sum(CASE WHEN b = 1 AND prev_b = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bursts,
+         CAST(sum(s) AS BIGINT) AS state_mass
+  FROM runs GROUP BY key
+),
+final_cost AS (
+  SELECT f.key, least(f.dp0, f.dp1, f.dp2) AS cost_micro
+  FROM fwd_m f JOIN params p ON p.key = f.key AND f.i = p.n_gaps
+)
+SELECT c.key, c.n_events, c.n_gaps,
+       CASE WHEN c.n_gaps >= 2 THEN c.mean_gap END AS mean_gap_s,
+       coalesce(s.max_state, 0) AS max_state,
+       coalesce(s.n_burst_gaps, 0) AS n_burst_gaps,
+       coalesce(s.n_bursts, 0) AS n_bursts,
+       coalesce(s.state_mass, 0) AS state_mass,
+       fc.cost_micro
+FROM consts c
+LEFT JOIN summary s ON s.key = c.key
+LEFT JOIN final_cost fc ON fc.key = c.key
+ORDER BY c.key
+"""
+
 # q163: truncation recall — both top-5 lists replayed with the q27
 # cosine/rank contract (round 6, neighbor-id tiebreak), overlap counted
 # on the rank-5 join.

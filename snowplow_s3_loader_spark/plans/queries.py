@@ -3550,6 +3550,30 @@ def q165_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q166_burst_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg's FULL burst hierarchy (3 states: base, 2x, 4x) on the
+    per-user-bucket event streams — not just whether a span is bursty
+    (q162) but how deep the burst ladder goes (both levels are
+    exercised by the synthetic session structure at every SF). Exact
+    integer k-state Viterbi; the oracle replays all three DP columns
+    and the pinned stay-else-lowest backtrack in lockstep recursive
+    CTEs."""
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        kleinberg_bursts_multi,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    keyed = ev.select(
+        (F.col("user_id") % 40).alias("ukey"), "ts", "event_id"
+    )
+    return kleinberg_bursts_multi(
+        keyed, "ukey", "ts", "event_id", n_states=3, s_num=2,
+        gamma_micro=300_000,
+    )
+
+
 def q163_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-truncation quality audit: exact cosine top-5 under the
     full 64 dims vs the first 16, per-query overlap as recall_micro —
@@ -3742,5 +3766,6 @@ QUERIES = {
         q163_truncation_recall,
         q164_charset_mix,
         q165_burst_intervals,
+        q166_burst_hierarchy,
     ]
 }

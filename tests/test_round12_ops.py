@@ -507,6 +507,135 @@ class TestBurstIntervals:
         )
 
 
+class TestMultiStateKleinberg:
+    def _events(self, spark, gaps, key="k"):
+        t = datetime.datetime(2024, 1, 1)
+        rows = [(key, t, 0)]
+        for i, g in enumerate(gaps):
+            t = t + datetime.timedelta(seconds=g)
+            rows.append((key, t, i + 1))
+        return spark.createDataFrame(
+            rows, "key string, ts timestamp_ntz, eid long"
+        )
+
+    def test_two_state_case_bit_identical(self, spark):
+        """n_states = 2 must reproduce kleinberg_bursts exactly —
+        same burst gaps, runs, and DP cost on a planted corpus."""
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts,
+            kleinberg_bursts_multi,
+        )
+
+        gaps = [100 + (i % 3) for i in range(80)]
+        gaps[30:50] = [5 + (i % 2) for i in range(20)]
+        ev = self._events(spark, gaps)
+        [two] = kleinberg_bursts(ev, "key", "ts", "eid").collect()
+        [multi] = kleinberg_bursts_multi(
+            ev, "key", "ts", "eid", n_states=2
+        ).collect()
+        assert (
+            multi["n_burst_gaps"],
+            multi["n_bursts"],
+            multi["state_mass"],
+            multi["max_state"],
+            multi["cost_micro"],
+        ) == (
+            two["n_burst_gaps"],
+            two["n_bursts"],
+            two["n_burst_gaps"],  # all level 1 in a 2-state machine
+            1 if two["n_burst_gaps"] else 0,
+            two["cost_micro"],
+        )
+
+    def test_single_level_corpus_stays_level_one(self, spark):
+        """A planted 2x burst: 3 states available, but climbing to
+        level 2 (4x rate) is never worth a second transition cost —
+        the hierarchy must report max_state = 1 only."""
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts_multi,
+        )
+
+        gaps = [120] * 90
+        # ~2.4x the corpus mean rate: above s=2, well under s^2=4, so
+        # level 1 is the optimal assignment and level 2 never pays
+        gaps[30:55] = [40] * 25
+        [r] = kleinberg_bursts_multi(
+            self._events(spark, gaps), "key", "ts", "eid", n_states=3
+        ).collect()
+        assert r["max_state"] == 1
+        assert r["n_bursts"] == 1 and r["n_burst_gaps"] >= 20
+        assert r["state_mass"] == r["n_burst_gaps"]
+
+    def test_nested_hierarchy_recovered(self, spark):
+        """A level-2 spike nested inside a level-1 burst: the 3-state
+        machine must climb to max_state = 2 inside the spike while the
+        surrounding level-1 region stays at 1."""
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts_multi,
+        )
+
+        gaps = [120] * 100
+        gaps[30:70] = [55] * 40   # level-1 region (~2x rate)
+        gaps[45:60] = [12] * 15   # nested level-2 spike (~10x rate)
+        [r] = kleinberg_bursts_multi(
+            self._events(spark, gaps), "key", "ts", "eid", n_states=3
+        ).collect()
+        assert r["max_state"] == 2
+        assert r["n_bursts"] == 1  # one contiguous >=1 region
+        # depth-weighted mass exceeds the flat gap count
+        assert r["state_mass"] > r["n_burst_gaps"]
+
+    def test_dp_cost_is_optimal_by_brute_force(self):
+        """Exhaustive check on short sequences: the k-state DP cost
+        equals the minimum over ALL k^n state assignments under the
+        exact integer cost model."""
+        import itertools
+        import math
+
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            _burst_states_multi,
+        )
+
+        s_num, gamma = 2, 700_000
+        for xs in (
+            [50, 50, 9, 8, 50, 51, 7, 50],
+            [30, 3, 3, 3, 31, 29, 30],
+            [10, 10, 10, 10],
+            [100, 1, 1, 100, 1, 1, 100],
+        ):
+            for k in (2, 3, 4):
+                states, cost, mean_gap, trans = _burst_states_multi(
+                    xs, "k", k, s_num, gamma
+                )
+                ln_s = int(math.floor(math.log(s_num) * 1e6 + 0.5))
+
+                def seq_cost(seq):
+                    c, prev = 0, 0
+                    for st, x in zip(seq, xs):
+                        c += max(0, st - prev) * trans
+                        c0x = (x * 1_000_000) // mean_gap
+                        c += (s_num**st - 1) * c0x - st * ln_s
+                        prev = st
+                    return c
+
+                brute = min(
+                    seq_cost(seq)
+                    for seq in itertools.product(range(k), repeat=len(xs))
+                )
+                assert cost == brute == seq_cost(states)
+
+    def test_n_states_bounds(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts_multi,
+        )
+
+        ev = self._events(spark, [10, 20])
+        with pytest.raises(ValueError, match="n_states"):
+            kleinberg_bursts_multi(ev, "key", "ts", "eid", n_states=1)
+        with pytest.raises(ValueError, match="n_states"):
+            kleinberg_bursts_multi(ev, "key", "ts", "eid", n_states=7)
+
+
 class TestIntegralityGuards:
     def test_survival_fractional_duration_raises(self, spark):
         from snowplow_s3_loader_spark.operators.profile import survival_curve
