@@ -636,6 +636,80 @@ class TestMultiStateKleinberg:
             kleinberg_bursts_multi(ev, "key", "ts", "eid", n_states=7)
 
 
+class TestPlantedDriftDifferential:
+    """The recovery discipline for the drift trio: plant a KNOWN
+    distribution shift and assert KS, PSI and CUSUM all FIRE at it —
+    and nowhere else. (Oracle-exactness of each statistic is covered by
+    q153/q151/q139; this pins that the statistics actually DETECT.)"""
+
+    N = 1500
+
+    def _snapshot(self, spark, seed, shift=0):
+        # uniform integers over [shift, shift + 1000): same shape per
+        # seed, a planted location drift when shift != 0
+        return spark.range(self.N).select(
+            F.col("id"),
+            ((F.col("id") * 7919 + seed * 131) % 1000 + shift).alias("v"),
+        )
+
+    def test_ks_fires_at_the_planted_shift_only(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+        ref = self._snapshot(spark, 0)
+        for seed, shift, fires in [(1, 0, False), (2, 0, False),
+                                   (3, 400, True)]:
+            cur = self._snapshot(spark, seed, shift)
+            [r] = ks_statistic(ref, cur, "v").collect()
+            if fires:
+                assert r["ks_micro"] > 250_000, r
+            else:
+                assert r["ks_micro"] < 100_000, r
+
+    def test_psi_fires_at_the_planted_shift_only(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import psi_bins
+
+        ref = self._snapshot(spark, 0)
+        for seed, shift, fires in [(1, 0, False), (2, 0, False),
+                                   (3, 400, True)]:
+            cur = self._snapshot(spark, seed, shift)
+            rows = psi_bins(ref, cur, "v", k=10, tie_cols=["id"]).collect()
+            nulls = sum(1 for r in rows if r["psi_micro"] is None)
+            total = sum(r["psi_micro"] or 0 for r in rows)
+            if fires:
+                # a +400 shift on a 1000-wide uniform empties the low
+                # reference bins — the loudest signal (NULL terms) —
+                # and the surviving terms alone clear the 0.25 bar
+                assert nulls > 0 and total > 250_000, rows
+            else:
+                assert nulls == 0 and total < 100_000, rows
+
+    def test_cusum_fires_after_the_planted_changepoint_only(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            cusum_alarms,
+        )
+
+        shift_at = 600
+        df = spark.range(1000).select(
+            F.lit("m").alias("g"),
+            F.col("id"),
+            (
+                F.lit(100)
+                + (F.col("id") * 37 % 21 - 10)  # bounded +-10 noise
+                + F.when(F.col("id") >= shift_at, F.lit(25)).otherwise(0)
+            ).alias("v"),
+        )
+        rows = cusum_alarms(
+            df, "g", ["id"], "v", target=100, slack=12, threshold=200
+        ).collect()
+        alarmed = sorted(r["id"] for r in rows if r["alarm"])
+        assert alarmed, "the planted +25 drift must alarm"
+        # fires AFTER the changepoint, within the ~threshold/drift
+        # detection delay, and never before it
+        assert shift_at < alarmed[0] <= shift_at + 40
+        # once drifted, the un-reset statistic stays alarmed
+        assert alarmed == list(range(alarmed[0], 1000))
+
+
 class TestIntegralityGuards:
     def test_survival_fractional_duration_raises(self, spark):
         from snowplow_s3_loader_spark.operators.profile import survival_curve
