@@ -13,32 +13,104 @@ capture (it has since round 3, leaving BENCH_r{N}.json "parsed": null),
 so the FINAL printed line is a compact headline object without the
 "queries" dict — the driver parses the tail; humans read the full line
 above it.
+
+Canary normalization (round 12): every battery additionally records the
+ISOLATED n>=3 minima of a PINNED set of deliberately-frozen queries
+(CANARIES below) in a fresh subprocess session — the same protocol the
+round-10/11 host-load adjudications ran by hand. Cross-round drift
+attribution is then mechanical: divide the common-set ratio by the
+canary-total ratio; residual > ~30% is code, the rest is host. The
+canary minima ride the HEADLINE line (short keys), so they land in
+BENCH_r{N}.json even under the 2 KB tail capture.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
+# The pinned canary set: frozen queries spanning the engine's workload
+# classes (scan-agg, join+top-k, session windows, iterative graph +
+# localCheckpoint path, funnel windows, Python/Arrow-heavy BPE, the two
+# de-materialized recompute shapes). DO NOT retune these queries for
+# speed — their value is being byte-stable across rounds.
+CANARIES = (
+    "q02_pricing_summary",
+    "q04_shipping_priority",
+    "q38_sessionization",
+    "q83_pagerank",
+    "q88_funnel",
+    "q98_bpe_tokenizer",
+    "q146_dsir_selection",
+    "q148_moore_lewis",
+)
+CANARY_ATTEMPTS = 3
 
-def compact_headline(total: float, sf_num, n_queries: int, attempts: int) -> str:
+
+def run_canary(sf_dir: str, attempts: int = CANARY_ATTEMPTS) -> dict | None:
+    """Isolated canary minima via scripts/isolated_bench.py in a FRESH
+    subprocess (own JVM, own session — the adjudication protocol's
+    isolation, not the battery session's). Returns {short_name: min_sec}
+    keyed by the qNN prefix, or None if the subprocess fails (the bench
+    line must stay parseable on any breakage)."""
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scripts",
+        "isolated_bench.py",
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, script, "--attempts", str(attempts), *CANARIES],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        if out.returncode != 0:
+            print(f"canary subprocess failed: {out.stderr[-500:]}", file=sys.stderr)
+            return None
+        mins: dict[str, float] = {}
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            rec = json.loads(line)
+            mins[rec["query"].split("_")[0]] = rec["min"]
+        return mins or None
+    except Exception as e:  # noqa: BLE001 — bench must never die on canary
+        print(f"canary run error: {e}", file=sys.stderr)
+        return None
+
+
+def compact_headline(
+    total: float,
+    sf_num,
+    n_queries: int,
+    attempts: int,
+    canary: dict | None = None,
+) -> str:
     """The FINAL output line: a headline object WITHOUT the queries dict.
     Must stay well under the driver's 2 KB output-tail capture — the
     per-query detail line exceeded it from rounds 3-6, leaving the
-    recorded bench artifact unparsed (tested)."""
-    line = json.dumps(
-        {
-            "metric": "total_query_set_seconds",
-            "value": total,
-            "unit": "sec",
-            "sf": sf_num,
-            "n_queries": n_queries,
-            "attempts": attempts,
-        }
-    )
-    if len(line) >= 1024:  # not an assert: must survive `python -O`
+    recorded bench artifact unparsed (tested). The canary minima (8
+    short keys) ride here so the normalization denominator survives the
+    tail capture."""
+    obj = {
+        "metric": "total_query_set_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_num,
+        "n_queries": n_queries,
+        "attempts": attempts,
+    }
+    if canary:
+        obj["canary"] = canary
+        obj["canary_total"] = round(sum(canary.values()), 3)
+    line = json.dumps(obj)
+    if len(line) >= 1600:  # not an assert: must survive `python -O`
         raise ValueError(f"headline line too long for tail capture: {len(line)}")
     return line
 
@@ -106,6 +178,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    from snowplow_s3_loader_spark.tables import clear_table_cache
+
+    clear_table_cache()
+    spark.stop()
+    # canary AFTER the battery session stops: the isolated subprocess
+    # should contend only with the host, exactly like the manual
+    # adjudication runs it
+    canary = run_canary(sf_dir)
     print(
         json.dumps(
             {
@@ -115,16 +195,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_num,
                 "attempts": attempts,
-                "isolation": "min of N attempts; localCheckpoint blocks swept per attempt",
+                "canary": canary,
+                "isolation": "min of N attempts; localCheckpoint blocks swept per attempt; canary = isolated n>=3 minima in a fresh session",
             }
         )
     )
-    print(compact_headline(total, sf_num, len(timings), attempts))
+    print(compact_headline(total, sf_num, len(timings), attempts, canary))
     sys.stdout.flush()
-    from snowplow_s3_loader_spark.tables import clear_table_cache
-
-    clear_table_cache()
-    spark.stop()
 
 
 if __name__ == "__main__":

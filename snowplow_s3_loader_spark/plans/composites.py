@@ -1165,6 +1165,65 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         F.col("cost_micro").alias("v3"),
     )
+    # burst intervals: bounding-event epoch seconds (MICROSECOND div —
+    # the truncation both engines share) with n_gaps packed beside the
+    # start; n_events = n_gaps + 1 carries nothing extra
+    _ivl_start = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "start_ts) div 1000000"
+    )
+    ivl = q.q165_burst_intervals(spark, sf_dir).select(
+        F.lit("ivals").alias("battery"),
+        F.concat_ws("@", F.col("key"), F.col("burst_id")).alias("key"),
+        F.when(
+            (F.col("n_gaps") >= 100_000) | (_ivl_start < 0),
+            F.raise_error(
+                F.lit(
+                    "ivals battery fold: slot bounds exceeded (need "
+                    "n_gaps < 1e5 and post-epoch timestamps) — widen "
+                    "the fold"
+                )
+            ).cast("long"),
+        )
+        .otherwise(_ivl_start * 100_000 + F.col("n_gaps"))
+        .alias("v1"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+            "'1970-01-01 00:00:00', end_ts) div 1000000"
+        ).alias("v2"),
+        F.col("span_s").alias("v3"),
+    )
+    # burst hierarchy: state_mass rides the KEY (lossless — any
+    # divergence breaks the hash via the key string), counts share the
+    # burst fold's guarded slots
+    hier = q.q166_burst_hierarchy(spark, sf_dir).select(
+        F.lit("hier").alias("battery"),
+        F.concat_ws("@", F.col("key"), F.col("state_mass")).alias("key"),
+        F.when(
+            (F.col("n_gaps") >= 100_000)
+            | (F.col("n_burst_gaps") >= 100_000)
+            | (F.col("n_bursts") >= 10_000),
+            F.raise_error(
+                F.lit(
+                    "hier battery fold: slot bounds exceeded (need "
+                    "n_gaps < 1e5, n_burst_gaps < 1e5, n_bursts < 1e4) "
+                    "— widen the fold slots"
+                )
+            ).cast("long"),
+        )
+        .otherwise(
+            F.col("n_events") * 10_000_000_000
+            + F.col("n_gaps") * 100_000
+            + F.col("max_state")
+        )
+        .alias("v1"),
+        (
+            F.col("mean_gap_s") * 1_000_000_000
+            + F.col("n_burst_gaps") * 10_000
+            + F.col("n_bursts")
+        ).alias("v2"),
+        F.col("cost_micro").alias("v3"),
+    )
     kmc = q.q161_survival(spark, sf_dir).select(
         F.lit("km").alias("battery"),
         F.concat_ws("@", "group", "t").alias("key"),
@@ -1286,6 +1345,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(bsel)
         .union(kmc)
         .union(brst)
+        .union(ivl)
+        .union(hier)
         .union(trc)
         .union(chm)
         .orderBy("battery", "key", "v1")
@@ -1456,6 +1517,7 @@ _FOLDED = {
     "q156_calibration", "q157_ab_test", "q158_fd_profile",
     "q159_char_entropy", "q160_budget_select", "q161_survival",
     "q162_bursts", "q163_truncation_recall", "q164_charset_mix",
+    "q165_burst_intervals", "q166_burst_hierarchy",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2382,6 +2444,22 @@ SELECT 'km' AS battery,
        n_at_risk AS v1, n_events * 10000000000 + n_censored AS v2,
        cum_ln_micro AS v3
 FROM ({ORACLES["q161_survival"]})
+UNION ALL
+SELECT 'ivals' AS battery,
+       CAST(key AS VARCHAR) || '@' || CAST(burst_id AS VARCHAR) AS key,
+       (date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00',
+                  start_ts) // 1000000) * 100000 + n_gaps AS v1,
+       date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00',
+                 end_ts) // 1000000 AS v2,
+       span_s AS v3
+FROM ({ORACLES["q165_burst_intervals"]})
+UNION ALL
+SELECT 'hier' AS battery,
+       CAST(key AS VARCHAR) || '@' || CAST(state_mass AS VARCHAR) AS key,
+       n_events * 10000000000 + n_gaps * 100000 + max_state AS v1,
+       mean_gap_s * 1000000000 + n_burst_gaps * 10000 + n_bursts AS v2,
+       cost_micro AS v3
+FROM ({ORACLES["q166_burst_hierarchy"]})
 ORDER BY battery, key, v1
 """
 

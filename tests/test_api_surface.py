@@ -124,9 +124,15 @@ def test_bench_compact_headline_fits_driver_tail_capture():
     spec = importlib.util.spec_from_file_location("bench_mod", "bench.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    line = mod.compact_headline(98765.432, 0.1, 102, 2)
-    assert len(line) < 1024
+    canary = {f"q{i:03d}": 12345.678 for i in range(len(mod.CANARIES))}
+    line = mod.compact_headline(98765.432, 0.1, 102, 2, canary)
+    assert len(line) < 1600
     parsed = _json.loads(line)
     assert parsed["metric"] == "total_query_set_seconds"
     assert parsed["value"] == 98765.432 and parsed["n_queries"] == 102
     assert "queries" not in parsed
+    assert parsed["canary"] == canary
+    assert parsed["canary_total"] == round(sum(canary.values()), 3)
+    # canary-less headline (subprocess failure path) still parses
+    bare = _json.loads(mod.compact_headline(1.0, 0.1, 102, 2, None))
+    assert "canary" not in bare
