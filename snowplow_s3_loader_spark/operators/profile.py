@@ -1146,6 +1146,87 @@ def two_proportion_z(
     )
 
 
+def benford_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit (Benford) profile per group — the
+    classic fabricated-/synthetic-data and unit-mixup detector (Benford
+    1938; Nigrini's audit practice): naturally spread positive
+    magnitudes put digit d first with probability log10(1 + 1/d), and a
+    column that wildly misses that curve was clamped, generated, or
+    double-scaled somewhere upstream.
+
+    Per (group, digit 1..9), on the FULL 9-digit spine (zero-count
+    digits emit n = 0):
+
+        n            values whose decimal repr starts with the digit
+        obs_micro    n * 1e6 div N_group        (truncating)
+        exp_micro    round(log10(1 + 1/d) * 1e6) (quantized ONCE per
+                     digit, in-engine — the per-term ln discipline)
+        dev_micro    obs_micro - exp_micro
+
+    ``value_col`` must be a POSITIVE integer (cents discipline): zero
+    has no first significant digit and a negative sign is not a digit —
+    NULL / <= 0 raise. The first digit is substr(cast(v as string),1,1),
+    identical across engines for positive integers (no sign, no
+    exponent notation).
+
+    Scale shape: one scan -> (group, digit) hash aggregation with
+    map-side combine (<= 9 rows per group per task), one group-level
+    count reduction, then the spine join runs on |groups| x 9 rows.
+    No window, no sort.
+
+    Output: (group_cols..., digit, n, obs_micro, exp_micro, dev_micro)
+    ordered by (group_cols..., digit)."""
+    v = F.col(value_col)
+    checked = F.when(
+        v.isNull() | (v <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"benford_profile: {value_col!r} must be a positive "
+                    "integer (zero/negative magnitudes have no Benford "
+                    "first digit), got "
+                ),
+                F.coalesce(v.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(v.cast("long"))
+    digits = (
+        df.select(
+            *group_cols,
+            F.substring(checked.cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+        .groupBy(*group_cols, "digit")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = digits.groupBy(*group_cols).agg(F.sum("n").alias("__N"))
+    spine = totals.crossJoin(
+        df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    )
+    exp_micro = F.round(
+        F.log10(1.0 + 1.0 / F.col("digit")) * 1_000_000
+    ).cast("long")
+    return (
+        spine.join(digits, [*group_cols, "digit"], "left")
+        .select(
+            *group_cols,
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr("(coalesce(n, 0) * 1000000) div __N").alias("obs_micro"),
+            exp_micro.alias("exp_micro"),
+            (
+                F.expr("(coalesce(n, 0) * 1000000) div __N") - exp_micro
+            ).alias("dev_micro"),
+        )
+        .orderBy(*group_cols, "digit")
+    )
+
+
 def fd_check(
     df: DataFrame,
     dependencies: list[tuple[list[str], str]],
@@ -1162,26 +1243,37 @@ def fd_check(
         n_violating     determinant groups with > 1 distinct dep value
         max_dep_values  the worst group's distinct-dep count
         holds           n_violating = 0 (1/0)
+        n_rows          rows profiled
+        g3_micro        TANE's g3 approximation measure (Huhtala et al.
+                        1999 §2.3) in truncating micro-units: the
+                        fraction of rows that must be REMOVED for the
+                        FD to hold exactly — n_rows minus the sum of
+                        each group's plurality-dep count, over n_rows.
+                        0 = exact FD; small g3 = "holds approximately,
+                        here is the violation mass" (the difference
+                        between a modeling error and a few bad rows)
 
     A candidate-key check is the FD with dep = any unique row id; the
     operator treats NULL determinant values as a group key like SQL
     GROUP BY does (NULL = NULL for grouping), and NULL dep counts as a
-    distinct value via count(distinct)+max(is-null) so two groups
-    differing only in dep NULL-ness are distinguished. On an EMPTY
-    relation an FD vacuously holds: n_groups = n_violating =
-    max_dep_values = 0 and holds = 1 (never three-valued NULL — the
-    sum-over-zero-rows NULL is coalesced before `holds` derives).
+    distinct value (the (det, dep) pre-aggregation groups NULL dep as
+    its own value) so two groups differing only in dep NULL-ness are
+    distinguished. On an EMPTY relation an FD vacuously holds:
+    n_groups = n_violating = max_dep_values = n_rows = g3_micro = 0 and
+    holds = 1 (never three-valued NULL — the sum-over-zero-rows NULL is
+    coalesced before `holds` derives).
 
     Scale shape: one exact two-level aggregation PER declared pair —
-    groupBy(det) with count_distinct(dep) (partial combine keyed on the
-    determinant), then a bounded reduction to one row; the per-pair
-    plans union into one |pairs|-row frame. Each pair costs one
-    shuffle of its determinant frame — declare the pairs you need, not
-    the O(2^cols) lattice (TANE's pruning is a driver-side search; at
-    100 TB you verify contracted FDs, you don't mine the lattice).
+    groupBy(det, dep) counts (partial combine keyed on the full pair),
+    then groupBy(det) reduces to (distinct-dep, plurality, rows) and a
+    bounded reduction to one row; the per-pair plans union into one
+    |pairs|-row frame. Each pair costs its two keyed shuffles — declare
+    the pairs you need, not the O(2^cols) lattice (TANE's pruning is a
+    driver-side search; at 100 TB you verify contracted FDs, you don't
+    mine the lattice).
 
-    Output: (fd, n_groups, n_violating, max_dep_values, holds) ordered
-    by fd."""
+    Output: (fd, n_groups, n_violating, max_dep_values, holds, n_rows,
+    g3_micro) ordered by fd."""
     if not dependencies:
         raise ValueError("fd_check: declare at least one (dets, dep) pair")
     outs = []
@@ -1192,17 +1284,24 @@ def fd_check(
                 "non-empty determinant set not containing the dependent"
             )
         name = ",".join(dets) + "->" + dep
-        per_group = df.groupBy(*dets).agg(
-            (
-                F.count_distinct(F.col(dep))
-                + F.max(F.col(dep).isNull().cast("long"))
-            ).alias("__nd")
+        pair_counts = df.groupBy(*dets, dep).agg(
+            F.count("*").alias("__c")
+        )
+        # distinct dep values per group COUNTING NULL as a value (the
+        # (det, dep) grouping keys NULL dep as its own row), the
+        # plurality count, and the group's row mass
+        per_group = pair_counts.groupBy(*dets).agg(
+            F.count("*").alias("__nd"),
+            F.max("__c").alias("__keep"),
+            F.sum("__c").alias("__rows"),
         )
         outs.append(
             per_group.agg(
                 F.count("*").alias("n_groups"),
                 F.sum((F.col("__nd") > 1).cast("long")).alias("n_violating"),
                 F.max("__nd").alias("max_dep_values"),
+                F.sum("__rows").alias("__n_rows"),
+                F.sum("__keep").alias("__n_keep"),
             ).select(
                 F.lit(name).alias("fd"),
                 F.col("n_groups").cast("long").alias("n_groups"),
@@ -1215,6 +1314,18 @@ def fd_check(
                 (F.coalesce("n_violating", F.lit(0)) == 0)
                 .cast("long")
                 .alias("holds"),
+                F.coalesce("__n_rows", F.lit(0))
+                .cast("long")
+                .alias("n_rows"),
+                F.coalesce(
+                    F.expr(
+                        "(( __n_rows - __n_keep) * CAST(1000000 AS BIGINT))"
+                        " div __n_rows"
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("g3_micro"),
             )
         )
     res = outs[0]

@@ -225,6 +225,134 @@ def cusum_alarms(
     )
 
 
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Offline changepoint LOCATION per series — the "where did the
+    level shift" answer `cusum_alarms`' online statistic does not give
+    (an alarm says drift is underway; the retrospective estimator says
+    where it started). The classic CUSUM location estimator (Csörgő &
+    Horváth 1997; the argmax of the centered partial-sum process):
+
+        t_hat = argmax over t in [1, n-1] of |A_t|,
+        A_t   = n * P_t - t * S
+
+    with P_t the inclusive prefix sum and S the series total — A_t is
+    n·t times the gap between the left-segment mean and the global
+    mean, so its argmax is the single best mean-shift split. Exact
+    int64 throughout (ties in |A| pin to the SMALLEST t); the
+    left/right segment means are emitted as truncating micro-units via
+    the q153 DECIMAL(38,0) bridge (P·1e6 can pass 2^63; IntegralDivide
+    on decimals is exact in both engines).
+
+    ``value_col`` must be a NON-NEGATIVE integer (cents discipline) —
+    NULL or negative raises: prefixes stay non-negative so truncating
+    division agrees across engines (Spark div truncates toward zero,
+    DuckDB // floors — identical only on non-negatives). The int64
+    bound on A is ENFORCED per row with a division-form guard
+    (|P| > 2^62 div n raises before the multiply could wrap).
+    ``order_cols`` must be a total order within the series (the q08
+    lesson). Series with n < 2 have no interior split and emit
+    NOTHING.
+
+    Scale shape: one hash partition per series carries the prefix sum,
+    row number, and the series-level (n, S) in a single window pass;
+    the argmax is one min_by aggregation (partial+final, no second
+    sort). Output is one bounded row per series.
+
+    Output: (group, n, total, t_hat, a_max, mean_left_micro,
+    mean_right_micro, shift_micro) ordered by group."""
+    v = F.col(value_col)
+    checked = F.when(
+        v.isNull() | (v < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"cusum_changepoint: {value_col!r} must be a "
+                    "non-negative integer (truncating-division parity), "
+                    "got "
+                ),
+                F.coalesce(v.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(v.cast("long"))
+    w = (
+        Window.partitionBy("group")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("group")
+    pref = (
+        df.select(
+            F.col(group_col).alias("group"),
+            *[F.col(c) for c in order_cols],
+            checked.alias("__x"),
+        )
+        .withColumn("__p", F.sum("__x").over(w))
+        .withColumn(
+            "__t",
+            F.row_number().over(
+                Window.partitionBy("group").orderBy(
+                    *[F.col(c) for c in order_cols]
+                )
+            ).cast("long"),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(wall).cast("long"))
+        .withColumn("__s", F.sum("__x").over(wall))
+    )
+    guarded_p = F.when(
+        F.col("__p") > F.expr(f"CAST({2**62} AS BIGINT) div __n"),
+        F.raise_error(
+            F.lit(
+                "cusum_changepoint: n * prefix_sum overflows int64 — "
+                "rescale the value column or shard the series"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__p"))
+    cand = pref.where(F.col("__t") < F.col("__n")).select(
+        "group",
+        "__t",
+        "__n",
+        "__s",
+        "__p",
+        F.abs(
+            F.col("__n") * guarded_p - F.col("__t") * F.col("__s")
+        ).alias("__a"),
+    )
+    best = cand.groupBy("group").agg(
+        F.max("__n").alias("n"),
+        F.max("__s").alias("total"),
+        F.min_by(
+            F.struct(
+                F.col("__t").alias("t_hat"),
+                F.col("__a").alias("a_max"),
+                F.col("__p").alias("p_at"),
+            ),
+            F.struct((-F.col("__a")).alias("neg_a"), F.col("__t").alias("t")),
+        ).alias("__b"),
+    )
+    return best.select(
+        "group",
+        "n",
+        "total",
+        F.col("__b.t_hat").alias("t_hat"),
+        F.col("__b.a_max").alias("a_max"),
+        F.expr(
+            "(CAST(__b.p_at AS DECIMAL(38,0)) * 1000000) div __b.t_hat"
+        ).alias("mean_left_micro"),
+        F.expr(
+            "(CAST(total - __b.p_at AS DECIMAL(38,0)) * 1000000) div "
+            "(n - __b.t_hat)"
+        ).alias("mean_right_micro"),
+    ).withColumn(
+        "shift_micro",
+        F.col("mean_right_micro") - F.col("mean_left_micro"),
+    ).orderBy("group")
+
+
 def acf_moments(
     df: DataFrame,
     keys: list[str],

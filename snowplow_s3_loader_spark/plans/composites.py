@@ -1193,6 +1193,26 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         F.col("span_s").alias("v3"),
     )
+    # changepoint: the series total rides the KEY (the state_mass
+    # trick); slots carry the located split, its statistic, and the
+    # level shift — the single's own oracle hash-checks the full row
+    # set (means included) in the local registry
+    chgpt = q.q167_changepoint(spark, sf_dir).select(
+        F.lit("chgpt").alias("battery"),
+        F.concat_ws("@", F.col("group"), F.col("total")).alias("key"),
+        (F.col("n") * 10_000_000_000 + F.col("t_hat")).alias("v1"),
+        F.col("a_max").alias("v2"),
+        F.col("shift_micro").alias("v3"),
+    )
+    # benford: obs/exp are micro fractions <= 1e6 — lossless shared
+    # slot; the signed deviation keeps its own
+    bnf = q.q168_benford(spark, sf_dir).select(
+        F.lit("benford").alias("battery"),
+        F.concat_ws("@", F.col("priority"), F.col("digit")).alias("key"),
+        F.col("n").alias("v1"),
+        (F.col("obs_micro") * 10_000_000 + F.col("exp_micro")).alias("v2"),
+        F.col("dev_micro").alias("v3"),
+    )
     # burst hierarchy: state_mass rides the KEY (lossless — any
     # divergence breaks the hash via the key string), counts share the
     # burst fold's guarded slots
@@ -1347,6 +1367,8 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(brst)
         .union(ivl)
         .union(hier)
+        .union(chgpt)
+        .union(bnf)
         .union(trc)
         .union(chm)
         .orderBy("battery", "key", "v1")
@@ -1517,7 +1539,8 @@ _FOLDED = {
     "q156_calibration", "q157_ab_test", "q158_fd_profile",
     "q159_char_entropy", "q160_budget_select", "q161_survival",
     "q162_bursts", "q163_truncation_recall", "q164_charset_mix",
-    "q165_burst_intervals", "q166_burst_hierarchy",
+    "q165_burst_intervals", "q166_burst_hierarchy", "q167_changepoint",
+    "q168_benford",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2460,6 +2483,16 @@ SELECT 'hier' AS battery,
        mean_gap_s * 1000000000 + n_burst_gaps * 10000 + n_bursts AS v2,
        cost_micro AS v3
 FROM ({ORACLES["q166_burst_hierarchy"]})
+UNION ALL
+SELECT 'chgpt' AS battery,
+       "group" || '@' || CAST(total AS VARCHAR) AS key,
+       n * 10000000000 + t_hat AS v1, a_max AS v2, shift_micro AS v3
+FROM ({ORACLES["q167_changepoint"]})
+UNION ALL
+SELECT 'benford' AS battery,
+       priority || '@' || CAST(digit AS VARCHAR) AS key,
+       n AS v1, obs_micro * 10000000 + exp_micro AS v2, dev_micro AS v3
+FROM ({ORACLES["q168_benford"]})
 ORDER BY battery, key, v1
 """
 

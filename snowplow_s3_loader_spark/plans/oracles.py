@@ -3842,86 +3842,108 @@ SELECT event_type, n_a, n_b, x_a, x_b,
 FROM agg ORDER BY event_type
 """
 
-# q158: FD profiling — count(distinct dep) + max(dep IS NULL) per
-# determinant group, reduced to (n_groups, n_violating, max_dep_values)
-# per declared pair; unioned across the three tables.
+# q158: FD profiling — (det, dep) pair counts reduced per determinant
+# group to (distinct-dep incl. NULL, plurality count, row mass), then
+# per declared pair to (n_groups, n_violating, max_dep_values, holds,
+# n_rows, g3_micro) — TANE's g3 in exact truncating micro-units.
 ORACLES["q158_fd_profile"] = """
 WITH
 fd1 AS (
-  SELECT CAST(count(DISTINCT o_custkey)
-              + max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS nd
-  FROM orders GROUP BY o_orderkey
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(max(c) AS BIGINT) AS keep, CAST(sum(c) AS BIGINT) AS nr
+  FROM (SELECT o_orderkey, o_custkey, count(*) AS c
+        FROM orders GROUP BY o_orderkey, o_custkey)
+  GROUP BY o_orderkey
 ),
 fd2 AS (
-  SELECT CAST(count(DISTINCT o_orderstatus)
-              + max(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS nd
-  FROM orders GROUP BY o_custkey
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(max(c) AS BIGINT) AS keep, CAST(sum(c) AS BIGINT) AS nr
+  FROM (SELECT o_custkey, o_orderstatus, count(*) AS c
+        FROM orders GROUP BY o_custkey, o_orderstatus)
+  GROUP BY o_custkey
 ),
 fd3 AS (
-  SELECT CAST(count(DISTINCT l_partkey)
-              + max(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS nd
-  FROM lineitem GROUP BY l_orderkey, l_linenumber
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(max(c) AS BIGINT) AS keep, CAST(sum(c) AS BIGINT) AS nr
+  FROM (SELECT l_orderkey, l_linenumber, l_partkey, count(*) AS c
+        FROM lineitem GROUP BY l_orderkey, l_linenumber, l_partkey)
+  GROUP BY l_orderkey, l_linenumber
 ),
 fd4 AS (
-  SELECT CAST(count(DISTINCT l_returnflag)
-              + max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS nd
-  FROM lineitem GROUP BY l_orderkey
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(max(c) AS BIGINT) AS keep, CAST(sum(c) AS BIGINT) AS nr
+  FROM (SELECT l_orderkey, l_returnflag, count(*) AS c
+        FROM lineitem GROUP BY l_orderkey, l_returnflag)
+  GROUP BY l_orderkey
 ),
 fd5 AS (
-  SELECT CAST(count(DISTINCT user_id)
-              + max(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS nd
-  FROM events GROUP BY event_id
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(max(c) AS BIGINT) AS keep, CAST(sum(c) AS BIGINT) AS nr
+  FROM (SELECT event_id, user_id, count(*) AS c
+        FROM events GROUP BY event_id, user_id)
+  GROUP BY event_id
 ),
 fd6 AS (
-  SELECT CAST(count(DISTINCT event_type)
-              + max(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS nd
-  FROM events GROUP BY user_id
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(max(c) AS BIGINT) AS keep, CAST(sum(c) AS BIGINT) AS nr
+  FROM (SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type)
+  GROUP BY user_id
 ),
 rows_out AS (
   SELECT 'orders' AS tbl, 'o_orderkey->o_custkey' AS fd,
          CAST(count(*) AS BIGINT) AS n_groups,
          CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_violating,
-         CAST(max(nd) AS BIGINT) AS max_dep_values
+         CAST(max(nd) AS BIGINT) AS max_dep_values,
+         CAST(sum(nr) AS BIGINT) AS n_rows,
+         CAST(sum(keep) AS BIGINT) AS n_keep
   FROM fd1
   UNION ALL
   SELECT 'orders', 'o_custkey->o_orderstatus', CAST(count(*) AS BIGINT),
          CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
-         CAST(max(nd) AS BIGINT)
+         CAST(max(nd) AS BIGINT),
+         CAST(sum(nr) AS BIGINT),
+         CAST(sum(keep) AS BIGINT)
   FROM fd2
   UNION ALL
   SELECT 'lineitem', 'l_orderkey,l_linenumber->l_partkey',
          CAST(count(*) AS BIGINT),
          CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
-         CAST(max(nd) AS BIGINT)
+         CAST(max(nd) AS BIGINT),
+         CAST(sum(nr) AS BIGINT),
+         CAST(sum(keep) AS BIGINT)
   FROM fd3
   UNION ALL
   SELECT 'lineitem', 'l_orderkey->l_returnflag', CAST(count(*) AS BIGINT),
          CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
-         CAST(max(nd) AS BIGINT)
+         CAST(max(nd) AS BIGINT),
+         CAST(sum(nr) AS BIGINT),
+         CAST(sum(keep) AS BIGINT)
   FROM fd4
   UNION ALL
   SELECT 'events', 'event_id->user_id', CAST(count(*) AS BIGINT),
          CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
-         CAST(max(nd) AS BIGINT)
+         CAST(max(nd) AS BIGINT),
+         CAST(sum(nr) AS BIGINT),
+         CAST(sum(keep) AS BIGINT)
   FROM fd5
   UNION ALL
   SELECT 'events', 'user_id->event_type', CAST(count(*) AS BIGINT),
          CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
-         CAST(max(nd) AS BIGINT)
+         CAST(max(nd) AS BIGINT),
+         CAST(sum(nr) AS BIGINT),
+         CAST(sum(keep) AS BIGINT)
   FROM fd6
 )
 SELECT tbl, fd, n_groups,
        coalesce(n_violating, 0) AS n_violating,
        coalesce(max_dep_values, 0) AS max_dep_values,
        CAST(CASE WHEN coalesce(n_violating, 0) = 0 THEN 1 ELSE 0 END
-            AS BIGINT) AS holds
+            AS BIGINT) AS holds,
+       coalesce(n_rows, 0) AS n_rows,
+       coalesce(CAST(((n_rows - n_keep) * 1000000) // n_rows AS BIGINT),
+                0) AS g3_micro
 FROM rows_out ORDER BY tbl, fd
 """
 
@@ -4376,6 +4398,82 @@ FROM consts c
 LEFT JOIN summary s ON s.key = c.key
 LEFT JOIN final_cost fc ON fc.key = c.key
 ORDER BY c.key
+"""
+
+# q167: offline changepoint — windowed prefix sums, argmax |n*P - t*S|
+# with smallest-t tiebreak; segment means through HUGEINT-exact // on
+# non-negative operands (the Spark side rides DECIMAL(38,0) div).
+ORACLES["q167_changepoint"] = """
+WITH base AS (
+  SELECT event_type AS "group", ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+pref AS (
+  SELECT "group",
+         CAST(sum(x) OVER (PARTITION BY "group" ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS p,
+         CAST(row_number() OVER (PARTITION BY "group"
+              ORDER BY ts, event_id) AS BIGINT) AS t,
+         CAST(count(*) OVER (PARTITION BY "group") AS BIGINT) AS n,
+         CAST(sum(x) OVER (PARTITION BY "group") AS BIGINT) AS s
+  FROM base
+),
+cand AS (
+  SELECT "group", t, n, s, p, abs(n * p - t * s) AS a
+  FROM pref WHERE t < n
+),
+best AS (
+  SELECT "group", n, s AS total, t AS t_hat, CAST(a AS BIGINT) AS a_max,
+         p,
+         row_number() OVER (PARTITION BY "group" ORDER BY a DESC, t)
+           AS rk
+  FROM cand QUALIFY rk = 1
+)
+SELECT "group", n, total, t_hat, a_max,
+       CAST((p * 1000000) // t_hat AS BIGINT) AS mean_left_micro,
+       CAST(((total - p) * 1000000) // (n - t_hat) AS BIGINT)
+         AS mean_right_micro,
+       CAST(((total - p) * 1000000) // (n - t_hat)
+            - (p * 1000000) // t_hat AS BIGINT) AS shift_micro
+FROM best ORDER BY "group"
+"""
+
+# q168: Benford first-digit profile — substr of the positive integer's
+# decimal repr, full 9-digit spine per group, truncating micro
+# fractions, expectation quantized once per digit in-engine.
+ORACLES["q168_benford"] = """
+WITH vals AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+digits AS (
+  SELECT priority,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM vals GROUP BY priority, digit
+),
+totals AS (
+  SELECT priority, CAST(sum(n) AS BIGINT) AS nn FROM digits
+  GROUP BY priority
+),
+spine AS (
+  SELECT t.priority, t.nn, CAST(d AS INTEGER) AS digit
+  FROM totals t, unnest(range(1, 10)) AS s(d)
+)
+SELECT sp.priority, sp.digit,
+       coalesce(dg.n, 0) AS n,
+       (coalesce(dg.n, 0) * 1000000) // sp.nn AS obs_micro,
+       CAST(round(log10(1 + 1.0 / sp.digit) * 1000000) AS BIGINT)
+         AS exp_micro,
+       (coalesce(dg.n, 0) * 1000000) // sp.nn
+         - CAST(round(log10(1 + 1.0 / sp.digit) * 1000000) AS BIGINT)
+         AS dev_micro
+FROM spine sp
+LEFT JOIN digits dg ON dg.priority = sp.priority AND dg.digit = sp.digit
+ORDER BY sp.priority, sp.digit
 """
 
 # q163: truncation recall — both top-5 lists replayed with the q27

@@ -3574,6 +3574,38 @@ def q166_burst_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q167_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint location per event type: the single
+    best mean-shift split of each cents series under the exact integer
+    argmax-|A_t| estimator, with left/right segment means — the
+    retrospective companion to q115's online CUSUM alarms."""
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cusum_changepoint(ev, "event_type", ["ts", "event_id"], "cents")
+
+
+def q168_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (cents) per order
+    priority — the fabricated-/double-scaled-data detector: observed
+    vs expected digit frequencies as exact truncating micro fractions,
+    expectation quantized once per digit."""
+    from snowplow_s3_loader_spark.operators.profile import benford_profile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return benford_profile(orders, ["priority"], "cents")
+
+
 def q163_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-truncation quality audit: exact cosine top-5 under the
     full 64 dims vs the first 16, per-query overlap as recall_micro —
@@ -3767,5 +3799,7 @@ QUERIES = {
         q164_charset_mix,
         q165_burst_intervals,
         q166_burst_hierarchy,
+        q167_changepoint,
+        q168_benford,
     ]
 }

@@ -112,7 +112,9 @@ class TestFdCheckEmptyRelation:
             r["n_violating"],
             r["max_dep_values"],
             r["holds"],
-        ) == (0, 0, 0, 1)
+            r["n_rows"],
+            r["g3_micro"],
+        ) == (0, 0, 0, 1, 0, 0)
 
     def test_oracle_mirror_on_empty_relation(self, spark):
         """The q158 oracle's coalesce-then-derive shape yields the same
@@ -152,6 +154,30 @@ class TestFdCheckEmptyRelation:
             r["max_dep_values"],
             r["holds"],
         ) == (2, 1, 2, 0)
+
+    def test_g3_counts_minimal_violation_mass(self, spark):
+        """TANE's g3: the fraction of rows to delete for the FD to hold
+        — group 1 keeps its plurality dep (2 of 3 rows), so exactly one
+        of four rows must go."""
+        from snowplow_s3_loader_spark.operators.profile import fd_check
+
+        df = spark.createDataFrame(
+            [(1, 10), (1, 10), (1, 11), (2, 20)], "a long, b long"
+        )
+        [r] = fd_check(df, [(["a"], "b")]).collect()
+        assert (r["n_rows"], r["g3_micro"]) == (4, 250_000)
+        # an exactly-holding FD has zero violation mass
+        ok = spark.createDataFrame(
+            [(1, 10), (1, 10), (2, 20)], "a long, b long"
+        )
+        [r2] = fd_check(ok, [(["a"], "b")]).collect()
+        assert (r2["holds"], r2["g3_micro"]) == (1, 0)
+        # NULL dep is a distinct value: plurality keeps the NULL pair
+        nl = spark.createDataFrame(
+            [(1, None), (1, None), (1, 30)], "a long, b long"
+        )
+        [r3] = fd_check(nl, [(["a"], "b")]).collect()
+        assert (r3["max_dep_values"], r3["g3_micro"]) == (2, 333_333)
 
 
 class TestKleinbergContracts:
@@ -708,6 +734,143 @@ class TestPlantedDriftDifferential:
         assert shift_at < alarmed[0] <= shift_at + 40
         # once drifted, the un-reset statistic stays alarmed
         assert alarmed == list(range(alarmed[0], 1000))
+
+
+class TestCusumChangepoint:
+    def _series(self, spark, xs, key="m"):
+        return spark.createDataFrame(
+            [(key, i, int(x)) for i, x in enumerate(xs)],
+            "g string, i long, x long",
+        )
+
+    def test_planted_level_shift_located(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            cusum_changepoint,
+        )
+
+        xs = [100 + (i * 37 % 11) for i in range(300)]
+        xs += [160 + (i * 37 % 11) for i in range(300)]
+        [r] = cusum_changepoint(
+            self._series(spark, xs), "g", ["i"], "x"
+        ).collect()
+        # t_hat is 1-based: the last left-segment row is index 299 ->
+        # t = 300; small bounded noise can move it by a sample or two
+        assert abs(r["t_hat"] - 300) <= 3
+        assert 50_000_000 < r["shift_micro"] < 70_000_000
+        assert r["n"] == 600 and r["total"] == sum(xs)
+
+    def test_matches_pure_python_argmax(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            cusum_changepoint,
+        )
+
+        xs = [(i * 2654435761) % 997 for i in range(400)]
+        n, s = len(xs), sum(xs)
+        best_t, best_a, best_p = None, -1, None
+        p = 0
+        for t0, x in enumerate(xs, start=1):
+            p += x
+            if t0 >= n:
+                break
+            a = abs(n * p - t0 * s)
+            if a > best_a:
+                best_t, best_a, best_p = t0, a, p
+        [r] = cusum_changepoint(
+            self._series(spark, xs), "g", ["i"], "x"
+        ).collect()
+        assert (r["t_hat"], r["a_max"]) == (best_t, best_a)
+        assert r["mean_left_micro"] == best_p * 1_000_000 // best_t
+        assert (
+            r["mean_right_micro"]
+            == (s - best_p) * 1_000_000 // (n - best_t)
+        )
+        assert r["shift_micro"] == (
+            r["mean_right_micro"] - r["mean_left_micro"]
+        )
+
+    def test_guards_and_degenerate_series(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            cusum_changepoint,
+        )
+
+        neg = self._series(spark, [5, -1, 7])
+        with pytest.raises(Exception, match="non-negative"):
+            cusum_changepoint(neg, "g", ["i"], "x").collect()
+        single = self._series(spark, [42])
+        assert cusum_changepoint(single, "g", ["i"], "x").count() == 0
+        # overflow guard: values large enough that n * P would wrap
+        big = self._series(spark, [2**61, 2**61, 2**61])
+        with pytest.raises(Exception, match="overflows int64"):
+            cusum_changepoint(big, "g", ["i"], "x").collect()
+
+
+class TestBenfordProfile:
+    def test_matches_pure_python_reference(self, spark):
+        import math
+
+        from snowplow_s3_loader_spark.operators.profile import (
+            benford_profile,
+        )
+
+        vals = [(("a" if i % 2 else "b"), (i * 7919) % 99_991 + 1)
+                for i in range(800)]
+        df = spark.createDataFrame(vals, "g string, v long")
+        got = {
+            (r["g"], r["digit"]): (r["n"], r["obs_micro"], r["exp_micro"],
+                                   r["dev_micro"])
+            for r in benford_profile(df, ["g"], "v").collect()
+        }
+        assert len(got) == 18  # full 9-digit spine for both groups
+        for g in ("a", "b"):
+            counts = {d: 0 for d in range(1, 10)}
+            for gg, v in vals:
+                if gg == g:
+                    counts[int(str(v)[0])] += 1
+            total = sum(counts.values())
+            for d in range(1, 10):
+                exp = round(math.log10(1 + 1 / d) * 1_000_000)
+                obs = counts[d] * 1_000_000 // total
+                assert got[(g, d)] == (counts[d], obs, exp, obs - exp)
+
+    def test_benford_like_data_has_small_deviation(self, spark):
+        """Magnitudes spread over several decades (2^i scaled) follow
+        Benford closely — every digit's deviation stays small, which is
+        the audit's PASS read-out."""
+        from snowplow_s3_loader_spark.operators.profile import (
+            benford_profile,
+        )
+
+        df = spark.range(1, 1001).select(
+            F.lit("x").alias("g"),
+            F.expr(
+                "CAST(pow(2.0, CAST(id AS DOUBLE) / 40.0) AS BIGINT) + 1"
+            ).alias("v"),
+        )
+        rows = benford_profile(df, ["g"], "v").collect()
+        assert all(abs(r["dev_micro"]) < 60_000 for r in rows)
+
+    def test_zero_and_negative_raise(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            benford_profile,
+        )
+
+        for bad in (0, -7):
+            df = spark.createDataFrame([("a", bad)], "g string, v long")
+            with pytest.raises(Exception, match="positive"):
+                benford_profile(df, ["g"], "v").collect()
+
+    def test_zero_count_digits_emit_spine_rows(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            benford_profile,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 11), ("a", 12), ("a", 90)], "g string, v long"
+        )
+        rows = benford_profile(df, ["g"], "v").collect()
+        by_digit = {r["digit"]: r["n"] for r in rows}
+        assert by_digit == {1: 2, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0,
+                            8: 0, 9: 1}
 
 
 class TestIntegralityGuards:
