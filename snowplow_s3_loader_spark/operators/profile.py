@@ -1146,6 +1146,73 @@ def two_proportion_z(
     )
 
 
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact-integer mutual information between two categorical columns
+    — the feature-redundancy / leakage audit (does knowing X pin down
+    Y?) that correlation misses on non-ordinal data. Plug-in estimates
+    in quantized micro-nats, each entropy in the q159 char-entropy
+    shape (one round(ln(c)·1e6) per DISTINCT count, exact int64
+    accumulation, ONE truncating closing division):
+
+        H(X)   = round(ln N · 1e6) - (sum_x c_x · round(ln c_x · 1e6))
+                                      div N
+        H(Y), H(X,Y) likewise;  MI = H(X) + H(Y) - H(X,Y)
+
+    MI is assembled from the three quantized entropies, so mi_micro
+    can sit a few micro-nats off zero (or below) for independent
+    columns — quantization drift, not signal; perfectly-dependent
+    columns give mi_micro = h_x_micro exactly. NULL is a CATEGORY
+    (SQL GROUP BY semantics) — an unknown that co-varies with Y is
+    exactly the leakage this audit hunts.
+
+    Scale shape: ONE scan — groupBy(x, y) with map-side combine bounds
+    everything after at the distinct-pair frame; the marginals are two
+    re-aggregations of that frame and the assembly is three one-row
+    frames cross-joined. No window, no sort, no Python.
+
+    Output: one row (n, x_distinct, y_distinct, xy_distinct,
+    h_x_micro, h_y_micro, h_xy_micro, mi_micro)."""
+    xy = df.groupBy(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count("*").alias("__c"))
+
+    def _ent(counts: DataFrame, out: str) -> DataFrame:
+        t = F.round(F.log("__c") * 1_000_000).cast("long")
+        return counts.agg(
+            F.sum("__c").alias(f"__n_{out}"),
+            F.count("*").alias(f"{out}_distinct"),
+            F.sum(F.col("__c") * t).alias(f"__s_{out}"),
+        )
+
+    ex = _ent(xy.groupBy("__x").agg(F.sum("__c").alias("__c")), "x")
+    ey = _ent(xy.groupBy("__y").agg(F.sum("__c").alias("__c")), "y")
+    exy = _ent(xy, "xy")
+    joined = exy.crossJoin(ex).crossJoin(ey)
+    ln_n = F.round(F.log("__n_xy") * 1_000_000).cast("long")
+
+    def _h(out: str) -> Column:
+        return (
+            ln_n - F.expr(f"__s_{out} div __n_xy")
+        ).alias(f"h_{out}_micro")
+
+    return joined.select(
+        F.col("__n_xy").cast("long").alias("n"),
+        F.col("x_distinct").cast("long").alias("x_distinct"),
+        F.col("y_distinct").cast("long").alias("y_distinct"),
+        F.col("xy_distinct").cast("long").alias("xy_distinct"),
+        _h("x"),
+        _h("y"),
+        _h("xy"),
+    ).withColumn(
+        "mi_micro",
+        F.col("h_x_micro") + F.col("h_y_micro") - F.col("h_xy_micro"),
+    )
+
+
 def benford_profile(
     df: DataFrame,
     group_cols: list[str],

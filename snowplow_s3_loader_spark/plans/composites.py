@@ -1213,6 +1213,37 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("obs_micro") * 10_000_000 + F.col("exp_micro")).alias("v2"),
         F.col("dev_micro").alias("v3"),
     )
+    # mutual information: one row; the three quantized entropies are
+    # the verified artifact (mi = hx + hy - hxy is derived); distinct
+    # counts share v1 under loud bounds
+    _mi = q.q169_mutual_information(spark, sf_dir)
+    mi = _mi.select(
+        F.lit("mi").alias("battery"),
+        F.lit("0").alias("key"),
+        F.when(
+            (F.col("x_distinct") >= 100)
+            | (F.col("y_distinct") >= 100)
+            | (F.col("xy_distinct") >= 10_000),
+            F.raise_error(
+                F.lit(
+                    "mi battery fold: slot bounds exceeded (need "
+                    "x/y_distinct < 100, xy_distinct < 1e4) — widen "
+                    "the fold"
+                )
+            ).cast("long"),
+        )
+        .otherwise(
+            F.col("n") * 100_000_000
+            + F.col("x_distinct") * 1_000_000
+            + F.col("y_distinct") * 10_000
+            + F.col("xy_distinct")
+        )
+        .alias("v1"),
+        (
+            F.col("h_x_micro") * 10_000_000 + F.col("h_y_micro")
+        ).alias("v2"),
+        F.col("h_xy_micro").alias("v3"),
+    )
     # burst hierarchy: state_mass rides the KEY (lossless — any
     # divergence breaks the hash via the key string), counts share the
     # burst fold's guarded slots
@@ -1369,6 +1400,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(hier)
         .union(chgpt)
         .union(bnf)
+        .union(mi)
         .union(trc)
         .union(chm)
         .orderBy("battery", "key", "v1")
@@ -1540,7 +1572,7 @@ _FOLDED = {
     "q159_char_entropy", "q160_budget_select", "q161_survival",
     "q162_bursts", "q163_truncation_recall", "q164_charset_mix",
     "q165_burst_intervals", "q166_burst_hierarchy", "q167_changepoint",
-    "q168_benford",
+    "q168_benford", "q169_mutual_information",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2493,6 +2525,13 @@ SELECT 'benford' AS battery,
        priority || '@' || CAST(digit AS VARCHAR) AS key,
        n AS v1, obs_micro * 10000000 + exp_micro AS v2, dev_micro AS v3
 FROM ({ORACLES["q168_benford"]})
+UNION ALL
+SELECT 'mi' AS battery, '0' AS key,
+       n * 100000000 + x_distinct * 1000000 + y_distinct * 10000
+         + xy_distinct AS v1,
+       h_x_micro * 10000000 + h_y_micro AS v2,
+       h_xy_micro AS v3
+FROM ({ORACLES["q169_mutual_information"]})
 ORDER BY battery, key, v1
 """
 

@@ -4476,6 +4476,52 @@ LEFT JOIN digits dg ON dg.priority = sp.priority AND dg.digit = sp.digit
 ORDER BY sp.priority, sp.digit
 """
 
+# q169: mutual information — the three q159-shaped entropies (per-term
+# quantized ln, exact sums, one truncating division each) off the
+# distinct-pair frame; MI assembled from the quantized entropies.
+ORACLES["q169_mutual_information"] = """
+WITH xy AS (
+  SELECT l_returnflag AS x, l_linestatus AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY x, y
+),
+mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS c FROM xy GROUP BY x),
+my AS (SELECT y, CAST(sum(c) AS BIGINT) AS c FROM xy GROUP BY y),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS dx,
+         CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM mx
+),
+ey AS (
+  SELECT CAST(count(*) AS BIGINT) AS dy,
+         CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM my
+),
+exy AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS dxy,
+         CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM xy
+),
+hs AS (
+  SELECT exy.n, ex.dx, ey.dy, exy.dxy,
+         CAST(round(ln(exy.n) * 1000000) AS BIGINT) - ex.s // exy.n
+           AS h_x_micro,
+         CAST(round(ln(exy.n) * 1000000) AS BIGINT) - ey.s // exy.n
+           AS h_y_micro,
+         CAST(round(ln(exy.n) * 1000000) AS BIGINT) - exy.s // exy.n
+           AS h_xy_micro
+  FROM exy, ex, ey
+)
+SELECT n, dx AS x_distinct, dy AS y_distinct, dxy AS xy_distinct,
+       h_x_micro, h_y_micro, h_xy_micro,
+       h_x_micro + h_y_micro - h_xy_micro AS mi_micro
+FROM hs
+"""
+
 # q163: truncation recall — both top-5 lists replayed with the q27
 # cosine/rank contract (round 6, neighbor-id tiebreak), overlap counted
 # on the rank-5 join.

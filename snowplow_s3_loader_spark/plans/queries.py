@@ -3606,6 +3606,20 @@ def q168_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(orders, ["priority"], "cents")
 
 
+def q169_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between l_returnflag and l_linestatus — the
+    classic TPC-H dependent pair (both derive from shipdate vs the
+    receipt/return window): quantized-per-term plug-in entropies and
+    their MI in exact integer micro-nats, one scan + distinct-pair
+    frame reductions."""
+    from snowplow_s3_loader_spark.operators.profile import (
+        mutual_information,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mutual_information(li, "l_returnflag", "l_linestatus")
+
+
 def q163_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-truncation quality audit: exact cosine top-5 under the
     full 64 dims vs the first 16, per-query overlap as recall_micro —
@@ -3801,5 +3815,6 @@ QUERIES = {
         q166_burst_hierarchy,
         q167_changepoint,
         q168_benford,
+        q169_mutual_information,
     ]
 }

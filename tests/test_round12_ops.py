@@ -873,6 +873,74 @@ class TestBenfordProfile:
                             8: 0, 9: 1}
 
 
+class TestMutualInformation:
+    def _mi_ref(self, pairs):
+        import math
+        from collections import Counter
+
+        n = len(pairs)
+        cxy = Counter(pairs)
+        cx = Counter(p[0] for p in pairs)
+        cy = Counter(p[1] for p in pairs)
+        ln_n = round(math.log(n) * 1_000_000)
+
+        def h(counts):
+            s = sum(c * round(math.log(c) * 1_000_000)
+                    for c in counts.values())
+            return ln_n - s // n
+
+        return h(cx), h(cy), h(cxy)
+
+    def test_matches_pure_python_reference(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            mutual_information,
+        )
+
+        pairs = [
+            (f"x{i % 7}", f"y{(i * i + i // 3) % 5}") for i in range(600)
+        ]
+        df = spark.createDataFrame(pairs, "a string, b string")
+        [r] = mutual_information(df, "a", "b").collect()
+        hx, hy, hxy = self._mi_ref(pairs)
+        assert (r["h_x_micro"], r["h_y_micro"], r["h_xy_micro"]) == (
+            hx, hy, hxy,
+        )
+        assert r["mi_micro"] == hx + hy - hxy
+        assert (r["n"], r["x_distinct"], r["y_distinct"]) == (600, 7, 5)
+
+    def test_perfect_dependence_and_independence(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            mutual_information,
+        )
+
+        # Y a bijection of X: MI = H(X) exactly, even quantized
+        dep = spark.range(900).select(
+            (F.col("id") % 6).alias("a"), ((F.col("id") % 6) * 11).alias("b")
+        )
+        [r] = mutual_information(dep, "a", "b").collect()
+        assert r["mi_micro"] == r["h_x_micro"] == r["h_y_micro"]
+        # independent uniform grid: MI within quantization drift of 0
+        ind = spark.range(900).select(
+            (F.col("id") % 6).alias("a"),
+            (F.expr("id div 6") % 5).alias("b"),
+        )
+        [r2] = mutual_information(ind, "a", "b").collect()
+        assert abs(r2["mi_micro"]) < 50
+
+    def test_null_is_a_category(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            mutual_information,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), (None, 2), (None, 2), ("a", 1)],
+            "a string, b int",
+        )
+        [r] = mutual_information(df, "a", "b").collect()
+        # NULL co-varies perfectly with b = 2: full dependence
+        assert r["x_distinct"] == 2 and r["mi_micro"] == r["h_x_micro"]
+
+
 class TestIntegralityGuards:
     def test_survival_fractional_duration_raises(self, spark):
         from snowplow_s3_loader_spark.operators.profile import survival_curve
