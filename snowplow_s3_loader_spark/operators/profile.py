@@ -1169,44 +1169,56 @@ def mutual_information(
     (SQL GROUP BY semantics) — an unknown that co-varies with Y is
     exactly the leakage this audit hunts.
 
-    Scale shape: ONE scan — groupBy(x, y) with map-side combine bounds
-    everything after at the distinct-pair frame; the marginals are two
-    re-aggregations of that frame and the assembly is three one-row
-    frames cross-joined. No window, no sort, no Python.
+    Scale shape: ONE scan, ONE aggregation tree — the pair counts and
+    both marginals come out of a single GROUPING SETS pass ((x,y), (x),
+    (y)): Spark's Expand triples rows map-side, the partial combine
+    bounds the one shuffle at distinct keys per set, and grouping_id()
+    separates the three count sets (a real NULL category never
+    collides with the set mask — the id column disambiguates). The
+    per-set entropy reduction and the one-row assembly are two scalar
+    aggregations over the bounded key frame. No join, no window, no
+    Python, no re-scan per marginal.
 
     Output: one row (n, x_distinct, y_distinct, xy_distinct,
     h_x_micro, h_y_micro, h_xy_micro, mi_micro)."""
-    xy = df.groupBy(
-        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
-    ).agg(F.count("*").alias("__c"))
+    keyed = df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    counts = keyed.groupingSets(
+        [["__x", "__y"], ["__x"], ["__y"]], "__x", "__y"
+    ).agg(F.count("*").alias("__c"), F.grouping_id().alias("__g"))
+    t = F.round(F.log("__c") * 1_000_000).cast("long")
+    per_set = counts.groupBy("__g").agg(
+        F.sum("__c").alias("__n"),
+        F.count("*").alias("__d"),
+        F.sum(F.col("__c") * t).alias("__s"),
+    )
 
-    def _ent(counts: DataFrame, out: str) -> DataFrame:
-        t = F.round(F.log("__c") * 1_000_000).cast("long")
-        return counts.agg(
-            F.sum("__c").alias(f"__n_{out}"),
-            F.count("*").alias(f"{out}_distinct"),
-            F.sum(F.col("__c") * t).alias(f"__s_{out}"),
-        )
+    def _of(gid: int, col: str) -> Column:
+        return F.max(F.when(F.col("__g") == gid, F.col(col)))
 
-    ex = _ent(xy.groupBy("__x").agg(F.sum("__c").alias("__c")), "x")
-    ey = _ent(xy.groupBy("__y").agg(F.sum("__c").alias("__c")), "y")
-    exy = _ent(xy, "xy")
-    joined = exy.crossJoin(ex).crossJoin(ey)
-    ln_n = F.round(F.log("__n_xy") * 1_000_000).cast("long")
+    # grouping_id bits: 0 = (x,y), 1 = y masked -> x marginal,
+    # 2 = x masked -> y marginal
+    one = per_set.agg(
+        _of(0, "__n").alias("__n_rows"),
+        _of(0, "__d").alias("xy_distinct"),
+        _of(0, "__s").alias("__s_xy"),
+        _of(1, "__d").alias("x_distinct"),
+        _of(1, "__s").alias("__s_x"),
+        _of(2, "__d").alias("y_distinct"),
+        _of(2, "__s").alias("__s_y"),
+    )
+    ln_n = F.round(F.log("__n_rows") * 1_000_000).cast("long")
 
-    def _h(out: str) -> Column:
-        return (
-            ln_n - F.expr(f"__s_{out} div __n_xy")
-        ).alias(f"h_{out}_micro")
+    def _h(src: str, out: str) -> Column:
+        return (ln_n - F.expr(f"{src} div __n_rows")).alias(out)
 
-    return joined.select(
-        F.col("__n_xy").cast("long").alias("n"),
+    return one.select(
+        F.col("__n_rows").cast("long").alias("n"),
         F.col("x_distinct").cast("long").alias("x_distinct"),
         F.col("y_distinct").cast("long").alias("y_distinct"),
         F.col("xy_distinct").cast("long").alias("xy_distinct"),
-        _h("x"),
-        _h("y"),
-        _h("xy"),
+        _h("__s_x", "h_x_micro"),
+        _h("__s_y", "h_y_micro"),
+        _h("__s_xy", "h_xy_micro"),
     ).withColumn(
         "mi_micro",
         F.col("h_x_micro") + F.col("h_y_micro") - F.col("h_xy_micro"),

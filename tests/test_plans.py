@@ -1215,3 +1215,59 @@ def test_q164_charset_single_projection(spark, sf_dir):
     assert "windowspecdefinition" not in plan.lower(), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert formatted_part(plan).count("InMemoryFileIndex") == 1, plan
+
+
+def test_q165_burst_intervals_keyed_dp(spark, sf_dir):
+    """Same contract as q162: key-partitioned gap windows, one grouped
+    Arrow DP pass, no data-sized single partition, no cartesian."""
+    plan = plan_of(Q.q165_burst_intervals(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert not data_sized_single_partitions(plan), plan
+    assert not unpartitioned_window_lines(plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q166_burst_hierarchy_keyed_dp(spark, sf_dir):
+    plan = plan_of(Q.q166_burst_hierarchy(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert not data_sized_single_partitions(plan), plan
+    assert not unpartitioned_window_lines(plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q167_changepoint_one_keyed_window_pass(spark, sf_dir):
+    """All windows ride the series key (one hash exchange); the argmax
+    is a keyed aggregation — no unpartitioned window, no data-sized
+    single partition, no Python, no join."""
+    plan = plan_of(Q.q167_changepoint(spark, sf_dir))
+    assert not unpartitioned_window_lines(plan), plan
+    assert not data_sized_single_partitions(plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
+    # exactly one data exchange: the series-keyed hash partitioning
+    # (the final display orderBy adds a bounded rangepartitioning)
+    assert simple_part(plan).count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q168_benford_two_keyed_aggs_and_spine(spark, sf_dir):
+    """Digit counting is a keyed hash aggregation with partial combine;
+    the spine join runs on the groups x 9 frame (broadcast) — no
+    window, no data-sized single partition, no Python."""
+    plan = plan_of(Q.q168_benford(spark, sf_dir))
+    assert "windowspecdefinition" not in plan.lower(), plan
+    assert not data_sized_single_partitions(plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan, plan
+
+
+def test_q169_mutual_information_pair_frame_bounded(spark, sf_dir):
+    """One scan: the (x, y) aggregation has map-side partial combine;
+    everything after runs on the distinct-pair frame (scalar merges are
+    the bounded pattern) — no window, no Python, no cartesian blowup
+    beyond the three one-row assembly joins."""
+    plan = plan_of(Q.q169_mutual_information(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "windowspecdefinition" not in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert not data_sized_single_partitions(plan), plan
+    assert formatted_part(plan).count("InMemoryFileIndex") == 1, plan
