@@ -2022,10 +2022,147 @@ def truncation_recall_case(spark, n_vecs: int) -> dict:
     return {"case": "truncation_recall", "vecs": n_vecs, "sec": round(dt, 2)}
 
 
+def changepoint_case(spark, n_rows: int) -> dict:
+    """One keyed window pass + one keyed argmax aggregation: 10x rows
+    over 8 series should be ~linear (sort-dominated)."""
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    per = n_rows // 8
+    df = spark.range(n_rows).select(
+        (F.col("id") % 8).cast("string").alias("g"),
+        F.expr("id div 8").alias("i"),
+        (
+            F.lit(100)
+            + (F.col("id") * 37 % 21 - 10)
+            + F.when(F.expr("id div 8") >= per // 2, F.lit(40)).otherwise(0)
+        ).alias("x"),
+    )
+    t0 = time.perf_counter()
+    rows = cusum_changepoint(df, "g", ["i"], "x").collect()
+    dt = time.perf_counter() - t0
+    assert len(rows) == 8
+    # the planted mid-series step must be located near per // 2
+    assert all(abs(r["t_hat"] - per // 2) <= 3 for r in rows), rows
+    return {"case": "changepoint", "rows": n_rows, "sec": round(dt, 2)}
+
+
+def hierarchy_case(spark, n_events: int) -> dict:
+    """The k-state DP is O(n k^2) per key — same linear shape as the
+    two-state case with a constant-factor bump."""
+    import datetime as _dt
+
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        kleinberg_bursts_multi,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.range(n_events).select(
+        (F.col("id") % 16).cast("string").alias("k"),
+        F.col("id").alias("eid"),
+        (
+            F.lit(base)
+            + F.make_interval(
+                secs=(
+                    (F.col("id") / 16).cast("long")
+                    * F.when(
+                        ((F.col("id") / 16).cast("long") / 200) % 2 == 0,
+                        60,
+                    ).otherwise(4)
+                ).cast("double")
+            )
+        ).cast("timestamp_ntz").alias("ts"),
+    )
+    t0 = time.perf_counter()
+    rows = kleinberg_bursts_multi(df, "k", "ts", "eid", n_states=3).collect()
+    dt = time.perf_counter() - t0
+    assert len(rows) == 16 and all(r["max_state"] >= 1 for r in rows)
+    return {"case": "hierarchy", "events": n_events, "sec": round(dt, 2)}
+
+
+def intervals_case(spark, n_events: int) -> dict:
+    """Interval emission shares the summary DP's cost; output rows are
+    bounded by bursts, never events."""
+    import datetime as _dt
+
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        kleinberg_burst_intervals,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.range(n_events).select(
+        (F.col("id") % 16).cast("string").alias("k"),
+        F.col("id").alias("eid"),
+        (
+            F.lit(base)
+            + F.make_interval(
+                secs=(
+                    (F.col("id") / 16).cast("long")
+                    * F.when(
+                        ((F.col("id") / 16).cast("long") / 200) % 2 == 0,
+                        60,
+                    ).otherwise(4)
+                ).cast("double")
+            )
+        ).cast("timestamp_ntz").alias("ts"),
+    )
+    t0 = time.perf_counter()
+    n = kleinberg_burst_intervals(df, "k", "ts", "eid").count()
+    dt = time.perf_counter() - t0
+    assert n >= 16
+    return {"case": "intervals", "events": n_events, "sec": round(dt, 2)}
+
+
+def benford_case(spark, n_rows: int) -> dict:
+    """One keyed hash agg with map-side combine + a 9-row spine: 10x
+    rows should be ~linear scan time."""
+    from snowplow_s3_loader_spark.operators.profile import benford_profile
+
+    df = spark.range(n_rows).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        ((F.col("id") * 7919) % 999_983 + 1).alias("v"),
+    )
+    t0 = time.perf_counter()
+    rows = benford_profile(df, ["g"], "v").collect()
+    dt = time.perf_counter() - t0
+    assert len(rows) == 36
+    return {"case": "benford", "rows": n_rows, "sec": round(dt, 2)}
+
+
+def mi_case(spark, n_rows: int) -> dict:
+    """One scan through Expand (3x map-side) + one keyed shuffle
+    bounded by distinct keys per set: ~linear."""
+    from snowplow_s3_loader_spark.operators.profile import (
+        mutual_information,
+    )
+
+    df = spark.range(n_rows).select(
+        ((F.col("id") * 7919) % 50).alias("a"),
+        (((F.col("id") * 7919) % 50) % 7 + (F.col("id") % 3) * 100).alias("b"),
+    )
+    t0 = time.perf_counter()
+    [r] = mutual_information(df, "a", "b").collect()
+    dt = time.perf_counter() - t0
+    assert r["n"] == n_rows and r["mi_micro"] > 0
+    return {"case": "mi", "rows": n_rows, "sec": round(dt, 2)}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
     out = []
+    if which == "round12":
+        out.append(changepoint_case(spark, 1_000_000))
+        out.append(changepoint_case(spark, 10_000_000))
+        out.append(hierarchy_case(spark, 160_000))
+        out.append(hierarchy_case(spark, 1_600_000))
+        out.append(intervals_case(spark, 160_000))
+        out.append(intervals_case(spark, 1_600_000))
+        out.append(benford_case(spark, 1_000_000))
+        out.append(benford_case(spark, 10_000_000))
+        out.append(mi_case(spark, 1_000_000))
+        out.append(mi_case(spark, 10_000_000))
     if which == "round11d":
         out.append(truncation_recall_case(spark, 100_000))
         out.append(truncation_recall_case(spark, 1_000_000))

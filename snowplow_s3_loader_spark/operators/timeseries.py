@@ -303,8 +303,13 @@ def cusum_changepoint(
         .withColumn("__n", F.count(F.lit(1)).over(wall).cast("long"))
         .withColumn("__s", F.sum("__x").over(wall))
     )
+    # both products are guarded in division form BEFORE any multiply
+    # could wrap: n*P needs P <= 2^62/n, and t*S (t < n) needs
+    # S <= 2^62/n — S is the FULL total, so a series whose last value
+    # dwarfs every prefix still trips the guard
+    _bound = F.expr(f"CAST({2**62} AS BIGINT) div __n")
     guarded_p = F.when(
-        F.col("__p") > F.expr(f"CAST({2**62} AS BIGINT) div __n"),
+        (F.col("__p") > _bound) | (F.col("__s") > _bound),
         F.raise_error(
             F.lit(
                 "cusum_changepoint: n * prefix_sum overflows int64 — "

@@ -802,6 +802,11 @@ class TestCusumChangepoint:
         big = self._series(spark, [2**61, 2**61, 2**61])
         with pytest.raises(Exception, match="overflows int64"):
             cusum_changepoint(big, "g", ["i"], "x").collect()
+        # t * S can wrap even when every CANDIDATE prefix is tiny (the
+        # series total S includes the huge final value) — must raise too
+        tail_heavy = self._series(spark, [1, 1, 2**61])
+        with pytest.raises(Exception, match="overflows int64"):
+            cusum_changepoint(tail_heavy, "g", ["i"], "x").collect()
 
 
 class TestBenfordProfile:
