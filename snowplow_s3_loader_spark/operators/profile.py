@@ -1011,6 +1011,98 @@ def calibration_bins(
     ).orderBy("bin")
 
 
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Isotonic (monotone) recalibration of the reliability diagram —
+    the remapping step AFTER `calibration_bins` diagnoses miscalibrated
+    scores (Zadrozny & Elkan 2002's isotonic regression, fitted on the
+    k-bin diagram): the fitted curve is the weighted PAV solution via
+    the minimax identity
+
+        fitted(i) = max over j <= i of  min over k' >= i of
+                    pooled_rate(j, k'),
+        pooled_rate(j, k') = (sum n_pos[j..k'] * 1e6)
+                             div (sum n[j..k'])     (truncating)
+
+    computed on TRUNCATING-MICRO pooled rates, so every comparison is
+    an int64 compare and both engines agree bit for bit ("PAV up to
+    quantization": max-of-min of ANY f is nondecreasing in i, so the
+    fitted curve is monotone by construction, and on pooled regions it
+    equals true PAV's pooled rate quantized once). Empty bins carry no
+    evidence and no fit (fitted_micro NULL); inputs inherit
+    `calibration_bins`' guards (micro-unit score in [0, 1e6], 0/1
+    label, fractional raises).
+
+    Scale shape: the corpus pays ONE scan (calibration_bins' k-ary
+    aggregation); everything after — prefix sums, the j <= i <= k'
+    triple join, the min/max reductions — runs on the k-row bin frame
+    (k <= 10k ENFORCED upstream, O(k^3) tuples at most; the one
+    unpartitioned window is k-row-bounded by construction, the q161
+    distinct-frame argument).
+
+    Output: (bin, n, n_pos, avg_score_micro, frac_pos_micro,
+    fitted_micro) ordered by bin."""
+    from pyspark.sql import Window
+
+    bins = calibration_bins(df, score_col, label_col, k)
+    ne = bins.where(F.col("n") > 0).select("bin", "n", "n_pos")
+    wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = ne.select(
+        "bin",
+        F.row_number().over(Window.orderBy("bin")).alias("__idx"),
+        (F.sum("n").over(wp) - F.col("n")).alias("__en"),
+        (F.sum("n_pos").over(wp) - F.col("n_pos")).alias("__ep"),
+        F.sum("n").over(wp).alias("__pn"),
+        F.sum("n_pos").over(wp).alias("__pp"),
+    )
+    lo = pref.select(
+        F.col("__idx").alias("__j"),
+        F.col("__en").alias("__en_j"),
+        F.col("__ep").alias("__ep_j"),
+    )
+    hi = pref.select(
+        F.col("__idx").alias("__k"),
+        F.col("__pn").alias("__pn_k"),
+        F.col("__pp").alias("__pp_k"),
+    )
+    rates = lo.join(hi, F.col("__j") <= F.col("__k")).select(
+        "__j",
+        "__k",
+        F.expr(
+            "((__pp_k - __ep_j) * CAST(1000000 AS BIGINT)) div "
+            "(__pn_k - __en_j)"
+        ).alias("__rate"),
+    )
+    ii = pref.select(F.col("__idx").alias("__i"), "bin")
+    fit = (
+        ii.join(
+            rates,
+            (F.col("__j") <= F.col("__i")) & (F.col("__k") >= F.col("__i")),
+        )
+        .groupBy("__i", "bin", "__j")
+        .agg(F.min("__rate").alias("__mn"))
+        .groupBy("__i", "bin")
+        .agg(F.max("__mn").alias("fitted_micro"))
+        .select("bin", "fitted_micro")
+    )
+    return (
+        bins.join(fit, "bin", "left")
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "avg_score_micro",
+            "frac_pos_micro",
+            "fitted_micro",
+        )
+        .orderBy("bin")
+    )
+
+
 def two_proportion_z(
     df: DataFrame,
     variant_col: str,

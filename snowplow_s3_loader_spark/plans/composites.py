@@ -1244,6 +1244,18 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         F.col("h_xy_micro").alias("v3"),
     )
+    # isotonic recalibration: same slot shapes as the calib fold, the
+    # fitted curve in its own slot
+    iso = q.q170_isotonic(spark, sf_dir).select(
+        F.lit("isotonic").alias("battery"),
+        F.col("bin").cast("string").alias("key"),
+        (F.col("n") * 10_000_000_000 + F.col("n_pos")).alias("v1"),
+        (
+            F.col("avg_score_micro") * 10_000_000
+            + F.col("frac_pos_micro")
+        ).alias("v2"),
+        F.col("fitted_micro").alias("v3"),
+    )
     # burst hierarchy: state_mass rides the KEY (lossless — any
     # divergence breaks the hash via the key string), counts share the
     # burst fold's guarded slots
@@ -1401,6 +1413,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(chgpt)
         .union(bnf)
         .union(mi)
+        .union(iso)
         .union(trc)
         .union(chm)
         .orderBy("battery", "key", "v1")
@@ -1572,7 +1585,7 @@ _FOLDED = {
     "q159_char_entropy", "q160_budget_select", "q161_survival",
     "q162_bursts", "q163_truncation_recall", "q164_charset_mix",
     "q165_burst_intervals", "q166_burst_hierarchy", "q167_changepoint",
-    "q168_benford", "q169_mutual_information",
+    "q168_benford", "q169_mutual_information", "q170_isotonic",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2532,6 +2545,12 @@ SELECT 'mi' AS battery, '0' AS key,
        h_x_micro * 10000000 + h_y_micro AS v2,
        h_xy_micro AS v3
 FROM ({ORACLES["q169_mutual_information"]})
+UNION ALL
+SELECT 'isotonic' AS battery, CAST(bin AS VARCHAR) AS key,
+       n * 10000000000 + n_pos AS v1,
+       avg_score_micro * 10000000 + frac_pos_micro AS v2,
+       fitted_micro AS v3
+FROM ({ORACLES["q170_isotonic"]})
 ORDER BY battery, key, v1
 """
 

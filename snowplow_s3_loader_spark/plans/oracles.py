@@ -3784,6 +3784,75 @@ SELECT bin, n, n_pos, avg_score_micro, frac_pos_micro, gap_micro,
 FROM gaps ORDER BY bin
 """
 
+# q170: isotonic recalibration — the q156 binning replayed, then the
+# quantized-minimax weighted PAV (max over j <= i of min over k >= i of
+# truncating pooled rates) on the non-empty-bin frame.
+ORACLES["q170_isotonic"] = f"""
+WITH scored AS (
+  SELECT CAST(list_sum(list_transform({_TOKS}, t -> {_W77})) AS BIGINT)
+           AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+squashed AS (
+  SELECT least(greatest(500000 + CASE WHEN s >= 0 THEN s // 24
+                                      ELSE -((-s) // 24) END,
+                        0), 1000000) AS p, y
+  FROM scored
+),
+binned AS (
+  SELECT least((p * 10) // 1000000, 9) AS bin, p, y FROM squashed
+),
+per_bin AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(p) AS BIGINT) AS ss
+  FROM binned GROUP BY bin
+),
+spine AS (SELECT unnest(range(0, 10)) AS bin),
+full_bins AS (
+  SELECT CAST(spine.bin AS INTEGER) AS bin,
+         coalesce(n, 0) AS n, coalesce(n_pos, 0) AS n_pos,
+         coalesce(ss, 0) AS ss
+  FROM spine LEFT JOIN per_bin ON spine.bin = per_bin.bin
+),
+ratios AS (
+  SELECT bin, n, n_pos,
+         CASE WHEN n > 0 THEN ss // n END AS avg_score_micro,
+         CASE WHEN n > 0 THEN (n_pos * 1000000) // n END AS frac_pos_micro
+  FROM full_bins
+),
+ne AS (
+  SELECT bin, n, n_pos,
+         CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS idx,
+         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS pn,
+         CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS pp
+  FROM full_bins WHERE n > 0
+),
+lo AS (SELECT idx AS j, pn - n AS en_j, pp - n_pos AS ep_j FROM ne),
+hi AS (SELECT idx AS kk, pn AS pn_k, pp AS pp_k FROM ne),
+rates AS (
+  SELECT j, kk,
+         CAST(((pp_k - ep_j) * 1000000) // (pn_k - en_j) AS BIGINT)
+           AS rate
+  FROM lo JOIN hi ON j <= kk
+),
+inner_min AS (
+  SELECT ii.idx AS i_idx, ii.bin, r.j,
+         CAST(min(r.rate) AS BIGINT) AS mn
+  FROM ne ii JOIN rates r ON r.j <= ii.idx AND r.kk >= ii.idx
+  GROUP BY ii.idx, ii.bin, r.j
+),
+fit AS (
+  SELECT bin, CAST(max(mn) AS BIGINT) AS fitted_micro
+  FROM inner_min GROUP BY i_idx, bin
+)
+SELECT ra.bin, ra.n, ra.n_pos, ra.avg_score_micro, ra.frac_pos_micro,
+       f.fitted_micro
+FROM ratios ra LEFT JOIN fit f ON f.bin = ra.bin
+ORDER BY ra.bin
+"""
+
 # q157: two-proportion z per event_type — integer cross-multiply
 # success rule, exact counts, ONE closing double expression mirroring
 # the Spark tree node for node (every operand an exactly-represented

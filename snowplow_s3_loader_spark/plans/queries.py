@@ -3620,6 +3620,40 @@ def q169_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(li, "l_returnflag", "l_linestatus")
 
 
+def q170_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic recalibration of the q156 reliability diagram: the
+    weighted PAV fit via the quantized minimax identity on truncating
+    pooled rates — the remapping a miscalibrated quality classifier
+    needs before its scores gate a corpus at a threshold. Same
+    squashed-score/ground-truth construction as q156; the fit runs
+    entirely on the k-row bin frame."""
+    from snowplow_s3_loader_spark.operators.profile import (
+        isotonic_calibration,
+    )
+    from snowplow_s3_loader_spark.operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    score, _ = hashed_linear_score(F.col("text"), dim=4096, seed=0)
+    base = docs.select(
+        score.alias("__s"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    squashed = base.select(
+        F.least(
+            F.greatest(
+                F.lit(500_000)
+                + F.when(F.col("__s") >= 0, F.expr("__s div 24")).otherwise(
+                    -F.expr("(-__s) div 24")
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(1_000_000).cast("long"),
+        ).alias("p_micro"),
+        "y",
+    )
+    return isotonic_calibration(squashed, "p_micro", "y", k=10)
+
+
 def q163_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-truncation quality audit: exact cosine top-5 under the
     full 64 dims vs the first 16, per-query overlap as recall_micro —
@@ -3816,5 +3850,6 @@ QUERIES = {
         q167_changepoint,
         q168_benford,
         q169_mutual_information,
+        q170_isotonic,
     ]
 }

@@ -946,6 +946,86 @@ class TestMutualInformation:
         assert r["x_distinct"] == 2 and r["mi_micro"] == r["h_x_micro"]
 
 
+class TestIsotonicCalibration:
+    def _fit_ref(self, pairs, k=10):
+        """Independent quantized-minimax PAV mirror."""
+        bins = {b: [0, 0] for b in range(k)}
+        for p, y in pairs:
+            b = min(p * k // 1_000_000, k - 1)
+            bins[b][0] += 1
+            bins[b][1] += y
+        ne = [(b, n, np_) for b, (n, np_) in sorted(bins.items()) if n > 0]
+        m = len(ne)
+
+        def rate(j, kk):  # 0-based inclusive over ne
+            n = sum(ne[l][1] for l in range(j, kk + 1))
+            np_ = sum(ne[l][2] for l in range(j, kk + 1))
+            return np_ * 1_000_000 // n
+
+        return {
+            ne[i][0]: max(
+                min(rate(j, kk) for kk in range(i, m))
+                for j in range(0, i + 1)
+            )
+            for i in range(m)
+        }
+
+    def test_matches_quantized_minimax_reference(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            isotonic_calibration,
+        )
+
+        pairs = [
+            ((i * 7919) % 1_000_001,
+             1 if (i * 104729) % 1_000_001 < 600_000 - ((i * 7919) % 400_000)
+             else 0)
+            for i in range(700)
+        ]
+        df = spark.createDataFrame(pairs, "p long, y int")
+        got = {
+            r["bin"]: r["fitted_micro"]
+            for r in isotonic_calibration(df, "p", "y", k=10).collect()
+            if r["fitted_micro"] is not None
+        }
+        assert got == self._fit_ref(pairs)
+
+    def test_fit_is_monotone_and_pools_violators(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            isotonic_calibration,
+        )
+
+        # bins 2 and 3 planted as violators (rate drops 0.8 -> 0.2):
+        # PAV pools them to the weighted average
+        rows = []
+        for b, n, npos in [(2, 100, 80), (3, 100, 20), (7, 50, 45)]:
+            p = b * 100_000 + 50_000
+            rows += [(p, 1)] * npos + [(p, 0)] * (n - npos)
+        df = spark.createDataFrame(rows, "p long, y int")
+        out = isotonic_calibration(df, "p", "y", k=10).collect()
+        fits = [r["fitted_micro"] for r in out
+                if r["fitted_micro"] is not None]
+        assert fits == sorted(fits)
+        by_bin = {r["bin"]: r["fitted_micro"] for r in out}
+        assert by_bin[2] == by_bin[3] == 500_000  # pooled (80+20)/200
+        assert by_bin[7] == 900_000
+        # empty bins carry no fit
+        assert by_bin[0] is None
+
+    def test_already_isotonic_diagram_is_fixed_point(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            isotonic_calibration,
+        )
+
+        rows = []
+        for b, n, npos in [(1, 40, 4), (4, 40, 20), (8, 40, 36)]:
+            p = b * 100_000 + 50_000
+            rows += [(p, 1)] * npos + [(p, 0)] * (n - npos)
+        df = spark.createDataFrame(rows, "p long, y int")
+        for r in isotonic_calibration(df, "p", "y", k=10).collect():
+            if r["n"] > 0:
+                assert r["fitted_micro"] == r["frac_pos_micro"]
+
+
 class TestIntegralityGuards:
     def test_survival_fractional_duration_raises(self, spark):
         from snowplow_s3_loader_spark.operators.profile import survival_curve
