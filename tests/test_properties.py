@@ -201,3 +201,61 @@ def test_interleave_roundtrip_property(vals, bits):
             bumped = list(masked)
             bumped[j] += 1
             assert interleave(bumped) > z
+
+
+# ---------------------------------------------------------------------------
+# Round-12 DP kernels (pure python, no SparkSession)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(1, 500), min_size=2, max_size=9),
+    st.integers(2, 4),
+    st.integers(2, 3),
+    st.integers(0, 2_000_000),
+)
+@settings(max_examples=150, deadline=None)
+def test_multistate_viterbi_is_optimal(gaps, k, s_num, gamma):
+    """The k-state integer Viterbi's cost equals the brute-force
+    minimum over ALL k^n state assignments, and the backtracked
+    states achieve it."""
+    import itertools
+    import math
+
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        _burst_states_multi,
+    )
+
+    states, cost, mean_gap, trans = _burst_states_multi(
+        gaps, "k", k, s_num, gamma
+    )
+    ln_s = int(math.floor(math.log(s_num) * 1e6 + 0.5))
+
+    def seq_cost(seq):
+        c, prev = 0, 0
+        for stt, x in zip(seq, gaps):
+            c += max(0, stt - prev) * trans
+            c += (s_num**stt - 1) * ((x * 1_000_000) // mean_gap)
+            c -= stt * ln_s
+            prev = stt
+        return c
+
+    brute = min(
+        seq_cost(seq) for seq in itertools.product(range(k), repeat=len(gaps))
+    )
+    assert cost == brute == seq_cost(states)
+
+
+@given(st.lists(st.integers(1, 500), min_size=2, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_two_state_equals_multi_at_k2(gaps):
+    """_burst_states (the q162 kernel) and _burst_states_multi at
+    n_states = 2 must agree bit for bit — states AND cost."""
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        _burst_states,
+        _burst_states_multi,
+    )
+
+    s1, c1, m1, t1 = _burst_states(gaps, "k", 2, 1_000_000)
+    s2, c2, m2, t2 = _burst_states_multi(gaps, "k", 2, 2, 1_000_000)
+    assert (s1, c1, m1, t1) == (s2, c2, m2, t2)
