@@ -579,3 +579,78 @@ class Engine:
         )
 
         return kleinberg_bursts(df, key_col, ts_col, tie_col, s_num, gamma_micro)
+
+    # ---- round-12 additions ----
+
+    def burst_intervals(self, df: DataFrame, key_col: str, ts_col: str,
+                        tie_col: str, s_num: int = 2,
+                        gamma_micro: int = 1_000_000) -> DataFrame:
+        """Plot-ready burst windows from the Kleinberg backtrack
+        (operators.timeseries)."""
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_burst_intervals,
+        )
+
+        return kleinberg_burst_intervals(
+            df, key_col, ts_col, tie_col, s_num, gamma_micro
+        )
+
+    def burst_hierarchy(self, df: DataFrame, key_col: str, ts_col: str,
+                        tie_col: str, n_states: int = 3, s_num: int = 2,
+                        gamma_micro: int = 1_000_000) -> DataFrame:
+        """Multi-state Kleinberg burst hierarchy (operators.timeseries)."""
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            kleinberg_bursts_multi,
+        )
+
+        return kleinberg_bursts_multi(
+            df, key_col, ts_col, tie_col, n_states, s_num, gamma_micro
+        )
+
+    def changepoint(self, df: DataFrame, group_col: str,
+                    order_cols: list[str], value_col: str) -> DataFrame:
+        """Offline CUSUM changepoint location per series
+        (operators.timeseries)."""
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            cusum_changepoint,
+        )
+
+        return cusum_changepoint(df, group_col, order_cols, value_col)
+
+    def benford(self, df: DataFrame, group_cols: list[str],
+                value_col: str) -> DataFrame:
+        """Benford first-digit audit (operators.profile)."""
+        from snowplow_s3_loader_spark.operators.profile import benford_profile
+
+        return benford_profile(df, group_cols, value_col)
+
+    def mutual_information(self, df: DataFrame, x_col: str,
+                           y_col: str) -> DataFrame:
+        """Categorical mutual information in quantized micro-nats
+        (operators.profile)."""
+        from snowplow_s3_loader_spark.operators.profile import (
+            mutual_information,
+        )
+
+        return mutual_information(df, x_col, y_col)
+
+    def isotonic_calibration(self, df: DataFrame, score_col: str,
+                             label_col: str, k: int = 10) -> DataFrame:
+        """Monotone (PAV) recalibration of the reliability diagram
+        (operators.profile)."""
+        from snowplow_s3_loader_spark.operators.profile import (
+            isotonic_calibration,
+        )
+
+        return isotonic_calibration(df, score_col, label_col, k)
+
+    def compact_band_store(self, path: str,
+                           up_to_epoch: int | None = None,
+                           dedupe: bool = True) -> dict[str, int]:
+        """Closed-epoch compaction of a persisted band store
+        (operators.dedup)."""
+        from snowplow_s3_loader_spark.operators.dedup import (
+            compact_band_store,
+        )
+
+        return compact_band_store(self.spark, path, up_to_epoch, dedupe)

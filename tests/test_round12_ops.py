@@ -1067,3 +1067,33 @@ class TestIntegralityGuards:
         out = {r["bin"]: r["n"] for r in
                calibration_bins(df, "p", "y", k=10).collect()}
         assert out[5] == 1 and out[1] == 1
+
+
+def test_engine_round12_facade(spark):
+    """The round-12 facade delegations are wired and runnable."""
+    from snowplow_s3_loader_spark.engine import Engine
+
+    eng = Engine.at(spark, "/root/testdata/sf0.001")
+    ev = eng.table("events").where(F.col("user_id").isNotNull())
+    keyed = ev.select(
+        (F.col("user_id") % 5).alias("k"), "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    assert eng.burst_hierarchy(keyed, "k", "ts", "event_id").count() == 5
+    eng.burst_intervals(keyed, "k", "ts", "event_id",
+                        gamma_micro=300_000).count()
+    assert eng.changepoint(keyed, "k", ["ts", "event_id"],
+                           "cents").count() == 5
+    docs = eng.table("orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    assert eng.benford(docs, ["g"], "cents").count() == 45
+    [r] = eng.mutual_information(
+        eng.table("lineitem"), "l_returnflag", "l_linestatus"
+    ).collect()
+    assert r["mi_micro"] > 0
+    cal = spark.createDataFrame(
+        [(100_000, 0), (100_000, 1), (900_000, 1)], "p long, y int"
+    )
+    assert eng.isotonic_calibration(cal, "p", "y").count() == 10
