@@ -654,3 +654,13 @@ class Engine:
         )
 
         return compact_band_store(self.spark, path, up_to_epoch, dedupe)
+
+    def cuped(self, df: DataFrame, variant_col: str, metric_col: str,
+              covariate_col: str) -> DataFrame:
+        """CUPED variance-reduced A/B readout (operators.profile)."""
+        from snowplow_s3_loader_spark.operators.profile import (
+            cuped_adjusted_means,
+        )
+
+        return cuped_adjusted_means(df, variant_col, metric_col,
+                                    covariate_col)

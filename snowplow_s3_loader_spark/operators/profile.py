@@ -1398,6 +1398,104 @@ def benford_profile(
     )
 
 
+def cuped_adjusted_means(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, WSDM 2013) — the standard trick that cuts an A/B metric's
+    variance using a PRE-experiment covariate (usually the same metric
+    measured before assignment):
+
+        theta      = cov(x, y) / var(x)          (POOLED, the CUPED rule
+                                                  — theta must not
+                                                  depend on assignment)
+        adj_mean_g = mean_y_g - theta * (mean_x_g - mean_x)
+
+    Exact integer pieces end to end — the pooled moments ride
+    `exact_moments` (cov_num = n*Sxy - Sx*Sy, var_x_num = n*Sxx - Sx^2,
+    pure BIGINT; the caller must scale inputs so n*Sxy fits int64, the
+    exact_moments contract), the per-variant sums are exact, the raw
+    mean is truncating-integer — and ONE closing double expression per
+    variant row produces adj_mean_micro, mirrored node for node in the
+    oracle (the q157 discipline: every operand an exactly-represented
+    int64, IEEE-defined divisions).
+
+    A constant covariate (var_x_num = 0) leaves theta undefined:
+    adj_mean_micro is NULL and the raw mean still reads out. NULL
+    metric/covariate values raise (they would silently shrink the
+    sums).
+
+    Scale shape: one scan -> one variant-keyed aggregation plus one
+    scalar pooled-moments aggregation (both partial+final), broadcast-
+    joined (the pooled frame is ONE row). No window, no Python.
+
+    Output: (variant, n, sum_y, sum_x, mean_y_micro, adj_mean_micro)
+    ordered by variant, carrying (n_total, cov_num, var_x_num) on
+    every row for auditability."""
+    y, x = F.col(metric_col), F.col(covariate_col)
+
+    def _checked(c: Column, name: str) -> Column:
+        return F.when(
+            c.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"cuped_adjusted_means: NULL {name!r} — impute the "
+                    "covariate (0 for no-pre-period units) or filter "
+                    "first"
+                )
+            ).cast("long"),
+        ).otherwise(c.cast("long"))
+
+    base = df.select(
+        F.col(variant_col).alias("variant"),
+        _checked(y, metric_col).alias("__y"),
+        _checked(x, covariate_col).alias("__x"),
+    )
+    pooled = exact_moments(base, [], "__x", "__y").select(
+        F.col("n").alias("n_total"),
+        F.col("sx").alias("__gsx"),
+        F.col("cov_num"),
+        F.col("var_x_num"),
+    )
+    per_v = base.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("__y").alias("sum_y"),
+        F.sum("__x").alias("sum_x"),
+    )
+    j = per_v.crossJoin(F.broadcast(pooled))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    adj = F.round(
+        (
+            d("sum_y") / d("n")
+            - (d("cov_num") / d("var_x_num"))
+            * (d("sum_x") / d("n") - d("__gsx") / d("n_total"))
+        )
+        * 1_000_000
+    ).cast("long")
+    return j.select(
+        "variant",
+        "n",
+        "sum_y",
+        "sum_x",
+        # sign-separated truncating division (the q116 rule): Spark div
+        # truncates toward zero, DuckDB // floors — identical only on
+        # non-negative operands
+        F.when(
+            F.col("sum_y") >= 0,
+            F.expr("(sum_y * CAST(1000000 AS BIGINT)) div n"),
+        )
+        .otherwise(-F.expr("((-sum_y) * CAST(1000000 AS BIGINT)) div n"))
+        .alias("mean_y_micro"),
+        F.when(F.col("var_x_num") != 0, adj).alias("adj_mean_micro"),
+        "n_total",
+        "cov_num",
+        "var_x_num",
+    ).orderBy("variant")
+
+
 def fd_check(
     df: DataFrame,
     dependencies: list[tuple[list[str], str]],

@@ -1256,6 +1256,16 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         F.col("fitted_micro").alias("v3"),
     )
+    # CUPED: the per-variant unit count rides the key; the adjusted
+    # mean hashes the pooled moments implicitly (it is their one
+    # closing expression)
+    cup = q.q171_cuped(spark, sf_dir).select(
+        F.lit("cuped").alias("battery"),
+        F.concat_ws("@", F.col("variant"), F.col("n")).alias("key"),
+        F.col("sum_y").alias("v1"),
+        F.col("sum_x").alias("v2"),
+        F.col("adj_mean_micro").alias("v3"),
+    )
     # burst hierarchy: state_mass rides the KEY (lossless — any
     # divergence breaks the hash via the key string), counts share the
     # burst fold's guarded slots
@@ -1414,6 +1424,7 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(bnf)
         .union(mi)
         .union(iso)
+        .union(cup)
         .union(trc)
         .union(chm)
         .orderBy("battery", "key", "v1")
@@ -1586,6 +1597,7 @@ _FOLDED = {
     "q162_bursts", "q163_truncation_recall", "q164_charset_mix",
     "q165_burst_intervals", "q166_burst_hierarchy", "q167_changepoint",
     "q168_benford", "q169_mutual_information", "q170_isotonic",
+    "q171_cuped",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2551,6 +2563,11 @@ SELECT 'isotonic' AS battery, CAST(bin AS VARCHAR) AS key,
        avg_score_micro * 10000000 + frac_pos_micro AS v2,
        fitted_micro AS v3
 FROM ({ORACLES["q170_isotonic"]})
+UNION ALL
+SELECT 'cuped' AS battery,
+       variant || '@' || CAST(n AS VARCHAR) AS key,
+       sum_y AS v1, sum_x AS v2, adj_mean_micro AS v3
+FROM ({ORACLES["q171_cuped"]})
 ORDER BY battery, key, v1
 """
 

@@ -3853,6 +3853,56 @@ FROM ratios ra LEFT JOIN fit f ON f.bin = ra.bin
 ORDER BY ra.bin
 """
 
+# q171: CUPED — exact integer pooled moments + per-variant sums, one
+# closing double per variant row mirrored node for node (the q157
+# rule); sign-separated truncating mean.
+ORACLES["q171_cuped"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(round(value) AS BIGINT) END), 0)
+              AS BIGINT) AS x,
+         CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(round(value) AS BIGINT) END), 0)
+              AS BIGINT) AS y
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+),
+units AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant, x, y
+  FROM per_user
+),
+pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(x) AS BIGINT) AS gsx,
+         CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT)
+           - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS cov_num,
+         CAST(count(*) AS BIGINT) * CAST(sum(x * x) AS BIGINT)
+           - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT)
+           AS var_x_num
+  FROM units
+),
+per_v AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x) AS BIGINT) AS sum_x
+  FROM units GROUP BY variant
+)
+SELECT v.variant, v.n, v.sum_y, v.sum_x,
+       CASE WHEN v.sum_y >= 0 THEN (v.sum_y * 1000000) // v.n
+            ELSE -(((-v.sum_y) * 1000000) // v.n) END AS mean_y_micro,
+       CASE WHEN p.var_x_num != 0 THEN
+         CAST(round((CAST(v.sum_y AS DOUBLE) / v.n
+              - (CAST(p.cov_num AS DOUBLE) / p.var_x_num)
+                * (CAST(v.sum_x AS DOUBLE) / v.n
+                   - CAST(p.gsx AS DOUBLE) / p.n_total)) * 1000000)
+              AS BIGINT)
+       END AS adj_mean_micro,
+       p.n_total, p.cov_num, p.var_x_num
+FROM per_v v, pooled p
+ORDER BY v.variant
+"""
+
 # q157: two-proportion z per event_type — integer cross-multiply
 # success rule, exact counts, ONE closing double expression mirroring
 # the Spark tree node for node (every operand an exactly-represented

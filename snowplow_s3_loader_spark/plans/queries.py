@@ -3654,6 +3654,51 @@ def q170_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibration(squashed, "p_micro", "y", k=10)
 
 
+def q171_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout on the event stream: units =
+    users (variant by user parity, the q157 convention), metric = each
+    user's post-period spend (whole units, Jan 16-30), covariate = the
+    same user's PRE-period spend (Jan 1-15 — the canonical CUPED
+    covariate). Exact integer moments, one closing double per variant
+    row mirrored node for node in the oracle."""
+    from snowplow_s3_loader_spark.operators.profile import (
+        cuped_adjusted_means,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    split = "2024-01-16 00:00:00"
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("ts") < F.lit(split).cast("timestamp_ntz"),
+                    F.round(F.col("value")).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("pre_units"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.lit(split).cast("timestamp_ntz"),
+                    F.round(F.col("value")).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("post_units"),
+    )
+    units = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        "post_units",
+        "pre_units",
+    )
+    return cuped_adjusted_means(units, "variant", "post_units", "pre_units")
+
+
 def q163_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-truncation quality audit: exact cosine top-5 under the
     full 64 dims vs the first 16, per-query overlap as recall_micro —
@@ -3851,5 +3896,6 @@ QUERIES = {
         q168_benford,
         q169_mutual_information,
         q170_isotonic,
+        q171_cuped,
     ]
 }

@@ -1097,3 +1097,93 @@ def test_engine_round12_facade(spark):
         [(100_000, 0), (100_000, 1), (900_000, 1)], "p long, y int"
     )
     assert eng.isotonic_calibration(cal, "p", "y").count() == 10
+
+
+class TestCuped:
+    def _ref(self, units):
+        """Pure-python CUPED mirror with the same integer+closing-double
+        shape."""
+        n = len(units)
+        sx = sum(x for _, x, _ in units)
+        sy = sum(y for _, _, y in units)
+        sxy = sum(x * y for _, x, y in units)
+        sxx = sum(x * x for _, x, _ in units)
+        cov = n * sxy - sx * sy
+        var = n * sxx - sx * sx
+        out = {}
+        for v in sorted({u[0] for u in units}):
+            g = [(x, y) for vv, x, y in units if vv == v]
+            ng, gx, gy = len(g), sum(x for x, _ in g), sum(y for _, y in g)
+            adj = round(
+                (gy / ng - (cov / var) * (gx / ng - sx / n)) * 1_000_000
+            )
+            out[v] = (ng, gy, gx, gy * 1_000_000 // ng, adj, cov, var)
+        return out
+
+    def test_matches_pure_python_reference(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            cuped_adjusted_means,
+        )
+
+        units = [
+            ("A" if i % 2 else "B",
+             (i * 37) % 50,
+             (i * 37) % 50 + (i * 13) % 9 + (3 if i % 2 else 0))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(units, "v string, x long, y long")
+        got = cuped_adjusted_means(df, "v", "y", "x").collect()
+        ref = self._ref(units)
+        for r in got:
+            ng, gy, gx, mean, adj, cov, var = ref[r["variant"]]
+            assert (
+                r["n"], r["sum_y"], r["sum_x"], r["mean_y_micro"],
+                r["adj_mean_micro"], r["cov_num"], r["var_x_num"],
+            ) == (ng, gy, gx, mean, adj, cov, var)
+
+    def test_cuped_removes_covariate_imbalance(self, spark):
+        """Planted truth: zero real treatment effect, but variant A got
+        unlucky with high-covariate users — the RAW means differ while
+        the CUPED-adjusted means all but coincide."""
+        from snowplow_s3_loader_spark.operators.profile import (
+            cuped_adjusted_means,
+        )
+
+        units = []
+        for i in range(600):
+            x = (i * 7919) % 100
+            y = 2 * x + (i * 13) % 7  # y driven by covariate, no effect
+            v = "A" if x >= 50 else "B"  # imbalanced assignment
+            units.append((v, x, y))
+        df = spark.createDataFrame(units, "v string, x long, y long")
+        rows = {r["variant"]: r for r in
+                cuped_adjusted_means(df, "v", "y", "x").collect()}
+        raw_gap = abs(rows["A"]["mean_y_micro"] - rows["B"]["mean_y_micro"])
+        adj_gap = abs(
+            rows["A"]["adj_mean_micro"] - rows["B"]["adj_mean_micro"]
+        )
+        assert raw_gap > 50_000_000  # ~100 units apart raw
+        assert adj_gap < raw_gap / 20  # CUPED strips the imbalance
+
+    def test_constant_covariate_yields_null_adjustment(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            cuped_adjusted_means,
+        )
+
+        df = spark.createDataFrame(
+            [("A", 5, 10), ("B", 5, 12)], "v string, x long, y long"
+        )
+        rows = cuped_adjusted_means(df, "v", "y", "x").collect()
+        assert all(r["adj_mean_micro"] is None for r in rows)
+        assert all(r["mean_y_micro"] is not None for r in rows)
+
+    def test_null_inputs_raise(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            cuped_adjusted_means,
+        )
+
+        df = spark.createDataFrame(
+            [("A", None, 10)], "v string, x long, y long"
+        )
+        with pytest.raises(Exception, match="impute the"):
+            cuped_adjusted_means(df, "v", "y", "x").collect()
