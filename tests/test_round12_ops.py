@@ -1097,6 +1097,11 @@ def test_engine_round12_facade(spark):
         [(100_000, 0), (100_000, 1), (900_000, 1)], "p long, y int"
     )
     assert eng.isotonic_calibration(cal, "p", "y").count() == 10
+    ab = spark.createDataFrame(
+        [("A", 1, 2), ("A", 2, 5), ("B", 1, 3), ("B", 3, 8)],
+        "v string, x long, y long",
+    )
+    assert eng.cuped(ab, "v", "y", "x").count() == 2
 
 
 class TestCuped:
