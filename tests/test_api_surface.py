@@ -136,3 +136,22 @@ def test_bench_compact_headline_fits_driver_tail_capture():
     # canary-less headline (subprocess failure path) still parses
     bare = _json.loads(mod.compact_headline(1.0, 0.1, 102, 2, None))
     assert "canary" not in bare
+
+
+def test_bench_canaries_exist_and_are_pinned():
+    """The canary set must always resolve against the live registry —
+    a silent rename would drop a canary and skew the normalization
+    denominator across rounds."""
+    import importlib.util
+
+    from snowplow_s3_loader_spark.plans.queries import QUERIES
+
+    spec = importlib.util.spec_from_file_location("bench_mod", "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert len(mod.CANARIES) == 8
+    for name in mod.CANARIES:
+        assert name in QUERIES, f"canary {name} missing from the registry"
+    # short keys (the headline fold) must be unique
+    shorts = [n.split("_")[0] for n in mod.CANARIES]
+    assert len(set(shorts)) == len(shorts)
