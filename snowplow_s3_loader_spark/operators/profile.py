@@ -768,6 +768,7 @@ def ks_statistic(
     cur: DataFrame,
     value_col: str,
     num_partitions: int | None = None,
+    max_distinct_values: int | None = 2_000_000,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between two snapshots of
     a feature — PSI's bin-free companion drift monitor (psi_bins needs
@@ -802,7 +803,15 @@ def ks_statistic(
     NULL rule — Spark and DuckDB order NULLs differently, so a NULL
     would silently shift every cumulative count); both snapshots must
     be non-empty; n_ref * (n_cur + 1) must stay inside int64 (packing
-    bound, ~3e9 x 3e9 — ENFORCED).
+    bound, ~3e9 x 3e9 — ENFORCED); and the DISTINCT-VALUE frame the
+    prefix sum walks is bounded LOUDLY: more than
+    ``max_distinct_values`` distinct metric values raises (the
+    cents-discipline integer metrics this monitor expects sit orders
+    of magnitude under the default 2e6; a raw high-cardinality int64
+    or double metric would otherwise silently grow the frame toward n
+    — quantize the metric or raise the bound deliberately;
+    ``max_distinct_values=None`` disables the guard). The count is
+    free: it rides the totals aggregation this function already runs.
 
     Output: one row (n_ref, n_cur, d_num, ks_micro)."""
     from snowplow_s3_loader_spark.operators.ranking import (
@@ -832,9 +841,21 @@ def ks_statistic(
         F.sum(1 - F.col("__is_ref")).cast("long").alias("__dc"),
     )
     tot = per_v.agg(
-        F.sum("__dr").alias("nr"), F.sum("__dc").alias("nc")
+        F.sum("__dr").alias("nr"),
+        F.sum("__dc").alias("nc"),
+        F.count("*").alias("nv"),
     ).collect()[0]
     n_ref, n_cur = int(tot["nr"] or 0), int(tot["nc"] or 0)
+    n_vals = int(tot["nv"] or 0)
+    if max_distinct_values is not None and n_vals > max_distinct_values:
+        raise ValueError(
+            f"ks_statistic: {value_col!r} has {n_vals} distinct values, "
+            f"over the max_distinct_values bound ({max_distinct_values}) "
+            "— the prefix-sum frame is sized by DISTINCT metric values, "
+            "so a high-cardinality metric silently grows it toward n. "
+            "Quantize the metric (the cents/micro discipline) or raise "
+            "the bound deliberately."
+        )
     if n_ref == 0 or n_cur == 0:
         raise ValueError(
             f"ks_statistic: both snapshots must be non-empty "
@@ -1039,15 +1060,27 @@ def isotonic_calibration(
 
     Scale shape: the corpus pays ONE scan (calibration_bins' k-ary
     aggregation); everything after — prefix sums, the j <= i <= k'
-    triple join, the min/max reductions — runs on the k-row bin frame
-    (k <= 10k ENFORCED upstream, O(k^3) tuples at most; the one
+    triple join, the min/max reductions — runs on the k-row bin frame.
+    The triple join generates ~k^3/6 tuples, so THIS path enforces
+    k <= 1000 (<= ~1.7e8 tuples, seconds of work) rather than
+    inheriting calibration_bins' k <= 10000 diagram bound (which would
+    permit ~1.7e11 tuples — a reliability DIAGRAM at k=10k is fine,
+    an isotonic FIT at k=10k is not; fit on a coarser grid). The one
     unpartitioned window is k-row-bounded by construction, the q161
-    distinct-frame argument).
+    distinct-frame argument.
 
     Output: (bin, n, n_pos, avg_score_micro, frac_pos_micro,
     fitted_micro) ordered by bin."""
     from pyspark.sql import Window
 
+    if not 1 <= k <= 1_000:
+        raise ValueError(
+            f"isotonic_calibration: k must be in [1, 1000], got {k} — "
+            "the minimax fit joins O(k^3) pooled rates on the bin "
+            "frame (~1.7e8 tuples at the cap; calibration_bins' 10k "
+            "diagram bound would permit ~1.7e11). Fit on a coarser "
+            "grid or use calibration_bins alone for diagnosis."
+        )
     bins = calibration_bins(df, score_col, label_col, k)
     ne = bins.where(F.col("n") > 0).select("bin", "n", "n_pos")
     wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)

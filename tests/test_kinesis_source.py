@@ -189,11 +189,25 @@ def test_fake_factory_seeds_from_file(tmp_path):
 # ---- end-to-end through Structured Streaming ----
 
 
-def _run_until(query, pred, timeout=60.0):
+def _run_until(query, pred, timeout=300.0):
+    """Poll ``pred`` until true, the query dies, or ``timeout`` elapses.
+
+    The deadline is deliberately GENEROUS (r12 verdict: a 60 s deadline
+    flaked the loader e2e under co-tenant box load while the same test
+    passed green in isolation in 26 s) — a green run exits on the first
+    true predicate, so the wide bound costs nothing when the box is
+    idle. A query that terminated with an exception fails FAST instead
+    of burning the whole deadline: ``query.exception()`` is re-raised
+    so the real streaming error reaches the test report."""
     t0 = time.monotonic()
     while time.monotonic() - t0 < timeout:
         if pred():
             return True
+        if not query.isActive:
+            exc = query.exception()
+            if exc is not None:
+                raise exc
+            return pred()
         time.sleep(0.2)
     return False
 
@@ -253,7 +267,7 @@ def test_spark_stream_end_to_end_with_checkpoint_restart(spark, tmp_path):
         assert _run_until(q, lambda: len(rows_on_disk()) >= 3), q.lastProgress
     finally:
         q.stop()
-        q.awaitTermination(30)  # full shutdown before the restart below
+        q.awaitTermination(120)  # full shutdown before the restart below
     got = {r["payload"] for r in rows_on_disk()}
     assert got == {"a1", "a2", "b1"}
 
@@ -280,7 +294,7 @@ def test_spark_stream_end_to_end_with_checkpoint_restart(spark, tmp_path):
         assert _run_until(q2, lambda: len(rows_on_disk()) >= 4), q2.lastProgress
     finally:
         q2.stop()
-        q2.awaitTermination(30)
+        q2.awaitTermination(120)
     all_payloads = [r["payload"] for r in rows_on_disk()]
     assert sorted(all_payloads) == ["a1", "a2", "a3", "b1"]  # a3 once, no replays
 
@@ -637,7 +651,7 @@ def test_partitioned_spark_end_to_end_with_checkpoint_restart(spark, tmp_path):
         assert _run_until(q, lambda: len(rows_on_disk()) >= 3), q.lastProgress
     finally:
         q.stop()
-        q.awaitTermination(30)
+        q.awaitTermination(120)
     assert {r["payload"] for r in rows_on_disk()} == {"a1", "a2", "b1"}
 
     # restart with one MORE record, stamped now: only it may appear
@@ -663,7 +677,7 @@ def test_partitioned_spark_end_to_end_with_checkpoint_restart(spark, tmp_path):
         assert _run_until(q2, lambda: len(rows_on_disk()) >= 4), q2.lastProgress
     finally:
         q2.stop()
-        q2.awaitTermination(30)
+        q2.awaitTermination(120)
     assert sorted(r["payload"] for r in rows_on_disk()) == ["a1", "a2", "a3", "b1"]
 
 
@@ -737,7 +751,7 @@ def test_reader_mode_partitioned_reaches_reader_via_config(spark, tmp_path):
         assert _run_until(q, lambda: len(rows()) >= 1), q.lastProgress
     finally:
         q.stop()
-        q.awaitTermination(30)
+        q.awaitTermination(120)
     assert {r["payload"] for r in rows()} == {"x1"}
 
 
@@ -864,7 +878,7 @@ def test_fanout_spark_end_to_end(spark, tmp_path):
         assert _run_until(q, lambda: len(rows()) >= 2), q.lastProgress
     finally:
         q.stop()
-        q.awaitTermination(30)
+        q.awaitTermination(120)
     assert {r["payload"] for r in rows()} == {"f1", "f2"}
 
 

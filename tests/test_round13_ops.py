@@ -1,0 +1,84 @@
+"""Round-13 operator tests: contract-hardening guards (isotonic k bound,
+ks_statistic distinct-value cardinality) plus the round's new families."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestIsotonicKBound:
+    def test_k_over_1000_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            isotonic_calibration,
+        )
+
+        df = spark.createDataFrame([(500_000, 1)], "p long, y int")
+        with pytest.raises(ValueError, match=r"O\(k\^3\)"):
+            isotonic_calibration(df, "p", "y", k=1001)
+
+    def test_k_1000_accepted(self, spark):
+        # the cap itself is legal (bound check only — no fit run here;
+        # plan construction is where the ValueError would fire)
+        from snowplow_s3_loader_spark.operators.profile import (
+            isotonic_calibration,
+        )
+
+        df = spark.createDataFrame([(500_000, 1)], "p long, y int")
+        out = isotonic_calibration(df, "p", "y", k=1000)
+        assert "fitted_micro" in out.columns
+
+    def test_default_k_fit_unchanged(self, spark):
+        # the q170 shape: default k=10 still fits (hash stability for
+        # the driver row is re-verified by the oracle sweep; this pins
+        # the python-level invariant)
+        from snowplow_s3_loader_spark.operators.profile import (
+            isotonic_calibration,
+        )
+
+        rows = []
+        for b, n, npos in [(2, 10, 8), (3, 10, 2)]:
+            p = b * 100_000 + 50_000
+            rows += [(p, 1)] * npos + [(p, 0)] * (n - npos)
+        df = spark.createDataFrame(rows, "p long, y int")
+        by_bin = {
+            r["bin"]: r["fitted_micro"]
+            for r in isotonic_calibration(df, "p", "y").collect()
+        }
+        assert by_bin[2] == by_bin[3] == 500_000
+
+
+class TestKsDistinctGuard:
+    def _vals(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "v long")
+
+    def test_high_cardinality_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+        a = self._vals(spark, list(range(50)))
+        b = self._vals(spark, list(range(25, 75)))
+        with pytest.raises(ValueError, match="distinct values"):
+            ks_statistic(a, b, "v", max_distinct_values=60)
+
+    def test_bound_disabled_with_none(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+        a = self._vals(spark, list(range(50)))
+        b = self._vals(spark, list(range(25, 75)))
+        out = ks_statistic(a, b, "v", max_distinct_values=None).collect()[0]
+        assert out.n_ref == 50 and out.n_cur == 50
+
+    def test_within_bound_result_unchanged(self, spark):
+        # the q153 hand case still returns the identical row under the
+        # default guard
+        from snowplow_s3_loader_spark.operators.profile import ks_statistic
+
+        out = ks_statistic(
+            self._vals(spark, [1, 2, 3]), self._vals(spark, [2, 3, 4]), "v"
+        ).collect()[0]
+        assert (out.n_ref, out.n_cur, out.d_num, out.ks_micro) == (
+            3,
+            3,
+            3,
+            333333,
+        )
