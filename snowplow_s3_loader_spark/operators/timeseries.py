@@ -225,6 +225,76 @@ def cusum_alarms(
     )
 
 
+def online_changepoint_snapshot(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    ref_value: int,
+    threshold: int,
+) -> DataFrame:
+    """Batch twin of the ONLINE CUSUM changepoint monitor (round 13,
+    completing the monitor story next to the PSI/CMS/calibration
+    streaming twins): against a FROZEN reference level ``ref_value``
+    (the deployment-time estimate an online monitor would carry — NOT
+    re-fit on the monitored stream, which is what separates this from
+    the offline `cusum_changepoint`), track the cumulative deviation
+
+        s_t = sum_{i<=t} (x_i - ref_value)
+
+    and emit ONE snapshot row per series: rows seen, the final
+    statistic, the peak |s_t| with its SMALLEST-t location (the online
+    changepoint estimate), and the first t where |s_t| crossed
+    ``threshold`` (-1 if never). Everything is int64 (cents
+    discipline), so the streaming twin
+    (`streaming.stateful.streaming_changepoint`, five integers of
+    per-key state) reproduces this snapshot BIT-FOR-BIT when rows
+    arrive in order — the fourteenth batch-vs-streaming parity family.
+
+    Scale shape: one window pass (running sum over the series sort) and
+    one hash aggregation; the argmax rides max_by over a total order
+    (|s| desc, t asc — t is unique within the series, the q08 lesson).
+
+    Output: (group_col, n_seen, s_final, max_abs_s, t_hat,
+    first_alarm_t) — t values are 1-based positions in the series
+    order."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(group_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    x = F.col(value_col).cast("long")
+    scored = df.select(
+        F.col(group_col),
+        F.row_number().over(wt).cast("long").alias("__t"),
+        F.sum(x - F.lit(int(ref_value))).over(w).alias("__s"),
+    ).withColumn("__abs_s", F.abs(F.col("__s")))
+    return (
+        scored.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_seen"),
+            F.max_by("__s", "__t").alias("s_final"),
+            F.max("__abs_s").alias("max_abs_s"),
+            F.max_by(
+                "__t", F.struct(F.col("__abs_s"), -F.col("__t"))
+            ).alias("t_hat"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("__abs_s") > F.lit(int(threshold)),
+                        F.col("__t"),
+                    )
+                ),
+                F.lit(-1).cast("long"),
+            ).alias("first_alarm_t"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def cusum_changepoint(
     df: DataFrame,
     group_col: str,

@@ -1047,16 +1047,98 @@ def _calibration_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+def _changepoint_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Streaming online-CUSUM changepoint vs the batch snapshot (round
+    13, fourteenth family): per event type, the drained five-integer
+    monitor state — final cumulative deviation against a FROZEN
+    reference level, peak |s| with its smallest-t location, first
+    threshold crossing, rows seen — after folding three seq-ordered
+    micro-batches must equal `online_changepoint_snapshot` on the
+    union, bit for bit. seq is a per-type row_number over
+    (ts, event_id): a total order shared by both twins."""
+    from pyspark.sql.window import Window
+
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        online_changepoint_snapshot,
+    )
+    from snowplow_s3_loader_spark.streaming.stateful import (
+        streaming_changepoint,
+    )
+
+    ref, thr = 5000, 40_000
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("seq", F.row_number().over(w).cast("long"))
+        .select("event_type", "seq", "cents")
+    )
+    [row] = ev.select(
+        F.expr("percentile(seq, array(0.34, 0.67))").alias("c")
+    ).collect()
+    c1, c2 = int(row["c"][0]), int(row["c"][1])
+    slices = [
+        ev.where(F.col("seq") <= c1),
+        ev.where((F.col("seq") > c1) & (F.col("seq") <= c2)),
+        ev.where(F.col("seq") > c2),
+    ]
+    tmp = tempfile.mkdtemp(prefix="parity_chgpt_")
+    final: dict = {}
+    try:
+        in_dir = _write_stream_files(slices, tmp)
+        src = (
+            spark.readStream.schema("event_type string, seq bigint, cents bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+        def _fb(df, bid):
+            for r in df.collect():  # update mode: later batches overwrite
+                final[r["event_type"]] = (
+                    r["n_seen"], r["s_final"], r["max_abs_s"],
+                    r["t_hat"], r["first_alarm_t"],
+                )
+
+        _run_stream(
+            streaming_changepoint(
+                src, "event_type", "seq", "cents",
+                ref_value=ref, threshold=thr,
+            ),
+            tmp,
+            _fb,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    batch = {
+        r["event_type"]: (
+            r["n_seen"], r["s_final"], r["max_abs_s"],
+            r["t_hat"], r["first_alarm_t"],
+        )
+        for r in online_changepoint_snapshot(
+            ev, "event_type", ["seq"], "cents", ref_value=ref, threshold=thr
+        ).collect()
+    }
+    return [
+        ("streaming_chgpt", str(k), int(batch.get(k) == final.get(k)))
+        for k in sorted(set(batch) | set(final))
+    ]
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check_name, key, is_match) for all the parity families, fully
     materialized driver-side (literal rows — no lingering plan or
     checkpoint references). The streaming checks run CONCURRENTLY
     (independent sources/sinks/checkpoints; Spark job submission is
     thread-safe) so the audit pays one streaming-query startup of wall
-    time, not nine."""
+    time, not fourteen."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=13) as ex:
+    with ThreadPoolExecutor(max_workers=14) as ex:
         fut_funnel = ex.submit(_funnel_parity, spark, sf_dir)
         fut_heavy = ex.submit(_heavy_parity, spark, sf_dir)
         fut_ssj = ex.submit(_interval_join_parity, spark, sf_dir)
@@ -1069,6 +1151,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_psi = ex.submit(_psi_parity, spark, sf_dir)
         fut_cms = ex.submit(_cms_parity, spark, sf_dir)
         fut_calib = ex.submit(_calibration_parity, spark, sf_dir)
+        fut_chgpt = ex.submit(_changepoint_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
         rows = (
             fut_funnel.result()
@@ -1083,6 +1166,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             + fut_psi.result()
             + fut_cms.result()
             + fut_calib.result()
+            + fut_chgpt.result()
             + cm_rows
         )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

@@ -502,6 +502,115 @@ CUSUM_STATE_SCHEMA = StructType(
     ]
 )
 
+CHANGEPOINT_STATE_SCHEMA = StructType(
+    [
+        StructField("s", LongType()),
+        StructField("max_abs_s", LongType()),
+        StructField("t_hat", LongType()),
+        StructField("first_alarm_t", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def streaming_changepoint(
+    events: DataFrame,
+    key_col: str,
+    seq_col: str,
+    value_col: str,
+    ref_value: int,
+    threshold: int,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of timeseries.online_changepoint_snapshot — the
+    ONLINE CUSUM changepoint monitor against a FROZEN reference level
+    (round 13, fourteenth parity family): five integers of per-key
+    state (cumulative deviation s, peak |s| with its smallest-t
+    location, first threshold-crossing t, rows seen).
+
+    Each batch's rows sort by ``seq_col`` and fold vectorized (numpy
+    int64 cumsum — exact): with q = s_prev + cumsum(x - ref), the peak
+    update takes the batch max of |q| only when it STRICTLY beats the
+    carried peak, and within the batch the FIRST position achieving it
+    — together that pins t_hat to the smallest t achieving the global
+    peak, the same tie rule the batch twin's max_by(struct(|s|, -t))
+    encodes. When rows arrive in seq order across batches the final
+    emission per key EQUALS the batch snapshot bit for bit
+    (differential-tested). Emits one row per key per batch:
+    (key, n_seen, s_final, max_abs_s, t_hat, first_alarm_t).
+
+    ``timeout_ms``: processing-time eviction for always-on runs (same
+    Trigger.AvailableNow caveat as running_user_counts)."""
+    import numpy as np
+
+    key_type = events.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("n_seen", LongType()),
+            StructField("s_final", LongType()),
+            StructField("max_abs_s", LongType()),
+            StructField("t_hat", LongType()),
+            StructField("first_alarm_t", LongType()),
+        ]
+    )
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        s, max_abs_s, t_hat, first_alarm_t, n_seen = (
+            state.get if state.exists else (0, 0, -1, -1, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(seq_col, kind="mergesort")
+            x = batch[value_col].to_numpy(dtype=np.int64)
+            q = s + np.cumsum(x - np.int64(ref_value), dtype=np.int64)
+            abs_q = np.abs(q)
+            bmax = int(abs_q.max())
+            # t_hat < 0 handles the all-zero-deviation series: the batch
+            # twin's argmax still picks t=1 there, so the first row seen
+            # claims the peak even when it is 0
+            if bmax > max_abs_s or t_hat < 0:
+                # first in-batch position achieving the new global peak
+                idx = int(np.argmax(abs_q == bmax))
+                t_hat = n_seen + idx + 1
+                max_abs_s = bmax
+            if first_alarm_t < 0:
+                over = abs_q > threshold
+                if over.any():
+                    first_alarm_t = n_seen + int(np.argmax(over)) + 1
+            s = int(q[-1])
+            n_seen += len(batch)
+        state.update((s, max_abs_s, t_hat, first_alarm_t, n_seen))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_seen": [n_seen],
+                "s_final": [s],
+                "max_abs_s": [max_abs_s],
+                "t_hat": [t_hat],
+                "first_alarm_t": [first_alarm_t],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=CHANGEPOINT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
 
 def streaming_cusum(
     events: DataFrame,
