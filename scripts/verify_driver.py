@@ -4,12 +4,16 @@ Mimics the grading driver: plain SparkSession (NO engine conf), entry()
 smoke, then every queries() entry vs its oracle_sql() in DuckDB at sf0.01 —
 rows + schema(column names) + order-insensitive value hash.
 
-Usage: python scripts/verify_driver.py [--json PATH] [--all] [sf_dir] [query_prefix ...]
+Usage: python scripts/verify_driver.py [--json PATH] [--all] [--canary] [sf_dir] [query_prefix ...]
 
 --json PATH  additionally write a machine-readable artifact (one record
              per query: rows/schema/hash match, row count, seconds, mode)
 --all        verify the FULL registry (driver-facing composites AND the
              folded singles) instead of the 50-entry driver view
+--canary     after the sweep, run the bench's pinned 8-query canary set
+             in a fresh isolated session and record the minima in the
+             artifact (canary / canary_total keys) — makes cross-round
+             sweep-wall drift attributable to host load mechanically
 """
 
 from __future__ import annotations
@@ -33,6 +37,10 @@ if "--json" in _args:
 if "--all" in _args:
     ALL = True
     _args.remove("--all")
+CANARY = False
+if "--canary" in _args:
+    CANARY = True
+    _args.remove("--canary")
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 ONLY = _args[1:]
 
@@ -145,18 +153,38 @@ def main():
                 flush=True,
             )
     print(f"\n{'ALL GREEN' if not failures else 'FAILURES: ' + ', '.join(failures)}")
-    if JSON_PATH:
-        with open(JSON_PATH, "w") as f:
-            json.dump(
-                {
-                    "sf_dir": SF_DIR, "registry": "all" if ALL else "driver",
-                    "n_queries": len(records),
-                    "n_failures": len(failures), "queries": records,
-                },
-                f, indent=1,
-            )
-        print(f"artifact: {JSON_PATH}")
     spark.stop()
+    canary = None
+    if CANARY:
+        # round 13 (VERDICT r12 #5): the sweep walls are host-exposed
+        # numbers; record the same isolated canary minima the bench
+        # carries so cross-round sweep-time drift divides out
+        # mechanically (common-set ratio / canary-total ratio).
+        import os
+
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from bench import run_canary
+
+        canary = run_canary(SF_DIR)
+        if canary:
+            print(
+                "canary:", json.dumps(canary),
+                "total:", round(sum(canary.values()), 3),
+            )
+    if JSON_PATH:
+        artifact = {
+            "sf_dir": SF_DIR, "registry": "all" if ALL else "driver",
+            "n_queries": len(records),
+            "n_failures": len(failures), "queries": records,
+        }
+        if canary:
+            artifact["canary"] = canary
+            artifact["canary_total"] = round(sum(canary.values()), 3)
+        with open(JSON_PATH, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"artifact: {JSON_PATH}")
     sys.exit(1 if failures else 0)
 
 
