@@ -1774,3 +1774,383 @@ def survival_curve(
             ),
         ).alias("cum_ln_micro"),
     ).orderBy("group", "t")
+
+
+def js_divergence_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    k: int = 10,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two snapshots of a feature —
+    the BOUNDED, symmetric drift monitor that completes the PSI/KS
+    pair (Lin, "Divergence measures based on the Shannon entropy",
+    IEEE IT 1991): PSI blows up (NULL here) on vanished bins and KS
+    only sees the worst point of the CDF; JS handles empty bins by
+    construction (a zero-probability side contributes a zero term, no
+    smoothing needed) and is bounded by ln 2, so one alert threshold
+    works for every feature.
+
+    Binning is exactly `psi_bins`' rule — equi-depth edges from the
+    REFERENCE, both snapshots counted by value — so the three monitors
+    share one histogram and their readings are comparable. Per bin,
+    with p = n_ref/NR, q = n_cur/NC, m = (p + q) / 2:
+
+        js_micro = round((0.5 * p * ln(p/m) + 0.5 * q * ln(q/m))
+                         * 1e6)              (zero term for a zero side)
+
+    — doubles built from identical exact integers in the same
+    operation order on both engines (the psi_micro discipline), rounded
+    ONCE. The headline total is the INTEGER sum of the rounded per-bin
+    terms (js_total_micro, same value on every row) — no float
+    accumulation anywhere.
+
+    Scale shape: inherits psi_bins' (one distributed reference sort
+    for edges, one partial+final aggregation per side, k-row frames
+    after); the totals crossJoin is a broadcast of one row.
+
+    Output: (bin, upper_edge, n_ref, n_cur, js_micro, js_total_micro),
+    bins 1..k ordered by bin."""
+    bins = psi_bins(ref, cur, value_col, k, tie_cols).select(
+        "bin", "upper_edge", "n_ref", "n_cur"
+    )
+    tot = bins.agg(
+        F.sum("n_ref").alias("__NR"), F.sum("n_cur").alias("__NC")
+    )
+    p = F.col("n_ref").cast("double") / F.col("__NR").cast("double")
+    q = F.col("n_cur").cast("double") / F.col("__NC").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.coalesce(
+        F.when(F.col("n_ref") > 0, F.lit(0.5) * p * F.log(p / m)),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.when(F.col("n_cur") > 0, F.lit(0.5) * q * F.log(q / m)),
+        F.lit(0.0),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "upper_edge",
+            "n_ref",
+            "n_cur",
+            F.round(term * 1_000_000, 0).cast("long").alias("js_micro"),
+        )
+        .select("*", F.sum("js_micro").over(w).alias("js_total_micro"))
+        .orderBy("bin")
+    )
+
+
+def smd_balance(
+    df: DataFrame,
+    variant_col: str,
+    covariate_cols: list[str],
+    a_value,
+    b_value,
+) -> DataFrame:
+    """Standardized-mean-difference covariate balance check for an A/B
+    assignment (Austin, "Balance diagnostics...", Stat Med 2009) — the
+    pre-readout gate CUPED (q171) assumes: if a PRE-experiment
+    covariate differs between arms beyond randomization noise, the
+    assignment is suspect and no adjustment rescues the readout.
+    |SMD| < 0.1 is the standard balance rule.
+
+        smd = (mean_a - mean_b) / sqrt((var_a + var_b) / 2)
+
+    Exact ingredients per covariate: the per-arm BIGINT moment sums
+    (n, sum, sum of squares — integer inputs under the cents
+    discipline, so both engines agree bit for bit), the exact int64
+    mean-gap numerator gap_num = sum_a * n_b - sum_b * n_a, and the
+    one closing double smd_micro built from the same integers in the
+    same operation order (sample variances with the n-1 denominator;
+    NULL when either arm has < 2 rows or zero pooled variance).
+
+    Guards: NULL covariate values raise (a silently dropped row shifts
+    every moment); rows in neither arm raise (a third assignment value
+    is a corrupted experiment, the q171 rule); integer covariates are
+    ENFORCED (fractional input would make sum-of-squares engine-
+    dependent).
+
+    Scale shape: ONE scan — a guarded projection feeds one grouped
+    aggregation keyed by (covariate, arm) via an inline stack (2 x
+    |covariates| output rows), then the 2-row arms join per covariate.
+    Everything after the scan runs on a |covariates|-row frame.
+
+    Output: (covariate, n_a, n_b, sum_a, sum_b, ssq_a, ssq_b, gap_num,
+    smd_micro) ordered by covariate."""
+    v = F.col(variant_col)
+    arm = F.when(
+        v.isNull() | ~v.isin(a_value, b_value),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"smd_balance: {variant_col!r} must be "
+                    f"{a_value!r}/{b_value!r}, got "
+                ),
+                F.coalesce(v.cast("string"), F.lit("NULL")),
+            )
+        ).cast("string"),
+    ).otherwise(F.when(v == a_value, F.lit("a")).otherwise(F.lit("b")))
+    checked_cols = []
+    for c in covariate_cols:
+        x = F.col(c)
+        checked_cols.append(
+            F.when(
+                x.isNull() | (x != x.cast("long")),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"smd_balance: covariate {c!r} must be "
+                            "integer non-null (cents discipline), got "
+                        ),
+                        F.coalesce(x.cast("string"), F.lit("NULL")),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(x.cast("long"))
+            .alias(c)
+        )
+    stack_args = ", ".join(f"'{c}', {c}" for c in covariate_cols)
+    long_form = df.select(arm.alias("__arm"), *checked_cols).select(
+        "__arm",
+        F.expr(
+            f"stack({len(covariate_cols)}, {stack_args}) AS (covariate, __x)"
+        ),
+    )
+    per_arm = long_form.groupBy("covariate", "__arm").agg(
+        F.count("*").alias("n"),
+        F.sum("__x").alias("s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("ssq"),
+    )
+    a_side = per_arm.where(F.col("__arm") == "a").select(
+        "covariate",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("sum_a"),
+        F.col("ssq").alias("ssq_a"),
+    )
+    b_side = per_arm.where(F.col("__arm") == "b").select(
+        "covariate",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("sum_b"),
+        F.col("ssq").alias("ssq_b"),
+    )
+    j = a_side.join(b_side, "covariate", "full")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("sum_a").cast("double"), F.col("sum_b").cast("double")
+    var_a = (F.col("ssq_a").cast("double") - sa * sa / na) / (na - 1)
+    var_b = (F.col("ssq_b").cast("double") - sb * sb / nb) / (nb - 1)
+    pooled = F.sqrt((var_a + var_b) / F.lit(2.0))
+    return j.select(
+        "covariate",
+        "n_a",
+        "n_b",
+        "sum_a",
+        "sum_b",
+        "ssq_a",
+        "ssq_b",
+        (
+            F.col("sum_a") * F.col("n_b") - F.col("sum_b") * F.col("n_a")
+        ).alias("gap_num"),
+        F.when(
+            (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (pooled > 0),
+            F.round(
+                (sa / na - sb / nb) / pooled * 1_000_000, 0
+            ).cast("long"),
+        ).alias("smd_micro"),
+    ).orderBy("covariate")
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (Sweeney, IJUFKS
+    2002) — the privacy gate a training-data release runs before
+    shipping event-level records: every combination of quasi-identifier
+    values must be shared by at least k rows, or those rows are
+    re-identifiable by joining the released data against public
+    attributes. NULL is treated as a regular category (a NULL zip code
+    still identifies its group).
+
+    One row per equivalence-class SIZE (the histogram of group sizes):
+    class_size, n_classes with that size, n_rows they cover, and the
+    violation flag (class_size < k). The headline numbers every release
+    review asks for — the minimum class size and how many rows sit in
+    violating classes — are one ORDER BY / one filtered sum away and
+    ride every row as audit columns (min_class_size, n_violating_rows —
+    same on every row, the ECE pattern).
+
+    Scale shape: ONE partial+final aggregation over the quasi columns
+    (the class histogram), then a second k'-row aggregation over class
+    sizes; the audit columns run on the size-histogram frame (bounded
+    by distinct class sizes <= sqrt(2n)). No windows over data-sized
+    frames, no collects.
+
+    Output: (class_size, n_classes, n_rows, violating, min_class_size,
+    n_violating_rows) ordered by class_size."""
+    if k < 1:
+        raise ValueError(f"k_anonymity_audit: k must be >= 1, got {k}")
+    classes = (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count("*").alias("class_size"))
+        .groupBy("class_size")
+        .agg(F.count("*").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < k).alias("violating"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("class_size").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return classes.select(
+        "*",
+        F.min("class_size").over(w).alias("min_class_size"),
+        F.sum(
+            F.when(F.col("violating"), F.col("n_rows")).otherwise(F.lit(0))
+        ).over(w).alias("n_violating_rows"),
+    ).orderBy("class_size")
+
+
+def wasserstein_distance(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+    max_distinct_values: int | None = 2_000_000,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between two snapshots
+    of an integer metric — the drift monitor that reads MAGNITUDE where
+    KS (q153) reads only the worst CDF point and PSI (q151) only a
+    fixed grid: W1 = integral of |F_ref - F_cur| over the value axis,
+    i.e. "how far does probability mass actually move", in the metric's
+    own units.
+
+    Exact integer form over the distinct-value frame: at each distinct
+    v (sorted), with inclusive counts c_r / c_c and gap = next(v) - v,
+
+        num = sum over v of |c_r * n_cur - c_c * n_ref| * gap
+        w1_micro = (num * 1e6) div (n_ref * n_cur)      (truncating)
+
+    num rides DECIMAL(38,0) (it reaches n_ref*n_cur*range — past int64
+    at corpus scale; the q153 widening trick, DuckDB side HUGEINT), so
+    both engines agree bit for bit. The cumulative counts come from ONE
+    packed prefix pass (ks_statistic's int64 packing over
+    `global_running_total` — no materialization, no single-partition
+    ranking stage); the gap lookup is one lead() over the distinct-
+    value frame, which the same loud ``max_distinct_values`` guard
+    bounds (quantize the metric or raise the bound deliberately).
+
+    Guards inherited from ks_statistic: NULL values raise, both
+    snapshots non-empty, n_ref * (n_cur + 1) inside int64, distinct
+    cardinality bounded.
+
+    Output: one row (n_ref, n_cur, n_values, w1_micro) — the DECIMAL
+    numerator stays internal; the emitted micro value is the one
+    truncating division."""
+    from pyspark.sql import Window
+
+    from snowplow_s3_loader_spark.operators.ranking import (
+        global_running_total,
+    )
+
+    def _side(df: DataFrame, flag: int, name: str) -> DataFrame:
+        v = F.col(value_col)
+        checked = F.when(
+            v.isNull() | (v != v.cast("long")),
+            F.raise_error(
+                F.lit(
+                    f"wasserstein_distance: {value_col!r} must be integer "
+                    f"non-null in the {name} snapshot"
+                )
+            ).cast(df.schema[value_col].dataType),
+        ).otherwise(v)
+        return df.select(
+            checked.alias("__v"), F.lit(flag).alias("__is_ref")
+        )
+
+    u = _side(ref, 1, "reference").unionAll(_side(cur, 0, "current"))
+    per_v = u.groupBy("__v").agg(
+        F.sum("__is_ref").cast("long").alias("__dr"),
+        F.sum(1 - F.col("__is_ref")).cast("long").alias("__dc"),
+    )
+    tot = per_v.agg(
+        F.sum("__dr").alias("nr"),
+        F.sum("__dc").alias("nc"),
+        F.count("*").alias("nv"),
+    ).collect()[0]
+    n_ref, n_cur = int(tot["nr"] or 0), int(tot["nc"] or 0)
+    n_vals = int(tot["nv"] or 0)
+    if max_distinct_values is not None and n_vals > max_distinct_values:
+        raise ValueError(
+            f"wasserstein_distance: {value_col!r} has {n_vals} distinct "
+            f"values, over max_distinct_values ({max_distinct_values}) — "
+            "the prefix/lead frame is sized by DISTINCT metric values. "
+            "Quantize the metric or raise the bound deliberately."
+        )
+    if n_ref == 0 or n_cur == 0:
+        raise ValueError(
+            f"wasserstein_distance: both snapshots must be non-empty "
+            f"(n_ref={n_ref}, n_cur={n_cur})"
+        )
+    m = n_cur + 1
+    if n_ref * m >= 2**62:
+        raise ValueError(
+            f"wasserstein_distance: {n_ref} x {n_cur} rows overflows the "
+            "packed int64 prefix bound; pre-aggregate or sample first"
+        )
+    packed = per_v.select(
+        "__v", (F.col("__dr") * m + F.col("__dc")).alias("__pv")
+    )
+    pref, _, _ = global_running_total(
+        packed,
+        [F.col("__v")],
+        "__pv",
+        rn_col="__rn",
+        start_col="__start",
+        num_partitions=num_partitions,
+    )
+    # the one unpartitioned window (lead over the distinct-value frame)
+    # is bounded by the max_distinct_values guard above — the q161
+    # bounded-frame argument
+    wl = Window.orderBy("__rn")
+    contrib = (
+        pref.select(
+            "__v",
+            "__rn",
+            (F.col("__start") + F.col("__pv")).alias("__inc"),
+        )
+        .select(
+            F.abs(
+                F.expr(f"__inc div CAST({m} AS BIGINT)") * F.lit(n_cur)
+                - F.expr(f"__inc % CAST({m} AS BIGINT)") * F.lit(n_ref)
+            ).alias("__d"),
+            (F.lead("__v").over(wl) - F.col("__v")).alias("__gap"),
+        )
+        .where(F.col("__gap").isNotNull())
+    )
+    return contrib.agg(
+        F.sum(
+            F.col("__d").cast("decimal(38,0)")
+            * F.col("__gap").cast("decimal(38,0)")
+        ).alias("__num")
+    ).select(
+        F.lit(n_ref).cast("long").alias("n_ref"),
+        F.lit(n_cur).cast("long").alias("n_cur"),
+        F.lit(n_vals).cast("long").alias("n_values"),
+        F.expr(
+            f"(CAST(__num AS DECIMAL(38,0)) * 1000000) div "
+            f"(CAST({n_ref} AS BIGINT) * CAST({n_cur} AS BIGINT))"
+        ).cast("long").alias("w1_micro"),
+    )

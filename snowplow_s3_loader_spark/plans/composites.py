@@ -794,7 +794,22 @@ def q83_graph_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rrf_micro").alias("v2"),
         F.col("fused_rank").cast("long").alias("v3"),
     )
-    members = [pr, tri, kc, ht, bf, lpa, topo, lnk, rw, isim, km, cov, lsc, rrf]
+    # round 13: retrieval-eval fold — counts and once-rounded DCG/IDCG
+    # sums pack losslessly (k = 5: rr <= 1e6, first <= 5, dcg/idcg < 5e6);
+    # ndcg is their one derived division, hash-checked by the single's
+    # own oracle in the local registry
+    mrr = q.q176_retrieval_metrics(spark, sf_dir).select(
+        F.lit("mrr").alias("battery"),
+        F.col("query_id").cast("string").alias("key"),
+        (F.col("n_ranked") * 10_000_000_000 + F.col("n_rel")).alias("v1"),
+        (
+            F.col("rr_micro") * 100 + F.coalesce("first_rel_rank", F.lit(0))
+        ).alias("v2"),
+        (
+            F.col("dcg_micro") * 10_000_000 + F.col("idcg_micro")
+        ).alias("v3"),
+    )
+    members = [pr, tri, kc, ht, bf, lpa, topo, lnk, rw, isim, km, cov, lsc, rrf, mrr]
     combined = members[0]
     for m in members[1:]:
         combined = combined.union(m)
@@ -998,7 +1013,25 @@ def q88_behavior_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope_den").alias("v2"),
         F.col("slope_milli").alias("v3"),
     )
-    members = [fun, coh, att, tm, anom, spath, ohlcb, kmc, brst, ivl, hier, chgpt, acfr, csm, trd]
+    # round 13: seasonal indices (totals per group are row-redundant and
+    # checked by the single's local oracle) and Theil-Sen robust trends
+    # (n_pairs < 5e7 under the operator's 1e4-point cap, so the 1e10
+    # slot fold is lossless)
+    seas = q.q173_seasonal_profile(spark, sf_dir).select(
+        F.lit("seasonal").alias("battery"),
+        F.concat_ws("@", "group", F.col("dow").cast("string")).alias("key"),
+        F.col("n").alias("v1"),
+        F.col("sum_v").alias("v2"),
+        F.col("index_micro").alias("v3"),
+    )
+    tsen = q.q174_theil_sen(spark, sf_dir).select(
+        F.lit("theilsen").alias("battery"),
+        F.col("cust").cast("string").alias("key"),
+        (F.col("n_points") * 10_000_000_000 + F.col("n_pairs")).alias("v1"),
+        F.col("median_slope_micro").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    members = [fun, coh, att, tm, anom, spath, ohlcb, kmc, brst, ivl, hier, chgpt, acfr, csm, trd, seas, tsen]
     combined = members[0]
     for m in members[1:]:
         combined = combined.union(m)
@@ -1203,7 +1236,17 @@ def q98_textdedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard_micro").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
-    members = [tok, unig, urld, uenc, dsirr, shards, mlw, nov, incd, subd, trc, chm, bsel, mk, lded, phr, colc, wfp, gopher, clf, gmd, entr, kmvm]
+    # round 13: k-anonymity release audit (the min-class/violating-rows
+    # audit columns are row-redundant — the single's local oracle checks
+    # them; the battery carries the histogram and the violation bit)
+    kanon = q.q177_k_anonymity(spark, sf_dir).select(
+        F.lit("kanon").alias("battery"),
+        F.col("class_size").cast("string").alias("key"),
+        F.col("n_classes").alias("v1"),
+        F.col("n_rows").alias("v2"),
+        F.col("violating").cast("long").alias("v3"),
+    )
+    members = [tok, unig, urld, uenc, dsirr, shards, mlw, nov, incd, subd, trc, chm, bsel, mk, lded, phr, colc, wfp, gopher, clf, gmd, entr, kmvm, kanon]
     combined = members[0]
     for m in members[1:]:
         combined = combined.union(m)
@@ -1393,7 +1436,30 @@ def q95_statseval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clipped").alias("v2"),
         (F.col("lo_bound") * 10_000_000 + F.col("hi_bound")).alias("v3"),
     )
-    members = [outl, mom, hist, chi, aucr, woer, calib, iso, cup, abz, psi, ksd, sprm, mi, bnf, zpf, qrk, wins]
+    # round 13: JS divergence (bounded drift), SMD balance, Wasserstein
+    # magnitude — the psi/ks fold shapes carried over
+    jsd = q.q172_js_divergence(spark, sf_dir).select(
+        F.lit("jsd").alias("battery"),
+        F.col("bin").cast("string").alias("key"),
+        (F.col("n_ref") * 10_000_000_000 + F.col("n_cur")).alias("v1"),
+        F.col("upper_edge").alias("v2"),
+        F.col("js_micro").alias("v3"),
+    )
+    smd = q.q175_smd_balance(spark, sf_dir).select(
+        F.lit("smd").alias("battery"),
+        F.col("covariate").alias("key"),
+        (F.col("n_a") * 10_000_000_000 + F.col("n_b")).alias("v1"),
+        F.col("gap_num").alias("v2"),
+        F.col("smd_micro").alias("v3"),
+    )
+    w1d = q.q178_wasserstein(spark, sf_dir).select(
+        F.lit("w1").alias("battery"),
+        F.lit("0").alias("key"),
+        (F.col("n_ref") * 10_000_000_000 + F.col("n_cur")).alias("v1"),
+        F.col("n_values").alias("v2"),
+        F.col("w1_micro").alias("v3"),
+    )
+    members = [outl, mom, hist, chi, aucr, woer, calib, iso, cup, abz, psi, ksd, sprm, mi, bnf, zpf, qrk, wins, jsd, smd, w1d]
     combined = members[0]
     for m in members[1:]:
         combined = combined.union(m)
@@ -1663,6 +1729,9 @@ _FOLDED = {
     # round 13: exact distinct is carried by q37_approx_distinct's exact
     # branch (same lineitem aggregate + the HLL error-bound invariant)
     "q10_count_distinct",
+    "q172_js_divergence", "q173_seasonal_profile", "q174_theil_sen",
+    "q175_smd_balance", "q176_retrieval_metrics", "q177_k_anonymity",
+    "q178_wasserstein",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2641,6 +2710,38 @@ SELECT 'cuped' AS battery,
        variant || '@' || CAST(n AS VARCHAR) AS key,
        sum_y AS v1, sum_x AS v2, adj_mean_micro AS v3
 FROM ({ORACLES["q171_cuped"]})
+UNION ALL
+SELECT 'mrr' AS battery, CAST(query_id AS VARCHAR) AS key,
+       n_ranked * 10000000000 + n_rel AS v1,
+       rr_micro * 100 + coalesce(first_rel_rank, 0) AS v2,
+       dcg_micro * 10000000 + idcg_micro AS v3
+FROM ({ORACLES["q176_retrieval_metrics"]})
+UNION ALL
+SELECT 'seasonal' AS battery,
+       "group" || '@' || CAST(dow AS VARCHAR) AS key,
+       n AS v1, sum_v AS v2, index_micro AS v3
+FROM ({ORACLES["q173_seasonal_profile"]})
+UNION ALL
+SELECT 'theilsen' AS battery, CAST(cust AS VARCHAR) AS key,
+       n_points * 10000000000 + n_pairs AS v1,
+       median_slope_micro AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q174_theil_sen"]})
+UNION ALL
+SELECT 'kanon' AS battery, CAST(class_size AS VARCHAR) AS key,
+       n_classes AS v1, n_rows AS v2, CAST(violating AS BIGINT) AS v3
+FROM ({ORACLES["q177_k_anonymity"]})
+UNION ALL
+SELECT 'jsd' AS battery, CAST(bin AS VARCHAR) AS key,
+       n_ref * 10000000000 + n_cur AS v1, upper_edge AS v2, js_micro AS v3
+FROM ({ORACLES["q172_js_divergence"]})
+UNION ALL
+SELECT 'smd' AS battery, covariate AS key,
+       n_a * 10000000000 + n_b AS v1, gap_num AS v2, smd_micro AS v3
+FROM ({ORACLES["q175_smd_balance"]})
+UNION ALL
+SELECT 'w1' AS battery, '0' AS key,
+       n_ref * 10000000000 + n_cur AS v1, n_values AS v2, w1_micro AS v3
+FROM ({ORACLES["q178_wasserstein"]})
 """
 
 # ---------------------------------------------------------------------------
@@ -2660,20 +2761,20 @@ BATTERY_FAMILY_TAGS: dict[str, frozenset[str]] = {
     ),
     "q83_graph_battery": frozenset(
         "pagerank triangle kcore hits bfs lpa topo linkpred walks itemsim "
-        "kmeans cov lscatter rrf".split()
+        "kmeans cov lscatter rrf mrr".split()
     ),
     "q88_behavior_battery": frozenset(
         "funnel cohort attribution transitions anomaly spath ohlc km burst "
-        "ivals hier chgpt acf cusum trend".split()
+        "ivals hier chgpt acf cusum trend seasonal theilsen".split()
     ),
     "q98_textdedup_battery": frozenset(
         "bpe unigram urldedup uencode dsir shards mlewis novelty incdedup "
         "subdup trunc charset budget markup linededup phrase colloc winnow "
-        "gopher classifier mode entropy srcoverlap".split()
+        "gopher classifier mode entropy srcoverlap kanon".split()
     ),
     "q95_statseval_battery": frozenset(
         "outliers moments histogram chi2 auc woe calib isotonic cuped abz "
-        "psi ks spearman mi benford zipf qrank winsor".split()
+        "psi ks spearman mi benford zipf qrank winsor jsd smd w1".split()
     ),
 }
 

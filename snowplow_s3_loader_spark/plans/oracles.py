@@ -4734,3 +4734,305 @@ SELECT *,
        END AS other_micro
 FROM fr ORDER BY id
 """
+
+# round 13 — drift magnitude / seasonality / robust trend / experiment
+# balance / retrieval eval / privacy audit
+
+ORACLES["q172_js_divergence"] = """
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+         event_type = 'purchase' AS p
+  FROM events
+),
+ref AS MATERIALIZED (
+  SELECT cents, event_id FROM ev WHERE event_id % 2 = 0
+),
+cur AS (
+  SELECT cents + CASE WHEN p THEN 700 ELSE 0 END AS cents, event_id
+  FROM ev WHERE event_id % 2 = 1
+),
+rb AS (
+  SELECT cents, ntile(8) OVER (ORDER BY cents, event_id) AS bin FROM ref
+),
+edges AS MATERIALIZED (
+  SELECT bin, max(cents) AS edge FROM rb WHERE bin < 8 GROUP BY bin
+),
+rc AS (
+  SELECT 1 + (SELECT count(*) FROM edges e WHERE e.edge < r.cents) AS bin,
+         count(*) AS n_ref
+  FROM ref r GROUP BY 1
+),
+cc AS (
+  SELECT 1 + (SELECT count(*) FROM edges e WHERE e.edge < c.cents) AS bin,
+         count(*) AS n_cur
+  FROM cur c GROUP BY 1
+),
+spine AS (SELECT unnest(range(1, 9)) AS bin),
+bins AS (
+  SELECT s.bin,
+         (SELECT edge FROM edges e WHERE e.bin = s.bin) AS upper_edge,
+         CAST(coalesce(rc.n_ref, 0) AS BIGINT) AS n_ref,
+         CAST(coalesce(cc.n_cur, 0) AS BIGINT) AS n_cur
+  FROM spine s LEFT JOIN rc ON rc.bin = s.bin LEFT JOIN cc ON cc.bin = s.bin
+),
+tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS nr, CAST(sum(n_cur) AS BIGINT) AS nc
+  FROM bins
+),
+terms AS (
+  SELECT CAST(bin AS INTEGER) AS bin, upper_edge, n_ref, n_cur,
+         CAST(round((
+           coalesce(CASE WHEN n_ref > 0 THEN
+             0.5 * (CAST(n_ref AS DOUBLE) / t.nr)
+                 * ln((CAST(n_ref AS DOUBLE) / t.nr)
+                      / ((CAST(n_ref AS DOUBLE) / t.nr
+                          + CAST(n_cur AS DOUBLE) / t.nc) / 2))
+           END, 0.0)
+           + coalesce(CASE WHEN n_cur > 0 THEN
+             0.5 * (CAST(n_cur AS DOUBLE) / t.nc)
+                 * ln((CAST(n_cur AS DOUBLE) / t.nc)
+                      / ((CAST(n_ref AS DOUBLE) / t.nr
+                          + CAST(n_cur AS DOUBLE) / t.nc) / 2))
+           END, 0.0)
+         ) * 1000000) AS BIGINT) AS js_micro
+  FROM bins CROSS JOIN tot t
+)
+SELECT bin, upper_edge, n_ref, n_cur, js_micro,
+       CAST(sum(js_micro) OVER () AS BIGINT) AS js_total_micro
+FROM terms
+ORDER BY bin
+"""
+
+ORACLES["q173_seasonal_profile"] = """
+WITH ev AS (
+  SELECT event_type AS "group",
+         CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+              + 1 AS INTEGER) AS dow,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+per_dow AS (
+  SELECT "group", dow, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sum_v
+  FROM ev GROUP BY 1, 2
+),
+totals AS (
+  SELECT "group", CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(cents) AS BIGINT) AS sum_all
+  FROM ev GROUP BY 1
+)
+SELECT p."group", p.dow, p.n, p.sum_v, t.n_all, t.sum_all,
+       CASE WHEN t.sum_all != 0 THEN
+         CAST((CAST(p.sum_v AS HUGEINT) * t.n_all * 1000000)
+              // (CAST(p.n AS HUGEINT) * t.sum_all) AS BIGINT)
+       END AS index_micro
+FROM per_dow p JOIN totals t USING ("group")
+ORDER BY p."group", p.dow
+"""
+
+ORACLES["q174_theil_sen"] = """
+WITH pts AS (
+  SELECT o_custkey AS cust,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+numbered AS (
+  SELECT cust, day, cents,
+         CAST(row_number() OVER (PARTITION BY cust ORDER BY day, cents)
+              AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY cust) AS BIGINT) AS np
+  FROM pts
+),
+pairs AS (
+  SELECT l.cust, l.i AS il, h.i AS ih, l.np,
+         CAST(CASE WHEN h.cents > l.cents THEN 1
+                   WHEN h.cents < l.cents THEN -1 ELSE 0 END AS BIGINT)
+           * ((abs(h.cents - l.cents) * 1000000) // (h.day - l.day))
+           AS slope
+  FROM numbered l JOIN numbered h
+    ON l.cust = h.cust AND l.i < h.i AND l.day < h.day
+),
+ranked AS (
+  SELECT cust, np, slope,
+         CAST(row_number() OVER (PARTITION BY cust ORDER BY slope, il, ih)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY cust) AS BIGINT) AS m
+  FROM pairs
+),
+med AS (
+  SELECT cust, np AS n_points, m AS n_pairs, slope AS median_slope_micro
+  FROM ranked WHERE rn = (m + 1) // 2
+),
+empties AS (
+  SELECT n.cust, max(n.np) AS n_points,
+         CAST(0 AS BIGINT) AS n_pairs,
+         CAST(NULL AS BIGINT) AS median_slope_micro
+  FROM numbered n
+  WHERE n.cust NOT IN (SELECT cust FROM med)
+  GROUP BY n.cust
+)
+SELECT * FROM med UNION ALL SELECT * FROM empties
+ORDER BY cust
+"""
+
+ORACLES["q175_smd_balance"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN CAST(round(value) AS BIGINT) END), 0) AS BIGINT)
+           AS pre_units,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS pre_events
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+),
+units AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+         pre_units, pre_events
+  FROM per_user
+),
+long_form AS (
+  SELECT arm, 'pre_units' AS covariate, pre_units AS x FROM units
+  UNION ALL
+  SELECT arm, 'pre_events' AS covariate, pre_events AS x FROM units
+),
+per_arm AS (
+  SELECT covariate, arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ssq
+  FROM long_form GROUP BY 1, 2
+),
+j AS (
+  SELECT a.covariate,
+         a.n AS n_a, b.n AS n_b, a.s AS sum_a, b.s AS sum_b,
+         a.ssq AS ssq_a, b.ssq AS ssq_b
+  FROM (SELECT * FROM per_arm WHERE arm = 'a') a
+  FULL JOIN (SELECT * FROM per_arm WHERE arm = 'b') b USING (covariate)
+)
+SELECT covariate, n_a, n_b, sum_a, sum_b, ssq_a, ssq_b,
+       sum_a * n_b - sum_b * n_a AS gap_num,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND
+                 sqrt((
+                   (CAST(ssq_a AS DOUBLE)
+                    - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)
+                      / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1)
+                   + (CAST(ssq_b AS DOUBLE)
+                      - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)
+                        / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1)
+                 ) / 2) > 0
+       THEN CAST(round(
+         (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / sqrt((
+             (CAST(ssq_a AS DOUBLE)
+              - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)
+                / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1)
+             + (CAST(ssq_b AS DOUBLE)
+                - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)
+                  / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1)
+           ) / 2)
+         * 1000000) AS BIGINT)
+       END AS smd_micro
+FROM j
+ORDER BY covariate
+"""
+
+ORACLES["q176_retrieval_metrics"] = f"""
+WITH topk AS MATERIALIZED (
+  SELECT query_id, rank,
+         CASE WHEN neighbor_id % 3 = query_id % 3 THEN 1 ELSE 0 END AS rel
+  FROM ({ORACLES["q27_ann_topk"]})
+),
+agg AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_ranked,
+         CAST(sum(rel) AS BIGINT) AS n_rel,
+         CAST(min(CASE WHEN rel = 1 THEN rank END) AS BIGINT)
+           AS first_rel_rank,
+         CAST(coalesce(sum(CASE WHEN rel = 1 THEN
+           CAST(round(1000000.0 / log2(CAST(rank AS DOUBLE) + 1.0))
+                AS BIGINT) END), 0) AS BIGINT) AS dcg_micro
+  FROM topk GROUP BY query_id
+),
+withidcg AS (
+  SELECT a.*,
+         CASE WHEN n_rel > 0 THEN
+           (SELECT CAST(sum(CAST(round(1000000.0
+                    / log2(CAST(r AS DOUBLE) + 1.0)) AS BIGINT)) AS BIGINT)
+            FROM (SELECT unnest(range(1, 6)) AS r)
+            WHERE r <= a.n_rel)
+         ELSE CAST(0 AS BIGINT) END AS idcg_micro
+  FROM agg a
+)
+SELECT query_id, n_ranked, n_rel, first_rel_rank,
+       CAST(coalesce(1000000 // first_rel_rank, 0) AS BIGINT) AS rr_micro,
+       dcg_micro, idcg_micro,
+       CAST(CASE WHEN idcg_micro > 0
+            THEN (dcg_micro * 1000000) // idcg_micro
+            ELSE 0 END AS BIGINT) AS ndcg_micro
+FROM withidcg
+ORDER BY query_id
+"""
+
+ORACLES["q177_k_anonymity"] = """
+WITH classes AS (
+  SELECT event_type, user_id % 100 AS ubucket,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM events GROUP BY 1, 2
+),
+hist AS (
+  SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+         class_size * CAST(count(*) AS BIGINT) AS n_rows,
+         class_size < 5 AS violating
+  FROM classes GROUP BY class_size
+)
+SELECT class_size, n_classes, n_rows, violating,
+       CAST(min(class_size) OVER () AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN violating THEN n_rows ELSE 0 END) OVER ()
+            AS BIGINT) AS n_violating_rows
+FROM hist
+ORDER BY class_size
+"""
+
+ORACLES["q178_wasserstein"] = """
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+         event_type = 'purchase' AS p
+  FROM events
+),
+u AS (
+  SELECT cents AS v, 1 AS is_ref FROM ev WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT cents + CASE WHEN p THEN 700 ELSE 0 END AS v, 0 AS is_ref
+  FROM ev WHERE event_id % 2 = 1
+),
+per_v AS (
+  SELECT v, CAST(sum(is_ref) AS BIGINT) AS dr,
+         CAST(sum(1 - is_ref) AS BIGINT) AS dc
+  FROM u GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(dr) AS BIGINT) AS nr, CAST(sum(dc) AS BIGINT) AS nc,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM per_v
+),
+pref AS (
+  SELECT v,
+         sum(dr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cr,
+         sum(dc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc,
+         lead(v) OVER (ORDER BY v) AS nxt
+  FROM per_v
+),
+contrib AS (
+  SELECT CAST(abs(cr * t.nc - cc * t.nr) AS HUGEINT)
+           * CAST(nxt - v AS HUGEINT) AS d
+  FROM pref CROSS JOIN tot t
+  WHERE nxt IS NOT NULL
+)
+SELECT t.nr AS n_ref, t.nc AS n_cur, t.nv AS n_values,
+       CAST((CAST(coalesce((SELECT sum(d) FROM contrib), 0) AS HUGEINT)
+             * 1000000) // (CAST(t.nr AS HUGEINT) * t.nc) AS BIGINT)
+         AS w1_micro
+FROM tot t
+"""

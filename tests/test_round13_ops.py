@@ -89,9 +89,11 @@ class TestBatteryFamilySplit:
     the family->tags map is the single authority; both the Spark unions
     and the partitioned oracles must agree with it exactly."""
 
-    # the full member-tag census of the former monolith, pinned: a tag
+    # the full member-tag census of the battery families, pinned: a tag
     # silently dropped from the family map (losing its battery row AND
-    # its oracle branch together) fails here instead of vanishing
+    # its oracle branch together) fails here instead of vanishing.
+    # Extends the r12 monolith's 96 members with the round-13 folds
+    # (mrr, seasonal, theilsen, kanon, jsd, smd, w1).
     MONOLITH_TAGS = frozenset(
         "bloom heavy zorder quantile packing cdc incr quantize interval "
         "profile pairs checks scd2 parity scd2rt fuzzy diff cms bitmap "
@@ -104,7 +106,8 @@ class TestBatteryFamilySplit:
         "subdup trunc charset budget markup linededup phrase colloc winnow "
         "gopher classifier mode entropy srcoverlap "
         "outliers moments histogram chi2 auc woe calib isotonic cuped abz "
-        "psi ks spearman mi benford zipf qrank winsor".split()
+        "psi ks spearman mi benford zipf qrank winsor "
+        "mrr seasonal theilsen kanon jsd smd w1".split()
     )
 
     def test_family_map_partitions_the_monolith(self):
@@ -299,3 +302,341 @@ class TestOnlineChangepoint:
         assert got == want
         assert want["a"][4] > 0 and want["b"][4] > 0  # both shifts fired
         assert want["c"][4] == -1  # null series stays quiet
+
+
+class TestJsDivergence:
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(v, i) for i, v in enumerate(vals)], "v long, i long")
+
+    def test_hand_case(self, spark):
+        import math
+
+        from snowplow_s3_loader_spark.operators.profile import (
+            js_divergence_bins,
+        )
+
+        ref = self._df(spark, [1, 1, 2, 2])
+        cur = self._df(spark, [1, 2, 2, 2])
+        out = js_divergence_bins(ref, cur, "v", k=2, tie_cols=["i"]).collect()
+        assert [(r["bin"], r["n_ref"], r["n_cur"]) for r in out] == [
+            (1, 2, 1), (2, 2, 3),
+        ]
+
+        def term(p, q):
+            m = (p + q) / 2
+            return round(
+                (0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)) * 1e6
+            )
+
+        assert out[0]["js_micro"] == term(0.5, 0.25)
+        assert out[1]["js_micro"] == term(0.5, 0.75)
+        assert all(
+            r["js_total_micro"] == out[0]["js_micro"] + out[1]["js_micro"]
+            for r in out
+        )
+
+    def test_vanished_bin_is_finite(self, spark):
+        # PSI emits NULL on a vanished bin; JS must emit the finite
+        # 0.5*p*ln(2) term instead — its whole reason to exist
+        import math
+
+        from snowplow_s3_loader_spark.operators.profile import (
+            js_divergence_bins,
+        )
+
+        ref = self._df(spark, [1, 1, 5, 5])
+        cur = self._df(spark, [1, 1, 1, 1])
+        out = {
+            r["bin"]: r for r in js_divergence_bins(
+                ref, cur, "v", k=2, tie_cols=["i"]
+            ).collect()
+        }
+        assert out[2]["n_cur"] == 0
+        assert out[2]["js_micro"] == round(0.5 * 0.5 * math.log(2) * 1e6)
+
+    def test_identical_snapshots_zero(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            js_divergence_bins,
+        )
+
+        a = self._df(spark, list(range(40)) * 2)
+        rows = js_divergence_bins(a, a, "v", k=5, tie_cols=["i"]).collect()
+        assert all(r["js_total_micro"] == 0 for r in rows)
+
+
+class TestSmdBalance:
+    def test_hand_case(self, spark):
+        import math
+
+        from snowplow_s3_loader_spark.operators.profile import smd_balance
+
+        rows = [("a", x, 10) for x in (1, 2, 3, 4)] + [
+            ("b", x, 10) for x in (3, 4, 5, 6)
+        ]
+        df = spark.createDataFrame(rows, "arm string, x long, flat long")
+        out = {
+            r["covariate"]: r
+            for r in smd_balance(df, "arm", ["x", "flat"], "a", "b").collect()
+        }
+        x = out["x"]
+        assert (x["n_a"], x["n_b"], x["sum_a"], x["sum_b"]) == (4, 4, 10, 18)
+        assert x["gap_num"] == 10 * 4 - 18 * 4
+        # var_a = var_b = 5/3; smd = -2 / sqrt(5/3)
+        want = round(-2 / math.sqrt(5 / 3) * 1e6)
+        assert x["smd_micro"] == want
+        # a constant covariate has zero pooled variance -> NULL, balanced
+        assert out["flat"]["smd_micro"] is None
+        assert out["flat"]["gap_num"] == 0
+
+    def test_third_arm_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import smd_balance
+
+        df = spark.createDataFrame(
+            [("a", 1), ("c", 2)], "arm string, x long"
+        )
+        with pytest.raises(Exception, match="must be"):
+            smd_balance(df, "arm", ["x"], "a", "b").collect()
+
+    def test_fractional_covariate_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import smd_balance
+
+        df = spark.createDataFrame(
+            [("a", 1.5), ("b", 2.0)], "arm string, x double"
+        )
+        with pytest.raises(Exception, match="integer"):
+            smd_balance(df, "arm", ["x"], "a", "b").collect()
+
+
+class TestKAnonymity:
+    def test_hand_case(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            k_anonymity_audit,
+        )
+
+        rows = (
+            [("90210", 1980)] * 5
+            + [("90210", 1990)] * 2
+            + [("10001", 1980)] * 1
+            + [(None, 1990)] * 3
+        )
+        df = spark.createDataFrame(rows, "zip string, yob int")
+        out = {
+            r["class_size"]: r
+            for r in k_anonymity_audit(df, ["zip", "yob"], k=3).collect()
+        }
+        assert (out[1]["n_classes"], out[1]["violating"]) == (1, True)
+        assert (out[2]["n_classes"], out[2]["violating"]) == (1, True)
+        assert (out[3]["n_classes"], out[3]["violating"]) == (1, False)
+        assert (out[5]["n_classes"], out[5]["violating"]) == (1, False)
+        assert all(r["min_class_size"] == 1 for r in out.values())
+        assert all(r["n_violating_rows"] == 3 for r in out.values())
+
+    def test_k1_never_violates(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            k_anonymity_audit,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(4)], "q int")
+        rows = k_anonymity_audit(df, ["q"], k=1).collect()
+        assert all(not r["violating"] for r in rows)
+        assert rows[0]["n_violating_rows"] == 0
+
+
+class TestSeasonalProfile:
+    def test_hand_case(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            seasonal_profile,
+        )
+
+        # 2026-08-10 is a Monday
+        rows = [
+            ("s", "2026-08-10", 200), ("s", "2026-08-10", 400),  # Mon
+            ("s", "2026-08-11", 100),                            # Tue
+            ("s", "2026-08-17", 300),                            # Mon
+        ]
+        df = spark.createDataFrame(rows, "g string, d string, v long").select(
+            "g", F.col("d").cast("timestamp").alias("ts"), "v"
+        )
+        out = {r["dow"]: r for r in seasonal_profile(df, "g", "ts", "v").collect()}
+        mon = out[1]
+        assert (mon["n"], mon["sum_v"], mon["n_all"], mon["sum_all"]) == (
+            3, 900, 4, 1000,
+        )
+        # (900 * 4 * 1e6) div (3 * 1000) = 1_200_000
+        assert mon["index_micro"] == 1_200_000
+        assert out[2]["index_micro"] == (100 * 4 * 1_000_000) // (1 * 1000)
+
+    def test_epoch_anchor_is_thursday(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            seasonal_profile,
+        )
+
+        df = spark.createDataFrame(
+            [("g", "1970-01-01", 1)], "g string, d string, v long"
+        ).select("g", F.col("d").cast("timestamp").alias("ts"), "v")
+        [r] = seasonal_profile(df, "g", "ts", "v").collect()
+        assert r["dow"] == 4  # ISO Thursday
+
+
+class TestTheilSen:
+    def test_robust_to_outlier(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            theil_sen_slopes,
+        )
+
+        pts = [("s", x, 2 * x) for x in range(1, 10)] + [("s", 10, 1000)]
+        df = spark.createDataFrame(pts, "g string, x long, y long")
+        [r] = theil_sen_slopes(df, "g", "x", "y").collect()
+        assert r["n_points"] == 10 and r["n_pairs"] == 45
+        assert r["median_slope_micro"] == 2_000_000  # outlier ignored
+
+    def test_equal_x_pairs_excluded(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            theil_sen_slopes,
+        )
+
+        df = spark.createDataFrame(
+            [("s", 1, 5), ("s", 1, 9), ("s", 2, 7)], "g string, x long, y long"
+        )
+        [r] = theil_sen_slopes(df, "g", "x", "y").collect()
+        assert r["n_pairs"] == 2  # the (1,1) pair is out
+
+    def test_single_point_null_median(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            theil_sen_slopes,
+        )
+
+        df = spark.createDataFrame([("s", 1, 5)], "g string, x long, y long")
+        [r] = theil_sen_slopes(df, "g", "x", "y").collect()
+        assert r["n_pairs"] == 0 and r["median_slope_micro"] is None
+
+    def test_group_size_cap_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            theil_sen_slopes,
+        )
+
+        df = spark.createDataFrame(
+            [("s", i, i) for i in range(30)], "g string, x long, y long"
+        )
+        with pytest.raises(Exception, match="max_group_points"):
+            theil_sen_slopes(df, "g", "x", "y", max_group_points=10).collect()
+
+    def test_negative_slope_sign_split(self, spark):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            theil_sen_slopes,
+        )
+
+        # y = -3x exactly: every pairwise slope is -3e6 on both the
+        # sign-split and a true rational evaluation
+        df = spark.createDataFrame(
+            [("s", x, -3 * x) for x in range(5)], "g string, x long, y long"
+        )
+        [r] = theil_sen_slopes(df, "g", "x", "y").collect()
+        assert r["median_slope_micro"] == -3_000_000
+
+
+class TestRetrievalMetrics:
+    def test_hand_case(self, spark):
+        import math
+
+        from snowplow_s3_loader_spark.operators.retrieval import (
+            retrieval_metrics,
+        )
+
+        rows = [(1, r, rel) for r, rel in zip(range(1, 6), [0, 1, 0, 1, 0])]
+        df = spark.createDataFrame(rows, "q long, rank long, rel int")
+        [out] = retrieval_metrics(df, "q", "rank", "rel", k=5).collect()
+        g = lambda r: round(1e6 / math.log2(r + 1))
+        assert (out["n_ranked"], out["n_rel"], out["first_rel_rank"]) == (
+            5, 2, 2,
+        )
+        assert out["rr_micro"] == 500_000
+        assert out["dcg_micro"] == g(2) + g(4)
+        assert out["idcg_micro"] == g(1) + g(2)
+        assert out["ndcg_micro"] == (g(2) + g(4)) * 1_000_000 // (g(1) + g(2))
+
+    def test_no_relevant_zeroes(self, spark):
+        from snowplow_s3_loader_spark.operators.retrieval import (
+            retrieval_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1, 0), (1, 2, 0)], "q long, rank long, rel int"
+        )
+        [out] = retrieval_metrics(df, "q", "rank", "rel", k=5).collect()
+        assert (out["rr_micro"], out["dcg_micro"], out["ndcg_micro"]) == (
+            0, 0, 0,
+        )
+        assert out["first_rel_rank"] is None
+
+    def test_perfect_ranking_ndcg_one(self, spark):
+        from snowplow_s3_loader_spark.operators.retrieval import (
+            retrieval_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1, 1), (1, 2, 1), (1, 3, 0)], "q long, rank long, rel int"
+        )
+        [out] = retrieval_metrics(df, "q", "rank", "rel", k=5).collect()
+        assert out["ndcg_micro"] == 1_000_000 and out["rr_micro"] == 1_000_000
+
+    def test_duplicate_rank_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.retrieval import (
+            retrieval_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1, 0), (1, 1, 1)], "q long, rank long, rel int"
+        )
+        with pytest.raises(Exception, match="duplicated rank"):
+            retrieval_metrics(df, "q", "rank", "rel", k=5).collect()
+
+
+class TestWasserstein:
+    def _vals(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "v long")
+
+    def test_hand_case_unit_shift(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            wasserstein_distance,
+        )
+
+        [out] = wasserstein_distance(
+            self._vals(spark, [1, 2, 3]), self._vals(spark, [2, 3, 4]), "v"
+        ).collect()
+        assert (out["n_ref"], out["n_cur"], out["n_values"]) == (3, 3, 4)
+        assert out["w1_micro"] == 1_000_000  # everything moved by 1
+
+    def test_identical_zero(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            wasserstein_distance,
+        )
+
+        a = self._vals(spark, [5, 9, 9, 40])
+        [out] = wasserstein_distance(a, a, "v").collect()
+        assert out["w1_micro"] == 0
+
+    def test_magnitude_reads_where_ks_saturates(self, spark):
+        # disjoint supports: KS is 1.0 for ANY shift; W1 reads the size
+        from snowplow_s3_loader_spark.operators.profile import (
+            wasserstein_distance,
+        )
+
+        a = self._vals(spark, [0, 0])
+        [near] = wasserstein_distance(
+            a, self._vals(spark, [10, 10]), "v"
+        ).collect()
+        [far] = wasserstein_distance(
+            a, self._vals(spark, [1000, 1000]), "v"
+        ).collect()
+        assert near["w1_micro"] == 10_000_000
+        assert far["w1_micro"] == 1_000_000_000
+
+    def test_distinct_guard_raises(self, spark):
+        from snowplow_s3_loader_spark.operators.profile import (
+            wasserstein_distance,
+        )
+
+        a = self._vals(spark, list(range(40)))
+        with pytest.raises(ValueError, match="distinct"):
+            wasserstein_distance(a, a, "v", max_distinct_values=10)
