@@ -2154,3 +2154,346 @@ def wasserstein_distance(
             f"(CAST({n_ref} AS BIGINT) * CAST({n_cur} AS BIGINT))"
         ).cast("long").alias("w1_micro"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient + Herfindahl-Hirschman index of how a
+    non-negative integer quantity concentrates across entities within
+    a group — the long-tail audit every corpus needs before sampling
+    decisions (is 1% of domains 90% of the tokens?) and the classic
+    market-concentration readout (Gini 1912; the HHI of the US DOJ
+    merger guidelines). Per group, with per-entity totals x sorted
+    ascending and ranked i = 1..n:
+
+        gini_micro = (2*SUM(i*x_i) - (n+1)*SUM(x)) * 1e6
+                     div (n * SUM(x))                    (truncating)
+        hhi_micro  = SUM(x_i^2) * 1e6 div SUM(x)^2       (truncating)
+
+    Both numerators are EXACT integers: Chebyshev's sum inequality
+    makes the Gini numerator non-negative for the ascending ranking,
+    so truncating `div` is floor on both engines; ties in x are
+    rank-order-invariant under SUM(i*x) (swapping equal values leaves
+    the sum unchanged), so the nondeterministic order within ties
+    cannot move the hash. The divisions run on DECIMAL(38,0)
+    (HUGEINT in DuckDB): SUM(i*x) <= n*SUM(x) and SUM(x^2) <= SUM(x)^2
+    overflow int64 long before they overflow 1e38.
+
+    Guards: values must be integer, non-null, and >= 0 (a negative
+    holding makes Gini ill-defined) — per-row raise_error, the
+    seasonal_profile discipline. Groups whose SUM(x) = 0 emit NULL
+    ratios.
+
+    Scale shape: one shuffle to (group, entity) partial+final sums,
+    ONE ranking window per group over the ENTITY frame (entity-counts
+    sized, not corpus-sized), one final per-group aggregation on the
+    same partitioning. A group with a billion entities is one sorted
+    window partition — the skew note of the ranking family applies
+    (salt the entity aggregation if one group dominates; the window
+    itself is the q161 distinct-frame argument).
+
+    Output: (group, n_entities, total, gini_micro, hhi_micro) ordered
+    by group."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    checked = F.when(
+        v.isNull() | (v != v.cast("long")) | (v < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"gini_concentration: {value_col!r} must be a "
+                    "non-negative non-null integer (cents discipline), "
+                    "got "
+                ),
+                F.coalesce(v.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(v.cast("long"))
+    ent = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.col(entity_col).alias("entity"),
+            checked.alias("__v"),
+        )
+        .groupBy("group", "entity")
+        .agg(F.sum("__v").alias("__x"))
+    )
+    w = Window.partitionBy("group").orderBy("__x", "entity")
+    ranked = ent.select(
+        "group",
+        "__x",
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    agg = ranked.groupBy("group").agg(
+        F.count("*").alias("n_entities"),
+        F.sum("__x").alias("total"),
+        F.sum(
+            F.col("__i").cast("decimal(38,0)")
+            * F.col("__x").cast("decimal(38,0)")
+        ).alias("__t"),
+        F.sum(
+            F.col("__x").cast("decimal(38,0)")
+            * F.col("__x").cast("decimal(38,0)")
+        ).alias("__ssq"),
+    )
+    return agg.select(
+        "group",
+        "n_entities",
+        "total",
+        F.when(
+            F.col("total") > 0,
+            F.expr(
+                "(CAST(2 AS DECIMAL(38,0)) * __t "
+                " - (CAST(n_entities AS DECIMAL(38,0)) + 1) "
+                "   * CAST(total AS DECIMAL(38,0))) * 1000000 div "
+                "(CAST(n_entities AS DECIMAL(38,0)) "
+                " * CAST(total AS DECIMAL(38,0)))"
+            ).cast("long"),
+        ).alias("gini_micro"),
+        F.when(
+            F.col("total") > 0,
+            F.expr(
+                "(__ssq * 1000000) div "
+                "(CAST(total AS DECIMAL(38,0)) "
+                " * CAST(total AS DECIMAL(38,0)))"
+            ).cast("long"),
+        ).alias("hhi_micro"),
+    ).orderBy("group")
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association strength between two categorical columns
+    (Cramér, "Mathematical Methods of Statistics", 1946, §21.9) — the
+    [0, 1]-normalized headline that q139's chi-square cell components
+    feed: chi2 grows with n and with table size, V divides both out,
+    so ONE threshold ("V > 0.1 is worth a look") works across every
+    feature pair in a screening sweep.
+
+        V = sqrt(chi2 / (n * (min(r, c) - 1)))
+
+    Determinism discipline: each cell's chi-square contribution is
+    computed in EXACT integer arithmetic — dev^2 div (r*c), then
+    * 1e6 div n, staged truncating divisions on DECIMAL(38,0)
+    (HUGEINT in DuckDB; dev^2 < 1e38 under the inherited n < 3e9
+    bound, and dev^2 div (r*c) <= n^2 so the 1e6 widening fits) — no
+    per-cell doubles at all, so there is nothing to round and nothing
+    to diverge (the truncation deficit is < (1e6/n + 1) micro per
+    cell, noise for a statistic whose alert thresholds live at 1e4+
+    micro). The statistic is the INTEGER sum of the cells, and V is
+    ONE closing double (sqrt of an exact-integer ratio) rounded ONCE
+    to micro.
+
+    Scale shape: inherits association_components' (one corpus
+    aggregation to the |A| x |B| cell frame, margins-sized everything
+    after); the closing reduction is a scalar aggregation over the
+    cell frame. Degenerate tables (r < 2 or c < 2) emit NULL v_micro —
+    there is no association to measure on a single level.
+
+    Output: one row (n, r_levels, c_levels, dof, chi2_micro, v_micro)."""
+    cells = association_components(df, col_a, col_b)
+    n = int(
+        cells.agg(F.sum("observed")).collect()[0][0] or 0
+    )  # scalar collect on the margins-sized cell frame, not the corpus
+    per_cell = cells.select(
+        F.expr(
+            "CAST(((CAST(dev AS DECIMAL(38,0)) * dev) div "
+            "(CAST(row_total AS DECIMAL(38,0)) * col_total) * 1000000) div "
+            f"CAST({max(n, 1)} AS DECIMAL(38,0)) AS LONG)"
+        ).alias("__c"),
+        "a",
+        "b",
+        "observed",
+    )
+    agg = per_cell.agg(
+        F.sum("__c").alias("chi2_micro"),
+        F.count_distinct("a").alias("r_levels"),
+        F.count_distinct("b").alias("c_levels"),
+        F.sum("observed").alias("n"),
+    )
+    k = F.least("r_levels", "c_levels") - F.lit(1)
+    return agg.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
+        "chi2_micro",
+        F.when(
+            (k > 0) & (F.col("n") > 0),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_micro").cast("double")
+                    / F.lit(1e6)
+                    / (F.col("n").cast("double") * k.cast("double"))
+                )
+                * 1_000_000,
+                0,
+            ).cast("long"),
+        ).alias("v_micro"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    q_micros: list[int] = (250_000, 500_000, 750_000, 900_000),
+) -> DataFrame:
+    """Exact weighted quantiles per group — the token-weighted
+    percentile every corpus report needs (the p90 DOCUMENT is not the
+    p90 TOKEN: long documents carry more of the training mix, so
+    thresholds set on unweighted quantiles misprice the tail). Lower
+    weighted quantile, integer-exact: q's value is the SMALLEST v with
+
+        cumweight(v) * 1e6  >=  q_micro * W        (W = total weight)
+
+    — both sides exact int64 products (W <= 9.2e12 ENFORCED; weights
+    are positive integers, values integer, per-row raise_error on
+    violations). No interpolation: the pick is an order statistic, so
+    it hash-matches across engines by construction.
+
+    Scale shape: one shuffle to the (group, value) DISTINCT frame
+    (ties pre-summed so the prefix sum is tie-order-invariant — the
+    q08 lesson), one cumulative window per group over that frame, one
+    broadcast of the group-total frame, and the quantile spine is a
+    |groups| x |q| literal explode. Corpus-sized work is the ONE
+    aggregation; everything after is distinct-values sized.
+
+    Output: (group, q_micro, w_total, value) ordered by (group,
+    q_micro)."""
+    from pyspark.sql import Window
+
+    v, wt = F.col(value_col), F.col(weight_col)
+    vc = F.when(
+        v.isNull() | (v != v.cast("long")),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_quantiles: {value_col!r} must be integer "
+                    "non-null, got "
+                ),
+                F.coalesce(v.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(v.cast("long"))
+    wc_ = F.when(
+        wt.isNull() | (wt != wt.cast("long")) | (wt <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_quantiles: {weight_col!r} must be a "
+                    "positive non-null integer, got "
+                ),
+                F.coalesce(wt.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(wt.cast("long"))
+    dv = (
+        df.select(
+            F.col(group_col).alias("group"),
+            vc.alias("__v"),
+            wc_.alias("__w"),
+        )
+        .groupBy("group", "__v")
+        .agg(F.sum("__w").alias("__dw"))
+    )
+    wcum = Window.partitionBy("group").orderBy("__v")
+    pref = dv.select(
+        "group", "__v", F.sum("__dw").over(wcum).alias("__cw")
+    )
+    totals = dv.groupBy("group").agg(F.sum("__dw").alias("w_total"))
+    totals = totals.select(
+        "group",
+        F.when(
+            F.col("w_total") > 9_200_000_000_000,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "weighted_quantiles: total weight over the "
+                        "9.2e12 int64 product bound for group "
+                    ),
+                    F.col("group").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("w_total")).alias("w_total"),
+    )
+    spine = totals.select(
+        "group",
+        "w_total",
+        F.explode(
+            F.array(*[F.lit(int(q)).cast("long") for q in q_micros])
+        ).alias("q_micro"),
+    )
+    return (
+        spine.join(pref, "group")
+        .where(
+            F.col("__cw") * F.lit(1_000_000)
+            >= F.col("q_micro") * F.col("w_total")
+        )
+        .groupBy("group", "q_micro", "w_total")
+        .agg(F.min("__v").alias("value"))
+        .select("group", "q_micro", "w_total", "value")
+        .orderBy("group", "q_micro")
+    )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Order-invariant table checksum — the data-versioning /
+    copy-integrity primitive for 100 TB pipelines: after a migration,
+    a re-partition, or a replay, two datasets are byte-equal on the
+    audited columns iff their checksums match, WITHOUT sorting either
+    side. Per row, a canonical string (columns joined by the 0x1f unit
+    separator; NULL spelled as an unambiguous 0x00-prefixed sentinel so
+    NULL never collides with the string 'NULL') is hashed to the
+    repo's 60-bit md5 prefix; per group the digest is the tuple
+
+        (n_rows, bit_xor(h), sum(h % 1000003), min(h), max(h))
+
+    — four independent order-invariant reductions, so a collision must
+    fool all of them at once. bit_xor alone is blind to DUPLICATED
+    rows (x XOR x = 0); the count and the modular sum catch exactly
+    that. The modular sum stays in int64 to 9.2e12 rows per group.
+
+    Caller contract: pass columns whose STRING form is
+    engine-portable — integers, exact DECIMAL cents, dates already
+    formatted as text. Raw doubles and timezone-bearing timestamps
+    have engine-specific reprs; format them first (the oracle replays
+    CAST-to-VARCHAR semantics, which match Spark for integer and
+    string types).
+
+    Scale shape: ONE scan, ONE partial+final aggregation — the
+    map-side combine reduces every partition to five values, so the
+    shuffle is |groups| rows regardless of table size; no window, no
+    join, no sort.
+
+    Output: (group?, n_rows, xor60, sum_mod, min_h, max_h)."""
+    sent = F.lit("\x00N")
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), sent) for c in cols]
+    )
+    h = F.conv(
+        F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    keyed = df.select(
+        *([F.col(group_col).alias("group")] if group_col else []),
+        h.alias("__h"),
+    )
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.bit_xor("__h").alias("xor60"),
+        F.sum(F.col("__h") % F.lit(1_000_003)).alias("sum_mod"),
+        F.min("__h").alias("min_h"),
+        F.max("__h").alias("max_h"),
+    ]
+    if group_col:
+        return keyed.groupBy("group").agg(*aggs).orderBy("group")
+    return keyed.agg(*aggs)

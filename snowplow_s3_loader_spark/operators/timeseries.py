@@ -1379,3 +1379,165 @@ def theil_sen_slopes(
         )
     )
     return med.unionByName(empties).orderBy("group")
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_group_points: int = 10_000,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per series (Mann, Econometrica
+    1945; Kendall, "Rank Correlation Methods", 1975) — the SIGNIFICANCE
+    companion to q174's Theil-Sen: Theil-Sen reads HOW STEEP the robust
+    trend is, Mann-Kendall reads WHETHER a monotone trend is there at
+    all, from signs alone (no distributional assumption, immune to any
+    monotone transform of y). Exact integer core:
+
+        s_stat = SUM over i<j of sign(y_j - y_i)         (x ascending)
+        var18  = n(n-1)(2n+5) - SUM_t t(t-1)(2t+5)       (= 18*Var(S))
+
+    with t the y-tie group sizes (the Kendall tie correction). The
+    normal-approximation readout is ONE closing double with the
+    standard continuity correction,
+
+        z = (s_stat -/+ 1) / sqrt(var18 / 18)   (0 when s_stat = 0),
+
+    rounded ONCE to z_micro; all-tied series (var18 = 0) emit NULL.
+
+    Guards: integer x/y enforced per row; DUPLICATE x within a series
+    raises LOUDLY (the variance formula assumes one observation per
+    time point — pre-aggregate to one y per x, e.g. daily sums, before
+    testing); series over ``max_group_points`` raise (O(n^2) pair
+    join, the q174 bound — n(n-1)(2n+5) also stays under 2^63 by eight
+    orders of magnitude at the cap).
+
+    Scale shape: one window pass numbers points AND detects duplicate
+    x per series (lag on the SAME window spec — one Window node), the
+    pair join is series-keyed (co-partitioned, never cartesian across
+    series), tie sizes come from one (series, y) aggregation of the
+    points frame, and everything reduces to one row per series.
+
+    Output: (group, n_points, n_pairs, s_stat, var18, z_micro) ordered
+    by group."""
+    def _chk(c: str) -> Column:
+        x = F.col(c)
+        return F.when(
+            x.isNull() | (x != x.cast("long")),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"mann_kendall_trend: {c!r} must be integer "
+                        "non-null, got "
+                    ),
+                    F.coalesce(x.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(x.cast("long"))
+
+    w = Window.partitionBy("group").orderBy("__x")
+    wc = Window.partitionBy("group")
+    pts = (
+        df.select(
+            F.col(group_col).alias("group"),
+            _chk(x_col).alias("__x"),
+            _chk(y_col).alias("__y"),
+        )
+        .withColumn(
+            "__dupx",
+            F.when(
+                F.lag("__x").over(w) == F.col("__x"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "mann_kendall_trend: duplicate x within "
+                            "series (one observation per time point "
+                            "required — pre-aggregate); group "
+                        ),
+                        F.col("group").cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__i", (F.row_number().over(w) + F.col("__dupx")).cast("long"))
+        .withColumn("__np", F.count("*").over(wc))
+        .withColumn(
+            "__np",
+            F.when(
+                F.col("__np") > max_group_points,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "mann_kendall_trend: series over "
+                            f"max_group_points={max_group_points} "
+                            "(O(n^2) pair join) — pre-aggregate; group "
+                        ),
+                        F.col("group").cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("__np")),
+        )
+    )
+    lo = pts.select(
+        "group", F.col("__i").alias("__il"), F.col("__y").alias("__yl"),
+    )
+    hi = pts.select(
+        "group", F.col("__i").alias("__ih"), F.col("__y").alias("__yh"),
+    )
+    pair_agg = (
+        lo.join(hi, "group")
+        .where(F.col("__il") < F.col("__ih"))
+        .groupBy("group")
+        .agg(
+            F.sum(
+                F.signum(F.col("__yh") - F.col("__yl")).cast("long")
+            ).alias("s_stat"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    base = pts.groupBy("group").agg(F.max("__np").alias("n_points"))
+    ties = (
+        pts.groupBy("group", "__y")
+        .agg(F.count("*").alias("__t"))
+        .groupBy("group")
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("__tt")
+        )
+    )
+    n = F.col("n_points")
+    var18 = (
+        n * (n - 1) * (2 * n + 5) - F.coalesce(F.col("__tt"), F.lit(0))
+    ).alias("var18")
+    out = (
+        base.join(pair_agg, "group", "left")
+        .join(ties, "group", "left")
+        .select(
+            "group",
+            "n_points",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+            var18,
+        )
+    )
+    zc = F.when(F.col("s_stat") > 0, F.col("s_stat") - 1).when(
+        F.col("s_stat") < 0, F.col("s_stat") + 1
+    ).otherwise(F.lit(0))
+    return out.select(
+        "group",
+        "n_points",
+        "n_pairs",
+        "s_stat",
+        "var18",
+        F.when(
+            F.col("var18") > 0,
+            F.round(
+                zc.cast("double")
+                / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+                * 1_000_000,
+                0,
+            ).cast("long"),
+        ).alias("z_micro"),
+    ).orderBy("group")

@@ -675,7 +675,17 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violating").alias("v2"),
         (F.col("max_dep_values") * 10 + F.col("holds")).alias("v3"),
     )
-    members = [bloom_rows, hh, zord, quant, ffd, cdc_rows, incr, qz, iv, prof, fp, chk, scd, par, scdrt, fz, sdiff, cms, bmd, sky, skw, jex, kmv, trl, wsm, fdp]
+    # round 13: order-invariant table checksum (min/max hash bounds are
+    # row-redundant and checked by the single's local oracle; the battery
+    # carries the count, the xor digest, and the modular sum)
+    cks = q.q182_table_checksum(spark, sf_dir).select(
+        F.lit("cksum").alias("battery"),
+        F.col("group").alias("key"),
+        F.col("n_rows").alias("v1"),
+        F.col("xor60").alias("v2"),
+        F.col("sum_mod").alias("v3"),
+    )
+    members = [bloom_rows, hh, zord, quant, ffd, cdc_rows, incr, qz, iv, prof, fp, chk, scd, par, scdrt, fz, sdiff, cms, bmd, sky, skw, jex, kmv, trl, wsm, fdp, cks]
     combined = members[0]
     for m in members[1:]:
         combined = combined.union(m)
@@ -1031,7 +1041,17 @@ def q88_behavior_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("median_slope_micro").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
-    members = [fun, coh, att, tm, anom, spath, ohlcb, kmc, brst, ivl, hier, chgpt, acfr, csm, trd, seas, tsen]
+    # round 13: Mann-Kendall trend significance (z_micro is the one
+    # derived double, hash-checked by the single's own local oracle;
+    # the battery carries the exact integer core)
+    mkt = q.q180_mann_kendall(spark, sf_dir).select(
+        F.lit("mk").alias("battery"),
+        F.col("event_type").alias("key"),
+        (F.col("n_points") * 10_000_000_000 + F.col("n_pairs")).alias("v1"),
+        F.col("s_stat").alias("v2"),
+        F.col("var18").alias("v3"),
+    )
+    members = [fun, coh, att, tm, anom, spath, ohlcb, kmc, brst, ivl, hier, chgpt, acfr, csm, trd, seas, tsen, mkt]
     combined = members[0]
     for m in members[1:]:
         combined = combined.union(m)
@@ -1459,7 +1479,36 @@ def q95_statseval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_values").alias("v2"),
         F.col("w1_micro").alias("v3"),
     )
-    members = [outl, mom, hist, chi, aucr, woer, calib, iso, cup, abz, psi, ksd, sprm, mi, bnf, zpf, qrk, wins, jsd, smd, w1d]
+    # round 13: concentration (gini+hhi pack into one 1e7 slot — both
+    # bounded by 1e6), Cramer's V association headline (v_micro is the
+    # one derived double, single-oracle-checked), and exact weighted
+    # quantiles
+    gin = q.q179_gini(spark, sf_dir).select(
+        F.lit("gini").alias("battery"),
+        F.col("group").alias("key"),
+        F.col("n_entities").alias("v1"),
+        F.col("total").alias("v2"),
+        (
+            F.col("gini_micro") * 10_000_000 + F.col("hhi_micro")
+        ).alias("v3"),
+    )
+    crv = q.q181_cramers_v(spark, sf_dir).select(
+        F.lit("cramer").alias("battery"),
+        F.lit("0").alias("key"),
+        F.col("n").alias("v1"),
+        (F.col("r_levels") * 100 + F.col("c_levels")).alias("v2"),
+        F.col("chi2_micro").alias("v3"),
+    )
+    wqn = q.q183_weighted_quantiles(spark, sf_dir).select(
+        F.lit("wq").alias("battery"),
+        F.concat_ws(
+            "@", "group", F.col("q_micro").cast("string")
+        ).alias("key"),
+        F.col("w_total").alias("v1"),
+        F.col("value").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    members = [outl, mom, hist, chi, aucr, woer, calib, iso, cup, abz, psi, ksd, sprm, mi, bnf, zpf, qrk, wins, jsd, smd, w1d, gin, crv, wqn]
     combined = members[0]
     for m in members[1:]:
         combined = combined.union(m)
@@ -1732,6 +1781,8 @@ _FOLDED = {
     "q172_js_divergence", "q173_seasonal_profile", "q174_theil_sen",
     "q175_smd_balance", "q176_retrieval_metrics", "q177_k_anonymity",
     "q178_wasserstein",
+    "q179_gini", "q180_mann_kendall", "q181_cramers_v",
+    "q182_table_checksum", "q183_weighted_quantiles",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2742,6 +2793,27 @@ UNION ALL
 SELECT 'w1' AS battery, '0' AS key,
        n_ref * 10000000000 + n_cur AS v1, n_values AS v2, w1_micro AS v3
 FROM ({ORACLES["q178_wasserstein"]})
+UNION ALL
+SELECT 'cksum' AS battery, "group" AS key,
+       n_rows AS v1, xor60 AS v2, sum_mod AS v3
+FROM ({ORACLES["q182_table_checksum"]})
+UNION ALL
+SELECT 'mk' AS battery, event_type AS key,
+       n_points * 10000000000 + n_pairs AS v1, s_stat AS v2, var18 AS v3
+FROM ({ORACLES["q180_mann_kendall"]})
+UNION ALL
+SELECT 'gini' AS battery, "group" AS key,
+       n_entities AS v1, total AS v2,
+       gini_micro * 10000000 + hhi_micro AS v3
+FROM ({ORACLES["q179_gini"]})
+UNION ALL
+SELECT 'cramer' AS battery, '0' AS key,
+       n AS v1, r_levels * 100 + c_levels AS v2, chi2_micro AS v3
+FROM ({ORACLES["q181_cramers_v"]})
+UNION ALL
+SELECT 'wq' AS battery, "group" || '@' || CAST(q_micro AS VARCHAR) AS key,
+       w_total AS v1, value AS v2, CAST(NULL AS BIGINT) AS v3
+FROM ({ORACLES["q183_weighted_quantiles"]})
 """
 
 # ---------------------------------------------------------------------------
@@ -2757,7 +2829,7 @@ BATTERY_FAMILY_TAGS: dict[str, frozenset[str]] = {
     "q74_scale_battery": frozenset(
         "bloom heavy zorder quantile packing cdc incr quantize interval "
         "profile pairs checks scd2 parity scd2rt fuzzy diff cms bitmap "
-        "skyline skew joinx kmv trailing wsample fd".split()
+        "skyline skew joinx kmv trailing wsample fd cksum".split()
     ),
     "q83_graph_battery": frozenset(
         "pagerank triangle kcore hits bfs lpa topo linkpred walks itemsim "
@@ -2765,7 +2837,7 @@ BATTERY_FAMILY_TAGS: dict[str, frozenset[str]] = {
     ),
     "q88_behavior_battery": frozenset(
         "funnel cohort attribution transitions anomaly spath ohlc km burst "
-        "ivals hier chgpt acf cusum trend seasonal theilsen".split()
+        "ivals hier chgpt acf cusum trend seasonal theilsen mk".split()
     ),
     "q98_textdedup_battery": frozenset(
         "bpe unigram urldedup uencode dsir shards mlewis novelty incdedup "
@@ -2774,7 +2846,8 @@ BATTERY_FAMILY_TAGS: dict[str, frozenset[str]] = {
     ),
     "q95_statseval_battery": frozenset(
         "outliers moments histogram chi2 auc woe calib isotonic cuped abz "
-        "psi ks spearman mi benford zipf qrank winsor jsd smd w1".split()
+        "psi ks spearman mi benford zipf qrank winsor jsd smd w1 gini "
+        "cramer wq".split()
     ),
 }
 

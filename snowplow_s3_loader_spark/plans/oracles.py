@@ -5036,3 +5036,173 @@ SELECT t.nr AS n_ref, t.nc AS n_cur, t.nv AS n_values,
          AS w1_micro
 FROM tot t
 """
+
+ORACLES["q179_gini"] = """
+WITH ent AS (
+  SELECT n.n_name AS "group", c.c_custkey AS entity,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT "group", x,
+         CAST(row_number() OVER (PARTITION BY "group" ORDER BY x, entity)
+              AS BIGINT) AS i
+  FROM ent
+),
+agg AS (
+  SELECT "group", CAST(count(*) AS BIGINT) AS n_entities,
+         CAST(sum(x) AS BIGINT) AS total,
+         sum(CAST(i AS HUGEINT) * x) AS t,
+         sum(CAST(x AS HUGEINT) * x) AS ssq
+  FROM ranked GROUP BY 1
+)
+SELECT "group", n_entities, total,
+  CASE WHEN total > 0 THEN
+    CAST(((2 * t - (CAST(n_entities AS HUGEINT) + 1) * total) * 1000000)
+         // (CAST(n_entities AS HUGEINT) * total) AS BIGINT)
+  END AS gini_micro,
+  CASE WHEN total > 0 THEN
+    CAST((ssq * 1000000) // (CAST(total AS HUGEINT) * total) AS BIGINT)
+  END AS hhi_micro
+FROM agg ORDER BY "group"
+"""
+
+ORACLES["q180_mann_kendall"] = """
+WITH pts AS MATERIALIZED (
+  SELECT event_type AS g,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS x,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pa AS (
+  SELECT a.g, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x
+  GROUP BY 1
+),
+base AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1),
+ties AS (
+  SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+  FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t FROM pts GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT base.g AS event_type, base.n AS n_points,
+       coalesce(pa.n_pairs, 0) AS n_pairs,
+       coalesce(pa.s_stat, 0) AS s_stat,
+       base.n * (base.n - 1) * (2 * base.n + 5) - coalesce(ties.tt, 0)
+         AS var18,
+       CASE WHEN base.n * (base.n - 1) * (2 * base.n + 5)
+                 - coalesce(ties.tt, 0) > 0 THEN
+         CAST(round(
+           CAST(CASE WHEN coalesce(pa.s_stat, 0) > 0
+                       THEN coalesce(pa.s_stat, 0) - 1
+                     WHEN coalesce(pa.s_stat, 0) < 0
+                       THEN coalesce(pa.s_stat, 0) + 1
+                     ELSE 0 END AS DOUBLE)
+           / sqrt((base.n * (base.n - 1) * (2 * base.n + 5)
+                   - coalesce(ties.tt, 0)) / 18.0)
+           * 1000000) AS BIGINT)
+       END AS z_micro
+FROM base
+LEFT JOIN pa ON base.g = pa.g
+LEFT JOIN ties ON base.g = ties.g
+ORDER BY 1
+"""
+
+ORACLES["q181_cramers_v"] = """
+WITH cells AS (
+  SELECT event_type AS a, coalesce(user_id % 5, -1) AS b,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS row_total FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS col_total FROM cells GROUP BY b),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT ra.a, cb.b, ra.row_total, cb.col_total,
+         COALESCE(cells.o, 0) AS observed
+  FROM ra CROSS JOIN cb
+  LEFT JOIN cells ON ra.a = cells.a AND cb.b = cells.b
+),
+per AS (
+  SELECT CAST(((CAST(t.n * g.observed - g.row_total * g.col_total
+                     AS HUGEINT)
+                * (t.n * g.observed - g.row_total * g.col_total))
+               // (CAST(g.row_total AS HUGEINT) * g.col_total)
+               * 1000000) // t.n AS BIGINT) AS c,
+         g.a, g.b, g.observed
+  FROM grid g CROSS JOIN tot t
+),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS chi2_micro,
+         CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
+         CAST(count(DISTINCT b) AS BIGINT) AS c_levels,
+         CAST(sum(observed) AS BIGINT) AS n
+  FROM per
+)
+SELECT n, r_levels, c_levels,
+       (r_levels - 1) * (c_levels - 1) AS dof,
+       chi2_micro,
+       CASE WHEN least(r_levels, c_levels) - 1 > 0 AND n > 0 THEN
+         CAST(round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+                         / (CAST(n AS DOUBLE)
+                            * CAST(least(r_levels, c_levels) - 1
+                                   AS DOUBLE)))
+                    * 1000000) AS BIGINT)
+       END AS v_micro
+FROM agg
+"""
+
+ORACLES["q182_table_checksum"] = """
+WITH canon AS (
+  SELECT l_returnflag AS "group",
+         CAST('0x' || substr(md5(concat_ws(chr(31),
+           coalesce(CAST(l_orderkey AS VARCHAR), chr(0) || 'N'),
+           coalesce(CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR),
+                    chr(0) || 'N'),
+           coalesce(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                         AS VARCHAR), chr(0) || 'N'),
+           coalesce(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         AS VARCHAR), chr(0) || 'N'),
+           coalesce(strftime(l_shipdate, '%Y-%m-%d'), chr(0) || 'N')
+         )), 1, 15) AS BIGINT) AS h
+  FROM lineitem
+)
+SELECT "group", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor60,
+       CAST(sum(h % 1000003) AS BIGINT) AS sum_mod,
+       CAST(min(h) AS BIGINT) AS min_h,
+       CAST(max(h) AS BIGINT) AS max_h
+FROM canon GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["q183_weighted_quantiles"] = """
+WITH dv AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS dw
+  FROM lineitem GROUP BY 1, 2
+),
+pref AS (
+  SELECT g, v,
+         CAST(sum(dw) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cw
+  FROM dv
+),
+tot AS (SELECT g, CAST(sum(dw) AS BIGINT) AS w_total FROM dv GROUP BY 1),
+spine AS (
+  SELECT g, w_total,
+         CAST(unnest([250000, 500000, 750000, 900000]) AS BIGINT)
+           AS q_micro
+  FROM tot
+)
+SELECT s.g AS "group", s.q_micro, s.w_total, min(p.v) AS value
+FROM spine s
+JOIN pref p ON s.g = p.g AND p.cw * 1000000 >= s.q_micro * s.w_total
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
+"""

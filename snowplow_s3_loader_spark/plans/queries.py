@@ -3725,6 +3725,105 @@ def q164_charset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charset_mix(docs, "doc_id", "text").orderBy("id")
 
 
+
+def q179_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend concentration within each nation: Gini + HHI over
+    per-customer order totals (cents) — the long-tail audit that says
+    whether a nation's revenue is broad-based or three whales, and the
+    corpus-sampling analogue (is 1% of sources most of the tokens?)."""
+    from snowplow_s3_loader_spark.operators.profile import gini_concentration
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    return gini_concentration(joined, "n_name", "c_custkey", "cents")
+
+
+def q180_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend significance per event type on the
+    DAILY spend series (one point per day — the operator's unique-x
+    contract, satisfied by pre-aggregation) — q174's Theil-Sen reads
+    the robust slope, this reads whether the trend is even there."""
+    from snowplow_s3_loader_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("daily_cents")
+    )
+    return mann_kendall_trend(
+        daily, "event_type", "day", "daily_cents"
+    ).withColumnsRenamed({"group": "event_type"})
+
+
+def q181_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event type and the user cohort (user_id%5,
+    NULL users as their own -1 cohort — the q169 NULL-is-a-category
+    rule): the [0,1]-normalized headline over the SAME contingency
+    table whose cells q139 emits."""
+    from snowplow_s3_loader_spark.operators.profile import cramers_v
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.coalesce(F.col("user_id") % 5, F.lit(-1)).alias("cohort"),
+    )
+    return cramers_v(ev, "event_type", "cohort")
+
+
+def q182_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant lineitem checksum per return flag over the
+    engine-portable canonical columns (keys, cents, shipdate as text)
+    — the migration/replay integrity gate: re-partitioned, re-ordered,
+    or re-loaded copies hash equal iff the rows are equal."""
+    from snowplow_s3_loader_spark.operators.profile import table_checksum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("px_c"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship"),
+    )
+    return table_checksum(
+        li,
+        ["l_orderkey", "ln", "qty_c", "px_c", "ship"],
+        group_col="l_returnflag",
+    )
+
+
+def q183_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted exact price quantiles per return flag — the
+    token-weighted-percentile shape (the p90 UNIT is not the p90 LINE;
+    heavy lines carry more of the mix), lower weighted quantile on
+    integer cents and integer unit weights."""
+    from snowplow_s3_loader_spark.operators.profile import weighted_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("px_c"),
+        F.round(F.col("l_quantity")).cast("long").alias("units"),
+    )
+    return weighted_quantiles(li, "l_returnflag", "px_c", "units")
+
+
 def q172_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon drift between two event snapshots — the bounded,
     symmetric, vanished-bin-safe companion to q151's PSI on the SAME
@@ -4044,5 +4143,10 @@ QUERIES = {
         q176_retrieval_metrics,
         q177_k_anonymity,
         q178_wasserstein,
+        q179_gini,
+        q180_mann_kendall,
+        q181_cramers_v,
+        q182_table_checksum,
+        q183_weighted_quantiles,
     ]
 }

@@ -640,3 +640,245 @@ class TestWasserstein:
         a = self._vals(spark, list(range(40)))
         with pytest.raises(ValueError, match="distinct"):
             wasserstein_distance(a, a, "v", max_distinct_values=10)
+
+
+class TestGiniConcentration:
+    def _run(self, spark, rows):
+        from snowplow_s3_loader_spark.operators.profile import (
+            gini_concentration,
+        )
+
+        df = spark.createDataFrame(
+            rows, "group string, entity string, v long"
+        )
+        return {
+            r["group"]: r
+            for r in gini_concentration(
+                df, "group", "entity", "v"
+            ).collect()
+        }
+
+    def test_differential_vs_pairwise_definition(self, spark):
+        # Gini == sum|xi-xj| / (2 n^2 mean) — brute force on the
+        # per-entity totals, floored to micro like the operator
+        import itertools
+
+        vals = [3, 1, 4, 1, 5, 9, 2, 6]
+        rows = [("g", f"e{i}", v) for i, v in enumerate(vals)]
+        got = self._run(spark, rows)["g"]
+        n, s = len(vals), sum(vals)
+        num = sum(
+            abs(a - b) for a, b in itertools.product(vals, vals)
+        )
+        assert got["gini_micro"] == num * 1_000_000 // (2 * n * s)
+        assert got["hhi_micro"] == (
+            sum(v * v for v in vals) * 1_000_000 // (s * s)
+        )
+
+    def test_entity_pre_aggregation(self, spark):
+        # two rows for one entity must merge before ranking
+        rows = [("g", "a", 5), ("g", "a", 5), ("g", "b", 10)]
+        got = self._run(spark, rows)["g"]
+        assert got["n_entities"] == 2
+        assert got["gini_micro"] == 0  # both entities hold 10
+
+    def test_zero_total_null_ratios(self, spark):
+        got = self._run(spark, [("g", "a", 0), ("g", "b", 0)])["g"]
+        assert got["gini_micro"] is None and got["hhi_micro"] is None
+
+    def test_negative_value_raises(self, spark):
+        from pyspark.errors import PySparkRuntimeError
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
+            self._run(spark, [("g", "a", -1)])
+
+
+class TestMannKendall:
+    def _run(self, spark, rows, **kw):
+        from snowplow_s3_loader_spark.operators.timeseries import (
+            mann_kendall_trend,
+        )
+
+        df = spark.createDataFrame(rows, "group string, x long, y long")
+        return {
+            r["group"]: r
+            for r in mann_kendall_trend(df, "group", "x", "y", **kw).collect()
+        }
+
+    def test_differential_vs_bruteforce(self, spark):
+        import itertools
+        import math
+
+        ys = [5, 3, 8, 8, 2, 9, 1, 7]
+        rows = [("g", i, y) for i, y in enumerate(ys)]
+        got = self._run(spark, rows)["g"]
+        n = len(ys)
+        s = sum(
+            (yj > yi) - (yj < yi)
+            for (i, yi), (j, yj) in itertools.combinations(
+                enumerate(ys), 2
+            )
+        )
+        from collections import Counter
+
+        tt = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tt
+        assert got["s_stat"] == s
+        assert got["var18"] == var18
+        zc = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+        want = round(zc / math.sqrt(var18 / 18.0) * 1_000_000)
+        assert got["z_micro"] == want
+
+    def test_all_tied_null_z(self, spark):
+        got = self._run(spark, [("g", i, 7) for i in range(5)])["g"]
+        assert got["s_stat"] == 0 and got["var18"] == 0
+        assert got["z_micro"] is None
+
+    def test_duplicate_x_raises(self, spark):
+        with pytest.raises(Exception, match="duplicate x"):
+            self._run(spark, [("g", 1, 1), ("g", 1, 2)])
+
+    def test_group_cap_raises(self, spark):
+        rows = [("g", i, i) for i in range(11)]
+        with pytest.raises(Exception, match="max_group_points"):
+            self._run(spark, rows, max_group_points=10)
+
+    def test_single_point(self, spark):
+        got = self._run(spark, [("g", 1, 1)])["g"]
+        assert got["n_pairs"] == 0 and got["z_micro"] is None
+
+
+class TestCramersV:
+    def _run(self, spark, rows):
+        from snowplow_s3_loader_spark.operators.profile import cramers_v
+
+        df = spark.createDataFrame(rows, "a string, b string")
+        return cramers_v(df, "a", "b").collect()[0]
+
+    def test_perfect_association_is_one(self, spark):
+        rows = [("x", "p")] * 7 + [("y", "q")] * 13
+        got = self._run(spark, rows)
+        assert got["v_micro"] == 1_000_000
+        # chi2 == n for a perfect 2x2 (micro, minus bounded truncation)
+        assert abs(got["chi2_micro"] - 20_000_000) <= 4
+
+    def test_independence_is_zero(self, spark):
+        rows = []
+        for a in ("x", "y"):
+            for b in ("p", "q"):
+                rows += [(a, b)] * 5
+        got = self._run(spark, rows)
+        assert got["chi2_micro"] == 0 and got["v_micro"] == 0
+
+    def test_differential_vs_python(self, spark):
+        # exact staged-truncation replica in pure python
+        from collections import Counter
+
+        pairs = [
+            ("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"),
+            ("y", "q"), ("y", "q"), ("z", "p"), ("z", "q"),
+            ("z", "q"), ("z", "q"),
+        ]
+        got = self._run(spark, pairs)
+        n = len(pairs)
+        obs = Counter(pairs)
+        ra = Counter(a for a, _ in pairs)
+        cb = Counter(b for _, b in pairs)
+        chi2 = 0
+        for a in ra:
+            for b in cb:
+                dev = n * obs.get((a, b), 0) - ra[a] * cb[b]
+                chi2 += dev * dev // (ra[a] * cb[b]) * 1_000_000 // n
+        assert got["chi2_micro"] == chi2
+        assert got["dof"] == 2
+
+    def test_single_level_null_v(self, spark):
+        got = self._run(spark, [("x", "p"), ("x", "q")])
+        assert got["v_micro"] is None
+
+
+class TestTableChecksum:
+    def _run(self, spark, rows, cols, group=None):
+        from snowplow_s3_loader_spark.operators.profile import table_checksum
+
+        df = spark.createDataFrame(rows, "k long, s string")
+        return table_checksum(df, cols, group_col=group).collect()
+
+    def test_order_invariant(self, spark):
+        a = self._run(spark, [(1, "a"), (2, "b"), (3, "c")], ["k", "s"])
+        b = self._run(spark, [(3, "c"), (1, "a"), (2, "b")], ["k", "s"])
+        assert a == b
+
+    def test_duplicate_rows_detected(self, spark):
+        # xor alone is blind to x XOR x; count + modular sum catch it
+        a = self._run(spark, [(1, "a"), (2, "b")], ["k", "s"])[0]
+        b = self._run(
+            spark, [(1, "a"), (1, "a"), (1, "a"), (2, "b")], ["k", "s"]
+        )[0]
+        assert a["xor60"] != b["xor60"] or a["n_rows"] != b["n_rows"]
+        assert (a["n_rows"], a["sum_mod"]) != (b["n_rows"], b["sum_mod"])
+
+    def test_null_not_confused_with_literal(self, spark):
+        a = self._run(spark, [(1, None)], ["k", "s"])[0]
+        b = self._run(spark, [(1, "\x00N")], ["k", "s"])[0]
+        # sentinel equals the one reserved string — collision is the
+        # documented contract boundary; anything else must differ
+        c = self._run(spark, [(1, "NULL")], ["k", "s"])[0]
+        assert a["xor60"] != c["xor60"]
+        assert a["xor60"] == b["xor60"]  # reserved-string boundary, documented
+
+    def test_any_field_change_moves_digest(self, spark):
+        base = self._run(spark, [(1, "a"), (2, "b")], ["k", "s"])[0]
+        for rows in ([(1, "a"), (2, "c")], [(1, "a"), (9, "b")]):
+            got = self._run(spark, rows, ["k", "s"])[0]
+            assert got["xor60"] != base["xor60"]
+
+
+class TestWeightedQuantiles:
+    def _run(self, spark, rows, **kw):
+        from snowplow_s3_loader_spark.operators.profile import (
+            weighted_quantiles,
+        )
+
+        df = spark.createDataFrame(rows, "group string, v long, w long")
+        return weighted_quantiles(df, "group", "v", "w", **kw).collect()
+
+    def test_differential_vs_python(self, spark):
+        import random
+
+        rng = random.Random(13)
+        rows = [
+            ("g", rng.randrange(100), rng.randrange(1, 9))
+            for _ in range(200)
+        ]
+        qs = [100_000, 500_000, 999_999]
+        got = {
+            r["q_micro"]: r["value"]
+            for r in self._run(spark, rows, q_micros=qs)
+        }
+        from collections import defaultdict
+
+        agg = defaultdict(int)
+        for _, v, w in rows:
+            agg[v] += w
+        W = sum(agg.values())
+        for q in qs:
+            cum = 0
+            for v in sorted(agg):
+                cum += agg[v]
+                if cum * 1_000_000 >= q * W:
+                    assert got[q] == v
+                    break
+
+    def test_weight_ties_merge_before_prefix(self, spark):
+        # equal values from different rows must pre-sum (q08 lesson)
+        rows = [("g", 5, 1), ("g", 5, 1), ("g", 9, 1)]
+        got = self._run(spark, rows, q_micros=[500_000])
+        assert got[0]["value"] == 5 and got[0]["w_total"] == 3
+
+    def test_nonpositive_weight_raises(self, spark):
+        with pytest.raises(Exception, match="positive"):
+            self._run(spark, [("g", 1, 0)])
