@@ -1266,7 +1266,27 @@ def q98_textdedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("v2"),
         F.col("violating").cast("long").alias("v3"),
     )
-    members = [tok, unig, urld, uenc, dsirr, shards, mlw, nov, incd, subd, trc, chm, bsel, mk, lded, phr, colc, wfp, gopher, clf, gmd, entr, kmvm, kanon]
+    # round 13: exact-total budget apportionment (weights and the
+    # full base/remainder core carry; alloc is their deterministic
+    # rank pick) and corpus vocabulary richness (exact integer
+    # frequency-of-frequencies estimators)
+    aloc = q.q184_sample_allocation(spark, sf_dir).select(
+        F.lit("alloc").alias("battery"),
+        F.col("stratum").alias("key"),
+        F.col("weight").alias("v1"),
+        (F.col("base") * 10_000_000 + F.col("alloc")).alias("v2"),
+        F.col("remainder").alias("v3"),
+    )
+    vocb = q.q185_vocab_richness(spark, sf_dir).select(
+        F.lit("vocab").alias("battery"),
+        F.lit("0").alias("key"),
+        (
+            F.col("n_tokens") * 10_000_000_000 + F.col("distinct_tokens")
+        ).alias("v1"),
+        (F.col("f1") * 10_000_000_000 + F.col("f2")).alias("v2"),
+        F.col("chao1_micro").alias("v3"),
+    )
+    members = [tok, unig, urld, uenc, dsirr, shards, mlw, nov, incd, subd, trc, chm, bsel, mk, lded, phr, colc, wfp, gopher, clf, gmd, entr, kmvm, kanon, aloc, vocb]
     combined = members[0]
     for m in members[1:]:
         combined = combined.union(m)
@@ -1783,6 +1803,7 @@ _FOLDED = {
     "q178_wasserstein",
     "q179_gini", "q180_mann_kendall", "q181_cramers_v",
     "q182_table_checksum", "q183_weighted_quantiles",
+    "q184_sample_allocation", "q185_vocab_richness",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
@@ -2814,6 +2835,15 @@ UNION ALL
 SELECT 'wq' AS battery, "group" || '@' || CAST(q_micro AS VARCHAR) AS key,
        w_total AS v1, value AS v2, CAST(NULL AS BIGINT) AS v3
 FROM ({ORACLES["q183_weighted_quantiles"]})
+UNION ALL
+SELECT 'alloc' AS battery, stratum AS key,
+       weight AS v1, base * 10000000 + alloc AS v2, remainder AS v3
+FROM ({ORACLES["q184_sample_allocation"]})
+UNION ALL
+SELECT 'vocab' AS battery, '0' AS key,
+       n_tokens * 10000000000 + distinct_tokens AS v1,
+       f1 * 10000000000 + f2 AS v2, chao1_micro AS v3
+FROM ({ORACLES["q185_vocab_richness"]})
 """
 
 # ---------------------------------------------------------------------------
@@ -2842,7 +2872,7 @@ BATTERY_FAMILY_TAGS: dict[str, frozenset[str]] = {
     "q98_textdedup_battery": frozenset(
         "bpe unigram urldedup uencode dsir shards mlewis novelty incdedup "
         "subdup trunc charset budget markup linededup phrase colloc winnow "
-        "gopher classifier mode entropy srcoverlap kanon".split()
+        "gopher classifier mode entropy srcoverlap kanon alloc vocab".split()
     ),
     "q95_statseval_battery": frozenset(
         "outliers moments histogram chi2 auc woe calib isotonic cuped abz "

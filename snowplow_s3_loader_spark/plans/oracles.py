@@ -5206,3 +5206,51 @@ JOIN pref p ON s.g = p.g AND p.cw * 1000000 >= s.q_micro * s.w_total
 GROUP BY 1, 2, 3
 ORDER BY 1, 2
 """
+
+ORACLES["q184_sample_allocation"] = """
+WITH strata AS (
+  SELECT lang || '@' || source AS stratum,
+         CAST(sum(CAST(len(string_split_regex(trim(text), ' +'))
+                       AS BIGINT)) AS BIGINT) AS weight
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM strata),
+based AS (
+  SELECT stratum, weight,
+         (weight * 1000000) // t.W AS base,
+         (weight * 1000000) % t.W AS remainder
+  FROM strata CROSS JOIN tot t
+),
+lft AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS L FROM based)
+SELECT stratum, weight, base, remainder,
+       base + CAST(row_number() OVER (ORDER BY remainder DESC, stratum)
+                   <= l.L AS BIGINT) AS alloc
+FROM based CROSS JOIN lft l
+ORDER BY stratum
+"""
+
+ORACLES["q185_vocab_richness"] = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS t
+  FROM documents
+),
+counts AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok WHERE t != ''
+  GROUP BY t
+),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_tokens,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM counts
+)
+SELECT n_tokens, distinct_tokens, f1, f2,
+       CAST(CAST(distinct_tokens AS HUGEINT) * 1000000
+            + (CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000)
+              // (2 * (f2 + 1)) AS BIGINT) AS chao1_micro,
+       CASE WHEN n_tokens > 0 THEN
+         CAST((CAST(f1 AS HUGEINT) * 1000000) // n_tokens AS BIGINT)
+       END AS unseen_micro
+FROM agg
+"""

@@ -3824,6 +3824,39 @@ def q183_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_quantiles(li, "l_returnflag", "px_c", "units")
 
 
+
+def q184_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 1M-document sampling budget
+    across (lang, source) strata, weighted by whitespace token counts —
+    the exact-total mixture allocation ("sample proportional to tokens,
+    summing to EXACTLY the budget") that proportional rounding cannot
+    deliver."""
+    from snowplow_s3_loader_spark.operators.sampling import (
+        largest_remainder_allocation,
+    )
+    from snowplow_s3_loader_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("@", "lang", "source").alias("stratum"),
+        token_count(F.col("text")).cast("long").alias("toks"),
+    )
+    return largest_remainder_allocation(
+        docs, "stratum", "toks", 1_000_000
+    )
+
+
+def q185_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary richness from the token frequency-of-
+    frequencies: bias-corrected Chao1 (how many token types exist,
+    including unseen ones) and the Good-Turing unseen mass (how much
+    of the next shard is new vocabulary) — the tokenizer/dedup
+    planning readout."""
+    from snowplow_s3_loader_spark.operators.text import vocab_richness
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_richness(docs, "text")
+
+
 def q172_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon drift between two event snapshots — the bounded,
     symmetric, vanished-bin-safe companion to q151's PSI on the SAME
@@ -4148,5 +4181,7 @@ QUERIES = {
         q181_cramers_v,
         q182_table_checksum,
         q183_weighted_quantiles,
+        q184_sample_allocation,
+        q185_vocab_richness,
     ]
 }

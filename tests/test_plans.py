@@ -1425,3 +1425,30 @@ def test_q183_wq_distinct_frame_windows(spark, sf_dir):
     assert not data_sized_single_partitions(plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q184_allocation_strata_frame_window(spark, sf_dir):
+    """The corpus pays one keyed aggregation to the stratum frame; the
+    remainder ranking is one window over that frame (strata-count
+    sized — bounded pieces allowed); totals are scalar partial+final
+    merges; no Python, no cartesian blowup beyond the two one-row
+    broadcast assemblies."""
+    plan = plan_of(Q.q184_sample_allocation(spark, sf_dir))
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the stratum-frame rank window is the one surviving single
+    # partition piece
+    assert len(data_sized_single_partitions(plan)) <= 1, plan
+
+
+def test_q185_vocab_one_keyed_count_then_scalars(spark, sf_dir):
+    """Tokens explode into ONE keyed count with partial combine; the
+    frequency-of-frequencies reduction is a scalar partial+final merge
+    — no window, no join, no Python, one file index."""
+    plan = plan_of(Q.q185_vocab_richness(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "windowspecdefinition" not in plan.lower(), plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert not data_sized_single_partitions(plan), plan
+    assert formatted_part(plan).count("InMemoryFileIndex") == 1, plan

@@ -882,3 +882,102 @@ class TestWeightedQuantiles:
     def test_nonpositive_weight_raises(self, spark):
         with pytest.raises(Exception, match="positive"):
             self._run(spark, [("g", 1, 0)])
+
+
+class TestLargestRemainderAllocation:
+    def _run(self, spark, rows, n):
+        from snowplow_s3_loader_spark.operators.sampling import (
+            largest_remainder_allocation,
+        )
+
+        df = spark.createDataFrame(rows, "stratum string, w long")
+        return largest_remainder_allocation(df, "stratum", "w", n).collect()
+
+    def test_hamilton_textbook_case(self, spark):
+        rows = self._run(
+            spark, [("a", 453), ("b", 342), ("c", 205)], 10
+        )
+        got = {r["stratum"]: r["alloc"] for r in rows}
+        assert got == {"a": 5, "b": 3, "c": 2}
+
+    def test_sums_exactly_to_budget(self, spark):
+        import random
+
+        rng = random.Random(29)
+        rows = [(f"s{i}", rng.randrange(1, 10_000)) for i in range(40)]
+        for n in (7, 1_000, 999_983):
+            out = self._run(spark, rows, n)
+            assert sum(r["alloc"] for r in out) == n
+
+    def test_differential_vs_python(self, spark):
+        import random
+
+        rng = random.Random(31)
+        rows = [(f"s{i}", rng.randrange(0, 500)) for i in range(25)]
+        n = 123
+        got = {r["stratum"]: r["alloc"] for r in self._run(spark, rows, n)}
+        W = sum(w for _, w in rows)
+        base = {s: w * n // W for s, w in rows}
+        rem = {s: w * n % W for s, w in rows}
+        L = n - sum(base.values())
+        order = sorted(rows, key=lambda sw: (-rem[sw[0]], sw[0]))
+        want = dict(base)
+        for s, _ in order[:L]:
+            want[s] += 1
+        assert got == want
+
+    def test_zero_budget_raises(self, spark):
+        with pytest.raises(ValueError, match="positive"):
+            self._run(spark, [("a", 1)], 0)
+
+    def test_negative_weight_raises(self, spark):
+        with pytest.raises(Exception, match="non-negative"):
+            self._run(spark, [("a", -3)], 5)
+
+
+class TestVocabRichness:
+    def _run(self, spark, texts):
+        from snowplow_s3_loader_spark.operators.text import vocab_richness
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        return vocab_richness(df, "text").collect()[0]
+
+    def test_hand_case(self, spark):
+        got = self._run(spark, ["a a b c"])
+        assert (got["n_tokens"], got["distinct_tokens"]) == (4, 3)
+        assert (got["f1"], got["f2"]) == (2, 1)
+        # chao1 = 3 + 2*1/(2*2) = 3.5; unseen = 2/4
+        assert got["chao1_micro"] == 3_500_000
+        assert got["unseen_micro"] == 500_000
+
+    def test_no_singletons_chao_equals_distinct(self, spark):
+        got = self._run(spark, ["a a b b c c"])
+        assert got["f1"] == 0
+        assert got["chao1_micro"] == got["distinct_tokens"] * 1_000_000
+        assert got["unseen_micro"] == 0
+
+    def test_f2_zero_bias_corrected_defined(self, spark):
+        got = self._run(spark, ["a b c"])  # all singletons, f2 = 0
+        # 3 + 3*2/(2*1) = 6
+        assert got["chao1_micro"] == 6_000_000
+
+    def test_differential_vs_python(self, spark):
+        import random
+
+        rng = random.Random(41)
+        words = [f"w{rng.randrange(60)}" for _ in range(400)]
+        texts = [
+            " ".join(words[i : i + 20]) for i in range(0, 400, 20)
+        ]
+        got = self._run(spark, texts)
+        from collections import Counter
+
+        c = Counter(words)
+        D, N = len(c), sum(c.values())
+        f1 = sum(1 for v in c.values() if v == 1)
+        f2 = sum(1 for v in c.values() if v == 2)
+        assert (got["n_tokens"], got["distinct_tokens"]) == (N, D)
+        assert (got["f1"], got["f2"]) == (f1, f2)
+        assert got["chao1_micro"] == D * 1_000_000 + f1 * (
+            f1 - 1
+        ) * 1_000_000 // (2 * (f2 + 1))
