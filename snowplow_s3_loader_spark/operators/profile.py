@@ -2442,6 +2442,21 @@ def weighted_quantiles(
     )
 
 
+def checksum_hash60(cols: list[str]) -> "Column":
+    """The table_checksum row hash: canonical string (0x1f-joined
+    columns, NULL as the 0x00-prefixed sentinel) -> 60-bit md5 prefix
+    as a non-negative bigint. Shared by the batch operator and the
+    streaming twin so the two digests are parity-exact by
+    construction."""
+    sent = F.lit("\x00N")
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), sent) for c in cols]
+    )
+    return F.conv(
+        F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def table_checksum(
     df: DataFrame,
     cols: list[str],
@@ -2476,13 +2491,7 @@ def table_checksum(
     join, no sort.
 
     Output: (group?, n_rows, xor60, sum_mod, min_h, max_h)."""
-    sent = F.lit("\x00N")
-    canon = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), sent) for c in cols]
-    )
-    h = F.conv(
-        F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10
-    ).cast("long")
+    h = checksum_hash60(cols)
     keyed = df.select(
         *([F.col(group_col).alias("group")] if group_col else []),
         h.alias("__h"),

@@ -2414,6 +2414,14 @@ SELECT 'parity' AS battery,
        CAST(NULL AS BIGINT) AS v3
 FROM (SELECT DISTINCT event_type FROM events)
 UNION ALL
+-- streaming incremental table checksum (fifteenth family, round 13):
+-- one bit per audited partition (return flag)
+SELECT 'parity' AS battery,
+       'streaming_cksum@' || l_returnflag AS key,
+       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+UNION ALL
 SELECT 'parity' AS battery,
        'component_map@' || CAST(node AS VARCHAR) AS key,
        CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,

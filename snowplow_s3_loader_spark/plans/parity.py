@@ -1129,16 +1129,94 @@ def _changepoint_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
+
+def _checksum_parity(spark: SparkSession, sf_dir: str) -> list:
+    """Streaming incremental table checksum vs batch table_checksum
+    (round 13 — the FIFTEENTH parity family, q182's twin): the exact
+    q182 lineitem canonicalization split into three micro-batches by
+    l_orderkey residue — deliberately NOT arrival-ordered; every digest
+    component (count, xor, modular sum, min, max) is a commutative+
+    associative fold — drained through streaming_table_checksum and
+    compared bit-for-bit against the batch digest per return flag."""
+    from snowplow_s3_loader_spark.operators.profile import table_checksum
+    from snowplow_s3_loader_spark.streaming.stateful import (
+        streaming_table_checksum,
+    )
+
+    cols = ["l_orderkey", "ln", "qty_c", "px_c", "ship"]
+
+    def _canon(df):
+        return df.select(
+            "l_returnflag",
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("ln"),
+            F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("px_c"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship"),
+        )
+
+    li = _canon(load_table(spark, sf_dir, "lineitem"))
+    slices = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="parity_cksum_")
+    digests: dict = {}
+    try:
+        in_dir = _write_stream_files(slices, tmp)
+        src = (
+            spark.readStream.schema(
+                "l_returnflag string, l_orderkey bigint, ln bigint, "
+                "qty_c bigint, px_c bigint, ship string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+        def _fb(df, bid):
+            for r in df.collect():  # update mode: later batches overwrite
+                digests[r["group"]] = (
+                    r["n_rows"],
+                    r["xor60"],
+                    r["sum_mod"],
+                    r["min_h"],
+                    r["max_h"],
+                )
+
+        _run_stream(
+            streaming_table_checksum(src, cols, "l_returnflag"), tmp, _fb
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    batch = {
+        r["group"]: (
+            r["n_rows"],
+            r["xor60"],
+            r["sum_mod"],
+            r["min_h"],
+            r["max_h"],
+        )
+        for r in table_checksum(li, cols, group_col="l_returnflag").collect()
+    }
+    return [
+        (
+            "streaming_cksum",
+            str(g),
+            int(batch.get(g) == digests.get(g)),
+        )
+        for g in sorted(set(batch) | set(digests))
+    ]
+
+
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check_name, key, is_match) for all the parity families, fully
     materialized driver-side (literal rows — no lingering plan or
     checkpoint references). The streaming checks run CONCURRENTLY
     (independent sources/sinks/checkpoints; Spark job submission is
     thread-safe) so the audit pays one streaming-query startup of wall
-    time, not fourteen."""
+    time, not fifteen."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=14) as ex:
+    with ThreadPoolExecutor(max_workers=15) as ex:
         fut_funnel = ex.submit(_funnel_parity, spark, sf_dir)
         fut_heavy = ex.submit(_heavy_parity, spark, sf_dir)
         fut_ssj = ex.submit(_interval_join_parity, spark, sf_dir)
@@ -1152,6 +1230,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_cms = ex.submit(_cms_parity, spark, sf_dir)
         fut_calib = ex.submit(_calibration_parity, spark, sf_dir)
         fut_chgpt = ex.submit(_changepoint_parity, spark, sf_dir)
+        fut_cksum = ex.submit(_checksum_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
         rows = (
             fut_funnel.result()
@@ -1167,6 +1246,7 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             + fut_cms.result()
             + fut_calib.result()
             + fut_chgpt.result()
+            + fut_cksum.result()
             + cm_rows
         )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

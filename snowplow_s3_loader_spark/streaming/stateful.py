@@ -1396,3 +1396,117 @@ def streaming_calibration_counts(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_table_checksum(
+    stream: DataFrame,
+    cols: list[str],
+    group_col: str,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming incremental table checksum — the FIFTEENTH
+    batch-vs-streaming parity family, q182's twin: maintain the
+    order-invariant per-group digest (n_rows, xor60, sum_mod, min_h,
+    max_h) as rows arrive. Every component is a commutative+
+    associative fold (count addition, XOR, modular-residue addition,
+    min, max), so ANY interleaving of micro-batches drains to exactly
+    the batch table_checksum output — the always-on ingest-integrity
+    monitor: compare the stream's digest against the batch digest of
+    what landed in the lake, divergence means loss or duplication.
+
+    The row hash is profile.checksum_hash60 over the SAME columns the
+    batch operator hashes (computed JVM-side in a pure projection —
+    the Python state fold only ever sees the bigint), so parity holds
+    by construction. State is FIVE longs per group — bounded by the
+    group count, never the data.
+
+    sum_mod mirrors the batch contract exactly: the SUM of per-row
+    residues (h % 1000003) with NO outer modulus — inside int64 to
+    9.2e12 rows per group, same bound as batch.
+
+    ``timeout_ms`` evicts an idle group's digest (breaking
+    drains-to-batch for that group if it resumes); leave None for
+    whole-stream parity."""
+    from snowplow_s3_loader_spark.operators.profile import checksum_hash60
+
+    hashed = stream.select(
+        F.col(group_col).alias("group"),
+        checksum_hash60(cols).alias("__h"),
+        (checksum_hash60(cols) % F.lit(1_000_003)).alias("__m"),
+    )
+    out_schema = StructType(
+        [
+            StructField("group", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("xor60", LongType()),
+            StructField("sum_mod", LongType()),
+            StructField("min_h", LongType()),
+            StructField("max_h", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("x", LongType()),
+            StructField("s", LongType()),
+            StructField("mn", LongType()),
+            StructField("mx", LongType()),
+        ]
+    )
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (g,) = key
+        n_new, x_new, s_new = 0, 0, 0
+        mn_new, mx_new = None, None
+        for p in pdfs:
+            if not len(p):
+                continue
+            hs = p["__h"].astype("int64")
+            n_new += len(p)
+            for h in hs:
+                x_new ^= int(h)
+            s_new += int(p["__m"].astype("int64").sum())
+            bmn, bmx = int(hs.min()), int(hs.max())
+            mn_new = bmn if mn_new is None else min(mn_new, bmn)
+            mx_new = bmx if mx_new is None else max(mx_new, bmx)
+        if n_new:
+            if state.exists:
+                n, x, sm, mn, mx = state.get
+                n += n_new
+                x ^= x_new
+                sm += s_new
+                mn = min(mn, mn_new)
+                mx = max(mx, mx_new)
+            else:
+                n, x, sm, mn, mx = n_new, x_new, s_new, mn_new, mx_new
+            state.update((n, x, sm, mn, mx))
+        elif state.exists:
+            n, x, sm, mn, mx = state.get
+        else:
+            return
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "group": [g],
+                "n_rows": [n],
+                "xor60": [x],
+                "sum_mod": [sm],
+                "min_h": [mn],
+                "max_h": [mx],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return hashed.groupBy("group").applyInPandasWithState(
+        _update, out_schema, state_schema, "update", timeout
+    )

@@ -981,3 +981,56 @@ class TestVocabRichness:
         assert got["chao1_micro"] == D * 1_000_000 + f1 * (
             f1 - 1
         ) * 1_000_000 // (2 * (f2 + 1))
+
+
+class TestStreamingChecksum:
+    def test_streaming_matches_batch_any_interleaving(self, spark, tmp_path):
+        """Drain three deliberately un-ordered micro-batches through
+        streaming_table_checksum; the final digests must equal batch
+        table_checksum on the union bit-for-bit (every component is a
+        commutative fold)."""
+        import pyspark.sql.functions as F
+        from snowplow_s3_loader_spark.operators.profile import table_checksum
+        from snowplow_s3_loader_spark.streaming.stateful import (
+            streaming_table_checksum,
+        )
+
+        rows = [
+            (f"g{i % 3}", i * 7 % 50, f"s{i * 13 % 11}") for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "grp string, k long, s string")
+        in_dir = str(tmp_path / "in")
+        # residue slices — NOT arrival-ordered
+        for i in range(3):
+            df.where(F.col("k") % 3 == i).write.mode("append").parquet(in_dir)
+        src = (
+            spark.readStream.schema("grp string, k long, s string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        digests = {}
+
+        def _fb(b, bid):
+            for r in b.collect():
+                digests[r["group"]] = (
+                    r["n_rows"], r["xor60"], r["sum_mod"],
+                    r["min_h"], r["max_h"],
+                )
+
+        q = (
+            streaming_table_checksum(src, ["k", "s"], "grp")
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(_fb)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not drain"
+        batch = {
+            r["group"]: (
+                r["n_rows"], r["xor60"], r["sum_mod"],
+                r["min_h"], r["max_h"],
+            )
+            for r in table_checksum(df, ["k", "s"], group_col="grp").collect()
+        }
+        assert digests == batch
