@@ -93,7 +93,10 @@ class TestBatteryFamilySplit:
     # silently dropped from the family map (losing its battery row AND
     # its oracle branch together) fails here instead of vanishing.
     # Extends the r12 monolith's 96 members with the round-13 folds
-    # (mrr, seasonal, theilsen, kanon, jsd, smd, w1).
+    # (first batch: mrr, seasonal, theilsen, kanon, jsd, smd, w1;
+    # second: gini, cramer, wq, mk, cksum; third: alloc, vocab) —
+    # UPDATE THIS PIN when a new family lands, it is the deliberate
+    # record of what the family batteries are expected to carry.
     MONOLITH_TAGS = frozenset(
         "bloom heavy zorder quantile packing cdc incr quantize interval "
         "profile pairs checks scd2 parity scd2rt fuzzy diff cms bitmap "
@@ -107,7 +110,8 @@ class TestBatteryFamilySplit:
         "gopher classifier mode entropy srcoverlap "
         "outliers moments histogram chi2 auc woe calib isotonic cuped abz "
         "psi ks spearman mi benford zipf qrank winsor "
-        "mrr seasonal theilsen kanon jsd smd w1".split()
+        "mrr seasonal theilsen kanon jsd smd w1 "
+        "gini cramer wq mk cksum alloc vocab".split()
     )
 
     def test_family_map_partitions_the_monolith(self):
