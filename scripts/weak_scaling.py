@@ -2148,135 +2148,10 @@ def mi_case(spark, n_rows: int) -> dict:
     return {"case": "mi", "rows": n_rows, "sec": round(dt, 2)}
 
 
-
-def gini_case(spark, n_rows: int) -> dict:
-    """Entity aggregation + one group-keyed ranking window + one final
-    agg over 64 groups: ~linear in rows."""
-    from snowplow_s3_loader_spark.operators.profile import gini_concentration
-
-    df = spark.range(n_rows).select(
-        (F.col("id") % 64).cast("string").alias("g"),
-        (F.abs(F.xxhash64("id")) % 5000).cast("string").alias("e"),
-        (F.abs(F.xxhash64(F.col("id") + 7)) % 1000).alias("v"),
-    )
-    t0 = time.perf_counter()
-    rows = gini_concentration(df, "g", "e", "v").collect()
-    dt = time.perf_counter() - t0
-    assert len(rows) == 64
-    return {"case": "gini", "rows": n_rows, "sec": round(dt, 2)}
-
-
-def theilsen_case(spark, n_series: int) -> dict:
-    """Per-series pair join under the 10k cap: weak-scale on the NUMBER
-    of series at fixed series length (100 points -> ~5k pairs each);
-    wall must grow ~linearly with series count."""
-    from snowplow_s3_loader_spark.operators.timeseries import theil_sen_slopes
-
-    pts = spark.range(n_series * 100).select(
-        (F.col("id") % n_series).cast("string").alias("g"),
-        (F.col("id") / n_series).cast("long").alias("x"),
-        (
-            (F.col("id") / n_series).cast("long") * 3
-            + (F.abs(F.xxhash64("id")) % 40)
-        ).alias("y"),
-    )
-    t0 = time.perf_counter()
-    n = theil_sen_slopes(pts, "g", "x", "y").count()
-    dt = time.perf_counter() - t0
-    assert n == n_series
-    return {"case": "theilsen", "series": n_series, "sec": round(dt, 2)}
-
-
-def mk_case(spark, n_series: int) -> dict:
-    """Mann-Kendall: same series-keyed pair-join shape as theilsen plus
-    the tie aggregation; weak-scale on series count at fixed length."""
-    from snowplow_s3_loader_spark.operators.timeseries import (
-        mann_kendall_trend,
-    )
-
-    pts = spark.range(n_series * 100).select(
-        (F.col("id") % n_series).cast("string").alias("g"),
-        (F.col("id") / n_series).cast("long").alias("x"),
-        (F.abs(F.xxhash64("id")) % 25).alias("y"),
-    )
-    t0 = time.perf_counter()
-    n = mann_kendall_trend(pts, "g", "x", "y").count()
-    dt = time.perf_counter() - t0
-    assert n == n_series
-    return {"case": "mk", "series": n_series, "sec": round(dt, 2)}
-
-
-def cksum_case(spark, n_rows: int) -> dict:
-    """Pure scan -> one keyed partial+final agg: the flattest possible
-    weak-scaling curve; any superlinear growth is a red flag."""
-    from snowplow_s3_loader_spark.operators.profile import table_checksum
-
-    df = spark.range(n_rows).select(
-        (F.col("id") % 7).cast("string").alias("g"),
-        F.col("id").alias("k"),
-        (F.abs(F.xxhash64("id")) % 99991).cast("string").alias("s"),
-    )
-    t0 = time.perf_counter()
-    rows = table_checksum(df, ["k", "s"], group_col="g").collect()
-    dt = time.perf_counter() - t0
-    assert len(rows) == 7 and sum(r["n_rows"] for r in rows) == n_rows
-    return {"case": "cksum", "rows": n_rows, "sec": round(dt, 2)}
-
-
-def wq_case(spark, n_rows: int) -> dict:
-    """Corpus pays one keyed agg to the (group, value) distinct frame
-    (bounded at 2000 values here); the prefix window rides that frame:
-    ~linear scan time, flat tail."""
-    from snowplow_s3_loader_spark.operators.profile import weighted_quantiles
-
-    df = spark.range(n_rows).select(
-        (F.col("id") % 8).cast("string").alias("g"),
-        (F.abs(F.xxhash64("id")) % 2000).alias("v"),
-        (F.abs(F.xxhash64(F.col("id") + 3)) % 9 + 1).alias("w"),
-    )
-    t0 = time.perf_counter()
-    rows = weighted_quantiles(df, "g", "v", "w").collect()
-    dt = time.perf_counter() - t0
-    assert len(rows) == 32
-    return {"case": "wq", "rows": n_rows, "sec": round(dt, 2)}
-
-
-def alloc_case(spark, n_rows: int) -> dict:
-    """Corpus pays one keyed agg to the stratum frame (1000 strata);
-    the remainder rank window rides that frame: ~linear."""
-    from snowplow_s3_loader_spark.operators.sampling import (
-        largest_remainder_allocation,
-    )
-
-    df = spark.range(n_rows).select(
-        (F.abs(F.xxhash64("id")) % 1000).cast("string").alias("s"),
-        (F.abs(F.xxhash64(F.col("id") + 11)) % 500).alias("w"),
-    )
-    t0 = time.perf_counter()
-    out = largest_remainder_allocation(df, "s", "w", 1_000_000)
-    total = out.agg(F.sum("alloc")).collect()[0][0]
-    dt = time.perf_counter() - t0
-    assert total == 1_000_000
-    return {"case": "alloc", "rows": n_rows, "sec": round(dt, 2)}
-
-
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
     out = []
-    if which == "round13":
-        out.append(gini_case(spark, 1_000_000))
-        out.append(gini_case(spark, 10_000_000))
-        out.append(theilsen_case(spark, 30))
-        out.append(theilsen_case(spark, 300))
-        out.append(mk_case(spark, 30))
-        out.append(mk_case(spark, 300))
-        out.append(cksum_case(spark, 1_000_000))
-        out.append(cksum_case(spark, 10_000_000))
-        out.append(wq_case(spark, 1_000_000))
-        out.append(wq_case(spark, 10_000_000))
-        out.append(alloc_case(spark, 1_000_000))
-        out.append(alloc_case(spark, 10_000_000))
     if which == "round12":
         out.append(changepoint_case(spark, 1_000_000))
         out.append(changepoint_case(spark, 10_000_000))

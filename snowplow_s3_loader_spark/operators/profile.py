@@ -1774,735 +1774,3 @@ def survival_curve(
             ),
         ).alias("cum_ln_micro"),
     ).orderBy("group", "t")
-
-
-def js_divergence_bins(
-    ref: DataFrame,
-    cur: DataFrame,
-    value_col: str,
-    k: int = 10,
-    tie_cols: list[str] | None = None,
-) -> DataFrame:
-    """Jensen-Shannon divergence between two snapshots of a feature —
-    the BOUNDED, symmetric drift monitor that completes the PSI/KS
-    pair (Lin, "Divergence measures based on the Shannon entropy",
-    IEEE IT 1991): PSI blows up (NULL here) on vanished bins and KS
-    only sees the worst point of the CDF; JS handles empty bins by
-    construction (a zero-probability side contributes a zero term, no
-    smoothing needed) and is bounded by ln 2, so one alert threshold
-    works for every feature.
-
-    Binning is exactly `psi_bins`' rule — equi-depth edges from the
-    REFERENCE, both snapshots counted by value — so the three monitors
-    share one histogram and their readings are comparable. Per bin,
-    with p = n_ref/NR, q = n_cur/NC, m = (p + q) / 2:
-
-        js_micro = round((0.5 * p * ln(p/m) + 0.5 * q * ln(q/m))
-                         * 1e6)              (zero term for a zero side)
-
-    — doubles built from identical exact integers in the same
-    operation order on both engines (the psi_micro discipline), rounded
-    ONCE. The headline total is the INTEGER sum of the rounded per-bin
-    terms (js_total_micro, same value on every row) — no float
-    accumulation anywhere.
-
-    Scale shape: inherits psi_bins' (one distributed reference sort
-    for edges, one partial+final aggregation per side, k-row frames
-    after); the totals crossJoin is a broadcast of one row.
-
-    Output: (bin, upper_edge, n_ref, n_cur, js_micro, js_total_micro),
-    bins 1..k ordered by bin."""
-    bins = psi_bins(ref, cur, value_col, k, tie_cols).select(
-        "bin", "upper_edge", "n_ref", "n_cur"
-    )
-    tot = bins.agg(
-        F.sum("n_ref").alias("__NR"), F.sum("n_cur").alias("__NC")
-    )
-    p = F.col("n_ref").cast("double") / F.col("__NR").cast("double")
-    q = F.col("n_cur").cast("double") / F.col("__NC").cast("double")
-    m = (p + q) / F.lit(2.0)
-    term = F.coalesce(
-        F.when(F.col("n_ref") > 0, F.lit(0.5) * p * F.log(p / m)),
-        F.lit(0.0),
-    ) + F.coalesce(
-        F.when(F.col("n_cur") > 0, F.lit(0.5) * q * F.log(q / m)),
-        F.lit(0.0),
-    )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return (
-        bins.crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "upper_edge",
-            "n_ref",
-            "n_cur",
-            F.round(term * 1_000_000, 0).cast("long").alias("js_micro"),
-        )
-        .select("*", F.sum("js_micro").over(w).alias("js_total_micro"))
-        .orderBy("bin")
-    )
-
-
-def smd_balance(
-    df: DataFrame,
-    variant_col: str,
-    covariate_cols: list[str],
-    a_value,
-    b_value,
-) -> DataFrame:
-    """Standardized-mean-difference covariate balance check for an A/B
-    assignment (Austin, "Balance diagnostics...", Stat Med 2009) — the
-    pre-readout gate CUPED (q171) assumes: if a PRE-experiment
-    covariate differs between arms beyond randomization noise, the
-    assignment is suspect and no adjustment rescues the readout.
-    |SMD| < 0.1 is the standard balance rule.
-
-        smd = (mean_a - mean_b) / sqrt((var_a + var_b) / 2)
-
-    Exact ingredients per covariate: the per-arm BIGINT moment sums
-    (n, sum, sum of squares — integer inputs under the cents
-    discipline, so both engines agree bit for bit), the exact int64
-    mean-gap numerator gap_num = sum_a * n_b - sum_b * n_a, and the
-    one closing double smd_micro built from the same integers in the
-    same operation order (sample variances with the n-1 denominator;
-    NULL when either arm has < 2 rows or zero pooled variance).
-
-    Guards: NULL covariate values raise (a silently dropped row shifts
-    every moment); rows in neither arm raise (a third assignment value
-    is a corrupted experiment, the q171 rule); integer covariates are
-    ENFORCED (fractional input would make sum-of-squares engine-
-    dependent).
-
-    Scale shape: ONE scan — a guarded projection feeds one grouped
-    aggregation keyed by (covariate, arm) via an inline stack (2 x
-    |covariates| output rows), then the 2-row arms join per covariate.
-    Everything after the scan runs on a |covariates|-row frame.
-
-    Output: (covariate, n_a, n_b, sum_a, sum_b, ssq_a, ssq_b, gap_num,
-    smd_micro) ordered by covariate."""
-    v = F.col(variant_col)
-    arm = F.when(
-        v.isNull() | ~v.isin(a_value, b_value),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"smd_balance: {variant_col!r} must be "
-                    f"{a_value!r}/{b_value!r}, got "
-                ),
-                F.coalesce(v.cast("string"), F.lit("NULL")),
-            )
-        ).cast("string"),
-    ).otherwise(F.when(v == a_value, F.lit("a")).otherwise(F.lit("b")))
-    checked_cols = []
-    for c in covariate_cols:
-        x = F.col(c)
-        checked_cols.append(
-            F.when(
-                x.isNull() | (x != x.cast("long")),
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            f"smd_balance: covariate {c!r} must be "
-                            "integer non-null (cents discipline), got "
-                        ),
-                        F.coalesce(x.cast("string"), F.lit("NULL")),
-                    )
-                ).cast("long"),
-            )
-            .otherwise(x.cast("long"))
-            .alias(c)
-        )
-    stack_args = ", ".join(f"'{c}', {c}" for c in covariate_cols)
-    long_form = df.select(arm.alias("__arm"), *checked_cols).select(
-        "__arm",
-        F.expr(
-            f"stack({len(covariate_cols)}, {stack_args}) AS (covariate, __x)"
-        ),
-    )
-    per_arm = long_form.groupBy("covariate", "__arm").agg(
-        F.count("*").alias("n"),
-        F.sum("__x").alias("s"),
-        F.sum(F.col("__x") * F.col("__x")).alias("ssq"),
-    )
-    a_side = per_arm.where(F.col("__arm") == "a").select(
-        "covariate",
-        F.col("n").alias("n_a"),
-        F.col("s").alias("sum_a"),
-        F.col("ssq").alias("ssq_a"),
-    )
-    b_side = per_arm.where(F.col("__arm") == "b").select(
-        "covariate",
-        F.col("n").alias("n_b"),
-        F.col("s").alias("sum_b"),
-        F.col("ssq").alias("ssq_b"),
-    )
-    j = a_side.join(b_side, "covariate", "full")
-    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    sa, sb = F.col("sum_a").cast("double"), F.col("sum_b").cast("double")
-    var_a = (F.col("ssq_a").cast("double") - sa * sa / na) / (na - 1)
-    var_b = (F.col("ssq_b").cast("double") - sb * sb / nb) / (nb - 1)
-    pooled = F.sqrt((var_a + var_b) / F.lit(2.0))
-    return j.select(
-        "covariate",
-        "n_a",
-        "n_b",
-        "sum_a",
-        "sum_b",
-        "ssq_a",
-        "ssq_b",
-        (
-            F.col("sum_a") * F.col("n_b") - F.col("sum_b") * F.col("n_a")
-        ).alias("gap_num"),
-        F.when(
-            (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (pooled > 0),
-            F.round(
-                (sa / na - sb / nb) / pooled * 1_000_000, 0
-            ).cast("long"),
-        ).alias("smd_micro"),
-    ).orderBy("covariate")
-
-
-def k_anonymity_audit(
-    df: DataFrame,
-    quasi_cols: list[str],
-    k: int = 5,
-) -> DataFrame:
-    """k-anonymity audit over a quasi-identifier tuple (Sweeney, IJUFKS
-    2002) — the privacy gate a training-data release runs before
-    shipping event-level records: every combination of quasi-identifier
-    values must be shared by at least k rows, or those rows are
-    re-identifiable by joining the released data against public
-    attributes. NULL is treated as a regular category (a NULL zip code
-    still identifies its group).
-
-    One row per equivalence-class SIZE (the histogram of group sizes):
-    class_size, n_classes with that size, n_rows they cover, and the
-    violation flag (class_size < k). The headline numbers every release
-    review asks for — the minimum class size and how many rows sit in
-    violating classes — are one ORDER BY / one filtered sum away and
-    ride every row as audit columns (min_class_size, n_violating_rows —
-    same on every row, the ECE pattern).
-
-    Scale shape: ONE partial+final aggregation over the quasi columns
-    (the class histogram), then a second k'-row aggregation over class
-    sizes; the audit columns run on the size-histogram frame (bounded
-    by distinct class sizes <= sqrt(2n)). No windows over data-sized
-    frames, no collects.
-
-    Output: (class_size, n_classes, n_rows, violating, min_class_size,
-    n_violating_rows) ordered by class_size."""
-    if k < 1:
-        raise ValueError(f"k_anonymity_audit: k must be >= 1, got {k}")
-    classes = (
-        df.groupBy(*[F.col(c) for c in quasi_cols])
-        .agg(F.count("*").alias("class_size"))
-        .groupBy("class_size")
-        .agg(F.count("*").alias("n_classes"))
-        .select(
-            "class_size",
-            "n_classes",
-            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
-            (F.col("class_size") < k).alias("violating"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("class_size").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return classes.select(
-        "*",
-        F.min("class_size").over(w).alias("min_class_size"),
-        F.sum(
-            F.when(F.col("violating"), F.col("n_rows")).otherwise(F.lit(0))
-        ).over(w).alias("n_violating_rows"),
-    ).orderBy("class_size")
-
-
-def wasserstein_distance(
-    ref: DataFrame,
-    cur: DataFrame,
-    value_col: str,
-    num_partitions: int | None = None,
-    max_distinct_values: int | None = 2_000_000,
-) -> DataFrame:
-    """Exact 1-Wasserstein (earth-mover) distance between two snapshots
-    of an integer metric — the drift monitor that reads MAGNITUDE where
-    KS (q153) reads only the worst CDF point and PSI (q151) only a
-    fixed grid: W1 = integral of |F_ref - F_cur| over the value axis,
-    i.e. "how far does probability mass actually move", in the metric's
-    own units.
-
-    Exact integer form over the distinct-value frame: at each distinct
-    v (sorted), with inclusive counts c_r / c_c and gap = next(v) - v,
-
-        num = sum over v of |c_r * n_cur - c_c * n_ref| * gap
-        w1_micro = (num * 1e6) div (n_ref * n_cur)      (truncating)
-
-    num rides DECIMAL(38,0) (it reaches n_ref*n_cur*range — past int64
-    at corpus scale; the q153 widening trick, DuckDB side HUGEINT), so
-    both engines agree bit for bit. The cumulative counts come from ONE
-    packed prefix pass (ks_statistic's int64 packing over
-    `global_running_total` — no materialization, no single-partition
-    ranking stage); the gap lookup is one lead() over the distinct-
-    value frame, which the same loud ``max_distinct_values`` guard
-    bounds (quantize the metric or raise the bound deliberately).
-
-    Guards inherited from ks_statistic: NULL values raise, both
-    snapshots non-empty, n_ref * (n_cur + 1) inside int64, distinct
-    cardinality bounded.
-
-    Output: one row (n_ref, n_cur, n_values, w1_micro) — the DECIMAL
-    numerator stays internal; the emitted micro value is the one
-    truncating division."""
-    from pyspark.sql import Window
-
-    from snowplow_s3_loader_spark.operators.ranking import (
-        global_running_total,
-    )
-
-    def _side(df: DataFrame, flag: int, name: str) -> DataFrame:
-        v = F.col(value_col)
-        checked = F.when(
-            v.isNull() | (v != v.cast("long")),
-            F.raise_error(
-                F.lit(
-                    f"wasserstein_distance: {value_col!r} must be integer "
-                    f"non-null in the {name} snapshot"
-                )
-            ).cast(df.schema[value_col].dataType),
-        ).otherwise(v)
-        return df.select(
-            checked.alias("__v"), F.lit(flag).alias("__is_ref")
-        )
-
-    u = _side(ref, 1, "reference").unionAll(_side(cur, 0, "current"))
-    per_v = u.groupBy("__v").agg(
-        F.sum("__is_ref").cast("long").alias("__dr"),
-        F.sum(1 - F.col("__is_ref")).cast("long").alias("__dc"),
-    )
-    tot = per_v.agg(
-        F.sum("__dr").alias("nr"),
-        F.sum("__dc").alias("nc"),
-        F.count("*").alias("nv"),
-    ).collect()[0]
-    n_ref, n_cur = int(tot["nr"] or 0), int(tot["nc"] or 0)
-    n_vals = int(tot["nv"] or 0)
-    if max_distinct_values is not None and n_vals > max_distinct_values:
-        raise ValueError(
-            f"wasserstein_distance: {value_col!r} has {n_vals} distinct "
-            f"values, over max_distinct_values ({max_distinct_values}) — "
-            "the prefix/lead frame is sized by DISTINCT metric values. "
-            "Quantize the metric or raise the bound deliberately."
-        )
-    if n_ref == 0 or n_cur == 0:
-        raise ValueError(
-            f"wasserstein_distance: both snapshots must be non-empty "
-            f"(n_ref={n_ref}, n_cur={n_cur})"
-        )
-    m = n_cur + 1
-    if n_ref * m >= 2**62:
-        raise ValueError(
-            f"wasserstein_distance: {n_ref} x {n_cur} rows overflows the "
-            "packed int64 prefix bound; pre-aggregate or sample first"
-        )
-    packed = per_v.select(
-        "__v", (F.col("__dr") * m + F.col("__dc")).alias("__pv")
-    )
-    pref, _, _ = global_running_total(
-        packed,
-        [F.col("__v")],
-        "__pv",
-        rn_col="__rn",
-        start_col="__start",
-        num_partitions=num_partitions,
-    )
-    # the one unpartitioned window (lead over the distinct-value frame)
-    # is bounded by the max_distinct_values guard above — the q161
-    # bounded-frame argument
-    wl = Window.orderBy("__rn")
-    contrib = (
-        pref.select(
-            "__v",
-            "__rn",
-            (F.col("__start") + F.col("__pv")).alias("__inc"),
-        )
-        .select(
-            F.abs(
-                F.expr(f"__inc div CAST({m} AS BIGINT)") * F.lit(n_cur)
-                - F.expr(f"__inc % CAST({m} AS BIGINT)") * F.lit(n_ref)
-            ).alias("__d"),
-            (F.lead("__v").over(wl) - F.col("__v")).alias("__gap"),
-        )
-        .where(F.col("__gap").isNotNull())
-    )
-    return contrib.agg(
-        F.sum(
-            F.col("__d").cast("decimal(38,0)")
-            * F.col("__gap").cast("decimal(38,0)")
-        ).alias("__num")
-    ).select(
-        F.lit(n_ref).cast("long").alias("n_ref"),
-        F.lit(n_cur).cast("long").alias("n_cur"),
-        F.lit(n_vals).cast("long").alias("n_values"),
-        F.expr(
-            f"(CAST(__num AS DECIMAL(38,0)) * 1000000) div "
-            f"(CAST({n_ref} AS BIGINT) * CAST({n_cur} AS BIGINT))"
-        ).cast("long").alias("w1_micro"),
-    )
-
-
-def gini_concentration(
-    df: DataFrame,
-    group_col: str,
-    entity_col: str,
-    value_col: str,
-) -> DataFrame:
-    """Gini coefficient + Herfindahl-Hirschman index of how a
-    non-negative integer quantity concentrates across entities within
-    a group — the long-tail audit every corpus needs before sampling
-    decisions (is 1% of domains 90% of the tokens?) and the classic
-    market-concentration readout (Gini 1912; the HHI of the US DOJ
-    merger guidelines). Per group, with per-entity totals x sorted
-    ascending and ranked i = 1..n:
-
-        gini_micro = (2*SUM(i*x_i) - (n+1)*SUM(x)) * 1e6
-                     div (n * SUM(x))                    (truncating)
-        hhi_micro  = SUM(x_i^2) * 1e6 div SUM(x)^2       (truncating)
-
-    Both numerators are EXACT integers: Chebyshev's sum inequality
-    makes the Gini numerator non-negative for the ascending ranking,
-    so truncating `div` is floor on both engines; ties in x are
-    rank-order-invariant under SUM(i*x) (swapping equal values leaves
-    the sum unchanged), so the nondeterministic order within ties
-    cannot move the hash. The divisions run on DECIMAL(38,0)
-    (HUGEINT in DuckDB): SUM(i*x) <= n*SUM(x) and SUM(x^2) <= SUM(x)^2
-    overflow int64 long before they overflow 1e38.
-
-    Guards: values must be integer, non-null, and >= 0 (a negative
-    holding makes Gini ill-defined) — per-row raise_error, the
-    seasonal_profile discipline. Groups whose SUM(x) = 0 emit NULL
-    ratios.
-
-    Scale shape: one shuffle to (group, entity) partial+final sums,
-    ONE ranking window per group over the ENTITY frame (entity-counts
-    sized, not corpus-sized), one final per-group aggregation on the
-    same partitioning. A group with a billion entities is one sorted
-    window partition — the skew note of the ranking family applies
-    (salt the entity aggregation if one group dominates; the window
-    itself is the q161 distinct-frame argument).
-
-    Output: (group, n_entities, total, gini_micro, hhi_micro) ordered
-    by group."""
-    from pyspark.sql import Window
-
-    v = F.col(value_col)
-    checked = F.when(
-        v.isNull() | (v != v.cast("long")) | (v < 0),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"gini_concentration: {value_col!r} must be a "
-                    "non-negative non-null integer (cents discipline), "
-                    "got "
-                ),
-                F.coalesce(v.cast("string"), F.lit("NULL")),
-            )
-        ).cast("long"),
-    ).otherwise(v.cast("long"))
-    ent = (
-        df.select(
-            F.col(group_col).alias("group"),
-            F.col(entity_col).alias("entity"),
-            checked.alias("__v"),
-        )
-        .groupBy("group", "entity")
-        .agg(F.sum("__v").alias("__x"))
-    )
-    w = Window.partitionBy("group").orderBy("__x", "entity")
-    ranked = ent.select(
-        "group",
-        "__x",
-        F.row_number().over(w).cast("long").alias("__i"),
-    )
-    agg = ranked.groupBy("group").agg(
-        F.count("*").alias("n_entities"),
-        F.sum("__x").alias("total"),
-        F.sum(
-            F.col("__i").cast("decimal(38,0)")
-            * F.col("__x").cast("decimal(38,0)")
-        ).alias("__t"),
-        F.sum(
-            F.col("__x").cast("decimal(38,0)")
-            * F.col("__x").cast("decimal(38,0)")
-        ).alias("__ssq"),
-    )
-    return agg.select(
-        "group",
-        "n_entities",
-        "total",
-        F.when(
-            F.col("total") > 0,
-            F.expr(
-                "(CAST(2 AS DECIMAL(38,0)) * __t "
-                " - (CAST(n_entities AS DECIMAL(38,0)) + 1) "
-                "   * CAST(total AS DECIMAL(38,0))) * 1000000 div "
-                "(CAST(n_entities AS DECIMAL(38,0)) "
-                " * CAST(total AS DECIMAL(38,0)))"
-            ).cast("long"),
-        ).alias("gini_micro"),
-        F.when(
-            F.col("total") > 0,
-            F.expr(
-                "(__ssq * 1000000) div "
-                "(CAST(total AS DECIMAL(38,0)) "
-                " * CAST(total AS DECIMAL(38,0)))"
-            ).cast("long"),
-        ).alias("hhi_micro"),
-    ).orderBy("group")
-
-
-def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
-    """Cramér's V association strength between two categorical columns
-    (Cramér, "Mathematical Methods of Statistics", 1946, §21.9) — the
-    [0, 1]-normalized headline that q139's chi-square cell components
-    feed: chi2 grows with n and with table size, V divides both out,
-    so ONE threshold ("V > 0.1 is worth a look") works across every
-    feature pair in a screening sweep.
-
-        V = sqrt(chi2 / (n * (min(r, c) - 1)))
-
-    Determinism discipline: each cell's chi-square contribution is
-    computed in EXACT integer arithmetic — dev^2 div (r*c), then
-    * 1e6 div n, staged truncating divisions on DECIMAL(38,0)
-    (HUGEINT in DuckDB; dev^2 < 1e38 under the inherited n < 3e9
-    bound, and dev^2 div (r*c) <= n^2 so the 1e6 widening fits) — no
-    per-cell doubles at all, so there is nothing to round and nothing
-    to diverge (the truncation deficit is < (1e6/n + 1) micro per
-    cell, noise for a statistic whose alert thresholds live at 1e4+
-    micro). The statistic is the INTEGER sum of the cells, and V is
-    ONE closing double (sqrt of an exact-integer ratio) rounded ONCE
-    to micro.
-
-    Scale shape: inherits association_components' (one corpus
-    aggregation to the |A| x |B| cell frame, margins-sized everything
-    after); the closing reduction is a scalar aggregation over the
-    cell frame. Degenerate tables (r < 2 or c < 2) emit NULL v_micro —
-    there is no association to measure on a single level.
-
-    Output: one row (n, r_levels, c_levels, dof, chi2_micro, v_micro)."""
-    cells = association_components(df, col_a, col_b)
-    n = int(
-        cells.agg(F.sum("observed")).collect()[0][0] or 0
-    )  # scalar collect on the margins-sized cell frame, not the corpus
-    per_cell = cells.select(
-        F.expr(
-            "CAST(((CAST(dev AS DECIMAL(38,0)) * dev) div "
-            "(CAST(row_total AS DECIMAL(38,0)) * col_total) * 1000000) div "
-            f"CAST({max(n, 1)} AS DECIMAL(38,0)) AS LONG)"
-        ).alias("__c"),
-        "a",
-        "b",
-        "observed",
-    )
-    agg = per_cell.agg(
-        F.sum("__c").alias("chi2_micro"),
-        F.count_distinct("a").alias("r_levels"),
-        F.count_distinct("b").alias("c_levels"),
-        F.sum("observed").alias("n"),
-    )
-    k = F.least("r_levels", "c_levels") - F.lit(1)
-    return agg.select(
-        "n",
-        "r_levels",
-        "c_levels",
-        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
-        "chi2_micro",
-        F.when(
-            (k > 0) & (F.col("n") > 0),
-            F.round(
-                F.sqrt(
-                    F.col("chi2_micro").cast("double")
-                    / F.lit(1e6)
-                    / (F.col("n").cast("double") * k.cast("double"))
-                )
-                * 1_000_000,
-                0,
-            ).cast("long"),
-        ).alias("v_micro"),
-    )
-
-
-def weighted_quantiles(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-    weight_col: str,
-    q_micros: list[int] = (250_000, 500_000, 750_000, 900_000),
-) -> DataFrame:
-    """Exact weighted quantiles per group — the token-weighted
-    percentile every corpus report needs (the p90 DOCUMENT is not the
-    p90 TOKEN: long documents carry more of the training mix, so
-    thresholds set on unweighted quantiles misprice the tail). Lower
-    weighted quantile, integer-exact: q's value is the SMALLEST v with
-
-        cumweight(v) * 1e6  >=  q_micro * W        (W = total weight)
-
-    — both sides exact int64 products (W <= 9.2e12 ENFORCED; weights
-    are positive integers, values integer, per-row raise_error on
-    violations). No interpolation: the pick is an order statistic, so
-    it hash-matches across engines by construction.
-
-    Scale shape: one shuffle to the (group, value) DISTINCT frame
-    (ties pre-summed so the prefix sum is tie-order-invariant — the
-    q08 lesson), one cumulative window per group over that frame, one
-    broadcast of the group-total frame, and the quantile spine is a
-    |groups| x |q| literal explode. Corpus-sized work is the ONE
-    aggregation; everything after is distinct-values sized.
-
-    Output: (group, q_micro, w_total, value) ordered by (group,
-    q_micro)."""
-    from pyspark.sql import Window
-
-    v, wt = F.col(value_col), F.col(weight_col)
-    vc = F.when(
-        v.isNull() | (v != v.cast("long")),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"weighted_quantiles: {value_col!r} must be integer "
-                    "non-null, got "
-                ),
-                F.coalesce(v.cast("string"), F.lit("NULL")),
-            )
-        ).cast("long"),
-    ).otherwise(v.cast("long"))
-    wc_ = F.when(
-        wt.isNull() | (wt != wt.cast("long")) | (wt <= 0),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"weighted_quantiles: {weight_col!r} must be a "
-                    "positive non-null integer, got "
-                ),
-                F.coalesce(wt.cast("string"), F.lit("NULL")),
-            )
-        ).cast("long"),
-    ).otherwise(wt.cast("long"))
-    dv = (
-        df.select(
-            F.col(group_col).alias("group"),
-            vc.alias("__v"),
-            wc_.alias("__w"),
-        )
-        .groupBy("group", "__v")
-        .agg(F.sum("__w").alias("__dw"))
-    )
-    wcum = Window.partitionBy("group").orderBy("__v")
-    pref = dv.select(
-        "group", "__v", F.sum("__dw").over(wcum).alias("__cw")
-    )
-    totals = dv.groupBy("group").agg(F.sum("__dw").alias("w_total"))
-    totals = totals.select(
-        "group",
-        F.when(
-            F.col("w_total") > 9_200_000_000_000,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "weighted_quantiles: total weight over the "
-                        "9.2e12 int64 product bound for group "
-                    ),
-                    F.col("group").cast("string"),
-                )
-            ).cast("long"),
-        ).otherwise(F.col("w_total")).alias("w_total"),
-    )
-    spine = totals.select(
-        "group",
-        "w_total",
-        F.explode(
-            F.array(*[F.lit(int(q)).cast("long") for q in q_micros])
-        ).alias("q_micro"),
-    )
-    return (
-        spine.join(pref, "group")
-        .where(
-            F.col("__cw") * F.lit(1_000_000)
-            >= F.col("q_micro") * F.col("w_total")
-        )
-        .groupBy("group", "q_micro", "w_total")
-        .agg(F.min("__v").alias("value"))
-        .select("group", "q_micro", "w_total", "value")
-        .orderBy("group", "q_micro")
-    )
-
-
-def checksum_hash60(cols: list[str]) -> "Column":
-    """The table_checksum row hash: canonical string (0x1f-joined
-    columns, NULL as the 0x00-prefixed sentinel) -> 60-bit md5 prefix
-    as a non-negative bigint. Shared by the batch operator and the
-    streaming twin so the two digests are parity-exact by
-    construction."""
-    sent = F.lit("\x00N")
-    canon = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), sent) for c in cols]
-    )
-    return F.conv(
-        F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10
-    ).cast("long")
-
-
-def table_checksum(
-    df: DataFrame,
-    cols: list[str],
-    group_col: str | None = None,
-) -> DataFrame:
-    """Order-invariant table checksum — the data-versioning /
-    copy-integrity primitive for 100 TB pipelines: after a migration,
-    a re-partition, or a replay, two datasets are byte-equal on the
-    audited columns iff their checksums match, WITHOUT sorting either
-    side. Per row, a canonical string (columns joined by the 0x1f unit
-    separator; NULL spelled as an unambiguous 0x00-prefixed sentinel so
-    NULL never collides with the string 'NULL') is hashed to the
-    repo's 60-bit md5 prefix; per group the digest is the tuple
-
-        (n_rows, bit_xor(h), sum(h % 1000003), min(h), max(h))
-
-    — four independent order-invariant reductions, so a collision must
-    fool all of them at once. bit_xor alone is blind to DUPLICATED
-    rows (x XOR x = 0); the count and the modular sum catch exactly
-    that. The modular sum stays in int64 to 9.2e12 rows per group.
-
-    Caller contract: pass columns whose STRING form is
-    engine-portable — integers, exact DECIMAL cents, dates already
-    formatted as text. Raw doubles and timezone-bearing timestamps
-    have engine-specific reprs; format them first (the oracle replays
-    CAST-to-VARCHAR semantics, which match Spark for integer and
-    string types).
-
-    Scale shape: ONE scan, ONE partial+final aggregation — the
-    map-side combine reduces every partition to five values, so the
-    shuffle is |groups| rows regardless of table size; no window, no
-    join, no sort.
-
-    Output: (group?, n_rows, xor60, sum_mod, min_h, max_h)."""
-    h = checksum_hash60(cols)
-    keyed = df.select(
-        *([F.col(group_col).alias("group")] if group_col else []),
-        h.alias("__h"),
-    )
-    aggs = [
-        F.count("*").alias("n_rows"),
-        F.bit_xor("__h").alias("xor60"),
-        F.sum(F.col("__h") % F.lit(1_000_003)).alias("sum_mod"),
-        F.min("__h").alias("min_h"),
-        F.max("__h").alias("max_h"),
-    ]
-    if group_col:
-        return keyed.groupBy("group").agg(*aggs).orderBy("group")
-    return keyed.agg(*aggs)

@@ -268,136 +268,3 @@ def reciprocal_rank_fusion(
     )
     w = Window.orderBy(F.desc("rrf_micro"), F.asc("id"))
     return fused.withColumn("fused_rank", F.row_number().over(w))
-
-
-def retrieval_metrics(
-    ranked: DataFrame,
-    query_col: str,
-    rank_col: str,
-    rel_col: str,
-    k: int = 10,
-) -> DataFrame:
-    """Per-query ranking-quality metrics over a retrieved top-k list —
-    the eval loop every retrieval stack (BM25 q68, RRF q127, ANN
-    q27/q48) closes with: MRR and NDCG@k (Järvelin & Kekäläinen, TOIS
-    2002). Input: one row per (query, rank) with a 0/1 relevance label
-    (graded relevance generalizes by swapping the gain; the binary form
-    keeps the oracle exact); ranks must be 1..k, unique per query
-    (enforced — a duplicated rank is a corrupted ranking).
-
-    Exact-integer outputs per query:
-
-        rr_micro    = 1e6 div first_rel_rank      (0 when none)
-        dcg_micro   = sum over relevant ranks r of
-                      round(1e6 / log2(r + 1))    (integer sum of
-                                                   once-rounded terms)
-        idcg_micro  = the same sum over ranks 1..n_rel (the ideal
-                      ordering)
-        ndcg_micro  = (dcg_micro * 1e6) div idcg_micro   (0 when no
-                                                          relevant doc)
-
-    Quantize-then-sum keeps the engines bit-identical (the per-term
-    round is the package's one transcendental discipline); NDCG's final
-    ratio is one truncating integral division of exact int64 sums.
-
-    Scale shape: ONE partial+final aggregation keyed by query (the
-    conditional sums fold map-side); no window, no join, no Python.
-
-    Output: (query_col, n_ranked, n_rel, first_rel_rank, rr_micro,
-    dcg_micro, idcg_micro, ndcg_micro) ordered by query."""
-    if k < 1:
-        raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
-    r = F.col(rank_col)
-    rel = F.col(rel_col)
-    checked_r = F.when(
-        r.isNull() | (r < 1) | (r > k),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"retrieval_metrics: {rank_col!r} must be in "
-                    f"[1, {k}], got "
-                ),
-                F.coalesce(r.cast("string"), F.lit("NULL")),
-            )
-        ).cast("long"),
-    ).otherwise(r.cast("long"))
-    checked_rel = F.when(
-        rel.isNull() | ~rel.cast("long").isin(0, 1),
-        F.raise_error(
-            F.concat(
-                F.lit(f"retrieval_metrics: {rel_col!r} must be 0/1, got "),
-                F.coalesce(rel.cast("string"), F.lit("NULL")),
-            )
-        ).cast("long"),
-    ).otherwise(rel.cast("long"))
-    gain = F.round(
-        F.lit(1_000_000.0) / F.log2(F.col("__r").cast("double") + 1.0), 0
-    ).cast("long")
-    base = ranked.select(
-        F.col(query_col),
-        checked_r.alias("__r"),
-        checked_rel.alias("__rel"),
-    )
-    agg = base.groupBy(query_col).agg(
-        F.count("*").alias("n_ranked"),
-        F.count_distinct("__r").alias("__dr"),
-        F.sum("__rel").alias("n_rel"),
-        F.min(F.when(F.col("__rel") == 1, F.col("__r"))).alias(
-            "first_rel_rank"
-        ),
-        F.sum(F.when(F.col("__rel") == 1, gain).otherwise(F.lit(0))).alias(
-            "dcg_micro"
-        ),
-    )
-    guarded = agg.select(
-        "*",
-        F.when(
-            F.col("__dr") != F.col("n_ranked"),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "retrieval_metrics: duplicated rank within query "
-                    ),
-                    F.col(query_col).cast("string"),
-                )
-            ).cast("long"),
-        ).otherwise(F.lit(0)).alias("__guard"),
-    ).drop("__dr")
-    # ideal DCG: the same once-rounded gains summed over ranks 1..n_rel
-    # (an array fold over at most k literals — no second scan)
-    idcg = F.aggregate(
-        F.sequence(F.lit(1), F.col("n_rel").cast("int")),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.round(
-            F.lit(1_000_000.0) / F.log2(i.cast("double") + 1.0), 0
-        ).cast("long"),
-    )
-    return (
-        guarded.select(
-            query_col,
-            (F.col("n_ranked") + F.col("__guard")).alias("n_ranked"),
-            "n_rel",
-            "first_rel_rank",
-            F.coalesce(
-                F.expr("CAST(1000000 AS BIGINT) div first_rel_rank"),
-                F.lit(0),
-            ).alias("rr_micro"),
-            "dcg_micro",
-            F.when(F.col("n_rel") > 0, idcg)
-            .otherwise(F.lit(0))
-            .alias("idcg_micro"),
-        )
-        .select(
-            "*",
-            F.when(
-                F.col("idcg_micro") > 0,
-                F.expr(
-                    "(dcg_micro * CAST(1000000 AS BIGINT)) div idcg_micro"
-                ),
-            )
-            .otherwise(F.lit(0))
-            .alias("ndcg_micro"),
-        )
-        .orderBy(query_col)
-    )

@@ -471,123 +471,3 @@ def quality_budget_select(
         F.col("__start").alias("cum_before"),
         (F.col("__start") < F.lit(budget_tokens)).alias("kept"),
     )
-
-
-def largest_remainder_allocation(
-    df: DataFrame,
-    stratum_col: str,
-    weight_col: str,
-    total_slots: int,
-) -> DataFrame:
-    """Exact integer apportionment of a fixed sampling budget across
-    strata, proportional to integer weights — Hamilton's method /
-    largest-remainder (the apportionment classic; Balinski & Young,
-    "Fair Representation", 1982, ch. 2): the allocation every mixture
-    recipe needs when "sample 1M documents, proportional to per-domain
-    token counts" must come out to EXACTLY 1M, not 999,987 after
-    rounding. Per stratum with weight w and W = SUM(w):
-
-        base      = (w * N) div W            (exact int64)
-        remainder = (w * N) mod W
-        alloc     = base + 1 if the stratum's remainder ranks within
-                    the N - SUM(base) leftover slots, else base
-
-    with the remainder ranking tie-broken by stratum id — a total
-    order, so the allocation is deterministic and hash-stable. The
-    allocations sum to exactly N by construction (SUM(remainders) =
-    (N - SUM(base)) * W).
-
-    Guards: weights must be non-negative non-null integers (per-row
-    raise_error); ``total_slots`` must be positive; max(w) * N must
-    stay inside int64 — ENFORCED against the aggregated stratum frame
-    with a per-row raise (w <= 9.2e18 / N).
-
-    Scale shape: the corpus pays ONE keyed aggregation to the stratum
-    frame; the scalar W/base totals are one partial+final reduction;
-    the remainder ranking is ONE window over the STRATUM frame
-    (strata-count sized, not corpus-sized — a corpus with a billion
-    strata is mis-modeled, and the window is the bounded q161 shape).
-
-    Output: (stratum, weight, base, remainder, alloc) ordered by
-    stratum."""
-    if total_slots <= 0:
-        raise ValueError(
-            f"largest_remainder_allocation: total_slots must be "
-            f"positive, got {total_slots}"
-        )
-    from pyspark.sql import Window
-
-    wv = F.col(weight_col)
-    checked = F.when(
-        wv.isNull() | (wv != wv.cast("long")) | (wv < 0),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"largest_remainder_allocation: {weight_col!r} must "
-                    "be a non-negative non-null integer, got "
-                ),
-                F.coalesce(wv.cast("string"), F.lit("NULL")),
-            )
-        ).cast("long"),
-    ).otherwise(wv.cast("long"))
-    strata = (
-        df.select(F.col(stratum_col).alias("stratum"), checked.alias("__w"))
-        .groupBy("stratum")
-        .agg(F.sum("__w").alias("weight"))
-    )
-    bound = 9_223_372_036_854_775_807 // total_slots
-    strata = strata.select(
-        "stratum",
-        F.when(
-            F.col("weight") > bound,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "largest_remainder_allocation: weight * "
-                        f"total_slots overflows int64 (bound {bound}) "
-                        "for stratum "
-                    ),
-                    F.col("stratum").cast("string"),
-                )
-            ).cast("long"),
-        ).otherwise(F.col("weight")).alias("weight"),
-    )
-    tot = strata.agg(F.sum("weight").alias("__W"))
-    quot = strata.crossJoin(F.broadcast(tot)).select(
-        "stratum",
-        "weight",
-        (F.col("weight") * total_slots).alias("__q"),
-        "__W",
-    )
-    based = quot.select(
-        "stratum",
-        "weight",
-        F.expr("__q div __W").alias("base"),
-        F.expr("__q % __W").alias("remainder"),
-    )
-    left = based.agg(
-        (F.lit(total_slots) - F.sum("base")).alias("__L")
-    )
-    wr = Window.orderBy(F.col("remainder").desc(), F.col("stratum"))
-    return (
-        based.crossJoin(F.broadcast(left))
-        .select(
-            "stratum",
-            "weight",
-            "base",
-            "remainder",
-            F.row_number().over(wr).alias("__r"),
-            "__L",
-        )
-        .select(
-            "stratum",
-            "weight",
-            "base",
-            "remainder",
-            (
-                F.col("base")
-                + (F.col("__r") <= F.col("__L")).cast("long")
-            ).alias("alloc"),
-        )
-        .orderBy("stratum")
-    )

@@ -1145,59 +1145,3 @@ def charset_mix(
             - F.col("nonascii_micro"),
         ).alias("other_micro"),
     )
-
-
-def vocab_richness(df: DataFrame, text_col: str) -> DataFrame:
-    """Vocabulary richness of a corpus from its token frequency-of-
-    frequencies — the unseen-mass estimate behind tokenizer and
-    dedup planning: how much NEW vocabulary does the next shard bring?
-    Two classical estimators on exact integers:
-
-        chao1_micro  = (D + f1*(f1-1) / (2*(f2+1))) * 1e6
-                       (bias-corrected Chao1, defined even at f2 = 0;
-                        Chao, Scand J Stat 1984 / Chiu et al. 2014)
-        unseen_micro = f1 * 1e6 div N
-                       (the Good-Turing mass of unseen species,
-                        Good, Biometrika 1953)
-
-    where D = distinct tokens, N = total tokens, f1/f2 = tokens seen
-    exactly once/twice. Both are staged truncating integer divisions
-    (f1*(f1-1)*1e6 and D*1e6 widen through DECIMAL(38,0); HUGEINT in
-    DuckDB) — no doubles anywhere.
-
-    Scale shape: one explode to tokens, ONE keyed count to the token
-    frame (partial combine bounds the shuffle at |vocab| per task),
-    one k-ary aggregation over the token frame's counts — the
-    frequency-of-frequencies reduction — then scalars. No window, no
-    join, no Python.
-
-    Output: one row (n_tokens, distinct_tokens, f1, f2, chao1_micro,
-    unseen_micro)."""
-    tok = df.select(
-        F.explode(tokens(F.col(text_col))).alias("__t")
-    ).where(F.col("__t") != "")
-    counts = tok.groupBy("__t").agg(F.count("*").alias("__c"))
-    agg = counts.agg(
-        F.sum("__c").alias("n_tokens"),
-        F.count("*").alias("distinct_tokens"),
-        F.sum((F.col("__c") == 1).cast("long")).alias("f1"),
-        F.sum((F.col("__c") == 2).cast("long")).alias("f2"),
-    )
-    return agg.select(
-        "n_tokens",
-        "distinct_tokens",
-        "f1",
-        "f2",
-        F.expr(
-            "CAST(CAST(distinct_tokens AS DECIMAL(38,0)) * 1000000 "
-            "+ (CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000) div "
-            "(2 * (f2 + 1)) AS LONG)"
-        ).alias("chao1_micro"),
-        F.when(
-            F.col("n_tokens") > 0,
-            F.expr(
-                "CAST((CAST(f1 AS DECIMAL(38,0)) * 1000000) div "
-                "n_tokens AS LONG)"
-            ),
-        ).alias("unseen_micro"),
-    )

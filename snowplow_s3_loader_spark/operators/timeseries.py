@@ -225,76 +225,6 @@ def cusum_alarms(
     )
 
 
-def online_changepoint_snapshot(
-    df: DataFrame,
-    group_col: str,
-    order_cols: list[str],
-    value_col: str,
-    ref_value: int,
-    threshold: int,
-) -> DataFrame:
-    """Batch twin of the ONLINE CUSUM changepoint monitor (round 13,
-    completing the monitor story next to the PSI/CMS/calibration
-    streaming twins): against a FROZEN reference level ``ref_value``
-    (the deployment-time estimate an online monitor would carry — NOT
-    re-fit on the monitored stream, which is what separates this from
-    the offline `cusum_changepoint`), track the cumulative deviation
-
-        s_t = sum_{i<=t} (x_i - ref_value)
-
-    and emit ONE snapshot row per series: rows seen, the final
-    statistic, the peak |s_t| with its SMALLEST-t location (the online
-    changepoint estimate), and the first t where |s_t| crossed
-    ``threshold`` (-1 if never). Everything is int64 (cents
-    discipline), so the streaming twin
-    (`streaming.stateful.streaming_changepoint`, five integers of
-    per-key state) reproduces this snapshot BIT-FOR-BIT when rows
-    arrive in order — the fourteenth batch-vs-streaming parity family.
-
-    Scale shape: one window pass (running sum over the series sort) and
-    one hash aggregation; the argmax rides max_by over a total order
-    (|s| desc, t asc — t is unique within the series, the q08 lesson).
-
-    Output: (group_col, n_seen, s_final, max_abs_s, t_hat,
-    first_alarm_t) — t values are 1-based positions in the series
-    order."""
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(*[F.col(c) for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wt = Window.partitionBy(group_col).orderBy(
-        *[F.col(c) for c in order_cols]
-    )
-    x = F.col(value_col).cast("long")
-    scored = df.select(
-        F.col(group_col),
-        F.row_number().over(wt).cast("long").alias("__t"),
-        F.sum(x - F.lit(int(ref_value))).over(w).alias("__s"),
-    ).withColumn("__abs_s", F.abs(F.col("__s")))
-    return (
-        scored.groupBy(group_col)
-        .agg(
-            F.count("*").alias("n_seen"),
-            F.max_by("__s", "__t").alias("s_final"),
-            F.max("__abs_s").alias("max_abs_s"),
-            F.max_by(
-                "__t", F.struct(F.col("__abs_s"), -F.col("__t"))
-            ).alias("t_hat"),
-            F.coalesce(
-                F.min(
-                    F.when(
-                        F.col("__abs_s") > F.lit(int(threshold)),
-                        F.col("__t"),
-                    )
-                ),
-                F.lit(-1).cast("long"),
-            ).alias("first_alarm_t"),
-        )
-        .orderBy(group_col)
-    )
-
-
 def cusum_changepoint(
     df: DataFrame,
     group_col: str,
@@ -1145,399 +1075,3 @@ def kleinberg_burst_intervals(
         .applyInPandas(_dp, out_schema)
         .orderBy("key", "burst_id")
     )
-
-
-def seasonal_profile(
-    df: DataFrame,
-    group_col: str,
-    ts_col: str,
-    value_col: str,
-) -> DataFrame:
-    """Day-of-week seasonal decomposition per series — the monitoring
-    companion to the drift detectors: a Monday-shaped traffic dip is
-    SEASON, not DRIFT, and alert thresholds that ignore the weekly
-    shape page on-call every weekend. Classical multiplicative seasonal
-    indices (the ratio-to-overall-mean method, Kendall & Ord, "Time
-    Series", ch. 4) on exact integers:
-
-        index_micro(g, dow) = (sum_dow * n_all * 1e6)
-                              div (n_dow * sum_all)    (truncating)
-
-    — the dow mean over the series mean, assembled from FOUR exact
-    int64 sums through one DECIMAL(38,0) integral division (the q153
-    widening trick: sum_dow * n_all * 1e6 overflows int64 at corpus
-    scale; IntegralDivide on decimals is exact on both engines, DuckDB
-    widening to HUGEINT natively). ``value_col`` must be integer
-    (cents discipline; enforced).
-
-    Scale shape: ONE scan, ONE aggregation tree — per-(series, dow)
-    sums AND per-series totals come out of a single GROUPING SETS pass
-    (the q169 shape): Spark's Expand doubles rows map-side, the partial
-    combine bounds the shuffle at 8 rows per series, grouping_id
-    separates the sets, and the totals broadcast-join back onto the
-    7-row-per-series frame.
-
-    Output: (group, dow, n, sum_v, n_all, sum_all, index_micro), dow
-    1=Monday..7=Sunday (ISO; dayofweek is session-independent), ordered
-    by (group, dow)."""
-    v = F.col(value_col)
-    checked = F.when(
-        v.isNull() | (v != v.cast("long")),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"seasonal_profile: {value_col!r} must be integer "
-                    "non-null (cents discipline), got "
-                ),
-                F.coalesce(v.cast("string"), F.lit("NULL")),
-            )
-        ).cast("long"),
-    ).otherwise(v.cast("long"))
-    keyed = df.select(
-        F.col(group_col).alias("group"),
-        # ISO weekday via (days since epoch Thursday): engine-portable,
-        # no locale/session dependence (1970-01-01 is a Thursday)
-        (
-            F.pmod(
-                F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")) + 3,
-                F.lit(7),
-            ) + 1
-        ).cast("int").alias("dow"),
-        checked.alias("__v"),
-    )
-    counts = keyed.groupingSets(
-        [["group", "dow"], ["group"]], "group", "dow"
-    ).agg(
-        F.count("*").alias("__n"),
-        F.sum("__v").alias("__s"),
-        F.grouping_id().alias("__g"),
-    )
-    per_dow = counts.where(F.col("__g") == 0).select(
-        "group", "dow", F.col("__n").alias("n"), F.col("__s").alias("sum_v")
-    )
-    totals = counts.where(F.col("__g") == 1).select(
-        "group", F.col("__n").alias("n_all"), F.col("__s").alias("sum_all")
-    )
-    return (
-        per_dow.join(F.broadcast(totals), "group")
-        .select(
-            "group",
-            "dow",
-            "n",
-            "sum_v",
-            "n_all",
-            "sum_all",
-            F.when(
-                F.col("sum_all") != 0,
-                F.expr(
-                    "(CAST(sum_v AS DECIMAL(38,0)) * n_all * 1000000) div "
-                    "(CAST(n AS DECIMAL(38,0)) * sum_all)"
-                ).cast("long"),
-            ).alias("index_micro"),
-        )
-        .orderBy("group", "dow")
-    )
-
-
-def theil_sen_slopes(
-    df: DataFrame,
-    group_col: str,
-    x_col: str,
-    y_col: str,
-    max_group_points: int = 10_000,
-) -> DataFrame:
-    """Theil-Sen robust trend slope per series (Sen, JASA 1968): the
-    MEDIAN of all pairwise slopes — up to ~29% of the points can be
-    arbitrarily corrupted before the estimate moves, which is why it
-    reads drifting metrics that OLS (q116 group_trend) gets dragged off
-    by a burst of outliers. Exact integer form: for each pair with
-    x_i < x_j,
-
-        slope_micro = sign(dy) * ((|dy| * 1e6) div dx)     dx = x_j-x_i
-
-    (the group_trend sign-split trick — truncating division on
-    non-negative operands only, identical on both engines; equal-x
-    pairs carry no slope information and are excluded per Sen), and
-    the median is the LOWER median: the element at 1-based position
-    (m + 1) div 2 of the slopes sorted by (slope_micro, i, j) — a total
-    order, so the pick is deterministic and hash-stable.
-
-    Guards: integer x/y enforced (cents/epoch-day discipline); NULLs
-    raise; a series with more than ``max_group_points`` points raises
-    LOUDLY — the pair join is O(n^2) per series (1e8 pairs at the
-    default cap), so an unbounded hot series must be pre-aggregated
-    (e.g. daily means) rather than silently exploding the stage.
-
-    Scale shape: one window pass numbers the points per series (same
-    hash partitioning the self-join reuses), the pair join is
-    series-keyed (co-partitioned, never cartesian across series), and
-    the median pick is one ranked filter over the pair frame.
-
-    Output: (group, n_points, n_pairs, median_slope_micro) ordered by
-    group; series with zero usable pairs emit a NULL median."""
-    def _chk(c: str) -> Column:
-        x = F.col(c)
-        return F.when(
-            x.isNull() | (x != x.cast("long")),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"theil_sen_slopes: {c!r} must be integer "
-                        "non-null, got "
-                    ),
-                    F.coalesce(x.cast("string"), F.lit("NULL")),
-                )
-            ).cast("long"),
-        ).otherwise(x.cast("long"))
-
-    w = Window.partitionBy("group").orderBy("__x", "__y")
-    wc = Window.partitionBy("group")
-    pts = (
-        df.select(
-            F.col(group_col).alias("group"),
-            _chk(x_col).alias("__x"),
-            _chk(y_col).alias("__y"),
-        )
-        .withColumn("__i", F.row_number().over(w).cast("long"))
-        .withColumn("__np", F.count("*").over(wc))
-        .withColumn(
-            "__np",
-            F.when(
-                F.col("__np") > max_group_points,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "theil_sen_slopes: series over "
-                            f"max_group_points={max_group_points} "
-                            "(O(n^2) pair join) — pre-aggregate the "
-                            "series; group "
-                        ),
-                        F.col("group").cast("string"),
-                    )
-                ).cast("long"),
-            ).otherwise(F.col("__np")),
-        )
-    )
-    lo = pts.select(
-        "group", F.col("__i").alias("__il"),
-        F.col("__x").alias("__xl"), F.col("__y").alias("__yl"), "__np",
-    )
-    hi = pts.select(
-        "group", F.col("__i").alias("__ih"),
-        F.col("__x").alias("__xh"), F.col("__y").alias("__yh"),
-    )
-    pairs = (
-        lo.join(hi, "group")
-        .where(
-            (F.col("__il") < F.col("__ih"))
-            & (F.col("__xl") < F.col("__xh"))
-        )
-        .select(
-            "group",
-            "__il",
-            "__ih",
-            "__np",
-            (F.col("__yh") - F.col("__yl")).alias("__dy"),
-            (F.col("__xh") - F.col("__xl")).alias("__dx"),
-        )
-        .select(
-            "group",
-            "__il",
-            "__ih",
-            "__np",
-            (
-                F.signum("__dy").cast("long")
-                * F.expr("(abs(__dy) * CAST(1000000 AS BIGINT)) div __dx")
-            ).alias("__slope"),
-        )
-    )
-    wm = Window.partitionBy("group").orderBy("__slope", "__il", "__ih")
-    ranked = pairs.select(
-        "group",
-        "__np",
-        "__slope",
-        F.row_number().over(wm).cast("long").alias("__rn"),
-        F.count("*").over(Window.partitionBy("group")).alias("__m"),
-    )
-    med = ranked.where(
-        F.col("__rn") == F.expr("(__m + 1) div 2")
-    ).select(
-        "group",
-        F.col("__np").alias("n_points"),
-        F.col("__m").alias("n_pairs"),
-        F.col("__slope").alias("median_slope_micro"),
-    )
-    empties = (
-        pts.groupBy("group")
-        .agg(F.max("__np").alias("n_points"))
-        .join(med.select("group"), "group", "left_anti")
-        .select(
-            "group",
-            "n_points",
-            F.lit(0).cast("long").alias("n_pairs"),
-            F.lit(None).cast("long").alias("median_slope_micro"),
-        )
-    )
-    return med.unionByName(empties).orderBy("group")
-
-
-def mann_kendall_trend(
-    df: DataFrame,
-    group_col: str,
-    x_col: str,
-    y_col: str,
-    max_group_points: int = 10_000,
-) -> DataFrame:
-    """Mann-Kendall monotone-trend test per series (Mann, Econometrica
-    1945; Kendall, "Rank Correlation Methods", 1975) — the SIGNIFICANCE
-    companion to q174's Theil-Sen: Theil-Sen reads HOW STEEP the robust
-    trend is, Mann-Kendall reads WHETHER a monotone trend is there at
-    all, from signs alone (no distributional assumption, immune to any
-    monotone transform of y). Exact integer core:
-
-        s_stat = SUM over i<j of sign(y_j - y_i)         (x ascending)
-        var18  = n(n-1)(2n+5) - SUM_t t(t-1)(2t+5)       (= 18*Var(S))
-
-    with t the y-tie group sizes (the Kendall tie correction). The
-    normal-approximation readout is ONE closing double with the
-    standard continuity correction,
-
-        z = (s_stat -/+ 1) / sqrt(var18 / 18)   (0 when s_stat = 0),
-
-    rounded ONCE to z_micro; all-tied series (var18 = 0) emit NULL.
-
-    Guards: integer x/y enforced per row; DUPLICATE x within a series
-    raises LOUDLY (the variance formula assumes one observation per
-    time point — pre-aggregate to one y per x, e.g. daily sums, before
-    testing); series over ``max_group_points`` raise (O(n^2) pair
-    join, the q174 bound — n(n-1)(2n+5) also stays under 2^63 by eight
-    orders of magnitude at the cap).
-
-    Scale shape: one window pass numbers points AND detects duplicate
-    x per series (lag on the SAME window spec — one Window node), the
-    pair join is series-keyed (co-partitioned, never cartesian across
-    series), tie sizes come from one (series, y) aggregation of the
-    points frame, and everything reduces to one row per series.
-
-    Output: (group, n_points, n_pairs, s_stat, var18, z_micro) ordered
-    by group."""
-    def _chk(c: str) -> Column:
-        x = F.col(c)
-        return F.when(
-            x.isNull() | (x != x.cast("long")),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"mann_kendall_trend: {c!r} must be integer "
-                        "non-null, got "
-                    ),
-                    F.coalesce(x.cast("string"), F.lit("NULL")),
-                )
-            ).cast("long"),
-        ).otherwise(x.cast("long"))
-
-    w = Window.partitionBy("group").orderBy("__x")
-    wc = Window.partitionBy("group")
-    pts = (
-        df.select(
-            F.col(group_col).alias("group"),
-            _chk(x_col).alias("__x"),
-            _chk(y_col).alias("__y"),
-        )
-        .withColumn(
-            "__dupx",
-            F.when(
-                F.lag("__x").over(w) == F.col("__x"),
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "mann_kendall_trend: duplicate x within "
-                            "series (one observation per time point "
-                            "required — pre-aggregate); group "
-                        ),
-                        F.col("group").cast("string"),
-                    )
-                ).cast("long"),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn("__i", (F.row_number().over(w) + F.col("__dupx")).cast("long"))
-        .withColumn("__np", F.count("*").over(wc))
-        .withColumn(
-            "__np",
-            F.when(
-                F.col("__np") > max_group_points,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "mann_kendall_trend: series over "
-                            f"max_group_points={max_group_points} "
-                            "(O(n^2) pair join) — pre-aggregate; group "
-                        ),
-                        F.col("group").cast("string"),
-                    )
-                ).cast("long"),
-            ).otherwise(F.col("__np")),
-        )
-    )
-    lo = pts.select(
-        "group", F.col("__i").alias("__il"), F.col("__y").alias("__yl"),
-    )
-    hi = pts.select(
-        "group", F.col("__i").alias("__ih"), F.col("__y").alias("__yh"),
-    )
-    pair_agg = (
-        lo.join(hi, "group")
-        .where(F.col("__il") < F.col("__ih"))
-        .groupBy("group")
-        .agg(
-            F.sum(
-                F.signum(F.col("__yh") - F.col("__yl")).cast("long")
-            ).alias("s_stat"),
-            F.count("*").alias("n_pairs"),
-        )
-    )
-    base = pts.groupBy("group").agg(F.max("__np").alias("n_points"))
-    ties = (
-        pts.groupBy("group", "__y")
-        .agg(F.count("*").alias("__t"))
-        .groupBy("group")
-        .agg(
-            F.sum(
-                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
-            ).alias("__tt")
-        )
-    )
-    n = F.col("n_points")
-    var18 = (
-        n * (n - 1) * (2 * n + 5) - F.coalesce(F.col("__tt"), F.lit(0))
-    ).alias("var18")
-    out = (
-        base.join(pair_agg, "group", "left")
-        .join(ties, "group", "left")
-        .select(
-            "group",
-            "n_points",
-            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
-            F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
-            var18,
-        )
-    )
-    zc = F.when(F.col("s_stat") > 0, F.col("s_stat") - 1).when(
-        F.col("s_stat") < 0, F.col("s_stat") + 1
-    ).otherwise(F.lit(0))
-    return out.select(
-        "group",
-        "n_points",
-        "n_pairs",
-        "s_stat",
-        "var18",
-        F.when(
-            F.col("var18") > 0,
-            F.round(
-                zc.cast("double")
-                / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
-                * 1_000_000,
-                0,
-            ).cast("long"),
-        ).alias("z_micro"),
-    ).orderBy("group")

@@ -451,21 +451,28 @@ def burst_fold_v1() -> Column:
 
 
 def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-toolkit battery — the relational/infra slice of the former
-    ~96-family monolith (split round 13 so a hash break names its
-    family): blocked-bloom prefiltered semi join (q74), Misra-Gries
-    heavy hitters (q75), z-order layout keys (q76), GK-quantile audit
-    (q78), FFD packing (q80), CDC merge (q84), incremental aggregate
-    maintenance (q86), int8 embedding quantization (q87),
-    interval-overlap join (q90), table profiling (q92), frequent pairs
-    (q93), data-quality constraint suite (q97), SCD2 history (q104) +
-    the SCD2<->MERGE round-trip invariant, the 13-family
-    batch-vs-streaming parity audit (plans/parity.py), fuzzy join
-    (q105), snapshot diff (q107), CMS frequency (q110), bitmap distinct
-    (q113), skyline (q114), skew report (q119), join explosion (q120),
-    KMV distinct (q136), trailing distinct (q126), weighted sampling
-    (q118), FD profiling (q158) — tagged union onto (battery, key, v1,
-    v2, v3), int64 slot folds with loud bounds."""
+    """Scale-toolkit battery (round-6 widening): blocked-bloom prefiltered
+    semi join (q74), Misra-Gries heavy-hitter audit (q75), z-order layout
+    keys (q76), hashed-linear quality scoring (q77), GK-quantile audit
+    (q78), FFD packing (q80), robust outliers (q81), exact-integer
+    PageRank (q83), CDC merge (q84), Gopher rule audit (q85),
+    incremental aggregate maintenance (q86), int8 embedding
+    quantization (q87), conversion funnel (q88), cohort retention
+    (q89), interval-overlap join (q90), triangle counting (q91), table
+    profiling (q92), frequent-pair mining (q93), equi-depth
+    histogram (q94), exact correlation moments (q95), data-quality
+    constraint suite (q97), BPE tokenizer pair stats + merge audit
+    (q98), deterministic random walks (q99), first/last-touch
+    attribution (q100), and the
+    batch-vs-streaming parity audit (round 7: streaming funnel /
+    sharded streaming heavy hitters / incremental ComponentMap; round 8
+    adds the watermarked stream-stream interval join, streaming CUSUM,
+    and streaming bitmap trailing distinct — each re-run
+    against its batch twin on the same static frame, per-key match bits
+    vs the oracle's literal 1s — plans/parity.py), and the SCD2<->MERGE
+    round-trip invariant (round 8: _scd2_roundtrip_rows) — tagged
+    union with the members' columns coerced onto (battery, key, v1, v2,
+    v3), the same normalization the sampling battery uses."""
     from snowplow_s3_loader_spark.plans.parity import streaming_parity_rows
     bloom_rows = q.q74_bloom_semi_join(spark, sf_dir).select(
         F.lit("bloom").alias("battery"),
@@ -488,6 +495,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x_bucket").cast("long").alias("v2"),
         F.col("y_bucket").cast("long").alias("v3"),
     )
+    clf = q.q77_quality_classifier(spark, sf_dir).select(
+        F.lit("classifier").alias("battery"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("score_micro").cast("long").alias("v1"),
+        F.col("label").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     quant = q.q78_approx_quantiles(spark, sf_dir).select(
         F.lit("quantile").alias("battery"),
         F.concat_ws("@", "event_type", F.col("p").cast("string")).alias("key"),
@@ -502,6 +516,21 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("all_fit") * F.col("lb_ok")).cast("long").alias("v2"),
         F.col("lb").cast("long").alias("v3"),
     )
+    outl = q.q81_robust_outliers(spark, sf_dir).select(
+        F.lit("outliers").alias("battery"),
+        F.col("event_type").alias("key"),
+        F.col("n").cast("long").alias("v1"),
+        F.col("n_outliers").cast("long").alias("v2"),
+        # med/mad ride v3 as exact micro-units (both are 6-dp rounded)
+        F.round(F.col("med") * 1000000 + F.col("mad"), 0).cast("long").alias("v3"),
+    )
+    pr = q.q83_pagerank(spark, sf_dir).select(
+        F.lit("pagerank").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("rank_micro").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     cdc_rows = q.q84_cdc_merge(spark, sf_dir).select(
         F.lit("cdc").alias("battery"),
         F.col("c_custkey").cast("string").alias("key"),
@@ -509,6 +538,22 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         # name content rides as a numeric digest (first 8 md5 hex chars)
         F.conv(F.substring(F.md5("c_name"), 1, 8), 16, 10).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
+    )
+    gopher = q.q85_gopher_rules(spark, sf_dir).select(
+        F.lit("gopher").alias("battery"),
+        F.col("lang").alias("key"),
+        F.col("n_docs").alias("v1"),
+        F.col("n_pass").alias("v2"),
+        # all seven fail counts folded into one base-31 checksum
+        (
+            F.col("n_fail_word_count")
+            + F.col("n_fail_mean_word_len") * 31
+            + F.col("n_fail_symbol_ratio") * 31**2
+            + F.col("n_fail_bullet_ratio") * 31**3
+            + F.col("n_fail_ellipsis_ratio") * 31**4
+            + F.col("n_fail_alpha_ratio") * 31**5
+            + F.col("n_fail_stopword") * 31**6
+        ).cast("long").alias("v3"),
     )
     incr = q.q86_incremental_agg(spark, sf_dir).select(
         F.lit("incr").alias("battery"),
@@ -528,12 +573,39 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("code_max") * 1000 + F.col("code_min")).cast("long").alias("v2"),
         F.col("n_dims").cast("long").alias("v3"),
     )
+    fun = q.q88_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("battery"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("stage").cast("long").alias("v1"),
+        # session tz is UTC (tune_session), so ntz -> timestamp -> micros
+        # equals DuckDB's naive epoch_us
+        F.unix_micros(F.col("t1").cast("timestamp")).alias("v2"),
+        F.unix_micros(F.col("t3").cast("timestamp")).alias("v3"),
+    )
+    coh = q.q89_cohort_retention(spark, sf_dir).select(
+        F.lit("cohort").alias("battery"),
+        F.concat_ws(
+            "@",
+            F.date_format("cohort", "yyyy-MM-dd"),
+            F.date_format("period", "yyyy-MM-dd"),
+        ).alias("key"),
+        F.col("n_users").alias("v1"),
+        F.col("periods_since").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     iv = q.q90_interval_overlap(spark, sf_dir).select(
         F.lit("interval").alias("battery"),
         F.concat_ws("@", F.col("id_l").cast("string"), F.col("id_r").cast("string")).alias("key"),
         F.col("l_start").alias("v1"),
         F.col("r_end").alias("v2"),
         (F.col("l_end") - F.col("r_start")).alias("v3"),
+    )
+    tri = q.q91_triangle_count(spark, sf_dir).select(
+        F.lit("triangle").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("n_triangles").alias("v1"),
+        F.col("total_triangles").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
     )
     prof = q.q92_profile_events(spark, sf_dir).select(
         F.lit("profile").alias("battery"),
@@ -564,12 +636,19 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
-    chk = q.q97_quality_checks(spark, sf_dir).select(
-        F.lit("checks").alias("battery"),
-        F.col("check_name").alias("key"),
-        F.col("metric").alias("v1"),
-        F.col("passed").cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
+    hist = q.q94_equi_depth_histogram(spark, sf_dir).select(
+        F.lit("histogram").alias("battery"),
+        F.col("bucket").cast("string").alias("key"),
+        F.col("n").alias("v1"),
+        F.round(F.col("low") * 100).cast("long").alias("v2"),
+        F.round(F.col("high") * 100).cast("long").alias("v3"),
+    )
+    mom = q.q95_exact_correlation(spark, sf_dir).select(
+        F.lit("moments").alias("battery"),
+        F.col("l_returnflag").alias("key"),
+        F.col("cov_num").alias("v1"),
+        F.col("var_x_num").alias("v2"),
+        F.col("var_y_num").alias("v3"),
     )
     scd = q.q104_scd2_history(spark, sf_dir).select(
         F.lit("scd2").alias("battery"),
@@ -580,6 +659,57 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("valid_to_seq"), F.lit(-1)).alias("v1"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("v2"),
         F.col("is_current").cast("long").alias("v3"),
+    )
+    ht = q.q103_hits(spark, sf_dir).select(
+        F.lit("hits").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("hub_micro").alias("v1"),
+        F.col("auth_micro").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    kc = q.q102_k_core(spark, sf_dir).select(
+        F.lit("kcore").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("is_match").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    att = q.q100_attribution(spark, sf_dir).select(
+        F.lit("attribution").alias("battery"),
+        F.concat_ws(
+            "@",
+            F.col("user_id").cast("string"),
+            F.unix_micros(F.col("conv_ts").cast("timestamp")).cast("string"),
+        ).alias("key"),
+        F.unix_micros(F.col("last_touch_ts").cast("timestamp")).alias("v1"),
+        F.col("n_touches").alias("v2"),
+        # type digest folded with the first-touch time (lossless: type is
+        # one of two values -> 0/1 bit on top of the micros)
+        (
+            F.unix_micros(F.col("first_touch_ts").cast("timestamp")) * 2
+            + F.when(F.col("last_touch_type") == "view", 1).otherwise(0)
+        ).alias("v3"),
+    )
+    rw = q.q99_random_walks(spark, sf_dir).select(
+        F.lit("walks").alias("battery"),
+        F.concat_ws("@", F.col("walk").cast("string"), F.col("step").cast("string")).alias("key"),
+        F.col("node").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    tok = q.q98_bpe_tokenizer(spark, sf_dir).select(
+        F.lit("bpe").alias("battery"),
+        F.concat_ws("@", "kind", "key").alias("key"),
+        F.col("v").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    chk = q.q97_quality_checks(spark, sf_dir).select(
+        F.lit("checks").alias("battery"),
+        F.col("check_name").alias("key"),
+        F.col("metric").alias("v1"),
+        F.col("passed").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
     )
     par = streaming_parity_rows(spark, sf_dir).select(
         F.lit("parity").alias("battery"),
@@ -602,6 +732,13 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_match").alias("v2"),
         F.col("max_match").alias("v3"),
     )
+    bf = q.q106_bfs_distances(spark, sf_dir).select(
+        F.lit("bfs").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("dist").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     sdiff = q.q107_snapshot_diff(spark, sf_dir).select(
         F.lit("diff").alias("battery"),
         F.concat_ws(
@@ -611,11 +748,43 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
+    tm = q.q108_transition_matrix(spark, sf_dir).select(
+        F.lit("transitions").alias("battery"),
+        F.concat_ws("@", "from_type", "to_type").alias("key"),
+        F.col("n").alias("v1"),
+        F.col("prob_micro").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
     cms = q.q110_cms_frequency(spark, sf_dir).select(
         F.lit("cms").alias("battery"),
         F.col("token").alias("key"),
         F.col("true_n").alias("v1"),
         F.col("est_n").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    mk = q.q111_markup_strip(spark, sf_dir).select(
+        F.lit("markup").alias("battery"),
+        F.concat_ws(
+            "@", F.col("doc_id").cast("string"), F.col("clean_tail")
+        ).alias("key"),
+        F.col("n_tags").cast("long").alias("v1"),
+        F.col("clean_len").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    lpa = q.q112_label_propagation(spark, sf_dir).select(
+        F.lit("lpa").alias("battery"),
+        F.col("node").cast("string").alias("key"),
+        F.col("label").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    anom = q.q109_rolling_anomalies(spark, sf_dir).select(
+        F.lit("anomaly").alias("battery"),
+        F.concat_ws("@", F.col("event_type"), F.col("event_id").cast("string")).alias(
+            "key"
+        ),
+        F.col("cents").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
     bmd = q.q113_bitmap_distinct(spark, sf_dir).select(
@@ -629,6 +798,36 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("skyline").alias("battery"),
         F.col("order_day").cast("string").alias("key"),
         F.col("price_cents").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    csm = q.q115_cusum(spark, sf_dir).select(
+        F.lit("cusum").alias("battery"),
+        F.concat_ws("@", "kind", "key").alias("key"),
+        F.col("a").alias("v1"),
+        F.col("b").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    trd = q.q116_group_trend(spark, sf_dir).select(
+        F.lit("trend").alias("battery"),
+        F.col("o_custkey").cast("string").alias("key"),
+        F.col("slope_num").alias("v1"),
+        F.col("slope_den").alias("v2"),
+        F.col("slope_milli").alias("v3"),
+    )
+    isim = q.q117_item_similarity(spark, sf_dir).select(
+        F.lit("itemsim").alias("battery"),
+        F.concat_ws(
+            "@", F.col("item").cast("string"), F.col("rnk").cast("string")
+        ).alias("key"),
+        F.col("neighbor").alias("v1"),
+        F.col("support").alias("v2"),
+        F.col("sim2_micro").alias("v3"),
+    )
+    wsm = q.q118_weighted_sample(spark, sf_dir).select(
+        F.lit("wsample").alias("battery"),
+        F.concat_ws("@", "lang", F.col("doc_id").cast("string")).alias("key"),
+        F.col("priority").alias("v1"),
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
@@ -646,13 +845,44 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("v2"),
         F.col("c").alias("v3"),
     )
-    kmv = q.q136_kmv_distinct(spark, sf_dir).select(
-        F.lit("kmv").alias("battery"),
-        F.col("event_type").alias("key"),
-        F.col("exact_distinct").alias("v1"),
-        F.col("kmv_est").alias("v2"),
-        (F.col("kmv_n") * 100 + F.col("bound_ok") * 10
-         + F.col("merge_match")).alias("v3"),
+    qrk = q.q121_quantile_rank(spark, sf_dir).select(
+        F.lit("qrank").alias("battery"),
+        F.concat_ws(
+            "@", "event_type", F.col("event_id").cast("string")
+        ).alias("key"),
+        F.col("cents").alias("v1"),
+        F.col("pct_micro").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    gmd = q.q122_group_mode(spark, sf_dir).select(
+        F.lit("mode").alias("battery"),
+        F.concat_ws("@", "source", "lang_mode").alias("key"),
+        F.col("mode_n").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    phr = q.q123_phrase_search(spark, sf_dir).select(
+        F.lit("phrase").alias("battery"),
+        F.concat_ws("@", "kind", F.col("doc_id").cast("string")).alias("key"),
+        F.col("n_matches").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    lded = q.q124_line_dedup(spark, sf_dir).select(
+        F.lit("linededup").alias("battery"),
+        F.concat_ws("@", F.col("doc_id").cast("string"), "clean_tail").alias(
+            "key"
+        ),
+        F.col("n_lines").alias("v1"),
+        F.col("n_removed").alias("v2"),
+        F.col("clean_len").alias("v3"),
+    )
+    km = q.q125_kmeans(spark, sf_dir).select(
+        F.lit("kmeans").alias("battery"),
+        F.col("vec_id").cast("string").alias("key"),
+        F.col("cluster").cast("long").alias("v1"),
+        F.col("dist2").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
     )
     trl = q.q126_trailing_distinct(spark, sf_dir).select(
         F.lit("trailing").alias("battery"),
@@ -661,87 +891,53 @@ def q74_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_trailing").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
-    wsm = q.q118_weighted_sample(spark, sf_dir).select(
-        F.lit("wsample").alias("battery"),
-        F.concat_ws("@", "lang", F.col("doc_id").cast("string")).alias("key"),
-        F.col("priority").alias("v1"),
+    rrf = q.q127_hybrid_search(spark, sf_dir).select(
+        F.lit("rrf").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        F.col("n_lists").alias("v1"),
+        F.col("rrf_micro").alias("v2"),
+        F.col("fused_rank").cast("long").alias("v3"),
+    )
+    cov = q.q128_embedding_covariance(spark, sf_dir).select(
+        F.lit("cov").alias("battery"),
+        F.concat_ws(
+            "@", F.col("i").cast("string"), F.col("j").cast("string")
+        ).alias("key"),
+        F.col("s_ij").alias("v1"),
+        F.col("cov_num").alias("v2"),
+        F.col("n").alias("v3"),
+    )
+    colc = q.q129_collocations(spark, sf_dir).select(
+        F.lit("colloc").alias("battery"),
+        F.concat_ws("@", "w1", "w2").alias("key"),
+        F.col("n_ab").alias("v1"),
+        F.col("lift_micro").alias("v2"),
+        F.col("rnk").cast("long").alias("v3"),
+    )
+    wins = q.q130_winsorize(spark, sf_dir).select(
+        F.lit("winsor").alias("battery"),
+        F.concat_ws(
+            "@", "event_type", F.col("event_id").cast("string")
+        ).alias("key"),
+        F.col("cents").alias("v1"),
+        F.col("clipped").alias("v2"),
+        (F.col("lo_bound") * 10_000_000 + F.col("hi_bound")).alias("v3"),
+    )
+    spath = q.q131_session_paths(spark, sf_dir).select(
+        F.lit("spath").alias("battery"),
+        F.col("path").alias("key"),
+        F.col("n_sessions").alias("v1"),
         F.lit(None).cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
-    fdp = q.q158_fd_profile(spark, sf_dir).select(
-        F.lit("fd").alias("battery"),
-        F.concat_ws("@", "tbl", "fd").alias("key"),
-        F.col("n_groups").alias("v1"),
-        F.col("n_violating").alias("v2"),
-        (F.col("max_dep_values") * 10 + F.col("holds")).alias("v3"),
-    )
-    # round 13: order-invariant table checksum (min/max hash bounds are
-    # row-redundant and checked by the single's local oracle; the battery
-    # carries the count, the xor digest, and the modular sum)
-    cks = q.q182_table_checksum(spark, sf_dir).select(
-        F.lit("cksum").alias("battery"),
-        F.col("group").alias("key"),
-        F.col("n_rows").alias("v1"),
-        F.col("xor60").alias("v2"),
-        F.col("sum_mod").alias("v3"),
-    )
-    members = [bloom_rows, hh, zord, quant, ffd, cdc_rows, incr, qz, iv, prof, fp, chk, scd, par, scdrt, fz, sdiff, cms, bmd, sky, skw, jex, kmv, trl, wsm, fdp, cks]
-    combined = members[0]
-    for m in members[1:]:
-        combined = combined.union(m)
-    return combined.orderBy("battery", "key", "v1")
-
-
-def q83_graph_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph + embedding-analytics battery (split from the q74 monolith,
-    round 13): exact-integer PageRank (q83), triangle counting (q91),
-    k-core (q102), HITS (q103), BFS distances (q106), label propagation
-    (q112), topological layers (q134), link prediction (q135),
-    deterministic random walks (q99), item-item similarity (q117),
-    k-means assignment (q125), embedding covariance (q128), label
-    scatter (q133), RRF hybrid-search fusion (q127) — tagged union onto
-    (battery, key, v1, v2, v3)."""
-    pr = q.q83_pagerank(spark, sf_dir).select(
-        F.lit("pagerank").alias("battery"),
-        F.col("node").cast("string").alias("key"),
-        F.col("rank_micro").alias("v1"),
-        F.lit(None).cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    tri = q.q91_triangle_count(spark, sf_dir).select(
-        F.lit("triangle").alias("battery"),
-        F.col("node").cast("string").alias("key"),
-        F.col("n_triangles").alias("v1"),
-        F.col("total_triangles").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    kc = q.q102_k_core(spark, sf_dir).select(
-        F.lit("kcore").alias("battery"),
-        F.col("node").cast("string").alias("key"),
-        F.col("is_match").cast("long").alias("v1"),
-        F.lit(None).cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    ht = q.q103_hits(spark, sf_dir).select(
-        F.lit("hits").alias("battery"),
-        F.col("node").cast("string").alias("key"),
-        F.col("hub_micro").alias("v1"),
-        F.col("auth_micro").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    bf = q.q106_bfs_distances(spark, sf_dir).select(
-        F.lit("bfs").alias("battery"),
-        F.col("node").cast("string").alias("key"),
-        F.col("dist").cast("long").alias("v1"),
-        F.lit(None).cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    lpa = q.q112_label_propagation(spark, sf_dir).select(
-        F.lit("lpa").alias("battery"),
-        F.col("node").cast("string").alias("key"),
-        F.col("label").alias("v1"),
-        F.lit(None).cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
+    sprm = q.q132_spearman(spark, sf_dir).select(
+        F.lit("spearman").alias("battery"),
+        # n/d2/tx/ty fully determine rho — the float stays out of the
+        # battery's string key space
+        F.lit("all").alias("key"),
+        F.col("n").alias("v1"),
+        F.col("d2").alias("v2"),
+        (F.col("tx") * 100_000 + F.col("ty")).alias("v3"),
     )
     topo = q.q134_topo_layers(spark, sf_dir).select(
         F.lit("topo").alias("battery"),
@@ -758,142 +954,45 @@ def q83_graph_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ra_micro").alias("v2"),
         F.col("jaccard_micro").alias("v3"),
     )
-    rw = q.q99_random_walks(spark, sf_dir).select(
-        F.lit("walks").alias("battery"),
-        F.concat_ws("@", F.col("walk").cast("string"), F.col("step").cast("string")).alias("key"),
-        F.col("node").alias("v1"),
-        F.lit(None).cast("long").alias("v2"),
+    kmv = q.q136_kmv_distinct(spark, sf_dir).select(
+        F.lit("kmv").alias("battery"),
+        F.col("event_type").alias("key"),
+        F.col("exact_distinct").alias("v1"),
+        F.col("kmv_est").alias("v2"),
+        (F.col("kmv_n") * 100 + F.col("bound_ok") * 10
+         + F.col("merge_match")).alias("v3"),
+    )
+    wfp = q.q137_winnow_fingerprints(spark, sf_dir).select(
+        F.lit("winnow").alias("battery"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("pos").cast("long").alias("v1"),
+        F.col("h").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
-    isim = q.q117_item_similarity(spark, sf_dir).select(
-        F.lit("itemsim").alias("battery"),
-        F.concat_ws(
-            "@", F.col("item").cast("string"), F.col("rnk").cast("string")
-        ).alias("key"),
-        F.col("neighbor").alias("v1"),
-        F.col("support").alias("v2"),
-        F.col("sim2_micro").alias("v3"),
-    )
-    km = q.q125_kmeans(spark, sf_dir).select(
-        F.lit("kmeans").alias("battery"),
-        F.col("vec_id").cast("string").alias("key"),
-        F.col("cluster").cast("long").alias("v1"),
-        F.col("dist2").alias("v2"),
+    acfr = q.q138_event_acf(spark, sf_dir).select(
+        F.lit("acf").alias("battery"),
+        F.concat_ws("@", "event_type", F.col("lag").cast("string")).alias("key"),
+        F.col("acf_num").alias("v1"),
+        F.col("acf_den").alias("v2"),
+        # the double ratio stays out of the battery's long columns; the
+        # single itself hash-checks it
         F.lit(None).cast("long").alias("v3"),
     )
-    cov = q.q128_embedding_covariance(spark, sf_dir).select(
-        F.lit("cov").alias("battery"),
-        F.concat_ws(
-            "@", F.col("i").cast("string"), F.col("j").cast("string")
-        ).alias("key"),
-        F.col("s_ij").alias("v1"),
-        F.col("cov_num").alias("v2"),
-        F.col("n").alias("v3"),
+    chi = q.q139_association(spark, sf_dir).select(
+        F.lit("chi2").alias("battery"),
+        F.concat_ws("@", "event_type", F.col("cohort").cast("string")).alias("key"),
+        F.col("observed").alias("v1"),
+        F.col("dev").alias("v2"),
+        # 1e10 multiplier: totals stay distinguishable up to ~1e10 rows
+        # (int64-safe for row_total < 9.2e8 groups-worth of margin)
+        (F.col("row_total") * 10_000_000_000 + F.col("col_total")).alias("v3"),
     )
-    lsc = q.q133_label_scatter(spark, sf_dir).select(
-        F.lit("lscatter").alias("battery"),
-        F.col("label").cast("string").alias("key"),
-        F.col("n").alias("v1"),
-        F.col("norm2_sum").alias("v2"),
-        F.col("trace_num").alias("v3"),
-    )
-    rrf = q.q127_hybrid_search(spark, sf_dir).select(
-        F.lit("rrf").alias("battery"),
-        F.col("id").cast("string").alias("key"),
-        F.col("n_lists").alias("v1"),
-        F.col("rrf_micro").alias("v2"),
-        F.col("fused_rank").cast("long").alias("v3"),
-    )
-    # round 13: retrieval-eval fold — counts and once-rounded DCG/IDCG
-    # sums pack losslessly (k = 5: rr <= 1e6, first <= 5, dcg/idcg < 5e6);
-    # ndcg is their one derived division, hash-checked by the single's
-    # own oracle in the local registry
-    mrr = q.q176_retrieval_metrics(spark, sf_dir).select(
-        F.lit("mrr").alias("battery"),
-        F.col("query_id").cast("string").alias("key"),
-        (F.col("n_ranked") * 10_000_000_000 + F.col("n_rel")).alias("v1"),
-        (
-            F.col("rr_micro") * 100 + F.coalesce("first_rel_rank", F.lit(0))
-        ).alias("v2"),
-        (
-            F.col("dcg_micro") * 10_000_000 + F.col("idcg_micro")
-        ).alias("v3"),
-    )
-    members = [pr, tri, kc, ht, bf, lpa, topo, lnk, rw, isim, km, cov, lsc, rrf, mrr]
-    combined = members[0]
-    for m in members[1:]:
-        combined = combined.union(m)
-    return combined.orderBy("battery", "key", "v1")
-
-
-def q88_behavior_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Behavioral / time-series battery (split from the q74 monolith,
-    round 13): conversion funnel (q88), cohort retention (q89),
-    first/last-touch attribution (q100), transition matrix (q108),
-    rolling anomalies (q109), session paths (q131), OHLC/TWAP bars
-    (q141), Kaplan-Meier survival (q161), Kleinberg bursts (q162),
-    burst intervals (q165), multi-state burst hierarchy (q166), offline
-    CUSUM changepoint (q167), event ACF (q138), CUSUM alarms (q115),
-    per-group trend slopes (q116) — tagged union onto (battery, key,
-    v1, v2, v3)."""
-    fun = q.q88_funnel(spark, sf_dir).select(
-        F.lit("funnel").alias("battery"),
-        F.col("user_id").cast("string").alias("key"),
-        F.col("stage").cast("long").alias("v1"),
-        # session tz is UTC (tune_session), so ntz -> timestamp -> micros
-        # equals DuckDB's naive epoch_us
-        F.unix_micros(F.col("t1").cast("timestamp")).alias("v2"),
-        F.unix_micros(F.col("t3").cast("timestamp")).alias("v3"),
-    )
-    coh = q.q89_cohort_retention(spark, sf_dir).select(
-        F.lit("cohort").alias("battery"),
-        F.concat_ws(
-            "@",
-            F.date_format("cohort", "yyyy-MM-dd"),
-            F.date_format("period", "yyyy-MM-dd"),
-        ).alias("key"),
-        F.col("n_users").alias("v1"),
-        F.col("periods_since").cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    att = q.q100_attribution(spark, sf_dir).select(
-        F.lit("attribution").alias("battery"),
-        F.concat_ws(
-            "@",
-            F.col("user_id").cast("string"),
-            F.unix_micros(F.col("conv_ts").cast("timestamp")).cast("string"),
-        ).alias("key"),
-        F.unix_micros(F.col("last_touch_ts").cast("timestamp")).alias("v1"),
-        F.col("n_touches").alias("v2"),
-        # type digest folded with the first-touch time (lossless: type is
-        # one of two values -> 0/1 bit on top of the micros)
-        (
-            F.unix_micros(F.col("first_touch_ts").cast("timestamp")) * 2
-            + F.when(F.col("last_touch_type") == "view", 1).otherwise(0)
-        ).alias("v3"),
-    )
-    tm = q.q108_transition_matrix(spark, sf_dir).select(
-        F.lit("transitions").alias("battery"),
-        F.concat_ws("@", "from_type", "to_type").alias("key"),
-        F.col("n").alias("v1"),
-        F.col("prob_micro").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    anom = q.q109_rolling_anomalies(spark, sf_dir).select(
-        F.lit("anomaly").alias("battery"),
-        F.concat_ws("@", F.col("event_type"), F.col("event_id").cast("string")).alias(
-            "key"
-        ),
-        F.col("cents").alias("v1"),
-        F.lit(None).cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    spath = q.q131_session_paths(spark, sf_dir).select(
-        F.lit("spath").alias("battery"),
-        F.col("path").alias("key"),
-        F.col("n_sessions").alias("v1"),
-        F.lit(None).cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
+    aucr = q.q140_auc(spark, sf_dir).select(
+        F.lit("auc").alias("battery"),
+        F.col("cohort").cast("string").alias("key"),
+        F.col("u_dbl").alias("v1"),
+        F.col("auc_micro").alias("v2"),
+        (F.col("n1") * 10_000_000_000 + F.col("n0")).alias("v3"),
     )
     # 1e10 packings: n_ticks / (high-low >= 0) / twap_den (< 3.6e9 for
     # hour bars) all stay below the multiplier at any plausible SF
@@ -910,14 +1009,150 @@ def q88_behavior_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         (F.col("twap_cents") * 10_000_000_000 + F.col("twap_den")).alias("v3"),
     )
-    kmc = q.q161_survival(spark, sf_dir).select(
-        F.lit("km").alias("battery"),
-        F.concat_ws("@", "group", "t").alias("key"),
-        F.col("n_at_risk").alias("v1"),
-        (F.col("n_events") * 10_000_000_000 + F.col("n_censored")).alias(
+    woer = q.q145_feature_woe(spark, sf_dir).select(
+        F.lit("woe").alias("battery"),
+        F.col("bin").cast("string").alias("key"),
+        (F.col("n_pos") * 10_000_000_000 + F.col("n_neg")).alias("v1"),
+        F.col("dev").alias("v2"),
+        F.col("woe_micro").alias("v3"),
+    )
+    uenc = q.q144_unigram_encode(spark, sf_dir).select(
+        F.lit("uencode").alias("battery"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_words").alias("v1"),
+        # n_chars per doc < 1e10 at any plausible SF (n_chars is also a
+        # documents column, bounded by the generator)
+        (F.col("n_pieces") * 10_000_000_000 + F.col("n_chars")).alias("v2"),
+        F.col("avg_pieces_micro").alias("v3"),
+    )
+    urld = q.q143_url_dedup(spark, sf_dir).select(
+        F.lit("urldedup").alias("battery"),
+        F.col("canonical_url").alias("key"),
+        (F.col("n_dups") * 10_000_000_000 + F.col("keep_id")).alias("v1"),
+        F.col("drank").cast("long").alias("v2"),
+        F.col("kept").cast("long").alias("v3"),
+    )
+    unig = q.q142_unigram_lm(spark, sf_dir).select(
+        F.lit("unigram").alias("battery"),
+        F.col("piece").alias("key"),
+        F.col("seed_count").alias("v1"),
+        F.col("score_micro").alias("v2"),
+        F.col("em_count").alias("v3"),
+    )
+    dsirr = q.q146_dsir_selection(spark, sf_dir).select(
+        F.lit("dsir").alias("battery"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_feats").alias("v1"),
+        F.col("weight_micro").alias("v2"),
+        F.col("selected").cast("long").alias("v3"),
+    )
+    nov = q.q149_ngram_novelty(spark, sf_dir).select(
+        F.lit("novelty").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        (F.col("n_grams") * 10_000_000_000 + F.col("n_distinct")).alias("v1"),
+        F.col("n_novel").alias("v2"),
+        F.col("novelty_micro").alias("v3"),
+    )
+    incd = q.q150_incremental_dedup(spark, sf_dir).select(
+        F.lit("incdedup").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        F.col("n_hit_bands").alias("v1"),
+        F.col("is_dup").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    psi = q.q151_psi_drift(spark, sf_dir).select(
+        F.lit("psi").alias("battery"),
+        F.col("bin").cast("string").alias("key"),
+        (F.col("n_ref") * 10_000_000_000 + F.col("n_cur")).alias("v1"),
+        F.col("upper_edge").alias("v2"),
+        F.col("psi_micro").alias("v3"),
+    )
+    kmvm = q.q155_source_overlap(spark, sf_dir).select(
+        F.lit("srcoverlap").alias("battery"),
+        F.concat_ws("|", "ga", "gb").alias("key"),
+        (F.col("k_used") * 10_000_000_000 + F.col("n_both")).alias("v1"),
+        F.col("jaccard_micro").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    subd = q.q152_substring_dedup(spark, sf_dir).select(
+        F.lit("subdup").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        F.col("n_windows").alias("v1"),
+        F.col("n_dup_windows").alias("v2"),
+        F.col("dup_micro").alias("v3"),
+    )
+    ksd = q.q153_ks_drift(spark, sf_dir).select(
+        F.lit("ks").alias("battery"),
+        F.lit("0").alias("key"),
+        (F.col("n_ref") * 10_000_000_000 + F.col("n_cur")).alias("v1"),
+        F.col("d_num").alias("v2"),
+        F.col("ks_micro").alias("v3"),
+    )
+    zpf = q.q154_zipf_fit(spark, sf_dir).select(
+        F.lit("zipf").alias("battery"),
+        F.lit("0").alias("key"),
+        F.col("sxy").alias("v1"),
+        F.col("sxx").alias("v2"),
+        F.col("slope_micro").alias("v3"),
+    )
+    mlw = q.q148_moore_lewis(spark, sf_dir).select(
+        F.lit("mlewis").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        F.col("n_bigrams").alias("v1"),
+        F.col("sum_logp_target").alias("v2"),
+        F.col("ml_micronats").alias("v3"),
+    )
+    shards = q.q147_token_shards(spark, sf_dir).select(
+        F.lit("shards").alias("battery"),
+        F.col("shard").cast("string").alias("key"),
+        (F.col("n_docs") * 10_000_000_000 + F.col("tokens")).alias("v1"),
+        (
+            F.col("rn_min").cast("long") * 10_000_000_000 + F.col("rn_max")
+        ).alias("v2"),
+        F.col("start_min").alias("v3"),
+    )
+    calib = q.q156_calibration(spark, sf_dir).select(
+        F.lit("calib").alias("battery"),
+        F.col("bin").cast("string").alias("key"),
+        (F.col("n") * 10_000_000_000 + F.col("n_pos")).alias("v1"),
+        # avg/frac are micro-units <= 1e6 — lossless fold into one slot
+        (
+            F.col("avg_score_micro") * 10_000_000
+            + F.col("frac_pos_micro")
+        ).alias("v2"),
+        F.col("ece_num").alias("v3"),
+    )
+    abz = q.q157_ab_test(spark, sf_dir).select(
+        F.lit("abz").alias("battery"),
+        F.col("event_type").alias("key"),
+        (F.col("n_a") * 10_000_000_000 + F.col("n_b")).alias("v1"),
+        (F.col("x_a") * 10_000_000_000 + F.col("x_b")).alias("v2"),
+        F.col("z_micro").alias("v3"),
+    )
+    fdp = q.q158_fd_profile(spark, sf_dir).select(
+        F.lit("fd").alias("battery"),
+        F.concat_ws("@", "tbl", "fd").alias("key"),
+        F.col("n_groups").alias("v1"),
+        F.col("n_violating").alias("v2"),
+        (F.col("max_dep_values") * 10 + F.col("holds")).alias("v3"),
+    )
+    trc = q.q163_truncation_recall(spark, sf_dir).select(
+        F.lit("trunc").alias("battery"),
+        F.col("query_id").cast("string").alias("key"),
+        (F.col("n_full") * 10_000_000_000 + F.col("n_trunc")).alias("v1"),
+        F.col("n_common").alias("v2"),
+        F.col("recall_micro").alias("v3"),
+    )
+    chm = q.q164_charset_mix(spark, sf_dir).select(
+        F.lit("charset").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        (F.col("n_chars") * 10_000_000 + F.col("letter_micro")).alias("v1"),
+        (F.col("digit_micro") * 10_000_000 + F.col("space_micro")).alias(
             "v2"
         ),
-        F.col("cum_ln_micro").alias("v3"),
+        (
+            F.col("nonascii_micro") * 10_000_000 + F.col("other_micro")
+        ).alias("v3"),
     )
     brst = q.q162_bursts(spark, sf_dir).select(
         F.lit("burst").alias("battery"),
@@ -958,37 +1193,6 @@ def q88_behavior_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         F.col("span_s").alias("v3"),
     )
-    # burst hierarchy: state_mass rides the KEY (lossless — any
-    # divergence breaks the hash via the key string), counts share the
-    # burst fold's guarded slots
-    hier = q.q166_burst_hierarchy(spark, sf_dir).select(
-        F.lit("hier").alias("battery"),
-        F.concat_ws("@", F.col("key"), F.col("state_mass")).alias("key"),
-        F.when(
-            (F.col("n_gaps") >= 100_000)
-            | (F.col("n_burst_gaps") >= 100_000)
-            | (F.col("n_bursts") >= 10_000),
-            F.raise_error(
-                F.lit(
-                    "hier battery fold: slot bounds exceeded (need "
-                    "n_gaps < 1e5, n_burst_gaps < 1e5, n_bursts < 1e4) "
-                    "— widen the fold slots"
-                )
-            ).cast("long"),
-        )
-        .otherwise(
-            F.col("n_events") * 10_000_000_000
-            + F.col("n_gaps") * 100_000
-            + F.col("max_state")
-        )
-        .alias("v1"),
-        (
-            F.col("mean_gap_s") * 1_000_000_000
-            + F.col("n_burst_gaps") * 10_000
-            + F.col("n_bursts")
-        ).alias("v2"),
-        F.col("cost_micro").alias("v3"),
-    )
     # changepoint: the series total rides the KEY (the state_mass
     # trick); slots carry the located split, its statistic, and the
     # level shift — the single's own oracle hash-checks the full row
@@ -1000,416 +1204,14 @@ def q88_behavior_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_max").alias("v2"),
         F.col("shift_micro").alias("v3"),
     )
-    acfr = q.q138_event_acf(spark, sf_dir).select(
-        F.lit("acf").alias("battery"),
-        F.concat_ws("@", "event_type", F.col("lag").cast("string")).alias("key"),
-        F.col("acf_num").alias("v1"),
-        F.col("acf_den").alias("v2"),
-        # the double ratio stays out of the battery's long columns; the
-        # single itself hash-checks it
-        F.lit(None).cast("long").alias("v3"),
-    )
-    csm = q.q115_cusum(spark, sf_dir).select(
-        F.lit("cusum").alias("battery"),
-        F.concat_ws("@", "kind", "key").alias("key"),
-        F.col("a").alias("v1"),
-        F.col("b").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    trd = q.q116_group_trend(spark, sf_dir).select(
-        F.lit("trend").alias("battery"),
-        F.col("o_custkey").cast("string").alias("key"),
-        F.col("slope_num").alias("v1"),
-        F.col("slope_den").alias("v2"),
-        F.col("slope_milli").alias("v3"),
-    )
-    # round 13: seasonal indices (totals per group are row-redundant and
-    # checked by the single's local oracle) and Theil-Sen robust trends
-    # (n_pairs < 5e7 under the operator's 1e4-point cap, so the 1e10
-    # slot fold is lossless)
-    seas = q.q173_seasonal_profile(spark, sf_dir).select(
-        F.lit("seasonal").alias("battery"),
-        F.concat_ws("@", "group", F.col("dow").cast("string")).alias("key"),
+    # benford: obs/exp are micro fractions <= 1e6 — lossless shared
+    # slot; the signed deviation keeps its own
+    bnf = q.q168_benford(spark, sf_dir).select(
+        F.lit("benford").alias("battery"),
+        F.concat_ws("@", F.col("priority"), F.col("digit")).alias("key"),
         F.col("n").alias("v1"),
-        F.col("sum_v").alias("v2"),
-        F.col("index_micro").alias("v3"),
-    )
-    tsen = q.q174_theil_sen(spark, sf_dir).select(
-        F.lit("theilsen").alias("battery"),
-        F.col("cust").cast("string").alias("key"),
-        (F.col("n_points") * 10_000_000_000 + F.col("n_pairs")).alias("v1"),
-        F.col("median_slope_micro").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    # round 13: Mann-Kendall trend significance (z_micro is the one
-    # derived double, hash-checked by the single's own local oracle;
-    # the battery carries the exact integer core)
-    mkt = q.q180_mann_kendall(spark, sf_dir).select(
-        F.lit("mk").alias("battery"),
-        F.col("event_type").alias("key"),
-        (F.col("n_points") * 10_000_000_000 + F.col("n_pairs")).alias("v1"),
-        F.col("s_stat").alias("v2"),
-        F.col("var18").alias("v3"),
-    )
-    members = [fun, coh, att, tm, anom, spath, ohlcb, kmc, brst, ivl, hier, chgpt, acfr, csm, trd, seas, tsen, mkt]
-    combined = members[0]
-    for m in members[1:]:
-        combined = combined.union(m)
-    return combined.orderBy("battery", "key", "v1")
-
-
-def q98_textdedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-curation / dedup-at-scale battery (split from the q74
-    monolith, round 13): BPE tokenizer stats (q98), unigram LM (q142),
-    URL dedup (q143), unigram encoding (q144), DSIR selection (q146),
-    token shards (q147), Moore-Lewis scoring (q148), n-gram novelty
-    (q149), incremental MinHash dedup gate (q150), substring dedup
-    (q152), truncation recall (q163), charset mix (q164), token-budget
-    selection (q160), markup strip (q111), line dedup (q124), phrase
-    search (q123), collocations (q129), winnowing fingerprints (q137),
-    Gopher rules (q85), hashed-linear quality classifier (q77), group
-    mode (q122), char entropy (q159), KMV source overlap (q155) —
-    tagged union onto (battery, key, v1, v2, v3)."""
-    tok = q.q98_bpe_tokenizer(spark, sf_dir).select(
-        F.lit("bpe").alias("battery"),
-        F.concat_ws("@", "kind", "key").alias("key"),
-        F.col("v").alias("v1"),
-        F.lit(None).cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    unig = q.q142_unigram_lm(spark, sf_dir).select(
-        F.lit("unigram").alias("battery"),
-        F.col("piece").alias("key"),
-        F.col("seed_count").alias("v1"),
-        F.col("score_micro").alias("v2"),
-        F.col("em_count").alias("v3"),
-    )
-    urld = q.q143_url_dedup(spark, sf_dir).select(
-        F.lit("urldedup").alias("battery"),
-        F.col("canonical_url").alias("key"),
-        (F.col("n_dups") * 10_000_000_000 + F.col("keep_id")).alias("v1"),
-        F.col("drank").cast("long").alias("v2"),
-        F.col("kept").cast("long").alias("v3"),
-    )
-    uenc = q.q144_unigram_encode(spark, sf_dir).select(
-        F.lit("uencode").alias("battery"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.col("n_words").alias("v1"),
-        # n_chars per doc < 1e10 at any plausible SF (n_chars is also a
-        # documents column, bounded by the generator)
-        (F.col("n_pieces") * 10_000_000_000 + F.col("n_chars")).alias("v2"),
-        F.col("avg_pieces_micro").alias("v3"),
-    )
-    dsirr = q.q146_dsir_selection(spark, sf_dir).select(
-        F.lit("dsir").alias("battery"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.col("n_feats").alias("v1"),
-        F.col("weight_micro").alias("v2"),
-        F.col("selected").cast("long").alias("v3"),
-    )
-    shards = q.q147_token_shards(spark, sf_dir).select(
-        F.lit("shards").alias("battery"),
-        F.col("shard").cast("string").alias("key"),
-        (F.col("n_docs") * 10_000_000_000 + F.col("tokens")).alias("v1"),
-        (
-            F.col("rn_min").cast("long") * 10_000_000_000 + F.col("rn_max")
-        ).alias("v2"),
-        F.col("start_min").alias("v3"),
-    )
-    mlw = q.q148_moore_lewis(spark, sf_dir).select(
-        F.lit("mlewis").alias("battery"),
-        F.col("id").cast("string").alias("key"),
-        F.col("n_bigrams").alias("v1"),
-        F.col("sum_logp_target").alias("v2"),
-        F.col("ml_micronats").alias("v3"),
-    )
-    nov = q.q149_ngram_novelty(spark, sf_dir).select(
-        F.lit("novelty").alias("battery"),
-        F.col("id").cast("string").alias("key"),
-        (F.col("n_grams") * 10_000_000_000 + F.col("n_distinct")).alias("v1"),
-        F.col("n_novel").alias("v2"),
-        F.col("novelty_micro").alias("v3"),
-    )
-    incd = q.q150_incremental_dedup(spark, sf_dir).select(
-        F.lit("incdedup").alias("battery"),
-        F.col("id").cast("string").alias("key"),
-        F.col("n_hit_bands").alias("v1"),
-        F.col("is_dup").cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    subd = q.q152_substring_dedup(spark, sf_dir).select(
-        F.lit("subdup").alias("battery"),
-        F.col("id").cast("string").alias("key"),
-        F.col("n_windows").alias("v1"),
-        F.col("n_dup_windows").alias("v2"),
-        F.col("dup_micro").alias("v3"),
-    )
-    trc = q.q163_truncation_recall(spark, sf_dir).select(
-        F.lit("trunc").alias("battery"),
-        F.col("query_id").cast("string").alias("key"),
-        (F.col("n_full") * 10_000_000_000 + F.col("n_trunc")).alias("v1"),
-        F.col("n_common").alias("v2"),
-        F.col("recall_micro").alias("v3"),
-    )
-    chm = q.q164_charset_mix(spark, sf_dir).select(
-        F.lit("charset").alias("battery"),
-        F.col("id").cast("string").alias("key"),
-        (F.col("n_chars") * 10_000_000 + F.col("letter_micro")).alias("v1"),
-        (F.col("digit_micro") * 10_000_000 + F.col("space_micro")).alias(
-            "v2"
-        ),
-        (
-            F.col("nonascii_micro") * 10_000_000 + F.col("other_micro")
-        ).alias("v3"),
-    )
-    bsel = q.q160_budget_select(spark, sf_dir).select(
-        F.lit("budget").alias("battery"),
-        F.col("id").cast("string").alias("key"),
-        F.col("score_micro").alias("v1"),
-        (F.col("n_tokens") * 10_000_000_000 + F.col("cum_before")).alias(
-            "v2"
-        ),
-        F.col("kept").cast("long").alias("v3"),
-    )
-    mk = q.q111_markup_strip(spark, sf_dir).select(
-        F.lit("markup").alias("battery"),
-        F.concat_ws(
-            "@", F.col("doc_id").cast("string"), F.col("clean_tail")
-        ).alias("key"),
-        F.col("n_tags").cast("long").alias("v1"),
-        F.col("clean_len").cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    lded = q.q124_line_dedup(spark, sf_dir).select(
-        F.lit("linededup").alias("battery"),
-        F.concat_ws("@", F.col("doc_id").cast("string"), "clean_tail").alias(
-            "key"
-        ),
-        F.col("n_lines").alias("v1"),
-        F.col("n_removed").alias("v2"),
-        F.col("clean_len").alias("v3"),
-    )
-    phr = q.q123_phrase_search(spark, sf_dir).select(
-        F.lit("phrase").alias("battery"),
-        F.concat_ws("@", "kind", F.col("doc_id").cast("string")).alias("key"),
-        F.col("n_matches").alias("v1"),
-        F.lit(None).cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    colc = q.q129_collocations(spark, sf_dir).select(
-        F.lit("colloc").alias("battery"),
-        F.concat_ws("@", "w1", "w2").alias("key"),
-        F.col("n_ab").alias("v1"),
-        F.col("lift_micro").alias("v2"),
-        F.col("rnk").cast("long").alias("v3"),
-    )
-    wfp = q.q137_winnow_fingerprints(spark, sf_dir).select(
-        F.lit("winnow").alias("battery"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.col("pos").cast("long").alias("v1"),
-        F.col("h").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    gopher = q.q85_gopher_rules(spark, sf_dir).select(
-        F.lit("gopher").alias("battery"),
-        F.col("lang").alias("key"),
-        F.col("n_docs").alias("v1"),
-        F.col("n_pass").alias("v2"),
-        # all seven fail counts folded into one base-31 checksum
-        (
-            F.col("n_fail_word_count")
-            + F.col("n_fail_mean_word_len") * 31
-            + F.col("n_fail_symbol_ratio") * 31**2
-            + F.col("n_fail_bullet_ratio") * 31**3
-            + F.col("n_fail_ellipsis_ratio") * 31**4
-            + F.col("n_fail_alpha_ratio") * 31**5
-            + F.col("n_fail_stopword") * 31**6
-        ).cast("long").alias("v3"),
-    )
-    clf = q.q77_quality_classifier(spark, sf_dir).select(
-        F.lit("classifier").alias("battery"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.col("score_micro").cast("long").alias("v1"),
-        F.col("label").cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    gmd = q.q122_group_mode(spark, sf_dir).select(
-        F.lit("mode").alias("battery"),
-        F.concat_ws("@", "source", "lang_mode").alias("key"),
-        F.col("mode_n").alias("v1"),
-        F.lit(None).cast("long").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    entr = q.q159_char_entropy(spark, sf_dir).select(
-        F.lit("entropy").alias("battery"),
-        F.col("id").cast("string").alias("key"),
-        (
-            F.col("n_chars") * 10_000_000_000 + F.col("n_distinct_chars")
-        ).alias("v1"),
-        F.col("entropy_micro").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    kmvm = q.q155_source_overlap(spark, sf_dir).select(
-        F.lit("srcoverlap").alias("battery"),
-        F.concat_ws("|", "ga", "gb").alias("key"),
-        (F.col("k_used") * 10_000_000_000 + F.col("n_both")).alias("v1"),
-        F.col("jaccard_micro").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    # round 13: k-anonymity release audit (the min-class/violating-rows
-    # audit columns are row-redundant — the single's local oracle checks
-    # them; the battery carries the histogram and the violation bit)
-    kanon = q.q177_k_anonymity(spark, sf_dir).select(
-        F.lit("kanon").alias("battery"),
-        F.col("class_size").cast("string").alias("key"),
-        F.col("n_classes").alias("v1"),
-        F.col("n_rows").alias("v2"),
-        F.col("violating").cast("long").alias("v3"),
-    )
-    # round 13: exact-total budget apportionment (weights and the
-    # full base/remainder core carry; alloc is their deterministic
-    # rank pick) and corpus vocabulary richness (exact integer
-    # frequency-of-frequencies estimators)
-    aloc = q.q184_sample_allocation(spark, sf_dir).select(
-        F.lit("alloc").alias("battery"),
-        F.col("stratum").alias("key"),
-        F.col("weight").alias("v1"),
-        (F.col("base") * 10_000_000 + F.col("alloc")).alias("v2"),
-        F.col("remainder").alias("v3"),
-    )
-    vocb = q.q185_vocab_richness(spark, sf_dir).select(
-        F.lit("vocab").alias("battery"),
-        F.lit("0").alias("key"),
-        (
-            F.col("n_tokens") * 10_000_000_000 + F.col("distinct_tokens")
-        ).alias("v1"),
-        (F.col("f1") * 10_000_000_000 + F.col("f2")).alias("v2"),
-        F.col("chao1_micro").alias("v3"),
-    )
-    members = [tok, unig, urld, uenc, dsirr, shards, mlw, nov, incd, subd, trc, chm, bsel, mk, lded, phr, colc, wfp, gopher, clf, gmd, entr, kmvm, kanon, aloc, vocb]
-    combined = members[0]
-    for m in members[1:]:
-        combined = combined.union(m)
-    return combined.orderBy("battery", "key", "v1")
-
-
-def q95_statseval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drift / statistics / model-eval battery (split from the q74
-    monolith, round 13): robust outliers (q81), exact correlation
-    moments (q95), equi-depth histogram (q94), chi-square association
-    (q139), AUC (q140), WOE bins (q145), calibration diagram (q156),
-    isotonic recalibration (q170), CUPED adjustment (q171),
-    two-proportion z (q157), PSI drift (q151), KS drift (q153),
-    Spearman rho (q132), mutual information (q169), Benford audit
-    (q168), Zipf fit (q154), quantile rank (q121), winsorization
-    (q130) — tagged union onto (battery, key, v1, v2, v3)."""
-    outl = q.q81_robust_outliers(spark, sf_dir).select(
-        F.lit("outliers").alias("battery"),
-        F.col("event_type").alias("key"),
-        F.col("n").cast("long").alias("v1"),
-        F.col("n_outliers").cast("long").alias("v2"),
-        # med/mad ride v3 as exact micro-units (both are 6-dp rounded)
-        F.round(F.col("med") * 1000000 + F.col("mad"), 0).cast("long").alias("v3"),
-    )
-    mom = q.q95_exact_correlation(spark, sf_dir).select(
-        F.lit("moments").alias("battery"),
-        F.col("l_returnflag").alias("key"),
-        F.col("cov_num").alias("v1"),
-        F.col("var_x_num").alias("v2"),
-        F.col("var_y_num").alias("v3"),
-    )
-    hist = q.q94_equi_depth_histogram(spark, sf_dir).select(
-        F.lit("histogram").alias("battery"),
-        F.col("bucket").cast("string").alias("key"),
-        F.col("n").alias("v1"),
-        F.round(F.col("low") * 100).cast("long").alias("v2"),
-        F.round(F.col("high") * 100).cast("long").alias("v3"),
-    )
-    chi = q.q139_association(spark, sf_dir).select(
-        F.lit("chi2").alias("battery"),
-        F.concat_ws("@", "event_type", F.col("cohort").cast("string")).alias("key"),
-        F.col("observed").alias("v1"),
-        F.col("dev").alias("v2"),
-        # 1e10 multiplier: totals stay distinguishable up to ~1e10 rows
-        # (int64-safe for row_total < 9.2e8 groups-worth of margin)
-        (F.col("row_total") * 10_000_000_000 + F.col("col_total")).alias("v3"),
-    )
-    aucr = q.q140_auc(spark, sf_dir).select(
-        F.lit("auc").alias("battery"),
-        F.col("cohort").cast("string").alias("key"),
-        F.col("u_dbl").alias("v1"),
-        F.col("auc_micro").alias("v2"),
-        (F.col("n1") * 10_000_000_000 + F.col("n0")).alias("v3"),
-    )
-    woer = q.q145_feature_woe(spark, sf_dir).select(
-        F.lit("woe").alias("battery"),
-        F.col("bin").cast("string").alias("key"),
-        (F.col("n_pos") * 10_000_000_000 + F.col("n_neg")).alias("v1"),
-        F.col("dev").alias("v2"),
-        F.col("woe_micro").alias("v3"),
-    )
-    calib = q.q156_calibration(spark, sf_dir).select(
-        F.lit("calib").alias("battery"),
-        F.col("bin").cast("string").alias("key"),
-        (F.col("n") * 10_000_000_000 + F.col("n_pos")).alias("v1"),
-        # avg/frac are micro-units <= 1e6 — lossless fold into one slot
-        (
-            F.col("avg_score_micro") * 10_000_000
-            + F.col("frac_pos_micro")
-        ).alias("v2"),
-        F.col("ece_num").alias("v3"),
-    )
-    # isotonic recalibration: same slot shapes as the calib fold, the
-    # fitted curve in its own slot
-    iso = q.q170_isotonic(spark, sf_dir).select(
-        F.lit("isotonic").alias("battery"),
-        F.col("bin").cast("string").alias("key"),
-        (F.col("n") * 10_000_000_000 + F.col("n_pos")).alias("v1"),
-        (
-            F.col("avg_score_micro") * 10_000_000
-            + F.col("frac_pos_micro")
-        ).alias("v2"),
-        F.col("fitted_micro").alias("v3"),
-    )
-    # CUPED: the per-variant unit count rides the key; the adjusted
-    # mean hashes the pooled moments implicitly (it is their one
-    # closing expression)
-    cup = q.q171_cuped(spark, sf_dir).select(
-        F.lit("cuped").alias("battery"),
-        F.concat_ws("@", F.col("variant"), F.col("n")).alias("key"),
-        F.col("sum_y").alias("v1"),
-        F.col("sum_x").alias("v2"),
-        F.col("adj_mean_micro").alias("v3"),
-    )
-    abz = q.q157_ab_test(spark, sf_dir).select(
-        F.lit("abz").alias("battery"),
-        F.col("event_type").alias("key"),
-        (F.col("n_a") * 10_000_000_000 + F.col("n_b")).alias("v1"),
-        (F.col("x_a") * 10_000_000_000 + F.col("x_b")).alias("v2"),
-        F.col("z_micro").alias("v3"),
-    )
-    psi = q.q151_psi_drift(spark, sf_dir).select(
-        F.lit("psi").alias("battery"),
-        F.col("bin").cast("string").alias("key"),
-        (F.col("n_ref") * 10_000_000_000 + F.col("n_cur")).alias("v1"),
-        F.col("upper_edge").alias("v2"),
-        F.col("psi_micro").alias("v3"),
-    )
-    ksd = q.q153_ks_drift(spark, sf_dir).select(
-        F.lit("ks").alias("battery"),
-        F.lit("0").alias("key"),
-        (F.col("n_ref") * 10_000_000_000 + F.col("n_cur")).alias("v1"),
-        F.col("d_num").alias("v2"),
-        F.col("ks_micro").alias("v3"),
-    )
-    sprm = q.q132_spearman(spark, sf_dir).select(
-        F.lit("spearman").alias("battery"),
-        # n/d2/tx/ty fully determine rho — the float stays out of the
-        # battery's string key space
-        F.lit("all").alias("key"),
-        F.col("n").alias("v1"),
-        F.col("d2").alias("v2"),
-        (F.col("tx") * 100_000 + F.col("ty")).alias("v3"),
+        (F.col("obs_micro") * 10_000_000 + F.col("exp_micro")).alias("v2"),
+        F.col("dev_micro").alias("v3"),
     )
     # mutual information: one row; the three quantized entropies are
     # the verified artifact (mi = hx + hy - hxy is derived); distinct
@@ -1442,97 +1244,191 @@ def q95_statseval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
         F.col("h_xy_micro").alias("v3"),
     )
-    # benford: obs/exp are micro fractions <= 1e6 — lossless shared
-    # slot; the signed deviation keeps its own
-    bnf = q.q168_benford(spark, sf_dir).select(
-        F.lit("benford").alias("battery"),
-        F.concat_ws("@", F.col("priority"), F.col("digit")).alias("key"),
-        F.col("n").alias("v1"),
-        (F.col("obs_micro") * 10_000_000 + F.col("exp_micro")).alias("v2"),
-        F.col("dev_micro").alias("v3"),
-    )
-    zpf = q.q154_zipf_fit(spark, sf_dir).select(
-        F.lit("zipf").alias("battery"),
-        F.lit("0").alias("key"),
-        F.col("sxy").alias("v1"),
-        F.col("sxx").alias("v2"),
-        F.col("slope_micro").alias("v3"),
-    )
-    qrk = q.q121_quantile_rank(spark, sf_dir).select(
-        F.lit("qrank").alias("battery"),
-        F.concat_ws(
-            "@", "event_type", F.col("event_id").cast("string")
-        ).alias("key"),
-        F.col("cents").alias("v1"),
-        F.col("pct_micro").alias("v2"),
-        F.lit(None).cast("long").alias("v3"),
-    )
-    wins = q.q130_winsorize(spark, sf_dir).select(
-        F.lit("winsor").alias("battery"),
-        F.concat_ws(
-            "@", "event_type", F.col("event_id").cast("string")
-        ).alias("key"),
-        F.col("cents").alias("v1"),
-        F.col("clipped").alias("v2"),
-        (F.col("lo_bound") * 10_000_000 + F.col("hi_bound")).alias("v3"),
-    )
-    # round 13: JS divergence (bounded drift), SMD balance, Wasserstein
-    # magnitude — the psi/ks fold shapes carried over
-    jsd = q.q172_js_divergence(spark, sf_dir).select(
-        F.lit("jsd").alias("battery"),
+    # isotonic recalibration: same slot shapes as the calib fold, the
+    # fitted curve in its own slot
+    iso = q.q170_isotonic(spark, sf_dir).select(
+        F.lit("isotonic").alias("battery"),
         F.col("bin").cast("string").alias("key"),
-        (F.col("n_ref") * 10_000_000_000 + F.col("n_cur")).alias("v1"),
-        F.col("upper_edge").alias("v2"),
-        F.col("js_micro").alias("v3"),
-    )
-    smd = q.q175_smd_balance(spark, sf_dir).select(
-        F.lit("smd").alias("battery"),
-        F.col("covariate").alias("key"),
-        (F.col("n_a") * 10_000_000_000 + F.col("n_b")).alias("v1"),
-        F.col("gap_num").alias("v2"),
-        F.col("smd_micro").alias("v3"),
-    )
-    w1d = q.q178_wasserstein(spark, sf_dir).select(
-        F.lit("w1").alias("battery"),
-        F.lit("0").alias("key"),
-        (F.col("n_ref") * 10_000_000_000 + F.col("n_cur")).alias("v1"),
-        F.col("n_values").alias("v2"),
-        F.col("w1_micro").alias("v3"),
-    )
-    # round 13: concentration (gini+hhi pack into one 1e7 slot — both
-    # bounded by 1e6), Cramer's V association headline (v_micro is the
-    # one derived double, single-oracle-checked), and exact weighted
-    # quantiles
-    gin = q.q179_gini(spark, sf_dir).select(
-        F.lit("gini").alias("battery"),
-        F.col("group").alias("key"),
-        F.col("n_entities").alias("v1"),
-        F.col("total").alias("v2"),
+        (F.col("n") * 10_000_000_000 + F.col("n_pos")).alias("v1"),
         (
-            F.col("gini_micro") * 10_000_000 + F.col("hhi_micro")
-        ).alias("v3"),
+            F.col("avg_score_micro") * 10_000_000
+            + F.col("frac_pos_micro")
+        ).alias("v2"),
+        F.col("fitted_micro").alias("v3"),
     )
-    crv = q.q181_cramers_v(spark, sf_dir).select(
-        F.lit("cramer").alias("battery"),
-        F.lit("0").alias("key"),
-        F.col("n").alias("v1"),
-        (F.col("r_levels") * 100 + F.col("c_levels")).alias("v2"),
-        F.col("chi2_micro").alias("v3"),
+    # CUPED: the per-variant unit count rides the key; the adjusted
+    # mean hashes the pooled moments implicitly (it is their one
+    # closing expression)
+    cup = q.q171_cuped(spark, sf_dir).select(
+        F.lit("cuped").alias("battery"),
+        F.concat_ws("@", F.col("variant"), F.col("n")).alias("key"),
+        F.col("sum_y").alias("v1"),
+        F.col("sum_x").alias("v2"),
+        F.col("adj_mean_micro").alias("v3"),
     )
-    wqn = q.q183_weighted_quantiles(spark, sf_dir).select(
-        F.lit("wq").alias("battery"),
-        F.concat_ws(
-            "@", "group", F.col("q_micro").cast("string")
-        ).alias("key"),
-        F.col("w_total").alias("v1"),
-        F.col("value").alias("v2"),
+    # burst hierarchy: state_mass rides the KEY (lossless — any
+    # divergence breaks the hash via the key string), counts share the
+    # burst fold's guarded slots
+    hier = q.q166_burst_hierarchy(spark, sf_dir).select(
+        F.lit("hier").alias("battery"),
+        F.concat_ws("@", F.col("key"), F.col("state_mass")).alias("key"),
+        F.when(
+            (F.col("n_gaps") >= 100_000)
+            | (F.col("n_burst_gaps") >= 100_000)
+            | (F.col("n_bursts") >= 10_000),
+            F.raise_error(
+                F.lit(
+                    "hier battery fold: slot bounds exceeded (need "
+                    "n_gaps < 1e5, n_burst_gaps < 1e5, n_bursts < 1e4) "
+                    "— widen the fold slots"
+                )
+            ).cast("long"),
+        )
+        .otherwise(
+            F.col("n_events") * 10_000_000_000
+            + F.col("n_gaps") * 100_000
+            + F.col("max_state")
+        )
+        .alias("v1"),
+        (
+            F.col("mean_gap_s") * 1_000_000_000
+            + F.col("n_burst_gaps") * 10_000
+            + F.col("n_bursts")
+        ).alias("v2"),
+        F.col("cost_micro").alias("v3"),
+    )
+    kmc = q.q161_survival(spark, sf_dir).select(
+        F.lit("km").alias("battery"),
+        F.concat_ws("@", "group", "t").alias("key"),
+        F.col("n_at_risk").alias("v1"),
+        (F.col("n_events") * 10_000_000_000 + F.col("n_censored")).alias(
+            "v2"
+        ),
+        F.col("cum_ln_micro").alias("v3"),
+    )
+    bsel = q.q160_budget_select(spark, sf_dir).select(
+        F.lit("budget").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        F.col("score_micro").alias("v1"),
+        (F.col("n_tokens") * 10_000_000_000 + F.col("cum_before")).alias(
+            "v2"
+        ),
+        F.col("kept").cast("long").alias("v3"),
+    )
+    entr = q.q159_char_entropy(spark, sf_dir).select(
+        F.lit("entropy").alias("battery"),
+        F.col("id").cast("string").alias("key"),
+        (
+            F.col("n_chars") * 10_000_000_000 + F.col("n_distinct_chars")
+        ).alias("v1"),
+        F.col("entropy_micro").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
     )
-    members = [outl, mom, hist, chi, aucr, woer, calib, iso, cup, abz, psi, ksd, sprm, mi, bnf, zpf, qrk, wins, jsd, smd, w1d, gin, crv, wqn]
-    combined = members[0]
-    for m in members[1:]:
-        combined = combined.union(m)
-    return combined.orderBy("battery", "key", "v1")
+    lsc = q.q133_label_scatter(spark, sf_dir).select(
+        F.lit("lscatter").alias("battery"),
+        F.col("label").cast("string").alias("key"),
+        F.col("n").alias("v1"),
+        F.col("norm2_sum").alias("v2"),
+        F.col("trace_num").alias("v3"),
+    )
+    return (
+        bloom_rows.union(hh)
+        .union(zord)
+        .union(clf)
+        .union(quant)
+        .union(ffd)
+        .union(outl)
+        .union(pr)
+        .union(cdc_rows)
+        .union(gopher)
+        .union(incr)
+        .union(qz)
+        .union(fun)
+        .union(coh)
+        .union(iv)
+        .union(tri)
+        .union(prof)
+        .union(fp)
+        .union(hist)
+        .union(mom)
+        .union(chk)
+        .union(tok)
+        .union(rw)
+        .union(att)
+        .union(kc)
+        .union(ht)
+        .union(scd)
+        .union(par)
+        .union(scdrt)
+        .union(fz)
+        .union(bf)
+        .union(sdiff)
+        .union(tm)
+        .union(anom)
+        .union(cms)
+        .union(mk)
+        .union(lpa)
+        .union(bmd)
+        .union(sky)
+        .union(csm)
+        .union(trd)
+        .union(isim)
+        .union(wsm)
+        .union(skw)
+        .union(jex)
+        .union(qrk)
+        .union(gmd)
+        .union(phr)
+        .union(lded)
+        .union(km)
+        .union(trl)
+        .union(rrf)
+        .union(cov)
+        .union(colc)
+        .union(wins)
+        .union(spath)
+        .union(sprm)
+        .union(lsc)
+        .union(topo)
+        .union(lnk)
+        .union(kmv)
+        .union(wfp)
+        .union(acfr)
+        .union(chi)
+        .union(aucr)
+        .union(ohlcb)
+        .union(unig)
+        .union(urld)
+        .union(uenc)
+        .union(woer)
+        .union(dsirr)
+        .union(shards)
+        .union(mlw)
+        .union(nov)
+        .union(incd)
+        .union(psi)
+        .union(subd)
+        .union(ksd)
+        .union(zpf)
+        .union(kmvm)
+        .union(calib)
+        .union(abz)
+        .union(fdp)
+        .union(entr)
+        .union(bsel)
+        .union(kmc)
+        .union(brst)
+        .union(ivl)
+        .union(hier)
+        .union(chgpt)
+        .union(bnf)
+        .union(mi)
+        .union(iso)
+        .union(cup)
+        .union(trc)
+        .union(chm)
+        .orderBy("battery", "key", "v1")
+    )
 
 
 def _scd2_roundtrip_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1620,80 +1516,6 @@ def q69_hygiene_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NULL_ARRAY_MEASURES = [
-    "n_rows", "n_nonnull", "sum_coalesced", "n_null_safe_null",
-    "n_not_error", "n_ids", "min_id", "max_id",
-]
-
-
-def q43_relational_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational scalar-battery merge (round 13, freeing driver slots
-    for the q74-monolith split): scalar subquery + NOT EXISTS
-    (q43_subquery_battery), NULL semantics + array functions melted one
-    measure per row (q51_null_array_battery via one stack() pass — no
-    re-scan per measure), and the PIVOT->UNPIVOT roundtrip
-    (q54_pivot_unpivot) — tagged union onto (battery, key, val, name).
-    The merged composites stay importable and locally verified."""
-    sub = q43_subquery_battery(spark, sf_dir).select(
-        "battery",
-        F.col("key").cast("string").alias("key"),
-        "val",
-        "name",
-    )
-    stack_args = ", ".join(
-        f"'{m}', CAST({m} AS DOUBLE), CAST(NULL AS STRING)"
-        for m in _NULL_ARRAY_MEASURES
-    )
-    na = q51_null_array_battery(spark, sf_dir).select(
-        F.lit("null_array").alias("battery"),
-        "event_type",
-        F.expr(
-            f"stack({len(_NULL_ARRAY_MEASURES) + 1}, {stack_args}, "
-            "'first5_ids', CAST(NULL AS DOUBLE), first5_ids) "
-            "AS (measure, val, name)"
-        ),
-    ).select(
-        "battery",
-        F.concat_ws("@", "event_type", "measure").alias("key"),
-        "val",
-        "name",
-    )
-    pv = q54_pivot_unpivot(spark, sf_dir).select(
-        F.lit("pivot_unpivot").alias("battery"),
-        F.concat_ws("@", F.col("yr").cast("string"), "status").alias("key"),
-        F.col("total").alias("val"),
-        F.lit(None).cast("string").alias("name"),
-    )
-    return sub.union(na).union(pv).orderBy("battery", "key")
-
-
-def q24_fingerprint_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup fingerprint merge (round 13, freeing a driver slot for
-    the q74-monolith split): the pair-generation battery
-    (q24_near_dup_pairs — token/ngram Jaccard, MinHash/LSH candidates,
-    containment) plus the document-hashing battery (q26_doc_hashes —
-    SimHash riding id_b, md5 fingerprint + source as strings), tagged
-    union. The merged composites stay importable and locally
-    verified."""
-    pairs = q24_near_dup_pairs(spark, sf_dir).select(
-        "method",
-        "id_a",
-        "id_b",
-        "jaccard",
-        F.lit(None).cast("string").alias("fp"),
-        F.lit(None).cast("string").alias("source"),
-    )
-    hashes = q26_doc_hashes(spark, sf_dir).select(
-        F.lit("hash").alias("method"),
-        F.col("id").alias("id_a"),
-        F.col("simhash").alias("id_b"),
-        F.lit(None).cast("double").alias("jaccard"),
-        "fp",
-        "source",
-    )
-    return pairs.union(hashes).orderBy("method", "id_a", "id_b")
-
-
 COMPOSITES = {
     fn.__name__: fn
     for fn in [
@@ -1713,26 +1535,7 @@ COMPOSITES = {
         q58_sampling_battery,
         q69_hygiene_battery,
         q74_scale_battery,
-        q83_graph_battery,
-        q88_behavior_battery,
-        q95_statseval_battery,
-        q98_textdedup_battery,
-        q43_relational_battery,
-        q24_fingerprint_battery,
     ]
-}
-
-# composites verified in the LOCAL registry but kept OUT of the 50-row
-# driver view (round 13): their members now ride a merged battery
-# (q43_relational_battery / q24_fingerprint_battery), freeing the slots
-# the q74-monolith split consumed. They stay importable, oracle-checked
-# at all three SFs, and pytest-covered.
-LOCAL_ONLY_COMPOSITES = {
-    "q24_near_dup_pairs",
-    "q26_doc_hashes",
-    "q43_subquery_battery",
-    "q51_null_array_battery",
-    "q54_pivot_unpivot",
 }
 
 # singles folded into a composite (still importable/tested/benched, but not
@@ -1795,21 +1598,12 @@ _FOLDED = {
     "q165_burst_intervals", "q166_burst_hierarchy", "q167_changepoint",
     "q168_benford", "q169_mutual_information", "q170_isotonic",
     "q171_cuped",
-    # round 13: exact distinct is carried by q37_approx_distinct's exact
-    # branch (same lineitem aggregate + the HLL error-bound invariant)
-    "q10_count_distinct",
-    "q172_js_divergence", "q173_seasonal_profile", "q174_theil_sen",
-    "q175_smd_balance", "q176_retrieval_metrics", "q177_k_anonymity",
-    "q178_wasserstein",
-    "q179_gini", "q180_mann_kendall", "q181_cramers_v",
-    "q182_table_checksum", "q183_weighted_quantiles",
-    "q184_sample_allocation", "q185_vocab_richness",
 }
 
 # the driver-facing registry: every operator family inside the ~50-row cap
 DRIVER_QUERIES = {
     **{n: f for n, f in q.QUERIES.items() if n not in _FOLDED},
-    **{n: f for n, f in COMPOSITES.items() if n not in LOCAL_ONLY_COMPOSITES},
+    **COMPOSITES,
 }
 
 # everything, for pytest: singles keep their oracles; composites add theirs
@@ -2153,7 +1947,7 @@ FROM ({ORACLES["q101_pq_ann"]})
 ORDER BY method, query_id, rank ASC NULLS LAST, neighbor_id
 """
 
-_BATTERY_MEMBER_BRANCHES_SQL = f"""
+COMPOSITE_ORACLES["q74_scale_battery"] = f"""
 SELECT 'bloom' AS battery, l_returnflag AS key,
        n_items AS v1, key_checksum AS v2, n_orders AS v3
 FROM ({ORACLES["q74_bloom_semi_join"]})
@@ -2405,22 +2199,6 @@ SELECT 'parity' AS battery,
        CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM (SELECT unnest(range(0, 10)) AS b)
-UNION ALL
--- streaming online-CUSUM changepoint monitor (fourteenth family,
--- round 13): one bit per monitored series (event type)
-SELECT 'parity' AS battery,
-       'streaming_chgpt@' || event_type AS key,
-       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
-       CAST(NULL AS BIGINT) AS v3
-FROM (SELECT DISTINCT event_type FROM events)
-UNION ALL
--- streaming incremental table checksum (fifteenth family, round 13):
--- one bit per audited partition (return flag)
-SELECT 'parity' AS battery,
-       'streaming_cksum@' || l_returnflag AS key,
-       CAST(1 AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
-       CAST(NULL AS BIGINT) AS v3
-FROM (SELECT DISTINCT l_returnflag FROM lineitem)
 UNION ALL
 SELECT 'parity' AS battery,
        'component_map@' || CAST(node AS VARCHAR) AS key,
@@ -2790,189 +2568,8 @@ SELECT 'cuped' AS battery,
        variant || '@' || CAST(n AS VARCHAR) AS key,
        sum_y AS v1, sum_x AS v2, adj_mean_micro AS v3
 FROM ({ORACLES["q171_cuped"]})
-UNION ALL
-SELECT 'mrr' AS battery, CAST(query_id AS VARCHAR) AS key,
-       n_ranked * 10000000000 + n_rel AS v1,
-       rr_micro * 100 + coalesce(first_rel_rank, 0) AS v2,
-       dcg_micro * 10000000 + idcg_micro AS v3
-FROM ({ORACLES["q176_retrieval_metrics"]})
-UNION ALL
-SELECT 'seasonal' AS battery,
-       "group" || '@' || CAST(dow AS VARCHAR) AS key,
-       n AS v1, sum_v AS v2, index_micro AS v3
-FROM ({ORACLES["q173_seasonal_profile"]})
-UNION ALL
-SELECT 'theilsen' AS battery, CAST(cust AS VARCHAR) AS key,
-       n_points * 10000000000 + n_pairs AS v1,
-       median_slope_micro AS v2, CAST(NULL AS BIGINT) AS v3
-FROM ({ORACLES["q174_theil_sen"]})
-UNION ALL
-SELECT 'kanon' AS battery, CAST(class_size AS VARCHAR) AS key,
-       n_classes AS v1, n_rows AS v2, CAST(violating AS BIGINT) AS v3
-FROM ({ORACLES["q177_k_anonymity"]})
-UNION ALL
-SELECT 'jsd' AS battery, CAST(bin AS VARCHAR) AS key,
-       n_ref * 10000000000 + n_cur AS v1, upper_edge AS v2, js_micro AS v3
-FROM ({ORACLES["q172_js_divergence"]})
-UNION ALL
-SELECT 'smd' AS battery, covariate AS key,
-       n_a * 10000000000 + n_b AS v1, gap_num AS v2, smd_micro AS v3
-FROM ({ORACLES["q175_smd_balance"]})
-UNION ALL
-SELECT 'w1' AS battery, '0' AS key,
-       n_ref * 10000000000 + n_cur AS v1, n_values AS v2, w1_micro AS v3
-FROM ({ORACLES["q178_wasserstein"]})
-UNION ALL
-SELECT 'cksum' AS battery, "group" AS key,
-       n_rows AS v1, xor60 AS v2, sum_mod AS v3
-FROM ({ORACLES["q182_table_checksum"]})
-UNION ALL
-SELECT 'mk' AS battery, event_type AS key,
-       n_points * 10000000000 + n_pairs AS v1, s_stat AS v2, var18 AS v3
-FROM ({ORACLES["q180_mann_kendall"]})
-UNION ALL
-SELECT 'gini' AS battery, "group" AS key,
-       n_entities AS v1, total AS v2,
-       gini_micro * 10000000 + hhi_micro AS v3
-FROM ({ORACLES["q179_gini"]})
-UNION ALL
-SELECT 'cramer' AS battery, '0' AS key,
-       n AS v1, r_levels * 100 + c_levels AS v2, chi2_micro AS v3
-FROM ({ORACLES["q181_cramers_v"]})
-UNION ALL
-SELECT 'wq' AS battery, "group" || '@' || CAST(q_micro AS VARCHAR) AS key,
-       w_total AS v1, value AS v2, CAST(NULL AS BIGINT) AS v3
-FROM ({ORACLES["q183_weighted_quantiles"]})
-UNION ALL
-SELECT 'alloc' AS battery, stratum AS key,
-       weight AS v1, base * 10000000 + alloc AS v2, remainder AS v3
-FROM ({ORACLES["q184_sample_allocation"]})
-UNION ALL
-SELECT 'vocab' AS battery, '0' AS key,
-       n_tokens * 10000000000 + distinct_tokens AS v1,
-       f1 * 10000000000 + f2 AS v2, chao1_micro AS v3
-FROM ({ORACLES["q185_vocab_richness"]})
+ORDER BY battery, key, v1
 """
-
-# ---------------------------------------------------------------------------
-# family-battery oracle partitioning (round 13): the member branches above
-# are ONE authoritative list; each branch is tagged `'<tag>' AS battery` and
-# the map below assigns every tag to its family battery. The Spark side's
-# distinct battery tags are asserted equal to this map per family
-# (tests/test_round13_ops.py), so a fold added to one side without the other
-# fails loudly instead of silently hash-mismatching.
-# ---------------------------------------------------------------------------
-
-BATTERY_FAMILY_TAGS: dict[str, frozenset[str]] = {
-    "q74_scale_battery": frozenset(
-        "bloom heavy zorder quantile packing cdc incr quantize interval "
-        "profile pairs checks scd2 parity scd2rt fuzzy diff cms bitmap "
-        "skyline skew joinx kmv trailing wsample fd cksum".split()
-    ),
-    "q83_graph_battery": frozenset(
-        "pagerank triangle kcore hits bfs lpa topo linkpred walks itemsim "
-        "kmeans cov lscatter rrf mrr".split()
-    ),
-    "q88_behavior_battery": frozenset(
-        "funnel cohort attribution transitions anomaly spath ohlc km burst "
-        "ivals hier chgpt acf cusum trend seasonal theilsen mk".split()
-    ),
-    "q98_textdedup_battery": frozenset(
-        "bpe unigram urldedup uencode dsir shards mlewis novelty incdedup "
-        "subdup trunc charset budget markup linededup phrase colloc winnow "
-        "gopher classifier mode entropy srcoverlap kanon alloc vocab".split()
-    ),
-    "q95_statseval_battery": frozenset(
-        "outliers moments histogram chi2 auc woe calib isotonic cuped abz "
-        "psi ks spearman mi benford zipf qrank winsor jsd smd w1 gini "
-        "cramer wq".split()
-    ),
-}
-
-
-def _split_top_level_union(sql: str) -> list[str]:
-    """Split a UNION ALL chain at paren depth 0 (subqueries untouched)."""
-    parts, depth, start, i = [], 0, 0, 0
-    sep = "UNION ALL"
-    while i < len(sql):
-        c = sql[i]
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif depth == 0 and sql.startswith(sep, i):
-            parts.append(sql[start:i])
-            i += len(sep)
-            start = i
-            continue
-        i += 1
-    parts.append(sql[start:])
-    return parts
-
-
-def _partition_battery_oracles() -> dict[str, str]:
-    import re as _re
-
-    branches = _split_top_level_union(_BATTERY_MEMBER_BRANCHES_SQL)
-    by_family: dict[str, list[str]] = {name: [] for name in BATTERY_FAMILY_TAGS}
-    tag_to_family = {
-        tag: name for name, tags in BATTERY_FAMILY_TAGS.items() for tag in tags
-    }
-    for br in branches:
-        m = _re.search(r"'(\w+)' AS battery", br)
-        if not m:
-            raise AssertionError(f"battery branch without a tag: {br[:200]!r}")
-        fam = tag_to_family.get(m.group(1))
-        if fam is None:
-            raise AssertionError(f"unmapped battery tag {m.group(1)!r}")
-        by_family[fam].append(br.strip("\n"))
-    missing = [n for n, brs in by_family.items() if not brs]
-    if missing:
-        raise AssertionError(f"families with zero oracle branches: {missing}")
-    return {
-        name: "\n".join(
-            ["\nUNION ALL\n".join(brs), "ORDER BY battery, key, v1"]
-        )
-        for name, brs in by_family.items()
-    }
-
-
-COMPOSITE_ORACLES.update(_partition_battery_oracles())
-
-_NULL_ARRAY_MEASURE_BRANCHES = "\nUNION ALL\n".join(
-    f"SELECT 'null_array' AS battery, event_type || '@{m}' AS key, "
-    f"CAST({m} AS DOUBLE) AS val, CAST(NULL AS VARCHAR) AS name FROM na"
-    for m in _NULL_ARRAY_MEASURES
-)
-
-COMPOSITE_ORACLES["q43_relational_battery"] = f"""
-WITH na AS MATERIALIZED (SELECT * FROM ({COMPOSITE_ORACLES["q51_null_array_battery"]}))
-SELECT battery, CAST(key AS VARCHAR) AS key, val, name
-FROM ({COMPOSITE_ORACLES["q43_subquery_battery"]})
-UNION ALL
-{_NULL_ARRAY_MEASURE_BRANCHES}
-UNION ALL
-SELECT 'null_array' AS battery, event_type || '@first5_ids' AS key,
-       CAST(NULL AS DOUBLE) AS val, first5_ids AS name FROM na
-UNION ALL
-SELECT 'pivot_unpivot' AS battery,
-       CAST(yr AS VARCHAR) || '@' || status AS key,
-       total AS val, CAST(NULL AS VARCHAR) AS name
-FROM ({COMPOSITE_ORACLES["q54_pivot_unpivot"]})
-ORDER BY battery, key
-"""
-
-COMPOSITE_ORACLES["q24_fingerprint_battery"] = f"""
-SELECT method, id_a, id_b, jaccard,
-       CAST(NULL AS VARCHAR) AS fp, CAST(NULL AS VARCHAR) AS source
-FROM ({COMPOSITE_ORACLES["q24_near_dup_pairs"]})
-UNION ALL
-SELECT 'hash' AS method, id AS id_a, simhash AS id_b,
-       CAST(NULL AS DOUBLE) AS jaccard, fp, source
-FROM ({COMPOSITE_ORACLES["q26_doc_hashes"]})
-ORDER BY method, id_a, id_b
-"""
-
 
 COMPOSITE_ORACLES["q69_hygiene_battery"] = r"""
 WITH toks AS (
@@ -3095,8 +2692,7 @@ ORDER BY contam.id
 # (error-bound / recall-threshold ints) since round 5 — zero rows-only.
 DRIVER_ORACLES = {
     **{n: sql for n, sql in ORACLES.items() if n in DRIVER_QUERIES},
-    **{n: sql for n, sql in COMPOSITE_ORACLES.items()
-       if n not in LOCAL_ONLY_COMPOSITES},
+    **COMPOSITE_ORACLES,
 }
 
 ORACLES_ALL = {**ORACLES, **COMPOSITE_ORACLES}

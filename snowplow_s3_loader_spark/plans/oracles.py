@@ -4734,523 +4734,3 @@ SELECT *,
        END AS other_micro
 FROM fr ORDER BY id
 """
-
-# round 13 — drift magnitude / seasonality / robust trend / experiment
-# balance / retrieval eval / privacy audit
-
-ORACLES["q172_js_divergence"] = """
-WITH ev AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id,
-         event_type = 'purchase' AS p
-  FROM events
-),
-ref AS MATERIALIZED (
-  SELECT cents, event_id FROM ev WHERE event_id % 2 = 0
-),
-cur AS (
-  SELECT cents + CASE WHEN p THEN 700 ELSE 0 END AS cents, event_id
-  FROM ev WHERE event_id % 2 = 1
-),
-rb AS (
-  SELECT cents, ntile(8) OVER (ORDER BY cents, event_id) AS bin FROM ref
-),
-edges AS MATERIALIZED (
-  SELECT bin, max(cents) AS edge FROM rb WHERE bin < 8 GROUP BY bin
-),
-rc AS (
-  SELECT 1 + (SELECT count(*) FROM edges e WHERE e.edge < r.cents) AS bin,
-         count(*) AS n_ref
-  FROM ref r GROUP BY 1
-),
-cc AS (
-  SELECT 1 + (SELECT count(*) FROM edges e WHERE e.edge < c.cents) AS bin,
-         count(*) AS n_cur
-  FROM cur c GROUP BY 1
-),
-spine AS (SELECT unnest(range(1, 9)) AS bin),
-bins AS (
-  SELECT s.bin,
-         (SELECT edge FROM edges e WHERE e.bin = s.bin) AS upper_edge,
-         CAST(coalesce(rc.n_ref, 0) AS BIGINT) AS n_ref,
-         CAST(coalesce(cc.n_cur, 0) AS BIGINT) AS n_cur
-  FROM spine s LEFT JOIN rc ON rc.bin = s.bin LEFT JOIN cc ON cc.bin = s.bin
-),
-tot AS (
-  SELECT CAST(sum(n_ref) AS BIGINT) AS nr, CAST(sum(n_cur) AS BIGINT) AS nc
-  FROM bins
-),
-terms AS (
-  SELECT CAST(bin AS INTEGER) AS bin, upper_edge, n_ref, n_cur,
-         CAST(round((
-           coalesce(CASE WHEN n_ref > 0 THEN
-             0.5 * (CAST(n_ref AS DOUBLE) / t.nr)
-                 * ln((CAST(n_ref AS DOUBLE) / t.nr)
-                      / ((CAST(n_ref AS DOUBLE) / t.nr
-                          + CAST(n_cur AS DOUBLE) / t.nc) / 2))
-           END, 0.0)
-           + coalesce(CASE WHEN n_cur > 0 THEN
-             0.5 * (CAST(n_cur AS DOUBLE) / t.nc)
-                 * ln((CAST(n_cur AS DOUBLE) / t.nc)
-                      / ((CAST(n_ref AS DOUBLE) / t.nr
-                          + CAST(n_cur AS DOUBLE) / t.nc) / 2))
-           END, 0.0)
-         ) * 1000000) AS BIGINT) AS js_micro
-  FROM bins CROSS JOIN tot t
-)
-SELECT bin, upper_edge, n_ref, n_cur, js_micro,
-       CAST(sum(js_micro) OVER () AS BIGINT) AS js_total_micro
-FROM terms
-ORDER BY bin
-"""
-
-ORACLES["q173_seasonal_profile"] = """
-WITH ev AS (
-  SELECT event_type AS "group",
-         CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
-              + 1 AS INTEGER) AS dow,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events
-),
-per_dow AS (
-  SELECT "group", dow, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(cents) AS BIGINT) AS sum_v
-  FROM ev GROUP BY 1, 2
-),
-totals AS (
-  SELECT "group", CAST(count(*) AS BIGINT) AS n_all,
-         CAST(sum(cents) AS BIGINT) AS sum_all
-  FROM ev GROUP BY 1
-)
-SELECT p."group", p.dow, p.n, p.sum_v, t.n_all, t.sum_all,
-       CASE WHEN t.sum_all != 0 THEN
-         CAST((CAST(p.sum_v AS HUGEINT) * t.n_all * 1000000)
-              // (CAST(p.n AS HUGEINT) * t.sum_all) AS BIGINT)
-       END AS index_micro
-FROM per_dow p JOIN totals t USING ("group")
-ORDER BY p."group", p.dow
-"""
-
-ORACLES["q174_theil_sen"] = """
-WITH pts AS (
-  SELECT o_custkey AS cust,
-         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-              AS BIGINT) AS day,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders
-),
-numbered AS (
-  SELECT cust, day, cents,
-         CAST(row_number() OVER (PARTITION BY cust ORDER BY day, cents)
-              AS BIGINT) AS i,
-         CAST(count(*) OVER (PARTITION BY cust) AS BIGINT) AS np
-  FROM pts
-),
-pairs AS (
-  SELECT l.cust, l.i AS il, h.i AS ih, l.np,
-         CAST(CASE WHEN h.cents > l.cents THEN 1
-                   WHEN h.cents < l.cents THEN -1 ELSE 0 END AS BIGINT)
-           * ((abs(h.cents - l.cents) * 1000000) // (h.day - l.day))
-           AS slope
-  FROM numbered l JOIN numbered h
-    ON l.cust = h.cust AND l.i < h.i AND l.day < h.day
-),
-ranked AS (
-  SELECT cust, np, slope,
-         CAST(row_number() OVER (PARTITION BY cust ORDER BY slope, il, ih)
-              AS BIGINT) AS rn,
-         CAST(count(*) OVER (PARTITION BY cust) AS BIGINT) AS m
-  FROM pairs
-),
-med AS (
-  SELECT cust, np AS n_points, m AS n_pairs, slope AS median_slope_micro
-  FROM ranked WHERE rn = (m + 1) // 2
-),
-empties AS (
-  SELECT n.cust, max(n.np) AS n_points,
-         CAST(0 AS BIGINT) AS n_pairs,
-         CAST(NULL AS BIGINT) AS median_slope_micro
-  FROM numbered n
-  WHERE n.cust NOT IN (SELECT cust FROM med)
-  GROUP BY n.cust
-)
-SELECT * FROM med UNION ALL SELECT * FROM empties
-ORDER BY cust
-"""
-
-ORACLES["q175_smd_balance"] = """
-WITH per_user AS (
-  SELECT user_id,
-         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
-                      THEN CAST(round(value) AS BIGINT) END), 0) AS BIGINT)
-           AS pre_units,
-         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
-                  THEN 1 ELSE 0 END) AS BIGINT) AS pre_events
-  FROM events WHERE user_id IS NOT NULL
-  GROUP BY user_id
-),
-units AS (
-  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
-         pre_units, pre_events
-  FROM per_user
-),
-long_form AS (
-  SELECT arm, 'pre_units' AS covariate, pre_units AS x FROM units
-  UNION ALL
-  SELECT arm, 'pre_events' AS covariate, pre_events AS x FROM units
-),
-per_arm AS (
-  SELECT covariate, arm, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ssq
-  FROM long_form GROUP BY 1, 2
-),
-j AS (
-  SELECT a.covariate,
-         a.n AS n_a, b.n AS n_b, a.s AS sum_a, b.s AS sum_b,
-         a.ssq AS ssq_a, b.ssq AS ssq_b
-  FROM (SELECT * FROM per_arm WHERE arm = 'a') a
-  FULL JOIN (SELECT * FROM per_arm WHERE arm = 'b') b USING (covariate)
-)
-SELECT covariate, n_a, n_b, sum_a, sum_b, ssq_a, ssq_b,
-       sum_a * n_b - sum_b * n_a AS gap_num,
-       CASE WHEN n_a >= 2 AND n_b >= 2 AND
-                 sqrt((
-                   (CAST(ssq_a AS DOUBLE)
-                    - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)
-                      / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1)
-                   + (CAST(ssq_b AS DOUBLE)
-                      - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)
-                        / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1)
-                 ) / 2) > 0
-       THEN CAST(round(
-         (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-          - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-         / sqrt((
-             (CAST(ssq_a AS DOUBLE)
-              - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)
-                / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1)
-             + (CAST(ssq_b AS DOUBLE)
-                - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)
-                  / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1)
-           ) / 2)
-         * 1000000) AS BIGINT)
-       END AS smd_micro
-FROM j
-ORDER BY covariate
-"""
-
-ORACLES["q176_retrieval_metrics"] = f"""
-WITH topk AS MATERIALIZED (
-  SELECT query_id, rank,
-         CASE WHEN neighbor_id % 3 = query_id % 3 THEN 1 ELSE 0 END AS rel
-  FROM ({ORACLES["q27_ann_topk"]})
-),
-agg AS (
-  SELECT query_id,
-         CAST(count(*) AS BIGINT) AS n_ranked,
-         CAST(sum(rel) AS BIGINT) AS n_rel,
-         CAST(min(CASE WHEN rel = 1 THEN rank END) AS BIGINT)
-           AS first_rel_rank,
-         CAST(coalesce(sum(CASE WHEN rel = 1 THEN
-           CAST(round(1000000.0 / log2(CAST(rank AS DOUBLE) + 1.0))
-                AS BIGINT) END), 0) AS BIGINT) AS dcg_micro
-  FROM topk GROUP BY query_id
-),
-withidcg AS (
-  SELECT a.*,
-         CASE WHEN n_rel > 0 THEN
-           (SELECT CAST(sum(CAST(round(1000000.0
-                    / log2(CAST(r AS DOUBLE) + 1.0)) AS BIGINT)) AS BIGINT)
-            FROM (SELECT unnest(range(1, 6)) AS r)
-            WHERE r <= a.n_rel)
-         ELSE CAST(0 AS BIGINT) END AS idcg_micro
-  FROM agg a
-)
-SELECT query_id, n_ranked, n_rel, first_rel_rank,
-       CAST(coalesce(1000000 // first_rel_rank, 0) AS BIGINT) AS rr_micro,
-       dcg_micro, idcg_micro,
-       CAST(CASE WHEN idcg_micro > 0
-            THEN (dcg_micro * 1000000) // idcg_micro
-            ELSE 0 END AS BIGINT) AS ndcg_micro
-FROM withidcg
-ORDER BY query_id
-"""
-
-ORACLES["q177_k_anonymity"] = """
-WITH classes AS (
-  SELECT event_type, user_id % 100 AS ubucket,
-         CAST(count(*) AS BIGINT) AS class_size
-  FROM events GROUP BY 1, 2
-),
-hist AS (
-  SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
-         class_size * CAST(count(*) AS BIGINT) AS n_rows,
-         class_size < 5 AS violating
-  FROM classes GROUP BY class_size
-)
-SELECT class_size, n_classes, n_rows, violating,
-       CAST(min(class_size) OVER () AS BIGINT) AS min_class_size,
-       CAST(sum(CASE WHEN violating THEN n_rows ELSE 0 END) OVER ()
-            AS BIGINT) AS n_violating_rows
-FROM hist
-ORDER BY class_size
-"""
-
-ORACLES["q178_wasserstein"] = """
-WITH ev AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id,
-         event_type = 'purchase' AS p
-  FROM events
-),
-u AS (
-  SELECT cents AS v, 1 AS is_ref FROM ev WHERE event_id % 2 = 0
-  UNION ALL
-  SELECT cents + CASE WHEN p THEN 700 ELSE 0 END AS v, 0 AS is_ref
-  FROM ev WHERE event_id % 2 = 1
-),
-per_v AS (
-  SELECT v, CAST(sum(is_ref) AS BIGINT) AS dr,
-         CAST(sum(1 - is_ref) AS BIGINT) AS dc
-  FROM u GROUP BY v
-),
-tot AS (
-  SELECT CAST(sum(dr) AS BIGINT) AS nr, CAST(sum(dc) AS BIGINT) AS nc,
-         CAST(count(*) AS BIGINT) AS nv
-  FROM per_v
-),
-pref AS (
-  SELECT v,
-         sum(dr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cr,
-         sum(dc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc,
-         lead(v) OVER (ORDER BY v) AS nxt
-  FROM per_v
-),
-contrib AS (
-  SELECT CAST(abs(cr * t.nc - cc * t.nr) AS HUGEINT)
-           * CAST(nxt - v AS HUGEINT) AS d
-  FROM pref CROSS JOIN tot t
-  WHERE nxt IS NOT NULL
-)
-SELECT t.nr AS n_ref, t.nc AS n_cur, t.nv AS n_values,
-       CAST((CAST(coalesce((SELECT sum(d) FROM contrib), 0) AS HUGEINT)
-             * 1000000) // (CAST(t.nr AS HUGEINT) * t.nc) AS BIGINT)
-         AS w1_micro
-FROM tot t
-"""
-
-ORACLES["q179_gini"] = """
-WITH ent AS (
-  SELECT n.n_name AS "group", c.c_custkey AS entity,
-         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS x
-  FROM orders o
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
-  GROUP BY 1, 2
-),
-ranked AS (
-  SELECT "group", x,
-         CAST(row_number() OVER (PARTITION BY "group" ORDER BY x, entity)
-              AS BIGINT) AS i
-  FROM ent
-),
-agg AS (
-  SELECT "group", CAST(count(*) AS BIGINT) AS n_entities,
-         CAST(sum(x) AS BIGINT) AS total,
-         sum(CAST(i AS HUGEINT) * x) AS t,
-         sum(CAST(x AS HUGEINT) * x) AS ssq
-  FROM ranked GROUP BY 1
-)
-SELECT "group", n_entities, total,
-  CASE WHEN total > 0 THEN
-    CAST(((2 * t - (CAST(n_entities AS HUGEINT) + 1) * total) * 1000000)
-         // (CAST(n_entities AS HUGEINT) * total) AS BIGINT)
-  END AS gini_micro,
-  CASE WHEN total > 0 THEN
-    CAST((ssq * 1000000) // (CAST(total AS HUGEINT) * total) AS BIGINT)
-  END AS hhi_micro
-FROM agg ORDER BY "group"
-"""
-
-ORACLES["q180_mann_kendall"] = """
-WITH pts AS MATERIALIZED (
-  SELECT event_type AS g,
-         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-              AS BIGINT) AS x,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM events GROUP BY 1, 2
-),
-pa AS (
-  SELECT a.g, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat,
-         CAST(count(*) AS BIGINT) AS n_pairs
-  FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x
-  GROUP BY 1
-),
-base AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1),
-ties AS (
-  SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
-  FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t FROM pts GROUP BY 1, 2)
-  GROUP BY 1
-)
-SELECT base.g AS event_type, base.n AS n_points,
-       coalesce(pa.n_pairs, 0) AS n_pairs,
-       coalesce(pa.s_stat, 0) AS s_stat,
-       base.n * (base.n - 1) * (2 * base.n + 5) - coalesce(ties.tt, 0)
-         AS var18,
-       CASE WHEN base.n * (base.n - 1) * (2 * base.n + 5)
-                 - coalesce(ties.tt, 0) > 0 THEN
-         CAST(round(
-           CAST(CASE WHEN coalesce(pa.s_stat, 0) > 0
-                       THEN coalesce(pa.s_stat, 0) - 1
-                     WHEN coalesce(pa.s_stat, 0) < 0
-                       THEN coalesce(pa.s_stat, 0) + 1
-                     ELSE 0 END AS DOUBLE)
-           / sqrt((base.n * (base.n - 1) * (2 * base.n + 5)
-                   - coalesce(ties.tt, 0)) / 18.0)
-           * 1000000) AS BIGINT)
-       END AS z_micro
-FROM base
-LEFT JOIN pa ON base.g = pa.g
-LEFT JOIN ties ON base.g = ties.g
-ORDER BY 1
-"""
-
-ORACLES["q181_cramers_v"] = """
-WITH cells AS (
-  SELECT event_type AS a, coalesce(user_id % 5, -1) AS b,
-         CAST(count(*) AS BIGINT) AS o
-  FROM events GROUP BY 1, 2
-),
-ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS row_total FROM cells GROUP BY a),
-cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS col_total FROM cells GROUP BY b),
-tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
-grid AS (
-  SELECT ra.a, cb.b, ra.row_total, cb.col_total,
-         COALESCE(cells.o, 0) AS observed
-  FROM ra CROSS JOIN cb
-  LEFT JOIN cells ON ra.a = cells.a AND cb.b = cells.b
-),
-per AS (
-  SELECT CAST(((CAST(t.n * g.observed - g.row_total * g.col_total
-                     AS HUGEINT)
-                * (t.n * g.observed - g.row_total * g.col_total))
-               // (CAST(g.row_total AS HUGEINT) * g.col_total)
-               * 1000000) // t.n AS BIGINT) AS c,
-         g.a, g.b, g.observed
-  FROM grid g CROSS JOIN tot t
-),
-agg AS (
-  SELECT CAST(sum(c) AS BIGINT) AS chi2_micro,
-         CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
-         CAST(count(DISTINCT b) AS BIGINT) AS c_levels,
-         CAST(sum(observed) AS BIGINT) AS n
-  FROM per
-)
-SELECT n, r_levels, c_levels,
-       (r_levels - 1) * (c_levels - 1) AS dof,
-       chi2_micro,
-       CASE WHEN least(r_levels, c_levels) - 1 > 0 AND n > 0 THEN
-         CAST(round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
-                         / (CAST(n AS DOUBLE)
-                            * CAST(least(r_levels, c_levels) - 1
-                                   AS DOUBLE)))
-                    * 1000000) AS BIGINT)
-       END AS v_micro
-FROM agg
-"""
-
-ORACLES["q182_table_checksum"] = """
-WITH canon AS (
-  SELECT l_returnflag AS "group",
-         CAST('0x' || substr(md5(concat_ws(chr(31),
-           coalesce(CAST(l_orderkey AS VARCHAR), chr(0) || 'N'),
-           coalesce(CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR),
-                    chr(0) || 'N'),
-           coalesce(CAST(CAST(round(l_quantity * 100) AS BIGINT)
-                         AS VARCHAR), chr(0) || 'N'),
-           coalesce(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
-                         AS VARCHAR), chr(0) || 'N'),
-           coalesce(strftime(l_shipdate, '%Y-%m-%d'), chr(0) || 'N')
-         )), 1, 15) AS BIGINT) AS h
-  FROM lineitem
-)
-SELECT "group", CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(bit_xor(h) AS BIGINT) AS xor60,
-       CAST(sum(h % 1000003) AS BIGINT) AS sum_mod,
-       CAST(min(h) AS BIGINT) AS min_h,
-       CAST(max(h) AS BIGINT) AS max_h
-FROM canon GROUP BY 1 ORDER BY 1
-"""
-
-ORACLES["q183_weighted_quantiles"] = """
-WITH dv AS (
-  SELECT l_returnflag AS g,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
-         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS dw
-  FROM lineitem GROUP BY 1, 2
-),
-pref AS (
-  SELECT g, v,
-         CAST(sum(dw) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cw
-  FROM dv
-),
-tot AS (SELECT g, CAST(sum(dw) AS BIGINT) AS w_total FROM dv GROUP BY 1),
-spine AS (
-  SELECT g, w_total,
-         CAST(unnest([250000, 500000, 750000, 900000]) AS BIGINT)
-           AS q_micro
-  FROM tot
-)
-SELECT s.g AS "group", s.q_micro, s.w_total, min(p.v) AS value
-FROM spine s
-JOIN pref p ON s.g = p.g AND p.cw * 1000000 >= s.q_micro * s.w_total
-GROUP BY 1, 2, 3
-ORDER BY 1, 2
-"""
-
-ORACLES["q184_sample_allocation"] = """
-WITH strata AS (
-  SELECT lang || '@' || source AS stratum,
-         CAST(sum(CAST(len(string_split_regex(trim(text), ' +'))
-                       AS BIGINT)) AS BIGINT) AS weight
-  FROM documents GROUP BY 1
-),
-tot AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM strata),
-based AS (
-  SELECT stratum, weight,
-         (weight * 1000000) // t.W AS base,
-         (weight * 1000000) % t.W AS remainder
-  FROM strata CROSS JOIN tot t
-),
-lft AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS L FROM based)
-SELECT stratum, weight, base, remainder,
-       base + CAST(row_number() OVER (ORDER BY remainder DESC, stratum)
-                   <= l.L AS BIGINT) AS alloc
-FROM based CROSS JOIN lft l
-ORDER BY stratum
-"""
-
-ORACLES["q185_vocab_richness"] = """
-WITH tok AS (
-  SELECT unnest(string_split_regex(trim(text), ' +')) AS t
-  FROM documents
-),
-counts AS (
-  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok WHERE t != ''
-  GROUP BY t
-),
-agg AS (
-  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
-         CAST(count(*) AS BIGINT) AS distinct_tokens,
-         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
-  FROM counts
-)
-SELECT n_tokens, distinct_tokens, f1, f2,
-       CAST(CAST(distinct_tokens AS HUGEINT) * 1000000
-            + (CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000)
-              // (2 * (f2 + 1)) AS BIGINT) AS chao1_micro,
-       CASE WHEN n_tokens > 0 THEN
-         CAST((CAST(f1 AS HUGEINT) * 1000000) // n_tokens AS BIGINT)
-       END AS unseen_micro
-FROM agg
-"""

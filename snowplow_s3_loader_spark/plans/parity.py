@@ -1047,176 +1047,16 @@ def _calibration_parity(spark: SparkSession, sf_dir: str) -> list:
     ]
 
 
-def _changepoint_parity(spark: SparkSession, sf_dir: str) -> list:
-    """Streaming online-CUSUM changepoint vs the batch snapshot (round
-    13, fourteenth family): per event type, the drained five-integer
-    monitor state — final cumulative deviation against a FROZEN
-    reference level, peak |s| with its smallest-t location, first
-    threshold crossing, rows seen — after folding three seq-ordered
-    micro-batches must equal `online_changepoint_snapshot` on the
-    union, bit for bit. seq is a per-type row_number over
-    (ts, event_id): a total order shared by both twins."""
-    from pyspark.sql.window import Window
-
-    from snowplow_s3_loader_spark.operators.timeseries import (
-        online_changepoint_snapshot,
-    )
-    from snowplow_s3_loader_spark.streaming.stateful import (
-        streaming_changepoint,
-    )
-
-    ref, thr = 5000, 40_000
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            "event_id",
-            "ts",
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
-        .withColumn("seq", F.row_number().over(w).cast("long"))
-        .select("event_type", "seq", "cents")
-    )
-    [row] = ev.select(
-        F.expr("percentile(seq, array(0.34, 0.67))").alias("c")
-    ).collect()
-    c1, c2 = int(row["c"][0]), int(row["c"][1])
-    slices = [
-        ev.where(F.col("seq") <= c1),
-        ev.where((F.col("seq") > c1) & (F.col("seq") <= c2)),
-        ev.where(F.col("seq") > c2),
-    ]
-    tmp = tempfile.mkdtemp(prefix="parity_chgpt_")
-    final: dict = {}
-    try:
-        in_dir = _write_stream_files(slices, tmp)
-        src = (
-            spark.readStream.schema("event_type string, seq bigint, cents bigint")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(in_dir)
-        )
-
-        def _fb(df, bid):
-            for r in df.collect():  # update mode: later batches overwrite
-                final[r["event_type"]] = (
-                    r["n_seen"], r["s_final"], r["max_abs_s"],
-                    r["t_hat"], r["first_alarm_t"],
-                )
-
-        _run_stream(
-            streaming_changepoint(
-                src, "event_type", "seq", "cents",
-                ref_value=ref, threshold=thr,
-            ),
-            tmp,
-            _fb,
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    batch = {
-        r["event_type"]: (
-            r["n_seen"], r["s_final"], r["max_abs_s"],
-            r["t_hat"], r["first_alarm_t"],
-        )
-        for r in online_changepoint_snapshot(
-            ev, "event_type", ["seq"], "cents", ref_value=ref, threshold=thr
-        ).collect()
-    }
-    return [
-        ("streaming_chgpt", str(k), int(batch.get(k) == final.get(k)))
-        for k in sorted(set(batch) | set(final))
-    ]
-
-
-
-def _checksum_parity(spark: SparkSession, sf_dir: str) -> list:
-    """Streaming incremental table checksum vs batch table_checksum
-    (round 13 — the FIFTEENTH parity family, q182's twin): the exact
-    q182 lineitem canonicalization split into three micro-batches by
-    l_orderkey residue — deliberately NOT arrival-ordered; every digest
-    component (count, xor, modular sum, min, max) is a commutative+
-    associative fold — drained through streaming_table_checksum and
-    compared bit-for-bit against the batch digest per return flag."""
-    from snowplow_s3_loader_spark.operators.profile import table_checksum
-    from snowplow_s3_loader_spark.streaming.stateful import (
-        streaming_table_checksum,
-    )
-
-    cols = ["l_orderkey", "ln", "qty_c", "px_c", "ship"]
-
-    def _canon(df):
-        return df.select(
-            "l_returnflag",
-            "l_orderkey",
-            F.col("l_linenumber").cast("long").alias("ln"),
-            F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
-            F.round(F.col("l_extendedprice") * 100)
-            .cast("long")
-            .alias("px_c"),
-            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship"),
-        )
-
-    li = _canon(load_table(spark, sf_dir, "lineitem"))
-    slices = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
-    tmp = tempfile.mkdtemp(prefix="parity_cksum_")
-    digests: dict = {}
-    try:
-        in_dir = _write_stream_files(slices, tmp)
-        src = (
-            spark.readStream.schema(
-                "l_returnflag string, l_orderkey bigint, ln bigint, "
-                "qty_c bigint, px_c bigint, ship string"
-            )
-            .option("maxFilesPerTrigger", "1")
-            .parquet(in_dir)
-        )
-
-        def _fb(df, bid):
-            for r in df.collect():  # update mode: later batches overwrite
-                digests[r["group"]] = (
-                    r["n_rows"],
-                    r["xor60"],
-                    r["sum_mod"],
-                    r["min_h"],
-                    r["max_h"],
-                )
-
-        _run_stream(
-            streaming_table_checksum(src, cols, "l_returnflag"), tmp, _fb
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    batch = {
-        r["group"]: (
-            r["n_rows"],
-            r["xor60"],
-            r["sum_mod"],
-            r["min_h"],
-            r["max_h"],
-        )
-        for r in table_checksum(li, cols, group_col="l_returnflag").collect()
-    }
-    return [
-        (
-            "streaming_cksum",
-            str(g),
-            int(batch.get(g) == digests.get(g)),
-        )
-        for g in sorted(set(batch) | set(digests))
-    ]
-
-
 def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(check_name, key, is_match) for all the parity families, fully
     materialized driver-side (literal rows — no lingering plan or
     checkpoint references). The streaming checks run CONCURRENTLY
     (independent sources/sinks/checkpoints; Spark job submission is
     thread-safe) so the audit pays one streaming-query startup of wall
-    time, not fifteen."""
+    time, not nine."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=15) as ex:
+    with ThreadPoolExecutor(max_workers=13) as ex:
         fut_funnel = ex.submit(_funnel_parity, spark, sf_dir)
         fut_heavy = ex.submit(_heavy_parity, spark, sf_dir)
         fut_ssj = ex.submit(_interval_join_parity, spark, sf_dir)
@@ -1229,8 +1069,6 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_psi = ex.submit(_psi_parity, spark, sf_dir)
         fut_cms = ex.submit(_cms_parity, spark, sf_dir)
         fut_calib = ex.submit(_calibration_parity, spark, sf_dir)
-        fut_chgpt = ex.submit(_changepoint_parity, spark, sf_dir)
-        fut_cksum = ex.submit(_checksum_parity, spark, sf_dir)
         cm_rows = _component_map_parity(spark, sf_dir)
         rows = (
             fut_funnel.result()
@@ -1245,8 +1083,6 @@ def streaming_parity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             + fut_psi.result()
             + fut_cms.result()
             + fut_calib.result()
-            + fut_chgpt.result()
-            + fut_cksum.result()
             + cm_rows
         )
     return spark.createDataFrame(rows, "check_name string, key string, is_match int")

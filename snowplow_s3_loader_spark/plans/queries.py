@@ -3725,278 +3725,6 @@ def q164_charset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charset_mix(docs, "doc_id", "text").orderBy("id")
 
 
-
-def q179_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer-spend concentration within each nation: Gini + HHI over
-    per-customer order totals (cents) — the long-tail audit that says
-    whether a nation's revenue is broad-based or three whales, and the
-    corpus-sampling analogue (is 1% of sources most of the tokens?)."""
-    from snowplow_s3_loader_spark.operators.profile import gini_concentration
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    nat = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
-    )
-    joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
-    ).join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-    return gini_concentration(joined, "n_name", "c_custkey", "cents")
-
-
-def q180_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Kendall monotone-trend significance per event type on the
-    DAILY spend series (one point per day — the operator's unique-x
-    contract, satisfied by pre-aggregation) — q174's Theil-Sen reads
-    the robust slope, this reads whether the trend is even there."""
-    from snowplow_s3_loader_spark.operators.timeseries import (
-        mann_kendall_trend,
-    )
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.datediff(
-            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
-        ).cast("long").alias("day"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    daily = ev.groupBy("event_type", "day").agg(
-        F.sum("cents").alias("daily_cents")
-    )
-    return mann_kendall_trend(
-        daily, "event_type", "day", "daily_cents"
-    ).withColumnsRenamed({"group": "event_type"})
-
-
-def q181_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cramér's V between event type and the user cohort (user_id%5,
-    NULL users as their own -1 cohort — the q169 NULL-is-a-category
-    rule): the [0,1]-normalized headline over the SAME contingency
-    table whose cells q139 emits."""
-    from snowplow_s3_loader_spark.operators.profile import cramers_v
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.coalesce(F.col("user_id") % 5, F.lit(-1)).alias("cohort"),
-    )
-    return cramers_v(ev, "event_type", "cohort")
-
-
-def q182_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-invariant lineitem checksum per return flag over the
-    engine-portable canonical columns (keys, cents, shipdate as text)
-    — the migration/replay integrity gate: re-partitioned, re-ordered,
-    or re-loaded copies hash equal iff the rows are equal."""
-    from snowplow_s3_loader_spark.operators.profile import table_checksum
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_orderkey",
-        F.col("l_linenumber").cast("long").alias("ln"),
-        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("px_c"),
-        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship"),
-    )
-    return table_checksum(
-        li,
-        ["l_orderkey", "ln", "qty_c", "px_c", "ship"],
-        group_col="l_returnflag",
-    )
-
-
-def q183_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantity-weighted exact price quantiles per return flag — the
-    token-weighted-percentile shape (the p90 UNIT is not the p90 LINE;
-    heavy lines carry more of the mix), lower weighted quantile on
-    integer cents and integer unit weights."""
-    from snowplow_s3_loader_spark.operators.profile import weighted_quantiles
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("px_c"),
-        F.round(F.col("l_quantity")).cast("long").alias("units"),
-    )
-    return weighted_quantiles(li, "l_returnflag", "px_c", "units")
-
-
-
-def q184_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Largest-remainder apportionment of a 1M-document sampling budget
-    across (lang, source) strata, weighted by whitespace token counts —
-    the exact-total mixture allocation ("sample proportional to tokens,
-    summing to EXACTLY the budget") that proportional rounding cannot
-    deliver."""
-    from snowplow_s3_loader_spark.operators.sampling import (
-        largest_remainder_allocation,
-    )
-    from snowplow_s3_loader_spark.operators.text import token_count
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.concat_ws("@", "lang", "source").alias("stratum"),
-        token_count(F.col("text")).cast("long").alias("toks"),
-    )
-    return largest_remainder_allocation(
-        docs, "stratum", "toks", 1_000_000
-    )
-
-
-def q185_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary richness from the token frequency-of-
-    frequencies: bias-corrected Chao1 (how many token types exist,
-    including unseen ones) and the Good-Turing unseen mass (how much
-    of the next shard is new vocabulary) — the tokenizer/dedup
-    planning readout."""
-    from snowplow_s3_loader_spark.operators.text import vocab_richness
-
-    docs = load_table(spark, sf_dir, "documents")
-    return vocab_richness(docs, "text")
-
-
-def q172_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jensen-Shannon drift between two event snapshots — the bounded,
-    symmetric, vanished-bin-safe companion to q151's PSI on the SAME
-    equi-depth binning rule (edges from the reference): even event ids
-    as the reference week, odd as current with purchases' cents shifted
-    +700 so the drift is non-trivial in every bin."""
-    from snowplow_s3_loader_spark.operators.profile import js_divergence_bins
-
-    ev = load_table(spark, sf_dir, "events").select(
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        "event_id",
-        (F.col("event_type") == "purchase").alias("__p"),
-    )
-    ref = ev.where(F.col("event_id") % 2 == 0).select("cents", "event_id")
-    cur = ev.where(F.col("event_id") % 2 == 1).select(
-        (F.col("cents") + F.when(F.col("__p"), 700).otherwise(0)).alias(
-            "cents"
-        ),
-        "event_id",
-    )
-    return js_divergence_bins(ref, cur, "cents", k=8, tie_cols=["event_id"])
-
-
-def q173_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-of-week seasonal indices per event type (ratio-to-overall
-    multiplicative decomposition, exact integer cents through one
-    DECIMAL division) — the season-vs-drift disambiguator for the
-    monitoring family (q151/q153/q167)."""
-    from snowplow_s3_loader_spark.operators.timeseries import seasonal_profile
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "ts",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    return seasonal_profile(ev, "event_type", "ts", "cents")
-
-
-def q174_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil-Sen robust spend trend per customer (median of pairwise
-    slopes in sign-split truncating micro units; equal-day pairs
-    excluded per Sen) — the outlier-immune counterpart of q116's OLS
-    trend, on x = order day since epoch, y = price cents."""
-    from snowplow_s3_loader_spark.operators.timeseries import theil_sen_slopes
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("cust"),
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
-        ).cast("long").alias("day"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    return theil_sen_slopes(orders, "cust", "day", "cents").withColumnsRenamed(
-        {"group": "cust"}
-    )
-
-
-def q175_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Standardized-mean-difference covariate balance for the q171 A/B
-    assignment (variant by user parity): per-user PRE-period spend and
-    event count as the covariates CUPED leans on — exact BIGINT
-    moments, one closing double per covariate."""
-    from snowplow_s3_loader_spark.operators.profile import smd_balance
-
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("user_id").isNotNull()
-    )
-    split = "2024-01-16 00:00:00"
-    pre = F.col("ts") < F.lit(split).cast("timestamp_ntz")
-    per_user = ev.groupBy("user_id").agg(
-        F.coalesce(
-            F.sum(F.when(pre, F.round(F.col("value")).cast("long"))),
-            F.lit(0),
-        ).alias("pre_units"),
-        F.sum(pre.cast("long")).alias("pre_events"),
-    )
-    units = per_user.select(
-        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
-        .otherwise(F.lit("B"))
-        .alias("variant"),
-        "pre_units",
-        "pre_events",
-    )
-    return smd_balance(units, "variant", ["pre_units", "pre_events"], "A", "B")
-
-
-def q176_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MRR / NDCG@5 over the deterministic brute-force cosine top-5
-    ranking (q27's contract), with synthetic-but-deterministic binary
-    relevance (neighbor and query share a residue class mod 3) — the
-    closing eval loop for the retrieval family."""
-    from snowplow_s3_loader_spark.operators.retrieval import retrieval_metrics
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    ranked = similarity.brute_force_topk(
-        emb, F.col("vec_id") % 100 == 0, k=5
-    ).select(
-        "query_id",
-        "rank",
-        (F.col("neighbor_id") % 3 == F.col("query_id") % 3)
-        .cast("int")
-        .alias("rel"),
-    )
-    return retrieval_metrics(ranked, "query_id", "rank", "rel", k=5)
-
-
-def q177_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit (k=5) over the (event_type, user bucket)
-    quasi-identifier tuple of the event stream — the privacy release
-    gate: the equivalence-class size histogram with violation flags and
-    the headline min-class-size / rows-in-violation audit columns."""
-    from snowplow_s3_loader_spark.operators.profile import k_anonymity_audit
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.pmod(F.col("user_id"), F.lit(100)).alias("ubucket")
-    )
-    return k_anonymity_audit(ev, ["event_type", "ubucket"], k=5)
-
-
-def q178_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 1-Wasserstein drift magnitude between the q151/q172
-    snapshots (even vs odd event ids, purchases +700): where KS reads
-    the worst CDF point and PSI a fixed grid, W1 reads HOW FAR the
-    mass moved, in cents."""
-    from snowplow_s3_loader_spark.operators.profile import wasserstein_distance
-
-    ev = load_table(spark, sf_dir, "events").select(
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        "event_id",
-        (F.col("event_type") == "purchase").alias("__p"),
-    )
-    ref = ev.where(F.col("event_id") % 2 == 0).select("cents")
-    cur = ev.where(F.col("event_id") % 2 == 1).select(
-        (F.col("cents") + F.when(F.col("__p"), 700).otherwise(0)).alias(
-            "cents"
-        )
-    )
-    return wasserstein_distance(ref, cur, "cents")
-
-
 QUERIES = {
     fn.__name__: fn
     for fn in [
@@ -4169,19 +3897,5 @@ QUERIES = {
         q169_mutual_information,
         q170_isotonic,
         q171_cuped,
-        q172_js_divergence,
-        q173_seasonal_profile,
-        q174_theil_sen,
-        q175_smd_balance,
-        q176_retrieval_metrics,
-        q177_k_anonymity,
-        q178_wasserstein,
-        q179_gini,
-        q180_mann_kendall,
-        q181_cramers_v,
-        q182_table_checksum,
-        q183_weighted_quantiles,
-        q184_sample_allocation,
-        q185_vocab_richness,
     ]
 }

@@ -502,115 +502,6 @@ CUSUM_STATE_SCHEMA = StructType(
     ]
 )
 
-CHANGEPOINT_STATE_SCHEMA = StructType(
-    [
-        StructField("s", LongType()),
-        StructField("max_abs_s", LongType()),
-        StructField("t_hat", LongType()),
-        StructField("first_alarm_t", LongType()),
-        StructField("n_seen", LongType()),
-    ]
-)
-
-
-def streaming_changepoint(
-    events: DataFrame,
-    key_col: str,
-    seq_col: str,
-    value_col: str,
-    ref_value: int,
-    threshold: int,
-    timeout_ms: int | None = None,
-) -> DataFrame:
-    """Streaming twin of timeseries.online_changepoint_snapshot — the
-    ONLINE CUSUM changepoint monitor against a FROZEN reference level
-    (round 13, fourteenth parity family): five integers of per-key
-    state (cumulative deviation s, peak |s| with its smallest-t
-    location, first threshold-crossing t, rows seen).
-
-    Each batch's rows sort by ``seq_col`` and fold vectorized (numpy
-    int64 cumsum — exact): with q = s_prev + cumsum(x - ref), the peak
-    update takes the batch max of |q| only when it STRICTLY beats the
-    carried peak, and within the batch the FIRST position achieving it
-    — together that pins t_hat to the smallest t achieving the global
-    peak, the same tie rule the batch twin's max_by(struct(|s|, -t))
-    encodes. When rows arrive in seq order across batches the final
-    emission per key EQUALS the batch snapshot bit for bit
-    (differential-tested). Emits one row per key per batch:
-    (key, n_seen, s_final, max_abs_s, t_hat, first_alarm_t).
-
-    ``timeout_ms``: processing-time eviction for always-on runs (same
-    Trigger.AvailableNow caveat as running_user_counts)."""
-    import numpy as np
-
-    key_type = events.schema[key_col].dataType
-    out_schema = StructType(
-        [
-            StructField(key_col, key_type),
-            StructField("n_seen", LongType()),
-            StructField("s_final", LongType()),
-            StructField("max_abs_s", LongType()),
-            StructField("t_hat", LongType()),
-            StructField("first_alarm_t", LongType()),
-        ]
-    )
-
-    def _update(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()
-            return
-        s, max_abs_s, t_hat, first_alarm_t, n_seen = (
-            state.get if state.exists else (0, 0, -1, -1, 0)
-        )
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        if len(batch):
-            batch = batch.sort_values(seq_col, kind="mergesort")
-            x = batch[value_col].to_numpy(dtype=np.int64)
-            q = s + np.cumsum(x - np.int64(ref_value), dtype=np.int64)
-            abs_q = np.abs(q)
-            bmax = int(abs_q.max())
-            # t_hat < 0 handles the all-zero-deviation series: the batch
-            # twin's argmax still picks t=1 there, so the first row seen
-            # claims the peak even when it is 0
-            if bmax > max_abs_s or t_hat < 0:
-                # first in-batch position achieving the new global peak
-                idx = int(np.argmax(abs_q == bmax))
-                t_hat = n_seen + idx + 1
-                max_abs_s = bmax
-            if first_alarm_t < 0:
-                over = abs_q > threshold
-                if over.any():
-                    first_alarm_t = n_seen + int(np.argmax(over)) + 1
-            s = int(q[-1])
-            n_seen += len(batch)
-        state.update((s, max_abs_s, t_hat, first_alarm_t, n_seen))
-        if timeout_ms is not None:
-            state.setTimeoutDuration(timeout_ms)
-        yield pd.DataFrame(
-            {
-                key_col: [key[0]],
-                "n_seen": [n_seen],
-                "s_final": [s],
-                "max_abs_s": [max_abs_s],
-                "t_hat": [t_hat],
-                "first_alarm_t": [first_alarm_t],
-            }
-        )
-
-    return events.groupBy(key_col).applyInPandasWithState(
-        _update,
-        outputStructType=out_schema,
-        stateStructType=CHANGEPOINT_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if timeout_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
-    )
-
 
 def streaming_cusum(
     events: DataFrame,
@@ -1395,118 +1286,4 @@ def streaming_calibration_counts(
         state_schema,
         "update",
         GroupStateTimeout.NoTimeout,
-    )
-
-
-def streaming_table_checksum(
-    stream: DataFrame,
-    cols: list[str],
-    group_col: str,
-    timeout_ms: int | None = None,
-) -> DataFrame:
-    """Streaming incremental table checksum — the FIFTEENTH
-    batch-vs-streaming parity family, q182's twin: maintain the
-    order-invariant per-group digest (n_rows, xor60, sum_mod, min_h,
-    max_h) as rows arrive. Every component is a commutative+
-    associative fold (count addition, XOR, modular-residue addition,
-    min, max), so ANY interleaving of micro-batches drains to exactly
-    the batch table_checksum output — the always-on ingest-integrity
-    monitor: compare the stream's digest against the batch digest of
-    what landed in the lake, divergence means loss or duplication.
-
-    The row hash is profile.checksum_hash60 over the SAME columns the
-    batch operator hashes (computed JVM-side in a pure projection —
-    the Python state fold only ever sees the bigint), so parity holds
-    by construction. State is FIVE longs per group — bounded by the
-    group count, never the data.
-
-    sum_mod mirrors the batch contract exactly: the SUM of per-row
-    residues (h % 1000003) with NO outer modulus — inside int64 to
-    9.2e12 rows per group, same bound as batch.
-
-    ``timeout_ms`` evicts an idle group's digest (breaking
-    drains-to-batch for that group if it resumes); leave None for
-    whole-stream parity."""
-    from snowplow_s3_loader_spark.operators.profile import checksum_hash60
-
-    hashed = stream.select(
-        F.col(group_col).alias("group"),
-        checksum_hash60(cols).alias("__h"),
-        (checksum_hash60(cols) % F.lit(1_000_003)).alias("__m"),
-    )
-    out_schema = StructType(
-        [
-            StructField("group", StringType()),
-            StructField("n_rows", LongType()),
-            StructField("xor60", LongType()),
-            StructField("sum_mod", LongType()),
-            StructField("min_h", LongType()),
-            StructField("max_h", LongType()),
-        ]
-    )
-    state_schema = StructType(
-        [
-            StructField("n", LongType()),
-            StructField("x", LongType()),
-            StructField("s", LongType()),
-            StructField("mn", LongType()),
-            StructField("mx", LongType()),
-        ]
-    )
-
-    def _update(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()
-            return
-        (g,) = key
-        n_new, x_new, s_new = 0, 0, 0
-        mn_new, mx_new = None, None
-        for p in pdfs:
-            if not len(p):
-                continue
-            hs = p["__h"].astype("int64")
-            n_new += len(p)
-            for h in hs:
-                x_new ^= int(h)
-            s_new += int(p["__m"].astype("int64").sum())
-            bmn, bmx = int(hs.min()), int(hs.max())
-            mn_new = bmn if mn_new is None else min(mn_new, bmn)
-            mx_new = bmx if mx_new is None else max(mx_new, bmx)
-        if n_new:
-            if state.exists:
-                n, x, sm, mn, mx = state.get
-                n += n_new
-                x ^= x_new
-                sm += s_new
-                mn = min(mn, mn_new)
-                mx = max(mx, mx_new)
-            else:
-                n, x, sm, mn, mx = n_new, x_new, s_new, mn_new, mx_new
-            state.update((n, x, sm, mn, mx))
-        elif state.exists:
-            n, x, sm, mn, mx = state.get
-        else:
-            return
-        if timeout_ms is not None:
-            state.setTimeoutDuration(timeout_ms)
-        yield pd.DataFrame(
-            {
-                "group": [g],
-                "n_rows": [n],
-                "xor60": [x],
-                "sum_mod": [sm],
-                "min_h": [mn],
-                "max_h": [mx],
-            }
-        )
-
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
-    return hashed.groupBy("group").applyInPandasWithState(
-        _update, out_schema, state_schema, "update", timeout
     )

@@ -363,6 +363,8 @@ def test_kinesis_to_loader_pipeline_end_to_end(spark, tmp_path):
     def bad_rows():
         rows = []
         for root, _, names in os.walk(cfg.bad.path):
+            if "_temporary" in root:  # in-flight task attempts, not committed
+                continue
             for n in names:
                 p = os.path.join(root, n)
                 if os.path.isfile(p) and not n.startswith(("_", ".")) and not n.endswith(".crc"):

@@ -112,14 +112,6 @@ def data_sized_single_partitions(plan: str) -> list[str]:
         )
         if scalar_partial:
             continue
-        # the degenerate scalar merge: HashAggregate(keys=[], functions=[])
-        # above AND below the exchange (cross-join cardinality scaffolding
-        # for a one-row broadcast) — each upstream task emits at most one
-        # empty row, so this too is cluster-bounded, not data-sized
-        parent = lines[i - 1] if i > 0 else ""
-        empty_agg = "Aggregate(keys=[], functions=[])"
-        if empty_agg in child and empty_agg in parent:
-            continue
         out.append(l)
     return out
 
@@ -1276,179 +1268,6 @@ def test_q169_mutual_information_pair_frame_bounded(spark, sf_dir):
     plan = plan_of(Q.q169_mutual_information(spark, sf_dir))
     assert "partial_count" in plan, plan
     assert "windowspecdefinition" not in plan.lower(), plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert not data_sized_single_partitions(plan), plan
-    assert formatted_part(plan).count("InMemoryFileIndex") == 1, plan
-
-
-def test_q172_js_no_single_partition(spark, sf_dir):
-    """JS rides psi_bins' shape: edge extraction is the distributed
-    ranking, both counts are keyed aggregations, and the totals join
-    is a one-row broadcast — no data-sized single partition, no
-    Python; the only unkeyed window is the k-row total (bounded by
-    construction)."""
-    plan = plan_of(Q.q172_js_divergence(spark, sf_dir))
-    # exactly one non-scalar single-partition piece survives: the
-    # js_total window over the k-row bin frame (k = 8, bounded by
-    # construction — the q161 distinct-frame argument)
-    flagged = data_sized_single_partitions(plan)
-    assert len(flagged) <= 1, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "CartesianProduct" not in plan, plan
-
-
-def test_q173_seasonal_single_grouping_sets_scan(spark, sf_dir):
-    """Per-(series, dow) sums AND per-series totals come out of ONE
-    GROUPING SETS pass over ONE scan (the q169 shape); the totals
-    join back is broadcast — no window, no Python, one file index."""
-    plan = plan_of(Q.q173_seasonal_profile(spark, sf_dir))
-    assert "windowspecdefinition" not in plan.lower(), plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert not data_sized_single_partitions(plan), plan
-    assert formatted_part(plan).count("InMemoryFileIndex") == 1, plan
-    assert "Expand" in plan, plan  # the grouping-sets doubling
-    assert "BroadcastHashJoin" in plan, plan
-
-
-def test_q174_theil_sen_series_keyed_pairs(spark, sf_dir):
-    """Point numbering is a series-keyed window; the pair join is
-    series-keyed (never cartesian across series); the median pick is
-    a keyed rank filter — no unpartitioned window, no data-sized
-    single partition, no Python."""
-    plan = plan_of(Q.q174_theil_sen(spark, sf_dir))
-    assert not unpartitioned_window_lines(plan), plan
-    assert not data_sized_single_partitions(plan), plan
-    assert "CartesianProduct" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-
-
-def test_q175_smd_two_aggs_one_broadcast(spark, sf_dir):
-    """Per-variant moments are ONE keyed aggregation; the per-user
-    pre-aggregation is keyed; assembly is broadcast-sized — no
-    window, no Python, no data-sized single partition."""
-    plan = plan_of(Q.q175_smd_balance(spark, sf_dir))
-    assert "windowspecdefinition" not in plan.lower(), plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert not data_sized_single_partitions(plan), plan
-
-
-def test_q176_retrieval_metrics_keyed_windows(spark, sf_dir):
-    """MRR/NDCG ride per-query keyed windows over the (query, rank)
-    frame (k rows per query); no data-sized single partition beyond
-    the ranking contract's own bounded pieces, no cartesian."""
-    plan = plan_of(Q.q176_retrieval_metrics(spark, sf_dir))
-    assert not data_sized_single_partitions(plan), plan
-    assert "CartesianProduct" not in plan, plan
-
-
-def test_q177_kanon_two_keyed_aggs(spark, sf_dir):
-    """The equivalence-class sizes and the class-size histogram are
-    two keyed hash aggregations with partial combine; audit columns
-    are a one-row broadcast — no window over the corpus, no Python,
-    no data-sized single partition."""
-    plan = plan_of(Q.q177_k_anonymity(spark, sf_dir))
-    assert "partial_count" in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # one bounded piece: the audit window over the class-size
-    # HISTOGRAM frame (|distinct class sizes| rows, not the corpus)
-    assert len(data_sized_single_partitions(plan)) <= 1, plan
-
-
-def test_q178_w1_prefix_frame_is_distinct_bounded(spark, sf_dir):
-    """W1's one global prefix walk runs on the DISTINCT-value frame
-    (<= max_distinct_values, ENFORCED eagerly at construction), so the
-    single-partition pieces in the visible plan are value-frame-sized,
-    not corpus-sized: corpus work is the keyed per-value aggregation
-    with partial combine. No Python, no cartesian."""
-    plan = plan_of(Q.q178_wasserstein(spark, sf_dir))
-    assert "partial_count" in plan or "partial_sum" in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "CartesianProduct" not in plan, plan
-
-
-def test_q179_gini_keyed_window_broadcast_dims(spark, sf_dir):
-    """Entity totals are a keyed aggregation, ranking is a group-keyed
-    window, both dimension joins broadcast — no unpartitioned window,
-    no sort-merge join, no Python, no data-sized single partition."""
-    plan = plan_of(Q.q179_gini(spark, sf_dir))
-    assert not unpartitioned_window_lines(plan), plan
-    assert not data_sized_single_partitions(plan), plan
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-
-
-def test_q180_mk_series_keyed_pairs(spark, sf_dir):
-    """Point numbering + duplicate-x guard share ONE series-keyed
-    window spec; the pair join and the tie aggregation are series-
-    keyed — no unpartitioned window, no cartesian, no Python, no
-    data-sized single partition."""
-    plan = plan_of(Q.q180_mann_kendall(spark, sf_dir))
-    assert not unpartitioned_window_lines(plan), plan
-    assert not data_sized_single_partitions(plan), plan
-    assert "CartesianProduct" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-
-
-def test_q181_cramers_margins_sized_everything(spark, sf_dir):
-    """One corpus aggregation to the cell frame; margins, spine, and
-    the closing scalar reduction are cell-frame-sized; the only
-    cross join is the broadcast margins spine — no window, no
-    Python, no data-sized single partition."""
-    plan = plan_of(Q.q181_cramers_v(spark, sf_dir))
-    assert "windowspecdefinition" not in plan.lower(), plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert not data_sized_single_partitions(plan), plan
-
-
-def test_q182_checksum_one_scan_one_agg(spark, sf_dir):
-    """The checksum is ONE scan into ONE keyed partial+final
-    aggregation — no window, no join, no Python, no single
-    partition; the map-side combine reduces every partition to five
-    values per group."""
-    plan = plan_of(Q.q182_table_checksum(spark, sf_dir))
-    assert "windowspecdefinition" not in plan.lower(), plan
-    assert "Join" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert not data_sized_single_partitions(plan), plan
-    assert formatted_part(plan).count("InMemoryFileIndex") == 1, plan
-    assert "partial_count" in plan, plan
-
-
-def test_q183_wq_distinct_frame_windows(spark, sf_dir):
-    """The corpus pays ONE keyed aggregation to the (group, value)
-    distinct frame; the prefix sum is a group-keyed window on that
-    frame; the quantile spine joins broadcast — no unpartitioned
-    window, no Python, no data-sized single partition."""
-    plan = plan_of(Q.q183_weighted_quantiles(spark, sf_dir))
-    assert not unpartitioned_window_lines(plan), plan
-    assert not data_sized_single_partitions(plan), plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "CartesianProduct" not in plan, plan
-
-
-def test_q184_allocation_strata_frame_window(spark, sf_dir):
-    """The corpus pays one keyed aggregation to the stratum frame; the
-    remainder ranking is one window over that frame (strata-count
-    sized — bounded pieces allowed); totals are scalar partial+final
-    merges; no Python, no cartesian blowup beyond the two one-row
-    broadcast assemblies."""
-    plan = plan_of(Q.q184_sample_allocation(spark, sf_dir))
-    assert "partial_sum" in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the stratum-frame rank window is the one surviving single
-    # partition piece
-    assert len(data_sized_single_partitions(plan)) <= 1, plan
-
-
-def test_q185_vocab_one_keyed_count_then_scalars(spark, sf_dir):
-    """Tokens explode into ONE keyed count with partial combine; the
-    frequency-of-frequencies reduction is a scalar partial+final merge
-    — no window, no join, no Python, one file index."""
-    plan = plan_of(Q.q185_vocab_richness(spark, sf_dir))
-    assert "partial_count" in plan, plan
-    assert "windowspecdefinition" not in plan.lower(), plan
-    assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert not data_sized_single_partitions(plan), plan
     assert formatted_part(plan).count("InMemoryFileIndex") == 1, plan

@@ -404,10 +404,9 @@ def test_streaming_funnel_retro_event_improves_without_invalidating(spark, tmp_p
 def test_streaming_parity_rows_all_match(spark, sf_dir):
     """The driver-visible batch-vs-streaming parity audit (folded into
     q74_scale_battery) must emit is_match=1 for every key in all
-    FIFTEEN families (session_window and streaming_ohlc landed rounds
+    THIRTEEN families (session_window and streaming_ohlc landed rounds
     8/9; streaming_urldedup round 10; streaming_incdedup,
-    streaming_psi, streaming_cms and streaming_calib round 11;
-    streaming_chgpt and streaming_cksum round 13) — a
+    streaming_psi, streaming_cms and streaming_calib round 11) — a
     falsifiable audit is only useful
     if its green state is pinned here and its red states are reachable
     (each family's divergence behavior is covered by the
@@ -432,8 +431,6 @@ def test_streaming_parity_rows_all_match(spark, sf_dir):
         "streaming_psi",
         "streaming_cms",
         "streaming_calib",
-        "streaming_chgpt",
-        "streaming_cksum",
     }, by_check
     for name, bits in by_check.items():
         assert bits and all(b == 1 for b in bits), (name, bits)
