@@ -28,7 +28,7 @@ def main() -> None:
     prefixes = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sys.path.insert(0, os.path.dirname(OUT_DIR.rsplit("/plans", 1)[0]))
+    sys.path.insert(0, OUT_DIR.rsplit("/plans", 1)[0])
 
     from snowplow_s3_loader_spark.session import get_spark
 

@@ -57,7 +57,13 @@ def bigram_lm_scores(
     ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
 
     c2 = bg.groupBy("gram").agg(F.count("*").alias("c2"))
-    ctx = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # derived from the distinct-bigram-sized c2 frame, not a third corpus
+    # explode — see moore_lewis_scores for the ReuseExchange mechanics
+    ctx = (
+        c2.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("c2").cast("long").alias("c1"))
+    )
     vocab = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .agg(F.count_distinct("tok"))
@@ -141,9 +147,22 @@ def moore_lewis_scores(
         F.count("*").alias("c2r"),
         F.sum(F.col("__t").cast("long")).alias("c2t"),
     )
-    ctx = bg.groupBy("w1").agg(
-        F.count("*").alias("c1r"),
-        F.sum(F.col("__t").cast("long")).alias("c1t"),
+    # ctx(w1) = w1's occurrences as a bigram context = sum of c2 over the
+    # grams starting with w1 (tokens never contain spaces, so the split
+    # is exact) — derived from the DISTINCT-BIGRAM-sized c2 frame instead
+    # of a third full corpus explode. c2's aggregation subtree appears
+    # twice in the plan (scoring join build + this re-aggregation) but
+    # the physical exchanges are identical, so ReuseExchange computes the
+    # corpus-scale pass once (guide §2.4: two operations keyed the same
+    # way share one exchange); the operator drops from three corpus
+    # explodes to two.
+    ctx = (
+        c2.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+        .groupBy("w1")
+        .agg(
+            F.sum("c2r").cast("long").alias("c1r"),
+            F.sum("c2t").cast("long").alias("c1t"),
+        )
     )
     vocab = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))

@@ -30,8 +30,13 @@ TABLES = (
 
 
 # tables whose derived queries do heavy per-row compute (JSON parse, regex,
-# line synthesis) before any shuffle
-_CPU_DENSE_TABLES = {"events"}
+# tokenization, n-gram hashing, line synthesis) before any shuffle.
+# documents joined events here in round 13: every text operator
+# (tokenize + md5 n-gram passes) was riding the raw single-row-group
+# scan, i.e. ONE task — the dsir feature pass alone measured 3.9 s
+# single-threaded vs 0.6 s spread (guide §2.5 "input skew": one huge
+# unsplittable input split).
+_CPU_DENSE_TABLES = {"events", "documents"}
 
 # per-session DataFrame cache: repeated queries against the same (sf_dir,
 # table) reuse one logical plan, and the events repartition+persist is paid
@@ -99,10 +104,17 @@ def load_table(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     # CPU-dense sources only: the shuffle is cheaper than single-threaded
-    # JSON/regex parsing, but pure overhead for light scans/aggs where the
-    # first real shuffle already spreads the work.
+    # JSON/regex/tokenize parsing, but pure overhead for light scans/aggs
+    # where the first real shuffle already spreads the work. Scale guard
+    # (round 13): only when the scan has fewer splits than the cluster —
+    # on a real many-file 100 TB layout (splits >> cores) repartitioning
+    # DOWN to core count and persisting the corpus would both be wrong,
+    # so the whole branch is a no-op there.
     if parallelize and name in _CPU_DENSE_TABLES:
-        df = df.repartition(spark.sparkContext.defaultParallelism).persist()
+        par = spark.sparkContext.defaultParallelism
+        n_splits = len(df.inputFiles())
+        if n_splits and n_splits < par:
+            df = df.repartition(par).persist()
     if key is not None:
         _df_cache[key] = df
     return df
