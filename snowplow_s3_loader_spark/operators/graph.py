@@ -132,12 +132,21 @@ def connected_components(
             ["v"],
         )
         for _ in range(max(1, max_iter // 2)):
+            # groupBy plans its own exchange WITH a map-side partial min
+            # below it, so the per-round shuffle carries at most |V|
+            # partial minima per map partition instead of all |E| label
+            # fan-out rows (round 13 — the former explicit
+            # .repartition(s) BEFORE the groupBy suppressed the partial
+            # aggregate: the agg saw its layout already satisfied and
+            # ran as one post-shuffle pass over the raw fan-out). The
+            # |V|-row repartition AFTER the agg restores hash(s,
+            # loop_parts) for the zero-Exchange label-align join below.
             neigh = (
                 edges.join(labels, edges.d == labels.v)  # co-partitioned
                 .select("s", "lbl")
-                .repartition(loop_parts, "s")
                 .groupBy("s")
                 .agg(F.min("lbl").alias("nl"))
+                .repartition(loop_parts, "s")
             )
             # labels is hash(v, loop_parts), neigh is hash(s, loop_parts)
             # after its agg: the left join is co-partitioned too, and the
@@ -692,13 +701,16 @@ def pagerank(
             raise ValueError("pagerank: no seed node appears in the edge set")
         init = int(scale) // n
         tele = (int(scale) * (damping_den - damping_num)) // (damping_den * n)
-        ranks = checkpoint_nostats(
-            nodes.withColumn(
-                "pr",
-                F.when(F.col("seed"), F.lit(init)).otherwise(F.lit(0)).cast("long"),
-            ),
-            loop_parts,
-            ["node"],
+        # lazy NARROW projection over the just-checkpointed nodes frame:
+        # it inherits nodes' advertised hash(node) layout through the
+        # Project, so the round-1 join still plans co-partitioned — a
+        # third checkpoint here paid a repartition + |V| block write for
+        # a frame that is one withColumn away from a materialized one
+        # (round 13; release_materialized on the lazy frame is a
+        # documented no-op, so the release bookkeeping below is safe).
+        ranks = nodes.withColumn(
+            "pr",
+            F.when(F.col("seed"), F.lit(init)).otherwise(F.lit(0)).cast("long"),
         )
         # Rounds are chained LAZILY and only materialized every
         # `checkpoint_interval` rounds: a 3-iteration PageRank is ONE
@@ -723,12 +735,21 @@ def pagerank(
                     f"(pr * {damping_num}) div ({damping_den} * outdeg)"
                 ).alias("share"),
             )
+            # groupBy plans its own exchange WITH a map-side partial
+            # aggregate below it, so the per-round shuffle carries at
+            # most |V| partial sums per map partition instead of all
+            # |E| share rows (round 13 — the former explicit
+            # .repartition(d) BEFORE the groupBy suppressed the partial:
+            # the agg saw its required layout already satisfied and ran
+            # as a single post-shuffle pass over raw edge fan-out). The
+            # cheap |V|-row repartition AFTER the agg restores the
+            # hash(d, loop_parts) layout the node-align join expects.
             contribs = (
                 adj.join(shares, adj.s == shares.node)  # co-partitioned
                 .select("d", "share")
-                .repartition(loop_parts, "d")
                 .groupBy("d")
                 .agg(F.sum("share").cast("long").alias("contrib"))
+                .repartition(loop_parts, "d")
             )
             # nodes is hash(node, loop_parts); contribs hash(d, loop_parts)
             # after its agg — the align join is co-partitioned, and the
@@ -1209,12 +1230,17 @@ def hits(
                 # on s. The explicit repartition keys the aggregation at
                 # loop width, so the checkpoint trusts (and verifies)
                 # the layout instead of re-shuffling.
+                # map-side partial sums below the agg's own exchange
+                # (<= |V| rows per map partition) instead of shuffling
+                # every edge fan-out row; the |V|-row repartition after
+                # the agg restores the trusted hash(d, loop_parts)
+                # layout (round 13 — see the pagerank loop note).
                 raw_auth = checkpoint_nostats(
                     adj_s.join(hub, "s")
                     .select("d", "hub")
-                    .repartition(loop_parts, "d")
                     .groupBy("d")
-                    .agg(F.sum("hub").alias("raw")),
+                    .agg(F.sum("hub").alias("raw"))
+                    .repartition(loop_parts, "d"),
                     loop_parts,
                     ["d"],
                     trust_partitioning=True,
@@ -1231,9 +1257,9 @@ def hits(
             raw_hub = checkpoint_nostats(
                 adj_d.join(auth, "d")
                 .select("s", "auth")
-                .repartition(loop_parts, "s")
                 .groupBy("s")
-                .agg(F.sum("auth").alias("raw")),
+                .agg(F.sum("auth").alias("raw"))
+                .repartition(loop_parts, "s"),
                 loop_parts,
                 ["s"],
                 trust_partitioning=True,
@@ -1324,11 +1350,19 @@ def bfs_distances(
         n_seen = visited.count()
         for depth in range(1, max_depth + 1):
             frontier = visited.where(F.col("dist") == depth - 1).select("v")
+            # distinct() plans its own exchange WITH a map-side partial
+            # dedup below it — a dense frontier reaches the same target
+            # from many sources, and the partial collapses those within
+            # each map partition before anything shuffles (round 13 —
+            # the former explicit .repartition(v) BEFORE the distinct
+            # suppressed the partial). The |frontier-neighborhood|-row
+            # repartition after restores hash(v, loop_parts) for the
+            # zero-Exchange anti join below.
             neigh = (
                 adj.join(frontier, adj.s == frontier.v)  # co-partitioned on s
                 .select(F.col("d").alias("v"))
-                .repartition(loop_parts, "v")
                 .distinct()
+                .repartition(loop_parts, "v")
             )
             # neigh and visited are both hash(v) at loop width -> the anti
             # join is zero-Exchange; the union's new branch carries the
@@ -1443,21 +1477,33 @@ def label_propagation(
             loop_parts,
             ["v"],
         )
-        from pyspark.sql.window import Window
-
         for _ in range(iterations):
+            # two partial-aggregatable stages replace the former
+            # repartition + complete agg + row_number window (round 13):
+            # the (s, lbl) count gets a map-side partial below its own
+            # exchange (the explicit pre-repartition used to suppress
+            # it, shuffling every raw fan-out row), and the per-node
+            # winner — max count, ties to the smallest label, exactly
+            # the old window's (n DESC, lbl ASC) first row — is
+            # min(struct(-n, lbl)), which partial-aggregates too where
+            # a row_number window cannot (and drops the window's sort).
+            # n >= 1 so -n never overflows.
             counts = (
                 edges.join(labels, edges.d == labels.v)  # co-partitioned
                 .select("s", "lbl")
-                .repartition(loop_parts, "s")
                 .groupBy("s", "lbl")
                 .agg(F.count("*").alias("n"))
             )
-            w = Window.partitionBy("s").orderBy(F.col("n").desc(), F.col("lbl").asc())
             new_labels = checkpoint_nostats(
-                counts.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .select(F.col("s").alias("v"), "lbl"),
+                counts.groupBy("s")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("n")).alias("nn"), F.col("lbl").alias("l")
+                        )
+                    ).alias("m")
+                )
+                .select(F.col("s").alias("v"), F.col("m.l").alias("lbl")),
                 loop_parts,
                 ["v"],
             )
@@ -1523,12 +1569,21 @@ def topological_layers(
     remaining = nodes
     layer = 0
     while n_nodes > 0 and layer < max_rounds:
-        # anti join needs no distinct on its right side — the raw edge
-        # targets prune identically without an aggregation job
-        has_in = cur_e.select(F.col("b").alias("a"))
-        zero_in = checkpoint_nostats(remaining.join(has_in, "a", "left_anti"))
-        done.append((zero_in, layer))
         small = n_nodes <= broadcast_threshold
+        # distinct-then-anti (round 13): raw edge targets prune
+        # identically, but shuffling them shipped every surviving edge
+        # row per layer — the distinct's map-side partial dedup bounds
+        # the exchange at the in-degree-positive node set, and while the
+        # survivor set fits the broadcast budget the pruned target set
+        # (<= n_nodes rows by construction) broadcasts, so `remaining`
+        # is never shuffled for the peel at all.
+        has_in = cur_e.select(F.col("b").alias("a")).distinct()
+        zero_in = checkpoint_nostats(
+            remaining.join(
+                F.broadcast(has_in) if small else has_in, "a", "left_anti"
+            )
+        )
+        done.append((zero_in, layer))
         nxt_nodes = checkpoint_nostats(
             remaining.join(
                 F.broadcast(zero_in) if small else zero_in, "a", "left_anti"

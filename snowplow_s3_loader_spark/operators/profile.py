@@ -304,9 +304,15 @@ def spearman_moments(
             F.col("__tx") * F.col("__tx") * F.col("__tx") - F.col("__tx")
         ).alias("tx")
     )
-    withx = rx.join(gx.select("__x", "__ar2x"), "__x")
+    # rank y over the MATERIALIZED rx frame directly (round 13): the
+    # former shape ranked over `rx JOIN gx`, and global_row_number
+    # evaluates its input three times (sample / counts / output) — so
+    # the x-tie join and gx's aggregation each ran three times. The
+    # y-order [__y, __id] never reads __ar2x, so the join commutes past
+    # the ranking; attaching both tie-group averages AFTER the y-rank
+    # leaves each join evaluated exactly once.
     ry, _ = global_row_number(
-        withx, [F.col("__y"), F.col("__id")], rn_col="__rny"
+        rx, [F.col("__y"), F.col("__id")], rn_col="__rny"
     )
     ry = checkpoint_nostats(ry)
     gy = ry.groupBy("__y").agg(
@@ -318,7 +324,10 @@ def spearman_moments(
             F.col("__ty") * F.col("__ty") * F.col("__ty") - F.col("__ty")
         ).alias("ty")
     )
-    both = ry.join(gy.select("__y", "__ar2y"), "__y")
+    both = (
+        ry.join(gx.select("__x", "__ar2x"), "__x")
+        .join(gy.select("__y", "__ar2y"), "__y")
+    )
     d2 = both.agg(
         F.count("*").alias("n"),
         F.sum(
@@ -616,7 +625,19 @@ def psi_bins(
         # collect and again for these counts — deterministic by the
         # ranking module's contract; callers with expensive reference
         # plans should materialize them before calling
-        spine.join(F.broadcast(_counts(ranked, "n_ref")), "bin", "left")
+        # the reference counts re-derive from the GUARDED PROJECTION,
+        # not the ranked frame (round 13): the bin expression reads only
+        # the value column, but counting through `ranked` dragged the
+        # whole two-phase ranking (bucket exchange + sort + window +
+        # cross-pass guard) into the count pass, and the guard's
+        # side-effecting assert blocks Catalyst from pruning it. The
+        # rows are the same multiset by the ranking module's
+        # determinism contract (identical plan over identical data).
+        spine.join(
+            F.broadcast(_counts(_guarded(ref, "reference"), "n_ref")),
+            "bin",
+            "left",
+        )
         .join(F.broadcast(_counts(_guarded(cur, "current"), "n_cur")), "bin", "left")
         .join(F.broadcast(edge_df), "bin", "left")
         .select(
@@ -835,12 +856,17 @@ def ks_statistic(
             F.lit(flag).alias("__is_ref"),
         )
 
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        release_materialized,
+    )
+
     u = _side(ref, 1, "reference").unionAll(_side(cur, 0, "current"))
-    per_v = u.groupBy("__v").agg(
+    per_v_plan = u.groupBy("__v").agg(
         F.sum("__is_ref").cast("long").alias("__dr"),
         F.sum(1 - F.col("__is_ref")).cast("long").alias("__dc"),
     )
-    tot = per_v.agg(
+    tot = per_v_plan.agg(
         F.sum("__dr").alias("nr"),
         F.sum("__dc").alias("nc"),
         F.count("*").alias("nv"),
@@ -867,6 +893,17 @@ def ks_statistic(
             f"ks_statistic: {n_ref} x {n_cur} rows overflows the packed "
             "int64 prefix bound; pre-aggregate or sample first"
         )
+    # materialize the distinct-value frame ONCE, after the cardinality
+    # guard has bounded it (round 13): the ranking module's
+    # sample/counts/output trio plus the prefix walk used to re-evaluate
+    # the union + value-keyed aggregation per pass — four full corpus
+    # aggregations for one statistic. The frame is <=
+    # max_distinct_values rows by the guard above (callers who disable
+    # the guard opt into an unbounded checkpoint explicitly), so the
+    # spearman bounded-materialization doctrine applies; the totals
+    # collect already ran un-materialized, so a guard rejection never
+    # pays any storage.
+    per_v = checkpoint_nostats(per_v_plan)
     packed = per_v.select(
         "__v", (F.col("__dr") * m + F.col("__dc")).alias("__pv")
     )
@@ -888,8 +925,21 @@ def ks_statistic(
             - F.expr(f"__inc % CAST({m} AS BIGINT)") * F.lit(n_ref)
         ).alias("__d")
     )
+    # the sup reduction is a scalar — resolve it eagerly so the per_v
+    # checkpoint can be RELEASED here instead of leaking behind a lazy
+    # one-row plan (release_materialized on a lazy projection is a
+    # documented no-op); the returned frame re-applies the identical
+    # closing expression over the collected max, so types and values
+    # are unchanged bit-for-bit.
+    try:
+        d_num = int(
+            unpacked.agg(F.max("__d").alias("d_num")).collect()[0]["d_num"]
+        )
+    finally:
+        release_materialized(per_v)
     return (
-        unpacked.agg(F.max("__d").alias("d_num"))
+        ref.sparkSession.range(1)
+        .select(F.lit(d_num).cast("long").alias("d_num"))
         .select(
             F.lit(n_ref).cast("long").alias("n_ref"),
             F.lit(n_cur).cast("long").alias("n_cur"),
