@@ -44,17 +44,6 @@ from snowplow_s3_loader_spark.operators.text import tokens
 SEP = "\x1f"
 
 
-def _vocab_width(spark, n_words: int) -> int:
-    """Shuffle width for the vocabulary-frame training loop: ~50k words
-    per partition, clamped to the session width (same policy as the
-    graph loops' _loop_width)."""
-    try:
-        sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        sess = spark.sparkContext.defaultParallelism
-    return min(sess, max(2, n_words // 50_000 + 1))
-
-
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) over the whitespace-tokenized corpus — the ONE
     corpus-scale pass of BPE training."""
@@ -81,17 +70,24 @@ def pair_counts(
 ) -> DataFrame:
     """Weighted adjacent-pair counts over the vocabulary frame:
     (pair, n) with n = sum of word freq per adjacent occurrence.
-    ``width`` narrows the aggregation shuffle to a vocabulary-sized
-    partition count (an explicit repartition on the group key — the
-    groupBy then co-partitions); a few-thousand-row frame at the
-    session's full shuffle width pays ~8x the task scheduling it
-    needs, which dominates the per-round cost of the training loop."""
+
+    The aggregation plans its own exchange with a MAP-SIDE PARTIAL SUM
+    below it, so the shuffle carries at most the distinct adjacent
+    pairs seen per map partition, never the raw per-occurrence explode
+    (round 13 — the former explicit repartition on the group key
+    satisfied the agg's required distribution up front, which
+    suppressed the partial and shipped every exploded row). ``width``,
+    when given, narrows the post-aggregation layout for consumers that
+    want few output partitions; the training loop's TakeOrdered top-1
+    needs no layout, so it passes None and each round is exactly one
+    partial+final aggregation."""
     exploded = words.select(
         F.explode(_adjacent_pairs(F.col(syms_col))).alias("pair"), "freq"
     )
+    out = exploded.groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
     if width is not None:
-        exploded = exploded.repartition(width, "pair")
-    return exploded.groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
+        out = out.repartition(width, "pair")
+    return out
 
 
 def _merge_fold(syms: Column, a: str, b: str) -> Column:
@@ -128,23 +124,21 @@ def bpe_train_from_words(
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Train from a precomputed (word, freq) frame — the entry point
     when the caller already reduced the corpus (shares the single
-    corpus pass with other vocabulary consumers). Each round's pair
-    aggregation is narrowed to a vocabulary-sized shuffle width (see
-    pair_counts); on a real cluster the width scales back up with the
-    vocabulary."""
+    corpus pass with other vocabulary consumers). Each round is ONE
+    partial+final pair aggregation feeding a distributed top-1 (see
+    pair_counts — the map-side partial keeps per-round shuffle bytes
+    bounded by the distinct pair set at any vocabulary size)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    spark = words_freq.sparkSession
     words = checkpoint_nostats(
         words_freq.withColumn("syms", F.split("word", ""))
     )
-    width = _vocab_width(spark, words.count())
     merges: list[tuple[str, str]] = []
     last_ck = words
     cur = words
     for r in range(n_merges):
         top = (
-            pair_counts(cur, width=width)
+            pair_counts(cur)
             .orderBy(F.desc("n"), "pair")
             .limit(1)
             .collect()
