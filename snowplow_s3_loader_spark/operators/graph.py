@@ -259,7 +259,11 @@ def _star_components(
                 .where(F.col("d") > F.col("s"))
                 .select(F.col("d").alias("a"), F.col("m").alias("b"))
                 .where(F.col("a") != F.col("b"))
-                .repartition(loop_parts, "a", "b")
+                # distinct plans its own exchange with a MAP-SIDE
+                # partial dedup below it (an explicit repartition on
+                # the keys would satisfy the distribution up front and
+                # ship every duplicate — round 13); downstream pins
+                # width when it repartitions by `s`
                 .distinct()
             )
             lsym = large.select(F.col("a").alias("s"), F.col("b").alias("d")).union(
@@ -273,8 +277,7 @@ def _star_components(
                 .select(F.col("d").alias("a"), F.col("m").alias("b"))
                 .union(smins.select(F.col("s").alias("a"), F.col("m").alias("b")))
                 .where(F.col("a") != F.col("b"))
-                .repartition(loop_parts, "a", "b")
-                .distinct()
+                .distinct()  # partial dedup below its own exchange (as above)
             )
             new_sym = checkpoint_nostats(
                 small.select(F.col("a").alias("s"), F.col("b").alias("d"))

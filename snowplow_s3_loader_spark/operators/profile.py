@@ -1615,38 +1615,97 @@ def fd_check(
     holds = 1 (never three-valued NULL — the sum-over-zero-rows NULL is
     coalesced before `holds` derives).
 
-    Scale shape: one exact two-level aggregation PER declared pair —
-    groupBy(det, dep) counts (partial combine keyed on the full pair),
-    then groupBy(det) reduces to (distinct-dep, plurality, rows) and a
-    bounded reduction to one row; the per-pair plans union into one
-    |pairs|-row frame. Each pair costs its two keyed shuffles — declare
-    the pairs you need, not the O(2^cols) lattice (TANE's pruning is a
-    driver-side search; at 100 TB you verify contracted FDs, you don't
-    mine the lattice).
+    Scale shape: ONE scan of the relation for ALL declared pairs — the
+    per-pair (det, dep) level-1 counts come out of a single GROUPING
+    SETS pass over the union of referenced columns (the q169 idiom:
+    Expand replicates rows map-side once per distinct column-set, the
+    partial combine bounds the one corpus shuffle at distinct keys per
+    set, and grouping_id() separates the sets — a real NULL value never
+    collides with a masked column because the id disambiguates; within
+    a set, data NULLs group exactly as SQL GROUP BY does). Each pair
+    then reduces ITS set's rows (groupBy(det) to (distinct-dep,
+    plurality, rows), then a bounded reduction to one row); pairs
+    sharing a column set share the level-1 rows. The per-pair plans
+    union into one |pairs|-row frame. At 100 TB this is one corpus
+    pass however many FDs the contract declares — but still declare the
+    pairs you need, not the O(2^cols) lattice (TANE's pruning is a
+    driver-side search; you verify contracted FDs, you don't mine the
+    lattice). A single declared pair plans the plain two-level
+    aggregation with no Expand.
 
     Output: (fd, n_groups, n_violating, max_dep_values, holds, n_rows,
     g3_micro) ordered by fd."""
     if not dependencies:
         raise ValueError("fd_check: declare at least one (dets, dep) pair")
-    outs = []
     for dets, dep in dependencies:
         if not dets or dep in dets:
             raise ValueError(
                 f"fd_check: bad pair ({dets!r} -> {dep!r}): need a "
                 "non-empty determinant set not containing the dependent"
             )
+    # ONE level-1 pass for every pair: GROUPING SETS over the union of
+    # referenced columns, one set per distinct column-set (pairs that
+    # use the same columns — e.g. a->b and b->a — share level-1 rows).
+    cols: list[str] = []
+    for dets, dep in dependencies:
+        for c in [*dets, dep]:
+            if c not in cols:
+                cols.append(c)
+    uniq_sets: list[frozenset] = []
+    for dets, dep in dependencies:
+        fs = frozenset([*dets, dep])
+        if fs not in uniq_sets:
+            uniq_sets.append(fs)
+    if len(uniq_sets) > 1:
+        gs_counts = df.groupingSets(
+            [[c for c in cols if c in fs] for fs in uniq_sets], *cols
+        ).agg(F.count("*").alias("__c"), F.grouping_id().alias("__g"))
+
+        def _mask(fs: frozenset) -> int:
+            # grouping_id: leftmost groupBy column = highest bit,
+            # bit set when the column is MASKED (aggregated away)
+            n = len(cols)
+            return sum(
+                (0 if cols[j] in fs else 1) << (n - 1 - j) for j in range(n)
+            )
+
+    outs = []
+    for dets, dep in dependencies:
         name = ",".join(dets) + "->" + dep
-        pair_counts = df.groupBy(*dets, dep).agg(
-            F.count("*").alias("__c")
-        )
         # distinct dep values per group COUNTING NULL as a value (the
         # (det, dep) grouping keys NULL dep as its own row), the
         # plurality count, and the group's row mass
-        per_group = pair_counts.groupBy(*dets).agg(
-            F.count("*").alias("__nd"),
-            F.max("__c").alias("__keep"),
-            F.sum("__c").alias("__rows"),
-        )
+        if len(uniq_sets) > 1:
+            # CONDITIONAL aggregation over the shared level-1 frame —
+            # deliberately NOT a filter on __g: a filter would push
+            # below the level-1 aggregate (grouping-column predicate),
+            # making each pair's subtree distinct and splitting the
+            # shared scan back into per-pair scans. With identical
+            # children, every pair's branch reuses ONE level-1
+            # exchange (gated in test_plans). Rows from other sets
+            # contribute nothing (the when() guards every aggregate;
+            # sum/max/count ignore NULL) and their residual groups are
+            # dropped by the __nd > 0 filter (which references an
+            # aggregate output, so it cannot push down).
+            cond = F.col("__g") == _mask(frozenset([*dets, dep]))
+            per_group = (
+                gs_counts.groupBy(*dets)
+                .agg(
+                    F.count(F.when(cond, F.lit(1))).alias("__nd"),
+                    F.max(F.when(cond, F.col("__c"))).alias("__keep"),
+                    F.sum(F.when(cond, F.col("__c"))).alias("__rows"),
+                )
+                .where(F.col("__nd") > 0)
+            )
+        else:
+            pair_counts = df.groupBy(*dets, dep).agg(
+                F.count("*").alias("__c")
+            )
+            per_group = pair_counts.groupBy(*dets).agg(
+                F.count("*").alias("__nd"),
+                F.max("__c").alias("__keep"),
+                F.sum("__c").alias("__rows"),
+            )
         outs.append(
             per_group.agg(
                 F.count("*").alias("n_groups"),

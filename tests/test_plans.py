@@ -1154,6 +1154,29 @@ def test_q158_fd_groupbys_are_keyed(spark, sf_dir):
     assert not data_sized_single_partitions(plan), plan
     for det in ("o_orderkey", "o_custkey", "l_orderkey", "event_id", "user_id"):
         assert f"keys=[{det}" in plan, (det, plan)
+    # round 13: ALL pairs of a table share ONE GROUPING SETS level-1
+    # pass (Expand marks the shared multi-set aggregation; before, each
+    # pair aggregated its own scan and no Expand existed anywhere)
+    assert "Expand" in plan, plan
+
+
+def test_q158_fd_level1_exchange_reused_at_runtime(spark, sf_dir):
+    """The per-pair branches over one table's shared GROUPING SETS
+    frame must actually REUSE the level-1 exchange at runtime (AQE
+    stage reuse — invisible in the static plan, which prints one
+    exchange per branch): after execution, the final adaptive plan
+    carries a ReusedExchange for the orders and lineitem level-1
+    stages (events rides the session's persisted InMemoryRelation, so
+    its corpus scan is shared by construction either way)."""
+    df = Q.q158_fd_profile(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("Initial Plan")[0]
+    reused = [
+        ln for ln in final.splitlines() if "ReusedExchange" in ln
+    ]
+    assert any("o_orderkey" in ln for ln in reused), final
+    assert any("l_orderkey" in ln for ln in reused), final
 
 
 def test_q159_entropy_keyed_no_pair_space(spark, sf_dir):

@@ -274,6 +274,41 @@ class TestFdCheck:
         assert row["fd"] == "d1,d2->dep"
         assert row["n_groups"] == 2 and row["holds"] == 1
 
+    def test_multi_pair_matches_single_pair_calls(self, spark):
+        """The multi-pair GROUPING SETS path (round 13: one level-1
+        scan shared by all pairs) must emit bit-identical rows to
+        per-pair single calls (which keep the plain two-level
+        aggregation), including shared-column-set pairs (a->b plus
+        b->a ride ONE grouping set) and NULLs in both roles."""
+        from snowplow_s3_loader_spark.operators.profile import fd_check
+
+        df = spark.createDataFrame(
+            [
+                (1, 10, "x"),
+                (2, 10, "x"),
+                (3, 20, "y"),
+                (4, 20, None),
+                (None, 20, "y"),
+                (None, None, "z"),
+            ],
+            "a long, b long, c string",
+        )
+        deps = [
+            (["a"], "b"),
+            (["b"], "a"),  # same column set as the pair above
+            (["a", "b"], "c"),
+            (["b"], "c"),
+        ]
+        multi = sorted(
+            tuple(r) for r in fd_check(df, deps).collect()
+        )
+        singles = sorted(
+            tuple(r)
+            for d in deps
+            for r in fd_check(df, [d]).collect()
+        )
+        assert multi == singles
+
     def test_bad_pairs_raise(self, spark):
         from snowplow_s3_loader_spark.operators.profile import fd_check
 
