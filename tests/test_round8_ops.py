@@ -1411,6 +1411,39 @@ class TestTopologicalLayers:
         )
         with pytest.raises(RuntimeError, match="max_rounds"):
             topological_layers(e, max_rounds=5)
+        # the distributed loop's round budget raises identically
+        # (round 13: the bounded driver-Kahn hybrid must not change
+        # the error contract)
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            topological_layers(e, max_rounds=5, driver_threshold=0)
+
+    def test_driver_and_distributed_paths_agree(self, spark):
+        """Round 13 hybrid: the driver-Kahn path (small graphs) and the
+        distributed peel loop must emit identical (node, layer) maps on
+        a graph mixing a DAG, a cycle with downstream nodes, and
+        isolated nodes supplied via the ``nodes`` universe."""
+        from snowplow_s3_loader_spark.operators.graph import (
+            topological_layers,
+        )
+
+        edges = [
+            (1, 2), (1, 3), (2, 4), (3, 4), (4, 5),
+            (6, 7), (7, 8), (8, 6),      # cycle
+            (8, 9),                      # downstream of the cycle
+            (2, 9),
+        ]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        universe = spark.createDataFrame(
+            [(v,) for v in range(1, 13)], "src long"  # 10..12 isolated
+        )
+        results = []
+        for thr in (100_000, 0):
+            out = topological_layers(e, nodes=universe, driver_threshold=thr)
+            results.append({r["node"]: r["layer"] for r in out.collect()})
+            release_materialized(out)
+        assert results[0] == results[1]
+        assert results[0][10] == results[0][12] == 0  # isolated -> layer 0
+        assert results[0][9] == -1  # cycle-downstream flagged
 
 
 def _linkpred_ref(pairs, min_common, max_wedge_degree, scale=1_000_000):
