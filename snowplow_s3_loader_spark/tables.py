@@ -114,7 +114,22 @@ def load_table(
         par = spark.sparkContext.defaultParallelism
         n_splits = len(df.inputFiles())
         if n_splits and n_splits < par:
-            df = df.repartition(par).persist()
+            df = df.repartition(par)
+            if name == "documents":
+                # DISK_ONLY (round 13): the corpus cache exists to pay
+                # the parallelism-floor shuffle once per session, not to
+                # occupy driver/executor heap — a 185-query marathon
+                # session at the 1-g default heap OOM'd in the scale
+                # battery with the text corpus held as a deserialized
+                # in-memory cache on top of everything else. Local disk
+                # reads of the small repartitioned corpus are noise;
+                # events keeps the default level it has had since its
+                # introduction.
+                from pyspark import StorageLevel
+
+                df = df.persist(StorageLevel.DISK_ONLY)
+            else:
+                df = df.persist()
     if key is not None:
         _df_cache[key] = df
     return df
