@@ -23,6 +23,24 @@ def test_clear_table_cache_unpersists(spark, sf_dir):
     assert not tables._df_cache
 
 
+def test_documents_cache_is_disk_only(spark, sf_dir):
+    """The documents corpus cache exists to pay the parallelism-floor
+    shuffle once per session, not to occupy heap: a 185-query marathon
+    at the 1-g default driver heap OOM'd with the corpus held
+    deserialized in memory (round 13). documents must persist DISK_ONLY;
+    events keeps the default (memory-bearing) level it has had since
+    its introduction."""
+    clear_table_cache()
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        ev = load_table(spark, sf_dir, "events")
+        # local[4] over single-row-group files -> the floor fires
+        assert docs.storageLevel.useDisk and not docs.storageLevel.useMemory
+        assert ev.storageLevel.useMemory
+    finally:
+        clear_table_cache()
+
+
 def test_lru_overflow_unpersists(spark, sf_dir):
     clear_table_cache()
     base = _cached_rdd_count(spark)
