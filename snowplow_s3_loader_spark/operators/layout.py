@@ -164,10 +164,14 @@ def token_shards(
     n_shards <= 9.2e18, ENFORCED from the two-phase pass's own scalar
     total (no extra scan).
 
-    Scale shape: the two-phase distributed prefix sum
+    Scale shape: the narrow (id, weight) proxy is materialized ONCE
+    (~25 B/row — weights are typically an expensive corpus tokenize,
+    and the two-phase pass below re-evaluates its input per phase),
+    then the two-phase distributed prefix sum
     (ranking.global_running_total — literal-boundary buckets + offset map
     offsets, NO single-partition stage), then a pure projection.
     Output: (id_col, weight_col, rn, start, shard)."""
+    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
     from snowplow_s3_loader_spark.operators.ranking import (
         global_running_total,
     )
@@ -186,7 +190,22 @@ def token_shards(
             )
         ).cast("long"),
     ).otherwise(w.cast("long"))
-    base = docs.select(F.col(id_col), w_checked.alias(weight_col))
+    # Materialize the NARROW (id, weight) proxy ONCE (round 13): the
+    # two-phase prefix sum evaluates its input plan per pass
+    # (sample/counts/output — the ranking module's no-materialization
+    # contract), and the weight column is typically an expensive
+    # tokenize over the whole corpus (q147: token_count(text)), so the
+    # corpus paid that projection on BOTH weight-reading passes. The
+    # proxy is two scalar columns (~25 B/row) — the guide-§8 "decide
+    # with small rows" shape; the round-10 storage wall this module's
+    # ranking deliberately avoids was the FULL-WIDTH corpus checkpoint,
+    # not a key+weight frame. The weight guard now fires here, eagerly
+    # (same error, earlier). Blocks stay until the session sweeps them
+    # (the winsorize/auc_moments precedent): the returned frame is lazy
+    # over these blocks, so they cannot be released inside the call.
+    base = checkpoint_nostats(
+        docs.select(F.col(id_col), w_checked.alias(weight_col))
+    )
     order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
     ranked, n_rows, total = global_running_total(
         base, order, weight_col, rn_col="rn", start_col="start"

@@ -268,7 +268,10 @@ def spearman_moments(
     is materialized — BOUNDED by the module's own enforced n <= ~1.3e6
     contract, never corpus-sized (the ranking operator itself
     materializes nothing)."""
-    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        release_materialized,
+    )
     from snowplow_s3_loader_spark.operators.ranking import global_row_number
 
     base = df.select(
@@ -276,14 +279,16 @@ def spearman_moments(
         F.col(y_col).cast("long").alias("__y"),
         F.col(id_col).alias("__id"),
     ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
-    rx, n = global_row_number(
-        base, [F.col("__x"), F.col("__id")], rn_col="__rnx"
-    )
-    # enforce the bound BEFORE materializing: global_row_number already
-    # returns n without storing anything, so a corpus-sized input must
-    # raise here instead of paying a corpus-sized localCheckpoint (the
-    # very storage hazard this module's bound exists to prevent) on
-    # the rejection path
+    # enforce the bound from ONE cheap count BEFORE materializing (a
+    # corpus-sized input must raise without paying a corpus-sized
+    # localCheckpoint on the rejection path — the very storage hazard
+    # this module's bound exists to prevent); then materialize the
+    # narrow 3-column base ONCE (round 13): global_row_number evaluates
+    # its input per pass (sample/counts/output), so the un-materialized
+    # shape re-ran the caller's scan+projection three times for the
+    # x-ranking. The checkpoint is bounded by the just-enforced
+    # n <= ~1.3e6 rows x 3 scalar columns.
+    n = base.count()
     if n > 1_300_000:
         raise ValueError(
             f"spearman_moments: n={n} exceeds the exact int64 bound "
@@ -291,7 +296,14 @@ def spearman_moments(
         )
     if n < 2:
         raise ValueError(f"spearman_moments: need n >= 2, got {n}")
+    base = checkpoint_nostats(base)
+    rx, _ = global_row_number(
+        base, [F.col("__x"), F.col("__id")], rn_col="__rnx"
+    )
     rx = checkpoint_nostats(rx)
+    # rx is eagerly materialized and is the only consumer of base's
+    # blocks — release them now instead of waiting for a session sweep
+    release_materialized(base)
     # global_row_number emits INT ranks: the doubled-rank differences
     # square to ~4n^2, which wraps int32 past n ~ 23k — everything
     # rank-derived rides as long from here (the q98 wpos lesson)
