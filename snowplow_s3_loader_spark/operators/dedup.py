@@ -704,6 +704,46 @@ def checkpoint_nostats(
     partition_cols: list[str] | None = None,
     trust_partitioning: bool = False,
 ) -> DataFrame:
+    """Eager stats-truncating localCheckpoint with an optionally
+    ADVERTISED hash layout — see _checkpoint_nostats_impl for the full
+    doctrine. checkpoint_nostats_counted additionally returns the row
+    count from the same materializing action (no second job)."""
+    return _checkpoint_nostats_impl(df, n_parts, partition_cols, trust_partitioning)[0]
+
+
+def checkpoint_nostats_counted(
+    df: DataFrame,
+    n_parts: int | None = None,
+    partition_cols: list[str] | None = None,
+    trust_partitioning: bool = False,
+) -> tuple[DataFrame, int]:
+    """checkpoint_nostats PLUS the frame's row count, derived from the
+    checkpoint's OWN materializing action instead of a separate job
+    (guide §1.2 step 1: the iterative loops paid checkpoint + count per
+    round, and at local scale each extra action is a full
+    scheduler/AQE round-trip — round 14's job census measured the loop
+    family at 17-39 jobs/query with the count jobs ~half the floor).
+
+    Mechanics: Dataset.localCheckpoint(eager=True) internally
+    materializes via count() on the checkpointed RDD and DISCARDS the
+    value; here the checkpoint is taken lazily and the same RDD count
+    is issued once, keeping the result — one action total, identical
+    blocks. Falls back to an explicit DataFrame count (second job, old
+    behavior) if the internal RDD is unreachable (private-API drift),
+    warning once per process like every other fallback here."""
+    frame, n = _checkpoint_nostats_impl(
+        df, n_parts, partition_cols, trust_partitioning, with_count=True
+    )
+    return frame, n
+
+
+def _checkpoint_nostats_impl(
+    df: DataFrame,
+    n_parts: int | None = None,
+    partition_cols: list[str] | None = None,
+    trust_partitioning: bool = False,
+    with_count: bool = False,
+) -> tuple[DataFrame, int | None]:
     """Eager localCheckpoint that does NOT inherit the parent plan's
     statistics — REQUIRED for iterative algorithms — and (optionally)
     ADVERTISES a hash partitioning so downstream joins co-partition.
@@ -748,7 +788,24 @@ def checkpoint_nostats(
     sp = df.sparkSession
     if partition_cols and not trust_partitioning:
         df = df.repartition(n_parts, *partition_cols)
-    ckpt = df.localCheckpoint(eager=True)
+    n_rows: int | None = None
+    if with_count:
+        # lazy checkpoint + one explicit RDD count: the SAME action the
+        # eager path runs internally (Dataset.localCheckpoint(eager)
+        # materializes via rdd.count() and discards the value), except
+        # the count is kept — one job where checkpoint-then-count paid two
+        ckpt = df.localCheckpoint(eager=False)
+        try:
+            n_rows = int(ckpt._jdf.queryExecution().analyzed().rdd().count())
+        except Exception:
+            _warn_ckpt_fallback(
+                "counted checkpoint could not reach the materialized RDD; "
+                "counting with a separate job (checkpoint + count, the "
+                "pre-round-14 shape)"
+            )
+            n_rows = ckpt.count()
+    else:
+        ckpt = df.localCheckpoint(eager=True)
     if partition_cols and trust_partitioning:
         try:
             _assert_trusted_layout(df, partition_cols, int(n_parts))
@@ -780,9 +837,14 @@ def checkpoint_nostats(
             out, rdd, part, jvm.PythonUtils.toSeq([]), False, none,
             sp._jsparkSession, none, none,
         )
-        return DataFrame(
-            jvm.org.apache.spark.sql.classic.Dataset.ofRows(sp._jsparkSession, newplan),
-            sp,
+        return (
+            DataFrame(
+                jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    sp._jsparkSession, newplan
+                ),
+                sp,
+            ),
+            n_rows,
         )
     except AssertionError:
         raise
@@ -797,7 +859,7 @@ def checkpoint_nostats(
         j = ckpt._jdf
         jrdd = j.queryExecution().analyzed().rdd()
         jdf2 = sp._jsparkSession.internalCreateDataFrame(jrdd, j.schema(), False)
-        return DataFrame(jdf2, sp)
+        return DataFrame(jdf2, sp), n_rows
     except Exception:
         # last resort: correct, just stats-inheriting (slow only for very
         # long iterative runs)
@@ -806,7 +868,7 @@ def checkpoint_nostats(
             "localCheckpoint (stats-inheriting — iterative loops may slow "
             "down over many rounds)"
         )
-        return ckpt
+        return ckpt, n_rows
 
 
 _CKPT_FALLBACK_WARNED: set = set()

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from snowplow_s3_loader_spark.operators.dedup import (
     checkpoint_nostats,
+    checkpoint_nostats_counted,
     release_materialized,
 )
 
@@ -96,13 +97,15 @@ def connected_components(
     # keys, while the driver union-find would crash on them (Python can't
     # order None against ints) — filtering here makes the
     # driver_threshold boundary invisible to callers with dirty input.
-    distinct_pairs = checkpoint_nostats(
+    # row count fused into the checkpoint's own materializing action
+    # (round 14 — checkpoint + count was two jobs everywhere in the
+    # loop family; the census measured the job floor as ~half the wall)
+    distinct_pairs, n_pairs = checkpoint_nostats_counted(
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
     )
     id_type = distinct_pairs.schema["s"].dataType.simpleString()
-    n_pairs = distinct_pairs.count()
     if n_pairs <= driver_threshold:
         try:
             return _driver_components(spark, distinct_pairs.collect(), id_type)
@@ -153,6 +156,14 @@ def connected_components(
             # projection keeps `v` intact — so the result still carries
             # labels' layout and the checkpoint may TRUST it (gated by
             # test_plans.py round-join test + the differential suites)
+            # the round's checkpoint carries a __chg flag (labels only
+            # DECREASE, so changed == neighbor-min strictly below the
+            # old label), making the convergence check one predicate
+            # count over the just-persisted blocks instead of a
+            # new-vs-old join that re-read both label frames (round 14
+            # — guide §1.2 step 1, don't recompute what the round's own
+            # pass already knew). The flag never escapes: the loop join
+            # reads (v, lbl) and both exits re-project.
             new_labels = checkpoint_nostats(
                 labels.join(neigh, labels.v == neigh.s, "left")
                 .select(
@@ -160,17 +171,15 @@ def connected_components(
                     F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
                         "lbl"
                     ),
+                    F.coalesce(
+                        F.col("nl") < F.col("lbl"), F.lit(False)
+                    ).alias("__chg"),
                 ),
                 loop_parts,
                 ["v"],
                 trust_partitioning=True,
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-                .where(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            )
+            changed = new_labels.where("__chg").count()
             release_materialized(labels)
             labels = new_labels
             if changed == 0:
@@ -660,14 +669,13 @@ def pagerank(
             f"need 0 < damping_num < damping_den, got {damping_num}/{damping_den}"
         )
     spark = edges.sparkSession
-    e = checkpoint_nostats(
+    e, n_edges = checkpoint_nostats_counted(
         edges.select(
             F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
         )
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
     )
-    n_edges = e.count()
     loop_parts = _loop_width(spark, n_edges)
     # the edge frame stays NARROW (s, d) and is laid out on hash(s) —
     # out-degree lives on the |V|-sized node frame instead of being
@@ -696,10 +704,13 @@ def pagerank(
         ).select("node", "outdeg", F.coalesce("__seed", F.lit(False)).alias("seed"))
     else:
         node_base = node_base.withColumn("seed", F.lit(True))
-    nodes = checkpoint_nostats(node_base, loop_parts, ["node"])
+    # in the un-personalized case every node is a seed, so the seed
+    # count IS the node count the checkpoint's own action already
+    # returns; only the personalized path pays a filtered count job
+    nodes, n_nodes = checkpoint_nostats_counted(node_base, loop_parts, ["node"])
     release_materialized(e)
     try:
-        n = nodes.where("seed").count()
+        n = n_nodes if seeds is None else nodes.where("seed").count()
         if n == 0:
             raise ValueError("pagerank: no seed node appears in the edge set")
         init = int(scale) // n
@@ -853,10 +864,9 @@ def _oriented_closed_wedges(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
     )
-    und = checkpoint_nostats(
+    und, n_und = checkpoint_nostats_counted(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    n_und = und.count()
     loop_parts = _loop_width(spark, n_und)
     # |deg| = |V| <= n_und and a (long, long) row is ~16 bytes, so at or
     # under the threshold the degree lookup is a few-MB broadcast — both
@@ -950,14 +960,14 @@ def random_walks(
     if walk_length < 1:
         raise ValueError(f"walk_length must be >= 1, got {walk_length}")
     spark = edges.sparkSession
-    e = checkpoint_nostats(
+    e, n_e = checkpoint_nostats_counted(
         edges.select(
             F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
         )
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
     )
-    loop_parts = _loop_width(spark, e.count())
+    loop_parts = _loop_width(spark, n_e)
     adj = checkpoint_nostats(e, loop_parts, ["s"])
     release_materialized(e)
     # state: one row per walk — (walk, path so far, current node). cur is
@@ -1062,10 +1072,9 @@ def k_core(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
     )
     spark = pairs.sparkSession
-    und = checkpoint_nostats(
+    und, n = checkpoint_nostats_counted(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    n = und.count()
     loop_parts = _loop_width(spark, n)
     cur = checkpoint_nostats(und, loop_parts, ["a"])
     release_materialized(und)
@@ -1084,10 +1093,9 @@ def k_core(
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
             .select("a", "b")
         )
-        nxt = checkpoint_nostats(
+        nxt, n_next = checkpoint_nostats_counted(
             nxt_plan, loop_parts, ["a"], trust_partitioning=small
         )
-        n_next = nxt.count()
         release_materialized(cur)
         cur = nxt
         if n_next == n:
@@ -1167,14 +1175,14 @@ def hits(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     spark = edges.sparkSession
-    e = checkpoint_nostats(
+    e, n_e = checkpoint_nostats_counted(
         edges.select(
             F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
         )
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
     )
-    loop_parts = _loop_width(spark, e.count())
+    loop_parts = _loop_width(spark, n_e)
     adj_s = checkpoint_nostats(e, loop_parts, ["s"])
     adj_d = checkpoint_nostats(adj_s, loop_parts, ["d"])
     release_materialized(e)
@@ -1333,24 +1341,22 @@ def bfs_distances(
     # materialize the edge build ONCE, then count the checkpoint (the CC
     # discipline — counting the lazy plan would evaluate the upstream
     # join twice: once for the count, again for the checkpoint)
-    e0 = checkpoint_nostats(
+    e0, n_edges = checkpoint_nostats_counted(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
     )
-    n_edges = e0.count()
     loop_parts = _loop_width(spark, n_edges)
     adj = checkpoint_nostats(e0, loop_parts, ["s"])
     release_materialized(e0)
     try:
-        visited = checkpoint_nostats(
+        visited, n_seen = checkpoint_nostats_counted(
             sources.select(F.col(node_col).alias("v")).where(F.col("v").isNotNull())
             .distinct()
             .select("v", F.lit(0).alias("dist")),
             loop_parts,
             ["v"],
         )
-        n_seen = visited.count()
         for depth in range(1, max_depth + 1):
             frontier = visited.where(F.col("dist") == depth - 1).select("v")
             # distinct() plans its own exchange WITH a map-side partial
@@ -1370,7 +1376,7 @@ def bfs_distances(
             # neigh and visited are both hash(v) at loop width -> the anti
             # join is zero-Exchange; the union's new branch carries the
             # round's distance
-            new_visited = checkpoint_nostats(
+            new_visited, n_now = checkpoint_nostats_counted(
                 visited.unionByName(
                     neigh.join(visited, "v", "left_anti").select(
                         "v", F.lit(depth).alias("dist")
@@ -1381,7 +1387,6 @@ def bfs_distances(
             )
             release_materialized(visited)
             visited = new_visited
-            n_now = visited.count()
             if n_now == n_seen:
                 break
             n_seen = n_now
@@ -1451,13 +1456,12 @@ def label_propagation(
     ``driver_threshold=0`` to force the distributed loop.
     """
     spark = pairs.sparkSession
-    base = checkpoint_nostats(
+    base, n_pairs = checkpoint_nostats_counted(
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
     )
     id_type = base.schema["s"].dataType.simpleString()
-    n_pairs = base.count()
     if n_pairs <= driver_threshold:
         try:
             return _driver_label_propagation(
@@ -1608,8 +1612,7 @@ def topological_layers(
         F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
     ).distinct()
     spark = edges.sparkSession
-    cur = checkpoint_nostats(e)
-    n_edges = cur.count()
+    cur, n_edges = checkpoint_nostats_counted(e)
     if n_edges <= driver_threshold:
         # hybrid execution (round 13, the connected_components
         # driver-union-find discipline): a DAG at or under
@@ -1656,8 +1659,7 @@ def topological_layers(
         node_plan = node_plan.union(
             nodes.select(F.col(src).alias("a")).where(F.col("a").isNotNull())
         )
-    nodes = checkpoint_nostats(node_plan.distinct())
-    n_nodes = nodes.count()
+    nodes, n_nodes = checkpoint_nostats_counted(node_plan.distinct())
     done: list = []  # (frame, layer) checkpoints, unioned at the end
     remaining = nodes
     layer = 0
@@ -1677,12 +1679,11 @@ def topological_layers(
             )
         )
         done.append((zero_in, layer))
-        nxt_nodes = checkpoint_nostats(
+        nxt_nodes, n_next = checkpoint_nostats_counted(
             remaining.join(
                 F.broadcast(zero_in) if small else zero_in, "a", "left_anti"
             )
         )
-        n_next = nxt_nodes.count()
         if n_next == n_nodes:  # nothing peeled: survivors sit in cycles
             done.pop()
             release_materialized(zero_in)
@@ -1798,10 +1799,9 @@ def _linkpred_plan(
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(
         F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
     )
-    und = checkpoint_nostats(
+    und, n_und = checkpoint_nostats_counted(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    n_und = und.count()
     loop_parts = _loop_width(spark, n_und)
     small = n_und <= broadcast_threshold
     # |V|-sized and consumed by four plan branches (hub filter, center
