@@ -1,4 +1,5 @@
-"""Dump .explain('formatted') for named queries to plans/r13/<query>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to
+plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (default round: r14).
 
 Usage: python scripts/explain_dump.py <tag> <query_prefix> [...]
   tag           e.g. 'before' / 'after'
@@ -20,7 +21,11 @@ import os
 import sys
 from contextlib import redirect_stdout
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
+)
 
 
 def main() -> None:

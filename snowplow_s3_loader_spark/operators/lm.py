@@ -21,12 +21,14 @@ order-independent in any engine — and only the final division is float
 is the same integer-accumulation rule the running-revenue query uses
 for window sums.
 
-Scale shape: the bigram and context-count relations are two partial+
-final hash aggregations over one exploded scan; both are
-vocabulary-sized, so their joins back to the per-document bigram stream
-are left to AQE (broadcast while the vocabulary fits, shuffle when it
-doesn't). No UDFs, no driver-side iteration; V and the corpus are the
-only scalars collected (one count-distinct action, like TF-IDF's N).
+Scale shape: one partial+final hash aggregation over one exploded scan
+builds the bigram counts, and the context counts ride that
+vocabulary-sized aggregate as a window sum partitioned by the context
+token (round 14 — never a second traversal of the corpus explode); the
+single join back to the per-document bigram stream is left to AQE
+(broadcast while the vocabulary fits, shuffle when it doesn't). No
+UDFs, no driver-side iteration; V and the corpus are the only scalars
+collected (one count-distinct action, like TF-IDF's N).
 
 Token model is shared with operators/text.py (whitespace runs), so the
 DuckDB oracle reproduces every count exactly.
@@ -34,7 +36,7 @@ DuckDB oracle reproduces every count exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from snowplow_s3_loader_spark.operators.hygiene import word_ngrams
@@ -54,15 +56,29 @@ def bigram_lm_scores(
     bg = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"),
-    ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    )
 
     c2 = bg.groupBy("gram").agg(F.count("*").alias("c2"))
-    # derived from the distinct-bigram-sized c2 frame, not a third corpus
-    # explode — see moore_lewis_scores for the ReuseExchange mechanics
-    ctx = (
+    # ctx(w1) rides the c2 frame ITSELF as a window sum over the grams
+    # sharing a context, instead of a separate groupBy(w1) relation
+    # joined back (round 14): the joined shape made the c2 aggregation
+    # subtree a child of TWO join branches, and in Spark 4.1 AQE cannot
+    # reuse an exchange above a cached table (TableCacheQueryStageExec
+    # canonicalizes with its stage id), so the "derived, not a third
+    # corpus explode" claim of round 13 silently re-ran the whole
+    # c2 subtree — the executed q148-family plan carried 3 GenerateExec
+    # corpus explodes. With the window there is exactly ONE consumer of
+    # c2, no reuse needed: two corpus explodes by construction, and the
+    # window moves only the vocabulary-sized aggregate (hash(w1)
+    # exchange + in-partition sum — ctx groups are bounded by the
+    # grams-per-context vocabulary, never corpus-sized). Gated by
+    # test_plans.py::test_q148_ctx_rides_c2_no_third_corpus_explode.
+    c2x = (
         c2.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
-        .groupBy("w1")
-        .agg(F.sum("c2").cast("long").alias("c1"))
+        .withColumn(
+            "c1",
+            F.sum("c2").over(Window.partitionBy("w1")).cast("long"),
+        )
     )
     vocab = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
@@ -73,11 +89,17 @@ def bigram_lm_scores(
     logp = F.log(
         (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.lit(float(vocab)))
     )
-    scored = (
-        bg.join(c2, "gram")
-        .join(ctx, "w1")
-        .select("id", F.round(logp * 1e6, 0).cast("long").alias("micro"))
+    # the per-bigram micro-nat score is a function of the GRAM alone, so
+    # it quantizes ONCE per distinct gram on the vocabulary-sized frame
+    # (identical integer inputs -> identical IEEE double -> identical
+    # rounding, so every occurrence gets the same value it computed
+    # per-row before); the scoring join then carries exactly one long —
+    # the narrowest possible broadcast/shuffle payload (guide §2.3), and
+    # the log/round work drops from per-occurrence to per-distinct-gram
+    per_gram = c2x.select(
+        "gram", F.round(logp * 1e6, 0).cast("long").alias("micro")
     )
+    scored = bg.join(per_gram, "gram").select("id", "micro")
     per_doc = scored.groupBy("id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum("micro").alias("sum_logp_micronats"),
@@ -122,8 +144,9 @@ def moore_lewis_scores(
     integers — the q142 discipline), so every output is an exact int64
     sum and hash-identical across engines.
 
-    Scale shape: both count tables are vocabulary-sized, joined back
-    under AQE (broadcast while the vocabulary fits); one doc-keyed
+    Scale shape: the one count table is vocabulary-sized (context sums
+    ride it as a window — see the c2x note below), joined back under
+    AQE (broadcast while the vocabulary fits); one doc-keyed
     aggregation; one count-distinct scalar (V). Documents with fewer
     than two tokens emit n_bigrams=0 and NULL scores (no evidence, not
     zero evidence).
@@ -134,36 +157,36 @@ def moore_lewis_scores(
     Residency: NOTHING is materialized (the round-10 shape
     localCheckpointed the FULL bigram explode — the block-loss hazard
     dsir_weights measured at 20M docs). The explode is deterministic,
-    and the four count tables FUSE into two aggregations (count(*) and
-    sum(__t) per gram / per context), so the operator is three
-    scan+explode passes (gram counts, context counts, scoring join)
+    and the four count tables FUSE into one aggregation plus a window
+    (count(*) and sum(__t) per gram, context sums per w1 over the
+    aggregate), so the operator is two scan+explode passes
+    (gram counts, scoring join)
     plus the one-scalar vocabulary pass — resilient and storage-free."""
     bg = docs.select(
         F.col(id_col).alias("id"),
         is_target.cast("int").alias("__t"),
         F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"),
-    ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    )
     c2 = bg.groupBy("gram").agg(
         F.count("*").alias("c2r"),
         F.sum(F.col("__t").cast("long")).alias("c2t"),
     )
     # ctx(w1) = w1's occurrences as a bigram context = sum of c2 over the
     # grams starting with w1 (tokens never contain spaces, so the split
-    # is exact) — derived from the DISTINCT-BIGRAM-sized c2 frame instead
-    # of a third full corpus explode. c2's aggregation subtree appears
-    # twice in the plan (scoring join build + this re-aggregation) but
-    # the physical exchanges are identical, so ReuseExchange computes the
-    # corpus-scale pass once (guide §2.4: two operations keyed the same
-    # way share one exchange); the operator drops from three corpus
-    # explodes to two.
-    ctx = (
-        c2.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
-        .groupBy("w1")
-        .agg(
-            F.sum("c2r").cast("long").alias("c1r"),
-            F.sum("c2t").cast("long").alias("c1t"),
-        )
-    )
+    # is exact) — computed as a WINDOW SUM over the distinct-bigram-sized
+    # c2 frame itself, never a third corpus pass. Round 13 derived ctx
+    # as a second aggregation over c2 and relied on ReuseExchange to
+    # dedup the shared subtree; that reuse cannot fire in Spark 4.1 AQE
+    # above a cached table (TableCacheQueryStageExec canonicalizes with
+    # its stage id), so the c2 subtree — explode and all — silently ran
+    # twice. The window keeps ONE consumer of c2 (structural, no
+    # planner reliance): two corpus explodes total, and the window's
+    # hash(w1) exchange moves only the vocabulary-sized aggregate.
+    c2x = c2.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    ctx_win = Window.partitionBy("w1")
+    c2x = c2x.withColumn(
+        "c1r", F.sum("c2r").over(ctx_win).cast("long")
+    ).withColumn("c1t", F.sum("c2t").over(ctx_win).cast("long"))
     vocab = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .agg(F.count_distinct("tok"))
@@ -175,15 +198,17 @@ def moore_lewis_scores(
         / (F.coalesce("c1t", F.lit(0)) + kv)
     )
     logp_r = F.log((F.col("c2r") + F.lit(k)) / (F.col("c1r") + kv))
-    scored = (
-        bg.join(c2, "gram")
-        .join(ctx, "w1")
-        .select(
-            "id",
-            F.round(logp_t * 1e6, 0).cast("long").alias("mt"),
-            F.round(logp_r * 1e6, 0).cast("long").alias("mr"),
-        )
+    # both micro-nat scores are functions of the GRAM alone: quantize
+    # once per distinct gram on the vocabulary-sized frame (identical
+    # integer inputs -> identical IEEE doubles -> identical rounding)
+    # and join back just (gram, mt, mr) — the narrowest broadcast
+    # payload, and per-occurrence log/round work drops to per-gram
+    per_gram = c2x.select(
+        "gram",
+        F.round(logp_t * 1e6, 0).cast("long").alias("mt"),
+        F.round(logp_r * 1e6, 0).cast("long").alias("mr"),
     )
+    scored = bg.join(per_gram, "gram").select("id", "mt", "mr")
     per_doc = scored.groupBy("id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum("mt").alias("sum_logp_target"),

@@ -1179,6 +1179,68 @@ def test_q158_fd_level1_exchange_reused_at_runtime(spark, sf_dir):
     assert any("l_orderkey" in ln for ln in reused), final
 
 
+def _runtime_nodes(df) -> list:
+    """Flatten the EXECUTED adaptive plan — including every materialized
+    query stage's subtree, which the top-level toString hides — into
+    simple class names. The only runtime-true census of what actually
+    ran (static plans cannot show AQE stage dedup or its absence)."""
+    out = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        out.append(name)
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_q148_ctx_rides_c2_no_third_corpus_explode(spark, sf_dir):
+    """The bigram-LM context counts must ride the c2 aggregate as a
+    window sum, never a second traversal of the corpus explode
+    (round 14): the round-13 shape derived ctx as a second aggregation
+    over c2 and relied on AQE exchange reuse, which Spark 4.1 cannot
+    perform above a cached table (TableCacheQueryStageExec
+    canonicalizes with its stage id) — the executed plan carried THREE
+    GenerateExec corpus explodes, the exact silent-return failure the
+    round-13 verdict flagged. Gate on the RUNTIME tree: exactly two
+    corpus explodes (count pass + scoring pass) and one window.
+    Non-vacuous by construction: the pre-change tree runs 3 Generates.
+    (The vocabulary count-distinct is a separate eager query, so it
+    never appears in this plan.)"""
+    df = Q.q148_moore_lewis(spark, sf_dir)
+    df.collect()
+    nodes = _runtime_nodes(df)
+    assert nodes.count("GenerateExec") == 2, nodes
+    assert nodes.count("WindowExec") == 1, nodes
+
+
+def test_q29_bigram_lm_no_third_corpus_explode(spark, sf_dir):
+    """bigram_lm_scores (the q29 battery fold) carries the same window
+    ctx shape as moore_lewis — gate its runtime explode count too.
+    q29 adds repetition/chunking folds with their own explodes, so the
+    gate runs the operator directly over the corpus."""
+    from snowplow_s3_loader_spark.operators.lm import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = bigram_lm_scores(docs, "doc_id", "text")
+    # collect() executes df's OWN query execution — a noop write would
+    # run a separate write plan and leave df's adaptive plan unexecuted,
+    # making the census static instead of runtime-true
+    df.collect()
+    nodes = _runtime_nodes(df)
+    assert nodes.count("GenerateExec") == 2, nodes
+    assert nodes.count("WindowExec") == 1, nodes
+
+
 def test_q159_entropy_keyed_no_pair_space(spark, sf_dir):
     """Char entropy is the q149 shape at char level: one explode, one
     (id, ch)-keyed count, one id-keyed reduction, one id-keyed join
