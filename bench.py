@@ -49,6 +49,59 @@ CANARIES = (
 )
 CANARY_ATTEMPTS = 3
 
+# Host-drift probe (round 14, VERDICT r13 item 6): 4 of the 8 canaries
+# (q83, q98, q146, q148) sit on code paths optimization rounds touched,
+# so the full canary total conflates host drift with real wins. The
+# UNTOUCHED subset is the normalization denominator; the full set stays
+# recorded for continuity with rounds 12-13.
+CANARY_UNTOUCHED = ("q02", "q04", "q38", "q88")
+
+# Per-family grouping for the headline line (round 14, VERDICT r13
+# item 3): the 169-entry per-query line has exceeded the driver's ~2 KB
+# output-tail capture since round 3, leaving PERF_r{N} per_query empty —
+# ~15 family subtotals (2-decimal) fit the headline and restore
+# driver-visible attribution. Keys are query numbers; families follow
+# the OPTIMIZATION_r13 coverage table. New queries default to "oth"
+# so an unmapped addition can never break the bench line.
+FAMILIES = {
+    "ld": [1, 14, 15, 16, 17, 18, 19, 20, 21, 22],
+    "rel": [2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 35, 36, 39, 40, 41,
+            42, 43, 44, 45, 46, 49, 51, 52, 53, 54, 55, 59, 63, 64, 74,
+            84, 86, 90, 92, 93, 94, 95, 97, 105, 107, 120],
+    "doc": [29, 30, 31, 47, 56, 66, 67, 68, 70, 77, 85, 111, 123, 124,
+            129, 137, 143, 149, 152, 155, 159, 163, 164],
+    "lm": [142, 144, 146, 148],
+    "bpe": [98],
+    "gr": [83, 91, 99, 102, 103, 106, 112, 134, 135],
+    "dd": [23, 24, 25, 26, 32, 50, 65, 71, 82, 150],
+    "ann": [27, 28, 48, 87, 101, 117, 125, 126, 127, 128],
+    "sk": [37, 75, 78, 110, 113, 136],
+    "st": [81, 114, 115, 119, 121, 122, 130, 132, 133, 138, 139, 140,
+           145, 151, 153, 154, 156, 157, 161, 165, 166, 167, 168, 169,
+           170, 171],
+    "fd": [158],
+    "lay": [58, 61, 62, 72, 73, 76, 79, 80, 118, 147, 160],
+    "ts": [38, 57, 88, 89, 100, 104, 108, 109, 116, 131, 141, 162],
+    "mm": [33, 34, 60],
+}
+_QNUM_TO_FAM = {q: fam for fam, qs in FAMILIES.items() for q in qs}
+
+
+def family_subtotals(timings: dict[str, float]) -> dict[str, float]:
+    """2-decimal per-family sums of the per-query seconds (errors, timed
+    as -1, are excluded the same way the grand total excludes them)."""
+    out: dict[str, float] = {}
+    for name, sec in timings.items():
+        if sec < 0:
+            continue
+        try:
+            num = int(name.split("_")[0][1:])
+        except ValueError:
+            num = -1
+        fam = _QNUM_TO_FAM.get(num, "oth")
+        out[fam] = out.get(fam, 0.0) + sec
+    return {fam: round(sec, 2) for fam, sec in sorted(out.items())}
+
 
 def run_canary(sf_dir: str, attempts: int = CANARY_ATTEMPTS) -> dict | None:
     """Isolated canary minima via scripts/isolated_bench.py in a FRESH
@@ -91,6 +144,7 @@ def compact_headline(
     n_queries: int,
     attempts: int,
     canary: dict | None = None,
+    fam: dict | None = None,
 ) -> str:
     """The FINAL output line: a headline object WITHOUT the queries dict.
     Must stay well under the driver's 2 KB output-tail capture — the
@@ -109,6 +163,13 @@ def compact_headline(
     if canary:
         obj["canary"] = canary
         obj["canary_total"] = round(sum(canary.values()), 3)
+        # untouched-canary subtotal: the host-drift denominator (the
+        # other four canaries sit on optimized code paths — round 14)
+        obj["canary_untouched_total"] = round(
+            sum(canary.get(c, 0.0) for c in CANARY_UNTOUCHED), 3
+        )
+    if fam:
+        obj["fam"] = fam
     line = json.dumps(obj)
     if len(line) >= 1600:  # not an assert: must survive `python -O`
         raise ValueError(f"headline line too long for tail capture: {len(line)}")
@@ -200,7 +261,12 @@ def main() -> None:
             }
         )
     )
-    print(compact_headline(total, sf_num, len(timings), attempts, canary))
+    print(
+        compact_headline(
+            total, sf_num, len(timings), attempts, canary,
+            fam=family_subtotals(timings),
+        )
+    )
     sys.stdout.flush()
 
 

@@ -124,8 +124,12 @@ def test_bench_compact_headline_fits_driver_tail_capture():
     spec = importlib.util.spec_from_file_location("bench_mod", "bench.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    canary = {f"q{i:03d}": 12345.678 for i in range(len(mod.CANARIES))}
-    line = mod.compact_headline(98765.432, 0.1, 102, 2, canary)
+    from snowplow_s3_loader_spark.plans.queries import QUERIES
+
+    canary = {n.split("_")[0]: 12345.678 for n in mod.CANARIES}
+    # worst-case family fold: every registry query at a 4-digit wall
+    fam = mod.family_subtotals({n: 9999.999 for n in QUERIES})
+    line = mod.compact_headline(98765.432, 0.1, 102, 2, canary, fam)
     assert len(line) < 1600
     parsed = _json.loads(line)
     assert parsed["metric"] == "total_query_set_seconds"
@@ -133,9 +137,41 @@ def test_bench_compact_headline_fits_driver_tail_capture():
     assert "queries" not in parsed
     assert parsed["canary"] == canary
     assert parsed["canary_total"] == round(sum(canary.values()), 3)
+    # the untouched-canary host probe (round 14): exactly the four
+    # never-optimized members, so cross-round normalization cannot
+    # conflate host drift with code wins
+    assert parsed["canary_untouched_total"] == round(
+        sum(canary[c] for c in mod.CANARY_UNTOUCHED), 3
+    )
+    assert parsed["fam"] == fam
     # canary-less headline (subprocess failure path) still parses
     bare = _json.loads(mod.compact_headline(1.0, 0.1, 102, 2, None))
-    assert "canary" not in bare
+    assert "canary" not in bare and "fam" not in bare
+
+
+def test_bench_family_map_covers_registry():
+    """Every declared single must map to exactly one family — an
+    unmapped query would silently land in 'oth' and break per-family
+    attribution; a double-mapped one would double-count."""
+    import importlib.util
+
+    from snowplow_s3_loader_spark.plans.queries import QUERIES
+
+    spec = importlib.util.spec_from_file_location("bench_mod", "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assigned = [q for qs in mod.FAMILIES.values() for q in qs]
+    assert len(assigned) == len(set(assigned)), "double-mapped query number"
+    nums = {int(n.split("_")[0][1:]) for n in QUERIES}
+    assert nums == set(assigned), (
+        sorted(nums - set(assigned)),
+        sorted(set(assigned) - nums),
+    )
+    fam = mod.family_subtotals({n: 1.0 for n in QUERIES})
+    assert "oth" not in fam
+    # untouched canaries resolve against the canary short keys
+    canary_shorts = {n.split("_")[0] for n in mod.CANARIES}
+    assert set(mod.CANARY_UNTOUCHED) <= canary_shorts
 
 
 def test_bench_canaries_exist_and_are_pinned():
