@@ -253,6 +253,13 @@ def _run_hh(spark, in_dir, ckpt, n_shards, capacity):
         .start()
     )
     q.awaitTermination(120)
+    # the per-shard state bound is the operator's weak-scaling contract
+    # (round 14, VERDICT r13 item 7): every emission IS the shard's live
+    # Misra-Gries summary, so its row count must never exceed capacity —
+    # at ANY batch, not just the final one
+    for _bid, per_shard in collected:
+        for shard, summary in per_shard.items():
+            assert len(summary) <= capacity, (shard, len(summary), capacity)
     # latest emission per shard wins (update mode)
     latest: dict = {}
     for _bid, per_shard in sorted(collected):
