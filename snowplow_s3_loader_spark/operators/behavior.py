@@ -365,7 +365,10 @@ def item_similarity_topk(
     must stay under sqrt(2^63/scale) (~3e6 at the default scale) or the
     row raises.
     """
-    from snowplow_s3_loader_spark.operators.dedup import checkpoint_nostats
+    from snowplow_s3_loader_spark.operators.dedup import (
+        checkpoint_nostats,
+        checkpoint_nostats_counted,
+    )
 
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
@@ -375,12 +378,14 @@ def item_similarity_topk(
         ).distinct()
     )
     pairs = _pairs_from_items(items, min_support)
-    counts = checkpoint_nostats(
+    # broadcast gate rides the checkpoint's own materializing action
+    # (round 14 — the separate count job was pure scheduler floor)
+    counts, n_items = checkpoint_nostats_counted(
         items.groupBy("__item")
         .agg(F.count("*").alias("c"))
         .select(F.col("__item").alias("item"), "c")
     )
-    if counts.count() <= 5_000_000:
+    if n_items <= 5_000_000:
         counts = F.broadcast(counts)
     sym = pairs.select(
         F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"), "support"

@@ -88,7 +88,17 @@ def bm25_topk(
     base = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
-    n_docs = corpus_stats[0] if corpus_stats else docs.count()
+    if corpus_stats:
+        n_docs, avgdl = corpus_stats[0], corpus_stats[1]
+    else:
+        # ONE corpus pass for both scalars (round 14): the former
+        # count-then-avg shape paid two blocking scans — the count's
+        # column-pruned pass was cheap but still a full scheduler
+        # round-trip, and the avg re-tokenized from scratch
+        [stats_row] = base.agg(
+            F.count("*").alias("n"), F.avg(F.size("toks")).alias("ad")
+        ).collect()
+        n_docs, avgdl = int(stats_row["n"]), stats_row["ad"]
     if not query_terms or n_docs == 0:
         # empty query or empty corpus: a well-typed empty result, not a crash
         return base.limit(0).select(
@@ -96,11 +106,6 @@ def bm25_topk(
             F.lit(0.0).alias("score"),
             F.lit(0).alias("rank"),
         )
-    avgdl = (
-        corpus_stats[1]
-        if corpus_stats
-        else base.select(F.avg(F.size("toks"))).first()[0]
-    )
     tf = (
         base.select("id", F.explode("toks").alias("term"))
         # literal IN-filter runs before the aggregation: only query terms
