@@ -123,14 +123,25 @@ class TestNarrowRankingInputMaterialization:
             F.col("id").alias("doc_id"), w_udf(F.col("id")).alias("w")
         )
         out = token_shards(docs, "doc_id", "w", 8)
-        # noop sink, NOT count(): count() lets Catalyst prune the weight
-        # column out of the ranking's output pass, which silently hides
-        # one of the two pre-change evaluations (guide §1.4)
-        out.write.format("noop").mode("overwrite").save()
-        assert acc.value == n, (
-            f"weight plan evaluated {acc.value} times for {n} rows — "
-            "the narrow-proxy checkpoint must pay the projection once"
+        from snowplow_s3_loader_spark.operators.dedup import (
+            release_materialized,
         )
+
+        try:
+            # noop sink, NOT count(): count() lets Catalyst prune the weight
+            # column out of the ranking's output pass, which silently hides
+            # one of the two pre-change evaluations (guide §1.4)
+            out.write.format("noop").mode("overwrite").save()
+            # exactness assumes each row is computed once — true under
+            # deterministic local[4] with no task retries or speculation;
+            # if the test conf ever enables either, relax to a range
+            assert acc.value == n, (
+                f"weight plan evaluated {acc.value} times for {n} rows — "
+                "the narrow-proxy checkpoint must pay the projection once"
+            )
+        finally:
+            # don't leak the proxy blocks into the session-scoped fixture
+            release_materialized(out)
 
     def test_spearman_releases_base_blocks(self, spark):
         # the 3-column base checkpoint is released as soon as the
@@ -149,10 +160,23 @@ class TestNarrowRankingInputMaterialization:
         row = spearman_moments(df, "x", "y", "rid").collect()[0]
         assert row["n"] == 399
         added = _local_checkpoint_ids(spark) - before
-        assert len(added) <= 2, (
-            f"{len(added)} localCheckpoint blocks outlive spearman_moments "
-            "— the base proxy must be released after the x-ranking"
-        )
+        try:
+            # self-checking bounds (ADVICE r13): rx and ry MUST both
+            # persist, so a filter that matches nothing (e.g. an RDD
+            # toString change after a Spark bump) fails loudly instead
+            # of passing vacuously
+            assert 1 <= len(added) <= 2, (
+                f"{len(added)} localCheckpoint blocks outlive "
+                "spearman_moments — expected the rx/ry pair only"
+            )
+        finally:
+            # release the surviving blocks instead of leaking them into
+            # the session-scoped fixture (ADVICE r13)
+            jsc = spark.sparkContext._jsc.sc()
+            lst = jsc.getPersistentRDDs().toList()
+            for i in range(lst.size()):
+                if lst.apply(i)._1() in added:
+                    lst.apply(i)._2().unpersist(False)
 
     def test_spearman_bound_rejection_pays_no_checkpoint(self, spark):
         # the n-bound is enforced from one cheap count BEFORE the
